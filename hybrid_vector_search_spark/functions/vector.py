@@ -1,0 +1,101 @@
+"""Vector scalar functions: inner-product scoring, normalization, checks.
+
+The scoring hot path (reference K1/K2: ``scores = V @ q`` at
+src/dataio/loaders.py:28-46) is an Arrow-batched pandas UDF — each batch of
+``array<float>`` rows is stacked into one NumPy matrix and hit with a single
+BLAS matrix-vector product, reproducing the reference's vectorized columnar
+execution inside Spark executors. Scoring is float64 to match the
+reference oracle's upcast (src/eval/oracle.py:48).
+
+``cosine_score_col`` is a pure-SQL (JVM/codegen) alternative built from
+higher-order functions — slower than BLAS per row but with zero Python
+overhead; used where a plan must stay whole-stage-codegen or for small
+inputs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hybrid_vector_search_spark.errors import ValidationError
+
+
+def ensure_unit_l2(qvec: Sequence[float], tol: float = 1e-3) -> np.ndarray:
+    """Validate the query vector is unit-L2 within tolerance; no silent
+    re-normalization (reference: src/dataio/validators.py:37-48)."""
+    v = np.asarray(qvec, dtype=np.float32).reshape(-1)
+    n = float(np.linalg.norm(v))
+    if n == 0.0:
+        raise ValidationError("Embedding norm is zero; cannot validate")
+    if not math.isclose(n, 1.0, rel_tol=tol, abs_tol=tol):
+        raise ValidationError(f"Embedding L2 norm {n:.6f} not within tolerance {tol}")
+    return v
+
+
+def dot_score_pandas_udf(qvec: Sequence[float]):
+    """Pandas UDF scoring a corpus ``array<float>`` column against a fixed
+    query vector: one ``matrix @ q`` BLAS call per Arrow batch.
+
+    The query vector is captured in the closure (a few KB — pickled once
+    per task, negligible; for batched multi-query scoring see
+    operators/strategies.py which broadcasts the full query matrix).
+    """
+    q = np.asarray(qvec, dtype=np.float64).reshape(-1)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            if len(batch) == 0:
+                yield pd.Series([], dtype="float64")
+                continue
+            mat = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
+            yield pd.Series(mat @ q)
+
+    return _score
+
+
+def dot_score_sql(embedding: Column | str, qvec: Sequence[float]) -> Column:
+    """Pure-SQL inner product against a literal query vector via
+    ``zip_with`` + ``aggregate`` (stays in whole-stage codegen)."""
+    emb = F.col(embedding) if isinstance(embedding, str) else embedding
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    prods = F.zip_with(
+        emb.cast(T.ArrayType(T.DoubleType())), qlit, lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_score_col(a: Column | str, b: Column | str) -> Column:
+    """Column-to-column cosine similarity (JVM-side): dot(a,b)/(‖a‖·‖b‖)."""
+    ca = (F.col(a) if isinstance(a, str) else a).cast(T.ArrayType(T.DoubleType()))
+    cb = (F.col(b) if isinstance(b, str) else b).cast(T.ArrayType(T.DoubleType()))
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(ca, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(cb, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return dot / (F.greatest(na * nb, F.lit(1e-12)))
+
+
+def l2_normalize_col(embedding: Column | str) -> Column:
+    """L2 row-normalize an array column: ``v / max(‖v‖, 1e-12)``
+    (reference U2: src/dataio/loaders.py:83-86)."""
+    emb = (
+        F.col(embedding) if isinstance(embedding, str) else embedding
+    ).cast(T.ArrayType(T.DoubleType()))
+    norm = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    safe = F.greatest(norm, F.lit(1e-12))
+    return F.transform(emb, lambda x: x / safe)

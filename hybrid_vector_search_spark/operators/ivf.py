@@ -1,0 +1,231 @@
+"""Spark-native IVF (inverted-file) ANN index + the post_filter strategy.
+
+Reference K4 (src/dataio/loaders.py:106-120, 142-151) wraps FAISS
+IndexIVFFlat: k-means coarse quantization into ``nlist`` lists, probe the
+``nprobe`` nearest lists, exact inner product within probed lists. The
+Spark-native translation (SURVEY.md §2.3 K4):
+
+* **build** — MLlib ``KMeans(k=nlist)`` over the embedding column → assign
+  each row its ``list_id`` → optionally persist as parquet
+  ``partitionBy("list_id")``. The lists become physical partitions.
+* **probe** — score the query against the tiny centroid matrix on the
+  driver, pick the top-``nprobe`` list ids, then
+  ``filter(col("list_id").isin(probed))``. On partitioned parquet this is
+  native partition pruning: only probed lists are read — the I/O-skipping
+  FAISS gets from its inverted lists, Spark gets from the file layout. At
+  100 TB the probed fraction (nprobe/nlist) is exactly the fraction of
+  bytes scanned.
+
+Defaults mirror the reference: ``nlist ≈ √N`` clamped to [64, 4096]
+(loaders.py:167-173), ``nprobe = 32`` (loaders.py:167), candidate ladder
+``(200, 500, 1000)`` (src/backends/post_filter_backend.py:37).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.errors import ValidationError
+from hybrid_vector_search_spark.functions.predicates import compile_filters
+from hybrid_vector_search_spark.functions.vector import (
+    dot_score_pandas_udf,
+    ensure_unit_l2,
+)
+from hybrid_vector_search_spark.operators.strategies import SearchBackend
+from hybrid_vector_search_spark.operators.topk import topk
+
+DEFAULT_NPROBE = 32
+DEFAULT_K_LADDER = (200, 500, 1000)
+
+
+def default_nlist(n: int) -> int:
+    """``nlist ≈ √N`` clamped to [64, 4096], never exceeding N
+    (reference: src/dataio/loaders.py:167-173)."""
+    return max(1, min(max(int(n**0.5), 64), 4096, n))
+
+
+class IVFIndex:
+    """KMeans-clustered corpus with per-row ``list_id``; centroids live on
+    the driver (nlist × D floats — the only driver-resident index state)."""
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        id_col: str = "id",
+        partitioned_path: str | None = None,
+    ):
+        self.assigned = assigned
+        self.centroids = centroids.astype(np.float64)
+        self.id_col = id_col
+        self.partitioned_path = partitioned_path
+
+    @property
+    def nlist(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        nlist: int | None = None,
+        n: int | None = None,
+        seed: int = 42,
+        id_col: str = "id",
+        persist_path: str | None = None,
+    ) -> "IVFIndex":
+        """Cluster embeddings with MLlib KMeans and attach ``list_id``.
+
+        With ``persist_path``, lists are written as
+        ``partitionBy("list_id")`` parquet and re-read — the scale path
+        where probing prunes files. Without it the assigned DataFrame is
+        cached in memory (test path).
+        """
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+        except ImportError as e:  # pragma: no cover
+            raise ValidationError(f"pyspark.ml unavailable: {e}") from e
+
+        if n is None:
+            n = corpus.count()
+        if nlist is None:
+            nlist = default_nlist(n)
+
+        feats = corpus.withColumn("__features", array_to_vector("embedding"))
+        km = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="list_id")
+        model = km.fit(feats)
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+        assigned = model.transform(feats).drop("__features")
+
+        if persist_path:
+            assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+                persist_path
+            )
+            spark = corpus.sparkSession
+            assigned = spark.read.parquet(persist_path)
+        else:
+            assigned = assigned.cache()
+            assigned.count()  # materialize once
+        return cls(assigned, centroids, id_col=id_col, partitioned_path=persist_path)
+
+    def probe(self, qvec: Sequence[float], nprobe: int = DEFAULT_NPROBE) -> list[int]:
+        """Driver-side probe planner: top-``nprobe`` centroid lists by inner
+        product. Parameterizes the plan; Catalyst's partition pruning does
+        the I/O skipping (SURVEY.md §4)."""
+        q = np.asarray(qvec, dtype=np.float64).reshape(-1)
+        scores = self.centroids @ q
+        nprobe = min(nprobe, self.nlist)
+        idx = np.argpartition(-scores, nprobe - 1)[:nprobe] if nprobe < len(scores) else np.arange(len(scores))
+        return [int(i) for i in idx]
+
+    def search_plan(
+        self,
+        qvec: Sequence[float],
+        k: int,
+        nprobe: int = DEFAULT_NPROBE,
+    ) -> tuple[DataFrame, list[int]]:
+        """ANN top-K plan: prune to probed lists → exact IP within → top-K."""
+        probed = self.probe(qvec, nprobe)
+        scored = (
+            self.assigned.filter(F.col("list_id").isin(probed))
+            .select(
+                F.col(self.id_col),
+                dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+            )
+        )
+        return topk(scored, k, id_col=self.id_col), probed
+
+
+class PostFilterBackend(SearchBackend):
+    """P3: IVF ANN candidates over the full corpus, escalating K′ ladder,
+    keep candidates passing the filters, stop when ≥K kept
+    (reference src/baselines/post_filter.py:17-109).
+
+    Each rung re-plans from scratch with a larger K′ (reference behavior —
+    post_filter.py:66-87); with a fixed probe set the larger rung's
+    candidate set contains the smaller's, so the final rung's survivors are
+    the reference's best-score-dedup union (A5) without re-accumulating.
+    """
+
+    name = "post_filter"
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        n: int | None = None,
+        id_col: str = "id",
+        index: IVFIndex | None = None,
+        nlist: int | None = None,
+        nprobe: int = DEFAULT_NPROBE,
+        k_ladder: Sequence[int] = DEFAULT_K_LADDER,
+        seed: int = 42,
+    ):
+        super().__init__(corpus, n, id_col)
+        self.nprobe = nprobe
+        self.k_ladder = tuple(k_ladder)
+        self._index = index
+        self._nlist = nlist
+        self._seed = seed
+
+    @property
+    def index(self) -> IVFIndex:
+        if self._index is None:
+            self._index = IVFIndex.build(
+                self.corpus, nlist=self._nlist, n=self.n, seed=self._seed,
+                id_col=self.id_col,
+            )
+        return self._index
+
+    def plan(self, qvec, filters, k, kprime: int | None = None):
+        """One ladder rung as a composable plan: ANN candidates → semi-join
+        against the allowed set → top-K."""
+        kprime = kprime or max(self.k_ladder)
+        candidates, _probed = self.index.search_plan(qvec, kprime, self.nprobe)
+        pred = compile_filters(self.corpus.schema, filters)
+        allowed = self.corpus.filter(pred).select(self.id_col)
+        kept = candidates.join(F.broadcast(allowed), self.id_col, "left_semi")
+        return topk(kept, k, id_col=self.id_col), None
+
+    def search(self, qvec, filters, k):
+        import time
+
+        from hybrid_vector_search_spark.sources.loaders import validate_K
+
+        validate_K(k, self.n)
+        q = ensure_unit_l2(qvec)
+        pred = compile_filters(self.corpus.schema, filters)
+        allowed = self.corpus.filter(pred).select(self.id_col)
+
+        t0 = time.perf_counter()
+        rows: list = []
+        stop_kprime = self.k_ladder[-1]
+        probed: list[int] = []
+        for kprime in self.k_ladder:
+            candidates, probed = self.index.search_plan(q, kprime, self.nprobe)
+            kept = candidates.join(F.broadcast(allowed), self.id_col, "left_semi")
+            rows = topk(kept, k, id_col=self.id_col).collect()
+            stop_kprime = kprime
+            if len(rows) >= k:
+                break
+        latency_ms = (time.perf_counter() - t0) * 1000.0
+
+        ids = [int(r[self.id_col]) for r in rows]
+        stats: dict[str, Any] = {
+            "method": self.name,
+            "K": k,
+            "latency_ms": latency_ms,
+            # K′ at the stopping rung — the reference logs the last rung,
+            # not the ladder sum (quirk Q4; post_filter.py:101)
+            "scored_vectors": stop_kprime,
+            "lists_probed": len(probed),
+            "nprobe": self.nprobe,
+            "scores": [float(r["score"]) for r in rows],
+            "notes": f"ladder_stop={stop_kprime}",
+        }
+        return ids, stats

@@ -1,0 +1,160 @@
+"""Composite search strategies (the reference's "physical plans", §2.4).
+
+Each strategy answers: given a unit query vector, a filter dict, and K,
+return the top-K ids by inner product among rows passing the filters —
+plus an execution-stats record (§2.10 contract).
+
+Strategy ↔ plan shape:
+
+* ``exact`` / ``pre_filter`` (reference P1/P2, src/backends/exact.py:29-57,
+  src/baselines/pre_filter.py:7-68): ``filter → score → TakeOrderedAndProject``.
+  In Spark these are the *same* plan — Catalyst predicate pushdown makes
+  "gather the allowed subset first" automatic; both names are kept for the
+  stats contract. Scoring is float64 (reference oracle upcast).
+* ``post_filter`` (reference P3, src/baselines/post_filter.py:17-109):
+  ANN candidates over the full corpus via the IVF index, candidate ladder
+  K′ ∈ (200, 500, 1000) with early stop, then filter candidates and keep
+  the best K — see operators/ivf.py for the index.
+* ``random`` (reference P4, src/backends/random.py:9-31): seeded sample,
+  ignores filters (kept as the recall floor; reference quirk Q7).
+
+Row counts ("scored_vectors") are captured with ``Observation`` metrics on
+the scan — no second pass over the data.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from abc import ABC, abstractmethod
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.errors import ValidationError
+from hybrid_vector_search_spark.functions.predicates import compile_filters
+from hybrid_vector_search_spark.functions.vector import (
+    dot_score_pandas_udf,
+    ensure_unit_l2,
+)
+from hybrid_vector_search_spark.operators.topk import topk
+from hybrid_vector_search_spark.sources.loaders import validate_K
+
+
+class SearchBackend(ABC):
+    """Common strategy API (reference: src/backend_interface.py:7-31).
+
+    ``search`` returns ``(ids, stats)`` with ids ordered ``score DESC,
+    id ASC``; ``plan`` returns the un-collected DataFrame for composition.
+    """
+
+    name: str = "abstract"
+
+    def __init__(self, corpus: DataFrame, n: int | None = None, id_col: str = "id"):
+        self.corpus = corpus
+        self.id_col = id_col
+        self.n = n if n is not None else corpus.count()
+
+    @abstractmethod
+    def plan(
+        self, qvec: Sequence[float], filters: Mapping[str, Any] | None, k: int
+    ) -> tuple[DataFrame, Observation | None]:
+        """Build the (id, score) top-K DataFrame plan + optional row-count
+        observation."""
+
+    def search(
+        self, qvec: Sequence[float], filters: Mapping[str, Any] | None, k: int
+    ) -> tuple[list[int], dict[str, Any]]:
+        validate_K(k, self.n)
+        q = ensure_unit_l2(qvec)
+        t0 = time.perf_counter()
+        df, obs = self.plan(q, filters, k)
+        rows = df.collect()
+        latency_ms = (time.perf_counter() - t0) * 1000.0
+        ids = [int(r[self.id_col]) for r in rows]
+        scored = int(obs.get["n"]) if obs is not None else 0
+        stats: dict[str, Any] = {
+            "method": self.name,
+            "K": k,
+            "latency_ms": latency_ms,
+            "scored_vectors": scored,
+            "scores": [float(r["score"]) for r in rows],
+        }
+        return ids, stats
+
+
+class ExactBackend(SearchBackend):
+    """P1: filter → float64 exact IP scoring → top-K. Serves as the
+    correctness oracle (reference src/backends/exact.py:29-57)."""
+
+    name = "exact"
+
+    def plan(self, qvec, filters, k):
+        pred = compile_filters(self.corpus.schema, filters)
+        obs = Observation(f"scored_{uuid.uuid4().hex[:8]}")
+        scored = (
+            self.corpus.filter(pred)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col(self.id_col),
+                dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+            )
+        )
+        return topk(scored, k, id_col=self.id_col), obs
+
+
+class PreFilterBackend(ExactBackend):
+    """P2: identical Spark plan to P1 (predicate pushdown is free); the name
+    is kept for the stats contract (reference src/baselines/pre_filter.py)."""
+
+    name = "pre_filter"
+
+
+class RandomBackend(SearchBackend):
+    """P4: seeded random K ids; ignores filters and reports
+    ``scored_vectors = 0`` — the recall floor (reference quirk Q7)."""
+
+    name = "random"
+
+    def __init__(self, corpus, n=None, id_col="id", seed: int = 0):
+        super().__init__(corpus, n, id_col)
+        self.seed = seed
+
+    def plan(self, qvec, filters, k):
+        df = (
+            self.corpus.select(self.id_col)
+            .orderBy(F.rand(self.seed))
+            .limit(k)
+            .withColumn("score", F.lit(0.0))
+        )
+        return df, None
+
+    def search(self, qvec, filters, k):
+        ids, stats = super().search(qvec, filters, k)
+        stats["scored_vectors"] = 0
+        return ids, stats
+
+
+def get_backend(
+    name: str,
+    corpus: DataFrame,
+    n: int | None = None,
+    **kwargs: Any,
+) -> SearchBackend:
+    """Strategy registry (reference P5: src/harness/run.py:71-87)."""
+    # imported here to avoid a hard cycle: ivf builds on strategies' helpers
+    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
+
+    registry: dict[str, type[SearchBackend]] = {
+        "exact": ExactBackend,
+        "pre_filter": PreFilterBackend,
+        "post_filter": PostFilterBackend,
+        "random": RandomBackend,
+    }
+    if name not in registry:
+        raise ValidationError(
+            f"unknown backend '{name}' (choose from {sorted(registry)})"
+        )
+    return registry[name](corpus, n, **kwargs)

@@ -1,0 +1,255 @@
+"""Query registry: every implemented operator exposed as a named query with
+a DuckDB oracle.
+
+Each entry is ``(spark, sf_dir) -> DataFrame``; ``ORACLES[name]`` is the
+ANSI-SQL equivalent DuckDB runs on the same parquet (views: region nation
+customer supplier part orders lineitem events documents embeddings). This
+pair IS the correctness gate (driver contract in __spark_entry__.py).
+
+Conventions for bit-stable comparison:
+* every computed column aliased identically in Spark and SQL;
+* float aggregates rounded (sums to 2, ratios/scores to 6) in BOTH engines;
+* vector scores computed in float64 in both engines;
+* timestamps rendered as strings (Spark session TZ is UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.functions.predicates import (
+    compile_filters,
+    filters_to_sql,
+)
+from hybrid_vector_search_spark.functions.vector import dot_score_pandas_udf
+from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
+from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
+from hybrid_vector_search_spark.sources.loaders import load_corpus, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# The wide hybrid corpus as a DuckDB CTE (mirrors sources.loaders.load_corpus)
+CORPUS_CTE = (
+    "WITH corpus AS (SELECT e.vec_id AS id, e.embedding, e.label, "
+    "d.text, d.lang, d.source, d.n_chars "
+    "FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id)"
+)
+
+# ---------------------------------------------------------------- hybrid search
+
+# Canonical query-vector/filters pairs (selectivity-stratified like the
+# reference's 10 canonical queries, artifacts/artifacts.py:197-208, but
+# over the driver's synthetic corpus — FIXTURES.md §4).
+HYBRID_CASES: dict[str, dict] = {
+    "hybrid_topk_exact": {
+        "seed": 7,
+        "filters": {"label": {"in": [1, 2, 3]}, "lang": {"eq": "en"}},
+        "k": 10,
+    },
+    "hybrid_topk_unfiltered": {"seed": 11, "filters": {}, "k": 10},
+    "hybrid_topk_strict": {
+        "seed": 13,
+        "filters": {
+            "label": {"eq": 4},
+            "n_chars": {"between": [0, 400]},
+            "lang": {"in": ["en", "de"]},
+        },
+        "k": 10,
+    },
+    "hybrid_topk_like": {
+        "seed": 17,
+        "filters": {"text": {"like": "the"}, "n_chars": {"ge": 100}},
+        "k": 10,
+    },
+}
+
+
+def _hybrid_spark(case: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = load_corpus(spark, sf_dir)
+        qvec = query_vector(case["seed"])
+        pred = compile_filters(corpus.schema, case["filters"])
+        scored = corpus.filter(pred).select(
+            "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
+        )
+        return topk(scored, case["k"]).select(
+            "id", F.round("score", 6).alias("score")
+        )
+
+    return q
+
+
+def _hybrid_oracle(case: dict) -> str:
+    # Build the WHERE fragment from the same filter dict via the engine's
+    # own SQL renderer — one semantics, two engines.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    where = filters_to_sql(schema, case["filters"])
+    qlit = sql_array_literal(query_vector(case["seed"]))
+    return f"""{CORPUS_CTE}
+SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM corpus
+WHERE {where}
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
+LIMIT {case['k']}"""
+
+
+for _name, _case in HYBRID_CASES.items():
+    register(_name, _hybrid_oracle(_case))(_hybrid_spark(_case))
+
+
+@register(
+    "vector_topk_per_label",
+    f"""SELECT label, id, score FROM (
+  SELECT label, vec_id AS id,
+         ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(23))}), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(23))}) DESC, vec_id ASC
+         ) AS rn
+  FROM embeddings) t
+WHERE rn <= 3""",
+)
+def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-at-a-time grouped top-K: best 3 matches within every label group
+    in one windowed job (SURVEY.md §2.7 — our idiomatic batch form)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    qvec = query_vector(23)
+    scored = emb.select(
+        "label", "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
+    )
+    return grouped_topk(scored, ["label"], 3).select(
+        "label", "id", F.round("score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------- relational
+
+@register(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy grouped aggregation — the partial-agg (map-side
+    combine) + final-agg shape; stays whole-stage-codegen end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """SELECT n.n_name AS nation,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation ASC""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join + agg: fact tables shuffle-join on keys; the
+    25-row nation dim broadcasts (Catalyst auto-broadcast under threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@register(
+    "docs_lang_profile",
+    """SELECT lang,
+  COUNT(*) AS n_docs,
+  ROUND(AVG(n_chars), 6) AS avg_chars,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang""",
+)
+def docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-table profile aggregation (A3-style summary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,92 @@
+"""Sources: parquet scans for the testdata star schema + hybrid corpus.
+
+Reference S1-S5 (src/dataio/loaders.py:60-102) load a ``.npy`` matrix, a
+JSON sidecar, and row-aligned parquet metadata into driver memory. The
+Spark-native replacement is a single *wide corpus table*: embeddings joined
+to their metadata on id, stored columnar — Catalyst prunes the embedding
+column away for pure-metadata plans and prunes metadata for pure-vector
+plans, so the wide layout costs nothing at scan time.
+
+Validation (reference V2/V3 at src/dataio/validators.py:32-35, 70-108)
+is one aggregation pass; the numpy-era "ids contiguous 0..N-1" rule is
+dropped deliberately — in Spark the id is a join key, not a row index
+(SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.errors import ValidationError
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata parquet table."""
+    if name not in TESTDATA_TABLES:
+        raise ValidationError(f"unknown table '{name}'")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_corpus(
+    spark: SparkSession, sf_dir: str, with_documents: bool = True
+) -> DataFrame:
+    """The hybrid-search corpus: embeddings ⋈ documents metadata on id.
+
+    Columns: ``id BIGINT, embedding ARRAY<FLOAT>, label INT`` plus (when
+    ``with_documents``) ``text, lang, source, n_chars`` — the filterable
+    metadata. Equivalent of the reference's vector-matrix + row-aligned
+    metadata pair (artifacts/artifacts.py:180-181), as one equi-join that
+    Catalyst plans itself (both sides share the id; at scale, bucket both
+    tables by id to make this join shuffle-free).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    if not with_documents:
+        return emb
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
+    return emb.join(docs, "id", "left")
+
+
+def validate_K(K: int, N: int) -> None:
+    """1 ≤ K ≤ N, integer — hard error otherwise (reference V2:
+    src/dataio/validators.py:32-35)."""
+    if not (isinstance(K, int) and not isinstance(K, bool) and 1 <= K <= N):
+        raise ValidationError(f"K must be an integer in [1, {N}]")
+
+
+def validate_corpus(corpus: DataFrame, id_col: str = "id") -> int:
+    """One-pass corpus validation: id non-null + unique; embeddings present.
+
+    Returns N. Reference V3 (validators.py:70-108) minus the numpy
+    contiguity rule. Single aggregation — no per-row driver loop.
+    """
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(id_col).alias("n_nonnull"),
+        F.countDistinct(id_col).alias("n_distinct"),
+        F.count("embedding").alias("n_emb"),
+    ).collect()[0]
+    if row.n_nonnull != row.n:
+        raise ValidationError(f"corpus '{id_col}' contains nulls (not allowed)")
+    if row.n_distinct != row.n:
+        raise ValidationError(f"corpus '{id_col}' contains duplicates (not allowed)")
+    if row.n_emb != row.n:
+        raise ValidationError("corpus 'embedding' contains nulls (not allowed)")
+    return int(row.n)

@@ -1,0 +1,92 @@
+"""Search-strategy contract tests (reference: tests/test_run_impl.py
+behavioral spec — ordering, stats, K guard, recall-vs-oracle)."""
+
+import numpy as np
+import pytest
+
+from hybrid_vector_search_spark.errors import ValidationError
+from hybrid_vector_search_spark.functions.vector import ensure_unit_l2
+from hybrid_vector_search_spark.operators.strategies import (
+    ExactBackend,
+    PreFilterBackend,
+    RandomBackend,
+    get_backend,
+)
+
+Q_E1 = [1.0, 0.0, 0.0, 0.0]  # basis vector: best match id 0, then id 4 (1/√2)
+
+
+def test_exact_ordering_desc_score_then_id(tiny_corpus):
+    ids, stats = ExactBackend(tiny_corpus, 5).search(Q_E1, {}, 5)
+    # scores: id0=1.0, id4=0.707, ids 1,2,3 = 0.0 (ties → id ASC)
+    assert ids == [0, 4, 1, 2, 3]
+    assert stats["scores"] == sorted(stats["scores"], reverse=True)
+
+
+def test_exact_filtered_allowed_set(tiny_corpus):
+    ids, stats = ExactBackend(tiny_corpus, 5).search(
+        Q_E1, {"state": {"eq": "FL"}}, 3
+    )
+    assert ids == [0, 4, 1]
+    # scored_vectors = |allowed| (reference: exact.py:50)
+    assert stats["scored_vectors"] == 3
+
+
+def test_prefilter_same_plan_as_exact(tiny_corpus):
+    e, _ = ExactBackend(tiny_corpus, 5).search(Q_E1, {"stars": {"ge": 3.0}}, 2)
+    p, st = PreFilterBackend(tiny_corpus, 5).search(Q_E1, {"stars": {"ge": 3.0}}, 2)
+    assert e == p
+    assert st["method"] == "pre_filter"
+
+
+def test_k_fewer_than_allowed_rows(tiny_corpus):
+    # |allowed|=3 < K=5 → min(K, |allowed|) rows, no crash (quirk Q2 fixed)
+    ids, _ = ExactBackend(tiny_corpus, 5).search(Q_E1, {"state": {"eq": "FL"}}, 5)
+    assert ids == [0, 4, 1]
+
+
+def test_k_guard(tiny_corpus):
+    b = ExactBackend(tiny_corpus, 5)
+    for bad in (0, -1, 6, "3", 2.5, True):
+        with pytest.raises(ValidationError):
+            b.search(Q_E1, {}, bad)
+
+
+def test_unit_norm_guard(tiny_corpus):
+    b = ExactBackend(tiny_corpus, 5)
+    with pytest.raises(ValidationError):
+        b.search([2.0, 0.0, 0.0, 0.0], {}, 1)
+    with pytest.raises(ValidationError):
+        b.search([0.0, 0.0, 0.0, 0.0], {}, 1)
+
+
+def test_ensure_unit_l2_tolerance():
+    v = np.array([1.0 + 5e-4, 0.0, 0.0, 0.0])
+    assert ensure_unit_l2(v) is not None
+
+
+def test_random_deterministic_ignores_filters(tiny_corpus):
+    b = RandomBackend(tiny_corpus, 5, seed=0)
+    ids1, st1 = b.search(Q_E1, {"state": {"eq": "FL"}}, 3)
+    ids2, _ = b.search(Q_E1, None, 3)
+    assert ids1 == ids2  # filters ignored (reference quirk Q7)
+    assert st1["scored_vectors"] == 0
+    assert len(ids1) == 3
+
+
+def test_registry(tiny_corpus):
+    assert get_backend("exact", tiny_corpus, 5).name == "exact"
+    assert get_backend("pre_filter", tiny_corpus, 5).name == "pre_filter"
+    assert get_backend("post_filter", tiny_corpus, 5).name == "post_filter"
+    assert get_backend("random", tiny_corpus, 5).name == "random"
+    with pytest.raises(ValidationError):
+        get_backend("nope", tiny_corpus, 5)
+
+
+def test_empty_result_consistent_shape(tiny_corpus):
+    # no rows pass → empty ids + stats, not a crash (reference quirk Q1 fixed)
+    ids, stats = ExactBackend(tiny_corpus, 5).search(
+        Q_E1, {"state": {"eq": "ZZ"}}, 3
+    )
+    assert ids == []
+    assert stats["scored_vectors"] == 0
