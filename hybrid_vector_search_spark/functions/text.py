@@ -1,0 +1,208 @@
+"""Text-analysis columns for large-scale training-data pipelines.
+
+All builders return JVM-side ``Column`` expressions (built-in functions
+only — no Python UDFs), so they stay inside whole-stage codegen and scan
+at full parquet speed; at 100 TB these run as pure map-side work with no
+shuffle. Every computation is mirrored exactly by an ANSI-SQL fragment in
+plans/registry.py for the DuckDB oracle.
+
+Operators: language-ID (marker-word n-gram heuristic), quality scoring
+(length / punctuation / stopword / token-shape ratios), token counting
+(whitespace + BPE-ish regex), document fingerprinting (normalized md5 and
+shingle sets for MinHash — see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language — tiny, deterministic, shared verbatim with
+# the SQL oracle. (A real pipeline would load larger lists; the operator
+# shape — per-language token-hit scoring + argmax — is the same.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "a"),
+    "es": ("el", "la", "los", "que", "y", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "les", "des", "et", "est", "une"),
+}
+
+STOPWORDS: tuple[str, ...] = tuple(
+    sorted({w for ws in LANG_MARKERS.values() for w in ws})
+)
+
+# BPE-ish tokenizer: letter runs | digit runs | single non-space symbol.
+# Simple character classes behave identically in Java regex (Spark) and
+# DuckDB's RE2.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), "\\s+")
+
+
+def ws_token_count(text: Column | str) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (reference-free; regexp_count is
+    codegen'd JVM work)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language ID: per-language token-hit counts, argmax with
+    fixed priority en > es > de > fr; CJK characters short-circuit to zh;
+    no hits at all → 'und'."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(c)
+    hits = {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
+    has_cjk = F.regexp_count(c, F.lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((en + es + de + fr) == 0, F.lit("und"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation characters / total characters."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?'\"()-]", ""))
+    return F.when(n > 0, punct / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Stopword tokens / total tokens."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+
+    * length component — saturating ramp to 1.0 at ≥200 chars;
+    * token-shape component — mean token length in a sane band [3, 10];
+    * stopword component — natural text has some stopwords (ratio capped);
+    * punctuation penalty — heavy punctuation marks boilerplate.
+
+    Pure arithmetic over the ratio columns; identical formula in SQL.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    len_c = F.least(n / F.lit(200.0), F.lit(1.0))
+    mtl = mean_token_len(c)
+    shape_c = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_c = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(c) * 5.0, F.lit(0.0))
+    return (len_c * 0.3 + shape_c * 0.3 + stop_c * 0.2) * punct_pen + punct_pen * 0.2
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text — portable across
+    engines (identical hex in Spark and DuckDB), used for exact dedup."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of the normalized text — the
+    dedup unit for MinHash/Jaccard. Built with sequence+transform, all
+    JVM-side; no Python."""
+    toks = F.split(normalized_text(text), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+# ------------------------------------------------------ SQL oracle mirrors
+def lang_id_sql(col: str = "text") -> str:
+    """DuckDB fragment computing exactly lang_id()."""
+    def hits(markers: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{w}'" for w in markers)
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim({col})), '\\s+'),"
+            f" t -> t IN ({lst})))"
+        )
+
+    en, es, de, fr = (hits(LANG_MARKERS[l]) for l in ("en", "es", "de", "fr"))
+    return f"""CASE
+  WHEN regexp_matches({col}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+  WHEN ({en}) + ({es}) + ({de}) + ({fr}) = 0 THEN 'und'
+  WHEN ({en}) >= ({es}) AND ({en}) >= ({de}) AND ({en}) >= ({fr}) THEN 'en'
+  WHEN ({es}) >= ({de}) AND ({es}) >= ({fr}) THEN 'es'
+  WHEN ({de}) >= ({fr}) THEN 'de'
+  ELSE 'fr' END"""
+
+
+def stopword_ratio_sql(col: str = "text") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> t IN ({lst})))::DOUBLE / len({toks}) "
+        "ELSE 0.0 END"
+    )
+
+
+def punct_ratio_sql(col: str = "text") -> str:
+    return (
+        f"CASE WHEN length({col}) > 0 THEN "
+        f"length(regexp_replace({col}, '[^.,;:!?''\"()-]', '', 'g'))::DOUBLE"
+        f" / length({col}) ELSE 0.0 END"
+    )
+
+
+def mean_token_len_sql(col: str = "text") -> str:
+    toks = f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_sum(list_transform({toks}, t -> length(t)))::DOUBLE / len({toks}) "
+        "ELSE 0.0 END"
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    mtl = mean_token_len_sql(col)
+    return f"""(
+  LEAST(length({col})::DOUBLE / 200.0, 1.0) * 0.3
+  + (CASE WHEN ({mtl}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+  + LEAST(({stopword_ratio_sql(col)}) * 4.0, 1.0) * 0.2
+) * GREATEST(1.0 - ({punct_ratio_sql(col)}) * 5.0, 0.0)
++ GREATEST(1.0 - ({punct_ratio_sql(col)}) * 5.0, 0.0) * 0.2"""
+
+
+def fingerprint_md5_sql(col: str = "text") -> str:
+    return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"

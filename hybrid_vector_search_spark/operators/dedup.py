@@ -1,0 +1,350 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all expressed as DataFrame plans over built-in
+functions (no Python in the hot path) so they scale as shuffle-bounded
+relational work:
+
+* **exact** — md5 fingerprint of normalized text, groupBy fingerprint.
+  One shuffle on the fingerprint; at 100 TB this is the cheapest dedup.
+* **n-gram Jaccard** — word-shingle sets compared via an *inverted-index
+  self-join* (explode shingles, equi-join on shingle, count co-occurrences)
+  — only documents sharing ≥1 shingle ever meet, avoiding the O(N²)
+  cross-join entirely. Shuffle key = shingle.
+* **MinHash + LSH** — md5-derived minhash signatures (portable integers:
+  first 8 md5 hex chars → bigint, identical in Spark and DuckDB), banded
+  into LSH buckets; only bucket-colliding pairs are verified with true
+  Jaccard. The scale path: candidate generation is a band-key equi-join.
+* **SimHash** — per-token hash bit votes → fingerprint whose Hamming
+  distance approximates cosine similarity of token multisets.
+* **embedding cosine** — exact all-pairs above a threshold (JVM
+  zip_with/aggregate dot product) for modest N; IVF-bucketed variant
+  joins only within KMeans cells for the 100 TB path.
+
+Hash parameters are module constants shared verbatim with the SQL oracle
+mirrors (``*_sql`` builders used by plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.functions.text import (
+    fingerprint_md5,
+    normalized_text,
+    shingles,
+)
+from hybrid_vector_search_spark.functions.vector import cosine_score_col
+
+# MinHash family: h_i(x) = (A[i] * x + B[i]) mod P over the md5-derived
+# shingle hash. P is the smallest prime > 2^32.
+MINHASH_P = 4294967311
+MINHASH_A = (2, 3, 5, 7, 11, 13, 17, 19)
+MINHASH_B = (1, 7, 13, 31, 37, 61, 67, 73)
+NUM_HASHES = 8
+NUM_BANDS = 4  # bands of 2 rows each
+SIMHASH_BITS = 16
+ROLLING_P = 1_000_000_007
+ROLLING_MULT = 31
+
+
+# ------------------------------------------------------------ hash columns
+def md5_int(col: Column) -> Column:
+    """Portable 32-bit integer hash: first 8 hex chars of md5 → bigint.
+    DuckDB mirror: ``('0x' || substr(md5(x), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash over the characters of the normalized text:
+    ``h = fold(chars, 0, (acc, c) -> (acc * 31 + code(c)) mod P)`` — pure
+    arithmetic, bit-identical in any engine."""
+    c = normalized_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(0)))
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * ROLLING_MULT + F.ascii(c.substr(i, F.lit(1))))
+        % ROLLING_P,
+    )
+
+
+def rolling_hash_sql(col: str = "text") -> str:
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    codes = (
+        f"list_transform(range(1, length({norm}) + 1), "
+        f"i -> unicode(substr({norm}, i, 1))::BIGINT)"
+    )
+    # list_reduce seeds from the first element, so prepend the 0 seed
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {codes}), "
+        f"(acc, c) -> (acc * {ROLLING_MULT} + c) % {ROLLING_P})"
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Group documents by content fingerprint: (fingerprint, n_docs,
+    keeper_id = min id). ``n_docs > 1`` rows are the duplicate groups."""
+    return (
+        docs.select(F.col(id_col), fingerprint_md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard (exact)
+def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle_set) — distinct word n-grams of normalized text."""
+    return docs.select(F.col(id_col), shingles("text", n).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold via inverted-index
+    self-join (shuffle on shingle, never a cross-join):
+
+    explode → join on shingle (a.id < b.id) → count intersections →
+    jaccard = inter / (|A| + |B| − inter).
+    """
+    sh = shingle_sets(docs, n, id_col)
+    sizes = sh.select(F.col(id_col).alias("sid"), F.size("sh").alias("ns"))
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("sid", "doc_a").withColumnRenamed("ns", "na")
+    sb = sizes.withColumnRenamed("sid", "doc_b").withColumnRenamed("ns", "nb")
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+SHINGLES_SQL = (
+    "toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')), ' ') AS t FROM documents),\n"
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(0, greatest(len(t) - 3, 0) + 1), "
+    "i -> array_to_string(t[i + 1 : i + 3], ' '))) AS s FROM toks)"
+)
+
+
+def ngram_jaccard_pairs_sql(threshold: float) -> str:
+    return f"""WITH {SHINGLES_SQL},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS ns FROM sh)
+SELECT doc_a, doc_b,
+       ROUND(inter::DOUBLE / (x.ns + y.ns - inter), 6) AS jaccard
+FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE inter::DOUBLE / (x.ns + y.ns - inter) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+# ----------------------------------------------------------- MinHash + LSH
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh, sig array<long>[NUM_HASHES]) — min over shingle hashes of
+    each affine permutation."""
+    sh = shingle_sets(docs, n, id_col)
+    hs = sh.withColumn("hs", F.transform(F.col("sh"), md5_int))
+
+    # single-arg lambda factory: PySpark inspects the lambda's arity, so
+    # keyword-default closures (lambda h, a=a, b=b) would mis-bind
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), perm(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return hs.withColumn("sig", sig).drop("hs")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (band-key equi-join over NUM_BANDS bands of 2
+    signature rows) verified with true shingle Jaccard ≥ threshold.
+
+    The equi-join on band keys is the whole point: candidate generation
+    shuffles on small string keys, never comparing non-colliding docs.
+    """
+    rows = NUM_HASHES // NUM_BANDS
+    sig = minhash_signatures(docs, id_col, n)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(bi),
+                *[F.col("sig")[bi * rows + r] for r in range(rows)],
+            )
+            for bi in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("sh"), F.explode(band_keys).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    j = cand.withColumn(
+        "jaccard",
+        inter.cast("double") / (F.size("sa") + F.size("sb") - inter),
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float) -> str:
+    rows = NUM_HASHES // NUM_BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    bands = ", ".join(
+        "concat("
+        + f"'{bi}', ':', "
+        + ", ':', ".join(f"sig[{bi * rows + r + 1}]" for r in range(rows))
+        + ")"
+        for bi in range(NUM_BANDS)
+    )
+    return f"""WITH {SHINGLES_SQL},
+hs AS (SELECT doc_id, s, list_transform(s, g -> {md5_int_sql('g')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{mins}] AS sig FROM hs),
+banded AS (SELECT doc_id, s, unnest([{bands}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM ver
+WHERE j >= {threshold} ORDER BY doc_a, doc_b"""
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — SIMHASH_BITS-bit fingerprint: per-token md5-int bit
+    votes (+1/−1), bit set where the vote sum is positive."""
+    toks = F.split(normalized_text("text"), " ")
+    h = F.transform(toks, md5_int)
+
+    def vote(i: int):
+        return lambda acc, x: acc + (
+            F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_votes = [
+        F.aggregate(h, F.lit(0).cast("long"), vote(i))
+        for i in range(SIMHASH_BITS)
+    ]
+    sim = None
+    for i, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return docs.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(col: str = "text") -> str:
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    h = f"list_transform(string_split({norm}, ' '), t -> {md5_int_sql('t')})"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({h}, "
+        f"x -> ((x >> {i}) & 1) * 2 - 1)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"({terms})::BIGINT"
+
+
+# ------------------------------------------------- embedding-cosine dedup
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (JVM dot product). Quadratic —
+    correct baseline; use :func:`embedding_near_dup_ivf` at scale."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_score_col(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_ivf(
+    emb: DataFrame,
+    threshold: float,
+    nlist: int | None = None,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: KMeans-bucket the vectors, compare only within a bucket
+    (join key = list_id). Trades recall across cell boundaries for a
+    shuffle-bounded plan — the IVF analogue of an LSH blocked join."""
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+
+    corpus = emb.withColumnRenamed(id_col, "id")
+    index = IVFIndex.build(corpus, nlist=nlist, seed=seed)
+    assigned = index.assigned.select("id", "embedding", "list_id")
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("embedding").alias("ea"), "list_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("embedding").alias("eb"), "list_id"
+    )
+    pairs = a.join(b, ["list_id"]).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_score_col(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

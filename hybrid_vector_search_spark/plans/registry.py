@@ -231,6 +231,160 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------- dedup
+
+from hybrid_vector_search_spark.operators import dedup as DD  # noqa: E402
+
+JACCARD_THRESHOLD = 0.2
+COSINE_DUP_THRESHOLD = 0.45
+
+
+@register(
+    "dedup_exact_groups",
+    """SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 ORDER BY fingerprint""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs).orderBy("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    DD.ngram_jaccard_pairs_sql(JACCARD_THRESHOLD),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard via inverted-index
+    self-join (no cross-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded signature equi-join) verified
+    with true Jaccard — the scale path for fuzzy dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents ORDER BY doc_id",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (token bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / GREATEST(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / GREATEST(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12) >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact all-pairs cosine ≥ threshold
+    (IVF-bucketed variant available as operators.dedup.embedding_near_dup_ivf)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        DD.embedding_near_dup_pairs(emb, COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    f"SELECT doc_id, {DD.rolling_hash_sql('text')} AS rhash FROM documents ORDER BY doc_id",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint — portable pure
+    arithmetic (no engine-specific hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", DD.rolling_hash("text").alias("rhash")
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- text analysis
+
+from hybrid_vector_search_spark.functions import text as TX  # noqa: E402
+
+
+@register(
+    "text_language_id",
+    f"""SELECT doc_id, {TX.lang_id_sql('text')} AS detected_lang
+FROM documents ORDER BY doc_id""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID over every document — pure codegen map work
+    (no shuffle, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.lang_id("text").alias("detected_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    f"""SELECT doc_id,
+  ROUND({TX.stopword_ratio_sql('text')}, 6) AS stop_ratio,
+  ROUND({TX.punct_ratio_sql('text')}, 6) AS punct_ratio,
+  ROUND({TX.mean_token_len_sql('text')}, 6) AS mean_tok_len,
+  ROUND({TX.quality_score_sql('text')}, 6) AS quality
+FROM documents ORDER BY doc_id""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: stopword/punct ratios, token shape,
+    composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.mean_token_len("text"), 6).alias("mean_tok_len"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_stats",
+    f"""SELECT doc_id,
+  len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count("text").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 @register(
     "docs_lang_profile",
     """SELECT lang,

@@ -1,0 +1,141 @@
+"""Dedup + text-analysis operator tests on a controlled fixture:
+one exact-duplicate pair, one near-duplicate pair, distinct filler."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.functions import text as TX
+from hybrid_vector_search_spark.operators import dedup as DD
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, "  The  QUICK brown fox jumps over the lazy dog again and again today "),  # exact dup of 0 after normalization
+        (2, NEAR),  # near dup of 0/1
+        (3, "completely different content about spark engines and parquet files"),
+        (4, "el perro y el gato y la casa que un dia"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r.fingerprint: r for r in DD.exact_dedup_groups(docs).collect()}
+    dup = [g for g in groups.values() if g.n_docs > 1]
+    assert len(dup) == 1
+    assert dup[0].n_docs == 2 and dup[0].keeper_id == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    # exact dup must collide in every band; near dup highly likely
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r.doc_id: r.sig for r in DD.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical shingle sets → identical signature
+    assert len(sigs[0]) == DD.NUM_HASHES
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash(docs):
+    sh = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # normalized-identical docs
+    assert 0 <= sh[0] < (1 << DD.SIMHASH_BITS)
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_rolling_hash_deterministic(docs, spark):
+    h1 = {r.doc_id: r.h for r in docs.select("doc_id", DD.rolling_hash("text").alias("h")).collect()}
+    assert h1[0] == h1[1]  # normalization collapses case/whitespace
+    assert h1[0] != h1[2]
+    assert all(0 <= v < DD.ROLLING_P for v in h1.values())
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),  # near dup of 0
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = DD.embedding_near_dup_pairs(emb, 0.95).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].cosine > 0.99
+
+
+def test_embedding_near_dup_ivf_matches_exact_within_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[13] = vecs[7] * 0.9 + rng.randn(8) * 0.01  # planted near-dup
+    vecs[13] /= np.linalg.norm(vecs[13])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b) for r in DD.embedding_near_dup_ivf(emb, 0.95, nlist=4).collect()}
+    assert (7, 13) in got
+
+
+# --------------------------------------------------------------- text fns
+def test_lang_id(docs):
+    langs = {
+        r.doc_id: r.l
+        for r in docs.select("doc_id", TX.lang_id("text").alias("l")).collect()
+    }
+    assert langs[0] == "en"
+    assert langs[4] == "es"
+    assert langs[3] in {"und", "en"}  # no markers → und unless hit
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 tokens-here")], "id long, text string")
+    r = df.select(
+        TX.ws_token_count("text").alias("ws"),
+        TX.bpe_token_count("text").alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 4
+    # Hello , world ! 42 tokens - here → 8 BPE-ish tokens
+    assert r.bpe == 8
+
+
+def test_quality_score_range(docs):
+    vals = [
+        r.q for r in docs.select(TX.quality_score("text").alias("q")).collect()
+    ]
+    assert all(0.0 <= v <= 1.2 for v in vals)
+
+
+def test_shingles():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(TX.shingles("text", 3).alias("s")).collect()[0].s
+    assert got == ["a b c", "b c d"]
