@@ -1,0 +1,178 @@
+"""Event-stream operators (batch form): tumbling windows, sessionization,
+semi-structured props extraction.
+
+The reference has no streaming/time-series surface (SURVEY.md §2.7) — these
+are the training-pipeline extensions over the driver's ``events`` table
+(event_id, ts, user_id, event_type, value, props JSON-string). Each operator
+is pure DataFrame algebra so the same plan runs:
+
+* batch — as registered in plans/registry.py with a DuckDB oracle;
+* streaming — the identical ``tumbling_window_agg`` expression runs under
+  ``readStream`` with a watermark (streaming/pipeline.py); sessionization's
+  streaming twin is ``applyInPandasWithState`` (streaming/stateful.py).
+
+Scale notes: the window agg is one shuffle on (window, event_type) with
+map-side partial aggregation; sessionization shuffles once on ``user_id``
+and both window functions reuse that single partitioning (Catalyst plans
+one Exchange). ``props`` parsing is ``get_json_object`` — JVM-side, no
+Python. At 100 TB, partition the events source by date so the window agg
+prunes to the queried time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_window_agg(
+    events: DataFrame, duration: str = "1 hour"
+) -> DataFrame:
+    """Per-(tumbling-window, event_type) counts and value sums.
+
+    ``F.window`` aligns buckets to the epoch — identical bucketing to
+    DuckDB ``time_bucket`` for whole-hour durations. Window start is
+    rendered as a formatted string for engine-portable comparison.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", duration).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "n_users",
+        )
+    )
+
+
+def tumbling_window_agg_sql(hours: int = 1) -> str:
+    """DuckDB oracle for :func:`tumbling_window_agg`."""
+    return f"""SELECT
+  strftime(time_bucket(INTERVAL {hours} HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value,
+  ROUND(AVG(value), 6) AS avg_value,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign each event a per-user ``session_seq``: a new session starts
+    when the gap since the previous event exceeds ``gap_minutes``.
+
+    Two stacked window functions over the same (user_id | ts, event_id)
+    ordering — Catalyst plans a single Exchange + Sort, then both lag and
+    running-sum run in one window stage. ``event_id`` is the deterministic
+    tiebreaker for equal timestamps.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_s
+        ),
+        1,
+    ).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("__is_new", is_new).withColumn(
+        "session_seq", F.sum("__is_new").over(running).cast("long")
+    ).drop("__is_new")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-(user, session) stats: event count, span seconds, start/end."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("span_sec"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def session_stats_sql(gap_minutes: int = 30) -> str:
+    """DuckDB oracle for :func:`session_stats`.
+
+    The gap comparison uses epoch-second granularity in both engines
+    (Spark ``unix_timestamp`` truncates sub-second parts; mirrored here
+    with ``date_trunc('second', ...)``).
+    """
+    return f"""WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_trunc('second', ts) - date_trunc('second', LAG(ts) OVER w)
+              > INTERVAL {gap_minutes * 60} SECOND
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM lagged
+)
+SELECT user_id, session_seq,
+  COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(epoch(date_trunc('second', MAX(ts)))
+     - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS span_sec,
+  ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq"""
+
+
+def props_profile(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the ``props`` JSON
+    string (JVM ``get_json_object`` — no Python, stays in codegen) and
+    profile it per event_type."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__k").alias("n_with_k"),
+            F.round(F.avg("__k"), 6).alias("avg_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+def props_profile_sql() -> str:
+    """DuckDB oracle for :func:`props_profile`."""
+    return """SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""

@@ -149,6 +149,104 @@ def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- batch similarity search
+
+# Set-at-a-time multi-query KNN: ALL queries answered in ONE job — broadcast
+# the tiny query table across the corpus, score JVM-side, window top-K per
+# qid (SURVEY.md §7 "run the whole query table in one job"). At scale this
+# is one corpus scan regardless of query count.
+KNN_BATCH_SEEDS = (101, 103, 107)
+KNN_BATCH_K = 5
+
+
+@register("knn_batch_topk", None)  # oracle attached below (needs literals)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join: queries ⨯ corpus (broadcast nested-loop over the
+    3-row query side) → codegen zip_with/aggregate dot product → one
+    window shuffle on qid for all top-Ks."""
+    from hybrid_vector_search_spark.functions.vector import cosine_score_col
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    qrows = [(int(s), [float(x) for x in query_vector(s)]) for s in KNN_BATCH_SEEDS]
+    qdf = spark.createDataFrame(qrows, "qid INT, qvec ARRAY<DOUBLE>")
+    scored = emb.crossJoin(F.broadcast(qdf)).select(
+        "qid",
+        "id",
+        cosine_score_col("embedding", "qvec").alias("score"),
+    )
+    return grouped_topk(scored, ["qid"], KNN_BATCH_K).select(
+        "qid", "id", F.round("score", 6).alias("score")
+    )
+
+
+def _knn_batch_oracle() -> str:
+    vals = ", ".join(
+        f"({s}, {sql_array_literal(query_vector(s))})" for s in KNN_BATCH_SEEDS
+    )
+    return f"""WITH q(qid, qvec) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+    list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-12) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT qid, id, ROUND(score, 6) AS score FROM (
+  SELECT qid, id, score,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM scored) t
+WHERE rn <= {KNN_BATCH_K}"""
+
+
+ORACLES["knn_batch_topk"] = _knn_batch_oracle()
+
+
+@register("ann_ivf_topk")  # no oracle: ANN result is approximate by design;
+# the driver records the weaker rows-only check (driver contract allows it)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-K (reference K4/P3 scale path): MLlib KMeans lists,
+    driver-side centroid probe, partition-pruned exact scoring within
+    probed lists. Deterministic given seed=42."""
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    index = IVFIndex.build(emb, seed=42)
+    plan, _probed = index.search_plan(query_vector(29), k=10, nprobe=8)
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------- events
+
+from hybrid_vector_search_spark.operators import events as EV  # noqa: E402
+
+
+@register("events_hourly_by_type", EV.tumbling_window_agg_sql(1))
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream (batch
+    form; the identical expression runs under readStream + watermark —
+    streaming/pipeline.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return EV.tumbling_window_agg(ev, "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register("events_sessionization", EV.session_stats_sql(30))
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessionization: lag + running-sum windows
+    sharing one Exchange, then session-level aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return EV.session_stats(ev, 30).orderBy("user_id", "session_seq")
+
+
+@register("events_props_profile", EV.props_profile_sql())
+def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props extraction (get_json_object, JVM-side)
+    profiled per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return EV.props_profile(ev).orderBy("event_type")
+
+
 # ---------------------------------------------------------------- relational
 
 @register(

@@ -39,10 +39,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata parquet table."""
+    """Scan one testdata parquet table.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which the
+    vectorized reader rejects; read nanos as long (runtime conf) and
+    convert to a microsecond timestamp — the same floor-truncation DuckDB
+    applies, so both engines see identical instants.
+    """
     if name not in TESTDATA_TABLES:
         raise ValidationError(f"unknown table '{name}'")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_corpus(
