@@ -1,0 +1,116 @@
+"""Streaming twins match their batch operators on the same input."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+from hybrid_vector_search_spark.operators import events as EV
+from hybrid_vector_search_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+    windowed_agg_stream,
+)
+
+ROWS = [
+    (0, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, '{"k": 5}'),
+    (1, datetime(2024, 1, 1, 0, 10, 0), 1, "click", 2.0, '{"k": 7}'),
+    (2, datetime(2024, 1, 1, 0, 50, 0), 1, "view", 3.0, "{}"),
+    (3, datetime(2024, 1, 1, 1, 0, 0), 2, "view", 4.0, '{"k": 1}'),
+    (4, datetime(2024, 1, 1, 1, 30, 0), 2, "purchase", 5.0, '{"k": 2}'),
+    (5, datetime(2024, 1, 1, 1, 30, 0), 2, "view", 6.0, None),
+]
+DDL = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.createDataFrame(ROWS, DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    agg = windowed_agg_stream(stream, "1 hour", watermark="2 hours")
+    run_available_now(
+        agg, "win_agg_out", output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_agg_out").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in EV.tumbling_window_agg(
+            spark.createDataFrame(ROWS, DDL), "1 hour"
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    sess = sessionize_stream(stream, gap_minutes=30)
+    run_available_now(
+        sess, "sess_out", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    got = {
+        r.event_id: r.session_seq for r in spark.table("sess_out").collect()
+    }
+    batch = {
+        r.event_id: r.session_seq
+        for r in EV.sessionize(
+            spark.createDataFrame(ROWS, DDL), 30
+        ).collect()
+    }
+    assert got == batch and len(got) == len(ROWS)
+
+
+def test_session_state_carries_across_batches(spark, tmp_path):
+    """Two availableNow drains over a growing directory against one
+    checkpoint: the second run's session numbering continues from the
+    persisted GroupState (memory sink can't recover a checkpoint, so the
+    output goes through foreachBatch)."""
+    d = str(tmp_path / "grow")
+    ckpt = str(tmp_path / "ckpt3")
+    out: dict[int, int] = {}
+
+    def drain():
+        sess = sessionize_stream(read_events_stream(spark, d), gap_minutes=30)
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda bdf, _id: out.update(
+                    {int(r.event_id): int(r.session_seq) for r in bdf.collect()}
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first = ROWS[:2]  # user 1: two events 10 min apart → one session
+    spark.createDataFrame(first, DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    drain()
+    assert out == {0: 1, 1: 1}
+
+    # a later event for user 1, > 30 min after the last → new session (2)
+    late = [(9, datetime(2024, 1, 1, 2, 0, 0), 1, "view", 7.0, "{}")]
+    spark.createDataFrame(late, DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    drain()
+    assert out[9] == 2
