@@ -1,0 +1,179 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Training-data pipelines carry media as ``BINARY`` payload columns with a
+typed metadata struct; decode and feature extraction run as Arrow-batched
+``mapInPandas`` stages so each executor core streams record batches
+without materializing the whole partition (the payloads dominate the
+bytes — at 100 TB the media column IS the dataset, so every plan below
+prunes it away the moment it is no longer needed).
+
+The actual codec calls (PIL/libsndfile/ffmpeg) are NOT available in this
+container, so the decode kernels are STUBBED with deterministic fakes
+derived from the payload bytes — clearly marked below. The Spark-side
+plumbing is real and tested: schemas, mapInPandas signatures, Arrow batch
+shapes, partitioning, and the downstream hand-off into the vector-search
+operators (fake features are unit-norm ``array<float>`` that feed
+operators/topk + operators/ivf unchanged).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("data", T.BinaryType(), False),
+        T.StructField("meta", MEDIA_META_SCHEMA, False),
+    ]
+)
+
+DECODED_IMAGE_FIELDS = (
+    "media_id LONG, width INT, height INT, channels INT, "
+    "mean_pixel DOUBLE, checksum STRING"
+)
+
+FEATURE_DIM = 64
+
+
+def synth_media_table(
+    spark: SparkSession, n: int = 32, kind: str = "image", seed: int = 7
+) -> DataFrame:
+    """Deterministic synthetic media corpus for tests/demos: payload bytes
+    are seeded per id, metadata is plausible for the kind."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+        if kind == "image":
+            meta = ("png", 32 + i % 4 * 16, 32, 3, None, 1)
+        elif kind == "audio":
+            meta = ("wav", None, None, 1, 16_000, 16_000)
+        else:  # video
+            meta = ("mp4", 64, 64, 3, None, 24 + i % 5)
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decode kernel. A real implementation would be::
+
+        from PIL import Image; img = Image.open(io.BytesIO(data))
+
+    Here: deterministic pixel statistics derived from the payload bytes —
+    same signature, same output schema, zero codec deps."""
+    out = {
+        "media_id": pdf["media_id"],
+        "width": pdf["meta"].map(lambda m: m["width"]),
+        "height": pdf["meta"].map(lambda m: m["height"]),
+        "channels": pdf["meta"].map(lambda m: m["channels"]),
+        "mean_pixel": pdf["data"].map(
+            lambda b: float(np.frombuffer(bytes(b), dtype=np.uint8).mean())
+        ),
+        "checksum": pdf["data"].map(
+            lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+        ),
+    }
+    return pd.DataFrame(out)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode stage: Arrow-batched ``mapInPandas`` over image rows.
+
+    Non-image rows are filtered out *before* the Python boundary so the
+    executor only ships image payloads across Arrow.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_decode_batch(pdf)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        fn, DECODED_IMAGE_FIELDS
+    )
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage → unit-norm ``array<float>`` embeddings.
+
+    STUB model: payload-seeded Gaussian vector (a real pipeline would run
+    an ONNX/torch encoder per Arrow batch with the model loaded once per
+    executor — the iterator form below is exactly that shape). Output
+    plugs directly into the vector-search operators (topk/ivf/dedup).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model initialization would go here, once per task
+        for pdf in batches:
+            vecs = []
+            for b in pdf["data"]:
+                h = hashlib.sha256(bytes(b)).digest()
+                g = np.random.default_rng(
+                    int.from_bytes(h[:8], "little")
+                ).standard_normal(dim)
+                g /= max(float(np.linalg.norm(g)), 1e-12)
+                vecs.append(g.astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": vecs}
+            )
+
+    return media.mapInPandas(fn, "media_id LONG, embedding ARRAY<FLOAT>")
+
+
+def resize_plan(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage (STUB): rewrites the metadata struct JVM-side and marks
+    the payload for re-encode. The real kernel would be one more
+    ``mapInPandas`` on ``data``; everything schema-level happens here
+    without Python."""
+    new_meta = F.struct(
+        F.col("meta.format").alias("format"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return media.withColumn("meta", new_meta)
+
+
+def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
+    """Video frame sampling: one output row per kept frame index.
+
+    The index fan-out is pure Spark (``sequence`` + ``explode`` — no
+    Python, no shuffle); only the kept frames would then pass through a
+    decode ``mapInPandas``. Payload stays opaque; ``frame_ref`` addresses
+    a frame within it.
+    """
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "data",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.concat_ws(
+            "#", F.col("media_id").cast("string"), F.col("frame_idx")
+        ).alias("frame_ref"),
+    )

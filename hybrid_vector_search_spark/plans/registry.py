@@ -215,6 +215,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+# ------------------------------------------------------------- multimodal
+
+
+@register("multimodal_decode_features")  # rows-only check: input is a
+# deterministic synthetic media table (no media table exists in testdata;
+# the decode kernel is stubbed — operators/multimodal.py docstring)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing end-to-end: synthetic binary media →
+    mapInPandas decode → mapInPandas feature extraction → join decode
+    stats with embedding norms."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    media = MM.synth_media_table(spark, n=32, kind="image")
+    decoded = MM.decode_images(media)
+    feats = MM.extract_features(media, dim=16).select(
+        "media_id",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+    return (
+        decoded.join(feats, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_pixel", 4).alias("mean_pixel"),
+            "checksum",
+            "sq_norm",
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------- events
 
 from hybrid_vector_search_spark.operators import events as EV  # noqa: E402

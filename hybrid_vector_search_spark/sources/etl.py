@@ -1,0 +1,195 @@
+"""Ingest/ETL parity: raw JSON-lines business data → queryable corpus.
+
+Spark-first re-expression of the reference artifact pipeline
+(artifacts/artifacts.py:252-273 — stages meta/embed/queries): read
+JSON-lines, extract the semi-structured price attribute, cast to the
+validated schema (SURVEY.md §1.2), assign stable ids, take a seeded dev
+sample, and (optionally) attach text embeddings via a batched pandas UDF.
+
+Scale notes: the JSON scan parallelizes per file split; id assignment
+avoids the reference's "contiguous 0..N-1" pandas-index requirement —
+Spark ids come from a deterministic sort + ``zipWithIndex``-free window
+only when requested, else ``monotonically_increasing_id`` (sparse but
+stable within a write). Embedding runs executor-side with the model
+loaded once per task (iterator pandas UDF) — the only stage that is not
+pure JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hybrid_vector_search_spark.errors import ValidationError
+
+# Validated target schema for the business-metadata corpus (reference
+# dtypes at src/dataio/validators.py:51-58, mapped per SURVEY.md §1.2).
+METADATA_CASTS: dict[str, str] = {
+    "state": "string",
+    "city": "string",
+    "stars": "float",
+    "review_count": "int",
+    "RestaurantsPriceRange2": "tinyint",
+    "categories": "string",
+    "latitude": "float",
+    "longitude": "float",
+    "is_open": "tinyint",
+}
+
+REQUIRED_NON_NULL = ("state", "stars", "review_count")
+
+
+def extract_price_col(attributes: str = "attributes") -> F.Column:
+    """Price-range extraction (reference U4, artifacts.py:23-38).
+
+    The raw attribute cell is either a JSON object or a Python-repr-style
+    string (single quotes); values may be ints, quoted ints, None, or the
+    string "None". JVM-side: normalize quotes, pull the key with
+    ``get_json_object``, cast — a failed parse yields NULL, matching the
+    reference's catch-all ``pd.NA``.
+    """
+    jsonish = F.regexp_replace(F.col(attributes), "'", '"')
+    raw = F.get_json_object(jsonish, "$.RestaurantsPriceRange2")
+    cleaned = F.when(raw.isin("None", ""), F.lit(None)).otherwise(raw)
+    return cleaned.cast("tinyint")
+
+
+def ingest_business_json(
+    spark: SparkSession, json_path: str, drop_name: bool = True
+) -> DataFrame:
+    """JSON-lines → validated metadata DataFrame with stable contiguous ids.
+
+    Mirrors the reference meta stage: extract price, cast dtypes, drop
+    rows with nulls in required columns, assign ``id`` 0..N-1 in a
+    deterministic order. The id window sorts once on the natural key —
+    at 100 TB prefer keeping the natural ``business_id`` key instead
+    (``assign_ids=False`` path is the scalable default in a real lake).
+    """
+    raw = spark.read.json(json_path)
+    cols = [c for c in raw.columns if c in METADATA_CASTS]
+    df = raw
+    if "attributes" in raw.columns:
+        df = df.withColumn("RestaurantsPriceRange2", extract_price_col())
+        if "RestaurantsPriceRange2" not in cols:
+            cols.append("RestaurantsPriceRange2")
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast(METADATA_CASTS[c]))
+    keep = (["business_id"] if "business_id" in raw.columns else []) + (
+        [] if drop_name or "name" not in raw.columns else ["name"]
+    )
+    df = df.select(*keep, *cols)
+    for c in REQUIRED_NON_NULL:
+        if c in df.columns:
+            df = df.filter(F.col(c).isNotNull())
+    order = "business_id" if "business_id" in df.columns else df.columns[0]
+    w = Window.orderBy(order)
+    return df.withColumn(
+        "id", (F.row_number().over(w) - 1).cast("long")
+    ).select("id", *[c for c in df.columns])
+
+
+def dev_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Exact-n seeded sample, re-idd 0..n-1 (reference dev bucket,
+    artifacts.py:104-108).
+
+    Deterministic rand-order + limit. The global sort is on a random key
+    — fine for a dev sample (n is small); the full corpus never sorts.
+    """
+    total = df.count()
+    if total < n:
+        raise ValidationError(f"Need at least {n} rows for dev; have {total}")
+    w = Window.orderBy(F.rand(seed), F.col("id"))
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .drop("__r", "id")
+        .withColumn(
+            "id", (F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1).cast("long")
+        )
+    )
+
+
+def corpus_text_col() -> F.Column:
+    """Embedding input text: ``name | categories | city | state``
+    (reference U1 corpus text, artifacts.py:138-144); null parts render
+    as empty strings via concat_ws semantics."""
+    return F.concat_ws(
+        " | ",
+        *[F.coalesce(F.col(c), F.lit("")) for c in ("name", "categories", "city", "state")],
+    )
+
+
+def embed_text_udf(dim: int = 384, model: str | None = None):
+    """Batched text-embedding pandas UDF (reference U1).
+
+    With ``sentence_transformers`` installed, loads the model once per
+    executor task and encodes each Arrow batch. In this container the
+    library is absent, so the STUB path produces a deterministic
+    hash-seeded unit vector per text — same signature, schema, and batch
+    shape, so the full pipeline is testable end to end.
+    """
+    try:  # pragma: no cover - library not in container
+        from sentence_transformers import SentenceTransformer
+
+        def make_encoder():
+            st = SentenceTransformer(model or "sentence-transformers/all-MiniLM-L6-v2")
+            return lambda texts: st.encode(
+                list(texts), normalize_embeddings=True
+            ).astype(np.float32)
+
+    except ImportError:
+
+        def make_encoder():
+            def enc(texts):
+                out = np.empty((len(texts), dim), dtype=np.float32)
+                for i, t in enumerate(texts):
+                    import hashlib
+
+                    h = hashlib.sha256(str(t).encode()).digest()
+                    g = np.random.default_rng(
+                        int.from_bytes(h[:8], "little")
+                    ).standard_normal(dim)
+                    out[i] = (g / max(float(np.linalg.norm(g)), 1e-12)).astype(
+                        np.float32
+                    )
+                return out
+
+            return enc
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        encode = make_encoder()  # once per task, not per batch
+        for batch in it:
+            mat = encode(batch.fillna("").tolist())
+            yield pd.Series(list(mat.tolist()))
+
+    return _embed
+
+
+def build_embedded_corpus(
+    metadata: DataFrame, dim: int = 384, model: str | None = None
+) -> DataFrame:
+    """meta → (id, embedding) corpus: text assembly JVM-side, embedding in
+    one Arrow-batched UDF stage (reference embed stage)."""
+    txt = metadata.withColumn("__text", corpus_text_col())
+    return txt.select(
+        "id", embed_text_udf(dim, model)(F.col("__text")).alias("embedding")
+    )
+
+
+def write_corpus(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """Parquet sink (reference S7). With ``partition_cols`` the layout
+    supports partition pruning; for the id-join path, bucketing both
+    sides by id (``bucketBy``) makes the embeddings⋈metadata join
+    shuffle-free at scale."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

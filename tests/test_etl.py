@@ -1,0 +1,79 @@
+"""Ingest/ETL parity: JSON→metadata, price extraction, sampling, embedding."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hybrid_vector_search_spark.errors import ValidationError
+from hybrid_vector_search_spark.sources import etl
+
+
+@pytest.fixture(scope="module")
+def raw_json(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rawjson")
+    p = d / "business.json"
+    rows = [
+        # dict-style attributes with quoted int price
+        {"business_id": "b1", "name": "A", "state": "FL", "city": "Miami",
+         "stars": 4.5, "review_count": 10,
+         "attributes": "{'RestaurantsPriceRange2': '2'}",
+         "categories": "Coffee|Cafes", "latitude": 25.0, "longitude": -80.0,
+         "is_open": 1},
+        # price explicitly the string "None" → NULL
+        {"business_id": "b2", "name": "B", "state": "TN", "city": None,
+         "stars": 3.0, "review_count": 5,
+         "attributes": "{'RestaurantsPriceRange2': 'None'}",
+         "categories": None, "latitude": 36.1, "longitude": -86.8,
+         "is_open": 0},
+        # no attributes at all → NULL price
+        {"business_id": "b3", "name": "C", "state": "PA", "city": "Philly",
+         "stars": 5.0, "review_count": 100, "attributes": None,
+         "categories": "Bars", "latitude": None, "longitude": None,
+         "is_open": 1},
+        # null stars → dropped by required-non-null cleaning
+        {"business_id": "b4", "name": "D", "state": "CA", "city": "LA",
+         "stars": None, "review_count": 1, "attributes": None,
+         "categories": None, "latitude": 34.0, "longitude": -118.2,
+         "is_open": 1},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def test_ingest_schema_ids_and_cleaning(spark, raw_json):
+    df = etl.ingest_business_json(spark, raw_json)
+    rows = {r.business_id: r for r in df.collect()}
+    # b4 dropped (null stars); ids contiguous 0..N-1 in business_id order
+    assert set(rows) == {"b1", "b2", "b3"}
+    assert sorted(r.id for r in rows.values()) == [0, 1, 2]
+    assert rows["b1"].RestaurantsPriceRange2 == 2
+    assert rows["b2"].RestaurantsPriceRange2 is None  # "None" string
+    assert rows["b3"].RestaurantsPriceRange2 is None  # missing attributes
+    dt = dict(df.dtypes)
+    assert dt["stars"] == "float" and dt["review_count"] == "int"
+    assert dt["RestaurantsPriceRange2"] == "tinyint"
+
+
+def test_dev_sample_exact_n_seeded(spark, raw_json):
+    df = etl.ingest_business_json(spark, raw_json)
+    s1 = etl.dev_sample(df, 2, seed=1).collect()
+    s2 = etl.dev_sample(df, 2, seed=1).collect()
+    assert len(s1) == 2 and sorted(r.id for r in s1) == [0, 1]
+    assert {r.business_id for r in s1} == {r.business_id for r in s2}
+    with pytest.raises(ValidationError):
+        etl.dev_sample(df, 99)
+
+
+def test_embedded_corpus_stub_unit_norm(spark, raw_json):
+    df = etl.ingest_business_json(spark, raw_json, drop_name=False)
+    emb = etl.build_embedded_corpus(df, dim=32).collect()
+    assert len(emb) == 3
+    for r in emb:
+        assert len(r.embedding) == 32
+        assert abs(float(np.linalg.norm(r.embedding)) - 1.0) < 1e-3
+    # determinism: same text → same vector
+    again = etl.build_embedded_corpus(df, dim=32).collect()
+    assert {r.id: tuple(r.embedding) for r in emb} == {
+        r.id: tuple(r.embedding) for r in again
+    }

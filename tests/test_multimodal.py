@@ -1,0 +1,68 @@
+"""Multimodal plumbing: schemas, mapInPandas stages, vector hand-off."""
+
+import numpy as np
+import pytest
+
+from hybrid_vector_search_spark.operators import multimodal as MM
+from hybrid_vector_search_spark.operators.topk import topk
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    imgs = MM.synth_media_table(spark, n=8, kind="image")
+    vids = MM.synth_media_table(spark, n=4, kind="video", seed=9)
+    # shift video ids past the image ids
+    vids = vids.withColumn("media_id", vids.media_id + 100)
+    return imgs.unionByName(vids)
+
+
+def test_decode_images_only_images_cross_arrow(media):
+    out = MM.decode_images(media).collect()
+    assert len(out) == 8
+    r = {x.media_id: x for x in out}[0]
+    assert r.channels == 3 and len(r.checksum) == 16
+    assert 0.0 <= r.mean_pixel <= 255.0
+
+
+def test_decode_deterministic(media):
+    a = sorted(MM.decode_images(media).collect())
+    b = sorted(MM.decode_images(media).collect())
+    assert a == b
+
+
+def test_extract_features_unit_norm_and_feeds_topk(media):
+    feats = MM.extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r.embedding) == 16
+        assert abs(float(np.linalg.norm(r.embedding)) - 1.0) < 1e-3
+    # features flow into the standard vector operators unchanged
+    q = rows[0].embedding
+    from hybrid_vector_search_spark.functions.vector import dot_score_pandas_udf
+    import pyspark.sql.functions as F
+
+    scored = feats.select(
+        F.col("media_id").alias("id"),
+        dot_score_pandas_udf(q)(F.col("embedding")).alias("score"),
+    )
+    top = topk(scored, 3).collect()
+    assert top[0].id == rows[0].media_id and abs(top[0].score - 1.0) < 1e-5
+
+
+def test_resize_rewrites_meta_jvm_side(media):
+    out = MM.resize_plan(media, 8, 8).select("meta.width", "meta.height")
+    assert {(r.width, r.height) for r in out.collect()} == {(8, 8)}
+
+
+def test_sample_frames_every_n(media):
+    out = MM.sample_frames(media, every_n=8).collect()
+    # only video rows fan out; n_frames is 24..28 → 3 or 4 kept frames
+    assert {r.media_id // 100 for r in out} == {1}
+    per = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in per.items():
+        assert idxs == sorted(idxs) and idxs[0] == 0
+        assert all(i % 8 == 0 for i in idxs)
+    assert any(len(v) == 4 for v in per.values())
