@@ -1,9 +1,11 @@
 """Text-analysis columns for large-scale training-data pipelines.
 
-All builders return JVM-side ``Column`` expressions (built-in functions
-only — no Python UDFs), so they stay inside whole-stage codegen and scan
-at full parquet speed; at 100 TB these run as pure map-side work with no
-shuffle. Every computation is mirrored exactly by an ANSI-SQL fragment in
+Builders return JVM-side ``Column`` expressions (built-in functions) so
+they stay inside whole-stage codegen and scan at full parquet speed; at
+100 TB these run as pure map-side work with no shuffle. Exception: string
+kernels where per-element interpreted lambdas lose to Arrow batches
+(``shingles``) are vectorized pandas UDFs with a pure-SQL ``*_hof``
+fallback. Every computation is mirrored exactly by an ANSI-SQL fragment in
 plans/registry.py for the DuckDB oracle.
 
 Operators: language-ID (marker-word n-gram heuristic), quality scoring
@@ -14,8 +16,13 @@ shingle sets for MinHash — see operators/dedup.py).
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Marker stopwords per language — tiny, deterministic, shared verbatim with
 # the SQL oracle. (A real pipeline would load larger lists; the operator
@@ -136,9 +143,38 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct) of the normalized text — the
-    dedup unit for MinHash/Jaccard. Built with sequence+transform, all
-    JVM-side; no Python."""
+    """Word n-gram shingle set (distinct, first-occurrence order) of the
+    normalized text — the dedup unit for MinHash/Jaccard.
+
+    Arrow-batched UDF: plain Python slicing per document. The pure-SQL
+    form (:func:`shingles_hof`) needs an interpreted slice+array_join
+    lambda per position, which profiled ~20× slower — n-gram assembly
+    is a string kernel, not relational work, so the UDF is the right
+    side of the JVM/Python boundary here.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _shingles(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            out = []
+            for s in batch:
+                if s is None:
+                    out.append(None)  # matches the SQL form: null in → null out
+                    continue
+                toks = ws.sub(" ", s.lower()).strip().split(" ")
+                m = max(len(toks) - n, 0) + 1
+                grams = [" ".join(toks[i : i + n]) for i in range(m)]
+                out.append(list(dict.fromkeys(grams)))
+            yield pd.Series(out)
+
+    return _shingles(c)
+
+
+def shingles_hof(text: Column | str, n: int = 3) -> Column:
+    """Pure-SQL shingle builder (sequence+transform, no Python) — kept as
+    the codegen-only fallback; same semantics as :func:`shingles`."""
     toks = F.split(normalized_text(text), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(

