@@ -178,9 +178,13 @@ def _cast_iterable(vals: Iterable[Any], dtype: T.DataType) -> tuple[bool, list[A
 
 # -------------------------------------------------------------- compiling
 def _null_fail(mask: Column, col: Column) -> Column:
-    """NULL in the filtered column fails the predicate; also collapse SQL
-    three-valued NULL results to False (reference: validators.py:299-300)."""
-    return F.coalesce(mask & col.isNotNull(), F.lit(False))
+    """NULL in the filtered column fails the predicate (reference:
+    validators.py:299-300). In filter context a NULL-valued predicate
+    already excludes the row, so ``mask & isNotNull`` needs no
+    ``coalesce(..., false)`` wrapper — and leaving it off keeps the
+    conjuncts pushdown-eligible (a coalesce around the predicate blocks
+    parquet PushedFilters entirely)."""
+    return mask & col.isNotNull()
 
 
 def _like_col(col: Column, dtype: T.DataType) -> Column:
@@ -290,9 +294,7 @@ def compile_filters(
             geo_mask = lat.between(F.lit(lat_lo), F.lit(lat_hi)) & lon.between(
                 F.lit(lon_lo), F.lit(lon_hi)
             )
-        mask = mask & F.coalesce(
-            geo_mask & lat.isNotNull() & lon.isNotNull(), F.lit(False)
-        )
+        mask = mask & geo_mask & lat.isNotNull() & lon.isNotNull()
 
     return mask
 

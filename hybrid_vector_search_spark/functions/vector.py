@@ -61,6 +61,50 @@ def dot_score_pandas_udf(qvec: Sequence[float]):
     return _score
 
 
+def multi_dot_scores(
+    df, qvecs: dict[int, Sequence[float]], id_col: str = "id",
+    emb_col: str = "embedding", normalize: bool = False,
+):
+    """Score EVERY query against every row in one corpus scan: each Arrow
+    batch runs a single ``batch_matrix @ Q.T`` GEMM and fans out
+    ``(id, qid, score)`` rows — the set-at-a-time shape for batch KNN
+    (one scan regardless of query count; Q lives in the task closure).
+    """
+    qids = sorted(qvecs)
+    qmat = np.vstack([
+        np.asarray(qvecs[q], dtype=np.float64) for q in qids
+    ])
+    if normalize:  # cosine instead of raw inner product
+        qmat /= np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            if len(p) == 0:
+                continue
+            ids = p[id_col].to_numpy()
+            mat = np.vstack(p[emb_col].to_numpy()).astype(np.float64)
+            if normalize:
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+            scores = mat @ qmat.T  # (batch, n_queries)
+            n, m = scores.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, m),
+                    "qid": np.tile(qid_arr, n),
+                    "score": scores.ravel(),
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(
+        fn, f"{id_col} LONG, qid LONG, score DOUBLE"
+    )
+
+
 def dot_score_sql(embedding: Column | str, qvec: Sequence[float]) -> Column:
     """Pure-SQL inner product against a literal query vector via
     ``zip_with`` + ``aggregate`` (stays in whole-stage codegen)."""

@@ -98,7 +98,12 @@ class IVFIndex:
             nlist = default_nlist(n)
 
         feats = corpus.withColumn("__features", array_to_vector("embedding"))
-        km = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="list_id")
+        # coarse quantization needs rough cells, not converged clusters —
+        # few iterations, like FAISS's default clustering budget
+        km = KMeans(
+            k=nlist, seed=seed, maxIter=8,
+            featuresCol="__features", predictionCol="list_id",
+        )
         model = km.fit(feats)
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         assigned = model.transform(feats).drop("__features")

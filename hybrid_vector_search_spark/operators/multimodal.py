@@ -56,10 +56,13 @@ FEATURE_DIM = 64
 
 
 def synth_media_table(
-    spark: SparkSession, n: int = 32, kind: str = "image", seed: int = 7
+    spark: SparkSession, n: int = 32, kind: str = "image", seed: int = 7,
+    n_partitions: int = 4,
 ) -> DataFrame:
     """Deterministic synthetic media corpus for tests/demos: payload bytes
-    are seeded per id, metadata is plausible for the kind."""
+    are seeded per id, metadata is plausible for the kind. Partition count
+    is capped — a tiny demo table sliced across every core would pay one
+    Python-worker spin-up per partition per UDF stage."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -71,7 +74,7 @@ def synth_media_table(
         else:  # video
             meta = ("mp4", 64, 64, 3, None, 24 + i % 5)
         rows.append((i, kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_partitions)
 
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -161,21 +161,18 @@ KNN_BATCH_K = 5
 
 @register("knn_batch_topk", None)  # oracle attached below (needs literals)
 def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch KNN join: queries ⨯ corpus (broadcast nested-loop over the
-    3-row query side) → codegen zip_with/aggregate dot product → one
-    window shuffle on qid for all top-Ks."""
-    from hybrid_vector_search_spark.functions.vector import cosine_score_col
+    """Batch KNN join: ONE corpus scan scores every query per Arrow batch
+    (GEMM against the stacked query matrix), then one window shuffle on
+    qid runs all top-Ks."""
+    from hybrid_vector_search_spark.functions.vector import multi_dot_scores
 
     emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-    qrows = [(int(s), [float(x) for x in query_vector(s)]) for s in KNN_BATCH_SEEDS]
-    qdf = spark.createDataFrame(qrows, "qid INT, qvec ARRAY<DOUBLE>")
-    scored = emb.crossJoin(F.broadcast(qdf)).select(
-        "qid",
-        "id",
-        cosine_score_col("embedding", "qvec").alias("score"),
-    )
+    qvecs = {int(s): query_vector(s) for s in KNN_BATCH_SEEDS}
+    scored = multi_dot_scores(emb, qvecs, normalize=True)
     return grouped_topk(scored, ["qid"], KNN_BATCH_K).select(
-        "qid", "id", F.round("score", 6).alias("score")
+        F.col("qid").cast("int").alias("qid"),
+        "id",
+        F.round("score", 6).alias("score"),
     )
 
 
