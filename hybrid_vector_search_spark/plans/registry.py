@@ -283,6 +283,83 @@ def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.props_profile(ev).orderBy("event_type")
 
 
+# ------------------------------------------------------ as-of / range joins
+
+from hybrid_vector_search_spark.operators.asof import (  # noqa: E402
+    asof_join_backward,
+    range_join_count,
+)
+
+
+@register(
+    "events_asof_purchase_view",
+    """WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_event_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  ROUND(p.value, 2) AS value,
+  v.view_event_id,
+  strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+ORDER BY p.event_id""",
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase paired with the user's most recent view
+    at-or-before it (union-and-carry plan, one shuffle — operators/asof.py;
+    oracle is DuckDB's native ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join_backward(
+        purchases, views, on="user_id", left_time="ts", right_time="view_ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+        "view_event_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_range_join_views_before_purchase",
+    """SELECT p.event_id, p.user_id, COUNT(v.ts) AS n_views_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id""",
+)
+def events_range_join_views_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join: views within the hour before each purchase, per user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = range_join_count(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        window_seconds=3600, count_alias="n_views_1h",
+    )
+    return out.select("event_id", "user_id", "n_views_1h").orderBy("event_id")
+
+
 # ---------------------------------------------------------------- relational
 
 @register(
@@ -362,6 +439,81 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + filter + global agg — every predicate reaches
+    the parquet scan (PushedFilters), zero shuffle beyond the final
+    single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """SELECT l.l_orderkey,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → grouped agg →
+    top-10 (TakeOrderedAndProject after the aggregate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
     )
 
 
