@@ -105,6 +105,39 @@ def multi_dot_scores(
     )
 
 
+def per_qid_dot_scores(
+    df, qvecs: dict[int, Sequence[float]], id_col: str = "id",
+    emb_col: str = "embedding", qid_col: str = "qid",
+):
+    """Score each (row, qid) pair against that qid's query vector in one
+    vectorized pass — the scoring stage of the set-at-a-time batch
+    executor, where upstream filtering already fanned each row out to
+    only the qids whose predicates it passes (so the input is
+    Σ_q selectivity_q · N rows, not N × |queries|)."""
+    qids = sorted(qvecs)
+    qmat = np.vstack([np.asarray(qvecs[q], dtype=np.float64) for q in qids])
+    idx_of = {q: i for i, q in enumerate(qids)}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            if len(p) == 0:
+                continue
+            mat = np.vstack(p[emb_col].to_numpy()).astype(np.float64)
+            qi = p[qid_col].map(idx_of).to_numpy(dtype=np.int64)
+            scores = np.einsum("ij,ij->i", mat, qmat[qi])
+            yield pd.DataFrame(
+                {
+                    id_col: p[id_col].to_numpy(),
+                    qid_col: p[qid_col].to_numpy(),
+                    "score": scores,
+                }
+            )
+
+    return df.select(id_col, qid_col, emb_col).mapInPandas(
+        fn, f"{id_col} LONG, {qid_col} INT, score DOUBLE"
+    )
+
+
 def dot_score_sql(embedding: Column | str, qvec: Sequence[float]) -> Column:
     """Pure-SQL inner product against a literal query vector via
     ``zip_with`` + ``aggregate`` (stays in whole-stage codegen)."""

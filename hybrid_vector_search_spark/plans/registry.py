@@ -149,6 +149,77 @@ def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- set-at-a-time canonical batch run
+
+
+def _canonical_batch_oracle() -> str:
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parts = []
+    for cq in CANONICAL_QUERIES:
+        where = filters_to_sql(schema, cq.filters)
+        qlit = sql_array_literal(query_vector(cq.seed))
+        dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
+        parts.append(
+            f"(SELECT {cq.qid} AS qid, id, ROUND({dot}, 6) AS score\n"
+            f" FROM corpus WHERE {where}\n"
+            f" ORDER BY {dot} DESC, id ASC LIMIT {cq.k})"
+        )
+    return CORPUS_CTE + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("hybrid_batch_canonical", _canonical_batch_oracle())
+def hybrid_batch_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL 10 canonical hybrid queries in ONE job — the set-at-a-time plan
+    the reference's per-query loop cannot express (SURVEY.md §7):
+
+    1. one corpus scan evaluates every query's predicate per row and fans
+       the row out to the qids it matches (explode of the non-null whens —
+       output is Σ selectivity·N rows, filters applied BEFORE fanout);
+    2. one Arrow pass scores each (row, qid) against that qid's vector;
+    3. one window shuffle on qid computes every query's top-K.
+
+    Per-query latency becomes throughput: query count no longer multiplies
+    scan cost."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    corpus = load_corpus(spark, sf_dir)
+    qvecs = {cq.qid: query_vector(cq.seed) for cq in CANONICAL_QUERIES}
+    match = F.array(
+        *[
+            F.when(
+                compile_filters(corpus.schema, cq.filters), F.lit(cq.qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for cq in CANONICAL_QUERIES
+        ]
+    )
+    fanned = corpus.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], 10)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
 # ------------------------------------------------- batch similarity search
 
 # Set-at-a-time multi-query KNN: ALL queries answered in ONE job — broadcast
