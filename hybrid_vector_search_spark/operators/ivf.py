@@ -221,6 +221,7 @@ class PostFilterBackend(SearchBackend):
         latency_ms = (time.perf_counter() - t0) * 1000.0
 
         ids = [int(r[self.id_col]) for r in rows]
+        scores = [float(r["score"]) for r in rows]
         stats: dict[str, Any] = {
             "method": self.name,
             "K": k,
@@ -230,7 +231,13 @@ class PostFilterBackend(SearchBackend):
             "scored_vectors": stop_kprime,
             "lists_probed": len(probed),
             "nprobe": self.nprobe,
-            "scores": [float(r["score"]) for r in rows],
+            # fields the reference reserves but never fills
+            # (backend_interface.py:15-16) — we fill them: the kth kept
+            # score at stop, and the best possible unkept score bound
+            # (last ANN candidate's score at the stopping rung)
+            "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
+            "bound_at_stop": scores[-1] if scores else None,
+            "scores": scores,
             "notes": f"ladder_stop={stop_kprime}",
         }
         return ids, stats

@@ -743,6 +743,32 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_length_quantiles",
+    """SELECT lang,
+  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+  ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+  ROUND(quantile_cont(n_chars, 0.90), 6) AS p90,
+  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang ORDER BY lang""",
+)
+def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based aggregate —
+    Spark ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit; at
+    scale swap to ``percentile_approx`` and accept the sketch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(a)
+                for q, a in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+            ]
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "docs_lang_profile",
     """SELECT lang,
   COUNT(*) AS n_docs,
