@@ -1,0 +1,46 @@
+"""Bucketed corpus join plans with zero Exchange (shuffle elision)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.sources.bucketing import bucketed_corpus_tables
+from hybrid_vector_search_spark.sources.loaders import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def no_broadcast(spark):
+    """Force real join planning — broadcast would hide the shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # baseline: the plain join of unbucketed parquet shuffles both sides
+    plain = emb.withColumnRenamed("vec_id", "id").join(
+        docs.withColumnRenamed("doc_id", "id"), "id", "left"
+    )
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plain_plan
+
+    joined = bucketed_corpus_tables(
+        spark, emb, docs, n_buckets=4, base_path=str(tmp_path / "bkt")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bucket-aligned: shuffle elided
+    assert joined.count() == emb.count()
+    # and an aggregation on the bucket key also skips the shuffle
+    agg = spark.table("corpus_embeddings").groupBy("id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan
+
+    for t in ("corpus_embeddings", "corpus_documents"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
