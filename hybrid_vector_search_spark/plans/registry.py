@@ -807,3 +807,196 @@ def docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------- relational breadth (beyond ref)
+# Operator families the reference lacks entirely (SURVEY.md §2.5-2.7
+# "absent" lists): multi-way dim joins, rollup/grouping sets, window
+# ranking, anti-join, and corpus term statistics. Each is pure DataFrame
+# work — Catalyst broadcasts the dims, AQE sizes the shuffles.
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """SELECT n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join where region/nation/supplier/customer
+    are broadcast dims around the lineitem fact — the canonical star-join
+    plan (no fact-side shuffle until the final group-by)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "events_daily_rollup",
+    """SELECT
+  CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+  CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)
+ORDER BY event_type, day""",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (type, day) → per-day, per-type subtotal, grand
+    total in one pass — partial aggregation handles all grouping sets with
+    a single shuffle (the reference has no grouping-sets surface at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    base = ev.select("event_type", day, "value")
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            # grouping() is only valid inside the rollup aggregate list
+            F.grouping("event_type").alias("_g_type"),
+            F.grouping("day").alias("_g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.when(F.col("_g_type") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_g_day") == 1, F.lit("ALL"))
+            .otherwise(F.col("day"))
+            .alias("day"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "events_top_users_per_type",
+    """SELECT event_type, user_id, n_events, rank FROM (
+  SELECT event_type, user_id, COUNT(*) AS n_events,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id ASC) AS rank
+  FROM events GROUP BY event_type, user_id)
+WHERE rank <= 3
+ORDER BY event_type, rank""",
+)
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 most active users per event type —
+    aggregate → row_number window sharing the same partitioning, so the
+    window reuses the group-by Exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (absent from the reference's operator set): customers with
+    no orders via broadcast left_anti — the NOT EXISTS plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "docs_top_terms",
+    """SELECT term, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 20""",
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-20 (the canonical distributed word count:
+    explode → map-side partial count → one shuffle → TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_docs_canonical",
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+GROUP BY fp
+ORDER BY doc_id""",
+)
+def dedup_docs_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup output: the canonical keeper id (min doc_id) per
+    exact-duplicate group with its copy count — the 'documents after
+    dedup' table a training pipeline actually ships."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.exact_dedup_groups(docs)
+        .select(F.col("keeper_id").alias("doc_id"), F.col("n_docs").alias("n_copies"))
+        .orderBy("doc_id")
+    )
