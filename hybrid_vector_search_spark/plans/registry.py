@@ -326,7 +326,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
     )
     return (
-        decoded.join(feats, "media_id")
+        # mapInPandas outputs carry no size stats → Catalyst would pick a
+        # sort-merge join; the per-media feature rows are tiny, broadcast
+        decoded.join(F.broadcast(feats), "media_id")
         .select(
             "media_id",
             "width",
@@ -999,4 +1001,37 @@ def dedup_docs_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.exact_dedup_groups(docs)
         .select(F.col("keeper_id").alias("doc_id"), F.col("n_docs").alias("n_copies"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """SELECT ROUND(
+    100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: month-sliced fact scan (shipdate pushed to
+    parquet) joined to the broadcast part dim; conditional aggregation in
+    one map-side pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-02-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
     )
