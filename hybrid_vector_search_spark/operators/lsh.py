@@ -1,0 +1,124 @@
+"""Sign-random-projection LSH for cosine ANN — the bucketed scale path
+alternative to the IVF index (operators/ivf.py).
+
+The reference's only ANN structures are FAISS IVF/HNSW
+(src/dataio/loaders.py:106-163); an LSH family is the other standard
+filtered-ANN building block a Spark engine wants, because candidate
+generation becomes *relational*: bucket assignment is a map-side column,
+probing is a partition-prunable ``IN`` filter, and near-dup candidate
+pairs are a bucket equi-join (operators/dedup.py uses the same idea with
+MinHash bands for Jaccard).
+
+Scheme: ``NBITS`` fixed hyperplanes (deterministic seeds shared with the
+DuckDB oracle); ``bucket(v) = Σ_i [v·h_i > 0] · 2^i``. Unit-norm vectors
+with equal sign patterns are cosine-close with high probability.
+Querying probes the query's bucket plus all buckets within Hamming
+distance ``probe_hamming`` (multi-probe LSH: recall without more tables).
+
+At 100 TB: materialize ``bucket`` at ingest and ``partitionBy("bucket")``
+(or bucketBy) so a probe reads only probed partitions — identical I/O
+shape to the IVF lists, but index "build" is a stateless map (no KMeans
+training job) and buckets are stable under appends. NBITS sizes buckets:
+N/2^NBITS rows per bucket on average; pick NBITS ≈ log2(N / target).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hybrid_vector_search_spark.functions.vector import dot_score_pandas_udf
+from hybrid_vector_search_spark.operators.topk import topk
+from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
+
+# Hyperplane seeds are offset so they never collide with query seeds.
+_HYPERPLANE_SEED_BASE = 1009
+DEFAULT_NBITS = 4
+
+
+def hyperplanes(nbits: int = DEFAULT_NBITS, dim: int = 64) -> np.ndarray:
+    """(nbits, dim) float64 unit hyperplanes, deterministic."""
+    return np.vstack(
+        [query_vector(_HYPERPLANE_SEED_BASE + i, dim) for i in range(nbits)]
+    )
+
+
+def bucket_udf(planes: np.ndarray):
+    """Pandas UDF: embedding → LSH bucket id. One ``batch @ H.T`` GEMM per
+    Arrow batch, sign bits packed into an int."""
+    H = planes.astype(np.float64)
+    weights = (1 << np.arange(H.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            if len(batch) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            mat = np.vstack(batch.to_numpy()).astype(np.float64, copy=False)
+            bits = (mat @ H.T) > 0.0
+            yield pd.Series(bits @ weights)
+
+    return _bucket
+
+
+def bucket_of(vec: Sequence[float], planes: np.ndarray) -> int:
+    """Driver-side bucket id of a single vector."""
+    v = np.asarray(vec, dtype=np.float64).reshape(-1)
+    bits = (planes @ v) > 0.0
+    return int(bits @ (1 << np.arange(len(planes))))
+
+def probe_set(vec: Sequence[float], planes: np.ndarray, probe_hamming: int = 1) -> list[int]:
+    """Multi-probe bucket ids: the query's bucket plus every bucket within
+    the given Hamming distance (flip up to that many sign bits)."""
+    base = bucket_of(vec, planes)
+    nbits = len(planes)
+    out = {base}
+    for d in range(1, probe_hamming + 1):
+        for idxs in combinations(range(nbits), d):
+            m = 0
+            for i in idxs:
+                m |= 1 << i
+            out.add(base ^ m)
+    return sorted(out)
+
+
+def lsh_topk_plan(
+    corpus: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    nbits: int = DEFAULT_NBITS,
+    probe_hamming: int = 1,
+    id_col: str = "id",
+) -> tuple[DataFrame, list[int]]:
+    """ANN top-K via LSH bucket pruning: assign buckets (map-side),
+    keep rows in the probed buckets, exact float64 rescoring within,
+    ``TakeOrderedAndProject`` for the final K. Returns (plan, probed)."""
+    planes = hyperplanes(nbits, dim=len(np.asarray(qvec).reshape(-1)))
+    probes = probe_set(qvec, planes, probe_hamming)
+    bucketed = corpus.withColumn("bucket", bucket_udf(planes)(F.col("embedding")))
+    scored = (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+        )
+    )
+    return topk(scored, k, id_col=id_col), probes
+
+
+def bucket_sql_expr(planes: np.ndarray, emb: str = "embedding") -> str:
+    """DuckDB mirror of :func:`bucket_udf` — CASE sign bits over
+    ``list_dot_product`` with the literal hyperplanes."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({emb}::DOUBLE[], "
+        f"{sql_array_literal(planes[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    return f"({terms})"

@@ -1035,3 +1035,35 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+def _lsh_oracle() -> str:
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    q = query_vector(31)
+    probes = LSH.probe_set(q, planes, probe_hamming=1)
+    qlit = sql_array_literal(q)
+    bucket = LSH.bucket_sql_expr(planes)
+    return f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM embeddings
+WHERE {bucket} IN ({', '.join(str(b) for b in probes)})
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
+LIMIT 10"""
+
+
+@register("ann_lsh_topk", _lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-K (sign random projection, multi-probe
+    Hamming≤1): the stateless-build alternative scale path to the IVF
+    index — bucket is a map-side column, probing is a partition-prunable
+    IN filter. Deterministic hyperplanes make this oracle-checkable,
+    unlike typical ANN."""
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    plan, _probes = LSH.lsh_topk_plan(emb, query_vector(31), k=10)
+    return plan.select("id", F.round("score", 6).alias("score"))

@@ -1,0 +1,69 @@
+"""Sign-random-projection LSH: bucket determinism, multi-probe sets,
+full-probe equivalence to exact search, partial-probe recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.operators import lsh as LSH
+from hybrid_vector_search_spark.operators.strategies import ExactBackend
+from hybrid_vector_search_spark.queryvecs import query_vector
+from hybrid_vector_search_spark.sources.loaders import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .withColumnRenamed("vec_id", "id")
+        .cache()
+    )
+
+
+def test_bucket_udf_matches_driver_side(spark, emb):
+    """Executor bucket assignment ≡ driver-side bucket_of per row."""
+    planes = LSH.hyperplanes(4, dim=64)
+    rows = (
+        emb.withColumn("bucket", LSH.bucket_udf(planes)(F.col("embedding")))
+        .select("id", "embedding", "bucket")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r.bucket == LSH.bucket_of(r.embedding, planes)
+
+
+def test_probe_set_hamming():
+    planes = LSH.hyperplanes(4, dim=64)
+    q = query_vector(31)
+    base = LSH.bucket_of(q, planes)
+    probes0 = LSH.probe_set(q, planes, probe_hamming=0)
+    probes1 = LSH.probe_set(q, planes, probe_hamming=1)
+    assert probes0 == [base]
+    assert len(probes1) == 5  # base + 4 single-bit flips
+    assert set(probes1) >= {base}
+    for p in probes1:
+        assert bin(p ^ base).count("1") <= 1
+
+
+def test_full_probe_equals_exact(spark, emb):
+    """Probing every bucket (Hamming ≤ nbits) degenerates to exact."""
+    q = query_vector(31)
+    n = emb.count()
+    plan, probes = LSH.lsh_topk_plan(emb, q, k=10, nbits=4, probe_hamming=4)
+    assert len(probes) == 16
+    ann_ids = [r.id for r in plan.collect()]
+    exact_ids, _ = ExactBackend(emb, n).search(q, {}, 10)
+    assert ann_ids == exact_ids
+
+
+def test_partial_probe_recall_reasonable(spark, emb):
+    """Hamming ≤ 1 multi-probe should recover most of the true top-10 on
+    the sf0.001 corpus (sanity floor, not a tuned guarantee)."""
+    q = query_vector(31)
+    n = emb.count()
+    plan, _ = LSH.lsh_topk_plan(emb, q, k=10, nbits=4, probe_hamming=1)
+    ann = {r.id for r in plan.collect()}
+    exact_ids, _ = ExactBackend(emb, n).search(q, {}, 10)
+    recall = len(ann & set(exact_ids)) / 10
+    assert recall >= 0.5
