@@ -122,3 +122,119 @@ def bucket_sql_expr(planes: np.ndarray, emb: str = "embedding") -> str:
         for i in range(len(planes))
     )
     return f"({terms})"
+
+
+from hybrid_vector_search_spark.operators.strategies import (  # noqa: E402
+    SearchBackend,
+)
+
+
+class LSHPostFilterBackend(SearchBackend):
+    """P3-shaped strategy on LSH buckets: rows in the probed buckets are
+    scored, semi-joined against the allowed-id set, and the probe radius
+    escalates (Hamming 0 → 1 → 2) until ≥K survivors — the LSH analogue
+    of the reference's K′ ladder (src/baselines/post_filter.py:66-87),
+    with probe radius instead of candidate count as the widening knob.
+
+    Emits the §2.10 stats contract: ``lists_probed`` = probed buckets at
+    stop, ``nprobe`` = final probe-set size, ``scored_vectors`` = rows
+    scored in the probed buckets at the stopping radius.
+    """
+
+    name = "post_filter_lsh"
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        n: int | None = None,
+        id_col: str = "id",
+        nbits: int = DEFAULT_NBITS,
+        radius_ladder: Sequence[int] = (0, 1, 2),
+    ):
+        super().__init__(corpus, n, id_col)
+        self.nbits = nbits
+        self.radius_ladder = tuple(radius_ladder)
+        self._planes: np.ndarray | None = None
+
+    @property
+    def planes(self) -> np.ndarray:
+        if self._planes is None:
+            dim = len(self.corpus.select("embedding").first()["embedding"])
+            self._planes = hyperplanes(self.nbits, dim)
+        return self._planes
+
+    def plan(self, qvec, filters, k, probe_hamming: int | None = None):
+        """One ladder rung as a composable plan (same shape search() runs)."""
+        from hybrid_vector_search_spark.functions.predicates import (
+            compile_filters,
+        )
+
+        radius = (
+            probe_hamming if probe_hamming is not None else self.radius_ladder[-1]
+        )
+        probes = probe_set(qvec, self.planes, radius)
+        bucketed = self.corpus.withColumn(
+            "bucket", bucket_udf(self.planes)(F.col("embedding"))
+        )
+        scored = bucketed.filter(F.col("bucket").isin(probes)).select(
+            F.col(self.id_col),
+            dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+        )
+        pred = compile_filters(self.corpus.schema, filters)
+        allowed = self.corpus.filter(pred).select(self.id_col)
+        kept = scored.join(F.broadcast(allowed), self.id_col, "left_semi")
+        return topk(kept, k, id_col=self.id_col), probes
+
+    def search(self, qvec, filters, k):
+        import time
+
+        from hybrid_vector_search_spark.functions.predicates import (
+            compile_filters,
+        )
+        from hybrid_vector_search_spark.functions.vector import ensure_unit_l2
+        from hybrid_vector_search_spark.sources.loaders import validate_K
+
+        validate_K(k, self.n)
+        q = ensure_unit_l2(qvec)
+        pred = compile_filters(self.corpus.schema, filters)
+        allowed = self.corpus.filter(pred).select(self.id_col)
+
+        t0 = time.perf_counter()
+        rows: list = []
+        probes: list[int] = []
+        stop_radius = self.radius_ladder[-1]
+        bucketed = self.corpus.withColumn(
+            "bucket", bucket_udf(self.planes)(F.col("embedding"))
+        )
+        for radius in self.radius_ladder:
+            probes = probe_set(q, self.planes, radius)
+            in_probed = bucketed.filter(F.col("bucket").isin(probes))
+            scored = in_probed.select(
+                F.col(self.id_col),
+                dot_score_pandas_udf(q)(F.col("embedding")).alias("score"),
+            )
+            kept = scored.join(F.broadcast(allowed), self.id_col, "left_semi")
+            rows = topk(kept, k, id_col=self.id_col).collect()
+            stop_radius = radius
+            if len(rows) >= k:
+                break
+        # candidate count at the stopping radius (one count on the pruned
+        # scan — the LSH equivalent of "K' at the stopping rung")
+        scored_vectors = bucketed.filter(F.col("bucket").isin(probes)).count()
+        latency_ms = (time.perf_counter() - t0) * 1000.0
+
+        ids = [int(r[self.id_col]) for r in rows]
+        scores = [float(r["score"]) for r in rows]
+        stats = {
+            "method": self.name,
+            "K": k,
+            "latency_ms": latency_ms,
+            "scored_vectors": scored_vectors,
+            "lists_probed": len(probes),
+            "nprobe": len(probes),
+            "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
+            "bound_at_stop": scores[-1] if scores else None,
+            "scores": scores,
+            "notes": f"radius_stop={stop_radius},nbits={self.nbits}",
+        }
+        return ids, stats

@@ -144,13 +144,15 @@ def get_backend(
     **kwargs: Any,
 ) -> SearchBackend:
     """Strategy registry (reference P5: src/harness/run.py:71-87)."""
-    # imported here to avoid a hard cycle: ivf builds on strategies' helpers
+    # imported here to avoid a hard cycle: ivf/lsh build on strategies' helpers
     from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
 
     registry: dict[str, type[SearchBackend]] = {
         "exact": ExactBackend,
         "pre_filter": PreFilterBackend,
         "post_filter": PostFilterBackend,
+        "post_filter_lsh": LSHPostFilterBackend,
         "random": RandomBackend,
     }
     if name not in registry:

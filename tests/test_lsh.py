@@ -67,3 +67,29 @@ def test_partial_probe_recall_reasonable(spark, emb):
     exact_ids, _ = ExactBackend(emb, n).search(q, {}, 10)
     recall = len(ann & set(exact_ids)) / 10
     assert recall >= 0.5
+
+
+def test_post_filter_lsh_backend(spark, emb):
+    """Strategy contract: k results on a broad filter, stats fields
+    filled, ladder escalates on a strict filter without crashing."""
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+    from hybrid_vector_search_spark.operators.strategies import get_backend
+
+    n = emb.count()
+    be = get_backend("post_filter_lsh", emb, n)
+    assert isinstance(be, LSHPostFilterBackend)
+    q = query_vector(31)
+
+    ids, stats = be.search(q, {}, 5)
+    assert len(ids) == 5
+    assert stats["method"] == "post_filter_lsh"
+    assert stats["lists_probed"] >= 1
+    assert stats["scored_vectors"] >= len(ids)
+    assert stats["kth_at_stop"] is not None
+    # ids ordered score DESC (ties id ASC)
+    assert stats["scores"] == sorted(stats["scores"], reverse=True)
+
+    # strict filter: survivors may be < k, ladder must exhaust gracefully
+    ids2, stats2 = be.search(q, {"label": {"eq": 0}}, 10)
+    assert len(ids2) <= 10
+    assert "radius_stop=" in stats2["notes"]
