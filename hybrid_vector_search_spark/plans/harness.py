@@ -162,7 +162,8 @@ def main(argv: Sequence[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="hybrid-search evaluation harness")
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     p.add_argument("--backend", default="exact",
-                   choices=["exact", "pre_filter", "post_filter", "random"])
+                   choices=["exact", "pre_filter", "post_filter",
+                            "post_filter_lsh", "random"])
     p.add_argument("--K", type=int, default=10)
     p.add_argument("--max_queries", type=int, default=10)
     p.add_argument("--out", default="results/results.jsonl")
