@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hybrid_vector_search_spark.functions.portable import (
+    grid_avg,
+    grid_avg_sql,
+    round_portable,
+    round_portable_sql,
+)
+
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -42,8 +49,10 @@ def tumbling_window_agg(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # value is a 2-decimal grid column: sums/averages land on
+            # exact rounding ties — portable arithmetic, not ROUND
+            round_portable(F.sum("value"), 2).alias("sum_value"),
+            grid_avg(F.sum("value"), F.count(F.lit(1)), 2, 6).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
@@ -63,8 +72,8 @@ def tumbling_window_agg_sql(hours: int = 1) -> str:
   strftime(time_bucket(INTERVAL {hours} HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   COUNT(*) AS n_events,
-  ROUND(SUM(value), 2) AS sum_value,
-  ROUND(AVG(value), 6) AS avg_value,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value,
+  {grid_avg_sql('SUM(value)', 'COUNT(*)', 2, 6)} AS avg_value,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -108,7 +117,7 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             (
                 F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
             ).alias("span_sec"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            round_portable(F.sum("value"), 2).alias("sum_value"),
         )
     )
 
@@ -141,7 +150,7 @@ SELECT user_id, session_seq,
   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
   CAST(epoch(date_trunc('second', MAX(ts)))
      - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS span_sec,
-  ROUND(SUM(value), 2) AS sum_value
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
 FROM sess
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq"""
@@ -158,7 +167,8 @@ def props_profile(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count("__k").alias("n_with_k"),
-            F.round(F.avg("__k"), 6).alias("avg_k"),
+            # integer-grid average: same portable-rounding hazard
+            grid_avg(F.sum("__k"), F.count("__k"), 0, 6).alias("avg_k"),
             F.min("__k").alias("min_k"),
             F.max("__k").alias("max_k"),
         )
@@ -167,10 +177,10 @@ def props_profile(events: DataFrame) -> DataFrame:
 
 def props_profile_sql() -> str:
     """DuckDB oracle for :func:`props_profile`."""
-    return """SELECT event_type,
+    return f"""SELECT event_type,
   COUNT(*) AS n_events,
   COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+  {grid_avg_sql("SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))", "COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))", 0, 6)} AS avg_k,
   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events

@@ -20,6 +20,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hybrid_vector_search_spark.functions.portable import (
+    grid_avg,
+    grid_avg_sql,
+    round_portable,
+    round_portable_sql,
+)
 from hybrid_vector_search_spark.functions.predicates import (
     compile_filters,
     filters_to_sql,
@@ -459,9 +465,9 @@ def events_range_join_views_before_purchase(
   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  (floor((floor(SUM(l_quantity)::DOUBLE * 100.0 + 0.5) / 100.0) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_qty,
+  (floor((floor(SUM(l_extendedprice)::DOUBLE * 100.0 + 0.5) / 100.0) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_price,
+  (floor((floor(SUM(l_discount)::DOUBLE * 100.0 + 0.5) / 100.0) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -489,9 +495,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # grid-valued averages: ULP-stable arithmetic (functions/portable.py)
+            grid_avg(F.sum("l_quantity"), F.count(F.lit(1)), 2, 6).alias("avg_qty"),
+            grid_avg(F.sum("l_extendedprice"), F.count(F.lit(1)), 2, 6).alias("avg_price"),
+            grid_avg(F.sum("l_discount"), F.count(F.lit(1)), 2, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -791,7 +798,7 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_lang_profile",
     """SELECT lang,
   COUNT(*) AS n_docs,
-  ROUND(AVG(n_chars), 6) AS avg_chars,
+  (floor((floor(SUM(n_chars)::DOUBLE + 0.5)) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_chars,
   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
 FROM documents
 GROUP BY lang
@@ -804,7 +811,7 @@ def docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            grid_avg(F.sum("n_chars"), F.count(F.lit(1)), 0, 6).alias("avg_chars"),
             F.countDistinct("source").alias("n_sources"),
         )
         .orderBy("lang")
