@@ -732,22 +732,27 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_scores",
     f"""SELECT doc_id,
-  ROUND({TX.stopword_ratio_sql('text')}, 6) AS stop_ratio,
-  ROUND({TX.punct_ratio_sql('text')}, 6) AS punct_ratio,
-  ROUND({TX.mean_token_len_sql('text')}, 6) AS mean_tok_len,
-  ROUND({TX.quality_score_sql('text')}, 6) AS quality
+  {round_portable_sql(TX.stopword_ratio_sql('text'), 6)} AS stop_ratio,
+  {round_portable_sql(TX.punct_ratio_sql('text'), 6)} AS punct_ratio,
+  {round_portable_sql(TX.mean_token_len_sql('text'), 6)} AS mean_tok_len,
+  {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
 FROM documents ORDER BY doc_id""",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics: stopword/punct ratios, token shape,
-    composite score."""
+    composite score.
+
+    Integer-ratio columns (hits/n_tokens etc.) are exact decimal-grid
+    values that can land on ROUND ties where the engines disagree
+    deterministically — rounded with the portable arithmetic
+    (functions/portable.py) on both sides."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(TX.mean_token_len("text"), 6).alias("mean_tok_len"),
-        F.round(TX.quality_score("text"), 6).alias("quality"),
+        round_portable(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        round_portable(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        round_portable(TX.mean_token_len("text"), 6).alias("mean_tok_len"),
+        round_portable(TX.quality_score("text"), 6).alias("quality"),
     ).orderBy("doc_id")
 
 
