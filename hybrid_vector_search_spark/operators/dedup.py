@@ -145,15 +145,7 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ------------------------------------------------- n-gram Jaccard (exact)
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a *small* input so per-row Python kernels use every
-    core. Local testdata arrives as one tiny parquet split → one
-    partition → serial UDF execution; at real scale the scan already
-    yields ≥ parallelism splits and this is a no-op (no shuffle added)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from hybrid_vector_search_spark.sources.loaders import spread as _spread  # noqa: E402
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
@@ -236,6 +228,9 @@ def minhash_signatures(
     each affine permutation."""
     import hashlib
 
+    # NOT _spread: repartitioning here inflates the size estimate of the
+    # banded self-join inputs and flips broadcast-hash → sort-merge over
+    # array-carrying rows (README "measured pitfalls"; 2.3 s → 3.1 s).
     sh = shingle_sets(docs, n, id_col)
     A = np.asarray(MINHASH_A, dtype=np.int64)
     B = np.asarray(MINHASH_B, dtype=np.int64)
@@ -396,7 +391,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out[i] = int(((votes > 0).astype(np.int64) << bit_idx).sum())
             yield pd.Series(out)
 
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col), _simhash(F.col("text")).alias("simhash")
     )
 

@@ -19,10 +19,13 @@ operators/topk + operators/ivf unchanged).
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -60,21 +63,76 @@ def synth_media_table(
     n_partitions: int = 4,
 ) -> DataFrame:
     """Deterministic synthetic media corpus for tests/demos: payload bytes
-    are seeded per id, metadata is plausible for the kind. Partition count
-    is capped — a tiny demo table sliced across every core would pay one
+    are seeded per id, metadata is plausible for the kind.
+
+    Materialized once to a parquet fixture and *scanned* rather than
+    driver-parallelized: a ``createDataFrame`` local relation re-ships the
+    pickled rows through a Python stage on every job that touches it
+    (measured ~1.2 s per action even for 32 rows), while the parquet scan
+    is the layout media actually arrives in at scale. Partition count is
+    capped — a tiny demo table sliced across every core would pay one
     Python-worker spin-up per partition per UDF stage."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    for i in range(n):
-        payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-        if kind == "image":
-            meta = ("png", 32 + i % 4 * 16, 32, 3, None, 1)
-        elif kind == "audio":
-            meta = ("wav", None, None, 1, 16_000, 16_000)
-        else:  # video
-            meta = ("mp4", 64, 64, 3, None, 24 + i % 5)
-        rows.append((i, kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_partitions)
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"hvs_media_{kind}_{n}_{seed}.parquet"
+    )
+    if not os.path.exists(cache):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+            if kind == "image":
+                meta = ("png", 32 + i % 4 * 16, 32, 3, None, 1)
+            elif kind == "audio":
+                meta = ("wav", None, None, 1, 16_000, 16_000)
+            else:  # video
+                meta = ("mp4", 64, 64, 3, None, 24 + i % 5)
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": kind,
+                    "data": payload,
+                    "meta": dict(
+                        zip(
+                            (
+                                "format",
+                                "width",
+                                "height",
+                                "channels",
+                                "sample_rate",
+                                "n_frames",
+                            ),
+                            meta,
+                        )
+                    ),
+                }
+            )
+        arrow_schema = pa.schema(
+            [
+                pa.field("media_id", pa.int64(), nullable=False),
+                pa.field("kind", pa.string(), nullable=False),
+                pa.field("data", pa.binary(), nullable=False),
+                pa.field(
+                    "meta",
+                    pa.struct(
+                        [
+                            ("format", pa.string()),
+                            ("width", pa.int32()),
+                            ("height", pa.int32()),
+                            ("channels", pa.int32()),
+                            ("sample_rate", pa.int32()),
+                            ("n_frames", pa.int32()),
+                        ]
+                    ),
+                    nullable=False,
+                ),
+            ]
+        )
+        tmp = cache + f".tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), tmp)
+        os.replace(tmp, cache)  # atomic: concurrent builders converge
+    return spark.read.parquet(cache).repartition(n_partitions)
 
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:

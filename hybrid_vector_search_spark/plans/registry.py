@@ -33,7 +33,11 @@ from hybrid_vector_search_spark.functions.predicates import (
 from hybrid_vector_search_spark.functions.vector import dot_score_pandas_udf
 from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
 from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
-from hybrid_vector_search_spark.sources.loaders import load_corpus, load_table
+from hybrid_vector_search_spark.sources.loaders import (
+    load_corpus,
+    load_table,
+    spread,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -671,7 +675,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 16-bit SimHash fingerprint (token bit votes)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash(docs).orderBy("doc_id")
+    return DD.simhash(docs)
 
 
 @register(
@@ -704,10 +708,10 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint — portable pure
     arithmetic (no engine-specific hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", DD.rolling_hash("text").alias("rhash")
-    ).orderBy("doc_id")
+    )
 
 
 # ------------------------------------------------------------- text analysis
@@ -723,10 +727,10 @@ FROM documents ORDER BY doc_id""",
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID over every document — pure codegen map work
     (no shuffle, no Python)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", TX.lang_id("text").alias("detected_lang")
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -746,14 +750,14 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     values that can land on ROUND ties where the engines disagree
     deterministically — rounded with the portable arithmetic
     (functions/portable.py) on both sides."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         round_portable(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
         round_portable(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         round_portable(TX.mean_token_len("text"), 6).alias("mean_tok_len"),
         round_portable(TX.quality_score("text"), 6).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -765,12 +769,12 @@ FROM documents ORDER BY doc_id""",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens and BPE-ish regex tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TX.ws_token_count("text").alias("n_ws_tokens"),
         TX.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
