@@ -407,6 +407,80 @@ def simhash_sql(col: str = "text") -> str:
     return f"({terms})::BIGINT"
 
 
+# ---------------------------------------------- connected components (CC)
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair graph: every node gets
+    ``component_id`` = the min node id reachable from it. This is the step
+    that turns *pairs* into dedup *groups* — A~B and B~C must collapse to
+    one keeper even though A and C never collided.
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one shuffle join + one
+    groupBy per round), converging in O(graph diameter) rounds — duplicate
+    clusters are near-cliques, so 2-3 rounds in practice. Lineage is
+    truncated per round (``localCheckpoint``) so the plan stays flat; the
+    O(log n)-round large-star/small-star variant (Kiveris et al., "CC in
+    MapReduce") is the upgrade path if components ever get long and thin.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "component_id"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "component_id")
+
+
+def dedup_components(docs: DataFrame, threshold: float) -> DataFrame:
+    """Near-dup groups over the MinHash-LSH pair graph: (doc_id,
+    component_id) for every document; component_id is the canonical keeper
+    (min doc_id of the transitive group)."""
+    pairs = minhash_lsh_pairs(docs, threshold)
+    return connected_components(pairs, docs)
+
+
+def connected_components_sql(threshold: float) -> str:
+    """DuckDB oracle: the same closure as a recursive CTE — enumerate
+    (node, reachable-label) pairs until fixpoint, keep the min."""
+    pairs = minhash_lsh_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.id
+  WHERE w.lbl < e.src)
+SELECT id AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY id"""
+
+
 # ------------------------------------------------- embedding-cosine dedup
 def embedding_near_dup_pairs(
     emb: DataFrame,

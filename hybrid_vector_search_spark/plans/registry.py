@@ -669,6 +669,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_connected_components",
+    DD.connected_components_sql(JACCARD_THRESHOLD),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: min-label propagation over the
+    MinHash-LSH pair graph (A~B, B~C ⇒ one group even though A,C never
+    collided) — the step that turns pair lists into the dedup assignment
+    a pipeline actually applies. Iterative joins in Spark; the oracle is
+    the same closure as a DuckDB recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.dedup_components(docs, JACCARD_THRESHOLD)
+
+
+@register(
     "dedup_simhash",
     f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents ORDER BY doc_id",
 )

@@ -139,3 +139,29 @@ def test_shingles():
     df = spark.createDataFrame([("a b c d",)], "text string")
     got = df.select(TX.shingles("text", 3).alias("s")).collect()[0].s
     assert got == ["a b c", "b c d"]
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-5, 5-3 plus pair 10-12 and isolated 7: components
+    # {1,3,5}->1, {10,12}->10, {7}->7 — transitivity without a 1-3 edge
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 3), (10, 12)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (3,), (5,), (7,), (10,), (12,)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in DD.connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 1, 7: 7, 10: 10, 12: 10}
+
+
+def test_dedup_components_groups_near_dups(docs):
+    comp = {
+        r.doc_id: r.component_id
+        for r in DD.dedup_components(docs, threshold=0.2).collect()
+    }
+    # exact dups 0/1 and near dup 2 collapse to component 0; 3,4 are alone
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3 and comp[4] == 4
