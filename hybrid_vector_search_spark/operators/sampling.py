@@ -1,0 +1,131 @@
+"""Deterministic sampling and sequence-packing operators.
+
+Training-data pipelines need *reproducible* subsetting — a sample that
+changes across runs poisons ablations — and token-budget packing that
+assigns documents to fixed-capacity shards for sequence training. Both are
+expressed over a portable hash (md5 hex, identical in Spark and DuckDB)
+and window arithmetic so every operator here is fully oracle-checkable and
+seed-stable across engines, partitionings, and cluster sizes (unlike
+``df.sample``, whose output depends on partition layout).
+
+Scale shapes:
+
+* ``hash_sample`` — map-only (a pushable filter on a hash of the key):
+  zero shuffle at any scale; the 100 TB default.
+* ``stratified_sample`` — exact n-per-stratum via a window on the stratum
+  key: one shuffle; hash-ordered so it is a uniform random draw per
+  stratum, yet bit-reproducible.
+* ``pack_sequences`` — next-fit packing by cumulative token offset: one
+  window shuffle per stratum; pack ids are stable under re-execution
+  because the order key is (id), not arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hybrid_vector_search_spark.functions.text import ws_token_count
+
+# 16^8: the hash key space of the first 8 md5 hex chars.
+HASH_SPACE = 1 << 32
+
+
+def portable_hash_key(col: Column) -> Column:
+    """Uniform deterministic key in [0, 2^32): first 8 md5 hex chars of
+    the value rendered as a string. DuckDB mirror:
+    ``('0x' || substr(md5(x::VARCHAR), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def portable_hash_key_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}::VARCHAR), 1, 8))::BIGINT"
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by key hash — map-only, no
+    shuffle, reproducible on any cluster shape, and membership is sticky:
+    a row's fate depends only on its key, so incremental reruns over
+    grown datasets keep previously-sampled rows (the property that makes
+    hash sampling the standard for training corpora)."""
+    cut = int(fraction * HASH_SPACE)
+    return df.filter(portable_hash_key(F.col(key)) < F.lit(cut))
+
+
+def hash_sample_where_sql(key_expr: str, fraction: float) -> str:
+    cut = int(fraction * HASH_SPACE)
+    return f"{portable_hash_key_sql(key_expr)} < {cut}"
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], key: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, drawn uniformly by
+    hash order (deterministic reservoir): rank rows within each stratum by
+    (hash(key), key) and keep the first n. One window shuffle on the
+    strata columns."""
+    w = Window.partitionBy(*strata).orderBy(
+        portable_hash_key(F.col(key)), F.col(key)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a token-budget pack: next-fit by cumulative
+    token offset in deterministic id order, partitioned by ``strata``
+    (e.g. language — packs should not mix languages).
+
+    ``pack_id = floor(cum_tokens_before / budget)``: a document starts a
+    new pack when the running offset crosses the budget boundary.
+    Documents longer than the budget get a pack of their own (next-fit
+    never splits a document). Integer window arithmetic — bit-identical
+    in any engine; floor() is explicit because Spark's long cast truncates
+    while DuckDB's rounds."""
+    strata = strata or []
+    tok = ws_token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select(
+            id_col, *strata, tok.cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(before / F.lit(budget_tokens)).cast("long"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    budget_tokens: int,
+    strata: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    strata = strata or []
+    part = f"PARTITION BY {', '.join(strata)} " if strata else ""
+    cols = ", ".join([id_col, *strata])
+    tok = f"len(regexp_split_to_array(lower(trim({text_col})), '\\s+'))"
+    return f"""SELECT {cols}, n_tokens,
+  FLOOR(COALESCE(SUM(n_tokens) OVER (
+    {part}ORDER BY {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    / {budget_tokens})::BIGINT AS pack_id
+FROM (SELECT {cols}, {tok}::BIGINT AS n_tokens FROM documents) t"""

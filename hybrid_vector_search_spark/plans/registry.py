@@ -1013,6 +1013,64 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- sampling & sequence packing
+
+from hybrid_vector_search_spark.operators import sampling as SP  # noqa: E402
+
+SAMPLE_FRACTION = 0.1
+STRATUM_N = 20
+PACK_BUDGET = 2048
+
+
+@register(
+    "docs_sample_hash",
+    f"""SELECT doc_id, lang FROM documents
+WHERE {SP.hash_sample_where_sql('doc_id', SAMPLE_FRACTION)}""",
+)
+def docs_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ≈10% corpus sample by key hash — map-only (the filter
+    is pushable map work, zero shuffle at any scale) and sticky: a row's
+    membership depends only on its key, so reruns over grown datasets
+    keep previously sampled rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.hash_sample(docs, "doc_id", SAMPLE_FRACTION).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "docs_sample_stratified",
+    f"""SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {SP.portable_hash_key_sql('doc_id')}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {STRATUM_N}""",
+)
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, drawn uniformly by deterministic hash
+    order (a seed-stable reservoir) — one window shuffle on the stratum
+    key; balances strata a plain fraction sample would skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.stratified_sample(docs, ["lang"], "doc_id", STRATUM_N).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "docs_pack_sequences",
+    SP.pack_sequences_sql(PACK_BUDGET, ["lang"]),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: next-fit by cumulative token offset
+    in deterministic id order within each language — the shard-assignment
+    step before sequence training. Pure integer window arithmetic,
+    bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.pack_sequences(docs, PACK_BUDGET, ["lang"])
+
+
 @register(
     "dedup_docs_canonical",
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
