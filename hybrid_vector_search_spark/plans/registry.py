@@ -1125,6 +1125,94 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    (lineitem shipped >60 days after the order date), then a tiny
+    aggregate. The quarter filter is pushed to the orders scan; the
+    semi-join deduplicates matches before the shuffle so multi-lineitem
+    orders count once. (The testdata lacks l_commitdate/l_receiptdate, so
+    the late-shipment predicate stands in for Q4's commit<receipt.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = (li.l_orderkey == quarter.o_orderkey) & (
+        li.l_shipdate > quarter.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        quarter.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""SELECT c_custkey, c_name, n_name,
+  {round_portable_sql(round_portable_sql("SUM(l_extendedprice * (1 - l_discount))", 4), 2)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter —
+    fact-to-fact join narrowed by pushed date/returnflag filters,
+    broadcast dims (customer at sf0.1 is broadcastable; at cluster scale
+    the orders⋈lineitem shuffle keys dominate), grouped top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # revenue summands live on a 4-decimal grid (2-decimal price ×
+            # 2-decimal discount); snap the order-dependent float sum back
+            # onto that grid before the display rounding so both engines
+            # round the same double (functions/portable.py)
+            round_portable(
+                round_portable(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    4,
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def _lsh_oracle() -> str:
     from hybrid_vector_search_spark.operators import lsh as LSH
 
