@@ -429,11 +429,21 @@ def connected_components(
     O(log n)-round large-star/small-star variant (Kiveris et al., "CC in
     MapReduce") is the upgrade path if components ever get long and thin.
     """
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component_id")
+    # Materialize the symmetric edge list ONCE: every round joins against
+    # it, and the upstream pair pipeline (LSH banding + verification) is
+    # far too expensive to re-run per round.
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint()
+    )
+    # Iterate ONLY over the edge-induced subgraph: nodes in no pair keep
+    # their own label by definition, so the propagation state is
+    # O(|nodes with a duplicate|), not O(corpus) — at 100 TB the corpus is
+    # huge but the near-dup graph is a sliver of it.
+    touched = sym.select("src").distinct().withColumnRenamed("src", "id")
+    labels = touched.select(
+        "id", F.col("id").alias("component_id")
     ).localCheckpoint()
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.id).select(
@@ -455,7 +465,12 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), "component_id")
+    untouched = nodes.select(F.col(id_col).alias("id")).join(
+        touched, "id", "left_anti"
+    )
+    return labels.union(
+        untouched.select("id", F.col("id").alias("component_id"))
+    ).select(F.col("id").alias(id_col), "component_id")
 
 
 def dedup_components(docs: DataFrame, threshold: float) -> DataFrame:
