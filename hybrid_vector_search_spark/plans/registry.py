@@ -1013,6 +1013,64 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_top_terms",
+    """WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok2 GROUP BY lang, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, tf.term AS term,
+         ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT lang, term, tfidf FROM (
+  SELECT lang, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored) t
+WHERE rn <= 5""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per language by TF·IDF: corpus-wide
+    document frequency joined to per-language term frequency — the
+    cross-document statistic behind quality filtering and boilerplate
+    detection. Two shuffles (term-level aggs) + one term-keyed join +
+    one window; the corpus size is the only driver-side scalar.
+
+    Ranking happens on the 6-decimal-rounded score in BOTH engines so an
+    ULP difference in ln() can never reorder the top-5 boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_t, "term").select(
+        "lang",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    return grouped_topk(
+        scored, ["lang"], 5, score_col="tfidf", id_col="term"
+    ).select("lang", "term", "tfidf")
+
+
 # ------------------------------------------- sampling & sequence packing
 
 from hybrid_vector_search_spark.operators import sampling as SP  # noqa: E402
