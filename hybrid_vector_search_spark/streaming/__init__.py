@@ -8,6 +8,7 @@ over a live stream: windowed aggregation under a watermark
 """
 
 from hybrid_vector_search_spark.streaming.pipeline import (  # noqa: F401
+    dedup_stream,
     read_events_stream,
     run_available_now,
     windowed_agg_stream,

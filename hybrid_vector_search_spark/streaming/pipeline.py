@@ -81,6 +81,35 @@ def windowed_agg_stream(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — the online twin of
+    ``operators.dedup.exact_dedup_groups``: fingerprint each arriving
+    document (md5 of normalized text, same portable hash as the batch
+    path) and keep only the first arrival per fingerprint.
+
+    ``dropDuplicatesWithinWatermark`` bounds the fingerprint state: a
+    fingerprint is forgotten once the event-time high-water-mark passes
+    its timestamp + watermark, so state is O(docs per watermark window),
+    not O(corpus) — the property that makes continuous ingest dedup
+    feasible. (Documents re-arriving further apart than the watermark
+    both survive; the batch CC/exact pass downstream remains the
+    authority, this stage just strips the high-frequency near-in-time
+    duplicate storm before it hits storage.)
+    """
+    from hybrid_vector_search_spark.functions.text import fingerprint_md5
+
+    return (
+        docs.withColumn("fingerprint", fingerprint_md5(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     table_name: str,

@@ -114,3 +114,48 @@ def test_session_state_carries_across_batches(spark, tmp_path):
     ).parquet(d)
     drain()
     assert out[9] == 2
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    """Docs arriving in two micro-batches: in-watermark duplicates are
+    dropped, first arrival survives."""
+    from hybrid_vector_search_spark.streaming import dedup_stream
+
+    d = str(tmp_path / "docs_stream")
+    ddl = "doc_id LONG, ts TIMESTAMP, text STRING"
+    batch1 = [
+        (0, datetime(2024, 1, 1, 0, 0, 0), "alpha beta gamma"),
+        (1, datetime(2024, 1, 1, 0, 5, 0), "delta epsilon"),
+    ]
+    batch2 = [
+        # duplicate of doc 0 (same normalized text) 10 min later -> dropped
+        (2, datetime(2024, 1, 1, 0, 10, 0), "  Alpha  BETA gamma "),
+        (3, datetime(2024, 1, 1, 0, 15, 0), "zeta eta"),
+    ]
+    ckpt = str(tmp_path / "ckpt_dedup")
+    kept: set[int] = set()
+
+    def drain():
+        stream = spark.readStream.schema(ddl).parquet(d)
+        q = (
+            dedup_stream(stream, watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda bdf, _id: kept.update(
+                    int(r.doc_id) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, ddl).coalesce(1).write.parquet(
+        d, mode="overwrite"
+    )
+    drain()
+    assert kept == {0, 1}
+    spark.createDataFrame(batch2, ddl).coalesce(1).write.parquet(d, mode="append")
+    drain()
+    assert kept == {0, 1, 3}  # doc 2 deduped against doc 0's fingerprint
