@@ -1071,6 +1071,45 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "term", "tfidf")
 
 
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_DUPES_SQL = f"COUNT(*) - COUNT(DISTINCT {_FP_SQL})"
+_DUP_RATE_SQL = round_portable_sql(f"({_DUPES_SQL})::DOUBLE / COUNT(*)", 6)
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""SELECT source, COUNT(*) AS n_docs,
+  {_DUPES_SQL} AS n_dupes,
+  {_DUP_RATE_SQL} AS dup_rate
+FROM documents GROUP BY source ORDER BY source""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report per ingestion source (exact-fingerprint
+    based): the observability table that tells a pipeline which feed is
+    flooding it with copies. One distinct-agg shuffle; the ratio is an
+    integer-grid value so it is rounded with the portable arithmetic."""
+    from hybrid_vector_search_spark.functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint_md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dupes",
+            round_portable(
+                F.col("n_dupes").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ------------------------------------------- sampling & sequence packing
 
 from hybrid_vector_search_spark.operators import sampling as SP  # noqa: E402
