@@ -379,7 +379,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON props extraction (get_json_object, JVM-side)
     profiled per event_type."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     return EV.props_profile(ev).orderBy("event_type")
 
 
@@ -1069,6 +1069,48 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         scored, ["lang"], 5, score_col="tfidf", id_col="term"
     ).select("lang", "term", "tfidf")
+
+
+_AVG_TP_SQL = round_portable_sql("SUM(o_totalprice)", 2) + " / COUNT(*)"
+
+
+@register(
+    "orders_above_customer_avg",
+    f"""WITH ca AS (
+  SELECT o_custkey, {_AVG_TP_SQL} AS avg_tp
+  FROM orders GROUP BY o_custkey)
+SELECT o_orderkey, o.o_custkey,
+  {round_portable_sql('o_totalprice', 2)} AS totalprice
+FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+WHERE o_totalprice > 1.5 * avg_tp
+ORDER BY o_orderkey""",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (``WHERE o_totalprice > 1.5 *
+    (SELECT AVG(..) .. WHERE i.o_custkey = o.o_custkey)``) in its
+    decorrelated plan: per-customer aggregate joined back to the fact —
+    the rewrite every optimizer performs, written explicitly so both
+    engines compute the identical arithmetic. The per-customer sum is
+    snapped to its 2-decimal grid before dividing, so the qualification
+    threshold is the same double everywhere and boundary rows cannot
+    flip on summation order."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_t = orders.groupBy("o_custkey").agg(
+        (
+            round_portable(F.sum("o_totalprice"), 2)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_tp")
+    )
+    return (
+        orders.join(avg_t, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_tp"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            round_portable("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
