@@ -1071,6 +1071,40 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "term", "tfidf")
 
 
+@register(
+    "vector_quantize_int8",
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e,
+        list_transform(e, x -> floor(x * 127.0 + 0.5) / 127.0) AS r
+      FROM t),
+err AS (SELECT vec_id,
+          list_transform(range(1, len(e) + 1), i -> abs(e[i] - r[i])) AS errs
+        FROM q)
+SELECT vec_id,
+  ROUND(list_max(errs), 6) AS max_abs_err,
+  ROUND(list_reduce(list_prepend(0.0, errs), (a, x) -> a + x)
+        / len(errs), 6) AS mean_abs_err
+FROM err ORDER BY vec_id""",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization quality gate: round-trip every embedding
+    through q = floor(x·127 + .5), x̂ = q/127 and report per-vector max
+    and mean absolute reconstruction error — the check run before
+    shipping a 4×-smaller quantized corpus (scan-only map work; the
+    sequential array fold is order-deterministic in both engines)."""
+    from hybrid_vector_search_spark.functions.vector import (
+        quantization_error_cols,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_err, mean_err = quantization_error_cols("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(max_err, 6).alias("max_abs_err"),
+        F.round(mean_err, 6).alias("mean_abs_err"),
+    )
+
+
 _AVG_TP_SQL = round_portable_sql("SUM(o_totalprice)", 2) + " / COUNT(*)"
 
 
