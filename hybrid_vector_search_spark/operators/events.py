@@ -186,3 +186,59 @@ def props_profile_sql() -> str:
 FROM events
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+def funnel_counts(
+    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed stage 1, then
+    stage 2 strictly after their first stage-1 event, then stage 3
+    strictly after that, … — the product-analytics conversion funnel.
+
+    Each stage is one groupBy (first qualifying timestamp per user)
+    joined to the previous stage's table on user_id; survivors shrink
+    monotonically, so later joins are against ever-smaller sides. Output
+    is a single row of per-stage user counts.
+    """
+    prev: DataFrame | None = None
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage)
+        if prev is not None:
+            ev = ev.join(prev, "user_id").filter(F.col("ts") > F.col("__t"))
+        cur = ev.groupBy("user_id").agg(F.min("ts").alias("__t"))
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias(f"n_{'_'.join(stages[: i + 1])}"))
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def funnel_counts_sql(
+    stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> str:
+    """DuckDB oracle for :func:`funnel_counts`."""
+    ctes, prev = [], None
+    for i, stage in enumerate(stages):
+        name = f"s{i}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, MIN(ts) AS t FROM events "
+                f"WHERE event_type = '{stage}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+                f"JOIN {prev} USING (user_id) "
+                f"WHERE e.event_type = '{stage}' AND e.ts > {prev}.t "
+                f"GROUP BY e.user_id)"
+            )
+        prev = name
+    sels = ", ".join(
+        f"(SELECT COUNT(*) FROM s{i}) AS n_{'_'.join(stages[: i + 1])}"
+        for i in range(len(stages))
+    )
+    return f"WITH {', '.join(ctes)}\nSELECT {sels}"

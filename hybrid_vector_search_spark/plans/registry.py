@@ -375,6 +375,15 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.session_stats(ev, 30).orderBy("user_id", "session_seq")
 
 
+@register("events_funnel", EV.funnel_counts_sql())
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per-stage user
+    counts where each stage must happen strictly after the user's first
+    event of the previous stage (operators/events.py funnel_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return EV.funnel_counts(ev)
+
+
 @register("events_props_profile", EV.props_profile_sql())
 def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON props extraction (get_json_object, JVM-side)
@@ -1102,6 +1111,69 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(max_err, 6).alias("max_abs_err"),
         F.round(mean_err, 6).alias("mean_abs_err"),
+    )
+
+
+def _int8_rerank_oracle(seed: int, cand_k: int, k: int) -> str:
+    import numpy as np
+
+    q = query_vector(seed)
+    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
+    q8lit = f"[{', '.join(str(v) for v in q8)}]::BIGINT[]"
+    qlit = sql_array_literal(q)
+    dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
+    return f"""WITH s AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, len(embedding) + 1),
+             i -> floor(embedding[i]::DOUBLE * 127.0 + 0.5)::BIGINT
+                  * ({q8lit})[i])),
+           (a, x) -> a + x) AS iscore
+  FROM embeddings),
+cand AS (SELECT vec_id, embedding FROM s
+         ORDER BY iscore DESC, vec_id ASC LIMIT {cand_k})
+SELECT vec_id, ROUND({dot}, 6) AS score
+FROM cand ORDER BY {dot} DESC, vec_id ASC LIMIT {k}"""
+
+
+@register("ann_int8_rerank_topk", _int8_rerank_oracle(41, 100, 10))
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search: integer dot product over the int8
+    corpus picks 100 candidates (pure bigint arithmetic — bit-identical
+    in any engine, and at scale the stage that runs over the 4×-smaller
+    cache-resident corpus), then float64 rerank of the survivors yields
+    the top-10. The precision split is the standard serving layout:
+    cheap lossy scan wide, exact scoring narrow."""
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        quantize_int8_col,
+    )
+    import numpy as np
+
+    q = query_vector(41)
+    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8lit = F.array(*[F.lit(v).cast("long") for v in q8])
+    iscore = F.aggregate(
+        F.zip_with(
+            quantize_int8_col("embedding").cast("array<long>"),
+            q8lit,
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = topk(
+        emb.select("vec_id", "embedding", iscore.alias("iscore")),
+        100,
+        score_col="iscore",
+        id_col="vec_id",
+    )
+    rescored = cand.select(
+        "vec_id", dot_score_sql("embedding", q).alias("score")
+    )
+    return topk(rescored, 10, id_col="vec_id").select(
+        "vec_id", F.round("score", 6).alias("score")
     )
 
 

@@ -64,3 +64,30 @@ def test_props_profile_null_and_empty_json(tiny_events):
     # views: k present in 2 of 4 events ({} and NULL props yield NULL k)
     assert out["view"].n_events == 4 and out["view"].n_with_k == 2
     assert out["purchase"].avg_k == 2.0
+
+
+def test_funnel_strict_ordering(spark):
+    ddl = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    t = lambda m: datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    rows = [
+        # user 1 completes the funnel in order
+        (0, t(0), 1, "view", 0.0, None),
+        (1, t(5), 1, "click", 0.0, None),
+        (2, t(9), 1, "purchase", 0.0, None),
+        # user 2 clicks BEFORE their first view -> stops at view stage
+        (3, t(1), 2, "click", 0.0, None),
+        (4, t(2), 2, "view", 0.0, None),
+        (5, t(3), 2, "purchase", 0.0, None),  # purchase without valid click
+        # user 3 views then clicks, never purchases
+        (6, t(0), 3, "view", 0.0, None),
+        (7, t(8), 3, "click", 0.0, None),
+        # user 4 only purchases -> counted nowhere
+        (8, t(4), 4, "purchase", 0.0, None),
+    ]
+    out = EV.funnel_counts(spark.createDataFrame(rows, ddl)).collect()[0]
+    assert out.n_view == 3  # users 1, 2, 3
+    assert out.n_view_click == 2  # users 1, 3 (user 2's click preceded view)
+    assert out.n_view_click_purchase == 1  # user 1 only
