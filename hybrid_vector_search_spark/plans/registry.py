@@ -1488,3 +1488,346 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan, _probes = LSH.lsh_topk_plan(emb, query_vector(31), k=10)
     return plan.select("id", F.round("score", 6).alias("score"))
+
+
+# ----------------------------------------- relational breadth, batch 2
+# More distinct plan shapes over the reduced TPC-H testdata: outer-join
+# count distribution (Q13), max-over-aggregated-CTE (Q15), having-subquery
+# semi-join (Q18), disjunctive multi-attribute pushdown (Q19), conditional
+# market-share ratio (Q8), scalar-subquery + anti-join (Q22 shape), lag
+# windows, and running totals. The reference has none of these (SURVEY.md
+# §2.5-2.7 "absent"); they are the relational surface a 100 TB pipeline
+# leans on daily.
+
+_REV_GRID_SQL = round_portable_sql(
+    round_portable_sql("SUM(l_extendedprice * (1 - l_discount))", 4), 2
+)
+
+
+def _rev_grid():
+    """Order-stable 2-decimal revenue sum: summands live on a 4-decimal
+    grid (2-dec price × 2-dec discount), so snapping the float sum to that
+    grid collapses ULP noise before the display rounding."""
+    expr = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return round_portable(round_portable(expr, 4), 2)
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders — left
+    outer join (order-less customers count as 0) into a double aggregation.
+    The outer join shuffles on custkey; the second group-by re-aggregates
+    the tiny (c_count, n) table, so the heavy shuffle happens exactly
+    once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""WITH rev AS (
+  SELECT l_suppkey AS supplier_no, {_REV_GRID_SQL} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier(s) by quarter revenue — an aggregated
+    CTE compared against its own MAX (ties kept). The scalar subquery
+    decorrelates to a single-row broadcast joined back to the per-supplier
+    revenue table; the revenue grid-snap makes the equality comparison
+    safe across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(_rev_grid().alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """SELECT c_custkey, c_name, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_totalprice, total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 200) big
+  ON big.l_orderkey = o_orderkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 50""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    the IN-subquery over a grouped HAVING decorrelated into an
+    aggregate-then-join. The lineitem aggregate shuffles on orderkey and
+    shrinks the fact ~4000× before it ever meets orders; quantities are
+    integral doubles so the sum is exact in any order."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    f"""SELECT {_REV_GRID_SQL} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common single-side conjuncts (brand IN the three values,
+    quantity within the hull) and pushes them below the join as scan
+    filters, leaving only the residual disjunction on the joined rows —
+    the classic disjunctive-pushdown test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    disj = (
+        ((br == "Brand#12") & sz.between(1, 15) & qty.between(1, 11))
+        | ((br == "Brand#18") & sz.between(1, 25) & qty.between(10, 20))
+        | ((br == "Brand#23") & sz.between(1, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(disj)
+        .agg(_rev_grid().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_Q8_NUM_SQL = round_portable_sql(
+    "SUM(CASE WHEN n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)",
+    4,
+)
+_Q8_DEN_SQL = round_portable_sql("SUM(l_extendedprice * (1 - l_discount))", 4)
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+  {round_portable_sql(f"{_Q8_NUM_SQL} / {_Q8_DEN_SQL}", 6)} AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY 1 ORDER BY o_year""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue among
+    ASIA suppliers, per order year — a six-table star join (all dims
+    broadcast around the lineitem fact) feeding a conditional-aggregate
+    ratio. Numerator and denominator are grid-snapped before the divide so
+    the share is the same double in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = round_portable(
+        F.sum(F.when(F.col("n_name") == "NATION_2", vol).otherwise(0.0)), 4
+    )
+    den = round_portable(F.sum(vol), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(round_portable(num / den, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    f"""WITH thresh AS (
+  SELECT {grid_avg_sql('SUM(c_acctbal)', 'COUNT(*)', 2, 6)} AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+  {round_portable_sql('SUM(c_acctbal)', 2)} AS total_bal
+FROM customer, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the reduced schema: above-average-balance
+    customers with no recent orders, profiled per market segment. A
+    scalar-subquery threshold (single-row broadcast cross join) feeds an
+    anti-join against the date-filtered orders scan; acctbal sums are
+    2-decimal-grid values snapped portably."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(grid_avg(F.sum("c_acctbal"), F.count(F.lit(1)), 2, 6).alias("avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            round_portable(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "events_user_interarrival",
+    f"""WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type, COUNT(gap_us) AS n_gaps,
+  {grid_avg_sql('SUM(gap_us)', 'COUNT(gap_us)', 0, 2)} AS avg_gap_us
+FROM seq WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type""",
+)
+def events_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps (lag window over the event stream,
+    microsecond-exact integers), averaged per event type — the cadence
+    statistic behind bot/burst detection. One shuffle on user_id for the
+    window, one tiny re-aggregation; the integer sum makes the average
+    portable via the 0-digit grid snap."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        seq.filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            grid_avg(F.sum("gap_us"), F.count("gap_us"), 0, 2).alias(
+                "avg_gap_us"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_daily_cumulative",
+    f"""WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events,
+         {round_portable_sql('SUM(value)', 2)} AS day_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, n_events,
+  (SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_events,
+  {round_portable_sql("SUM(day_value) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)", 2)} AS cum_value
+FROM d ORDER BY event_type, day""",
+)
+def events_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals per event type: daily aggregate then a cumulative
+    window (ROWS UNBOUNDED PRECEDING) — the standard dashboard 'to-date'
+    query. The window runs over the already-tiny per-day table and reuses
+    the group-by's hash partitioning; daily sums are grid-snapped so the
+    sequential running sum is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    d = ev.select("event_type", day, "value").groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_portable(F.sum("value"), 2).alias("day_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("cum_events"),
+        round_portable(F.sum("day_value").over(w), 2).alias("cum_value"),
+    ).orderBy("event_type", "day")
