@@ -41,10 +41,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    vectorized reader rejects; read nanos as long (runtime conf) and
-    convert to a microsecond timestamp — the same floor-truncation DuckDB
-    applies, so both engines see identical instants.
+    ``events.parquet`` has carried ``ts`` as either TIMESTAMP(NANOS) —
+    which the vectorized reader rejects — or TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ. Normalize
+    both to a session-TZ (UTC) TIMESTAMP so epoch functions
+    (``unix_micros``/``unix_timestamp``) resolve; nanos floor-truncate to
+    micros exactly as DuckDB does, so both engines see identical instants.
     """
     if name not in TESTDATA_TABLES:
         raise ValidationError(f"unknown table '{name}'")
@@ -52,11 +54,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer `div`, NOT `/`: float division of an ~1.7e18 nanos
             # value rounds at the 2^53 double mantissa limit, shifting
             # instants by ±1µs vs DuckDB's exact integer floor division
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ→TZ cast interprets the wall-clock in the session TZ
+            # (UTC), preserving the stored micros value bit-for-bit
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
