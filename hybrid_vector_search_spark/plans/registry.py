@@ -1831,3 +1831,261 @@ def events_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).alias("cum_events"),
         round_portable(F.sum("day_value").over(w), 2).alias("cum_value"),
     ).orderBy("event_type", "day")
+
+
+# ----------------------------------------- relational breadth, batch 3
+# The remaining classic TPC-H plan shapes expressible on the reduced
+# testdata schema (no partsupp / shipmode / receiptdate columns exist, so
+# Q2/Q11/Q12/Q20 are out of reach and Q9/Q16/Q17/Q21 are adapted shapes):
+# two-sided nation disjunction (Q7), multi-dim profit rollup (Q9), distinct
+# aggregation with a NOT-IN blacklist (Q16), correlated per-group average
+# threshold (Q17), and double-correlated EXISTS/NOT-EXISTS decorrelated to
+# one per-order aggregate (Q21).
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+  {_REV_GRID_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by year, with the
+    nation dimension joined twice under different roles (supplier vs
+    customer) and a cross-side disjunction. Both nation copies broadcast;
+    the disjunction can only be evaluated after both joins, but the
+    shipdate range prunes the fact scan first — the one big shuffle is
+    lineitem⋈orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-12-31").cast("timestamp")
+    sn = F.col("supp_nation")
+    cn = F.col("cust_nation")
+    return (
+        li.filter(F.col("l_shipdate").between(lo, hi))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((sn == "NATION_1") & (cn == "NATION_2"))
+            | ((sn == "NATION_2") & (cn == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_rev_grid().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation_year",
+    f"""SELECT n_name AS nation,
+  EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+  {_REV_GRID_SQL} AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+)
+def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp table, so profit is gross
+    discounted revenue rather than revenue minus supplycost): per
+    supplier-nation, per order-year profit on parts whose name matches a
+    substring. The part filter broadcasts as a pre-filtered dimension so
+    the fact scan shrinks before the orderkey shuffle; nation/supplier
+    broadcast around it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    red = part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    return (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_rev_grid().alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts_by_part",
+    """SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#12'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+def tpch_q16_supplier_counts_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted — supplier blacklist keyed on negative
+    account balance instead of the comment-text complaint scan, and part
+    attributes reached through lineitem since partsupp doesn't exist):
+    distinct-supplier counts per (brand, type, size) bucket. The NOT IN
+    becomes a broadcast anti-join (safe: s_suppkey is non-null), the part
+    predicate prunes the broadcast dimension before the fact join, and
+    COUNT(DISTINCT) shuffles once on the group keys with partial
+    de-duplication map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    keep_part = part.filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = supp.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(keep_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_Q17_SQL = round_portable_sql(
+    f"{round_portable_sql('SUM(l_extendedprice)', 2)} / 7.0", 6
+)
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""SELECT {_Q17_SQL} AS avg_yearly, COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.2 * (SUM(l_quantity) / COUNT(*))
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (adapted — brand filter only, no container column):
+    revenue from lineitems whose quantity is under 20% of their part's
+    average. The correlated scalar subquery decorrelates to a per-part
+    aggregate joined back to the fact; quantities are small integral
+    doubles so SUM/COUNT is exact in any accumulation order and the 0.2×
+    threshold is the same double in both engines — a strict `<` against it
+    is portable. The per-part aggregate covers ALL lineitems (the inner
+    query is unfiltered), then shrinks to the brand's parts via the
+    broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    per_part = (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (F.sum("l_quantity") / F.count(F.lit(1)).cast("double"))
+            ).alias("qty_threshold")
+        )
+        .select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
+    )
+    small = (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return small.agg(
+        round_portable(
+            round_portable(F.sum("l_extendedprice"), 2) / 7.0, 6
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q21_sole_returned_supplier",
+    """WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret_supp
+  FROM lineitem GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN per_order ON per_order.l_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n_supp > 1 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20""",
+)
+def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — l_returnflag='R' stands in for the
+    missing receipt-after-commit date comparison): suppliers who were the
+    ONLY supplier with a returned line on a multi-supplier finalized
+    order. The classic EXISTS + NOT-EXISTS self-join pair is decorrelated
+    into ONE per-order aggregate (distinct suppliers, distinct returning
+    suppliers) reused for both conditions — a single orderkey shuffle
+    instead of two fact-to-fact semi/anti joins, the plan that survives a
+    100× fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
