@@ -15,6 +15,7 @@ Conventions for bit-stable comparison:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2089,3 +2090,106 @@ def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+# ------------------------------------------------- streaming (oracle-checked)
+# Structured Streaming entries, drained with trigger(availableNow) into a
+# memory sink so they return a plain DataFrame the driver can compare.
+# Complete-mode windowed aggregation and set-semantics dedup are
+# DETERMINISTIC under replay, so — unusually for streaming — both carry a
+# full DuckDB oracle rather than a rows-only check. At production scale
+# the same plans run in append mode with the watermark bounding state;
+# complete mode here keeps every window so the one-shot drain equals the
+# batch answer exactly (streaming/pipeline.py docstrings).
+
+_STREAM_SEQ = iter(range(10**9))
+
+
+@register(
+    "streaming_hourly_counts",
+    f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+    AS window_start,
+  event_type, COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation over the events landing zone,
+    drained via availableNow — the incremental-batch pattern ("run the
+    stream until caught up"). Epoch-aligned 1h windows make window.start
+    ≡ date_trunc('hour'), so the complete-mode result is exactly the
+    batch GROUP BY: the batch/stream duality the engine promises
+    (streaming/pipeline.py windowed_agg_stream is the watermarked
+    production twin)."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        TS_FMT,
+        read_events_stream,
+        run_available_now,
+    )
+
+    glob = os.path.join(sf_dir, "events.parque[t]")
+    ev = read_events_stream(spark, glob, ntz_ts=True)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_portable(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    table = f"stream_hourly_{next(_STREAM_SEQ)}"
+    run_available_now(agg, table, output_mode="complete")
+    return spark.table(table).orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_dedup_fingerprints",
+    f"""SELECT DISTINCT {TX.fingerprint_md5_sql('text')} AS fingerprint
+FROM documents ORDER BY fingerprint""",
+)
+def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained to the surviving fingerprint set:
+    every distinct content fingerprint survives exactly once, so the
+    append-mode output has set-equality with batch SELECT DISTINCT — the
+    parity that makes online ingest dedup trustworthy. Documents carry no
+    event time, so arrival order is synthesized (doc_id minutes) and the
+    watermark is set beyond the synthetic span: duplicates can never
+    outlive the fingerprint state, the condition for exact parity
+    (dedup_stream docstring covers the bounded-watermark trade at
+    production scale)."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        dedup_stream,
+        run_available_now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    glob = os.path.join(sf_dir, "documents.parque[t]")
+    docs = (
+        spark.readStream.schema(schema)
+        .parquet(glob)
+        .withColumn(
+            # +1: a synthetic ts of exactly epoch 0 (doc_id 0) equals the
+            # stream's INITIAL watermark and is discarded as late data
+            "ts",
+            F.timestamp_micros((F.col("doc_id") + 1) * 60_000_000),
+        )
+    )
+    deduped = dedup_stream(docs, watermark="36500 days").select("fingerprint")
+    table = f"stream_dedup_{next(_STREAM_SEQ)}"
+    run_available_now(deduped, table, output_mode="append")
+    return spark.table(table).orderBy("fingerprint")

@@ -36,17 +36,35 @@ def read_events_stream(
     path: str,
     schema: T.StructType = EVENTS_STREAM_SCHEMA,
     max_files_per_trigger: int | None = None,
+    ntz_ts: bool = False,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     Each newly-landed file becomes a micro-batch input (the standard
     landing-zone pattern); ``maxFilesPerTrigger`` bounds batch size for
     steady backpressure.
+
+    ``ntz_ts=True`` reads parquet whose ``ts`` is TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (what the testdata stores): the declared schema
+    must say TIMESTAMP_NTZ or the vectorized reader refuses the column;
+    the NTZ→TZ cast then pins the wall-clock to the UTC session zone,
+    mirroring the batch loader. The streaming source also requires a
+    *directory* (or glob) path — for a single file, pass a glob like
+    ``.../events.parque[t]`` so basePath resolves to the parent dir.
     """
+    if ntz_ts:
+        fields = [
+            T.StructField("ts", T.TimestampNTZType()) if f.name == "ts" else f
+            for f in schema.fields
+        ]
+        schema = T.StructType(fields)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    if ntz_ts:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_agg_stream(

@@ -159,3 +159,48 @@ def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
     spark.createDataFrame(batch2, ddl).coalesce(1).write.parquet(d, mode="append")
     drain()
     assert kept == {0, 1, 3}  # doc 2 deduped against doc 0's fingerprint
+
+
+def test_registry_streaming_hourly_matches_batch(spark):
+    """The registry's availableNow-drained stream equals the batch
+    GROUP BY on real testdata (complete mode keeps every window)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.registry import QUERIES
+    from hybrid_vector_search_spark.sources.loaders import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_hourly_counts"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    got = dict(zip(zip(out.window_start, out.event_type), out.n_events))
+    expected = dict(
+        zip(zip(batch.window_start, batch.event_type), batch.n_events)
+    )
+    assert got == expected
+
+
+def test_registry_streaming_dedup_is_distinct_set(spark):
+    from hybrid_vector_search_spark.functions.text import fingerprint_md5
+    from hybrid_vector_search_spark.plans.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_dedup_fingerprints"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {
+        r[0]
+        for r in docs.select(fingerprint_md5("text").alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert set(out.fingerprint) == expected
+    assert len(out) == len(expected)  # each fingerprint survives exactly once
