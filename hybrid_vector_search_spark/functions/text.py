@@ -142,6 +142,21 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+_WS = re.compile(r"\s+")
+
+
+def py_shingles(s: str | None, n: int) -> list[str] | None:
+    """Distinct word n-grams (first-occurrence order) of one normalized
+    text — the single Python shingle kernel shared by :func:`shingles`
+    and :func:`shingle_rows` so every caller has identical semantics.
+    Returns None for None input (matches the SQL form)."""
+    if s is None:
+        return None
+    toks = _WS.sub(" ", s.lower()).strip().split(" ")
+    m = max(len(toks) - n, 0) + 1
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m)))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct, first-occurrence order) of the
     normalized text — the dedup unit for MinHash/Jaccard.
@@ -151,25 +166,58 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     lambda per position, which profiled ~20× slower — n-gram assembly
     is a string kernel, not relational work, so the UDF is the right
     side of the JVM/Python boundary here.
+
+    CAVEAT: do NOT ``F.explode`` this column — Catalyst's Python-UDF
+    extraction leaves a dead duplicate ArrowEvalPython below the Generate
+    (measured ~2× the UDF cost); use :func:`shingle_rows` when the next
+    step is an exploded inverted index.
     """
     c = F.col(text) if isinstance(text, str) else text
-    ws = re.compile(r"\s+")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
-            out = []
-            for s in batch:
-                if s is None:
-                    out.append(None)  # matches the SQL form: null in → null out
-                    continue
-                toks = ws.sub(" ", s.lower()).strip().split(" ")
-                m = max(len(toks) - n, 0) + 1
-                grams = [" ".join(toks[i : i + n]) for i in range(m)]
-                out.append(list(dict.fromkeys(grams)))
-            yield pd.Series(out)
+            yield pd.Series([py_shingles(s, n) for s in batch])
 
     return _shingles(c)
+
+
+def shingle_rows(
+    docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Exploded shingle inverted index ``(id, n_sh, g)`` — one row per
+    distinct n-gram per document, with the document's shingle-set size
+    carried inline.
+
+    One ``mapInPandas`` pass replaces UDF→Generate: shingle assembly and
+    the explode happen in the same Arrow batch, avoiding both the dead
+    duplicate ArrowEvalPython that Generate-over-a-UDF-column plans
+    execute and the intermediate array materialization. Null texts yield
+    no rows (a null shingle set has nothing to invert).
+    """
+    schema = T.StructType(
+        [
+            next(f for f in docs.schema.fields if f.name == id_col),
+            T.StructField("n_sh", T.IntegerType(), False),
+            T.StructField("g", T.StringType(), False),
+        ]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            sizes: list[int] = []
+            grams: list[str] = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                g = py_shingles(s, n)
+                if not g:
+                    continue
+                ids.extend([did] * len(g))
+                sizes.extend([len(g)] * len(g))
+                grams.extend(g)
+            yield pd.DataFrame({id_col: ids, "n_sh": sizes, "g": grams})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def shingles_hof(text: Column | str, n: int = 3) -> Column:

@@ -166,15 +166,21 @@ def ngram_jaccard_pairs(
     count intersections → jaccard = inter / (|A| + |B| − inter).
 
     The exploded inverted index is built ONCE and persisted: the shingle
-    UDF is the kernel cost, and without the persist each self-join side
-    (and the size lookup) would re-run it over the whole corpus. Carrying
-    ``ns`` on the exploded rows makes the final sizes a by-product of the
-    pair groupBy instead of two extra joins.
+    kernel is the dominant cost, and without the persist each self-join
+    side (and the size lookup) would re-run it over the whole corpus.
+    Carrying ``ns`` on the exploded rows makes the final sizes a
+    by-product of the pair groupBy instead of two extra joins; building
+    the index with ``shingle_rows`` (mapInPandas) rather than
+    UDF+explode avoids the dead duplicate ArrowEvalPython that
+    Generate-over-a-UDF-column plans execute.
     """
-    sh = shingle_sets(_spread(docs), n, id_col)
-    ex = sh.select(
-        F.col(id_col), F.size("sh").alias("ns"), F.explode("sh").alias("g")
-    ).persist()
+    from hybrid_vector_search_spark.functions.text import shingle_rows
+
+    ex = (
+        shingle_rows(_spread(docs), n, id_col)
+        .withColumnRenamed("n_sh", "ns")
+        .persist()
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -2193,3 +2193,64 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_dedup_{next(_STREAM_SEQ)}"
     run_available_now(deduped, table, output_mode="append")
     return spark.table(table).orderBy("fingerprint")
+
+
+# --------------------------------------------- benchmark decontamination
+
+_DECON_N = 4  # word n-gram size; _DECON_MOD picks the pseudo-benchmark split
+_DECON_MOD = 11
+
+
+@register(
+    "docs_decontaminate",
+    f"""WITH toks AS (SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(t) - {_DECON_N}, 0) + 1),
+    i -> array_to_string(t[i + 1 : i + {_DECON_N}], ' '))) AS s FROM toks),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+          WHERE doc_id % {_DECON_MOD} = 0),
+corpus AS (SELECT doc_id, unnest(s) AS g FROM sh
+           WHERE doc_id % {_DECON_MOD} <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM corpus JOIN bench USING (g) GROUP BY 1),
+sz AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+SELECT h.doc_id, n_hits,
+  {round_portable_sql('n_hits::DOUBLE / n_sh', 6)} AS containment
+FROM hits h JOIN sz USING (doc_id) ORDER BY doc_id""",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    {n}-gram with a held-out benchmark set (here the doc_id % MOD == 0
+    slice stands in for the benchmark), reporting hit count and
+    containment |doc∩bench|/|doc| per contaminated document. The
+    benchmark shingle vocabulary is tiny relative to the corpus (real
+    benchmarks are MBs against TBs), so it BROADCASTS: the corpus-side
+    explode never shuffles — map-side semi-join, then one aggregation by
+    doc_id. The same shingle UDF as the dedup family keeps one n-gram
+    semantics engine-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    # shingle_rows = one mapInPandas pass per branch emitting the exploded
+    # inverted index with |shingles| carried inline — no UDF→Generate dead
+    # duplicate eval, no separate sizes⋈hits join.
+    bench_g = (
+        TX.shingle_rows(docs.filter(is_bench), _DECON_N)
+        .select("g")
+        .distinct()
+    )
+    corpus_ex = TX.shingle_rows(docs.filter(~is_bench), _DECON_N)
+    return (
+        corpus_ex.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            round_portable(
+                F.col("n_hits").cast("double") / F.col("n_sh"), 6
+            ).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )

@@ -165,3 +165,37 @@ def test_dedup_components_groups_near_dups(docs):
     # exact dups 0/1 and near dup 2 collapse to component 0; 3,4 are alone
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[3] == 3 and comp[4] == 4
+
+
+def test_decontaminate_matches_python(spark):
+    """Registry decontamination vs a direct Python recomputation of
+    4-gram containment against the doc_id%11 pseudo-benchmark."""
+    import re
+
+    import pandas as pd
+
+    from hybrid_vector_search_spark.plans.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["docs_decontaminate"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def grams(s, n=4):
+        toks = re.sub(r"\s+", " ", s.lower()).strip().split(" ")
+        m = max(len(toks) - n, 0) + 1
+        return set(" ".join(toks[i : i + n]) for i in range(m))
+
+    bench = set()
+    for t in docs[docs.doc_id % 11 == 0].text:
+        bench |= grams(t)
+    expected = {}
+    for r in docs[docs.doc_id % 11 != 0].itertuples():
+        g = grams(r.text)
+        hits = len(g & bench)
+        if hits:
+            expected[r.doc_id] = (hits, round(hits / len(g), 6))
+    got = {
+        r.doc_id: (r.n_hits, round(r.containment, 6))
+        for r in out.itertuples()
+    }
+    assert got == expected
