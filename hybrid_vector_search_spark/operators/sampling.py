@@ -60,6 +60,16 @@ def hash_sample_where_sql(key_expr: str, fraction: float) -> str:
     return f"{portable_hash_key_sql(key_expr)} < {cut}"
 
 
+def hash_key_lt_threshold_sql(key_expr: str, rate_expr: str) -> str:
+    """Keep test against a *column-valued* rate (data-dependent sampling,
+    e.g. mixture resampling): hash(key) < floor(rate · 2^32). The floor
+    keeps the compare on integers so both engines decide identically."""
+    return (
+        f"{portable_hash_key_sql(key_expr)} "
+        f"< CAST(floor(({rate_expr}) * {float(HASH_SPACE)}) AS BIGINT)"
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata: list[str], key: str, n_per_stratum: int
 ) -> DataFrame:

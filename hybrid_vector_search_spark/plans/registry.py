@@ -2254,3 +2254,139 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- vector aggregation + pivot shapes
+
+
+@register(
+    "embedding_centroids_per_label",
+    """SELECT label, d - 1 AS dim, COUNT(*) AS n_vecs,
+  ROUND(AVG(v::DOUBLE), 6) AS centroid_v
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS d FROM embeddings)
+GROUP BY 1, 2 ORDER BY label, dim""",
+)
+def embedding_centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, emitted as (label, dim, avg) rows —
+    element-wise vector aggregation via posexplode + one partial-agg
+    shuffle on (label, dim). The unpivoted form keeps the comparator on
+    scalars and is also the shape you feed back into a KMeans-style
+    update step; at scale the exploded stream is map-combined 64× before
+    the exchange, so the shuffle carries one row per (label, dim), not
+    per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_daily",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+  {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1 ORDER BY day""",
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix: groupBy(day).pivot(event_type) with the
+    value list pinned — pinning keeps the pivot one-pass (no extra
+    distinct-values job) and the output schema static, which is what a
+    downstream dashboard (and the oracle compare) needs. Equivalent to
+    conditional aggregation; the pivot carries the per-type counts in one
+    shuffle on day."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # null → 0 for days missing a type, matching COUNT FILTER semantics
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("day")
+
+
+_MIX_BUDGET = 0.8  # fraction of the corpus the resampled mixture keeps
+# per-source weight 1..4 from the numeric suffix — a deliberately skewed
+# target mixture so high-weight sources hit the rate=1.0 clamp
+_MIX_W_SQL = "(1 + (substr(source, 4)::INT % 4))"
+
+
+@register(
+    "docs_resample_mixture",
+    f"""WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, {_MIX_W_SQL} AS w
+  FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_docs)::DOUBLE AS total, SUM(w)::DOUBLE AS sum_w
+        FROM per_src),
+rates AS (SELECT source, n_docs,
+  LEAST(1.0, ({_MIX_BUDGET} * total * w / sum_w) / n_docs) AS rate
+  FROM per_src, tot),
+kept AS (SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE {SP.hash_key_lt_threshold_sql('d.doc_id', 'r.rate')}
+  GROUP BY 1)
+SELECT r.source, r.n_docs, ROUND(r.rate, 6) AS rate,
+  COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source) ORDER BY source""",
+)
+def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture resampling: reweight sources toward a target mix
+    under a global document budget — per-source acceptance rate =
+    min(1, budget·wₛ/Σw / nₛ), applied as a deterministic hash threshold
+    (operators/sampling.py): the same document is kept on every run, on
+    any partitioning, at any cluster size. The rate table is a tiny
+    two-stage aggregate broadcast back onto the corpus scan, so the keep
+    decision is map-side; reported per source as (population, rate,
+    kept). Rates derive from integer counts, so both engines compute the
+    identical double and the floor-threshold compare is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn("w", (F.substring("source", 4, 10).cast("int") % 4 + 1))
+    tot = per_src.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.sum("w").cast("double").alias("sum_w"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.lit(_MIX_BUDGET) * F.col("total") * F.col("w") / F.col("sum_w"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            SP.portable_hash_key(F.col("doc_id"))
+            < F.floor(F.col("rate") * F.lit(float(SP.HASH_SPACE))).cast("long")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

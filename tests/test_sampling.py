@@ -70,3 +70,23 @@ def test_pack_respects_strata_boundaries(docs):
     )
     for r in sums.collect():
         assert r.tok <= 8 or r.n == 1
+
+
+def test_resample_mixture_budget_and_determinism(spark):
+    from hybrid_vector_search_spark.plans.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["docs_resample_mixture"](spark, sf_dir).toPandas()
+    out2 = QUERIES["docs_resample_mixture"](spark, sf_dir).toPandas()
+    # bit-stable across runs (hash-threshold, not df.sample)
+    assert out.equals(out2)
+    # rates clamp at 1.0 and keep counts never exceed the population
+    assert (out.rate <= 1.0).all() and (out.rate > 0).all()
+    assert (out.n_kept <= out.n_docs).all()
+    # sources hitting the clamp keep everything
+    clamped = out[out.rate >= 1.0]
+    assert (clamped.n_kept == clamped.n_docs).all()
+    assert len(clamped) > 0  # the skewed weights make the clamp reachable
+    # total kept tracks the budget (hash sampling is binomial per source)
+    total, kept = out.n_docs.sum(), out.n_kept.sum()
+    assert abs(kept / total - 0.8) < 0.15
