@@ -2070,11 +2070,18 @@ def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
+    # min/max stand in for COUNT(DISTINCT): >1 distinct ⇔ min≠max, and
+    # exactly-1 distinct (non-null) ⇔ min=max non-null — same semantics
+    # without the Expand duplication two distinct-aggregates would cost
+    # (the oracle SQL keeps COUNT(DISTINCT) for readability; results are
+    # identical)
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+        (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi_supp"),
+        (
+            F.min(ret_supp).isNotNull()
+            & (F.min(ret_supp) == F.max(ret_supp))
+        ).alias("sole_ret"),
     )
     return (
         li.filter(F.col("l_returnflag") == "R")
@@ -2083,7 +2090,7 @@ def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .filter(F.col("multi_supp") & F.col("sole_ret"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -2371,22 +2378,85 @@ def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("rate"),
     )
-    kept = (
-        docs.join(F.broadcast(rates.select("source", "rate")), "source")
-        .filter(
-            SP.portable_hash_key(F.col("doc_id"))
-            < F.floor(F.col("rate") * F.lit(float(SP.HASH_SPACE))).cast("long")
-        )
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-    )
+    # One corpus pass computes kept-vs-population together: every doc
+    # joins its (broadcast, 20-row) rate row, the keep decision is a
+    # map-side flag, and a single per-source aggregation carries the
+    # population and rate through first() — no second rate evaluation, no
+    # outer join back, zero-kept sources still appear.
+    keep = (
+        SP.portable_hash_key(F.col("doc_id"))
+        < F.floor(F.col("rate") * F.lit(float(SP.HASH_SPACE))).cast("long")
+    ).cast("long")
     return (
-        rates.join(kept, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.round("rate", 6).alias("rate"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.round(F.first("rate"), 6).alias("rate"),
+            F.sum(keep).alias("n_kept"),
         )
+        .select("source", "n_docs", "rate", "n_kept")
         .orderBy("source")
     )
+
+
+def _lsh_postfilter_oracle(seed: int, filters: dict, k: int, radius: int) -> str:
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    q = query_vector(seed)
+    probes = LSH.probe_set(q, planes, probe_hamming=radius)
+    qlit = sql_array_literal(q)
+    bucket = LSH.bucket_sql_expr(planes)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    where = filters_to_sql(schema, filters)
+    return f"""{CORPUS_CTE}
+SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM corpus
+WHERE {bucket} IN ({', '.join(str(b) for b in probes)}) AND ({where})
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
+LIMIT {k}"""
+
+
+_LSH_PF_CASE = {
+    "seed": 23,
+    "filters": {"label": {"in": [2, 5, 8]}, "lang": {"in": ["en", "fr"]}},
+    "k": 10,
+    "radius": 1,
+}
+
+
+@register(
+    "hybrid_topk_post_filter_lsh",
+    _lsh_postfilter_oracle(**_LSH_PF_CASE),
+)
+def hybrid_topk_post_filter_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 post-filter strategy end-to-end on the LSH scale path: probed
+    buckets are scored, then semi-joined against the predicate-compiled
+    allowed set — ANN candidate generation UNDER a metadata filter, the
+    reference's post_filter plan (src/baselines/post_filter.py:17-109)
+    re-expressed as bucket pruning + broadcast left-semi. The probe
+    radius is pinned at Hamming 1 so the plan is deterministic and fully
+    oracle-checkable; the production ladder (radius 0→1→2 until ≥K
+    survivors) lives in LSHPostFilterBackend.search and is exercised by
+    the harness tests."""
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+
+    corpus = load_corpus(spark, sf_dir)
+    backend = LSHPostFilterBackend(corpus)
+    plan, _probes = backend.plan(
+        query_vector(_LSH_PF_CASE["seed"]),
+        _LSH_PF_CASE["filters"],
+        _LSH_PF_CASE["k"],
+        probe_hamming=_LSH_PF_CASE["radius"],
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
