@@ -182,6 +182,24 @@ def main(argv: Sequence[str] | None = None) -> None:
     print(json.dumps(summarize(rows), indent=2))
 
 
+def load_results(spark, path: str):
+    """Tolerant results.jsonl scan (reference S8,
+    plots/latency_recall.py:9-19: json.loads per line, bad lines
+    skipped): PERMISSIVE JSON read routing unparseable lines to the
+    corrupt-record column, which are then dropped — same
+    keep-what-parses semantics, but distributed."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    if "_corrupt" in df.columns:
+        df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    return df
+
+
 def summarize(rows: list[dict[str, Any]]) -> dict[str, Any]:
     """Plots-equivalent summary aggregations (reference A3/A4,
     plots/latency_recall.py:48,65) as plain reductions over stats rows."""

@@ -94,3 +94,21 @@ def test_summarize(tiny_rows):
     s = summarize(rows)
     assert s["exact"]["n"] == 2
     assert s["exact"]["mean_recall_at_k"] == 1.0
+
+
+def test_load_results_skips_bad_lines(spark, tmp_path):
+    """Reference S8: unparseable JSONL lines are dropped, good ones kept
+    (plots/latency_recall.py:9-19 semantics)."""
+    from hybrid_vector_search_spark.plans.harness import load_results
+
+    p = tmp_path / "results.jsonl"
+    p.write_text(
+        '{"qid": 1, "method": "exact", "latency_ms": 5.0}\n'
+        "this is not json\n"
+        '{"qid": 2, "method": "exact", "latency_ms": 7.0}\n'
+        '{"qid": 3, "method": bad}\n'
+    )
+    df = load_results(spark, str(p))
+    rows = df.orderBy("qid").collect()
+    assert [r["qid"] for r in rows] == [1, 2]
+    assert "_corrupt" not in df.columns
