@@ -2510,3 +2510,61 @@ def docs_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "events_trailing_7d",
+    f"""WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         (epoch(date_trunc('day', ts)) // 86400)::BIGINT AS day_num,
+         COUNT(*) AS n_events,
+         {round_portable_sql('SUM(value)', 2)} AS day_value
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type, day, n_events,
+  (SUM(n_events) OVER w)::BIGINT AS trailing_7d_events,
+  {round_portable_sql('SUM(day_value) OVER w', 2)} AS trailing_7d_value
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day""",
+)
+def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day totals per event type — a RANGE-frame window over
+    the integer day number, so GAPS in the calendar shrink the frame
+    (unlike the ROWS frame in events_daily_cumulative, which would
+    silently span missing days). The window runs over the tiny per-day
+    aggregate and reuses its hash partitioning; day values are
+    grid-snapped so the short frame sums are bit-identical across
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_portable(F.sum("value"), 2).alias("day_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("trailing_7d_events"),
+        round_portable(F.sum("day_value").over(w), 2).alias(
+            "trailing_7d_value"
+        ),
+    ).orderBy("event_type", "day")

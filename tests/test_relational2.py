@@ -115,3 +115,23 @@ def test_daily_cumulative_monotone_and_total(spark):
         assert grp["cum_events"].iloc[-1] == (ev["event_type"] == etype).sum()
         # running value never decreases (values are non-negative)
         assert (grp["cum_value"].diff().dropna() >= -1e-9).all()
+
+
+def test_trailing_7d_window_semantics(spark):
+    """RANGE frame: each row's trailing total equals the sum of day
+    counts within [day-6, day] for that event type."""
+    out = QUERIES["events_trailing_7d"](spark, SF_DIR).toPandas()
+    ev = pdf("events")
+    ev = ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+    daily = ev.groupby(["event_type", "day"]).size()
+    for r in out.itertuples():
+        import datetime as dt
+
+        d = dt.date.fromisoformat(r.day)
+        lo = (d - dt.timedelta(days=6)).isoformat()
+        expected = sum(
+            v
+            for (etype, day), v in daily.items()
+            if etype == r.event_type and lo <= day <= r.day
+        )
+        assert r.trailing_7d_events == expected
