@@ -2568,3 +2568,31 @@ def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_value"
         ),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "docs_sources_covering_all_langs",
+    """SELECT source, COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+HAVING COUNT(DISTINCT lang) = (SELECT COUNT(DISTINCT lang) FROM documents)
+ORDER BY source""",
+)
+def docs_sources_covering_all_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: sources with documents in EVERY language —
+    the for-all quantifier decorrelated to per-source distinct counts
+    checked against a single-row global distinct count (broadcast cross
+    join). Classic division plans via double NOT EXISTS cost two
+    fact-fact anti-joins; the count-matching form is one aggregation and
+    a broadcast compare, the shape that survives at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = docs.agg(F.countDistinct("lang").alias("all_langs"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .filter(F.col("n_langs") == F.col("all_langs"))
+        .select("source", "n_langs", "n_docs")
+        .orderBy("source")
+    )
