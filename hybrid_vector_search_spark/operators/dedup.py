@@ -455,20 +455,30 @@ def connected_components(
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), "component_id"
         )
+        # The previous label rides along as `own` (labels contributes
+        # exactly one row per id; min() skips the neighbors' nulls), so
+        # convergence = "no row improved" is a scan of the checkpoint we
+        # materialize anyway — not a second join against the old labels.
         new = (
-            labels.union(nbr)
+            labels.select(
+                "id", "component_id", F.col("component_id").alias("own")
+            )
+            .union(
+                nbr.select(
+                    "id", "component_id", F.lit(None).cast("long").alias("own")
+                )
+            )
             .groupBy("id")
-            .agg(F.min("component_id").alias("component_id"))
+            .agg(
+                F.min("component_id").alias("component_id"),
+                F.min("own").alias("own"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
+            new.filter(F.col("component_id") < F.col("own")).limit(1).count()
         )
-        labels = new
+        labels = new.select("id", "component_id")
         if changed == 0:
             break
     untouched = nodes.select(F.col(id_col).alias("id")).join(
