@@ -2596,3 +2596,70 @@ def docs_sources_covering_all_langs(spark: SparkSession, sf_dir: str) -> DataFra
         .select("source", "n_langs", "n_docs")
         .orderBy("source")
     )
+
+
+_GEO_LAT_SQL = (
+    "(('0x' || substr(md5(id::VARCHAR || ':lat'), 1, 8))::BIGINT"
+    " / 4294967296.0) * 180.0 - 90.0"
+)
+_GEO_LON_SQL = (
+    "(('0x' || substr(md5(id::VARCHAR || ':lon'), 1, 8))::BIGINT"
+    " / 4294967296.0) * 360.0 - 180.0"
+)
+_GEO_CASE = {"seed": 37, "box": (0.0, 60.0, -90.0, 90.0), "k": 10}
+
+
+@register(
+    "hybrid_topk_geo",
+    f"""{CORPUS_CTE},
+geo AS (SELECT id, embedding, {_GEO_LAT_SQL} AS latitude,
+               {_GEO_LON_SQL} AS longitude FROM corpus)
+SELECT id, ROUND(list_dot_product(embedding::DOUBLE[],
+  {{qlit}}), 6) AS score
+FROM geo
+WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+  AND latitude BETWEEN {_GEO_CASE['box'][0]} AND {_GEO_CASE['box'][1]}
+  AND longitude BETWEEN {_GEO_CASE['box'][2]} AND {_GEO_CASE['box'][3]}
+ORDER BY list_dot_product(embedding::DOUBLE[], {{qlit}}) DESC, id ASC
+LIMIT {_GEO_CASE['k']}""".replace(
+        "{qlit}", sql_array_literal(query_vector(_GEO_CASE["seed"]))
+    ),
+)
+def hybrid_topk_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo bounding-box hybrid search (reference F7,
+    src/dataio/validators.py:305-329): the paired lat/lon `between`
+    predicate — accepted top-level in the filter DSL, NULL-failing both
+    columns — under vector scoring. Testdata carries no coordinates, so
+    the query derives deterministic uniform lat/lon from the portable id
+    hash (exact integer/2^32 arithmetic, identical doubles in both
+    engines); the predicate compiler then treats them like any stored
+    column."""
+    from hybrid_vector_search_spark.operators import sampling as SP2
+
+    corpus = load_corpus(spark, sf_dir)
+    lat_key = SP2.portable_hash_key(
+        F.concat(F.col("id").cast("string"), F.lit(":lat"))
+    )
+    lon_key = SP2.portable_hash_key(
+        F.concat(F.col("id").cast("string"), F.lit(":lon"))
+    )
+    geo = corpus.withColumns(
+        {
+            "latitude": (lat_key / F.lit(4294967296.0)) * 180.0 - 90.0,
+            "longitude": (lon_key / F.lit(4294967296.0)) * 360.0 - 180.0,
+        }
+    )
+    lo_lat, hi_lat, lo_lon, hi_lon = _GEO_CASE["box"]
+    pred = compile_filters(
+        geo.schema,
+        {"lat_between": [lo_lat, hi_lat], "lon_between": [lo_lon, hi_lon]},
+    )
+    scored = geo.filter(pred).select(
+        "id",
+        dot_score_pandas_udf(query_vector(_GEO_CASE["seed"]))(
+            F.col("embedding")
+        ).alias("score"),
+    )
+    return topk(scored, _GEO_CASE["k"]).select(
+        "id", F.round("score", 6).alias("score")
+    )
