@@ -2663,3 +2663,46 @@ def hybrid_topk_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(scored, _GEO_CASE["k"]).select(
         "id", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "streaming_sliding_2h_counts",
+    """WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n_events
+FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""",
+)
+def streaming_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (2h windows sliding 1h):
+    every event contributes to exactly two overlapping windows — the
+    hopping-window shape behind trailing-rate monitors. Complete-mode
+    availableNow drain equals the batch union-of-two-buckets oracle;
+    state is two window rows per (hour, type), and in production the
+    watermarked append-mode twin evicts each window one slide after it
+    closes."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        TS_FMT,
+        read_events_stream,
+        run_available_now,
+    )
+
+    glob = os.path.join(sf_dir, "events.parque[t]")
+    ev = read_events_stream(spark, glob, ntz_ts=True)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    table = f"stream_sliding_{next(_STREAM_SEQ)}"
+    run_available_now(agg, table, output_mode="complete")
+    return spark.table(table).orderBy("window_start", "event_type")
