@@ -2706,3 +2706,40 @@ def streaming_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_sliding_{next(_STREAM_SEQ)}"
     run_available_now(agg, table, output_mode="complete")
     return spark.table(table).orderBy("window_start", "event_type")
+
+
+@register(
+    "customers_churned_since_1995",
+    """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'),
+a01 AS (SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+churn AS (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a01)
+SELECT c_mktsegment, COUNT(*) AS n_churned
+FROM churn JOIN customer ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY c_mktsegment""",
+)
+def customers_churned_since_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference shape: customers active in 1995 with no orders in
+    2001+, profiled per market segment. DataFrame ``subtract`` (EXCEPT
+    DISTINCT) — Catalyst plans it as distinct + left-anti join, so both
+    order scans keep their date pushdown and the subtraction shuffles
+    only distinct custkeys (reference has no set ops; SURVEY §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a95 = orders.filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1995-12-31").cast("timestamp"),
+        )
+    ).select("o_custkey")
+    a01 = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    churn = a95.subtract(a01)
+    return (
+        churn.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+        .orderBy("c_mktsegment")
+    )
