@@ -45,13 +45,18 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         best = float("inf")
-        for _ in range(max(n_runs, 1)):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(max(n_runs, 1)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.collect()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # one broken query must not sink the run
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -65,6 +70,7 @@ def main() -> None:
                 "sf": sf,
                 "warmup_sec": round(warmup_s, 4),
                 "n_queries": len(timings),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

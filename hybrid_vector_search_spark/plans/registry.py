@@ -2743,3 +2743,44 @@ def customers_churned_since_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_churned"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "docs_quality_deciles",
+    f"""WITH q AS (SELECT doc_id, lang,
+  {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
+  FROM documents),
+t AS (SELECT lang, quality,
+  NTILE(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS decile
+  FROM q)
+SELECT lang, decile, COUNT(*) AS n_docs,
+  {grid_avg_sql('SUM(quality)', 'COUNT(*)', 6, 6)} AS avg_quality
+FROM t GROUP BY 1, 2 ORDER BY lang, decile""",
+)
+def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score deciles per language — the distribution view behind
+    'drop the bottom N%' corpus filtering. NTILE ranks over the ROUNDED
+    score with doc_id as tiebreaker so bucket boundaries are identical in
+    both engines; one shuffle for the per-language window, a tiny
+    re-aggregation for the decile profile. Quality values live on the
+    1e-6 grid, so decile averages snap portably."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        round_portable(TX.quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    t = q.select("lang", "quality", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            grid_avg(F.sum("quality"), F.count(F.lit(1)), 6, 6).alias(
+                "avg_quality"
+            ),
+        )
+        .orderBy("lang", "decile")
+    )
