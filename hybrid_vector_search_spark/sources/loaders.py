@@ -51,6 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise ValidationError(f"unknown table '{name}'")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The driver's session comes without our get_spark defaults; timestamp
+    # rendering (date_format/strftime vs DuckDB) is only correct in UTC,
+    # so pin the runtime conf here rather than relying on host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

@@ -53,6 +53,10 @@ def read_events_stream(
     ``.../events.parque[t]`` so basePath resolves to the parent dir.
     """
     if ntz_ts:
+        # NTZ→TZ cast and downstream rendering must agree on UTC even on a
+        # session without our get_spark defaults (e.g. the driver's): on
+        # whole-hour zones the two cancel, but not on half-hour offsets.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         fields = [
             T.StructField("ts", T.TimestampNTZType()) if f.name == "ts" else f
             for f in schema.fields
