@@ -9,6 +9,7 @@ Usage: python tools/selfcheck.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -52,7 +53,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filters = sys.argv[2:]
 
-    spark = get_spark("selfcheck", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # Driver rehearsal: a bare session without any get_spark defaults
+        # (no UTC tz, no Arrow confs, default shuffle partitions) — the
+        # environment __spark_entry__ actually runs in.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("selfcheck-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
