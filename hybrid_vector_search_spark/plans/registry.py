@@ -2784,3 +2784,42 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+@register(
+    "streaming_enriched_by_user_segment",
+    """WITH seg AS (SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
+                    FROM events)
+SELECT segment, event_type, COUNT(*) AS n_events
+FROM events JOIN seg USING (user_id)
+GROUP BY 1, 2 ORDER BY segment, event_type""",
+)
+def streaming_enriched_by_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (user → segment) before a complete-mode aggregation — the
+    canonical lookup-table pattern (Kafka stream ⋈ broadcast dim). The
+    static side is loaded once per micro-batch planning cycle and
+    broadcast; no stream-stream state is involved, so the join adds no
+    watermark requirement. Segments derive deterministically from
+    user_id so the oracle can rebuild the same dimension."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    glob = os.path.join(sf_dir, "events.parque[t]")
+    ev = read_events_stream(spark, glob, ntz_ts=True)
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    agg = (
+        ev.join(F.broadcast(static_dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    table = f"stream_seg_{next(_STREAM_SEQ)}"
+    run_available_now(agg, table, output_mode="complete")
+    return spark.table(table).orderBy("segment", "event_type")
