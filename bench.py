@@ -70,6 +70,11 @@ def main() -> None:
                 "sf": sf,
                 "warmup_sec": round(warmup_s, 4),
                 "n_queries": len(timings),
+                # the reference-comparable number: its whole benchmark is 10
+                # hybrid queries (BASELINE.md: ~0.54s pre_filter / ~1.4s
+                # exact, total, single node); hybrid_batch_canonical runs
+                # the same 10-query workload as ONE Spark job
+                "canonical_10_sec": timings.get("hybrid_batch_canonical"),
                 **({"errors": errors} if errors else {}),
             }
         )
