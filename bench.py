@@ -60,25 +60,41 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "warmup_sec": round(warmup_s, 4),
-                "n_queries": len(timings),
-                # the reference-comparable number: its whole benchmark is 10
-                # hybrid queries (BASELINE.md: ~0.54s pre_filter / ~1.4s
-                # exact, total, single node); hybrid_batch_canonical runs
-                # the same 10-query workload as ONE Spark job
-                "canonical_10_sec": timings.get("hybrid_batch_canonical"),
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    # the reference-comparable number: its whole benchmark is 10 hybrid
+    # queries (BASELINE.md: ~0.54s pre_filter / ~1.4s exact, total, single
+    # node); hybrid_batch_canonical runs the same 10-query workload as ONE
+    # Spark job.
+    headline_keys = [
+        "hybrid_batch_canonical",
+        "hybrid_topk_exact",
+        "hybrid_topk_unfiltered",
+        "knn_batch_topk",
+        "ann_lsh_topk",
+        "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh_pairs",
+    ]
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        # a small curated map so the printed line stays well under the
+        # driver's tail-capture window (r1 lesson: the full 77-query map
+        # made the line unparseable — BENCH_r01.json recorded parsed:null);
+        # the complete per-query map lives in BENCH_DETAIL.json next door.
+        "queries": {k: timings[k] for k in headline_keys if k in timings},
+        "sf": sf,
+        "warmup_sec": round(warmup_s, 4),
+        "n_queries": len(timings),
+        "canonical_10_sec": timings.get("hybrid_batch_canonical"),
+        "detail_file": "BENCH_DETAIL.json",
+        **({"n_errors": len(errors)} if errors else {}),
+    }
+    detail = dict(headline)
+    detail["queries"] = timings
+    if errors:
+        detail["errors"] = errors
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

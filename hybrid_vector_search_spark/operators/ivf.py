@@ -23,8 +23,12 @@ Defaults mirror the reference: ``nlist ≈ √N`` clamped to [64, 4096]
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 from typing import Any
+
+# module-level: pandas_udf resolves the Iterator[pd.Series] hints against
+# module globals (PEP 563 strings under `from __future__ import annotations`)
+import pandas as pd  # noqa: E402
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -108,16 +112,62 @@ class IVFIndex:
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         assigned = model.transform(feats).drop("__features")
 
+        assigned = cls._materialize(assigned, persist_path)
+        return cls(assigned, centroids, id_col=id_col, partitioned_path=persist_path)
+
+    @staticmethod
+    def _materialize(assigned: DataFrame, persist_path: str | None) -> DataFrame:
+        """Persist the assigned corpus: ``partitionBy("list_id")`` parquet
+        when a path is given (the scale path — probing becomes native
+        partition pruning, only probed list directories are read), else an
+        in-memory cache (test path)."""
         if persist_path:
             assigned.write.mode("overwrite").partitionBy("list_id").parquet(
                 persist_path
             )
-            spark = corpus.sparkSession
-            assigned = spark.read.parquet(persist_path)
-        else:
-            assigned = assigned.cache()
-            assigned.count()  # materialize once
-        return cls(assigned, centroids, id_col=id_col, partitioned_path=persist_path)
+            return assigned.sparkSession.read.parquet(persist_path)
+        assigned = assigned.cache()
+        assigned.count()  # materialize once
+        return assigned
+
+    @classmethod
+    def build_fixed(
+        cls,
+        corpus: DataFrame,
+        centroids: "np.ndarray",
+        id_col: str = "id",
+        persist_path: str | None = None,
+    ) -> "IVFIndex":
+        """IVF with a FIXED coarse quantizer: ``list_id = argmax_i
+        ⟨embedding, centroid_i⟩`` over caller-supplied centroids.
+
+        FAISS's IndexIVF accepts any coarse quantizer (the KMeans one in
+        :meth:`build` is just the default — reference src/dataio/
+        loaders.py:106-120); a seeded-centroid quantizer keeps the
+        identical physical plan (assign → prune probed lists → exact
+        scoring within) while making the assignment a pure function of
+        (embedding, centroid literals). That determinism is what lets
+        plans/registry.py give the ANN query a full value-hash DuckDB
+        oracle — the oracle replays the same argmax assignment in SQL —
+        instead of an unverifiable no-oracle row. One Arrow pass, one
+        GEMM per batch; ties broken toward the lowest list index in both
+        engines (np.argmax / list_position both take the first max)."""
+        from pyspark.sql import types as T
+
+        cents = np.asarray(centroids, dtype=np.float64)
+
+        @F.pandas_udf(T.IntegerType())
+        def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for batch in it:
+                if len(batch) == 0:
+                    yield pd.Series([], dtype="int32")
+                    continue
+                m = np.vstack(batch.to_numpy()).astype(np.float64)
+                yield pd.Series((m @ cents.T).argmax(axis=1).astype("int32"))
+
+        assigned = corpus.withColumn("list_id", _assign(F.col("embedding")))
+        assigned = cls._materialize(assigned, persist_path)
+        return cls(assigned, cents, id_col=id_col, partitioned_path=persist_path)
 
     def probe(self, qvec: Sequence[float], nprobe: int = DEFAULT_NPROBE) -> list[int]:
         """Driver-side probe planner: top-``nprobe`` centroid lists by inner

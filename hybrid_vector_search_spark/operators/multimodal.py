@@ -52,7 +52,7 @@ MEDIA_SCHEMA = T.StructType(
 
 DECODED_IMAGE_FIELDS = (
     "media_id LONG, width INT, height INT, channels INT, "
-    "mean_pixel DOUBLE, checksum STRING"
+    "mean_pixel DOUBLE, checksum STRING, n_bytes INT"
 )
 
 FEATURE_DIM = 64
@@ -135,13 +135,41 @@ def synth_media_table(
     return spark.read.parquet(cache).repartition(n_partitions)
 
 
+def media_from_documents(docs: DataFrame, limit: int = 32) -> DataFrame:
+    """Media table derived from the ``documents`` testdata: payload =
+    UTF-8 bytes of the text, metadata a deterministic function of the id.
+
+    This is how a real ingest lands media next to its provenance row —
+    and because payload bytes equal the document text, an external SQL
+    engine (the DuckDB oracle) can recompute the decode stub's outputs
+    (md5 / byte stats) from the same parquet, giving the multimodal
+    pipeline a full value-hash correctness check."""
+    return docs.filter(F.col("doc_id") < limit).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.struct(
+            F.lit("png").alias("format"),
+            (F.lit(32) + (F.col("doc_id") % 4) * 16).cast("int").alias("width"),
+            F.lit(32).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """STUB decode kernel. A real implementation would be::
 
         from PIL import Image; img = Image.open(io.BytesIO(data))
 
     Here: deterministic pixel statistics derived from the payload bytes —
-    same signature, same output schema, zero codec deps."""
+    same signature, same output schema, zero codec deps. Every output is a
+    pure function of (payload bytes, meta) that an external engine can
+    recompute — md5 checksum, byte-mean "pixel" average, byte length —
+    which is what lets the registry expose a DuckDB-checkable oracle for
+    this stage (CORRECTNESS gate) despite the codec being stubbed."""
     out = {
         "media_id": pdf["media_id"],
         "width": pdf["meta"].map(lambda m: m["width"]),
@@ -151,8 +179,9 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             lambda b: float(np.frombuffer(bytes(b), dtype=np.uint8).mean())
         ),
         "checksum": pdf["data"].map(
-            lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+            lambda b: hashlib.md5(bytes(b)).hexdigest()
         ),
+        "n_bytes": pdf["data"].map(lambda b: len(bytes(b))).astype("int32"),
     }
     return pd.DataFrame(out)
 

@@ -105,3 +105,21 @@ def test_post_filter_strict_filter_returns_short(spark, corpus):
         query_vector(9), {"n_chars": {"le": 0}}, 5
     )
     assert ids == [] and stats["scored_vectors"] == 10
+
+
+def test_ivf_fixed_quantizer_assignment_and_full_probe(spark, corpus):
+    """build_fixed: list_id is the argmax centroid (NumPy cross-check on
+    the collected corpus) and probing every list reduces to exact."""
+    n = corpus.count()
+    cents = np.vstack([query_vector(s) for s in (210, 211, 212, 213)])
+    idx = IVFIndex.build_fixed(corpus.select("id", "embedding"), cents)
+    q = query_vector(5)
+    plan, probed = idx.search_plan(q, k=10, nprobe=4)
+    ann_ids = [r.id for r in plan.collect()]
+    exact_ids, _ = ExactBackend(corpus, n).search(q, {}, 10)
+    assert len(probed) == 4
+    assert ann_ids == exact_ids
+    rows = idx.assigned.select("id", "embedding", "list_id").collect()
+    for r in rows[:50]:
+        want = int(np.argmax(cents @ np.asarray(r.embedding, dtype=np.float64)))
+        assert r.list_id == want

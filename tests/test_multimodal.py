@@ -20,8 +20,24 @@ def test_decode_images_only_images_cross_arrow(media):
     out = MM.decode_images(media).collect()
     assert len(out) == 8
     r = {x.media_id: x for x in out}[0]
-    assert r.channels == 3 and len(r.checksum) == 16
+    assert r.channels == 3 and len(r.checksum) == 32  # full md5 hex
     assert 0.0 <= r.mean_pixel <= 255.0
+    assert r.n_bytes == 256
+
+
+def test_media_from_documents_decode_is_md5_of_text(spark):
+    import hashlib
+
+    rows = [(0, "hello world"), (1, "spark engine")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    media = MM.media_from_documents(docs, limit=32)
+    out = {r.media_id: r for r in MM.decode_images(media).collect()}
+    for i, text in rows:
+        b = text.encode("utf-8")
+        assert out[i].checksum == hashlib.md5(b).hexdigest()
+        assert out[i].n_bytes == len(b)
+        assert abs(out[i].mean_pixel - sum(b) / len(b)) < 1e-9
+    assert out[0].width == 32 and out[1].width == 48
 
 
 def test_decode_deterministic(media):
