@@ -288,6 +288,6 @@ class PostFilterBackend(SearchBackend):
             "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
             "bound_at_stop": scores[-1] if scores else None,
             "scores": scores,
-            "notes": f"ladder_stop={stop_kprime}",
+            "notes": self.compose_notes(f"ladder_stop={stop_kprime}"),
         }
         return ids, stats

@@ -235,6 +235,8 @@ class LSHPostFilterBackend(SearchBackend):
             "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
             "bound_at_stop": scores[-1] if scores else None,
             "scores": scores,
-            "notes": f"radius_stop={stop_radius},nbits={self.nbits}",
+            "notes": self.compose_notes(
+                f"radius_stop={stop_radius},nbits={self.nbits}"
+            ),
         }
         return ids, stats

@@ -82,7 +82,19 @@ class SearchBackend(ABC):
             "scored_vectors": scored,
             "scores": [float(r["score"]) for r in rows],
         }
+        note = self.compose_notes()
+        if note:
+            stats["notes"] = note
         return ids, stats
+
+    def compose_notes(self, base: str | None = None) -> str | None:
+        """Join a strategy's own notes with the K6 fallback provenance
+        (set by ``load_corpus_index`` when this backend was landed via the
+        chain) — subclasses that build their own ``notes`` route it
+        through here so the fallback record survives."""
+        fb = getattr(self, "fallback_note", None)
+        parts = [p for p in (base, fb) if p]
+        return "; ".join(parts) or None
 
 
 class ExactBackend(SearchBackend):
@@ -160,3 +172,80 @@ def get_backend(
             f"unknown backend '{name}' (choose from {sorted(registry)})"
         )
     return registry[name](corpus, n, **kwargs)
+
+
+def load_corpus_index(
+    corpus: DataFrame,
+    n: int | None = None,
+    prefer_ivf: bool = True,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+    id_col: str = "id",
+) -> SearchBackend:
+    """K6 index fallback chain (reference ``load_vectors_index``,
+    src/dataio/loaders.py:176-218: IVF preferred → HNSW → Exact).
+
+    Spark chain: IVF (MLlib KMeans post_filter) preferred; LSH — this
+    engine's HNSW substitute (README "capability deltas") — when the IVF
+    build is unavailable; exact as the floor. The chain never raises for
+    a missing ANN dependency: each rung's build is attempted eagerly so a
+    failure falls through *here*, not mid-query, and the landed rung is
+    recorded in ``backend.fallback_note`` (surfaced in the §2.10 ``notes``
+    stats field by ``search``)."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        DEFAULT_NPROBE,
+        PostFilterBackend,
+    )
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+
+    if prefer_ivf:
+        try:
+            backend: SearchBackend = PostFilterBackend(
+                corpus, n, id_col=id_col, nlist=nlist,
+                nprobe=nprobe if nprobe is not None else DEFAULT_NPROBE,
+            )
+            backend.index  # build eagerly: fall through HERE on failure
+            return backend
+        except Exception as e:  # noqa: BLE001 — any build failure falls through
+            note = f"ivf unavailable ({type(e).__name__}); fell back"
+        else:  # pragma: no cover
+            note = ""
+    else:
+        note = "ivf skipped (prefer_ivf=False)"
+    try:
+        backend = LSHPostFilterBackend(corpus, n, id_col=id_col)
+        backend.planes  # eager hyperplane build — same fall-through contract
+        backend.fallback_note = f"{note} to lsh"
+        return backend
+    except Exception as e:  # noqa: BLE001
+        backend = ExactBackend(corpus, n, id_col=id_col)
+        backend.fallback_note = f"{note} to lsh ({type(e).__name__}) to exact"
+        return backend
+
+
+def get_index_params(index: Any) -> dict[str, Any]:
+    """K7 introspection (reference ``get_index_params``, src/dataio/
+    loaders.py:220-232): a small dict describing the ANN configuration,
+    ``{"type": "exact"}`` when the object carries no ANN state. Accepts
+    either a backend or a bare index object."""
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex, PostFilterBackend
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+
+    try:
+        if isinstance(index, PostFilterBackend):
+            return {
+                "type": "ivfflat",
+                "nlist": int(index.index.nlist),
+                "nprobe": int(index.nprobe),
+            }
+        if isinstance(index, IVFIndex):
+            return {"type": "ivfflat", "nlist": int(index.nlist)}
+        if isinstance(index, LSHPostFilterBackend):
+            return {
+                "type": "lsh",
+                "nbits": int(index.nbits),
+                "radius_ladder": list(index.radius_ladder),
+            }
+    except Exception:  # pragma: no cover — mirror the reference's tolerance
+        pass
+    return {"type": "exact"}

@@ -90,3 +90,51 @@ def test_empty_result_consistent_shape(tiny_corpus):
     )
     assert ids == []
     assert stats["scored_vectors"] == 0
+
+
+def test_index_fallback_chain_and_params(tiny_corpus):
+    """K6/K7 (reference load_vectors_index + get_index_params,
+    src/dataio/loaders.py:176-232; registry-mapping spec mirrored from
+    tests/test_run_impl.py:412-424): the chain lands on IVF when
+    available, falls to LSH/exact otherwise, records the fall in notes,
+    and every landing introspects to the right param dict."""
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+    from hybrid_vector_search_spark.operators.strategies import (
+        get_index_params,
+        load_corpus_index,
+    )
+
+    b = load_corpus_index(tiny_corpus, 5, nlist=2, nprobe=2)
+    assert b.name == "post_filter"
+    p = get_index_params(b)
+    assert p == {"type": "ivfflat", "nlist": 2, "nprobe": 2}
+    # bare index object introspects too
+    assert get_index_params(b.index) == {"type": "ivfflat", "nlist": 2}
+
+    # IVF declined → LSH substitute, with the fall recorded in stats notes
+    b2 = load_corpus_index(tiny_corpus, 5, prefer_ivf=False)
+    assert b2.name == "post_filter_lsh"
+    assert get_index_params(b2)["type"] == "lsh"
+    _ids, stats = b2.search(Q_E1, {}, 2)
+    assert "ivf skipped" in stats["notes"]
+
+    # non-index objects → exact (reference's terminal default)
+    assert get_index_params(object()) == {"type": "exact"}
+    assert get_index_params(ExactBackend(tiny_corpus, 5)) == {"type": "exact"}
+
+
+def test_index_fallback_on_broken_ivf_build(tiny_corpus, monkeypatch):
+    """A failing IVF build falls through to LSH without raising."""
+    from hybrid_vector_search_spark.operators import ivf as ivf_mod
+    from hybrid_vector_search_spark.operators.strategies import (
+        load_corpus_index,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("no mllib here")
+
+    monkeypatch.setattr(ivf_mod.IVFIndex, "build", classmethod(boom))
+    b = load_corpus_index(tiny_corpus, 5)
+    assert b.name == "post_filter_lsh"
+    _ids, stats = b.search(Q_E1, {}, 2)
+    assert "ivf unavailable" in stats["notes"] and "lsh" in stats["notes"]
