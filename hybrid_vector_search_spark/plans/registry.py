@@ -2957,3 +2957,83 @@ def streaming_enriched_by_user_segment(spark: SparkSession, sf_dir: str) -> Data
     table = "stream_seg"
     run_available_now(agg, table, output_mode="complete")
     return spark.table(table).orderBy("segment", "event_type")
+
+
+# ------------------------------------------- results-log analytics (A3/A4)
+
+# Committed harness-output fixture (fixtures/results_log.jsonl): 4 backends
+# × the 10 canonical queries at sf0.001, plus one deliberately corrupt line
+# exercising the tolerant S8 scan in BOTH engines. Absolute path so the
+# oracle runs regardless of the driver's cwd.
+RESULTS_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "results_log.jsonl",
+)
+
+# DuckDB's ignore_errors surfaces the corrupt line as an all-NULL row
+# (Spark's PERMISSIVE + corrupt-record drop removes it); `method IS NOT
+# NULL` aligns the two tolerances.
+_RESULTS_CTE = (
+    f"WITH results AS (SELECT * FROM read_json_auto('{RESULTS_FIXTURE}', "
+    "ignore_errors=true) WHERE method IS NOT NULL)"
+)
+
+_RESULT_METHODS = ("exact", "post_filter_lsh", "pre_filter", "random")
+
+
+@register(
+    "results_mean_scored_by_method",
+    f"""{_RESULTS_CTE}
+SELECT method, COUNT(*) AS n_queries,
+  {grid_avg_sql('SUM(scored_vectors)', 'COUNT(*)', 0, 6)} AS mean_scored,
+  {grid_avg_sql('SUM(recall_at_k)', 'COUNT(*)', 6, 6)} AS mean_recall
+FROM results GROUP BY method ORDER BY method""",
+)
+def results_mean_scored_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (reference plots/latency_recall.py:48 plot_scored_vectors_bar):
+    mean scored_vectors per method over the results log — the work-vs-
+    method comparison the reference renders as a bar chart, as an
+    oracle-checked aggregation over the committed harness-output fixture.
+    Averages use grid_avg: scored_vectors sums are integers and recall
+    sums live on a small decimal grid, so both engines round the
+    identical double."""
+    from hybrid_vector_search_spark.plans.harness import load_results
+
+    res = load_results(spark, RESULTS_FIXTURE)
+    return (
+        res.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            grid_avg(
+                F.sum("scored_vectors"), F.count(F.lit(1)), 0, 6
+            ).alias("mean_scored"),
+            grid_avg(
+                F.sum("recall_at_k"), F.count(F.lit(1)), 6, 6
+            ).alias("mean_recall"),
+        )
+        .orderBy("method")
+    )
+
+
+@register(
+    "results_scored_pivot_by_qid",
+    f"""{_RESULTS_CTE}
+SELECT qid,
+  {', '.join(f"MAX(scored_vectors) FILTER (method = '{m}') AS {m}" for m in _RESULT_METHODS)}
+FROM results GROUP BY qid ORDER BY qid""",
+)
+def results_scored_pivot_by_qid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (reference plots/latency_recall.py:65
+    plot_scored_vectors_per_query): the qid × method scored_vectors
+    matrix — ``groupBy(qid).pivot(method)`` with the method list pinned
+    so the pivot stays one-pass and the output schema static."""
+    from hybrid_vector_search_spark.plans.harness import load_results
+
+    res = load_results(spark, RESULTS_FIXTURE)
+    return (
+        res.groupBy("qid")
+        .pivot("method", list(_RESULT_METHODS))
+        .agg(F.max("scored_vectors"))
+        .orderBy("qid")
+    )
