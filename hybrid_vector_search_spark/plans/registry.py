@@ -3037,3 +3037,299 @@ def results_scored_pivot_by_qid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("scored_vectors"))
         .orderBy("qid")
     )
+
+
+# -------------------------------------- TPC-H shapes: q2/q11/q12/q20/q22
+# (adapted to the testdata star schema — no partsupp/phone/shipmode
+# columns exist, so lineitem serves as the part↔supplier catalog and
+# nationkey as the country code; each docstring names the delta)
+
+_Q2_COST_SQL = grid_avg_sql("SUM(l_extendedprice)", "COUNT(*)", 2, 6)
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""WITH cost AS (
+  SELECT l_partkey, l_suppkey, {_Q2_COST_SQL} AS supply_cost
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey),
+best AS (SELECT l_partkey, MIN(supply_cost) AS min_cost
+         FROM cost GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM cost
+JOIN best ON best.l_partkey = cost.l_partkey AND supply_cost = min_cost
+JOIN part ON p_partkey = cost.l_partkey
+JOIN supplier ON s_suppkey = cost.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: lineitem stands in for partsupp, average
+    sale price per (part, supplier) for supply cost): the minimum-cost
+    supplier per part within a region — a correlated MIN subquery
+    decorrelated into an aggregate joined back on (part, cost) equality.
+    The equality is safe because both cost sides snap to the same grid
+    (grid_avg). Dimension joins (supplier/nation/region/filtered part)
+    all broadcast; the only big shuffles are the two partkey
+    aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    region_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(
+            F.broadcast(region_supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            grid_avg(
+                F.sum("l_extendedprice"), F.count(F.lit(1)), 2, 6
+            ).alias("supply_cost")
+        )
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("supply_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "_bpk")
+    )
+    wanted = part.filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("_bpk"))
+            & (cost.supply_cost == F.col("min_cost")),
+        )
+        .drop("_bpk")
+        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+_Q11_FRACTION = 0.002
+
+
+@register(
+    "tpch_q11_important_parts",
+    f"""WITH val AS (
+  SELECT l_partkey, {_REV_GRID_SQL} AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, part_value
+FROM val
+WHERE part_value > (SELECT SUM(part_value) * {_Q11_FRACTION} FROM val)
+ORDER BY part_value DESC, p_partkey""",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem revenue stands in for partsupp
+    stock value): parts whose value through one nation's suppliers
+    exceeds a fraction of the nation's total — a HAVING against a scalar
+    subquery, decorrelated into a single-row broadcast cross-join. The
+    per-part value reuses the revenue grid snap, so the threshold
+    compare is the same double in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    nation_supp = (
+        supp.join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+            supp.s_nationkey == nat.n_nationkey,
+        ).select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_rev_grid().alias("part_value"))
+    )
+    thresh = val.agg(
+        (F.sum("part_value") * F.lit(_Q11_FRACTION)).alias("_thresh")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("_thresh"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    """SELECT l_returnflag,
+  COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    AS high_line_count,
+  COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+    AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode/commitdate/receiptdate
+    columns — "late" is shipped >60 days after the order date, and
+    l_returnflag stands in for the shipmode grouping): per-group counts
+    of high- vs low-priority late lineitems. The date filter pushes to
+    the lineitem scan; the orders join carries only (orderkey, priority);
+    conditional counts are one pass (no Expand — two count-ifs, not
+    COUNT DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q20_SHARE = 0.2
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    f"""WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN red ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM shipped
+JOIN tot ON tot.l_partkey = shipped.l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE qty > {_Q20_SHARE} * part_qty
+ORDER BY s_suppkey""",
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp.availqty — a supplier is
+    "dominant" when it shipped more than a share of a red part's total
+    quantity in the year): nested semi-join pyramid (filtered parts →
+    per-(part,supplier) quantities → per-part totals → threshold join →
+    supplier names). Quantities are small integral doubles — exact in
+    any order, so the share compare is portable; the red-part list
+    broadcasts ahead of the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    red = part.filter(F.col("p_name").like("red %")).select("p_partkey")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    return (
+        shipped.join(tot.withColumnRenamed("l_partkey", "_pk"),
+                     shipped.l_partkey == F.col("_pk"))
+        .filter(F.col("qty") > F.lit(_Q20_SHARE) * F.col("part_qty"))
+        .join(F.broadcast(supp), shipped.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+_Q22_CODES = (3, 8, 13, 18, 23)
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    f"""WITH pos AS (
+  SELECT {grid_avg_sql(
+      "SUM(c_acctbal)",
+      "COUNT(*)", 2, 6)} AS avg_bal
+  FROM customer
+  WHERE c_acctbal > 0.0 AND c_nationkey IN {_Q22_CODES!r}),
+eligible AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer, pos
+  WHERE c_nationkey IN {_Q22_CODES!r} AND c_acctbal > avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+  {round_portable_sql(round_portable_sql("SUM(c_acctbal)", 2), 2)} AS totacctbal
+FROM eligible GROUP BY c_nationkey ORDER BY cntrycode""",
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: c_nationkey stands in for the phone
+    country code, and "inactive" means no order since 1999 — the dense
+    synthetic history gives every customer SOME order, which would make
+    the original never-ordered predicate vacuous): wealthy-but-inactive
+    customers per country — a scalar average over positive balances
+    (broadcast single row), an anti-join against recent orders, then
+    per-code counts. The anti-join is the plan's one big shuffle;
+    everything else is broadcast, and the date filter shrinks the
+    anti-join's build side before the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+
+    in_codes = F.col("c_nationkey").isin(*_Q22_CODES)
+    avg_bal = (
+        cust.filter(in_codes & (F.col("c_acctbal") > 0.0))
+        .agg(grid_avg(F.sum("c_acctbal"), F.count(F.lit(1)), 2, 6).alias("avg_bal"))
+    )
+    return (
+        cust.filter(in_codes)
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(recent).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round_portable(
+                round_portable(F.sum("c_acctbal"), 2), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

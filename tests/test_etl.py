@@ -67,13 +67,13 @@ def test_dev_sample_exact_n_seeded(spark, raw_json):
 
 def test_embedded_corpus_stub_unit_norm(spark, raw_json):
     df = etl.ingest_business_json(spark, raw_json, drop_name=False)
-    emb = etl.build_embedded_corpus(df, dim=32).collect()
+    emb = etl.build_embedded_corpus(df, dim=32, allow_stub=True).collect()
     assert len(emb) == 3
     for r in emb:
         assert len(r.embedding) == 32
         assert abs(float(np.linalg.norm(r.embedding)) - 1.0) < 1e-3
     # determinism: same text → same vector
-    again = etl.build_embedded_corpus(df, dim=32).collect()
+    again = etl.build_embedded_corpus(df, dim=32, allow_stub=True).collect()
     assert {r.id: tuple(r.embedding) for r in emb} == {
         r.id: tuple(r.embedding) for r in again
     }
