@@ -313,12 +313,12 @@ def _ann_ivf_centroids():
     return np.vstack([query_vector(s) for s in ANN_IVF_CENTROID_SEEDS])
 
 
-def _ann_ivf_probed() -> list[int]:
+def _ann_ivf_probed(qseed: int = ANN_IVF_QSEED) -> list[int]:
     """Probed list ids — a compile-time constant: centroids and the query
     vector are both seed-derived, so the probe plan is known at import."""
     import numpy as np
 
-    scores = _ann_ivf_centroids() @ query_vector(ANN_IVF_QSEED)
+    scores = _ann_ivf_centroids() @ query_vector(qseed)
     order = np.argsort(-scores, kind="stable")[:ANN_IVF_NPROBE]
     return sorted(int(i) for i in order)
 
@@ -3332,4 +3332,163 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ----------------------------------- hybrid search over the IVF index
+
+_HYBRID_IVF_SEED = 31
+_HYBRID_IVF_FILTERS = {"lang": {"in": ["en", "de"]}, "n_chars": {"ge": 50}}
+
+
+def _hybrid_ivf_oracle() -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    where = filters_to_sql(schema, _HYBRID_IVF_FILTERS)
+    qlit = sql_array_literal(query_vector(_HYBRID_IVF_SEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(_HYBRID_IVF_SEED))
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings)),
+pruned AS (
+  SELECT a.id, a.e, doc.lang, doc.n_chars
+  FROM assigned a LEFT JOIN documents doc ON a.id = doc.doc_id
+  WHERE a.list_id IN ({probed}))
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM pruned
+WHERE {where}
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+@register("hybrid_topk_ivf_prefilter", _hybrid_ivf_oracle())
+def hybrid_topk_ivf_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: metadata predicates INSIDE the IVF probe (the
+    combination the reference runs as post_filter P3, here in its
+    pre-filter form): prune to the probed lists first — at scale that is
+    partition pruning, nprobe/nlist of the bytes — then join the pruned
+    slice to its metadata, apply the compiled predicate, exact-score only
+    the survivors. One filter semantics engine-wide: the same dict
+    compiles to the Spark Column and the oracle WHERE."""
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    qvec = query_vector(_HYBRID_IVF_SEED)
+    probed = _ann_ivf_probed(_HYBRID_IVF_SEED)
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    pruned = (
+        index.assigned.filter(F.col("list_id").isin(probed))
+        .select("id", "embedding")
+        .join(docs.select("id", "lang", "n_chars"), "id", "left")
+    )
+    pred = compile_filters(pruned.schema, _HYBRID_IVF_FILTERS)
+    scored = pruned.filter(pred).select(
+        "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
+    )
+    return topk(scored, ANN_IVF_K).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
+# --------------------------------- streaming: session windows + custom state
+
+_SESS_GAP_MIN = 30
+_SESS_WM = "1 hour"
+
+
+@register(
+    "streaming_session_windows",
+    f"""WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER win IS NULL
+           OR ts - LAG(ts) OVER win >= INTERVAL {_SESS_GAP_MIN * 60} SECOND
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE < (SELECT w FROM wm)
+ORDER BY user_id, session_start""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION windows (``F.session_window`` + watermark,
+    streaming/pipeline.py session_window_stream): gap-merged per-user
+    sessions whose state is evicted by the watermark; append mode emits a
+    session once the watermark passes its end (last event + gap).
+
+    The oracle replays the identical semantics as batch gaps-and-islands
+    at full microsecond precision — new session iff the inter-event gap
+    is ≥ the session gap (session_window merges only strictly-overlapping
+    [ts, ts+gap) windows) — and keeps exactly the sessions the stream
+    can have closed: end + gap < max(ts)@millis − watermark delay."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        session_window_stream,
+    )
+
+    glob = os.path.join(sf_dir, "events.parque[t]")
+    ev = read_events_stream(spark, glob, ntz_ts=True)
+    agg = session_window_stream(ev, f"{_SESS_GAP_MIN} minutes", _SESS_WM)
+    table = "stream_sessions"
+    run_available_now(agg, table, output_mode="append")
+    return spark.table(table).orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_stateful_user_totals",
+    f"""SELECT user_id, COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    streaming/pipeline.py stateful_user_totals_stream): per-user running
+    totals in explicit GroupState — the API surface for stateful logic
+    beyond built-in windows (counters, custom eviction, online models).
+    An availableNow drain over the single landing file runs one
+    micro-batch, so each user's one update-mode emission IS its final
+    total; the oracle is the batch GROUP BY."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_totals_stream,
+    )
+
+    glob = os.path.join(sf_dir, "events.parque[t]")
+    ev = read_events_stream(spark, glob, ntz_ts=True)
+    tot = stateful_user_totals_stream(ev)
+    table = "stream_user_totals"
+    run_available_now(tot, table, output_mode="update")
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            "n_events",
+            round_portable(F.col("sum_value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
     )

@@ -160,3 +160,68 @@ def run_available_now(
     finally:
         if q.isActive:  # pragma: no cover - defensive stop on timeout
             q.stop()
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows per user — the native Spark stateful
+    sessionizer (``F.session_window``): a session extends while the next
+    event arrives strictly within ``gap`` of the last, and the window
+    closes (and is emitted, append-mode) once the watermark passes its
+    end. The batch twin is the gap-and-islands sessionization in
+    operators/events.py — identical grouping, different machinery: here
+    state lives in the streaming state store and is evicted by the
+    watermark instead of being a window function over a complete sort."""
+    from hybrid_vector_search_spark.functions.portable import round_portable
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_portable(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals held in explicit GroupState — the escape hatch for
+    stateful logic the built-in windowed/dedup operators cannot express
+    (per-key counters, custom eviction, model state). Each micro-batch
+    updates the (n, sum) state per user and emits the running totals;
+    an availableNow drain over one landing file runs exactly one batch,
+    so the emitted rows ARE the final totals (the registry query's
+    oracle is the batch GROUP BY)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id LONG, n_events LONG, sum_value DOUBLE"
+    state_schema = "n LONG, s DOUBLE"
+
+    def fn(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
