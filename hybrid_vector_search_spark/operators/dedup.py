@@ -298,6 +298,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     materialize: bool = True,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (band-key equi-join over NUM_BANDS bands of 2
     signature rows) verified with true shingle Jaccard ≥ threshold.
@@ -314,9 +315,12 @@ def minhash_lsh_pairs(
     the columnar cache build for nested arrays measured 3-10× worse than
     the parquet round-trip."""
     rows = NUM_HASHES // NUM_BANDS
-    sig = minhash_signatures(docs, id_col, n)
-    if materialize:
-        sig = materialize_parquet(sig.select(id_col, "sh", "sig"), "minhash_sig")
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, n)
+        if materialize:
+            sig = materialize_parquet(
+                sig.select(id_col, "sh", "sig"), "minhash_sig"
+            )
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -516,11 +520,13 @@ def connected_components(
     ).select(F.col("id").alias(id_col), "component_id")
 
 
-def dedup_components(docs: DataFrame, threshold: float) -> DataFrame:
+def dedup_components(
+    docs: DataFrame, threshold: float, sig: DataFrame | None = None
+) -> DataFrame:
     """Near-dup groups over the MinHash-LSH pair graph: (doc_id,
     component_id) for every document; component_id is the canonical keeper
     (min doc_id of the transitive group)."""
-    pairs = minhash_lsh_pairs(docs, threshold)
+    pairs = minhash_lsh_pairs(docs, threshold, sig=sig)
     return connected_components(pairs, docs)
 
 

@@ -53,14 +53,16 @@ def audit_plan(text: str) -> tuple[dict[str, int], list[str], list[dict]]:
     scans = []
     for m in re.finditer(
         r"Scan parquet.*?Location.*?\[(?:file:)?([^\]]+)\].*?"
+        r"(?:PartitionFilters: \[([^\]]*)\].*?)?"
         r"(?:PushedFilters: \[([^\]]*)\])?\s*ReadSchema: (\S+)",
         text,
         re.S,
     ):
-        path, pushed, schema = m.groups()
+        path, part, pushed, schema = m.groups()
         scans.append(
             {
                 "table": Path(path.split(",")[0]).name,
+                "partition": (part or "").strip(),
                 "pushed": (pushed or "").strip(),
                 "read_schema": schema.strip(),
             }
@@ -114,8 +116,14 @@ def main() -> int:
         )
         lines += [f"## {name}", "", f"census: {census or '(scan only)'}", ""]
         for s in scans:
+            part = (
+                f" — partition-pruned: `{s['partition']}`"
+                if s.get("partition")
+                else ""
+            )
             lines.append(
-                f"- scan `{s['table']}` — pushed: `{s['pushed'] or 'none'}`"
+                f"- scan `{s['table']}`{part}"
+                f" — pushed: `{s['pushed'] or 'none'}`"
                 f" — reads: `{s['read_schema']}`"
             )
         for fl in flags:
