@@ -3517,3 +3517,66 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------- product quantization (PQ)
+
+from hybrid_vector_search_spark.operators import pq as PQ  # noqa: E402
+
+_PQ_DIM = 64  # testdata embedding dim (TESTDATA.md); oracle literals match
+_PQ_QSEED = 37
+
+
+@register(
+    "vector_pq_codes",
+    "SELECT vec_id AS id, "
+    + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(PQ.pq_code_exprs(dim=_PQ_DIM))
+    )
+    + "\nFROM embeddings ORDER BY id",
+)
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators/pq.py): 64-d float32 → 4 × 4-bit codes
+    (64× storage cut). One Arrow pass, one GEMM per subspace; the seeded
+    codebooks make assignment a pure function of (embedding, literals),
+    so the oracle replays it and the codes are value-hash checked
+    (exposed as scalar columns c0..c3 for the driver's comparer)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    codes = PQ.pq_encode(emb, PQ.pq_codebooks(_PQ_DIM))
+    return codes.select(
+        "id", *[codes.codes[i].alias(f"c{i}") for i in range(PQ.PQ_M)]
+    ).orderBy("id")
+
+
+def _pq_adc_oracle() -> str:
+    q = query_vector(_PQ_QSEED)
+    adc = PQ.adc_score_sql(q, dim=_PQ_DIM)
+    return f"""WITH codes AS (
+  SELECT vec_id AS id, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
+  FROM embeddings)
+SELECT id, ROUND({adc}, 6) AS score
+FROM codes
+ORDER BY {adc} DESC, id ASC
+LIMIT 10"""
+
+
+@register("ann_pq_adc_topk", _pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-K over PQ codes (operators/pq.py adc_score_col): the query
+    is tabulated against every centroid once (m × ks lookup tables as
+    array literals) and each row's approximate score is m ``element_at``
+    lookups summed — a whole-stage-codegen scan that reads ONLY the 4-int
+    code column (the float embedding column is pruned away entirely: at
+    100 TB this scan touches 1/64th of the bytes). Same tie discipline as
+    every top-K: score DESC, id ASC."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    books = PQ.pq_codebooks(_PQ_DIM)
+    codes = PQ.pq_encode(emb, books)
+    scored = codes.select(
+        "id", PQ.adc_score_col(books, query_vector(_PQ_QSEED)).alias("score")
+    )
+    return topk(scored, 10).select("id", F.round("score", 6).alias("score"))
