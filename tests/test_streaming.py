@@ -204,3 +204,48 @@ def test_registry_streaming_dedup_is_distinct_set(spark):
     }
     assert set(out.fingerprint) == expected
     assert len(out) == len(expected)  # each fingerprint survives exactly once
+
+
+def test_stateful_totals_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState GroupState persists in the checkpoint: a
+    second availableNow drain over newly-landed files CONTINUES each
+    user's running totals instead of recounting from zero (and does not
+    reprocess the already-committed files — exactly-once file source)."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        stateful_user_totals_stream,
+    )
+
+    d = str(tmp_path / "grow")
+    ckpt = str(tmp_path / "ckpt_tot")
+    out: dict[int, tuple[int, float]] = {}
+
+    def drain():
+        tot = stateful_user_totals_stream(read_events_stream(spark, d))
+        q = (
+            tot.writeStream.foreachBatch(
+                lambda bdf, _id: out.update(
+                    {
+                        int(r.user_id): (int(r.n_events), float(r.sum_value))
+                        for r in bdf.collect()
+                    }
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(ROWS[:3], DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    drain()
+    assert out[1] == (3, 6.0)  # user 1: events 0,1,2 → values 1+2+3
+
+    late = [(9, datetime(2024, 1, 1, 2, 0, 0), 1, "view", 10.0, "{}")]
+    spark.createDataFrame(late, DDL).coalesce(1).write.mode("append").parquet(d)
+    out.clear()
+    drain()
+    # only user 1 is updated in the second batch, and the total CONTINUES
+    assert out == {1: (4, 16.0)}

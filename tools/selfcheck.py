@@ -35,6 +35,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             return None
         if isinstance(v, float):
             return round(v, 9)
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:
+            return tuple(canon(x) for x in v)  # numpy arrays (DuckDB lists)
         if hasattr(v, "item"):  # numpy scalars
             return canon(v.item())
         if isinstance(v, (list, tuple)):
