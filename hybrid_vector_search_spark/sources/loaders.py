@@ -126,6 +126,77 @@ def load_corpus(
     return emb.join(docs, "id", "left")
 
 
+CORPUS_META_REQUIRED = ("N", "D", "normalized")
+
+
+def write_corpus_meta(
+    corpus: DataFrame,
+    path: str,
+    model: str | None = None,
+    seed: int | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """S2 parity: the vector-corpus JSON sidecar (reference
+    ``vectors.meta.json`` — src/dataio/loaders.py:60-70, produced at
+    artifacts/artifacts.py:165-194): ``{N, D, normalized, model,
+    created_utc, seed}``. N/D/normalized come from one aggregation pass
+    over the corpus itself (never trusted from the caller); in a lake
+    deployment the same dict belongs in table properties — the sidecar
+    file is kept for artifact-layout compatibility."""
+    import json
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).alias("d_min"),
+        F.max(F.size("embedding")).alias("d_max"),
+        F.max(
+            F.abs(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                - 1.0
+            )
+        ).alias("norm_err"),
+    ).collect()[0]
+    if row.d_min != row.d_max:
+        raise ValidationError(
+            f"corpus has ragged embedding dims ({row.d_min}..{row.d_max})"
+        )
+    meta = {
+        "N": int(row.n),
+        "D": int(row.d_min),
+        # reference tolerance: unit L2 within 1e-3 (artifacts.py:159-162)
+        "normalized": bool(row.norm_err is not None and row.norm_err < 2e-3),
+        "model": model,
+        "created_utc": datetime.now(timezone.utc).isoformat(),
+        "seed": seed,
+        **(extra or {}),
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def load_corpus_meta(path: str) -> dict:
+    """Load + validate the sidecar: required keys ``N, D, normalized``
+    (hard error on absence — reference src/dataio/loaders.py:66-69)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        meta = json.load(f)
+    missing = [k for k in CORPUS_META_REQUIRED if k not in meta]
+    if missing:
+        raise ValidationError(
+            f"corpus meta sidecar missing required keys: {missing}"
+        )
+    return meta
+
+
 def validate_K(K: int, N: int) -> None:
     """1 ≤ K ≤ N, integer — hard error otherwise (reference V2:
     src/dataio/validators.py:32-35)."""

@@ -77,3 +77,44 @@ def test_embedded_corpus_stub_unit_norm(spark, raw_json):
     assert {r.id: tuple(r.embedding) for r in emb} == {
         r.id: tuple(r.embedding) for r in again
     }
+
+
+def test_corpus_meta_sidecar_roundtrip(spark, tmp_path):
+    """S2 parity: N/D/normalized measured from the corpus, required keys
+    enforced on load (reference src/dataio/loaders.py:60-70)."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.sources.loaders import (
+        load_corpus_meta,
+        write_corpus_meta,
+    )
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for i in range(8):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "id LONG, embedding ARRAY<FLOAT>")
+    p = str(tmp_path / "vectors.meta.json")
+    meta = write_corpus_meta(corpus, p, model="stub", seed=2)
+    assert (meta["N"], meta["D"], meta["normalized"]) == (8, 16, True)
+
+    loaded = load_corpus_meta(p)
+    assert loaded["N"] == 8 and loaded["seed"] == 2
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"N": 8, "D": 16}, f)  # missing "normalized"
+    with pytest.raises(ValidationError):
+        load_corpus_meta(bad)
+
+    # non-unit vectors are detected
+    raw = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [1.0, 1.0])], "id LONG, embedding ARRAY<FLOAT>"
+    )
+    p2 = str(tmp_path / "raw.meta.json")
+    assert write_corpus_meta(raw, p2)["normalized"] is False
