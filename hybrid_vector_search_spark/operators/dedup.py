@@ -280,13 +280,18 @@ def materialize_parquet(df: DataFrame, tag: str = "stage") -> DataFrame:
     is 3-10× slower than the parquet writer for nested array columns
     (measured here in r1), and the parquet round-trip is the layout such a
     stage would live in at 100 TB anyway (like the reference's prebuilt
-    index artifacts). Scratch lives under the JVM's temp dir, unique per
-    call."""
+    index artifacts). Scratch is unique per call (the artifact must match
+    the exact input DataFrame) and registered for removal at interpreter
+    exit via :mod:`hybrid_vector_search_spark.scratch`."""
     import tempfile
     import uuid
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"hvs_{tag}_{uuid.uuid4().hex[:12]}.parquet"
+    from hybrid_vector_search_spark.scratch import track
+
+    path = track(
+        os.path.join(
+            tempfile.gettempdir(), f"hvs_{tag}_{uuid.uuid4().hex[:12]}.parquet"
+        )
     )
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -280,24 +280,14 @@ WHERE rn <= {KNN_BATCH_K}"""
 ORACLES["knn_batch_topk"] = _knn_batch_oracle()
 
 
-# Built IVF indexes, keyed by sf_dir. Index construction is an OFFLINE
-# step (the reference builds FAISS artifacts ahead of time and loads them
-# at query time — src/dataio/loaders.py:176-216); queries measure probe +
-# pruned scan, not KMeans training.
-_IVF_CACHE: dict[str, "object"] = {}
-
-
-def _ivf_index(spark: SparkSession, sf_dir: str):
-    from hybrid_vector_search_spark.operators.ivf import IVFIndex
-
-    index = _IVF_CACHE.get(sf_dir)
-    if index is None:
-        emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-            "vec_id", "id"
-        )
-        index = IVFIndex.build(emb, seed=42)
-        _IVF_CACHE[sf_dir] = index
-    return index
+# Built IVF indexes, keyed by (sf_dir, quantizer, persisted). Index
+# construction is an OFFLINE step (the reference builds FAISS artifacts
+# ahead of time and loads them at query time — src/dataio/loaders.py:
+# 176-216); queries measure probe + pruned scan, not quantizer training.
+# (The KMeans build path stays exercised by tests/test_ivf.py and the
+# load_corpus_index fallback chain; the registry's ANN queries use the
+# fixed seeded quantizer below for oracle determinism.)
+_IVF_CACHE: dict[tuple, "object"] = {}
 
 
 ANN_IVF_K = 10
@@ -417,7 +407,8 @@ MULTIMODAL_ORACLE = f"""SELECT doc_id AS media_id,
   CAST(32 AS INT) AS height,
   CAST(3 AS INT) AS channels,
   {round_portable_sql(
-      "list_sum([ascii(c) for c in string_split(text, '')]) * 1.0"
+      "list_sum([('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT"
+      " for i in range(1, octet_length(encode(text)) + 1)]) * 1.0"
       " / octet_length(encode(text))", 4)} AS mean_pixel,
   md5(text) AS checksum,
   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -3166,7 +3157,9 @@ _Q11_FRACTION = 0.002
   GROUP BY l_partkey)
 SELECT l_partkey AS p_partkey, part_value
 FROM val
-WHERE part_value > (SELECT SUM(part_value) * {_Q11_FRACTION} FROM val)
+WHERE part_value >
+  (SELECT {round_portable_sql(f'SUM(part_value) * {_Q11_FRACTION}', 6)}
+   FROM val)
 ORDER BY part_value DESC, p_partkey""",
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3191,8 +3184,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(_rev_grid().alias("part_value"))
     )
+    # snap the threshold to the 6-dec grid: the part_value sum is
+    # order-dependent at ULP level (grid_avg docstring), and a strict >
+    # against an unsnapped sum can flip between engines
     thresh = val.agg(
-        (F.sum("part_value") * F.lit(_Q11_FRACTION)).alias("_thresh")
+        round_portable(F.sum("part_value") * F.lit(_Q11_FRACTION), 6).alias(
+            "_thresh"
+        )
     )
     return (
         val.join(F.broadcast(thresh))

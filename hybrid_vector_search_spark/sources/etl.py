@@ -73,13 +73,34 @@ def assign_contiguous_ids(
     ``row_number() OVER (ORDER BY key)`` but the heavy sort stays
     distributed — the r1 plan pushed every row through one partition
     (VERDICT "wrong" #3)."""
+    import os
+    import tempfile
+    import uuid
+
+    from hybrid_vector_search_spark.scratch import track
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    ranged = (
+    # MATERIALIZE the ranged layout before reading it twice: range-boundary
+    # sampling is seeded per execution, so re-running the shuffle for the
+    # second job could place rows differently than the counts job saw
+    # (beyond sampleSizePerPartition rows the sample is a real subsample)
+    # — offsets would then duplicate/skip ids. Once __pid is a *column* in
+    # a written artifact, both the counts and the window below read the
+    # same assignment; the window partitions by the column, so the
+    # parquet round-trip losing physical partitioning is irrelevant.
+    scratch = track(
+        os.path.join(
+            tempfile.gettempdir(), f"hvs_ids_{uuid.uuid4().hex[:12]}.parquet"
+        )
+    )
+    (
         df.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
+        .write.parquet(scratch)
     )
+    ranged = spark.read.parquet(scratch)
     counts = {
         r["__pid"]: r["n"]
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -88,22 +88,32 @@ def spread(df: DataFrame) -> DataFrame:
     already yields ≥ parallelism splits and this is a no-op — no shuffle
     is ever added to an already-parallel plan.
 
-    Parallelism is probed via ``inputFiles()`` (a logical-plan file
-    listing), not ``df.rdd.getNumPartitions()`` — the RDD probe converts
-    the plan per call and does not exist under Spark Connect (VERDICT r1
-    minor #5). A multi-file scan is already split-parallel; a single-file
-    or non-file (local relation) input is the case this helper exists for.
+    Probe order: ``inputFiles()`` first (cheap logical-plan listing —
+    ≥ target files means the scan is already split-parallel), then the
+    exact partition count via ``df.rdd`` where available; under Spark
+    Connect (no RDD handle) the file count doubles as the heuristic.
+    This keeps the r1 invariant — no shuffle is added to an
+    already-parallel plan (a single LARGE file still splits into many
+    partitions via maxPartitionBytes, which the exact probe sees) —
+    while surviving Connect (VERDICT r1 minor #5).
     """
-    try:
-        if len(df.inputFiles()) > 1:
-            return df
-    except Exception:  # non-file plans: treat as needing the spread
-        pass
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext handle
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_files = None
+    try:
+        n_files = len(df.inputFiles())
+        if n_files >= target:
+            return df
+    except Exception:  # non-file plans: fall through to the exact probe
+        pass
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # Connect: no RDD — few files / local relation ⇒ spread
+        pass
     return df.repartition(target)
 
 
@@ -163,6 +173,8 @@ def write_corpus_meta(
             )
         ).alias("norm_err"),
     ).collect()[0]
+    if row.n == 0:
+        raise ValidationError("cannot write meta for an empty corpus")
     if row.d_min != row.d_max:
         raise ValidationError(
             f"corpus has ragged embedding dims ({row.d_min}..{row.d_max})"
