@@ -281,18 +281,13 @@ def materialize_parquet(df: DataFrame, tag: str = "stage") -> DataFrame:
     (measured here in r1), and the parquet round-trip is the layout such a
     stage would live in at 100 TB anyway (like the reference's prebuilt
     index artifacts). Scratch is unique per call (the artifact must match
-    the exact input DataFrame) and registered for removal at interpreter
-    exit via :mod:`hybrid_vector_search_spark.scratch`."""
-    import tempfile
-    import uuid
+    the exact input DataFrame), placed by
+    :func:`hybrid_vector_search_spark.scratch.scratch_path` (shared
+    storage via ``SPARK_GRAFT_SCRATCH`` on multi-node clusters; OS temp
+    dir locally) and removed at interpreter exit."""
+    from hybrid_vector_search_spark.scratch import scratch_path
 
-    from hybrid_vector_search_spark.scratch import track
-
-    path = track(
-        os.path.join(
-            tempfile.gettempdir(), f"hvs_{tag}_{uuid.uuid4().hex[:12]}.parquet"
-        )
-    )
+    path = scratch_path(tag)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

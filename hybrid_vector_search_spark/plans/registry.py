@@ -346,10 +346,12 @@ def _ann_ivf_fixed_index(spark: SparkSession, sf_dir: str, persist: bool = False
         )
         path = None
         if persist:
-            import tempfile
+            from hybrid_vector_search_spark.scratch import scratch_root
 
+            # deterministic (NOT uuid'd) name: the persisted index is a
+            # reusable artifact across sessions, like FAISS index files
             path = os.path.join(
-                tempfile.gettempdir(),
+                scratch_root(),
                 "hvs_ivf_fixed_" + sf_dir.strip("/").replace("/", "_"),
             )
         index = IVFIndex.build_fixed(

@@ -73,11 +73,7 @@ def assign_contiguous_ids(
     ``row_number() OVER (ORDER BY key)`` but the heavy sort stays
     distributed — the r1 plan pushed every row through one partition
     (VERDICT "wrong" #3)."""
-    import os
-    import tempfile
-    import uuid
-
-    from hybrid_vector_search_spark.scratch import track
+    from hybrid_vector_search_spark.scratch import scratch_path
 
     spark = df.sparkSession
     if num_partitions is None:
@@ -90,11 +86,7 @@ def assign_contiguous_ids(
     # a written artifact, both the counts and the window below read the
     # same assignment; the window partitions by the column, so the
     # parquet round-trip losing physical partitioning is irrelevant.
-    scratch = track(
-        os.path.join(
-            tempfile.gettempdir(), f"hvs_ids_{uuid.uuid4().hex[:12]}.parquet"
-        )
-    )
+    scratch = scratch_path("ids")
     (
         df.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())

@@ -112,8 +112,13 @@ def spread(df: DataFrame) -> DataFrame:
     try:
         if df.rdd.getNumPartitions() >= target:
             return df
-    except Exception:  # Connect: no RDD — few files / local relation ⇒ spread
-        pass
+    except Exception:
+        # Connect: no RDD handle. Preserve the r1 no-added-shuffle
+        # invariant for any multi-file scan (the old guard never
+        # repartitioned those); only single-file/local-relation inputs —
+        # the case this helper exists for — get the spread.
+        if n_files is not None and n_files > 1:
+            return df
     return df.repartition(target)
 
 
@@ -155,8 +160,6 @@ def write_corpus_meta(
     file is kept for artifact-layout compatibility."""
     import json
     from datetime import datetime, timezone
-
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     row = corpus.agg(
         F.count(F.lit(1)).alias("n"),

@@ -76,9 +76,13 @@ def inflate(spark, factor: int, out_dir: str) -> None:
                     "text", F.regexp_replace("text", r"(\S+)", f"$1z{i}q")
                 )
             elif name == "events":
+                # user_id must shift by the FULL stride: sf0.1 users span
+                # 0..1499, so a smaller shift merges users across copies
+                # (duplicated timestamps per merged user → sessionization
+                # cost inflated by a data artifact)
                 c = (
                     c.withColumn("event_id", F.col("event_id") + i * ID_SHIFT)
-                    .withColumn("user_id", F.col("user_id") + i * 1000)
+                    .withColumn("user_id", F.col("user_id") + i * ID_SHIFT)
                 )
             elif name == "lineitem":
                 c = c.withColumn(
@@ -102,8 +106,11 @@ def main() -> None:
     rows_per_factor: dict[int, int] = {}
     for k in factors:
         d = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{k}")
-        if not os.path.exists(os.path.join(d, "events.parquet")):
+        done = os.path.join(d, "_INFLATED_OK")  # written AFTER the last
+        # table: a crashed partial inflate is re-done, not silently reused
+        if not os.path.exists(done):
             inflate(spark, k, d)
+            Path(done).touch()
         rows_per_factor[k] = spark.read.parquet(
             os.path.join(d, "events.parquet")
         ).count()
@@ -126,7 +133,9 @@ def main() -> None:
         "(driver-bound or quadratic pair generation)? Document text is",
         "perturbed per copy so dedup's near-dup structure stays constant.",
         "",
-        "| query | " + " | ".join(f"×{k}" for k in factors) + " | ×max/×1 |",
+        "| query | "
+        + " | ".join(f"×{k}" for k in factors)
+        + f" | ×{factors[-1]}/×{factors[0]} |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
     for q in PROBE_QUERIES:
