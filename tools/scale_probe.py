@@ -42,6 +42,10 @@ PROBE_QUERIES = (
     "events_sessionization",
     "tpch_q1_pricing_summary",
     "text_token_stats",
+    # streaming: availableNow drain per invocation — measures the state
+    # machinery (session merge state, per-user GroupState) against K
+    "streaming_session_windows",
+    "streaming_stateful_user_totals",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
@@ -117,7 +121,8 @@ def main() -> None:
         for q in PROBE_QUERIES:
             fn = R.QUERIES[q]
             best = float("inf")
-            for _ in range(2):
+            n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, d).collect()
                 best = min(best, time.perf_counter() - t0)
