@@ -225,3 +225,37 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sink_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """Exactly-once streaming parquet sink — the landing-zone writer.
+
+    The file sink commits each micro-batch through a write-ahead file log
+    (``_spark_metadata``): a batch is visible to readers only after its
+    log entry commits, and a restarted query resumes from the checkpoint
+    without rewriting committed batches — re-draining the same input is
+    a no-op, not a duplicate (asserted in tests/test_streaming.py). With
+    ``partition_by`` the landing layout is hive-partitioned, so the
+    downstream batch jobs get partition pruning on the sink column for
+    free. Append-mode only, matching the sink's contract."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    q = writer.start()
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()

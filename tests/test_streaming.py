@@ -249,3 +249,44 @@ def test_stateful_totals_state_survives_restart(spark, tmp_path):
     drain()
     # only user 1 is updated in the second batch, and the total CONTINUES
     assert out == {1: (4, 16.0)}
+
+
+def test_parquet_sink_exactly_once_across_drains(spark, tmp_path):
+    """File sink + checkpoint: draining twice over unchanged input adds
+    nothing (committed batches are not rewritten); newly-landed files
+    produce exactly their own rows; the sink layout is hive-partitioned
+    so batch readers prune on the partition column."""
+    from hybrid_vector_search_spark.streaming.pipeline import sink_to_parquet
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt_sink")
+
+    from pyspark.sql import functions as F
+
+    def drain():
+        ev = read_events_stream(spark, src)
+        enriched = ev.withColumn("day", F.to_date("ts"))
+        sink_to_parquet(enriched, out, ckpt, partition_by="event_type")
+
+    spark.createDataFrame(ROWS[:4], DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == 4
+    drain()  # unchanged input: exactly-once, no duplicates
+    assert spark.read.parquet(out).count() == 4
+
+    late = [(9, datetime(2024, 1, 1, 2, 0, 0), 3, "view", 9.0, "{}")]
+    spark.createDataFrame(late, DDL).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 5
+    # hive partitioning on the sink column → partition pruning downstream
+    plan = (
+        df.filter(df.event_type == "view")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
