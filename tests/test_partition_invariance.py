@@ -91,3 +91,28 @@ def test_assign_contiguous_ids_partition_invariant(docs):
     assert base == ids(docs.coalesce(2), 128)
     got_ids = [i for _, i in base]
     assert got_ids == list(range(60))
+
+
+def test_spread_no_shuffle_on_already_parallel_scans(spark, tmp_path, docs):
+    """spread() contract (r1 VERDICT minor #5 + r2 review): multi-split
+    inputs pass through untouched; only single-file / local-relation
+    inputs are repartitioned up to the session parallelism."""
+    from hybrid_vector_search_spark.sources.loaders import spread
+
+    target = spark.sparkContext.defaultParallelism
+
+    # many-file scan: pass-through, object identity (no plan change)
+    many = str(tmp_path / "many")
+    docs.repartition(target).write.parquet(many)
+    df_many = spark.read.parquet(many)
+    assert spread(df_many) is df_many
+
+    # single-file scan: spread to the session parallelism
+    one = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(one)
+    df_one = spark.read.parquet(one)
+    assert spread(df_one).rdd.getNumPartitions() == target
+
+    # already-parallel non-file plan: pass-through
+    wide = docs.repartition(target)
+    assert spread(wide) is wide
