@@ -144,7 +144,15 @@ def media_from_documents(docs: DataFrame, limit: int = 32) -> DataFrame:
     engine (the DuckDB oracle) can recompute the decode stub's outputs
     (md5 / byte stats) from the same parquet, giving the multimodal
     pipeline a full value-hash correctness check."""
-    return docs.filter(F.col("doc_id") < limit).select(
+    return docs.filter(
+        # NULL text would crash the decode kernel (bytes(None)); empty
+        # text makes the byte-mean NaN on the Spark side vs NULL in SQL —
+        # exclude both identically in the oracle (no such rows exist in
+        # the testdata; the guard is for arbitrary documents inputs)
+        (F.col("doc_id") < limit)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "UTF-8").alias("data"),

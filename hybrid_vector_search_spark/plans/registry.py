@@ -339,25 +339,32 @@ def _ann_ivf_fixed_index(spark: SparkSession, sf_dir: str, persist: bool = False
     from hybrid_vector_search_spark.operators.ivf import IVFIndex
 
     key = (sf_dir, "fixed", persist)
-    index = _IVF_CACHE.get(key)
+    cached = _IVF_CACHE.get(key)
+    # cache entries carry the owning session: a cached DataFrame bound to
+    # a stopped/replaced SparkSession would raise on first use, so a
+    # different session object triggers a rebuild
+    index = cached[1] if cached is not None and cached[0] is spark else None
     if index is None:
         emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
             "vec_id", "id"
         )
         path = None
         if persist:
-            from hybrid_vector_search_spark.scratch import scratch_root
+            from hybrid_vector_search_spark.scratch import scratch_path
 
-            # deterministic (NOT uuid'd) name: the persisted index is a
-            # reusable artifact across sessions, like FAISS index files
-            path = os.path.join(
-                scratch_root(),
-                "hvs_ivf_fixed_" + sf_dir.strip("/").replace("/", "_"),
+            # unique per process (and tracked for exit cleanup): a shared
+            # deterministic name would be rebuilt with mode(overwrite) by
+            # every process anyway (the cache is per-process), and a
+            # concurrent process's overwrite would delete part files out
+            # from under this session's live plan. A production deployment
+            # publishes the index ONCE to a versioned shared path instead.
+            path = scratch_path(
+                "ivf_fixed_" + sf_dir.strip("/").replace("/", "_")
             )
         index = IVFIndex.build_fixed(
             emb, _ann_ivf_centroids(), persist_path=path
         )
-        _IVF_CACHE[key] = index
+        _IVF_CACHE[key] = (spark, index)
     return index
 
 
@@ -415,7 +422,9 @@ MULTIMODAL_ORACLE = f"""SELECT doc_id AS media_id,
   md5(text) AS checksum,
   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
   CAST(16 AS INT) AS n_features
-FROM documents WHERE doc_id < {MULTIMODAL_N} ORDER BY media_id"""
+FROM documents
+WHERE doc_id < {MULTIMODAL_N} AND text IS NOT NULL AND length(text) > 0
+ORDER BY media_id"""
 
 
 @register("multimodal_decode_features", MULTIMODAL_ORACLE)
@@ -741,18 +750,20 @@ JACCARD_THRESHOLD = 0.2
 # MinHash signature artifacts, keyed by sf_dir — like the IVF index cache:
 # signature building is the offline stage, queries measure the plan over
 # the materialized artifact (and the pairs + components queries share it).
-_SIG_CACHE: dict[str, DataFrame] = {}
+_SIG_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _SIG_CACHE.get(sf_dir)
+    cached = _SIG_CACHE.get(sf_dir)
+    # rebuild when the owning session changed (see _IVF_CACHE note)
+    sig = cached[1] if cached is not None and cached[0] is spark else None
     if sig is None:
         docs = load_table(spark, sf_dir, "documents")
         sig = DD.materialize_parquet(
             DD.minhash_signatures(docs).select("doc_id", "sh", "sig"),
             "minhash_sig",
         )
-        _SIG_CACHE[sf_dir] = sig
+        _SIG_CACHE[sf_dir] = (spark, sig)
     return sig
 COSINE_DUP_THRESHOLD = 0.45
 
@@ -3118,6 +3129,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("l_extendedprice"), F.count(F.lit(1)), 2, 6
             ).alias("supply_cost")
         )
+        # two consumers (min-per-part + the equality join back) — persist
+        # the SMALL aggregated output so lineitem is scanned once, not
+        # twice (ContextCleaner unpersists when the plan is GC'd)
+        .persist()
     )
     best = (
         cost.groupBy("l_partkey")
@@ -3185,6 +3200,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(_rev_grid().alias("part_value"))
+        .persist()  # feeds both the threshold scalar and the filter scan
     )
     # snap the threshold to the 6-dec grid: the part_value sum is
     # order-dependent at ULP level (grid_avg docstring), and a strict >
@@ -3286,6 +3302,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        .persist()  # feeds both the per-part totals and the share join
     )
     tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
     return (

@@ -66,6 +66,12 @@ def assign_contiguous_ids(
     """Deterministic contiguous ids 0..N-1 ordered by ``order_col``,
     WITHOUT a global single-partition window.
 
+    ``order_col`` must be a UNIQUE key (the reference orders by
+    business_id): ties leave the relative order of equal-key rows up to
+    shuffle arrival order, so duplicate keys would make the assignment
+    run-to-run nondeterministic — same as ``row_number() OVER (ORDER BY
+    key)`` on any engine.
+
     Plan: range-repartition on the key (a parallel sort — every partition
     holds one key range), number rows *within* each partition, then add
     per-partition offsets computed from a tiny count-per-partition job

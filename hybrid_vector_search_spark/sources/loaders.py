@@ -101,7 +101,11 @@ def spread(df: DataFrame) -> DataFrame:
     try:
         target = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext handle
-        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            # may be the string "auto" on serverless AQE setups
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            target = 200
     n_files = None
     try:
         n_files = len(df.inputFiles())

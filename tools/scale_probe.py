@@ -53,6 +53,12 @@ TABLES = ("embeddings", "documents", "events", "lineitem")
 
 ID_SHIFT = 10_000_000
 
+# bump when inflate() semantics change: the marker name carries the scheme
+# version, so stale /tmp data from an older scheme is re-inflated instead
+# of silently reused (the word-tag and user-stride fixes both changed what
+# the numbers mean)
+INFLATE_SCHEME = "v3-wordtag-fullstride"
+
 
 def inflate(spark, factor: int, out_dir: str) -> None:
     for name in TABLES:
@@ -110,8 +116,9 @@ def main() -> None:
     rows_per_factor: dict[int, int] = {}
     for k in factors:
         d = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{k}")
-        done = os.path.join(d, "_INFLATED_OK")  # written AFTER the last
-        # table: a crashed partial inflate is re-done, not silently reused
+        done = os.path.join(d, f"_INFLATED_OK_{INFLATE_SCHEME}")  # written
+        # AFTER the last table: a crashed partial inflate (or data from an
+        # older inflation scheme) is re-done, not silently reused
         if not os.path.exists(done):
             inflate(spark, k, d)
             Path(done).touch()
