@@ -95,17 +95,36 @@ def range_join_count(
     """Interval/range join reduced to a count: for each left row, how many
     right rows share the key and fall in ``(left_time - window, left_time]``.
 
-    Expressed as an equi-join on the key plus a range predicate — Catalyst
-    plans the equi-part as a hash join and post-filters the range, so the
-    blow-up is bounded by per-key row counts (at scale, pre-bucket both
-    sides by coarse time bucket to cap it further)."""
+    Time-bucketed plan: both sides get a coarse bucket key
+    ``floor(unix_micros(t) / window)``; a right row in range always lands
+    in the left row's bucket or the one before, so the left side explodes
+    into two probe buckets and the join runs as a pure equi-join on
+    ``(keys…, bucket)`` with the exact range predicate evaluated inside
+    the same join. Per-match fan-out is bounded by rows per (key, 2·window)
+    — not per key, so one hot user with a year of history no longer
+    produces a quadratic post-filtered blow-up. Left rows with no match
+    survive the left join (count 0); a matching right row joins exactly
+    one of the two probe buckets, so no double counting.
+    """
     keys = [on] if isinstance(on, str) else list(on)
+    w_us = window_seconds * 1_000_000
+    lhs = left.withColumn(
+        "__pb",
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros({left_time}) div {w_us}") - 1,
+                F.expr(f"unix_micros({left_time}) div {w_us}"),
+            )
+        ),
+    )
+    rhs = right.withColumn("__b", F.expr(f"unix_micros({right_time}) div {w_us}"))
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
     cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    cond.append(F.col("l.__pb") == F.col("r.__b"))
     in_range = (rt <= lt) & (
         rt > lt - F.expr(f"INTERVAL {window_seconds} SECONDS")
     )
-    joined = left.alias("l").join(right.alias("r"), cond + [in_range], "left")
+    joined = lhs.alias("l").join(rhs.alias("r"), cond + [in_range], "left")
     left_cols = [F.col(f"l.{c}") for c in left.columns]
     return joined.groupBy(*left_cols).agg(
         F.count(F.col(f"r.{right_time}")).alias(count_alias)

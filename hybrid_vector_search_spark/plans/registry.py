@@ -484,9 +484,15 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_sessionization", EV.session_stats_sql(30))
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap sessionization: lag + running-sum windows
-    sharing one Exchange, then session-level aggregation."""
+    sharing one Exchange, then session-level aggregation.
+
+    No global orderBy: the result is a large per-(user, session) table —
+    a rangepartitioning Exchange + full sort doubled the sf0.1 wall time
+    and went superlinear in the ×8 scale probe (VERDICT r2 #1). The
+    driver/oracle compare is order-insensitive; consumers needing order
+    sort their own (pruned) slice."""
     ev = load_table(spark, sf_dir, "events")
-    return EV.session_stats(ev, 30).orderBy("user_id", "session_seq")
+    return EV.session_stats(ev, 30)
 
 
 @register("events_funnel", EV.funnel_counts_sql())
@@ -580,7 +586,8 @@ def events_range_join_views_before_purchase(
         purchases, views, on="user_id", left_time="ts", right_time="ts",
         window_seconds=3600, count_alias="n_views_1h",
     )
-    return out.select("event_id", "user_id", "n_views_1h").orderBy("event_id")
+    # no global orderBy: large per-purchase output, compare is order-insensitive
+    return out.select("event_id", "user_id", "n_views_1h")
 
 
 # ---------------------------------------------------------------- relational
