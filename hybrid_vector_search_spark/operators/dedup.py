@@ -159,6 +159,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
     id_col: str = "doc_id",
+    max_df_frac: float | None = 0.5,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via inverted-index
     self-join (shuffle on shingle, never a cross-join):
@@ -166,22 +167,46 @@ def ngram_jaccard_pairs(
     explode (set size carried inline) → join on shingle (a.id < b.id) →
     count intersections → jaccard = inter / (|A| + |B| − inter).
 
+    **Stop-shingle cap** (``max_df_frac``, default 0.5): shingles present
+    in more than that fraction of documents are dropped from the shingle
+    universe before the self-join — one stop-shingle otherwise contributes
+    |postings|² candidate rows, the classic quadratic skew failure of
+    inverted-index dedup (the CCNet/SlimPajama df-cap). The stop list is
+    small by construction (≤ shingles-per-doc / frac distinct grams), so
+    it broadcasts into a map-side anti-join; per-doc set sizes are then
+    recomputed over the retained universe, keeping Jaccard internally
+    consistent. ``None`` disables the cap (exact full-universe Jaccard).
+
     The exploded inverted index is built ONCE and persisted: the shingle
-    kernel is the dominant cost, and without the persist each self-join
-    side (and the size lookup) would re-run it over the whole corpus.
-    Carrying ``ns`` on the exploded rows makes the final sizes a
-    by-product of the pair groupBy instead of two extra joins; building
-    the index with ``shingle_rows`` (mapInPandas) rather than
+    kernel is the dominant cost, and without the persist the df pass,
+    the size pass, and each self-join side would re-run it over the
+    whole corpus. Carrying ``ns`` on the exploded rows makes the final
+    sizes a by-product of the pair groupBy instead of two extra joins;
+    building the index with ``shingle_rows`` (mapInPandas) rather than
     UDF+explode avoids the dead duplicate ArrowEvalPython that
     Generate-over-a-UDF-column plans execute.
     """
     from hybrid_vector_search_spark.functions.text import shingle_rows
 
-    ex = (
-        shingle_rows(_spread(docs), n, id_col)
-        .withColumnRenamed("n_sh", "ns")
-        .persist()
-    )
+    if max_df_frac is None:
+        ex = (
+            shingle_rows(_spread(docs), n, id_col)
+            .withColumnRenamed("n_sh", "ns")
+            .persist()
+        )
+    else:
+        raw = shingle_rows(_spread(docs), n, id_col).select(id_col, "g").persist()
+        total = docs.agg(F.count(F.lit(1)).alias("__tot"))
+        stop = (
+            raw.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("__df") > F.col("__tot") * max_df_frac)
+            .select("g")
+        )
+        kept = raw.join(F.broadcast(stop), "g", "left_anti")
+        sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
+        ex = kept.join(sizes, id_col).persist()
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -212,14 +237,31 @@ SHINGLES_SQL = (
 )
 
 
-def ngram_jaccard_pairs_sql(threshold: float) -> str:
+def ngram_jaccard_pairs_sql(
+    threshold: float, max_df_frac: float | None = 0.5
+) -> str:
+    """Oracle twin of :func:`ngram_jaccard_pairs`, including the
+    stop-shingle document-frequency cap (same fraction, same base —
+    COUNT(*) over the whole documents table)."""
+    if max_df_frac is None:
+        kept = "ex"
+    else:
+        kept = "kept"
+    cap_ctes = (
+        ""
+        if max_df_frac is None
+        else f""",
+stop AS (SELECT g FROM ex GROUP BY g
+         HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {max_df_frac}),
+kept AS (SELECT ex.* FROM ex ANTI JOIN stop USING (g))"""
+    )
     return f"""WITH {SHINGLES_SQL},
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh){cap_ctes},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM {kept} a JOIN {kept} b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, len(s) AS ns FROM sh)
+sz AS (SELECT doc_id, COUNT(*) AS ns FROM {kept} GROUP BY doc_id)
 SELECT doc_a, doc_b,
        ROUND(inter::DOUBLE / (x.ns + y.ns - inter), 6) AS jaccard
 FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id

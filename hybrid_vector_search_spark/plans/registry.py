@@ -2388,8 +2388,11 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark shingle vocabulary is tiny relative to the corpus (real
     benchmarks are MBs against TBs), so it BROADCASTS: the corpus-side
     explode never shuffles — map-side semi-join, then one aggregation by
-    doc_id. The same shingle UDF as the dedup family keeps one n-gram
-    semantics engine-wide."""
+    doc_id. No stop-shingle df cap is needed here (unlike the Jaccard
+    self-join): the vocab side is DISTINCT, so each corpus shingle row
+    matches at most one vocab row — fan-out is linear in corpus shingles
+    even if a vocab gram is ubiquitous. The same shingle UDF as the
+    dedup family keeps one n-gram semantics engine-wide."""
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % _DECON_MOD == 0
     # shingle_rows = one mapInPandas pass per branch emitting the exploded

@@ -31,13 +31,45 @@ def test_exact_dedup_groups(docs):
 
 
 def test_ngram_jaccard_pairs(docs):
+    # max_df_frac=None: exact full-universe Jaccard — 3 of the 5 fixture
+    # docs share most shingles, so the default 0.5 df cap would (by
+    # design) drop them; the cap path is covered by the skew test below.
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in DD.ngram_jaccard_pairs(docs, 0.5).collect()
+        for r in DD.ngram_jaccard_pairs(docs, 0.5, max_df_frac=None).collect()
     }
     assert pairs[(0, 1)] == pytest.approx(1.0)  # exact dup
     assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
     assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_df_cap_bounds_skew(spark):
+    """One stop-shingle shared by ALL docs: without the cap every doc
+    pair is a join candidate (quadratic); with the cap only genuinely
+    similar pairs survive — and docs related only through the stop
+    shingle never even reach the pair stage."""
+    n_docs = 30
+    rows = []
+    for i in range(n_docs):
+        # shared prefix trigram "aa bb cc" (df = 100%) + unique tail
+        rows.append((i, f"aa bb cc u{i}x u{i}y u{i}z u{i}w"))
+    # planted near-dup pair: doc 30/31 share their whole tail
+    rows.append((30, "aa bb cc same same tail tokens here"))
+    rows.append((31, "aa bb cc same same tail tokens here extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, 0.3, max_df_frac=0.5).collect()
+    }
+    assert (30, 31) in capped  # planted pair survives the cap
+    # every other doc pair relates ONLY via the stop shingle → no pair row
+    assert set(capped) == {(30, 31)}
+
+    # uncapped at a permissive threshold: the stop shingle alone makes
+    # every pair a candidate — the quadratic blow-up the cap removes
+    uncapped = DD.ngram_jaccard_pairs(docs, 1e-9, max_df_frac=None).count()
+    assert uncapped == (n_docs + 2) * (n_docs + 1) // 2
 
 
 def test_minhash_lsh_finds_dups(docs):
