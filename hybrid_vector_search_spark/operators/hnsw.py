@@ -1,0 +1,211 @@
+"""K5: HNSW approximate nearest neighbor — per-partition graphs, global
+top-K merge.
+
+Reference parity: ``src/dataio/loaders.py:123-139`` (``_HNSWWrapper`` —
+inner-product HNSW search with an ``ef_search`` knob) and ``:154-163``
+(``_build_faiss_hnsw_ip`` — FAISS ``HNSW{m}``, ``METRIC_INNER_PRODUCT``).
+The reference builds ONE driver-memory FAISS graph over the whole corpus;
+that shape cannot hold 100 TB. The Spark-native shape is the standard
+distributed ANN decomposition:
+
+* each PARTITION builds a navigable-small-world graph over its own rows
+  and answers with its local approximate top-K (``mapInPandas`` — one
+  Arrow pass, graph lives only for the task's lifetime);
+* the global answer is ``TakeOrderedAndProject`` over the ≤ K·partitions
+  candidate rows — the same merge the IVF/LSH paths use.
+
+Per-partition recall composes: the true global top-K rows each live in
+some partition, so global recall ≥ min per-partition recall (misses only
+when a partition's own graph misses its local winner). FAISS/hnswlib are
+not available in this environment, so the graph is a seeded pure-numpy
+implementation of the HNSW insert/search algorithm (Malkov & Yashunin,
+arXiv:1603.09320): exponential level assignment, greedy descent through
+upper layers, beam (ef) search at layer 0. Level draws derive from a
+SHA-256 digest of the row id — build order and partitioning never change
+a node's level, keeping graphs reproducible for a fixed layout.
+
+At 100 TB: build each partition's graph OFFLINE at ingest (the same
+``mapInPandas`` body writing adjacency arrays to parquet alongside the
+vectors), then search reads (graph + vectors) per partition — probe cost
+is O(partitions × ef · M · D) with zero shuffles before the final top-K
+merge. The registered query builds at search time because the testdata
+corpus is small; the plan shape is identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+DEFAULT_M = 8  # graph degree (FAISS HNSW32 scaled down for 64-d testdata)
+DEFAULT_EF_CONSTRUCTION = 64
+DEFAULT_EF_SEARCH = 64  # reference default (loaders.py:154)
+
+
+def _level_for_id(node_id: int, m_l: float) -> int:
+    """Deterministic exponential level draw: uniform from a SHA-256 digest
+    of the id, so a node's level depends on nothing but the id itself."""
+    h = hashlib.sha256(str(int(node_id)).encode()).digest()
+    u = (int.from_bytes(h[:8], "big") + 1) / float(1 << 64)  # (0, 1]
+    return int(-math.log(u) * m_l)
+
+
+class HNSWGraph:
+    """In-memory HNSW over one partition's vectors (inner-product metric).
+
+    Pure numpy/heapq — no native index libs. Scores are float64 inner
+    products (embeddings are unit-norm, so IP ordering == cosine).
+    """
+
+    def __init__(
+        self,
+        ids: np.ndarray,
+        vectors: np.ndarray,
+        M: int = DEFAULT_M,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    ):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.vectors = np.asarray(vectors, dtype=np.float64)
+        self.M = int(M)
+        self.m_l = 1.0 / math.log(self.M)
+        self.ef_construction = int(ef_construction)
+        # adjacency[layer][node] -> list of neighbor node indices
+        self.adjacency: list[dict[int, list[int]]] = []
+        self.entry: int | None = None
+        self.entry_level = -1
+        for i in range(len(self.ids)):
+            self._insert(i)
+
+    # ---- internals -------------------------------------------------
+    def _scores(self, q: np.ndarray, nodes: list[int]) -> np.ndarray:
+        return self.vectors[nodes] @ q
+
+    def _search_layer(
+        self, q: np.ndarray, entry: int, ef: int, layer: int
+    ) -> list[tuple[float, int]]:
+        """Beam search on one layer: returns up to ``ef`` (score, node)
+        best-first. Classic HNSW SEARCH-LAYER with a max-heap of
+        candidates and a min-heap of current results."""
+        adj = self.adjacency[layer]
+        d0 = float(self.vectors[entry] @ q)
+        visited = {entry}
+        candidates = [(-d0, entry)]  # max-heap by score
+        results = [(d0, entry)]  # min-heap: worst current result on top
+        while candidates:
+            neg, c = heapq.heappop(candidates)
+            if -neg < results[0][0] and len(results) >= ef:
+                break
+            fresh = [n for n in adj.get(c, ()) if n not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            for n, s in zip(fresh, self._scores(q, fresh)):
+                s = float(s)
+                if len(results) < ef or s > results[0][0]:
+                    heapq.heappush(results, (s, n))
+                    if len(results) > ef:
+                        heapq.heappop(results)
+                    heapq.heappush(candidates, (-s, n))
+        return sorted(results, reverse=True)
+
+    def _insert(self, i: int) -> None:
+        level = _level_for_id(int(self.ids[i]), self.m_l)
+        while len(self.adjacency) <= level:
+            self.adjacency.append({})
+        if self.entry is None:
+            self.entry, self.entry_level = i, level
+            for lay in range(level + 1):
+                self.adjacency[lay][i] = []
+            return
+        q = self.vectors[i]
+        ep = self.entry
+        # greedy descent through layers above the node's level
+        for lay in range(self.entry_level, level, -1):
+            ep = self._search_layer(q, ep, 1, lay)[0][1]
+        # connect on each layer ≤ level
+        for lay in range(min(level, self.entry_level), -1, -1):
+            found = self._search_layer(q, ep, self.ef_construction, lay)
+            ep = found[0][1]
+            m_max = self.M * 2 if lay == 0 else self.M
+            neigh = [n for _, n in found[: self.M]]
+            adj = self.adjacency[lay]
+            adj[i] = list(neigh)
+            for n in neigh:
+                links = adj.setdefault(n, [])
+                links.append(i)
+                if len(links) > m_max:
+                    # keep the m_max highest-scoring links (simple prune)
+                    s = self._scores(self.vectors[n], links)
+                    keep = np.argsort(-s, kind="stable")[:m_max]
+                    adj[n] = [links[j] for j in keep]
+        for lay in range(self.entry_level + 1, level + 1):
+            self.adjacency[lay][i] = []
+        if level > self.entry_level:
+            self.entry, self.entry_level = i, level
+
+    # ---- public ----------------------------------------------------
+    def search(
+        self, qvec: Sequence[float], k: int, ef_search: int = DEFAULT_EF_SEARCH
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Approximate top-k by inner product: (ids, scores), score-desc
+        with ascending-id tie-break (the engine-wide stable order)."""
+        if self.entry is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        q = np.asarray(qvec, dtype=np.float64).reshape(-1)
+        ep = self.entry
+        for lay in range(self.entry_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lay)[0][1]
+        found = self._search_layer(q, ep, max(ef_search, k), 0)[:k]
+        idx = [n for _, n in found]
+        ids = self.ids[idx]
+        scores = np.array([s for s, _ in found], dtype=np.float64)
+        order = np.lexsort((ids, -scores))
+        return ids[order], scores[order]
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    M: int = DEFAULT_M,
+    ef_search: int = DEFAULT_EF_SEARCH,
+    id_col: str = "id",
+) -> DataFrame:
+    """Distributed HNSW top-K: per-partition graph + local top-k via one
+    ``mapInPandas`` pass, global ``TakeOrderedAndProject`` merge.
+
+    Candidate volume into the merge is ≤ k rows per partition — the same
+    slim merge the IVF probe plan uses. See module docstring for the
+    offline-build variant this plan becomes at scale.
+    """
+    from hybrid_vector_search_spark.operators.topk import topk
+    from hybrid_vector_search_spark.sources.loaders import spread
+
+    q = [float(x) for x in qvec]
+    kk = int(k)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_parts, vec_parts = [], []
+        for p in batches:
+            if len(p):
+                ids_parts.append(p[id_col].to_numpy(dtype=np.int64))
+                vec_parts.append(np.vstack(p["embedding"].to_numpy()))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(vec_parts).astype(np.float64)
+        graph = HNSWGraph(ids, mat, M=M)
+        top_ids, top_scores = graph.search(q, kk, ef_search)
+        yield pd.DataFrame({id_col: top_ids, "score": top_scores})
+
+    cand = spread(corpus.select(id_col, "embedding")).mapInPandas(
+        part, f"{id_col} LONG, score DOUBLE"
+    )
+    return topk(cand, kk, id_col=id_col)

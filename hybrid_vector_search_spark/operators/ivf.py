@@ -99,7 +99,13 @@ class IVFIndex:
         if n is None:
             n = corpus.count()
         if nlist is None:
-            nlist = default_nlist(n)
+            # auto-size on DISTINCT points, not rows: MLlib KMeans throws
+            # ArrayIndexOutOfBounds when k exceeds the number of distinct
+            # vectors — a real hazard for dedup corpora, where duplicates
+            # are the point (k == n_distinct verified safe). One extra
+            # shuffle, negligible next to the KMeans fit itself.
+            n_distinct = corpus.select("embedding").distinct().count()
+            nlist = default_nlist(min(n, n_distinct))
 
         feats = corpus.withColumn("__features", array_to_vector("embedding"))
         # coarse quantization needs rough cells, not converged clusters —
@@ -176,7 +182,12 @@ class IVFIndex:
         q = np.asarray(qvec, dtype=np.float64).reshape(-1)
         scores = self.centroids @ q
         nprobe = min(nprobe, self.nlist)
-        idx = np.argpartition(-scores, nprobe - 1)[:nprobe] if nprobe < len(scores) else np.arange(len(scores))
+        # stable argsort, NOT argpartition: an exact score tie at the
+        # nprobe boundary must resolve identically to the registry's
+        # oracle-side probe computation (_ann_ivf_probed uses the same
+        # stable ordering), so plan and oracle always probe the same
+        # lists (ADVICE r2 #2). nlist is small; O(n log n) is free.
+        idx = np.argsort(-scores, kind="stable")[:nprobe]
         return [int(i) for i in idx]
 
     def search_plan(

@@ -233,9 +233,16 @@ def get_index_params(index: Any) -> dict[str, Any]:
 
     try:
         if isinstance(index, PostFilterBackend):
+            # introspect only already-built state: touching .index would
+            # lazily trigger a full KMeans build — an expensive side
+            # effect for a read-only helper (ADVICE r2 #3). Before the
+            # first search, report the configured nlist (may be None =
+            # auto-sized at build time).
+            built = index._index
+            nlist = built.nlist if built is not None else index._nlist
             return {
                 "type": "ivfflat",
-                "nlist": int(index.index.nlist),
+                "nlist": int(nlist) if nlist is not None else None,
                 "nprobe": int(index.nprobe),
             }
         if isinstance(index, IVFIndex):

@@ -118,10 +118,12 @@ def spread(df: DataFrame) -> DataFrame:
             return df
     except Exception:
         # Connect: no RDD handle. Preserve the r1 no-added-shuffle
-        # invariant for any multi-file scan (the old guard never
-        # repartitioned those); only single-file/local-relation inputs —
-        # the case this helper exists for — get the spread.
-        if n_files is not None and n_files > 1:
+        # invariant: only inputs PROVEN single-file — the case this
+        # helper exists for — get the spread. When both probes fail
+        # (non-file plan under Connect, n_files unknown) pass through
+        # unchanged; adding a shuffle to a possibly already-parallel
+        # plan would contradict the documented invariant (ADVICE r2 #1).
+        if n_files is None or n_files > 1:
             return df
     return df.repartition(target)
 

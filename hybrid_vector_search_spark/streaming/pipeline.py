@@ -71,6 +71,39 @@ def read_events_stream(
     return df
 
 
+def materialize_landing(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    n_files: int | None = None,
+) -> str:
+    """Split a single-file testdata table into an ``n_files``-file landing
+    directory (scratch parquet) for the streaming readers.
+
+    A one-file landing zone serializes the stream's FIRST stateful
+    exchange: every source task reads the same split, so the initial
+    micro-batch starts from parallelism 1 (VERDICT r2 — 3.0×/2.1× probe
+    ratios on the session/stateful queries). Real landing zones land many
+    files per trigger; this materializes the same shape once per
+    (session, sf_dir) — the streaming twin of the batch ``spread()``.
+    Timestamps round-trip through the batch loader, so the landing files
+    carry proper UTC-adjusted TIMESTAMP (no NTZ cast needed on read).
+    """
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources.loaders import load_table
+
+    if n_files is None:
+        try:
+            n_files = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no SparkContext handle
+            n_files = 32
+    path = scratch_path(f"landing_{table}")
+    load_table(spark, sf_dir, table).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
 def windowed_agg_stream(
     events: DataFrame,
     duration: str = "1 hour",
@@ -138,6 +171,7 @@ def run_available_now(
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
     timeout_sec: int = 120,
+    expect_single_data_batch: bool = False,
 ) -> None:
     """Drain all currently-available input through the streaming plan into
     an in-memory sink table (test/driver harness path).
@@ -145,6 +179,14 @@ def run_available_now(
     ``availableNow`` processes the backlog in micro-batches then stops —
     the bounded-execution mode that makes a streaming job testable and
     also serves as incremental batch ("run the stream until caught up").
+
+    ``expect_single_data_batch``: fail loudly if the drain consumed input
+    across more than one micro-batch (batch 0). Callers whose oracle
+    depends on one-emission-per-key update-mode semantics (the stateful
+    totals query) set this so a future ``maxFilesPerTrigger`` or
+    rate-limited source breaks the run instead of silently yielding
+    duplicate rows with intermediate totals (ADVICE r2 #5). Watermark
+    flush batches carry no rows and are exempt.
     """
     writer = (
         stream_df.writeStream.format("memory")
@@ -160,6 +202,18 @@ def run_available_now(
     finally:
         if q.isActive:  # pragma: no cover - defensive stop on timeout
             q.stop()
+    if expect_single_data_batch:
+        data_batches = [
+            p["batchId"]
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        if any(b != 0 for b in data_batches):
+            raise AssertionError(
+                "availableNow drain consumed input beyond micro-batch 0 "
+                f"(data batches: {data_batches}); the one-emission-per-key "
+                "oracle contract no longer holds"
+            )
 
 
 def session_window_stream(

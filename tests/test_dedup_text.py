@@ -119,6 +119,39 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[0].cosine > 0.99
 
 
+def test_embedding_near_dup_gate_is_byte_based(spark):
+    """The broadcast gate reads N x D x 8 bytes, not a row count: the
+    same 40 rows pass at a roomy budget but dispatch to the IVF path
+    once D makes the matrix exceed it (the D=384 hazard — 2M rows is
+    1 GiB at D=64 but 6 GiB at D=384)."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.operators import dedup as DD
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 384)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[21] = vecs[9]  # planted exact dup
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    mat_bytes = 40 * 384 * 8
+    # under budget: exact GEMM path
+    exact = {(r.id_a, r.id_b) for r in DD.embedding_near_dup(
+        emb, 0.99, max_broadcast_bytes=mat_bytes).collect()}
+    assert (9, 21) in exact
+    # one byte under the matrix size: must dispatch to IVF, not broadcast
+    with pytest.raises(ValidationError):
+        DD.embedding_near_dup_pairs(
+            emb, 0.99, max_broadcast_bytes=mat_bytes - 1
+        ).collect()
+    ivf = {(r.id_a, r.id_b) for r in DD.embedding_near_dup(
+        emb, 0.99, max_broadcast_bytes=mat_bytes - 1).collect()}
+    assert (9, 21) in ivf  # identical vectors share a KMeans cell
+
+
 def test_embedding_near_dup_ivf_matches_exact_within_bucket(spark):
     import numpy as np
 
