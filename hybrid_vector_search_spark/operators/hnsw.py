@@ -209,3 +209,95 @@ def hnsw_topk(
         part, f"{id_col} LONG, score DOUBLE"
     )
     return topk(cand, kk, id_col=id_col)
+
+
+from hybrid_vector_search_spark.operators.strategies import (  # noqa: E402
+    SearchBackend,
+)
+
+
+class HNSWBackend(SearchBackend):
+    """P3-shaped strategy on HNSW candidates: approximate top-K′ over the
+    full corpus, semi-join against the allowed-id set, escalate K′ through
+    the reference ladder until ≥K survivors (src/baselines/
+    post_filter.py:66-87 — same ladder, HNSW instead of IVF as the
+    candidate source; reference index parity at src/dataio/
+    loaders.py:123-139). Slots between IVF and LSH in the K6 fallback
+    chain (load_vectors_index prefers IVF, falls back to HNSW, then
+    exact — loaders.py:204-215)."""
+
+    name = "post_filter_hnsw"
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        n: int | None = None,
+        id_col: str = "id",
+        M: int = DEFAULT_M,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        k_ladder: Sequence[int] = (200, 500, 1000),
+    ):
+        super().__init__(corpus, n, id_col)
+        self.M = int(M)
+        self.ef_search = int(ef_search)
+        self.k_ladder = tuple(k_ladder)
+        # eager corpus probe: the per-partition graphs build lazily inside
+        # tasks, so surface a broken corpus HERE (the K6 chain's
+        # fall-through contract) rather than mid-query
+        first = corpus.select("embedding").first()
+        if first is None or first["embedding"] is None:
+            raise ValueError("HNSW backend needs a non-empty embedding column")
+        self.dim = len(first["embedding"])
+
+    def plan(self, qvec, filters, k, kprime: int | None = None):
+        from pyspark.sql import functions as F
+
+        from hybrid_vector_search_spark.functions.predicates import (
+            compile_filters,
+        )
+        from hybrid_vector_search_spark.operators.topk import topk as _topk
+
+        kprime = kprime or max(self.k_ladder)
+        cand = hnsw_topk(
+            self.corpus, qvec, kprime, M=self.M,
+            ef_search=max(self.ef_search, kprime), id_col=self.id_col,
+        )
+        pred = compile_filters(self.corpus.schema, filters)
+        allowed = self.corpus.filter(pred).select(self.id_col)
+        kept = cand.join(F.broadcast(allowed), self.id_col, "left_semi")
+        return _topk(kept, k, id_col=self.id_col), None
+
+    def search(self, qvec, filters, k):
+        import time as _time
+
+        from hybrid_vector_search_spark.functions.vector import (
+            ensure_unit_l2,
+        )
+        from hybrid_vector_search_spark.sources.loaders import validate_K
+
+        validate_K(k, self.n)
+        q = ensure_unit_l2(qvec)
+        t0 = _time.perf_counter()
+        rows: list = []
+        stop_kprime = self.k_ladder[-1]
+        for kprime in self.k_ladder:
+            df, _ = self.plan(q, filters, k, kprime=kprime)
+            rows = df.collect()
+            stop_kprime = kprime
+            if len(rows) >= k:
+                break
+        latency_ms = (_time.perf_counter() - t0) * 1000.0
+        ids = [int(r[self.id_col]) for r in rows]
+        scores = [float(r["score"]) for r in rows]
+        stats = {
+            "method": self.name,
+            "K": k,
+            "latency_ms": latency_ms,
+            "scored_vectors": stop_kprime,
+            "ef_search": max(self.ef_search, stop_kprime),
+            "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
+            "bound_at_stop": scores[-1] if scores else None,
+            "scores": scores,
+            "notes": self.compose_notes(f"ladder_stop={stop_kprime}"),
+        }
+        return ids, stats

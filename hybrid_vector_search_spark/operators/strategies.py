@@ -185,13 +185,14 @@ def load_corpus_index(
     """K6 index fallback chain (reference ``load_vectors_index``,
     src/dataio/loaders.py:176-218: IVF preferred → HNSW → Exact).
 
-    Spark chain: IVF (MLlib KMeans post_filter) preferred; LSH — this
-    engine's HNSW substitute (README "capability deltas") — when the IVF
-    build is unavailable; exact as the floor. The chain never raises for
-    a missing ANN dependency: each rung's build is attempted eagerly so a
-    failure falls through *here*, not mid-query, and the landed rung is
-    recorded in ``backend.fallback_note`` (surfaced in the §2.10 ``notes``
-    stats field by ``search``)."""
+    Spark chain: IVF (MLlib KMeans post_filter) preferred; HNSW
+    (per-partition graphs, operators/hnsw.py — the reference's second
+    rung) when the IVF build is unavailable; LSH as a further stateless
+    fallback; exact as the floor. The chain never raises for a missing
+    ANN dependency: each rung's build is attempted eagerly so a failure
+    falls through *here*, not mid-query, and the landed rung is recorded
+    in ``backend.fallback_note`` (surfaced in the §2.10 ``notes`` stats
+    field by ``search``)."""
     from hybrid_vector_search_spark.operators.ivf import (
         DEFAULT_NPROBE,
         PostFilterBackend,
@@ -213,6 +214,14 @@ def load_corpus_index(
     else:
         note = "ivf skipped (prefer_ivf=False)"
     try:
+        from hybrid_vector_search_spark.operators.hnsw import HNSWBackend
+
+        backend = HNSWBackend(corpus, n, id_col=id_col)
+        backend.fallback_note = f"{note} to hnsw"
+        return backend
+    except Exception as e:  # noqa: BLE001
+        note = f"{note} to hnsw ({type(e).__name__})"
+    try:
         backend = LSHPostFilterBackend(corpus, n, id_col=id_col)
         backend.planes  # eager hyperplane build — same fall-through contract
         backend.fallback_note = f"{note} to lsh"
@@ -228,6 +237,7 @@ def get_index_params(index: Any) -> dict[str, Any]:
     loaders.py:220-232): a small dict describing the ANN configuration,
     ``{"type": "exact"}`` when the object carries no ANN state. Accepts
     either a backend or a bare index object."""
+    from hybrid_vector_search_spark.operators.hnsw import HNSWBackend
     from hybrid_vector_search_spark.operators.ivf import IVFIndex, PostFilterBackend
     from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
 
@@ -247,6 +257,10 @@ def get_index_params(index: Any) -> dict[str, Any]:
             }
         if isinstance(index, IVFIndex):
             return {"type": "ivfflat", "nlist": int(index.nlist)}
+        if isinstance(index, HNSWBackend):
+            # reference shape: {"type": "hnsw", "ef_search": N}
+            # (src/dataio/loaders.py:226-227)
+            return {"type": "hnsw", "ef_search": int(index.ef_search)}
         if isinstance(index, LSHPostFilterBackend):
             return {
                 "type": "lsh",

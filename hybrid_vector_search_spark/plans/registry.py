@@ -3626,3 +3626,26 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", PQ.adc_score_col(books, query_vector(_PQ_QSEED)).alias("score")
     )
     return topk(scored, 10).select("id", F.round("score", 6).alias("score"))
+
+
+# ----------------------------------------------------- HNSW ANN (K5 close)
+
+_HNSW_QSEED = 53
+
+
+@register("ann_hnsw_topk")  # no oracle: graph-approximate (rows-only check)
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW approximate top-K (operators/hnsw.py — K5, reference
+    src/dataio/loaders.py:123-139,154-163): per-partition seeded
+    navigable-small-world graphs via one mapInPandas pass, each emitting
+    its local top-K, merged by the engine-wide TakeOrderedAndProject.
+
+    Registered WITHOUT an oracle — graph search is approximate and its
+    result is a function of the partition layout, which ANSI SQL cannot
+    replay; the driver records the weaker rows/schema check. Recall vs
+    the exact scan is asserted in tests/test_hnsw.py instead."""
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    from hybrid_vector_search_spark.operators.hnsw import hnsw_topk
+
+    out = hnsw_topk(corpus, query_vector(_HNSW_QSEED), 10)
+    return out.select("id", F.round("score", 6).alias("score"))

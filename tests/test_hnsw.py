@@ -1,0 +1,115 @@
+"""HNSW operator tests: graph recall vs the exact scan, determinism,
+distributed merge, backend ladder contract, K6 chain placement."""
+
+import numpy as np
+import pytest
+
+from hybrid_vector_search_spark.operators.hnsw import (
+    HNSWBackend,
+    HNSWGraph,
+    hnsw_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def unit_vecs():
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(600, 32)
+    return vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+
+def test_graph_recall_vs_exact(unit_vecs):
+    ids = np.arange(len(unit_vecs), dtype=np.int64)
+    g = HNSWGraph(ids, unit_vecs)
+    rng = np.random.RandomState(12)
+    recalls = []
+    for _ in range(10):
+        q = rng.randn(32)
+        q /= np.linalg.norm(q)
+        exact = set(np.argsort(-(unit_vecs @ q), kind="stable")[:10])
+        got, scores = g.search(q, 10, ef_search=64)
+        assert list(scores) == sorted(scores, reverse=True)
+        recalls.append(len(set(got) & exact) / 10)
+    assert np.mean(recalls) >= 0.9  # isotropic worst case, ef=64
+
+
+def test_graph_deterministic(unit_vecs):
+    ids = np.arange(len(unit_vecs), dtype=np.int64)
+    q = unit_vecs[7]
+    a = HNSWGraph(ids, unit_vecs).search(q, 5)
+    b = HNSWGraph(ids, unit_vecs).search(q, 5)
+    assert list(a[0]) == list(b[0])
+    assert a[0][0] == 7  # self-match: the planted exact neighbor wins
+
+
+def test_graph_empty_and_tiny():
+    g = HNSWGraph(np.empty(0, np.int64), np.empty((0, 4)))
+    ids, scores = g.search([1.0, 0, 0, 0], 3)
+    assert len(ids) == 0
+    g1 = HNSWGraph(np.array([9], dtype=np.int64), np.eye(4)[:1])
+    ids, _ = g1.search([1.0, 0, 0, 0], 3)
+    assert list(ids) == [9]
+
+
+def test_hnsw_topk_distributed_merge(spark, unit_vecs):
+    """Per-partition top-k rows merge to the global winner set: with a
+    planted dominant neighbor, the merged top-1 must find it no matter
+    which partition it lands in."""
+    q = np.zeros(32)
+    q[0] = 1.0
+    vecs = unit_vecs.copy()
+    vecs[123] = q  # exact match planted
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<float>",
+    ).repartition(8)
+    out = hnsw_topk(emb, q, 5).collect()
+    assert len(out) == 5
+    assert out[0].id == 123
+    assert out[0].score == pytest.approx(1.0, abs=1e-6)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_backend_ladder_and_stats(spark, unit_vecs):
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3) for i, v in enumerate(unit_vecs)],
+        "id long, embedding array<float>, label int",
+    )
+    backend = HNSWBackend(emb, k_ladder=(50, 200))
+    q = unit_vecs[4]
+    ids, stats = backend.search(q, {"label": {"eq": 1}}, 5)
+    assert len(ids) == 5
+    assert stats["method"] == "post_filter_hnsw"
+    assert stats["scored_vectors"] in (50, 200)
+    assert "ladder_stop=" in stats["notes"]
+    # filters respected: every returned id has label 1
+    got_labels = {r.label for r in emb.filter(emb.id.isin(ids)).collect()}
+    assert got_labels == {1}
+
+
+def test_k6_chain_lands_hnsw_when_ivf_skipped(spark, unit_vecs):
+    from hybrid_vector_search_spark.operators.strategies import (
+        get_index_params,
+        load_corpus_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(unit_vecs[:50])],
+        "id long, embedding array<float>",
+    )
+    backend = load_corpus_index(emb, prefer_ivf=False)
+    assert backend.name == "post_filter_hnsw"
+    assert "to hnsw" in backend.fallback_note
+    params = get_index_params(backend)
+    assert params["type"] == "hnsw" and params["ef_search"] == 64
+
+
+def test_registry_hnsw_query_shape(spark):
+    from hybrid_vector_search_spark.plans.registry import ORACLES, QUERIES
+
+    out = QUERIES["ann_hnsw_topk"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 10
+    assert [f.name for f in out.schema.fields] == ["id", "score"]
+    assert "ann_hnsw_topk" not in ORACLES  # rows-only by design

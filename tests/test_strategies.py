@@ -96,8 +96,9 @@ def test_index_fallback_chain_and_params(tiny_corpus):
     """K6/K7 (reference load_vectors_index + get_index_params,
     src/dataio/loaders.py:176-232; registry-mapping spec mirrored from
     tests/test_run_impl.py:412-424): the chain lands on IVF when
-    available, falls to LSH/exact otherwise, records the fall in notes,
-    and every landing introspects to the right param dict."""
+    available, falls to HNSW (reference's second rung) then LSH/exact,
+    records the fall in notes, and every landing introspects to the
+    right param dict."""
     from hybrid_vector_search_spark.operators.ivf import IVFIndex
     from hybrid_vector_search_spark.operators.strategies import (
         get_index_params,
@@ -111,12 +112,29 @@ def test_index_fallback_chain_and_params(tiny_corpus):
     # bare index object introspects too
     assert get_index_params(b.index) == {"type": "ivfflat", "nlist": 2}
 
-    # IVF declined → LSH substitute, with the fall recorded in stats notes
+    # IVF declined → HNSW (reference loaders.py:204-215), with the fall
+    # recorded in stats notes
     b2 = load_corpus_index(tiny_corpus, 5, prefer_ivf=False)
-    assert b2.name == "post_filter_lsh"
-    assert get_index_params(b2)["type"] == "lsh"
+    assert b2.name == "post_filter_hnsw"
+    assert get_index_params(b2)["type"] == "hnsw"
     _ids, stats = b2.search(Q_E1, {}, 2)
-    assert "ivf skipped" in stats["notes"]
+    assert "ivf skipped" in stats["notes"] and "hnsw" in stats["notes"]
+
+    # HNSW declined too → LSH (this engine's stateless extra rung)
+    from hybrid_vector_search_spark.operators import hnsw as hnsw_mod
+
+    class _Boom(hnsw_mod.HNSWBackend):
+        def __init__(self, *a, **k):
+            raise RuntimeError("no graphs today")
+
+    orig = hnsw_mod.HNSWBackend
+    hnsw_mod.HNSWBackend = _Boom
+    try:
+        b3 = load_corpus_index(tiny_corpus, 5, prefer_ivf=False)
+    finally:
+        hnsw_mod.HNSWBackend = orig
+    assert b3.name == "post_filter_lsh"
+    assert get_index_params(b3)["type"] == "lsh"
 
     # non-index objects → exact (reference's terminal default)
     assert get_index_params(object()) == {"type": "exact"}
@@ -124,7 +142,7 @@ def test_index_fallback_chain_and_params(tiny_corpus):
 
 
 def test_index_fallback_on_broken_ivf_build(tiny_corpus, monkeypatch):
-    """A failing IVF build falls through to LSH without raising."""
+    """A failing IVF build falls through (to HNSW) without raising."""
     from hybrid_vector_search_spark.operators import ivf as ivf_mod
     from hybrid_vector_search_spark.operators.strategies import (
         load_corpus_index,
@@ -135,6 +153,6 @@ def test_index_fallback_on_broken_ivf_build(tiny_corpus, monkeypatch):
 
     monkeypatch.setattr(ivf_mod.IVFIndex, "build", classmethod(boom))
     b = load_corpus_index(tiny_corpus, 5)
-    assert b.name == "post_filter_lsh"
+    assert b.name == "post_filter_hnsw"
     _ids, stats = b.search(Q_E1, {}, 2)
-    assert "ivf unavailable" in stats["notes"] and "lsh" in stats["notes"]
+    assert "ivf unavailable" in stats["notes"] and "hnsw" in stats["notes"]
