@@ -207,6 +207,11 @@ def ngram_jaccard_pairs(
         kept = raw.join(F.broadcast(stop), "g", "left_anti")
         sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
         ex = kept.join(sizes, id_col).persist()
+        # materialize ex now (the self-join below would do it twice, once
+        # per side) so raw's cache can be released immediately — without
+        # this both stay pinned for the session (ADVICE r3 #4)
+        ex.count()
+        raw.unpersist()
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -98,23 +98,34 @@ class IVFIndex:
 
         if n is None:
             n = corpus.count()
-        if nlist is None:
-            # auto-size on DISTINCT points, not rows: MLlib KMeans throws
-            # ArrayIndexOutOfBounds when k exceeds the number of distinct
-            # vectors — a real hazard for dedup corpora, where duplicates
-            # are the point (k == n_distinct verified safe). One extra
-            # shuffle, negligible next to the KMeans fit itself.
-            n_distinct = corpus.select("embedding").distinct().count()
-            nlist = default_nlist(min(n, n_distinct))
+        auto_sized = nlist is None
+        if auto_sized:
+            nlist = default_nlist(n)
 
         feats = corpus.withColumn("__features", array_to_vector("embedding"))
         # coarse quantization needs rough cells, not converged clusters —
         # few iterations, like FAISS's default clustering budget
-        km = KMeans(
-            k=nlist, seed=seed, maxIter=8,
-            featuresCol="__features", predictionCol="list_id",
-        )
-        model = km.fit(feats)
+        def _fit(k: int):
+            km = KMeans(
+                k=k, seed=seed, maxIter=8,
+                featuresCol="__features", predictionCol="list_id",
+            )
+            return km.fit(feats)
+
+        try:
+            model = _fit(nlist)
+        except Exception:
+            # MLlib KMeans throws (ArrayIndexOutOfBounds) when k exceeds
+            # the number of DISTINCT vectors — a real hazard for dedup
+            # corpora, where duplicates are the point. The exact distinct
+            # count is a full shuffle of the widest column, so it runs
+            # only on this recovery path (ADVICE r3 #5), keeping the
+            # common build one narrow count + the KMeans fit.
+            if not auto_sized:
+                raise
+            n_distinct = corpus.select("embedding").distinct().count()
+            nlist = default_nlist(min(n, n_distinct))
+            model = _fit(nlist)
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         assigned = model.transform(feats).drop("__features")
 

@@ -246,13 +246,19 @@ def get_index_params(index: Any) -> dict[str, Any]:
             # introspect only already-built state: touching .index would
             # lazily trigger a full KMeans build — an expensive side
             # effect for a read-only helper (ADVICE r2 #3). Before the
-            # first search, report the configured nlist (may be None =
-            # auto-sized at build time).
+            # first search, report the configured nlist, or — when it is
+            # auto-sized at build time — the value the auto-size formula
+            # will pick, so callers always see an int (the reference
+            # contract: nlist is never null — ADVICE r3 #2).
+            from hybrid_vector_search_spark.operators.ivf import default_nlist
+
             built = index._index
             nlist = built.nlist if built is not None else index._nlist
+            if nlist is None:
+                nlist = default_nlist(index.n)
             return {
                 "type": "ivfflat",
-                "nlist": int(nlist) if nlist is not None else None,
+                "nlist": int(nlist),
                 "nprobe": int(index.nprobe),
             }
         if isinstance(index, IVFIndex):

@@ -3631,21 +3631,57 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- HNSW ANN (K5 close)
 
 _HNSW_QSEED = 53
+_HNSW_CACHE: dict = {}
 
 
-@register("ann_hnsw_topk")  # no oracle: graph-approximate (rows-only check)
-def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW approximate top-K (operators/hnsw.py — K5, reference
-    src/dataio/loaders.py:123-139,154-163): per-partition seeded
-    navigable-small-world graphs via one mapInPandas pass, each emitting
-    its local top-K, merged by the engine-wide TakeOrderedAndProject.
+def _hnsw_persisted_index(spark: SparkSession, sf_dir: str):
+    """Session-cached persisted HNSW artifact (offline build stage, like
+    the reference's prebuilt FAISS HNSW — src/dataio/loaders.py:154-163):
+    one mapInPandas pass writes every partition's graph (ids, vectors,
+    adjacency, entry point) to scratch parquet; searches reconstruct the
+    graphs with zero insert work. Same cache discipline as the IVF
+    artifact (_ann_ivf_fixed_index)."""
+    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
+    from hybrid_vector_search_spark.scratch import scratch_path
 
-    Registered WITHOUT an oracle — graph search is approximate and its
-    result is a function of the partition layout, which ANSI SQL cannot
-    replay; the driver records the weaker rows/schema check. Recall vs
-    the exact scan is asserted in tests/test_hnsw.py instead."""
+    cached = _HNSW_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     corpus = load_corpus(spark, sf_dir, with_documents=False)
-    from hybrid_vector_search_spark.operators.hnsw import hnsw_topk
+    index = HNSWIndex.build(
+        corpus, scratch_path("hnsw_" + sf_dir.strip("/").replace("/", "_"))
+    )
+    _HNSW_CACHE[sf_dir] = (spark, index)
+    return index
 
-    out = hnsw_topk(corpus, query_vector(_HNSW_QSEED), 10)
+
+def _hnsw_oracle() -> str:
+    qlit = sql_array_literal(query_vector(_HNSW_QSEED))
+    return f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM embeddings
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
+LIMIT 10"""
+
+
+@register("ann_hnsw_topk", _hnsw_oracle())
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW top-K over the PERSISTED graph artifact (operators/hnsw.py —
+    K5, reference src/dataio/loaders.py:123-139,154-163): graphs are
+    built offline once (HNSWIndex.build, session-cached like the IVF
+    layout), search reconstructs each partition's graph from its stored
+    adjacency (zero inserts), emits its local top-K, and the engine-wide
+    TakeOrderedAndProject merges.
+
+    Registered in the DEGENERATE-EXACT form — ``ef_search ≥ partition
+    rows`` makes the beam retain every node, so per-partition search is
+    exhaustive by definition and the global merge equals the exact
+    top-K, giving the whole distributed pipeline (build → persist →
+    reconstruct → search → merge) a value-hash DuckDB oracle (closing
+    r3's one no_oracle row). Approximate-recall properties of the beam
+    search itself live in tests/test_hnsw.py."""
+    from hybrid_vector_search_spark.operators.hnsw import EXHAUSTIVE_EF
+
+    index = _hnsw_persisted_index(spark, sf_dir)
+    out = index.search_plan(query_vector(_HNSW_QSEED), 10, ef_search=EXHAUSTIVE_EF)
     return out.select("id", F.round("score", 6).alias("score"))

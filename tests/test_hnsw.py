@@ -105,11 +105,84 @@ def test_k6_chain_lands_hnsw_when_ivf_skipped(spark, unit_vecs):
     assert params["type"] == "hnsw" and params["ef_search"] == 64
 
 
-def test_registry_hnsw_query_shape(spark):
+def test_registry_hnsw_query_matches_exact(spark):
+    """The registered degenerate-exact form: persisted-graph search with
+    exhaustive ef equals the exact top-K — the same equality the driver's
+    DuckDB oracle now hash-checks."""
+    import numpy as np
+
     from hybrid_vector_search_spark.plans.registry import ORACLES, QUERIES
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.sources.loaders import load_table
 
     out = QUERIES["ann_hnsw_topk"](spark, "/root/testdata/sf0.001")
     rows = out.collect()
     assert len(rows) == 10
     assert [f.name for f in out.schema.fields] == ["id", "score"]
-    assert "ann_hnsw_topk" not in ORACLES  # rows-only by design
+    assert "ann_hnsw_topk" in ORACLES  # closed in r4: full value-hash check
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()
+    q = query_vector(53)
+    scored = sorted(
+        ((float(np.dot(np.asarray(r.embedding, float), q)), int(r.vec_id))
+         for r in emb),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [r.id for r in rows] == [i for _, i in scored]
+    for r, (s, _) in zip(rows, scored):
+        assert r.score == pytest.approx(round(s, 6), abs=1e-6)
+
+
+def test_exhaustive_ef_degenerates_to_exact(unit_vecs):
+    """ef ≥ n ⇒ the beam retains every node ⇒ search is the exact scan."""
+    ids = np.arange(len(unit_vecs), dtype=np.int64)
+    g = HNSWGraph(ids, unit_vecs)
+    rng = np.random.RandomState(21)
+    q = rng.randn(32)
+    q /= np.linalg.norm(q)
+    got, scores = g.search(q, 10, ef_search=len(unit_vecs))
+    exact = np.argsort(-(unit_vecs @ q), kind="stable")[:10]
+    assert list(got) == list(exact)
+    assert np.allclose(scores, (unit_vecs @ q)[exact])
+
+
+def test_persisted_index_no_rebuild(spark, unit_vecs, tmp_path):
+    """HNSWIndex: searching the persisted artifact reconstructs graphs
+    via from_parts — identical results to build-at-search, with ZERO
+    insert work on the driver-side reconstruction path."""
+    import hybrid_vector_search_spark.operators.hnsw as H
+    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(unit_vecs)],
+        "id long, embedding array<float>",
+    )
+    path = str(tmp_path / "hnsw_idx.parquet")
+    index = HNSWIndex.build(emb, path)
+    q = unit_vecs[42]
+    persisted = index.search_plan(q, 7).collect()
+    fresh = hnsw_topk(emb, q, 7).collect()
+    assert [(r.id, round(r.score, 9)) for r in persisted] == [
+        (r.id, round(r.score, 9)) for r in fresh
+    ]
+    # reconstruction never inserts: round-trip one partition's rows
+    # through from_parts locally and watch the counter
+    pdf = spark.read.parquet(path).filter("part = 0").toPandas()
+    pdf = pdf.sort_values("node_idx")
+    adjacency = []
+    for i, layers in enumerate(pdf["adj"].tolist()):
+        for lay, neigh in enumerate(layers):
+            while len(adjacency) <= lay:
+                adjacency.append({})
+            adjacency[lay][i] = [int(x) for x in neigh]
+    before = H.INSERT_CALLS
+    g = HNSWGraph.from_parts(
+        pdf["id"].to_numpy(np.int64),
+        np.vstack(pdf["vec"].to_numpy()),
+        adjacency,
+        int(pdf["entry_idx"].iloc[0]),
+        int(pdf["entry_level"].iloc[0]),
+    )
+    ids, _ = g.search(q, 3)
+    assert len(ids) == 3
+    assert H.INSERT_CALLS == before  # zero graph-construction work
