@@ -126,7 +126,15 @@ class PreFilterBackend(ExactBackend):
 
 class RandomBackend(SearchBackend):
     """P4: seeded random K ids; ignores filters and reports
-    ``scored_vectors = 0`` — the recall floor (reference quirk Q7)."""
+    ``scored_vectors = 0`` — the recall floor (reference quirk Q7,
+    src/backends/random.py:9-31: ``default_rng(0).choice`` — a seeded
+    uniform draw).
+
+    The draw is expressed as an order over ``md5(seed ∥ id)`` — uniform
+    like the reference's rng, but a pure function of (seed, id):
+    reproducible on ANY cluster shape (``F.rand`` output depends on the
+    partition layout) and replayable by the ANSI-SQL oracle, which is
+    what lets the driver value-hash this baseline."""
 
     name = "random"
 
@@ -134,10 +142,21 @@ class RandomBackend(SearchBackend):
         super().__init__(corpus, n, id_col)
         self.seed = seed
 
+    def _draw_key(self) -> F.Column:
+        from hybrid_vector_search_spark.operators.sampling import (
+            portable_hash_key,
+        )
+
+        return portable_hash_key(
+            F.concat(
+                F.lit(f"rnd{self.seed}:"), F.col(self.id_col).cast("string")
+            )
+        )
+
     def plan(self, qvec, filters, k):
         df = (
             self.corpus.select(self.id_col)
-            .orderBy(F.rand(self.seed))
+            .orderBy(self._draw_key().asc(), F.col(self.id_col).asc())
             .limit(k)
             .withColumn("score", F.lit(0.0))
         )

@@ -3685,3 +3685,139 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _hnsw_persisted_index(spark, sf_dir)
     out = index.search_plan(query_vector(_HNSW_QSEED), 10, ef_search=EXHAUSTIVE_EF)
     return out.select("id", F.round("score", 6).alias("score"))
+
+
+# ------------------------------------- P4 / A1 / A2 driver-checked evidence
+
+
+@register(
+    "baseline_random_topk",
+    """SELECT vec_id AS id, CAST(0.0 AS DOUBLE) AS score
+FROM embeddings
+ORDER BY ('0x' || substr(md5('rnd0:' || vec_id::VARCHAR), 1, 8))::BIGINT ASC,
+         vec_id ASC
+LIMIT 10""",
+)
+def baseline_random_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 random baseline through the strategy registry (P5 dispatch —
+    operators/strategies.py RandomBackend; reference src/backends/
+    random.py:9-31): seeded uniform draw of K ids, filters ignored,
+    score 0.0 — the recall floor. The draw orders by ``md5(seed ∥ id)``,
+    a pure function of (seed, id): uniform like the reference's
+    ``default_rng(0).choice`` but reproducible on any cluster shape and
+    replayable by the SQL oracle (value-hash checked)."""
+    from hybrid_vector_search_spark.operators.strategies import get_backend
+
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    backend = get_backend("random", corpus, seed=0)
+    df, _obs = backend.plan(None, None, 10)
+    return df
+
+
+def _recall_ivf_oracle() -> str:
+    qlit = sql_array_literal(query_vector(ANN_IVF_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed())
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings)),
+approx AS (
+  SELECT id FROM assigned WHERE list_id IN ({probed})
+  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K}),
+exact AS (
+  SELECT vec_id AS id FROM embeddings
+  ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
+  LIMIT {ANN_IVF_K})
+SELECT 'post_filter' AS method,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / {ANN_IVF_K}, 6) AS recall_at_k
+FROM exact JOIN approx USING (id)"""
+
+
+@register("metrics_recall_ivf_at_10", _recall_ivf_oracle())
+def metrics_recall_ivf_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 recall@K as a driver-checked row (plans/metrics.py recall_at_k
+    semantics — |approx ∩ exact| / K, reference src/eval/metrics.py
+    quirk Q6): the IVF ANN top-K (the deterministic fixed-quantizer
+    index, same artifact as ann_ivf_topk) intersected with the exact
+    top-K as one left-semi join + count plan — no collect; the harness's
+    J3 recall-intersection join, value-hash checked end to end."""
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    approx, _probed = index.search_plan(
+        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    scored = emb.select(
+        "id",
+        dot_score_pandas_udf(query_vector(ANN_IVF_QSEED))(
+            F.col("embedding")
+        ).alias("score"),
+    )
+    exact = topk(scored, ANN_IVF_K).select("id")
+    inter = exact.join(approx.select("id"), "id", "left_semi")
+    return inter.agg(
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(float(ANN_IVF_K)), 6
+        ).alias("recall_at_k")
+    ).select(F.lit("post_filter").alias("method"), "recall_at_k")
+
+
+def _selectivity_oracle() -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    arms = ",\n".join(
+        f"  SUM(CASE WHEN {filters_to_sql(schema, case['filters'])} "
+        f"THEN 1 ELSE 0 END) AS s_{i}"
+        for i, case in enumerate(HYBRID_CASES.values())
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS filter_case, "
+        f"ROUND(CAST(s_{i} AS DOUBLE) / n, 6) AS selectivity FROM sums"
+        for i, name in enumerate(HYBRID_CASES)
+    )
+    return (
+        f"{CORPUS_CTE},\nsums AS (SELECT COUNT(*) AS n,\n{arms}\n"
+        f"FROM corpus)\n{rows}"
+    )
+
+
+@register("metrics_selectivity_by_filter", _selectivity_oracle())
+def metrics_selectivity_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 selectivity as driver-checked rows (reference src/harness/
+    run.py:169-170: |allowed| / N per canonical filter set): ONE
+    conditional-aggregation scan computes every canonical case's allowed
+    fraction simultaneously (no per-case pass — the set-at-a-time form),
+    then ``stack`` unpivots to (filter_case, selectivity) rows."""
+    corpus = load_corpus(spark, sf_dir)
+    arms = [
+        F.sum(
+            F.when(compile_filters(corpus.schema, case["filters"]), 1)
+            .otherwise(0)
+        ).alias(f"s_{i}")
+        for i, case in enumerate(HYBRID_CASES.values())
+    ]
+    sums = corpus.agg(F.count(F.lit(1)).alias("n"), *arms)
+    stack_args = ", ".join(
+        f"'{name}', ROUND(CAST(s_{i} AS DOUBLE) / n, 6)"
+        for i, name in enumerate(HYBRID_CASES)
+    )
+    return sums.selectExpr(
+        f"stack({len(HYBRID_CASES)}, {stack_args}) "
+        "AS (filter_case, selectivity)"
+    )
