@@ -195,27 +195,54 @@ def ngram_jaccard_pairs(
             .persist()
         )
     else:
-        raw = shingle_rows(_spread(docs), n, id_col).select(id_col, "g").persist()
-        total = docs.agg(F.count(F.lit(1)).alias("__tot"))
-        stop = (
-            raw.groupBy("g")
+        # ONE persisted dataset (ADVICE r3 #4): the uncapped exploded
+        # index with per-doc set size n_sh carried inline. The stop list
+        # is collected driver-side — legitimate, because it is tiny BY
+        # CONSTRUCTION at any scale: a stop shingle appears in > frac of
+        # all docs, so there can be at most (total shingle instances) /
+        # (frac · n_docs) ≈ shingles-per-doc / frac distinct entries
+        # (hundreds, independent of corpus size). Collecting it lets the
+        # plan short-circuit: the common case (no shingle crosses the
+        # cap — sf0.1 has zero) skips the anti-join and size correction
+        # entirely and self-joins the cached index directly. The capped
+        # per-doc size is derived arithmetically (ns = n_sh − stop
+        # shingles this doc carried) instead of a second full groupBy
+        # over the retained universe, so only the stop postings are
+        # re-aggregated. (r4 sf0.1 A/B/C, fresh session each, best-of-3:
+        # localCheckpoint 8-16 s; two-persist lazy-stop 8.3 s;
+        # single-cache lazy-stop 6.2 s; this form 2.3 s and stable on
+        # the FIRST run — the lazy variants recompute the stop aggregate
+        # per broadcast use and lean on fragile plan-cache reuse.)
+        ex0 = shingle_rows(_spread(docs), n, id_col).persist()
+        n_docs = docs.count()
+        stop_rows = (
+            ex0.groupBy("g")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .crossJoin(F.broadcast(total))
-            .filter(F.col("__df") > F.col("__tot") * max_df_frac)
+            .filter(F.col("__df") > F.lit(float(n_docs) * max_df_frac))
             .select("g")
+            .collect()
         )
-        kept = raw.join(F.broadcast(stop), "g", "left_anti")
-        sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
-        # eager localCheckpoint: materializes ex ONCE (the same single
-        # computation the old persist+self-join paid, as its own job) and
-        # truncates lineage, so raw's cache releases immediately instead
-        # of staying pinned alongside ex for the session (ADVICE r3 #4).
-        # An ex.count() over a persist would pay one EXTRA full pass
-        # (measured 1.3→2.7 s on the sf0.1 bench); the checkpoint does
-        # not. Non-replicated blocks are fine for intra-job scratch — an
-        # executor loss fails-and-retries the job.
-        ex = kept.join(sizes, id_col).localCheckpoint(eager=True)
-        raw.unpersist()
+        if stop_rows:
+            spark = docs.sparkSession
+            stop = spark.createDataFrame(
+                [(r[0],) for r in stop_rows], "g string"
+            )
+            dropped = (
+                ex0.join(F.broadcast(stop), "g", "semi")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__nd"))
+            )
+            ex = (
+                ex0.join(F.broadcast(stop), "g", "left_anti")
+                .join(dropped, id_col, "left")
+                .withColumn(
+                    "ns",
+                    F.col("n_sh") - F.coalesce(F.col("__nd"), F.lit(0)),
+                )
+                .select(id_col, "g", "ns")
+            )
+        else:
+            ex = ex0.withColumnRenamed("n_sh", "ns")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
