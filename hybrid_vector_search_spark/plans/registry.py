@@ -87,6 +87,15 @@ HYBRID_CASES: dict[str, dict] = {
         "filters": {"text": {"like": "the"}, "n_chars": {"ge": 100}},
         "k": 10,
     },
+    # F2 (ne NULL-fail) and F3's gt through the driver gate — both were
+    # pytest-only before r4. ne on a LEFT-JOIN-nullable column (text/lang
+    # are NULL for embeddings without a document row) exercises the
+    # NULL-fail branch: a NULL lang must NOT satisfy lang != 'en'.
+    "hybrid_topk_ne": {
+        "seed": 19,
+        "filters": {"lang": {"ne": "en"}, "n_chars": {"gt": 50}},
+        "k": 10,
+    },
 }
 
 
@@ -3821,3 +3830,222 @@ def metrics_selectivity_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         f"stack({len(HYBRID_CASES)}, {stack_args}) "
         "AS (filter_case, selectivity)"
     )
+
+
+# ------------------- round-4 evidence: ETL price, JSONL roundtrip, surprisal
+
+
+def _price_attr_spark(doc_id_col: str = "doc_id") -> F.Column:
+    """Deterministic messy ``attributes`` cell derived from the doc id,
+    covering every branch the reference's price extraction must survive
+    (U4, artifacts.py:23-38): plain int, quoted int, Python ``None``
+    (invalid JSON once quotes are normalized), the string ``'None'``,
+    and a missing key."""
+    v = F.col(doc_id_col) % 5
+    num = (F.col(doc_id_col) % 4 + 1).cast("string")
+    return (
+        F.when(v == 0, F.concat(F.lit("{'RestaurantsPriceRange2': "), num, F.lit("}")))
+        .when(v == 1, F.concat(F.lit("{'RestaurantsPriceRange2': '"), num, F.lit("'}")))
+        .when(v == 2, F.lit("{'RestaurantsPriceRange2': None}"))
+        .when(v == 3, F.lit("{'RestaurantsPriceRange2': 'None'}"))
+        .otherwise(F.lit("{'is_open': 1}"))
+    )
+
+
+def _price_attr_sql(doc_id: str = "doc_id") -> str:
+    """The identical attributes derivation as a DuckDB expression."""
+    return f"""CASE {doc_id} % 5
+      WHEN 0 THEN '{{''RestaurantsPriceRange2'': ' || ({doc_id} % 4 + 1)::VARCHAR || '}}'
+      WHEN 1 THEN '{{''RestaurantsPriceRange2'': ''' || ({doc_id} % 4 + 1)::VARCHAR || '''}}'
+      WHEN 2 THEN '{{''RestaurantsPriceRange2'': None}}'
+      WHEN 3 THEN '{{''RestaurantsPriceRange2'': ''None''}}'
+      ELSE '{{''is_open'': 1}}'
+    END"""
+
+
+def _price_extract_sql(attr_expr: str) -> str:
+    """DuckDB twin of sources.etl.extract_price_col: normalize single
+    quotes, JSON-extract (NULL when the normalized cell is not valid
+    JSON, matching get_json_object on malformed input), map ``'None'`` /
+    ``''`` to NULL, cast tinyint."""
+    j = f"replace({attr_expr}, chr(39), chr(34))"
+    raw = (
+        f"CASE WHEN json_valid({j}) "
+        f"THEN json_extract_string({j}, '$.RestaurantsPriceRange2') END"
+    )
+    return f"CAST(NULLIF(NULLIF({raw}, 'None'), '') AS TINYINT)"
+
+
+@register(
+    "meta_price_extraction",
+    f"""WITH attr AS (
+  SELECT doc_id, {_price_attr_sql()} AS attributes FROM documents),
+extracted AS (
+  SELECT doc_id, {_price_extract_sql('attributes')} AS price FROM attr)
+SELECT price, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM extracted GROUP BY price ORDER BY price""",
+)
+def meta_price_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 price-range extraction through the driver gate (pytest-only
+    before r4). The messy attribute cell — JSON-ish with single quotes,
+    ints, quoted ints, Python None, 'None' strings, missing keys — is
+    derived deterministically from doc_id so both engines see the exact
+    same inputs; extraction itself is sources.etl.extract_price_col
+    (reference U4, artifacts.py:23-38): quote-normalize →
+    get_json_object → None-scrub → tinyint. Pure JVM expressions, one
+    scan + one small groupBy."""
+    from hybrid_vector_search_spark.sources.etl import extract_price_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _price_attr_spark().alias("attributes"))
+        .withColumn("price", extract_price_col())
+        .groupBy("price")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("price")
+    )
+
+
+_JSONL_RT_CACHE: dict = {}
+
+
+def _jsonl_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached JSONL landing artifact for the roundtrip query:
+    documents re-shaped into business-metadata records, written as
+    distributed JSON-lines (S6/S7 sink side), plus a hand-written file
+    of corrupt + required-null lines so the tolerant read path has
+    something to drop. Built once per (session, sf_dir) — ingest
+    infrastructure, like the streaming landing zone."""
+    cached = _JSONL_RT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    path = scratch_path("jsonlrt_" + sf_dir.strip("/").replace("/", "_"))
+    docs = load_table(spark, sf_dir, "documents")
+    biz = docs.select(
+        F.format_string("b%06d", F.col("doc_id")).alias("business_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.upper("lang"))
+        .alias("state"),
+        F.col("source").alias("city"),
+        ((F.col("doc_id") % 45) / F.lit(10.0) + F.lit(1.0)).alias("stars"),
+        F.col("n_chars").cast("int").alias("review_count"),
+        _price_attr_spark().alias("attributes"),
+    )
+    biz.write.mode("overwrite").json(path)
+    with open(os.path.join(path, "zz-corrupt-extra.json"), "w") as f:
+        f.write('{"business_id": "zzz", "state": truncated\n')
+        f.write("not json at all\n")
+        f.write('{"business_id": "b999998", "city": "no-required-fields"}\n')
+    _JSONL_RT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "etl_jsonl_roundtrip",
+    f"""WITH base AS (
+  SELECT doc_id,
+         printf('b%06d', doc_id) AS business_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE upper(lang) END AS state,
+         n_chars AS review_count,
+         {_price_extract_sql(_price_attr_sql())} AS price
+  FROM documents),
+kept AS (SELECT * FROM base WHERE state IS NOT NULL),
+ids AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY business_id) - 1 AS id FROM kept)
+SELECT state, COUNT(*) AS n,
+       CAST(SUM(review_count) AS BIGINT) AS sum_reviews,
+       COUNT(price) AS n_priced,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM ids GROUP BY state ORDER BY state""",
+)
+def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 JSON-lines ingest + V-validators + contiguous-id assignment as
+    one driver-checked row set (all pytest-only before r4): documents →
+    distributed JSONL landing (with corrupt lines planted) →
+    sources.etl.ingest_business_json (schema casts, U4 price extraction,
+    required-non-null drop — which also swallows the corrupt lines, whose
+    parsed columns are all NULL — and range-partitioned contiguous ids
+    ordered by business_id, never a single-partition window) → per-state
+    aggregate. The oracle replays the same derivation from the parquet
+    documents table, so a value mismatch anywhere in the JSON write →
+    tolerant read → cast → drop → id-assign pipeline fails the hash."""
+    from hybrid_vector_search_spark.sources.etl import ingest_business_json
+
+    path = _jsonl_roundtrip_path(spark, sf_dir)
+    meta = ingest_business_json(spark, path)
+    return (
+        meta.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("review_count").alias("sum_reviews"),
+            F.count("RestaurantsPriceRange2").alias("n_priced"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("state")
+    )
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+tc AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+tot AS (SELECT COUNT(*) AS total FROM tok2),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         SUM(log2(total::DOUBLE / cnt)) AS sum_bits
+  FROM tok2 JOIN tc USING (term) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT doc_id, n_toks,
+       {grid_avg_sql('sum_bits', 'n_toks', 2, 6)} AS bits_per_token
+FROM perdoc ORDER BY doc_id""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram surprisal (mean bits/token under the
+    corpus's own unigram LM) — the classic cheap quality/outlier signal
+    for training-data curation: boilerplate and duplicated text score
+    low, garbled or off-distribution text scores high.
+
+    Plan: one tokenize-explode scan → term-count aggregate (vocab) →
+    join counts back onto tokens (AQE broadcasts the vocab when small;
+    term-keyed shuffle join at scale — both sides already hash on term)
+    → per-doc sum. The only driver scalar is the corpus token total
+    (same discipline as text_tfidf's docs.count()). Float policy:
+    per-term log2 is a pure function of (total, cnt) — identical doubles
+    in both engines; the per-doc SUM is order-dependent, so it goes
+    through grid_avg (snap to 2-decimal grid, then divide, then round)
+    exactly like the TPC-H avg columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()
+    perdoc = (
+        tok.join(tc, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.log2(F.lit(float(total)) / F.col("cnt"))).alias(
+                "sum_bits"
+            ),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_toks",
+        grid_avg(F.col("sum_bits"), F.col("n_toks"), 2, 6).alias(
+            "bits_per_token"
+        ),
+    ).orderBy("doc_id")
