@@ -142,6 +142,50 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def bigram_repetition(text: Column | str) -> Column:
+    """Duplicate-bigram ratio — the Gopher/C4-style within-document
+    repetition signal: ``1 − distinct adjacent word-bigrams / total
+    bigrams`` over whitespace tokens of the lowercased trimmed text.
+    0.0 = no repeated bigram; → 1.0 for looping boilerplate. NULL for
+    documents with fewer than two tokens (no bigram exists).
+
+    Pure JVM higher-order functions (transform/sequence/array_distinct)
+    — no Python in the plan; the ratio is a pure function of two ints so
+    both engines compute the identical double. Tokens come from
+    :func:`normalized_text` split on single spaces — the same
+    collapse-then-split both the SQL twin and the fingerprint path use
+    (a bare ``split(trim(x), '\\s+')`` leaves a phantom empty token when
+    the text starts with a newline/tab, because trim strips spaces
+    only)."""
+    t = F.split(normalized_text(text), " ")
+    n = F.size(t)
+    bg = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bg)).cast("double")
+        / (n - 1).cast("double"),
+    )
+
+
+def bigram_repetition_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_repetition` (1-based list indexing;
+    ``range(1, len)`` is stop-exclusive → positions 1..len−1)."""
+    t = (
+        f"string_split(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')), ' ')"
+    )
+    bg = f"list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1])"
+    return (
+        f"CASE WHEN len({t}) >= 2 THEN "
+        f"1.0 - len(list_distinct({bg}))::DOUBLE / (len({t}) - 1) END"
+    )
+
+
 _WS = re.compile(r"\s+")
 
 

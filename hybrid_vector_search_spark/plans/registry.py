@@ -4049,3 +4049,29 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_token"
         ),
     ).orderBy("doc_id")
+
+
+from hybrid_vector_search_spark.functions.text import (  # noqa: E402
+    bigram_repetition,
+    bigram_repetition_sql,
+)
+
+
+@register(
+    "text_repetition_scores",
+    f"""SELECT doc_id,
+  ROUND({bigram_repetition_sql('text')}, 6) AS rep_bigram
+FROM documents
+ORDER BY doc_id""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (duplicate adjacent bigrams /
+    total bigrams) — the Gopher/C4 curation rule that catches looping
+    boilerplate and template spam that cross-document dedup never sees.
+    One scan, pure JVM higher-order functions, no shuffle at all: the
+    cheapest possible quality gate to run in front of a 100-TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(bigram_repetition("text"), 6).alias("rep_bigram"),
+    ).orderBy("doc_id")

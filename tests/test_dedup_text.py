@@ -190,6 +190,34 @@ def test_token_counts(spark):
     assert r.bpe == 8
 
 
+def test_bigram_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),          # bigrams: a-b, b-a, a-b → 1 - 2/3
+            (2, "one two three"),    # all distinct → 0.0
+            (3, "spam spam spam spam"),  # all identical → 1 - 1/3
+            (4, "single"),           # < 2 tokens → NULL
+            (5, ""),                 # empty → NULL
+            (6, None),               # null text → NULL
+            (7, "\n\ta   b\n"),      # messy whitespace == "a b" → 0.0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.rep
+        for r in df.select(
+            "id", TX.bigram_repetition("text").alias("rep")
+        ).collect()
+    }
+    assert abs(got[1] - (1 - 2 / 3)) < 1e-12
+    assert got[2] == 0.0
+    assert abs(got[3] - (1 - 1 / 3)) < 1e-12
+    assert got[4] is None
+    assert got[5] is None
+    assert got[6] is None
+    assert got[7] == 0.0
+
+
 def test_quality_score_range(docs):
     vals = [
         r.q for r in docs.select(TX.quality_score("text").alias("q")).collect()
