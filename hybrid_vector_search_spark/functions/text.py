@@ -156,21 +156,32 @@ def bigram_repetition(text: Column | str) -> Column:
     collapse-then-split both the SQL twin and the fingerprint path use
     (a bare ``split(trim(x), '\\s+')`` leaves a phantom empty token when
     the text starts with a newline/tab, because trim strips spaces
-    only)."""
-    t = F.split(normalized_text(text), " ")
-    n = F.size(t)
-    bg = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
-    return F.when(
-        n >= 2,
-        F.lit(1.0)
-        - F.size(F.array_distinct(bg)).cast("double")
-        / (n - 1).cast("double"),
-    )
+    only).
+
+    The token array is BOUND as a lambda variable (transform over a
+    1-element array) before any per-bigram work: referencing the split
+    Column directly inside the inner lambda would inline the whole
+    split expression into every element_at — Catalyst does not factor
+    common subexpressions out of higher-order lambdas, and the
+    re-tokenize-per-bigram plan measured 13.5 s vs ~0.5 s at sf0.1."""
+
+    def ratio(t: Column) -> Column:
+        n = F.size(t)
+        bg = F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        )
+        return F.when(
+            n >= 2,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double")
+            / (n - 1).cast("double"),
+        )
+
+    toks = F.split(normalized_text(text), " ")
+    return F.element_at(F.transform(F.array(toks), ratio), 1)
 
 
 def bigram_repetition_sql(col: str = "text") -> str:

@@ -172,6 +172,7 @@ def run_available_now(
     checkpoint_dir: str | None = None,
     timeout_sec: int = 120,
     expect_single_data_batch: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain all currently-available input through the streaming plan into
     an in-memory sink table (test/driver harness path).
@@ -187,7 +188,31 @@ def run_available_now(
     rate-limited source breaks the run instead of silently yielding
     duplicate rows with intermediate totals (ADVICE r2 #5). Watermark
     flush batches carry no rows and are exempt.
+
+    ``shuffle_partitions``: right-size the stream's STATE partitioning
+    for the expected micro-batch volume. The number of state-store
+    partitions is fixed at the first micro-batch from
+    ``spark.sql.shuffle.partitions``; the session default (sized for
+    batch scans) means every micro-batch pays that many state dirs,
+    commit files, and tasks regardless of data volume. Callers with an
+    ephemeral checkpoint (the drain-to-memory harness path) pass the
+    size each run; a production job with a durable checkpoint must pick
+    it ONCE at provisioning — it is immutable for the checkpoint's
+    lifetime. The session conf is restored after the drain.
     """
+    session = stream_df.sparkSession
+    prev_parts: str | None = None
+    if shuffle_partitions is not None:
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "shuffle_partitions is for ephemeral checkpoints: a "
+                "durable checkpoint's state partitioning is fixed at "
+                "creation and must not be changed per run"
+            )
+        prev_parts = session.conf.get("spark.sql.shuffle.partitions")
+        session.conf.set(
+            "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+        )
     writer = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -196,12 +221,16 @@ def run_available_now(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
     try:
-        q.awaitTermination(timeout_sec)
+        q = writer.start()
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:  # pragma: no cover - defensive stop on timeout
+                q.stop()
     finally:
-        if q.isActive:  # pragma: no cover - defensive stop on timeout
-            q.stop()
+        if prev_parts is not None:
+            session.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if expect_single_data_batch:
         data_batches = [
             p["batchId"]
