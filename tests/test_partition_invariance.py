@@ -93,6 +93,58 @@ def test_assign_contiguous_ids_partition_invariant(docs):
     assert got_ids == list(range(60))
 
 
+def test_unigram_surprisal_grid_partition_invariant(docs):
+    """The per-doc surprisal SUM is an order-dependent double
+    accumulation — the raw sum differs by ULPs across layouts. The
+    registered query snaps it through grid_avg before comparison; this
+    pins that the GRID-SNAPPED value is layout-invariant (the property
+    the DuckDB hash-compare relies on)."""
+    from hybrid_vector_search_spark.functions.portable import grid_avg
+
+    def vals(df):
+        tok = df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+        ).filter(F.col("term") != "")
+        tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        total = tok.count()
+        perdoc = (
+            tok.join(tc, "term")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_toks"),
+                F.sum(
+                    F.log2(F.lit(float(total)) / F.col("cnt"))
+                ).alias("sum_bits"),
+            )
+        )
+        out = perdoc.select(
+            "doc_id",
+            grid_avg(F.col("sum_bits"), F.col("n_toks"), 2, 6).alias("b"),
+        )
+        return {r.doc_id: r.b for r in out.collect()}
+
+    a, b, c = _with_layouts(docs, vals)
+    assert a == b == c and len(a) == 60
+
+
+def test_bigram_repetition_partition_invariant(docs):
+    """Per-row pure function — trivially invariant, pinned anyway since
+    it feeds quality gates."""
+    from hybrid_vector_search_spark.functions.text import bigram_repetition
+
+    def vals(df):
+        return {
+            r.doc_id: r.rep
+            for r in df.select(
+                "doc_id", F.round(bigram_repetition("text"), 6).alias("rep")
+            ).collect()
+        }
+
+    a, b, c = _with_layouts(docs, vals)
+    assert a == b == c
+
+
 def test_spread_no_shuffle_on_already_parallel_scans(spark, tmp_path, docs):
     """spread() contract (r1 VERDICT minor #5 + r2 review): multi-split
     inputs pass through untouched; only single-file / local-relation
