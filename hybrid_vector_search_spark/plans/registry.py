@@ -4117,3 +4117,64 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(bigram_repetition("text"), 6).alias("rep_bigram"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_duplicate_passages",
+    """WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+ch AS (SELECT doc_id, t[i * 32 + 1 : i * 32 + 32] AS c
+       FROM toks, UNNEST(range(0, ((len(t) - 1) // 32) + 1)) AS u(i)),
+fp AS (SELECT doc_id, md5(array_to_string(c, ' ')) AS chunk_fp
+       FROM ch WHERE len(c) = 32)
+SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences, MIN(doc_id) AS min_doc
+FROM fp GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_fp""",
+)
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: EXACT duplicated 32-word spans shared across
+    documents (the passage-granularity approximation of suffix-array
+    substring dedup, Lee et al. 2022) — catches boilerplate and quoted
+    blocks that whole-document fingerprints miss because the surrounding
+    text differs.
+
+    Disjoint 32-word windows (stride == size — overlap would make a
+    document's own adjacent windows collide), full windows only, then
+    ONE shuffle on the window fingerprint: group → keep fingerprints
+    seen in ≥ 2 distinct docs. Map-side codegen fan-out (split /
+    sequence / explode / slice / md5, zero Python) feeding a single
+    hash aggregation — the plan shape that holds at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(TX.normalized_text("text"), " ").alias("t")
+    )
+    ch = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("t") - F.lit(1)) / F.lit(32)).cast("int"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id", F.slice("t", F.col("i") * 32 + 1, 32).alias("c")
+        )
+        .filter(F.size("c") == 32)
+    )
+    return (
+        ch.select("doc_id", F.md5(F.array_join("c", " ")).alias("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_fp")
+    )

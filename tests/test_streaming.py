@@ -251,6 +251,32 @@ def test_stateful_totals_state_survives_restart(spark, tmp_path):
     assert out == {1: (4, 16.0)}
 
 
+def test_drain_shuffle_partitions_sizes_state_and_restores(spark, events_dir):
+    """shuffle_partitions right-sizes the drain's state stage and always
+    restores the session conf; combining it with a durable checkpoint is
+    refused (state partitioning is immutable for a checkpoint's life)."""
+    import pytest as _pytest
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    agg = windowed_agg_stream(
+        read_events_stream(spark, events_dir), "1 hour", watermark="2 hours"
+    )
+    run_available_now(
+        agg, "win_agg_sized", output_mode="complete", shuffle_partitions=4
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.table("win_agg_sized").count() > 0
+    with _pytest.raises(ValueError, match="ephemeral"):
+        run_available_now(
+            agg,
+            "win_agg_bad",
+            output_mode="complete",
+            checkpoint_dir="/tmp/nonexistent-ckpt",
+            shuffle_partitions=4,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
 def test_parquet_sink_exactly_once_across_drains(spark, tmp_path):
     """File sink + checkpoint: draining twice over unchanged input adds
     nothing (committed batches are not rewritten); newly-landed files
