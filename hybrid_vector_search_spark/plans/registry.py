@@ -4178,3 +4178,36 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("chunk_fp")
     )
+
+
+@register(
+    "events_salted_segment_join",
+    """WITH seg AS (SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
+                    FROM events)
+SELECT segment, event_type, COUNT(*) AS n_events
+FROM events JOIN seg USING (user_id)
+GROUP BY 1, 2 ORDER BY segment, event_type""",
+)
+def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrichment join through :func:`operators.skew.salted_join` —
+    the explicit hot-key defense for the shuffled-join regime where the
+    dim is too big to broadcast and AQE's skew split (sort-merge only)
+    does not apply. Salt is deterministic (xxhash64 of the fact row), so
+    the result is layout-invariant and value-hash EQUAL to the plain
+    join the oracle runs: salting changes the exchange topology, never
+    the answer. PLANS.md shows the (key, salt) exchange."""
+    from hybrid_vector_search_spark.operators.skew import salted_join
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    joined = salted_join(ev, dim, "user_id", n_salt=8)
+    return (
+        joined.groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("segment", "event_type")
+    )
