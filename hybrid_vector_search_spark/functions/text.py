@@ -184,6 +184,35 @@ def bigram_repetition(text: Column | str) -> Column:
     return F.element_at(F.transform(F.array(toks), ratio), 1)
 
 
+# PII patterns chosen for engine parity: every construct ([...], {m,},
+# \b, literal text) means the same thing to Java regex (Spark) and RE2
+# (DuckDB), so both engines count and redact identically. The phone
+# pattern is the North-American fictional 555 exchange — the scrub
+# demonstrates the mechanism; a production tagger swaps in its own
+# pattern set (and jurisdictional rules) here.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — JVM ``regexp_count``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(c, F.lit(PHONE_RE)),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails/phones with typed placeholder tokens — the
+    standard curation scrub that keeps document structure (and token
+    counts roughly stable) while removing the identifier itself."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def bigram_repetition_sql(col: str = "text") -> str:
     """DuckDB twin of :func:`bigram_repetition` (1-based list indexing;
     ``range(1, len)`` is stop-exclusive → positions 1..len−1)."""

@@ -4211,3 +4211,86 @@ def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("segment", "event_type")
     )
+
+
+def _pii_injected_sql() -> str:
+    """The deterministic PII injection as a DuckDB expression (doc_id
+    decides which docs carry an email / a phone, mirroring the Spark
+    derivation exactly)."""
+    return (
+        "text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR"
+        " || '@mail' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' call 555-01' ||"
+        " printf('%02d', doc_id % 100) ELSE '' END"
+    )
+
+
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = r"\b555-[0-9]{4}\b"
+
+@register(
+    "text_pii_scrub",
+    """WITH injected AS (
+  SELECT doc_id, """
+    + _pii_injected_sql()
+    + """ AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '"""
+    + _PII_EMAIL_SQL
+    + """')) AS n_emails,
+  len(regexp_extract_all(t, '"""
+    + _PII_PHONE_SQL
+    + """')) AS n_phones,
+  md5(regexp_replace(regexp_replace(t, '"""
+    + _PII_EMAIL_SQL
+    + """', '<EMAIL>', 'g'), '"""
+    + _PII_PHONE_SQL
+    + """', '<PHONE>', 'g')) AS fp_redacted
+FROM injected ORDER BY doc_id""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the Dolma/CCNet-style tagger stage):
+    count emails/phones per document and fingerprint the scrubbed text.
+    Synthetic identifiers are injected deterministically from doc_id —
+    the same derivation trick as meta_price_extraction — so both engines
+    see identical inputs and the whole detect→redact→fingerprint chain
+    is value-hash checked. Patterns live in functions/text.py
+    (EMAIL_RE/PHONE_RE, chosen for Java-regex/RE2 parity); one scan,
+    pure JVM regexp_count/regexp_replace, no shuffle."""
+    from hybrid_vector_search_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    ne, np_ = pii_counts("t")
+    return injected.select(
+        "doc_id",
+        ne.alias("n_emails"),
+        np_.alias("n_phones"),
+        F.md5(redact_pii("t")).alias("fp_redacted"),
+    ).orderBy("doc_id")
