@@ -4294,3 +4294,48 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         np_.alias("n_phones"),
         F.md5(redact_pii("t")).alias("fp_redacted"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""SELECT doc_id AS media_id, u.i AS frame_idx,
+  doc_id::VARCHAR || '#' || u.i::VARCHAR AS frame_ref
+FROM documents, UNNEST(range(0, 8 + (doc_id % 5) * 4, 8)) AS u(i)
+WHERE doc_id < {MULTIMODAL_N} AND doc_id % 2 = 1
+  AND text IS NOT NULL AND length(text) > 0
+ORDER BY media_id, frame_idx""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the driver gate (pytest-only before
+    r4): every-Nth-frame index fan-out over opaque video payloads
+    (operators/multimodal.py sample_frames — sequence + explode, no
+    Python, no shuffle; only KEPT frames would hit a decode kernel
+    downstream). Odd-id media become videos with a deterministic frame
+    count so the DuckDB oracle can replay the fan-out; frame_ref
+    addresses the frame within the untouched payload."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    vids = (
+        media.filter((F.col("media_id") % 2) == 1)
+        .withColumn("kind", F.lit("video"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.format").alias("format"),
+                F.col("meta.width").alias("width"),
+                F.col("meta.height").alias("height"),
+                F.col("meta.channels").alias("channels"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                (F.lit(8) + (F.col("media_id") % 5) * 4)
+                .cast("int")
+                .alias("n_frames"),
+            ),
+        )
+    )
+    return (
+        MM.sample_frames(vids, every_n=8)
+        .select("media_id", "frame_idx", "frame_ref")
+        .orderBy("media_id", "frame_idx")
+    )
