@@ -4339,3 +4339,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx", "frame_ref")
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "embeddings_norm_profile",
+    """WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS norm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n,
+  ROUND(quantile_cont(norm, 0.25), 6) AS p25,
+  ROUND(quantile_cont(norm, 0.50), 6) AS p50,
+  ROUND(quantile_cont(norm, 0.75), 6) AS p75,
+  CAST(SUM(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unnormalized
+FROM n GROUP BY label ORDER BY label""",
+)
+def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality profiling: per-label L2-norm percentiles and an
+    unnormalized-row count — the cheap sanity gate that catches a bad
+    encoder batch (wrong normalization, fp16 underflow, zero vectors)
+    before it poisons ANN indexes downstream. Per-row norms are
+    ROW-SEQUENTIAL array folds (deterministic, no cross-row float order
+    dependence); EXACT percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, probed to bit-equality) rather than
+    approx_percentile, whose sketch merge has no SQL twin. One scan, one
+    per-label aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(
+        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+    )
+    n = emb.select("label", norm.alias("norm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("norm", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("norm", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("norm", F.lit(0.75)), 6).alias("p75"),
+            F.sum(
+                F.when(F.abs(F.col("norm") - 1.0) > 0.01, 1).otherwise(0)
+            ).alias("n_unnormalized"),
+        )
+        .orderBy("label")
+    )
