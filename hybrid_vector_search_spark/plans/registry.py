@@ -4019,8 +4019,22 @@ def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerant read → cast → drop → id-assign pipeline fails the hash."""
     from hybrid_vector_search_spark.sources.etl import ingest_business_json
 
+    from pyspark.sql import types as T
+
     path = _jsonl_roundtrip_path(spark, sf_dir)
-    meta = ingest_business_json(spark, path)
+    # explicit landing schema: at scale, inference would be a second full
+    # pass over the landing zone (sources/etl.py docstring)
+    landing_schema = T.StructType(
+        [
+            T.StructField("business_id", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("stars", T.DoubleType()),
+            T.StructField("review_count", T.LongType()),
+            T.StructField("attributes", T.StringType()),
+        ]
+    )
+    meta = ingest_business_json(spark, path, schema=landing_schema)
     return (
         meta.groupBy("state")
         .agg(

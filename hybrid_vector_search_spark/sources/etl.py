@@ -125,7 +125,7 @@ def assign_contiguous_ids(
 
 def ingest_business_json(
     spark: SparkSession, json_path: str, drop_name: bool = True,
-    assign_ids: bool = True,
+    assign_ids: bool = True, schema: T.StructType | None = None,
 ) -> DataFrame:
     """JSON-lines → validated metadata DataFrame with stable contiguous ids.
 
@@ -135,8 +135,20 @@ def ingest_business_json(
     (range-partitioned, never a global single-partition window); pass
     ``assign_ids=False`` to keep only the natural ``business_id`` key —
     in a real lake the natural key is usually the better primary key.
+
+    ``schema``: ALWAYS pass one in production — without it
+    ``spark.read.json`` runs a full schema-inference scan before the
+    real read, doubling I/O over the entire landing zone (at dev scale
+    the inference pass is a convenience; at 100 TB it is a second pass
+    over 100 TB). Corrupt lines behave identically either way:
+    PERMISSIVE parsing yields all-null parsed columns, which the
+    required-non-null validator drops.
     """
-    raw = spark.read.json(json_path)
+    raw = (
+        spark.read.schema(schema).json(json_path)
+        if schema is not None
+        else spark.read.json(json_path)
+    )
     cols = [c for c in raw.columns if c in METADATA_CASTS]
     df = raw
     if "attributes" in raw.columns:

@@ -39,9 +39,12 @@ PROBE_QUERIES = (
     "knn_batch_topk",
     "ann_pq_adc_topk",
     "dedup_minhash_lsh_pairs",
+    "dedup_duplicate_passages",
     "events_sessionization",
+    "events_salted_segment_join",
     "tpch_q1_pricing_summary",
     "text_token_stats",
+    "text_unigram_surprisal",
     # streaming: availableNow drain per invocation — measures the state
     # machinery (session merge state, per-user GroupState) against K
     "streaming_session_windows",
