@@ -218,6 +218,31 @@ def test_bigram_repetition(spark):
     assert got[7] == 0.0
 
 
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.co and d@e.io, call 555-0134 now"),
+            (2, "no pii here, 555-12345 is too long to be our pattern"),
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    ne, np_ = TX.pii_counts("text")
+    got = {
+        r.id: (r.ne, r.np, r.red)
+        for r in df.select(
+            "id",
+            ne.alias("ne"),
+            np_.alias("np"),
+            TX.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert got[1] == (2, 1, "mail <EMAIL> and <EMAIL>, call <PHONE> now")
+    # \b555-\d{4}\b must NOT match inside a longer digit run
+    assert got[2][:2] == (0, 0) and "555-12345" in got[2][2]
+    assert got[3] == (None, None, None)
+
+
 def test_quality_score_range(docs):
     vals = [
         r.q for r in docs.select(TX.quality_score("text").alias("q")).collect()
