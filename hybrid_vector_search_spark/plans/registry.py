@@ -4401,3 +4401,54 @@ def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_CURATION_KEEP_SQL = (
+    f"({round_portable_sql(TX.quality_score_sql('text'), 6)} >= 0.5"
+    f" AND COALESCE({TX.bigram_repetition_sql('text')}, 1.0) <= 0.2"
+    " AND lang IN ('en', 'de', 'es', 'fr')"
+    " AND n_chars >= 100)"
+)
+
+
+@register(
+    "docs_curation_pipeline",
+    f"""SELECT source,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM (SELECT source, n_chars, {_CURATION_KEEP_SQL} AS keep
+      FROM documents) t
+GROUP BY source ORDER BY source""",
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline actually
+    runs: quality score ≥ 0.5 AND duplicate-bigram ratio ≤ 0.2 AND
+    allow-listed language AND minimum length, evaluated as ONE
+    conditional-aggregation scan (no per-filter pass, no shuffle before
+    the per-source rollup). Gates compare the ROUNDED quality score in
+    both engines so a threshold tie cannot break differently; the
+    repetition ratio is an exact integer ratio (COALESCE(…, 1.0) drops
+    sub-2-token docs). Reports kept/dropped docs and kept chars per
+    source — the numbers a curation run is judged by."""
+    from hybrid_vector_search_spark.functions.text import bigram_repetition
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keep = (
+        (round_portable(TX.quality_score("text"), 6) >= 0.5)
+        & (F.coalesce(bigram_repetition("text"), F.lit(1.0)) <= 0.2)
+        & F.col("lang").isin("en", "de", "es", "fr")
+        & (F.col("n_chars") >= 100)
+    )
+    return (
+        docs.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("source")
+    )
