@@ -4452,3 +4452,119 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_INCR_THRESHOLD = 0.8  # near-dup Jaccard threshold for the incremental pass
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+newb AS (SELECT * FROM norm WHERE doc_id % 10 >= 8),
+oldc AS (SELECT * FROM norm WHERE doc_id % 10 < 8),
+old_fp AS (SELECT fp, MIN(doc_id) AS old_id FROM oldc GROUP BY fp),
+exact AS (
+  SELECT n.doc_id AS new_id, o.old_id, 'exact' AS kind,
+         CAST(1.0 AS DOUBLE) AS jaccard
+  FROM newb n JOIN old_fp o USING (fp)),
+{DD.SHINGLES_SQL},
+exn AS (SELECT doc_id, unnest(s) AS g, len(s) AS ns
+        FROM sh WHERE doc_id % 10 >= 8),
+exo AS (SELECT doc_id, unnest(s) AS g, len(s) AS ns
+        FROM sh WHERE doc_id % 10 < 8),
+cand AS (
+  SELECT exn.doc_id AS new_id, exo.doc_id AS old_id,
+         exn.ns AS na, exo.ns AS nb, COUNT(*) AS inter
+  FROM exn JOIN exo USING (g)
+  GROUP BY 1, 2, 3, 4),
+near AS (
+  SELECT new_id, old_id, 'near' AS kind,
+         ROUND(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+  FROM cand
+  WHERE inter::DOUBLE / (na + nb - inter) >= {_INCR_THRESHOLD}
+    AND NOT EXISTS (SELECT 1 FROM exact e
+                    WHERE e.new_id = cand.new_id
+                      AND e.old_id = cand.old_id))
+SELECT * FROM exact
+UNION ALL SELECT * FROM near
+ORDER BY new_id, old_id, kind""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the continuous-ingest shape: a NEW batch
+    (here the deterministic 20% slice ``doc_id % 10 >= 8``) deduped
+    AGAINST the existing corpus, never corpus×corpus. Two layers:
+
+    * exact — fingerprint hash-join of the batch against the corpus's
+      per-fingerprint canonical keeper (``kind='exact'``, jaccard 1.0);
+    * near — ASYMMETRIC inverted-index join: batch shingles probe the
+      corpus shingle index (batch-side × corpus-side, never
+      corpus-side²), true Jaccard ≥ {τ}, exact matches anti-joined out.
+
+    At 100 TB the corpus-side index is the persisted artifact
+    (``ngram_shingle_index(materialize=True)``) and each arriving batch
+    probes it: per-batch cost scales with batch size, not corpus size
+    (posting lists bounded by the same df cap; uncapped here at sf
+    scale). Corpus docs identical to an exact match also appear as
+    ``near`` with jaccard 1.0 — they are true near-dups of the batch
+    doc under the set semantics; the anti-join removes only the
+    canonical exact pair."""
+    from hybrid_vector_search_spark.functions.text import (
+        fingerprint_md5,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    newb = docs.filter(is_new)
+    oldc = docs.filter(~is_new)
+
+    old_fp = (
+        oldc.select(fingerprint_md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("old_id"))
+    )
+    exact = (
+        newb.select("doc_id", fingerprint_md5("text").alias("fp"))
+        .join(old_fp, "fp")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "old_id",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    exn = shingle_rows(spread(newb)).withColumnRenamed("n_sh", "ns")
+    exo = shingle_rows(spread(oldc)).withColumnRenamed("n_sh", "ns")
+    cand = (
+        exn.alias("a")
+        .join(exo.alias("b"), F.col("a.g") == F.col("b.g"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("old_id"),
+            F.col("a.ns").alias("na"),
+            F.col("b.ns").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    near = (
+        cand.filter(jac >= _INCR_THRESHOLD)
+        .join(
+            exact.select("new_id", "old_id"),
+            ["new_id", "old_id"],
+            "left_anti",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.lit("near").alias("kind"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near).orderBy("new_id", "old_id", "kind")
