@@ -4568,3 +4568,65 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact.unionByName(near).orderBy("new_id", "old_id", "kind")
+
+
+@register(
+    "dedup_cluster_keepers",
+    f"""WITH comp AS (
+  SELECT * FROM ({DD.connected_components_sql(JACCARD_THRESHOLD)}) t),
+q AS (SELECT doc_id,
+        {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
+      FROM documents),
+m AS (SELECT c.component_id, c.doc_id, q.quality
+      FROM comp c JOIN q USING (doc_id)),
+sized AS (SELECT component_id, COUNT(*) AS n_members
+          FROM m GROUP BY 1 HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT m.component_id, m.doc_id, m.quality,
+         ROW_NUMBER() OVER (PARTITION BY m.component_id
+                            ORDER BY m.quality DESC, m.doc_id ASC) AS rn
+  FROM m JOIN sized USING (component_id))
+SELECT r.component_id, r.doc_id AS keeper_id, s.n_members,
+       r.quality AS keeper_quality
+FROM ranked r JOIN sized s USING (component_id)
+WHERE rn = 1 ORDER BY component_id""",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection — the LAST step of the dedup loop
+    (pairs → transitive groups → ONE survivor per group): within every
+    near-dup cluster of ≥ 2 documents, keep the HIGHEST-quality member
+    (rounded score, doc_id tiebreak) rather than the naive min-id. This
+    is how production pipelines pick survivors — dropping the boilerplate
+    copy and keeping the clean one. One window over the clustered sliver
+    of the corpus (components only materialize labels for docs that
+    collided); ranking compares the ROUNDED quality in both engines so a
+    tie cannot break differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = DD.dedup_components(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    q = docs.select(
+        "doc_id", round_portable(TX.quality_score("text"), 6).alias("quality")
+    )
+    m = comp.join(q, "doc_id")
+    from pyspark.sql import Window
+
+    sized = (
+        m.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        m.join(sized, "component_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.select(
+        "component_id",
+        F.col("doc_id").alias("keeper_id"),
+        "n_members",
+        F.col("quality").alias("keeper_quality"),
+    ).orderBy("component_id")
