@@ -4630,3 +4630,86 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("quality").alias("keeper_quality"),
     ).orderBy("component_id")
+
+
+@register(
+    "text_bigram_surprisal",
+    f"""WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks WHERE len(t) >= 2),
+c12 AS (SELECT b, COUNT(*) AS n12 FROM bg GROUP BY b),
+c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(n12) AS BIGINT) AS n1
+       FROM c12 GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id, log2(n1::DOUBLE / n12) AS bits
+  FROM bg JOIN c12 USING (b)
+  JOIN c1 ON string_split(bg.b, ' ')[1] = c1.w1),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS sum_bits
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       {grid_avg_sql('sum_bits', 'n_bigrams', 2, 6)} AS bits_per_bigram
+FROM perdoc ORDER BY doc_id""",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM surprisal — mean bits per token transition
+    under the corpus's own bigram LM, P(w₂|w₁) = c(w₁w₂)/c(w₁·): the
+    sharper curation signal (unigram surprisal scores topic rarity;
+    bigram surprisal scores broken SEQUENCES — shuffled words, OCR
+    damage, keyword stuffing score high even when every word is
+    common).
+
+    Plan: the per-doc bigram array is built JVM-side (same bound-lambda
+    HOF as bigram_repetition — no Python, no re-tokenize-per-element),
+    exploded once; two count aggregates (bigram, first-word) derived
+    from ONE exploded pass (c1 = Σ c12 over the first word — an
+    aggregate of the aggregate, not a second corpus scan); two keyed
+    joins back; per-doc sum through grid_avg. Per-transition bits are
+    pure functions of two ints — identical doubles in both engines."""
+    from hybrid_vector_search_spark.functions.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(normalized_text(F.col("text")), " ")
+    mk_bg = F.transform(
+        F.array(t),
+        lambda tt: F.transform(
+            F.sequence(F.lit(0), F.size(tt) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tt, i + 1), F.element_at(tt, i + 2)
+            ),
+        ),
+    )
+    bg = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(F.element_at(mk_bg, 1)).alias("b"))
+    )
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = (
+        c12.groupBy(F.split("b", " ")[0].alias("w1"))
+        .agg(F.sum("n12").alias("n1"))
+    )
+    scored = (
+        bg.join(c12, "b")
+        .join(c1, F.split(bg["b"], " ")[0] == c1["w1"])
+        .select(
+            "doc_id",
+            F.log2(F.col("n1").cast("double") / F.col("n12")).alias("bits"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        grid_avg(F.col("sum_bits"), F.col("n_bigrams"), 2, 6).alias(
+            "bits_per_bigram"
+        ),
+    ).orderBy("doc_id")
