@@ -40,6 +40,9 @@ PROBE_QUERIES = (
     "ann_pq_adc_topk",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_passages",
+    "dedup_incremental_batch",
+    "dedup_connected_components",
+    "text_bigram_surprisal",
     "events_sessionization",
     "events_salted_segment_join",
     "tpch_q1_pricing_summary",
