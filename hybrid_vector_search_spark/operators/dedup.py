@@ -50,6 +50,7 @@ MINHASH_B = (1, 7, 13, 31, 37, 61, 67, 73)
 NUM_HASHES = 8
 NUM_BANDS = 4  # bands of 2 rows each
 SIMHASH_BITS = 16
+SIMHASH_WIDE_BITS = 60  # pair-generation width: 15 md5 hex chars < 2^63
 ROLLING_P = 1_000_000_007
 ROLLING_MULT = 31
 
@@ -491,12 +492,19 @@ WHERE j >= {threshold} ORDER BY doc_a, doc_b"""
 
 
 # ----------------------------------------------------------------- SimHash
-def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — SIMHASH_BITS-bit fingerprint: per-token md5-int bit
-    votes (+1/−1), bit set where the vote sum is positive.
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) — ``bits``-wide fingerprint: per-token md5-int bit
+    votes (+1/−1), bit set where the vote sum is positive. Default 16
+    bits (reference parity); pass ``bits=SIMHASH_WIDE_BITS`` (60) for
+    the pair-generation path, where band-bucket cardinality must grow
+    with the corpus (16 bits → 4-bit bands → 16 buckets per band →
+    quadratic candidates at scale). 60 = 15 md5 hex chars, the widest
+    width whose value stays below 2^63 in BOTH engines' signed int64.
 
     Arrow kernel with a per-task token-hash memo; the all-JVM expression
-    form needs SIMHASH_BITS interpreted aggregate folds that each re-hash
+    form needs ``bits`` interpreted aggregate folds that each re-hash
     every token (Catalyst does not CSE across aggregate lambdas), which
     profiled ~10× slower.
     """
@@ -504,7 +512,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import re
 
     ws = re.compile(r"\s+")
-    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    hex_chars = (bits + 3) // 4
+    bit_idx = np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf(T.LongType())
     def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -513,7 +522,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def h(t: str) -> int:
             v = memo.get(t)
             if v is None:
-                v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                v = int(hashlib.md5(t.encode()).hexdigest()[:hex_chars], 16)
                 memo[t] = v
             return v
 
@@ -535,13 +544,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def simhash_sql(col: str = "text") -> str:
+def simhash_sql(col: str = "text", bits: int = SIMHASH_BITS) -> str:
+    hex_chars = (bits + 3) // 4
     norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
-    h = f"list_transform(string_split({norm}, ' '), t -> {md5_int_sql('t')})"
+    tok_hash = f"('0x' || substr(md5(t), 1, {hex_chars}))::BIGINT"
+    h = f"list_transform(string_split({norm}, ' '), t -> {tok_hash})"
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform({h}, "
         f"x -> ((x >> {i}) & 1) * 2 - 1)) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     )
     return f"({terms})::BIGINT"
 
@@ -775,4 +786,81 @@ def embedding_near_dup_ivf(
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    sim: DataFrame | None = None,
+    bits: int = SIMHASH_WIDE_BITS,
+) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ ``max_hamming`` via
+    the pigeonhole band index — the THIRD candidate-generation mechanism
+    next to the shingle inverted index and MinHash banding, and the one
+    with a hard guarantee: splitting ``SIMHASH_BITS`` into ``n_bands``
+    equal bands, any pair within distance ``n_bands − 1`` must agree on
+    at least one whole band (pigeonhole), so the band equi-join has
+    PERFECT recall for ``max_hamming ≤ n_bands − 1`` — no probabilistic
+    miss, unlike MinHash. Candidates shuffle on band keys (never
+    all-pairs); the xor+popcount verify is one codegen expression.
+    Default width is SIMHASH_WIDE_BITS (60): band-bucket cardinality is
+    2^(bits/n_bands), and it must dwarf the corpus over bucket count or
+    candidate generation degrades toward quadratic — 60/4 gives 2^15
+    buckets per band (the 16-bit reference fingerprint would give 16).
+
+    ``sim``: prebuilt (id, simhash) table (e.g. a materialized artifact)
+    — the same index-reuse contract as the other dedup entry points."""
+    if not (0 <= max_hamming <= n_bands - 1):
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= n_bands-1; got "
+            f"{max_hamming} with {n_bands} bands"
+        )
+    if bits % n_bands:
+        raise ValueError(f"{n_bands} bands must divide {bits} bits")
+    if sim is None:
+        sim = simhash(docs, id_col, bits=bits).withColumnRenamed(
+            "simhash", "sh"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = sim.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        F.shiftright(F.col("sh"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.sh").alias("sa"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("b.sh").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
