@@ -4750,3 +4750,106 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_hamming_pairs(docs, _SIMHASH_HAM_MAX).orderBy(
         "doc_a", "doc_b"
     )
+
+
+_CSV_RT_CACHE: dict = {}
+
+
+def _csv_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached CSV landing artifact: documents-derived payloads
+    covering the four classic CSV hazards — embedded quotes+commas,
+    embedded newlines, NULL, and the empty string (distinct from NULL).
+    Written with an explicit null sentinel (``\\N``) because the default
+    empty-string nullValue makes NULL and '' indistinguishable on
+    read-back — the canonical CSV data-loss bug."""
+    cached = _CSV_RT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    path = scratch_path("csvrt_" + sf_dir.strip("/").replace("/", "_"))
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    payload = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit('q:"'),
+                F.substring("text", 1, 10),
+                F.lit('",c:,'),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("l1\n"), F.lit("l2:"), F.substring("text", 1, 5)
+            ),
+        )
+        .when(v == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit(""))
+    )
+    (
+        docs.select("doc_id", payload.alias("payload"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        # whitespace trimming defaults to TRUE on both write and read —
+        # silently eats trailing spaces (one more classic CSV data-loss)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    _CSV_RT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "etl_csv_roundtrip",
+    """WITH p AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN 'q:"' || substr(text, 1, 10) || '",c:,'
+    WHEN 1 THEN 'l1' || chr(10) || 'l2:' || substr(text, 1, 5)
+    WHEN 2 THEN NULL
+    ELSE '' END AS payload
+  FROM documents)
+SELECT doc_id, CAST(payload IS NULL AS INT) AS is_null,
+       length(payload) AS n_chars_rt,
+       md5(coalesce(payload, '<NULL>')) AS fp
+FROM p ORDER BY doc_id""",
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip through the four hazards every CSV
+    pipeline hits — embedded quotes+commas, embedded newlines, NULL vs
+    EMPTY STRING (kept distinct via an explicit ``\\N`` null sentinel on
+    write AND read; the default empty-string nullValue silently merges
+    them) — value-hashed against a pure replay of the derivation, so
+    any quoting/escaping/null defect in the write→read path fails the
+    hash. Read uses an explicit schema (no inference pass) and
+    ``multiLine`` for the newline payloads; NOTE the scale tradeoff:
+    multiLine CSV is not splittable, so production keeps multiline
+    content in quoted landing files only and converts to parquet at
+    ingest (sources/etl.py write_corpus)."""
+    from pyspark.sql import types as T
+
+    path = _csv_roundtrip_path(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.col("payload").isNull().cast("int").alias("is_null"),
+        F.length("payload").alias("n_chars_rt"),
+        F.md5(F.coalesce("payload", F.lit("<NULL>"))).alias("fp"),
+    ).orderBy("doc_id")
