@@ -218,6 +218,34 @@ def test_bigram_repetition(spark):
     assert got[7] == 0.0
 
 
+def test_simhash_hamming_pairs_pigeonhole(spark):
+    """Perfect recall within the radius: a doc pair whose 60-bit
+    fingerprints differ in ≤ 3 bits MUST be found (pigeonhole over 4
+    bands); parameter misuse raises."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup
+        (3, "completely different text about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = {r.doc_id: r.simhash for r in DD.simhash(df, bits=60).collect()}
+    d12 = bin(sim[1] ^ sim[2]).count("1")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in DD.simhash_hamming_pairs(df, max_hamming=3).collect()
+    }
+    if d12 <= 3:
+        assert pairs[(1, 2)] == d12  # pigeonhole: MUST be found
+    else:
+        assert (1, 2) not in pairs
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_hamming_pairs(df, max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError, match="divide"):
+        DD.simhash_hamming_pairs(df, max_hamming=3, n_bands=7)
+
+
 def test_pii_counts_and_redact(spark):
     df = spark.createDataFrame(
         [
