@@ -4853,3 +4853,39 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").alias("n_chars_rt"),
         F.md5(F.coalesce("payload", F.lit("<NULL>"))).alias("fp"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_plan",
+    f"""SELECT doc_id AS media_id, 'png' AS format,
+  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+  CAST(3 AS INT) AS channels, CAST(1 AS INT) AS n_frames,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+WHERE doc_id < {MULTIMODAL_N} AND text IS NOT NULL AND length(text) > 0
+ORDER BY media_id""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage's SCHEMA-LEVEL contract through the driver gate
+    (the pixel kernel is honestly stubbed — operators/multimodal.py
+    resize_plan rewrites the typed metadata struct JVM-side and marks
+    the payload for re-encode; a real deployment drops one more
+    mapInPandas on the data column). What the hash check proves: the
+    metadata rewrite targets every row, preserves format/channels/
+    n_frames, sets the new dimensions, and leaves the opaque payload
+    byte-identical (n_bytes re-measured from the data column AFTER the
+    rewrite)."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    resized = MM.resize_plan(media, 64, 64)
+    return resized.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("data").cast("int").alias("n_bytes"),
+    ).orderBy("media_id")
