@@ -483,7 +483,13 @@ class HNSWBackend(SearchBackend):
         )
         pred = compile_filters(self.corpus.schema, filters)
         allowed = self.corpus.filter(pred).select(self.id_col)
-        kept = cand.join(F.broadcast(allowed), self.id_col, "left_semi")
+        # Broadcast the graph-bounded candidate side (≤ kprime ≤
+        # max(k_ladder) rows), stream the unbounded allowed set — a
+        # broadcast of `allowed` dies at 100× when the filter passes most
+        # of the corpus. Inner join keeps the candidate scores.
+        kept = allowed.join(F.broadcast(cand), self.id_col, "inner").select(
+            self.id_col, "score"
+        )
         return _topk(kept, k, id_col=self.id_col), None
 
     def search(self, qvec, filters, k):
@@ -507,16 +513,38 @@ class HNSWBackend(SearchBackend):
             q, kmax, ef_search=max(self.ef_search, kmax)
         )
         pred = compile_filters(self.corpus.schema, filters)
-        allowed = self.corpus.filter(pred).select(
-            self.id_col, F.lit(True).alias("__pass")
+        # Collect the bounded candidate ranking once (≤ kmax ≤ 1000 rows),
+        # then stream the UNBOUNDED allowed set against a broadcast of the
+        # tiny collected id list — never broadcast `allowed` (it approaches
+        # the full id column as selectivity → 1). A left-outer with the
+        # candidates preserved can only build/broadcast the allowed side
+        # (BroadcastHashJoin LeftOuter ⇒ BuildRight), so the pass flag is
+        # derived via a semi-join in the safe direction + a driver-side set.
+        cand_rows = sorted(
+            cand.collect(), key=lambda r: (-r["score"], r[self.id_col])
         )
-        flagged = cand.join(F.broadcast(allowed), self.id_col, "left").collect()
-        flagged.sort(key=lambda r: (-r["score"], r[self.id_col]))
+        from pyspark.sql import types as T
+
+        spark = self.corpus.sparkSession
+        id_field = self.corpus.schema[self.id_col]
+        cand_ids = spark.createDataFrame(
+            [(r[self.id_col],) for r in cand_rows],
+            schema=T.StructType([id_field]),
+        )
+        passing = {
+            r[self.id_col]
+            for r in self.corpus.filter(pred)
+            .join(F.broadcast(cand_ids), self.id_col, "left_semi")
+            .select(self.id_col)
+            .collect()
+        }
         # client-side ladder replay over the collected candidate ranking
         stop_kprime = self.k_ladder[-1]
         rows: list = []
         for kprime in self.k_ladder:
-            rows = [r for r in flagged[:kprime] if r["__pass"]][:k]
+            rows = [
+                r for r in cand_rows[:kprime] if r[self.id_col] in passing
+            ][:k]
             stop_kprime = kprime
             if len(rows) >= k:
                 break

@@ -266,7 +266,14 @@ class PostFilterBackend(SearchBackend):
         candidates, _probed = self.index.search_plan(qvec, kprime, self.nprobe)
         pred = compile_filters(self.corpus.schema, filters)
         allowed = self.corpus.filter(pred).select(self.id_col)
-        kept = candidates.join(F.broadcast(allowed), self.id_col, "left_semi")
+        # Broadcast the LADDER-BOUNDED side: candidates is a top-K′ plan
+        # (≤ max(k_ladder) rows by construction), while `allowed` is the
+        # filtered corpus and approaches the full id column as filter
+        # selectivity → 1 — broadcasting it would overflow the driver at
+        # 100× scale. Inner join keeps the candidate scores.
+        kept = allowed.join(F.broadcast(candidates), self.id_col, "inner").select(
+            self.id_col, "score"
+        )
         return topk(kept, k, id_col=self.id_col), None
 
     def search(self, qvec, filters, k):
@@ -285,7 +292,11 @@ class PostFilterBackend(SearchBackend):
         probed: list[int] = []
         for kprime in self.k_ladder:
             candidates, probed = self.index.search_plan(q, kprime, self.nprobe)
-            kept = candidates.join(F.broadcast(allowed), self.id_col, "left_semi")
+            # broadcast the bounded candidate side (≤ kprime rows), stream
+            # the unbounded allowed set — see plan() for the scale rationale
+            kept = allowed.join(
+                F.broadcast(candidates), self.id_col, "inner"
+            ).select(self.id_col, "score")
             rows = topk(kept, k, id_col=self.id_col).collect()
             stop_kprime = kprime
             if len(rows) >= k:

@@ -176,13 +176,21 @@ class LSHPostFilterBackend(SearchBackend):
         bucketed = self.corpus.withColumn(
             "bucket", bucket_udf(self.planes)(F.col("embedding"))
         )
-        scored = bucketed.filter(F.col("bucket").isin(probes)).select(
-            F.col(self.id_col),
-            dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
-        )
+        # LSH candidates ARE corpus rows (the probed-bucket scan keeps all
+        # metadata columns), so post-filtering needs NO join at all: apply
+        # the predicate to the same pruned scan. {x : bucket∈probes ∧ pred}
+        # is exactly candidates ∩ allowed, with zero shuffle and the filter
+        # pushed into the scan — unlike a semi-join against the unbounded
+        # allowed set, this survives selectivity → 1 at 100× scale.
         pred = compile_filters(self.corpus.schema, filters)
-        allowed = self.corpus.filter(pred).select(self.id_col)
-        kept = scored.join(F.broadcast(allowed), self.id_col, "left_semi")
+        kept = (
+            bucketed.filter(F.col("bucket").isin(probes))
+            .filter(pred)
+            .select(
+                F.col(self.id_col),
+                dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+            )
+        )
         return topk(kept, k, id_col=self.id_col), probes
 
     def search(self, qvec, filters, k):
@@ -197,7 +205,6 @@ class LSHPostFilterBackend(SearchBackend):
         validate_K(k, self.n)
         q = ensure_unit_l2(qvec)
         pred = compile_filters(self.corpus.schema, filters)
-        allowed = self.corpus.filter(pred).select(self.id_col)
 
         t0 = time.perf_counter()
         rows: list = []
@@ -209,11 +216,13 @@ class LSHPostFilterBackend(SearchBackend):
         for radius in self.radius_ladder:
             probes = probe_set(q, self.planes, radius)
             in_probed = bucketed.filter(F.col("bucket").isin(probes))
-            scored = in_probed.select(
+            # joinless post-filter: predicate applied to the pruned scan
+            # itself (see plan() — candidates are corpus rows, so no
+            # candidate⋈allowed join is ever needed)
+            kept = in_probed.filter(pred).select(
                 F.col(self.id_col),
                 dot_score_pandas_udf(q)(F.col("embedding")).alias("score"),
             )
-            kept = scored.join(F.broadcast(allowed), self.id_col, "left_semi")
             rows = topk(kept, k, id_col=self.id_col).collect()
             stop_radius = radius
             if len(rows) >= k:
