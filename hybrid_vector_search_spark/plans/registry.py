@@ -3189,8 +3189,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    wanted = part.filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
     cost = (
-        li.join(
+        li
+        # push the selective part predicate INTO the lineitem scan: the
+        # per-part MIN is independent across parts, so aggregating only
+        # the wanted parts' rows is answer-equivalent to the oracle's
+        # aggregate-everything-filter-last — and it shrinks the partkey
+        # shuffle by the part filter's selectivity (the dominant cost at
+        # 100 TB)
+        .join(
+            F.broadcast(wanted.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
             F.broadcast(region_supp.select("s_suppkey")),
             li.l_suppkey == F.col("s_suppkey"),
         )
@@ -3210,9 +3225,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("supply_cost").alias("min_cost"))
         .withColumnRenamed("l_partkey", "_bpk")
     )
-    wanted = part.filter(
-        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
-    ).select("p_partkey", "p_name")
     return (
         # best is one row per part (≤ |part|) — broadcast it; the
         # post-aggregation side carries no size stats, so Catalyst would
