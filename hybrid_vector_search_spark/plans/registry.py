@@ -4467,6 +4467,9 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCR_THRESHOLD = 0.8  # near-dup Jaccard threshold for the incremental pass
+# df cap fraction of the shared shingle-index artifact — MUST equal the
+# ngram_shingle_index default the registry builds _ngram_index_table with
+_INCR_DF_CAP = 0.5
 
 
 @register(
@@ -4483,10 +4486,15 @@ exact AS (
          CAST(1.0 AS DOUBLE) AS jaccard
   FROM newb n JOIN old_fp o USING (fp)),
 {DD.SHINGLES_SQL},
-exn AS (SELECT doc_id, unnest(s) AS g, len(s) AS ns
-        FROM sh WHERE doc_id % 10 >= 8),
-exo AS (SELECT doc_id, unnest(s) AS g, len(s) AS ns
-        FROM sh WHERE doc_id % 10 < 8),
+ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+stop AS (SELECT g FROM ex0 GROUP BY g
+         HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {_INCR_DF_CAP}),
+kept AS (SELECT ex0.* FROM ex0 ANTI JOIN stop USING (g)),
+sz AS (SELECT doc_id, COUNT(*) AS ns FROM kept GROUP BY doc_id),
+exn AS (SELECT k.doc_id, k.g, sz.ns FROM kept k JOIN sz USING (doc_id)
+        WHERE k.doc_id % 10 >= 8),
+exo AS (SELECT k.doc_id, k.g, sz.ns FROM kept k JOIN sz USING (doc_id)
+        WHERE k.doc_id % 10 < 8),
 cand AS (
   SELECT exn.doc_id AS new_id, exo.doc_id AS old_id,
          exn.ns AS na, exo.ns AS nb, COUNT(*) AS inter
@@ -4517,16 +4525,16 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the corpus-side index is the persisted artifact
     (``ngram_shingle_index(materialize=True)``) and each arriving batch
-    probes it: per-batch cost scales with batch size, not corpus size
-    (posting lists bounded by the same df cap; uncapped here at sf
-    scale). Corpus docs identical to an exact match also appear as
-    ``near`` with jaccard 1.0 — they are true near-dups of the batch
-    doc under the set semantics; the anti-join removes only the
-    canonical exact pair."""
-    from hybrid_vector_search_spark.functions.text import (
-        fingerprint_md5,
-        shingle_rows,
-    )
+    probes it: per-batch cost scales with batch size, not corpus size.
+    Both probe sides route through that DF-CAPPED artifact (the
+    registry's session-cached ``_ngram_index_table``), so a hot shingle
+    ("the quick brown") can never make the band join quadratic in its
+    posting length — the r3 df-cap hazard, closed for the incremental
+    path in r5; the oracle mirrors the cap CTE-for-CTE. Corpus docs
+    identical to an exact match also appear as ``near`` with jaccard
+    1.0 — they are true near-dups of the batch doc under the set
+    semantics; the anti-join removes only the canonical exact pair."""
+    from hybrid_vector_search_spark.functions.text import fingerprint_md5
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 >= 8
@@ -4549,8 +4557,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    exn = shingle_rows(spread(newb)).withColumnRenamed("n_sh", "ns")
-    exo = shingle_rows(spread(oldc)).withColumnRenamed("n_sh", "ns")
+    ix = _ngram_index_table(spark, sf_dir)
+    exn = ix.filter(is_new)
+    exo = ix.filter(~is_new)
     cand = (
         exn.alias("a")
         .join(exo.alias("b"), F.col("a.g") == F.col("b.g"))

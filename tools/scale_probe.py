@@ -246,9 +246,70 @@ def main() -> None:
             .count()
         )
 
+    def _incremental_fixed_batch_probe(k: int) -> tuple[float, int]:
+        """The incremental-dedup 100 TB claim, measured: a FIXED batch
+        (copy-0's 20% slice — constant rows at every factor) probes a ×K
+        corpus. The corpus-side df-capped shingle index is the untimed
+        ingest artifact (``ngram_shingle_index(materialize=True)``, built
+        once per deployment); the timed region is the probe itself, with
+        the bounded batch postings BROADCAST so the ×K corpus side never
+        shuffles — one map-side scan of the stored index + a candidate-row
+        aggregation. Returns (best-of-N sec, candidate-pair count): the
+        count is the noise-proof invariant — copy vocabularies are
+        disjoint, so a flat count across factors proves the probe touches
+        only matching postings, never corpus².
+        """
+        from hybrid_vector_search_spark.functions.text import shingle_rows
+        from hybrid_vector_search_spark.operators.dedup import (
+            materialize_parquet,
+            ngram_shingle_index,
+        )
+
+        d = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{k}")
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        is_batch = (F.col("doc_id") < ID_SHIFT) & (
+            F.col("doc_id") % 10 >= 8
+        )
+        ix = ngram_shingle_index(docs.filter(~is_batch), materialize=True)
+        batch_ix = materialize_parquet(
+            shingle_rows(docs.filter(is_batch)).withColumnRenamed(
+                "n_sh", "ns"
+            ),
+            f"probe_batch_ix_x{k}",
+        )
+
+        def probe():
+            cand = (
+                ix.alias("b")
+                .join(
+                    F.broadcast(batch_ix.alias("a")),
+                    F.col("a.g") == F.col("b.g"),
+                )
+                .groupBy(
+                    F.col("a.doc_id").alias("new_id"),
+                    F.col("b.doc_id").alias("old_id"),
+                    F.col("a.ns").alias("na"),
+                    F.col("b.ns").alias("nb"),
+                )
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+            jac = F.col("inter").cast("double") / (
+                F.col("na") + F.col("nb") - F.col("inter")
+            )
+            return cand.filter(jac >= 0.8)
+
+        probe().write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))):
+            t0 = time.perf_counter()
+            probe().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), probe().count()
+
     lo, hi = factors[0], factors[-1]
     c_lo, c_hi = _lsh_candidates(lo), _lsh_candidates(hi)
     growth = c_hi / max(c_lo, 1)
+    incr = {k: _incremental_fixed_batch_probe(k) for k in factors}
     lines += [
         "## Volume invariants (noise-proof)",
         "",
@@ -257,7 +318,21 @@ def main() -> None:
         "generation; a quadratic collision blow-up would show here long "
         "before it shows in wall-clock).",
         "",
-    ]
+        "## Fixed batch × growing corpus (incremental dedup)",
+        "",
+        "A CONSTANT-size batch (copy-0's 20% slice) probes the ×K corpus "
+        "through the persisted df-capped shingle index (untimed ingest "
+        "artifact). Batch postings broadcast — the corpus side never "
+        "shuffles; timed cost is one map-side index scan + the matched-"
+        "candidate aggregation. Near-dup candidate pairs must stay FLAT "
+        "(disjoint per-copy vocab ⇒ the probe touches only matching "
+        "postings):",
+        "",
+        "| corpus | probe sec | ≥τ candidate pairs |",
+        "|---|---|---|",
+    ] + [
+        f"| ×{k} | {incr[k][0]:.2f}s | {incr[k][1]:,} |" for k in factors
+    ] + [""]
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print(f"wrote {REPO / 'SCALING.md'}")
 
