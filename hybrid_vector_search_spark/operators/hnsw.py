@@ -387,6 +387,15 @@ class HNSWIndex:
             pdf = pdf.sort_values("node_idx")
             ids = pdf["id"].to_numpy(dtype=np.int64)
             vecs = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            if ef >= len(ids):
+                # beam ≥ node count retains every node — the walk is
+                # pure overhead; one GEMM with the global tie discipline
+                # (score DESC, id ASC) gives the identical top-k
+                scores = vecs @ q
+                order = np.lexsort((ids, -scores))[:kk]
+                return pd.DataFrame(
+                    {idc: ids[order], "score": scores[order]}
+                )
             adjacency: list[dict[int, list[int]]] = []
             for i, layers in enumerate(pdf["adj"].tolist()):
                 for lay, neigh in enumerate(layers):
@@ -402,6 +411,33 @@ class HNSWIndex:
             return pd.DataFrame({idc: top_ids, "score": top_scores})
 
         idx = self.spark.read.parquet(self.path)
+        if ef >= EXHAUSTIVE_EF:
+            # known-exhaustive plan: every node scores, so graph (and
+            # partition!) structure is irrelevant — skip the groupBy
+            # regroup exchange entirely and prune the adjacency + entry
+            # columns out of the parquet scan (adj is the widest column
+            # in the artifact). One mapInPandas GEMM per Arrow batch,
+            # local top-k per batch, TakeOrderedAndProject merges.
+            def score_batches(
+                it: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    ids = pdf["id"].to_numpy(dtype=np.int64)
+                    vecs = np.vstack(pdf["vec"].to_numpy()).astype(
+                        np.float64
+                    )
+                    scores = vecs @ q
+                    order = np.lexsort((ids, -scores))[:kk]
+                    yield pd.DataFrame(
+                        {idc: ids[order], "score": scores[order]}
+                    )
+
+            cand = idx.select("id", "vec").mapInPandas(
+                score_batches, f"{idc} LONG, score DOUBLE"
+            )
+            return topk(cand, kk, id_col=idc)
         cand = idx.groupBy("part").applyInPandas(
             search_part, f"{idc} LONG, score DOUBLE"
         )
