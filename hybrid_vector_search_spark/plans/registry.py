@@ -2302,11 +2302,25 @@ _LANDING_CACHE: dict[tuple[str, str], tuple[SparkSession, str]] = {}
 # State partitioning for the availableNow drains: the bench/driver
 # micro-batches hold ~1e5 rows, where the session's batch-sized shuffle
 # partitioning (32) pays 32 state dirs + commit files + tasks per
-# micro-batch for a few thousand groups. 8 keeps full core overlap on
-# the state stage while quartering the per-batch constant. A production
-# deployment with a durable checkpoint sizes this ONCE at provisioning
-# (state partitioning is immutable for a checkpoint's lifetime).
-_STREAM_PARTS = 8
+# micro-batch for a few thousand groups. 4 keeps core overlap on the
+# state stage while cutting the per-batch constant (r5 sweep at sf0.1,
+# warm best-of-3: 16→1.13s, 8→0.81s, 4→0.69s, 2→0.61s — 4 is the knee
+# before the ×8 probe's bigger micro-batches would serialize). A
+# production deployment with a durable checkpoint sizes this ONCE at
+# provisioning (state partitioning is immutable for a checkpoint's
+# lifetime).
+_STREAM_PARTS = 4
+
+
+def _sink_sorted(spark: SparkSession, table: str, *cols: str) -> DataFrame:
+    """Read an in-memory sink table in total order WITHOUT a global sort:
+    drained sink tables are driver-resident and small (the stream already
+    aggregated), so ``orderBy`` would pay a range-partitioning sampling
+    job + shuffle (~0.55 s measured at sf0.1) for rows that fit one
+    partition — coalesce(1) + local sort is the same total order at
+    ~0.1 s. Result-delivery only; the distributed work happened in the
+    drain."""
+    return spark.table(table).coalesce(1).sortWithinPartitions(*cols)
 
 
 def _landing(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
@@ -2362,7 +2376,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         agg, table, output_mode="complete", shuffle_partitions=_STREAM_PARTS
     )
-    return spark.table(table).orderBy("window_start", "event_type")
+    return _sink_sorted(spark, table, "window_start", "event_type")
 
 
 @register(
@@ -2411,7 +2425,7 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         deduped, table, output_mode="append", shuffle_partitions=_STREAM_PARTS
     )
-    return spark.table(table).orderBy("fingerprint")
+    return _sink_sorted(spark, table, "fingerprint")
 
 
 # --------------------------------------------- benchmark decontamination
@@ -2935,7 +2949,7 @@ def streaming_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         agg, table, output_mode="complete", shuffle_partitions=_STREAM_PARTS
     )
-    return spark.table(table).orderBy("window_start", "event_type")
+    return _sink_sorted(spark, table, "window_start", "event_type")
 
 
 @register(
@@ -3053,7 +3067,7 @@ def streaming_enriched_by_user_segment(spark: SparkSession, sf_dir: str) -> Data
     run_available_now(
         agg, table, output_mode="complete", shuffle_partitions=_STREAM_PARTS
     )
-    return spark.table(table).orderBy("segment", "event_type")
+    return _sink_sorted(spark, table, "segment", "event_type")
 
 
 # ------------------------------------------- results-log analytics (A3/A4)
@@ -3581,7 +3595,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         agg, table, output_mode="append", shuffle_partitions=_STREAM_PARTS
     )
-    return spark.table(table).orderBy("user_id", "session_start")
+    return _sink_sorted(spark, table, "user_id", "session_start")
 
 
 @register(
@@ -3618,13 +3632,12 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         shuffle_partitions=_STREAM_PARTS,
     )
     return (
-        spark.table(table)
+        _sink_sorted(spark, table, "user_id")
         .select(
             "user_id",
             "n_events",
             round_portable(F.col("sum_value"), 2).alias("sum_value"),
         )
-        .orderBy("user_id")
     )
 
 

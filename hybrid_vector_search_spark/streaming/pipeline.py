@@ -200,6 +200,11 @@ def run_available_now(
     it ONCE at provisioning — it is immutable for the checkpoint's
     lifetime. The session conf is restored after the drain.
     """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
     session = stream_df.sparkSession
     prev_parts: str | None = None
     if shuffle_partitions is not None:
@@ -213,14 +218,27 @@ def run_available_now(
         session.conf.set(
             "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
         )
+    # Ephemeral checkpoint placement: the drain's durability artifacts
+    # (offset log, commit log, state-store delta files) are pure
+    # constants here — the checkpoint is discarded after the drain — so
+    # put them on tmpfs when the host has one instead of Spark's default
+    # disk-backed temp dir. A PRODUCTION stream passes checkpoint_dir
+    # explicitly (durable storage); this path is the harness/incremental
+    # -batch drain only.
+    ephemeral: str | None = None
+    if checkpoint_dir is None:
+        shm = "/dev/shm"
+        root = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else (
+            tempfile.gettempdir()
+        )
+        ephemeral = os.path.join(root, f"hvs_ckpt_{uuid.uuid4().hex[:12]}")
     writer = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir or ephemeral)
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
     try:
         q = writer.start()
         try:
@@ -231,6 +249,8 @@ def run_available_now(
     finally:
         if prev_parts is not None:
             session.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if ephemeral is not None:
+            shutil.rmtree(ephemeral, ignore_errors=True)
     if expect_single_data_batch:
         data_batches = [
             p["batchId"]
