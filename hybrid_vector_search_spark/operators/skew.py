@@ -58,6 +58,12 @@ def salted_join(
         )
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    for side, cols in (("fact", fact.columns), ("dim", dim.columns)):
+        if _SALT in cols:
+            raise ValueError(
+                f"{side} side already has a {_SALT!r} column — it would "
+                "be silently overwritten and dropped (rename it first)"
+            )
     if salt_on is None:
         basis = [F.col(c) for c in fact.columns if c != key]
         if not basis:  # key-only fact side: all rows of a key identical
@@ -70,3 +76,75 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return f.join(d, [key, _SALT], how).drop(_SALT)
+
+
+def salted_self_pairs(
+    rows: DataFrame,
+    key: str,
+    id_col: str,
+    n_salt: int = 8,
+    hot_threshold: int = 256,
+) -> DataFrame:
+    """Skew-resilient SELF-join pair generation: all ``(a, b)`` with
+    ``a.key == b.key`` and ``a.id < b.id`` — the shape of every
+    inverted-index candidate join (MinHash band keys, SimHash pigeonhole
+    bands, shingle postings).
+
+    A plain self-join funnels a hot key's whole posting list through ONE
+    reducer that then emits (and compares) L² pairs. Salting a self-join
+    needs the TRIANGLE scheme, not :func:`salted_join`'s fact×dim shape:
+    each row gets a deterministic salt ``s(id) ∈ [0, n_salt)``; the left
+    side replicates over every partner salt ``sb`` and the right side
+    over every ``sa``, joining on ``(key, sa, sb)`` — each pair meets in
+    exactly one of the ``n_salt²`` reducers, so the hot key's L² work
+    spreads evenly instead of serializing.
+
+    Replicating every posting ``n_salt``× would tax the (typical) skew-
+    free case, so the split is gated by a DF threshold, the same hazard
+    model as the dedup df-cap: keys with posting length ≤
+    ``hot_threshold`` take the plain one-shuffle self-join; only hot
+    keys' rows pay the replication. The hot-key list is an aggregate of
+    the posting table — small by construction for any sane threshold —
+    and broadcasts into semi/anti splits, adding zero shuffles to the
+    cold path. Output (id_a, id_b) is identical to the plain self-join's
+    pair set — proven by the registry query's unsalted oracle and the
+    skewed-fixture pytest.
+    """
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    for c in ("__sa", "__sb"):
+        if c in rows.columns:
+            raise ValueError(f"rows already has a {c!r} column")
+    counts = rows.groupBy(key).agg(F.count(F.lit(1)).alias("__df"))
+    hot = counts.filter(F.col("__df") > hot_threshold).select(key)
+
+    def pair_select(df_a: DataFrame, df_b: DataFrame, extra: list) -> DataFrame:
+        return df_a.alias("a").join(
+            df_b.alias("b"),
+            [
+                F.col(f"a.{key}") == F.col(f"b.{key}"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                *extra,
+            ],
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+
+    cold = rows.join(F.broadcast(hot), key, "left_anti")
+    cold_pairs = pair_select(cold, cold, [])
+
+    hotr = rows.join(F.broadcast(hot), key, "left_semi")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int")
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    left = hotr.withColumn("__sa", salt).withColumn("__sb", partner)
+    right = hotr.withColumn("__sb", salt).withColumn("__sa", partner)
+    hot_pairs = pair_select(
+        left,
+        right,
+        [
+            F.col("a.__sa") == F.col("b.__sa"),
+            F.col("a.__sb") == F.col("b.__sb"),
+        ],
+    )
+    return cold_pairs.unionByName(hot_pairs)

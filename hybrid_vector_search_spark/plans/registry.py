@@ -849,6 +849,34 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_salted_band_pairs",
+    DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD),
+)
+def dedup_salted_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash band join with HOT-KEY SALTING engaged — answer-
+    equivalence proof for the skew path (the treatment
+    events_salted_segment_join gave the segment join, generalized to
+    inverted-index pair generation per skew.salted_self_pairs): band
+    keys whose posting list exceeds the threshold are triangle-salted
+    over n_salt² reducers, cold keys keep the plain self-join, and the
+    result must equal the UNSALTED oracle pair-for-pair. Threshold 1
+    here routes every colliding band key through the salted path
+    (sf-scale postings are short); production sets it to the healthy-
+    partition row budget so only true hot keys pay the replication."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.minhash_lsh_pairs(
+            docs,
+            JACCARD_THRESHOLD,
+            sig=_sig_table(spark, sf_dir),
+            salt_hot=(4, 1),
+        )
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
     "dedup_connected_components",
     DD.connected_components_sql(JACCARD_THRESHOLD),
 )
