@@ -82,3 +82,61 @@ def test_sample_frames_every_n(media):
         assert idxs == sorted(idxs) and idxs[0] == 0
         assert all(i % 8 == 0 for i in idxs)
     assert any(len(v) == 4 for v in per.values())
+
+
+def test_decode_codec_dispatch_and_validation(media):
+    import pytest as _pytest
+
+    # auto on this container resolves to the stub (PIL absent)
+    a = sorted(MM.decode_images(media, codec="auto").collect())
+    b = sorted(MM.decode_images(media, codec="stub").collect())
+    if not MM.codec_available():
+        assert a == b
+    with _pytest.raises(ValueError, match="codec"):
+        MM.decode_images(media, codec="jpeg")
+
+
+def test_pil_decode_schema_parity(spark):
+    """Real-codec path: skipped unless PIL is importable. Builds a real
+    PNG, decodes through codec='pil', and asserts the output schema and
+    payload-derived fields match the stub contract exactly."""
+    import pytest as _pytest
+
+    if not MM.codec_available():
+        _pytest.skip("PIL not importable in this environment")
+    import hashlib
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = np.arange(48 * 32 * 3, dtype=np.uint8).reshape(32, 48, 3)
+    Image.fromarray(arr).save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [
+            {
+                "media_id": 1,
+                "kind": "image",
+                "data": payload,
+                "meta": {
+                    "format": "png",
+                    "width": 48,
+                    "height": 32,
+                    "channels": 3,
+                    "sample_rate": None,
+                    "n_frames": 1,
+                },
+            }
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    real = MM.decode_images(media, codec="pil")
+    stub = MM.decode_images(media, codec="stub")
+    assert real.schema == stub.schema
+    row = real.collect()[0]
+    assert (row.width, row.height, row.channels) == (48, 32, 3)
+    assert row.mean_pixel == float(arr.mean())
+    assert row.checksum == hashlib.md5(payload).hexdigest()
+    assert row.n_bytes == len(payload)
