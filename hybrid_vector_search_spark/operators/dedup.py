@@ -167,7 +167,14 @@ def ngram_shingle_index(
     artifact, like the MinHash signature table. ``materialize=True``
     writes it to scratch parquet and releases the build cache, so a
     session can build once and run any number of pair queries over the
-    stored index (the registry does this per sf_dir)."""
+    stored index (the registry does this per sf_dir).
+
+    ``materialize=False`` returns the LAZY capped index still backed by
+    the persisted uncapped explode (``ex0``) — the caller owns the
+    release: when the downstream plan is done, drop every reference so
+    the ContextCleaner unpersists it, or prefer ``materialize=True``
+    (as :func:`ngram_jaccard_pairs` itself now does for the ex=None
+    path)."""
     from hybrid_vector_search_spark.functions.text import shingle_rows
 
     if max_df_frac is None:
@@ -267,7 +274,13 @@ def ngram_jaccard_pairs(
     cap parameters are assumed already applied to it.
     """
     if ex is None:
-        ex = ngram_shingle_index(docs, n, id_col, max_df_frac)
+        # materialize=True so the builder's ex0 persist is RELEASED once
+        # the index lands in scratch parquet — the lazy form would pin
+        # the uncapped exploded index (the largest intermediate) in
+        # executor memory for the session (ADVICE r4 #2)
+        ex = ngram_shingle_index(
+            docs, n, id_col, max_df_frac, materialize=True
+        )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -535,7 +548,12 @@ def simhash(
     import re
 
     ws = re.compile(r"\s+")
-    hex_chars = (bits + 3) // 4
+    # token hash reads AT LEAST 8 md5 hex chars: the historical (r1-r3)
+    # 16-bit fingerprints hashed tokens with md5[:8], and narrowing the
+    # read to (bits+3)//4 would silently change every persisted default-
+    # width fingerprint value (ADVICE r4 #1) — wider widths read exactly
+    # the chars their bits need (mirrored in simhash_sql)
+    hex_chars = max(8, (bits + 3) // 4)
     bit_idx = np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf(T.LongType())
@@ -568,7 +586,7 @@ def simhash(
 
 
 def simhash_sql(col: str = "text", bits: int = SIMHASH_BITS) -> str:
-    hex_chars = (bits + 3) // 4
+    hex_chars = max(8, (bits + 3) // 4)  # keep the simhash() twin exact
     norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
     tok_hash = f"('0x' || substr(md5(t), 1, {hex_chars}))::BIGINT"
     h = f"list_transform(string_split({norm}, ' '), t -> {tok_hash})"

@@ -4777,18 +4777,25 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_SIMHASH_HAM_MAX = 3  # <= n_bands-1: pigeonhole guarantees perfect recall
+_SIMHASH_N_BANDS = 4  # must equal simhash_hamming_pairs' n_bands default
+_SIMHASH_HAM_MAX = _SIMHASH_N_BANDS - 1  # pigeonhole: perfect recall bound
 
 
 @register(
     "dedup_simhash_pairs",
+    # band constants DERIVED from the Spark side's defaults (width =
+    # bits // n_bands, mask = 2^width − 1) so a change to either cannot
+    # silently diverge the two engines (ADVICE r4 #3)
     f"""WITH sim AS (
   SELECT doc_id, {DD.simhash_sql('text', bits=DD.SIMHASH_WIDE_BITS)} AS sh
   FROM documents),
 bands AS (
   SELECT doc_id, sh,
-         bi::VARCHAR || ':' || ((sh >> (bi * 15)) & 32767)::VARCHAR AS bk
-  FROM sim, UNNEST(range(0, 4)) AS u(bi)),
+         bi::VARCHAR || ':' ||
+           ((sh >> (bi * {DD.SIMHASH_WIDE_BITS // _SIMHASH_N_BANDS})) &
+            {(1 << (DD.SIMHASH_WIDE_BITS // _SIMHASH_N_BANDS)) - 1})::VARCHAR
+           AS bk
+  FROM sim, UNNEST(range(0, {_SIMHASH_N_BANDS})) AS u(bi)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sa,
                   b.doc_id AS doc_b, b.sh AS sb
