@@ -3684,8 +3684,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
     agg = session_window_stream(ev, f"{_SESS_GAP_MIN} minutes", _SESS_WM)
     table = "stream_sessions"
+    # heavier state than the windowed aggs (~95k session-window rows at
+    # sf0.1 vs ~2k groups): r5 sweep 4/8/16/32 -> 1.38/1.14/1.49/2.47s,
+    # 8 is this operator's knee
     run_available_now(
-        agg, table, output_mode="append", shuffle_partitions=_STREAM_PARTS
+        agg, table, output_mode="append", shuffle_partitions=2 * _STREAM_PARTS
     )
     return _sink_sorted(spark, table, "user_id", "session_start")
 
@@ -3717,12 +3720,15 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
     tot = stateful_user_totals_stream(ev)
     table = "stream_user_totals"
+    # the per-group Python kernel parallelizes across state partitions
+    # (Arrow transfer + GroupState updates for 100k rows): r5 sweep
+    # 4/8/16 -> 1.87/1.35/1.26s — 4× the light-agg sizing
     run_available_now(
         tot,
         table,
         output_mode="update",
         expect_single_data_batch=True,
-        shuffle_partitions=_STREAM_PARTS,
+        shuffle_partitions=4 * _STREAM_PARTS,
     )
     return (
         _sink_sorted(spark, table, "user_id")
