@@ -1463,15 +1463,19 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped to its 2-decimal grid before dividing, so the qualification
     threshold is the same double everywhere and boundary rows cannot
     flip on summation order."""
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
-    avg_t = orders.groupBy("o_custkey").agg(
-        (
-            round_portable(F.sum("o_totalprice"), 2)
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avg_tp")
-    )
+    # window form, not aggregate-and-join-back: ONE shuffle on custkey
+    # computes the per-customer threshold alongside each row (the join
+    # form shuffles orders twice or broadcasts a per-customer table
+    # that grows with the customer count — neither survives 100×)
+    w = Window.partitionBy("o_custkey")
+    avg_tp = round_portable(F.sum("o_totalprice").over(w), 2) / F.count(
+        F.lit(1)
+    ).over(w).cast("double")
     return (
-        orders.join(avg_t, "o_custkey")
+        orders.withColumn("avg_tp", avg_tp)
         .filter(F.col("o_totalprice") > 1.5 * F.col("avg_tp"))
         .select(
             "o_orderkey",
