@@ -3725,14 +3725,16 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     tot = stateful_user_totals_stream(ev)
     table = "stream_user_totals"
     # the per-group Python kernel parallelizes across state partitions
-    # (Arrow transfer + GroupState updates for 100k rows): r5 sweep
-    # 4/8/16 -> 1.87/1.35/1.26s — 4× the light-agg sizing
+    # (Arrow transfer + GroupState updates for 100k rows): r5 isolated
+    # sweep 4/8/16 -> 1.87/1.35/1.26s, but 16 regressed to 5.4s inside
+    # the full 112-query bench (16 stateful Python workers × a loaded
+    # executor) — 8 is the setting that wins in both contexts
     run_available_now(
         tot,
         table,
         output_mode="update",
         expect_single_data_batch=True,
-        shuffle_partitions=4 * _STREAM_PARTS,
+        shuffle_partitions=2 * _STREAM_PARTS,
     )
     return (
         _sink_sorted(spark, table, "user_id")
