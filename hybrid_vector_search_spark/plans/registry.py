@@ -5035,3 +5035,139 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_frames").alias("n_frames"),
         F.length("data").cast("int").alias("n_bytes"),
     ).orderBy("media_id")
+
+
+# --------------------------- S2 / P5 / K6 driver-checked evidence (r5) --
+
+
+@register(
+    "corpus_meta_sidecar",
+    """SELECT COUNT(*) AS n, MIN(len(embedding)) AS d,
+  (MAX(ABS(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) - 1.0))
+     < 0.002) AS normalized
+FROM embeddings""",
+)
+def corpus_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end through the driver gate: write the vector-corpus
+    JSON sidecar (one aggregation pass over the corpus — N, D, and the
+    unit-L2 check at the reference's tolerance; sources/loaders.py
+    write_corpus_meta, reference vectors.meta.json src/dataio/
+    loaders.py:60-70), then LOAD it back through the validating reader
+    (required-keys hard error, :66-69) and return what the sidecar
+    says. The oracle recomputes N/D/normalized straight from the
+    parquet, so a wrong count, a ragged dim, or a broken norm check
+    hash-mismatches."""
+    import os as _os
+
+    from hybrid_vector_search_spark.scratch import scratch_root
+    from hybrid_vector_search_spark.sources.loaders import (
+        load_corpus_meta,
+        write_corpus_meta,
+    )
+
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    path = _os.path.join(
+        scratch_root(),
+        "hvs_meta_" + sf_dir.strip("/").replace("/", "_") + ".json",
+    )
+    write_corpus_meta(corpus, path)
+    back = load_corpus_meta(path)
+    return spark.createDataFrame(
+        [(int(back["N"]), int(back["D"]), bool(back["normalized"]))],
+        "n LONG, d LONG, normalized BOOLEAN",
+    )
+
+
+@register(
+    "strategy_dispatch_params",
+    """SELECT * FROM (VALUES
+  ('exact', 'exact', CAST(NULL AS BIGINT)),
+  ('post_filter', 'ivfflat',
+   (SELECT GREATEST(1, LEAST(GREATEST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT),
+                                      64), 4096, COUNT(*)))
+    FROM embeddings)),
+  ('post_filter_lsh', 'lsh', CAST(4 AS BIGINT)),
+  ('pre_filter', 'exact', CAST(NULL AS BIGINT)),
+  ('random', 'exact', CAST(NULL AS BIGINT))
+) AS t(backend, index_type, param)
+ORDER BY backend""",
+)
+def strategy_dispatch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 dispatch × K7 introspection through the driver gate: every
+    name in the strategy registry (reference src/harness/run.py:71-87)
+    is dispatched through ``get_backend`` and introspected with
+    ``get_index_params`` (reference src/dataio/loaders.py:220-232).
+    The oracle's expectations are DATA-DEPENDENT where the contract is:
+    the IVF row's nlist must equal the auto-size formula √N clamped to
+    [64, 4096] (never null before the first build — ADVICE r3 #2)
+    recomputed by SQL from the corpus count, so dispatching the wrong
+    class, a lazy-build regression, or a formula drift all
+    hash-mismatch. param carries the backend's primary knob (nlist /
+    nbits), NULL for the exact-scan strategies."""
+    from hybrid_vector_search_spark.operators.strategies import (
+        get_backend,
+        get_index_params,
+    )
+
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    n = corpus.count()
+    rows = []
+    for name in ("exact", "post_filter", "post_filter_lsh", "pre_filter", "random"):
+        params = get_index_params(get_backend(name, corpus, n=n))
+        param = params.get("nlist", params.get("nbits"))
+        rows.append(
+            (name, params["type"], int(param) if param is not None else None)
+        )
+    return spark.createDataFrame(
+        rows, "backend STRING, index_type STRING, param LONG"
+    ).orderBy("backend")
+
+
+_FALLBACK_CASE = {"seed": 31, "filters": {"lang": {"in": ["en", "de"]}}, "k": 10}
+
+
+def _fallback_oracle() -> str:
+    from pyspark.sql import types as T
+
+    qlit = sql_array_literal(query_vector(_FALLBACK_CASE["seed"]))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    where = filters_to_sql(schema, _FALLBACK_CASE["filters"])
+    return f"""{CORPUS_CTE}
+SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score,
+       'ivf skipped (prefer_ivf=False) to hnsw' AS fallback_note
+FROM corpus WHERE {where}
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
+LIMIT {_FALLBACK_CASE["k"]}"""
+
+
+@register("strategy_fallback_topk", _fallback_oracle())
+def strategy_fallback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 fallback chain through the driver gate (reference
+    ``load_vectors_index``, src/dataio/loaders.py:176-218): with the
+    preferred IVF rung declined (``prefer_ivf=False``), the chain must
+    land on the HNSW rung and record how it got there — the
+    ``fallback_note`` the §2.10 stats surface carries is returned as a
+    column and hash-checked against the literal the chain promises. The
+    landed backend then answers a filtered top-K; at driver scales
+    (N ≤ max(k_ladder) = 1000) the HNSW candidate stage is degenerate-
+    exact (same argument as ann_hnsw_topk), so the oracle is the exact
+    filtered top-K — a wrong rung, a broken note, or a broken search
+    all hash-mismatch."""
+    from hybrid_vector_search_spark.operators.strategies import (
+        load_corpus_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir, with_documents=True)
+    backend = load_corpus_index(corpus, prefer_ivf=False)
+    plan, _obs = backend.plan(
+        query_vector(_FALLBACK_CASE["seed"]),
+        _FALLBACK_CASE["filters"],
+        _FALLBACK_CASE["k"],
+    )
+    return plan.select(
+        "id",
+        F.round("score", 6).alias("score"),
+        F.lit(backend.fallback_note).alias("fallback_note"),
+    )
