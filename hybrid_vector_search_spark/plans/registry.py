@@ -2403,15 +2403,23 @@ _LANDING_CACHE: dict[tuple[str, str], tuple[SparkSession, str]] = {}
 _STREAM_PARTS = 4
 
 
+_SINK_LOCAL_SORT_MAX = 50_000
+
+
 def _sink_sorted(spark: SparkSession, table: str, *cols: str) -> DataFrame:
-    """Read an in-memory sink table in total order WITHOUT a global sort:
-    drained sink tables are driver-resident and small (the stream already
+    """Read an in-memory sink table in total order. Drained sink tables
+    are usually driver-resident and small (the stream already
     aggregated), so ``orderBy`` would pay a range-partitioning sampling
     job + shuffle (~0.55 s measured at sf0.1) for rows that fit one
     partition — coalesce(1) + local sort is the same total order at
-    ~0.1 s. Result-delivery only; the distributed work happened in the
-    drain."""
-    return spark.table(table).coalesce(1).sortWithinPartitions(*cols)
+    ~0.1 s. ROW-GATED: past the threshold (the ×8 probe's session table
+    emits ~10⁵ rows) a single-task sort becomes the bottleneck, so big
+    sinks keep the distributed global sort. Result-delivery only; the
+    distributed work happened in the drain."""
+    t = spark.table(table)
+    if t.count() <= _SINK_LOCAL_SORT_MAX:
+        return t.coalesce(1).sortWithinPartitions(*cols)
+    return t.orderBy(*cols)
 
 
 def _landing(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
@@ -4585,6 +4593,9 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCR_THRESHOLD = 0.8  # near-dup Jaccard threshold for the incremental pass
+# broadcast the batch postings below this row count (~120 MB of (id, g,
+# ns) rows); above it the near join falls back to a shuffle join
+_INCR_BCAST_MAX_ROWS = 2_000_000
 # df cap fraction of the shared shingle-index artifact — MUST equal the
 # ngram_shingle_index default the registry builds _ngram_index_table with
 _INCR_DF_CAP = 0.5
@@ -4678,9 +4689,22 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _ngram_index_table(spark, sf_dir)
     exn = ix.filter(is_new)
     exo = ix.filter(~is_new)
+    # Asymmetric probe TOPOLOGY, not just asymmetric sizes: the arriving
+    # batch's postings are the small side — broadcast them so the corpus
+    # index is ONE map-side scan and never shuffles (the same direction
+    # the SCALING.md fixed-batch probe runs; r5 ×4 A/B: 1.9s shuffle
+    # join → 1.0s broadcast). Row-gated like the embedding near-dup's
+    # byte gate, with the plain shuffle join as the over-gate fallback.
+    if exn.count() <= _INCR_BCAST_MAX_ROWS:
+        joined = exo.alias("b").join(
+            F.broadcast(exn.alias("a")), F.col("a.g") == F.col("b.g")
+        )
+    else:  # batch postings too big to broadcast: shuffle both sides
+        joined = exn.alias("a").join(
+            exo.alias("b"), F.col("a.g") == F.col("b.g")
+        )
     cand = (
-        exn.alias("a")
-        .join(exo.alias("b"), F.col("a.g") == F.col("b.g"))
+        joined
         .groupBy(
             F.col("a.doc_id").alias("new_id"),
             F.col("b.doc_id").alias("old_id"),
