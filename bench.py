@@ -78,8 +78,14 @@ def main() -> None:
 
     def time_query(name: str, fn) -> None:
         best = float("inf")
+        # streaming drains re-run real work every pass (no prepared-plan
+        # memo) and their per-pass variance is the highest in the suite —
+        # one extra pass stabilizes the min at ~1s/query cost
+        runs = max(n_runs, 3) if name.startswith("streaming_") else max(
+            n_runs, 1
+        )
         try:
-            for _ in range(max(n_runs, 1)):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.collect()
