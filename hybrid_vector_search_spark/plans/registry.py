@@ -5195,3 +5195,100 @@ def strategy_fallback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.lit(backend.fallback_note).alias("fallback_note"),
     )
+
+
+_EMBED_N = 200
+
+
+@register(
+    "etl_embed_stub_profile",
+    f"""SELECT doc_id, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2
+FROM documents WHERE doc_id < {_EMBED_N} ORDER BY doc_id""",
+)
+def etl_embed_stub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1's UDF surface through the driver gate: the batched text-
+    embedding pandas UDF (sources/etl.py embed_text_udf — reference
+    src/harness/run.py:131-141 runtime SentenceTransformer encode),
+    exercised end-to-end on the documents table via the explicitly
+    opted-in deterministic stub (no model weights in this container;
+    the real path loads the model once per executor in the same
+    iterator shape). What the hash check proves about the UDF contract:
+    one vector per row with the declared 384-dim shape, unit-L2 within
+    float32 tolerance (norm rounds to 1.0 at 6 dp), for every row —
+    shape or normalization regressions hash-mismatch. The vector
+    VALUES are intentionally not oracle-replayable (numpy RNG); their
+    determinism is pinned by tests/test_etl.py."""
+    from hybrid_vector_search_spark.sources.etl import embed_text_udf
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _EMBED_N
+    )
+    emb = docs.select(
+        "doc_id", embed_text_udf(allow_stub=True)(F.col("text")).alias("e")
+    )
+    sq = F.aggregate(
+        F.transform("e", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "doc_id",
+        F.size("e").cast("long").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2"),
+    ).orderBy("doc_id")
+
+
+_STATS_CASE = {"seed": 43, "filters": {"label": {"in": [0, 4, 9]}}, "k": 10}
+
+
+def _stats_oracle() -> str:
+    from pyspark.sql import types as T
+
+    qlit = sql_array_literal(query_vector(_STATS_CASE["seed"]))
+    schema = T.StructType([T.StructField("label", T.IntegerType())])
+    where = filters_to_sql(schema, _STATS_CASE["filters"])
+    k = _STATS_CASE["k"]
+    return f"""{CORPUS_CTE},
+allowed AS (SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS s
+            FROM corpus WHERE {where}),
+top AS (SELECT id, s, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rn
+        FROM allowed)
+SELECT 'exact' AS method, CAST({k} AS BIGINT) AS k,
+       (SELECT COUNT(*) FROM allowed) AS scored_vectors,
+       (SELECT id FROM top WHERE rn = 1) AS top_id,
+       (SELECT s FROM top WHERE rn = {k}) AS kth_score"""
+
+
+@register("harness_stats_exact", _stats_oracle())
+def harness_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10's stats-row assembly through the driver gate: a REAL
+    ``backend.search()`` call (driver-side collect, the harness path —
+    reference src/backend_interface.py:7-31 + the 14-field results row
+    of src/harness/run.py) whose deterministic stats fields come back
+    as a 1-row DataFrame. scored_vectors flows through the plan's
+    ``Observation`` (the row count of the filtered corpus measured by
+    the SAME job that scored it — U7's instrumentation shape, minus the
+    wall-clock fields the oracle cannot replay); the k-th score and top
+    id pin the ids/scores arrays. A broken Observation, a dropped
+    filter, or a tie-break regression all hash-mismatch."""
+    from hybrid_vector_search_spark.operators.strategies import get_backend
+
+    corpus = load_corpus(spark, sf_dir)
+    backend = get_backend("exact", corpus)
+    ids, stats = backend.search(
+        query_vector(_STATS_CASE["seed"]),
+        _STATS_CASE["filters"],
+        _STATS_CASE["k"],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["method"],
+                int(stats["K"]),
+                int(stats["scored_vectors"]),
+                int(ids[0]),
+                round(float(stats["scores"][_STATS_CASE["k"] - 1]), 6),
+            )
+        ],
+        "method STRING, k LONG, scored_vectors LONG, top_id LONG, kth_score DOUBLE",
+    )
