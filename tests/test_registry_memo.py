@@ -1,0 +1,71 @@
+"""Prepared-plan memo + resident-corpus cache semantics (r5).
+
+The memo caches the LAZY DataFrame per (query, sf_dir, session) — every
+action must still re-execute the physical plan — and side-effecting
+queries (streaming drains) must stay exempt so each call re-runs its
+work.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    from hybrid_vector_search_spark.plans import registry as R
+
+    return R
+
+
+def test_pure_query_memoized_per_sfdir(spark, registry):
+    a = registry.QUERIES["hybrid_topk_exact"](spark, SF)
+    b = registry.QUERIES["hybrid_topk_exact"](spark, SF)
+    assert a is b  # same lazy plan object within (session, sf_dir)
+    c = registry.QUERIES["hybrid_topk_exact"](spark, "/root/testdata/sf0.01")
+    assert c is not a  # keyed by sf_dir
+
+
+def test_memoized_plan_reexecutes_and_is_stable(spark, registry):
+    df = registry.QUERIES["hybrid_topk_exact"](spark, SF)
+    r1 = [tuple(r) for r in df.collect()]
+    r2 = [tuple(r) for r in df.collect()]
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_streaming_queries_exempt_from_memo(registry):
+    for name, fn in registry.QUERIES.items():
+        if name.startswith("streaming_"):
+            assert not hasattr(fn, "__wrapped__"), name
+        else:
+            assert hasattr(fn, "__wrapped__"), name
+
+
+def test_load_corpus_session_cache(spark, registry):
+    a = registry.load_corpus(spark, SF)
+    b = registry.load_corpus(spark, SF)
+    assert a is b
+    assert a.storageLevel.useMemory  # resident, reference-parity
+    c = registry.load_corpus(spark, SF, with_documents=False)
+    assert c is not a  # keyed by column set too
+
+
+def test_sink_sorted_small_and_large_paths(spark, registry):
+    spark.range(100).selectExpr("id", "id % 7 AS k").createOrReplaceTempView(
+        "__t_small"
+    )
+    small = registry._sink_sorted(spark, "__t_small", "k", "id").collect()
+    assert [r["id"] for r in small] == sorted(
+        range(100), key=lambda i: (i % 7, i)
+    )
+    n_big = registry._SINK_LOCAL_SORT_MAX + 1
+    spark.range(n_big).selectExpr(
+        "id", "id % 7 AS k"
+    ).createOrReplaceTempView("__t_big")
+    big = registry._sink_sorted(spark, "__t_big", "k", "id")
+    # distributed global sort, not the single-task coalesce(1) path (AQE
+    # may still coalesce post-shuffle partitions — assert on the PLAN)
+    plan = big._jdf.queryExecution().analyzed().toString()
+    assert "Repartition 1" not in plan and "Sort" in plan
+    head = big.limit(5).collect()
+    assert [r["k"] for r in head] == [0] * 5

@@ -146,3 +146,15 @@ def test_salted_self_pairs_rejects_reserved_cols(skewed_postings):
         )
     with pytest.raises(ValueError, match="n_salt"):
         salted_self_pairs(skewed_postings, "bk", "doc_id", n_salt=0)
+
+
+def test_salted_self_pairs_layout_invariance(skewed_postings):
+    from hybrid_vector_search_spark.operators.skew import salted_self_pairs
+
+    base = _as_set(salted_self_pairs(skewed_postings, "bk", "doc_id", 4, 8))
+    shuffled = _as_set(
+        salted_self_pairs(
+            skewed_postings.repartition(17), "bk", "doc_id", 4, 8
+        )
+    )
+    assert base == shuffled
