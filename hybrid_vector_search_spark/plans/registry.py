@@ -5292,3 +5292,58 @@ def harness_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "method STRING, k LONG, scored_vectors LONG, top_id LONG, kth_score DOUBLE",
     )
+
+
+@register(
+    "streaming_view_purchase_join",
+    f"""SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec,
+  {round_portable_sql('p.value', 2)} AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, purchase_id""",
+    side_effects=True,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time-bounded inner join (the attribution
+    join): two live streams over the same landing zone — views and
+    purchases — paired per user within a 30-minute conversion window,
+    with watermarks on BOTH sides bounding the join state (a buffered
+    row is evicted once the other side's watermark passes its reach).
+    The seventh streaming operator family: windows, sessions, dedup,
+    stream-static enrich, custom state, and now the two-stream join.
+    Inner matches emit as soon as both sides arrive, so the availableNow
+    drain emits exactly the batch join's pairs — the oracle is the plain
+    SQL time-bounded join, value-hash checked."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_join_stream,
+    )
+
+    land = _landing(spark, sf_dir, "events")
+    views = read_events_stream(spark, land).filter(
+        F.col("event_type") == "view"
+    )
+    buys = read_events_stream(spark, land).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = view_purchase_join_stream(views, buys)
+    table = "stream_view_purchase"
+    run_available_now(
+        joined,
+        table,
+        output_mode="append",
+        shuffle_partitions=_STREAM_PARTS,
+    )
+    return _sink_sorted(
+        spark, table, "view_id", "purchase_id"
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "gap_sec",
+        round_portable("value", 2).alias("purchase_value"),
+    )

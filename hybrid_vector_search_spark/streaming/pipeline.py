@@ -362,3 +362,59 @@ def sink_to_parquet(
     finally:
         if q.isActive:  # pragma: no cover - defensive stop on timeout
             q.stop()
+
+
+def view_purchase_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time bound: each view event
+    pairs with the same user's purchase events landing within ``within``
+    of it — the attribution join (did the view convert?) every
+    clickstream pipeline runs, as two live streams instead of a batch
+    backfill.
+
+    Both sides carry watermarks, which is what BOUNDS THE JOIN STATE: a
+    buffered view can be dropped once the purchase-side watermark passes
+    ``view_ts + within`` (no future purchase can reach back further),
+    and symmetrically for buffered purchases — state is O(events per
+    watermark horizon), never O(stream). The time bound rides in the
+    join condition itself, so Spark derives the state-eviction
+    thresholds from it (the documented stream-stream join contract).
+    Inner-join matches emit as soon as both sides arrive; an availableNow
+    drain therefore emits exactly the batch join's pairs, which is what
+    lets the registry value-hash this operator against a plain SQL join.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("buyer_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value"),
+    ).withWatermark("buy_ts", watermark)
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        # microsecond-exact difference, floored once: floor(a) - floor(b)
+        # over second-truncated stamps would drift ±1s vs floor(a - b)
+        (
+            (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_sec"),
+        "value",
+    )

@@ -316,3 +316,62 @@ def test_parquet_sink_exactly_once_across_drains(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """Inner time-bounded stream-stream join drained availableNow must
+    emit exactly the batch join's pairs (watermarks bound state, never
+    results, for an inner join over a finite drain)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.plans.registry import _landing
+    from hybrid_vector_search_spark.sources.loaders import load_table
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_join_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    land = _landing(spark, sf, "events")
+    views = read_events_stream(spark, land).filter(
+        F.col("event_type") == "view"
+    )
+    buys = read_events_stream(spark, land).filter(
+        F.col("event_type") == "purchase"
+    )
+    run_available_now(
+        view_purchase_join_stream(views, buys),
+        "t_ss_join",
+        output_mode="append",
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.view_id, r.purchase_id, r.gap_sec)
+        for r in spark.table("t_ss_join").collect()
+    }
+    ev = load_table(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("vts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("bu"),
+        F.col("ts").alias("bts"),
+    )
+    batch = v.join(
+        p,
+        (F.col("user_id") == F.col("bu"))
+        & (F.col("bts") >= F.col("vts"))
+        & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 30 minutes")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        ((F.unix_micros("bts") - F.unix_micros("vts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    want = {(r.view_id, r.purchase_id, r.gap_sec) for r in batch.collect()}
+    assert got == want and len(want) > 0
