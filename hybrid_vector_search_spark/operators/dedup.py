@@ -51,6 +51,9 @@ NUM_HASHES = 8
 NUM_BANDS = 4  # bands of 2 rows each
 SIMHASH_BITS = 16
 SIMHASH_WIDE_BITS = 60  # pair-generation width: 15 md5 hex chars < 2^63
+# stop-shingle document-frequency cap (CCNet/SlimPajama df-cap): the ONE
+# source of truth — the registry oracle derives its SQL literal from this
+DEFAULT_MAX_DF_FRAC = 0.5
 ROLLING_P = 1_000_000_007
 ROLLING_MULT = 31
 
@@ -159,7 +162,7 @@ def ngram_shingle_index(
     docs: DataFrame,
     n: int = 3,
     id_col: str = "doc_id",
-    max_df_frac: float | None = 0.5,
+    max_df_frac: float | None = DEFAULT_MAX_DF_FRAC,
     materialize: bool = False,
 ) -> DataFrame:
     """The (id, g, ns) exploded inverted shingle index the Jaccard
@@ -241,7 +244,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
     id_col: str = "doc_id",
-    max_df_frac: float | None = 0.5,
+    max_df_frac: float | None = DEFAULT_MAX_DF_FRAC,
     ex: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via inverted-index
@@ -312,7 +315,7 @@ SHINGLES_SQL = (
 
 
 def ngram_jaccard_pairs_sql(
-    threshold: float, max_df_frac: float | None = 0.5
+    threshold: float, max_df_frac: float | None = DEFAULT_MAX_DF_FRAC
 ) -> str:
     """Oracle twin of :func:`ngram_jaccard_pairs`, including the
     stop-shingle document-frequency cap (same fraction, same base —

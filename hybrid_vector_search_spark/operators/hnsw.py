@@ -292,6 +292,18 @@ _INDEX_SCHEMA = (
 )
 
 
+def _exact_topk_frame(
+    ids: "np.ndarray", vecs: "np.ndarray", q: "np.ndarray", k: int, idc: str
+) -> pd.DataFrame:
+    """Exact local top-k for the degenerate (ef ≥ nodes) paths: one GEMM,
+    ordered by the engine-wide tie discipline (score DESC, id ASC). ONE
+    kernel shared by both exhaustive call sites so the tie rule the
+    oracles pin cannot desynchronize between them."""
+    scores = vecs @ q
+    order = np.lexsort((ids, -scores))[:k]
+    return pd.DataFrame({idc: ids[order], "score": scores[order]})
+
+
 class HNSWIndex:
     """Persisted per-partition HNSW artifact (the offline-build path the
     module docstring specifies; reference parity: the prebuilt FAISS HNSW
@@ -389,13 +401,9 @@ class HNSWIndex:
             vecs = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
             if ef >= len(ids):
                 # beam ≥ node count retains every node — the walk is
-                # pure overhead; one GEMM with the global tie discipline
-                # (score DESC, id ASC) gives the identical top-k
-                scores = vecs @ q
-                order = np.lexsort((ids, -scores))[:kk]
-                return pd.DataFrame(
-                    {idc: ids[order], "score": scores[order]}
-                )
+                # pure overhead; the shared exact kernel gives the
+                # identical top-k under the global tie discipline
+                return _exact_topk_frame(ids, vecs, q, kk, idc)
             adjacency: list[dict[int, list[int]]] = []
             for i, layers in enumerate(pdf["adj"].tolist()):
                 for lay, neigh in enumerate(layers):
@@ -428,11 +436,7 @@ class HNSWIndex:
                     vecs = np.vstack(pdf["vec"].to_numpy()).astype(
                         np.float64
                     )
-                    scores = vecs @ q
-                    order = np.lexsort((ids, -scores))[:kk]
-                    yield pd.DataFrame(
-                        {idc: ids[order], "score": scores[order]}
-                    )
+                    yield _exact_topk_frame(ids, vecs, q, kk, idc)
 
             cand = idx.select("id", "vec").mapInPandas(
                 score_batches, f"{idc} LONG, score DOUBLE"

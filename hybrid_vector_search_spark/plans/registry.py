@@ -53,19 +53,23 @@ ORACLES: dict[str, str] = {}
 # slice, spilling to local disk; at 100 TB this is a deliberate
 # hot-serving choice, and dropping the .cache() falls back to the
 # parquet scan with zero semantic change).
-_CORPUS_CACHE: dict[tuple[str, bool], tuple[SparkSession, DataFrame]] = {}
+_CORPUS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def load_corpus(
     spark: SparkSession, sf_dir: str, with_documents: bool = True
 ) -> DataFrame:
-    key = (sf_dir, with_documents)
-    got = _CORPUS_CACHE.get(key)
-    if got is not None and got[0] is spark:
-        return got[1]
-    df = _load_corpus_uncached(spark, sf_dir, with_documents).cache()
-    _CORPUS_CACHE[key] = (spark, df)
-    return df
+    got = _CORPUS_CACHE.get(sf_dir)
+    full = got[1] if got is not None and got[0] is spark else None
+    if full is None:
+        full = _load_corpus_uncached(spark, sf_dir, True).cache()
+        _CORPUS_CACHE[sf_dir] = (spark, full)
+    if with_documents:
+        return full
+    # ONE resident copy of the wide embedding column: the no-documents
+    # variant is a projection over the cached full corpus (the join is
+    # LEFT on id, so the row set is identical to the bare embeddings)
+    return full.select("id", "embedding", "label")
 
 
 # Prepared-plan memo, keyed (query, sf_dir) with session-identity check
@@ -4596,9 +4600,9 @@ _INCR_THRESHOLD = 0.8  # near-dup Jaccard threshold for the incremental pass
 # broadcast the batch postings below this row count (~120 MB of (id, g,
 # ns) rows); above it the near join falls back to a shuffle join
 _INCR_BCAST_MAX_ROWS = 2_000_000
-# df cap fraction of the shared shingle-index artifact — MUST equal the
-# ngram_shingle_index default the registry builds _ngram_index_table with
-_INCR_DF_CAP = 0.5
+# df cap fraction of the shared shingle-index artifact — read from the
+# operator's own default so an edit there cannot diverge engine vs oracle
+_INCR_DF_CAP = DD.DEFAULT_MAX_DF_FRAC
 
 
 @register(
@@ -4917,9 +4921,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation quadratic in the corpus; the xor+popcount
     verify is one codegen expression."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_hamming_pairs(docs, _SIMHASH_HAM_MAX).orderBy(
-        "doc_a", "doc_b"
-    )
+    return DD.simhash_hamming_pairs(
+        docs, _SIMHASH_HAM_MAX, n_bands=_SIMHASH_N_BANDS
+    ).orderBy("doc_a", "doc_b")
 
 
 _CSV_RT_CACHE: dict = {}
@@ -5070,6 +5074,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
   (MAX(ABS(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) - 1.0))
      < 0.002) AS normalized
 FROM embeddings""",
+side_effects=True,
 )
 def corpus_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 end-to-end through the driver gate: write the vector-corpus
@@ -5115,6 +5120,7 @@ def corpus_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
   ('random', 'exact', CAST(NULL AS BIGINT))
 ) AS t(backend, index_type, param)
 ORDER BY backend""",
+side_effects=True,
 )
 def strategy_dispatch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 dispatch × K7 introspection through the driver gate: every
@@ -5259,7 +5265,7 @@ SELECT 'exact' AS method, CAST({k} AS BIGINT) AS k,
        (SELECT s FROM top WHERE rn = {k}) AS kth_score"""
 
 
-@register("harness_stats_exact", _stats_oracle())
+@register("harness_stats_exact", _stats_oracle(), side_effects=True)
 def harness_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10's stats-row assembly through the driver gate: a REAL
     ``backend.search()`` call (driver-side collect, the harness path —
@@ -5336,6 +5342,11 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         table,
         output_mode="append",
+        # the batch-join oracle equality assumes ONE data micro-batch: a
+        # split drain advances both watermarks at batch 0 and silently
+        # drops later-batch rows as late input (same hazard class as the
+        # stateful-totals query; ADVICE r2 #5)
+        expect_single_data_batch=True,
         shuffle_partitions=_STREAM_PARTS,
     )
     return _sink_sorted(

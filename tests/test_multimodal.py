@@ -87,10 +87,13 @@ def test_sample_frames_every_n(media):
 def test_decode_codec_dispatch_and_validation(media):
     import pytest as _pytest
 
-    # auto on this container resolves to the stub (PIL absent)
-    a = sorted(MM.decode_images(media, codec="auto").collect())
-    b = sorted(MM.decode_images(media, codec="stub").collect())
     if not MM.codec_available():
+        # auto resolves to the stub when PIL is absent; with PIL present
+        # auto would run the REAL decoder, which rightly rejects the
+        # fixture's synthetic non-image payloads — so the auto==stub
+        # comparison only makes sense here
+        a = sorted(MM.decode_images(media, codec="auto").collect())
+        b = sorted(MM.decode_images(media, codec="stub").collect())
         assert a == b
     with _pytest.raises(ValueError, match="codec"):
         MM.decode_images(media, codec="jpeg")
