@@ -5358,3 +5358,86 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_sec",
         round_portable("value", 2).alias("purchase_value"),
     )
+
+
+# ------------------------------------------------------------ bucketed layout
+
+# Bucketed orders/lineitem layout on orderkey, keyed by sf_dir with the
+# session-identity check every artifact cache uses. Paying the shuffle
+# ONCE at write time (bucketBy + sortBy through the session catalog) is
+# the 100 TB answer to the fact⋈fact join: after it, every equi-join and
+# groupBy on the bucket key plans with ZERO shuffle Exchange — task i
+# zips bucket i of one table with bucket i of the other.
+_BUCKETED_TPCH: dict[str, tuple[SparkSession, tuple[str, str]]] = {}
+
+
+def _bucketed_tpch_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Write (once per session × sf_dir) orders and lineitem bucketed on
+    their orderkey and return the catalog table names. The pre-write
+    ``repartition(n_buckets, key)`` hash-aligns write tasks with buckets
+    (same Murmur3 hash, same modulus) so each bucket lands as ONE sorted
+    file — the layout Spark's sorted bucketed scan requires to elide
+    both the Exchange and the Sort under a sort-merge join."""
+    got = _BUCKETED_TPCH.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    import re as _re
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources.bucketing import write_bucketed
+
+    slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    names = (f"hvs_bkt_orders_{slug}", f"hvs_bkt_lineitem_{slug}")
+    for table, key, tbl_name in (
+        ("orders", "o_orderkey", names[0]),
+        ("lineitem", "l_orderkey", names[1]),
+    ):
+        df = load_table(spark, sf_dir, table)
+        write_bucketed(
+            df.repartition(n_buckets, F.col(key)),
+            tbl_name,
+            key,
+            n_buckets,
+            path=scratch_path(tbl_name),
+        )
+    _BUCKETED_TPCH[sf_dir] = (spark, names)
+    return names
+
+
+@register("tpch_q18_bucketed", ORACLES["tpch_q18_large_orders"])
+def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 over the BUCKETED layout — identical results to
+    ``tpch_q18_large_orders`` (same oracle SQL), different storage plan:
+    both fact tables are pre-bucketed on orderkey, so the lineitem
+    groupBy AND the orders⋈big sort-merge join (forced with a merge hint
+    — at test scale broadcast would otherwise hide the point) run with
+    zero shuffle Exchange; the only Exchange in the plan is the
+    broadcast of the customer dim. This is the storage-layout variant of
+    the persisted-index pattern (ann_ivf_persisted_topk): pay the
+    partitioning once at ingest, never per query."""
+    ord_tbl, li_tbl = _bucketed_tpch_tables(spark, sf_dir)
+    orders = spark.table(ord_tbl)
+    li = spark.table(li_tbl)
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        orders.hint("merge")
+        .join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )

@@ -44,3 +44,19 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast, tmp_path):
 
     for t in ("corpus_embeddings", "corpus_documents"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q18_bucketed_matches_plain_and_elides_shuffle(spark):
+    """The registered bucketed Q18 returns byte-identical rows to the
+    plain Q18 and its plan has ZERO shuffle Exchange — the only
+    exchanges are dim broadcasts."""
+    from hybrid_vector_search_spark.plans import registry as R
+
+    plain = R.QUERIES["tpch_q18_large_orders"](spark, SF_DIR).collect()
+    bucketed_df = R.QUERIES["tpch_q18_bucketed"](spark, SF_DIR)
+    bucketed = bucketed_df.collect()
+    assert [r.asDict() for r in plain] == [r.asDict() for r in bucketed]
+
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" in plan  # the merge hint kept the real join
