@@ -5441,3 +5441,68 @@ def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(50)
     )
+
+
+# Day-partitioned events layout (the hypertable pattern), keyed by sf_dir
+# with the session-identity check every artifact cache uses. Bucketing
+# (above) buys shuffle-free JOINS; hive partitioning buys PRUNED SCANS —
+# at 100 TB an event log is written partitioned by arrival day, and a
+# bounded time-range query must read only the matching partition dirs,
+# never the rest of the history.
+_EVENTS_BY_DAY: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _events_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session × sf_dir) events hive-partitioned by event
+    day and return the path. The pre-write ``repartition(day)`` gives
+    each write task whole days, so every partition dir is a single file
+    instead of one shard per upstream task."""
+    got = _EVENTS_BY_DAY.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    ev = load_table(spark, sf_dir, "events")
+    path = scratch_path("events_by_day")
+    (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    _EVENTS_BY_DAY[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "events_hypertable_day_range",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-10'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_hypertable_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range rollup over the DAY-PARTITIONED events layout —
+    the hypertable scan path. The ``day`` predicate is a partition
+    filter: Spark plans the scan with ``PartitionFilters`` and lists
+    only the 3 matching partition dirs of 30 (10% of files touched, and
+    the fraction is constant as history grows — the pruning, not the
+    filter, is what survives 100× more days). Oracle recomputes from the
+    unpartitioned table. The layout is written once per session like
+    the bucketed tables; on a cluster it is the ingest format itself."""
+    path = _events_day_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(F.col("day").between("2024-01-08", "2024-01-10"))
+        # partition-column type inference reads `day` back as DATE; the
+        # filter above prunes on that native type, the cast only renders
+        # the output as the oracle's string
+        .groupBy(F.col("day").cast("string").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -60,3 +60,18 @@ def test_q18_bucketed_matches_plain_and_elides_shuffle(spark):
     plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" in plan  # the merge hint kept the real join
+
+
+def test_hypertable_day_range_prunes_partitions(spark):
+    """The day-partitioned events scan carries PartitionFilters for the
+    bounded range — pruned listing, not a full-history scan."""
+    import re
+
+    from hybrid_vector_search_spark.plans import registry as R
+
+    df = R.QUERIES["events_hypertable_day_range"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1)
+    days = {r["day"] for r in df.collect()}
+    assert days <= {"2024-01-08", "2024-01-09", "2024-01-10"}
