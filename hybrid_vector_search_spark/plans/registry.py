@@ -5506,3 +5506,54 @@ def events_hypertable_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+_BUCKETED_CORPUS: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+@register(
+    "corpus_bucketed_profile",
+    f"""{CORPUS_CTE}
+SELECT label, lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM corpus GROUP BY label, lang ORDER BY label, lang""",
+)
+def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN corpus join (S1/J1: embeddings⋈metadata,
+    src/dataio/loaders.py join) through the BUCKETED layout
+    (sources/bucketing.py): both sides pre-hashed on id, so the wide
+    join plans with zero shuffle Exchange — only the final tiny
+    (label, lang) aggregation shuffles. Driver-hash evidence for the
+    corpus-layout claim the bucketing tests make; the oracle recomputes
+    the same profile from the raw tables. SUM over int n_chars keeps
+    the aggregate exact in any order."""
+    got = _BUCKETED_CORPUS.get(sf_dir)
+    joined = got[1] if got is not None and got[0] is spark else None
+    if joined is None:
+        import re as _re
+
+        from hybrid_vector_search_spark.scratch import scratch_path
+        from hybrid_vector_search_spark.sources.bucketing import (
+            bucketed_corpus_tables,
+        )
+
+        slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
+        joined = bucketed_corpus_tables(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "documents"),
+            n_buckets=8,
+            prefix=f"hvs_corpus_{slug}",
+            # external location in tracked scratch: a managed table would
+            # leave its warehouse dir behind on process death and the
+            # NEXT process's overwrite hits LOCATION_ALREADY_EXISTS
+            base_path=scratch_path(f"hvs_corpus_{slug}"),
+        )
+        _BUCKETED_CORPUS[sf_dir] = (spark, joined)
+    return (
+        joined.groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("label", "lang")
+    )

@@ -75,3 +75,15 @@ def test_hypertable_day_range_prunes_partitions(spark):
     assert m and "day" in m.group(1)
     days = {r["day"] for r in df.collect()}
     assert days <= {"2024-01-08", "2024-01-09", "2024-01-10"}
+
+
+def test_corpus_bucketed_profile_single_agg_exchange(spark):
+    """The registered bucketed corpus profile shuffles ONLY for the tiny
+    (label, lang) aggregate — the wide embeddings⋈documents join itself
+    is Exchange-free on the bucketed layout."""
+    from hybrid_vector_search_spark.plans import registry as R
+
+    df = R.QUERIES["corpus_bucketed_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert df.count() > 0
