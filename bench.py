@@ -56,6 +56,13 @@ def main() -> None:
     from hybrid_vector_search_spark.plans import registry as R
 
     R._hnsw_persisted_index(spark, sf_dir)
+    # storage layouts (r5): bucketed orders/lineitem + corpus and the
+    # day-partitioned events dir are likewise ingest-time artifacts —
+    # build them here so timed runs measure queries over the layout,
+    # not the one-off layout write
+    R._bucketed_tpch_tables(spark, sf_dir)
+    R._events_day_partitioned(spark, sf_dir)
+    QUERIES["corpus_bucketed_profile"](spark, sf_dir)  # builder writes tables
     warmup_s = time.perf_counter() - t_warm
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

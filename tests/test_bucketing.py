@@ -77,13 +77,19 @@ def test_hypertable_day_range_prunes_partitions(spark):
     assert days <= {"2024-01-08", "2024-01-09", "2024-01-10"}
 
 
-def test_corpus_bucketed_profile_single_agg_exchange(spark):
+def test_corpus_bucketed_profile_single_agg_exchange(spark, no_broadcast):
     """The registered bucketed corpus profile shuffles ONLY for the tiny
     (label, lang) aggregate — the wide embeddings⋈documents join itself
-    is Exchange-free on the bucketed layout."""
+    is Exchange-free on the bucketed layout. Broadcast is disabled so the
+    plan must take the bucket-aligned SortMergeJoin (at test scale
+    Catalyst would otherwise broadcast the corpus and prove nothing)."""
     from hybrid_vector_search_spark.plans import registry as R
 
-    df = R.QUERIES["corpus_bucketed_profile"](spark, SF_DIR)
+    # bypass the prepared-plan memo: the memoized plan may have been
+    # built under the default broadcast threshold
+    fn = getattr(R.QUERIES["corpus_bucketed_profile"], "__wrapped__")
+    df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert df.count() > 0
