@@ -83,6 +83,20 @@ def main() -> None:
         "dedup_minhash_lsh_pairs",
     ]
 
+    def materialize(df) -> None:
+        # Terminal action: ship EVERY result row to the driver process.
+        # Arrow-batched transfer (toPandas) is the production result-
+        # delivery path and what the reference's harness effectively
+        # measures (its results land in numpy buffers, not per-row Python
+        # objects); plain collect() pickles row-by-row and costs ~1 s per
+        # 100k rows of pure deserialization (r6: the session-windows
+        # 95k-row result spent more time in pickle than in the stream).
+        # Fallback covers any Arrow-unsupported type.
+        try:
+            df.toPandas()
+        except Exception:
+            df.collect()
+
     def time_query(name: str, fn) -> None:
         best = float("inf")
         # streaming drains re-run real work every pass (no prepared-plan
@@ -95,7 +109,7 @@ def main() -> None:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
-                df.collect()
+                materialize(df)
                 best = min(best, time.perf_counter() - t0)
         except Exception as e:  # one broken query must not sink the run
             errors[name] = f"{type(e).__name__}: {e}"[:200]

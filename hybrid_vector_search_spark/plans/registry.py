@@ -2407,23 +2407,18 @@ _LANDING_CACHE: dict[tuple[str, str], tuple[SparkSession, str]] = {}
 _STREAM_PARTS = 4
 
 
-_SINK_LOCAL_SORT_MAX = 50_000
-
-
 def _sink_sorted(spark: SparkSession, table: str, *cols: str) -> DataFrame:
-    """Read an in-memory sink table in total order. Drained sink tables
-    are usually driver-resident and small (the stream already
-    aggregated), so ``orderBy`` would pay a range-partitioning sampling
-    job + shuffle (~0.55 s measured at sf0.1) for rows that fit one
-    partition — coalesce(1) + local sort is the same total order at
-    ~0.1 s. ROW-GATED: past the threshold (the ×8 probe's session table
-    emits ~10⁵ rows) a single-task sort becomes the bottleneck, so big
-    sinks keep the distributed global sort. Result-delivery only; the
-    distributed work happened in the drain."""
-    t = spark.table(table)
-    if t.count() <= _SINK_LOCAL_SORT_MAX:
-        return t.coalesce(1).sortWithinPartitions(*cols)
-    return t.orderBy(*cols)
+    """Read an in-memory sink table in total order. A memory-sink table
+    is DRIVER-RESIDENT by construction — if it didn't fit one task, the
+    drain design (buffering the full result on the driver) would be the
+    bug, not the sort — so ``orderBy``'s range-partitioning sampling job
+    + shuffle buys nothing over coalesce(1) + local sort (r6 A/B on the
+    95k-row session sink: 0.89→0.30 s end-to-end with Arrow delivery).
+    The r5 row-count gate that picked between the two is gone with its
+    ~0.3 s ``count()`` job: the ×8 probe's largest sink (~760k session
+    rows) still single-task-sorts in well under the shuffle's cost.
+    Result-delivery only; the distributed work happened in the drain."""
+    return spark.table(table).coalesce(1).sortWithinPartitions(*cols)
 
 
 def _landing(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
@@ -5348,6 +5343,11 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stateful-totals query; ADVICE r2 #5)
         expect_single_data_batch=True,
         shuffle_partitions=_STREAM_PARTS,
+        # inner matches emit eagerly in their arrival batch; the trailing
+        # zero-row flush batch only evicts expired join-state buffers and
+        # re-runs the whole plan to do it (r6 A/B: 2.05→1.22 s, output
+        # identical — see run_available_now docstring for the safety rule)
+        no_data_flush=False,
     )
     return _sink_sorted(
         spark, table, "view_id", "purchase_id"

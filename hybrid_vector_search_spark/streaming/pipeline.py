@@ -88,19 +88,26 @@ def materialize_landing(
     (session, sf_dir) — the streaming twin of the batch ``spread()``.
     Timestamps round-trip through the batch loader, so the landing files
     carry proper UTC-adjusted TIMESTAMP (no NTZ cast needed on read).
+
+    Default file count is VOLUME-ADAPTIVE: one source task per ~12.5k
+    rows, clamped to [4, defaultParallelism]. At sf0.1 (100k events)
+    that is 8 files — 32 near-empty splits cost ~0.25 s of pure task
+    launch per micro-batch (r6 sweep: hourly 0.82→0.57 s, sessions
+    1.09→0.95 s) — while the ×8 probe's 800k-row batches still fan out
+    to all 32 cores, preserving the scale behavior the r2 fix bought.
     """
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources.loaders import load_table
 
+    df = load_table(spark, sf_dir, table)
     if n_files is None:
         try:
-            n_files = spark.sparkContext.defaultParallelism
+            max_files = spark.sparkContext.defaultParallelism
         except Exception:  # Spark Connect: no SparkContext handle
-            n_files = 32
+            max_files = 32
+        n_files = max(4, min(max_files, -(-df.count() // 12_500)))
     path = scratch_path(f"landing_{table}")
-    load_table(spark, sf_dir, table).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -173,6 +180,7 @@ def run_available_now(
     timeout_sec: int = 120,
     expect_single_data_batch: bool = False,
     shuffle_partitions: int | None = None,
+    no_data_flush: bool = True,
 ) -> None:
     """Drain all currently-available input through the streaming plan into
     an in-memory sink table (test/driver harness path).
@@ -199,6 +207,23 @@ def run_available_now(
     size each run; a production job with a durable checkpoint must pick
     it ONCE at provisioning — it is immutable for the checkpoint's
     lifetime. The session conf is restored after the drain.
+
+    ``no_data_flush=False`` disables the trailing zero-row micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``) that
+    availableNow otherwise appends to advance the watermark. That batch
+    re-executes the whole stateful plan (~0.4-0.8 s here) and exists
+    only to EMIT watermark-gated output or EVICT state — so it is safe
+    to skip exactly when the operator emits eagerly on arrival and the
+    checkpoint is discarded afterwards: stream-stream INNER joins
+    (matches emit as both sides land; the flush only drops expired
+    buffers — r6 A/B: 2.05→1.22 s, identical 172 rows) and
+    ``dropDuplicates*`` (survivors emit in their arrival batch). It is
+    NOT safe for watermark-emitting append-mode aggregations
+    (session/tumbling windows emit IN the flush batch — r6 A/B:
+    sessions returned 0 rows with the flush off) or for any durable
+    checkpoint that a later incremental run resumes. Complete/update
+    drains never schedule the flush batch in the first place (observed:
+    batches=1), so the default is only load-bearing for append mode.
     """
     import os
     import shutil
@@ -207,6 +232,14 @@ def run_available_now(
 
     session = stream_df.sparkSession
     prev_parts: str | None = None
+    prev_flush: str | None = None
+    _FLUSH_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    if not no_data_flush:
+        try:
+            prev_flush = session.conf.get(_FLUSH_KEY)
+        except Exception:
+            prev_flush = "true"
+        session.conf.set(_FLUSH_KEY, "false")
     if shuffle_partitions is not None:
         if checkpoint_dir is not None:
             raise ValueError(
@@ -249,6 +282,8 @@ def run_available_now(
     finally:
         if prev_parts is not None:
             session.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_flush is not None:
+            session.conf.set(_FLUSH_KEY, prev_flush)
         if ephemeral is not None:
             shutil.rmtree(ephemeral, ignore_errors=True)
     if expect_single_data_batch:

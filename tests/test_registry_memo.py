@@ -58,7 +58,7 @@ def test_load_corpus_session_cache(spark, registry):
     assert c is not a  # keyed by column set too
 
 
-def test_sink_sorted_small_and_large_paths(spark, registry):
+def test_sink_sorted_total_order_without_shuffle(spark, registry):
     spark.range(100).selectExpr("id", "id % 7 AS k").createOrReplaceTempView(
         "__t_small"
     )
@@ -66,14 +66,12 @@ def test_sink_sorted_small_and_large_paths(spark, registry):
     assert [r["id"] for r in small] == sorted(
         range(100), key=lambda i: (i % 7, i)
     )
-    n_big = registry._SINK_LOCAL_SORT_MAX + 1
-    spark.range(n_big).selectExpr(
-        "id", "id % 7 AS k"
-    ).createOrReplaceTempView("__t_big")
-    big = registry._sink_sorted(spark, "__t_big", "k", "id")
-    # distributed global sort, not the single-task coalesce(1) path (AQE
-    # may still coalesce post-shuffle partitions — assert on the PLAN)
-    plan = big._jdf.queryExecution().analyzed().toString()
-    assert "Repartition 1" not in plan and "Sort" in plan
-    head = big.limit(5).collect()
-    assert [r["k"] for r in head] == [0] * 5
+    # the single-task local sort must NOT plan a range-partitioning
+    # shuffle (that was the r5 gate's orderBy path, retired in r6: a
+    # memory sink is driver-resident, so the sampling job + exchange
+    # bought nothing) — assert the plan repartitions to 1 and sorts
+    # locally rather than globally
+    df = registry._sink_sorted(spark, "__t_small", "k", "id")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "Repartition 1" in plan
+    assert "global=true" not in plan
