@@ -228,6 +228,24 @@ class PostFilterBackend(SearchBackend):
     post_filter.py:66-87); with a fixed probe set the larger rung's
     candidate set contains the smaller's, so the final rung's survivors are
     the reference's best-score-dedup union (A5) without re-accumulating.
+
+    ``costed=True`` replaces the blind fixed-entry escalation with a
+    COST-BASED ladder entry (the better-than-reference opportunity SURVEY
+    §4 names: the reference's fixed (200, 500, 1000) ladder runs — and
+    exhausts — every rung on strict filters, reference qids 1/5 in its
+    own results.jsonl). Expected survivors at K′ candidates ≈
+    K′ · selectivity, so the first rung that can plausibly yield K
+    survivors is ``K / selectivity`` — enter the ladder at
+    ``clamp(ceil(K·N·safety / |allowed|), first_rung, last_rung)`` and
+    skip every rung below it (integer ceil; safety×2 absorbs the
+    candidate set's non-uniform overlap with the filter). Strict filters
+    jump straight to the final rung (1 plan instead of 3); broad filters
+    still enter at the first rung, so the fast path is untouched. The
+    FINAL rung is identical in both regimes, so whenever the fixed
+    ladder would escalate to the end the answers are bit-identical.
+    |allowed| here is the same filtered count the harness computes for
+    the A2 selectivity metric; at 100 TB it comes from catalog/column
+    statistics or a sketch, not a scan.
     """
 
     name = "post_filter"
@@ -242,6 +260,8 @@ class PostFilterBackend(SearchBackend):
         nprobe: int = DEFAULT_NPROBE,
         k_ladder: Sequence[int] = DEFAULT_K_LADDER,
         seed: int = 42,
+        costed: bool = False,
+        safety: int = 2,
     ):
         super().__init__(corpus, n, id_col)
         self.nprobe = nprobe
@@ -249,6 +269,8 @@ class PostFilterBackend(SearchBackend):
         self._index = index
         self._nlist = nlist
         self._seed = seed
+        self.costed = costed
+        self.safety = int(safety)
 
     @property
     def index(self) -> IVFIndex:
@@ -287,10 +309,29 @@ class PostFilterBackend(SearchBackend):
         allowed = self.corpus.filter(pred).select(self.id_col)
 
         t0 = time.perf_counter()
+        ladder = list(self.k_ladder)
+        n_allowed: int | None = None
+        if self.costed:
+            # cost-based entry rung (see class docstring): one count over
+            # the filtered corpus — the A2 selectivity input the harness
+            # already computes — buys skipping every rung whose expected
+            # survivor yield cannot reach K. Integer ceil keeps the
+            # arithmetic exactly reproducible by the SQL oracle.
+            n_allowed = allowed.count()
+            if n_allowed <= 0:
+                entry = ladder[-1]
+            else:
+                entry = -(-(k * self.n * self.safety) // n_allowed)
+            entry = min(max(entry, ladder[0]), ladder[-1])
+            ladder = [r for r in ladder if r >= entry]
+        entry_rung = ladder[0]
+
         rows: list = []
-        stop_kprime = self.k_ladder[-1]
+        rungs_run = 0
+        stop_kprime = ladder[-1]
         probed: list[int] = []
-        for kprime in self.k_ladder:
+        for kprime in ladder:
+            rungs_run += 1
             candidates, probed = self.index.search_plan(q, kprime, self.nprobe)
             # broadcast the bounded candidate side (≤ kprime rows), stream
             # the unbounded allowed set — see plan() for the scale rationale
@@ -321,6 +362,17 @@ class PostFilterBackend(SearchBackend):
             "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
             "bound_at_stop": scores[-1] if scores else None,
             "scores": scores,
+            # ladder economics: where the ladder was entered and how many
+            # rungs actually ran (fixed regime always enters at rung 0;
+            # the costed regime's win IS rungs_run < len(k_ladder) on
+            # strict filters)
+            "ladder_entry": entry_rung,
+            "rungs_run": rungs_run,
+            **(
+                {"selectivity_est": n_allowed / self.n}
+                if n_allowed is not None
+                else {}
+            ),
             "notes": self.compose_notes(f"ladder_stop={stop_kprime}"),
         }
         return ids, stats

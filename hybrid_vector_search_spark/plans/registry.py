@@ -3642,6 +3642,125 @@ def hybrid_topk_ivf_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ cost-based ladder entry (P3)
+
+# Pinned strict-filter case: selectivity ~1.5-2% at every SF, so the
+# costed entry rung lands on the FINAL ladder rung (ceil(K·N·2/|allowed|)
+# clamps to 1000) — the regime where the reference's fixed ladder burns
+# two doomed plans (its qids 1/5 exhaust the ladder in results.jsonl).
+_PF_COSTED_CASE = {
+    "seed": 37,
+    "filters": {"label": {"eq": 7}, "lang": {"eq": "zh"}},
+    "k": 10,
+}
+_PF_COSTED_SAFETY = 2
+
+
+def _post_filter_costed_oracle() -> str:
+    """The oracle RE-DERIVES the costed ladder, not just the answer: the
+    selectivity count, the integer-ceil entry formula with its clamp, the
+    entry→rung mapping, the survivor-count stop rule per rung, and the
+    rung arithmetic — so a hash match certifies the cost model itself
+    (same style as strategy_dispatch_params' √N-clamp recomputation)."""
+    from pyspark.sql import types as T
+
+    k = _PF_COSTED_CASE["k"]
+    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(
+        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
+    )
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
+cand AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM assigned WHERE list_id IN ({probed})),
+allowed AS (SELECT id FROM corpus WHERE {where}),
+counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
+                  (SELECT count(*) FROM allowed) AS na),
+entry AS (
+  SELECT LEAST(1000, GREATEST(200,
+    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec FROM counts),
+erung AS (SELECT CASE WHEN ec <= 200 THEN 200
+                      WHEN ec <= 500 THEN 500
+                      ELSE 1000 END AS r FROM entry),
+surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
+stop AS (SELECT r, CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
+    ELSE 1000 END AS s FROM erung)
+SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
+  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
+  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
+  s AS ladder_stop
+FROM surv, stop WHERE rk <= s
+ORDER BY score DESC, id ASC LIMIT {k}"""
+
+
+@register("post_filter_costed", _post_filter_costed_oracle(), side_effects=True)
+def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 with COST-BASED ladder entry (SURVEY §4's better-than-reference
+    opportunity): the harness's A2 selectivity estimate prices the first
+    rung as clamp(ceil(K·N·safety / |allowed|), 200, 1000), so a strict
+    filter enters the ladder at the rung the fixed (200, 500, 1000)
+    escalation would only reach after two doomed plans (the reference's
+    qids 1/5 exhaust the ladder — src/baselines/post_filter.py:66-87;
+    final-rung semantics are preserved, so exhaust-regime answers are
+    bit-identical to the fixed ladder's). Emits the ladder economics —
+    entry rung, rungs actually run, stopping rung — alongside the top-K,
+    all recomputed independently by the SQL oracle; the fixed-vs-costed
+    A/B lives in tests/test_ivf.py. ``side_effects=True``: search() is a
+    driver-side escalation loop, not a single lazy plan."""
+    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
+
+    corpus = load_corpus(spark, sf_dir)
+    backend = PostFilterBackend(
+        corpus,
+        index=_ann_ivf_fixed_index(spark, sf_dir),
+        nprobe=ANN_IVF_NPROBE,
+        costed=True,
+        safety=_PF_COSTED_SAFETY,
+    )
+    ids, stats = backend.search(
+        query_vector(_PF_COSTED_CASE["seed"]),
+        _PF_COSTED_CASE["filters"],
+        _PF_COSTED_CASE["k"],
+    )
+    rows = [
+        (
+            int(i),
+            round(float(s), 6),
+            int(stats["ladder_entry"]),
+            int(stats["rungs_run"]),
+            int(stats["scored_vectors"]),
+        )
+        for i, s in zip(ids, stats["scores"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
+        "ladder_stop LONG",
+    )
+
+
 # --------------------------------- streaming: session windows + custom state
 
 _SESS_GAP_MIN = 30

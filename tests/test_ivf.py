@@ -94,6 +94,40 @@ def test_post_filter_ladder_and_stats(spark, corpus):
     assert ids == exact_ids
 
 
+def test_post_filter_costed_ladder_ab(spark, corpus):
+    """Costed vs fixed ladder A/B (SURVEY §4 opportunity, VERDICT r5 #3).
+
+    Strict filter (ladder-exhaust regime): the costed entry jumps
+    straight to the final rung — one plan instead of three — and the
+    answers are bit-identical because the final rung is shared. Broad
+    filter: the costed entry clamps to the first rung, so the fast path
+    is byte-for-byte the fixed ladder's."""
+    n = corpus.count()
+    q = query_vector(7)
+    shared = dict(n=n, nlist=8, nprobe=4, seed=42)
+    fixed = PostFilterBackend(corpus, **shared)
+    costed = PostFilterBackend(corpus, costed=True, **shared)
+    # index is seeded KMeans; share it so both regimes probe identically
+    costed._index = fixed.index
+
+    strict = {"lang": {"eq": "zh"}, "label": {"in": [7]}}  # ~1.5% of corpus
+    ids_f, st_f = fixed.search(q, strict, 10)
+    ids_c, st_c = costed.search(q, strict, 10)
+    assert st_f["rungs_run"] == 3 and st_f["ladder_entry"] == 200
+    assert st_c["rungs_run"] == 1 and st_c["ladder_entry"] == 1000
+    assert st_f["scored_vectors"] == st_c["scored_vectors"] == 1000
+    assert ids_f == ids_c and st_f["scores"] == st_c["scores"]
+    assert 0 < st_c["selectivity_est"] < 0.05
+
+    broad = {"lang": {"in": ["en", "fr"]}}  # >50% of corpus
+    ids_fb, st_fb = fixed.search(q, broad, 10)
+    ids_cb, st_cb = costed.search(q, broad, 10)
+    assert st_cb["ladder_entry"] == 200  # clamped to the first rung
+    assert st_fb["rungs_run"] == st_cb["rungs_run"]
+    assert ids_fb == ids_cb and st_fb["scores"] == st_cb["scores"]
+    assert st_fb["scored_vectors"] == st_cb["scored_vectors"]
+
+
 def test_post_filter_strict_filter_returns_short(spark, corpus):
     """Ladder exhausts on an ultra-strict filter: fewer than K survivors is
     allowed (reference behavior), never an error."""
