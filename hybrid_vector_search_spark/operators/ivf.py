@@ -129,17 +129,36 @@ class IVFIndex:
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         assigned = model.transform(feats).drop("__features")
 
-        assigned = cls._materialize(assigned, persist_path)
+        assigned = cls._materialize(assigned, persist_path, nlist=nlist)
         return cls(assigned, centroids, id_col=id_col, partitioned_path=persist_path)
 
     @staticmethod
-    def _materialize(assigned: DataFrame, persist_path: str | None) -> DataFrame:
+    def _materialize(
+        assigned: DataFrame, persist_path: str | None, nlist: int | None = None
+    ) -> DataFrame:
         """Persist the assigned corpus: ``partitionBy("list_id")`` parquet
         when a path is given (the scale path — probing becomes native
         partition pruning, only probed list directories are read), else an
-        in-memory cache (test path)."""
+        in-memory cache (test path).
+
+        The pre-write ``repartition(nlist, "list_id")`` is load-bearing:
+        without it every upstream task writes its own sliver into every
+        list directory (32 write partitions × nlist lists ≈ 12k tiny
+        files at the reference shape), and the probed scan pays a
+        file-open per sliver — measured 434.6 ms/query at the reference's
+        150,346×384 corpus, 27.7× the FAISS baseline (BASELINE_PARITY.md
+        r6). Hash-partitioning on the partition column first puts each
+        list wholly inside one task, so the write emits exactly ONE file
+        per list directory; a 32-list probe then opens 32 files instead
+        of ~1,000. At 100 TB the same layout holds per list — and if a
+        single list outgrows a healthy file size, ``maxRecordsPerFile``
+        splits it without changing the pruning story (bytes read stays
+        ∝ nprobe/nlist either way)."""
         if persist_path:
-            assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            writer = assigned
+            if nlist:
+                writer = assigned.repartition(nlist, "list_id")
+            writer.write.mode("overwrite").partitionBy("list_id").parquet(
                 persist_path
             )
             return assigned.sparkSession.read.parquet(persist_path)
@@ -183,7 +202,9 @@ class IVFIndex:
                 yield pd.Series((m @ cents.T).argmax(axis=1).astype("int32"))
 
         assigned = corpus.withColumn("list_id", _assign(F.col("embedding")))
-        assigned = cls._materialize(assigned, persist_path)
+        assigned = cls._materialize(
+            assigned, persist_path, nlist=int(cents.shape[0])
+        )
         return cls(assigned, cents, id_col=id_col, partitioned_path=persist_path)
 
     def probe(self, qvec: Sequence[float], nprobe: int = DEFAULT_NPROBE) -> list[int]:

@@ -5466,7 +5466,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero-row flush batch only evicts expired join-state buffers and
         # re-runs the whole plan to do it (r6 A/B: 2.05→1.22 s, output
         # identical — see run_available_now docstring for the safety rule)
-        no_data_flush=False,
+        flush_no_data_batch=False,
     )
     return _sink_sorted(
         spark, table, "view_id", "purchase_id"

@@ -172,6 +172,24 @@ def dedup_stream(
     )
 
 
+def _has_streaming_aggregation(df: DataFrame) -> bool:
+    """True when the streaming plan contains an Aggregate node (tumbling/
+    session windows, any groupBy().agg() — the operators whose append-mode
+    output is emitted by the watermark-advancing no-data flush batch).
+    Inspection failure (e.g. Spark Connect, no JVM plan handle) returns
+    True — fail SAFE toward requiring the flush, never toward silently
+    skipping an emission the plan needed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    # analyzed-plan node names: `Aggregate [...]` covers groupBy().agg()
+    # including window()/session_window() grouping; stream-stream joins
+    # surface as `Join`, dropDuplicates* as `Deduplicate` — neither trips
+    # this. FlatMapGroupsInPandasWithState is update-mode-only upstream.
+    return "Aggregate [" in plan or "\nAggregate" in plan
+
+
 def run_available_now(
     stream_df: DataFrame,
     table_name: str,
@@ -180,7 +198,7 @@ def run_available_now(
     timeout_sec: int = 120,
     expect_single_data_batch: bool = False,
     shuffle_partitions: int | None = None,
-    no_data_flush: bool = True,
+    flush_no_data_batch: bool = True,
 ) -> None:
     """Drain all currently-available input through the streaming plan into
     an in-memory sink table (test/driver harness path).
@@ -208,21 +226,25 @@ def run_available_now(
     it ONCE at provisioning — it is immutable for the checkpoint's
     lifetime. The session conf is restored after the drain.
 
-    ``no_data_flush=False`` disables the trailing zero-row micro-batch
-    (``spark.sql.streaming.noDataMicroBatches.enabled``) that
-    availableNow otherwise appends to advance the watermark. That batch
-    re-executes the whole stateful plan (~0.4-0.8 s here) and exists
-    only to EMIT watermark-gated output or EVICT state — so it is safe
-    to skip exactly when the operator emits eagerly on arrival and the
-    checkpoint is discarded afterwards: stream-stream INNER joins
+    ``flush_no_data_batch=False`` disables the trailing zero-row
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``)
+    that availableNow otherwise appends to advance the watermark. That
+    batch re-executes the whole stateful plan (~0.4-0.8 s here) and
+    exists only to EMIT watermark-gated output or EVICT state — so it is
+    safe to skip exactly when the operator emits eagerly on arrival and
+    the checkpoint is discarded afterwards: stream-stream INNER joins
     (matches emit as both sides land; the flush only drops expired
     buffers — r6 A/B: 2.05→1.22 s, identical 172 rows) and
     ``dropDuplicates*`` (survivors emit in their arrival batch). It is
     NOT safe for watermark-emitting append-mode aggregations
     (session/tumbling windows emit IN the flush batch — r6 A/B:
     sessions returned 0 rows with the flush off) or for any durable
-    checkpoint that a later incremental run resumes. Complete/update
-    drains never schedule the flush batch in the first place (observed:
+    checkpoint that a later incremental run resumes. That unsafe
+    combination is ENFORCED, not just documented: an append-mode drain
+    with the flush disabled whose plan contains a streaming aggregation
+    raises ``ValueError`` before any conf is touched (the failure mode
+    is a silently empty sink — the worst kind). Complete/update drains
+    never schedule the flush batch in the first place (observed:
     batches=1), so the default is only load-bearing for append mode.
     """
     import os
@@ -231,22 +253,41 @@ def run_available_now(
     import uuid
 
     session = stream_df.sparkSession
+    # ---- validate EVERYTHING before mutating any session conf (ADVICE
+    # r6 #1: a ValueError after a conf.set leaked the flush-off flag
+    # session-wide, silently emptying later append-mode drains)
+    if shuffle_partitions is not None and checkpoint_dir is not None:
+        raise ValueError(
+            "shuffle_partitions is for ephemeral checkpoints: a "
+            "durable checkpoint's state partitioning is fixed at "
+            "creation and must not be changed per run"
+        )
+    if not flush_no_data_batch:
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "flush_no_data_batch=False is only safe for ephemeral "
+                "checkpoints: a durable checkpoint resumed later needs "
+                "the watermark advanced before the query stops"
+            )
+        if output_mode == "append" and _has_streaming_aggregation(stream_df):
+            raise ValueError(
+                "flush_no_data_batch=False on an append-mode drain whose "
+                "plan contains a streaming aggregation: watermark-gated "
+                "windows emit IN the no-data flush batch, so skipping it "
+                "returns a silently EMPTY sink (r6 A/B: session windows "
+                "-> 0 rows). Skip the flush only for eager-emitting "
+                "operators (stream-stream inner joins, dropDuplicates*)."
+            )
     prev_parts: str | None = None
     prev_flush: str | None = None
     _FLUSH_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
-    if not no_data_flush:
+    if not flush_no_data_batch:
         try:
             prev_flush = session.conf.get(_FLUSH_KEY)
         except Exception:
             prev_flush = "true"
         session.conf.set(_FLUSH_KEY, "false")
     if shuffle_partitions is not None:
-        if checkpoint_dir is not None:
-            raise ValueError(
-                "shuffle_partitions is for ephemeral checkpoints: a "
-                "durable checkpoint's state partitioning is fixed at "
-                "creation and must not be changed per run"
-            )
         prev_parts = session.conf.get("spark.sql.shuffle.partitions")
         session.conf.set(
             "spark.sql.shuffle.partitions", str(int(shuffle_partitions))

@@ -375,3 +375,73 @@ def test_stream_stream_join_equals_batch_join(spark):
     )
     want = {(r.view_id, r.purchase_id, r.gap_sec) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+    # flush-off semantics (the registry's production setting — ADVICE r6
+    # #3): inner matches emit eagerly in their arrival batch, so skipping
+    # the trailing no-data flush batch must change NOTHING in the output.
+    run_available_now(
+        view_purchase_join_stream(views, buys),
+        "t_ss_join_noflush",
+        output_mode="append",
+        shuffle_partitions=4,
+        flush_no_data_batch=False,
+    )
+    got_noflush = {
+        (r.view_id, r.purchase_id, r.gap_sec)
+        for r in spark.table("t_ss_join_noflush").collect()
+    }
+    assert got_noflush == want
+
+
+def test_flush_off_guard_refuses_append_aggregation(spark, events_dir):
+    """flush_no_data_batch=False on an append-mode drain whose plan has a
+    streaming aggregation must raise BEFORE touching any session conf:
+    session/tumbling windows emit their rows IN the no-data flush batch,
+    so skipping it silently returns an empty sink (r6 A/B: 0 rows)."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        session_window_stream,
+    )
+
+    _FLUSH_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sessions = session_window_stream(
+        read_events_stream(spark, events_dir), gap="30 minutes"
+    )
+    with pytest.raises(ValueError, match="streaming aggregation"):
+        run_available_now(
+            sessions,
+            "t_guard_sessions",
+            output_mode="append",
+            shuffle_partitions=4,
+            flush_no_data_batch=False,
+        )
+    # the refusal must not leak conf state (ADVICE r6 #1: a post-set
+    # ValueError left noDataMicroBatches=false session-wide, emptying
+    # every later append drain)
+    assert spark.conf.get(_FLUSH_KEY, "true") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    # durable checkpoint + flush-off is refused too: a resumed run needs
+    # the watermark advanced before the query stops
+    with pytest.raises(ValueError, match="ephemeral"):
+        run_available_now(
+            sessions,
+            "t_guard_durable",
+            output_mode="append",
+            checkpoint_dir="/tmp/nonexistent-ckpt-guard",
+            flush_no_data_batch=False,
+        )
+    assert spark.conf.get(_FLUSH_KEY, "true") == "true"
+    # tumbling windows in complete mode never schedule the flush batch;
+    # flush-off + non-append stays allowed (regression for the fast path)
+    agg = windowed_agg_stream(
+        read_events_stream(spark, events_dir), "1 hour", watermark="2 hours"
+    )
+    run_available_now(
+        agg,
+        "t_guard_complete_ok",
+        output_mode="complete",
+        shuffle_partitions=4,
+        flush_no_data_batch=False,
+    )
+    assert spark.table("t_guard_complete_ok").count() > 0
+    assert spark.conf.get(_FLUSH_KEY, "true") == "true"

@@ -273,9 +273,11 @@ def main() -> None:
         "  The IVF plan's SCALE property holds and is measured: the pruned",
         f"  scan reads **{pruned_rows:,} of {n:,} rows ({100 * pruned_rows / n:.1f}%)**",
         "  — bytes ∝ nprobe/nlist, which is what keeps per-query cost",
-        "  bounded on a cluster; its residual wall-clock here is the",
-        "  small-files/job floor of a 387-directory artifact, a constant",
-        "  that any batched regime amortizes away. Exact and pre_filter",
+        "  bounded on a cluster. The persisted layout is ONE file per",
+        "  list (pre-write repartition(nlist, list_id) — r7 fix; the r6",
+        "  layout's ~12k write-slivers cost 434.6 ms/query, 27.7× ref);",
+        "  the residual wall-clock is the probed-scan job floor, a",
+        "  constant that any batched regime amortizes away. Exact and pre_filter",
         "  additionally pay one Arrow transfer of the scored rows'",
         "  embeddings per query (~230 MB full-scan) that in-process NumPy",
         "  never serializes.",
