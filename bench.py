@@ -63,6 +63,9 @@ def main() -> None:
     R._bucketed_tpch_tables(spark, sf_dir)
     R._events_day_partitioned(spark, sf_dir)
     QUERIES["corpus_bucketed_profile"](spark, sf_dir)  # builder writes tables
+    # parity-shape corpus (×76/×384 scratch parquet): resident-before-
+    # timing is the reference's own measurement rule
+    R._parity_corpus(spark, sf_dir)
     warmup_s = time.perf_counter() - t_warm
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -75,6 +78,7 @@ def main() -> None:
     # Spark job.
     headline_keys = [
         "hybrid_batch_canonical",
+        "hybrid_batch_parity",
         "hybrid_topk_exact",
         "hybrid_topk_unfiltered",
         "knn_batch_topk",

@@ -484,12 +484,24 @@ class HNSWBackend(SearchBackend):
         ef_search: int = DEFAULT_EF_SEARCH,
         k_ladder: Sequence[int] = (200, 500, 1000),
         index: "HNSWIndex | None" = None,
+        costed: bool = False,
+        safety: int = 2,
     ):
         super().__init__(corpus, n, id_col)
         self.M = int(M)
         self.ef_search = int(ef_search)
         self.k_ladder = tuple(k_ladder)
         self._index = index
+        # cost-based ladder entry — IDENTICAL clamp arithmetic to the IVF
+        # PostFilterBackend (operators/ivf.py): enter at
+        # clamp(ceil(K·N·safety / |allowed|), first_rung, last_rung) and
+        # skip every rung whose expected survivor yield cannot reach K.
+        # For HNSW the replay is client-side over one collected candidate
+        # ranking, so skipped rungs save list scans, not Spark jobs — the
+        # win here is the shared entry contract (ladder_entry / rungs_run
+        # stats) across all three post-filter backends.
+        self.costed = costed
+        self.safety = int(safety)
         # eager corpus probe: surface a broken corpus HERE (the K6
         # chain's fall-through contract) rather than mid-query
         first = corpus.select("embedding").first()
@@ -578,10 +590,26 @@ class HNSWBackend(SearchBackend):
             .select(self.id_col)
             .collect()
         }
+        # cost-based entry (same integer-ceil clamp as the IVF backend;
+        # |allowed| is the A2 selectivity count — at 100 TB it comes from
+        # catalog statistics or a sketch, not a scan)
+        ladder = list(self.k_ladder)
+        n_allowed: int | None = None
+        if self.costed:
+            n_allowed = self.corpus.filter(pred).count()
+            if n_allowed <= 0:
+                entry = ladder[-1]
+            else:
+                entry = -(-(k * self.n * self.safety) // n_allowed)
+            entry = min(max(entry, ladder[0]), ladder[-1])
+            ladder = [r for r in ladder if r >= entry]
+        entry_rung = ladder[0]
         # client-side ladder replay over the collected candidate ranking
-        stop_kprime = self.k_ladder[-1]
+        stop_kprime = ladder[-1]
+        rungs_run = 0
         rows: list = []
-        for kprime in self.k_ladder:
+        for kprime in ladder:
+            rungs_run += 1
             rows = [
                 r for r in cand_rows[:kprime] if r[self.id_col] in passing
             ][:k]
@@ -600,6 +628,13 @@ class HNSWBackend(SearchBackend):
             "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
             "bound_at_stop": scores[-1] if scores else None,
             "scores": scores,
+            "ladder_entry": entry_rung,
+            "rungs_run": rungs_run,
+            **(
+                {"selectivity_est": n_allowed / self.n}
+                if n_allowed is not None
+                else {}
+            ),
             "notes": self.compose_notes(f"ladder_stop={stop_kprime}"),
         }
         return ids, stats

@@ -150,11 +150,29 @@ class LSHPostFilterBackend(SearchBackend):
         id_col: str = "id",
         nbits: int = DEFAULT_NBITS,
         radius_ladder: Sequence[int] = (0, 1, 2),
+        costed: bool = False,
+        safety: int = 2,
     ):
         super().__init__(corpus, n, id_col)
         self.nbits = nbits
         self.radius_ladder = tuple(radius_ladder)
         self._planes: np.ndarray | None = None
+        # cost-based ladder entry — the LSH translation of the IVF
+        # backend's clamp arithmetic, with probe radius as the widening
+        # knob: the probe set at Hamming radius r covers P(r) = Σ_{i≤r}
+        # C(nbits, i) of the 2^nbits buckets, so expected survivors
+        # ≈ N·P(r)/2^nbits · selectivity = P(r)·|allowed|/2^nbits. The
+        # entry radius is the smallest rung whose P(r) reaches
+        # ceil(K·safety·2^nbits / |allowed|) — integer ceil, exactly
+        # reproducible by the SQL oracle — clamped to the last rung.
+        self.costed = costed
+        self.safety = int(safety)
+
+    def probe_coverage(self, radius: int) -> int:
+        """P(r) = Σ_{i≤r} C(nbits, i): buckets the multi-probe set covers."""
+        from math import comb
+
+        return sum(comb(self.nbits, i) for i in range(radius + 1))
 
     @property
     def planes(self) -> np.ndarray:
@@ -207,13 +225,33 @@ class LSHPostFilterBackend(SearchBackend):
         pred = compile_filters(self.corpus.schema, filters)
 
         t0 = time.perf_counter()
+        # cost-based entry radius (see __init__; |allowed| is the A2
+        # selectivity count — catalog stats or a sketch at 100 TB)
+        ladder = list(self.radius_ladder)
+        n_allowed: int | None = None
+        if self.costed:
+            n_allowed = self.corpus.filter(pred).count()
+            if n_allowed <= 0:
+                needed_p = self.probe_coverage(ladder[-1]) + 1  # force last
+            else:
+                needed_p = -(
+                    -(k * self.safety * (1 << self.nbits)) // n_allowed
+                )
+            entry = next(
+                (r for r in ladder if self.probe_coverage(r) >= needed_p),
+                ladder[-1],
+            )
+            ladder = [r for r in ladder if r >= entry]
+        entry_radius = ladder[0]
         rows: list = []
         probes: list[int] = []
-        stop_radius = self.radius_ladder[-1]
+        rungs_run = 0
+        stop_radius = ladder[-1]
         bucketed = self.corpus.withColumn(
             "bucket", bucket_udf(self.planes)(F.col("embedding"))
         )
-        for radius in self.radius_ladder:
+        for radius in ladder:
+            rungs_run += 1
             probes = probe_set(q, self.planes, radius)
             in_probed = bucketed.filter(F.col("bucket").isin(probes))
             # joinless post-filter: predicate applied to the pruned scan
@@ -244,6 +282,13 @@ class LSHPostFilterBackend(SearchBackend):
             "kth_at_stop": scores[k - 1] if len(scores) >= k else None,
             "bound_at_stop": scores[-1] if scores else None,
             "scores": scores,
+            "ladder_entry": entry_radius,
+            "rungs_run": rungs_run,
+            **(
+                {"selectivity_est": n_allowed / self.n}
+                if n_allowed is not None
+                else {}
+            ),
             "notes": self.compose_notes(
                 f"radius_stop={stop_radius},nbits={self.nbits}"
             ),

@@ -82,6 +82,44 @@ def load_corpus(
 _PREPARED: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def invalidate_caches() -> None:
+    """Drop every session-scoped artifact memo: prepared plans, the
+    cached corpus, index layouts (IVF/HNSW), landings, bucketed tables,
+    roundtrip fixtures, the parity corpus.
+
+    This is the REFRESH HALF of the staleness contract (README
+    "Cache invalidation"): memoized plans capture their input file
+    listing at build time, so mutating a table's parquet in place
+    mid-session leaves a memoized query undefined (stale rows or a
+    FileNotFound/footer error — Spark's scan holds the old listing).
+    The supported refresh is a new SparkSession (every cache is keyed
+    with a session-identity check, the reference's reload-per-run
+    contract — src/harness/run.py:109-112) or this explicit drop within
+    one. A fresh ``load_table``/``load_corpus`` call outside the memo
+    always re-lists and re-reads."""
+    g = globals()
+    names = [
+        n
+        for n, v in g.items()
+        if isinstance(v, dict)
+        and (
+            n.endswith("_CACHE")
+            or n in ("_PREPARED", "_BUCKETED_TPCH", "_EVENTS_BY_DAY")
+        )
+    ]
+    for n in names:
+        cache = g[n]
+        for v in cache.values():
+            if isinstance(v, tuple):
+                for item in v:
+                    if hasattr(item, "unpersist"):
+                        try:
+                            item.unpersist()
+                        except Exception:  # session already stopped
+                            pass
+        cache.clear()
+
+
 def register(
     name: str, oracle: str | None = None, side_effects: bool = False
 ):
@@ -282,6 +320,150 @@ def hybrid_batch_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = load_corpus(spark, sf_dir)
     qvecs = {cq.qid: query_vector(cq.seed) for cq in CANONICAL_QUERIES}
+    match = F.array(
+        *[
+            F.when(
+                compile_filters(corpus.schema, cq.filters), F.lit(cq.qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for cq in CANONICAL_QUERIES
+        ]
+    )
+    fanned = corpus.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], 10)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
+# ----------------------------------- canonical batch at the PARITY shape
+
+_PARITY_COPIES = 76
+_PARITY_TILE = 6
+_PARITY_ID_SHIFT = 10_000_000
+_PARITY_CACHE: dict[str, tuple] = {}
+
+
+def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shape corpus derived from the testdata (the
+    tools/parity_probe.py derivation, session-cached as scratch parquet):
+    embeddings copy-shifted ×76 (id + c·10⁷) and dimension-tiled ×6 with
+    a 1/√6 rescale so vectors stay unit-norm, documents metadata tiled
+    with the same shift. At sf0.1 this is 152,000×384 — the shape
+    BASELINE.md's numbers were measured on (reference N=150,346×384).
+    Tiled components stay DOUBLE (no float32 re-quantization), so the
+    tiled inner product equals the base inner product up to summation
+    order and the DuckDB oracle can score the base vectors directly.
+    Materialized once per (session, sf_dir); queries over it time the
+    query, not the corpus build — the reference's own measurement rule
+    (corpus resident before timing)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    key = sf_dir
+    cached = _PARITY_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    base = load_corpus(spark, sf_dir)
+    scale = 1.0 / (_PARITY_TILE ** 0.5)
+    copies = F.broadcast(
+        spark.range(_PARITY_COPIES).select(F.col("id").alias("__c"))
+    )
+    tiled = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("id") + F.col("__c") * _PARITY_ID_SHIFT).alias("id"),
+            F.flatten(
+                F.array_repeat(
+                    F.transform(
+                        "embedding",
+                        lambda x: x.cast("double") * F.lit(scale),
+                    ),
+                    _PARITY_TILE,
+                )
+            ).alias("embedding"),
+            "label",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    path = scratch_path(
+        "parity_corpus_" + sf_dir.strip("/").replace("/", "_")
+    )
+    tiled.repartition(32).write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    _PARITY_CACHE[key] = (spark, out)
+    return out
+
+
+def _parity_qvec(seed: int) -> list[float]:
+    scale = 1.0 / (_PARITY_TILE ** 0.5)
+    return [x * scale for x in list(query_vector(seed)) * _PARITY_TILE]
+
+
+def _parity_batch_oracle() -> str:
+    """Same per-qid SQL as _canonical_batch_oracle over the REPLICATED
+    corpus CTE. The oracle scores the BASE 64-d vectors: the ×6 tile with
+    1/√6 rescale preserves the inner product exactly (Σ over 6 copies of
+    (1/6)·e·q), so scores are copy-invariant and ties across the 76
+    copies resolve by id ASC identically in both engines."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    cte = f"""WITH copies AS (SELECT c FROM range({_PARITY_COPIES}) t(c)),
+corpus AS (
+  SELECT e.vec_id + {_PARITY_ID_SHIFT} * c AS id, e.embedding, e.label,
+         d.text, d.lang, d.source, d.n_chars
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+  CROSS JOIN copies)"""
+    parts = []
+    for cq in CANONICAL_QUERIES:
+        where = filters_to_sql(schema, cq.filters)
+        qlit = sql_array_literal(query_vector(cq.seed))
+        dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
+        parts.append(
+            f"(SELECT {cq.qid} AS qid, id, ROUND({dot}, 6) AS score\n"
+            f" FROM corpus WHERE {where}\n"
+            f" ORDER BY {dot} DESC, id ASC LIMIT {cq.k})"
+        )
+    return cte + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("hybrid_batch_parity", _parity_batch_oracle())
+def hybrid_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10-query canonical batch AT THE REFERENCE'S CORPUS SHAPE
+    (r6 VERDICT task #5): the same one-scan fanout plan as
+    hybrid_batch_canonical, over the ×76/×384 parity corpus
+    (_parity_corpus — the BASELINE_PARITY.md derivation as a registered,
+    hash-checked query). This makes the probe's headline
+    batch-throughput claim (~11× the reference's per-query pre_filter
+    rate at N≈150k×384) driver-reproducible: the BENCH line times this
+    exact plan, the DuckDB oracle re-derives the replicated corpus and
+    all 10 top-Ks. Scale shape: filters prune BEFORE the fanout, one
+    Arrow scoring pass, one qid-window shuffle — query count multiplies
+    output rows, never corpus scans."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    corpus = _parity_corpus(spark, sf_dir)
+    qvecs = {cq.qid: _parity_qvec(cq.seed) for cq in CANONICAL_QUERIES}
     match = F.array(
         *[
             F.when(
@@ -3758,6 +3940,159 @@ def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
         "ladder_stop LONG",
+    )
+
+
+def _pf_costed_backends_oracle() -> str:
+    """Re-derives the costed ladder entry for BOTH non-IVF post-filter
+    backends (same certify-the-cost-model style as
+    _post_filter_costed_oracle): the HNSW arm replays the K′ rung clamp
+    over the exact candidate ranking (the registered backend runs
+    degenerate-exact, ef ≥ partition rows — same argument as
+    ann_hnsw_topk), the LSH arm replays the probe-radius entry via the
+    P(r) = Σ C(nbits, i) coverage formula and the per-radius survivor
+    stop rule, with the probe sets at every radius as literals."""
+    from math import comb
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    k = _PF_COSTED_CASE["k"]
+    safety = _PF_COSTED_SAFETY
+    q = query_vector(_PF_COSTED_CASE["seed"])
+    qlit = sql_array_literal(q)
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
+
+    nbits = LSH.DEFAULT_NBITS
+    planes = LSH.hyperplanes(nbits, dim=64)
+    bucket = LSH.bucket_sql_expr(planes, emb="emb")
+    probes = {
+        r: ", ".join(str(b) for b in LSH.probe_set(q, planes, r))
+        for r in (0, 1, 2)
+    }
+    p = {r: sum(comb(nbits, i) for i in range(r + 1)) for r in (0, 1, 2)}
+
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+allowed AS (SELECT id FROM corpus WHERE {where}),
+counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
+                  (SELECT count(*) FROM allowed) AS na),
+hcand AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM corpus),
+hentry AS (
+  SELECT LEAST(1000, GREATEST(200,
+    ({k} * {safety} * n + na - 1) // na)) AS ec FROM counts),
+herung AS (SELECT CASE WHEN ec <= 200 THEN 200
+                      WHEN ec <= 500 THEN 500
+                      ELSE 1000 END AS r FROM hentry),
+hsurv AS (SELECT c.id, c.score, c.rk FROM hcand c JOIN allowed a USING (id)),
+hstop AS (SELECT r, CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM hsurv WHERE rk <= 200) >= {k} THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM hsurv WHERE rk <= 500) >= {k} THEN 500
+    ELSE 1000 END AS s FROM herung),
+hrows AS (
+  SELECT 'post_filter_hnsw' AS method, id, ROUND(score, 6) AS score,
+    r AS ladder_entry,
+    (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
+    - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run
+  FROM hsurv, hstop WHERE rk <= s
+  ORDER BY score DESC, id ASC LIMIT {k}),
+lneed AS (SELECT CASE WHEN na <= 0 THEN {p[2] + 1}
+                      ELSE ({k} * {safety} * {1 << nbits} + na - 1) // na
+                 END AS np FROM counts),
+lentry AS (SELECT CASE WHEN np <= {p[0]} THEN 0
+                       WHEN np <= {p[1]} THEN 1
+                       ELSE 2 END AS r FROM lneed),
+lsurv AS (
+  SELECT c.id, list_dot_product(c.emb, {qlit}) AS score,
+         {bucket} AS bucket
+  FROM corpus c JOIN allowed a USING (id)),
+lstop AS (SELECT r, CASE
+    WHEN r <= 0 AND (SELECT count(*) FROM lsurv
+                     WHERE bucket IN ({probes[0]})) >= {k} THEN 0
+    WHEN r <= 1 AND (SELECT count(*) FROM lsurv
+                     WHERE bucket IN ({probes[1]})) >= {k} THEN 1
+    ELSE 2 END AS s FROM lentry),
+lrows AS (
+  SELECT 'post_filter_lsh' AS method, id, ROUND(score, 6) AS score,
+    r AS ladder_entry, s - r + 1 AS rungs_run
+  FROM lsurv, lstop
+  WHERE (s = 0 AND bucket IN ({probes[0]}))
+     OR (s = 1 AND bucket IN ({probes[1]}))
+     OR (s = 2 AND bucket IN ({probes[2]}))
+  ORDER BY score DESC, id ASC LIMIT {k})
+SELECT * FROM hrows UNION ALL SELECT * FROM lrows"""
+
+
+@register(
+    "post_filter_costed_backends",
+    _pf_costed_backends_oracle(),
+    side_effects=True,
+)
+def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based ladder entry GENERALIZED to the other two
+    post-filter backends (r6 VERDICT task #7): the HNSW backend shares
+    the IVF clamp arithmetic verbatim (K′ rungs 200→500→1000), the LSH
+    backend translates it to probe radius via bucket coverage
+    P(r) = Σ_{i≤r} C(nbits, i) — expected survivors P(r)·|allowed|/2^nbits
+    must reach K·safety. Both run the same strict-filter case as
+    post_filter_costed; on it each backend enters at its FINAL rung
+    (rungs_run = 1 where the reference's fixed escalation runs all
+    three — src/baselines/post_filter.py:66-87). The oracle re-derives
+    entry, stop, and survivors per backend; the fixed-vs-costed A/Bs
+    live in tests/test_hnsw.py and tests/test_lsh.py.
+    ``side_effects=True``: search() is a driver-side escalation loop."""
+    from hybrid_vector_search_spark.operators.hnsw import (
+        EXHAUSTIVE_EF,
+        HNSWBackend,
+    )
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+
+    corpus = load_corpus(spark, sf_dir)
+    hb = HNSWBackend(
+        corpus,
+        index=_hnsw_persisted_index(spark, sf_dir),
+        ef_search=EXHAUSTIVE_EF,
+        costed=True,
+        safety=_PF_COSTED_SAFETY,
+    )
+    lb = LSHPostFilterBackend(
+        corpus, costed=True, safety=_PF_COSTED_SAFETY
+    )
+    out_rows = []
+    for backend in (hb, lb):
+        ids, stats = backend.search(
+            query_vector(_PF_COSTED_CASE["seed"]),
+            _PF_COSTED_CASE["filters"],
+            _PF_COSTED_CASE["k"],
+        )
+        out_rows += [
+            (
+                backend.name,
+                int(i),
+                round(float(s), 6),
+                int(stats["ladder_entry"]),
+                int(stats["rungs_run"]),
+            )
+            for i, s in zip(ids, stats["scores"])
+        ]
+    return spark.createDataFrame(
+        out_rows,
+        "method STRING, id LONG, score DOUBLE, ladder_entry LONG, "
+        "rungs_run LONG",
     )
 
 

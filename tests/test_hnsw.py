@@ -186,3 +186,36 @@ def test_persisted_index_no_rebuild(spark, unit_vecs, tmp_path):
     ids, _ = g.search(q, 3)
     assert len(ids) == 3
     assert H.INSERT_CALLS == before  # zero graph-construction work
+
+
+def test_hnsw_costed_ladder_ab(spark, unit_vecs):
+    """Costed vs fixed ladder A/B on the HNSW backend (r6 VERDICT #7):
+    strict filter → the costed entry clamps straight to the final rung
+    (rungs_run 1 vs the fixed regime's 3) with bit-identical answers
+    (the replay prefixes are nested, and the fixed ladder exhausts);
+    broad filter → entry clamps to the first rung, fast path untouched."""
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in v], i % 3, i % 60)
+            for i, v in enumerate(unit_vecs)
+        ],
+        "id long, embedding array<float>, label int, grp int",
+    )
+    q = unit_vecs[4]
+    fixed = HNSWBackend(emb)
+    costed = HNSWBackend(emb, costed=True, index=fixed.index)
+
+    strict = {"grp": {"eq": 5}}  # 10 of 600 rows
+    ids_f, st_f = fixed.search(q, strict, 10)
+    ids_c, st_c = costed.search(q, strict, 10)
+    assert st_f["ladder_entry"] == 200 and st_f["rungs_run"] == 3
+    assert st_c["ladder_entry"] == 1000 and st_c["rungs_run"] == 1
+    assert ids_f == ids_c and st_f["scores"] == st_c["scores"]
+    assert 0 < st_c["selectivity_est"] < 0.05
+
+    broad = {"label": {"eq": 1}}  # 200 of 600 rows
+    ids_fb, st_fb = fixed.search(q, broad, 10)
+    ids_cb, st_cb = costed.search(q, broad, 10)
+    assert st_cb["ladder_entry"] == 200  # clamped to the first rung
+    assert st_fb["rungs_run"] == st_cb["rungs_run"]
+    assert ids_fb == ids_cb and st_fb["scores"] == st_cb["scores"]

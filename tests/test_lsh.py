@@ -93,3 +93,34 @@ def test_post_filter_lsh_backend(spark, emb):
     ids2, stats2 = be.search(q, {"label": {"eq": 0}}, 10)
     assert len(ids2) <= 10
     assert "radius_stop=" in stats2["notes"]
+
+
+def test_lsh_costed_ladder_ab(spark, emb):
+    """Costed vs fixed radius-ladder A/B (r6 VERDICT #7): strict filter →
+    the P(r)-coverage entry jumps to the final radius (rungs_run 1 vs 3)
+    and, because the fixed ladder exhausts to the same radius, the probe
+    sets — hence the answers — are identical; broad filter → entry 0,
+    the fixed path byte-for-byte. (Unlike IVF/HNSW, a wider LSH radius
+    probes NEW buckets, so equality is only claimed in these two
+    regimes, where both runs stop at the same radius.)"""
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+
+    n = emb.count()
+    q = query_vector(31)
+    fixed = LSHPostFilterBackend(emb, n)
+    costed = LSHPostFilterBackend(emb, n, costed=True)
+
+    strict = {"label": {"eq": 0}, "id": {"le": 100}}  # ~10 of 500 rows
+    ids_f, st_f = fixed.search(q, strict, 10)
+    ids_c, st_c = costed.search(q, strict, 10)
+    assert st_f["ladder_entry"] == 0 and st_f["rungs_run"] == 3
+    assert st_c["ladder_entry"] == 2 and st_c["rungs_run"] == 1
+    assert ids_f == ids_c and st_f["scores"] == st_c["scores"]
+    assert 0 < st_c["selectivity_est"] < 0.1
+
+    broad = {}  # everything allowed
+    ids_fb, st_fb = fixed.search(q, broad, 5)
+    ids_cb, st_cb = costed.search(q, broad, 5)
+    assert st_cb["ladder_entry"] == 0  # coverage P(0) already suffices
+    assert st_fb["rungs_run"] == st_cb["rungs_run"]
+    assert ids_fb == ids_cb and st_fb["scores"] == st_cb["scores"]
