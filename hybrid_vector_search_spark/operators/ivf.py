@@ -227,16 +227,38 @@ class IVFIndex:
         qvec: Sequence[float],
         k: int,
         nprobe: int = DEFAULT_NPROBE,
+        jvm_score: bool = True,
     ) -> tuple[DataFrame, list[int]]:
-        """ANN top-K plan: prune to probed lists → exact IP within → top-K."""
+        """ANN top-K plan: prune to probed lists → exact IP within → top-K.
+
+        Scoring regime is latency-tuned: the probed subset is
+        nprobe/nlist-bounded (7-8% of the corpus at reference settings),
+        and for a POINT query the Arrow round trip of a pandas UDF
+        dominates the GEMM it buys — the r7 profile at the reference
+        shape measured 338 ms for the UDF plan vs 73 ms for the same
+        top-K with the dot product as a JVM ``zip_with``/``aggregate``
+        expression (whole-stage codegen, no Python worker in the plan).
+        ``jvm_score=False`` restores the Arrow-GEMM kernel — the right
+        regime when one plan scores MANY queries per scanned row (the
+        batch path, functions/vector.py per_qid_dot_scores) or when
+        per-row array allocation in codegen would GC-thrash (very wide
+        probed scans feeding further pipeline stages)."""
         probed = self.probe(qvec, nprobe)
-        scored = (
-            self.assigned.filter(F.col("list_id").isin(probed))
-            .select(
-                F.col(self.id_col),
-                dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+        pruned = self.assigned.filter(F.col("list_id").isin(probed))
+        if jvm_score:
+            qlit = F.array(*[F.lit(float(x)) for x in qvec])
+            score = F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    qlit,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-        )
+        else:
+            score = dot_score_pandas_udf(qvec)(F.col("embedding"))
+        scored = pruned.select(F.col(self.id_col), score.alias("score"))
         return topk(scored, k, id_col=self.id_col), probed
 
 

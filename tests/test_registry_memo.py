@@ -42,6 +42,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "strategy_dispatch_params",
         "harness_stats_exact",
         "post_filter_costed",
+        "post_filter_costed_backends",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:

@@ -273,11 +273,15 @@ def main() -> None:
         "  The IVF plan's SCALE property holds and is measured: the pruned",
         f"  scan reads **{pruned_rows:,} of {n:,} rows ({100 * pruned_rows / n:.1f}%)**",
         "  — bytes ∝ nprobe/nlist, which is what keeps per-query cost",
-        "  bounded on a cluster. The persisted layout is ONE file per",
-        "  list (pre-write repartition(nlist, list_id) — r7 fix; the r6",
-        "  layout's ~12k write-slivers cost 434.6 ms/query, 27.7× ref);",
-        "  the residual wall-clock is the probed-scan job floor, a",
-        "  constant that any batched regime amortizes away. Exact and pre_filter",
+        "  bounded on a cluster. Two r7 fixes took this row from 434.6 ms",
+        "  (27.7× ref in r6) to here: the persisted layout is ONE file",
+        "  per list (pre-write repartition(nlist, list_id); the old",
+        "  layout's ~12k write-slivers were pure file-open cost), and the",
+        "  probed-subset dot product is a JVM zip_with/aggregate",
+        "  expression in whole-stage codegen — for a point query over a",
+        "  pruned scan, the Arrow round trip of a pandas-UDF kernel",
+        "  dominates the GEMM it buys (operators/ivf.py search_plan",
+        "  docstring has the regime rule). Exact and pre_filter",
         "  additionally pay one Arrow transfer of the scored rows'",
         "  embeddings per query (~230 MB full-scan) that in-process NumPy",
         "  never serializes.",
