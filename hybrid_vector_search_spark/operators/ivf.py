@@ -243,19 +243,14 @@ class IVFIndex:
         batch path, functions/vector.py per_qid_dot_scores) or when
         per-row array allocation in codegen would GC-thrash (very wide
         probed scans feeding further pipeline stages)."""
+        from hybrid_vector_search_spark.functions.vector import (
+            dot_score_column,
+        )
+
         probed = self.probe(qvec, nprobe)
         pruned = self.assigned.filter(F.col("list_id").isin(probed))
         if jvm_score:
-            qlit = F.array(*[F.lit(float(x)) for x in qvec])
-            score = F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    qlit,
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            score = dot_score_column(qvec)
         else:
             score = dot_score_pandas_udf(qvec)(F.col("embedding"))
         scored = pruned.select(F.col(self.id_col), score.alias("score"))

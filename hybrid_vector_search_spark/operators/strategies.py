@@ -99,11 +99,21 @@ class SearchBackend(ABC):
 
 class ExactBackend(SearchBackend):
     """P1: filter → float64 exact IP scoring → top-K. Serves as the
-    correctness oracle (reference src/backends/exact.py:29-57)."""
+    correctness oracle (reference src/backends/exact.py:29-57).
+
+    Scoring is the JVM codegen expression (functions/vector.py
+    dot_score_column): a single-query scan pays an Arrow transfer of the
+    whole embedding column under the pandas-UDF kernel, which the r7
+    profile measured as the dominant term (exact 516→295 ms, strict
+    pre_filter 351→60 ms at the reference shape)."""
 
     name = "exact"
 
     def plan(self, qvec, filters, k):
+        from hybrid_vector_search_spark.functions.vector import (
+            dot_score_column,
+        )
+
         pred = compile_filters(self.corpus.schema, filters)
         obs = Observation(f"scored_{uuid.uuid4().hex[:8]}")
         scored = (
@@ -111,7 +121,7 @@ class ExactBackend(SearchBackend):
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .select(
                 F.col(self.id_col),
-                dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score"),
+                dot_score_column(qvec).alias("score"),
             )
         )
         return topk(scored, k, id_col=self.id_col), obs

@@ -202,11 +202,18 @@ HYBRID_CASES: dict[str, dict] = {
 
 def _hybrid_spark(case: dict) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hybrid_vector_search_spark.functions.vector import (
+            dot_score_column,
+        )
+
         corpus = load_corpus(spark, sf_dir)
         qvec = query_vector(case["seed"])
         pred = compile_filters(corpus.schema, case["filters"])
+        # single-query scoring: JVM codegen dot product — the pandas-UDF
+        # kernel's Arrow transfer of the embedding column dominates at
+        # one query per scanned row (dot_score_column regime rule)
         scored = corpus.filter(pred).select(
-            "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
+            "id", dot_score_column(qvec).alias("score")
         )
         return topk(scored, case["k"]).select(
             "id", F.round("score", 6).alias("score")

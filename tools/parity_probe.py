@@ -122,17 +122,22 @@ def main() -> None:
         scale = 1.0 / (TILE ** 0.5)
         return [x * scale for x in list(v) * TILE]
 
-    # prepared per-query plans (reference rule: built once, time execution)
+    # prepared per-query plans (reference rule: built once, time execution).
+    # Scoring is the engine's single-query path: JVM codegen dot product
+    # (functions/vector.py dot_score_column — same expression the
+    # Exact/PreFilter backends and the hybrid_topk_* registry family run)
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
     exact_plans, pre_plans = {}, {}
     for cq in CANONICAL_QUERIES:
         q = qvec384(cq.seed)
         scored_all = corpus.select(
-            "id", dot_score_pandas_udf(q)(F.col("embedding")).alias("score")
+            "id", dot_score_column(q).alias("score")
         )
         exact_plans[cq.qid] = topk(scored_all, cq.k)
         pred = compile_filters(corpus.schema, cq.filters)
         scored_f = corpus.filter(pred).select(
-            "id", dot_score_pandas_udf(q)(F.col("embedding")).alias("score")
+            "id", dot_score_column(q).alias("score")
         )
         pre_plans[cq.qid] = topk(scored_f, cq.k)
 
@@ -277,14 +282,15 @@ def main() -> None:
         "  (27.7× ref in r6) to here: the persisted layout is ONE file",
         "  per list (pre-write repartition(nlist, list_id); the old",
         "  layout's ~12k write-slivers were pure file-open cost), and the",
-        "  probed-subset dot product is a JVM zip_with/aggregate",
-        "  expression in whole-stage codegen — for a point query over a",
-        "  pruned scan, the Arrow round trip of a pandas-UDF kernel",
-        "  dominates the GEMM it buys (operators/ivf.py search_plan",
-        "  docstring has the regime rule). Exact and pre_filter",
-        "  additionally pay one Arrow transfer of the scored rows'",
-        "  embeddings per query (~230 MB full-scan) that in-process NumPy",
-        "  never serializes.",
+        "  single-query dot product — here AND in the Exact/PreFilter",
+        "  backends and the hybrid_topk_* family — is a JVM",
+        "  zip_with/aggregate expression in whole-stage codegen: at one",
+        "  query per scanned row, the Arrow round trip of a pandas-UDF",
+        "  kernel dominates the GEMM it buys (r7 profile: exact 516→295,",
+        "  strict pre_filter 351→60, IVF probed subset 338→73 ms; the",
+        "  regime rule lives in functions/vector.py dot_score_column —",
+        "  multi-query batch scoring keeps the Arrow GEMM, which is why",
+        "  the batch row below amortizes better than any per-query path).",
         "* **Throughput is where the Spark shape wins** — the batch row",
         "  answers all 10 canonical queries in ONE job at",
         f"  {batch_total_ms / 10:.1f} ms/query amortized, {544 / batch_total_ms:.0f}×",
