@@ -2595,6 +2595,32 @@ _LANDING_CACHE: dict[tuple[str, str], tuple[SparkSession, str]] = {}
 # lifetime).
 _STREAM_PARTS = 4
 
+_STREAM_ROWS_CACHE: dict[str, tuple[SparkSession, int]] = {}
+
+
+def _stream_parts(spark: SparkSession, sf_dir: str, factor: int = 1) -> int:
+    """VOLUME-ADAPTIVE state partitioning for the availableNow drains:
+    one state partition per ~25k landed event rows, clamped to
+    [``_STREAM_PARTS``·factor, defaultParallelism]. At sf0.1 (100k
+    events) this lands exactly on the r5-swept knee (4); the ×16 scale
+    probe's 1.6M-row micro-batch fans its state stage across all cores
+    instead of serializing on 4 partitions. ``factor`` preserves the
+    queries tuned at 2× the base (stateful totals, the stream-stream
+    join — bigger per-group state rows). A durable-checkpoint
+    deployment runs this arithmetic ONCE at provisioning on expected
+    micro-batch volume — state partitioning is immutable for the
+    checkpoint's lifetime (run_available_now docstring)."""
+    cached = _STREAM_ROWS_CACHE.get(sf_dir)
+    n = cached[1] if cached is not None and cached[0] is spark else None
+    if n is None:
+        n = load_table(spark, sf_dir, "events").count()
+        _STREAM_ROWS_CACHE[sf_dir] = (spark, n)
+    try:
+        cap = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        cap = 32
+    return max(_STREAM_PARTS * factor, min(cap, -(-n // 25_000)))
+
 
 def _sink_sorted(spark: SparkSession, table: str, *cols: str) -> DataFrame:
     """Read an in-memory sink table in total order. A memory-sink table
@@ -2662,7 +2688,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = "stream_hourly"
     run_available_now(
-        agg, table, output_mode="complete", shuffle_partitions=_STREAM_PARTS
+        agg,
+        table,
+        output_mode="complete",
+        shuffle_partitions=_stream_parts(spark, sf_dir),
     )
     return _sink_sorted(spark, table, "window_start", "event_type")
 
@@ -2712,7 +2741,10 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(docs, watermark="36500 days").select("fingerprint")
     table = "stream_dedup"
     run_available_now(
-        deduped, table, output_mode="append", shuffle_partitions=_STREAM_PARTS
+        deduped,
+        table,
+        output_mode="append",
+        shuffle_partitions=_stream_parts(spark, sf_dir),
     )
     return _sink_sorted(spark, table, "fingerprint")
 
@@ -3237,7 +3269,10 @@ def streaming_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = "stream_sliding"
     run_available_now(
-        agg, table, output_mode="complete", shuffle_partitions=_STREAM_PARTS
+        agg,
+        table,
+        output_mode="complete",
+        shuffle_partitions=_stream_parts(spark, sf_dir),
     )
     return _sink_sorted(spark, table, "window_start", "event_type")
 
@@ -3356,7 +3391,10 @@ def streaming_enriched_by_user_segment(spark: SparkSession, sf_dir: str) -> Data
     )
     table = "stream_seg"
     run_available_now(
-        agg, table, output_mode="complete", shuffle_partitions=_STREAM_PARTS
+        agg,
+        table,
+        output_mode="complete",
+        shuffle_partitions=_stream_parts(spark, sf_dir),
     )
     return _sink_sorted(spark, table, "segment", "event_type")
 
@@ -4160,7 +4198,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 vs ~2k groups): r5 sweep 4/8/16/32 -> 1.38/1.14/1.49/2.47s,
     # 8 is this operator's knee
     run_available_now(
-        agg, table, output_mode="append", shuffle_partitions=2 * _STREAM_PARTS
+        agg,
+        table,
+        output_mode="append",
+        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
     )
     return _sink_sorted(spark, table, "user_id", "session_start")
 
@@ -4202,7 +4243,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         table,
         output_mode="update",
         expect_single_data_batch=True,
-        shuffle_partitions=2 * _STREAM_PARTS,
+        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
     )
     return (
         _sink_sorted(spark, table, "user_id")
@@ -5803,6 +5844,13 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drops later-batch rows as late input (same hazard class as the
         # stateful-totals query; ADVICE r2 #5)
         expect_single_data_batch=True,
+        # FIXED sizing, deliberately exempt from the volume-adaptive
+        # _stream_parts: a stream-stream join keeps TWO state stores per
+        # partition and its per-row work is a hash probe, so the
+        # per-partition constant dominates — the r7 ×8 probe A/B measured
+        # 2.5 s at 4 partitions vs 4.8 s at 32 on the same data. The
+        # stateful AGGREGATIONS scale the opposite way (heavy per-group
+        # state work) and stay adaptive.
         shuffle_partitions=_STREAM_PARTS,
         # inner matches emit eagerly in their arrival batch; the trailing
         # zero-row flush batch only evicts expired join-state buffers and
