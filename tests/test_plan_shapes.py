@@ -1,0 +1,82 @@
+"""Physical-plan shape regression guards.
+
+tools/explain_audit.py REPORTS these properties per round (PLANS.md);
+these tests make the flagship ones a failing gate so a refactor cannot
+silently reintroduce the slow shapes: a Python eval node in the
+single-query scoring path (the r7 JVM-codegen win), a lost parquet
+filter pushdown, or a second corpus scan in the set-at-a-time batch
+plan.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from hybrid_vector_search_spark.plans import registry as R
+
+    return R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hybrid_single_query_plan_is_pure_jvm(spark, registry):
+    """hybrid_topk_* scores with dot_score_column: no Python worker may
+    appear anywhere in the plan (ArrowEvalPython = the old Arrow hop,
+    BatchEvalPython = the never-allowed row-at-a-time path), and the
+    top-K must be TakeOrderedAndProject, not a global sort."""
+    for name in ("hybrid_topk_exact", "hybrid_topk_unfiltered"):
+        plan = _plan(registry.QUERIES[name](spark, SF))
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ivf_search_plan_is_pure_jvm(spark, registry):
+    """The IVF point-query plan over the PERSISTED layout (the scale
+    path ann_ivf_persisted_topk runs) carries no Python eval node and
+    partition-prunes to the probed lists; the pandas-UDF kernel stays
+    available behind the flag. (The in-memory test index is exempt: its
+    cached lineage PRINTS the one-off assignment UDF even though it
+    never re-executes.)"""
+    from hybrid_vector_search_spark.queryvecs import query_vector
+
+    index = registry._ann_ivf_fixed_index(spark, SF, persist=True)
+    q = query_vector(registry.ANN_IVF_QSEED)
+    jvm_plan = _plan(index.search_plan(q, 10)[0])
+    assert "ArrowEvalPython" not in jvm_plan
+    assert "BatchEvalPython" not in jvm_plan
+    assert "TakeOrderedAndProject" in jvm_plan
+    assert "PartitionFilters" in jvm_plan and "list_id" in jvm_plan
+    udf_plan = _plan(index.search_plan(q, 10, jvm_score=False)[0])
+    assert "ArrowEvalPython" in udf_plan  # the flag still selects Arrow
+
+
+def test_tpch_q1_filter_reaches_parquet_scan(spark, registry):
+    """The shipdate predicate must be pushed into the lineitem scan
+    (PushedFilters), not evaluated post-scan only — the property that
+    turns a 100 TB scan into a row-group-pruned one."""
+    plan = _plan(registry.QUERIES["tpch_q1_pricing_summary"](spark, SF))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert pushed, "no PushedFilters section in the scan"
+    assert any("l_shipdate" in ln and "[]" not in ln.split("PushedFilters:")[1][:4]
+               for ln in pushed), pushed
+
+
+def test_batch_canonical_scans_corpus_once(spark, registry):
+    """The set-at-a-time batch plan reads the embeddings parquet exactly
+    once: the 10 queries share one scan via the match-array fanout —
+    query count must multiply output rows, never scans."""
+    plan = _plan(registry.QUERIES["hybrid_batch_canonical"](spark, SF))
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "embeddings" in ln
+    ]
+    assert len(scans) == 1, scans
