@@ -53,6 +53,34 @@ def default_nlist(n: int) -> int:
     return max(1, min(max(int(n**0.5), 64), 4096, n))
 
 
+def assign_list_udf(centroids: "np.ndarray"):
+    """Pandas UDF assigning each embedding to its nearest fixed centroid:
+    ``list_id = argmax_i ⟨embedding, centroid_i⟩`` — one GEMM per Arrow
+    batch, ties to the lowest list index (np.argmax takes the first max,
+    matching SQL ``list_position(d, list_max(d))``).
+
+    STATELESS by construction — a pure function of (embedding, centroid
+    literals) — which is what lets the same kernel run in a batch build
+    (:meth:`IVFIndex.build_fixed`) and per micro-batch in a Structured
+    Streaming ingest (plans/registry.py streaming_ivf_ingest): continuous
+    index maintenance needs no state store and no rebuild, because the
+    index IS the partitioned file layout."""
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            if len(batch) == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            m = np.vstack(batch.to_numpy()).astype(np.float64)
+            yield pd.Series((m @ cents.T).argmax(axis=1).astype("int32"))
+
+    return _assign
+
+
 class IVFIndex:
     """KMeans-clustered corpus with per-row ``list_id``; centroids live on
     the driver (nlist × D floats — the only driver-resident index state)."""
@@ -188,20 +216,10 @@ class IVFIndex:
         instead of an unverifiable no-oracle row. One Arrow pass, one
         GEMM per batch; ties broken toward the lowest list index in both
         engines (np.argmax / list_position both take the first max)."""
-        from pyspark.sql import types as T
-
         cents = np.asarray(centroids, dtype=np.float64)
-
-        @F.pandas_udf(T.IntegerType())
-        def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for batch in it:
-                if len(batch) == 0:
-                    yield pd.Series([], dtype="int32")
-                    continue
-                m = np.vstack(batch.to_numpy()).astype(np.float64)
-                yield pd.Series((m @ cents.T).argmax(axis=1).astype("int32"))
-
-        assigned = corpus.withColumn("list_id", _assign(F.col("embedding")))
+        assigned = corpus.withColumn(
+            "list_id", assign_list_udf(cents)(F.col("embedding"))
+        )
         assigned = cls._materialize(
             assigned, persist_path, nlist=int(cents.shape[0])
         )

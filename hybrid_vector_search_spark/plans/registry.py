@@ -574,13 +574,13 @@ def _ann_ivf_probed(qseed: int = ANN_IVF_QSEED) -> list[int]:
     return sorted(int(i) for i in order)
 
 
-def _ann_ivf_oracle() -> str:
-    qlit = sql_array_literal(query_vector(ANN_IVF_QSEED))
+def _ann_ivf_oracle(qseed: int = ANN_IVF_QSEED) -> str:
+    qlit = sql_array_literal(query_vector(qseed))
     dots = ", ".join(
         f"list_dot_product(e, {sql_array_literal(c)})"
         for c in _ann_ivf_centroids()
     )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed())
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(qseed))
     return f"""WITH assigned AS (
   SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
   FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
@@ -5867,6 +5867,79 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_sec",
         round_portable("value", 2).alias("purchase_value"),
     )
+
+
+# ----------------------------------------- streaming ANN-index ingest
+
+STREAM_IVF_QSEED = 31
+_STREAM_IVF_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_ivf_ingest",
+    _ann_ivf_oracle(STREAM_IVF_QSEED),
+    side_effects=True,
+)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ANN-index ingest — the streaming twin of the persisted
+    IVF layout (ann_ivf_persisted_topk): embeddings land as a file
+    stream, each micro-batch assigns ``list_id`` with the fixed coarse
+    quantizer (operators/ivf.py assign_list_udf — a STATELESS map, no
+    state store, no watermark), and the exactly-once file sink writes
+    ``partitionBy("list_id")`` parquet through its write-ahead commit
+    log. The index never needs a rebuild because the index IS the
+    partitioned layout: FAISS keeps a mutable in-memory structure the
+    reference must re-add into (src/dataio/loaders.py:106-120); here
+    append-only ingest keeps the layout fresh and a restarted drain
+    re-ingests nothing (the sink's exactly-once contract, pinned in
+    tests/test_streaming.py). The returned plan is the standard probe
+    over the freshly-ingested layout — partition-pruned to the probed
+    lists — and the oracle replays assignment, probe, and top-K over the
+    same rows, so the hash certifies the whole ingest→probe loop."""
+    import os
+
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.streaming.pipeline import sink_to_parquet
+
+    land = _landing(spark, sf_dir, "embeddings")
+    cached = _STREAM_IVF_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_ivf_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_IVF_CACHE[sf_dir] = (spark, root)
+    out = os.path.join(root, "index")
+    ckpt = os.path.join(root, "ckpt")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    cents = _ann_ivf_centroids()
+    from hybrid_vector_search_spark.operators.ivf import assign_list_udf
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .withColumn("list_id", assign_list_udf(cents)(F.col("embedding")))
+        .withColumnRenamed("vec_id", "id")
+    )
+    sink_to_parquet(stream, out, ckpt, partition_by="list_id")
+
+    index = IVFIndex(
+        spark.read.parquet(out), cents, partitioned_path=out
+    )
+    plan, _probed = index.search_plan(
+        query_vector(STREAM_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
 
 
 # ------------------------------------------------------------ bucketed layout

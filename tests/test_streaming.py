@@ -445,3 +445,40 @@ def test_flush_off_guard_refuses_append_aggregation(spark, events_dir):
     )
     assert spark.table("t_guard_complete_ok").count() > 0
     assert spark.conf.get(_FLUSH_KEY, "true") == "true"
+
+
+def test_streaming_ivf_ingest_exactly_once_and_pruned(spark):
+    """The streaming ANN-index ingest: a second drain over unchanged
+    input re-ingests nothing (file-sink exactly-once), the ingested
+    layout carries every corpus row exactly once, and the probe plan
+    partition-prunes to the probed lists with no Python eval node."""
+    from hybrid_vector_search_spark.plans import registry as R
+    from hybrid_vector_search_spark.sources.loaders import load_table
+
+    sf = "/root/testdata/sf0.001"
+    r1 = [(r.id, r.score) for r in R.QUERIES["streaming_ivf_ingest"](spark, sf).collect()]
+    assert len(r1) == R.ANN_IVF_K
+    root = R._STREAM_IVF_CACHE[sf][1]
+    ingested = spark.read.parquet(root + "/index")
+    n = load_table(spark, sf, "embeddings").count()
+    assert ingested.count() == n
+    assert ingested.select("id").distinct().count() == n
+    # re-drain: exactly-once no-op, identical probe result
+    r2 = [(r.id, r.score) for r in R.QUERIES["streaming_ivf_ingest"](spark, sf).collect()]
+    assert r2 == r1
+    assert spark.read.parquet(root + "/index").count() == n
+    # probe plan: partition-pruned, pure JVM
+    plan, _ = __import__(
+        "hybrid_vector_search_spark.operators.ivf", fromlist=["IVFIndex"]
+    ).IVFIndex(
+        ingested, R._ann_ivf_centroids(), partitioned_path=root + "/index"
+    ).search_plan(
+        __import__(
+            "hybrid_vector_search_spark.queryvecs", fromlist=["query_vector"]
+        ).query_vector(R.STREAM_IVF_QSEED),
+        k=10,
+        nprobe=R.ANN_IVF_NPROBE,
+    )
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt and "list_id" in txt
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt
