@@ -667,6 +667,82 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+ANN_BATCH_SEEDS = tuple(range(201, 211))
+
+
+def _ann_ivf_batch_oracle() -> str:
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    parts = []
+    for i, seed in enumerate(ANN_BATCH_SEEDS):
+        qlit = sql_array_literal(query_vector(seed))
+        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
+        parts.append(
+            f"(SELECT {i + 1} AS qid, id,"
+            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
+            f" FROM assigned WHERE list_id IN ({probed})\n"
+            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
+            f" LIMIT {ANN_IVF_K})"
+        )
+    return (
+        f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ann_ivf_batch_topk", _ann_ivf_batch_oracle())
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN through the IVF layout — the 100 TB serving shape that
+    amortizes the per-query job floor away: all queries answered in ONE
+    job over one partition-pruned scan of the UNION of their probed
+    lists. Each scanned row fans out only to the qids that probed its
+    list (explode of the non-null whens, the hybrid_batch_canonical
+    pattern), then ONE Arrow pass scores every (row, qid) pair with the
+    einsum GEMM (per_qid_dot_scores — the multi-query regime where the
+    Arrow transfer amortizes across the query set, the documented
+    complement of the single-query JVM kernel), and one qid-window
+    computes every top-K. Bytes read = |∪ probed lists| regardless of
+    query count; FAISS's loop pays its per-probe cost per query forever.
+    The oracle replays assignment, each query's probe set, and each
+    top-K."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed) for i, seed in enumerate(ANN_BATCH_SEEDS)
+    }
+    probes = {
+        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
+    }
+    union = sorted({li for p in probes.values() for li in p})
+    pruned = index.assigned.filter(F.col("list_id").isin(union))
+    match = F.array(
+        *[
+            F.when(
+                F.col("list_id").isin(probes[qid]), F.lit(qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for qid in sorted(qvecs)
+        ]
+    )
+    fanned = pruned.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], ANN_IVF_K)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
