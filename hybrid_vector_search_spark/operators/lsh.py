@@ -294,3 +294,49 @@ class LSHPostFilterBackend(SearchBackend):
             ),
         }
         return ids, stats
+
+
+def build_bucketed_layout(
+    corpus: DataFrame,
+    persist_path: str,
+    nbits: int = DEFAULT_NBITS,
+) -> tuple[DataFrame, np.ndarray]:
+    """Materialize the ``partitionBy("bucket")`` parquet layout the module
+    docstring promises for 100 TB: bucket assignment is a stateless
+    map-side column (no training job — the build advantage over IVF's
+    KMeans), and probing the persisted layout is native partition
+    pruning, identical I/O shape to the IVF lists. Pre-write
+    ``repartition(2^nbits, "bucket")`` puts each bucket wholly inside
+    one task so the write emits ONE file per bucket directory (the r7
+    IVF lesson: per-task slivers across partition dirs are pure
+    file-open cost — operators/ivf.py _materialize). Returns the
+    read-back DataFrame and the hyperplanes."""
+    first = corpus.select("embedding").first()
+    planes = hyperplanes(nbits, dim=len(first["embedding"]))
+    assigned = corpus.withColumn(
+        "bucket", bucket_udf(planes)(F.col("embedding"))
+    )
+    assigned.repartition(1 << nbits, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(persist_path)
+    return corpus.sparkSession.read.parquet(persist_path), planes
+
+
+def lsh_topk_plan_persisted(
+    layout: DataFrame,
+    planes: np.ndarray,
+    qvec: Sequence[float],
+    k: int,
+    probe_hamming: int = 1,
+    id_col: str = "id",
+) -> tuple[DataFrame, list[int]]:
+    """Top-K over the persisted bucket layout: ``bucket IN (probes)`` is
+    a PartitionFilter (only probed bucket directories are read), scoring
+    is the single-query JVM kernel — no Python anywhere in the plan."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    probes = probe_set(qvec, planes, probe_hamming)
+    scored = layout.filter(F.col("bucket").isin(probes)).select(
+        F.col(id_col), dot_score_column(qvec).alias("score")
+    )
+    return topk(scored, k, id_col=id_col), probes

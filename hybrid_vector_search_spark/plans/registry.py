@@ -1994,11 +1994,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle() -> str:
+def _lsh_oracle(qseed: int = 31) -> str:
     from hybrid_vector_search_spark.operators import lsh as LSH
 
     planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    q = query_vector(31)
+    q = query_vector(qseed)
     probes = LSH.probe_set(q, planes, probe_hamming=1)
     qlit = sql_array_literal(q)
     bucket = LSH.bucket_sql_expr(planes)
@@ -2023,6 +2023,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "id"
     )
     plan, _probes = LSH.lsh_topk_plan(emb, query_vector(31), k=10)
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+_LSH_LAYOUT_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
+LSH_PERSISTED_QSEED = 33
+
+
+@register("ann_lsh_persisted_topk", _lsh_oracle(LSH_PERSISTED_QSEED))
+def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN over the PERSISTED bucket layout — the module docstring's
+    100 TB shape made real (operators/lsh.py build_bucketed_layout):
+    bucket materialized at ingest as ``partitionBy("bucket")`` parquet,
+    one file per bucket (pre-write repartition — the r7 IVF layout
+    lesson), so the multi-probe ``bucket IN (...)`` is a PartitionFilter
+    and only probed bucket directories are read. Unlike the IVF lists
+    this layout needs NO training job to build and is stable under
+    appends. Scoring is the single-query JVM kernel — the probe plan
+    carries zero Python eval nodes (pinned in tests/test_plan_shapes.py).
+    Same oracle family as ann_lsh_topk at an independent query seed."""
+    from hybrid_vector_search_spark.operators import lsh as LSH
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _LSH_LAYOUT_CACHE.get(sf_dir)
+    layout_planes = (
+        cached[1] if cached is not None and cached[0] is spark else None
+    )
+    if layout_planes is None:
+        emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+            "vec_id", "id"
+        )
+        path = scratch_path(
+            "lsh_buckets_" + sf_dir.strip("/").replace("/", "_")
+        )
+        layout_planes = LSH.build_bucketed_layout(emb, path)
+        _LSH_LAYOUT_CACHE[sf_dir] = (spark, layout_planes)
+    layout, planes = layout_planes
+    plan, _probes = LSH.lsh_topk_plan_persisted(
+        layout, planes, query_vector(LSH_PERSISTED_QSEED), k=10
+    )
     return plan.select("id", F.round("score", 6).alias("score"))
 
 

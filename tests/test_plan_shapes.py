@@ -56,6 +56,18 @@ def test_ivf_search_plan_is_pure_jvm(spark, registry):
     assert "ArrowEvalPython" in udf_plan  # the flag still selects Arrow
 
 
+def test_lsh_persisted_plan_prunes_and_is_pure_jvm(spark, registry):
+    """The persisted LSH bucket layout: the multi-probe IN filter must be
+    a PartitionFilter over the bucket directories, with no Python eval
+    node in the probe plan (scoring is the JVM kernel; bucket assignment
+    happened once at ingest)."""
+    plan = _plan(registry.QUERIES["ann_lsh_persisted_topk"](spark, SF))
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_tpch_q1_filter_reaches_parquet_scan(spark, registry):
     """The shipdate predicate must be pushed into the lineitem scan
     (PushedFilters), not evaluated post-scan only — the property that
