@@ -84,7 +84,12 @@ def test_tpch_q1_filter_reaches_parquet_scan(spark, registry):
 def test_batch_canonical_scans_corpus_once(spark, registry):
     """The set-at-a-time batch plan reads the embeddings parquet exactly
     once: the 10 queries share one scan via the match-array fanout —
-    query count must multiply output rows, never scans."""
+    query count must multiply output rows, never scans. Caches are
+    dropped first so the assertion sees the raw file-scan plan, not an
+    InMemoryTableScan lineage left behind by earlier tests (the printed
+    cached plan repeats its build lineage)."""
+    registry.invalidate_caches()
+    spark.catalog.clearCache()
     plan = _plan(registry.QUERIES["hybrid_batch_canonical"](spark, SF))
     scans = [
         ln
