@@ -38,6 +38,8 @@ PROBE_QUERIES = (
     "hybrid_batch_canonical",
     "knn_batch_topk",
     "ann_pq_adc_topk",
+    "ann_ivf_batch_topk",
+    "ann_lsh_persisted_topk",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_passages",
     "dedup_incremental_batch",
