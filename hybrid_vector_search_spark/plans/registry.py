@@ -2065,6 +2065,141 @@ def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+# ---------------------------------------- lexical + vector hybrid retrieval
+
+RRF_TERMS = ("vector", "join", "filter")
+RRF_QSEED = 41
+RRF_LEG_K = 20
+RRF_K = 60
+RRF_FINAL_K = 10
+
+
+def _rrf_oracle() -> str:
+    qlit = sql_array_literal(query_vector(RRF_QSEED))
+    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, d.text
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+tok AS (SELECT id,
+  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM corpus),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
+                 (SELECT COUNT(*) FROM tok2) AS t),
+qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
+        WHERE term IN ({terms}) GROUP BY id, term),
+qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
+        WHERE term IN ({terms}) GROUP BY term),
+lex AS (SELECT q.id, ROUND(SUM(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
+  ), 6) AS score
+  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
+  CROSS JOIN stats GROUP BY q.id),
+lexr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
+  FROM (SELECT id, score FROM lex
+        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
+vec AS (SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
+  FROM corpus),
+vecr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
+  FROM (SELECT id, score FROM vec
+        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
+fused AS (SELECT COALESCE(l.id, v.id) AS id,
+  ROUND(COALESCE(1.0 / ({RRF_K} + l.r), 0)
+        + COALESCE(1.0 / ({RRF_K} + v.r), 0), 6) AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+SELECT id, rrf_score FROM fused
+ORDER BY rrf_score DESC, id ASC LIMIT {RRF_FINAL_K}"""
+
+
+@register("retrieval_rrf_fusion", _rrf_oracle())
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical + vector HYBRID RETRIEVAL via reciprocal-rank fusion — the
+    standard two-tower serving pattern (BM25 leg + dense leg, fused as
+    Σ 1/(60 + rank)) the reference has no analogue for, expressed as two
+    independent top-K branches joined by id:
+
+    * lexical leg: full BM25 (k1=1.2, b=0.75, document-length
+      normalization against the corpus average) over the fixed query
+      terms — term stats are two narrow aggregations, the per-term df
+      table broadcasts, and only docs containing a query term ever reach
+      the scorer;
+    * dense leg: exact inner product with the JVM codegen kernel;
+    * fusion: both legs rank on 6-decimal-ROUNDED scores (an ULP of
+      ln()/summation can never flip a rank across engines — the
+      text_tfidf_top_terms rule), are cut to top-20 by
+      TakeOrderedAndProject, and full-outer join on id so a doc missing
+      from one leg simply contributes nothing from it.
+
+    At 100 TB each leg is the engine's existing scale path (partial-agg
+    term stats + bounded top-K heaps; pruned/exact vector scan); the
+    fusion join touches ≤ 2·leg_K rows. The oracle replays BM25, both
+    rankings, and the fused top-10."""
+    from pyspark.sql import Window
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    corpus = load_corpus(spark, sf_dir)
+    tok = (
+        corpus.select(
+            "id",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    n = corpus.count()
+    t = tok.count()
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    qtok = tok.filter(F.col("term").isin(list(RRF_TERMS)))
+    tf = qtok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = qtok.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # expression shapes mirror the oracle EXACTLY (same literals, same
+    # association) so float64 evaluation matches to the last ULP before
+    # the rank-stabilizing round
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + (F.lit(0.75) * F.col("dl") * F.lit(n)) / F.lit(t)
+    )
+    per_term = idf * ((F.col("tf") * F.lit(2.2)) / denom)
+    lex = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "id")
+        .groupBy("id")
+        .agg(F.round(F.sum(per_term), 6).alias("score"))
+    )
+
+    def leg_ranks(scored: DataFrame, rank_name: str) -> DataFrame:
+        top = topk(scored, RRF_LEG_K)
+        w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "id", rank_name
+        )
+
+    lexr = leg_ranks(lex, "lr")
+    vec = corpus.select(
+        "id",
+        F.round(dot_score_column(query_vector(RRF_QSEED)), 6).alias("score"),
+    )
+    vecr = leg_ranks(vec, "vr")
+    fused = lexr.join(vecr, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return topk(fused, RRF_FINAL_K, score_col="rrf_score")
+
+
 # ----------------------------------------- relational breadth, batch 2
 # More distinct plan shapes over the reduced TPC-H testdata: outer-join
 # count distribution (Q13), max-over-aggregated-CTE (Q15), having-subquery
