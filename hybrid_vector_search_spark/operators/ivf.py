@@ -432,3 +432,87 @@ class PostFilterBackend(SearchBackend):
             "notes": self.compose_notes(f"ladder_stop={stop_kprime}"),
         }
         return ids, stats
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    centroids: "np.ndarray",
+    upserts: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Apply an upsert/delete batch to a persisted ``partitionBy
+    ("list_id")`` layout by rewriting ONLY the touched list partitions —
+    the index-maintenance operation FAISS answers with a full rebuild
+    (its IndexIVF is a mutable in-memory structure; reference
+    src/dataio/loaders.py:106-120 constructs it from the whole matrix).
+
+    Touched lists = lists receiving new/replacement rows ∪ lists holding
+    rows being removed; everything else is untouched bytes. The write
+    uses ``partitionOverwriteMode=dynamic`` so only partitions present
+    in the output frame are replaced; per-batch cost is
+    O(|touched lists| · rows-per-list), independent of nlist and corpus
+    size. Two bounded driver collects (touched list ids, ≤ nlist each).
+    The rebuilt rows stage through scratch parquet first — Spark refuses
+    a plan that reads the path it overwrites, and at 100 TB this staging
+    hop is where a table format's MERGE/commit protocol slots in. A
+    touched list left EMPTY is removed explicitly (dynamic overwrite
+    only replaces partitions it writes; an empty result writes nothing
+    and would leave stale rows behind)."""
+    import os
+    import shutil
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned_new = upserts.withColumn(
+        "list_id", assign_list_udf(cents)(F.col("embedding"))
+    )
+    layout = spark.read.parquet(path)
+    removed = delete_ids.select(id_col).unionByName(
+        upserts.select(id_col)
+    )
+    old_touched = (
+        layout.join(F.broadcast(removed), id_col, "left_semi")
+        .select("list_id")
+        .distinct()
+    )
+    new_touched = assigned_new.select("list_id").distinct()
+    touched = sorted(
+        r["list_id"]
+        for r in old_touched.unionByName(new_touched).distinct().collect()
+    )
+    if not touched:
+        return layout
+    surviving = layout.filter(F.col("list_id").isin(touched)).join(
+        F.broadcast(removed), id_col, "left_anti"
+    )
+    out = surviving.unionByName(assigned_new)
+    stage = scratch_path("ivf_upsert_stage")
+    out.repartition(len(touched), "list_id").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    staged = spark.read.parquet(stage)
+    session = spark.conf
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = session.get(_MODE_KEY)
+    except Exception:
+        prev = None
+    session.set(_MODE_KEY, "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    finally:
+        if prev is not None:
+            session.set(_MODE_KEY, prev)
+        else:
+            session.unset(_MODE_KEY)
+    present = {
+        r["list_id"] for r in staged.select("list_id").distinct().collect()
+    }
+    for li in set(touched) - present:  # emptied lists: drop the stale dir
+        shutil.rmtree(
+            os.path.join(path, f"list_id={li}"), ignore_errors=True
+        )
+    return spark.read.parquet(path)

@@ -667,6 +667,95 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+ANN_UPSERT_QSEED = 43
+_UPSERT_LAYOUT_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _ann_ivf_upsert_oracle() -> str:
+    """Replays the WHOLE upsert: the modified corpus (deletes by id mod
+    17, in-place updates — reversed embeddings, permutation keeps unit
+    norm — by id mod 13, inserts at id+5·10⁷ by id mod 19), then
+    assignment, probe, and top-K over it. A hash match certifies that
+    partition-local rewrites produced exactly the state a full rebuild
+    over the modified corpus would."""
+    qlit = sql_array_literal(query_vector(ANN_UPSERT_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_UPSERT_QSEED))
+    return f"""WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+kept AS (SELECT id, e FROM base WHERE id % 17 <> 0 AND id % 13 <> 0),
+updated AS (SELECT id, list_reverse(e) AS e FROM base
+            WHERE id % 13 = 0 AND id % 17 <> 0),
+inserts AS (SELECT id + 50000000 AS id, e FROM base WHERE id % 19 = 0),
+corpus2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
+            UNION ALL SELECT * FROM inserts),
+assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, e, [{dots}] AS d FROM corpus2))
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM assigned WHERE list_id IN ({probed})
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+@register(
+    "ann_ivf_upsert_topk", _ann_ivf_upsert_oracle(), side_effects=True
+)
+def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local UPSERT/DELETE on the persisted IVF index
+    (operators/ivf.py upsert_partitioned) — the maintenance operation
+    FAISS answers with a full rebuild: a deterministic batch deletes ids
+    ≡0 (mod 17), replaces ids ≡0 (mod 13) with reversed embeddings (a
+    norm-preserving permutation that MOVES rows across lists), and
+    inserts shifted copies of ids ≡0 (mod 19); only the touched list
+    partitions are rewritten (dynamic partition overwrite), untouched
+    lists are untouched bytes. The probe then runs over the mutated
+    layout, and the oracle rebuilds the modified corpus from scratch in
+    SQL — a hash match proves partition-local maintenance ≡ full
+    rebuild. ``side_effects=True``: the builder mutates (once per
+    session) a scratch layout."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        upsert_partitioned,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cents = _ann_ivf_centroids()
+    cached = _UPSERT_LAYOUT_CACHE.get(sf_dir)
+    path = cached[1] if cached is not None and cached[0] is spark else None
+    if path is None:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .withColumnRenamed("vec_id", "id")
+            .select("id", "embedding")
+        )
+        path = scratch_path(
+            "ivf_upsert_" + sf_dir.strip("/").replace("/", "_")
+        )
+        IVFIndex.build_fixed(emb, cents, persist_path=path)
+        deletes = emb.filter(F.col("id") % 17 == 0).select("id")
+        updates = emb.filter(
+            (F.col("id") % 13 == 0) & (F.col("id") % 17 != 0)
+        ).select("id", F.reverse("embedding").alias("embedding"))
+        inserts = emb.filter(F.col("id") % 19 == 0).select(
+            (F.col("id") + 50_000_000).alias("id"), "embedding"
+        )
+        upsert_partitioned(
+            spark, path, cents, updates.unionByName(inserts), deletes
+        )
+        _UPSERT_LAYOUT_CACHE[sf_dir] = (spark, path)
+    index = IVFIndex(
+        spark.read.parquet(path), cents, partitioned_path=path
+    )
+    plan, _probed = index.search_plan(
+        query_vector(ANN_UPSERT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
 ANN_BATCH_SEEDS = tuple(range(201, 211))
 
 
