@@ -516,3 +516,89 @@ def upsert_partitioned(
             os.path.join(path, f"list_id={li}"), ignore_errors=True
         )
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Partition-local small-files compaction for a ``partitionBy
+    ("list_id")`` layout — the maintenance companion of the streaming
+    ingest (plans/registry.py streaming_ivf_ingest): every micro-batch
+    appends files per touched list, and read amplification creeps back
+    exactly the way the r6 layout bug demonstrated (file-opens, not
+    bytes, dominate pruned point reads).
+
+    Lists at or under ``max_files_per_partition`` are NOT touched —
+    compaction cost is O(oversized lists), and healthy partitions stay
+    byte-identical (no churn for downstream caches or object-store
+    versioning). Oversized lists are rewritten through scratch staging +
+    dynamic partition overwrite with ``maxRecordsPerFile`` unset and one
+    task per list, yielding one file each. Returns
+    ``{"compacted_lists": n, "files_before": a, "files_after": b}``."""
+    import os
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    def _files(d: str) -> list[str]:
+        return [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        # a streaming file sink's exactly-once view is DEFINED by its
+        # commit log: files this compactor writes would be invisible to
+        # log-based reads and removed files would break resume. Refusing
+        # is the only honest move on plain parquet — a table format
+        # (where compaction is a transaction) is the production answer.
+        raise ValidationError(
+            "refusing to compact a streaming-sink layout (_spark_metadata "
+            "present): rewrite would diverge from the sink's commit log. "
+            "Drain to a new layout or use a transactional table format."
+        )
+    part_dirs = {
+        int(name.split("=", 1)[1]): os.path.join(path, name)
+        for name in os.listdir(path)
+        if name.startswith("list_id=")
+    }
+    files_before = {li: len(_files(d)) for li, d in part_dirs.items()}
+    oversized = sorted(
+        li
+        for li, c in files_before.items()
+        if c > max_files_per_partition
+    )
+    if not oversized:
+        return {
+            "compacted_lists": 0,
+            "files_before": sum(files_before.values()),
+            "files_after": sum(files_before.values()),
+        }
+    layout = spark.read.parquet(path)
+    stage = scratch_path("ivf_compact_stage")
+    layout.filter(F.col("list_id").isin(oversized)).repartition(
+        len(oversized), "list_id"
+    ).write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    conf = spark.conf
+    try:
+        prev = conf.get(_MODE_KEY)
+    except Exception:
+        prev = None
+    conf.set(_MODE_KEY, "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    finally:
+        if prev is not None:
+            conf.set(_MODE_KEY, prev)
+        else:
+            conf.unset(_MODE_KEY)
+    files_after = {li: len(_files(d)) for li, d in part_dirs.items()}
+    return {
+        "compacted_lists": len(oversized),
+        "files_before": sum(files_before.values()),
+        "files_after": sum(files_after.values()),
+    }

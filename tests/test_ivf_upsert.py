@@ -102,3 +102,52 @@ def test_upsert_empty_batch_is_noop(spark, layout):
     assert out.count() == 20
     for li, st in before.items():
         assert _dir_state(path, li) == st, li
+
+
+def test_compact_partitions_only_rewrites_oversized(spark, layout):
+    """Compaction coalesces only lists above the file threshold, leaves
+    healthy partitions byte-identical, preserves every row, and refuses
+    a streaming-sink layout (whose commit log defines its view)."""
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.operators.ivf import compact_partitions
+
+    path, cents = layout
+    # fragment lists 0 and 1: append per-row files via a second write
+    extra = spark.createDataFrame(
+        [(200 + i, _basis(i % 2)) for i in range(4)],
+        "id long, embedding array<float>",
+    ).withColumn("list_id", (F.col("id") % 2).cast("int"))
+    extra.repartition(4).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(path)
+    before_rows = {
+        (r["id"], r["list_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    healthy_before = {li: _dir_state(path, li) for li in (2, 3, 4, 5)}
+    assert len(_dir_state(path, 0)) > 1  # fragmented
+
+    stats = compact_partitions(spark, path)
+    assert stats["compacted_lists"] == 2
+    assert stats["files_after"] < stats["files_before"]
+    assert len(_dir_state(path, 0)) == 1
+    assert len(_dir_state(path, 1)) == 1
+    for li, st in healthy_before.items():
+        assert _dir_state(path, li) == st, li
+    after_rows = {
+        (r["id"], r["list_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after_rows == before_rows
+
+    # second pass: nothing oversized, full no-op
+    stats2 = compact_partitions(spark, path)
+    assert stats2["compacted_lists"] == 0
+    assert stats2["files_before"] == stats2["files_after"]
+
+    # streaming-sink layouts are refused
+    import os
+
+    os.makedirs(os.path.join(path, "_spark_metadata"), exist_ok=True)
+    with pytest.raises(ValidationError, match="commit log"):
+        compact_partitions(spark, path)
