@@ -68,6 +68,32 @@ def test_lsh_persisted_plan_prunes_and_is_pure_jvm(spark, registry):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ann_batch_plan_prunes_union_and_scans_once(spark, registry):
+    """The batch-ANN plan reads ONE partition-pruned scan of the union
+    of probed lists (bytes ∝ |∪ probes|, not corpus × queries) and
+    scores with a single Arrow einsum pass (MapInPandas) — the
+    multi-query regime where the one transfer amortizes across the
+    query set."""
+    plan = _plan(registry.QUERIES["ann_ivf_batch_topk"](spark, SF))
+    assert "PartitionFilters" in plan and "list_id" in plan
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rrf_fusion_plan_is_pure_jvm(spark, registry):
+    """Hybrid lexical+vector fusion: BM25 term stats, both top-K legs,
+    and the rank join are all JVM-side — no Python eval node anywhere
+    (the dense leg uses the codegen kernel; the lexical leg is
+    explode + aggregates)."""
+    plan = _plan(registry.QUERIES["retrieval_rrf_fusion"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_tpch_q1_filter_reaches_parquet_scan(spark, registry):
     """The shipdate predicate must be pushed into the lineitem scan
     (PushedFilters), not evaluated post-scan only — the property that
