@@ -486,6 +486,7 @@ class HNSWBackend(SearchBackend):
         index: "HNSWIndex | None" = None,
         costed: bool = False,
         safety: int = 2,
+        selectivity_hint: int | None = None,
     ):
         super().__init__(corpus, n, id_col)
         self.M = int(M)
@@ -502,6 +503,7 @@ class HNSWBackend(SearchBackend):
         # stats) across all three post-filter backends.
         self.costed = costed
         self.safety = int(safety)
+        self.selectivity_hint = selectivity_hint  # stats/sketch |allowed|
         # eager corpus probe: surface a broken corpus HERE (the K6
         # chain's fall-through contract) rather than mid-query
         first = corpus.select("embedding").first()
@@ -596,7 +598,11 @@ class HNSWBackend(SearchBackend):
         ladder = list(self.k_ladder)
         n_allowed: int | None = None
         if self.costed:
-            n_allowed = self.corpus.filter(pred).count()
+            n_allowed = (
+                self.selectivity_hint
+                if self.selectivity_hint is not None
+                else self.corpus.filter(pred).count()
+            )
             if n_allowed <= 0:
                 entry = ladder[-1]
             else:

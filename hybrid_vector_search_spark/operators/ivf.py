@@ -318,6 +318,7 @@ class PostFilterBackend(SearchBackend):
         seed: int = 42,
         costed: bool = False,
         safety: int = 2,
+        selectivity_hint: int | None = None,
     ):
         super().__init__(corpus, n, id_col)
         self.nprobe = nprobe
@@ -327,6 +328,12 @@ class PostFilterBackend(SearchBackend):
         self._seed = seed
         self.costed = costed
         self.safety = int(safety)
+        # the 100 TB form of the costed entry's |allowed| input: catalog
+        # column statistics or a distinct-count sketch supply the number
+        # and the entry decision becomes O(1) — the count job runs ONLY
+        # when no hint is given (the docstring's promised substitution
+        # point, now an actual parameter)
+        self.selectivity_hint = selectivity_hint
 
     @property
     def index(self) -> IVFIndex:
@@ -372,8 +379,13 @@ class PostFilterBackend(SearchBackend):
             # the filtered corpus — the A2 selectivity input the harness
             # already computes — buys skipping every rung whose expected
             # survivor yield cannot reach K. Integer ceil keeps the
-            # arithmetic exactly reproducible by the SQL oracle.
-            n_allowed = allowed.count()
+            # arithmetic exactly reproducible by the SQL oracle. A
+            # selectivity_hint (catalog stats / sketch) replaces the scan.
+            n_allowed = (
+                self.selectivity_hint
+                if self.selectivity_hint is not None
+                else allowed.count()
+            )
             if n_allowed <= 0:
                 entry = ladder[-1]
             else:

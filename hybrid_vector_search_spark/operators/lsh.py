@@ -152,6 +152,7 @@ class LSHPostFilterBackend(SearchBackend):
         radius_ladder: Sequence[int] = (0, 1, 2),
         costed: bool = False,
         safety: int = 2,
+        selectivity_hint: int | None = None,
     ):
         super().__init__(corpus, n, id_col)
         self.nbits = nbits
@@ -167,6 +168,7 @@ class LSHPostFilterBackend(SearchBackend):
         # reproducible by the SQL oracle — clamped to the last rung.
         self.costed = costed
         self.safety = int(safety)
+        self.selectivity_hint = selectivity_hint  # stats/sketch |allowed|
 
     def probe_coverage(self, radius: int) -> int:
         """P(r) = Σ_{i≤r} C(nbits, i): buckets the multi-probe set covers."""
@@ -230,7 +232,11 @@ class LSHPostFilterBackend(SearchBackend):
         ladder = list(self.radius_ladder)
         n_allowed: int | None = None
         if self.costed:
-            n_allowed = self.corpus.filter(pred).count()
+            n_allowed = (
+                self.selectivity_hint
+                if self.selectivity_hint is not None
+                else self.corpus.filter(pred).count()
+            )
             if n_allowed <= 0:
                 needed_p = self.probe_coverage(ladder[-1]) + 1  # force last
             else:

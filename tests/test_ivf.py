@@ -157,3 +157,33 @@ def test_ivf_fixed_quantizer_assignment_and_full_probe(spark, corpus):
     for r in rows[:50]:
         want = int(np.argmax(cents @ np.asarray(r.embedding, dtype=np.float64)))
         assert r.list_id == want
+
+
+def test_costed_selectivity_hint_replaces_scan(spark, corpus):
+    """selectivity_hint is the catalog-stats/sketch substitution point the
+    costed docstrings promise: with the exact |allowed| injected, the
+    backend never runs the count job and the answers, entry rung, and
+    rungs_run are identical to the counted path."""
+    n = corpus.count()
+    q = query_vector(7)
+    strict = {"lang": {"eq": "zh"}, "label": {"in": [7]}}
+    from hybrid_vector_search_spark.functions.predicates import (
+        compile_filters,
+    )
+
+    true_allowed = corpus.filter(
+        compile_filters(corpus.schema, strict)
+    ).count()
+
+    shared = dict(n=n, nlist=8, nprobe=4, seed=42)
+    counted = PostFilterBackend(corpus, costed=True, **shared)
+    hinted = PostFilterBackend(
+        corpus, costed=True, selectivity_hint=true_allowed, **shared
+    )
+    hinted._index = counted.index  # share the seeded index
+    ids_c, st_c = counted.search(q, strict, 10)
+    ids_h, st_h = hinted.search(q, strict, 10)
+    assert ids_h == ids_c and st_h["scores"] == st_c["scores"]
+    assert st_h["ladder_entry"] == st_c["ladder_entry"]
+    assert st_h["rungs_run"] == st_c["rungs_run"]
+    assert st_h["selectivity_est"] == st_c["selectivity_est"]
