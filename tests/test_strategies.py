@@ -156,3 +156,97 @@ def test_index_fallback_on_broken_ivf_build(tiny_corpus, monkeypatch):
     assert b.name == "post_filter_hnsw"
     _ids, stats = b.search(Q_E1, {}, 2)
     assert "ivf unavailable" in stats["notes"] and "hnsw" in stats["notes"]
+
+
+# ---------------------------------------------------------------- narrow join
+
+
+def _split_corpus(spark):
+    """A corpus handle carrying its un-joined sides, like load_corpus."""
+    s2 = float(1 / np.sqrt(2))
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1),
+            (1, [0.0, 1.0, 0.0, 0.0], 1),
+            (2, [0.0, 0.0, 1.0, 0.0], 2),
+            (3, [0.0, 0.0, 0.0, 1.0], 2),
+            (4, [s2, s2, 0.0, 0.0], 1),
+            (5, [0.0, s2, s2, 0.0], 3),  # no metadata row (left-join null)
+        ],
+        "id long, embedding array<float>, label int",
+    )
+    meta = spark.createDataFrame(
+        [
+            (0, "en", 120),
+            (1, "en", 40),
+            (2, "de", 300),
+            (3, "en", 500),
+            (4, "fr", 200),
+        ],
+        "id long, lang string, n_chars long",
+    )
+    joined = emb.join(meta, "id", "left")
+    joined._hvs_emb_side = emb
+    joined._hvs_meta_side = meta
+    return joined, emb, meta
+
+
+def test_narrow_join_equivalence(spark):
+    """Metadata-touching filters: the narrow (score emb side, semi-join
+    filtered ids) shape returns exactly what filtering the joined frame
+    returns — including null-fail exclusion of rows with no metadata."""
+    corpus, emb, meta = _split_corpus(spark)
+    for filters in (
+        {"lang": {"eq": "en"}},
+        {"lang": {"ne": "en"}, "n_chars": {"gt": 50}},
+        {"label": {"eq": 1}, "n_chars": {"ge": 100}},  # mixed sides
+        {"n_chars": {"ge": 1}},  # broad
+    ):
+        b = ExactBackend(corpus, 6)
+        ids, stats = b.search(Q_E1, filters, 3)
+        # reference shape: filter the joined frame directly
+        from hybrid_vector_search_spark.functions.predicates import (
+            compile_filters,
+        )
+        from hybrid_vector_search_spark.functions.vector import dot_score_column
+        from hybrid_vector_search_spark.operators.topk import topk
+
+        expect_df = topk(
+            corpus.filter(compile_filters(corpus.schema, filters)).select(
+                "id", dot_score_column(Q_E1).alias("score")
+            ),
+            3,
+        )
+        expect = [int(r["id"]) for r in expect_df.collect()]
+        assert ids == expect, filters
+        n_allowed = corpus.filter(
+            compile_filters(corpus.schema, filters)
+        ).count()
+        assert stats["scored_vectors"] == n_allowed, filters
+
+
+def test_narrow_join_emb_only_filter_uses_joined_path(spark):
+    """Filters touching only embeddings-side columns keep the resident
+    joined-corpus plan (no semi-join introduced)."""
+    corpus, _, _ = _split_corpus(spark)
+    b = ExactBackend(corpus, 6)
+    df, _ = b.plan(Q_E1, {"label": {"eq": 1}}, 3)
+    assert "LeftSemi" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_narrow_join_plan_shape(spark):
+    """The wide embedding array must not cross the join: plan is a
+    LEFT-SEMI join whose metadata side reads only (id, filter cols)."""
+    corpus, _, _ = _split_corpus(spark)
+    b = ExactBackend(corpus, 6)
+    df, _ = b.plan(Q_E1, {"n_chars": {"ge": 100}}, 3)
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_str
+    # the wide array must not ride any operator on the metadata side:
+    # every bracketed output/column list that carries the filter column
+    # (n_chars — metadata-side operators) must not also carry embedding
+    import re
+
+    for cols in re.findall(r"\[([^\]]*)\]", plan_str):
+        if "n_chars" in cols:
+            assert "embedding" not in cols, plan_str

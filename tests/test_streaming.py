@@ -482,3 +482,40 @@ def test_streaming_ivf_ingest_exactly_once_and_pruned(spark):
     txt = plan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in txt and "list_id" in txt
     assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt
+
+
+def test_flush_off_degrades_when_plan_uninspectable(spark, events_dir, monkeypatch):
+    """When the streaming plan cannot be inspected (Spark Connect: no
+    _jdf), flush_no_data_batch=False must DEGRADE — keep the flush
+    enabled with a warning — not raise on a safe plan (ADVICE r7 #1)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming import pipeline as P
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        view_purchase_join_stream,
+    )
+
+    monkeypatch.setattr(P, "_has_streaming_aggregation", lambda df: None)
+    views = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "view"
+    )
+    buys = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = view_purchase_join_stream(views, buys)
+    _FLUSH_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_available_now(
+            joined,
+            "t_degrade_uninspectable",
+            output_mode="append",
+            shuffle_partitions=4,
+            flush_no_data_batch=False,
+        )
+    assert any("cannot be inspected" in str(w.message) for w in caught)
+    # the sink exists and the flush conf did not leak
+    assert spark.table("t_degrade_uninspectable").count() >= 0
+    assert spark.conf.get(_FLUSH_KEY, "true") == "true"
