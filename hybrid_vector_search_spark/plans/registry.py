@@ -2099,24 +2099,46 @@ ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
 LIMIT 10"""
 
 
+_LSH_LAYOUT_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
+LSH_PERSISTED_QSEED = 33
+
+
+def _lsh_layout(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-cached persisted LSH bucket layout (ingest-time artifact,
+    built once per session × sf_dir like the IVF/HNSW layouts)."""
+    from hybrid_vector_search_spark.operators import lsh as LSH
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _LSH_LAYOUT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    path = scratch_path("lsh_buckets_" + sf_dir.strip("/").replace("/", "_"))
+    layout_planes = LSH.build_bucketed_layout(emb, path)
+    _LSH_LAYOUT_CACHE[sf_dir] = (spark, layout_planes)
+    return layout_planes
+
+
 @register("ann_lsh_topk", _lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-K (sign random projection, multi-probe
     Hamming≤1): the stateless-build alternative scale path to the IVF
-    index — bucket is a map-side column, probing is a partition-prunable
-    IN filter. Deterministic hyperplanes make this oracle-checkable,
-    unlike typical ANN."""
+    index. Probes the SESSION's persisted bucket layout (one file per
+    bucket, ``bucket IN`` = PartitionFilter) — the in-memory
+    per-query bucketing variant (operators/lsh.py lsh_topk_plan)
+    recomputed the bucket expression over every row on every call,
+    ~6× this plan's cost in the headline set (VERDICT r7 next #8); the
+    stateless path stays covered by tests/test_lsh.py. Deterministic
+    hyperplanes make this oracle-checkable, unlike typical ANN."""
     from hybrid_vector_search_spark.operators import lsh as LSH
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
+    layout, planes = _lsh_layout(spark, sf_dir)
+    plan, _probes = LSH.lsh_topk_plan_persisted(
+        layout, planes, query_vector(31), k=10
     )
-    plan, _probes = LSH.lsh_topk_plan(emb, query_vector(31), k=10)
     return plan.select("id", F.round("score", 6).alias("score"))
-
-
-_LSH_LAYOUT_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
-LSH_PERSISTED_QSEED = 33
 
 
 @register("ann_lsh_persisted_topk", _lsh_oracle(LSH_PERSISTED_QSEED))
@@ -2132,22 +2154,8 @@ def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries zero Python eval nodes (pinned in tests/test_plan_shapes.py).
     Same oracle family as ann_lsh_topk at an independent query seed."""
     from hybrid_vector_search_spark.operators import lsh as LSH
-    from hybrid_vector_search_spark.scratch import scratch_path
 
-    cached = _LSH_LAYOUT_CACHE.get(sf_dir)
-    layout_planes = (
-        cached[1] if cached is not None and cached[0] is spark else None
-    )
-    if layout_planes is None:
-        emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-            "vec_id", "id"
-        )
-        path = scratch_path(
-            "lsh_buckets_" + sf_dir.strip("/").replace("/", "_")
-        )
-        layout_planes = LSH.build_bucketed_layout(emb, path)
-        _LSH_LAYOUT_CACHE[sf_dir] = (spark, layout_planes)
-    layout, planes = layout_planes
+    layout, planes = _lsh_layout(spark, sf_dir)
     plan, _probes = LSH.lsh_topk_plan_persisted(
         layout, planes, query_vector(LSH_PERSISTED_QSEED), k=10
     )
@@ -2162,10 +2170,18 @@ RRF_LEG_K = 20
 RRF_K = 60
 RRF_FINAL_K = 10
 
+#: the batch serving shape: qid = query seed, each with its own term set
+#: (terms drawn from the corpus vocabulary, FIXTURES.md §4)
+RRF_BATCH = (
+    (41, ("vector", "join", "filter")),
+    (42, ("stream", "window", "merge")),
+    (43, ("hash", "scan", "sort")),
+)
 
-def _rrf_oracle() -> str:
-    qlit = sql_array_literal(query_vector(RRF_QSEED))
-    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
+
+def _rrf_oracle(qseed: int = RRF_QSEED, terms_t: tuple = RRF_TERMS) -> str:
+    qlit = sql_array_literal(query_vector(qseed))
+    terms = ", ".join(f"'{t}'" for t in terms_t)
     return f"""WITH corpus AS (
   SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, d.text
   FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
@@ -2287,6 +2303,112 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return topk(fused, RRF_FINAL_K, score_col="rrf_score")
+
+
+def _rrf_batch_oracle() -> str:
+    parts = [
+        f"SELECT {qid} AS qid, id, rrf_score FROM (\n"
+        + _rrf_oracle(qid, terms)
+        + f"\n) rrf_{qid}"
+        for qid, terms in RRF_BATCH
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("retrieval_rrf_fusion_batch", _rrf_batch_oracle())
+def retrieval_rrf_fusion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH hybrid retrieval — N (lexical terms, query vector) profiles
+    fused per qid in ONE job, the training-data serving shape (VERDICT
+    r7 next #7). Per-query latency becomes throughput exactly as in
+    hybrid_batch_canonical / ann_ivf_batch_topk:
+
+    * ONE tokenization pass feeds every query's lexical leg: tf is
+      computed once over the UNION of all query terms, per-term df and
+      the tiny (qid, term) map broadcast, and a doc reaches qid's BM25
+      scorer only through the qterm join — so scans don't multiply with
+      query count, output rows do;
+    * ONE Arrow GEMM pass (multi_dot_scores) scores every dense leg —
+      the multi-query regime where the one embedding transfer amortizes
+      across the query set (functions/vector.py regime rule);
+    * per-qid leg ranks, full-outer fusion on (qid, id), and the final
+      per-qid top-K are row_number windows partitioned by qid — one
+      shuffle each, all queries simultaneously.
+
+    BM25 statistics (N, total tokens, per-doc length, per-term df) are
+    corpus-wide and SHARED across queries, matching the per-query oracle
+    replay exactly. At 100 TB this is the reference-free shape that
+    matters: query count scales the broadcast maps and the windowed
+    row counts (≤ Σ leg hits), never the number of corpus scans."""
+    from pyspark.sql import Window
+
+    from hybrid_vector_search_spark.functions.vector import multi_dot_scores
+
+    corpus = load_corpus(spark, sf_dir)
+    tok = (
+        corpus.select(
+            "id",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    n = corpus.count()
+    t = tok.count()
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
+    qterm = spark.createDataFrame(
+        [(int(qid), tm) for qid, terms in RRF_BATCH for tm in terms],
+        "qid long, term string",
+    )
+    qtok = tok.filter(F.col("term").isin(all_terms))
+    tf = qtok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = qtok.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + (F.lit(0.75) * F.col("dl") * F.lit(n)) / F.lit(t)
+    )
+    per_term = idf * ((F.col("tf") * F.lit(2.2)) / denom)
+    lex = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(qterm), "term")
+        .join(dl, "id")
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum(per_term), 6).alias("score"))
+    )
+
+    def leg_ranks(scored: DataFrame, rank_name: str) -> DataFrame:
+        top = grouped_topk(scored, ["qid"], RRF_LEG_K)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "qid", "id", rank_name
+        )
+
+    lexr = leg_ranks(lex, "lr")
+    qvecs = {int(qid): query_vector(qid) for qid, _ in RRF_BATCH}
+    dense = multi_dot_scores(corpus, qvecs).select(
+        "qid", "id", F.round("score", 6).alias("score")
+    )
+    vecr = leg_ranks(dense, "vr")
+    fused = lexr.join(vecr, ["qid", "id"], "full_outer").select(
+        "qid",
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return grouped_topk(
+        fused, ["qid"], RRF_FINAL_K, score_col="rrf_score"
+    ).select("qid", "id", "rrf_score")
 
 
 # ----------------------------------------- relational breadth, batch 2

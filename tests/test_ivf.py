@@ -187,3 +187,84 @@ def test_costed_selectivity_hint_replaces_scan(spark, corpus):
     assert st_h["ladder_entry"] == st_c["ladder_entry"]
     assert st_h["rungs_run"] == st_c["rungs_run"]
     assert st_h["selectivity_est"] == st_c["selectivity_est"]
+
+
+def test_costed_entry_from_column_stats_zero_jobs(spark, corpus):
+    """END-TO-END stats substitution (VERDICT r7 next #5): collect the
+    one-pass column statistics at ingest, ESTIMATE |allowed| for the
+    query's filters, and feed the estimate as selectivity_hint — the
+    costed entry picks the SAME rung as the scan-fed entry on both the
+    strict and broad cases, and the search runs ZERO count jobs
+    (DataFrame.count is poisoned for the duration)."""
+    from pyspark.sql import DataFrame
+
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+        estimate_allowed,
+    )
+
+    n = corpus.count()
+    q = query_vector(7)
+    # ingest-time: ONE aggregation pass over the filterable columns
+    stats = collect_column_stats(
+        corpus, ["label", "lang", "source", "n_chars"]
+    )
+    assert stats["__table__"]["count"] == n
+
+    shared = dict(n=n, nlist=8, nprobe=4, seed=42)
+    scan_fed = PostFilterBackend(corpus, costed=True, **shared)
+    scan_fed.index  # build the shared seeded index eagerly
+
+    for filters in (
+        {"lang": {"eq": "zh"}, "label": {"in": [7]}},  # strict → last rung
+        {"lang": {"in": ["en", "fr"]}},                # broad → first rung
+    ):
+        est = estimate_allowed(stats, filters)
+        assert 1 <= est <= n
+        hinted = PostFilterBackend(
+            corpus, costed=True, selectivity_hint=est, **shared
+        )
+        hinted._index = scan_fed.index
+        ids_s, st_s = scan_fed.search(q, filters, 10)
+
+        real_count = DataFrame.count
+
+        def poisoned(self):
+            raise AssertionError(
+                "stats-fed costed search must run zero count jobs"
+            )
+
+        DataFrame.count = poisoned
+        try:
+            ids_h, st_h = hinted.search(q, filters, 10)
+        finally:
+            DataFrame.count = real_count
+        # same entry decision and identical answers from the estimate
+        assert st_h["ladder_entry"] == st_s["ladder_entry"], filters
+        assert st_h["rungs_run"] == st_s["rungs_run"], filters
+        assert ids_h == ids_s and st_h["scores"] == st_s["scores"]
+
+
+def test_estimate_allowed_rules():
+    """The estimator's System-R rules on hand-built stats."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        estimate_allowed,
+    )
+
+    stats = {
+        "__table__": {"count": 1000},
+        "lang": {"count": 1000, "nulls": 0, "ndv": 5, "min": None, "max": None},
+        "n_chars": {"count": 1000, "nulls": 100, "ndv": 400, "min": 0, "max": 1000},
+    }
+    assert estimate_allowed(stats, None) == 1000
+    assert estimate_allowed(stats, {"lang": {"eq": "en"}}) == 200
+    assert estimate_allowed(stats, {"lang": {"in": ["en", "fr"]}}) == 400
+    # range: [500, 1000] is half the span, × 0.9 not-null
+    assert estimate_allowed(stats, {"n_chars": {"ge": 500}}) == 450
+    # conjunction multiplies; clamped to >= 1
+    est = estimate_allowed(
+        stats, {"lang": {"eq": "en"}, "n_chars": {"between": [0, 100]}}
+    )
+    assert est == round(1000 * 0.2 * 0.1 * 0.9)
+    # unknown column falls back to the default guess
+    assert estimate_allowed(stats, {"mystery": {"eq": 1}}) == 100

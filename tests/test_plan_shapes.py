@@ -123,3 +123,24 @@ def test_batch_canonical_scans_corpus_once(spark, registry):
         if "Scan parquet" in ln and "embeddings" in ln
     ]
     assert len(scans) == 1, scans
+
+
+def test_rrf_batch_plan_scans_do_not_scale_with_queries(spark, registry):
+    """The batch RRF plan: scans are query-count-independent (the N=3
+    profile batch reads no more sources than the single-query plan —
+    query count multiplies broadcast-map rows and window rows, never
+    scans), the dense legs are ONE Arrow GEMM pass, and no row-at-a-time
+    Python appears anywhere."""
+    registry.invalidate_caches()
+    spark.catalog.clearCache()
+    batch = _plan(registry.QUERIES["retrieval_rrf_fusion_batch"](spark, SF))
+    registry.invalidate_caches()
+    spark.catalog.clearCache()
+    single = _plan(registry.QUERIES["retrieval_rrf_fusion"](spark, SF))
+
+    def scans(plan):
+        return sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
+
+    assert scans(batch) <= scans(single) + 1  # + the one GEMM leg's scan
+    assert batch.count("MapInPandas") == 1  # ONE multi-query GEMM pass
+    assert "BatchEvalPython" not in batch
