@@ -48,14 +48,16 @@ DEFAULT_SEL = 0.1
 
 
 def collect_column_stats(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = False
 ) -> dict[str, dict[str, Any]]:
     """One aggregation pass computing per-column statistics.
 
     Returns ``{col: {count, nulls, ndv, min, max}}`` (min/max only for
-    numeric columns; ndv is HLL-approximate — rsd 5%, the default).
-    ``columns`` defaults to every non-array column. The special key
-    ``"__table__"`` holds the table row count.
+    numeric columns; ndv is HLL-approximate — rsd 5%, the default —
+    or exact with ``exact_ndv=True``, the mode an ANSI-SQL oracle can
+    replay as ``COUNT(DISTINCT col)``). ``columns`` defaults to every
+    non-array column. The special key ``"__table__"`` holds the table
+    row count.
     """
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     if columns is None:
@@ -63,10 +65,11 @@ def collect_column_stats(
             c for c, t in dtypes.items()
             if not isinstance(t, (T.ArrayType, T.MapType, T.StructType))
         ]
+    ndv_agg = F.countDistinct if exact_ndv else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         aggs.append(F.count(c).alias(f"{c}__nn"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndv"))
+        aggs.append(ndv_agg(c).alias(f"{c}__ndv"))
         if isinstance(dtypes[c], _NUMERIC):
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
@@ -154,5 +157,7 @@ def estimate_allowed(
             else:  # like, and anything stats can't see through
                 s = DEFAULT_SEL
             sel *= s * notnull
-    est = int(round(n * sel))
+    # half-up, not banker's: FLOOR(x + 0.5) is what ANSI SQL replays
+    # (the stats-fed registry query's oracle re-derives this estimate)
+    est = int(n * sel + 0.5)
     return min(max(est, 1), n)

@@ -277,6 +277,43 @@ def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_QSEED = 53
+RANGE_TAU = 0.3
+
+
+@register(
+    "vector_range_search",
+    f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(RANGE_QSEED))}), 6) AS score
+FROM embeddings
+WHERE list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(RANGE_QSEED))}) >= {RANGE_TAU}
+ORDER BY score DESC, id ASC""",
+)
+def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search: every vector whose inner product with the query
+    clears a threshold — the other half of the vector-search API (FAISS
+    ``range_search``; the reference exposes only top-K). The K-free
+    shape matters operationally: duplicate sweeps and recall audits ask
+    "everything above τ", not "the best 10". As a plan this is BETTER
+    than top-K at scale — a pure scan + JVM predicate with no heap, no
+    driver merge, no shuffle: every partition emits its qualifying rows
+    independently, so it parallelizes perfectly and composes with
+    partition pruning (run it over probed lists for the ANN variant).
+    Result size is data-dependent by design; the oracle replays the
+    same threshold over the same scan."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    scored = emb.select(
+        "id", dot_score_column(query_vector(RANGE_QSEED)).alias("score")
+    ).filter(F.col("score") >= RANGE_TAU)
+    return scored.select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy(F.col("score").desc(), F.col("id").asc())
+
+
 # ---------------------------------------- set-at-a-time canonical batch run
 
 
@@ -820,6 +857,113 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     fanned = pruned.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], ANN_IVF_K)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
+#: (seed, filter dict) per batch query — post-filter semantics: each
+#: query's predicate prunes ITS candidates from the probed lists
+ANN_BATCH_FILTERED = (
+    (201, {"lang": {"eq": "en"}}),
+    (203, {"label": {"in": [1, 2, 3]}}),
+    (205, {"n_chars": {"ge": 200}}),
+    (207, {}),
+    (209, {"source": {"in": ["src1", "src3"]}, "n_chars": {"le": 800}}),
+)
+
+
+def _ann_ivf_batch_filtered_oracle() -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    parts = []
+    for i, (seed, filters) in enumerate(ANN_BATCH_FILTERED):
+        qlit = sql_array_literal(query_vector(seed))
+        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
+        where = filters_to_sql(schema, filters) if filters else "TRUE"
+        parts.append(
+            f"(SELECT {i + 1} AS qid, id,"
+            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
+            f" FROM assigned WHERE list_id IN ({probed}) AND ({where})\n"
+            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
+            f" LIMIT {ANN_IVF_K})"
+        )
+    return (
+        f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label,
+         d.lang, d.source, d.n_chars
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb AS e, label, lang, source, n_chars,
+         list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT *, [{dots}] AS d FROM corpus))
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ann_ivf_batch_filtered_topk", _ann_ivf_batch_filtered_oracle())
+def ann_ivf_batch_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED batch ANN — the full hybrid serving shape at the batch
+    regime: every query carries its own metadata predicate, and all of
+    them are answered in ONE job over one partition-pruned scan of the
+    union of probed lists. The per-row fanout condition is (list ∈
+    qid's probe set) AND (row passes qid's predicate), so a row reaches
+    a qid's Arrow GEMM lane only when it is a live candidate for that
+    query — post-filter semantics per query, identical to the ladder
+    backends' final rung, without a per-query job. Metadata joins the
+    pruned candidates (|∪ probed lists| rows), never the full corpus,
+    so join traffic is bounded by the probe union regardless of query
+    count. The oracle replays assignment, each probe set, each
+    predicate, and each top-K."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed)
+        for i, (seed, _) in enumerate(ANN_BATCH_FILTERED)
+    }
+    probes = {
+        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
+    }
+    union = sorted({li for p in probes.values() for li in p})
+    pruned = index.assigned.filter(F.col("list_id").isin(union))
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    wide = pruned.join(docs, "id", "left")
+    match = F.array(
+        *[
+            F.when(
+                F.col("list_id").isin(probes[i + 1])
+                & compile_filters(wide.schema, filters),
+                F.lit(i + 1),
+            ).otherwise(F.lit(None).cast("int"))
+            for i, (_, filters) in enumerate(ANN_BATCH_FILTERED)
+        ]
+    )
+    fanned = wide.select(
         "id",
         "embedding",
         F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
@@ -4449,6 +4593,142 @@ def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pf_costed_stats_oracle() -> str:
+    """Certifies the STATS-FED cost model end-to-end: the oracle
+    recomputes the column statistics (row count, per-column not-null
+    count, exact distinct count — the ``exact_ndv`` mode of
+    functions/colstats.py, chosen precisely because ANSI SQL can replay
+    it), applies the System-R estimator with the same multiplication
+    order and half-up rounding, derives the entry rung from the ESTIMATE
+    (the true |allowed| count never enters the entry decision), and then
+    replays survivors and the stop rule over the TRUE allowed set — the
+    same split the backend runs: estimated entry, actual filtering."""
+    from pyspark.sql import types as T
+
+    k = _PF_COSTED_CASE["k"]
+    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(
+        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
+    )
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
+    # estimator replay — mirrors functions/colstats.py estimate_allowed
+    # for {label: eq, lang: eq}: per conjunct sel *= (1/ndv) * notnull,
+    # iterated in the filter dict's insertion order (label, then lang);
+    # notnull = 1.0 - nulls/count; est = clamp(FLOOR(n*sel + 0.5), 1, n)
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
+cand AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM assigned WHERE list_id IN ({probed})),
+allowed AS (SELECT id FROM corpus WHERE {where}),
+stats AS (SELECT
+  (SELECT count(*) FROM corpus) AS n,
+  (SELECT count(label) FROM corpus) AS nn_label,
+  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
+  (SELECT count(lang) FROM corpus) AS nn_lang,
+  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang),
+est AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
+    n * ((1.0 * ((1.0 / GREATEST(ndv_label, 1))
+                 * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))
+       * ((1.0 / GREATEST(ndv_lang, 1))
+          * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))
+    + 0.5) AS BIGINT))) AS na FROM stats),
+entry AS (
+  SELECT LEAST(1000, GREATEST(200,
+    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec, na FROM est),
+erung AS (SELECT CASE WHEN ec <= 200 THEN 200
+                      WHEN ec <= 500 THEN 500
+                      ELSE 1000 END AS r, na FROM entry),
+surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
+stop AS (SELECT r, na, CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
+    ELSE 1000 END AS s FROM erung)
+SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
+  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
+  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
+  s AS ladder_stop, na AS est_allowed
+FROM surv, stop WHERE rk <= s
+ORDER BY score DESC, id ASC LIMIT {k}"""
+
+
+@register(
+    "post_filter_costed_stats", _pf_costed_stats_oracle(), side_effects=True
+)
+def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The costed ladder fed by COLUMN STATISTICS instead of a count
+    scan — the 100-TB entry decision as a first-class, hash-checked
+    query (VERDICT r7 next #5 made end-to-end): one ingest-time
+    aggregation collects (count, nulls, exact ndv) for the filterable
+    columns, the System-R estimator maps the query's filter dict onto
+    them, and the ESTIMATE drives the entry rung via selectivity_hint —
+    the search itself runs zero count jobs (pinned in tests/test_ivf.py
+    with a poisoned DataFrame.count). Survivor filtering still uses the
+    TRUE predicate, so a wrong estimate can cost rungs, never rows. The
+    oracle replays the statistics, the estimator arithmetic (same
+    multiplication order, half-up rounding), the entry clamp, and the
+    stop rule — a hash match certifies the whole stats→estimate→rung
+    pipeline, not just the answer."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+        estimate_allowed,
+    )
+    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
+
+    corpus = load_corpus(spark, sf_dir)
+    stats = collect_column_stats(
+        corpus, ["label", "lang"], exact_ndv=True
+    )
+    est = estimate_allowed(stats, _PF_COSTED_CASE["filters"])
+    backend = PostFilterBackend(
+        corpus,
+        index=_ann_ivf_fixed_index(spark, sf_dir),
+        nprobe=ANN_IVF_NPROBE,
+        costed=True,
+        safety=_PF_COSTED_SAFETY,
+        selectivity_hint=est,
+    )
+    ids, st = backend.search(
+        query_vector(_PF_COSTED_CASE["seed"]),
+        _PF_COSTED_CASE["filters"],
+        _PF_COSTED_CASE["k"],
+    )
+    rows = [
+        (
+            int(i),
+            round(float(s), 6),
+            int(st["ladder_entry"]),
+            int(st["rungs_run"]),
+            int(st["scored_vectors"]),
+            int(est),
+        )
+        for i, s in zip(ids, st["scores"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
+        "ladder_stop LONG, est_allowed LONG",
+    )
+
+
 def _pf_costed_backends_oracle() -> str:
     """Re-derives the costed ladder entry for BOTH non-IVF post-filter
     backends (same certify-the-cost-model style as
@@ -6399,6 +6679,51 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan, _probed = index.search_plan(
         query_vector(STREAM_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+STREAM_COMPACT_QSEED = 47
+
+
+@register(
+    "streaming_ivf_compacted_topk",
+    _ann_ivf_oracle(STREAM_COMPACT_QSEED),
+    side_effects=True,
+)
+def streaming_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest's MAINTENANCE path, hash-checked end-to-end
+    (VERDICT r7 next #3): drain the ``streaming_ivf_ingest`` sink
+    through its exactly-once commit log into a compacted ONE-file-per-
+    list probe root (operators/ivf.py compact_streaming_layout — the
+    sink keeps accumulating a file per touched list per micro-batch;
+    the probe root pays file-opens ∝ probed lists, however long the
+    stream has run), then answer the standard partition-pruned probe
+    over the swapped-in root. The oracle replays assignment, probe, and
+    top-K over the raw embeddings — a hash match certifies that
+    ingest → drain → swap → probe lost and duplicated nothing. The
+    file-count bound and repeat-swap behavior are pinned in
+    tests/test_ivf_upsert.py::test_streaming_layout_drain_and_swap."""
+    import os
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        compact_streaming_layout,
+    )
+
+    # ensure the streaming sink exists and is drained (idempotent:
+    # re-draining unchanged input is a commit-log no-op)
+    streaming_ivf_ingest(spark, sf_dir)
+    root = _STREAM_IVF_CACHE[sf_dir][1]
+    sink = os.path.join(root, "index")
+    probe_root = os.path.join(root, "probe")
+    compact_streaming_layout(spark, sink, probe_root)
+    cents = _ann_ivf_centroids()
+    index = IVFIndex(
+        spark.read.parquet(probe_root), cents, partitioned_path=probe_root
+    )
+    plan, _probed = index.search_plan(
+        query_vector(STREAM_COMPACT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
     )
     return plan.select("id", F.round("score", 6).alias("score"))
 

@@ -144,3 +144,17 @@ def test_rrf_batch_plan_scans_do_not_scale_with_queries(spark, registry):
     assert scans(batch) <= scans(single) + 1  # + the one GEMM leg's scan
     assert batch.count("MapInPandas") == 1  # ONE multi-query GEMM pass
     assert "BatchEvalPython" not in batch
+
+
+def test_ann_batch_filtered_prunes_and_bounds_join(spark, registry):
+    """Filtered batch ANN: the scan is partition-pruned to the union of
+    probed lists, metadata joins the PRUNED candidates (no full-corpus
+    embedding-side join), one Arrow GEMM pass, no row-at-a-time
+    Python."""
+    plan = _plan(registry.QUERIES["ann_ivf_batch_filtered_topk"](spark, SF))
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    # two sources only: the pruned index layout and documents metadata
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) <= 2, scans

@@ -39,6 +39,9 @@ PROBE_QUERIES = (
     "knn_batch_topk",
     "ann_pq_adc_topk",
     "ann_ivf_batch_topk",
+    "ann_ivf_batch_filtered_topk",
+    "vector_range_search",
+    "retrieval_rrf_fusion_batch",
     "ann_lsh_persisted_topk",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_passages",
