@@ -277,6 +277,60 @@ def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_column_stats",
+    """SELECT c AS col, n, nulls, ndv, min_v, max_v FROM (
+  SELECT 'label' AS c, COUNT(*) AS n, COUNT(*) - COUNT(label) AS nulls,
+         COUNT(DISTINCT label) AS ndv,
+         CAST(MIN(label) AS DOUBLE) AS min_v,
+         CAST(MAX(label) AS DOUBLE) AS max_v
+  FROM corpus
+  UNION ALL
+  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+         COUNT(DISTINCT lang), NULL, NULL FROM corpus
+  UNION ALL
+  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+         COUNT(DISTINCT source), NULL, NULL FROM corpus
+  UNION ALL
+  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+         COUNT(DISTINCT n_chars),
+         CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)
+  FROM corpus) t
+ORDER BY col""".replace("FROM corpus", "FROM (SELECT e.vec_id AS id, e.label, d.lang, d.source, d.n_chars FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id)"),
+    side_effects=True,  # the aggregation collect runs driver-side in the builder
+)
+def corpus_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE surface as a user query: per-column (count, nulls,
+    exact ndv, numeric min/max) for the corpus's filterable columns in
+    ONE aggregation pass (functions/colstats.py collect_column_stats —
+    the same artifact that feeds the costed ladder's stats-fed entry,
+    post_filter_costed_stats). One scan, partial aggs, a 4-row result:
+    the profile every CBO substitutes for a count at 100 TB."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    cols = ["label", "lang", "source", "n_chars"]
+    stats = collect_column_stats(corpus, cols, exact_ndv=True)
+    rows = [
+        (
+            c,
+            int(stats[c]["count"]),
+            int(stats[c]["nulls"]),
+            int(stats[c]["ndv"]),
+            float(stats[c]["min"]) if stats[c]["min"] is not None else None,
+            float(stats[c]["max"]) if stats[c]["max"] is not None else None,
+        )
+        for c in sorted(cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col STRING, n LONG, nulls LONG, ndv LONG, "
+        "min_v DOUBLE, max_v DOUBLE",
+    )
+
+
 RANGE_QSEED = 53
 RANGE_TAU = 0.3
 

@@ -1,0 +1,88 @@
+"""Property tests for the column-statistics selectivity estimator
+(functions/colstats.py) — pure driver-side arithmetic, no Spark.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hybrid_vector_search_spark.functions.colstats import (
+    DEFAULT_SEL,
+    _range_fraction,
+    estimate_allowed,
+)
+
+
+def _stats(n=1000, ndv_a=10, nulls_a=0, ndv_b=50, nulls_b=100):
+    return {
+        "__table__": {"count": n},
+        "a": {"count": n, "nulls": nulls_a, "ndv": ndv_a,
+              "min": None, "max": None},
+        "b": {"count": n, "nulls": nulls_b, "ndv": ndv_b,
+              "min": 0, "max": 100},
+    }
+
+
+@given(
+    n=st.integers(1, 10**9),
+    ndv=st.integers(1, 10**6),
+    nulls=st.integers(0, 10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_estimate_always_in_bounds(n, ndv, nulls):
+    stats = {
+        "__table__": {"count": n},
+        "a": {"count": n, "nulls": min(nulls, n), "ndv": ndv,
+              "min": None, "max": None},
+    }
+    for filters in (
+        None,
+        {},
+        {"a": {"eq": 1}},
+        {"a": {"ne": 1}},
+        {"a": {"in": [1, 2, 3]}},
+        {"a": {"like": "x"}},
+    ):
+        est = estimate_allowed(stats, filters)
+        assert 1 <= est <= max(n, 1)
+
+
+@given(
+    lo=st.integers(0, 100),
+    hi=st.integers(0, 100),
+)
+@settings(max_examples=200, deadline=None)
+def test_range_fraction_in_unit_interval(lo, hi):
+    f = _range_fraction(lo, hi, 0, 100)
+    assert 0.0 <= f <= 1.0
+    if hi > lo:
+        assert f == pytest.approx((hi - lo) / 100.0)
+
+
+def test_conjuncts_never_raise_estimate():
+    """Adding a conjunct can only shrink (or keep) the estimate — the
+    independence product is ≤ each factor."""
+    stats = _stats()
+    base = {"a": {"eq": 1}}
+    more = {"a": {"eq": 1}, "b": {"between": [0, 50]}}
+    assert estimate_allowed(stats, more) <= estimate_allowed(stats, base)
+
+
+def test_point_column_range_semantics():
+    """A single-valued column (min == max): any overlapping range keeps
+    everything, a disjoint range keeps nothing."""
+    assert _range_fraction(None, 10, 5, 5) == 1.0
+    assert _range_fraction(6, None, 5, 5) == 0.0
+
+
+def test_unknown_and_geo_fallbacks():
+    stats = _stats()
+    # unknown column → DEFAULT_SEL
+    assert estimate_allowed(stats, {"zzz": {"eq": 1}}) == int(
+        1000 * DEFAULT_SEL + 0.5
+    )
+    # geo keys map onto latitude/longitude stats; absent → DEFAULT_SEL
+    est = estimate_allowed(
+        stats, {"lat_between": [0, 1], "lon_between": [0, 1]}
+    )
+    assert est == int(1000 * DEFAULT_SEL * DEFAULT_SEL + 0.5)

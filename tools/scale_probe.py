@@ -392,9 +392,15 @@ def main() -> None:
         "the strict case must enter at the FINAL rung (1 plan instead of "
         "the fixed ladder's 3) at every factor. The only linear-in-K term "
         "in the costed path is the |allowed| count feeding the formula — "
-        "at 100 TB that input substitutes catalog/column statistics or a "
-        "sketch for the scan (operators/ivf.py), making the entry "
-        "decision O(1):",
+        "and that substitution is wired end-to-end, not a promise: "
+        "functions/colstats.py collects one-pass per-column statistics "
+        "(count/nulls/ndv/min/max — the ANALYZE TABLE equivalent) and a "
+        "System-R estimator maps the filter dict onto them; the stats-fed "
+        "entry picks the same rung with ZERO count jobs (pinned in "
+        "tests/test_ivf.py::test_costed_entry_from_column_stats_zero_jobs "
+        "with a poisoned DataFrame.count, and hash-checked end-to-end by "
+        "the post_filter_costed_stats query, whose oracle re-derives the "
+        "statistics, the estimator arithmetic, and the rung decision):",
         "",
         "| corpus | sec | ladder_entry | rungs_run | result rows |",
         "|---|---|---|---|---|",
