@@ -6737,6 +6737,118 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+ANN_RANGE_QSEED = 53
+ANN_RANGE_TAU = 0.2
+
+
+def _ann_ivf_range_oracle() -> str:
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    qlit = sql_array_literal(query_vector(ANN_RANGE_QSEED))
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_RANGE_QSEED))
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM assigned
+WHERE list_id IN ({probed})
+  AND list_dot_product(e, {qlit}) >= {ANN_RANGE_TAU}
+ORDER BY score DESC, id ASC"""
+
+
+@register("ann_ivf_range_search", _ann_ivf_range_oracle())
+def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search through the IVF index — vector_range_search's scale
+    path: partition-prune to the probed lists, then the K-free
+    threshold scan within them (FAISS ``range_search`` on an IVF index
+    has exactly this shape). Still heap-free and merge-free — every
+    pruned partition emits its qualifying rows independently — and
+    bytes read stay ∝ nprobe/nlist. ANN semantics: rows above τ in
+    unprobed lists are (deliberately) not visited; the oracle replays
+    assignment, probe, and threshold, so the hash certifies the pruned
+    semantics exactly."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    probed = index.probe(query_vector(ANN_RANGE_QSEED), ANN_IVF_NPROBE)
+    pruned = index.assigned.filter(F.col("list_id").isin(probed))
+    scored = pruned.select(
+        "id",
+        dot_score_column(query_vector(ANN_RANGE_QSEED)).alias("score"),
+    ).filter(F.col("score") >= ANN_RANGE_TAU)
+    return scored.select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy(F.col("score").desc(), F.col("id").asc())
+
+
+STREAM_RANGE_QSEED = 59
+STREAM_RANGE_TAU = 0.2
+
+
+@register(
+    "streaming_range_alerts",
+    f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_RANGE_QSEED))}), 6) AS score
+FROM embeddings
+WHERE list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_RANGE_QSEED))}) >= {STREAM_RANGE_TAU}
+ORDER BY score DESC, id ASC""",
+    side_effects=True,
+)
+def streaming_range_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS similarity alerting — range search as a stream: each
+    arriving embedding is scored against the standing query with the
+    JVM kernel and emitted iff it clears τ. Completely STATELESS (a
+    map + filter per micro-batch: no state store, no watermark, no
+    shuffle), which is why the streaming form is exactly the batch
+    range scan run incrementally — and the oracle IS the batch range
+    search over the same landed rows, so the hash certifies
+    batch/stream parity. The production shape for "page me when
+    something too close to X lands" (dedup guards, contamination
+    tripwires, abuse fingerprints) at any ingest rate: per-batch cost
+    is the batch's rows × one fused projection."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        run_available_now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    alerts = (
+        spark.readStream.schema(schema)
+        .parquet(_landing(spark, sf_dir, "embeddings"))
+        .select(
+            F.col("vec_id").alias("id"),
+            dot_score_column(
+                query_vector(STREAM_RANGE_QSEED)
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= STREAM_RANGE_TAU)
+    )
+    table = "stream_range_alerts"
+    run_available_now(
+        alerts,
+        table,
+        output_mode="append",
+        shuffle_partitions=4,
+        flush_no_data_batch=False,  # stateless map: nothing emits late
+    )
+    return (
+        spark.table(table)
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+    )
+
+
 STREAM_COMPACT_QSEED = 47
 
 
