@@ -2503,6 +2503,78 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(fused, RRF_FINAL_K, score_col="rrf_score")
 
 
+_BM25_LAYOUT_CACHE: dict[str, tuple[SparkSession, str]] = {}
+BM25_K = 20
+
+
+def _bm25_layout_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached persisted BM25 inverted-index layout (ingest-time
+    artifact, like the IVF/LSH/HNSW layouts)."""
+    from hybrid_vector_search_spark.operators.bm25 import (
+        build_postings_layout,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _BM25_LAYOUT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    corpus = load_corpus(spark, sf_dir).select("id", "text")
+    path = scratch_path(
+        "bm25_postings_" + sf_dir.strip("/").replace("/", "_")
+    )
+    build_postings_layout(corpus, path)
+    _BM25_LAYOUT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, d.text
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+tok AS (SELECT id,
+  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM corpus),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
+                 (SELECT COUNT(*) FROM tok2) AS t),
+qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
+        WHERE term IN ({terms}) GROUP BY id, term),
+qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
+        WHERE term IN ({terms}) GROUP BY term),
+lex AS (SELECT q.id, ROUND(SUM(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
+  ), 6) AS score
+  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
+  CROSS JOIN stats GROUP BY q.id)
+SELECT id, score FROM lex ORDER BY score DESC, id ASC LIMIT {BM25_K}"""
+
+
+@register("retrieval_bm25_persisted_topk", _bm25_oracle())
+def retrieval_bm25_persisted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lexical top-K over the PERSISTED BM25 inverted-index layout
+    (operators/bm25.py) — the lexical twin of the IVF/LSH layout story:
+    postings ``(term, id, tf, dl)`` hash-bucketed by term into partition
+    directories (one file per bucket), per-term df broadcast from a tiny
+    stats table, corpus constants from a JSON sidecar. The query scan
+    partition-prunes to the query terms' buckets, so I/O is ∝ |query
+    term buckets| — corpus size never enters the bound; the RRF fusion
+    queries recompute these statistics per session, this is the shape
+    that amortizes them into an ingest artifact. BM25 expression is
+    identical to the RRF lexical leg; the oracle replays tokenization,
+    stats, and the scored top-{BM25_K}."""
+    from hybrid_vector_search_spark.operators.bm25 import bm25_topk_plan
+
+    path = _bm25_layout_path(spark, sf_dir)
+    return bm25_topk_plan(
+        spark, path, list(RRF_TERMS), k=BM25_K
+    ).select("id", "score")
+
+
 def _rrf_batch_oracle() -> str:
     parts = [
         f"SELECT {qid} AS qid, id, rrf_score FROM (\n"

@@ -1,0 +1,90 @@
+"""Persisted BM25 inverted-index layout (operators/bm25.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.errors import ValidationError
+from hybrid_vector_search_spark.operators.bm25 import (
+    build_postings_layout,
+    bm25_topk_plan,
+    term_bucket,
+    tokenize,
+)
+
+
+@pytest.fixture()
+def layout(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark joins big tables fast"),
+            (1, "spark spark streaming joins"),
+            (2, "vector search with filters"),
+            (3, None),  # null text: contributes no tokens, counts as a doc
+            (4, "big big big tables"),
+        ],
+        "id long, text string",
+    )
+    path = str(tmp_path / "bm25")
+    meta = build_postings_layout(docs, path, n_buckets=8)
+    return path, meta
+
+
+def test_build_meta_and_layout_shape(spark, layout):
+    path, meta = layout
+    assert meta["n"] == 5  # null-text doc still counts toward N
+    assert meta["t"] == 17
+    # one file per bucket directory
+    pdir = os.path.join(path, "postings")
+    for e in os.scandir(pdir):
+        if e.name.startswith("bucket="):
+            files = [f for f in os.listdir(e.path) if f.endswith(".parquet")]
+            assert len(files) == 1, e.name
+
+
+def test_term_bucket_matches_layout_column(spark, layout):
+    """The driver-side bucket twin must agree with the layout's bucket
+    column for every indexed term — this is what makes query-time
+    partition pruning correct."""
+    path, meta = layout
+    rows = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .select("term", "bucket")
+        .distinct()
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert term_bucket(r["term"], meta["n_buckets"]) == r["bucket"], r
+
+
+def test_query_ranks_and_prunes(spark, layout):
+    path, _ = layout
+    top = bm25_topk_plan(spark, path, ["spark"], k=3).collect()
+    ids = [r["id"] for r in top]
+    # doc 1 has tf=2 for 'spark' and is short → ranks above doc 0
+    assert ids[0] == 1 and set(ids) == {0, 1}
+    # multi-term query unions hits; every score positive
+    top2 = bm25_topk_plan(spark, path, ["spark", "tables"], k=5).collect()
+    assert {r["id"] for r in top2} == {0, 1, 4}
+    assert all(r["score"] > 0 for r in top2)
+    # the scan is pruned to the probed buckets
+    plan = bm25_topk_plan(spark, path, ["spark"], k=3)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt and "bucket" in txt
+
+
+def test_unknown_term_and_empty_terms(spark, layout):
+    path, _ = layout
+    assert bm25_topk_plan(spark, path, ["zzzznope"], k=3).count() == 0
+    with pytest.raises(ValidationError):
+        bm25_topk_plan(spark, path, [], k=3)
+
+
+def test_tokenize_matches_sql_semantics(spark):
+    docs = spark.createDataFrame(
+        [(0, "  A  b\tC  "), (1, ""), (2, None)], "id long, text string"
+    )
+    got = {(r["id"], r["term"]) for r in tokenize(docs).collect()}
+    assert got == {(0, "a"), (0, "b"), (0, "c")}

@@ -158,3 +158,15 @@ def test_ann_batch_filtered_prunes_and_bounds_join(spark, registry):
     # two sources only: the pruned index layout and documents metadata
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
     assert len(scans) <= 2, scans
+
+
+def test_bm25_persisted_plan_prunes_term_buckets(spark, registry):
+    """The persisted BM25 layout: the postings scan must partition-prune
+    to the query terms' hash buckets (PartitionFilters on bucket), with
+    the tiny df stats broadcast and no Python eval node anywhere."""
+    plan = _plan(registry.QUERIES["retrieval_bm25_persisted_topk"](spark, SF))
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
