@@ -2575,6 +2575,118 @@ def retrieval_bm25_persisted_topk(
     ).select("id", "score")
 
 
+def _rrf_persisted_oracle() -> str:
+    """Both legs from ingest artifacts, replayed: the BM25 lexical
+    top-20 (same CTEs as _bm25_oracle) and the IVF-probed dense top-20
+    (same assignment/probe replay as _ann_ivf_oracle), RRF-fused."""
+    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
+    qlit = sql_array_literal(query_vector(RRF_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(RRF_QSEED))
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, d.text
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+tok AS (SELECT id,
+  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM corpus),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
+                 (SELECT COUNT(*) FROM tok2) AS t),
+qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
+        WHERE term IN ({terms}) GROUP BY id, term),
+qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
+        WHERE term IN ({terms}) GROUP BY term),
+lex AS (SELECT q.id, ROUND(SUM(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
+  ), 6) AS score
+  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
+  CROSS JOIN stats GROUP BY q.id),
+lexr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
+  FROM (SELECT id, score FROM lex
+        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
+assigned AS (
+  SELECT id, emb, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, [{dots}] AS d FROM corpus)),
+vec AS (SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
+  FROM assigned WHERE list_id IN ({probed})),
+vecr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
+  FROM (SELECT id, score FROM vec
+        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
+fused AS (SELECT COALESCE(l.id, v.id) AS id,
+  ROUND(COALESCE(1.0 / ({RRF_K} + l.r), 0)
+        + COALESCE(1.0 / ({RRF_K} + v.r), 0), 6) AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+SELECT id, rrf_score FROM fused
+ORDER BY rrf_score DESC, id ASC LIMIT {RRF_FINAL_K}"""
+
+
+@register("retrieval_rrf_fusion_persisted", _rrf_persisted_oracle())
+def retrieval_rrf_fusion_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid retrieval with BOTH legs served from ingest artifacts —
+    the fully-amortized production stack: the lexical top-20 reads the
+    persisted BM25 inverted index (partition-pruned to the query
+    terms' buckets, operators/bm25.py), the dense top-20 reads the
+    persisted IVF layout (partition-pruned to the probed lists), and
+    reciprocal-rank fusion joins the two 20-row sets. NOTHING in this
+    plan scans the corpus or recomputes statistics: per-query I/O is
+    |term buckets| + |probed lists| directories — the composition that
+    holds at 100 TB. Dense semantics are ANN (probed lists), so the
+    oracle replays assignment + probe for that leg and the BM25 CTEs
+    for the other."""
+    from pyspark.sql import Window
+
+    from hybrid_vector_search_spark.operators.bm25 import bm25_topk_plan
+
+    lex_top = bm25_topk_plan(
+        spark, _bm25_layout_path(spark, sf_dir), list(RRF_TERMS),
+        k=RRF_LEG_K,
+    )
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    # round BEFORE the leg's top-20 cut (the retrieval_rrf_fusion rule):
+    # selecting on raw scores could admit a different row than the
+    # oracle's rounded-score ordering at the boundary, where rounded
+    # ties break by id
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    probed = index.probe(query_vector(RRF_QSEED), ANN_IVF_NPROBE)
+    dense_top = topk(
+        index.assigned.filter(F.col("list_id").isin(probed)).select(
+            "id",
+            F.round(
+                dot_score_column(query_vector(RRF_QSEED)), 6
+            ).alias("score"),
+        ),
+        RRF_LEG_K,
+    )
+
+    def leg_ranks(top: DataFrame, rank_name: str) -> DataFrame:
+        w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "id", rank_name
+        )
+
+    lexr = leg_ranks(lex_top, "lr")
+    vecr = leg_ranks(dense_top, "vr")
+    fused = lexr.join(vecr, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return topk(fused, RRF_FINAL_K, score_col="rrf_score")
+
+
 def _rrf_batch_oracle() -> str:
     parts = [
         f"SELECT {qid} AS qid, id, rrf_score FROM (\n"

@@ -170,3 +170,19 @@ def test_bm25_persisted_plan_prunes_term_buckets(spark, registry):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_persisted_plan_touches_no_corpus_scan(spark, registry):
+    """The fully-amortized fusion: both legs read ingest artifacts —
+    postings buckets + IVF lists, each partition-pruned — and the plan
+    contains NO scan of the raw embeddings/documents parquet and no
+    Python eval node."""
+    plan = _plan(registry.QUERIES["retrieval_rrf_fusion_persisted"](spark, SF))
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan and "list_id" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # every parquet scan is one of the two layouts, never the raw tables
+    for ln in plan.splitlines():
+        if "Location" in ln and ("embeddings.parquet" in ln or "documents.parquet" in ln):
+            raise AssertionError(f"raw-table scan leaked into the plan: {ln}")

@@ -42,6 +42,7 @@ PROBE_QUERIES = (
     "ann_ivf_batch_filtered_topk",
     "vector_range_search",
     "retrieval_rrf_fusion_batch",
+    "retrieval_bm25_persisted_topk",
     "ann_lsh_persisted_topk",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_passages",
