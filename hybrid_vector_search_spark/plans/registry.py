@@ -2575,6 +2575,90 @@ def retrieval_bm25_persisted_topk(
     ).select("id", "score")
 
 
+def _bm25_batch_oracle() -> str:
+    all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
+    terms_all = ", ".join(f"'{t}'" for t in all_terms)
+    head = f"""WITH corpus AS (
+  SELECT e.vec_id AS id, d.text
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+tok AS (SELECT id,
+  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM corpus),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
+stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
+                 (SELECT COUNT(*) FROM tok2) AS t),
+qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
+        WHERE term IN ({terms_all}) GROUP BY id, term),
+qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
+        WHERE term IN ({terms_all}) GROUP BY term)"""
+    parts = []
+    for qid, terms in RRF_BATCH:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"""(SELECT {qid} AS qid, id, score FROM (
+  SELECT q.id, ROUND(SUM(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
+  ), 6) AS score
+  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
+  CROSS JOIN stats WHERE q.term IN ({tl}) GROUP BY q.id)
+ ORDER BY score DESC, id ASC LIMIT {BM25_K})"""
+        )
+    return head + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("retrieval_bm25_batch_topk", _bm25_batch_oracle())
+def retrieval_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH lexical serving over the persisted BM25 layout — N term-set
+    queries answered in ONE job: the postings scan partition-prunes to
+    the UNION of all queries' term buckets, the tiny (qid, term) map and
+    per-term df table broadcast, per-(qid, id) BM25 sums in one
+    aggregation, and one qid-window cuts every top-{BM25_K} — the
+    lexical mirror of ann_ivf_batch_topk (bytes read ∝ |∪ term
+    buckets|, never corpus × queries). Corpus statistics are shared
+    across queries, exactly as the per-query oracle replay."""
+    import json as _json
+    import os as _os
+
+    from hybrid_vector_search_spark.operators.bm25 import (
+        bm25_score_expr,
+        term_bucket,
+    )
+
+    path = _bm25_layout_path(spark, sf_dir)
+    with open(_os.path.join(path, "meta.json"), encoding="utf-8") as f:
+        meta = _json.load(f)
+    all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
+    buckets = sorted(
+        {term_bucket(tm, meta["n_buckets"]) for tm in all_terms}
+    )
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    stats = spark.read.parquet(_os.path.join(path, "termstats")).filter(
+        F.col("term").isin(all_terms)
+    )
+    qterm = spark.createDataFrame(
+        [(int(qid), tm) for qid, terms in RRF_BATCH for tm in terms],
+        "qid long, term string",
+    )
+    hits = (
+        postings.filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(stats), "term")
+        .join(F.broadcast(qterm), "term")
+    )
+    scored = hits.groupBy("qid", "id").agg(
+        F.round(
+            F.sum(bm25_score_expr(meta["n"], meta["t"])), 6
+        ).alias("score")
+    )
+    return (
+        grouped_topk(scored, ["qid"], BM25_K)
+        .select("qid", "id", "score")
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
 def _rrf_persisted_oracle() -> str:
     """Both legs from ingest artifacts, replayed: the BM25 lexical
     top-20 (same CTEs as _bm25_oracle) and the IVF-probed dense top-20
