@@ -157,3 +157,80 @@ def bm25_topk_plan(
     from hybrid_vector_search_spark.operators.topk import topk
 
     return topk(scored, k, id_col=id_col)
+
+
+def append_postings_batch(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> dict:
+    """APPEND-ONLY incremental maintenance for the postings layout — the
+    lexical side of the index-maintenance story (IVF has partition-local
+    upsert + compaction, the streaming sink has drain-and-swap; BM25
+    postings are the easy case because new documents only ADD rows):
+
+    * new postings ``(term, id, tf, dl)`` append into their term-bucket
+      directories (one new file per touched bucket — pre-write
+      repartition, the one-file-per-partition write rule; buckets
+      accumulate one file per batch, bounded by batch cadence);
+    * per-term df is ADDITIVE over disjoint doc sets, so the tiny
+      termstats table is rewritten as ``old ∪ delta → sum`` through a
+      staged write + two-rename swap (readers see old or new, never a
+      mix);
+    * ``meta.json`` rewrites with ``n += |batch|, t += batch tokens``.
+
+    CONTRACT: ``new_docs`` ids must be NEW (no updates/deletes — those
+    need a rewrite of the affected term buckets, which for text means
+    effectively all of them; production text engines answer updates
+    with segment tombstones + merges, out of scope here). Violating it
+    double-counts the doc. BM25 scores for OLD docs change after an
+    append (N, avgdl, df move) — that is correct semantics, not
+    staleness: the query plan always reads current stats.
+
+    Returns the updated meta dict.
+    """
+    import shutil
+    import uuid
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    tok = tokenize(new_docs, id_col, text_col)
+    n_delta = new_docs.count()
+    t_delta = tok.count()
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    postings_new = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, id_col)
+        .withColumn("bucket", _bucket_col(n_buckets))
+    )
+    touched = postings_new.select("bucket").distinct().count()
+    postings_new.repartition(max(touched, 1), "bucket").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
+
+    stats_dir = os.path.join(path, "termstats")
+    df_delta = tok.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    merged = (
+        spark.read.parquet(stats_dir)
+        .unionByName(df_delta)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stage = f"{stats_dir}.stage-{uuid.uuid4().hex[:12]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(stage)
+    old = f"{stats_dir}.old-{uuid.uuid4().hex[:12]}"
+    os.rename(stats_dir, old)
+    os.rename(stage, stats_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+    meta["n"] = int(meta["n"]) + int(n_delta)
+    meta["t"] = int(meta["t"]) + int(t_delta)
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    return meta

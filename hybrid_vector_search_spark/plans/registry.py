@@ -2527,8 +2527,8 @@ def _bm25_layout_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _bm25_oracle() -> str:
-    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
+def _bm25_oracle(terms_t: tuple = RRF_TERMS) -> str:
+    terms = ", ".join(f"'{t}'" for t in terms_t)
     return f"""WITH corpus AS (
   SELECT e.vec_id AS id, d.text
   FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
@@ -2572,6 +2572,54 @@ def retrieval_bm25_persisted_topk(
     path = _bm25_layout_path(spark, sf_dir)
     return bm25_topk_plan(
         spark, path, list(RRF_TERMS), k=BM25_K
+    ).select("id", "score")
+
+
+BM25_INCR_TERMS = ("stream", "window", "merge")
+_BM25_INCR_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "retrieval_bm25_incremental_topk", _bm25_oracle(BM25_INCR_TERMS)
+)
+def retrieval_bm25_incremental_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL lexical-index maintenance, hash-certified against a
+    full rebuild: the layout is built over 80% of the corpus (ids with
+    ``id % 5 != 0``), the remaining 20% arrives as an append-only batch
+    (operators/bm25.py append_postings_batch — new postings append into
+    their term buckets, the additive df stats swap atomically, corpus
+    constants accumulate), and the standard pruned top-K runs over the
+    result. The oracle computes BM25 over the WHOLE corpus from
+    scratch, so a hash match proves append ≡ rebuild — the same
+    evidence style as ann_ivf_upsert_topk, completing the maintenance
+    story for the lexical index family. Note BM25's global coupling:
+    the append moves N, avgdl, and df, so OLD docs' scores legitimately
+    change — the stats tables make that automatic."""
+    import os as _os
+
+    from hybrid_vector_search_spark.operators.bm25 import (
+        append_postings_batch,
+        bm25_topk_plan,
+        build_postings_layout,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _BM25_INCR_CACHE.get(sf_dir)
+    path = cached[1] if cached is not None and cached[0] is spark else None
+    if path is None:
+        corpus = load_corpus(spark, sf_dir).select("id", "text")
+        path = scratch_path(
+            "bm25_incr_" + sf_dir.strip("/").replace("/", "_")
+        )
+        build_postings_layout(corpus.filter(F.col("id") % 5 != 0), path)
+        append_postings_batch(
+            spark, path, corpus.filter(F.col("id") % 5 == 0)
+        )
+        _BM25_INCR_CACHE[sf_dir] = (spark, path)
+    return bm25_topk_plan(
+        spark, path, list(BM25_INCR_TERMS), k=BM25_K
     ).select("id", "score")
 
 

@@ -88,3 +88,78 @@ def test_tokenize_matches_sql_semantics(spark):
     )
     got = {(r["id"], r["term"]) for r in tokenize(docs).collect()}
     assert got == {(0, "a"), (0, "b"), (0, "c")}
+
+
+def test_append_batch_equals_rebuild(spark, tmp_path):
+    """Append-only maintenance ≡ full rebuild: scores, stats, and meta
+    all match a from-scratch build over the union corpus — and OLD
+    docs' scores legitimately move (N, avgdl, df change)."""
+    from hybrid_vector_search_spark.operators.bm25 import (
+        append_postings_batch,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, "spark joins big tables fast"),
+            (1, "spark spark streaming joins"),
+            (2, "vector search with filters"),
+        ],
+        "id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "big spark tables again"), (11, "fresh vector joins")],
+        "id long, text string",
+    )
+    p_incr = str(tmp_path / "incr")
+    build_postings_layout(base, p_incr, n_buckets=8)
+    meta = append_postings_batch(spark, p_incr, batch)
+    p_full = str(tmp_path / "full")
+    meta_full = build_postings_layout(
+        base.unionByName(batch), p_full, n_buckets=8
+    )
+    assert meta["n"] == meta_full["n"] and meta["t"] == meta_full["t"]
+
+    for terms in (["spark"], ["vector", "joins"], ["big", "tables"]):
+        got = [(r["id"], r["score"]) for r in
+               bm25_topk_plan(spark, p_incr, terms, k=10).collect()]
+        want = [(r["id"], r["score"]) for r in
+                bm25_topk_plan(spark, p_full, terms, k=10).collect()]
+        assert got == want, terms
+
+    # termstats merged additively
+    stats = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(os.path.join(p_incr, "termstats")).collect()
+    }
+    assert stats["spark"] == 3 and stats["vector"] == 2
+
+
+def test_append_batch_file_growth_bounded_per_batch(spark, tmp_path):
+    """Each append adds at most ONE file per touched bucket."""
+    from hybrid_vector_search_spark.operators.bm25 import (
+        append_postings_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(6)], "id long, text string"
+    )
+    path = str(tmp_path / "grow")
+    build_postings_layout(docs, path, n_buckets=4)
+    pdir = os.path.join(path, "postings")
+
+    def bucket_files():
+        return {
+            e.name: sum(1 for f in os.listdir(e.path) if f.endswith(".parquet"))
+            for e in os.scandir(pdir)
+            if e.name.startswith("bucket=")
+        }
+
+    before = bucket_files()
+    append_postings_batch(
+        spark,
+        path,
+        spark.createDataFrame([(100, "common extra")], "id long, text string"),
+    )
+    after = bucket_files()
+    for b, n_files in after.items():
+        assert n_files <= before.get(b, 0) + 1, (b, before, after)
