@@ -7053,6 +7053,102 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+STREAM_TOPK_QSEED = 61
+_STREAM_TOPK_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_topk_view",
+    f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_TOPK_QSEED))}), 6) AS score
+FROM embeddings
+ORDER BY list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_TOPK_QSEED))}) DESC, vec_id ASC
+LIMIT {ANN_IVF_K}""",
+    side_effects=True,
+)
+def streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS top-K materialized view — incremental view maintenance
+    for the query every dashboard wants ("current best K matches for X,
+    live"): each micro-batch computes its own bounded top-K candidates
+    (TakeOrderedAndProject inside ``foreachBatch``), merges them with
+    the ≤K-row persisted view state, and swaps the refreshed view in by
+    rename — so per-batch cost is O(batch + K·log K) and the view is
+    always a K-row parquet any reader can scan without touching the
+    stream. Top-K is an algebraic aggregate (merge of two top-Ks is the
+    top-K of their union), which is what makes the incremental
+    maintenance EXACT, not approximate: the oracle computes the batch
+    top-K over everything landed, and the hash certifies the
+    incrementally-maintained view equals it."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    land = _landing(spark, sf_dir, "embeddings")
+    cached = _STREAM_TOPK_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_topk_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_TOPK_CACHE[sf_dir] = (spark, root)
+    state = _os.path.join(root, "view")
+    ckpt = _os.path.join(root, "ckpt")
+
+    qvec = query_vector(STREAM_TOPK_QSEED)
+
+    def merge_batch(batch_df, _batch_id):
+        cand = topk(
+            batch_df.select(
+                F.col("vec_id").alias("id"),
+                dot_score_column(qvec).alias("score"),
+            ),
+            ANN_IVF_K,
+        )
+        if _os.path.isdir(state):
+            cand = topk(
+                batch_df.sparkSession.read.parquet(state).unionByName(cand),
+                ANN_IVF_K,
+            )
+        stage = f"{state}.stage-{_uuid.uuid4().hex[:12]}"
+        cand.coalesce(1).write.mode("overwrite").parquet(stage)
+        old = f"{state}.old-{_uuid.uuid4().hex[:12]}"
+        if _os.path.isdir(state):
+            _os.rename(state, old)
+        _os.rename(stage, state)
+        _shutil.rmtree(old, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    return (
+        spark.read.parquet(state)
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+    )
+
+
 ANN_RANGE_QSEED = 53
 ANN_RANGE_TAU = 0.2
 

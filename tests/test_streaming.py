@@ -519,3 +519,97 @@ def test_flush_off_degrades_when_plan_uninspectable(spark, events_dir, monkeypat
     # the sink exists and the flush conf did not leak
     assert spark.table("t_degrade_uninspectable").count() >= 0
     assert spark.conf.get(_FLUSH_KEY, "true") == "true"
+
+
+def test_streaming_topk_view_incremental_across_batches(spark, tmp_path):
+    """The continuous top-K view merges correctly across MULTIPLE
+    micro-batches (maxFilesPerTrigger=1): after the drain the ≤K-row
+    view equals the batch top-K over everything landed, including rows
+    whose batch arrived early and was later displaced."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+    from hybrid_vector_search_spark.operators.topk import topk
+    from hybrid_vector_search_spark.queryvecs import query_vector
+
+    qvec = query_vector(61)
+    land = str(tmp_path / "land")
+    # 3 landing files: basis-aligned rows land in DIFFERENT batches so
+    # the final view must mix batches
+    import numpy as np
+
+    rows_by_batch = [
+        [(i, [float(x) for x in np.asarray(qvec) * (0.1 * (i + 1))])
+         for i in range(3)],
+        [(10 + i, [float(x) for x in np.asarray(qvec) * (0.05 + 0.3 * i)])
+         for i in range(3)],
+        [(20 + i, [float(x) for x in np.asarray(qvec) * (0.02 + 0.5 * i)])
+         for i in range(3)],
+    ]
+    for rows in rows_by_batch:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).withColumn("label", F.lit(0)).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    state = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    K = 4
+
+    def merge_batch(batch_df, _bid):
+        cand = topk(
+            batch_df.select(
+                F.col("vec_id").alias("id"),
+                dot_score_column(qvec).alias("score"),
+            ),
+            K,
+        )
+        if os.path.isdir(state):
+            cand = topk(
+                batch_df.sparkSession.read.parquet(state).unionByName(cand),
+                K,
+            )
+        stage = f"{state}.stage-{uuid.uuid4().hex[:8]}"
+        cand.coalesce(1).write.mode("overwrite").parquet(stage)
+        old = f"{state}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(state):
+            os.rename(state, old)
+        os.rename(stage, state)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [
+        (r["id"], round(r["score"], 6))
+        for r in spark.read.parquet(state)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .collect()
+    ]
+    all_rows = spark.read.parquet(land)
+    want = [
+        (r["id"], round(r["score"], 6))
+        for r in topk(
+            all_rows.select(
+                F.col("vec_id").alias("id"),
+                dot_score_column(qvec).alias("score"),
+            ),
+            K,
+        ).collect()
+    ]
+    assert got == want and len(got) == K
+    # incremental property: the view is ≤K rows on disk, not a log
+    assert spark.read.parquet(state).count() == K
