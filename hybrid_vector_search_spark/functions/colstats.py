@@ -48,7 +48,10 @@ DEFAULT_SEL = 0.1
 
 
 def collect_column_stats(
-    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = False
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_ndv: bool = False,
+    histogram_bins: int = 0,
 ) -> dict[str, dict[str, Any]]:
     """One aggregation pass computing per-column statistics.
 
@@ -84,7 +87,73 @@ def collect_column_stats(
             "min": row.get(f"{c}__min"),
             "max": row.get(f"{c}__max"),
         }
+    if histogram_bins > 1:
+        # second pass (ANALYZE ... FOR COLUMNS with histograms is also
+        # two-pass: bounds first, then bin counts): equi-width bin
+        # counts per numeric column, all columns in ONE conditional
+        # aggregation — bins × numeric-cols counters, map-side combined.
+        hist_aggs = []
+        hist_cols = []
+        for c in columns:
+            st = stats[c]
+            if (
+                isinstance(dtypes[c], _NUMERIC)
+                and st["min"] is not None
+                and st["max"] is not None
+                and float(st["max"]) > float(st["min"])
+            ):
+                lo, hi = float(st["min"]), float(st["max"])
+                w = (hi - lo) / histogram_bins
+                bucket = F.least(
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(w)),
+                    F.lit(histogram_bins - 1),
+                )
+                hist_cols.append(c)
+                for b in range(histogram_bins):
+                    hist_aggs.append(
+                        F.sum(
+                            F.when(bucket == b, 1).otherwise(0)
+                        ).alias(f"{c}__h{b}")
+                    )
+        if hist_aggs:
+            hrow = df.agg(*hist_aggs).collect()[0].asDict()
+            for c in hist_cols:
+                stats[c]["histogram"] = [
+                    int(hrow[f"{c}__h{b}"] or 0)
+                    for b in range(histogram_bins)
+                ]
     return stats
+
+
+def _range_fraction_hist(
+    lo: float | None, hi: float | None, st: Mapping[str, Any]
+) -> float:
+    """Histogram-refined range fraction: full bins count whole, edge
+    bins contribute their uniform-within-bin overlap — the standard
+    equi-width histogram estimate, exact when the predicate aligns to
+    bin edges and off by at most one bin's mass otherwise (vs the
+    min–max uniform assumption, which a skewed column defeats by orders
+    of magnitude)."""
+    hist = st["histogram"]
+    cmin, cmax = float(st["min"]), float(st["max"])
+    nn = max(st["count"] - st["nulls"], 1)
+    nbins = len(hist)
+    w = (cmax - cmin) / nbins
+    lo = cmin if lo is None else max(float(lo), cmin)
+    hi = cmax if hi is None else min(float(hi), cmax)
+    if hi <= lo and not (hi == lo == cmax):
+        return 0.0
+    kept = 0.0
+    for b, cnt in enumerate(hist):
+        b_lo = cmin + b * w
+        b_hi = cmin + (b + 1) * w if b < nbins - 1 else cmax
+        if b_hi <= lo or b_lo >= hi:
+            continue
+        if b_hi <= b_lo:
+            continue
+        overlap = (min(hi, b_hi) - max(lo, b_lo)) / (b_hi - b_lo)
+        kept += cnt * max(min(overlap, 1.0), 0.0)
+    return min(kept / nn, 1.0)
 
 
 def _range_fraction(
@@ -102,6 +171,15 @@ def _range_fraction(
     if hi <= lo:
         return 0.0
     return (hi - lo) / (cmax - cmin)
+
+
+def _range_sel(st: Mapping[str, Any], lo, hi) -> float:
+    """Range selectivity: histogram-refined when the stats carry one
+    (collect_column_stats(histogram_bins=...)), min–max uniform
+    otherwise."""
+    if st.get("histogram") and st.get("min") is not None:
+        return _range_fraction_hist(lo, hi, st)
+    return _range_fraction(lo, hi, st.get("min"), st.get("max"))
 
 
 def estimate_allowed(
@@ -147,13 +225,11 @@ def estimate_allowed(
                 vals = val if isinstance(val, (list, tuple, set)) else [val]
                 s = min(len(vals) / ndv, 1.0)
             elif op in {"ge", "gt"}:
-                s = _range_fraction(val, None, st.get("min"), st.get("max"))
+                s = _range_sel(st, val, None)
             elif op in {"le", "lt"}:
-                s = _range_fraction(None, val, st.get("min"), st.get("max"))
+                s = _range_sel(st, None, val)
             elif op == "between":
-                s = _range_fraction(
-                    val[0], val[1], st.get("min"), st.get("max")
-                )
+                s = _range_sel(st, val[0], val[1])
             else:  # like, and anything stats can't see through
                 s = DEFAULT_SEL
             sel *= s * notnull

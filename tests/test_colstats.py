@@ -86,3 +86,53 @@ def test_unknown_and_geo_fallbacks():
         stats, {"lat_between": [0, 1], "lon_between": [0, 1]}
     )
     assert est == int(1000 * DEFAULT_SEL * DEFAULT_SEL + 0.5)
+
+
+def test_histogram_beats_uniform_on_skew(spark):
+    """The reason histograms exist: a heavily skewed numeric column
+    defeats the min–max uniform assumption by orders of magnitude; the
+    equi-width histogram estimate lands near the truth."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+
+    # 950 values in [0, 10), 50 outliers spread to 1000
+    rows = [(i, float(i % 10)) for i in range(950)] + [
+        (1000 + i, 1000.0 * (i + 1) / 50) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    true_ge_500 = df.filter("v >= 500").count()  # 25
+
+    flat = collect_column_stats(df, ["v"])
+    hist = collect_column_stats(df, ["v"], histogram_bins=20)
+    assert "histogram" not in flat["v"]
+    assert len(hist["v"]["histogram"]) == 20
+    assert sum(hist["v"]["histogram"]) == 1000  # every non-null binned
+
+    est_flat = estimate_allowed(flat, {"v": {"ge": 500.0}})
+    est_hist = estimate_allowed(hist, {"v": {"ge": 500.0}})
+    # uniform says "half the span" ≈ 500 rows — off by 20×
+    assert est_flat > 10 * true_ge_500
+    # histogram lands within 2× of the truth
+    assert true_ge_500 / 2 <= est_hist <= true_ge_500 * 2
+
+
+def test_histogram_estimate_still_bounded(spark):
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    st = collect_column_stats(df, ["v"], histogram_bins=8)
+    for filters in (
+        {"v": {"ge": -5.0}},
+        {"v": {"le": 1000.0}},
+        {"v": {"between": [10.0, 20.0]}},
+        {"v": {"between": [200.0, 300.0]}},
+    ):
+        est = estimate_allowed(st, filters)
+        assert 1 <= est <= 100, filters
+    # full-range between keeps ~everything
+    assert estimate_allowed(st, {"v": {"between": [0.0, 99.0]}}) >= 95
