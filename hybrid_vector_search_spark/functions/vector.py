@@ -251,3 +251,51 @@ def quantization_error_cols(embedding: Column | str) -> tuple[Column, Column]:
     )
     total = F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x)
     return F.array_max(errs), total / F.size(errs)
+
+
+# --------------------------- binary (sign) quantization + Hamming search
+
+#: bits packed per vector — 63, not 64: BIGINT is signed in both engines
+#: and (1 << 63) overflows DuckDB's left shift, so the last dimension is
+#: left unpacked (the exact rerank restores any loss; both engines pack
+#: the identical 63 bits, so candidates match bit-for-bit)
+SIGN_PACK_BITS = 63
+
+
+def sign_pack_column(emb_col: str = "embedding", bits: int = SIGN_PACK_BITS):
+    """Pack the sign bits of an ``array<float>`` column into ONE BIGINT —
+    binary quantization, the most aggressive vector-compression rung
+    below PQ/int8 (64-d float32 = 256 B → 8 B, 32×): bit i is set iff
+    ``embedding[i] > 0``. Pure integer codegen (bitwise OR of WHEN
+    terms), computed once at ingest; Hamming distance between packed
+    codes is then ``bit_count(a XOR b)`` — a two-instruction scan."""
+    out = None
+    for i in range(bits):
+        term = (
+            F.when(F.col(emb_col)[i] > 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def sign_pack_value(qvec: Sequence[float], bits: int = SIGN_PACK_BITS) -> int:
+    """Driver-side twin of :func:`sign_pack_column` for a query vector."""
+    return sum(
+        (1 << i)
+        for i in range(min(bits, len(qvec)))
+        if float(qvec[i]) > 0.0
+    )
+
+
+def sign_pack_sql(emb_expr: str = "embedding", bits: int = SIGN_PACK_BITS) -> str:
+    """ANSI-SQL twin (DuckDB: 1-indexed arrays, ``xor``/``bit_count``
+    on BIGINT) — what lets the Hamming-rerank query carry a full
+    value-hash oracle."""
+    parts = [
+        f"(CASE WHEN {emb_expr}[{i + 1}] > 0 THEN (1::BIGINT << {i}) "
+        f"ELSE 0::BIGINT END)"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(parts) + ")"

@@ -1996,6 +1996,70 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_QSEED = 67
+HAMMING_C = 100
+
+
+def _hamming_rerank_oracle() -> str:
+    from hybrid_vector_search_spark.functions.vector import (
+        sign_pack_sql,
+        sign_pack_value,
+    )
+
+    q = query_vector(HAMMING_QSEED)
+    qbits = sign_pack_value(q)
+    qlit = sql_array_literal(q)
+    return f"""WITH packed AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+         {sign_pack_sql('embedding')} AS pk
+  FROM embeddings),
+cand AS (
+  SELECT id, e FROM packed
+  ORDER BY bit_count(xor(pk, {qbits}::BIGINT)) ASC, id ASC
+  LIMIT {HAMMING_C})
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM cand
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+@register("ann_hamming_rerank_topk", _hamming_rerank_oracle())
+def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BINARY-quantized search — the compression rung below
+    int8/PQ (functions/vector.py sign_pack_column: 64-d float32 → one
+    BIGINT, 32×): the wide stage ranks the corpus by Hamming distance
+    ``bit_count(packed XOR query_bits)`` — two integer instructions per
+    row over an 8-byte column, the scan shape that stays cache-resident
+    at 100 TB — keeps the best {HAMMING_C}, and the narrow stage
+    reranks them with the exact float64 kernel. Sign bits are a pure
+    function of the embedding, so the oracle replays pack, Hamming
+    ranking, and rerank exactly (both engines pack the identical 63
+    bits — BIGINT is signed, bit 63 stays unpacked)."""
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        sign_pack_column,
+        sign_pack_value,
+    )
+
+    q = query_vector(HAMMING_QSEED)
+    qbits = sign_pack_value(q)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ham = F.bit_count(
+        sign_pack_column("embedding").bitwiseXOR(F.lit(qbits))
+    )
+    cand = (
+        emb.select("vec_id", "embedding", ham.alias("ham"))
+        .orderBy(F.col("ham").asc(), F.col("vec_id").asc())
+        .limit(HAMMING_C)
+    )
+    rescored = cand.select(
+        "vec_id", dot_score_sql("embedding", q).alias("score")
+    )
+    return topk(rescored, ANN_IVF_K, id_col="vec_id").select(
+        F.col("vec_id").alias("id"), F.round("score", 6).alias("score")
+    )
+
+
 _AVG_TP_SQL = round_portable_sql("SUM(o_totalprice)", 2) + " / COUNT(*)"
 
 

@@ -82,3 +82,39 @@ def test_jvm_kernel_null_and_empty(spark):
     }
     assert rows[0] == 0.0
     assert rows[1] is None
+
+
+def test_sign_pack_column_matches_driver_twin(spark):
+    """The packed BIGINT must agree between the Column expression, the
+    driver-side twin, and manual bit math — including zeros (bit off)
+    and negatives."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.functions.vector import (
+        SIGN_PACK_BITS,
+        sign_pack_column,
+        sign_pack_value,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [
+        [float(x) for x in rng.standard_normal(64)] for _ in range(20)
+    ] + [[0.0] * 64, [1.0] * 64, [-1.0] * 64]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "id long, embedding array<float>",
+    )
+    got = {
+        r["id"]: r["pk"]
+        for r in df.select(
+            "id", sign_pack_column("embedding").alias("pk")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        want = sign_pack_value(v)
+        manual = sum(
+            (1 << b) for b in range(SIGN_PACK_BITS) if v[b] > 0
+        )
+        assert got[i] == want == manual, i
+    # 63 bits only: bit 63 never set, packed value always >= 0
+    assert all(pk >= 0 for pk in got.values())
