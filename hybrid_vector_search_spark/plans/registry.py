@@ -1998,15 +1998,13 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HAMMING_QSEED = 67
 HAMMING_C = 100
-
-
-def _hamming_rerank_oracle() -> str:
+def _hamming_rerank_oracle(seed: int = HAMMING_QSEED) -> str:
     from hybrid_vector_search_spark.functions.vector import (
         sign_pack_sql,
         sign_pack_value,
     )
 
-    q = query_vector(HAMMING_QSEED)
+    q = query_vector(seed)
     qbits = sign_pack_value(q)
     qlit = sql_array_literal(q)
     return f"""WITH packed AS (
@@ -2439,6 +2437,164 @@ RRF_BATCH = (
     (42, ("stream", "window", "merge")),
     (43, ("hash", "scan", "sort")),
 )
+
+
+RECALL_EVAL_QSEED = 71
+
+
+def _recall_by_method_oracle() -> str:
+    """Replays FOUR ANN/quantized strategies end-to-end at one shared
+    query seed — each method's full oracle (assignment+probe for IVF,
+    multi-probe buckets for LSH, sign-pack Hamming prefilter, int8
+    integer prefilter) nested as a subquery — intersects each with the
+    exact top-10, and emits recall@10 per method. The hash certifies
+    the evaluation harness itself, not just one strategy."""
+    q = query_vector(RECALL_EVAL_QSEED)
+    qlit = sql_array_literal(q)
+    dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
+    exact_sql = (
+        f"SELECT vec_id AS id FROM embeddings"
+        f" ORDER BY {dot} DESC, vec_id ASC LIMIT {ANN_IVF_K}"
+    )
+    methods = {
+        "ivf": f"SELECT id FROM ({_ann_ivf_oracle(RECALL_EVAL_QSEED)}) s",
+        "lsh": f"SELECT id FROM ({_lsh_oracle(RECALL_EVAL_QSEED)}) s",
+        "hamming": (
+            f"SELECT id FROM ({_hamming_rerank_oracle(RECALL_EVAL_QSEED)}) s"
+        ),
+        "int8": (
+            f"SELECT vec_id AS id FROM"
+            f" ({_int8_rerank_oracle(RECALL_EVAL_QSEED, 100, ANN_IVF_K)}) s"
+        ),
+    }
+    ctes = [f"exact_t AS ({exact_sql})"] + [
+        f"{m}_t AS ({sql})" for m, sql in methods.items()
+    ]
+    selects = [
+        f"SELECT '{m}' AS method, ROUND((SELECT COUNT(*) FROM {m}_t"
+        f" JOIN exact_t USING (id)) / {ANN_IVF_K}.0, 6) AS recall"
+        for m in sorted(methods)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY method"
+    )
+
+
+@register(
+    "metrics_recall_by_method",
+    _recall_by_method_oracle(),
+    side_effects=True,
+)
+def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE mission — "evaluate competing execution
+    strategies for recall against a brute-force oracle"
+    (src/eval/oracle.py; SURVEY.md §1) — widened to every deterministic
+    ANN/quantized family this engine ships, in one report: recall@10 vs
+    the exact scan at a shared query seed for IVF (probed lists), LSH
+    (multi-probe buckets), binary-Hamming rerank, and int8 rerank. Each
+    method's candidate generation is a pure function of (corpus, seed),
+    so the whole evaluation — four strategies AND the measurement — is
+    value-hash certified, which no recall number over a trained/
+    stochastic index can be. ``side_effects``: the per-method top-K
+    collects are driver-side set intersections (4 × K ids)."""
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        quantize_int8_col,
+        sign_pack_column,
+        sign_pack_value,
+    )
+    import numpy as np
+
+    q = query_vector(RECALL_EVAL_QSEED)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ids(plan, col="id"):
+        return [int(r[col]) for r in plan.collect()]
+
+    exact_ids = ids(
+        topk(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                dot_score_sql("embedding", q).alias("score"),
+            ),
+            ANN_IVF_K,
+        )
+    )
+    # IVF: fixed quantizer, standard probe
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    ivf_ids = ids(
+        index.search_plan(q, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE)[0]
+    )
+    # LSH: stateless multi-probe
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    lsh_ids = ids(
+        LSH.lsh_topk_plan(
+            emb.withColumnRenamed("vec_id", "id"), q, k=ANN_IVF_K
+        )[0]
+    )
+    # Hamming: sign-pack prefilter → exact rerank
+    qbits = sign_pack_value(q)
+    ham = F.bit_count(
+        sign_pack_column("embedding").bitwiseXOR(F.lit(qbits))
+    )
+    ham_cand = (
+        emb.select("vec_id", "embedding", ham.alias("ham"))
+        .orderBy(F.col("ham").asc(), F.col("vec_id").asc())
+        .limit(HAMMING_C)
+    )
+    ham_ids = ids(
+        topk(
+            ham_cand.select(
+                "vec_id", dot_score_sql("embedding", q).alias("score")
+            ),
+            ANN_IVF_K,
+            id_col="vec_id",
+        ),
+        col="vec_id",
+    )
+    # int8: integer prefilter → exact rerank (ann_int8_rerank_topk shape)
+    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
+    q8lit = F.array(*[F.lit(v).cast("long") for v in q8])
+    iscore = F.aggregate(
+        F.zip_with(
+            quantize_int8_col("embedding").cast("array<long>"),
+            q8lit,
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    i8_cand = topk(
+        emb.select("vec_id", "embedding", iscore.alias("iscore")),
+        100,
+        score_col="iscore",
+        id_col="vec_id",
+    )
+    i8_ids = ids(
+        topk(
+            i8_cand.select(
+                "vec_id", dot_score_sql("embedding", q).alias("score")
+            ),
+            ANN_IVF_K,
+            id_col="vec_id",
+        ),
+        col="vec_id",
+    )
+
+    exact_set = set(exact_ids)
+    rows = [
+        (m, round(len(set(got) & exact_set) / float(ANN_IVF_K), 6))
+        for m, got in (
+            ("hamming", ham_ids),
+            ("int8", i8_ids),
+            ("ivf", ivf_ids),
+            ("lsh", lsh_ids),
+        )
+    ]
+    return spark.createDataFrame(rows, "method STRING, recall DOUBLE")
 
 
 def _rrf_oracle(qseed: int = RRF_QSEED, terms_t: tuple = RRF_TERMS) -> str:

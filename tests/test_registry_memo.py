@@ -45,6 +45,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "post_filter_costed_backends",
         "post_filter_costed_stats",
         "corpus_column_stats",
+        "metrics_recall_by_method",
         "ann_ivf_upsert_topk",
     }
     for name, fn in registry.QUERIES.items():
