@@ -43,6 +43,8 @@ PROBE_QUERIES = (
     "vector_range_search",
     "retrieval_rrf_fusion_batch",
     "retrieval_bm25_persisted_topk",
+    "retrieval_rrf_fusion_persisted",
+    "ann_hamming_rerank_topk",
     "ann_lsh_persisted_topk",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_passages",
