@@ -146,7 +146,15 @@ def main() -> None:
     prior_detail = REPO / "BENCH_DETAIL.json"
     if prior_detail.exists():
         try:
-            prior = json.loads(prior_detail.read_text()).get("queries", {})
+            prior_doc = json.loads(prior_detail.read_text())
+            # only comparable runs feed the noise guard: a prior detail
+            # recorded at a different scale factor would flag the whole
+            # suite as "outliers" and pointlessly double the wall time
+            prior = (
+                prior_doc.get("queries", {})
+                if prior_doc.get("sf") == sf
+                else {}
+            )
         except (ValueError, OSError):
             prior = {}
         for name, prev_s in prior.items():

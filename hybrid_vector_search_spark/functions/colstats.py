@@ -207,7 +207,10 @@ def estimate_allowed(
                 sel *= DEFAULT_SEL
                 continue
             lo, hi = ops if isinstance(ops, (list, tuple)) else (None, None)
-            frac = _range_fraction(lo, hi, st.get("min"), st.get("max"))
+            # histogram-refined when the geo column carries one — same
+            # rule as plain numeric ranges (a skewed point distribution
+            # is the NORM for geo data)
+            frac = _range_sel(st, lo, hi)
             sel *= frac * (1.0 - st["nulls"] / max(st["count"], 1))
             continue
         st = stats.get(col_name)
@@ -216,6 +219,12 @@ def estimate_allowed(
             continue
         notnull = 1.0 - st["nulls"] / max(st["count"], 1)
         ndv = max(int(st["ndv"]), 1)
+        # the not-null fraction is a COLUMN property: apply it once per
+        # column, not once per operator — {'ge':…, 'le':…} must not
+        # penalize nulls twice vs the equivalent {'between': …}. The
+        # first-op association (s * notnull) is kept so single-op
+        # columns replay the SQL oracle's float arithmetic exactly.
+        first_op = True
         for op, val in ops.items():
             if op == "eq":
                 s = 1.0 / ndv
@@ -232,7 +241,8 @@ def estimate_allowed(
                 s = _range_sel(st, val[0], val[1])
             else:  # like, and anything stats can't see through
                 s = DEFAULT_SEL
-            sel *= s * notnull
+            sel *= s * notnull if first_op else s
+            first_op = False
     # half-up, not banker's: FLOOR(x + 0.5) is what ANSI SQL replays
     # (the stats-fed registry query's oracle re-derives this estimate)
     est = int(n * sel + 0.5)

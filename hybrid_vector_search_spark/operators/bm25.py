@@ -81,26 +81,33 @@ def build_postings_layout(
       time);
     * ``meta.json`` — ``{"n": N docs, "t": total tokens, "n_buckets"}``.
 
-    One tokenize pass feeds everything. Returns the meta dict.
+    One tokenize pass feeds everything — literally: ``tok`` is cached
+    for the build's four consumers (token count, per-doc lengths,
+    postings, df stats; without the cache each would re-run the
+    explode-tokenize scan, the build's dominant cost) and unpersisted
+    before returning. Returns the meta dict.
     """
-    tok = tokenize(docs, id_col, text_col)
-    n = docs.count()
-    t = tok.count()
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    postings = (
-        tok.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(dl, id_col)
-        .withColumn("bucket", _bucket_col(n_buckets))
-    )
-    postings.repartition(n_buckets, "bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
-    tok.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "termstats")
-    )
+    tok = tokenize(docs, id_col, text_col).cache()
+    try:
+        n = docs.count()
+        t = tok.count()
+        dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        postings = (
+            tok.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dl, id_col)
+            .withColumn("bucket", _bucket_col(n_buckets))
+        )
+        postings.repartition(n_buckets, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
+        tok.groupBy("term").agg(
+            F.countDistinct(id_col).alias("df")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "termstats")
+        )
+    finally:
+        tok.unpersist()
     meta = {"n": int(n), "t": int(t), "n_buckets": int(n_buckets)}
     with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -137,6 +144,10 @@ def bm25_topk_plan(
     directories — corpus size never enters the I/O bound."""
     if not terms:
         raise ValidationError("bm25_topk_plan requires at least one term")
+    # readers never see a half-committed append: complete (or refuse on
+    # a lost stage) any pending commit first — the open_partitioned
+    # contract, lexical edition
+    recover_pending_append(spark, path)
     with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
         meta = json.load(f)
     buckets = sorted({term_bucket(tm, meta["n_buckets"]) for tm in terms})
@@ -159,6 +170,64 @@ def bm25_topk_plan(
     return topk(scored, k, id_col=id_col)
 
 
+_APPEND_PENDING = "_APPEND_PENDING.json"
+
+
+def recover_pending_append(spark: SparkSession, path: str) -> bool:
+    """Complete a crashed :func:`append_postings_batch` commit, if one is
+    pending — same begin/commit-marker protocol as the IVF upsert
+    (operators/ivf.py recover_pending_upsert): the marker brackets the
+    commit window, every commit step is an idempotent file move/swap
+    replayable from the immutable staged batch, and a marker whose
+    staged batch has vanished raises instead of silently exposing a
+    half-appended index (doubled tf on retry was the hazard)."""
+    marker = os.path.join(path, _APPEND_PENDING)
+    if not os.path.exists(marker):
+        return False
+    with open(marker, encoding="utf-8") as f:
+        info = json.load(f)
+    stage = info.get("stage")
+    if not (stage and os.path.isdir(stage)):
+        raise ValidationError(
+            f"pending postings append at '{path}' cannot be replayed: "
+            f"staged batch '{stage}' is missing. Restore it or rebuild "
+            f"the layout; refusing to expose a half-appended index."
+        )
+    _commit_append(path, info)
+    return True
+
+
+def _commit_append(path: str, info: dict) -> None:
+    """The replayable commit: (1) move each staged postings file into
+    its live bucket dir (``os.replace`` — atomic per file; a file
+    already moved is absent from the stage, so replay skips it), (2)
+    swap in the staged pre-merged termstats (the staged table IS the
+    final state, so re-swapping is idempotent), (3) rewrite meta from
+    the marker, (4) drop marker + stage."""
+    import shutil
+    import uuid
+
+    stage = info["stage"]
+    for rel in info["files"]:
+        src = os.path.join(stage, "postings", rel)
+        dst = os.path.join(path, "postings", rel)
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    ts_stage = os.path.join(stage, "termstats")
+    ts_live = os.path.join(path, "termstats")
+    if os.path.isdir(ts_stage):
+        old = f"{ts_live}.old-{uuid.uuid4().hex[:12]}"
+        if os.path.isdir(ts_live):
+            os.rename(ts_live, old)
+        os.rename(ts_stage, ts_live)
+        shutil.rmtree(old, ignore_errors=True)
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(info["meta"], f)
+    os.remove(os.path.join(path, _APPEND_PENDING))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def append_postings_batch(
     spark: SparkSession,
     path: str,
@@ -171,66 +240,85 @@ def append_postings_batch(
     upsert + compaction, the streaming sink has drain-and-swap; BM25
     postings are the easy case because new documents only ADD rows):
 
-    * new postings ``(term, id, tf, dl)`` append into their term-bucket
-      directories (one new file per touched bucket — pre-write
-      repartition, the one-file-per-partition write rule; buckets
-      accumulate one file per batch, bounded by batch cadence);
+    * new postings ``(term, id, tf, dl)`` land in their term-bucket
+      directories (one new file per touched bucket per batch, bounded
+      by batch cadence);
     * per-term df is ADDITIVE over disjoint doc sets, so the tiny
-      termstats table is rewritten as ``old ∪ delta → sum`` through a
-      staged write + two-rename swap (readers see old or new, never a
-      mix);
+      termstats table is pre-merged (``old ∪ delta → sum``) into the
+      staged batch and swapped in whole;
     * ``meta.json`` rewrites with ``n += |batch|, t += batch tokens``.
+
+    CRASH SAFETY: everything is computed into an immutable staged
+    directory FIRST (no live state is touched while Spark jobs can
+    fail), then a ``_APPEND_PENDING.json`` marker brackets the pure
+    file-move commit; a crash inside the window is repaired by
+    idempotent replay on the next append/:func:`recover_pending_append`
+    call — a naive retry after a mid-append crash would double-append
+    the batch's postings and silently inflate tf/df/N.
 
     CONTRACT: ``new_docs`` ids must be NEW (no updates/deletes — those
     need a rewrite of the affected term buckets, which for text means
     effectively all of them; production text engines answer updates
-    with segment tombstones + merges, out of scope here). Violating it
-    double-counts the doc. BM25 scores for OLD docs change after an
-    append (N, avgdl, df move) — that is correct semantics, not
-    staleness: the query plan always reads current stats.
+    with segment tombstones + merges, out of scope here). BM25 scores
+    for OLD docs change after an append (N, avgdl, df move) — that is
+    correct semantics, not staleness: the query plan always reads
+    current stats.
 
     Returns the updated meta dict.
     """
-    import shutil
-    import uuid
+    from hybrid_vector_search_spark.scratch import scratch_path
 
+    recover_pending_append(spark, path)  # never stack on a crash
     with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
         meta = json.load(f)
     n_buckets = int(meta["n_buckets"])
-    tok = tokenize(new_docs, id_col, text_col)
-    n_delta = new_docs.count()
-    t_delta = tok.count()
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    postings_new = (
-        tok.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(dl, id_col)
-        .withColumn("bucket", _bucket_col(n_buckets))
-    )
-    touched = postings_new.select("bucket").distinct().count()
-    postings_new.repartition(max(touched, 1), "bucket").write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(os.path.join(path, "postings"))
-
-    stats_dir = os.path.join(path, "termstats")
-    df_delta = tok.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
-    )
-    merged = (
-        spark.read.parquet(stats_dir)
-        .unionByName(df_delta)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
-    stage = f"{stats_dir}.stage-{uuid.uuid4().hex[:12]}"
-    merged.coalesce(1).write.mode("overwrite").parquet(stage)
-    old = f"{stats_dir}.old-{uuid.uuid4().hex[:12]}"
-    os.rename(stats_dir, old)
-    os.rename(stage, stats_dir)
-    shutil.rmtree(old, ignore_errors=True)
-
-    meta["n"] = int(meta["n"]) + int(n_delta)
-    meta["t"] = int(meta["t"]) + int(t_delta)
-    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
-        json.dump(meta, f)
+    tok = tokenize(new_docs, id_col, text_col).cache()
+    try:
+        n_delta = new_docs.count()
+        t_delta = tok.count()
+        dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        postings_new = (
+            tok.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dl, id_col)
+            .withColumn("bucket", _bucket_col(n_buckets))
+        )
+        stage = scratch_path("bm25_append_stage")
+        touched = postings_new.select("bucket").distinct().count()
+        postings_new.repartition(max(touched, 1), "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(stage, "postings"))
+        (
+            spark.read.parquet(os.path.join(path, "termstats"))
+            .unionByName(
+                tok.groupBy("term").agg(
+                    F.countDistinct(id_col).alias("df")
+                )
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "termstats"))
+        )
+    finally:
+        tok.unpersist()
+    files = []
+    proot = os.path.join(stage, "postings")
+    for entry in os.scandir(proot):
+        if entry.name.startswith("bucket="):
+            for fn in os.listdir(entry.path):
+                if fn.endswith(".parquet"):
+                    files.append(os.path.join(entry.name, fn))
+    meta = {
+        **meta,
+        "n": int(meta["n"]) + int(n_delta),
+        "t": int(meta["t"]) + int(t_delta),
+    }
+    info = {"stage": stage, "files": sorted(files), "meta": meta}
+    with open(
+        os.path.join(path, _APPEND_PENDING), "w", encoding="utf-8"
+    ) as f:
+        json.dump(info, f)
+    _commit_append(path, info)
     return meta

@@ -499,14 +499,27 @@ def recover_pending_upsert(spark: SparkSession, path: str) -> bool:
     with open(marker, encoding="utf-8") as f:
         info = json.load(f)
     stage = info.get("stage")
-    if stage and os.path.isdir(stage):
-        staged = spark.read.parquet(stage).repartition(
-            max(int(info.get("n_touched", 1)), 1), "list_id"
+    if not (stage and os.path.isdir(stage)):
+        # The staged batch is GONE (e.g. scratch cleanup ran after the
+        # crash): the replay is impossible and we cannot know how much
+        # of the apply committed. Completing the marker anyway would
+        # SILENTLY drop the batch's deletes/upserts in every list whose
+        # overwrite didn't land — the exact wrong-answers hazard this
+        # protocol exists to close. Fail loudly and leave the marker:
+        # the operator restores the staged batch (or rebuilds the
+        # touched lists from the source of truth) before probing again.
+        raise ValidationError(
+            f"pending upsert at '{path}' cannot be replayed: staged "
+            f"batch '{stage}' is missing. Restore it or rebuild the "
+            f"touched lists; refusing to expose a half-applied layout."
         )
-        with _dynamic_overwrite(spark):
-            staged.write.mode("overwrite").partitionBy("list_id").parquet(
-                path
-            )
+    staged = spark.read.parquet(stage).repartition(
+        max(int(info.get("n_touched", 1)), 1), "list_id"
+    )
+    with _dynamic_overwrite(spark):
+        staged.write.mode("overwrite").partitionBy("list_id").parquet(
+            path
+        )
     for li in info.get("emptied", []):
         shutil.rmtree(
             os.path.join(path, f"list_id={li}"), ignore_errors=True

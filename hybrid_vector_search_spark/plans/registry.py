@@ -1955,23 +1955,23 @@ SELECT vec_id, ROUND({dot}, 6) AS score
 FROM cand ORDER BY {dot} DESC, vec_id ASC LIMIT {k}"""
 
 
-@register("ann_int8_rerank_topk", _int8_rerank_oracle(41, 100, 10))
-def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage quantized search: integer dot product over the int8
-    corpus picks 100 candidates (pure bigint arithmetic — bit-identical
-    in any engine, and at scale the stage that runs over the 4×-smaller
-    cache-resident corpus), then float64 rerank of the survivors yields
-    the top-10. The precision split is the standard serving layout:
-    cheap lossy scan wide, exact scoring narrow."""
+def _int8_rerank_plan(
+    emb: DataFrame, seed: int, cand_k: int = 100, k: int = 10
+) -> DataFrame:
+    """Two-stage int8 plan (integer-dot prefilter -> float64 rerank),
+    seed-parameterized so the registered query and the cross-method
+    recall report run the IDENTICAL pipeline — a drift between "method
+    measured" and "method served" can't happen when there is one
+    builder."""
+    import numpy as np
+
     from hybrid_vector_search_spark.functions.vector import (
         dot_score_sql,
         quantize_int8_col,
     )
-    import numpy as np
 
-    q = query_vector(41)
+    q = query_vector(seed)
     q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
-    emb = load_table(spark, sf_dir, "embeddings")
     q8lit = F.array(*[F.lit(v).cast("long") for v in q8])
     iscore = F.aggregate(
         F.zip_with(
@@ -1984,14 +1984,26 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = topk(
         emb.select("vec_id", "embedding", iscore.alias("iscore")),
-        100,
+        cand_k,
         score_col="iscore",
         id_col="vec_id",
     )
     rescored = cand.select(
         "vec_id", dot_score_sql("embedding", q).alias("score")
     )
-    return topk(rescored, 10, id_col="vec_id").select(
+    return topk(rescored, k, id_col="vec_id")
+
+
+@register("ann_int8_rerank_topk", _int8_rerank_oracle(41, 100, 10))
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search: integer dot product over the int8
+    corpus picks 100 candidates (pure bigint arithmetic — bit-identical
+    in any engine, and at scale the stage that runs over the 4×-smaller
+    cache-resident corpus), then float64 rerank of the survivors yields
+    the top-10. The precision split is the standard serving layout:
+    cheap lossy scan wide, exact scoring narrow."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _int8_rerank_plan(emb, 41, cand_k=100, k=10).select(
         "vec_id", F.round("score", 6).alias("score")
     )
 
@@ -2021,6 +2033,34 @@ ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
 LIMIT {ANN_IVF_K}"""
 
 
+def _hamming_rerank_plan(
+    emb: DataFrame, seed: int, cand_k: int = HAMMING_C, k: int = ANN_IVF_K
+) -> DataFrame:
+    """Two-stage binary plan (sign-pack Hamming prefilter -> float64
+    rerank), seed-parameterized for the same one-builder reason as
+    :func:`_int8_rerank_plan`."""
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        sign_pack_column,
+        sign_pack_value,
+    )
+
+    q = query_vector(seed)
+    qbits = sign_pack_value(q)
+    ham = F.bit_count(
+        sign_pack_column("embedding").bitwiseXOR(F.lit(qbits))
+    )
+    cand = (
+        emb.select("vec_id", "embedding", ham.alias("ham"))
+        .orderBy(F.col("ham").asc(), F.col("vec_id").asc())
+        .limit(cand_k)
+    )
+    rescored = cand.select(
+        "vec_id", dot_score_sql("embedding", q).alias("score")
+    )
+    return topk(rescored, k, id_col="vec_id")
+
+
 @register("ann_hamming_rerank_topk", _hamming_rerank_oracle())
 def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage BINARY-quantized search — the compression rung below
@@ -2033,27 +2073,8 @@ def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the embedding, so the oracle replays pack, Hamming
     ranking, and rerank exactly (both engines pack the identical 63
     bits — BIGINT is signed, bit 63 stays unpacked)."""
-    from hybrid_vector_search_spark.functions.vector import (
-        dot_score_sql,
-        sign_pack_column,
-        sign_pack_value,
-    )
-
-    q = query_vector(HAMMING_QSEED)
-    qbits = sign_pack_value(q)
     emb = load_table(spark, sf_dir, "embeddings")
-    ham = F.bit_count(
-        sign_pack_column("embedding").bitwiseXOR(F.lit(qbits))
-    )
-    cand = (
-        emb.select("vec_id", "embedding", ham.alias("ham"))
-        .orderBy(F.col("ham").asc(), F.col("vec_id").asc())
-        .limit(HAMMING_C)
-    )
-    rescored = cand.select(
-        "vec_id", dot_score_sql("embedding", q).alias("score")
-    )
-    return topk(rescored, ANN_IVF_K, id_col="vec_id").select(
+    return _hamming_rerank_plan(emb, HAMMING_QSEED).select(
         F.col("vec_id").alias("id"), F.round("score", 6).alias("score")
     )
 
@@ -2499,13 +2520,7 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash certified, which no recall number over a trained/
     stochastic index can be. ``side_effects``: the per-method top-K
     collects are driver-side set intersections (4 × K ids)."""
-    from hybrid_vector_search_spark.functions.vector import (
-        dot_score_sql,
-        quantize_int8_col,
-        sign_pack_column,
-        sign_pack_value,
-    )
-    import numpy as np
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
 
     q = query_vector(RECALL_EVAL_QSEED)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2522,12 +2537,12 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             ANN_IVF_K,
         )
     )
-    # IVF: fixed quantizer, standard probe
+    # each method runs the SAME seed-parameterized builder its
+    # registered query serves — the report cannot drift from the engine
     index = _ann_ivf_fixed_index(spark, sf_dir)
     ivf_ids = ids(
         index.search_plan(q, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE)[0]
     )
-    # LSH: stateless multi-probe
     from hybrid_vector_search_spark.operators import lsh as LSH
 
     lsh_ids = ids(
@@ -2535,52 +2550,11 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.withColumnRenamed("vec_id", "id"), q, k=ANN_IVF_K
         )[0]
     )
-    # Hamming: sign-pack prefilter → exact rerank
-    qbits = sign_pack_value(q)
-    ham = F.bit_count(
-        sign_pack_column("embedding").bitwiseXOR(F.lit(qbits))
-    )
-    ham_cand = (
-        emb.select("vec_id", "embedding", ham.alias("ham"))
-        .orderBy(F.col("ham").asc(), F.col("vec_id").asc())
-        .limit(HAMMING_C)
-    )
     ham_ids = ids(
-        topk(
-            ham_cand.select(
-                "vec_id", dot_score_sql("embedding", q).alias("score")
-            ),
-            ANN_IVF_K,
-            id_col="vec_id",
-        ),
-        col="vec_id",
-    )
-    # int8: integer prefilter → exact rerank (ann_int8_rerank_topk shape)
-    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
-    q8lit = F.array(*[F.lit(v).cast("long") for v in q8])
-    iscore = F.aggregate(
-        F.zip_with(
-            quantize_int8_col("embedding").cast("array<long>"),
-            q8lit,
-            lambda x, y: x * y,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    i8_cand = topk(
-        emb.select("vec_id", "embedding", iscore.alias("iscore")),
-        100,
-        score_col="iscore",
-        id_col="vec_id",
+        _hamming_rerank_plan(emb, RECALL_EVAL_QSEED), col="vec_id"
     )
     i8_ids = ids(
-        topk(
-            i8_cand.select(
-                "vec_id", dot_score_sql("embedding", q).alias("score")
-            ),
-            ANN_IVF_K,
-            id_col="vec_id",
-        ),
+        _int8_rerank_plan(emb, RECALL_EVAL_QSEED, cand_k=100, k=ANN_IVF_K),
         col="vec_id",
     )
 
@@ -7330,8 +7304,18 @@ def streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ANN_IVF_K,
         )
         if _os.path.isdir(state):
+            # dedup by id BEFORE the cut: the foreachBatch contract is
+            # at-least-once — a replayed micro-batch (crash between the
+            # state swap and the checkpoint commit) re-merges rows the
+            # view already holds, and without this a duplicate id would
+            # occupy two of the K slots and evict a legitimate row.
+            # max(score) == the score (deterministic per id), so the
+            # dedup is exact, and the merge becomes idempotent.
             cand = topk(
-                batch_df.sparkSession.read.parquet(state).unionByName(cand),
+                batch_df.sparkSession.read.parquet(state)
+                .unionByName(cand)
+                .groupBy("id")
+                .agg(F.max("score").alias("score")),
                 ANN_IVF_K,
             )
         stage = f"{state}.stage-{_uuid.uuid4().hex[:12]}"

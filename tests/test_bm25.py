@@ -163,3 +163,64 @@ def test_append_batch_file_growth_bounded_per_batch(spark, tmp_path):
     after = bucket_files()
     for b, n_files in after.items():
         assert n_files <= before.get(b, 0) + 1, (b, before, after)
+
+
+def test_append_crash_recovery_and_retry_safety(spark, tmp_path):
+    """The append commit protocol: a crash inside the commit window is
+    repaired by replay (no doubled postings), and a marker whose staged
+    batch is lost RAISES instead of exposing a half-appended index
+    (review r8 finding #3)."""
+    import json
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.operators import bm25 as M
+    from hybrid_vector_search_spark.operators.bm25 import (
+        append_postings_batch,
+        recover_pending_append,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "spark joins tables"), (1, "vector search")],
+        "id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "spark vector tables")], "id long, text string"
+    )
+    path = str(tmp_path / "crash")
+    build_postings_layout(base, path, n_buckets=4)
+
+    # simulate the crash: stage + marker written, commit never ran
+    real_commit = M._commit_append
+    captured = {}
+
+    def crashing_commit(p, info):
+        captured["info"] = info
+        raise RuntimeError("crash inside commit window")
+
+    M._commit_append = crashing_commit
+    try:
+        with pytest.raises(RuntimeError):
+            append_postings_batch(spark, path, batch)
+    finally:
+        M._commit_append = real_commit
+    assert os.path.exists(os.path.join(path, M._APPEND_PENDING))
+
+    # replay completes the append exactly once
+    assert recover_pending_append(spark, path)
+    full = str(tmp_path / "full")
+    build_postings_layout(base.unionByName(batch), full, n_buckets=4)
+    for terms in (["spark"], ["vector", "tables"]):
+        got = [(r["id"], r["score"]) for r in
+               bm25_topk_plan(spark, path, terms, k=10).collect()]
+        want = [(r["id"], r["score"]) for r in
+                bm25_topk_plan(spark, full, terms, k=10).collect()]
+        assert got == want, terms
+    assert not os.path.exists(os.path.join(path, M._APPEND_PENDING))
+
+    # marker with a LOST stage: readers and appenders refuse
+    with open(os.path.join(path, M._APPEND_PENDING), "w") as f:
+        json.dump({"stage": path + "_gone", "files": [], "meta": {}}, f)
+    with pytest.raises(ValidationError, match="missing"):
+        bm25_topk_plan(spark, path, ["spark"], k=5)
+    assert os.path.exists(os.path.join(path, M._APPEND_PENDING))
+    os.remove(os.path.join(path, M._APPEND_PENDING))

@@ -136,3 +136,40 @@ def test_histogram_estimate_still_bounded(spark):
         assert 1 <= est <= 100, filters
     # full-range between keeps ~everything
     assert estimate_allowed(st, {"v": {"between": [0.0, 99.0]}}) >= 95
+
+
+def test_notnull_applied_once_per_column():
+    """{'ge':…, 'le':…} must estimate like the equivalent
+    {'between': …} — the not-null fraction is a column property, not a
+    per-operator penalty (review r8 finding #4)."""
+    stats = {
+        "__table__": {"count": 1000},
+        "v": {"count": 1000, "nulls": 500, "ndv": 100, "min": 0, "max": 100},
+    }
+    two_ops = estimate_allowed(stats, {"v": {"ge": 0, "le": 100}})
+    between = estimate_allowed(stats, {"v": {"between": [0, 100]}})
+    assert two_ops == between == 500
+
+
+def test_geo_box_uses_histogram(spark):
+    """Geo ranges estimate through the histogram when one was collected
+    (review r8 finding #5): a skewed point cloud defeats the uniform
+    assumption."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+
+    # 950 points in one "city" (lat≈10), 50 spread to lat 90
+    rows = [(i, 10.0 + (i % 10) * 0.01, 5.0) for i in range(950)] + [
+        (1000 + i, 90.0 * (i + 1) / 50, 5.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, latitude double, longitude double")
+    st = collect_column_stats(
+        df, ["latitude", "longitude"], histogram_bins=20
+    )
+    true_n = df.filter("latitude >= 45").count()  # 25
+    est = estimate_allowed(
+        st, {"lat_between": [45.0, 95.0], "lon_between": [0.0, 10.0]}
+    )
+    # uniform would say ~half the lat span → ~500; histogram lands close
+    assert est <= 3 * true_n

@@ -316,3 +316,30 @@ def test_streaming_layout_drain_and_swap(spark, tmp_path):
     ).write.partitionBy("list_id").parquet(plain)
     with pytest.raises(ValidationError, match="_spark_metadata"):
         compact_streaming_layout(spark, plain, probe_root)
+
+
+def test_upsert_recovery_refuses_when_stage_lost(spark, layout):
+    """Marker present but staged batch GONE (scratch cleanup after the
+    crash): recovery must RAISE and keep the marker — completing it
+    would silently drop the batch's deletes wherever the overwrite
+    didn't land (review r8 finding #1)."""
+    import json
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.operators.ivf import (
+        _UPSERT_PENDING,
+        open_partitioned,
+    )
+
+    path, cents = layout
+    with open(os.path.join(path, _UPSERT_PENDING), "w") as f:
+        json.dump(
+            {"stage": path + "_gone_stage", "n_touched": 2, "emptied": [5]},
+            f,
+        )
+    with pytest.raises(ValidationError, match="missing"):
+        open_partitioned(spark, path)
+    # marker retained, emptied dir untouched: nothing silently committed
+    assert os.path.exists(os.path.join(path, _UPSERT_PENDING))
+    assert os.path.isdir(os.path.join(path, "list_id=5"))
+    os.remove(os.path.join(path, _UPSERT_PENDING))

@@ -570,8 +570,14 @@ def test_streaming_topk_view_incremental_across_batches(spark, tmp_path):
             K,
         )
         if os.path.isdir(state):
+            # dedup by id before the cut: foreachBatch is at-least-once,
+            # so a replayed batch must not occupy two view slots
+            # (registry streaming_topk_view does the same)
             cand = topk(
-                batch_df.sparkSession.read.parquet(state).unionByName(cand),
+                batch_df.sparkSession.read.parquet(state)
+                .unionByName(cand)
+                .groupBy("id")
+                .agg(F.max("score").alias("score")),
                 K,
             )
         stage = f"{state}.stage-{uuid.uuid4().hex[:8]}"
@@ -613,3 +619,17 @@ def test_streaming_topk_view_incremental_across_batches(spark, tmp_path):
     assert got == want and len(got) == K
     # incremental property: the view is ≤K rows on disk, not a log
     assert spark.read.parquet(state).count() == K
+
+    # at-least-once replay: re-merging an already-applied batch must
+    # leave the view IDENTICAL (no duplicate ids stealing slots)
+    last_batch = spark.read.parquet(land)
+    merge_batch(last_batch, 99)
+    replayed = [
+        (r["id"], round(r["score"], 6))
+        for r in spark.read.parquet(state)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .collect()
+    ]
+    assert replayed == want
+    ids_only = [i for i, _ in replayed]
+    assert len(ids_only) == len(set(ids_only)) == K
