@@ -639,20 +639,22 @@ def compact_partitions(
     spark: SparkSession,
     path: str,
     max_files_per_partition: int = 1,
+    partition_col: str = "list_id",
 ) -> dict[str, int]:
-    """Partition-local small-files compaction for a ``partitionBy
-    ("list_id")`` layout — the maintenance companion of the streaming
-    ingest (plans/registry.py streaming_ivf_ingest): every micro-batch
-    appends files per touched list, and read amplification creeps back
-    exactly the way the r6 layout bug demonstrated (file-opens, not
-    bytes, dominate pruned point reads).
+    """Partition-local small-files compaction for ANY hive-partitioned
+    parquet layout — IVF lists (``list_id``, the default), LSH/BM25
+    buckets (``partition_col="bucket"`` — each postings append adds one
+    file per touched bucket), or any other partitioned ingest target:
+    every append/micro-batch adds files per touched partition, and read
+    amplification creeps back exactly the way the r6 layout bug
+    demonstrated (file-opens, not bytes, dominate pruned point reads).
 
-    Lists at or under ``max_files_per_partition`` are NOT touched —
-    compaction cost is O(oversized lists), and healthy partitions stay
-    byte-identical (no churn for downstream caches or object-store
-    versioning). Oversized lists are rewritten through scratch staging +
-    dynamic partition overwrite with ``maxRecordsPerFile`` unset and one
-    task per list, yielding one file each. Returns
+    Partitions at or under ``max_files_per_partition`` are NOT touched —
+    compaction cost is O(oversized partitions), and healthy partitions
+    stay byte-identical (no churn for downstream caches or object-store
+    versioning). Oversized partitions are rewritten through scratch
+    staging + dynamic partition overwrite with ``maxRecordsPerFile``
+    unset and one task per partition, yielding one file each. Returns
     ``{"compacted_lists": n, "files_before": a, "files_after": b}``."""
     import os
 
@@ -677,9 +679,9 @@ def compact_partitions(
             "Drain to a new layout or use a transactional table format."
         )
     part_dirs = {
-        int(name.split("=", 1)[1]): os.path.join(path, name)
+        name.split("=", 1)[1]: os.path.join(path, name)
         for name in os.listdir(path)
-        if name.startswith("list_id=")
+        if name.startswith(f"{partition_col}=")
     }
     files_before = {li: len(_files(d)) for li, d in part_dirs.items()}
     oversized = sorted(
@@ -695,19 +697,23 @@ def compact_partitions(
         }
     layout = spark.read.parquet(path)
     stage = scratch_path("ivf_compact_stage")
-    layout.filter(F.col("list_id").isin(oversized)).repartition(
-        len(oversized), "list_id"
-    ).write.mode("overwrite").parquet(stage)
+    layout.filter(
+        F.col(partition_col).cast("string").isin(oversized)
+    ).repartition(len(oversized), partition_col).write.mode(
+        "overwrite"
+    ).parquet(stage)
     # re-shuffle the staged READ by list_id: a staged file larger than
     # maxPartitionBytes splits at row-group boundaries on read-back, and
     # each split would otherwise become its own final file — violating
     # the one-file-per-list contract for exactly the oversized lists the
     # compactor exists to fix (ADVICE r7 #3)
     staged = spark.read.parquet(stage).repartition(
-        len(oversized), "list_id"
+        len(oversized), partition_col
     )
     with _dynamic_overwrite(spark):
-        staged.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            path
+        )
     files_after = {li: len(_files(d)) for li, d in part_dirs.items()}
     return {
         "compacted_lists": len(oversized),

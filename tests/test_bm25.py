@@ -224,3 +224,47 @@ def test_append_crash_recovery_and_retry_safety(spark, tmp_path):
         bm25_topk_plan(spark, path, ["spark"], k=5)
     assert os.path.exists(os.path.join(path, M._APPEND_PENDING))
     os.remove(os.path.join(path, M._APPEND_PENDING))
+
+
+def test_bucket_compaction_after_appends(spark, tmp_path):
+    """compact_partitions generalizes to the postings layout: appends
+    fragment the term buckets (one file per batch per touched bucket);
+    compacting on partition_col='bucket' restores one file per bucket
+    with identical rows and identical query results."""
+    from hybrid_vector_search_spark.operators.bm25 import (
+        append_postings_batch,
+    )
+    from hybrid_vector_search_spark.operators.ivf import compact_partitions
+
+    docs = spark.createDataFrame(
+        [(i, f"spark common w{i}") for i in range(4)], "id long, text string"
+    )
+    path = str(tmp_path / "cmp")
+    build_postings_layout(docs, path, n_buckets=4)
+    for b in range(3):
+        append_postings_batch(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100 + 10 * b + j, f"common extra x{b}") for j in range(2)],
+                "id long, text string",
+            ),
+        )
+    pdir = os.path.join(path, "postings")
+
+    def max_files():
+        return max(
+            sum(1 for f in os.listdir(e.path) if f.endswith(".parquet"))
+            for e in os.scandir(pdir)
+            if e.name.startswith("bucket=")
+        )
+
+    assert max_files() > 1  # fragmented by the appends
+    before = [(r["id"], r["score"]) for r in
+              bm25_topk_plan(spark, path, ["common"], k=20).collect()]
+    stats = compact_partitions(spark, pdir, partition_col="bucket")
+    assert stats["compacted_lists"] >= 1
+    assert max_files() == 1
+    after = [(r["id"], r["score"]) for r in
+             bm25_topk_plan(spark, path, ["common"], k=20).collect()]
+    assert after == before
