@@ -2571,6 +2571,94 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method STRING, recall DOUBLE")
 
 
+NPROBE_SWEEP = (1, 2, 4, 8, 16)
+NPROBE_SWEEP_QSEED = 73
+
+
+def _nprobe_sweep_oracle() -> str:
+    """Replays the recall-vs-nprobe trade-off curve: for each nprobe the
+    probed list set is a compile-time constant (seeded centroids ×
+    seeded query), so each sweep point's candidate set, top-10, and
+    exact-intersection recall are all SQL-derivable."""
+    import numpy as np
+
+    q = query_vector(NPROBE_SWEEP_QSEED)
+    qlit = sql_array_literal(q)
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    scores = _ann_ivf_centroids() @ np.asarray(q, dtype=np.float64)
+    order = np.argsort(-scores, kind="stable")
+    head = f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings)),
+exact_t AS (
+  SELECT id FROM assigned
+  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
+    parts = []
+    for nprobe in NPROBE_SWEEP:
+        probed = ", ".join(
+            str(int(i)) for i in sorted(order[:nprobe])
+        )
+        parts.append(
+            f"""(SELECT {nprobe} AS nprobe, ROUND((
+  SELECT COUNT(*) FROM (
+    SELECT id FROM assigned WHERE list_id IN ({probed})
+    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
+  ) / {ANN_IVF_K}.0, 6) AS recall)"""
+        )
+    return (
+        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY nprobe"
+    )
+
+
+@register(
+    "metrics_ivf_nprobe_sweep", _nprobe_sweep_oracle(), side_effects=True
+)
+def metrics_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-work TRADE-OFF CURVE — the relationship the
+    reference's whole evaluation harness exists to plot (recall against
+    nprobe/latency per strategy, src/eval/*): recall@10 vs the exact
+    scan at every rung of an nprobe sweep over the fixed-quantizer IVF
+    index. Monotone non-decreasing by construction (a superset of
+    probed lists can only add candidates) and ending at the full-probe
+    rung's exact-equality when every list is probed; each sweep point's
+    probe set is a pure function of (centroids, seed), so the oracle
+    replays the ENTIRE curve. This is the artifact an operator reads to
+    pick nprobe for a recall SLO — the engine's answer to "how much
+    work buys how much recall"."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+
+    q = query_vector(NPROBE_SWEEP_QSEED)
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    exact = {
+        int(r["id"])
+        for r in topk(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                dot_score_sql("embedding", q).alias("score"),
+            ),
+            ANN_IVF_K,
+        ).collect()
+    }
+    rows = []
+    for nprobe in NPROBE_SWEEP:
+        got = {
+            int(r["id"])
+            for r in index.search_plan(q, k=ANN_IVF_K, nprobe=nprobe)[
+                0
+            ].collect()
+        }
+        rows.append(
+            (nprobe, round(len(got & exact) / float(ANN_IVF_K), 6))
+        )
+    return spark.createDataFrame(rows, "nprobe LONG, recall DOUBLE")
+
+
 def _rrf_oracle(qseed: int = RRF_QSEED, terms_t: tuple = RRF_TERMS) -> str:
     qlit = sql_array_literal(query_vector(qseed))
     terms = ", ".join(f"'{t}'" for t in terms_t)
