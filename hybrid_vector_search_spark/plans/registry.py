@@ -2659,6 +2659,112 @@ def metrics_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "nprobe LONG, recall DOUBLE")
 
 
+LSH_SWEEP_RADII = (0, 1, 2, 3)
+LSH_SWEEP_QSEED = 79
+
+
+def _lsh_radius_sweep_oracle() -> str:
+    """Replays the LSH recall-vs-work curve: per probe radius, the
+    probe-bucket set is a compile-time constant, so both measures —
+    recall@10 against the exact scan AND the candidate count the probe
+    actually scans (the work axis) — derive in SQL."""
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    q = query_vector(LSH_SWEEP_QSEED)
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    qlit = sql_array_literal(q)
+    bucket = LSH.bucket_sql_expr(planes)
+    head = f"""WITH bucketed AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings),
+exact_t AS (
+  SELECT id FROM bucketed
+  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
+    parts = []
+    for r in LSH_SWEEP_RADII:
+        probes = ", ".join(
+            str(b) for b in LSH.probe_set(q, planes, probe_hamming=r)
+        )
+        parts.append(
+            f"""(SELECT {r} AS radius,
+  (SELECT COUNT(*) FROM bucketed WHERE bucket IN ({probes}))
+    AS candidates,
+  ROUND((SELECT COUNT(*) FROM (
+    SELECT id FROM bucketed WHERE bucket IN ({probes})
+    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
+  ) / {ANN_IVF_K}.0, 6) AS recall)"""
+        )
+    return (
+        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY radius"
+    )
+
+
+@register(
+    "metrics_lsh_radius_sweep",
+    _lsh_radius_sweep_oracle(),
+    side_effects=True,
+)
+def metrics_lsh_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH trade-off curve with BOTH axes measured: per multi-probe
+    Hamming radius, recall@10 against the exact scan AND the candidate
+    count the probe scans — recall is what you buy, candidates are what
+    you pay (bytes read ∝ probed buckets), and the radius is the knob.
+    At radius = nbits every bucket is probed, so the curve ends at
+    recall 1.0 with candidates = N — the built-in sanity anchor. Each
+    radius's probe set is a pure function of (hyperplanes, seed), so
+    the oracle replays the whole curve, work column included —
+    the companion of metrics_ivf_nprobe_sweep on the stateless-index
+    family."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    q = query_vector(LSH_SWEEP_QSEED)
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    bucketed = emb.withColumn(
+        "bucket", LSH.bucket_udf(planes)(F.col("embedding"))
+    ).cache()
+    try:
+        exact = {
+            int(r["id"])
+            for r in topk(
+                bucketed.select(
+                    "id", dot_score_sql("embedding", q).alias("score")
+                ),
+                ANN_IVF_K,
+            ).collect()
+        }
+        rows = []
+        for radius in LSH_SWEEP_RADII:
+            probes = LSH.probe_set(q, planes, probe_hamming=radius)
+            pruned = bucketed.filter(F.col("bucket").isin(probes))
+            n_cand = pruned.count()
+            got = {
+                int(r["id"])
+                for r in topk(
+                    pruned.select(
+                        "id", dot_score_sql("embedding", q).alias("score")
+                    ),
+                    ANN_IVF_K,
+                ).collect()
+            }
+            rows.append(
+                (
+                    radius,
+                    n_cand,
+                    round(len(got & exact) / float(ANN_IVF_K), 6),
+                )
+            )
+    finally:
+        bucketed.unpersist()
+    return spark.createDataFrame(
+        rows, "radius LONG, candidates LONG, recall DOUBLE"
+    )
+
+
 def _rrf_oracle(qseed: int = RRF_QSEED, terms_t: tuple = RRF_TERMS) -> str:
     qlit = sql_array_literal(query_vector(qseed))
     terms = ", ".join(f"'{t}'" for t in terms_t)

@@ -47,6 +47,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "corpus_column_stats",
         "metrics_recall_by_method",
         "metrics_ivf_nprobe_sweep",
+        "metrics_lsh_radius_sweep",
         "ann_ivf_upsert_topk",
     }
     for name, fn in registry.QUERIES.items():
