@@ -2659,6 +2659,84 @@ def metrics_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "nprobe LONG, recall DOUBLE")
 
 
+HAMMING_SWEEP_C = (10, 25, 50, 100, 200)
+HAMMING_SWEEP_QSEED = 83
+
+
+def _hamming_c_sweep_oracle() -> str:
+    """Replays the Hamming rerank's candidate-budget curve: per C, the
+    prefilter keeps the C nearest sign-codes (bit_count ties broken by
+    id), the exact rerank keeps top-10, and recall vs the exact scan is
+    derived — all from the same deterministic pack."""
+    from hybrid_vector_search_spark.functions.vector import (
+        sign_pack_sql,
+        sign_pack_value,
+    )
+
+    q = query_vector(HAMMING_SWEEP_QSEED)
+    qbits = sign_pack_value(q)
+    qlit = sql_array_literal(q)
+    head = f"""WITH packed AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+         {sign_pack_sql('embedding')} AS pk
+  FROM embeddings),
+exact_t AS (
+  SELECT id FROM packed
+  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
+    parts = []
+    for c in HAMMING_SWEEP_C:
+        parts.append(
+            f"""(SELECT {c} AS cand_k, ROUND((SELECT COUNT(*) FROM (
+    SELECT id FROM (
+      SELECT id, e FROM packed
+      ORDER BY bit_count(xor(pk, {qbits}::BIGINT)) ASC, id ASC
+      LIMIT {c}) cand
+    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
+  ) / {ANN_IVF_K}.0, 6) AS recall)"""
+        )
+    return (
+        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY cand_k"
+    )
+
+
+@register(
+    "metrics_hamming_c_sweep", _hamming_c_sweep_oracle(), side_effects=True
+)
+def metrics_hamming_c_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third trade-off curve, completing the triptych across every
+    prefilter family (IVF: nprobe, LSH: probe radius, binary: candidate
+    budget C): recall@10 of the sign-pack Hamming rerank per candidate
+    budget. C is the knob that prices the exact-rerank stage — recall
+    is monotone in C by construction (a larger candidate superset can
+    only improve the reranked top-K) — and every point replays in SQL
+    because the pack is a pure function of the embedding."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+
+    q = query_vector(HAMMING_SWEEP_QSEED)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        int(r["vec_id"])
+        for r in topk(
+            emb.select(
+                "vec_id", dot_score_sql("embedding", q).alias("score")
+            ),
+            ANN_IVF_K,
+            id_col="vec_id",
+        ).collect()
+    }
+    rows = []
+    for c in HAMMING_SWEEP_C:
+        got = {
+            int(r["vec_id"])
+            for r in _hamming_rerank_plan(
+                emb, HAMMING_SWEEP_QSEED, cand_k=c, k=ANN_IVF_K
+            ).collect()
+        }
+        rows.append((c, round(len(got & exact) / float(ANN_IVF_K), 6)))
+    return spark.createDataFrame(rows, "cand_k LONG, recall DOUBLE")
+
+
 LSH_SWEEP_RADII = (0, 1, 2, 3)
 LSH_SWEEP_QSEED = 79
 

@@ -48,6 +48,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "metrics_recall_by_method",
         "metrics_ivf_nprobe_sweep",
         "metrics_lsh_radius_sweep",
+        "metrics_hamming_c_sweep",
         "ann_ivf_upsert_topk",
     }
     for name, fn in registry.QUERIES.items():
