@@ -118,3 +118,30 @@ def test_corpus_meta_sidecar_roundtrip(spark, tmp_path):
     )
     p2 = str(tmp_path / "raw.meta.json")
     assert write_corpus_meta(raw, p2)["normalized"] is False
+
+
+def test_embedded_corpus_real_model_parity(spark, raw_json):
+    """REAL-MODEL branch of embed_text_udf (reference U1 — the runtime
+    SentenceTransformer encode the sandbox cannot run): skipped unless
+    sentence_transformers is importable, mirroring the PIL codec-parity
+    gate in test_multimodal.py. Asserts the real branch honors the same
+    contract the stub is hash-certified under: 384-d float32 unit-norm
+    vectors, identical schema, deterministic across invocations —
+    so swapping stub → model changes VALUES only, never plumbing."""
+    pytest.importorskip("sentence_transformers")
+
+    df = etl.ingest_business_json(spark, raw_json, drop_name=False)
+    # no allow_stub: with the library present this takes the model path;
+    # without it this line would raise, but importorskip already gated
+    out = etl.build_embedded_corpus(df, dim=384)
+    schema = dict(out.dtypes)
+    assert schema["embedding"] == "array<float>"
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r.embedding) == 384
+        assert abs(float(np.linalg.norm(r.embedding)) - 1.0) < 1e-3
+    again = out.collect()
+    assert {r.id: tuple(r.embedding) for r in rows} == {
+        r.id: tuple(r.embedding) for r in again
+    }
