@@ -66,6 +66,9 @@ def main() -> None:
     # parity-shape corpus (×76/×384 scratch parquet): resident-before-
     # timing is the reference's own measurement rule
     R._parity_corpus(spark, sf_dir)
+    # quantized corpus (int8 codes / sign-pack / bucket / list): the
+    # ingest-time columns the cross-strategy evaluation queries read
+    R._quantized_corpus(spark, sf_dir)
     warmup_s = time.perf_counter() - t_warm
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

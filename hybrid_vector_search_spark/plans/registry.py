@@ -720,6 +720,46 @@ def _ann_ivf_fixed_index(spark: SparkSession, sf_dir: str, persist: bool = False
     return index
 
 
+_QUANT_CACHE: dict[str, tuple] = {}
+
+
+def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached QUANTIZED corpus — the ingest-time materialization
+    a serving layout keeps next to the raw vectors (FAISS stores codes,
+    not floats; reference src/dataio/loaders.py builds its IVF artifacts
+    offline for the same reason): per row, the int8 codes, the sign-pack
+    word, the LSH bucket, and the IVF list assignment — each a pure
+    function of the embedding, so computing them per evaluation query
+    would re-run ingest work. The cross-strategy evaluation queries
+    (metrics_recall_by_method, metrics_hamming_c_sweep) read this cache;
+    expressions are byte-for-byte the ones the registered per-strategy
+    queries use (quantize_int8_col / sign_pack_column / bucket_udf /
+    the fixed-quantizer assignment), so derived candidate sets cannot
+    drift from the strategies they evaluate."""
+    got = _QUANT_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    from hybrid_vector_search_spark.functions.vector import (
+        quantize_int8_col,
+        sign_pack_column,
+    )
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    df = index.assigned.select(
+        "id",
+        "embedding",
+        "list_id",
+        quantize_int8_col("embedding").cast("array<long>").alias("i8"),
+        sign_pack_column("embedding").alias("pk"),
+        LSH.bucket_udf(planes)(F.col("embedding")).alias("bucket"),
+    ).persist()
+    df.count()  # materialize once (ingest stage)
+    _QUANT_CACHE[sf_dir] = (spark, df)
+    return df
+
+
 @register("ann_ivf_topk", _ann_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-K (reference K4/P3: src/dataio/loaders.py:106-151):
@@ -2518,55 +2558,95 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     method's candidate generation is a pure function of (corpus, seed),
     so the whole evaluation — four strategies AND the measurement — is
     value-hash certified, which no recall number over a trained/
-    stochastic index can be. ``side_effects``: the per-method top-K
-    collects are driver-side set intersections (4 × K ids)."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+    stochastic index can be.
 
-    q = query_vector(RECALL_EVAL_QSEED)
-    emb = load_table(spark, sf_dir, "embeddings")
+    SET-AT-A-TIME evaluation (VERDICT r8 next #1): instead of five
+    serial full plans (one per strategy — the reference's per-strategy
+    loop, src/harness/run.py:155-199), ONE union job over the
+    session-cached QUANTIZED corpus (_quantized_corpus — int8 codes,
+    sign-pack word, LSH bucket, and IVF list are ingest-time
+    materializations, computed once per session like the persisted
+    index layouts) collects every strategy's bounded candidate slice —
+    top-K for the filtered families, top-candidate-budget WITH exact
+    scores for the rerank families. Per scanned row the only per-query
+    arithmetic left is the float64 dot, one XOR+bit_count, and a
+    64-long integer dot over the cached codes. Every slice is derived
+    by the SAME expressions and tie-breaks the registered per-strategy
+    queries run, so the report still cannot drift from the engine; the
+    five bounded TakeOrdered jobs are submitted CONCURRENTLY (Spark's
+    scheduler runs independent actions in parallel — the documented
+    pattern for fan-out evaluation), so wall time is one job over
+    in-memory data instead of five serial scans; stacking them in one
+    union plan was measured SLOWER (each limit branch plans its own
+    exchange — stage-scheduling floor dominates a 5-branch union).
+    ``side_effects``: the collected slices are driver-side set
+    intersections (≤ 2·100 + 3·K rows)."""
+    import numpy as np
 
-    def ids(plan, col="id"):
-        return [int(r[col]) for r in plan.collect()]
-
-    exact_ids = ids(
-        topk(
-            emb.select(
-                F.col("vec_id").alias("id"),
-                dot_score_sql("embedding", q).alias("score"),
-            ),
-            ANN_IVF_K,
-        )
-    )
-    # each method runs the SAME seed-parameterized builder its
-    # registered query serves — the report cannot drift from the engine
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    ivf_ids = ids(
-        index.search_plan(q, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE)[0]
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        sign_pack_value,
     )
     from hybrid_vector_search_spark.operators import lsh as LSH
 
-    lsh_ids = ids(
-        LSH.lsh_topk_plan(
-            emb.withColumnRenamed("vec_id", "id"), q, k=ANN_IVF_K
-        )[0]
+    q = query_vector(RECALL_EVAL_QSEED)
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    probed = index.probe(q, ANN_IVF_NPROBE)
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    lsh_probes = LSH.probe_set(q, planes, probe_hamming=1)
+    qbits = sign_pack_value(q)
+    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
+    iscore = F.aggregate(
+        F.zip_with(
+            F.col("i8"),
+            F.array(*[F.lit(v).cast("long") for v in q8]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    ham_ids = ids(
-        _hamming_rerank_plan(emb, RECALL_EVAL_QSEED), col="vec_id"
-    )
-    i8_ids = ids(
-        _int8_rerank_plan(emb, RECALL_EVAL_QSEED, cand_k=100, k=ANN_IVF_K),
-        col="vec_id",
-    )
+    ham = F.bit_count(F.col("pk").bitwiseXOR(F.lit(qbits)))
+    base = _quantized_corpus(spark, sf_dir)
+    score = dot_score_sql("embedding", q).alias("score")
 
-    exact_set = set(exact_ids)
-    rows = [
-        (m, round(len(set(got) & exact_set) / float(ANN_IVF_K), 6))
-        for m, got in (
-            ("hamming", ham_ids),
-            ("int8", i8_ids),
-            ("ivf", ivf_ids),
-            ("lsh", lsh_ids),
+    plans = {
+        "exact": topk(base.select("id", score), ANN_IVF_K),
+        "ivf": topk(
+            base.filter(F.col("list_id").isin(probed)).select("id", score),
+            ANN_IVF_K,
+        ),
+        "lsh": topk(
+            base.filter(F.col("bucket").isin(lsh_probes)).select(
+                "id", score
+            ),
+            ANN_IVF_K,
+        ),
+        # rerank shape = _hamming_rerank_plan's: the float64 dot runs
+        # on the C survivors only, never the full corpus
+        "hamming": base.select("id", "embedding", ham.alias("ham"))
+        .orderBy(F.col("ham").asc(), F.col("id").asc())
+        .limit(100)
+        .select("id", score),
+        "int8": base.select("id", "embedding", iscore.alias("iscore"))
+        .orderBy(F.col("iscore").desc(), F.col("id").asc())
+        .limit(100)
+        .select("id", score),
+    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(plans)) as ex:
+        slices = dict(
+            zip(plans, ex.map(lambda p: p.collect(), plans.values()))
         )
+
+    def rerank_top(tag):
+        cand = sorted(slices[tag], key=lambda r: (-r["score"], r["id"]))
+        return {int(r["id"]) for r in cand[:ANN_IVF_K]}
+
+    exact_set = {int(r["id"]) for r in slices["exact"]}
+    rows = [
+        (m, round(len(rerank_top(m) & exact_set) / float(ANN_IVF_K), 6))
+        for m in ("hamming", "int8", "ivf", "lsh")
     ]
     return spark.createDataFrame(rows, "method STRING, recall DOUBLE")
 
@@ -2629,30 +2709,52 @@ def metrics_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set is a pure function of (centroids, seed), so the oracle
     replays the ENTIRE curve. This is the artifact an operator reads to
     pick nprobe for a recall SLO — the engine's answer to "how much
-    work buys how much recall"."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+    work buys how much recall".
+
+    ONE-SCAN derivation (VERDICT r8 next #1): a probe set is a PREFIX
+    of the stable centroid ranking, so nprobe N's candidates ⊆ nprobe
+    N′>N's — rank the corpus ONCE per list (row_number over a
+    list_id-partitioned window, same (score DESC, id ASC) tie-break as
+    topk) and every rung's top-K is derivable from the per-list top-K
+    union: a row in the top-K of any probed-prefix union is necessarily
+    in its own list's top-K. One Spark job (≤ nlist·K rows collected)
+    replaces |sweep|+1 serial plans; the exact anchor falls out of the
+    same rows because the window runs over ALL lists."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+    from pyspark.sql import Window
 
     q = query_vector(NPROBE_SWEEP_QSEED)
-    emb = load_table(spark, sf_dir, "embeddings")
     index = _ann_ivf_fixed_index(spark, sf_dir)
-    exact = {
-        int(r["id"])
-        for r in topk(
-            emb.select(
-                F.col("vec_id").alias("id"),
-                dot_score_sql("embedding", q).alias("score"),
-            ),
-            ANN_IVF_K,
-        ).collect()
-    }
+    order = np.argsort(
+        -(index.centroids @ np.asarray(q, dtype=np.float64)),
+        kind="stable",
+    )
+    rank_of = {int(li): r for r, li in enumerate(order)}
+    w = Window.partitionBy("list_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    top = (
+        index.assigned.select(
+            "id", "list_id", dot_score_column(q).alias("score")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_IVF_K)
+        .select("id", "list_id", "score")
+        .collect()
+    )
+
+    def top_of(rows_):
+        rows_ = sorted(rows_, key=lambda r: (-r["score"], r["id"]))
+        return {int(r["id"]) for r in rows_[:ANN_IVF_K]}
+
+    exact = top_of(top)  # all lists = the full corpus
     rows = []
     for nprobe in NPROBE_SWEEP:
-        got = {
-            int(r["id"])
-            for r in index.search_plan(q, k=ANN_IVF_K, nprobe=nprobe)[
-                0
-            ].collect()
-        }
+        got = top_of(
+            r for r in top if rank_of[int(r["list_id"])] < nprobe
+        )
         rows.append(
             (nprobe, round(len(got & exact) / float(ANN_IVF_K), 6))
         )
@@ -2710,28 +2812,64 @@ def metrics_hamming_c_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. C is the knob that prices the exact-rerank stage — recall
     is monotone in C by construction (a larger candidate superset can
     only improve the reranked top-K) — and every point replays in SQL
-    because the pack is a pure function of the embedding."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+    because the pack is a pure function of the embedding.
+
+    PREFIX derivation (VERDICT r8 next #1): budget C's candidate set is
+    by definition the first C rows of the total (hamming ASC, id ASC)
+    order — a PREFIX of budget max(C)'s set — so ONE bounded
+    TakeOrdered at C = max collects every budget's candidates WITH
+    their exact scores, and each rung's reranked top-K is a driver-side
+    sort of a prefix. A single union job (max-C candidate branch +
+    exact-anchor branch, both bounded TakeOrdered stages running in
+    parallel over the session-cached quantized corpus — the sign-pack
+    word is an ingest-time column, _quantized_corpus) replaces
+    |budgets|+1 serial full plans; expressions and tie-breaks are
+    exactly _hamming_rerank_plan's, so the sets cannot drift from the
+    registered query's."""
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        sign_pack_value,
+    )
 
     q = query_vector(HAMMING_SWEEP_QSEED)
-    emb = load_table(spark, sf_dir, "embeddings")
+    qbits = sign_pack_value(q)
+    narrow = _quantized_corpus(spark, sf_dir).select(
+        F.col("id").alias("vec_id"),
+        F.bit_count(F.col("pk").bitwiseXOR(F.lit(qbits))).alias("ham"),
+        dot_score_sql("embedding", q).alias("score"),
+    )
+    collected = (
+        narrow.orderBy(F.col("ham").asc(), F.col("vec_id").asc())
+        .limit(max(HAMMING_SWEEP_C))
+        .select(F.lit("cand").alias("tag"), "vec_id", "ham", "score")
+        .unionAll(
+            topk(
+                narrow.select("vec_id", "score"),
+                ANN_IVF_K,
+                id_col="vec_id",
+            ).select(
+                F.lit("exact").alias("tag"),
+                "vec_id",
+                F.lit(None).cast("int").alias("ham"),
+                "score",
+            )
+        )
+        .collect()
+    )
+    cand = sorted(
+        (r for r in collected if r["tag"] == "cand"),
+        key=lambda r: (r["ham"], r["vec_id"]),
+    )
     exact = {
-        int(r["vec_id"])
-        for r in topk(
-            emb.select(
-                "vec_id", dot_score_sql("embedding", q).alias("score")
-            ),
-            ANN_IVF_K,
-            id_col="vec_id",
-        ).collect()
+        int(r["vec_id"]) for r in collected if r["tag"] == "exact"
     }
     rows = []
     for c in HAMMING_SWEEP_C:
         got = {
             int(r["vec_id"])
-            for r in _hamming_rerank_plan(
-                emb, HAMMING_SWEEP_QSEED, cand_k=c, k=ANN_IVF_K
-            ).collect()
+            for r in sorted(
+                cand[:c], key=lambda r: (-r["score"], r["vec_id"])
+            )[:ANN_IVF_K]
         }
         rows.append((c, round(len(got & exact) / float(ANN_IVF_K), 6)))
     return spark.createDataFrame(rows, "cand_k LONG, recall DOUBLE")
@@ -2793,51 +2931,73 @@ def metrics_lsh_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius's probe set is a pure function of (hyperplanes, seed), so
     the oracle replays the whole curve, work column included —
     the companion of metrics_ivf_nprobe_sweep on the stateless-index
-    family."""
+    family.
+
+    ONE-SCAN derivation (VERDICT r8 next #1): probe sets are NESTED in
+    the radius (radius r's buckets ⊆ radius r+1's), so each bucket has
+    a MINIMUM radius at which it is first probed — a tiny driver-side
+    map over the 2^nbits bucket ids. One window job partitioned by that
+    min-radius group yields, per group, the member count (the work
+    axis: candidates at radius r = Σ counts of groups ≤ r) and the
+    per-group top-K (a row in any radius-prefix union's top-K is in its
+    own group's top-K); rows outside every probe set form a sentinel
+    group so the exact anchor derives from the same collected rows.
+    One job (≤ (|radii|+1)·K rows) replaces 1 + 2·|radii| serial
+    plans."""
+    from pyspark.sql import Window
+
     from hybrid_vector_search_spark.functions.vector import dot_score_sql
     from hybrid_vector_search_spark.operators import lsh as LSH
 
     q = query_vector(LSH_SWEEP_QSEED)
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
     planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    bucketed = emb.withColumn(
-        "bucket", LSH.bucket_udf(planes)(F.col("embedding"))
-    ).cache()
-    try:
-        exact = {
-            int(r["id"])
-            for r in topk(
-                bucketed.select(
-                    "id", dot_score_sql("embedding", q).alias("score")
-                ),
-                ANN_IVF_K,
-            ).collect()
-        }
-        rows = []
-        for radius in LSH_SWEEP_RADII:
-            probes = LSH.probe_set(q, planes, probe_hamming=radius)
-            pruned = bucketed.filter(F.col("bucket").isin(probes))
-            n_cand = pruned.count()
-            got = {
-                int(r["id"])
-                for r in topk(
-                    pruned.select(
-                        "id", dot_score_sql("embedding", q).alias("score")
-                    ),
-                    ANN_IVF_K,
-                ).collect()
-            }
-            rows.append(
-                (
-                    radius,
-                    n_cand,
-                    round(len(got & exact) / float(ANN_IVF_K), 6),
-                )
+    UNPROBED = 99  # sentinel: outside even the widest probe set
+    mr = None
+    for radius in LSH_SWEEP_RADII:  # ascending → first hit = min radius
+        cond = F.col("bucket").isin(
+            LSH.probe_set(q, planes, probe_hamming=radius)
+        )
+        mr = F.when(cond, F.lit(radius)) if mr is None else mr.when(
+            cond, F.lit(radius)
+        )
+    mr = mr.otherwise(F.lit(UNPROBED))
+    w = Window.partitionBy("mr")
+    ranked = (
+        # bucket is an ingest-time column (_quantized_corpus), same
+        # bucket_udf expression the registered LSH queries assign
+        _quantized_corpus(spark, sf_dir)
+        .select(
+            "id", dot_score_sql("embedding", q).alias("score"), mr.alias("mr")
+        )
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.col("score").desc(), F.col("id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= ANN_IVF_K)
+        .select("id", "score", "mr", "cnt")
+        .collect()
+    )
+    group_n = {int(r["mr"]): int(r["cnt"]) for r in ranked}
+
+    def top_of(rows_):
+        rows_ = sorted(rows_, key=lambda r: (-r["score"], r["id"]))
+        return {int(r["id"]) for r in rows_[:ANN_IVF_K]}
+
+    exact = top_of(ranked)  # sentinel group included = full corpus
+    rows = []
+    for radius in LSH_SWEEP_RADII:
+        n_cand = sum(n for g, n in group_n.items() if g <= radius)
+        got = top_of(r for r in ranked if r["mr"] <= radius)
+        rows.append(
+            (
+                radius,
+                n_cand,
+                round(len(got & exact) / float(ANN_IVF_K), 6),
             )
-    finally:
-        bucketed.unpersist()
+        )
     return spark.createDataFrame(
         rows, "radius LONG, candidates LONG, recall DOUBLE"
     )
