@@ -5725,6 +5725,188 @@ def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHOICE_CASES = (
+    # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
+    # nlist = N/4 → pre_filter (score the few allowed rows exactly)
+    ("strict", 53, {"label": {"eq": 7}, "lang": {"eq": "zh"}}),
+    # broad ne: est ≈ N·(1 − 1/ndv_lang) = 0.8N » N/4 → post_filter
+    # (probing nprobe/nlist of the corpus beats scoring 80% of it)
+    ("broad", 59, {"lang": {"ne": "zh"}}),
+)
+_CHOICE_K = 10
+
+
+def _strategy_costed_choice_oracle() -> str:
+    """Replays the WHOLE planner decision per case: the column
+    statistics (exact ndv mode — ANSI-replayable), the System-R
+    estimate with the engine's multiplication order and half-up
+    rounding, the integer decision rule est·nlist < n·nprobe, and THEN
+    the chosen strategy's answer — the pre_filter branch as the exact
+    scan over the allowed set, the post_filter branch as the costed
+    ladder replay (entry clamp from the ESTIMATE, survivor stop rule
+    over the true predicate). Both branches are computed for each case
+    and the decision column selects which branch emits rows, so a wrong
+    Spark-side choice hash-mismatches even when both strategies would
+    return the same ids."""
+    from pyspark.sql import types as T
+
+    k = _CHOICE_K
+    safety = _PF_COSTED_SAFETY
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    head = f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
+stats AS (SELECT
+  (SELECT count(*) FROM corpus) AS n,
+  (SELECT count(label) FROM corpus) AS nn_label,
+  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
+  (SELECT count(lang) FROM corpus) AS nn_lang,
+  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang)"""
+    # per-case estimator replay — mirrors functions/colstats.py
+    # estimate_allowed's multiplication order ((1.0 * A) * B, half-up)
+    sel_sql = {
+        "strict": (
+            "((1.0 * ((1.0 / GREATEST(ndv_label, 1))"
+            " * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))"
+            " * ((1.0 / GREATEST(ndv_lang, 1))"
+            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
+        ),
+        "broad": (
+            "(1.0 * ((1.0 - 1.0 / GREATEST(ndv_lang, 1))"
+            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
+        ),
+    }
+    ctes, selects = [head], []
+    for qcase, seed, filters in _CHOICE_CASES:
+        qlit = sql_array_literal(query_vector(seed))
+        where = filters_to_sql(schema, filters)
+        probed = ", ".join(str(i) for i in _ann_ivf_probed(seed))
+        ctes.append(
+            f"""est_{qcase} AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
+    n * {sel_sql[qcase]} + 0.5) AS BIGINT))) AS est FROM stats),
+ch_{qcase} AS (SELECT est,
+  CASE WHEN est * {ANN_IVF_NLIST} < n * {ANN_IVF_NPROBE}
+       THEN 'pre_filter' ELSE 'post_filter' END AS choice
+  FROM est_{qcase}),
+pre_{qcase} AS (
+  SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
+  FROM corpus WHERE {where}
+  ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC LIMIT {k}),
+cand_{qcase} AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM assigned WHERE list_id IN ({probed})),
+surv_{qcase} AS (
+  SELECT c.id, c.score, c.rk FROM cand_{qcase} c
+  JOIN (SELECT id FROM corpus WHERE {where}) a USING (id)),
+erung_{qcase} AS (SELECT CASE
+    WHEN ec <= 200 THEN 200 WHEN ec <= 500 THEN 500 ELSE 1000 END AS r
+  FROM (SELECT LEAST(1000, GREATEST(200,
+    ({k} * {safety} * n + est - 1) // est)) AS ec FROM est_{qcase})),
+stop_{qcase} AS (SELECT CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 200) >= {k}
+     THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 500) >= {k}
+     THEN 500
+    ELSE 1000 END AS s FROM erung_{qcase}),
+post_{qcase} AS (
+  SELECT id, ROUND(score, 6) AS score
+  FROM surv_{qcase}, stop_{qcase} WHERE rk <= s
+  ORDER BY score DESC, id ASC LIMIT {k})"""
+        )
+        selects.append(
+            f"""SELECT '{qcase}' AS qcase, id, score, choice,
+  est AS est_allowed FROM pre_{qcase}, ch_{qcase}
+WHERE choice = 'pre_filter'
+UNION ALL
+SELECT '{qcase}', id, score, choice, est FROM post_{qcase}, ch_{qcase}
+WHERE choice = 'post_filter'"""
+        )
+    return (
+        ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY qcase, score DESC, id ASC"
+    )
+
+
+@register(
+    "strategy_costed_choice",
+    _strategy_costed_choice_oracle(),
+    side_effects=True,
+)
+def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED STRATEGY CHOICE (VERDICT r8 next #7): the reference
+    asks its operator to pick a backend by hand (``--backend`` flag,
+    src/harness/run.py:71-87); here the same column statistics that
+    feed the costed ladder entry decide pre_filter vs post_filter per
+    query — strict filters score their few allowed rows exactly,
+    broad filters probe the IVF lists and post-filter (operators/
+    strategies.py choose_backend_costed has the cost model). The
+    decision runs ZERO count jobs (one ingest-time stats pass, shared
+    across cases), the chosen backend actually executes — the
+    post_filter arm costed with the SAME estimate as its
+    selectivity_hint — and the oracle re-derives statistics, estimate,
+    decision rule, and the chosen strategy's answer per case, so a
+    drifted estimator, a flipped decision, or a wrong answer all
+    hash-mismatch. ``side_effects``: backend.search() is a driver-side
+    escalation loop."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+    from hybrid_vector_search_spark.operators.strategies import (
+        choose_backend_costed,
+        get_backend,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    stats = collect_column_stats(corpus, ["label", "lang"], exact_ndv=True)
+    n = int(stats["__table__"]["count"])
+    out = []
+    for qcase, seed, filters in _CHOICE_CASES:
+        choice, est = choose_backend_costed(
+            stats, filters, ANN_IVF_NPROBE, ANN_IVF_NLIST
+        )
+        if choice == "pre_filter":
+            backend = get_backend("pre_filter", corpus, n=n)
+        else:
+            backend = get_backend(
+                "post_filter",
+                corpus,
+                n=n,
+                index=_ann_ivf_fixed_index(spark, sf_dir),
+                nprobe=ANN_IVF_NPROBE,
+                costed=True,
+                safety=_PF_COSTED_SAFETY,
+                selectivity_hint=est,
+            )
+        ids, st = backend.search(query_vector(seed), filters, _CHOICE_K)
+        out.extend(
+            (qcase, int(i), round(float(s), 6), choice, int(est))
+            for i, s in zip(ids, st["scores"])
+        )
+    return spark.createDataFrame(
+        out,
+        "qcase STRING, id LONG, score DOUBLE, choice STRING, "
+        "est_allowed LONG",
+    )
+
+
 def _pf_costed_backends_oracle() -> str:
     """Re-derives the costed ladder entry for BOTH non-IVF post-filter
     backends (same certify-the-cost-model style as

@@ -173,3 +173,38 @@ def test_geo_box_uses_histogram(spark):
     )
     # uniform would say ~half the lat span → ~500; histogram lands close
     assert est <= 3 * true_n
+
+
+def test_choose_backend_costed_decision_rule():
+    """The strategy chooser (VERDICT r8 next #7): pre_filter iff the
+    estimated allowed set is smaller than the probe's scan fraction
+    (est·nlist < n·nprobe), with the boundary itself going to
+    post_filter (strict inequality — at equal cost the ANN probe's
+    pruned layout wins on bytes)."""
+    from hybrid_vector_search_spark.operators.strategies import (
+        choose_backend_costed,
+    )
+
+    stats = {
+        "__table__": {"count": 1000},
+        "label": {"count": 1000, "nulls": 0, "ndv": 10,
+                  "min": 0, "max": 9},
+        "lang": {"count": 1000, "nulls": 0, "ndv": 5,
+                 "min": None, "max": None},
+    }
+    # strict eq+eq: est = 1000/50 = 20; 20·16 < 1000·4 → pre_filter
+    name, est = choose_backend_costed(
+        stats, {"label": {"eq": 7}, "lang": {"eq": "zh"}}, 4, 16
+    )
+    assert (name, est) == ("pre_filter", 20)
+    # broad ne: est = 800; 800·16 ≥ 4000 → post_filter
+    name, est = choose_backend_costed(stats, {"lang": {"ne": "zh"}}, 4, 16)
+    assert (name, est) == ("post_filter", 800)
+    # boundary: est exactly n·nprobe/nlist = 250 → post_filter
+    name, est = choose_backend_costed(
+        stats, {"label": {"in": [0, 1, 2] + [3] * 0}}, 4, 16
+    )  # in-list of 3/10 → est 300 → post
+    assert name == "post_filter"
+    # no filters: est = n → post_filter (an unfiltered query IS the probe)
+    name, est = choose_backend_costed(stats, None, 4, 16)
+    assert (name, est) == ("post_filter", 1000)
