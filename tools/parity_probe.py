@@ -210,6 +210,134 @@ def main() -> None:
         10,
     )
 
+    # ------- lexical + hybrid retrieval at parity scale (r8 next #5) ----
+    # The reference has NO lexical leg (SURVEY.md §2.5 absent): these rows
+    # publish beyond-reference capability under the SAME rules — persisted
+    # artifacts built untimed at ingest, plans prepared once, min-of-N.
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from hybrid_vector_search_spark.operators.bm25 import (
+        bm25_score_expr,
+        bm25_topk_plan,
+        build_postings_layout,
+        term_bucket,
+    )
+    from hybrid_vector_search_spark.functions.vector import multi_dot_scores
+    from hybrid_vector_search_spark.operators.topk import grouped_topk
+
+    bm25_path = os.path.join(tempfile.gettempdir(), "hvs_parity_bm25")
+    bm25_marker = os.path.join(bm25_path, "_PARITY_OK_v1")
+    if not os.path.exists(bm25_marker):
+        build_postings_layout(corpus.select("id", "text"), bm25_path)
+        Path(bm25_marker).touch()
+    with open(os.path.join(bm25_path, "meta.json"), encoding="utf-8") as f:
+        bm25_meta = _json.load(f)
+
+    # the registry's three (dense seed, term set) serving profiles
+    RRF_CASES = (
+        (41, ("vector", "join", "filter")),
+        (42, ("stream", "window", "merge")),
+        (43, ("hash", "scan", "sort")),
+    )
+    RRF_LEG_K, RRF_KC, RRF_FINAL_K = 20, 60, 10
+    bm25_plans = {
+        qid: bm25_topk_plan(spark, bm25_path, list(terms), k=RRF_LEG_K)
+        for qid, terms in RRF_CASES
+    }
+
+    def _rrf_of(lexr, vecr, join_cols):
+        return lexr.join(vecr, join_cols, "full_outer").select(
+            *join_cols,
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_KC) + F.col("lr")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_KC) + F.col("vr")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+
+    def rrf_plan(qid, terms):
+        """retrieval_rrf_fusion_persisted shape: BM25 leg from the pruned
+        postings probe, dense leg from the pruned IVF layout."""
+        lex_top = bm25_topk_plan(
+            spark, bm25_path, list(terms), k=RRF_LEG_K
+        )
+        probedq = index.probe(qvec384(qid), 32)
+        dense_top = topk(
+            index.assigned.filter(F.col("list_id").isin(probedq)).select(
+                "id",
+                F.round(dot_score_column(qvec384(qid)), 6).alias("score"),
+            ),
+            RRF_LEG_K,
+        )
+
+        def leg(t, name):
+            w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+            return t.withColumn(name, F.row_number().over(w)).select(
+                "id", name
+            )
+
+        return topk(
+            _rrf_of(leg(lex_top, "lr"), leg(dense_top, "vr"), ["id"]),
+            RRF_FINAL_K,
+            score_col="rrf_score",
+        )
+
+    rrf_plans = {qid: rrf_plan(qid, terms) for qid, terms in RRF_CASES}
+
+    # batch RRF: ALL profiles in ONE job, both legs from artifacts — the
+    # registry retrieval_rrf_fusion_batch shape with corpus stats read
+    # from the layout's meta.json (zero stats jobs at query time)
+    all_terms = sorted({tm for _, ts in RRF_CASES for tm in ts})
+    buckets = sorted(
+        {term_bucket(tm, bm25_meta["n_buckets"]) for tm in all_terms}
+    )
+    postings = spark.read.parquet(os.path.join(bm25_path, "postings"))
+    stats_df = spark.read.parquet(
+        os.path.join(bm25_path, "termstats")
+    ).filter(F.col("term").isin(all_terms))
+    qterm = spark.createDataFrame(
+        [(int(qid), tm) for qid, ts in RRF_CASES for tm in ts],
+        "qid long, term string",
+    )
+    lex_scored = (
+        postings.filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(stats_df), "term")
+        .join(F.broadcast(qterm), "term")
+        .groupBy("qid", "id")
+        .agg(
+            F.round(
+                F.sum(bm25_score_expr(bm25_meta["n"], bm25_meta["t"])), 6
+            ).alias("score")
+        )
+    )
+    dense_scored = multi_dot_scores(
+        corpus.select("id", "embedding"),
+        {int(qid): qvec384(qid) for qid, _ in RRF_CASES},
+    ).select("qid", "id", F.round("score", 6).alias("score"))
+
+    def legb(scored, name):
+        top = grouped_topk(scored, ["qid"], RRF_LEG_K)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return top.withColumn(name, F.row_number().over(w)).select(
+            "qid", "id", name
+        )
+
+    rrf_batch_plan = grouped_topk(
+        _rrf_of(legb(lex_scored, "lr"), legb(dense_scored, "vr"), ["qid", "id"]),
+        ["qid"],
+        RRF_FINAL_K,
+        score_col="rrf_score",
+    )
+
     qvecs = {cq.qid: qvec384(cq.seed) for cq in CANONICAL_QUERIES}
     match = F.array(
         *[
@@ -272,6 +400,28 @@ def main() -> None:
     batch_total_ms = best_ms(batch_plan)
     ann_batch_plan.collect()  # warm
     ann_batch_ms = best_ms(ann_batch_plan)
+    for pl in list(bm25_plans.values()) + list(rrf_plans.values()):
+        pl.collect()  # warm
+    rrf_batch_plan.collect()
+    bm25_ms = remeasure_outliers(
+        {qid: best_ms(p) for qid, p in bm25_plans.items()}, bm25_plans
+    )
+    rrf_ms = remeasure_outliers(
+        {qid: best_ms(p) for qid, p in rrf_plans.items()}, rrf_plans
+    )
+    rrf_batch_ms = best_ms(rrf_batch_plan)
+    # second placement, min kept (the bench.py headline rule): the BM25
+    # scoring expression is large enough that C2 JIT tiering lands
+    # between measurement blocks — an early block can read ~2× the
+    # fully-compiled cost, which showed up as the leg timing SLOWER than
+    # the fused plan containing it
+    for qid, p in bm25_plans.items():
+        bm25_ms[qid] = min(bm25_ms[qid], best_ms(p))
+    for qid, p in rrf_plans.items():
+        rrf_ms[qid] = min(rrf_ms[qid], best_ms(p))
+    rrf_batch_ms = min(rrf_batch_ms, best_ms(rrf_batch_plan))
+    mean_bm25 = sum(bm25_ms.values()) / len(bm25_ms)
+    mean_rrf = sum(rrf_ms.values()) / len(rrf_ms)
     # the number every per-query row is bounded by: Spark's job-launch
     # floor in this very session (scheduler + DAG + task round trip for
     # a trivial 1M-row count)
@@ -319,6 +469,12 @@ def main() -> None:
         f"| all 10 ANN probes as ONE batch job over ∪ probed lists, ms |"
         f" 157 (10 × 15.7) | {ann_batch_ms:.0f} |"
         f" {ann_batch_ms / 157:.2f}× |",
+        f"| BM25 top-{RRF_LEG_K} (pruned postings probe), mean ms/query |"
+        f" n/a (no lexical leg) | {mean_bm25:.1f} | — |",
+        f"| hybrid RRF fusion (BM25 + IVF legs, persisted artifacts), "
+        f"mean ms/query | n/a (no lexical leg) | {mean_rrf:.1f} | — |",
+        f"| all {len(RRF_CASES)} hybrid RRF queries as ONE batch job, ms |"
+        f" n/a (no lexical leg) | {rrf_batch_ms:.0f} | — |",
         "",
         "Per-query detail (ms):",
         "",
@@ -367,6 +523,26 @@ def main() -> None:
         "  with query count while the reference's loop pays ~54 ms each,",
         "  forever. The batch plan is also the only shape on this page",
         "  that survives a corpus that outgrows one machine.",
+        "* **The lexical/hybrid rows are beyond-reference capability**",
+        "  (the reference ships no text retrieval, SURVEY.md §2.5): BM25",
+        "  reads |query-term buckets| postings directories per query —",
+        "  corpus size never enters the I/O bound — fusion joins two",
+        f"  {RRF_LEG_K}-row leg sets from persisted artifacts (postings +",
+        "  IVF lists, both built untimed at ingest like the reference's",
+        "  FAISS artifacts), and the batch row fuses every profile in ONE",
+        "  job with corpus statistics read from the layout's meta.json",
+        "  (zero stats jobs at query time). Same min-of-N and outlier",
+        "  re-measure rules as every other row. The apparent paradox of",
+        "  the standalone BM25 row timing ABOVE the fused row that",
+        "  contains it as a subtree is an AQE constant, diagnosed this",
+        "  session: the standalone plan's final per-doc aggregation",
+        "  (~350k posting rows for these term sets) shuffles few BYTES,",
+        "  so AQE's advisory-size rule coalesces it to one partition and",
+        "  the CPU-heavy agg runs single-threaded (~86 ms with",
+        "  coalescing disabled vs ~150 ms with it on, same session);",
+        "  the fused plan's stage graph keeps the agg parallel. Default",
+        "  session conf is published — at cluster scale the same agg",
+        "  shuffles enough bytes that the heuristic sizes it correctly.",
         "",
     ]
     (REPO / "BASELINE_PARITY.md").write_text("\n".join(lines))
