@@ -139,3 +139,38 @@ def pack_sequences_sql(
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
     / {budget_tokens})::BIGINT AS pack_id
 FROM (SELECT {cols}, {tok}::BIGINT AS n_tokens FROM documents) t"""
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column, n: int
+) -> DataFrame:
+    """WEIGHTED reservoir sample, deterministic and sticky — the
+    quality-weighted draw a training-data mixer runs ("sample 1M docs
+    with probability ∝ quality score"): Efraimidis–Spirakis A-Res keys
+    each row with ``u^(1/w)`` (u = uniform hash of the key) and keeps
+    the global top-``n``; here ranked by the monotone-equivalent
+    ``ln(u)/w`` so both engines evaluate ONE transcendental (the same
+    ln both already bit-match in the BM25 scorer). Map-side key
+    computation + one bounded TakeOrderedAndProject — no shuffle wider
+    than n at any scale. Membership depends only on (key, weight):
+    reruns over grown corpora keep previously drawn rows whose keys
+    still rank, the hash-sample stickiness argument weighted."""
+    u = (portable_hash_key(F.col(key)) + F.lit(1).cast("double")) / F.lit(
+        float(HASH_SPACE)
+    )
+    rk = F.log(u) / weight
+    return (
+        df.withColumn("__wkey", rk)
+        .orderBy(F.col("__wkey").desc(), F.col(key).asc())
+        .limit(n)
+        .drop("__wkey")
+    )
+
+
+def weighted_sample_where_sql(
+    key_expr: str, weight_expr: str
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample`'s ranking key (caller
+    wraps in ORDER BY ... DESC, <key> ASC LIMIT n)."""
+    u = f"(({portable_hash_key_sql(key_expr)}) + 1.0) / {float(HASH_SPACE)}"
+    return f"(ln({u}) / ({weight_expr}))"

@@ -1807,6 +1807,68 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "events_incremental_rollup",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS total_value
+FROM events GROUP BY day, event_type
+ORDER BY day, event_type""",
+    side_effects=True,
+)
+def events_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL rollup-table maintenance, hash-certified against a
+    from-scratch recompute — the RELATIONAL leg of the maintenance
+    triangle (vector: ann_ivf_upsert_topk, lexical:
+    retrieval_bm25_incremental_topk; operators/rollup.py): the
+    day-partitioned ``(day, event_type) → (count, grid-snapped sum)``
+    table is built over 80% of events (user_id % 5 != 0), the
+    remaining 20% arrives as a LATE batch touching nearly every
+    existing day — the reprocessing/backfill shape where naive
+    append-only rollups silently double-count and full recomputes cost
+    a history re-scan — and partition-local merge combines the
+    algebraic partials, rewriting only touched day directories under
+    the same staged-commit crash marker as its two siblings. The
+    oracle aggregates ALL events from scratch: a hash match proves
+    merge ≡ recompute, including float discipline (partials snapped to
+    the value column's 2-decimal grid, so merge order cannot drift an
+    ULP). ``side_effects``: builds and merges a persisted layout."""
+    from hybrid_vector_search_spark.operators.rollup import (
+        build_rollup,
+        merge_rollup_batch,
+        open_rollup,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _ROLLUP_CACHE.get(sf_dir)
+    path = cached[1] if cached is not None and cached[0] is spark else None
+    if path is None:
+        ev = load_table(spark, sf_dir, "events")
+        path = scratch_path(
+            "rollup_" + sf_dir.strip("/").replace("/", "_")
+        )
+        build_rollup(ev.filter(F.col("user_id") % 5 != 0), path)
+        merge_rollup_batch(
+            spark, path, ev.filter(F.col("user_id") % 5 == 0)
+        )
+        _ROLLUP_CACHE[sf_dir] = (spark, path)
+    return (
+        open_rollup(spark, path)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 @register(
     "events_top_users_per_type",
     """SELECT event_type, user_id, n_events, rank FROM (
@@ -2119,6 +2181,196 @@ def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_QSEED = 89
+MATRYOSHKA_D = 16
+MATRYOSHKA_C = 100
+
+
+def _matryoshka_oracle(
+    seed: int = MATRYOSHKA_QSEED,
+    pd: int = MATRYOSHKA_D,
+    cand_k: int = MATRYOSHKA_C,
+    k: int = ANN_IVF_K,
+) -> str:
+    q = query_vector(seed)
+    qlit = sql_array_literal(q)
+    qplit = sql_array_literal(q[:pd])
+    return f"""WITH pref AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+         list_dot_product(embedding[1:{pd}]::DOUBLE[], {qplit}) AS ps
+  FROM embeddings),
+cand AS (
+  SELECT id, e FROM pref
+  ORDER BY ps DESC, id ASC LIMIT {cand_k})
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM cand
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {k}"""
+
+
+@register("ann_matryoshka_rerank_topk", _matryoshka_oracle())
+def ann_matryoshka_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage PREFIX-DIMENSION search — the Matryoshka-embedding
+    serving pattern (Kusupati et al. 2022: MRL trains nested prefixes
+    of one vector to be usable embeddings; vector stores exploit it by
+    scanning a short prefix and reranking full): the wide stage ranks
+    the corpus by the inner product of the FIRST {MATRYOSHKA_D} of 64
+    dimensions — a 4× cheaper scan whose bytes shrink the same way at
+    any scale, and on a column store the prefix can even be a separate
+    narrow column so the wide stage never reads the full vector — and
+    the narrow stage reranks the {MATRYOSHKA_C} survivors with the
+    exact float64 kernel. Same two-stage family as the int8/Hamming
+    reranks but cutting DIMENSIONS instead of precision; the prefix dot
+    is a pure function of the embedding, so the oracle replays slice,
+    ranking, and rerank exactly (ties by id at both stages)."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+
+    q = query_vector(MATRYOSHKA_QSEED)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qp = F.array(*[F.lit(float(x)) for x in q[: MATRYOSHKA_D]])
+    pscore = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("embedding"), 1, MATRYOSHKA_D),
+            qp,
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        emb.select("vec_id", "embedding", pscore.alias("ps"))
+        .orderBy(F.col("ps").desc(), F.col("vec_id").asc())
+        .limit(MATRYOSHKA_C)
+    )
+    rescored = cand.select(
+        "vec_id", dot_score_sql("embedding", q).alias("score")
+    )
+    return topk(rescored, ANN_IVF_K, id_col="vec_id").select(
+        F.col("vec_id").alias("id"), F.round("score", 6).alias("score")
+    )
+
+
+MMR_QSEED = 97
+MMR_LAMBDA = 0.5
+MMR_C = 50
+MMR_K = 5
+
+
+def _mmr_oracle(
+    seed: int = MMR_QSEED,
+    lam: float = MMR_LAMBDA,
+    cand_k: int = MMR_C,
+    k: int = MMR_K,
+) -> str:
+    """Replays the greedy MMR selection UNROLLED — one CTE pair per
+    selection step (k is small and fixed, so the sequential argmax
+    chain is expressible without recursion): step t scores every
+    remaining candidate as λ·rel − (1−λ)·max_{s∈selected} ⟨e, e_s⟩ and
+    keeps the argmax (ties by id). The empty-set penalty is 0, so step
+    1 reduces to λ·rel."""
+    qlit = sql_array_literal(query_vector(seed))
+    ctes = [
+        f"""cand AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+         list_dot_product(embedding::DOUBLE[], {qlit}) AS rel
+  FROM embeddings
+  ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
+  LIMIT {cand_k})""",
+        f"""s1 AS (
+  SELECT id, e, {lam} * rel AS mmr FROM cand
+  ORDER BY rel DESC, id ASC LIMIT 1)""",
+        "sel1 AS (SELECT id, e FROM s1)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT c.id, c.e,
+    {lam} * c.rel - {1.0 - lam} * (
+      SELECT MAX(list_dot_product(c.e, s.e)) FROM sel{t - 1} s
+    ) AS mmr
+  FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+  ORDER BY mmr DESC, c.id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT id, e FROM sel{t - 1}"
+            f" UNION ALL SELECT id, e FROM s{t})"
+        )
+    selects = [
+        f"SELECT {t} AS rank, id, ROUND(mmr, 6) AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY rank"
+    )
+
+
+@register("ann_mmr_rerank_topk", _mmr_oracle(), side_effects=True)
+def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY re-ranking via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998) — the post-retrieval stage every near-dup-heavy
+    corpus needs (a plain top-K over a deduplicate-light corpus returns
+    ten copies of the same document; MMR greedily picks the next result
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked).
+    The reference has no diversity stage; this is the standard one.
+
+    Scale shape: the corpus-side work is a bounded TakeOrdered (top-C
+    by relevance WITH embeddings, C = {MMR_C}); the greedy selection is
+    inherently sequential in K, so it runs on the driver over the
+    collected C×D block — the same bounded-driver-set pattern as the
+    IVF probe planner, O(K·C·D) flops, independent of corpus size.
+    Driver dot products are summed LEFT-TO-RIGHT (not numpy pairwise)
+    so every float matches the oracle's list_dot_product fold
+    bit-for-bit before the 6-decimal round. ``side_effects``: the
+    selection loop is driver-side."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+
+    q = query_vector(MMR_QSEED)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            dot_score_sql("embedding", q).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_C)
+        .collect()
+    )
+
+    def dot(a, b):  # sequential fold, bit-matching list_dot_product
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    remaining = {int(r["vec_id"]): (list(r["e"]), float(r["rel"])) for r in cand}
+    selected: list[tuple[int, list, float]] = []
+    rows = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for cid in sorted(remaining):  # ascending id = tie-break
+            e, rel = remaining[cid]
+            penalty = max(
+                (dot(e, se) for _, se, _ in selected), default=0.0
+            )
+            mmr = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * penalty
+            if best is None or mmr > best[2]:
+                best = (cid, e, mmr)
+        cid, e, mmr = best
+        selected.append((cid, e, mmr))
+        del remaining[cid]
+        rows.append((rank, cid, round(mmr, 6)))
+    return spark.createDataFrame(
+        rows, "rank LONG, id LONG, mmr_score DOUBLE"
+    )
+
+
 _AVG_TP_SQL = round_portable_sql("SUM(o_totalprice)", 2) + " / COUNT(*)"
 
 
@@ -2247,6 +2499,34 @@ def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.stratified_sample(docs, ["lang"], "doc_id", STRATUM_N).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+WEIGHTED_SAMPLE_N = 50
+
+
+@register(
+    "docs_weighted_sample",
+    f"""SELECT doc_id, lang, n_chars FROM documents
+ORDER BY {SP.weighted_sample_where_sql('doc_id', 'n_chars + 1')} DESC,
+  doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_N}""",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sample (Efraimidis–Spirakis
+    A-Res, operators/sampling.py weighted_sample): draw {N} docs with
+    probability ∝ weight — here length (n_chars + 1), the standard
+    long-document upweighting in pretraining mixtures; any quality
+    score column slots in. Completes the sampling family's third leg
+    (hash_sample = uniform fraction, stratified = exact-N per group,
+    this = weight-proportional): the ranking key ln(u)/w is map-side
+    arithmetic on a portable hash, the cut is one bounded TakeOrdered,
+    and membership is STICKY in (id, weight) — incremental reruns over
+    a grown corpus keep previously drawn rows whose keys still rank,
+    so downstream shards don't churn."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SP.weighted_sample(
+        docs, "doc_id", F.col("n_chars") + F.lit(1), WEIGHTED_SAMPLE_N
+    ).select("doc_id", "lang", "n_chars")
 
 
 @register(

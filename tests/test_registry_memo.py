@@ -50,6 +50,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "metrics_lsh_radius_sweep",
         "metrics_hamming_c_sweep",
         "ann_ivf_upsert_topk",
+        "strategy_costed_choice",
+        "ann_mmr_rerank_topk",
+        "events_incremental_rollup",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
