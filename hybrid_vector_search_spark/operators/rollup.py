@@ -109,6 +109,19 @@ def recover_pending_rollup(spark: SparkSession, path: str) -> bool:
     return True
 
 
+_ROLLUP_META = "rollup_meta.json"
+
+
+def read_rollup_meta(path: str) -> dict:
+    """Side metadata committed WITH a merge (see ``commit_meta``) —
+    e.g. the streaming maintainer's high-watermark batch id."""
+    p = os.path.join(path, _ROLLUP_META)
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
 def _commit_merge(spark: SparkSession, path: str, info: dict) -> None:
     import shutil
 
@@ -119,16 +132,30 @@ def _commit_merge(spark: SparkSession, path: str, info: dict) -> None:
     )
     with _dynamic_overwrite(spark):
         staged.write.mode("overwrite").partitionBy("day").parquet(path)
+    # commit_meta lands INSIDE the marker window: a crash after the
+    # overwrite but before this write replays the whole commit (both
+    # steps idempotent), so meta and table can never split-brain —
+    # that invariant is what gives the streaming maintainer
+    # exactly-once merges under foreachBatch's at-least-once replay
+    if info.get("commit_meta") is not None:
+        with open(
+            os.path.join(path, _ROLLUP_META), "w", encoding="utf-8"
+        ) as f:
+            json.dump(info["commit_meta"], f)
     os.remove(os.path.join(path, _ROLLUP_PENDING))
     shutil.rmtree(info["stage"], ignore_errors=True)
 
 
 def merge_rollup_batch(
-    spark: SparkSession, path: str, batch: DataFrame
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    commit_meta: dict | None = None,
 ) -> dict:
     """Merge a batch of raw events into the rollup, rewriting ONLY the
-    touched day partitions. Returns ``{"touched_days": T,
-    "batch_rows": B}``."""
+    touched day partitions. ``commit_meta``, when given, is written to
+    ``rollup_meta.json`` atomically WITH the merge (same marker
+    window). Returns ``{"touched_days": T, "batch_rows": B}``."""
     from hybrid_vector_search_spark.scratch import scratch_path
 
     recover_pending_rollup(spark, path)  # never stack on a crash
@@ -166,7 +193,11 @@ def merge_rollup_batch(
     batch_rows = int(
         partials.agg(F.sum("n_events")).collect()[0][0] or 0
     )
-    info = {"stage": stage, "n_touched": len(touched)}
+    info = {
+        "stage": stage,
+        "n_touched": len(touched),
+        "commit_meta": commit_meta,
+    }
     with open(
         os.path.join(path, _ROLLUP_PENDING), "w", encoding="utf-8"
     ) as f:

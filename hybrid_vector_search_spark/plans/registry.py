@@ -8247,6 +8247,120 @@ def streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_ROLLUP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_incremental_rollup",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS total_value
+FROM events GROUP BY day, event_type
+ORDER BY day, event_type""",
+    side_effects=True,
+)
+def streaming_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUSLY-MAINTAINED rollup table — the streaming face of
+    events_incremental_rollup (operators/rollup.py): each micro-batch
+    of the events landing stream merges its algebraic partials into
+    the day-partitioned table inside ``foreachBatch``, rewriting only
+    the batch's touched days, so the table is always serving-fresh
+    without any full recompute. EXACTLY-ONCE under foreachBatch's
+    at-least-once replay contract: the micro-batch id is committed to
+    ``rollup_meta.json`` INSIDE the merge's marker window (the same
+    staged commit that moves the partitions), so a replayed batch sees
+    ``batch_id <= last_batch_id`` and skips — a crash on either side
+    of the commit resolves to exactly one application, the recipe
+    Structured Streaming documents for idempotent foreachBatch sinks.
+    The oracle aggregates everything landed from scratch: a hash match
+    proves stream-maintained ≡ recomputed, double-count-free."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.operators.rollup import (
+        build_rollup,
+        merge_rollup_batch,
+        open_rollup,
+        read_rollup_meta,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    land = _landing(spark, sf_dir, "events")
+    cached = _STREAM_ROLLUP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_rollup_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_ROLLUP_CACHE[sf_dir] = (spark, root)
+    table = _os.path.join(root, "table")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def merge_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        if not _os.path.isdir(table):
+            # bootstrap: one overwrite write — deterministic, so a
+            # pre-meta crash replays to the identical table
+            build_rollup(batch_df, table)
+            with open(
+                _os.path.join(table, "rollup_meta.json"),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                _json.dump({"last_batch_id": int(batch_id)}, f)
+            return
+        last = read_rollup_meta(table).get("last_batch_id", -1)
+        if batch_id <= last:
+            return  # at-least-once replay of an applied batch
+        merge_rollup_batch(
+            sp,
+            table,
+            batch_df,
+            commit_meta={"last_batch_id": int(batch_id)},
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        # several files per micro-batch: the drain exercises bootstrap
+        # AND repeated partition-local merges, not one bulk build
+        .option("maxFilesPerTrigger", 2)
+        .parquet(land)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    return (
+        open_rollup(spark, table)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 ANN_RANGE_QSEED = 53
 ANN_RANGE_TAU = 0.2
 

@@ -142,3 +142,53 @@ def test_merge_refuses_when_stage_lost(spark, tmp_path, base_and_batch):
         R.open_rollup(spark, path)
     assert os.path.exists(os.path.join(path, R._ROLLUP_PENDING))
     os.remove(os.path.join(path, R._ROLLUP_PENDING))
+
+
+def test_commit_meta_lands_inside_the_marker_window(
+    spark, tmp_path, base_and_batch
+):
+    """The streaming maintainer's exactly-once hinge: commit_meta (the
+    high-watermark batch id) is written by the SAME marker-bracketed
+    commit that moves the partitions — after a mid-commit crash, replay
+    applies both or the guard re-merges both, never a split-brain where
+    the table has the batch but the meta says it doesn't (or vice
+    versa)."""
+    base, batch = base_and_batch
+    path = str(tmp_path / "rollup")
+    R.build_rollup(base, path)
+    assert R.read_rollup_meta(path) == {}
+
+    R.merge_rollup_batch(spark, path, batch, commit_meta={"last_batch_id": 3})
+    assert R.read_rollup_meta(path) == {"last_batch_id": 3}
+
+    # crash BEFORE the commit ran: neither table nor meta moved; the
+    # replay (recover) applies both together
+    batch2 = _events(spark, [(200, _ts(2), 11, "view", 9.00)])
+    real_commit = R._commit_merge
+    try:
+        def crashing(sp, p, info):
+            raise RuntimeError("crash")
+
+        R._commit_merge = crashing
+        with pytest.raises(RuntimeError):
+            R.merge_rollup_batch(
+                spark, path, batch2, commit_meta={"last_batch_id": 4}
+            )
+    finally:
+        R._commit_merge = real_commit
+    assert R.read_rollup_meta(path) == {"last_batch_id": 3}  # not yet
+    assert R.recover_pending_rollup(spark, path)
+    assert R.read_rollup_meta(path) == {"last_batch_id": 4}  # both landed
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in R.open_rollup(spark, path).collect()
+    }
+    full = str(tmp_path / "full")
+    R.build_rollup(
+        base.unionByName(batch).unionByName(batch2), full
+    )
+    want = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in R.open_rollup(spark, full).collect()
+    }
+    assert got == want
