@@ -68,6 +68,16 @@ PROBE_QUERIES = (
     "tpch_q18_bucketed",
     "events_hypertable_day_range",
     "corpus_bucketed_profile",
+    # r9 operators: two-stage prefix-dim search, driver-bounded MMR,
+    # weighted reservoir draw, stats-fed strategy choice, and the
+    # incremental rollup pair (batch maintains on first run per factor
+    # dir, reads after; streaming drains availableNow per invocation)
+    "ann_matryoshka_rerank_topk",
+    "ann_mmr_rerank_topk",
+    "docs_weighted_sample",
+    "strategy_costed_choice",
+    "events_incremental_rollup",
+    "streaming_incremental_rollup",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
