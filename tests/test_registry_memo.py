@@ -49,6 +49,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "metrics_ivf_nprobe_sweep",
         "metrics_lsh_radius_sweep",
         "metrics_hamming_c_sweep",
+        "metrics_matryoshka_dim_sweep",
         "ann_ivf_upsert_topk",
         "strategy_costed_choice",
         "ann_mmr_rerank_topk",
