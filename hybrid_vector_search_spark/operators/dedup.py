@@ -501,6 +501,131 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_estimate_vs_true(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    materialize: bool = True,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """SKETCH-QUALITY report for the MinHash family — the dedup
+    analogue of the ANN recall sweeps (plans/registry.py metrics_*):
+    for every LSH band-candidate pair, the ESTIMATED Jaccard (fraction
+    of equal signature components — the number the sketch would act on
+    at 100 TB, where true shingle sets are too wide to join) next to
+    the TRUE shingle Jaccard. E[estimate] = J by the MinHash property;
+    the report is what an operator reads to size NUM_HASHES for an
+    error budget. Everything (signatures, candidates, both measures)
+    is a pure function of (text, fixed permutations), so the whole
+    evaluation is SQL-replayable."""
+    rows = NUM_HASHES // NUM_BANDS
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, n)
+        if materialize:
+            sig = materialize_parquet(
+                sig.select(id_col, "sh", "sig"), "minhash_sig_quality"
+            )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(bi),
+                *[F.col("sig")[bi * rows + r] for r in range(rows)],
+            )
+            for bi in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sides = sig.select(F.col(id_col), "sh", "sig")
+    cand = cand.join(
+        sides.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("sh").alias("sa"),
+            F.col("sig").alias("ga"),
+        ),
+        "doc_a",
+    ).join(
+        sides.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("sh").alias("sb"),
+            F.col("sig").alias("gb"),
+        ),
+        "doc_b",
+    )
+    eq = F.aggregate(
+        F.zip_with(
+            "ga", "gb", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    true_j = inter.cast("double") / (
+        F.size("sa") + F.size("sb") - inter
+    )
+    est_j = F.round(eq.cast("double") / F.lit(float(NUM_HASHES)), 6)
+    out = cand.select(
+        "doc_a",
+        "doc_b",
+        est_j.alias("est_jaccard"),
+        F.round(true_j, 6).alias("true_jaccard"),
+    )
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6),
+    )
+
+
+def minhash_estimate_vs_true_sql() -> str:
+    """DuckDB replay of :func:`minhash_estimate_vs_true`."""
+    rows = NUM_HASHES // NUM_BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    bands = ", ".join(
+        "concat("
+        + f"'{bi}', ':', "
+        + ", ':', ".join(f"sig[{bi * rows + r + 1}]" for r in range(rows))
+        + ")"
+        for bi in range(NUM_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN x.sig[{i + 1}] = y.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""WITH {SHINGLES_SQL},
+hs AS (SELECT doc_id, s, list_transform(s, g -> {md5_int_sql('g')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{mins}] AS sig FROM hs),
+banded AS (SELECT doc_id, unnest([{bands}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+    ROUND(({eq_terms}) / {float(NUM_HASHES)}, 6) AS est_jaccard,
+    ROUND(len(list_intersect(x.s, y.s))::DOUBLE
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)
+      AS true_jaccard
+  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id)
+SELECT doc_a, doc_b, est_jaccard, true_jaccard,
+  ROUND(ABS(est_jaccard - true_jaccard), 6) AS abs_err
+FROM scored ORDER BY doc_a, doc_b"""
+
+
 def minhash_lsh_pairs_sql(threshold: float) -> str:
     rows = NUM_HASHES // NUM_BANDS
     mins = ", ".join(

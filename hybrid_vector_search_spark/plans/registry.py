@@ -1504,6 +1504,75 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_estimate_quality",
+    DD.minhash_estimate_vs_true_sql(),
+)
+def dedup_minhash_estimate_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKETCH-QUALITY report — the dedup family's analogue of the ANN
+    recall sweeps: per LSH band-candidate pair, the MinHash Jaccard
+    ESTIMATE (equal-component fraction of the 8-permutation signature —
+    the only number available at 100 TB, where the true shingle sets
+    are too wide to join) beside the TRUE shingle Jaccard and the
+    absolute error. E[estimate] = J by the MinHash property; an
+    operator reads this to size NUM_HASHES against an error budget the
+    same way the nprobe sweep sizes a recall SLO. Candidates, both
+    measures, and the error are pure functions of (text, fixed
+    permutations), so the entire evaluation — sketch AND ground truth —
+    is value-hash certified. Reuses the session's signature artifact
+    (one shingle+minhash pass per sf_dir, shared with the pair/CC
+    queries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_estimate_vs_true(
+        docs, sig=_sig_table(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
+
+
+from hybrid_vector_search_spark.operators.sampling import (  # noqa: E402
+    portable_hash_key_sql as _phash_sql,
+)
+
+
+@register(
+    "docs_train_split",
+    f"""SELECT doc_id, lang,
+  CASE WHEN ({_phash_sql("'split:' || doc_id::VARCHAR")})
+            % 10 <= 7 THEN 'train'
+       WHEN ({_phash_sql("'split:' || doc_id::VARCHAR")})
+            % 10 = 8 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 TRAIN/VAL/TEST assignment — the split
+    every training pipeline runs before anything else, with the two
+    properties that matter at 100 TB: map-only (a pure hash of the id,
+    no shuffle, no global sort, pushable into any scan) and STICKY (a
+    document's split depends only on its id, so a grown corpus never
+    migrates old documents across splits — the leakage mode that
+    silently contaminates eval sets when splits are re-drawn). The
+    hash is namespaced ('split:' ∥ id) so it is independent of every
+    other hash-keyed decision (sampling, mixtures) on the same ids."""
+    from hybrid_vector_search_spark.operators.sampling import (
+        portable_hash_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash_key(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 10
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_salted_band_pairs",
     DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD),
 )
@@ -6257,8 +6326,10 @@ def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_corpus(spark, sf_dir)
     stats = collect_column_stats(corpus, ["label", "lang"], exact_ndv=True)
     n = int(stats["__table__"]["count"])
-    out = []
-    for qcase, seed, filters in _CHOICE_CASES:
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+
+    def run_case(case):
+        qcase, seed, filters = case
         choice, est = choose_backend_costed(
             stats, filters, ANN_IVF_NPROBE, ANN_IVF_NLIST
         )
@@ -6269,17 +6340,25 @@ def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "post_filter",
                 corpus,
                 n=n,
-                index=_ann_ivf_fixed_index(spark, sf_dir),
+                index=index,
                 nprobe=ANN_IVF_NPROBE,
                 costed=True,
                 safety=_PF_COSTED_SAFETY,
                 selectivity_hint=est,
             )
         ids, st = backend.search(query_vector(seed), filters, _CHOICE_K)
-        out.extend(
+        return [
             (qcase, int(i), round(float(s), 6), choice, int(est))
             for i, s in zip(ids, st["scores"])
-        )
+        ]
+
+    # the per-case plans are independent job chains: run them
+    # concurrently (the post_filter_costed_backends pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(_CHOICE_CASES)) as ex:
+        case_rows = list(ex.map(run_case, _CHOICE_CASES))
+    out = [r for rows in case_rows for r in rows]
     return spark.createDataFrame(
         out,
         "qcase STRING, id LONG, score DOUBLE, choice STRING, "
