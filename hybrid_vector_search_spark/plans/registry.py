@@ -6174,6 +6174,77 @@ def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "corpus_snapshot_reads",
+    """SELECT 1 AS version, label, COUNT(*) AS n
+FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label
+UNION ALL
+SELECT 2 AS version, label, COUNT(*) AS n
+FROM embeddings GROUP BY label
+UNION ALL
+SELECT 3 AS version, label, COUNT(*) AS n
+FROM embeddings GROUP BY label
+ORDER BY version, label""",
+    side_effects=True,
+)
+def corpus_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ISOLATION + TIME TRAVEL on plain parquet
+    (sources/manifest.py — the single-writer core of a table format):
+    the corpus is committed as snapshot v1 (80% of rows), an append
+    commits v2 (the remaining 20%, O(batch) — no existing bytes move),
+    and a compaction REWRITE commits v3 (same rows, one file). The
+    query then reads all three snapshots THROUGH the manifest layer
+    after every commit has landed and reports per-label counts: v1
+    must still show the pre-append corpus (time travel — the
+    reproducible-read a training run pins), v2 the appended one, and
+    v3 must equal v2 row-for-row (compaction changes layout, never
+    content, and does not break older snapshots — what the rename-swap
+    layouts cannot offer). The oracle recomputes each version's counts
+    from the raw table, so a stale manifest, a leaking append, or a
+    lossy rewrite all hash-mismatch. Readers racing a commit see
+    either v or v+1, never a mix: a version IS one atomically-renamed
+    manifest (crash/isolation mechanics pinned in
+    tests/test_manifest.py). ``side_effects``: commits build a
+    persisted layout once per session."""
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _SNAPSHOT_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        root = scratch_path(
+            "snapshots_" + sf_dir.strip("/").replace("/", "_")
+        )
+        v1 = M.commit_append(root, emb.filter(F.col("vec_id") % 5 != 0))
+        v2 = M.commit_append(root, emb.filter(F.col("vec_id") % 5 == 0))
+        v3 = M.commit_rewrite(
+            root, M.read_snapshot(spark, root, v2), n_files=1
+        )
+        assert (v1, v2, v3) == (1, 2, 3)
+        _SNAPSHOT_CACHE[sf_dir] = (spark, root)
+
+    def counts(version):
+        return (
+            M.read_snapshot(spark, root, version)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(version).alias("version"), "label", "n")
+        )
+
+    return (
+        counts(1)
+        .unionByName(counts(2))
+        .unionByName(counts(3))
+        .orderBy("version", "label")
+    )
+
+
 _CHOICE_CASES = (
     # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
     # nlist = N/4 → pre_filter (score the few allowed rows exactly)

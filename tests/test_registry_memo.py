@@ -54,6 +54,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "strategy_costed_choice",
         "ann_mmr_rerank_topk",
         "events_incremental_rollup",
+        "corpus_snapshot_reads",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
