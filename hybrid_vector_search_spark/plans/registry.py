@@ -1616,6 +1616,121 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case_sql(col: str) -> str:
+    """The docs_train_split assignment as SQL over any id expression —
+    shared by the per-document split, the leakage audit, and the
+    cluster-aware remedy so all three hash the identical namespaced
+    key."""
+    from hybrid_vector_search_spark.operators.sampling import (
+        portable_hash_key_sql,
+    )
+
+    h = portable_hash_key_sql(f"'split:' || {col}::VARCHAR")
+    return (
+        f"CASE WHEN ({h}) % 10 <= 7 THEN 'train' "
+        f"WHEN ({h}) % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_col(col) -> F.Column:
+    from hybrid_vector_search_spark.operators.sampling import (
+        portable_hash_key,
+    )
+
+    bucket = portable_hash_key(
+        F.concat(F.lit("split:"), col.cast("string"))
+    ) % 10
+    return (
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "docs_split_leakage",
+    f"""WITH pairs AS ({DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD)}),
+sp AS (SELECT doc_id, {_split_case_sql('doc_id')} AS split
+       FROM documents)
+SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b, jaccard
+FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+WHERE a.split <> b.split
+ORDER BY doc_a, doc_b""",
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE audit — the check every eval pipeline should run
+    and few do: near-duplicate pairs (MinHash-LSH candidates verified
+    at true Jaccard ≥ threshold) that STRADDLE the train/val/test
+    assignment of docs_train_split. A test document with a near-twin
+    in train is contamination that per-document hashing cannot prevent
+    (the split is id-uniform by design, so ~2·p·(1−p) of dup pairs
+    cross); this report names every such pair with both splits and the
+    similarity, and docs_cluster_aware_split is the remedy. Composes
+    two session artifacts (signature table, split hash) with zero new
+    scans beyond the pair verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    sp = docs.select(
+        "doc_id", _split_col(F.col("doc_id")).alias("split")
+    )
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "docs_cluster_aware_split",
+    f"""WITH RECURSIVE comp AS ({DD.connected_components_sql(JACCARD_THRESHOLD)})
+SELECT doc_id, component_id,
+  {_split_case_sql('component_id')} AS split
+FROM comp ORDER BY doc_id""",
+)
+def docs_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEAKAGE-PROOF split — the remedy for what docs_split_leakage
+    finds: hash the near-dup CLUSTER representative (connected-component
+    min id over the verified MinHash pair graph), not the document, so
+    every member of a duplicate cluster lands in the same split BY
+    CONSTRUCTION — zero cross-split near-dup pairs at the dedup
+    threshold, while singleton documents (component = own id) keep the
+    exact assignment docs_train_split gives them. Same namespaced
+    portable hash, so the split stays sticky and shard-stable under
+    corpus growth; the standard recipe for contamination-free eval
+    sets over crawled corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = DD.dedup_components(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    return comp.select(
+        "doc_id",
+        "component_id",
+        _split_col(F.col("component_id")).alias("split"),
+    ).orderBy("doc_id")
+
+
 @register(
     "dedup_simhash",
     f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents ORDER BY doc_id",
