@@ -78,6 +78,12 @@ PROBE_QUERIES = (
     "strategy_costed_choice",
     "events_incremental_rollup",
     "streaming_incremental_rollup",
+    "metrics_matryoshka_dim_sweep",
+    "dedup_minhash_estimate_quality",
+    "docs_train_split",
+    "docs_split_leakage",
+    "docs_cluster_aware_split",
+    "corpus_snapshot_reads",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
