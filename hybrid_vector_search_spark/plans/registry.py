@@ -6360,6 +6360,39 @@ def corpus_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_snapshot_diff",
+    """SELECT vec_id AS id, label FROM embeddings
+WHERE vec_id % 5 = 0 ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the incremental-consumer read ("give me what
+    changed since the version I last processed", CDC-lite) the manifest
+    layout makes exact: rows in v2 but not v1 of the corpus_snapshot_
+    reads table, computed as a LEFT-ANTI join of two pinned snapshot
+    scans. Because versions are immutable manifests, the diff is
+    REPRODUCIBLE forever (re-running it next week returns the identical
+    batch — what a downstream embedding/indexing job keys its own
+    exactly-once processing on), and append-only commits make it exactly
+    the appended batch, which is what the oracle (the 20% batch by
+    construction) certifies. At scale the anti-join shuffles only ids;
+    a manifest carrying per-commit file lists could serve the same diff
+    as a pure file-set difference with ZERO shuffle — noted as the
+    table-format upgrade path."""
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    corpus_snapshot_reads(spark, sf_dir)  # ensure versions committed
+    root = _SNAPSHOT_CACHE[sf_dir][1]
+    v2 = M.read_snapshot(spark, root, 2)
+    v1 = M.read_snapshot(spark, root, 1)
+    return (
+        v2.join(v1.select("vec_id"), "vec_id", "left_anti")
+        .select(F.col("vec_id").alias("id"), "label")
+        .orderBy("id")
+    )
+
+
 _CHOICE_CASES = (
     # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
     # nlist = N/4 → pre_filter (score the few allowed rows exactly)

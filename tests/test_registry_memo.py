@@ -55,6 +55,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "ann_mmr_rerank_topk",
         "events_incremental_rollup",
         "corpus_snapshot_reads",
+        "corpus_snapshot_diff",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
