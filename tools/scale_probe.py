@@ -84,6 +84,8 @@ PROBE_QUERIES = (
     "docs_split_leakage",
     "docs_cluster_aware_split",
     "corpus_snapshot_reads",
+    "corpus_snapshot_diff",
+    "ann_ivfpq_rerank_topk",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
