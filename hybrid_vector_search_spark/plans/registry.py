@@ -8846,6 +8846,87 @@ def streaming_incremental_rollup(
     )
 
 
+_STREAM_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_snapshot_ingest",
+    "SELECT vec_id AS id, label FROM embeddings ORDER BY id",
+    side_effects=True,
+)
+def streaming_snapshot_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The versioned-manifest layout as an EXACTLY-ONCE STREAMING SINK
+    (sources/manifest.py meets foreachBatch): each micro-batch of the
+    embeddings landing commits one snapshot version — O(batch), no
+    existing bytes move — with the micro-batch id riding IN the
+    manifest, so the watermark and the data are one atomic rename and
+    an at-least-once replay (batch_id ≤ last committed) skips instead
+    of double-appending. What this buys over the plain parquet
+    streaming sink's _spark_metadata log: ordinary BATCH readers get
+    both isolation and time travel for free — any mid-stream version
+    is a pinned, reproducible corpus snapshot (the \"train on the
+    corpus as of batch N\" read), no commit-log-aware reader required.
+    The oracle compares the LATEST snapshot against the full raw
+    table: a hash match proves the stream of commits lost and
+    duplicated nothing."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    land = _landing(spark, sf_dir, "embeddings")
+    cached = _STREAM_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_SNAP_CACHE[sf_dir] = (spark, root)
+    table = _os.path.join(root, "table")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def commit_batch(batch_df, batch_id):
+        last = M.last_committed_meta(table, "batch_id", -1)
+        if batch_id <= last:
+            return  # at-least-once replay of a committed batch
+        M.commit_append(
+            table,
+            batch_df.select("vec_id", "label"),
+            meta={"batch_id": int(batch_id)},
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # several commits, not one bulk
+        .parquet(land)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    return (
+        M.read_snapshot(spark, table)
+        .select(F.col("vec_id").alias("id"), "label")
+        .orderBy("id")
+    )
+
+
 ANN_RANGE_QSEED = 53
 ANN_RANGE_TAU = 0.2
 

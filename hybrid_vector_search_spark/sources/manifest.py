@@ -137,19 +137,42 @@ def _commit_manifest(root: str, version: int, files: list[str], meta: dict) -> N
     os.rename(tmp, final)
 
 
-def commit_append(root: str, df: DataFrame, n_files: int = 1) -> int:
+def commit_append(
+    root: str,
+    df: DataFrame,
+    n_files: int = 1,
+    meta: dict | None = None,
+) -> int:
     """Append a batch as snapshot v+1 = v's files + the batch's new
     files. Returns the committed version. Cost is O(batch) — no
-    existing bytes move, and every prior version stays readable."""
+    existing bytes move, and every prior version stays readable.
+    ``meta`` rides in the manifest itself (e.g. a streaming writer's
+    micro-batch id — committed ATOMICALLY with the version, which is
+    what makes :func:`last_committed_meta`-guarded foreachBatch sinks
+    exactly-once under replay)."""
     os.makedirs(root, exist_ok=True)
     v = current_version(root)
     nxt = v + 1 if v >= 0 else 1  # versions are 1-based
     prior = _read_manifest(root, v)["files"] if v >= 0 else []
     new = _write_data_files(df, root, n_files)
     _commit_manifest(
-        root, nxt, prior + new, {"op": "append", "added": len(new)}
+        root,
+        nxt,
+        prior + new,
+        {"op": "append", "added": len(new), **(meta or {})},
     )
     return nxt
+
+
+def last_committed_meta(root: str, key: str, default=None):
+    """Read a ``meta`` field from the LATEST manifest — the replay guard
+    a streaming writer checks before committing a micro-batch: the
+    field and the version it describes are one atomic rename, so there
+    is no state where the data landed but the watermark didn't."""
+    v = current_version(root)
+    if v < 0:
+        return default
+    return _read_manifest(root, v).get(key, default)
 
 
 def commit_rewrite(root: str, df: DataFrame, n_files: int = 1) -> int:
