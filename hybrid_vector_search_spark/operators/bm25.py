@@ -255,13 +255,27 @@ def _assert_ids_new(
     id_col: str,
     n_buckets: int,
 ) -> None:
-    """Enforce the append's ids-must-be-NEW contract against the
-    ``docids/`` registry: read ONLY the id-hash buckets the batch
+    """Enforce the append's ids-must-be-NEW contract: first that the
+    batch itself carries no duplicate ids (one aggregate over the
+    batch — a doc twice in one batch inflates tf/df/N exactly like a
+    re-append), then against the ``docids/`` registry: read ONLY the
+    id-hash buckets the batch
     touches (partition-pruned — the registry is hashed by ID precisely
     so this check never scans the corpus), inner-join with the batch
     ids, and raise on any hit. Layouts predating the registry (no
     ``docids/`` dir) skip the check — the contract is then docstring-
     only, as before."""
+    n_total, n_distinct = new_docs.select(
+        F.count(F.lit(1)), F.countDistinct(id_col)
+    ).first()
+    if int(n_total or 0) != int(n_distinct or 0):
+        raise ValidationError(
+            f"append_postings_batch: batch contains duplicate ids "
+            f"({int(n_total or 0)} rows, {int(n_distinct or 0)} "
+            f"distinct). A doc appearing twice in one batch would "
+            f"silently inflate tf/df/N exactly like a re-append; "
+            f"deduplicate the batch first."
+        )
     docids_root = os.path.join(path, "docids")
     if not os.path.isdir(docids_root):
         return

@@ -843,6 +843,10 @@ def sink_latest_batch_id(sink_path: str) -> int:
     import os
 
     meta_dir = os.path.join(sink_path, "_spark_metadata")
+    if not os.path.isdir(meta_dir):
+        # fresh sink dir (or pre-first-commit call): no commit log yet
+        # is the same freshness fact as an empty one
+        return -1
     ids = [
         int(f.split(".")[0])
         for f in os.listdir(meta_dir)

@@ -206,6 +206,33 @@ def merge_rollup_batch(
     return {"touched_days": len(touched), "batch_rows": batch_rows}
 
 
+def streaming_merge_batch(table: str, batch: DataFrame, batch_id: int) -> None:
+    """The ``foreachBatch`` body of a continuously-maintained rollup —
+    EXACTLY-ONCE under Structured Streaming's at-least-once replay:
+    the micro-batch id commits to ``rollup_meta.json`` inside the
+    merge's marker window, so a replayed batch sees ``batch_id <=
+    last_batch_id`` and skips. Bootstrap is gated on META presence,
+    NOT dir existence: a crash between :func:`build_rollup` and the
+    meta write leaves the table dir present but meta-less, and the
+    replayed bootstrap batch must RE-RUN the deterministic overwrite
+    (identical result) — taking the merge path there would
+    double-count the batch into a possibly half-written table."""
+    sp = batch.sparkSession
+    meta = read_rollup_meta(table)
+    if not meta:
+        build_rollup(batch, table)
+        with open(
+            os.path.join(table, _ROLLUP_META), "w", encoding="utf-8"
+        ) as f:
+            json.dump({"last_batch_id": int(batch_id)}, f)
+        return
+    if batch_id <= meta.get("last_batch_id", -1):
+        return  # at-least-once replay of an applied batch
+    merge_rollup_batch(
+        sp, table, batch, commit_meta={"last_batch_id": int(batch_id)}
+    )
+
+
 def open_rollup(spark: SparkSession, path: str) -> DataFrame:
     """Open the rollup for reading, first completing any crashed merge
     (the open_partitioned contract, relational edition)."""

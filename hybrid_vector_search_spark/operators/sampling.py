@@ -158,7 +158,21 @@ def weighted_sample(
     u = (portable_hash_key(F.col(key)) + F.lit(1).cast("double")) / F.lit(
         float(HASH_SPACE)
     )
-    rk = F.log(u) / weight
+    # Efraimidis–Spirakis precondition: w strictly positive. w=0 would
+    # yield ±inf keys and a NEGATIVE w flips ln(u)/w positive so those
+    # rows always win — silent wrong output. Guard in-expression
+    # (JVM-side, no extra job): any null/non-positive weight fails the
+    # whole draw loudly instead.
+    rk = F.when(
+        weight.isNull() | (weight <= F.lit(0)),
+        F.raise_error(
+            F.lit(
+                "weighted_sample: weights must be strictly positive "
+                "(Efraimidis-Spirakis precondition); got a null or "
+                "non-positive weight"
+            )
+        ).cast("double"),
+    ).otherwise(F.log(u) / weight)
     return (
         df.withColumn("__wkey", rk)
         .orderBy(F.col("__wkey").desc(), F.col(key).asc())

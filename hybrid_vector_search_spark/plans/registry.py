@@ -8761,16 +8761,13 @@ def streaming_incremental_rollup(
     Structured Streaming documents for idempotent foreachBatch sinks.
     The oracle aggregates everything landed from scratch: a hash match
     proves stream-maintained ≡ recomputed, double-count-free."""
-    import json as _json
     import os as _os
 
     from pyspark.sql import types as T
 
     from hybrid_vector_search_spark.operators.rollup import (
-        build_rollup,
-        merge_rollup_batch,
         open_rollup,
-        read_rollup_meta,
+        streaming_merge_batch,
     )
     from hybrid_vector_search_spark.scratch import scratch_path
 
@@ -8786,27 +8783,10 @@ def streaming_incremental_rollup(
     ckpt = _os.path.join(root, "ckpt")
 
     def merge_batch(batch_df, batch_id):
-        sp = batch_df.sparkSession
-        if not _os.path.isdir(table):
-            # bootstrap: one overwrite write — deterministic, so a
-            # pre-meta crash replays to the identical table
-            build_rollup(batch_df, table)
-            with open(
-                _os.path.join(table, "rollup_meta.json"),
-                "w",
-                encoding="utf-8",
-            ) as f:
-                _json.dump({"last_batch_id": int(batch_id)}, f)
-            return
-        last = read_rollup_meta(table).get("last_batch_id", -1)
-        if batch_id <= last:
-            return  # at-least-once replay of an applied batch
-        merge_rollup_batch(
-            sp,
-            table,
-            batch_df,
-            commit_meta={"last_batch_id": int(batch_id)},
-        )
+        # exactly-once body lives in operators/rollup.py (meta-gated
+        # bootstrap + batch-id watermark), unit-tested in
+        # tests/test_rollup.py
+        streaming_merge_batch(table, batch_df, batch_id)
 
     schema = T.StructType(
         [

@@ -333,3 +333,30 @@ def test_append_rejects_existing_ids(spark, tmp_path):
         spark.createDataFrame([(2, "interleaved doc")], "id long, text string"),
     )
     assert meta2["n"] == meta1["n"] + 1
+
+
+def test_append_rejects_intra_batch_duplicate_ids(spark, tmp_path):
+    """Advisor r9: the ids-must-be-NEW contract also covers the batch
+    itself — a doc appearing twice in ONE batch inflates tf/df/N
+    exactly like a re-append, and the registry join can't see it."""
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.operators.bm25 import (
+        append_postings_batch,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "spark joins tables")], "id long, text string"
+    )
+    path = str(tmp_path / "dup")
+    build_postings_layout(base, path, n_buckets=4)
+    dup_batch = spark.createDataFrame(
+        [(7, "vector search"), (7, "vector search again")],
+        "id long, text string",
+    )
+    with pytest.raises(ValidationError, match="duplicate ids"):
+        append_postings_batch(spark, path, dup_batch)
+    # the rejected batch left no trace: a clean append still works
+    ok = spark.createDataFrame(
+        [(7, "vector search")], "id long, text string"
+    )
+    append_postings_batch(spark, path, ok)

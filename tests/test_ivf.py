@@ -268,3 +268,25 @@ def test_estimate_allowed_rules():
     assert est == round(1000 * 0.2 * 0.1 * 0.9)
     # unknown column falls back to the default guess
     assert estimate_allowed(stats, {"mystery": {"eq": 1}}) == 100
+
+
+def test_sink_latest_batch_id_missing_metadata_dir(tmp_path):
+    """Advisor r9: a fresh sink dir (or a pre-first-commit call) has no
+    _spark_metadata yet — that is the same freshness fact as an empty
+    commit log, so return -1 instead of raising FileNotFoundError."""
+    import os
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        sink_latest_batch_id,
+    )
+
+    assert sink_latest_batch_id(str(tmp_path / "nonexistent")) == -1
+    fresh = tmp_path / "fresh_sink"
+    fresh.mkdir()
+    assert sink_latest_batch_id(str(fresh)) == -1
+    meta = fresh / "_spark_metadata"
+    meta.mkdir()
+    assert sink_latest_batch_id(str(fresh)) == -1
+    (meta / "0").write_text("{}")
+    (meta / "3").write_text("{}")
+    assert sink_latest_batch_id(str(fresh)) == 3

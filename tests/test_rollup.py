@@ -192,3 +192,38 @@ def test_commit_meta_lands_inside_the_marker_window(
         for r in R.open_rollup(spark, full).collect()
     }
     assert got == want
+
+
+def test_streaming_bootstrap_gated_on_meta_not_dir(spark, tmp_path):
+    """Advisor r9 (medium): a crash between the bootstrap's
+    build_rollup and the rollup_meta.json write leaves the table dir
+    PRESENT but meta-less. The replayed bootstrap batch must re-run
+    the deterministic overwrite — the old dir-existence gate would
+    have routed it to the merge path (last_batch_id=-1 → merge) and
+    double-counted the batch."""
+    batch0 = _events(
+        spark,
+        [(i, _ts(1), i, "view", 2.50) for i in range(4)],
+    )
+    table = str(tmp_path / "t")
+    # simulate the crashed bootstrap: table built, meta never written
+    R.build_rollup(batch0, table)
+    assert os.path.isdir(table)
+    assert R.read_rollup_meta(table) == {}
+
+    # the at-least-once replay of micro-batch 0
+    R.streaming_merge_batch(table, batch0, 0)
+    assert R.read_rollup_meta(table) == {"last_batch_id": 0}
+    rows = R.open_rollup(spark, table).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 4  # not 8: replay did NOT merge-double
+
+    # watermark skip: replaying an applied batch is a no-op
+    R.streaming_merge_batch(table, batch0, 0)
+    assert R.open_rollup(spark, table).collect()[0]["n_events"] == 4
+
+    # a genuinely new batch takes the merge path
+    batch1 = _events(spark, [(100, _ts(1), 9, "view", 1.00)])
+    R.streaming_merge_batch(table, batch1, 1)
+    assert R.read_rollup_meta(table) == {"last_batch_id": 1}
+    assert R.open_rollup(spark, table).collect()[0]["n_events"] == 5

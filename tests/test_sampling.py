@@ -90,3 +90,28 @@ def test_resample_mixture_budget_and_determinism(spark):
     # total kept tracks the budget (hash sampling is binomial per source)
     total, kept = out.n_docs.sum(), out.n_kept.sum()
     assert abs(kept / total - 0.8) < 0.15
+
+
+def test_weighted_sample_rejects_non_positive_weights(docs):
+    """Advisor r9: E-S requires strictly positive weights — w=0 gives
+    ±inf keys and w<0 flips ln(u)/w positive so those rows always win.
+    The in-expression guard fails the draw loudly instead."""
+    bad = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 6, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    with pytest.raises(Exception, match="strictly positive"):
+        SP.weighted_sample(bad, "doc_id", F.col("w"), 3).collect()
+    neg = docs.withColumn("w", F.lit(-2.0))
+    with pytest.raises(Exception, match="strictly positive"):
+        SP.weighted_sample(neg, "doc_id", F.col("w"), 3).collect()
+    # positive weights still draw deterministically
+    ok = docs.withColumn("w", F.lit(1.0) + F.col("doc_id").cast("double"))
+    a = sorted(
+        r.doc_id
+        for r in SP.weighted_sample(ok, "doc_id", F.col("w"), 4).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in SP.weighted_sample(ok, "doc_id", F.col("w"), 4).collect()
+    )
+    assert a == b and len(a) == 4
