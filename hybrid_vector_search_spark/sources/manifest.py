@@ -1,39 +1,63 @@
-"""Versioned-manifest table layout — snapshot isolation and time travel
-on plain parquet, the single-writer core of what table formats
-(Iceberg/Delta/Hudi) provide.
+"""Versioned-manifest table layout — snapshot isolation, time travel,
+MULTI-WRITER commits, per-file column stats with file skipping, and
+schema evolution on plain parquet: the core of what table formats
+(Iceberg/Delta/Hudi) provide, built from two invariants.
 
 Every maintenance path in this engine (IVF upsert, BM25 append, rollup
 merge, drain-and-swap) already closes its CRASH window with a
-begin/commit marker — but plain directory layouts still leave two
-reader-side gaps a 100-TB deployment cares about:
-
-* **no read isolation**: a reader listing a directory mid-commit can see
-  a half-applied state (dynamic partition overwrite is not atomic
-  across partitions), and the rename-swap layouts have an instant where
-  the root directory does not exist;
-* **no time travel**: yesterday's table is gone the moment today's
-  commit lands — no reproducible reads for a training run pinned to a
-  snapshot.
-
-The manifest layout closes both with two invariants:
+begin/commit marker — but plain directory layouts still leave reader-
+side gaps a 100-TB deployment cares about: no read isolation (a reader
+listing a directory mid-commit can see a half-applied state) and no
+time travel (yesterday's table is gone the moment today's commit
+lands). The manifest layout closes both:
 
 1. **data files are immutable** — writers only ADD files under
    ``data/<uuid>/``, never modify or delete live ones (vacuum removes
    only files referenced by NO retained version);
 2. **a version is a manifest** — ``manifest-<v>.json`` lists the data
-   files of snapshot ``v`` in full. Committing = writing the manifest to
-   a temp name and ``os.rename``-ing it into place (atomic on POSIX);
-   reading = pick a manifest (latest by default, any retained version
-   for time travel) and scan exactly its files.
+   files of snapshot ``v`` in full, plus (r10) per-file column min/max
+   stats and the snapshot's logical schema. Publishing a manifest is
+   an atomic filesystem primitive, so a reader ALWAYS sees a complete
+   committed snapshot: a crash mid-commit leaves data files without a
+   manifest (invisible, re-written by the retried commit), and a
+   reader racing a commit sees either v or v+1, never a mix.
 
-A reader therefore ALWAYS sees a complete committed snapshot: a crash
-mid-commit leaves data files without a manifest (invisible, re-written
-by the retried commit), and a reader racing a commit sees either v or
-v+1, never a mix. Single-writer by design — multi-writer needs a
-compare-and-swap on the manifest name, which object stores offer as
-conditional PUT; that (plus column stats in the manifest for file
-skipping) is exactly the road to a real table format, noted in
-SURVEY-style honesty rather than half-implemented.
+**Multi-writer (r10)**: the commit arbiter is ``os.link(tmp, final)``
+— creating a hard link fails with ``FileExistsError`` when ``final``
+exists, which is an atomic compare-and-swap on POSIX (``os.rename``
+would silently OVERWRITE a concurrent winner's manifest — a lost
+update). The linked inode is the fully-written temp file, so a reader
+can never observe a partial manifest either. A loser of the race
+REBASES: its data files are already safely on disk (immutable, under a
+fresh uuid dir — no writer ever collides on data paths), so it just
+re-reads the new current manifest, recomputes the file list, and
+retries at v+1. Appends always rebase cleanly (append ∘ append
+commutes). A rewrite/compaction rebases only when every file it
+rewrote is still present in the new current version — i.e. concurrent
+APPENDS are folded in (their files are carried over), while a
+concurrent rewrite of the same files is a genuine conflict and
+raises. On an object store the same protocol rides on conditional PUT
+(If-None-Match); the filesystem hard link is the local stand-in.
+
+**File skipping (r10)**: commits record per-file min/max for the
+table's scalar columns, harvested from the parquet FOOTERS of the
+just-written files (metadata pages only — no data scan, the same
+source Iceberg's stats come from). ``read_snapshot_pruned`` drops
+files whose [min,max] cannot overlap the predicate BEFORE Spark sees
+them — partition-pruning semantics without hive directories, and it
+composes with time travel (each version prunes against its own stats).
+Files without stats for the column are conservatively kept.
+
+**Schema evolution (r10)**: the manifest carries the snapshot's
+logical schema and a per-file logical→physical column mapping.
+``commit_add_column`` / ``commit_rename_column`` are METADATA-ONLY
+commits — zero data bytes move; old files serve renamed columns via
+the mapping and absent columns as typed NULLs. Time travel pins the
+schema too: reading v1 after a rename still yields v1's column names.
+
+Crash-safety note: data files are written with ``errorifexists`` into
+per-commit uuid dirs, so a retried commit after a crash re-writes
+fresh files and the orphans stay invisible until ``vacuum``.
 """
 
 from __future__ import annotations
@@ -47,6 +71,15 @@ from pyspark.sql import DataFrame, SparkSession
 from hybrid_vector_search_spark.errors import ValidationError
 
 _MANIFEST_PREFIX = "manifest-"
+
+#: bounded CAS retry budget — each retry re-reads the current manifest,
+#: so only sustained contention from many concurrent writers exhausts it
+_MAX_COMMIT_RETRIES = 24
+
+
+class CommitConflictError(ValidationError):
+    """A manifest commit lost its compare-and-swap race and could not
+    be rebased (rewrite racing a rewrite, or retry budget exhausted)."""
 
 
 def _manifest_name(version: int) -> str:
@@ -94,21 +127,147 @@ def snapshot_files(root: str, version: int | None = None) -> tuple[int, list[str
     return v, [os.path.join(root, rel) for rel in m["files"]]
 
 
+# ---------------------------------------------------------------------------
+# reading — schema-aware, optionally stats-pruned
+
+
+def _apply_logical_schema(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Scan a manifest's files (or the given pruned subset) and present
+    them under the manifest's LOGICAL schema. Files are grouped by
+    their logical→physical column mapping (one group per schema
+    generation — a handful at most); each group reads its physical
+    columns, aliases them to logical names, and fills columns added
+    after the file was written with typed NULLs. Pre-evolution
+    manifests (no schema recorded) read as plain parquet."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rels = manifest["files"] if files is None else [
+        os.path.relpath(f, root) for f in files
+    ]
+    schema_json = manifest.get("schema")
+    if not rels:
+        if schema_json is None:
+            raise ValidationError("empty snapshot file list")
+        # every file pruned away — a legal, empty result
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(schema_json)
+        )
+    if schema_json is None:
+        return spark.read.parquet(*(os.path.join(root, r) for r in rels))
+    schema = T.StructType.fromJson(schema_json)
+    mappings = manifest.get("column_mapping", {})
+    groups: dict[str, list[str]] = {}
+    for rel in rels:
+        key = json.dumps(mappings.get(rel, {}), sort_keys=True)
+        groups.setdefault(key, []).append(rel)
+    out = None
+    for key, grp in sorted(groups.items()):
+        mapping = json.loads(key)
+        # mergeSchema: one mapping group can span schema generations
+        # (files written before/after an add-column) — without it the
+        # scan adopts a single file's physical schema and silently
+        # drops the added column from the newer files
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(root, r) for r in grp)
+        )
+        cols = []
+        for field in schema.fields:
+            phys = mapping.get(field.name, field.name)
+            if phys in df.columns:
+                cols.append(
+                    F.col(phys).cast(field.dataType).alias(field.name)
+                )
+            else:
+                # column added after these files were written
+                cols.append(
+                    F.lit(None).cast(field.dataType).alias(field.name)
+                )
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Scan exactly one committed snapshot's files. The file list is
-    pinned at plan time, so the resulting DataFrame is a REPRODUCIBLE
-    read: later commits (which only add files and manifests) cannot
-    change what this plan scans — the property a training run pins a
-    data snapshot with."""
-    _v, files = snapshot_files(root, version)
-    return spark.read.parquet(*files)
+    """Scan exactly one committed snapshot's files under that
+    snapshot's logical schema. The file list is pinned at plan time,
+    so the resulting DataFrame is a REPRODUCIBLE read: later commits
+    (which only add files and manifests) cannot change what this plan
+    scans — the property a training run pins a data snapshot with.
+    Time travel pins the SCHEMA too: reading v1 after a v2 rename
+    still yields v1's column names."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    return _apply_logical_schema(spark, root, _read_manifest(root, v))
+
+
+def snapshot_files_pruned(
+    root: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[int, list[str], int]:
+    """(version, kept absolute file paths, total files in version):
+    drop files whose manifest [min,max] for ``column`` cannot overlap
+    [lo, hi] — data skipping decided from manifest metadata alone,
+    BEFORE Spark lists or opens anything. Files without recorded stats
+    for the column are conservatively KEPT (pruning must never change
+    results, only bytes read)."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    stats = m.get("stats", {})
+    kept = []
+    for rel in m["files"]:
+        mm = stats.get(rel, {}).get(column)
+        if mm is not None and (mm[0] > hi or mm[1] < lo):
+            continue  # provably disjoint from [lo, hi]
+        kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], len(m["files"])
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot scan + the actual row-level predicate
+    (file skipping is a superset filter; the BETWEEN still applies).
+    Result-identical to ``read_snapshot(...).filter(between)`` by
+    construction — just fewer files opened."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    _v, files, _total = snapshot_files_pruned(root, column, lo, hi, v)
+    df = _apply_logical_schema(spark, root, m, files=files)
+    return df.filter(F.col(column).between(lo, hi))
+
+
+# ---------------------------------------------------------------------------
+# writing — immutable data files + CAS manifest publish
 
 
 def _write_data_files(df: DataFrame, root: str, n_files: int) -> list[str]:
     """Write a batch as immutable data files under ``data/<uuid>/`` and
-    return their root-relative paths."""
+    return their root-relative paths. The fresh uuid dir is why
+    concurrent writers never collide on data paths — only the manifest
+    name is contended."""
     sub = os.path.join("data", uuid.uuid4().hex[:12])
     out_dir = os.path.join(root, sub)
     df.repartition(max(int(n_files), 1)).write.mode("errorifexists").parquet(
@@ -121,20 +280,76 @@ def _write_data_files(df: DataFrame, root: str, n_files: int) -> list[str]:
     )
 
 
-def _commit_manifest(root: str, version: int, files: list[str], meta: dict) -> None:
-    """Atomic publish: temp write + rename. A crash before the rename
-    leaves orphaned (invisible) data files only; a reader can never
-    observe a partial manifest."""
+def _footer_stats(root: str, rels: list[str]) -> dict:
+    """Per-file column min/max harvested from parquet FOOTERS (metadata
+    pages only — no data read; the same source Iceberg stats come
+    from). Only JSON-friendly scalar stats are kept: int/float/str
+    min-max per column, merged across row groups. Columns without
+    footer stats (arrays, structs) are simply absent — readers treat
+    absent as unprunable."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rels:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        per_col: dict[str, list] = {}
+        # a column missing stats in ANY row group must never surface
+        # partial min/max (pruning with a partial range drops rows)
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested — not prunable here
+                if name in bad:
+                    continue
+                st = col.statistics
+                mn = mx = None
+                if st is not None and st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            mn = None
+                    if not isinstance(mn, (int, float, str)):
+                        mn = None  # timestamps etc — stay conservative
+                if mn is None:
+                    bad.add(name)
+                    per_col.pop(name, None)
+                    continue
+                if name in per_col:
+                    per_col[name][0] = min(per_col[name][0], mn)
+                    per_col[name][1] = max(per_col[name][1], mx)
+                else:
+                    per_col[name] = [mn, mx]
+        if per_col:
+            out[rel] = per_col
+    return out
+
+
+def _try_commit_manifest(root: str, version: int, payload: dict) -> bool:
+    """One CAS attempt: write the manifest to a temp name, then
+    ``os.link`` it to the final name — atomic create-if-absent on
+    POSIX (rename would OVERWRITE a concurrent winner: lost update).
+    Returns False when another writer won version ``version``."""
     final = os.path.join(root, _manifest_name(version))
-    if os.path.exists(final):
-        raise ValidationError(
-            f"version {version} already committed at '{root}' — "
-            f"single-writer contract violated (concurrent committer?)"
-        )
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": version, "files": files, **meta}, f)
-    os.rename(tmp, final)
+        json.dump({**payload, "version": version}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        return False
+    os.remove(tmp)
+    return True
+
+
+def _schema_payload(df: DataFrame) -> dict:
+    return df.schema.jsonValue()
 
 
 def commit_append(
@@ -142,32 +357,64 @@ def commit_append(
     df: DataFrame,
     n_files: int = 1,
     meta: dict | None = None,
+    stats_columns: bool = True,
 ) -> int:
     """Append a batch as snapshot v+1 = v's files + the batch's new
     files. Returns the committed version. Cost is O(batch) — no
     existing bytes move, and every prior version stays readable.
+
+    MULTI-WRITER SAFE: the batch's data files are written once (fresh
+    uuid dir — no path contention), then the manifest commit loops on
+    the CAS: read current version, build v+1 = current ∪ new, try the
+    atomic link; a lost race re-reads and retries, so two concurrent
+    appends land as v+1 and v+2 in SOME serial order with both
+    batches present — no lost update (appends commute).
+
     ``meta`` rides in the manifest itself (e.g. a streaming writer's
     micro-batch id — committed ATOMICALLY with the version, which is
     what makes :func:`last_committed_meta`-guarded foreachBatch sinks
-    exactly-once under replay)."""
+    exactly-once under replay). ``stats_columns`` harvests per-file
+    min/max from the new files' footers for file skipping."""
     os.makedirs(root, exist_ok=True)
-    v = current_version(root)
-    nxt = v + 1 if v >= 0 else 1  # versions are 1-based
-    prior = _read_manifest(root, v)["files"] if v >= 0 else []
     new = _write_data_files(df, root, n_files)
-    _commit_manifest(
-        root,
-        nxt,
-        prior + new,
-        {"op": "append", "added": len(new), **(meta or {})},
+    new_stats = _footer_stats(root, new) if stats_columns else {}
+    schema = _schema_payload(df)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        nxt = v + 1 if v >= 0 else 1  # versions are 1-based
+        if v >= 0:
+            cur = _read_manifest(root, v)
+            prior_files = cur["files"]
+            prior_stats = cur.get("stats", {})
+            prior_map = cur.get("column_mapping", {})
+            # appends adopt the table's current logical schema when one
+            # is recorded (the batch must be written physically under
+            # it — callers align columns before committing)
+            schema_out = cur.get("schema", schema)
+        else:
+            prior_files, prior_stats, prior_map = [], {}, {}
+            schema_out = schema
+        payload = {
+            "files": prior_files + new,
+            "stats": {**prior_stats, **new_stats},
+            "column_mapping": prior_map,
+            "schema": schema_out,
+            "op": "append",
+            "added": len(new),
+            **(meta or {}),
+        }
+        if _try_commit_manifest(root, nxt, payload):
+            return nxt
+    raise CommitConflictError(
+        f"commit_append at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
     )
-    return nxt
 
 
 def last_committed_meta(root: str, key: str, default=None):
     """Read a ``meta`` field from the LATEST manifest — the replay guard
     a streaming writer checks before committing a micro-batch: the
-    field and the version it describes are one atomic rename, so there
+    field and the version it describes are one atomic publish, so there
     is no state where the data landed but the watermark didn't."""
     v = current_version(root)
     if v < 0:
@@ -175,21 +422,187 @@ def last_committed_meta(root: str, key: str, default=None):
     return _read_manifest(root, v).get(key, default)
 
 
-def commit_rewrite(root: str, df: DataFrame, n_files: int = 1) -> int:
+def commit_rewrite(
+    root: str, df: DataFrame, n_files: int = 1, stats_columns: bool = True
+) -> int:
     """Publish a full REWRITE (compaction / overwrite) as v+1: the new
     snapshot references only the rewritten files, while every retained
     older manifest still references the old ones — compaction without
-    breaking time travel (what the rename-swap layouts cannot offer)."""
-    if current_version(root) < 0:
+    breaking time travel.
+
+    Under concurrency: the rewrite pins the version it read (its
+    BASE). If the CAS loses to a concurrent APPEND, the rewrite
+    rebases — files the append added since base are carried into the
+    new manifest (rewrite ∘ append commutes when the rewrite only
+    replaces base files). If a concurrent writer REMOVED any base file
+    (another rewrite won), the snapshots genuinely conflict and
+    :class:`CommitConflictError` is raised — the caller must re-read
+    and redo the rewrite, exactly Iceberg's serializable validation."""
+    base_v = current_version(root)
+    if base_v < 0:
         raise ValidationError(
             f"nothing to rewrite at '{root}': no committed snapshot"
         )
-    v = current_version(root)
+    base = _read_manifest(root, base_v)
+    base_files = set(base["files"])
     new = _write_data_files(df, root, n_files)
-    _commit_manifest(
-        root, v + 1, new, {"op": "rewrite", "added": len(new)}
+    new_stats = _footer_stats(root, new) if stats_columns else {}
+    schema = _schema_payload(df)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        cur = _read_manifest(root, v)
+        cur_files = set(cur["files"])
+        if not base_files <= cur_files:
+            raise CommitConflictError(
+                f"commit_rewrite at '{root}': base version {base_v} "
+                f"files were replaced by a concurrent commit — rewrite "
+                f"vs rewrite does not commute; re-read and retry"
+            )
+        carried = [f for f in cur["files"] if f not in base_files]
+        cur_stats = cur.get("stats", {})
+        payload = {
+            "files": new + carried,
+            "stats": {
+                **{f: cur_stats[f] for f in carried if f in cur_stats},
+                **new_stats,
+            },
+            "column_mapping": {
+                f: m
+                for f, m in cur.get("column_mapping", {}).items()
+                if f in carried
+            },
+            "schema": cur.get("schema", schema),
+            "op": "rewrite",
+            "added": len(new),
+        }
+        if _try_commit_manifest(root, v + 1, payload):
+            return v + 1
+    raise CommitConflictError(
+        f"commit_rewrite at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
     )
-    return v + 1
+
+
+# ---------------------------------------------------------------------------
+# schema evolution — metadata-only commits
+
+
+def _metadata_only_commit(root: str, mutate, op: str) -> int:
+    """Commit a schema change touching ZERO data bytes: copy the
+    current manifest, let ``mutate(payload)`` adjust schema/mapping,
+    CAS-publish as v+1. Rebases trivially (re-reads current and
+    re-applies) since no files are written."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        if v < 0:
+            raise ValidationError(
+                f"no committed snapshot at '{root}' to evolve"
+            )
+        cur = _read_manifest(root, v)
+        payload = {
+            "files": cur["files"],
+            "stats": cur.get("stats", {}),
+            "column_mapping": dict(cur.get("column_mapping", {})),
+            "schema": cur.get("schema"),
+            "op": op,
+            "added": 0,
+        }
+        mutate(payload)
+        if _try_commit_manifest(root, v + 1, payload):
+            return v + 1
+    raise CommitConflictError(
+        f"{op} at '{root}': CAS retry budget exhausted under contention"
+    )
+
+
+def commit_add_column(root: str, name: str, spark_type: str) -> int:
+    """Add a column (METADATA-ONLY — no data bytes move): the logical
+    schema gains ``name`` typed ``spark_type`` (a DDL type string,
+    e.g. ``'double'``); every existing file simply lacks the physical
+    column, so readers fill it with typed NULLs. Files appended later
+    carry it physically."""
+    from pyspark.sql import types as T
+
+    new_field = T.StructField(
+        name, T._parse_datatype_string(spark_type), True
+    )
+
+    def mutate(payload: dict) -> None:
+        if payload["schema"] is None:
+            raise ValidationError(
+                f"cannot add column to '{root}': snapshot predates "
+                f"schema tracking (recommit with commit_append first)"
+            )
+        schema = T.StructType.fromJson(payload["schema"])
+        if name in schema.fieldNames():
+            raise ValidationError(
+                f"column '{name}' already exists at '{root}'"
+            )
+        payload["schema"] = T.StructType(
+            [*schema.fields, new_field]
+        ).jsonValue()
+
+    return _metadata_only_commit(root, mutate, "add_column")
+
+
+def commit_rename_column(root: str, old: str, new: str) -> int:
+    """Rename a column (METADATA-ONLY): the logical schema renames the
+    field, and every CURRENT file records ``new → <its physical name
+    for old>`` in the per-file column mapping (composing with prior
+    renames), so old files keep serving their bytes under the new
+    name. Files appended later are written physically as ``new`` and
+    need no mapping. Time travel is unaffected: older manifests keep
+    the older name."""
+    from pyspark.sql import types as T
+
+    def mutate(payload: dict) -> None:
+        if payload["schema"] is None:
+            raise ValidationError(
+                f"cannot rename column at '{root}': snapshot predates "
+                f"schema tracking (recommit with commit_append first)"
+            )
+        schema = T.StructType.fromJson(payload["schema"])
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValidationError(
+                f"column '{old}' does not exist at '{root}' "
+                f"(have: {names})"
+            )
+        if new in names:
+            raise ValidationError(
+                f"column '{new}' already exists at '{root}'"
+            )
+        payload["schema"] = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        ).jsonValue()
+        mapping = payload["column_mapping"]
+        stats = payload["stats"]
+        for rel in payload["files"]:
+            per_file = dict(mapping.get(rel, {}))
+            phys = per_file.pop(old, old)  # compose through prior renames
+            per_file[new] = phys
+            mapping[rel] = per_file
+            st = stats.get(rel)
+            if st is not None:
+                # manifest stats are keyed by the LOGICAL name (footer
+                # harvest keys them physically, which equals logical
+                # until the first rename; later renames compose from
+                # the previous logical key) — re-key so pruning by the
+                # new name keeps working
+                st = dict(st)
+                val = st.pop(old, None)
+                if val is None and phys != old:
+                    val = st.pop(phys, None)
+                if val is not None:
+                    st[new] = val
+                stats[rel] = st
+
+    return _metadata_only_commit(root, mutate, "rename_column")
 
 
 def vacuum(root: str, keep_last: int = 1) -> dict:

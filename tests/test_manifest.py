@@ -100,6 +100,270 @@ def test_vacuum_reference_counts(spark, tmp_path):
     with pytest.raises(ValidationError, match="does not exist"):
         M.read_snapshot(spark, root, 1)
 
-    # single-writer guard: re-committing an existing version refuses
-    with pytest.raises(ValidationError, match="already committed"):
-        M._commit_manifest(root, 3, [], {})
+    # CAS arbiter: a commit attempt on an existing version LOSES
+    # (returns False) instead of overwriting — no lost update
+    assert M._try_commit_manifest(root, 3, {"files": []}) is False
+    assert _ids(M.read_snapshot(spark, root)) == set(range(20))
+
+
+# ---------------------------------------------------------------------------
+# r10: multi-writer CAS commits
+
+
+def test_concurrent_appends_no_lost_update_threaded(spark, tmp_path):
+    """Two-to-many concurrent appenders: every batch lands in SOME
+    serial order, no lost update — the CAS arbiter (hard-link
+    create-if-absent) plus retry-with-rebase."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    n_writers = 6
+    barrier = threading.Barrier(n_writers)
+    errs = []
+
+    def writer(i):
+        df = _df(spark, 100 * i, 100 * i + 10)
+        try:
+            barrier.wait(timeout=60)
+            M.commit_append(root, df)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((i, e))
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert errs == []
+    assert M.list_versions(root) == list(range(1, n_writers + 1))
+    want = {100 * i + j for i in range(n_writers) for j in range(10)}
+    assert _ids(M.read_snapshot(spark, root)) == want
+
+
+def test_append_rebases_after_losing_cas_race(spark, tmp_path, monkeypatch):
+    """Deterministic race: a competitor commits the contended version
+    just before writer A's CAS attempt. A must lose the link, re-read,
+    and retry at v+1 carrying BOTH file sets — the no-lost-update
+    proof without thread timing."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))  # v1
+
+    b_files = M._write_data_files(_df(spark, 50, 60), root, 1)
+    base = M._read_manifest(root, 1)
+    real = M._try_commit_manifest
+    hits = {"n": 0}
+
+    def racing(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            # competitor B wins this version first
+            assert real(
+                r,
+                version,
+                {
+                    "files": base["files"] + b_files,
+                    "stats": base.get("stats", {}),
+                    "column_mapping": {},
+                    "schema": base.get("schema"),
+                    "op": "append",
+                    "added": len(b_files),
+                },
+            )
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing)
+    v = M.commit_append(root, _df(spark, 90, 95))  # writer A
+    assert v == 3  # lost v2 to B, rebased to v3
+    assert hits["n"] == 1
+    assert _ids(M.read_snapshot(spark, root)) == (
+        set(range(10)) | set(range(50, 60)) | set(range(90, 95))
+    )
+    # B's intermediate version is a complete snapshot too
+    assert _ids(M.read_snapshot(spark, root, 2)) == (
+        set(range(10)) | set(range(50, 60))
+    )
+
+
+def test_rewrite_rebase_folds_concurrent_append(spark, tmp_path, monkeypatch):
+    """A compaction racing an APPEND rebases: the appended files are
+    carried into the rewritten manifest (rewrite ∘ append commutes
+    when the rewrite only replaces its base files)."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_append(root, _df(spark, 10, 20))
+
+    base = M._read_manifest(root, 2)
+    b_files = M._write_data_files(_df(spark, 70, 75), root, 1)
+    real = M._try_commit_manifest
+    hits = {"n": 0}
+
+    def racing(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            assert real(
+                r,
+                version,
+                {
+                    "files": base["files"] + b_files,
+                    "stats": base.get("stats", {}),
+                    "column_mapping": {},
+                    "schema": base.get("schema"),
+                    "op": "append",
+                    "added": len(b_files),
+                },
+            )
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing)
+    v = M.commit_rewrite(root, M.read_snapshot(spark, root, 2), n_files=1)
+    assert v == 4 and hits["n"] == 1
+    # rewrite base (0..19, compacted) + concurrently appended 70..74
+    assert _ids(M.read_snapshot(spark, root)) == (
+        set(range(20)) | set(range(70, 75))
+    )
+
+
+def test_rewrite_vs_rewrite_conflicts(spark, tmp_path, monkeypatch):
+    """Two rewrites of the same base do NOT commute — the loser must
+    raise CommitConflictError, never silently drop the winner's
+    output."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+
+    winner_files = M._write_data_files(_df(spark, 0, 10), root, 1)
+    real = M._try_commit_manifest
+    hits = {"n": 0}
+
+    def racing(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            assert real(
+                r,
+                version,
+                {
+                    "files": winner_files,  # replaces v1's files
+                    "stats": {},
+                    "column_mapping": {},
+                    "schema": None,
+                    "op": "rewrite",
+                    "added": len(winner_files),
+                },
+            )
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing)
+    with pytest.raises(M.CommitConflictError, match="concurrent"):
+        M.commit_rewrite(root, M.read_snapshot(spark, root, 1), n_files=1)
+
+
+# ---------------------------------------------------------------------------
+# r10: per-file column stats + file skipping
+
+
+def test_stats_pruned_scan_skips_disjoint_files(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))    # file A: id 0..9
+    M.commit_append(root, _df(spark, 10, 20))   # file B: id 10..19
+    M.commit_append(root, _df(spark, 20, 30))   # file C: id 20..29
+
+    v, kept, total = M.snapshot_files_pruned(root, "id", 12, 18)
+    assert (v, total, len(kept)) == (3, 3, 1)  # only file B survives
+    got = M.read_snapshot_pruned(spark, root, "id", 12, 18)
+    assert _ids(got) == set(range(12, 19))
+    # pruning is pure metadata: identical to the unpruned filtered read
+    from pyspark.sql import functions as F
+
+    want = M.read_snapshot(spark, root).filter(F.col("id").between(12, 18))
+    assert _ids(got) == _ids(want)
+
+    # composes with time travel: v2 has two files, one survives
+    v2, kept2, total2 = M.snapshot_files_pruned(root, "id", 12, 18, version=2)
+    assert (total2, len(kept2)) == (2, 1)
+
+    # prune-everything is a legal empty read, schema intact
+    empty = M.read_snapshot_pruned(spark, root, "id", 500, 600)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "label"]
+
+
+def test_stats_survive_rewrite_and_missing_stats_kept(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
+    # rewritten files carry fresh footer stats
+    _v, kept, total = M.snapshot_files_pruned(root, "id", 0, 100)
+    assert len(kept) == total == 2
+    # a column with no recorded stats never prunes (conservative)
+    _v, kept, total = M.snapshot_files_pruned(root, "no_such_col", 0, 1)
+    assert len(kept) == total
+
+
+# ---------------------------------------------------------------------------
+# r10: schema evolution (metadata-only commits)
+
+
+def test_schema_add_rename_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 5))          # v1: (id, label)
+    M.commit_add_column(root, "score", "double")     # v2: + score (meta-only)
+    new = spark.createDataFrame(
+        [(i, i % 3, float(i) / 2) for i in range(5, 8)],
+        "id long, label int, score double",
+    )
+    M.commit_append(root, new)                       # v3: mixed files
+    M.commit_rename_column(root, "label", "cls")     # v4: rename (meta-only)
+
+    cur = M.read_snapshot(spark, root)
+    assert cur.columns == ["id", "cls", "score"]
+    rows = {r["id"]: (r["cls"], r["score"]) for r in cur.collect()}
+    assert rows[2] == (2, None)      # old file: renamed col + NULL fill
+    assert rows[6] == (0, 3.0)       # new file: physical columns
+    assert len(rows) == 8
+
+    # time travel pins the OLD schema
+    v1 = M.read_snapshot(spark, root, 1)
+    assert v1.columns == ["id", "label"] and v1.count() == 5
+    v3 = M.read_snapshot(spark, root, 3)
+    assert v3.columns == ["id", "label", "score"]
+
+    # metadata-only commits moved zero data bytes
+    m2, m4 = M._read_manifest(root, 2), M._read_manifest(root, 4)
+    assert m2["files"] == M._read_manifest(root, 1)["files"]
+    assert m4["files"] == M._read_manifest(root, 3)["files"]
+
+    # stats were re-keyed: pruning by the RENAMED column still works
+    _v, kept, total = M.snapshot_files_pruned(root, "id", 6, 7)
+    assert len(kept) == 1 and total == 2
+
+    # appends after the rename write the new physical name
+    M.commit_append(
+        root,
+        spark.createDataFrame(
+            [(100, 1, 9.9)], "id long, cls int, score double"
+        ),
+    )
+    assert _ids(M.read_snapshot(spark, root)) == set(range(8)) | {100}
+
+    # guardrails
+    with pytest.raises(ValidationError, match="already exists"):
+        M.commit_add_column(root, "score", "double")
+    with pytest.raises(ValidationError, match="does not exist"):
+        M.commit_rename_column(root, "label", "x")  # already renamed
+    with pytest.raises(ValidationError, match="already exists"):
+        M.commit_rename_column(root, "cls", "score")
+
+
+def test_vacuum_keeps_metadata_only_versions_consistent(spark, tmp_path):
+    """Vacuum after schema evolution: metadata-only manifests share
+    files with their base — reference counting must keep shared files
+    alive while retained."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 5))
+    M.commit_add_column(root, "score", "double")
+    stats = M.vacuum(root, keep_last=1)  # drops v1, keeps v2
+    assert stats["dropped_versions"] == 1
+    assert stats["deleted_files"] == 0  # v2 still references v1's file
+    out = M.read_snapshot(spark, root)
+    assert out.columns == ["id", "label", "score"] and out.count() == 5
