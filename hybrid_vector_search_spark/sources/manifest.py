@@ -280,6 +280,236 @@ def _write_data_files(df: DataFrame, root: str, n_files: int) -> list[str]:
     )
 
 
+def _write_data_files_clustered(
+    df: DataFrame, root: str, column: str
+) -> list[str]:
+    """Write a batch as immutable data files with ONE FILE PER DISTINCT
+    ``column`` VALUE — the layout an index keeps (IVF list files, BM25
+    term buckets): the pre-write ``repartition(column)`` puts each
+    value wholly inside one task and the writer splits by a duplicate
+    partition column, so every emitted file has footer min == max ==
+    its cluster value. ``column`` stays a PHYSICAL column in the data
+    (the partition dir carries a ``_cluster`` duplicate), so manifest
+    readers that open leaf files directly still see it — and footer
+    stats give exact single-value pruning for free."""
+    sub = os.path.join("data", uuid.uuid4().hex[:12])
+    out_dir = os.path.join(root, sub)
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_cluster", F.col(column))
+        .repartition(F.col("_cluster"))
+        .write.mode("errorifexists")
+        .partitionBy("_cluster")
+        .parquet(out_dir)
+    )
+    rels = []
+    for dirpath, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                rels.append(
+                    os.path.relpath(os.path.join(dirpath, f), root)
+                )
+    return sorted(rels)
+
+
+def commit_append_clustered(
+    root: str,
+    df: DataFrame,
+    column: str,
+    meta: dict | None = None,
+) -> int:
+    """:func:`commit_append` with the one-file-per-``column``-value
+    layout — the build commit of a manifest-backed index (each cluster
+    file prunes exactly by its value)."""
+    os.makedirs(root, exist_ok=True)
+    new = _write_data_files_clustered(df, root, column)
+    new_stats = _footer_stats(root, new)
+    schema = _schema_payload(df.drop("_cluster"))
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        nxt = v + 1 if v >= 0 else 1
+        if v >= 0:
+            cur = _read_manifest(root, v)
+            prior_files, prior_stats = cur["files"], cur.get("stats", {})
+            prior_map = cur.get("column_mapping", {})
+            schema_out = cur.get("schema", schema)
+        else:
+            prior_files, prior_stats, prior_map = [], {}, {}
+            schema_out = schema
+        payload = {
+            "files": prior_files + new,
+            "stats": {**prior_stats, **new_stats},
+            "column_mapping": prior_map,
+            "schema": schema_out,
+            "op": "append",
+            "added": len(new),
+            **(meta or {}),
+        }
+        if _try_commit_manifest(root, nxt, payload):
+            return nxt
+    raise CommitConflictError(
+        f"commit_append_clustered at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
+    )
+
+
+def snapshot_files_pruned_in(
+    root: str,
+    column: str,
+    values,
+    version: int | None = None,
+) -> tuple[int, list[str], int]:
+    """(version, kept absolute paths, total): drop files whose
+    [min,max] for ``column`` provably contains NONE of ``values`` —
+    the probe-set shape of file skipping (IVF: keep only probed list
+    files). Files without stats are conservatively kept."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    stats = m.get("stats", {})
+    vals = set(values)
+    kept = []
+    for rel in m["files"]:
+        mm = stats.get(rel, {}).get(column)
+        if mm is not None and not any(mm[0] <= x <= mm[1] for x in vals):
+            continue
+        kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], len(m["files"])
+
+
+def read_snapshot_pruned_in(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    values,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned scan keeping only files that can hold ``column ∈
+    values``, plus the row-level ``isin`` — result-identical to the
+    unpruned filtered read, fewer files opened."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    _v, files, _total = snapshot_files_pruned_in(root, column, values, v)
+    df = _apply_logical_schema(spark, root, m, files=files)
+    return df.filter(F.col(column).isin(list(values)))
+
+
+def _covered_by(mm: list, vals: set) -> str:
+    """Classify a file's [min,max] for the replace column against the
+    replaced value set: 'disjoint' (carry), 'covered' (drop — every
+    possible value in range is replaced), or 'partial' (unsafe)."""
+    lo, hi = mm
+    inside = {x for x in vals if lo <= x <= hi}
+    if not inside:
+        return "disjoint"
+    if isinstance(lo, int) and isinstance(hi, int):
+        if all(x in vals for x in range(lo, hi + 1)):
+            return "covered"
+    elif lo == hi and lo in vals:
+        return "covered"
+    return "partial"
+
+
+def commit_replace_values(
+    root: str,
+    df: DataFrame,
+    column: str,
+    values,
+    meta: dict | None = None,
+) -> int:
+    """Publish v+1 where all rows with ``column ∈ values`` are replaced
+    by ``df`` (the caller-computed new content for those clusters) and
+    every other file is carried unchanged — the INDEX-MAINTENANCE
+    commit (IVF upsert: rewrite touched lists, untouched lists are
+    untouched bytes) with the manifest layout's guarantees on top:
+    readers keep serving the pre-upsert version mid-commit, the old
+    version stays pinned for time travel, and a crash leaves only
+    invisible orphans.
+
+    Safety: a carried file must be PROVABLY disjoint from ``values``
+    (manifest stats), a dropped file provably covered; a file that
+    straddles the boundary — or lacks stats for ``column`` — raises
+    rather than risking row loss. Concurrency: base-pinned like
+    :func:`commit_rewrite`; concurrent APPENDS whose files are
+    disjoint from ``values`` are folded in, anything touching the
+    replaced values conflicts."""
+    base_v = current_version(root)
+    if base_v < 0:
+        raise ValidationError(
+            f"nothing to replace at '{root}': no committed snapshot"
+        )
+    vals = set(values)
+    base = _read_manifest(root, base_v)
+    base_files = set(base["files"])
+    new = _write_data_files_clustered(df, root, column)
+    new_stats = _footer_stats(root, new)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        cur = _read_manifest(root, v)
+        cur_files = set(cur["files"])
+        if not base_files <= cur_files:
+            raise CommitConflictError(
+                f"commit_replace_values at '{root}': base version "
+                f"{base_v} files were replaced by a concurrent commit"
+            )
+        cur_stats = cur.get("stats", {})
+        carried = []
+        for rel in cur["files"]:
+            mm = cur_stats.get(rel, {}).get(column)
+            if mm is None:
+                raise ValidationError(
+                    f"commit_replace_values at '{root}': file '{rel}' "
+                    f"has no '{column}' stats — cannot prove it "
+                    f"disjoint from the replaced values; rewrite the "
+                    f"table with commit_append_clustered first"
+                )
+            cls = _covered_by(mm, vals)
+            if cls == "partial":
+                raise ValidationError(
+                    f"commit_replace_values at '{root}': file '{rel}' "
+                    f"range {mm} straddles the replaced value set — "
+                    f"replacing it would drop unreplaced rows"
+                )
+            if cls == "disjoint":
+                carried.append(rel)
+            elif rel not in base_files:
+                # a concurrent commit added rows INTO a replaced
+                # cluster after our base — folding it away would lose
+                # that batch
+                raise CommitConflictError(
+                    f"commit_replace_values at '{root}': concurrent "
+                    f"commit touched replaced cluster(s) in '{rel}'"
+                )
+        payload = {
+            "files": carried + new,
+            "stats": {
+                **{f: cur_stats[f] for f in carried if f in cur_stats},
+                **new_stats,
+            },
+            "column_mapping": {
+                f: m
+                for f, m in cur.get("column_mapping", {}).items()
+                if f in carried
+            },
+            "schema": cur.get("schema"),
+            "op": "replace",
+            "added": len(new),
+            **(meta or {}),
+        }
+        if _try_commit_manifest(root, v + 1, payload):
+            return v + 1
+    raise CommitConflictError(
+        f"commit_replace_values at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
+    )
+
+
 def _footer_stats(root: str, rels: list[str]) -> dict:
     """Per-file column min/max harvested from parquet FOOTERS (metadata
     pages only — no data read; the same source Iceberg stats come
@@ -628,15 +858,21 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     deleted = 0
     data_root = os.path.join(root, "data")
     if os.path.isdir(data_root):
-        for sub in os.listdir(data_root):
-            sub_dir = os.path.join(data_root, sub)
-            for f in os.listdir(sub_dir):
-                rel = os.path.join("data", sub, f)
+        # recursive walk: clustered commits nest files one level deeper
+        # (data/<uuid>/_cluster=<v>/part.parquet)
+        for dirpath, _dirs, files in os.walk(data_root):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
                 if f.endswith(".parquet") and rel not in referenced:
                     os.remove(os.path.join(root, rel))
                     deleted += 1
-            if not any(
-                fn.endswith(".parquet") for fn in os.listdir(sub_dir)
-            ):
+        for sub in os.listdir(data_root):
+            sub_dir = os.path.join(data_root, sub)
+            live = any(
+                fn.endswith(".parquet")
+                for _dp, _dn, fns in os.walk(sub_dir)
+                for fn in fns
+            )
+            if not live:
                 shutil.rmtree(sub_dir, ignore_errors=True)
     return {"dropped_versions": dropped, "deleted_files": deleted}

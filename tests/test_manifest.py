@@ -367,3 +367,165 @@ def test_vacuum_keeps_metadata_only_versions_consistent(spark, tmp_path):
     assert stats["deleted_files"] == 0  # v2 still references v1's file
     out = M.read_snapshot(spark, root)
     assert out.columns == ["id", "label", "score"] and out.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# r10: clustered commits + value-set file skipping + replace (index shape)
+
+
+def _clustered(spark, lists, rows_per=4, tag=0):
+    return spark.createDataFrame(
+        [
+            (1000 * tag + 10 * li + j, li)
+            for li in lists
+            for j in range(rows_per)
+        ],
+        "id long, list_id int",
+    )
+
+
+def test_clustered_commit_prunes_by_value_set(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    M.commit_append_clustered(
+        root, _clustered(spark, [0, 1, 2, 3]), "list_id"
+    )
+    m = M._read_manifest(root, 1)
+    assert len(m["files"]) == 4  # one file per list
+    # every file's stats pin a single list value
+    for rel in m["files"]:
+        mn, mx = m["stats"][rel]["list_id"]
+        assert mn == mx
+    v, kept, total = M.snapshot_files_pruned_in(root, "list_id", [1, 3])
+    assert (total, len(kept)) == (4, 2)
+    got = M.read_snapshot_pruned_in(spark, root, "list_id", [1, 3])
+    assert {r["list_id"] for r in got.collect()} == {1, 3}
+    assert got.count() == 8
+    # the physical column survived the partitioned write (leaf files
+    # carry list_id; the _cluster dup never surfaces)
+    assert got.columns == ["id", "list_id"]
+
+
+def test_replace_values_is_an_upsert_with_time_travel(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    M.commit_append_clustered(
+        root, _clustered(spark, [0, 1, 2, 3]), "list_id"
+    )
+    before = M._read_manifest(root, 1)
+    # new content for lists 1 and 2: drop one row, add two, keep rest
+    new_content = _clustered(spark, [1, 2], rows_per=5, tag=7)
+    v2 = M.commit_replace_values(root, new_content, "list_id", [1, 2])
+    assert v2 == 2
+    after = M._read_manifest(root, 2)
+    # untouched lists are untouched BYTES: files for 0 and 3 carried
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) == 2
+    got = {r["id"] for r in M.read_snapshot(spark, root).collect()}
+    want = (
+        {10 * li + j for li in (0, 3) for j in range(4)}
+        | {7000 + 10 * li + j for li in (1, 2) for j in range(5)}
+    )
+    assert got == want
+    # time travel: pre-upsert version still serves the old index
+    old = {r["id"] for r in M.read_snapshot(spark, root, 1).collect()}
+    assert old == {10 * li + j for li in range(4) for j in range(4)}
+
+
+def test_replace_values_refuses_straddling_files(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    # ONE file spanning lists 0..3 — replacing lists {1,2} would drop
+    # rows of 0 and 3 if the file were dropped, or duplicate 1,2 if
+    # carried; the only safe answer is a hard error
+    M.commit_append(root, _clustered(spark, [0, 1, 2, 3]), n_files=1)
+    with pytest.raises(ValidationError, match="straddles"):
+        M.commit_replace_values(
+            root, _clustered(spark, [1, 2], tag=9), "list_id", [1, 2]
+        )
+
+
+def test_replace_values_vs_concurrent_append(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "idx")
+    M.commit_append_clustered(
+        root, _clustered(spark, [0, 1, 2]), "list_id"
+    )
+    # competitor appends a DISJOINT cluster (list 5) mid-replace: folded
+    b_files = M._write_data_files_clustered(
+        _clustered(spark, [5], tag=3), root, "list_id"
+    )
+    base = M._read_manifest(root, 1)
+    real = M._try_commit_manifest
+    hits = {"n": 0}
+
+    def racing(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            assert real(
+                r,
+                version,
+                {
+                    "files": base["files"] + b_files,
+                    "stats": {
+                        **base.get("stats", {}),
+                        **M._footer_stats(root, b_files),
+                    },
+                    "column_mapping": {},
+                    "schema": base.get("schema"),
+                    "op": "append",
+                    "added": len(b_files),
+                },
+            )
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing)
+    v = M.commit_replace_values(
+        root, _clustered(spark, [1], rows_per=2, tag=8), "list_id", [1]
+    )
+    assert v == 3 and hits["n"] == 1
+    lists = {
+        r["list_id"] for r in M.read_snapshot(spark, root).collect()
+    }
+    assert lists == {0, 1, 2, 5}  # concurrent append survived
+
+    # competitor appending INTO a replaced cluster conflicts
+    c_files = M._write_data_files_clustered(
+        _clustered(spark, [2], tag=4), root, "list_id"
+    )
+    base2 = M._read_manifest(root, 3)
+    hits["n"] = 0
+
+    def racing2(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            assert real(
+                r,
+                version,
+                {
+                    "files": base2["files"] + c_files,
+                    "stats": {
+                        **base2.get("stats", {}),
+                        **M._footer_stats(root, c_files),
+                    },
+                    "column_mapping": {},
+                    "schema": base2.get("schema"),
+                    "op": "append",
+                    "added": len(c_files),
+                },
+            )
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing2)
+    with pytest.raises(M.CommitConflictError, match="replaced cluster"):
+        M.commit_replace_values(
+            root, _clustered(spark, [2], tag=6), "list_id", [2]
+        )
+
+
+def test_vacuum_recurses_into_clustered_dirs(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    M.commit_append_clustered(root, _clustered(spark, [0, 1]), "list_id")
+    M.commit_replace_values(
+        root, _clustered(spark, [1], tag=2), "list_id", [1]
+    )
+    stats = M.vacuum(root, keep_last=1)
+    assert stats["deleted_files"] == 1  # v1's list-1 file unreferenced
+    got = {r["id"] for r in M.read_snapshot(spark, root).collect()}
+    assert got == {0, 1, 2, 3} | {2010, 2011, 2012, 2013}
