@@ -887,6 +887,168 @@ def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+ANN_SNAP_QSEED = 47
+_IVF_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _ann_ivf_upsert_snapshot_oracle() -> str:
+    """Both sides of the versioned upsert, replayed from scratch: the
+    version-1 probe over the BASE corpus and the version-2 probe over
+    the modified corpus (same mutation rules as ann_ivf_upsert_topk),
+    each assignment + probe + top-K in SQL."""
+    qlit = sql_array_literal(query_vector(ANN_SNAP_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_SNAP_QSEED))
+    return f"""WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+assigned1 AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, e, [{dots}] AS d FROM base)),
+kept AS (SELECT id, e FROM base WHERE id % 17 <> 0 AND id % 13 <> 0),
+updated AS (SELECT id, list_reverse(e) AS e FROM base
+            WHERE id % 13 = 0 AND id % 17 <> 0),
+inserts AS (SELECT id + 50000000 AS id, e FROM base WHERE id % 19 = 0),
+corpus2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
+            UNION ALL SELECT * FROM inserts),
+assigned2 AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, e, [{dots}] AS d FROM corpus2))
+SELECT * FROM (
+  (SELECT 1 AS version, id,
+          ROUND(list_dot_product(e, {qlit}), 6) AS score
+   FROM assigned1 WHERE list_id IN ({probed})
+   ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+   LIMIT {ANN_IVF_K})
+  UNION ALL
+  (SELECT 2 AS version, id,
+          ROUND(list_dot_product(e, {qlit}), 6) AS score
+   FROM assigned2 WHERE list_id IN ({probed})
+   ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+   LIMIT {ANN_IVF_K}))
+ORDER BY version, score DESC, id"""
+
+
+@register(
+    "ann_ivf_upsert_snapshot",
+    _ann_ivf_upsert_snapshot_oracle(),
+    side_effects=True,
+)
+def ann_ivf_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF upsert routed through the VERSIONED-MANIFEST layout
+    (sources/manifest.py commit_append_clustered / commit_replace_values
+    — the r9 verdict's #1 ask): the index build commits one immutable
+    file per list as snapshot v1, and the SAME deterministic mutation
+    batch as ann_ivf_upsert_topk (deletes %17, reversed-embedding
+    updates %13 that MOVE rows across lists, shifted inserts %19)
+    commits as v2 — touched lists rewritten into new files, untouched
+    lists carried as untouched BYTES. What the manifest buys over the
+    hive-partitioned upsert (operators/ivf.py): readers keep serving v1
+    with full isolation WHILE the upsert commits (no half-applied
+    dynamic-overwrite window), and v1 stays pinned afterwards — a
+    serving fleet drains to the new version at its own pace, a training
+    run keeps its reproducible corpus. The query probes BOTH versions
+    through stats-pruned snapshot reads (probe = manifest file skipping
+    on the per-file list_id min==max stats; a runtime guard asserts
+    files were actually skipped) and the oracle rebuilds each version's
+    corpus from scratch in SQL: a hash match proves pinned-v1 ≡
+    pre-upsert rebuild AND v2 ≡ post-upsert rebuild."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        assign_list_udf,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cents = _ann_ivf_centroids()
+    cached = _IVF_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .withColumnRenamed("vec_id", "id")
+            .select("id", "embedding")
+        )
+        assign = assign_list_udf(cents)
+        assigned = emb.withColumn("list_id", assign(F.col("embedding")))
+        root = scratch_path(
+            "ivf_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(root, assigned, "list_id")  # v1
+
+        removed = assigned.filter(
+            (F.col("id") % 17 == 0) | (F.col("id") % 13 == 0)
+        ).select("id", "list_id")
+        updates = (
+            emb.filter((F.col("id") % 13 == 0) & (F.col("id") % 17 != 0))
+            .select("id", F.reverse("embedding").alias("embedding"))
+            .withColumn("list_id", assign(F.col("embedding")))
+        )
+        inserts = assigned.filter(F.col("id") % 19 == 0).select(
+            (F.col("id") + 50_000_000).alias("id"),
+            "embedding",
+            "list_id",  # unchanged embedding keeps its assignment
+        )
+        incoming = updates.unionByName(inserts)
+        # touched = lists losing rows (deletes + update sources) ∪
+        # lists gaining rows — bounded by nlist, tiny driver state
+        touched = sorted(
+            {
+                int(r["list_id"])
+                for r in removed.select("list_id")
+                .distinct()
+                .unionByName(incoming.select("list_id").distinct())
+                .distinct()
+                .collect()
+            }
+        )
+        survivors = M.read_snapshot_pruned_in(
+            spark, root, "list_id", touched, version=1
+        ).join(removed.select("id"), "id", "left_anti")
+        M.commit_replace_values(
+            root,
+            survivors.unionByName(incoming),
+            "list_id",
+            touched,
+        )  # v2
+        _IVF_SNAP_CACHE[sf_dir] = (spark, root)
+
+    qvec = query_vector(ANN_SNAP_QSEED)
+    probed = _ann_ivf_probed(ANN_SNAP_QSEED)
+
+    def probe_version(version: int) -> DataFrame:
+        _v, kept, total = M.snapshot_files_pruned_in(
+            root, "list_id", probed, version=version
+        )
+        from hybrid_vector_search_spark.errors import ValidationError
+
+        if not len(kept) < total:  # pragma: no cover - guard
+            raise ValidationError(
+                f"snapshot probe of v{version} read every file "
+                f"({len(kept)}/{total}) — manifest stats pruning broke"
+            )
+        pruned = M.read_snapshot_pruned_in(
+            spark, root, "list_id", probed, version=version
+        )
+        index = IVFIndex(pruned, cents)
+        plan, _p = index.search_plan(
+            qvec, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+        )
+        return plan.select(
+            F.lit(version).alias("version"),
+            "id",
+            F.round("score", 6).alias("score"),
+        )
+
+    return (
+        probe_version(1)
+        .unionByName(probe_version(2))
+        .orderBy("version", F.col("score").desc(), "id")
+    )
+
+
 ANN_BATCH_SEEDS = tuple(range(201, 211))
 
 
@@ -6391,6 +6553,150 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("id"), "label")
         .orderBy("id")
     )
+
+
+_PRUNED_SCAN_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_pruned_scan",
+    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m)
+SELECT 2 AS files_scanned, 4 AS files_total, label,
+  COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi
+GROUP BY label ORDER BY label""",
+    side_effects=True,
+)
+def corpus_snapshot_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST COLUMN-STATS FILE SKIPPING (sources/manifest.py — the
+    Iceberg data-skipping story without hive dirs): the corpus is
+    committed as four id-range appends (one file each, so manifest
+    footer stats give disjoint per-file vec_id [min,max]), and a
+    BETWEEN scan over the middle [3n/8, 5n/8) window is planned by
+    pruning files against those stats BEFORE Spark lists anything —
+    exactly 2 of 4 files survive, by construction of the window. The
+    proof is IN the hash-checked contract: the Spark side emits the
+    MEASURED kept/total file counts as columns and the oracle pins the
+    literals 2 and 4, so a pruning regression (reading every file, or
+    wrongly dropping one) mismatches either those counts or the
+    aggregate values over the missing/extra rows. At 100 TB this is
+    the difference between listing+opening every corpus file and
+    opening the fraction the predicate can touch — and it composes
+    with time travel (each version prunes against its own manifest's
+    stats)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _PRUNED_SCAN_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+    if root is None:
+        root = scratch_path(
+            "snap_pruned_" + sf_dir.strip("/").replace("/", "_")
+        )
+        bounds = [0, n // 4, n // 2, (3 * n) // 4, n]
+        for lo, hi in zip(bounds, bounds[1:]):
+            M.commit_append(
+                root,
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                n_files=1,
+            )
+        _PRUNED_SCAN_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
+    _v, kept, total = M.snapshot_files_pruned(root, "vec_id", w_lo, w_hi)
+    return (
+        M.read_snapshot_pruned(spark, root, "vec_id", w_lo, w_hi)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_id"),
+        )
+        .select(
+            F.lit(len(kept)).alias("files_scanned"),
+            F.lit(total).alias("files_total"),
+            "label",
+            "n_rows",
+            "sum_id",
+        )
+        .orderBy("label")
+    )
+
+
+_SCHEMA_EVO_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_schema_evolution",
+    """SELECT 1 AS version, vec_id AS id, label AS cls,
+  CAST(NULL AS DOUBLE) AS weight
+FROM embeddings WHERE vec_id % 3 = 0
+UNION ALL
+SELECT 4 AS version, vec_id AS id, label AS cls,
+  CASE WHEN vec_id % 3 = 1 THEN CAST(vec_id AS DOUBLE) / 2 END AS weight
+FROM embeddings WHERE vec_id % 3 IN (0, 1)
+ORDER BY version, id""",
+    side_effects=True,
+)
+def corpus_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION ACROSS SNAPSHOT VERSIONS (sources/manifest.py
+    commit_add_column / commit_rename_column — both METADATA-ONLY
+    commits, zero data bytes move): v1 commits (vec_id, label), v2
+    adds a ``weight`` double, v3 appends rows that carry it
+    physically, v4 renames ``label`` → ``cls``. The query reads the
+    PINNED v1 (whose schema still says ``label`` — the plan aliases it
+    to prove the old name is what that snapshot serves) and the
+    current v4 (old files serve ``cls`` through the manifest's
+    per-file column mapping and ``weight`` as typed NULLs; v3's files
+    serve their physical values). The oracle reconstructs both reads
+    from the raw table, so a mapping that loses the rename, NULL-fill
+    that hides real values, or a reader that leaks the new schema into
+    the pinned version all hash-mismatch."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _SCHEMA_EVO_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        root = scratch_path(
+            "snap_schema_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, emb.filter(F.col("vec_id") % 3 == 0))
+        M.commit_add_column(root, "weight", "double")
+        M.commit_append(
+            root,
+            emb.filter(F.col("vec_id") % 3 == 1).select(
+                "vec_id",
+                "label",
+                (F.col("vec_id").cast("double") / 2).alias("weight"),
+            ),
+        )
+        M.commit_rename_column(root, "label", "cls")
+        _SCHEMA_EVO_CACHE[sf_dir] = (spark, root)
+
+    v1 = M.read_snapshot(spark, root, 1).select(
+        F.lit(1).alias("version"),
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("cls"),  # v1's schema still says 'label'
+        F.lit(None).cast("double").alias("weight"),
+    )
+    v4 = M.read_snapshot(spark, root).select(
+        F.lit(4).alias("version"),
+        F.col("vec_id").alias("id"),
+        "cls",
+        "weight",
+    )
+    return v1.unionByName(v4).orderBy("version", "id")
 
 
 _CHOICE_CASES = (
