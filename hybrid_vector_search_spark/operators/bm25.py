@@ -179,7 +179,18 @@ def bm25_topk_plan(
         .filter(F.col("term").isin(list(terms)))
         .join(F.broadcast(stats), "term")
     )
-    scored = hits.groupBy(id_col).agg(
+    # explicit-count repartition on the agg key: this stage is the
+    # byte-light CPU-heavy regime (a few hundred KB of posting rows,
+    # each scoring a transcendental-laden expression), where AQE's
+    # advisory-size rule coalesces the agg to ONE partition and runs it
+    # single-threaded (~150 ms vs ~86 ms at the parity shape,
+    # BASELINE_PARITY.md r9 diagnosis). A user-specified partition
+    # count is exempt from AQE coalescing, so the agg keeps the
+    # session's parallelism; the shuffle stays bounded by the probed
+    # term buckets' rows (query-term-set-bounded, corpus-independent),
+    # so forgoing the map-side combine costs nothing that scales.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = hits.repartition(n_part, id_col).groupBy(id_col).agg(
         F.round(
             F.sum(bm25_score_expr(meta["n"], meta["t"])), 6
         ).alias("score")

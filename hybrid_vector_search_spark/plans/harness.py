@@ -85,6 +85,7 @@ def run_queries(
     backend_factory: Callable[..., SearchBackend] = get_backend,
     oracle_factory: Callable[..., SearchBackend] | None = None,
     backend_kwargs: dict[str, Any] | None = None,
+    qvec_factory: Callable[[int, int], np.ndarray] | None = None,
 ) -> list[dict[str, Any]]:
     """Run the query table through one strategy; emit §2.10 stats rows.
 
@@ -116,7 +117,13 @@ def run_queries(
         filters = parse_filters(cq.filters)
         compile_filters(corpus.schema, filters)  # schema check, hard error
         validate_K(cq.k if k is None else k, n)
-        parsed.append((cq, filters, query_vector(cq.seed, dim)))
+        # qvec_factory lets an evaluation harness align queries with a
+        # structured corpus (tools/parity_recall.py blends toward the
+        # planted cluster centroids); default is the shared seeded
+        # generator both engines' oracles replay
+        parsed.append(
+            (cq, filters, (qvec_factory or query_vector)(cq.seed, dim))
+        )
 
     for cq, filters, qvec in parsed:
         kk = cq.k if k is None else k

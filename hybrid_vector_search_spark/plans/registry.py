@@ -1125,6 +1125,80 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_MICROBATCH_SEEDS = (231, 233)
+
+
+def _ann_ivf_microbatch_oracle() -> str:
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    parts = []
+    for i, seed in enumerate(ANN_MICROBATCH_SEEDS):
+        qlit = sql_array_literal(query_vector(seed))
+        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
+        parts.append(
+            f"(SELECT {i + 1} AS qid, id,"
+            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
+            f" FROM assigned WHERE list_id IN ({probed})\n"
+            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
+            f" LIMIT {ANN_IVF_K})"
+        )
+    return (
+        f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ann_ivf_microbatch_topk", _ann_ivf_microbatch_oracle())
+def ann_ivf_microbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICRO-BATCHED ANN SERVING — the regime between the floor-bound
+    per-query probe (ann_ivf_persisted_topk: one Spark job per query,
+    ~job-launch-floor latency) and the q=10 batch (ann_ivf_batch_topk):
+    a serving tier that coalesces whatever arrived in its dispatch
+    window — here q=2, the smallest batch that already amortizes the
+    job floor below 2× the FAISS per-query rate at the parity shape
+    (BASELINE_PARITY.md micro-batch table) — into ONE job over the
+    union of the probed lists. Same fan-out/GEMM/window shape as the
+    batch query; the only serving-policy knob is q. The oracle replays
+    both queries' probe sets and top-Ks."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed)
+        for i, seed in enumerate(ANN_MICROBATCH_SEEDS)
+    }
+    probes = {
+        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
+    }
+    union = sorted({li for p in probes.values() for li in p})
+    pruned = index.assigned.filter(F.col("list_id").isin(union))
+    match = F.array(
+        *[
+            F.when(
+                F.col("list_id").isin(probes[qid]), F.lit(qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for qid in sorted(qvecs)
+        ]
+    )
+    fanned = pruned.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], ANN_IVF_K)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
 #: (seed, filter dict) per batch query — post-filter semantics: each
 #: query's predicate prunes ITS candidates from the probed lists
 ANN_BATCH_FILTERED = (

@@ -51,6 +51,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "metrics_hamming_c_sweep",
         "metrics_matryoshka_dim_sweep",
         "ann_ivf_upsert_topk",
+        "ann_ivf_upsert_snapshot",
+        "corpus_snapshot_pruned_scan",
+        "corpus_snapshot_schema_evolution",
         "strategy_costed_choice",
         "ann_mmr_rerank_topk",
         "events_incremental_rollup",

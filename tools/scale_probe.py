@@ -86,6 +86,13 @@ PROBE_QUERIES = (
     "corpus_snapshot_reads",
     "corpus_snapshot_diff",
     "ann_ivfpq_rerank_topk",
+    # r10 operators: manifest-routed IVF upsert (build + replace-commit
+    # on first run per factor dir, probed reads after), stats-pruned
+    # scan, metadata-only schema evolution, q=2 micro-batch serving
+    "ann_ivf_upsert_snapshot",
+    "corpus_snapshot_pruned_scan",
+    "corpus_snapshot_schema_evolution",
+    "ann_ivf_microbatch_topk",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
