@@ -6773,6 +6773,160 @@ def corpus_snapshot_schema_evolution(
     return v1.unionByName(v4).orderBy("version", "id")
 
 
+_ROW_DELETE_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_row_deletes",
+    """WITH b AS (SELECT vec_id AS id FROM embeddings)
+SELECT 1 AS version, 2 AS data_files, 0 AS delete_files,
+  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM b
+UNION ALL SELECT 2, 2, 1, COUNT(*), CAST(SUM(id) AS BIGINT)
+  FROM b WHERE id % 7 <> 0
+UNION ALL SELECT 3, 3, 1, COUNT(*), CAST(SUM(id) AS BIGINT)
+  FROM b WHERE id % 7 <> 0 OR id % 3 = 0
+UNION ALL SELECT 4, 2, 0, COUNT(*), CAST(SUM(id) AS BIGINT)
+  FROM b WHERE id % 7 <> 0 OR id % 3 = 0
+ORDER BY version""",
+    side_effects=True,
+)
+def corpus_snapshot_row_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ ROW-LEVEL DELETES (sources/manifest.py
+    commit_delete_where — the Iceberg equality-delete shape): v1
+    commits the corpus as two data files; v2 DELETES every id % 7 == 0
+    row as a tiny equality-delete file — ZERO data files move, which
+    at 100 TB is the difference between an O(deleted-keys) commit and
+    an O(table) rewrite; v3 RE-INSERTS the multiple-of-21 ids, which
+    survive the older delete because deletes reach only files added
+    before them (per-file add-version sequencing — Iceberg's
+    sequence-number rule); v4 compacts with
+    ``commit_rewrite(read_snapshot(...))``, after which the delete
+    entry prunes out of the manifest and the read is unchanged. The
+    structural proof rides IN the hash-checked contract: per-version
+    MEASURED (data_files, delete_files) counts are emitted as columns
+    and the oracle pins the literals — a delete that rewrote data
+    (2→3 files at v2), a reader that resurrected deleted rows or
+    dropped re-inserted ones, or a compaction that failed to retire
+    the delete file all hash-mismatch. Reads subtract deletes with a
+    broadcast anti-join (keys are the tiny side), so the merge-on-read
+    cost is one hash probe per scanned row, corpus-size independent.
+    Reference scope: beyond the reference (its corpus is immutable;
+    SURVEY.md §2.9 row-maintenance family)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _ROW_DELETE_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        ids = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id")
+        )
+        root = scratch_path(
+            "snap_rowdel_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, ids, n_files=2)
+        M.commit_delete_where(
+            root, ids.filter(F.col("id") % 7 == 0), "id"
+        )
+        M.commit_append(
+            root, ids.filter((F.col("id") % 21) == 0), n_files=1
+        )
+        M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
+        _ROW_DELETE_CACHE[sf_dir] = (spark, root)
+    parts = []
+    for v in (1, 2, 3, 4):
+        n_data = len(M.snapshot_files(root, v)[1])
+        n_del = len(M.snapshot_delete_files(root, v))
+        parts.append(
+            M.read_snapshot(spark, root, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id").alias("sum_id"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(n_data).alias("data_files"),
+                F.lit(n_del).alias("delete_files"),
+                "n_rows",
+                "sum_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+_CHANGELOG_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_changelog",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b)
+SELECT 2 AS version, 'insert' AS change, id + n AS id, label
+  FROM b, m WHERE id % 4 = 0
+UNION ALL
+SELECT 3 AS version, 'delete' AS change, id, label
+  FROM b WHERE id % 5 = 0
+ORDER BY version, change, id""",
+    side_effects=True,
+)
+def corpus_snapshot_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC FEED OVER SNAPSHOT VERSIONS (sources/manifest.py
+    snapshot_changelog): the scripted history commits v1 = the corpus,
+    v2 = an append (every 4th id, shifted by n), v3 = a merge-on-read
+    equality DELETE of every 5th original id, v4 = a compaction
+    rewrite — and the feed for (v1, v4] must contain EXACTLY v2's rows
+    as inserts and v3's victims as deletes, with v4 contributing
+    NOTHING (a row-preserving rewrite is invisible to consumers). The
+    feed is op-aware, not O(table): append steps read only the step's
+    new files, delete steps broadcast-semi-join the tiny key file
+    against the prior snapshot, and only rewrites pay a row-level
+    symmetric diff. Emitting the full changed ROWS (not counts) makes
+    the hash check total: a feed that leaks carried-over rows from the
+    rewrite, misses a delete victim, or resurrects the wrong label
+    values mismatches. Because versions are immutable, the feed for a
+    closed range is reproducible forever — the property that lets a
+    downstream consumer (index, replica, feature store) re-tail after
+    a crash. Beyond-reference (SURVEY.md §2.9 maintenance family)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _CHANGELOG_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+        root = scratch_path(
+            "snap_cdc_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, base, n_files=2)
+        M.commit_append(
+            root,
+            base.filter(F.col("id") % 4 == 0).select(
+                (F.col("id") + n).alias("id"), "label"
+            ),
+            n_files=1,
+        )
+        M.commit_delete_where(
+            root, base.filter(F.col("id") % 5 == 0), "id"
+        )
+        M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
+        _CHANGELOG_CACHE[sf_dir] = (spark, root)
+    return (
+        M.snapshot_changelog(spark, root, 1, 4)
+        .select("version", "change", "id", "label")
+        .orderBy("version", "change", "id")
+    )
+
+
 _CHOICE_CASES = (
     # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
     # nlist = N/4 → pre_filter (score the few allowed rows exactly)

@@ -55,6 +55,21 @@ commits — zero data bytes move; old files serve renamed columns via
 the mapping and absent columns as typed NULLs. Time travel pins the
 schema too: reading v1 after a rename still yields v1's column names.
 
+**Merge-on-read row-level deletes (r10)**: ``commit_delete_where``
+publishes a DELETE as a tiny EQUALITY-DELETE file (the distinct
+deleted key values) attached to the manifest — zero data files move,
+the Iceberg merge-on-read shape. Readers subtract matching rows at
+scan time with a broadcast anti-join. Sequencing is what makes this
+correct under later appends: every data file records the version it
+was ADDED in, and a delete applies only to files added BEFORE the
+delete's commit — so a row re-inserted with a previously-deleted key
+survives, exactly Iceberg's sequence-number rule. Delete files that no
+longer apply to any live data file (every file postdates them, e.g.
+after a compaction rewrite) are pruned from subsequent manifests, so
+``commit_rewrite(read_snapshot(...))`` doubles as the APPLY-DELETES
+compaction and the read-side anti-join cost stays bounded by the
+un-compacted delete backlog, not table history.
+
 Crash-safety note: data files are written with ``errorifexists`` into
 per-commit uuid dirs, so a retried commit after a crash re-writes
 fresh files and the orphans stay invisible until ``vacuum``.
@@ -127,6 +142,34 @@ def snapshot_files(root: str, version: int | None = None) -> tuple[int, list[str
     return v, [os.path.join(root, rel) for rel in m["files"]]
 
 
+def snapshot_delete_files(root: str, version: int | None = None) -> list[dict]:
+    """The snapshot's LIVE equality-delete entries (each
+    ``{"path", "column", "version"}``) — empty once compaction has
+    rewritten every file the deletes applied to."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    return list(_read_manifest(root, v).get("delete_files", []))
+
+
+def _live_delete_files(
+    files: list[str], added_versions: dict, delete_files: list[dict]
+) -> list[dict]:
+    """Drop delete entries that apply to NO file in the new manifest —
+    a delete at version d reaches only files added at versions < d
+    (files without a recorded add version are legacy: treated as added
+    at 0, so every delete reaches them). Pruning here is what makes a
+    plain rewrite double as apply-deletes compaction."""
+    return [
+        d
+        for d in delete_files
+        if any(
+            int(added_versions.get(rel, 0)) < int(d["version"])
+            for rel in files
+        )
+    ]
+
+
 # ---------------------------------------------------------------------------
 # reading — schema-aware, optionally stats-pruned
 
@@ -158,17 +201,36 @@ def _apply_logical_schema(
         return spark.createDataFrame(
             [], T.StructType.fromJson(schema_json)
         )
-    if schema_json is None:
+    deletes = manifest.get("delete_files", [])
+    added = manifest.get("added_versions", {})
+    if schema_json is None and not deletes:
         return spark.read.parquet(*(os.path.join(root, r) for r in rels))
-    schema = T.StructType.fromJson(schema_json)
+    schema = (
+        T.StructType.fromJson(schema_json)
+        if schema_json is not None
+        else spark.read.parquet(os.path.join(root, rels[0])).schema
+    )
     mappings = manifest.get("column_mapping", {})
+    # group files by (column mapping, APPLICABLE delete set): a delete
+    # committed at version d reaches only files added before d, so two
+    # files straddling a delete commit need different anti-joins — the
+    # sequencing rule that lets a re-inserted key survive an older
+    # delete. Group count stays tiny: one per (schema generation ×
+    # delete epoch), not per file.
     groups: dict[str, list[str]] = {}
     for rel in rels:
-        key = json.dumps(mappings.get(rel, {}), sort_keys=True)
+        applicable = sorted(
+            d["path"]
+            for d in deletes
+            if int(added.get(rel, 0)) < int(d["version"])
+        )
+        key = json.dumps(
+            [mappings.get(rel, {}), applicable], sort_keys=True
+        )
         groups.setdefault(key, []).append(rel)
     out = None
     for key, grp in sorted(groups.items()):
-        mapping = json.loads(key)
+        mapping, applicable = json.loads(key)
         # mergeSchema: one mapping group can span schema generations
         # (files written before/after an add-column) — without it the
         # scan adopts a single file's physical schema and silently
@@ -189,6 +251,23 @@ def _apply_logical_schema(
                     F.lit(None).cast(field.dataType).alias(field.name)
                 )
         part = df.select(*cols)
+        # subtract this group's applicable equality deletes: the key
+        # sets are tiny committed parquet files (distinct deleted
+        # values), so each anti-join broadcasts the delete side —
+        # merge-on-read cost is one broadcast hash probe per scan row
+        by_col: dict[str, list[str]] = {}
+        for d in deletes:
+            if d["path"] in set(applicable):
+                by_col.setdefault(d["column"], []).append(d["path"])
+        for col_name, paths in sorted(by_col.items()):
+            keys = None
+            for p in paths:  # per-file read: physical key-column names
+                # can differ across delete epochs (renames compose)
+                k = spark.read.parquet(os.path.join(root, p)).toDF(col_name)
+                keys = k if keys is None else keys.unionByName(k)
+            part = part.join(
+                F.broadcast(keys.distinct()), on=col_name, how="left_anti"
+            )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -344,6 +423,9 @@ def commit_append_clustered(
             "schema": schema_out,
             "op": "append",
             "added": len(new),
+            **_carry_versioning(
+                cur if v >= 0 else None, prior_files + new, new, nxt
+            ),
             **(meta or {}),
         }
         if _try_commit_manifest(root, nxt, payload):
@@ -500,6 +582,7 @@ def commit_replace_values(
             "schema": cur.get("schema"),
             "op": "replace",
             "added": len(new),
+            **_carry_versioning(cur, carried + new, new, v + 1),
             **(meta or {}),
         }
         if _try_commit_manifest(root, v + 1, payload):
@@ -558,6 +641,30 @@ def _footer_stats(root: str, rels: list[str]) -> dict:
         if per_col:
             out[rel] = per_col
     return out
+
+
+def _carry_versioning(
+    cur: dict | None, files: list[str], new: list[str], version: int
+) -> dict:
+    """The ``added_versions`` / ``delete_files`` fields every commit
+    carries forward: prior files keep their recorded add version
+    (legacy files default to 0 — every delete reaches them), the
+    commit's new files are stamped with the version being published,
+    and delete entries no live file can see are pruned."""
+    prior_added = (cur or {}).get("added_versions", {})
+    new_set = set(new)
+    added = {
+        rel: int(prior_added.get(rel, 0))
+        for rel in files
+        if rel not in new_set
+    }
+    added.update({rel: int(version) for rel in new})
+    return {
+        "added_versions": added,
+        "delete_files": _live_delete_files(
+            files, added, (cur or {}).get("delete_files", [])
+        ),
+    }
 
 
 def _try_commit_manifest(root: str, version: int, payload: dict) -> bool:
@@ -631,12 +738,91 @@ def commit_append(
             "schema": schema_out,
             "op": "append",
             "added": len(new),
+            **_carry_versioning(
+                cur if v >= 0 else None, prior_files + new, new, nxt
+            ),
             **(meta or {}),
         }
         if _try_commit_manifest(root, nxt, payload):
             return nxt
     raise CommitConflictError(
         f"commit_append at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
+    )
+
+
+def commit_delete_where(
+    root: str, keys_df: DataFrame, column: str, meta: dict | None = None
+) -> int:
+    """Publish a MERGE-ON-READ row delete as snapshot v+1: the distinct
+    values of ``keys_df[column]`` land as a tiny immutable EQUALITY-
+    DELETE file and the manifest references it — ZERO data files move,
+    which is the whole point at 100 TB (a row-level delete that
+    rewrote data files would be O(table), this is O(deleted keys)).
+    Readers of v+1 subtract matching rows with a broadcast anti-join;
+    every older version still reads the rows (time travel), and rows
+    appended AFTER this commit with a deleted key are NOT affected
+    (per-file add-version sequencing — Iceberg's sequence-number
+    rule). Compaction = ``commit_rewrite(root, read_snapshot(...))``:
+    the rewritten files postdate the delete, so the entry prunes away.
+
+    MULTI-WRITER SAFE the same way appends are: the delete file is
+    written once under a fresh uuid dir, the manifest commit loops on
+    the CAS, and a rebase recomputes the entry's version — delete ∘
+    append serializes cleanly in either order."""
+    v0 = current_version(root)
+    if v0 < 0:
+        raise ValidationError(
+            f"nothing to delete at '{root}': no committed snapshot"
+        )
+    cur0 = _read_manifest(root, v0)
+    if cur0.get("schema") is not None:
+        names = [f["name"] for f in cur0["schema"]["fields"]]
+        if column not in names:
+            raise ValidationError(
+                f"commit_delete_where at '{root}': column '{column}' "
+                f"not in the table schema (have: {names})"
+            )
+    sub = os.path.join("deletes", uuid.uuid4().hex[:12])
+    out_dir = os.path.join(root, sub)
+    (
+        keys_df.select(column)
+        .distinct()
+        .coalesce(1)
+        .write.mode("errorifexists")
+        .parquet(out_dir)
+    )
+    new_rels = sorted(
+        os.path.join(sub, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        cur = _read_manifest(root, v)
+        nxt = v + 1
+        added = dict(cur.get("added_versions", {}))
+        payload = {
+            "files": cur["files"],
+            "stats": cur.get("stats", {}),
+            "column_mapping": cur.get("column_mapping", {}),
+            "schema": cur.get("schema"),
+            "op": "delete",
+            "added": 0,
+            "added_versions": added,
+            "delete_files": _live_delete_files(
+                cur["files"], added, cur.get("delete_files", [])
+            )
+            + [
+                {"path": p, "column": column, "version": nxt}
+                for p in new_rels
+            ],
+            **(meta or {}),
+        }
+        if _try_commit_manifest(root, nxt, payload):
+            return nxt
+    raise CommitConflictError(
+        f"commit_delete_where at '{root}': CAS retry budget "
         f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
     )
 
@@ -704,6 +890,7 @@ def commit_rewrite(
             "schema": cur.get("schema", schema),
             "op": "rewrite",
             "added": len(new),
+            **_carry_versioning(cur, new + carried, new, v + 1),
         }
         if _try_commit_manifest(root, v + 1, payload):
             return v + 1
@@ -736,6 +923,10 @@ def _metadata_only_commit(root: str, mutate, op: str) -> int:
             "schema": cur.get("schema"),
             "op": op,
             "added": 0,
+            "added_versions": dict(cur.get("added_versions", {})),
+            "delete_files": [
+                dict(d) for d in cur.get("delete_files", [])
+            ],
         }
         mutate(payload)
         if _try_commit_manifest(root, v + 1, payload):
@@ -831,8 +1022,187 @@ def commit_rename_column(root: str, old: str, new: str) -> int:
                 if val is not None:
                     st[new] = val
                 stats[rel] = st
+        # equality-delete entries are keyed by LOGICAL column name —
+        # re-key so later reads anti-join on the renamed column (the
+        # delete FILE keeps its physical name; the reader re-labels it)
+        for d in payload["delete_files"]:
+            if d["column"] == old:
+                d["column"] = new
 
     return _metadata_only_commit(root, mutate, "rename_column")
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Pin a version under an immutable NAME (``refs/<name>.json``) —
+    'the corpus run X trained on', addressable without remembering a
+    number. Tags are create-once (the same atomic hard-link CAS as
+    manifests — re-tagging a name raises instead of silently moving
+    it) and participate in vacuum retention: a tagged version is never
+    dropped, however old."""
+    if "/" in name or name.startswith("."):
+        raise ValidationError(f"invalid tag name '{name}'")
+    v = current_version(root) if version is None else int(version)
+    if v not in list_versions(root):
+        raise ValidationError(
+            f"cannot tag version {v} at '{root}': not a retained "
+            f"version (have: {list_versions(root)})"
+        )
+    refs = os.path.join(root, "refs")
+    os.makedirs(refs, exist_ok=True)
+    final = os.path.join(refs, f"{name}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"name": name, "version": v}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ValidationError(
+            f"tag '{name}' already exists at '{root}' "
+            f"(tags are immutable; delete_tag first)"
+        )
+    os.remove(tmp)
+    return v
+
+
+def delete_tag(root: str, name: str) -> None:
+    p = os.path.join(root, "refs", f"{name}.json")
+    if not os.path.exists(p):
+        raise ValidationError(f"no tag '{name}' at '{root}'")
+    os.remove(p)
+
+
+def list_tags(root: str) -> dict[str, int]:
+    refs = os.path.join(root, "refs")
+    if not os.path.isdir(refs):
+        return {}
+    out = {}
+    for f in os.listdir(refs):
+        if f.endswith(".json") and not f.startswith("."):
+            with open(os.path.join(refs, f), encoding="utf-8") as fh:
+                t = json.load(fh)
+            out[t["name"]] = int(t["version"])
+    return out
+
+
+def resolve_tag(root: str, name: str) -> int:
+    tags = list_tags(root)
+    if name not in tags:
+        raise ValidationError(
+            f"no tag '{name}' at '{root}' (have: {sorted(tags)})"
+        )
+    return tags[name]
+
+
+def snapshot_changelog(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """The CDC FEED between two committed versions: one row per changed
+    row, ``(version, change, <table columns>)`` with change ∈
+    {'insert','delete'} — what an incremental consumer (a downstream
+    index, a feature store, a replica) tails instead of re-reading the
+    table. Versions are immutable, so the feed for a closed range is
+    REPRODUCIBLE forever.
+
+    Per-step cost is op-aware rather than O(table):
+
+    - ``append`` steps read ONLY the step's new files (an appended
+      file postdates every applicable delete, so no subtraction is
+      needed) — O(batch);
+    - ``delete`` steps semi-join the prior snapshot against the step's
+      new equality-delete keys (broadcast — keys are the tiny side):
+      one scan, output bounded by the deleted rows;
+    - ``rewrite`` / ``replace`` steps fall back to the symmetric
+      anti-join diff of the two snapshot reads — the only shape whose
+      row-level delta is not manifest-derivable. A pure compaction
+      therefore costs two scans and emits NOTHING, which the caller
+      can skip by checking ``op == 'rewrite'`` upstream if it knows
+      the rewrite preserved rows.
+
+    The logical schema must be identical across the whole range —
+    a changelog spanning a schema change has no single row type, so
+    that raises rather than guessing."""
+    from pyspark.sql import functions as F
+
+    v_from, v_to = int(v_from), int(v_to)
+    if v_to <= v_from:
+        raise ValidationError(
+            f"snapshot_changelog: need v_from < v_to, got "
+            f"({v_from}, {v_to})"
+        )
+    versions = set(list_versions(root))
+    for v in range(v_from, v_to + 1):
+        if v not in versions:
+            raise ValidationError(
+                f"snapshot_changelog: version {v} not retained at "
+                f"'{root}' (have: {sorted(versions)})"
+            )
+    schemas = {
+        json.dumps(_read_manifest(root, v).get("schema"), sort_keys=True)
+        for v in range(v_from, v_to + 1)
+    }
+    if len(schemas) > 1:
+        raise ValidationError(
+            f"snapshot_changelog: schema changed inside [{v_from}, "
+            f"{v_to}] — tail ranges between schema-evolution commits"
+        )
+    out = None
+
+    def emit(df: DataFrame, version: int, change: str) -> None:
+        nonlocal out
+        part = df.select(
+            F.lit(version).alias("version"),
+            F.lit(change).alias("change"),
+            "*",
+        )
+        out = part if out is None else out.unionByName(part)
+
+    for v in range(v_from + 1, v_to + 1):
+        m = _read_manifest(root, v)
+        prev = _read_manifest(root, v - 1)
+        op = m.get("op")
+        if op == "append":
+            added = m.get("added_versions", {})
+            new_rels = [
+                rel for rel in m["files"] if int(added.get(rel, 0)) == v
+            ]
+            emit(
+                _apply_logical_schema(spark, root, m, files=[
+                    os.path.join(root, r) for r in new_rels
+                ]),
+                v,
+                "insert",
+            )
+        elif op == "delete":
+            prev_paths = {
+                d["path"] for d in prev.get("delete_files", [])
+            }
+            new_dels = [
+                d
+                for d in m.get("delete_files", [])
+                if d["path"] not in prev_paths
+            ]
+            base = read_snapshot(spark, root, v - 1)
+            for d in new_dels:
+                keys = spark.read.parquet(
+                    os.path.join(root, d["path"])
+                ).toDF(d["column"])
+                emit(
+                    base.join(
+                        F.broadcast(keys), on=d["column"], how="left_semi"
+                    ),
+                    v,
+                    "delete",
+                )
+        elif op in ("add_column", "rename_column"):
+            continue  # unreachable (schema guard above), kept explicit
+        else:  # rewrite / replace / unknown: row-level symmetric diff
+            cur_df = read_snapshot(spark, root, v)
+            prev_df = read_snapshot(spark, root, v - 1)
+            cols = cur_df.columns
+            emit(cur_df.exceptAll(prev_df.select(*cols)), v, "insert")
+            emit(prev_df.select(*cols).exceptAll(cur_df), v, "delete")
+    return out
 
 
 def vacuum(root: str, keep_last: int = 1) -> dict:
@@ -847,27 +1217,34 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     if not vs:
         return {"dropped_versions": 0, "deleted_files": 0}
     keep = set(vs[-max(int(keep_last), 1):])
+    # tagged versions are pinned: retention never drops a named ref's
+    # snapshot (delete_tag first — an explicit act, not a side effect)
+    keep.update(v for v in list_tags(root).values() if v in set(vs))
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(root, v)["files"])
+        m = _read_manifest(root, v)
+        referenced.update(m["files"])
+        referenced.update(d["path"] for d in m.get("delete_files", []))
     dropped = 0
     for v in vs:
         if v not in keep:
             os.remove(os.path.join(root, _manifest_name(v)))
             dropped += 1
     deleted = 0
-    data_root = os.path.join(root, "data")
-    if os.path.isdir(data_root):
+    for kind in ("data", "deletes"):
+        kind_root = os.path.join(root, kind)
+        if not os.path.isdir(kind_root):
+            continue
         # recursive walk: clustered commits nest files one level deeper
         # (data/<uuid>/_cluster=<v>/part.parquet)
-        for dirpath, _dirs, files in os.walk(data_root):
+        for dirpath, _dirs, files in os.walk(kind_root):
             for f in files:
                 rel = os.path.relpath(os.path.join(dirpath, f), root)
                 if f.endswith(".parquet") and rel not in referenced:
                     os.remove(os.path.join(root, rel))
                     deleted += 1
-        for sub in os.listdir(data_root):
-            sub_dir = os.path.join(data_root, sub)
+        for sub in os.listdir(kind_root):
+            sub_dir = os.path.join(kind_root, sub)
             live = any(
                 fn.endswith(".parquet")
                 for _dp, _dn, fns in os.walk(sub_dir)

@@ -529,3 +529,215 @@ def test_vacuum_recurses_into_clustered_dirs(spark, tmp_path):
     assert stats["deleted_files"] == 1  # v1's list-1 file unreferenced
     got = {r["id"] for r in M.read_snapshot(spark, root).collect()}
     assert got == {0, 1, 2, 3} | {2010, 2011, 2012, 2013}
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (r10)
+
+
+def test_delete_where_is_merge_on_read(spark, tmp_path):
+    """commit_delete_where moves ZERO data files: the new manifest lists
+    the same data files plus one delete file, the latest read subtracts
+    the keys, and time travel still serves the pre-delete rows."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 12))
+    keys = spark.createDataFrame([(i,) for i in (0, 3, 6, 9)], "id long")
+    v2 = M.commit_delete_where(root, keys, "id")
+    assert v2 == 2
+    m1, m2 = M._read_manifest(root, 1), M._read_manifest(root, 2)
+    assert m1["files"] == m2["files"]  # no data rewrite
+    assert len(m2["delete_files"]) == 1
+    assert _ids(M.read_snapshot(spark, root)) == set(range(12)) - {0, 3, 6, 9}
+    assert _ids(M.read_snapshot(spark, root, 1)) == set(range(12))
+
+
+def test_delete_sequencing_reinserted_keys_survive(spark, tmp_path):
+    """Iceberg's sequence-number rule: an equality delete applies only
+    to files added BEFORE it, so re-inserting a deleted key later is a
+    real insert, not a resurrect-then-delete."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_delete_where(
+        root, spark.createDataFrame([(2,), (4,)], "id long"), "id"
+    )
+    M.commit_append(root, _df(spark, 4, 6))  # re-inserts key 4 (and 5)
+    got = _ids(M.read_snapshot(spark, root))
+    assert got == (set(range(10)) - {2, 4}) | {4, 5}
+    # and the delete STILL applies to the old files' copy of 4 — count
+    # proves the old row stayed subtracted (no double 4)
+    rows = M.read_snapshot(spark, root).filter("id = 4").count()
+    assert rows == 1
+
+
+def test_rewrite_compacts_deletes_away(spark, tmp_path):
+    """commit_rewrite(read_snapshot(...)) is the APPLY-DELETES
+    compaction: rewritten files postdate every delete, so the entries
+    prune out of the new manifest and the read is unchanged."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_delete_where(
+        root, spark.createDataFrame([(1,), (7,)], "id long"), "id"
+    )
+    before = _ids(M.read_snapshot(spark, root))
+    v3 = M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+    assert M.snapshot_delete_files(root, v3) == []
+    assert _ids(M.read_snapshot(spark, root, v3)) == before
+    # pre-compaction versions still time-travel correctly
+    assert _ids(M.read_snapshot(spark, root, 1)) == set(range(10))
+    assert _ids(M.read_snapshot(spark, root, 2)) == before
+
+
+def test_vacuum_reference_counts_delete_files(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_delete_where(
+        root, spark.createDataFrame([(1,)], "id long"), "id"
+    )
+    # keep v2 (which references the delete file): it must survive
+    M.vacuum(root, keep_last=1)
+    assert _ids(M.read_snapshot(spark, root)) == set(range(10)) - {1}
+    # compact, then vacuum to the compacted version only: the delete
+    # file is referenced by NO retained manifest and is removed
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+    M.vacuum(root, keep_last=1)
+    del_root = os.path.join(root, "deletes")
+    left = [
+        f
+        for _dp, _dn, fs in os.walk(del_root)
+        for f in fs
+        if f.endswith(".parquet")
+    ] if os.path.isdir(del_root) else []
+    assert left == []
+    assert _ids(M.read_snapshot(spark, root)) == set(range(10)) - {1}
+
+
+def test_delete_unknown_column_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 5))
+    with pytest.raises(ValidationError, match="not in the table schema"):
+        M.commit_delete_where(
+            root, spark.createDataFrame([(1,)], "nope long"), "nope"
+        )
+
+
+def test_delete_then_rename_composes(spark, tmp_path):
+    """A rename AFTER a delete re-keys the delete entry: the reader
+    anti-joins on the renamed logical column while the delete file
+    keeps its old physical name."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 8))
+    M.commit_delete_where(
+        root, spark.createDataFrame([(3,)], "id long"), "id"
+    )
+    M.commit_rename_column(root, "id", "key")
+    got = M.read_snapshot(spark, root)
+    assert got.columns == ["key", "label"]
+    assert {r["key"] for r in got.collect()} == set(range(8)) - {3}
+
+
+# ---------------------------------------------------------------------------
+# changelog / CDC feed (r10)
+
+
+def _feed(spark, root, a, b):
+    rows = M.snapshot_changelog(spark, root, a, b).collect()
+    return {(r["version"], r["change"], r["id"]) for r in rows}
+
+
+def test_changelog_appends_and_deletes(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 6))
+    M.commit_append(root, _df(spark, 6, 9))
+    M.commit_delete_where(
+        root, spark.createDataFrame([(1,), (7,)], "id long"), "id"
+    )
+    assert _feed(spark, root, 1, 3) == {
+        (2, "insert", 6),
+        (2, "insert", 7),
+        (2, "insert", 8),
+        (3, "delete", 1),
+        (3, "delete", 7),
+    }
+    # a sub-range tails independently and reproducibly
+    assert _feed(spark, root, 2, 3) == {
+        (3, "delete", 1),
+        (3, "delete", 7),
+    }
+
+
+def test_changelog_rewrite_emits_nothing(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 8))
+    M.commit_delete_where(
+        root, spark.createDataFrame([(0,)], "id long"), "id"
+    )
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+    assert _feed(spark, root, 2, 3) == set()
+
+
+def test_changelog_replace_is_row_level_diff(spark, tmp_path):
+    """A replace commit's delta is not manifest-derivable: the feed
+    falls back to the symmetric diff and reports exactly the changed
+    rows."""
+    root = str(tmp_path / "tbl")
+    M.commit_append_clustered(root, _df(spark, 0, 9), "label")
+    new = spark.createDataFrame(
+        [(100, 1), (101, 1)], "id long, label int"
+    )
+    M.commit_replace_values(root, new, "label", [1])
+    feed = _feed(spark, root, 1, 2)
+    old_label1 = {i for i in range(9) if i % 3 == 1}
+    assert feed == {(2, "insert", 100), (2, "insert", 101)} | {
+        (2, "delete", i) for i in old_label1
+    }
+
+
+def test_changelog_guards(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 4))
+    M.commit_add_column(root, "w", "double")
+    with pytest.raises(ValidationError, match="schema changed"):
+        M.snapshot_changelog(spark, root, 1, 2)
+    with pytest.raises(ValidationError, match="v_from < v_to"):
+        M.snapshot_changelog(spark, root, 2, 2)
+    with pytest.raises(ValidationError, match="not retained"):
+        M.snapshot_changelog(spark, root, 1, 9)
+
+
+# ---------------------------------------------------------------------------
+# tags / named refs (r10)
+
+
+def test_tag_pins_version_through_vacuum(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 5))
+    M.create_tag(root, "train-v1")  # tags current (v1)
+    M.commit_append(root, _df(spark, 5, 8))
+    M.commit_append(root, _df(spark, 8, 9))
+    got = M.vacuum(root, keep_last=1)
+    # v2 dropped, v1 kept by the tag despite keep_last=1
+    assert got["dropped_versions"] == 1
+    assert M.list_versions(root) == [1, 3]
+    assert _ids(
+        M.read_snapshot(spark, root, M.resolve_tag(root, "train-v1"))
+    ) == set(range(5))
+    # untag, vacuum again: now v1 goes
+    M.delete_tag(root, "train-v1")
+    M.vacuum(root, keep_last=1)
+    assert M.list_versions(root) == [3]
+
+
+def test_tag_is_immutable_and_validated(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 3))
+    assert M.create_tag(root, "t") == 1
+    with pytest.raises(ValidationError, match="already exists"):
+        M.create_tag(root, "t")
+    with pytest.raises(ValidationError, match="not a retained"):
+        M.create_tag(root, "u", version=9)
+    with pytest.raises(ValidationError, match="invalid tag name"):
+        M.create_tag(root, "a/b")
+    with pytest.raises(ValidationError, match="no tag"):
+        M.resolve_tag(root, "ghost")
+    with pytest.raises(ValidationError, match="no tag"):
+        M.delete_tag(root, "ghost")

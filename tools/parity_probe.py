@@ -145,7 +145,13 @@ def build_parity_corpus(spark):
             "g int, cent array<double>",
         )
         blended = (
-            cut.withColumn("g", (F.col("id") % PLANT_C).cast("int"))
+            # spread rows across cores BEFORE the blend: the window
+            # above collapses to one partition, and the nested
+            # higher-order blend expression evaluates INTERPRETED
+            # (ArrayAggregate has no codegen) — single-task it takes
+            # ~10 min for 150k×384, repartitioned it's seconds
+            cut.repartition(32)
+            .withColumn("g", (F.col("id") % PLANT_C).cast("int"))
             .join(F.broadcast(centdf), "g")
             .withColumn(
                 "embedding",
@@ -166,7 +172,7 @@ def build_parity_corpus(spark):
                 "n_chars",
             )
         )
-        blended.repartition(32).write.mode("overwrite").parquet(out)
+        blended.write.mode("overwrite").parquet(out)
         Path(marker).touch()
     return spark.read.parquet(out)
 

@@ -93,6 +93,10 @@ PROBE_QUERIES = (
     "corpus_snapshot_pruned_scan",
     "corpus_snapshot_schema_evolution",
     "ann_ivf_microbatch_topk",
+    # r10 merge-on-read deletes + CDC feed: both histories are built
+    # once per factor dir (side-effect builders), then read
+    "corpus_snapshot_row_deletes",
+    "corpus_snapshot_changelog",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
