@@ -4049,6 +4049,143 @@ def retrieval_bm25_incremental_topk(
     ).select("id", "score")
 
 
+_BM25_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _bm25_snapshot_oracle() -> str:
+    """Two full BM25 replays — v1 over the base 80% of the corpus, v2
+    over everything — each with ITS OWN (n, t, df) statistics, unioned
+    under version literals: the SQL mirror of scoring every pinned
+    snapshot against the constants committed with it."""
+    terms = ", ".join(f"'{t}'" for t in BM25_INCR_TERMS)
+    blocks = []
+    for version, where in ((1, "id % 5 <> 0"), (2, "TRUE")):
+        v = f"v{version}"
+        blocks.append(f"""{v}tok AS (SELECT * FROM tok2 WHERE {where}),
+{v}dl AS (SELECT id, COUNT(*) AS dl FROM {v}tok GROUP BY id),
+{v}stats AS (
+  SELECT (SELECT COUNT(*) FROM corpus WHERE {where}) AS n,
+         (SELECT COUNT(*) FROM {v}tok) AS t),
+{v}qtf AS (SELECT id, term, COUNT(*) AS tf FROM {v}tok
+  WHERE term IN ({terms}) GROUP BY id, term),
+{v}qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM {v}tok
+  WHERE term IN ({terms}) GROUP BY term),
+{v}top AS (SELECT {version} AS version, q.id, ROUND(SUM(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
+  ), 6) AS score
+  FROM {v}qtf q JOIN {v}qdf USING (term) JOIN {v}dl dl ON q.id = dl.id
+  CROSS JOIN {v}stats GROUP BY q.id
+  ORDER BY score DESC, q.id ASC LIMIT {BM25_K})""")
+    body = ",\n".join(blocks)
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, d.text
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+tok AS (SELECT id,
+  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM corpus),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+{body}
+SELECT * FROM v1top UNION ALL SELECT * FROM v2top
+ORDER BY version, score DESC, id"""
+
+
+@register("retrieval_bm25_snapshot_topk", _bm25_snapshot_oracle())
+def retrieval_bm25_snapshot_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 POSTINGS ROUTED THROUGH THE VERSIONED-MANIFEST LAYOUT —
+    the lexical leg of the maintenance-unification story (the r9
+    verdict's direction, already walked for IVF by
+    ann_ivf_upsert_snapshot): instead of the bespoke begin/commit
+    marker protocol (operators/bm25.py append_postings_batch), the
+    postings land via ``commit_append_clustered`` (one immutable file
+    per term bucket — footer stats give exact bucket pruning through
+    ``read_snapshot_pruned_in``) and the corpus constants (N, total
+    tokens) RIDE IN THE MANIFEST COMMIT, atomic with the postings.
+    What the manifest buys the lexical index over the marker protocol:
+    (1) snapshot isolation — a reader mid-append sees v1 or v2, never
+    base postings with batch stats; (2) PINNED RANKINGS — v1 scores
+    with v1's (n, t, df) even after the append moved every global
+    statistic, so yesterday's search ranking is reproducible forever
+    (BM25's global coupling makes this impossible under in-place
+    maintenance); (3) per-term df needs NO stats table — a term's
+    postings live wholly in its bucket files, so df aggregates from
+    the same pruned scan that serves tf (bucket-bounded, corpus-size
+    independent). The oracle replays both versions' statistics and
+    top-{BM25_K} from raw text. Reference scope: beyond-reference
+    (no lexical leg, SURVEY.md §2.5)."""
+    from hybrid_vector_search_spark.operators.bm25 import (
+        DEFAULT_BUCKETS,
+        _bucket_col,
+        bm25_score_expr,
+        term_bucket,
+        tokenize,
+    )
+    from hybrid_vector_search_spark.operators.topk import topk
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _BM25_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        corpus = load_corpus(spark, sf_dir).select("id", "text")
+        root = scratch_path(
+            "bm25_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        run_n = run_t = 0
+        for part in (
+            corpus.filter(F.col("id") % 5 != 0),
+            corpus.filter(F.col("id") % 5 == 0),
+        ):
+            tok = tokenize(part).cache()
+            try:
+                run_n += part.count()
+                run_t += tok.count()
+                dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+                postings = (
+                    tok.groupBy("id", "term")
+                    .agg(F.count(F.lit(1)).alias("tf"))
+                    .join(dl, "id")
+                    .withColumn("bucket", _bucket_col(DEFAULT_BUCKETS))
+                )
+                M.commit_append_clustered(
+                    root,
+                    postings,
+                    "bucket",
+                    meta={"bm25_n": run_n, "bm25_t": run_t},
+                )
+            finally:
+                tok.unpersist()
+        _BM25_SNAP_CACHE[sf_dir] = (spark, root)
+    buckets = sorted(
+        {term_bucket(t, DEFAULT_BUCKETS) for t in BM25_INCR_TERMS}
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = None
+    for v in (1, 2):
+        n = int(M.committed_meta(root, "bm25_n", version=v))
+        t = int(M.committed_meta(root, "bm25_t", version=v))
+        hits = M.read_snapshot_pruned_in(
+            spark, root, "bucket", buckets, version=v
+        ).filter(F.col("term").isin(list(BM25_INCR_TERMS)))
+        dfs = hits.groupBy("term").agg(
+            F.countDistinct("id").alias("df")
+        )
+        scored = (
+            hits.join(F.broadcast(dfs), "term")
+            # same AQE pin as bm25_topk_plan: byte-light CPU-heavy agg
+            .repartition(n_part, "id")
+            .groupBy("id")
+            .agg(F.round(F.sum(bm25_score_expr(n, t)), 6).alias("score"))
+        )
+        part = topk(scored, BM25_K).select(
+            F.lit(v).alias("version"), "id", "score"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("version", F.col("score").desc(), "id")
+
+
 def _bm25_batch_oracle() -> str:
     all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
     terms_all = ", ".join(f"'{t}'" for t in all_terms)

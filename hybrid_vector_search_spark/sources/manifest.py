@@ -827,6 +827,19 @@ def commit_delete_where(
     )
 
 
+def committed_meta(root: str, key: str, version: int | None = None, default=None):
+    """Read a ``meta`` field from a PINNED version's manifest — the
+    time-travel twin of :func:`last_committed_meta`: derived constants
+    a layout rides in its commits (BM25's N and total-token count, a
+    streaming writer's batch id) are versioned WITH the data, so a
+    pinned reader scores against the statistics its snapshot was
+    committed with."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        return default
+    return _read_manifest(root, v).get(key, default)
+
+
 def last_committed_meta(root: str, key: str, default=None):
     """Read a ``meta`` field from the LATEST manifest — the replay guard
     a streaming writer checks before committing a micro-batch: the
