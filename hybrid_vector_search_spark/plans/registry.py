@@ -2289,6 +2289,93 @@ def events_incremental_rollup(
     )
 
 
+_ROLLUP_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "events_rollup_snapshot",
+    f"""WITH b AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  value, user_id FROM events)
+SELECT 1 AS version, day, event_type, COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS total_value
+FROM b WHERE user_id % 5 <> 0 GROUP BY day, event_type
+UNION ALL
+SELECT 2 AS version, day, event_type, COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS total_value
+FROM b GROUP BY day, event_type
+ORDER BY version, day, event_type""",
+    side_effects=True,
+)
+def events_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP MAINTENANCE ROUTED THROUGH THE VERSIONED MANIFEST — the
+    third leg of the maintenance triangle walked onto the snapshot
+    layer (vector: ann_ivf_upsert_snapshot, lexical:
+    retrieval_bm25_snapshot_topk): the day-partitioned algebraic
+    rollup commits as one immutable file per day
+    (``commit_append_clustered`` on the day string — footer stats give
+    exact per-day pruning), and the late 20% batch lands as a
+    ``commit_replace_values`` of ONLY the touched days — merged
+    partials rewritten, untouched days carried byte-identical, which
+    upgrades operators/rollup.py's begin/commit-marker protocol
+    (plain-parquet dynamic overwrite: atomic per partition, NOT across
+    partitions) to a genuinely atomic multi-day publish: a dashboard
+    reader mid-merge sees v1 or v2, never a half-merged mix, and v1
+    stays pinned — yesterday's dashboard is reproducible after the
+    backfill. The oracle recomputes BOTH versions from raw events, so
+    a hash match proves pinned-read ≡ pre-merge recompute AND
+    merge ≡ full recompute, on the 2-decimal grid snap that makes
+    merge order ULP-exact. ``side_effects``: builds a manifest table,
+    bounded driver state (distinct touched days ≤ calendar days)."""
+    from hybrid_vector_search_spark.functions.portable import (
+        round_portable,
+    )
+    from hybrid_vector_search_spark.operators.rollup import (
+        GRID_DIGITS,
+        aggregate_partials,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _ROLLUP_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        ev = load_table(spark, sf_dir, "events")
+        root = scratch_path(
+            "rollup_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        base = aggregate_partials(ev.filter(F.col("user_id") % 5 != 0))
+        M.commit_append_clustered(root, base, "day")
+        batch = aggregate_partials(ev.filter(F.col("user_id") % 5 == 0))
+        touched = sorted(
+            r["day"] for r in batch.select("day").distinct().collect()
+        )
+        merged = (
+            M.read_snapshot(spark, root, 1)
+            .filter(F.col("day").isin(touched))
+            .unionByName(batch)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                round_portable(F.sum("sum_value"), GRID_DIGITS).alias(
+                    "sum_value"
+                ),
+            )
+        )
+        M.commit_replace_values(root, merged, "day", touched)
+        _ROLLUP_SNAP_CACHE[sf_dir] = (spark, root)
+    out = None
+    for v in (1, 2):
+        part = M.read_snapshot(spark, root, v).select(
+            F.lit(v).alias("version"),
+            "day",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("total_value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("version", "day", "event_type")
+
+
 @register(
     "events_top_users_per_type",
     """SELECT event_type, user_id, n_events, rank FROM (
@@ -7034,34 +7121,102 @@ def corpus_snapshot_changelog(
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources import manifest as M
 
-    cached = _CHANGELOG_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        base = load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("id"), "label"
-        )
-        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
-        root = scratch_path(
-            "snap_cdc_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append(root, base, n_files=2)
-        M.commit_append(
-            root,
-            base.filter(F.col("id") % 4 == 0).select(
-                (F.col("id") + n).alias("id"), "label"
-            ),
-            n_files=1,
-        )
-        M.commit_delete_where(
-            root, base.filter(F.col("id") % 5 == 0), "id"
-        )
-        M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
-        _CHANGELOG_CACHE[sf_dir] = (spark, root)
+    root = _changelog_root(spark, sf_dir)
     return (
         M.snapshot_changelog(spark, root, 1, 4)
         .select("version", "change", "id", "label")
         .orderBy("version", "change", "id")
     )
+
+
+def _changelog_root(spark: SparkSession, sf_dir: str) -> str:
+    """The scripted 4-version history behind the CDC queries: v1 = the
+    corpus, v2 = append (every 4th id, shifted by n), v3 = equality
+    delete of every 5th ORIGINAL id, v4 = compaction rewrite."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _CHANGELOG_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+    root = scratch_path(
+        "snap_cdc_" + sf_dir.strip("/").replace("/", "_")
+    )
+    M.commit_append(root, base, n_files=2)
+    M.commit_append(
+        root,
+        base.filter(F.col("id") % 4 == 0).select(
+            (F.col("id") + n).alias("id"), "label"
+        ),
+        n_files=1,
+    )
+    M.commit_delete_where(
+        root, base.filter(F.col("id") % 5 == 0), "id"
+    )
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
+    _CHANGELOG_CACHE[sf_dir] = (spark, root)
+    return root
+
+
+@register(
+    "corpus_snapshot_cdc_apply",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b),
+final AS (
+  SELECT id, label FROM b WHERE id % 5 <> 0
+  UNION ALL
+  SELECT id + n AS id, label FROM b, m WHERE id % 4 = 0)
+SELECT 0 AS diff_vs_snapshot, id, label FROM final ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_cdc_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FEED IS SUFFICIENT — the downstream half of the CDC story:
+    a REPLICA pinned at v1 consumes the changelog for (v1, v4] (same
+    scripted history as corpus_snapshot_changelog) by anti-joining the
+    feed's deletes and unioning its inserts — never re-reading the
+    source table — and the result must equal the v4 snapshot read
+    row-for-row. The proof is double-sided: the emitted rows hash
+    against the oracle's expected final state, and the
+    ``diff_vs_snapshot`` column carries the MEASURED symmetric
+    difference vs the actual v4 read (two exceptAll counts — bounded
+    single-row aggregates), which the oracle pins at 0. This is the
+    consumer contract a downstream index/replica/feature store relies
+    on at 100 TB: catch-up cost is O(changed rows), not O(table), and
+    because versions are immutable the same feed replays to the same
+    replica after a crash. Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    root = _changelog_root(spark, sf_dir)
+    feed = M.snapshot_changelog(spark, root, 1, 4)
+    # a general consumer applies the feed version-by-version; here the
+    # collapse to one anti-join + one union is valid because no key is
+    # both inserted and deleted inside the range (inserts are shifted
+    # ids ≥ n, deletes originals < n) — and diff_vs_snapshot would
+    # read non-zero if that assumption ever broke
+    replica = (
+        M.read_snapshot(spark, root, 1)
+        .join(
+            feed.filter(F.col("change") == "delete").select("id"),
+            "id",
+            "left_anti",
+        )
+        .unionByName(
+            feed.filter(F.col("change") == "insert").select("id", "label")
+        )
+    )
+    v4 = M.read_snapshot(spark, root, 4)
+    diff = int(replica.exceptAll(v4).count()) + int(
+        v4.exceptAll(replica).count()
+    )
+    return replica.select(
+        F.lit(diff).alias("diff_vs_snapshot"), "id", "label"
+    ).orderBy("id")
 
 
 _CHOICE_CASES = (

@@ -97,6 +97,10 @@ PROBE_QUERIES = (
     # once per factor dir (side-effect builders), then read
     "corpus_snapshot_row_deletes",
     "corpus_snapshot_changelog",
+    # late-r10: CDC consumer catch-up, manifest-routed BM25 + rollup
+    "corpus_snapshot_cdc_apply",
+    "retrieval_bm25_snapshot_topk",
+    "events_rollup_snapshot",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
