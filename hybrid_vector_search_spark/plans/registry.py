@@ -9733,6 +9733,135 @@ def streaming_snapshot_ingest(
     )
 
 
+_STREAM_CDC_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_cdc_replica",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b),
+final AS (
+  SELECT id, label FROM b WHERE id % 5 <> 0
+  UNION ALL
+  SELECT id + n AS id, label FROM b, m WHERE id % 4 = 0)
+SELECT 3 AS applied_version, 2 AS replica_data_files,
+  1 AS replica_delete_files, id, label
+FROM final ORDER BY id""",
+    side_effects=True,
+)
+def streaming_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL THE COMMIT LOG AS A STREAM — Delta's change-data-feed shape
+    on the versioned-manifest layout: the source table's
+    ``manifest-*.json`` files ARE a streaming source (each commit is
+    one new immutable file — the exact contract Spark's file stream
+    wants), so a continuously-running replica subscribes to the table
+    itself, no side-channel queue. Per micro-batch the replica pulls
+    every not-yet-applied version's op-aware delta
+    (sources/manifest.py snapshot_changelog) and applies it
+    MERGE-ON-READ: insert-only deltas land as an O(batch) append,
+    delete-only deltas as an O(keys) equality-delete commit — the
+    replica never rewrites itself — with the applied source version
+    riding IN the replica's own manifest commit, so an at-least-once
+    replay skips atomically (the same marker-in-commit trick as
+    streaming_snapshot_ingest, but per source VERSION, finer than per
+    micro-batch). Row-preserving rewrites on the source emit an empty
+    delta and are skipped without a commit. The structural proof rides
+    in the hash contract: after v1-bootstrap + v2-append + v3-delete +
+    v4-compaction the replica must hold exactly 2 data files and 1
+    LIVE delete file (a replica that rewrote itself, double-applied a
+    replay, or resurrected deleted rows mismatches the literals or
+    the rows). Mixed insert+delete deltas are out of this replica's
+    scope (two commits cannot be atomic) and raise. Beyond-reference
+    (SURVEY.md §2.9 + streaming family)."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    src = _changelog_root(spark, sf_dir)
+    cached = _STREAM_CDC_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_cdc_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_CDC_CACHE[sf_dir] = (spark, root)
+    replica = _os.path.join(root, "replica")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def apply_versions(batch_df, batch_id):
+        # the batch's rows only SIGNAL that new commits exist; the
+        # replica pulls pending versions from the source root itself,
+        # so delivery order and batching cannot misapply a delta
+        seen = max(
+            (int(r["version"]) for r in batch_df.collect()), default=-1
+        )  # bounded: one row per source commit
+        if seen < 0:
+            return
+        last = int(M.last_committed_meta(replica, "applied_version", 0))
+        for v in range(max(last + 1, 1), seen + 1):
+            if v == 1:  # bootstrap: the pinned v1 snapshot, one commit
+                M.commit_append(
+                    replica,
+                    M.read_snapshot(spark, src, 1),
+                    n_files=1,
+                    meta={"applied_version": 1},
+                )
+                continue
+            delta = M.snapshot_changelog(spark, src, v - 1, v)
+            ins = delta.filter(F.col("change") == "insert").select(
+                "id", "label"
+            )
+            dels = delta.filter(F.col("change") == "delete").select("id")
+            n_ins, n_del = ins.count(), dels.count()
+            if n_ins and n_del:
+                raise ValidationError(
+                    "streaming_cdc_replica: mixed insert+delete delta "
+                    f"at source version {v} — two commits cannot be "
+                    "atomic; out of this replica's scope"
+                )
+            if n_ins:
+                M.commit_append(
+                    replica, ins, n_files=1, meta={"applied_version": v}
+                )
+            elif n_del:
+                M.commit_delete_where(
+                    replica, dels, "id", meta={"applied_version": v}
+                )
+            # empty delta (row-preserving rewrite): no commit, no
+            # marker advance — re-deriving it on replay is a no-op
+
+    q = (
+        spark.readStream.schema(
+            T.StructType([T.StructField("version", T.LongType())])
+        )
+        .option("maxFilesPerTrigger", 1)  # one commit per micro-batch
+        .json(_os.path.join(src, "manifest-*.json"))
+        .writeStream.foreachBatch(apply_versions)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    applied = int(M.last_committed_meta(replica, "applied_version", -1))
+    n_data = len(M.snapshot_files(replica)[1])
+    n_del_files = len(M.snapshot_delete_files(replica))
+    return M.read_snapshot(spark, replica).select(
+        F.lit(applied).alias("applied_version"),
+        F.lit(n_data).alias("replica_data_files"),
+        F.lit(n_del_files).alias("replica_delete_files"),
+        "id",
+        "label",
+    ).orderBy("id")
+
+
 ANN_RANGE_QSEED = 53
 ANN_RANGE_TAU = 0.2
 

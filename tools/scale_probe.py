@@ -101,6 +101,7 @@ PROBE_QUERIES = (
     "corpus_snapshot_cdc_apply",
     "retrieval_bm25_snapshot_topk",
     "events_rollup_snapshot",
+    "streaming_cdc_replica",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
