@@ -6926,6 +6926,87 @@ def corpus_snapshot_pruned_scan(
     )
 
 
+_ZORDER_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_zorder_scan",
+    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m)
+SELECT 16 AS files_total, 8 AS files_vec_prune, 4 AS files_label_prune,
+  2 AS files_conj_prune, COUNT(*) AS n_rows,
+  CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi AND label = 3""",
+    side_effects=True,
+)
+def corpus_snapshot_zorder_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-COLUMN DATA SKIPPING VIA Z-ORDER (sources/manifest.py
+    zorder_bucket — Delta's OPTIMIZE ZORDER BY / Iceberg's sort-order
+    rewrite, on the manifest layout): the corpus commits clustered by
+    the fixed-boundary Morton bucket over (vec_id, label) — 16 grid
+    cells, one immutable file each, every file a COMPACT BOX in the
+    combined key space — so footer stats prune usefully on EITHER
+    column: the vec_id window alone keeps 8/16 files, label = 3 alone
+    keeps 4/16, and their CONJUNCTION keeps 2/16 (multiplicative — the
+    single-column clustered layout of corpus_snapshot_pruned_scan
+    prunes this conjunction no better than its one sorted column).
+    All four MEASURED file counts ride in the hash-checked contract as
+    columns with the oracle pinning the literals, and the aggregate is
+    computed over the conjunctively-pruned scan, so a box that leaks
+    (rows lost to over-pruning) or a grid that degenerates (stats not
+    tight → under-pruning) mismatches. At 100 TB this is the layout
+    decision that makes two-dimensional dashboards (time × tenant,
+    list × label) open the file fraction their predicate box covers
+    instead of a full stripe. Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _ZORDER_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    bounds = emb.agg(
+        F.max("vec_id"), F.min("label"), F.max("label")
+    ).first()  # bounded: one row
+    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
+    zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
+    if root is None:
+        root = scratch_path(
+            "snap_zorder_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(
+            root,
+            emb.withColumn("zb", M.zorder_bucket(zcols, 4)),
+            "zb",
+        )
+        _ZORDER_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
+    _v, kept_vec, total = M.snapshot_files_pruned(
+        root, "vec_id", w_lo, w_hi
+    )
+    _v, kept_lab, _t = M.snapshot_files_pruned(root, "label", 3, 3)
+    preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
+    _v, kept_both, _t = M.snapshot_files_pruned_multi(root, preds)
+    return (
+        M.read_snapshot_pruned_multi(spark, root, preds)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_id"),
+        )
+        .select(
+            F.lit(total).alias("files_total"),
+            F.lit(len(kept_vec)).alias("files_vec_prune"),
+            F.lit(len(kept_lab)).alias("files_label_prune"),
+            F.lit(len(kept_both)).alias("files_conj_prune"),
+            "n_rows",
+            "sum_id",
+        )
+    )
+
+
 _SCHEMA_EVO_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

@@ -436,6 +436,55 @@ def commit_append_clustered(
     )
 
 
+def zorder_column(columns: list, bits: int = 16):
+    """Morton/Z-value over numeric columns: each value is min-max
+    normalized to ``bits`` bits (rank-preserving affine map using the
+    column's global min/max, supplied as ``(col, lo, hi)`` tuples) and
+    the bit planes are interleaved MSB-first — nearby (c1, c2) points
+    get nearby z-values, so RANGE-partitioning by z gives every file a
+    COMPACT BOX in the combined space and footer [min,max] stats stay
+    tight on EVERY z-ordered column at once. Pure Column expression
+    (shifts and masks — whole-stage codegen), no UDF."""
+    from pyspark.sql import functions as F
+
+    norms = []
+    for col, lo, hi in columns:
+        span = max(float(hi) - float(lo), 1.0)
+        scaled = (
+            (F.col(col).cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
+        )
+        norms.append(F.round(scaled).cast("bigint"))
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits - 1, -1, -1):  # MSB-first interleave
+        for n in norms:
+            # bitwiseOR/AND, not |/& — Python operators on Columns are
+            # BOOLEAN or/and and fail analysis on bigint operands
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(n, b).bitwiseAND(one)
+            )
+    return z
+
+
+def zorder_bucket(columns: list, bucket_bits: int, bits: int = 16):
+    """Fixed-boundary Z-BUCKET: the top ``bucket_bits`` bits of the
+    Morton value — a deterministic grid cell in the combined key space
+    (pure function of the row's values, unlike ``repartitionByRange``
+    whose sampled boundaries are input-partitioning-dependent). Feed it
+    to :func:`commit_append_clustered` to get the Z-ORDER layout (Delta
+    ``OPTIMIZE ZORDER BY`` / Iceberg sort-order rewrite) with ONE file
+    per grid cell: every file covers a compact box, so manifest footer
+    stats prune usefully for predicates on ANY z-ordered column —
+    where single-column clustering gives tight stats on one column and
+    useless full-range stats on the rest."""
+    from pyspark.sql import functions as F
+
+    z = zorder_column(columns, bits=bits)
+    return F.shiftright(z, len(columns) * bits - int(bucket_bits))
+
+
 def snapshot_files_pruned_in(
     root: str,
     column: str,
@@ -480,6 +529,56 @@ def read_snapshot_pruned_in(
     _v, files, _total = snapshot_files_pruned_in(root, column, values, v)
     df = _apply_logical_schema(spark, root, m, files=files)
     return df.filter(F.col(column).isin(list(values)))
+
+
+def snapshot_files_pruned_multi(
+    root: str, preds: list, version: int | None = None
+) -> tuple[int, list[str], int]:
+    """(version, kept absolute paths, total): conjunctive file
+    skipping — a file survives only if its [min,max] can overlap EVERY
+    ``(column, lo, hi)`` predicate. The payoff of the z-order layout:
+    each file is a compact box in the combined key space, so the
+    intersection prunes multiplicatively where single-column
+    clustering prunes on one column only."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    stats = m.get("stats", {})
+    kept = []
+    for rel in m["files"]:
+        st = stats.get(rel, {})
+        drop = False
+        for column, lo, hi in preds:
+            mm = st.get(column)
+            if mm is not None and (mm[0] > hi or mm[1] < lo):
+                drop = True
+                break
+        if not drop:
+            kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], len(m["files"])
+
+
+def read_snapshot_pruned_multi(
+    spark: SparkSession,
+    root: str,
+    preds: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctively stats-pruned scan + the row-level AND of all
+    ``(column, lo, hi)`` predicates — result-identical to the unpruned
+    filtered read, files opened ∝ the predicate box's grid cells."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    _v, files, _total = snapshot_files_pruned_multi(root, preds, v)
+    df = _apply_logical_schema(spark, root, m, files=files)
+    for column, lo, hi in preds:
+        df = df.filter(F.col(column).between(lo, hi))
+    return df
 
 
 def _covered_by(mm: list, vals: set) -> str:

@@ -741,3 +741,39 @@ def test_tag_is_immutable_and_validated(spark, tmp_path):
         M.resolve_tag(root, "ghost")
     with pytest.raises(ValidationError, match="no tag"):
         M.delete_tag(root, "ghost")
+
+
+# ---------------------------------------------------------------------------
+# z-order multi-column skipping (r10)
+
+
+def test_zorder_bucket_boxes_and_multi_prune(spark, tmp_path):
+    """One file per fixed-boundary Morton bucket gives every file a
+    compact box in (a, b) space: conjunctive pruning keeps the files
+    whose box intersects the predicate box — multiplicatively fewer
+    than either single-column prune."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(400)], "a long, b int"
+    )
+    M.commit_append_clustered(
+        root,
+        df.withColumn(
+            "zb", M.zorder_bucket([("a", 0, 399), ("b", 0, 9)], 4)
+        ),
+        "zb",
+    )
+    v, kept_a, total = M.snapshot_files_pruned(root, "a", 100, 199)
+    _v, kept_b, _t = M.snapshot_files_pruned(root, "b", 7, 7)
+    _v, kept_ab, _t = M.snapshot_files_pruned_multi(
+        root, [("a", 100, 199), ("b", 7, 7)]
+    )
+    assert total == 16
+    assert len(kept_a) < total and len(kept_b) < total
+    assert len(kept_ab) <= min(len(kept_a), len(kept_b))
+    got = M.read_snapshot_pruned_multi(
+        root=root, spark=spark, preds=[("a", 100, 199), ("b", 7, 7)]
+    ).collect()
+    assert {r["a"] for r in got} == {
+        i for i in range(100, 200) if i % 10 == 7
+    }

@@ -102,6 +102,7 @@ PROBE_QUERIES = (
     "retrieval_bm25_snapshot_topk",
     "events_rollup_snapshot",
     "streaming_cdc_replica",
+    "corpus_snapshot_zorder_scan",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
