@@ -6926,6 +6926,97 @@ def corpus_snapshot_pruned_scan(
     )
 
 
+_UPSERT_ROWS_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_upsert_rows",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b),
+v2 AS (
+  SELECT id, CASE WHEN id % 6 = 0 THEN label + 100 ELSE label END AS label
+  FROM b
+  UNION ALL
+  SELECT id + n AS id, 777 AS label FROM b, m WHERE id % 11 = 0)
+SELECT 1 AS version, 2 AS data_files, 0 AS delete_files,
+  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+  CAST(SUM(label) AS BIGINT) AS sum_label FROM b
+UNION ALL
+SELECT 2 AS version, 3 AS data_files, 1 AS delete_files,
+  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+  CAST(SUM(label) AS BIGINT) AS sum_label FROM v2
+ORDER BY version""",
+    side_effects=True,
+)
+def corpus_snapshot_upsert_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-LEVEL MERGE INTO AS ONE ATOMIC COMMIT (sources/manifest.py
+    commit_upsert_rows — the Hudi/Iceberg merge-on-read upsert): one
+    batch UPDATES every 6th id (label + 100) and INSERTS fresh ids in
+    the same publish — the batch's keys land as an equality-delete
+    file and its rows as one new data file, referenced by the SAME
+    manifest, so there is no torn state between the delete and the
+    insert (the two-commit shape has a crash window; this has none).
+    Old copies of updated keys die because the delete reaches only
+    files added BEFORE the commit; the new copies survive because
+    their file is added AT it — the same add-version sequencing that
+    protects re-inserts. Cost is O(batch): no read of the table, no
+    data-file rewrite — copy-on-write MERGE rewrites every touched
+    file instead, which at 100 TB is the difference between a
+    point-update and a compaction job. Structural literals in the
+    hash contract: v2 carries v1's 2 data files untouched + 1 new
+    data file + 1 delete file, and the per-version aggregates catch a
+    resurrected old copy (sum_label too low is impossible — a double
+    copy inflates n_rows, a lost update deflates sum_label).
+    Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _UPSERT_ROWS_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+        root = scratch_path(
+            "snap_upsert_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, base, n_files=2)
+        batch = base.filter(F.col("id") % 6 == 0).select(
+            "id", (F.col("label") + 100).alias("label")
+        ).unionByName(
+            base.filter(F.col("id") % 11 == 0).select(
+                (F.col("id") + n).alias("id"),
+                F.lit(777).alias("label"),
+            )
+        )
+        M.commit_upsert_rows(root, batch, "id", n_files=1)
+        _UPSERT_ROWS_CACHE[sf_dir] = (spark, root)
+    parts = []
+    for v in (1, 2):
+        n_data = len(M.snapshot_files(root, v)[1])
+        n_del = len(M.snapshot_delete_files(root, v))
+        parts.append(
+            M.read_snapshot(spark, root, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id").alias("sum_id"),
+                F.sum("label").alias("sum_label"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(n_data).alias("data_files"),
+                F.lit(n_del).alias("delete_files"),
+                "n_rows",
+                "sum_id",
+                "sum_label",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
 _ZORDER_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

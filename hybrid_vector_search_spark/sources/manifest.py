@@ -939,6 +939,83 @@ def committed_meta(root: str, key: str, version: int | None = None, default=None
     return _read_manifest(root, v).get(key, default)
 
 
+def commit_upsert_rows(
+    root: str,
+    rows_df: DataFrame,
+    key_col: str,
+    n_files: int = 1,
+    meta: dict | None = None,
+) -> int:
+    """MERGE INTO — row-level UPSERT as ONE atomic commit: the batch's
+    keys land as an equality-delete file AND its rows as new data
+    files, both referenced by the same manifest publish. Rows whose
+    key exists are updated (the old copy dies by the delete, which
+    reaches only files added before this commit; the new copy
+    survives, since its file is added AT this commit), rows with fresh
+    keys are plain inserts — no read of the existing table, no data
+    rewrite: O(batch) where copy-on-write MERGE is O(touched files).
+    Because delete-file + data-files + manifest are one atomic
+    publish, there is no torn state (the two-commit
+    delete-then-append shape has a crash window between them; this
+    has none), every older version still serves the pre-upsert rows,
+    and compaction retires the delete entry as usual."""
+    v0 = current_version(root)
+    if v0 < 0:
+        raise ValidationError(
+            f"nothing to upsert at '{root}': no committed snapshot"
+        )
+    cur0 = _read_manifest(root, v0)
+    if cur0.get("schema") is not None:
+        names = [f["name"] for f in cur0["schema"]["fields"]]
+        if key_col not in names:
+            raise ValidationError(
+                f"commit_upsert_rows at '{root}': key column "
+                f"'{key_col}' not in the table schema (have: {names})"
+            )
+    sub_d = os.path.join("deletes", uuid.uuid4().hex[:12])
+    (
+        rows_df.select(key_col)
+        .distinct()
+        .coalesce(1)
+        .write.mode("errorifexists")
+        .parquet(os.path.join(root, sub_d))
+    )
+    del_rels = sorted(
+        os.path.join(sub_d, f)
+        for f in os.listdir(os.path.join(root, sub_d))
+        if f.endswith(".parquet")
+    )
+    new = _write_data_files(rows_df, root, n_files)
+    new_stats = _footer_stats(root, new)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        cur = _read_manifest(root, v)
+        nxt = v + 1
+        files = cur["files"] + new
+        carry = _carry_versioning(cur, files, new, nxt)
+        payload = {
+            "files": files,
+            "stats": {**cur.get("stats", {}), **new_stats},
+            "column_mapping": cur.get("column_mapping", {}),
+            "schema": cur.get("schema"),
+            "op": "upsert",
+            "added": len(new),
+            **carry,
+            "delete_files": carry["delete_files"]
+            + [
+                {"path": p, "column": key_col, "version": nxt}
+                for p in del_rels
+            ],
+            **(meta or {}),
+        }
+        if _try_commit_manifest(root, nxt, payload):
+            return nxt
+    raise CommitConflictError(
+        f"commit_upsert_rows at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
+    )
+
+
 def last_committed_meta(root: str, key: str, default=None):
     """Read a ``meta`` field from the LATEST manifest — the replay guard
     a streaming writer checks before committing a micro-batch: the

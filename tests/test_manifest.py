@@ -777,3 +777,57 @@ def test_zorder_bucket_boxes_and_multi_prune(spark, tmp_path):
     assert {r["a"] for r in got} == {
         i for i in range(100, 200) if i % 10 == 7
     }
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / row-level upsert (r10)
+
+
+def test_upsert_rows_updates_and_inserts_atomically(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))  # labels i % 3
+    batch = spark.createDataFrame(
+        [(0, 99), (3, 99), (100, 7)], "id long, label int"
+    )
+    v2 = M.commit_upsert_rows(root, batch, "id")
+    got = {(r["id"], r["label"]) for r in
+           M.read_snapshot(spark, root, v2).collect()}
+    expect = {(i, i % 3) for i in range(10) if i not in (0, 3)}
+    expect |= {(0, 99), (3, 99), (100, 7)}
+    assert got == expect
+    # exactly one row per updated key (old copy dead, new alive)
+    assert M.read_snapshot(spark, root).filter("id = 0").count() == 1
+    # time travel: v1 untouched
+    assert _ids(M.read_snapshot(spark, root, 1)) == set(range(10))
+    # structural: no data rewrite — old files carried
+    m1, m2 = M._read_manifest(root, 1), M._read_manifest(root, v2)
+    assert set(m1["files"]) <= set(m2["files"])
+    assert len(M.snapshot_delete_files(root, v2)) == 1
+
+
+def test_upsert_then_compact_retires_delete(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 6))
+    M.commit_upsert_rows(
+        root,
+        spark.createDataFrame([(1, 50)], "id long, label int"),
+        "id",
+    )
+    before = {(r["id"], r["label"]) for r in
+              M.read_snapshot(spark, root).collect()}
+    v3 = M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+    assert M.snapshot_delete_files(root, v3) == []
+    after = {(r["id"], r["label"]) for r in
+             M.read_snapshot(spark, root, v3).collect()}
+    assert after == before
+
+
+def test_upsert_unknown_key_column_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 3))
+    with pytest.raises(ValidationError, match="not in the table schema"):
+        M.commit_upsert_rows(
+            root,
+            spark.createDataFrame([(1, 2)], "zz long, label int"),
+            "zz",
+        )

@@ -103,6 +103,7 @@ PROBE_QUERIES = (
     "events_rollup_snapshot",
     "streaming_cdc_replica",
     "corpus_snapshot_zorder_scan",
+    "corpus_snapshot_upsert_rows",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
