@@ -7098,6 +7098,101 @@ def corpus_snapshot_zorder_scan(
     )
 
 
+_OPTIMIZE_Z_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_optimize_zorder",
+    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m),
+agg AS (SELECT COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
+        FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi
+          AND label = 3)
+SELECT 'post' AS phase, 16 AS files_total, 2 AS files_scanned,
+  n_rows, sum_id FROM agg
+UNION ALL
+SELECT 'pre' AS phase, 6 AS files_total, 6 AS files_scanned,
+  n_rows, sum_id FROM agg
+ORDER BY phase""",
+    side_effects=True,
+)
+def corpus_snapshot_optimize_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE OPTIMIZE COMMAND — ingest-order appends, then one
+    re-clustering rewrite that makes file skipping start working
+    (Delta ``OPTIMIZE ZORDER BY`` end-to-end, sources/manifest.py
+    commit_rewrite_clustered): v1–v3 append three id-interleaved
+    slices (id % 3 — the arrival-order shape every ingest produces),
+    so all 6 files span the FULL (vec_id, label) range and the
+    conjunctive predicate prunes NOTHING (6 of 6 scanned — stats are
+    only as good as the layout); v4 rewrites the table clustered by
+    the fixed-boundary Morton bucket, after which the same predicate
+    opens 2 of 16 files. Both phases' MEASURED (total, scanned) file
+    counts ride in the hash contract with the oracle pinning the
+    literals, and both phases compute the SAME aggregate over their
+    pruned scan — so an optimize that loses rows, a prune that leaks,
+    or stats that fail to tighten all mismatch. History survives the
+    rewrite: v3 still reads the pre-optimize files (checked by the
+    pre-phase scan running against version 3 AFTER v4 committed). At
+    100 TB this is the nightly job that turns append-order data into
+    a queryable layout without blocking readers. Beyond-reference
+    (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _OPTIMIZE_Z_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    bounds = emb.agg(
+        F.max("vec_id"), F.min("label"), F.max("label")
+    ).first()  # bounded: one row
+    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
+    if root is None:
+        root = scratch_path(
+            "snap_optz_" + sf_dir.strip("/").replace("/", "_")
+        )
+        for r in range(3):  # arrival-order slices, full-range stats
+            M.commit_append(
+                root, emb.filter(F.col("vec_id") % 3 == r), n_files=2
+            )
+        zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
+        M.commit_rewrite_clustered(
+            root,
+            M.read_snapshot(spark, root).withColumn(
+                "zb", M.zorder_bucket(zcols, 4)
+            ),
+            "zb",
+        )
+        _OPTIMIZE_Z_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
+    preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
+    parts = []
+    for phase, version in (("pre", 3), ("post", 4)):
+        _v, kept, total = M.snapshot_files_pruned_multi(
+            root, preds, version=version
+        )
+        parts.append(
+            M.read_snapshot_pruned_multi(
+                spark, root, preds, version=version
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("vec_id").alias("sum_id"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                F.lit(total).alias("files_total"),
+                F.lit(len(kept)).alias("files_scanned"),
+                "n_rows",
+                "sum_id",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("phase")
+
+
 _SCHEMA_EVO_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

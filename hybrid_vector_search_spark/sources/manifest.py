@@ -1089,6 +1089,60 @@ def commit_rewrite(
     )
 
 
+def commit_rewrite_clustered(root: str, df: DataFrame, column: str) -> int:
+    """:func:`commit_rewrite` with the one-file-per-``column``-value
+    layout — the OPTIMIZE command: re-cluster accumulated appends
+    (whose files have useless full-range stats) into files that are
+    compact boxes, so file skipping starts working, while every older
+    version still reads the pre-optimize files (time travel across a
+    compaction). Pair with :func:`zorder_bucket` as the cluster column
+    for the multi-column ``OPTIMIZE ZORDER BY`` shape. Concurrency:
+    base-pinned exactly like :func:`commit_rewrite`."""
+    base_v = current_version(root)
+    if base_v < 0:
+        raise ValidationError(
+            f"nothing to rewrite at '{root}': no committed snapshot"
+        )
+    base = _read_manifest(root, base_v)
+    base_files = set(base["files"])
+    new = _write_data_files_clustered(df, root, column)
+    new_stats = _footer_stats(root, new)
+    schema = _schema_payload(df.drop("_cluster"))
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        cur = _read_manifest(root, v)
+        cur_files = set(cur["files"])
+        if not base_files <= cur_files:
+            raise CommitConflictError(
+                f"commit_rewrite_clustered at '{root}': base version "
+                f"{base_v} files were replaced by a concurrent commit"
+            )
+        carried = [f for f in cur["files"] if f not in base_files]
+        cur_stats = cur.get("stats", {})
+        payload = {
+            "files": new + carried,
+            "stats": {
+                **{f: cur_stats[f] for f in carried if f in cur_stats},
+                **new_stats,
+            },
+            "column_mapping": {
+                f: m
+                for f, m in cur.get("column_mapping", {}).items()
+                if f in carried
+            },
+            "schema": cur.get("schema", schema),
+            "op": "rewrite",
+            "added": len(new),
+            **_carry_versioning(cur, new + carried, new, v + 1),
+        }
+        if _try_commit_manifest(root, v + 1, payload):
+            return v + 1
+    raise CommitConflictError(
+        f"commit_rewrite_clustered at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
+    )
+
+
 # ---------------------------------------------------------------------------
 # schema evolution — metadata-only commits
 

@@ -831,3 +831,35 @@ def test_upsert_unknown_key_column_raises(spark, tmp_path):
             spark.createDataFrame([(1, 2)], "zz long, label int"),
             "zz",
         )
+
+
+def test_rewrite_clustered_optimizes_pruning_keeps_history(spark, tmp_path):
+    """OPTIMIZE: append-order files have full-range stats (prune keeps
+    everything); the clustered rewrite tightens them, and the
+    pre-optimize version still time-travels."""
+    root = str(tmp_path / "tbl")
+    for r in range(2):
+        M.commit_append(
+            root,
+            spark.createDataFrame(
+                [(i, i % 4) for i in range(r, 100, 2)],
+                "a long, b int",
+            ),
+        )
+    from pyspark.sql import functions as F
+
+    def pairs(df):
+        return {(r["a"], r["b"]) for r in df.collect()}
+
+    _v, kept_pre, total_pre = M.snapshot_files_pruned(root, "b", 2, 2)
+    assert (len(kept_pre), total_pre) == (2, 2)  # nothing prunable
+    M.commit_rewrite_clustered(
+        root,
+        M.read_snapshot(spark, root).withColumn("_c", F.col("b")),
+        "_c",
+    )
+    _v, kept_post, total_post = M.snapshot_files_pruned(root, "b", 2, 2)
+    assert total_post == 4 and len(kept_post) == 1
+    assert pairs(M.read_snapshot(spark, root)) == pairs(
+        M.read_snapshot(spark, root, 2)
+    )

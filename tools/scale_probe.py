@@ -104,6 +104,7 @@ PROBE_QUERIES = (
     "streaming_cdc_replica",
     "corpus_snapshot_zorder_scan",
     "corpus_snapshot_upsert_rows",
+    "corpus_snapshot_optimize_zorder",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
