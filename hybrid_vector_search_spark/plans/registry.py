@@ -6926,6 +6926,70 @@ def corpus_snapshot_pruned_scan(
     )
 
 
+_TAG_READ_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_tag_read",
+    """SELECT 2 AS tagged_version, 2 AS retained_versions,
+  vec_id AS id, label FROM embeddings ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_tag_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NAMED REFS WITH RETENTION (sources/manifest.py create_tag /
+    vacuum): v1 commits the even ids, v2 the odd ids (the full
+    corpus), v3 a shifted extra batch; v2 is TAGGED ``train`` — 'the
+    corpus this run trained on' — and vacuum(keep_last=1) then runs.
+    Retention must keep exactly TWO versions: v3 (the keep-last
+    window) and the tagged v2, dropping v1 — a tag pins its snapshot
+    against any retention policy, which is what makes 'reproduce last
+    month's training set' survive routine cleanup. The query reads
+    the corpus BY TAG NAME (resolve_tag, no version number) and emits
+    the measured tagged version + retained-version count with the
+    oracle pinning both; the row payload proves the tagged read
+    serves exactly v2's content (the full original corpus, not v3's
+    extra batch — a reader that fell through to latest mismatches).
+    Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _TAG_READ_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+        root = scratch_path(
+            "snap_tag_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, base.filter(F.col("id") % 2 == 0))
+        M.commit_append(root, base.filter(F.col("id") % 2 == 1))
+        M.create_tag(root, "train")  # pins v2 = the full corpus
+        M.commit_append(
+            root,
+            base.filter(F.col("id") % 9 == 0).select(
+                (F.col("id") + n).alias("id"), "label"
+            ),
+        )
+        M.vacuum(root, keep_last=1)
+        _TAG_READ_CACHE[sf_dir] = (spark, root)
+    v = M.resolve_tag(root, "train")
+    retained = len(M.list_versions(root))
+    return (
+        M.read_snapshot(spark, root, v)
+        .select(
+            F.lit(v).alias("tagged_version"),
+            F.lit(retained).alias("retained_versions"),
+            "id",
+            "label",
+        )
+        .orderBy("id")
+    )
+
+
 _UPSERT_ROWS_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

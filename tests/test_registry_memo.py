@@ -59,6 +59,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "corpus_snapshot_zorder_scan",
         "corpus_snapshot_upsert_rows",
         "corpus_snapshot_optimize_zorder",
+        "corpus_snapshot_tag_read",
         "events_rollup_snapshot",
         "corpus_snapshot_schema_evolution",
         "strategy_costed_choice",

@@ -105,6 +105,7 @@ PROBE_QUERIES = (
     "corpus_snapshot_zorder_scan",
     "corpus_snapshot_upsert_rows",
     "corpus_snapshot_optimize_zorder",
+    "corpus_snapshot_tag_read",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
