@@ -10367,31 +10367,39 @@ _BUCKETED_TPCH: dict[str, tuple[SparkSession, tuple[str, str]]] = {}
 
 
 def _bucketed_tpch_tables(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
 ) -> tuple[str, str]:
     """Write (once per session × sf_dir) orders and lineitem bucketed on
-    their orderkey and return the catalog table names. The pre-write
-    ``repartition(n_buckets, key)`` hash-aligns write tasks with buckets
-    (same Murmur3 hash, same modulus) so each bucket lands as ONE sorted
-    file — the layout Spark's sorted bucketed scan requires to elide
-    both the Exchange and the Sort under a sort-merge join."""
+    their orderkey and return the catalog table names. The bucket count
+    is VOLUME-DERIVED over both sides (sources/bucketing.py:
+    derive_bucket_count) — one shared count, since shuffle elision
+    requires matching specs; a pinned count capped the ×16 probe at 8
+    tasks (r10 verdict's scale-killer)."""
     got = _BUCKETED_TPCH.get(sf_dir)
     if got is not None and got[0] is spark:
         return got[1]
     import re as _re
 
     from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources.bucketing import write_bucketed
+    from hybrid_vector_search_spark.sources.bucketing import (
+        derive_bucket_count,
+        write_bucketed,
+    )
 
     slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
     names = (f"hvs_bkt_orders_{slug}", f"hvs_bkt_lineitem_{slug}")
+    sides = {
+        table: load_table(spark, sf_dir, table)
+        for table in ("orders", "lineitem")
+    }
+    if n_buckets is None:
+        n_buckets = derive_bucket_count(spark, *sides.values())
     for table, key, tbl_name in (
         ("orders", "o_orderkey", names[0]),
         ("lineitem", "l_orderkey", names[1]),
     ):
-        df = load_table(spark, sf_dir, table)
         write_bucketed(
-            df.repartition(n_buckets, F.col(key)),
+            sides[table],
             tbl_name,
             key,
             n_buckets,
@@ -10536,7 +10544,7 @@ def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             load_table(spark, sf_dir, "embeddings"),
             load_table(spark, sf_dir, "documents"),
-            n_buckets=8,
+            n_buckets=None,  # volume-derived (sources/bucketing.py)
             prefix=f"hvs_corpus_{slug}",
             # external location in tracked scratch: a managed table would
             # leave its warehouse dir behind on process death and the

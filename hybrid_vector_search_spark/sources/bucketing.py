@@ -9,10 +9,29 @@ into the same bucket layout, after which every equi-join (and groupBy) on
 table with bucket i of the other (sort-merge without sort, since buckets
 are written sorted).
 
-Bucket count guidance: ``total_size / bucket_count ≈ 128-512 MB`` per
-bucket per partition so tasks stay memory-resident; both join sides MUST
-use the same count (Spark only elides the shuffle when bucket specs
-match).
+Bucket-count policy (``derive_bucket_count``): the count is DERIVED from
+table volume at write time, never pinned. A fixed count is a scale bug in
+both directions — too few buckets caps join parallelism at the bucket
+count no matter how many cores the cluster has (r10 probe: Q18 over 8
+buckets ran 2.5× slower than the unbucketed join at ×16 data, 8 tasks on
+32 cores each dragging a 16×-grown sorted file), too many drowns small
+tables in file overhead. The rule:
+
+    n = next_pow2(max(cluster default parallelism, bytes / target_bytes))
+
+capped at ``MAX_BUCKETS``. The parallelism floor keeps every core busy at
+any volume; the bytes term takes over once buckets would exceed the
+target file size (default 128 MB of columnar bytes — large enough to
+amortize task startup, small enough that a per-bucket sort-merge task
+stays memory-resident). Both join sides MUST use the same count (Spark
+only elides the shuffle when bucket specs match), so multi-table writers
+derive ONE count from the largest side. Power-of-two counts mean a
+rebucket on growth is always a clean split of the old layout.
+
+Tables that outgrow their layout: ``rebucket_if_outgrown`` re-derives the
+count from current volume and rewrites only when it increased — the
+OPTIMIZE path for bucketed tables, run from the same maintenance cadence
+as compaction.
 
 Bucketed tables go through the session catalog (``saveAsTable``) — bucket
 metadata lives in the metastore, not the parquet footer.
@@ -20,7 +39,44 @@ metadata lives in the metastore, not the parquet footer.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TARGET_BUCKET_BYTES = 128 * 1024 * 1024
+# Spark rejects bucket counts above spark.sql.sources.bucketing.maxBuckets
+# (default 100000); 2^16 keeps headroom under it. Beyond the cap the
+# per-bucket file grows instead (100 TB / 65536 ≈ 1.6 GB of columnar
+# bytes per bucket — at that volume the table should also be
+# date-partitioned, making each partition's buckets small again).
+MAX_BUCKETS = 65536
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan. For a
+    parquet-sourced plan this is the sum of file sizes (the right input
+    to a bytes-per-bucket target: it is what the scan will read)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def derive_bucket_count(
+    spark: SparkSession,
+    *sides: DataFrame,
+    target_bytes: int = TARGET_BUCKET_BYTES,
+    max_buckets: int = MAX_BUCKETS,
+) -> int:
+    """Volume-derived bucket count for a co-bucketed table group: the
+    next power of two ≥ max(default parallelism, largest-side bytes /
+    target_bytes), capped at ``max_buckets``. One count for ALL sides —
+    shuffle elision requires matching bucket specs."""
+    biggest = max(plan_size_bytes(df) for df in sides)
+    floor = max(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(biggest / target_bytes),
+        1,
+    )
+    return min(1 << (floor - 1).bit_length(), max_buckets)
 
 
 def write_bucketed(
@@ -33,9 +89,15 @@ def write_bucketed(
     path: str | None = None,
 ) -> None:
     """Persist ``df`` hash-bucketed (and per-bucket sorted) on ``key``.
-    With ``path`` the table is external (data at the given location,
-    bucket spec in the catalog)."""
-    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    The pre-write ``repartition(n, key)`` hash-aligns write tasks with
+    buckets (same Murmur3 hash, same modulus) so each bucket lands as ONE
+    sorted file — the layout Spark's sorted bucketed scan requires to
+    elide both the Exchange and the Sort under a sort-merge join. With
+    ``path`` the table is external (data at the given location, bucket
+    spec in the catalog)."""
+    w = df.repartition(n_buckets, F.col(key)).write.mode(mode).bucketBy(
+        n_buckets, key
+    )
     if sort:
         w = w.sortBy(key)
     if path is not None:
@@ -43,25 +105,69 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def current_bucket_count(spark: SparkSession, table: str) -> int:
+    """The bucket count recorded in the catalog for ``table`` (0 when the
+    table is not bucketed)."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "Num Buckets":
+            return int(row["data_type"])
+    return 0
+
+
+def rebucket_if_outgrown(
+    spark: SparkSession,
+    table: str,
+    key: str,
+    target_bytes: int = TARGET_BUCKET_BYTES,
+    path: str | None = None,
+) -> int:
+    """OPTIMIZE for bucketed layouts: re-derive the bucket count from the
+    table's CURRENT volume and rewrite only when it grew. Growth-only —
+    shrinking a layout saves nothing (small buckets cost only file count)
+    and would churn co-bucketed peers. Returns the (possibly new) count.
+
+    Callers re-bucketing one table of a co-bucketed group must re-bucket
+    every side to the returned count, or the group's joins fall back to
+    shuffling (Spark requires matching specs)."""
+    df = spark.table(table)
+    have = current_bucket_count(spark, table)
+    want = derive_bucket_count(spark, df, target_bytes=target_bytes)
+    if want <= have:
+        return have
+    # stage the new layout under a side name, then swap — overwriting the
+    # table in place would drop the files the rewrite is still scanning,
+    # and readers between the drop and the rewrite would see no table
+    staged = f"{table}__rebucket"
+    write_bucketed(df, staged, key, want, path=path)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    return want
+
+
 def bucketed_corpus_tables(
     spark: SparkSession,
     embeddings: DataFrame,
     documents: DataFrame,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     prefix: str = "corpus",
     base_path: str | None = None,
 ) -> DataFrame:
     """Write both corpus sides bucketed on id and return the co-located
-    join — the scale-path replacement for ``load_corpus``'s shuffle join."""
+    join — the scale-path replacement for ``load_corpus``'s shuffle join.
+    ``n_buckets`` defaults to the volume-derived count over both sides."""
+    emb_df = embeddings.withColumnRenamed("vec_id", "id")
+    doc_df = documents.withColumnRenamed("doc_id", "id")
+    if n_buckets is None:
+        n_buckets = derive_bucket_count(spark, emb_df, doc_df)
     write_bucketed(
-        embeddings.withColumnRenamed("vec_id", "id"),
+        emb_df,
         f"{prefix}_embeddings",
         "id",
         n_buckets,
         path=f"{base_path}/{prefix}_embeddings" if base_path else None,
     )
     write_bucketed(
-        documents.withColumnRenamed("doc_id", "id"),
+        doc_df,
         f"{prefix}_documents",
         "id",
         n_buckets,

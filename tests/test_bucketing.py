@@ -93,3 +93,88 @@ def test_corpus_bucketed_profile_single_agg_exchange(spark, no_broadcast):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert df.count() > 0
+
+
+def test_derive_bucket_count_volume_scaling(spark):
+    """The derived count is a power of two, never below the cluster
+    parallelism, and grows with the bytes/target ratio — the r10 fix for
+    a pinned count capping join parallelism as data grows."""
+    from hybrid_vector_search_spark.sources.bucketing import (
+        MAX_BUCKETS,
+        derive_bucket_count,
+        plan_size_bytes,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    floor = spark.sparkContext.defaultParallelism
+    n_small = derive_bucket_count(spark, docs)
+    assert n_small >= floor and (n_small & (n_small - 1)) == 0
+
+    bytes_ = plan_size_bytes(docs)
+    assert bytes_ > 0
+    # shrink the target so the bytes term dominates: a 16x-outgrown
+    # layout must derive a 16x (pow2-rounded) larger count
+    n_big = derive_bucket_count(spark, docs, target_bytes=max(bytes_ // 64, 1))
+    assert n_big >= 64 and (n_big & (n_big - 1)) == 0
+    assert n_big > n_small or n_small >= 64
+    # and the cap holds
+    assert derive_bucket_count(spark, docs, target_bytes=1) == MAX_BUCKETS
+
+
+def test_rebucket_if_outgrown(spark, no_broadcast, tmp_path):
+    """A layout whose volume outgrew its bucket count is rewritten at the
+    re-derived count (growth-only: an adequate layout is a no-op); after
+    re-bucketing BOTH sides, the join is still Exchange-free."""
+    from hybrid_vector_search_spark.sources.bucketing import (
+        current_bucket_count,
+        plan_size_bytes,
+        rebucket_if_outgrown,
+        write_bucketed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    docs = load_table(spark, SF_DIR, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    # start at the parallelism floor: the derived count never drops below
+    # it, so a smaller initial layout is always "outgrown"
+    p = spark.sparkContext.defaultParallelism
+    n0 = 1 << (p - 1).bit_length()
+    for name, df in (("rb_emb", emb), ("rb_docs", docs)):
+        write_bucketed(df, name, "id", n0, path=str(tmp_path / name))
+    assert current_bucket_count(spark, "rb_emb") == n0
+    n_rows = spark.table("rb_emb").count()
+
+    # adequate layout (huge target): no-op
+    assert (
+        rebucket_if_outgrown(
+            spark, "rb_emb", "id", target_bytes=1 << 40,
+            path=str(tmp_path / "rb_emb_v2"),
+        )
+        == n0
+    )
+
+    # outgrown layout (tiny target): rewritten at a larger derived count,
+    # rows preserved under the swap
+    tiny = max(plan_size_bytes(spark.table("rb_emb")) // (4 * n0), 1)
+    n1 = rebucket_if_outgrown(
+        spark, "rb_emb", "id", target_bytes=tiny,
+        path=str(tmp_path / "rb_emb_v3"),
+    )
+    assert n1 > n0 and n1 == current_bucket_count(spark, "rb_emb")
+    assert spark.table("rb_emb").count() == n_rows
+
+    # co-bucketed group contract: align the peer to the GROUP count (the
+    # one derived from the largest side), after which the join is still
+    # Exchange-free at the new layout
+    write_bucketed(
+        spark.table("rb_docs"), "rb_docs2", "id", n1,
+        path=str(tmp_path / "rb_docs_v3"),
+    )
+    j = spark.table("rb_emb").join(spark.table("rb_docs2"), "id", "left")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for t in ("rb_emb", "rb_docs", "rb_docs2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

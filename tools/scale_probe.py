@@ -180,10 +180,19 @@ def inflate(spark, factor: int, out_dir: str) -> None:
 
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    # SPARK_GRAFT_PROBE_ONLY=q1,q2 → probe just those queries and write
+    # SCALING_partial.md (iteration loop for a single operator's scaling
+    # story); the full run still owns SCALING.md
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    probe_queries = (
+        tuple(q for q in PROBE_QUERIES if q in set(only.split(",")))
+        if only
+        else PROBE_QUERIES
+    )
     spark = get_spark("scale_probe")
     from hybrid_vector_search_spark.plans import registry as R
 
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
     rows_per_factor: dict[int, int] = {}
     for k in factors:
         d = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{k}")
@@ -208,11 +217,11 @@ def main() -> None:
             # caches for its whole query family, which read as ×1 being
             # SLOWER than ×8 (r4 probe: several 0.5-0.6× ratios) — a
             # warmup artifact, not a plan property
-            for q in PROBE_QUERIES:
+            for q in probe_queries:
                 R.QUERIES[q](spark, d).write.mode("overwrite").format(
                     "noop"
                 ).save()
-        for q in PROBE_QUERIES:
+        for q in probe_queries:
             fn = R.QUERIES[q]
             best = float("inf")
             n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
@@ -248,7 +257,7 @@ def main() -> None:
         + f" | ×{factors[-1]}/×{factors[0]} |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
-    for q in PROBE_QUERIES:
+    for q in probe_queries:
         cells = [f"{results[q][k]:.2f}s" for k in factors]
         ratio = results[q][factors[-1]] / max(results[q][factors[0]], 1e-9)
         lines.append(f"| {q} | " + " | ".join(cells) + f" | {ratio:.1f}× |")
@@ -396,6 +405,11 @@ def main() -> None:
             int(r0["ladder_entry"]),
             len(rows),
         )
+
+    if only:
+        (REPO / "SCALING_partial.md").write_text("\n".join(lines))
+        print(f"wrote {REPO / 'SCALING_partial.md'} (filtered probe)")
+        return
 
     lo, hi = factors[0], factors[-1]
     c_lo, c_hi = _lsh_candidates(lo), _lsh_candidates(hi)
