@@ -170,6 +170,29 @@ def _live_delete_files(
     ]
 
 
+def _check_no_deletes_since_base(cur: dict, base_v: int, op: str, root: str) -> None:
+    """Serializable-rewrite validation (Iceberg's second rule): a
+    replace-style commit may rebase over concurrent APPENDS, but NOT
+    over a row-delete/upsert that landed after its base — the rewritten
+    files would be stamped past the delete's version, ``_carry_
+    versioning`` would prune the now-unreachable delete entry, and the
+    deleted rows (still present in the data the rewrite read at base)
+    would silently resurrect. Raises so the caller re-reads (with the
+    delete now applied by the scan) and redoes the rewrite."""
+    fresh = [
+        d
+        for d in cur.get("delete_files", [])
+        if int(d.get("version", 0)) > base_v
+    ]
+    if fresh:
+        raise CommitConflictError(
+            f"{op} at '{root}': {len(fresh)} row-delete entr"
+            f"{'y' if len(fresh) == 1 else 'ies'} landed after rewrite "
+            f"base {base_v} — publishing would resurrect the deleted "
+            f"rows; re-read the current snapshot and redo the rewrite"
+        )
+
+
 # ---------------------------------------------------------------------------
 # reading — schema-aware, optionally stats-pruned
 
@@ -444,18 +467,33 @@ def zorder_column(columns: list, bits: int = 16):
     get nearby z-values, so RANGE-partitioning by z gives every file a
     COMPACT BOX in the combined space and footer [min,max] stats stay
     tight on EVERY z-ordered column at once. Pure Column expression
-    (shifts and masks — whole-stage codegen), no UDF."""
+    (shifts and masks — whole-stage codegen), no UDF.
+
+    Values outside the supplied [lo, hi] are CLAMPED to the grid edge
+    (an out-of-bounds row otherwise sign-extends through the interleave
+    into a negative / out-of-grid z-value — the bounds are usually a
+    stats snapshot, and data drifts past it between OPTIMIZE runs);
+    ``len(columns) * bits`` must fit a signed bigint (≤ 62 bits) or the
+    interleave overflows into the sign bit."""
     from pyspark.sql import functions as F
 
+    if len(columns) * bits > 62:
+        raise ValidationError(
+            f"zorder_column: {len(columns)} columns × {bits} bits = "
+            f"{len(columns) * bits} interleaved bits — exceeds the 62 "
+            f"usable bits of a signed bigint; lower `bits`"
+        )
+    top = float((1 << bits) - 1)
     norms = []
     for col, lo, hi in columns:
         span = max(float(hi) - float(lo), 1.0)
         scaled = (
             (F.col(col).cast("double") - F.lit(float(lo)))
             / F.lit(span)
-            * F.lit(float((1 << bits) - 1))
+            * F.lit(top)
         )
-        norms.append(F.round(scaled).cast("bigint"))
+        clamped = F.greatest(F.lit(0.0), F.least(F.lit(top), scaled))
+        norms.append(F.round(clamped).cast("bigint"))
     one = F.lit(1).cast("bigint")
     z = F.lit(0).cast("bigint")
     for b in range(bits - 1, -1, -1):  # MSB-first interleave
@@ -590,7 +628,13 @@ def _covered_by(mm: list, vals: set) -> str:
     if not inside:
         return "disjoint"
     if isinstance(lo, int) and isinstance(hi, int):
-        if all(x in vals for x in range(lo, hi + 1)):
+        # covered iff every integer in [lo, hi] is replaced: the in-range
+        # values are distinct, so an O(|inside|) count-and-type check
+        # decides it — never an O(hi-lo) range walk (a wide-range file
+        # would make the driver iterate millions of memberships)
+        if len(inside) == hi - lo + 1 and all(
+            isinstance(x, int) and not isinstance(x, bool) for x in inside
+        ):
             return "covered"
     elif lo == hi and lo in vals:
         return "covered"
@@ -639,6 +683,9 @@ def commit_replace_values(
                 f"commit_replace_values at '{root}': base version "
                 f"{base_v} files were replaced by a concurrent commit"
             )
+        _check_no_deletes_since_base(
+            cur, base_v, "commit_replace_values", root
+        )
         cur_stats = cur.get("stats", {})
         carried = []
         for rel in cur["files"]:
@@ -824,9 +871,27 @@ def commit_append(
             prior_stats = cur.get("stats", {})
             prior_map = cur.get("column_mapping", {})
             # appends adopt the table's current logical schema when one
-            # is recorded (the batch must be written physically under
-            # it — callers align columns before committing)
+            # is recorded; new files carry NO column mapping, so every
+            # logical field must resolve to a physical column of the
+            # batch — a batch still written under pre-rename names (or
+            # missing an added column) would otherwise commit fine and
+            # silently read back as typed NULLs
             schema_out = cur.get("schema", schema)
+            if cur.get("schema") is not None:
+                have = set(df.columns)
+                missing = [
+                    fld["name"]
+                    for fld in cur["schema"]["fields"]
+                    if fld["name"] not in have
+                ]
+                if missing:
+                    raise ValidationError(
+                        f"commit_append at '{root}': batch lacks "
+                        f"physical column(s) {missing} of the table's "
+                        f"logical schema — align the batch first "
+                        f"(rename to current names / add typed-NULL "
+                        f"columns) so its files read back correctly"
+                    )
         else:
             prior_files, prior_stats, prior_map = [], {}, {}
             schema_out = schema
@@ -1063,6 +1128,7 @@ def commit_rewrite(
                 f"files were replaced by a concurrent commit — rewrite "
                 f"vs rewrite does not commute; re-read and retry"
             )
+        _check_no_deletes_since_base(cur, base_v, "commit_rewrite", root)
         carried = [f for f in cur["files"] if f not in base_files]
         cur_stats = cur.get("stats", {})
         payload = {
@@ -1117,6 +1183,9 @@ def commit_rewrite_clustered(root: str, df: DataFrame, column: str) -> int:
                 f"commit_rewrite_clustered at '{root}': base version "
                 f"{base_v} files were replaced by a concurrent commit"
             )
+        _check_no_deletes_since_base(
+            cur, base_v, "commit_rewrite_clustered", root
+        )
         carried = [f for f in cur["files"] if f not in base_files]
         cur_stats = cur.get("stats", {})
         payload = {
@@ -1448,13 +1517,27 @@ def snapshot_changelog(
     return out
 
 
-def vacuum(root: str, keep_last: int = 1) -> dict:
+def vacuum(
+    root: str, keep_last: int = 1, orphan_grace_sec: float = 86400.0
+) -> dict:
     """Drop all but the last ``keep_last`` versions and delete data
     files referenced by NO retained manifest (plus any orphans from
     crashed commits). The only destructive operation in the layout —
     and the reason readers of retained versions are never affected:
-    retention is decided FIRST, reference counting second."""
+    retention is decided FIRST, reference counting second.
+
+    NEVER-COMMITTED files (present under data/ or deletes/ but in no
+    manifest, retained or dropped) are removed only once older than
+    ``orphan_grace_sec`` (mtime, default 24 h): a concurrent writer
+    between its data-file write and its CAS publish looks exactly like
+    a crashed commit's orphans, and sweeping its fresh files would let
+    it publish a manifest pointing at deleted data — a corrupt
+    snapshot. Files referenced by a DROPPED version carry no such
+    ambiguity (they were committed, then superseded) and are reclaimed
+    immediately. Pass ``orphan_grace_sec=0`` only when the caller holds
+    exclusive access (no in-flight writers)."""
     import shutil
+    import time as _time
 
     vs = list_versions(root)
     if not vs:
@@ -1464,16 +1547,20 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     # snapshot (delete_tag first — an explicit act, not a side effect)
     keep.update(v for v in list_tags(root).values() if v in set(vs))
     referenced: set[str] = set()
-    for v in keep:
+    dropped_refs: set[str] = set()
+    for v in vs:
         m = _read_manifest(root, v)
-        referenced.update(m["files"])
-        referenced.update(d["path"] for d in m.get("delete_files", []))
+        refs = set(m["files"]) | {
+            d["path"] for d in m.get("delete_files", [])
+        }
+        (referenced if v in keep else dropped_refs).update(refs)
     dropped = 0
     for v in vs:
         if v not in keep:
             os.remove(os.path.join(root, _manifest_name(v)))
             dropped += 1
     deleted = 0
+    now = _time.time()
     for kind in ("data", "deletes"):
         kind_root = os.path.join(root, kind)
         if not os.path.isdir(kind_root):
@@ -1482,10 +1569,19 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
         # (data/<uuid>/_cluster=<v>/part.parquet)
         for dirpath, _dirs, files in os.walk(kind_root):
             for f in files:
-                rel = os.path.relpath(os.path.join(dirpath, f), root)
-                if f.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(root, rel))
-                    deleted += 1
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, root)
+                if not f.endswith(".parquet") or rel in referenced:
+                    continue
+                if rel not in dropped_refs:  # possible in-flight writer
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # raced the writer's own cleanup
+                    if age < orphan_grace_sec:
+                        continue
+                os.remove(full)
+                deleted += 1
         for sub in os.listdir(kind_root):
             sub_dir = os.path.join(kind_root, sub)
             live = any(

@@ -64,8 +64,14 @@ def test_crashed_commit_is_invisible_and_retryable(spark, tmp_path):
     # retry commits v2 with its own data files; orphans stay invisible
     assert M.commit_append(root, _df(spark, 10, 20)) == 2
     assert _ids(M.read_snapshot(spark, root)) == set(range(20))
-    # vacuum sweeps the orphaned files of the crashed attempt
+    # the crashed attempt's files are indistinguishable from an
+    # IN-FLIGHT writer's: default vacuum leaves them inside the grace
+    # window (deleting a concurrent writer's pre-publish files would
+    # let it commit a manifest over missing data)
     stats = M.vacuum(root, keep_last=2)
+    assert stats["deleted_files"] == 0
+    # aged out (or exclusive access): swept
+    stats = M.vacuum(root, keep_last=2, orphan_grace_sec=0)
     assert stats["deleted_files"] >= 1
     assert _ids(M.read_snapshot(spark, root, 1)) == set(range(10))
     assert _ids(M.read_snapshot(spark, root, 2)) == set(range(20))
@@ -863,3 +869,179 @@ def test_rewrite_clustered_optimizes_pruning_keeps_history(spark, tmp_path):
     assert pairs(M.read_snapshot(spark, root)) == pairs(
         M.read_snapshot(spark, root, 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: serializable rewrites vs row-deletes, vacuum writer-safety,
+# append schema validation, zorder guards
+
+
+def test_rewrite_conflicts_with_concurrent_delete(spark, tmp_path, monkeypatch):
+    """A compaction racing a row-DELETE must conflict, not rebase: the
+    rewritten files would postdate the delete (pruning its entry) while
+    still containing the deleted rows read at base — silent
+    resurrection. Iceberg's rewrites validate no new delete files since
+    base; so do ours."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+
+    real = M._try_commit_manifest
+    hits = {"n": 0}
+
+    def racing(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            monkeypatch.setattr(M, "_try_commit_manifest", real)
+            assert (
+                M.commit_delete_where(
+                    root,
+                    spark.createDataFrame([(3,)], "id long"),
+                    "id",
+                )
+                == 2
+            )
+            monkeypatch.setattr(M, "_try_commit_manifest", racing)
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing)
+    with pytest.raises(M.CommitConflictError, match="resurrect"):
+        M.commit_rewrite(root, M.read_snapshot(spark, root, 1), n_files=1)
+    # the delete survived; a re-read rewrite (delete now applied by the
+    # scan) succeeds and compacts the delete away
+    assert _ids(M.read_snapshot(spark, root)) == set(range(10)) - {3}
+    v = M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+    assert _ids(M.read_snapshot(spark, root, v)) == set(range(10)) - {3}
+    assert M.snapshot_delete_files(root, v) == []
+
+
+def test_replace_values_conflicts_with_concurrent_upsert(
+    spark, tmp_path, monkeypatch
+):
+    """commit_replace_values racing an UPSERT (which carries a delete
+    entry) must conflict for the same reason: folding the upsert's data
+    files in while its delete entry is pruned would resurrect the old
+    row copies — duplicate keys."""
+
+    def _kdf(lo, hi):
+        return spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(lo, hi)],
+            "id long, bucket int, w double",
+        )
+
+    root = str(tmp_path / "tbl")
+    M.commit_append_clustered(root, _kdf(0, 8), "bucket")
+
+    real = M._try_commit_manifest
+    hits = {"n": 0}
+
+    def racing(r, version, payload):
+        if hits["n"] == 0:
+            hits["n"] = 1
+            monkeypatch.setattr(M, "_try_commit_manifest", real)
+            M.commit_upsert_rows(root, _kdf(100, 101), "id")
+            monkeypatch.setattr(M, "_try_commit_manifest", racing)
+        return real(r, version, payload)
+
+    monkeypatch.setattr(M, "_try_commit_manifest", racing)
+    with pytest.raises(M.CommitConflictError):
+        M.commit_replace_values(
+            root,
+            _kdf(0, 8).filter("bucket = 0"),
+            "bucket",
+            [0],
+        )
+
+
+def test_vacuum_protects_inflight_writer_files(spark, tmp_path):
+    """Files an in-flight writer has written but not yet CAS-published
+    survive a concurrent default vacuum (grace window) — the writer
+    then publishes a manifest whose files all exist."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_append(root, _df(spark, 10, 20))
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+
+    # writer W: data files on disk, manifest not yet published
+    w_files = M._write_data_files(_df(spark, 50, 55), root, 1)
+    stats = M.vacuum(root, keep_last=1)
+    # dropped-version files reclaimed immediately; W's fresh files kept
+    assert stats["deleted_files"] == 2
+    for rel in w_files:
+        assert os.path.exists(os.path.join(root, rel))
+    # W now publishes; its snapshot reads back complete
+    cur = M._read_manifest(root, M.current_version(root))
+    carry = M._carry_versioning(cur, cur["files"] + w_files, w_files, 4)
+    assert M._try_commit_manifest(
+        root,
+        4,
+        {
+            "files": cur["files"] + w_files,
+            "stats": cur.get("stats", {}),
+            "column_mapping": {},
+            "schema": cur.get("schema"),
+            "op": "append",
+            "added": len(w_files),
+            **carry,
+        },
+    )
+    assert _ids(M.read_snapshot(spark, root)) == (
+        set(range(20)) | set(range(50, 55))
+    )
+
+
+def test_append_validates_schema_columns(spark, tmp_path):
+    """An append whose batch lacks a logical-schema column (stale
+    pre-rename names, missing added column) raises instead of
+    committing files that read back as typed NULLs."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 5))
+    M.commit_rename_column(root, "label", "cls")
+    stale = _df(spark, 5, 8)  # still (id, label)
+    with pytest.raises(ValidationError, match="cls"):
+        M.commit_append(root, stale)
+    M.commit_append(root, stale.withColumnRenamed("label", "cls"))
+    got = M.read_snapshot(spark, root)
+    assert got.columns == ["id", "cls"]
+    assert {r["cls"] for r in got.filter(F.col("id") >= 5).collect()} == {
+        i % 3 for i in range(5, 8)
+    }
+
+    M.commit_add_column(root, "w", "double")
+    with pytest.raises(ValidationError, match="'w'"):
+        M.commit_append(root, _df(spark, 8, 9).withColumnRenamed("label", "cls"))
+
+
+def test_covered_by_is_set_sized_not_range_sized(spark):
+    """_covered_by on a wide integer range is O(|values|): a billion-
+    wide file classifies instantly, and near-covered count equality
+    cannot be spoofed by non-integer in-range values."""
+    import time
+
+    t0 = time.perf_counter()
+    assert M._covered_by([0, 10**12], {1, 2}) == "partial"
+    assert time.perf_counter() - t0 < 0.1
+    assert M._covered_by([0, 2], {0, 1, 2, 9}) == "covered"
+    assert M._covered_by([0, 1], {0, 0.5}) == "partial"  # count==2 but 1 kept
+    assert M._covered_by([5, 9], {0, 1}) == "disjoint"
+
+
+def test_zorder_clamps_out_of_bounds_and_guards_width(spark):
+    """Out-of-bounds values clamp to the grid edge (no negative /
+    out-of-grid buckets from sign extension); interleaves wider than a
+    signed bigint raise."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(-50, 5), (0, 0), (9, 9), (200, -1)], "x long, y long"
+    )
+    z = M.zorder_column([("x", 0, 9), ("y", 0, 9)], bits=8)
+    vals = [r["z"] for r in df.select(z.alias("z")).collect()]
+    assert all(0 <= v < (1 << 16) for v in vals)
+    b = M.zorder_bucket([("x", 0, 9), ("y", 0, 9)], bucket_bits=4, bits=8)
+    bvals = [r["b"] for r in df.select(b.alias("b")).collect()]
+    assert all(0 <= v < 16 for v in bvals)
+
+    with pytest.raises(ValidationError, match="62"):
+        M.zorder_column([("x", 0, 9)] * 4, bits=16)
