@@ -117,29 +117,47 @@ class HNSWGraph:
         self, q: np.ndarray, entry: int, ef: int, layer: int
     ) -> list[tuple[float, int]]:
         """Beam search on one layer: returns up to ``ef`` (score, node)
-        best-first. Classic HNSW SEARCH-LAYER with a max-heap of
-        candidates and a min-heap of current results."""
+        best-first. HNSW SEARCH-LAYER with BATCH neighbor admission
+        (r11): each expansion scores ALL unvisited neighbors of the
+        popped node at once; the result beam becomes the top-ef of
+        (current ∪ fresh) under the engine-wide (score DESC, node ASC)
+        order, and exactly the surviving fresh join the candidate
+        queue. The textbook one-at-a-time admission makes the candidate
+        set depend on the ORDER neighbors appear in the adjacency list
+        (a sibling processed first can raise the bar against the next);
+        the batch rule is a pure function of (graph, query, ef), which
+        is what lets an independent SQL oracle replay the walk
+        (metrics_hnsw_recall_sweep). Sets ``_last_visited`` — the
+        sweep's work axis."""
         adj = self.adjacency[layer]
         d0 = float(self.vectors[entry] @ q)
         visited = {entry}
-        candidates = [(-d0, entry)]  # max-heap by score
-        results = [(d0, entry)]  # min-heap: worst current result on top
+        # both kept sorted by (score DESC, node ASC)
+        results = [(d0, entry)]
+        candidates = [(d0, entry)]
         while candidates:
-            neg, c = heapq.heappop(candidates)
-            if -neg < results[0][0] and len(results) >= ef:
+            sc, c = candidates[0]
+            if len(results) >= ef and sc < results[-1][0]:
                 break
+            candidates = candidates[1:]
             fresh = [n for n in adj.get(c, ()) if n not in visited]
             if not fresh:
                 continue
             visited.update(fresh)
-            for n, s in zip(fresh, self._scores(q, fresh)):
-                s = float(s)
-                if len(results) < ef or s > results[0][0]:
-                    heapq.heappush(results, (s, n))
-                    if len(results) > ef:
-                        heapq.heappop(results)
-                    heapq.heappush(candidates, (-s, n))
-        return sorted(results, reverse=True)
+            scored = [
+                (float(s), int(n))
+                for n, s in zip(fresh, self._scores(q, fresh))
+            ]
+            results = sorted(
+                results + scored, key=lambda t: (-t[0], t[1])
+            )[:ef]
+            keep = set(results)
+            candidates = sorted(
+                candidates + [t for t in scored if t in keep],
+                key=lambda t: (-t[0], t[1]),
+            )
+        self._last_visited = len(visited)
+        return results
 
     def _insert(self, i: int) -> None:
         global INSERT_CALLS
@@ -243,6 +261,25 @@ class HNSWGraph:
         scores = np.array([s for s, _ in found], dtype=np.float64)
         order = np.lexsort((ids, -scores))
         return ids[order], scores[order]
+
+
+def knn_adjacency(vectors: np.ndarray, M: int = DEFAULT_M) -> list[list[int]]:
+    """Exact top-M out-neighbor lists by inner product (ties by node
+    index ASC, self excluded) — the deterministic single-layer NSW graph
+    of the oracle-checked beam sweep (``metrics_hnsw_recall_sweep``).
+    Unlike the insert-order HNSW adjacency (a function of the whole
+    insertion history), this graph is a closed-form function of the
+    vectors, so an independent SQL oracle re-derives it from the base
+    table (window over the pairwise-dot self-join) instead of trusting
+    the engine's own build. O(n²) — bounded-sample calibration use."""
+    sim = np.asarray(vectors, dtype=np.float64) @ np.asarray(
+        vectors, dtype=np.float64
+    ).T
+    np.fill_diagonal(sim, -np.inf)
+    m = min(int(M), sim.shape[0] - 1)
+    # argsort(stable) on -sim: ties broken by ascending node index
+    idx = np.argsort(-sim, axis=1, kind="stable")[:, :m]
+    return [[int(j) for j in row] for row in idx]
 
 
 def hnsw_topk(

@@ -8218,6 +8218,165 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"))
 
 
+_HNSW_SWEEP_RUNGS = (10, 16, 32, 64, 128)
+_HNSW_SWEEP_K = 10
+_HNSW_SWEEP_M = 8  # operators/hnsw.py DEFAULT_M
+
+
+def _hnsw_sweep_oracle() -> str:
+    """Independent SQL replay of the APPROXIMATE beam walk itself — not
+    just its recall arithmetic. The graph is the deterministic exact-KNN
+    digraph (each node → its top-M neighbors by inner product, ties by
+    id ASC, self excluded): unlike the insert-order HNSW adjacency (a
+    function of the whole insertion history, only re-derivable by the
+    code under test), this adjacency is a closed form the oracle
+    re-derives from the base table with a window over the pairwise-dot
+    self-join. The walk is operators/hnsw.py _search_layer's batch-
+    admission beam, replayed per ef rung as a recursive CTE whose state
+    row carries (candidate beam, result beam, visited set) — elements
+    stored as {ns: -score, id} structs so DuckDB's lexicographic
+    list_sort IS the engine's (score DESC, id ASC) order. Emits the
+    same (ef, n_visited, recall@K) rows the Spark query computes."""
+    q = query_vector(_HNSW_QSEED)
+    qlit = sql_array_literal(q)
+    K, M = _HNSW_SWEEP_K, _HNSW_SWEEP_M
+
+    def walk(ef: int) -> str:
+        return f"""walk_{ef} AS (
+  SELECT 0 AS it,
+         [{{'ns': -(SELECT sc FROM s WHERE id = (SELECT eid FROM entry)),
+            'id': (SELECT eid FROM entry)}}] AS cand,
+         [{{'ns': -(SELECT sc FROM s WHERE id = (SELECT eid FROM entry)),
+            'id': (SELECT eid FROM entry)}}] AS res,
+         [(SELECT eid FROM entry)] AS visited
+  UNION ALL
+  SELECT it + 1,
+         list_sort(rest || list_filter(scored, e -> list_contains(new_res, e))) AS cand,
+         new_res AS res,
+         visited || fresh AS visited
+  FROM (
+    SELECT x2.*, list_sort(res || scored)[1:{ef}] AS new_res
+    FROM (
+      SELECT x1.*,
+             list_transform(fresh, n -> {{'ns': -map_extract(sm, n)[1], 'id': n}}) AS scored
+      FROM (
+        SELECT x0.*,
+               list_filter(coalesce(map_extract(am, best.id)[1], []),
+                           n -> NOT list_contains(visited, n)) AS fresh
+        FROM (
+          SELECT w.it, w.cand[1] AS best, w.cand[2:] AS rest, w.res, w.visited,
+                 sm.m AS sm, am.m AS am
+          FROM walk_{ef} w, smap sm, adjmap am
+          WHERE len(w.cand) > 0
+            AND NOT (len(w.res) >= {ef} AND w.cand[1].ns > w.res[-1].ns)
+        ) x0
+      ) x1
+    ) x2
+  ) x3
+),
+final_{ef} AS (SELECT res, visited FROM walk_{ef} ORDER BY it DESC LIMIT 1),
+rung_{ef} AS (
+  SELECT {ef}::BIGINT AS ef, len(visited)::BIGINT AS n_visited,
+         ROUND(len(list_intersect(list_transform(res[1:{K}], e -> e.id),
+                                  ex.l)) / {K}.0, 6) AS recall
+  FROM final_{ef}, exact_ids ex)"""
+
+    walks = ",\n".join(walk(ef) for ef in _HNSW_SWEEP_RUNGS)
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM rung_{ef}" for ef in _HNSW_SWEEP_RUNGS
+    )
+    return f"""WITH RECURSIVE
+emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT id, list_dot_product(e, {qlit}) AS sc FROM emb),
+smap AS (SELECT map(list(id ORDER BY id), list(sc ORDER BY id)) AS m FROM s),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst, list_dot_product(a.e, b.e) AS w
+  FROM emb a JOIN emb b ON a.id <> b.id),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+  FROM pairs),
+adj AS (SELECT src, list(dst ORDER BY rk) AS ns FROM ranked
+        WHERE rk <= {M} GROUP BY src),
+adjmap AS (SELECT map(list(src ORDER BY src), list(ns ORDER BY src)) AS m FROM adj),
+entry AS (SELECT min(id) AS eid FROM emb),
+exact_ids AS (SELECT list(id ORDER BY sc DESC, id ASC) AS l
+              FROM (SELECT id, sc FROM s ORDER BY sc DESC, id ASC LIMIT {K})),
+{walks}
+SELECT * FROM ({unions}) ORDER BY ef"""
+
+
+@register("metrics_hnsw_recall_sweep", _hnsw_sweep_oracle())
+def metrics_hnsw_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE HNSW beam, oracle-checked (r10 verdict task 2:
+    ``ann_hnsw_topk`` pins the degenerate-exact form; this entry runs
+    the ACTUAL graph walk — reference src/dataio/loaders.py:123-139's
+    ``ef_search`` knob — at rungs far below the node count and
+    value-hash checks the whole recall/work curve). Per ef rung the
+    REAL ``_search_layer`` beam (batch neighbor admission — a pure
+    function of (graph, query, ef), see its docstring) runs executor-
+    side over a single-layer NSW graph whose adjacency is the exact
+    top-M KNN digraph (ties id ASC): that graph is a closed form of the
+    vectors, so the DuckDB oracle independently re-derives the
+    adjacency AND replays the beam iteration-by-iteration as a
+    recursive CTE — walk, visited-set size (the work axis), exact
+    top-K, and the recall arithmetic are all verified, not trusted.
+    The insert-order HNSW construction stays pytest-pinned
+    (tests/test_hnsw.py); the walk code verified here is byte-identical
+    to the one that searches those graphs. O(n²) adjacency build —
+    bounded-sample calibration semantics, like every metrics_* sweep."""
+    from hybrid_vector_search_spark.operators.hnsw import (
+        HNSWGraph,
+        knn_adjacency,
+    )
+
+    q = [float(x) for x in query_vector(_HNSW_QSEED)]
+    rungs, k, m = _HNSW_SWEEP_RUNGS, _HNSW_SWEEP_K, _HNSW_SWEEP_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_parts, vec_parts = [], []
+        for p in batches:
+            if len(p):
+                ids_parts.append(p["id"].to_numpy(dtype=np.int64))
+                vec_parts.append(np.vstack(p["embedding"].to_numpy()))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(vec_parts).astype(np.float64)
+        order = np.argsort(ids)  # canonical node order = id ASC
+        ids, mat = ids[order], mat[order]
+        adj = {i: ns for i, ns in enumerate(knn_adjacency(mat, M=m))}
+        g = HNSWGraph.from_parts(
+            ids, mat, [adj], entry=0, entry_level=0, M=m
+        )
+        qv = np.asarray(q, dtype=np.float64)
+        scores = mat @ qv
+        exact = set(ids[np.lexsort((ids, -scores))[:k]].tolist())
+        rows = []
+        for ef in rungs:
+            got_ids, _sc = g.search(qv, k, ef_search=ef)
+            rows.append(
+                (
+                    ef,
+                    int(g._last_visited),
+                    round(len(set(got_ids.tolist()) & exact) / float(k), 6),
+                )
+            )
+        yield pd.DataFrame(rows, columns=["ef", "n_visited", "recall"])
+
+    return (
+        emb.coalesce(1)
+        .mapInPandas(part, "ef LONG, n_visited LONG, recall DOUBLE")
+        .orderBy("ef")
+    )
+
+
 # ------------------------------------- P4 / A1 / A2 driver-checked evidence
 
 

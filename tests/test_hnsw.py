@@ -219,3 +219,21 @@ def test_hnsw_costed_ladder_ab(spark, unit_vecs):
     assert st_cb["ladder_entry"] == 200  # clamped to the first rung
     assert st_fb["rungs_run"] == st_cb["rungs_run"]
     assert ids_fb == ids_cb and st_fb["scores"] == st_cb["scores"]
+
+
+def test_recall_sweep_monotone_work_axis(spark):
+    """The oracle-checked beam sweep: visited-set size grows with ef
+    (more beam = more expansions) and recall stays in [0,1], ending at
+    a high-ef rung at least as good as the lowest."""
+    from hybrid_vector_search_spark.plans import registry as R
+
+    rows = R.QUERIES["metrics_hnsw_recall_sweep"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["ef"] for r in rows] == [10, 16, 32, 64, 128]
+    vis = [r["n_visited"] for r in rows]
+    assert vis == sorted(vis)
+    recs = [r["recall"] for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recs)
+    assert recs[-1] >= recs[0]
+    assert len(set(recs)) > 1  # genuinely approximate: the curve moves
