@@ -7509,37 +7509,30 @@ def corpus_snapshot_cdc_apply(
 ) -> DataFrame:
     """THE FEED IS SUFFICIENT — the downstream half of the CDC story:
     a REPLICA pinned at v1 consumes the changelog for (v1, v4] (same
-    scripted history as corpus_snapshot_changelog) by anti-joining the
-    feed's deletes and unioning its inserts — never re-reading the
-    source table — and the result must equal the v4 snapshot read
-    row-for-row. The proof is double-sided: the emitted rows hash
-    against the oracle's expected final state, and the
-    ``diff_vs_snapshot`` column carries the MEASURED symmetric
-    difference vs the actual v4 read (two exceptAll counts — bounded
-    single-row aggregates), which the oracle pins at 0. This is the
-    consumer contract a downstream index/replica/feature store relies
-    on at 100 TB: catch-up cost is O(changed rows), not O(table), and
+    scripted history as corpus_snapshot_changelog) with the GENERAL
+    version-by-version fold (sources/manifest.py apply_changelog: per
+    version ascending, broadcast anti-join that version's deletes,
+    union its inserts) — never re-reading the source table — and the
+    result must equal the v4 snapshot read row-for-row. The fold is
+    correct for arbitrary histories (insert-then-delete of the same key
+    inside the range, re-inserts, upsert steps — pytest-pinned in
+    tests/test_manifest.py), not just this script's disjoint key sets;
+    r10's collapsed one-anti-join form rode a documented no-reinsert
+    assumption this entry no longer needs. The proof is double-sided:
+    the emitted rows hash against the oracle's expected final state,
+    and the ``diff_vs_snapshot`` column carries the MEASURED symmetric
+    difference vs the actual v4 read (two exceptAll counts — an
+    O(table) PROOF pass only, the consume path itself is O(changed
+    rows)), which the oracle pins at 0. This is the consumer contract a
+    downstream index/replica/feature store relies on at 100 TB, and
     because versions are immutable the same feed replays to the same
     replica after a crash. Beyond-reference (SURVEY.md §2.9)."""
     from hybrid_vector_search_spark.sources import manifest as M
 
     root = _changelog_root(spark, sf_dir)
     feed = M.snapshot_changelog(spark, root, 1, 4)
-    # a general consumer applies the feed version-by-version; here the
-    # collapse to one anti-join + one union is valid because no key is
-    # both inserted and deleted inside the range (inserts are shifted
-    # ids ≥ n, deletes originals < n) — and diff_vs_snapshot would
-    # read non-zero if that assumption ever broke
-    replica = (
-        M.read_snapshot(spark, root, 1)
-        .join(
-            feed.filter(F.col("change") == "delete").select("id"),
-            "id",
-            "left_anti",
-        )
-        .unionByName(
-            feed.filter(F.col("change") == "insert").select("id", "label")
-        )
+    replica = M.apply_changelog(
+        M.read_snapshot(spark, root, 1), feed, "id"
     )
     v4 = M.read_snapshot(spark, root, 4)
     diff = int(replica.exceptAll(v4).count()) + int(

@@ -1517,6 +1517,39 @@ def snapshot_changelog(
     return out
 
 
+def apply_changelog(
+    replica: DataFrame, feed: DataFrame, key_col: str
+) -> DataFrame:
+    """Fold a CDC feed (:func:`snapshot_changelog` output) into a pinned
+    replica VERSION BY VERSION: for each feed version ascending,
+    subtract that version's deletes (broadcast anti-join on the key),
+    then union its inserts. The per-version order is what makes the
+    fold correct for ANY history — a key inserted then deleted inside
+    the range ends absent (a single collapsed anti-join + union would
+    resurrect it: the union re-adds the insert after the global
+    anti-join), a key deleted then re-inserted ends present, and an
+    upsert step (delete + insert at one version) applies its delete to
+    the pre-step state. Catch-up cost is O(changed rows) per version;
+    the distinct-version list is bounded by the manifest history (one
+    driver-collected column). Long histories compose with compaction:
+    consumers resync from a snapshot instead of folding thousands of
+    versions."""
+    from pyspark.sql import functions as F
+
+    versions = sorted(
+        r["version"] for r in feed.select("version").distinct().collect()
+    )
+    cols = list(replica.columns)
+    for v in versions:
+        step = feed.filter(F.col("version") == v)
+        dels = step.filter(F.col("change") == "delete").select(key_col)
+        ins = step.filter(F.col("change") == "insert").select(*cols)
+        replica = replica.join(
+            F.broadcast(dels), key_col, "left_anti"
+        ).unionByName(ins)
+    return replica
+
+
 def vacuum(
     root: str, keep_last: int = 1, orphan_grace_sec: float = 86400.0
 ) -> dict:

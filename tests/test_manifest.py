@@ -1045,3 +1045,50 @@ def test_zorder_clamps_out_of_bounds_and_guards_width(spark):
 
     with pytest.raises(ValidationError, match="62"):
         M.zorder_column([("x", 0, 9)] * 4, bits=16)
+
+
+def test_apply_changelog_folds_version_by_version(spark, tmp_path):
+    """The general CDC fold handles the history the collapsed
+    one-anti-join consumer gets wrong: a key INSERTED then DELETED
+    inside the range must end absent (collapse resurrects it via the
+    trailing union), a key deleted then re-inserted must end present,
+    and an upsert step applies its delete to the pre-step state."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 6))            # v1: 0..5
+    M.commit_append(root, _df(spark, 50, 52))          # v2: +50,51
+    M.commit_delete_where(                              # v3: -50, -3
+        root, spark.createDataFrame([(50,), (3,)], "id long"), "id"
+    )
+    M.commit_append(root, _df(spark, 3, 4))            # v4: re-insert 3
+    M.commit_upsert_rows(                               # v5: update 1
+        root,
+        spark.createDataFrame([(1, 99)], "id long, label int"),
+        "id",
+    )
+
+    feed = M.snapshot_changelog(spark, root, 1, 5)
+    replica = M.apply_changelog(
+        M.read_snapshot(spark, root, 1), feed, "id"
+    )
+    final = M.read_snapshot(spark, root, 5)
+    assert replica.exceptAll(final).count() == 0
+    assert final.exceptAll(replica).count() == 0
+    got = {r["id"]: r["label"] for r in replica.collect()}
+    assert 50 not in got          # insert-then-delete: absent
+    assert got[3] == 0            # delete-then-reinsert: present
+    assert got[1] == 99           # upsert step applied in order
+
+    # and the collapsed form IS wrong on this history — the regression
+    # the fold exists to close
+    collapsed = (
+        M.read_snapshot(spark, root, 1)
+        .join(
+            feed.filter(feed.change == "delete").select("id"),
+            "id",
+            "left_anti",
+        )
+        .unionByName(
+            feed.filter(feed.change == "insert").select("id", "label")
+        )
+    )
+    assert collapsed.filter(collapsed.id == 50).count() > 0
