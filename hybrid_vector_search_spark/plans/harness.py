@@ -86,12 +86,22 @@ def run_queries(
     oracle_factory: Callable[..., SearchBackend] | None = None,
     backend_kwargs: dict[str, Any] | None = None,
     qvec_factory: Callable[[int, int], np.ndarray] | None = None,
+    concurrency: int = 1,
 ) -> list[dict[str, Any]]:
     """Run the query table through one strategy; emit §2.10 stats rows.
 
     The oracle is the exact strategy over the same filtered universe, so
     ``recall_at_k ≡ 1.0`` when ``backend_name == "exact"`` by construction.
-    """
+
+    ``backend_name="auto"`` is the COSTED PLANNER default (r10 verdict
+    task 6): one ingest-style column-statistics pass (exact-ndv, so an
+    ANSI oracle can replay it), then per query
+    ``choose_backend_costed`` picks pre_filter vs post_filter from the
+    System-R estimate — the reference's manual ``--backend`` flag made
+    a per-query planner decision. The chosen strategy executes, the
+    row's ``method`` is the choice, and ``notes`` carries
+    ``auto:<choice> est=<estimate>`` (machine-parseable; the
+    harness_auto_costed_batch oracle re-derives both)."""
     if n is None:
         n = corpus.count()
     # V5: query dim must equal corpus dim (reference: run.py:140) — the
@@ -99,7 +109,32 @@ def run_queries(
     import pyspark.sql.functions as F
 
     dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
-    backend = backend_factory(backend_name, corpus, n, **(backend_kwargs or {}))
+    auto = backend_name == "auto"
+    if auto:
+        from hybrid_vector_search_spark.functions.colstats import (
+            collect_column_stats,
+        )
+        from hybrid_vector_search_spark.operators.ivf import (
+            DEFAULT_NPROBE,
+            default_nlist,
+        )
+        from hybrid_vector_search_spark.operators.strategies import (
+            choose_backend_costed,
+        )
+
+        geo = {"lat_between": "latitude", "lon_between": "longitude"}
+        stat_cols = sorted(
+            {geo.get(c, c) for cq in queries for c in (cq.filters or {})}
+        )
+        stats = collect_column_stats(corpus, stat_cols, exact_ndv=True)
+        auto_nlist = default_nlist(n)
+        auto_nprobe = min(DEFAULT_NPROBE, auto_nlist)
+        made: dict[str, SearchBackend] = {}
+        backend = None
+    else:
+        backend = backend_factory(
+            backend_name, corpus, n, **(backend_kwargs or {})
+        )
     oracle = (
         oracle_factory(corpus, n)
         if oracle_factory is not None
@@ -107,7 +142,6 @@ def run_queries(
     )
     run_id = make_run_id(version, backend_name)
 
-    rows: list[dict[str, Any]] = []
     todo = list(queries)[: max_queries or len(queries)]
 
     # Validate everything up front: a malformed spec aborts the whole run
@@ -125,35 +159,73 @@ def run_queries(
             (cq, filters, (qvec_factory or query_vector)(cq.seed, dim))
         )
 
+    # Resolve each query's backend UP FRONT (auto: the costed decision
+    # is pure driver arithmetic over the shared stats pass; instantiating
+    # the ≤2 chosen strategies once keeps index builds out of the loop).
+    plan: list[tuple[CanonicalQuery, dict, np.ndarray, Any, str | None]] = []
     for cq, filters, qvec in parsed:
+        auto_note = None
+        b = backend
+        if auto:
+            choice, est = choose_backend_costed(
+                stats, filters, auto_nprobe, auto_nlist
+            )
+            if choice not in made:
+                made[choice] = backend_factory(
+                    choice, corpus, n, **(backend_kwargs or {})
+                )
+            b = made[choice]
+            auto_note = f"auto:{choice} est={est}"
+        plan.append((cq, filters, qvec, b, auto_note))
+
+    def one(item) -> dict[str, Any]:
+        cq, filters, qvec, b, auto_note = item
         kk = cq.k if k is None else k
         pred = compile_filters(corpus.schema, filters)
         allowed_count = corpus.filter(pred).count()
 
         t0 = time.perf_counter()
-        ids, stats = backend.search(qvec, filters, kk)
+        ids, stats_q = b.search(qvec, filters, kk)
         latency_ms = (time.perf_counter() - t0) * 1000.0
 
         oracle_ids, _ = oracle.search(qvec, filters, kk)
         row = {
             "qid": cq.qid,
-            "method": backend.name,
+            "method": b.name,
             "K": kk,
             "latency_ms": latency_ms,
             "recall_at_k": recall_at_k(ids, oracle_ids, kk),
             "filter_selectivity": selectivity(allowed_count, n),
-            "scored_vectors": stats.get("scored_vectors"),
-            "lists_probed": stats.get("lists_probed"),
-            "nprobe": stats.get("nprobe"),
-            "kth_at_stop": stats.get("kth_at_stop"),
-            "bound_at_stop": stats.get("bound_at_stop"),
-            "notes": stats.get("notes"),
+            "scored_vectors": stats_q.get("scored_vectors"),
+            "lists_probed": stats_q.get("lists_probed"),
+            "nprobe": stats_q.get("nprobe"),
+            "kth_at_stop": stats_q.get("kth_at_stop"),
+            "bound_at_stop": stats_q.get("bound_at_stop"),
+            "notes": (
+                f"{auto_note};{stats_q['notes']}"
+                if auto_note and stats_q.get("notes")
+                else auto_note or stats_q.get("notes")
+            ),
             "timestamp_utc": datetime.now(timezone.utc).isoformat(),
             "run_id": run_id,
         }
         assert tuple(row.keys()) == STATS_FIELDS
-        rows.append(row)
-        if out_path:
+        return row
+
+    if concurrency > 1:
+        # per-query plans are independent bounded job chains; a wall-
+        # clock consumer (the registry batch entry) runs them pooled.
+        # latency_ms still brackets each search individually, but under
+        # contention it includes scheduler queueing — benchmark runs
+        # that REPORT latency keep the serial default.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(int(concurrency)) as ex:
+            rows = list(ex.map(one, plan))
+    else:
+        rows = [one(item) for item in plan]
+    if out_path:
+        for row in rows:
             append_jsonl(row, out_path)
     return rows
 
@@ -169,7 +241,7 @@ def main(argv: Sequence[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="hybrid-search evaluation harness")
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     p.add_argument("--backend", default="exact",
-                   choices=["exact", "pre_filter", "post_filter",
+                   choices=["auto", "exact", "pre_filter", "post_filter",
                             "post_filter_lsh", "random"])
     p.add_argument("--K", type=int, default=10)
     p.add_argument("--max_queries", type=int, default=10)

@@ -112,3 +112,44 @@ def test_load_results_skips_bad_lines(spark, tmp_path):
     rows = df.orderBy("qid").collect()
     assert [r["qid"] for r in rows] == [1, 2]
     assert "_corrupt" not in df.columns
+
+
+def test_auto_backend_routes_per_query(spark):
+    """backend="auto": the harness picks pre_filter for strict filters
+    and post_filter for broad ones from the shared stats pass, executes
+    the chosen strategy (method field), and emits the decision + the
+    estimate in notes."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+    from hybrid_vector_search_spark.operators.ivf import (
+        DEFAULT_NPROBE,
+        default_nlist,
+    )
+    from hybrid_vector_search_spark.operators.strategies import (
+        choose_backend_costed,
+    )
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+    from hybrid_vector_search_spark.plans.harness import run_queries
+    from hybrid_vector_search_spark.sources.loaders import load_corpus
+
+    corpus = load_corpus(spark, "/root/testdata/sf0.001")
+    rows = run_queries(corpus, "auto", concurrency=4)
+    assert len(rows) == len(CANONICAL_QUERIES)
+
+    n = corpus.count()
+    stat_cols = sorted(
+        {c for cq in CANONICAL_QUERIES for c in (cq.filters or {})}
+    )
+    stats = collect_column_stats(corpus, stat_cols, exact_ndv=True)
+    nlist = default_nlist(n)
+    nprobe = min(DEFAULT_NPROBE, nlist)
+    by_qid = {r["qid"]: r for r in rows}
+    methods = set()
+    for cq in CANONICAL_QUERIES:
+        want, est = choose_backend_costed(stats, cq.filters, nprobe, nlist)
+        r = by_qid[cq.qid]
+        assert r["method"] == want, (cq.qid, r["method"], want)
+        assert r["notes"].startswith(f"auto:{want} est={est}")
+        methods.add(r["method"])
+    assert methods == {"pre_filter", "post_filter"}  # a real mixed batch
