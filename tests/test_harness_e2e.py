@@ -6,7 +6,10 @@ import json
 
 import pytest
 
-from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+from hybrid_vector_search_spark.plans.canonical import (
+    CANONICAL_QUERIES,
+    CanonicalQuery,
+)
 from hybrid_vector_search_spark.plans.harness import (
     STATS_FIELDS,
     run_queries,
@@ -22,7 +25,12 @@ QUERIES3 = (
     CANONICAL_QUERIES[4],
     CANONICAL_QUERIES[6],
 )
-EMPTY_UNIVERSE_QUERY = CANONICAL_QUERIES[5]  # qid 6
+# r11: qid 6 used to be the accidental empty-universe case ("lorem" is
+# absent from the testdata vocabulary); it is a real medium-selectivity
+# query now, so the quirk-Q6 contract gets a purpose-built empty filter
+EMPTY_UNIVERSE_QUERY = CanonicalQuery(
+    96, 106, {"lang": {"eq": "xx"}}, 10, "strict"
+)
 
 
 @pytest.fixture(scope="module")
