@@ -162,10728 +162,24 @@ CORPUS_CTE = (
     "FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id)"
 )
 
-# ---------------------------------------------------------------- hybrid search
 
-# Canonical query-vector/filters pairs (selectivity-stratified like the
-# reference's 10 canonical queries, artifacts/artifacts.py:197-208, but
-# over the driver's synthetic corpus — FIXTURES.md §4).
-HYBRID_CASES: dict[str, dict] = {
-    "hybrid_topk_exact": {
-        "seed": 7,
-        "filters": {"label": {"in": [1, 2, 3]}, "lang": {"eq": "en"}},
-        "k": 10,
-    },
-    "hybrid_topk_unfiltered": {"seed": 11, "filters": {}, "k": 10},
-    "hybrid_topk_strict": {
-        "seed": 13,
-        "filters": {
-            "label": {"eq": 4},
-            "n_chars": {"between": [0, 400]},
-            "lang": {"in": ["en", "de"]},
-        },
-        "k": 10,
-    },
-    "hybrid_topk_like": {
-        "seed": 17,
-        "filters": {"text": {"like": "the"}, "n_chars": {"ge": 100}},
-        "k": 10,
-    },
-    # F2 (ne NULL-fail) and F3's gt through the driver gate — both were
-    # pytest-only before r4. ne on a LEFT-JOIN-nullable column (text/lang
-    # are NULL for embeddings without a document row) exercises the
-    # NULL-fail branch: a NULL lang must NOT satisfy lang != 'en'.
-    "hybrid_topk_ne": {
-        "seed": 19,
-        "filters": {"lang": {"ne": "en"}, "n_chars": {"gt": 50}},
-        "k": 10,
-    },
-}
-
-
-def _hybrid_spark(case: dict) -> Callable[[SparkSession, str], DataFrame]:
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from hybrid_vector_search_spark.functions.vector import (
-            dot_score_column,
-        )
-
-        corpus = load_corpus(spark, sf_dir)
-        qvec = query_vector(case["seed"])
-        pred = compile_filters(corpus.schema, case["filters"])
-        # single-query scoring: JVM codegen dot product — the pandas-UDF
-        # kernel's Arrow transfer of the embedding column dominates at
-        # one query per scanned row (dot_score_column regime rule)
-        scored = corpus.filter(pred).select(
-            "id", dot_score_column(qvec).alias("score")
-        )
-        return topk(scored, case["k"]).select(
-            "id", F.round("score", 6).alias("score")
-        )
-
-    return q
-
-
-def _hybrid_oracle(case: dict) -> str:
-    # Build the WHERE fragment from the same filter dict via the engine's
-    # own SQL renderer — one semantics, two engines.
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    where = filters_to_sql(schema, case["filters"])
-    qlit = sql_array_literal(query_vector(case["seed"]))
-    return f"""{CORPUS_CTE}
-SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
-FROM corpus
-WHERE {where}
-ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
-LIMIT {case['k']}"""
-
-
-for _name, _case in HYBRID_CASES.items():
-    register(_name, _hybrid_oracle(_case))(_hybrid_spark(_case))
-
-
-@register(
-    "vector_topk_per_label",
-    f"""SELECT label, id, score FROM (
-  SELECT label, vec_id AS id,
-         ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(23))}), 6) AS score,
-         ROW_NUMBER() OVER (
-           PARTITION BY label
-           ORDER BY list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(23))}) DESC, vec_id ASC
-         ) AS rn
-  FROM embeddings) t
-WHERE rn <= 3""",
-)
-def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-at-a-time grouped top-K: best 3 matches within every label group
-    in one windowed job (SURVEY.md §2.7 — our idiomatic batch form)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-    qvec = query_vector(23)
-    scored = emb.select(
-        "label", "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
-    )
-    return grouped_topk(scored, ["label"], 3).select(
-        "label", "id", F.round("score", 6).alias("score")
-    )
-
-
-@register(
-    "corpus_column_stats",
-    """SELECT c AS col, n, nulls, ndv, min_v, max_v FROM (
-  SELECT 'label' AS c, COUNT(*) AS n, COUNT(*) - COUNT(label) AS nulls,
-         COUNT(DISTINCT label) AS ndv,
-         CAST(MIN(label) AS DOUBLE) AS min_v,
-         CAST(MAX(label) AS DOUBLE) AS max_v
-  FROM corpus
-  UNION ALL
-  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
-         COUNT(DISTINCT lang), NULL, NULL FROM corpus
-  UNION ALL
-  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
-         COUNT(DISTINCT source), NULL, NULL FROM corpus
-  UNION ALL
-  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
-         COUNT(DISTINCT n_chars),
-         CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)
-  FROM corpus) t
-ORDER BY col""".replace("FROM corpus", "FROM (SELECT e.vec_id AS id, e.label, d.lang, d.source, d.n_chars FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id)"),
-    side_effects=True,  # the aggregation collect runs driver-side in the builder
-)
-def corpus_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANALYZE surface as a user query: per-column (count, nulls,
-    exact ndv, numeric min/max) for the corpus's filterable columns in
-    ONE aggregation pass (functions/colstats.py collect_column_stats —
-    the same artifact that feeds the costed ladder's stats-fed entry,
-    post_filter_costed_stats). One scan, partial aggs, a 4-row result:
-    the profile every CBO substitutes for a count at 100 TB."""
-    from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
-    )
-
-    corpus = load_corpus(spark, sf_dir)
-    cols = ["label", "lang", "source", "n_chars"]
-    stats = collect_column_stats(corpus, cols, exact_ndv=True)
-    rows = [
-        (
-            c,
-            int(stats[c]["count"]),
-            int(stats[c]["nulls"]),
-            int(stats[c]["ndv"]),
-            float(stats[c]["min"]) if stats[c]["min"] is not None else None,
-            float(stats[c]["max"]) if stats[c]["max"] is not None else None,
-        )
-        for c in sorted(cols)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "col STRING, n LONG, nulls LONG, ndv LONG, "
-        "min_v DOUBLE, max_v DOUBLE",
-    )
-
-
-RANGE_QSEED = 53
-RANGE_TAU = 0.3
-
-
-@register(
-    "vector_range_search",
-    f"""SELECT vec_id AS id,
-  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(RANGE_QSEED))}), 6) AS score
-FROM embeddings
-WHERE list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(RANGE_QSEED))}) >= {RANGE_TAU}
-ORDER BY score DESC, id ASC""",
-)
-def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE search: every vector whose inner product with the query
-    clears a threshold — the other half of the vector-search API (FAISS
-    ``range_search``; the reference exposes only top-K). The K-free
-    shape matters operationally: duplicate sweeps and recall audits ask
-    "everything above τ", not "the best 10". As a plan this is BETTER
-    than top-K at scale — a pure scan + JVM predicate with no heap, no
-    driver merge, no shuffle: every partition emits its qualifying rows
-    independently, so it parallelizes perfectly and composes with
-    partition pruning (run it over probed lists for the ANN variant).
-    Result size is data-dependent by design; the oracle replays the
-    same threshold over the same scan."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    scored = emb.select(
-        "id", dot_score_column(query_vector(RANGE_QSEED)).alias("score")
-    ).filter(F.col("score") >= RANGE_TAU)
-    return scored.select(
-        "id", F.round("score", 6).alias("score")
-    ).orderBy(F.col("score").desc(), F.col("id").asc())
-
-
-# ---------------------------------------- set-at-a-time canonical batch run
-
-
-def _canonical_batch_oracle() -> str:
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    parts = []
-    for cq in CANONICAL_QUERIES:
-        where = filters_to_sql(schema, cq.filters)
-        qlit = sql_array_literal(query_vector(cq.seed))
-        dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
-        parts.append(
-            f"(SELECT {cq.qid} AS qid, id, ROUND({dot}, 6) AS score\n"
-            f" FROM corpus WHERE {where}\n"
-            f" ORDER BY {dot} DESC, id ASC LIMIT {cq.k})"
-        )
-    return CORPUS_CTE + "\n" + "\nUNION ALL\n".join(parts)
-
-
-@register("hybrid_batch_canonical", _canonical_batch_oracle())
-def hybrid_batch_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL 10 canonical hybrid queries in ONE job — the set-at-a-time plan
-    the reference's per-query loop cannot express (SURVEY.md §7):
-
-    1. one corpus scan evaluates every query's predicate per row and fans
-       the row out to the qids it matches (explode of the non-null whens —
-       output is Σ selectivity·N rows, filters applied BEFORE fanout);
-    2. one Arrow pass scores each (row, qid) against that qid's vector;
-    3. one window shuffle on qid computes every query's top-K.
-
-    Per-query latency becomes throughput: query count no longer multiplies
-    scan cost."""
-    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
-    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
-
-    corpus = load_corpus(spark, sf_dir)
-    qvecs = {cq.qid: query_vector(cq.seed) for cq in CANONICAL_QUERIES}
-    match = F.array(
-        *[
-            F.when(
-                compile_filters(corpus.schema, cq.filters), F.lit(cq.qid)
-            ).otherwise(F.lit(None).cast("int"))
-            for cq in CANONICAL_QUERIES
-        ]
-    )
-    fanned = corpus.select(
-        "id",
-        "embedding",
-        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
-    )
-    scored = per_qid_dot_scores(fanned, qvecs)
-    return (
-        grouped_topk(scored, ["qid"], 10)
-        .select("qid", "id", F.round("score", 6).alias("score"))
-        .orderBy("qid", F.col("score").desc(), "id")
-    )
-
-
-# ----------------------------------- canonical batch at the PARITY shape
-
-_PARITY_COPIES = 76
-_PARITY_TILE = 6
-_PARITY_ID_SHIFT = 10_000_000
-_PARITY_CACHE: dict[str, tuple] = {}
-
-
-def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference-shape corpus derived from the testdata (the
-    tools/parity_probe.py derivation, session-cached as scratch parquet):
-    embeddings copy-shifted ×76 (id + c·10⁷) and dimension-tiled ×6 with
-    a 1/√6 rescale so vectors stay unit-norm, documents metadata tiled
-    with the same shift. At sf0.1 this is 152,000×384 — the shape
-    BASELINE.md's numbers were measured on (reference N=150,346×384).
-    Tiled components stay DOUBLE (no float32 re-quantization), so the
-    tiled inner product equals the base inner product up to summation
-    order and the DuckDB oracle can score the base vectors directly.
-    Materialized once per (session, sf_dir); queries over it time the
-    query, not the corpus build — the reference's own measurement rule
-    (corpus resident before timing)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    key = sf_dir
-    cached = _PARITY_CACHE.get(key)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    base = load_corpus(spark, sf_dir)
-    scale = 1.0 / (_PARITY_TILE ** 0.5)
-    copies = F.broadcast(
-        spark.range(_PARITY_COPIES).select(F.col("id").alias("__c"))
-    )
-    tiled = (
-        base.crossJoin(copies)
-        .select(
-            (F.col("id") + F.col("__c") * _PARITY_ID_SHIFT).alias("id"),
-            F.flatten(
-                F.array_repeat(
-                    F.transform(
-                        "embedding",
-                        lambda x: x.cast("double") * F.lit(scale),
-                    ),
-                    _PARITY_TILE,
-                )
-            ).alias("embedding"),
-            "label",
-            "text",
-            "lang",
-            "source",
-            "n_chars",
-        )
-    )
-    path = scratch_path(
-        "parity_corpus_" + sf_dir.strip("/").replace("/", "_")
-    )
-    tiled.repartition(32).write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
-    _PARITY_CACHE[key] = (spark, out)
-    return out
-
-
-def _parity_qvec(seed: int) -> list[float]:
-    scale = 1.0 / (_PARITY_TILE ** 0.5)
-    return [x * scale for x in list(query_vector(seed)) * _PARITY_TILE]
-
-
-def _parity_batch_oracle() -> str:
-    """Same per-qid SQL as _canonical_batch_oracle over the REPLICATED
-    corpus CTE. The oracle scores the BASE 64-d vectors: the ×6 tile with
-    1/√6 rescale preserves the inner product exactly (Σ over 6 copies of
-    (1/6)·e·q), so scores are copy-invariant and ties across the 76
-    copies resolve by id ASC identically in both engines."""
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("label", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    cte = f"""WITH copies AS (SELECT c FROM range({_PARITY_COPIES}) t(c)),
-corpus AS (
-  SELECT e.vec_id + {_PARITY_ID_SHIFT} * c AS id, e.embedding, e.label,
-         d.text, d.lang, d.source, d.n_chars
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
-  CROSS JOIN copies)"""
-    parts = []
-    for cq in CANONICAL_QUERIES:
-        where = filters_to_sql(schema, cq.filters)
-        qlit = sql_array_literal(query_vector(cq.seed))
-        dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
-        parts.append(
-            f"(SELECT {cq.qid} AS qid, id, ROUND({dot}, 6) AS score\n"
-            f" FROM corpus WHERE {where}\n"
-            f" ORDER BY {dot} DESC, id ASC LIMIT {cq.k})"
-        )
-    return cte + "\n" + "\nUNION ALL\n".join(parts)
-
-
-@register("hybrid_batch_parity", _parity_batch_oracle())
-def hybrid_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 10-query canonical batch AT THE REFERENCE'S CORPUS SHAPE
-    (r6 VERDICT task #5): the same one-scan fanout plan as
-    hybrid_batch_canonical, over the ×76/×384 parity corpus
-    (_parity_corpus — the BASELINE_PARITY.md derivation as a registered,
-    hash-checked query). This makes the probe's headline
-    batch-throughput claim (~11× the reference's per-query pre_filter
-    rate at N≈150k×384) driver-reproducible: the BENCH line times this
-    exact plan, the DuckDB oracle re-derives the replicated corpus and
-    all 10 top-Ks. Scale shape: filters prune BEFORE the fanout, one
-    Arrow scoring pass, one qid-window shuffle — query count multiplies
-    output rows, never corpus scans."""
-    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
-    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
-
-    corpus = _parity_corpus(spark, sf_dir)
-    qvecs = {cq.qid: _parity_qvec(cq.seed) for cq in CANONICAL_QUERIES}
-    match = F.array(
-        *[
-            F.when(
-                compile_filters(corpus.schema, cq.filters), F.lit(cq.qid)
-            ).otherwise(F.lit(None).cast("int"))
-            for cq in CANONICAL_QUERIES
-        ]
-    )
-    fanned = corpus.select(
-        "id",
-        "embedding",
-        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
-    )
-    scored = per_qid_dot_scores(fanned, qvecs)
-    return (
-        grouped_topk(scored, ["qid"], 10)
-        .select("qid", "id", F.round("score", 6).alias("score"))
-        .orderBy("qid", F.col("score").desc(), "id")
-    )
-
-
-# ------------------------------------------------- batch similarity search
-
-# Set-at-a-time multi-query KNN: ALL queries answered in ONE job — broadcast
-# the tiny query table across the corpus, score JVM-side, window top-K per
-# qid (SURVEY.md §7 "run the whole query table in one job"). At scale this
-# is one corpus scan regardless of query count.
-KNN_BATCH_SEEDS = (101, 103, 107)
-KNN_BATCH_K = 5
-
-
-@register("knn_batch_topk", None)  # oracle attached below (needs literals)
-def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch KNN join: ONE corpus scan scores every query per Arrow batch
-    (GEMM against the stacked query matrix), then one window shuffle on
-    qid runs all top-Ks."""
-    from hybrid_vector_search_spark.functions.vector import multi_dot_scores
-
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-    qvecs = {int(s): query_vector(s) for s in KNN_BATCH_SEEDS}
-    scored = multi_dot_scores(emb, qvecs, normalize=True)
-    return grouped_topk(scored, ["qid"], KNN_BATCH_K).select(
-        F.col("qid").cast("int").alias("qid"),
-        "id",
-        F.round("score", 6).alias("score"),
-    )
-
-
-def _knn_batch_oracle() -> str:
-    vals = ", ".join(
-        f"({s}, {sql_array_literal(query_vector(s))})" for s in KNN_BATCH_SEEDS
-    )
-    return f"""WITH q(qid, qvec) AS (VALUES {vals}),
-scored AS (
-  SELECT q.qid, e.vec_id AS id,
-    list_dot_product(e.embedding::DOUBLE[], q.qvec)
-      / GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-               * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-12) AS score
-  FROM embeddings e CROSS JOIN q
-)
-SELECT qid, id, ROUND(score, 6) AS score FROM (
-  SELECT qid, id, score,
-    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
-  FROM scored) t
-WHERE rn <= {KNN_BATCH_K}"""
-
-
-ORACLES["knn_batch_topk"] = _knn_batch_oracle()
-
-
-# Built IVF indexes, keyed by (sf_dir, quantizer, persisted). Index
-# construction is an OFFLINE step (the reference builds FAISS artifacts
-# ahead of time and loads them at query time — src/dataio/loaders.py:
-# 176-216); queries measure probe + pruned scan, not quantizer training.
-# (The KMeans build path stays exercised by tests/test_ivf.py and the
-# load_corpus_index fallback chain; the registry's ANN queries use the
-# fixed seeded quantizer below for oracle determinism.)
-_IVF_CACHE: dict[tuple, "object"] = {}
-
-
-ANN_IVF_K = 10
-ANN_IVF_NLIST = 16
-ANN_IVF_NPROBE = 4
-ANN_IVF_CENTROID_SEEDS = tuple(range(210, 210 + ANN_IVF_NLIST))
-ANN_IVF_QSEED = 29
-
-
-def _ann_ivf_centroids():
-    import numpy as np
-
-    return np.vstack([query_vector(s) for s in ANN_IVF_CENTROID_SEEDS])
-
-
-def _ann_ivf_probed(qseed: int = ANN_IVF_QSEED) -> list[int]:
-    """Probed list ids — a compile-time constant: centroids and the query
-    vector are both seed-derived, so the probe plan is known at import."""
-    import numpy as np
-
-    scores = _ann_ivf_centroids() @ query_vector(qseed)
-    order = np.argsort(-scores, kind="stable")[:ANN_IVF_NPROBE]
-    return sorted(int(i) for i in order)
-
-
-def _ann_ivf_oracle(qseed: int = ANN_IVF_QSEED) -> str:
-    qlit = sql_array_literal(query_vector(qseed))
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(qseed))
-    return f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings))
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM assigned
-WHERE list_id IN ({probed})
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {ANN_IVF_K}"""
-
-
-def _ann_ivf_fixed_index(spark: SparkSession, sf_dir: str, persist: bool = False):
-    """Session-cached fixed-quantizer IVF index (offline build stage, like
-    the reference's prebuilt FAISS artifacts — src/dataio/loaders.py:
-    176-216). ``persist=True`` builds the partitionBy("list_id") parquet
-    layout whose probe step is native partition pruning."""
-    from hybrid_vector_search_spark.operators.ivf import IVFIndex
-
-    key = (sf_dir, "fixed", persist)
-    cached = _IVF_CACHE.get(key)
-    # cache entries carry the owning session: a cached DataFrame bound to
-    # a stopped/replaced SparkSession would raise on first use, so a
-    # different session object triggers a rebuild
-    index = cached[1] if cached is not None and cached[0] is spark else None
-    if index is None:
-        emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-            "vec_id", "id"
-        )
-        path = None
-        if persist:
-            from hybrid_vector_search_spark.scratch import scratch_path
-
-            # unique per process (and tracked for exit cleanup): a shared
-            # deterministic name would be rebuilt with mode(overwrite) by
-            # every process anyway (the cache is per-process), and a
-            # concurrent process's overwrite would delete part files out
-            # from under this session's live plan. A production deployment
-            # publishes the index ONCE to a versioned shared path instead.
-            path = scratch_path(
-                "ivf_fixed_" + sf_dir.strip("/").replace("/", "_")
-            )
-        index = IVFIndex.build_fixed(
-            emb, _ann_ivf_centroids(), persist_path=path
-        )
-        _IVF_CACHE[key] = (spark, index)
-    return index
-
-
-_QUANT_CACHE: dict[str, tuple] = {}
-
-
-def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached QUANTIZED corpus — the ingest-time materialization
-    a serving layout keeps next to the raw vectors (FAISS stores codes,
-    not floats; reference src/dataio/loaders.py builds its IVF artifacts
-    offline for the same reason): per row, the int8 codes, the sign-pack
-    word, the LSH bucket, and the IVF list assignment — each a pure
-    function of the embedding, so computing them per evaluation query
-    would re-run ingest work. The cross-strategy evaluation queries
-    (metrics_recall_by_method, metrics_hamming_c_sweep) read this cache;
-    expressions are byte-for-byte the ones the registered per-strategy
-    queries use (quantize_int8_col / sign_pack_column / bucket_udf /
-    the fixed-quantizer assignment), so derived candidate sets cannot
-    drift from the strategies they evaluate."""
-    got = _QUANT_CACHE.get(sf_dir)
-    if got is not None and got[0] is spark:
-        return got[1]
-    from hybrid_vector_search_spark.functions.vector import (
-        quantize_int8_col,
-        sign_pack_column,
-    )
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    df = index.assigned.select(
-        "id",
-        "embedding",
-        "list_id",
-        quantize_int8_col("embedding").cast("array<long>").alias("i8"),
-        sign_pack_column("embedding").alias("pk"),
-        LSH.bucket_udf(planes)(F.col("embedding")).alias("bucket"),
-    ).persist()
-    df.count()  # materialize once (ingest stage)
-    _QUANT_CACHE[sf_dir] = (spark, df)
-    return df
-
-
-@register("ann_ivf_topk", _ann_ivf_oracle())
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-K (reference K4/P3: src/dataio/loaders.py:106-151):
-    coarse-quantizer list assignment, driver-side centroid probe, exact
-    scoring restricted to the probed lists.
-
-    Registered with a FIXED seeded coarse quantizer (IVFIndex.build_fixed)
-    instead of the KMeans default: the assignment is then a pure function
-    of (embedding, centroid literals), so the DuckDB oracle replays the
-    identical argmax assignment + probe + top-K in SQL and the ANN result
-    itself is value-hash checked — closing r1's no_oracle gap with a
-    stronger check than a recall property row (which the isotropic
-    synthetic testdata cannot meaningfully support: measured KMeans-IVF
-    recall at 50% lists probed is ~chance). The KMeans quantizer remains
-    the default build path, recall-property-tested in tests/test_ivf.py."""
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    plan, _probed = index.search_plan(
-        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-@register("ann_ivf_persisted_topk", _ann_ivf_oracle())
-def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same IVF probe over the PERSISTED index layout: lists written
-    as ``partitionBy("list_id")`` parquet (IVFIndex.build with
-    persist_path — reference loaders.py:142-151), probe = ``list_id IN
-    (...)`` over the partition column. At scale the probed fraction
-    (nprobe/nlist) is exactly the fraction of bytes read: Catalyst's
-    PartitionFilters prune unprobed list directories before I/O (plan
-    evidence committed in PLANS.md §partition-pruning)."""
-    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    plan, _probed = index.search_plan(
-        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-ANN_UPSERT_QSEED = 43
-_UPSERT_LAYOUT_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-def _ann_ivf_upsert_oracle() -> str:
-    """Replays the WHOLE upsert: the modified corpus (deletes by id mod
-    17, in-place updates — reversed embeddings, permutation keeps unit
-    norm — by id mod 13, inserts at id+5·10⁷ by id mod 19), then
-    assignment, probe, and top-K over it. A hash match certifies that
-    partition-local rewrites produced exactly the state a full rebuild
-    over the modified corpus would."""
-    qlit = sql_array_literal(query_vector(ANN_UPSERT_QSEED))
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_UPSERT_QSEED))
-    return f"""WITH base AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-kept AS (SELECT id, e FROM base WHERE id % 17 <> 0 AND id % 13 <> 0),
-updated AS (SELECT id, list_reverse(e) AS e FROM base
-            WHERE id % 13 = 0 AND id % 17 <> 0),
-inserts AS (SELECT id + 50000000 AS id, e FROM base WHERE id % 19 = 0),
-corpus2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
-            UNION ALL SELECT * FROM inserts),
-assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, e, [{dots}] AS d FROM corpus2))
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM assigned WHERE list_id IN ({probed})
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {ANN_IVF_K}"""
-
-
-@register(
-    "ann_ivf_upsert_topk", _ann_ivf_upsert_oracle(), side_effects=True
-)
-def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-local UPSERT/DELETE on the persisted IVF index
-    (operators/ivf.py upsert_partitioned) — the maintenance operation
-    FAISS answers with a full rebuild: a deterministic batch deletes ids
-    ≡0 (mod 17), replaces ids ≡0 (mod 13) with reversed embeddings (a
-    norm-preserving permutation that MOVES rows across lists), and
-    inserts shifted copies of ids ≡0 (mod 19); only the touched list
-    partitions are rewritten (dynamic partition overwrite), untouched
-    lists are untouched bytes. The probe then runs over the mutated
-    layout, and the oracle rebuilds the modified corpus from scratch in
-    SQL — a hash match proves partition-local maintenance ≡ full
-    rebuild. ``side_effects=True``: the builder mutates (once per
-    session) a scratch layout."""
-    from hybrid_vector_search_spark.operators.ivf import (
-        IVFIndex,
-        upsert_partitioned,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cents = _ann_ivf_centroids()
-    cached = _UPSERT_LAYOUT_CACHE.get(sf_dir)
-    path = cached[1] if cached is not None and cached[0] is spark else None
-    if path is None:
-        emb = (
-            load_table(spark, sf_dir, "embeddings")
-            .withColumnRenamed("vec_id", "id")
-            .select("id", "embedding")
-        )
-        path = scratch_path(
-            "ivf_upsert_" + sf_dir.strip("/").replace("/", "_")
-        )
-        IVFIndex.build_fixed(emb, cents, persist_path=path)
-        deletes = emb.filter(F.col("id") % 17 == 0).select("id")
-        updates = emb.filter(
-            (F.col("id") % 13 == 0) & (F.col("id") % 17 != 0)
-        ).select("id", F.reverse("embedding").alias("embedding"))
-        inserts = emb.filter(F.col("id") % 19 == 0).select(
-            (F.col("id") + 50_000_000).alias("id"), "embedding"
-        )
-        upsert_partitioned(
-            spark, path, cents, updates.unionByName(inserts), deletes
-        )
-        _UPSERT_LAYOUT_CACHE[sf_dir] = (spark, path)
-    index = IVFIndex(
-        spark.read.parquet(path), cents, partitioned_path=path
-    )
-    plan, _probed = index.search_plan(
-        query_vector(ANN_UPSERT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-ANN_SNAP_QSEED = 47
-_IVF_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-def _ann_ivf_upsert_snapshot_oracle() -> str:
-    """Both sides of the versioned upsert, replayed from scratch: the
-    version-1 probe over the BASE corpus and the version-2 probe over
-    the modified corpus (same mutation rules as ann_ivf_upsert_topk),
-    each assignment + probe + top-K in SQL."""
-    qlit = sql_array_literal(query_vector(ANN_SNAP_QSEED))
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_SNAP_QSEED))
-    return f"""WITH base AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-assigned1 AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, e, [{dots}] AS d FROM base)),
-kept AS (SELECT id, e FROM base WHERE id % 17 <> 0 AND id % 13 <> 0),
-updated AS (SELECT id, list_reverse(e) AS e FROM base
-            WHERE id % 13 = 0 AND id % 17 <> 0),
-inserts AS (SELECT id + 50000000 AS id, e FROM base WHERE id % 19 = 0),
-corpus2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
-            UNION ALL SELECT * FROM inserts),
-assigned2 AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, e, [{dots}] AS d FROM corpus2))
-SELECT * FROM (
-  (SELECT 1 AS version, id,
-          ROUND(list_dot_product(e, {qlit}), 6) AS score
-   FROM assigned1 WHERE list_id IN ({probed})
-   ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-   LIMIT {ANN_IVF_K})
-  UNION ALL
-  (SELECT 2 AS version, id,
-          ROUND(list_dot_product(e, {qlit}), 6) AS score
-   FROM assigned2 WHERE list_id IN ({probed})
-   ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-   LIMIT {ANN_IVF_K}))
-ORDER BY version, score DESC, id"""
-
-
-@register(
-    "ann_ivf_upsert_snapshot",
-    _ann_ivf_upsert_snapshot_oracle(),
-    side_effects=True,
-)
-def ann_ivf_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF upsert routed through the VERSIONED-MANIFEST layout
-    (sources/manifest.py commit_append_clustered / commit_replace_values
-    — the r9 verdict's #1 ask): the index build commits one immutable
-    file per list as snapshot v1, and the SAME deterministic mutation
-    batch as ann_ivf_upsert_topk (deletes %17, reversed-embedding
-    updates %13 that MOVE rows across lists, shifted inserts %19)
-    commits as v2 — touched lists rewritten into new files, untouched
-    lists carried as untouched BYTES. What the manifest buys over the
-    hive-partitioned upsert (operators/ivf.py): readers keep serving v1
-    with full isolation WHILE the upsert commits (no half-applied
-    dynamic-overwrite window), and v1 stays pinned afterwards — a
-    serving fleet drains to the new version at its own pace, a training
-    run keeps its reproducible corpus. The query probes BOTH versions
-    through stats-pruned snapshot reads (probe = manifest file skipping
-    on the per-file list_id min==max stats; a runtime guard asserts
-    files were actually skipped) and the oracle rebuilds each version's
-    corpus from scratch in SQL: a hash match proves pinned-v1 ≡
-    pre-upsert rebuild AND v2 ≡ post-upsert rebuild."""
-    from hybrid_vector_search_spark.operators.ivf import (
-        IVFIndex,
-        assign_list_udf,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cents = _ann_ivf_centroids()
-    cached = _IVF_SNAP_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        emb = (
-            load_table(spark, sf_dir, "embeddings")
-            .withColumnRenamed("vec_id", "id")
-            .select("id", "embedding")
-        )
-        assign = assign_list_udf(cents)
-        assigned = emb.withColumn("list_id", assign(F.col("embedding")))
-        root = scratch_path(
-            "ivf_snap_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append_clustered(root, assigned, "list_id")  # v1
-
-        removed = assigned.filter(
-            (F.col("id") % 17 == 0) | (F.col("id") % 13 == 0)
-        ).select("id", "list_id")
-        updates = (
-            emb.filter((F.col("id") % 13 == 0) & (F.col("id") % 17 != 0))
-            .select("id", F.reverse("embedding").alias("embedding"))
-            .withColumn("list_id", assign(F.col("embedding")))
-        )
-        inserts = assigned.filter(F.col("id") % 19 == 0).select(
-            (F.col("id") + 50_000_000).alias("id"),
-            "embedding",
-            "list_id",  # unchanged embedding keeps its assignment
-        )
-        incoming = updates.unionByName(inserts)
-        # touched = lists losing rows (deletes + update sources) ∪
-        # lists gaining rows — bounded by nlist, tiny driver state
-        touched = sorted(
-            {
-                int(r["list_id"])
-                for r in removed.select("list_id")
-                .distinct()
-                .unionByName(incoming.select("list_id").distinct())
-                .distinct()
-                .collect()
-            }
-        )
-        survivors = M.read_snapshot_pruned_in(
-            spark, root, "list_id", touched, version=1
-        ).join(removed.select("id"), "id", "left_anti")
-        M.commit_replace_values(
-            root,
-            survivors.unionByName(incoming),
-            "list_id",
-            touched,
-        )  # v2
-        _IVF_SNAP_CACHE[sf_dir] = (spark, root)
-
-    qvec = query_vector(ANN_SNAP_QSEED)
-    probed = _ann_ivf_probed(ANN_SNAP_QSEED)
-
-    def probe_version(version: int) -> DataFrame:
-        _v, kept, total = M.snapshot_files_pruned_in(
-            root, "list_id", probed, version=version
-        )
-        from hybrid_vector_search_spark.errors import ValidationError
-
-        if not len(kept) < total:  # pragma: no cover - guard
-            raise ValidationError(
-                f"snapshot probe of v{version} read every file "
-                f"({len(kept)}/{total}) — manifest stats pruning broke"
-            )
-        pruned = M.read_snapshot_pruned_in(
-            spark, root, "list_id", probed, version=version
-        )
-        index = IVFIndex(pruned, cents)
-        plan, _p = index.search_plan(
-            qvec, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-        )
-        return plan.select(
-            F.lit(version).alias("version"),
-            "id",
-            F.round("score", 6).alias("score"),
-        )
-
-    return (
-        probe_version(1)
-        .unionByName(probe_version(2))
-        .orderBy("version", F.col("score").desc(), "id")
-    )
-
-
-ANN_BATCH_SEEDS = tuple(range(201, 211))
-
-
-def _ann_ivf_batch_oracle() -> str:
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    parts = []
-    for i, seed in enumerate(ANN_BATCH_SEEDS):
-        qlit = sql_array_literal(query_vector(seed))
-        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
-        parts.append(
-            f"(SELECT {i + 1} AS qid, id,"
-            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
-            f" FROM assigned WHERE list_id IN ({probed})\n"
-            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
-            f" LIMIT {ANN_IVF_K})"
-        )
-    return (
-        f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings))
-"""
-        + "\nUNION ALL\n".join(parts)
-    )
-
-
-@register("ann_ivf_batch_topk", _ann_ivf_batch_oracle())
-def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH ANN through the IVF layout — the 100 TB serving shape that
-    amortizes the per-query job floor away: all queries answered in ONE
-    job over one partition-pruned scan of the UNION of their probed
-    lists. Each scanned row fans out only to the qids that probed its
-    list (explode of the non-null whens, the hybrid_batch_canonical
-    pattern), then ONE Arrow pass scores every (row, qid) pair with the
-    einsum GEMM (per_qid_dot_scores — the multi-query regime where the
-    Arrow transfer amortizes across the query set, the documented
-    complement of the single-query JVM kernel), and one qid-window
-    computes every top-K. Bytes read = |∪ probed lists| regardless of
-    query count; FAISS's loop pays its per-probe cost per query forever.
-    The oracle replays assignment, each query's probe set, and each
-    top-K."""
-    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
-
-    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    qvecs = {
-        i + 1: query_vector(seed) for i, seed in enumerate(ANN_BATCH_SEEDS)
-    }
-    probes = {
-        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
-    }
-    union = sorted({li for p in probes.values() for li in p})
-    pruned = index.assigned.filter(F.col("list_id").isin(union))
-    match = F.array(
-        *[
-            F.when(
-                F.col("list_id").isin(probes[qid]), F.lit(qid)
-            ).otherwise(F.lit(None).cast("int"))
-            for qid in sorted(qvecs)
-        ]
-    )
-    fanned = pruned.select(
-        "id",
-        "embedding",
-        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
-    )
-    scored = per_qid_dot_scores(fanned, qvecs)
-    return (
-        grouped_topk(scored, ["qid"], ANN_IVF_K)
-        .select("qid", "id", F.round("score", 6).alias("score"))
-        .orderBy("qid", F.col("score").desc(), "id")
-    )
-
-
-ANN_MICROBATCH_SEEDS = (231, 233)
-
-
-def _ann_ivf_microbatch_oracle() -> str:
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    parts = []
-    for i, seed in enumerate(ANN_MICROBATCH_SEEDS):
-        qlit = sql_array_literal(query_vector(seed))
-        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
-        parts.append(
-            f"(SELECT {i + 1} AS qid, id,"
-            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
-            f" FROM assigned WHERE list_id IN ({probed})\n"
-            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
-            f" LIMIT {ANN_IVF_K})"
-        )
-    return (
-        f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings))
-"""
-        + "\nUNION ALL\n".join(parts)
-    )
-
-
-@register("ann_ivf_microbatch_topk", _ann_ivf_microbatch_oracle())
-def ann_ivf_microbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MICRO-BATCHED ANN SERVING — the regime between the floor-bound
-    per-query probe (ann_ivf_persisted_topk: one Spark job per query,
-    ~job-launch-floor latency) and the q=10 batch (ann_ivf_batch_topk):
-    a serving tier that coalesces whatever arrived in its dispatch
-    window — here q=2, the smallest batch that already amortizes the
-    job floor below 2× the FAISS per-query rate at the parity shape
-    (BASELINE_PARITY.md micro-batch table) — into ONE job over the
-    union of the probed lists. Same fan-out/GEMM/window shape as the
-    batch query; the only serving-policy knob is q. The oracle replays
-    both queries' probe sets and top-Ks."""
-    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
-
-    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    qvecs = {
-        i + 1: query_vector(seed)
-        for i, seed in enumerate(ANN_MICROBATCH_SEEDS)
-    }
-    probes = {
-        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
-    }
-    union = sorted({li for p in probes.values() for li in p})
-    pruned = index.assigned.filter(F.col("list_id").isin(union))
-    match = F.array(
-        *[
-            F.when(
-                F.col("list_id").isin(probes[qid]), F.lit(qid)
-            ).otherwise(F.lit(None).cast("int"))
-            for qid in sorted(qvecs)
-        ]
-    )
-    fanned = pruned.select(
-        "id",
-        "embedding",
-        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
-    )
-    scored = per_qid_dot_scores(fanned, qvecs)
-    return (
-        grouped_topk(scored, ["qid"], ANN_IVF_K)
-        .select("qid", "id", F.round("score", 6).alias("score"))
-        .orderBy("qid", F.col("score").desc(), "id")
-    )
-
-
-#: (seed, filter dict) per batch query — post-filter semantics: each
-#: query's predicate prunes ITS candidates from the probed lists
-ANN_BATCH_FILTERED = (
-    (201, {"lang": {"eq": "en"}}),
-    (203, {"label": {"in": [1, 2, 3]}}),
-    (205, {"n_chars": {"ge": 200}}),
-    (207, {}),
-    (209, {"source": {"in": ["src1", "src3"]}, "n_chars": {"le": 800}}),
-)
-
-
-def _ann_ivf_batch_filtered_oracle() -> str:
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    parts = []
-    for i, (seed, filters) in enumerate(ANN_BATCH_FILTERED):
-        qlit = sql_array_literal(query_vector(seed))
-        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
-        where = filters_to_sql(schema, filters) if filters else "TRUE"
-        parts.append(
-            f"(SELECT {i + 1} AS qid, id,"
-            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
-            f" FROM assigned WHERE list_id IN ({probed}) AND ({where})\n"
-            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
-            f" LIMIT {ANN_IVF_K})"
-        )
-    return (
-        f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label,
-         d.lang, d.source, d.n_chars
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb AS e, label, lang, source, n_chars,
-         list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT *, [{dots}] AS d FROM corpus))
-"""
-        + "\nUNION ALL\n".join(parts)
-    )
-
-
-@register("ann_ivf_batch_filtered_topk", _ann_ivf_batch_filtered_oracle())
-def ann_ivf_batch_filtered_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """FILTERED batch ANN — the full hybrid serving shape at the batch
-    regime: every query carries its own metadata predicate, and all of
-    them are answered in ONE job over one partition-pruned scan of the
-    union of probed lists. The per-row fanout condition is (list ∈
-    qid's probe set) AND (row passes qid's predicate), so a row reaches
-    a qid's Arrow GEMM lane only when it is a live candidate for that
-    query — post-filter semantics per query, identical to the ladder
-    backends' final rung, without a per-query job. Metadata joins the
-    pruned candidates (|∪ probed lists| rows), never the full corpus,
-    so join traffic is bounded by the probe union regardless of query
-    count. The oracle replays assignment, each probe set, each
-    predicate, and each top-K."""
-    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
-
-    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    qvecs = {
-        i + 1: query_vector(seed)
-        for i, (seed, _) in enumerate(ANN_BATCH_FILTERED)
-    }
-    probes = {
-        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
-    }
-    union = sorted({li for p in probes.values() for li in p})
-    pruned = index.assigned.filter(F.col("list_id").isin(union))
-    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
-        "doc_id", "id"
-    )
-    wide = pruned.join(docs, "id", "left")
-    match = F.array(
-        *[
-            F.when(
-                F.col("list_id").isin(probes[i + 1])
-                & compile_filters(wide.schema, filters),
-                F.lit(i + 1),
-            ).otherwise(F.lit(None).cast("int"))
-            for i, (_, filters) in enumerate(ANN_BATCH_FILTERED)
-        ]
-    )
-    fanned = wide.select(
-        "id",
-        "embedding",
-        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
-    )
-    scored = per_qid_dot_scores(fanned, qvecs)
-    return (
-        grouped_topk(scored, ["qid"], ANN_IVF_K)
-        .select("qid", "id", F.round("score", 6).alias("score"))
-        .orderBy("qid", F.col("score").desc(), "id")
-    )
-
-
-# ------------------------------------------------------------- multimodal
-
-
-MULTIMODAL_N = 32
-
-MULTIMODAL_ORACLE = f"""SELECT doc_id AS media_id,
-  CAST(32 + (doc_id % 4) * 16 AS INT) AS width,
-  CAST(32 AS INT) AS height,
-  CAST(3 AS INT) AS channels,
-  {round_portable_sql(
-      "list_sum([('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT"
-      " for i in range(1, octet_length(encode(text)) + 1)]) * 1.0"
-      " / octet_length(encode(text))", 4)} AS mean_pixel,
-  md5(text) AS checksum,
-  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-  CAST(16 AS INT) AS n_features
-FROM documents
-WHERE doc_id < {MULTIMODAL_N} AND text IS NOT NULL AND length(text) > 0
-ORDER BY media_id"""
-
-
-@register("multimodal_decode_features", MULTIMODAL_ORACLE)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline plumbing end-to-end: binary media column →
-    mapInPandas decode → mapInPandas feature extraction → broadcast join
-    of decode stats with feature arity.
-
-    The media table derives from ``documents`` (payload = UTF-8 text
-    bytes, operators/multimodal.py media_from_documents), so the decode
-    stub's outputs — md5 checksum, byte-mean "pixel", byte length — are
-    recomputable by the DuckDB oracle from the same parquet: the decode
-    stage gets a full value-hash correctness row (r1 judge item #1)
-    while the codec itself stays an honestly-stubbed kernel."""
-    from hybrid_vector_search_spark.operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
-    decoded = MM.decode_images(media)
-    feats = MM.extract_features(media, dim=16).select(
-        "media_id", F.size("embedding").alias("n_features")
-    )
-    return (
-        # mapInPandas outputs carry no size stats → Catalyst would pick a
-        # sort-merge join; the per-media feature rows are tiny, broadcast
-        decoded.join(F.broadcast(feats), "media_id")
-        .select(
-            "media_id",
-            "width",
-            "height",
-            "channels",
-            round_portable(F.col("mean_pixel"), 4).alias("mean_pixel"),
-            "checksum",
-            "n_bytes",
-            "n_features",
-        )
-        .orderBy("media_id")
-    )
-
-
-# ---------------------------------------------------------------- events
-
-from hybrid_vector_search_spark.operators import events as EV  # noqa: E402
-
-
-@register("events_hourly_by_type", EV.tumbling_window_agg_sql(1))
-def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregation over the event stream (batch
-    form; the identical expression runs under readStream + watermark —
-    streaming/pipeline.py)."""
-    ev = load_table(spark, sf_dir, "events")
-    return EV.tumbling_window_agg(ev, "1 hour").orderBy(
-        "window_start", "event_type"
-    )
-
-
-@register("events_sessionization", EV.session_stats_sql(30))
-def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user 30-minute-gap sessionization: lag + running-sum windows
-    sharing one Exchange, then session-level aggregation.
-
-    No global orderBy: the result is a large per-(user, session) table —
-    a rangepartitioning Exchange + full sort doubled the sf0.1 wall time
-    and went superlinear in the ×8 scale probe (VERDICT r2 #1). The
-    driver/oracle compare is order-insensitive; consumers needing order
-    sort their own (pruned) slice."""
-    ev = load_table(spark, sf_dir, "events")
-    return EV.session_stats(ev, 30)
-
-
-@register("events_funnel", EV.funnel_counts_sql())
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view → click → purchase: per-stage user
-    counts where each stage must happen strictly after the user's first
-    event of the previous stage (operators/events.py funnel_counts)."""
-    ev = load_table(spark, sf_dir, "events")
-    return EV.funnel_counts(ev)
-
-
-@register("events_props_profile", EV.props_profile_sql())
-def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON props extraction (get_json_object, JVM-side)
-    profiled per event_type."""
-    ev = spread(load_table(spark, sf_dir, "events"))
-    return EV.props_profile(ev).orderBy("event_type")
-
-
-# ------------------------------------------------------ as-of / range joins
-
-from hybrid_vector_search_spark.operators.asof import (  # noqa: E402
-    asof_join_backward,
-    range_join_count,
-)
-
-
-@register(
-    "events_asof_purchase_view",
-    """WITH p AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
-), v AS (
-  SELECT event_id AS view_event_id, user_id, ts AS view_ts
-  FROM events WHERE event_type = 'view'
-)
-SELECT p.event_id, p.user_id,
-  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-  ROUND(p.value, 2) AS value,
-  v.view_event_id,
-  strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
-FROM p ASOF LEFT JOIN v
-  ON p.user_id = v.user_id AND p.ts >= v.view_ts
-ORDER BY p.event_id""",
-)
-def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: every purchase paired with the user's most recent view
-    at-or-before it (union-and-carry plan, one shuffle — operators/asof.py;
-    oracle is DuckDB's native ASOF JOIN)."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_event_id"),
-        "user_id",
-        F.col("ts").alias("view_ts"),
-    )
-    out = asof_join_backward(
-        purchases, views, on="user_id", left_time="ts", right_time="view_ts"
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        F.round("value", 2).alias("value"),
-        "view_event_id",
-        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
-    ).orderBy("event_id")
-
-
-@register(
-    "events_range_join_views_before_purchase",
-    """SELECT p.event_id, p.user_id, COUNT(v.ts) AS n_views_1h
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
-  ON p.user_id = v.user_id
- AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
-GROUP BY p.event_id, p.user_id
-ORDER BY p.event_id""",
-)
-def events_range_join_views_before_purchase(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Range join: views within the hour before each purchase, per user."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
-    out = range_join_count(
-        purchases, views, on="user_id", left_time="ts", right_time="ts",
-        window_seconds=3600, count_alias="n_views_1h",
-    )
-    # no global orderBy: large per-purchase output, compare is order-insensitive
-    return out.select("event_id", "user_id", "n_views_1h")
-
-
-# ---------------------------------------------------------------- relational
-
-@register(
-    "tpch_q1_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  (floor((floor(SUM(l_quantity)::DOUBLE * 100.0 + 0.5) / 100.0) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_qty,
-  (floor((floor(SUM(l_extendedprice)::DOUBLE * 100.0 + 0.5) / 100.0) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_price,
-  (floor((floor(SUM(l_discount)::DOUBLE * 100.0 + 0.5) / 100.0) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus""",
-)
-def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: scan-heavy grouped aggregation — the partial-agg (map-side
-    combine) + final-agg shape; stays whole-stage-codegen end to end."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            # grid-valued averages: ULP-stable arithmetic (functions/portable.py)
-            grid_avg(F.sum("l_quantity"), F.count(F.lit(1)), 2, 6).alias("avg_qty"),
-            grid_avg(F.sum("l_extendedprice"), F.count(F.lit(1)), 2, 6).alias("avg_price"),
-            grid_avg(F.sum("l_discount"), F.count(F.lit(1)), 2, 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@register(
-    "revenue_by_nation",
-    """SELECT n.n_name AS nation,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
-ORDER BY revenue DESC, nation ASC""",
-)
-def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join + agg: fact tables shuffle-join on keys; the
-    25-row nation dim broadcasts (Catalyst auto-broadcast under threshold)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
-    )
-
-
-@register(
-    "tpch_q6_forecast_revenue",
-    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24""",
-)
-def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6: pure scan + filter + global agg — every predicate reaches
-    the parquet scan (PushedFilters), zero shuffle beyond the final
-    single-row reduce."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@register(
-    "tpch_q3_shipping_priority",
-    """SELECT l.l_orderkey,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10""",
-)
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → fact joins → grouped agg →
-    top-10 (TakeOrderedAndProject after the aggregate)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    cutoff = F.lit("1998-03-15").cast("timestamp")
-    return (
-        cust.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, cust.c_custkey == orders.o_custkey)
-        .filter(F.col("o_orderdate") < cutoff)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > cutoff)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-# ------------------------------------------------------------------- dedup
-
-from hybrid_vector_search_spark.operators import dedup as DD  # noqa: E402
-
-JACCARD_THRESHOLD = 0.2
-
-# MinHash signature artifacts, keyed by sf_dir — like the IVF index cache:
-# signature building is the offline stage, queries measure the plan over
-# the materialized artifact (and the pairs + components queries share it).
-_SIG_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
-_NGRAM_IX_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
-
-
-def _ngram_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _NGRAM_IX_CACHE.get(sf_dir)
-    ix = cached[1] if cached is not None and cached[0] is spark else None
-    if ix is None:
-        docs = load_table(spark, sf_dir, "documents")
-        ix = DD.ngram_shingle_index(docs, materialize=True)
-        _NGRAM_IX_CACHE[sf_dir] = (spark, ix)
-    return ix
-
-
-
-
-def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _SIG_CACHE.get(sf_dir)
-    # rebuild when the owning session changed (see _IVF_CACHE note)
-    sig = cached[1] if cached is not None and cached[0] is spark else None
-    if sig is None:
-        docs = load_table(spark, sf_dir, "documents")
-        sig = DD.materialize_parquet(
-            DD.minhash_signatures(docs).select("doc_id", "sh", "sig"),
-            "minhash_sig",
-        )
-        _SIG_CACHE[sf_dir] = (spark, sig)
-    return sig
-COSINE_DUP_THRESHOLD = 0.45
-
-
-@register(
-    "dedup_exact_groups",
-    """SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
-FROM documents GROUP BY 1 ORDER BY fingerprint""",
-)
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 fingerprint of normalized text, one shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return DD.exact_dedup_groups(docs).orderBy("fingerprint")
-
-
-@register(
-    "dedup_ngram_jaccard_pairs",
-    DD.ngram_jaccard_pairs_sql(JACCARD_THRESHOLD),
-)
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard via inverted-index
-    self-join (no cross-join). The capped exploded index is a
-    session-cached scratch-parquet artifact (offline-index pattern,
-    like the MinHash signature table): built once per sf_dir — shingle
-    kernel, df-cap, size correction — then every pair query is just the
-    band-free self-join over the stored (id, g, ns) rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        DD.ngram_jaccard_pairs(
-            docs, JACCARD_THRESHOLD, ex=_ngram_index_table(spark, sf_dir)
-        )
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "dedup_minhash_lsh_pairs",
-    DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD),
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (banded signature equi-join) verified
-    with true Jaccard — the scale path for fuzzy dedup. The signature
-    table is a session-cached scratch-parquet artifact shared with the
-    connected-components query (offline-index pattern, like the IVF
-    lists): built once per sf_dir, scanned thereafter."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        DD.minhash_lsh_pairs(docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir))
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "dedup_minhash_estimate_quality",
-    DD.minhash_estimate_vs_true_sql(),
-)
-def dedup_minhash_estimate_quality(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """SKETCH-QUALITY report — the dedup family's analogue of the ANN
-    recall sweeps: per LSH band-candidate pair, the MinHash Jaccard
-    ESTIMATE (equal-component fraction of the 8-permutation signature —
-    the only number available at 100 TB, where the true shingle sets
-    are too wide to join) beside the TRUE shingle Jaccard and the
-    absolute error. E[estimate] = J by the MinHash property; an
-    operator reads this to size NUM_HASHES against an error budget the
-    same way the nprobe sweep sizes a recall SLO. Candidates, both
-    measures, and the error are pure functions of (text, fixed
-    permutations), so the entire evaluation — sketch AND ground truth —
-    is value-hash certified. Reuses the session's signature artifact
-    (one shingle+minhash pass per sf_dir, shared with the pair/CC
-    queries)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return DD.minhash_estimate_vs_true(
-        docs, sig=_sig_table(spark, sf_dir)
-    ).orderBy("doc_a", "doc_b")
-
-
-from hybrid_vector_search_spark.operators.sampling import (  # noqa: E402
-    portable_hash_key_sql as _phash_sql,
-)
-
-
-@register(
-    "docs_train_split",
-    f"""SELECT doc_id, lang,
-  CASE WHEN ({_phash_sql("'split:' || doc_id::VARCHAR")})
-            % 10 <= 7 THEN 'train'
-       WHEN ({_phash_sql("'split:' || doc_id::VARCHAR")})
-            % 10 = 8 THEN 'val'
-       ELSE 'test' END AS split
-FROM documents ORDER BY doc_id""",
-)
-def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 TRAIN/VAL/TEST assignment — the split
-    every training pipeline runs before anything else, with the two
-    properties that matter at 100 TB: map-only (a pure hash of the id,
-    no shuffle, no global sort, pushable into any scan) and STICKY (a
-    document's split depends only on its id, so a grown corpus never
-    migrates old documents across splits — the leakage mode that
-    silently contaminates eval sets when splits are re-drawn). The
-    hash is namespaced ('split:' ∥ id) so it is independent of every
-    other hash-keyed decision (sampling, mixtures) on the same ids."""
-    from hybrid_vector_search_spark.operators.sampling import (
-        portable_hash_key,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = portable_hash_key(
-        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-    ) % 10
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.when(bucket <= 7, "train")
-        .when(bucket == 8, "val")
-        .otherwise("test")
-        .alias("split"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "dedup_salted_band_pairs",
-    DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD),
-)
-def dedup_salted_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash band join with HOT-KEY SALTING engaged — answer-
-    equivalence proof for the skew path (the treatment
-    events_salted_segment_join gave the segment join, generalized to
-    inverted-index pair generation per skew.salted_self_pairs): band
-    keys whose posting list exceeds the threshold are triangle-salted
-    over n_salt² reducers, cold keys keep the plain self-join, and the
-    result must equal the UNSALTED oracle pair-for-pair. Threshold 1
-    here routes every colliding band key through the salted path
-    (sf-scale postings are short); production sets it to the healthy-
-    partition row budget so only true hot keys pay the replication."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        DD.minhash_lsh_pairs(
-            docs,
-            JACCARD_THRESHOLD,
-            sig=_sig_table(spark, sf_dir),
-            salt_hot=(4, 1),
-        )
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "dedup_connected_components",
-    DD.connected_components_sql(JACCARD_THRESHOLD),
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup groups: min-label propagation over the
-    MinHash-LSH pair graph (A~B, B~C ⇒ one group even though A,C never
-    collided) — the step that turns pair lists into the dedup assignment
-    a pipeline actually applies. Iterative joins in Spark; the oracle is
-    the same closure as a DuckDB recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents")
-    return DD.dedup_components(
-        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
-    )
-
-
-def _split_case_sql(col: str) -> str:
-    """The docs_train_split assignment as SQL over any id expression —
-    shared by the per-document split, the leakage audit, and the
-    cluster-aware remedy so all three hash the identical namespaced
-    key."""
-    from hybrid_vector_search_spark.operators.sampling import (
-        portable_hash_key_sql,
-    )
-
-    h = portable_hash_key_sql(f"'split:' || {col}::VARCHAR")
-    return (
-        f"CASE WHEN ({h}) % 10 <= 7 THEN 'train' "
-        f"WHEN ({h}) % 10 = 8 THEN 'val' ELSE 'test' END"
-    )
-
-
-def _split_col(col) -> F.Column:
-    from hybrid_vector_search_spark.operators.sampling import (
-        portable_hash_key,
-    )
-
-    bucket = portable_hash_key(
-        F.concat(F.lit("split:"), col.cast("string"))
-    ) % 10
-    return (
-        F.when(bucket <= 7, "train")
-        .when(bucket == 8, "val")
-        .otherwise("test")
-    )
-
-
-@register(
-    "docs_split_leakage",
-    f"""WITH pairs AS ({DD.minhash_lsh_pairs_sql(JACCARD_THRESHOLD)}),
-sp AS (SELECT doc_id, {_split_case_sql('doc_id')} AS split
-       FROM documents)
-SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b, jaccard
-FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
-WHERE a.split <> b.split
-ORDER BY doc_a, doc_b""",
-)
-def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPLIT-LEAKAGE audit — the check every eval pipeline should run
-    and few do: near-duplicate pairs (MinHash-LSH candidates verified
-    at true Jaccard ≥ threshold) that STRADDLE the train/val/test
-    assignment of docs_train_split. A test document with a near-twin
-    in train is contamination that per-document hashing cannot prevent
-    (the split is id-uniform by design, so ~2·p·(1−p) of dup pairs
-    cross); this report names every such pair with both splits and the
-    similarity, and docs_cluster_aware_split is the remedy. Composes
-    two session artifacts (signature table, split hash) with zero new
-    scans beyond the pair verify."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
-    )
-    sp = docs.select(
-        "doc_id", _split_col(F.col("doc_id")).alias("split")
-    )
-    return (
-        pairs.join(
-            sp.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("split").alias("split_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sp.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("split").alias("split_b"),
-            ),
-            "doc_b",
-        )
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "split_a",
-            "split_b",
-            F.round("jaccard", 6).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "docs_cluster_aware_split",
-    f"""WITH RECURSIVE comp AS ({DD.connected_components_sql(JACCARD_THRESHOLD)})
-SELECT doc_id, component_id,
-  {_split_case_sql('component_id')} AS split
-FROM comp ORDER BY doc_id""",
-)
-def docs_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LEAKAGE-PROOF split — the remedy for what docs_split_leakage
-    finds: hash the near-dup CLUSTER representative (connected-component
-    min id over the verified MinHash pair graph), not the document, so
-    every member of a duplicate cluster lands in the same split BY
-    CONSTRUCTION — zero cross-split near-dup pairs at the dedup
-    threshold, while singleton documents (component = own id) keep the
-    exact assignment docs_train_split gives them. Same namespaced
-    portable hash, so the split stays sticky and shard-stable under
-    corpus growth; the standard recipe for contamination-free eval
-    sets over crawled corpora."""
-    docs = load_table(spark, sf_dir, "documents")
-    comp = DD.dedup_components(
-        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
-    )
-    return comp.select(
-        "doc_id",
-        "component_id",
-        _split_col(F.col("component_id")).alias("split"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "dedup_simhash",
-    f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents ORDER BY doc_id",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash fingerprint (token bit votes)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash(docs)
-
-
-@register(
-    "dedup_embedding_cosine_pairs",
-    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-    / GREATEST(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-    / GREATEST(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12) >= {COSINE_DUP_THRESHOLD}
-ORDER BY id_a, id_b""",
-)
-def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs ≥ threshold via the size-dispatched entry
-    point (operators.dedup.embedding_near_dup): broadcast-GEMM exact plan
-    at this N, KMeans-bucketed embedding_near_dup_ivf beyond the broadcast
-    budget — the scale path is the default dispatch, and the size gate
-    runs BEFORE any driver collect (VERDICT r1 fix #3)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        DD.embedding_near_dup(emb, COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
-    )
-
-
-@register(
-    "text_rolling_fingerprint",
-    f"SELECT doc_id, {DD.rolling_hash_sql('text')} AS rhash FROM documents ORDER BY doc_id",
-)
-def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash document fingerprint — portable pure
-    arithmetic (no engine-specific hash)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", DD.rolling_hash("text").alias("rhash")
-    )
-
-
-# ------------------------------------------------------------- text analysis
-
-from hybrid_vector_search_spark.functions import text as TX  # noqa: E402
-
-
-@register(
-    "text_language_id",
-    f"""SELECT doc_id, {TX.lang_id_sql('text')} AS detected_lang
-FROM documents ORDER BY doc_id""",
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID over every document — pure codegen map work
-    (no shuffle, no Python)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", TX.lang_id("text").alias("detected_lang")
-    )
-
-
-@register(
-    "text_quality_scores",
-    f"""SELECT doc_id,
-  {round_portable_sql(TX.stopword_ratio_sql('text'), 6)} AS stop_ratio,
-  {round_portable_sql(TX.punct_ratio_sql('text'), 6)} AS punct_ratio,
-  {round_portable_sql(TX.mean_token_len_sql('text'), 6)} AS mean_tok_len,
-  {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
-FROM documents ORDER BY doc_id""",
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality heuristics: stopword/punct ratios, token shape,
-    composite score.
-
-    Integer-ratio columns (hits/n_tokens etc.) are exact decimal-grid
-    values that can land on ROUND ties where the engines disagree
-    deterministically — rounded with the portable arithmetic
-    (functions/portable.py) on both sides."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        round_portable(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
-        round_portable(TX.punct_ratio("text"), 6).alias("punct_ratio"),
-        round_portable(TX.mean_token_len("text"), 6).alias("mean_tok_len"),
-        round_portable(TX.quality_score("text"), 6).alias("quality"),
-    )
-
-
-@register(
-    "text_token_stats",
-    f"""SELECT doc_id,
-  len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_ws_tokens,
-  len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS n_bpe_tokens
-FROM documents ORDER BY doc_id""",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens and BPE-ish regex tokens."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        TX.ws_token_count("text").alias("n_ws_tokens"),
-        TX.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
-    )
-
-
-@register(
-    "docs_length_quantiles",
-    """SELECT lang,
-  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
-  ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
-  ROUND(quantile_cont(n_chars, 0.90), 6) AS p90,
-  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
-FROM documents GROUP BY lang ORDER BY lang""",
-)
-def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (sort-based aggregate —
-    Spark ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit; at
-    scale swap to ``percentile_approx`` and accept the sketch)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            *[
-                F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(a)
-                for q, a in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
-            ]
-        )
-        .orderBy("lang")
-    )
-
-
-@register(
-    "docs_lang_profile",
-    """SELECT lang,
-  COUNT(*) AS n_docs,
-  (floor((floor(SUM(n_chars)::DOUBLE + 0.5)) / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS avg_chars,
-  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-FROM documents
-GROUP BY lang
-ORDER BY lang""",
-)
-def docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents-table profile aggregation (A3-style summary)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            grid_avg(F.sum("n_chars"), F.count(F.lit(1)), 0, 6).alias("avg_chars"),
-            F.countDistinct("source").alias("n_sources"),
-        )
-        .orderBy("lang")
-    )
-
-
-# ----------------------------------------- relational breadth (beyond ref)
-# Operator families the reference lacks entirely (SURVEY.md §2.5-2.7
-# "absent" lists): multi-way dim joins, rollup/grouping sets, window
-# ranking, anti-join, and corpus term statistics. Each is pure DataFrame
-# work — Catalyst broadcasts the dims, AQE sizes the shuffles.
-
-
-@register(
-    "tpch_q5_local_supplier_volume",
-    """SELECT n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY n_name
-ORDER BY revenue DESC, n_name""",
-)
-def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-table join where region/nation/supplier/customer
-    are broadcast dims around the lineitem fact — the canonical star-join
-    plan (no fact-side shuffle until the final group-by)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-01-01").cast("timestamp")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
-    )
-
-
-@register(
-    "events_daily_rollup",
-    """SELECT
-  CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
-  CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
-  COUNT(*) AS n_events,
-  ROUND(SUM(value), 2) AS total_value
-FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
-GROUP BY ROLLUP (event_type, day)
-ORDER BY event_type, day""",
-)
-def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation (type, day) → per-day, per-type subtotal, grand
-    total in one pass — partial aggregation handles all grouping sets with
-    a single shuffle (the reference has no grouping-sets surface at all)."""
-    ev = load_table(spark, sf_dir, "events")
-    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    base = ev.select("event_type", day, "value")
-    return (
-        base.rollup("event_type", "day")
-        .agg(
-            # grouping() is only valid inside the rollup aggregate list
-            F.grouping("event_type").alias("_g_type"),
-            F.grouping("day").alias("_g_day"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.when(F.col("_g_type") == 1, F.lit("ALL"))
-            .otherwise(F.col("event_type"))
-            .alias("event_type"),
-            F.when(F.col("_g_day") == 1, F.lit("ALL"))
-            .otherwise(F.col("day"))
-            .alias("day"),
-            "n_events",
-            "total_value",
-        )
-        .orderBy("event_type", "day")
-    )
-
-
-_ROLLUP_CACHE: dict[str, tuple] = {}
-
-
-@register(
-    "events_incremental_rollup",
-    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-  COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS total_value
-FROM events GROUP BY day, event_type
-ORDER BY day, event_type""",
-    side_effects=True,
-)
-def events_incremental_rollup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """INCREMENTAL rollup-table maintenance, hash-certified against a
-    from-scratch recompute — the RELATIONAL leg of the maintenance
-    triangle (vector: ann_ivf_upsert_topk, lexical:
-    retrieval_bm25_incremental_topk; operators/rollup.py): the
-    day-partitioned ``(day, event_type) → (count, grid-snapped sum)``
-    table is built over 80% of events (user_id % 5 != 0), the
-    remaining 20% arrives as a LATE batch touching nearly every
-    existing day — the reprocessing/backfill shape where naive
-    append-only rollups silently double-count and full recomputes cost
-    a history re-scan — and partition-local merge combines the
-    algebraic partials, rewriting only touched day directories under
-    the same staged-commit crash marker as its two siblings. The
-    oracle aggregates ALL events from scratch: a hash match proves
-    merge ≡ recompute, including float discipline (partials snapped to
-    the value column's 2-decimal grid, so merge order cannot drift an
-    ULP). ``side_effects``: builds and merges a persisted layout."""
-    from hybrid_vector_search_spark.operators.rollup import (
-        build_rollup,
-        merge_rollup_batch,
-        open_rollup,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cached = _ROLLUP_CACHE.get(sf_dir)
-    path = cached[1] if cached is not None and cached[0] is spark else None
-    if path is None:
-        ev = load_table(spark, sf_dir, "events")
-        path = scratch_path(
-            "rollup_" + sf_dir.strip("/").replace("/", "_")
-        )
-        build_rollup(ev.filter(F.col("user_id") % 5 != 0), path)
-        merge_rollup_batch(
-            spark, path, ev.filter(F.col("user_id") % 5 == 0)
-        )
-        _ROLLUP_CACHE[sf_dir] = (spark, path)
-    return (
-        open_rollup(spark, path)
-        .select(
-            F.col("day").cast("string").alias("day"),
-            "event_type",
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("sum_value").alias("total_value"),
-        )
-        .orderBy("day", "event_type")
-    )
-
-
-_ROLLUP_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "events_rollup_snapshot",
-    f"""WITH b AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-  value, user_id FROM events)
-SELECT 1 AS version, day, event_type, COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS total_value
-FROM b WHERE user_id % 5 <> 0 GROUP BY day, event_type
-UNION ALL
-SELECT 2 AS version, day, event_type, COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS total_value
-FROM b GROUP BY day, event_type
-ORDER BY version, day, event_type""",
-    side_effects=True,
-)
-def events_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP MAINTENANCE ROUTED THROUGH THE VERSIONED MANIFEST — the
-    third leg of the maintenance triangle walked onto the snapshot
-    layer (vector: ann_ivf_upsert_snapshot, lexical:
-    retrieval_bm25_snapshot_topk): the day-partitioned algebraic
-    rollup commits as one immutable file per day
-    (``commit_append_clustered`` on the day string — footer stats give
-    exact per-day pruning), and the late 20% batch lands as a
-    ``commit_replace_values`` of ONLY the touched days — merged
-    partials rewritten, untouched days carried byte-identical, which
-    upgrades operators/rollup.py's begin/commit-marker protocol
-    (plain-parquet dynamic overwrite: atomic per partition, NOT across
-    partitions) to a genuinely atomic multi-day publish: a dashboard
-    reader mid-merge sees v1 or v2, never a half-merged mix, and v1
-    stays pinned — yesterday's dashboard is reproducible after the
-    backfill. The oracle recomputes BOTH versions from raw events, so
-    a hash match proves pinned-read ≡ pre-merge recompute AND
-    merge ≡ full recompute, on the 2-decimal grid snap that makes
-    merge order ULP-exact. ``side_effects``: builds a manifest table,
-    bounded driver state (distinct touched days ≤ calendar days)."""
-    from hybrid_vector_search_spark.functions.portable import (
-        round_portable,
-    )
-    from hybrid_vector_search_spark.operators.rollup import (
-        GRID_DIGITS,
-        aggregate_partials,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _ROLLUP_SNAP_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        ev = load_table(spark, sf_dir, "events")
-        root = scratch_path(
-            "rollup_snap_" + sf_dir.strip("/").replace("/", "_")
-        )
-        base = aggregate_partials(ev.filter(F.col("user_id") % 5 != 0))
-        M.commit_append_clustered(root, base, "day")
-        batch = aggregate_partials(ev.filter(F.col("user_id") % 5 == 0))
-        touched = sorted(
-            r["day"] for r in batch.select("day").distinct().collect()
-        )
-        merged = (
-            M.read_snapshot(spark, root, 1)
-            .filter(F.col("day").isin(touched))
-            .unionByName(batch)
-            .groupBy("day", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                round_portable(F.sum("sum_value"), GRID_DIGITS).alias(
-                    "sum_value"
-                ),
-            )
-        )
-        M.commit_replace_values(root, merged, "day", touched)
-        _ROLLUP_SNAP_CACHE[sf_dir] = (spark, root)
-    out = None
-    for v in (1, 2):
-        part = M.read_snapshot(spark, root, v).select(
-            F.lit(v).alias("version"),
-            "day",
-            "event_type",
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("sum_value").alias("total_value"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out.orderBy("version", "day", "event_type")
-
-
-@register(
-    "events_top_users_per_type",
-    """SELECT event_type, user_id, n_events, rank FROM (
-  SELECT event_type, user_id, COUNT(*) AS n_events,
-    ROW_NUMBER() OVER (PARTITION BY event_type
-                       ORDER BY COUNT(*) DESC, user_id ASC) AS rank
-  FROM events GROUP BY event_type, user_id)
-WHERE rank <= 3
-ORDER BY event_type, rank""",
-)
-def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window ranking: top-3 most active users per event type —
-    aggregate → row_number window sharing the same partitioning, so the
-    window reuses the group-by Exchange."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("n_events").desc(), F.col("user_id").asc()
-    )
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .orderBy("event_type", "rank")
-    )
-
-
-@register(
-    "customers_without_orders",
-    """SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey""",
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (absent from the reference's operator set): customers with
-    no orders via broadcast left_anti — the NOT EXISTS plan."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@register(
-    "docs_top_terms",
-    """SELECT term, COUNT(*) AS n FROM (
-  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM documents)
-WHERE term <> ''
-GROUP BY term
-ORDER BY n DESC, term ASC
-LIMIT 20""",
-)
-def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term frequency top-20 (the canonical distributed word count:
-    explode → map-side partial count → one shuffle → TakeOrdered)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("term").asc())
-        .limit(20)
-    )
-
-
-@register(
-    "text_tfidf_top_terms",
-    """WITH tok AS (
-  SELECT doc_id, lang,
-         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM documents),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok2 GROUP BY lang, term),
-df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
-scored AS (
-  SELECT lang, tf.term AS term,
-         ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
-  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
-SELECT lang, term, tfidf FROM (
-  SELECT lang, term, tfidf,
-         ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY tfidf DESC, term ASC) AS rn
-  FROM scored) t
-WHERE rn <= 5""",
-)
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 distinctive terms per language by TF·IDF: corpus-wide
-    document frequency joined to per-language term frequency — the
-    cross-document statistic behind quality filtering and boilerplate
-    detection. Two shuffles (term-level aggs) + one term-keyed join +
-    one window; the corpus size is the only driver-side scalar.
-
-    Ranking happens on the 6-decimal-rounded score in BOTH engines so an
-    ULP difference in ln() can never reorder the top-5 boundary."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    tok = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-    )
-    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    scored = tf.join(df_t, "term").select(
-        "lang",
-        "term",
-        F.round(
-            F.col("tf")
-            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
-            6,
-        ).alias("tfidf"),
-    )
-    return grouped_topk(
-        scored, ["lang"], 5, score_col="tfidf", id_col="term"
-    ).select("lang", "term", "tfidf")
-
-
-@register(
-    "vector_quantize_int8",
-    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT vec_id, e,
-        list_transform(e, x -> floor(x * 127.0 + 0.5) / 127.0) AS r
-      FROM t),
-err AS (SELECT vec_id,
-          list_transform(range(1, len(e) + 1), i -> abs(e[i] - r[i])) AS errs
-        FROM q)
-SELECT vec_id,
-  ROUND(list_max(errs), 6) AS max_abs_err,
-  ROUND(list_reduce(list_prepend(0.0, errs), (a, x) -> a + x)
-        / len(errs), 6) AS mean_abs_err
-FROM err ORDER BY vec_id""",
-)
-def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 scalar quantization quality gate: round-trip every embedding
-    through q = floor(x·127 + .5), x̂ = q/127 and report per-vector max
-    and mean absolute reconstruction error — the check run before
-    shipping a 4×-smaller quantized corpus (scan-only map work; the
-    sequential array fold is order-deterministic in both engines)."""
-    from hybrid_vector_search_spark.functions.vector import (
-        quantization_error_cols,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    max_err, mean_err = quantization_error_cols("embedding")
-    return emb.select(
-        "vec_id",
-        F.round(max_err, 6).alias("max_abs_err"),
-        F.round(mean_err, 6).alias("mean_abs_err"),
-    )
-
-
-def _int8_rerank_oracle(seed: int, cand_k: int, k: int) -> str:
-    import numpy as np
-
-    q = query_vector(seed)
-    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
-    q8lit = f"[{', '.join(str(v) for v in q8)}]::BIGINT[]"
-    qlit = sql_array_literal(q)
-    dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
-    return f"""WITH s AS (
-  SELECT vec_id, embedding,
-         list_reduce(list_prepend(0::BIGINT,
-           list_transform(range(1, len(embedding) + 1),
-             i -> floor(embedding[i]::DOUBLE * 127.0 + 0.5)::BIGINT
-                  * ({q8lit})[i])),
-           (a, x) -> a + x) AS iscore
-  FROM embeddings),
-cand AS (SELECT vec_id, embedding FROM s
-         ORDER BY iscore DESC, vec_id ASC LIMIT {cand_k})
-SELECT vec_id, ROUND({dot}, 6) AS score
-FROM cand ORDER BY {dot} DESC, vec_id ASC LIMIT {k}"""
-
-
-def _int8_rerank_plan(
-    emb: DataFrame, seed: int, cand_k: int = 100, k: int = 10
-) -> DataFrame:
-    """Two-stage int8 plan (integer-dot prefilter -> float64 rerank),
-    seed-parameterized so the registered query and the cross-method
-    recall report run the IDENTICAL pipeline — a drift between "method
-    measured" and "method served" can't happen when there is one
-    builder."""
-    import numpy as np
-
-    from hybrid_vector_search_spark.functions.vector import (
-        dot_score_sql,
-        quantize_int8_col,
-    )
-
-    q = query_vector(seed)
-    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
-    q8lit = F.array(*[F.lit(v).cast("long") for v in q8])
-    iscore = F.aggregate(
-        F.zip_with(
-            quantize_int8_col("embedding").cast("array<long>"),
-            q8lit,
-            lambda x, y: x * y,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cand = topk(
-        emb.select("vec_id", "embedding", iscore.alias("iscore")),
-        cand_k,
-        score_col="iscore",
-        id_col="vec_id",
-    )
-    rescored = cand.select(
-        "vec_id", dot_score_sql("embedding", q).alias("score")
-    )
-    return topk(rescored, k, id_col="vec_id")
-
-
-@register("ann_int8_rerank_topk", _int8_rerank_oracle(41, 100, 10))
-def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage quantized search: integer dot product over the int8
-    corpus picks 100 candidates (pure bigint arithmetic — bit-identical
-    in any engine, and at scale the stage that runs over the 4×-smaller
-    cache-resident corpus), then float64 rerank of the survivors yields
-    the top-10. The precision split is the standard serving layout:
-    cheap lossy scan wide, exact scoring narrow."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return _int8_rerank_plan(emb, 41, cand_k=100, k=10).select(
-        "vec_id", F.round("score", 6).alias("score")
-    )
-
-
-HAMMING_QSEED = 67
-HAMMING_C = 100
-def _hamming_rerank_oracle(seed: int = HAMMING_QSEED) -> str:
-    from hybrid_vector_search_spark.functions.vector import (
-        sign_pack_sql,
-        sign_pack_value,
-    )
-
-    q = query_vector(seed)
-    qbits = sign_pack_value(q)
-    qlit = sql_array_literal(q)
-    return f"""WITH packed AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
-         {sign_pack_sql('embedding')} AS pk
-  FROM embeddings),
-cand AS (
-  SELECT id, e FROM packed
-  ORDER BY bit_count(xor(pk, {qbits}::BIGINT)) ASC, id ASC
-  LIMIT {HAMMING_C})
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM cand
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {ANN_IVF_K}"""
-
-
-def _hamming_rerank_plan(
-    emb: DataFrame, seed: int, cand_k: int = HAMMING_C, k: int = ANN_IVF_K
-) -> DataFrame:
-    """Two-stage binary plan (sign-pack Hamming prefilter -> float64
-    rerank), seed-parameterized for the same one-builder reason as
-    :func:`_int8_rerank_plan`."""
-    from hybrid_vector_search_spark.functions.vector import (
-        dot_score_sql,
-        sign_pack_column,
-        sign_pack_value,
-    )
-
-    q = query_vector(seed)
-    qbits = sign_pack_value(q)
-    ham = F.bit_count(
-        sign_pack_column("embedding").bitwiseXOR(F.lit(qbits))
-    )
-    cand = (
-        emb.select("vec_id", "embedding", ham.alias("ham"))
-        .orderBy(F.col("ham").asc(), F.col("vec_id").asc())
-        .limit(cand_k)
-    )
-    rescored = cand.select(
-        "vec_id", dot_score_sql("embedding", q).alias("score")
-    )
-    return topk(rescored, k, id_col="vec_id")
-
-
-@register("ann_hamming_rerank_topk", _hamming_rerank_oracle())
-def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage BINARY-quantized search — the compression rung below
-    int8/PQ (functions/vector.py sign_pack_column: 64-d float32 → one
-    BIGINT, 32×): the wide stage ranks the corpus by Hamming distance
-    ``bit_count(packed XOR query_bits)`` — two integer instructions per
-    row over an 8-byte column, the scan shape that stays cache-resident
-    at 100 TB — keeps the best {HAMMING_C}, and the narrow stage
-    reranks them with the exact float64 kernel. Sign bits are a pure
-    function of the embedding, so the oracle replays pack, Hamming
-    ranking, and rerank exactly (both engines pack the identical 63
-    bits — BIGINT is signed, bit 63 stays unpacked)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return _hamming_rerank_plan(emb, HAMMING_QSEED).select(
-        F.col("vec_id").alias("id"), F.round("score", 6).alias("score")
-    )
-
-
-MATRYOSHKA_QSEED = 89
-MATRYOSHKA_D = 16
-MATRYOSHKA_C = 100
-
-
-def _matryoshka_oracle(
-    seed: int = MATRYOSHKA_QSEED,
-    pd: int = MATRYOSHKA_D,
-    cand_k: int = MATRYOSHKA_C,
-    k: int = ANN_IVF_K,
-) -> str:
-    q = query_vector(seed)
-    qlit = sql_array_literal(q)
-    qplit = sql_array_literal(q[:pd])
-    return f"""WITH pref AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
-         list_dot_product(embedding[1:{pd}]::DOUBLE[], {qplit}) AS ps
-  FROM embeddings),
-cand AS (
-  SELECT id, e FROM pref
-  ORDER BY ps DESC, id ASC LIMIT {cand_k})
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM cand
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {k}"""
-
-
-@register("ann_matryoshka_rerank_topk", _matryoshka_oracle())
-def ann_matryoshka_rerank_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Two-stage PREFIX-DIMENSION search — the Matryoshka-embedding
-    serving pattern (Kusupati et al. 2022: MRL trains nested prefixes
-    of one vector to be usable embeddings; vector stores exploit it by
-    scanning a short prefix and reranking full): the wide stage ranks
-    the corpus by the inner product of the FIRST {MATRYOSHKA_D} of 64
-    dimensions — a 4× cheaper scan whose bytes shrink the same way at
-    any scale, and on a column store the prefix can even be a separate
-    narrow column so the wide stage never reads the full vector — and
-    the narrow stage reranks the {MATRYOSHKA_C} survivors with the
-    exact float64 kernel. Same two-stage family as the int8/Hamming
-    reranks but cutting DIMENSIONS instead of precision; the prefix dot
-    is a pure function of the embedding, so the oracle replays slice,
-    ranking, and rerank exactly (ties by id at both stages)."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
-
-    q = query_vector(MATRYOSHKA_QSEED)
-    emb = load_table(spark, sf_dir, "embeddings")
-    qp = F.array(*[F.lit(float(x)) for x in q[: MATRYOSHKA_D]])
-    pscore = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("embedding"), 1, MATRYOSHKA_D),
-            qp,
-            lambda a, b: a.cast("double") * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        emb.select("vec_id", "embedding", pscore.alias("ps"))
-        .orderBy(F.col("ps").desc(), F.col("vec_id").asc())
-        .limit(MATRYOSHKA_C)
-    )
-    rescored = cand.select(
-        "vec_id", dot_score_sql("embedding", q).alias("score")
-    )
-    return topk(rescored, ANN_IVF_K, id_col="vec_id").select(
-        F.col("vec_id").alias("id"), F.round("score", 6).alias("score")
-    )
-
-
-MMR_QSEED = 97
-MMR_LAMBDA = 0.5
-MMR_C = 50
-MMR_K = 5
-
-
-def _mmr_oracle(
-    seed: int = MMR_QSEED,
-    lam: float = MMR_LAMBDA,
-    cand_k: int = MMR_C,
-    k: int = MMR_K,
-) -> str:
-    """Replays the greedy MMR selection UNROLLED — one CTE pair per
-    selection step (k is small and fixed, so the sequential argmax
-    chain is expressible without recursion): step t scores every
-    remaining candidate as λ·rel − (1−λ)·max_{s∈selected} ⟨e, e_s⟩ and
-    keeps the argmax (ties by id). The empty-set penalty is 0, so step
-    1 reduces to λ·rel."""
-    qlit = sql_array_literal(query_vector(seed))
-    ctes = [
-        f"""cand AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
-         list_dot_product(embedding::DOUBLE[], {qlit}) AS rel
-  FROM embeddings
-  ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
-  LIMIT {cand_k})""",
-        f"""s1 AS (
-  SELECT id, e, {lam} * rel AS mmr FROM cand
-  ORDER BY rel DESC, id ASC LIMIT 1)""",
-        "sel1 AS (SELECT id, e FROM s1)",
-    ]
-    for t in range(2, k + 1):
-        ctes.append(
-            f"""s{t} AS (
-  SELECT c.id, c.e,
-    {lam} * c.rel - {1.0 - lam} * (
-      SELECT MAX(list_dot_product(c.e, s.e)) FROM sel{t - 1} s
-    ) AS mmr
-  FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
-  ORDER BY mmr DESC, c.id ASC LIMIT 1)"""
-        )
-        ctes.append(
-            f"sel{t} AS (SELECT id, e FROM sel{t - 1}"
-            f" UNION ALL SELECT id, e FROM s{t})"
-        )
-    selects = [
-        f"SELECT {t} AS rank, id, ROUND(mmr, 6) AS mmr_score FROM s{t}"
-        for t in range(1, k + 1)
-    ]
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + "\n"
-        + "\nUNION ALL\n".join(selects)
-        + "\nORDER BY rank"
-    )
-
-
-@register("ann_mmr_rerank_topk", _mmr_oracle(), side_effects=True)
-def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIVERSITY re-ranking via Maximal Marginal Relevance (Carbonell &
-    Goldstein 1998) — the post-retrieval stage every near-dup-heavy
-    corpus needs (a plain top-K over a deduplicate-light corpus returns
-    ten copies of the same document; MMR greedily picks the next result
-    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked).
-    The reference has no diversity stage; this is the standard one.
-
-    Scale shape: the corpus-side work is a bounded TakeOrdered (top-C
-    by relevance WITH embeddings, C = {MMR_C}); the greedy selection is
-    inherently sequential in K, so it runs on the driver over the
-    collected C×D block — the same bounded-driver-set pattern as the
-    IVF probe planner, O(K·C·D) flops, independent of corpus size.
-    Driver dot products are summed LEFT-TO-RIGHT (not numpy pairwise)
-    so every float matches the oracle's list_dot_product fold
-    bit-for-bit before the 6-decimal round. ``side_effects``: the
-    selection loop is driver-side."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
-
-    q = query_vector(MMR_QSEED)
-    emb = load_table(spark, sf_dir, "embeddings")
-    cand = (
-        emb.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("e"),
-            dot_score_sql("embedding", q).alias("rel"),
-        )
-        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-        .limit(MMR_C)
-        .collect()
-    )
-
-    def dot(a, b):  # sequential fold, bit-matching list_dot_product
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    remaining = {int(r["vec_id"]): (list(r["e"]), float(r["rel"])) for r in cand}
-    selected: list[tuple[int, list, float]] = []
-    rows = []
-    for rank in range(1, MMR_K + 1):
-        best = None
-        for cid in sorted(remaining):  # ascending id = tie-break
-            e, rel = remaining[cid]
-            penalty = max(
-                (dot(e, se) for _, se, _ in selected), default=0.0
-            )
-            mmr = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * penalty
-            if best is None or mmr > best[2]:
-                best = (cid, e, mmr)
-        cid, e, mmr = best
-        selected.append((cid, e, mmr))
-        del remaining[cid]
-        rows.append((rank, cid, round(mmr, 6)))
-    return spark.createDataFrame(
-        rows, "rank LONG, id LONG, mmr_score DOUBLE"
-    )
-
-
-_AVG_TP_SQL = round_portable_sql("SUM(o_totalprice)", 2) + " / COUNT(*)"
-
-
-@register(
-    "orders_above_customer_avg",
-    f"""WITH ca AS (
-  SELECT o_custkey, {_AVG_TP_SQL} AS avg_tp
-  FROM orders GROUP BY o_custkey)
-SELECT o_orderkey, o.o_custkey,
-  {round_portable_sql('o_totalprice', 2)} AS totalprice
-FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
-WHERE o_totalprice > 1.5 * avg_tp
-ORDER BY o_orderkey""",
-)
-def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-scalar-subquery shape (``WHERE o_totalprice > 1.5 *
-    (SELECT AVG(..) .. WHERE i.o_custkey = o.o_custkey)``) in its
-    decorrelated plan: per-customer aggregate joined back to the fact —
-    the rewrite every optimizer performs, written explicitly so both
-    engines compute the identical arithmetic. The per-customer sum is
-    snapped to its 2-decimal grid before dividing, so the qualification
-    threshold is the same double everywhere and boundary rows cannot
-    flip on summation order."""
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    # window form, not aggregate-and-join-back: ONE shuffle on custkey
-    # computes the per-customer threshold alongside each row (the join
-    # form shuffles orders twice or broadcasts a per-customer table
-    # that grows with the customer count — neither survives 100×)
-    w = Window.partitionBy("o_custkey")
-    avg_tp = round_portable(F.sum("o_totalprice").over(w), 2) / F.count(
-        F.lit(1)
-    ).over(w).cast("double")
-    return (
-        orders.withColumn("avg_tp", avg_tp)
-        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_tp"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            round_portable("o_totalprice", 2).alias("totalprice"),
-        )
-        .orderBy("o_orderkey")
-    )
-
-
-_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-_DUPES_SQL = f"COUNT(*) - COUNT(DISTINCT {_FP_SQL})"
-_DUP_RATE_SQL = round_portable_sql(f"({_DUPES_SQL})::DOUBLE / COUNT(*)", 6)
-
-
-@register(
-    "dedup_rate_by_source",
-    f"""SELECT source, COUNT(*) AS n_docs,
-  {_DUPES_SQL} AS n_dupes,
-  {_DUP_RATE_SQL} AS dup_rate
-FROM documents GROUP BY source ORDER BY source""",
-)
-def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-rate report per ingestion source (exact-fingerprint
-    based): the observability table that tells a pipeline which feed is
-    flooding it with copies. One distinct-agg shuffle; the ratio is an
-    integer-grid value so it is rounded with the portable arithmetic."""
-    from hybrid_vector_search_spark.functions.text import fingerprint_md5
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("source", fingerprint_md5("text").alias("fp"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_dupes",
-            round_portable(
-                F.col("n_dupes").cast("double") / F.col("n_docs"), 6
-            ).alias("dup_rate"),
-        )
-        .orderBy("source")
-    )
-
-
-# ------------------------------------------- sampling & sequence packing
-
-from hybrid_vector_search_spark.operators import sampling as SP  # noqa: E402
-
-SAMPLE_FRACTION = 0.1
-STRATUM_N = 20
-PACK_BUDGET = 2048
-
-
-@register(
-    "docs_sample_hash",
-    f"""SELECT doc_id, lang FROM documents
-WHERE {SP.hash_sample_where_sql('doc_id', SAMPLE_FRACTION)}""",
-)
-def docs_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible ≈10% corpus sample by key hash — map-only (the filter
-    is pushable map work, zero shuffle at any scale) and sticky: a row's
-    membership depends only on its key, so reruns over grown datasets
-    keep previously sampled rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SP.hash_sample(docs, "doc_id", SAMPLE_FRACTION).select(
-        "doc_id", "lang"
-    )
-
-
-@register(
-    "docs_sample_stratified",
-    f"""SELECT doc_id, lang, n_chars FROM (
-  SELECT doc_id, lang, n_chars,
-         ROW_NUMBER() OVER (
-           PARTITION BY lang
-           ORDER BY {SP.portable_hash_key_sql('doc_id')}, doc_id) AS rn
-  FROM documents) t
-WHERE rn <= {STRATUM_N}""",
-)
-def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly 20 docs per language, drawn uniformly by deterministic hash
-    order (a seed-stable reservoir) — one window shuffle on the stratum
-    key; balances strata a plain fraction sample would skew."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SP.stratified_sample(docs, ["lang"], "doc_id", STRATUM_N).select(
-        "doc_id", "lang", "n_chars"
-    )
-
-
-WEIGHTED_SAMPLE_N = 50
-
-
-@register(
-    "docs_weighted_sample",
-    f"""SELECT doc_id, lang, n_chars FROM documents
-ORDER BY {SP.weighted_sample_where_sql('doc_id', 'n_chars + 1')} DESC,
-  doc_id ASC
-LIMIT {WEIGHTED_SAMPLE_N}""",
-)
-def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-WEIGHTED deterministic sample (Efraimidis–Spirakis
-    A-Res, operators/sampling.py weighted_sample): draw {N} docs with
-    probability ∝ weight — here length (n_chars + 1), the standard
-    long-document upweighting in pretraining mixtures; any quality
-    score column slots in. Completes the sampling family's third leg
-    (hash_sample = uniform fraction, stratified = exact-N per group,
-    this = weight-proportional): the ranking key ln(u)/w is map-side
-    arithmetic on a portable hash, the cut is one bounded TakeOrdered,
-    and membership is STICKY in (id, weight) — incremental reruns over
-    a grown corpus keep previously drawn rows whose keys still rank,
-    so downstream shards don't churn."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SP.weighted_sample(
-        docs, "doc_id", F.col("n_chars") + F.lit(1), WEIGHTED_SAMPLE_N
-    ).select("doc_id", "lang", "n_chars")
-
-
-@register(
-    "docs_pack_sequences",
-    SP.pack_sequences_sql(PACK_BUDGET, ["lang"]),
-)
-def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing: next-fit by cumulative token offset
-    in deterministic id order within each language — the shard-assignment
-    step before sequence training. Pure integer window arithmetic,
-    bit-identical across engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SP.pack_sequences(docs, PACK_BUDGET, ["lang"])
-
-
-@register(
-    "dedup_docs_canonical",
-    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-FROM (SELECT doc_id,
-        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-      FROM documents)
-GROUP BY fp
-ORDER BY doc_id""",
-)
-def dedup_docs_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized dedup output: the canonical keeper id (min doc_id) per
-    exact-duplicate group with its copy count — the 'documents after
-    dedup' table a training pipeline actually ships."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        DD.exact_dedup_groups(docs)
-        .select(F.col("keeper_id").alias("doc_id"), F.col("n_docs").alias("n_copies"))
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "tpch_q14_promo_revenue",
-    """SELECT ROUND(
-    100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-    / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1996-02-01'""",
-)
-def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: month-sliced fact scan (shipdate pushed to
-    parquet) joined to the broadcast part dim; conditional aggregation in
-    one map-side pass."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1996-02-01").cast("timestamp")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-@register(
-    "tpch_q4_order_priority",
-    """SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-04-01'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey
-                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority""",
-)
-def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
-    (lineitem shipped >60 days after the order date), then a tiny
-    aggregate. The quarter filter is pushed to the orders scan; the
-    semi-join deduplicates matches before the shuffle so multi-lineitem
-    orders count once. (The testdata lacks l_commitdate/l_receiptdate, so
-    the late-shipment predicate stands in for Q4's commit<receipt.)"""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1996-04-01").cast("timestamp")
-    quarter = orders.filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    )
-    late = (li.l_orderkey == quarter.o_orderkey) & (
-        li.l_shipdate > quarter.o_orderdate + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        quarter.join(li, late, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@register(
-    "tpch_q10_returned_items",
-    f"""SELECT c_custkey, c_name, n_name,
-  {round_portable_sql(round_portable_sql("SUM(l_extendedprice * (1 - l_discount))", 4), 2)} AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-04-01'
-  AND l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20""",
-)
-def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: who returned the most revenue last quarter —
-    fact-to-fact join narrowed by pushed date/returnflag filters,
-    broadcast dims (customer at sf0.1 is broadcastable; at cluster scale
-    the orders⋈lineitem shuffle keys dominate), grouped top-20."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    nation = load_table(spark, sf_dir, "nation")
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1996-04-01").cast("timestamp")
-    return (
-        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-        .join(li.filter(F.col("l_returnflag") == "R"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            # revenue summands live on a 4-decimal grid (2-decimal price ×
-            # 2-decimal discount); snap the order-dependent float sum back
-            # onto that grid before the display rounding so both engines
-            # round the same double (functions/portable.py)
-            round_portable(
-                round_portable(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                    4,
-                ),
-                2,
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-def _lsh_oracle(qseed: int = 31) -> str:
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    q = query_vector(qseed)
-    probes = LSH.probe_set(q, planes, probe_hamming=1)
-    qlit = sql_array_literal(q)
-    bucket = LSH.bucket_sql_expr(planes)
-    return f"""SELECT vec_id AS id,
-  ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
-FROM embeddings
-WHERE {bucket} IN ({', '.join(str(b) for b in probes)})
-ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
-LIMIT 10"""
-
-
-_LSH_LAYOUT_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
-LSH_PERSISTED_QSEED = 33
-
-
-def _lsh_layout(spark: SparkSession, sf_dir: str) -> tuple:
-    """Session-cached persisted LSH bucket layout (ingest-time artifact,
-    built once per session × sf_dir like the IVF/HNSW layouts)."""
-    from hybrid_vector_search_spark.operators import lsh as LSH
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cached = _LSH_LAYOUT_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    path = scratch_path("lsh_buckets_" + sf_dir.strip("/").replace("/", "_"))
-    layout_planes = LSH.build_bucketed_layout(emb, path)
-    _LSH_LAYOUT_CACHE[sf_dir] = (spark, layout_planes)
-    return layout_planes
-
-
-@register("ann_lsh_topk", _lsh_oracle())
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-K (sign random projection, multi-probe
-    Hamming≤1): the stateless-build alternative scale path to the IVF
-    index. Probes the SESSION's persisted bucket layout (one file per
-    bucket, ``bucket IN`` = PartitionFilter) — the in-memory
-    per-query bucketing variant (operators/lsh.py lsh_topk_plan)
-    recomputed the bucket expression over every row on every call,
-    ~6× this plan's cost in the headline set (VERDICT r7 next #8); the
-    stateless path stays covered by tests/test_lsh.py. Deterministic
-    hyperplanes make this oracle-checkable, unlike typical ANN."""
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    layout, planes = _lsh_layout(spark, sf_dir)
-    plan, _probes = LSH.lsh_topk_plan_persisted(
-        layout, planes, query_vector(31), k=10
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-@register("ann_lsh_persisted_topk", _lsh_oracle(LSH_PERSISTED_QSEED))
-def ann_lsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN over the PERSISTED bucket layout — the module docstring's
-    100 TB shape made real (operators/lsh.py build_bucketed_layout):
-    bucket materialized at ingest as ``partitionBy("bucket")`` parquet,
-    one file per bucket (pre-write repartition — the r7 IVF layout
-    lesson), so the multi-probe ``bucket IN (...)`` is a PartitionFilter
-    and only probed bucket directories are read. Unlike the IVF lists
-    this layout needs NO training job to build and is stable under
-    appends. Scoring is the single-query JVM kernel — the probe plan
-    carries zero Python eval nodes (pinned in tests/test_plan_shapes.py).
-    Same oracle family as ann_lsh_topk at an independent query seed."""
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    layout, planes = _lsh_layout(spark, sf_dir)
-    plan, _probes = LSH.lsh_topk_plan_persisted(
-        layout, planes, query_vector(LSH_PERSISTED_QSEED), k=10
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-# ---------------------------------------- lexical + vector hybrid retrieval
-
-RRF_TERMS = ("vector", "join", "filter")
-RRF_QSEED = 41
-RRF_LEG_K = 20
-RRF_K = 60
-RRF_FINAL_K = 10
-
-#: the batch serving shape: qid = query seed, each with its own term set
-#: (terms drawn from the corpus vocabulary, FIXTURES.md §4)
-RRF_BATCH = (
-    (41, ("vector", "join", "filter")),
-    (42, ("stream", "window", "merge")),
-    (43, ("hash", "scan", "sort")),
-)
-
-
-RECALL_EVAL_QSEED = 71
-
-
-def _recall_by_method_oracle() -> str:
-    """Replays FOUR ANN/quantized strategies end-to-end at one shared
-    query seed — each method's full oracle (assignment+probe for IVF,
-    multi-probe buckets for LSH, sign-pack Hamming prefilter, int8
-    integer prefilter) nested as a subquery — intersects each with the
-    exact top-10, and emits recall@10 per method. The hash certifies
-    the evaluation harness itself, not just one strategy."""
-    q = query_vector(RECALL_EVAL_QSEED)
-    qlit = sql_array_literal(q)
-    dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
-    exact_sql = (
-        f"SELECT vec_id AS id FROM embeddings"
-        f" ORDER BY {dot} DESC, vec_id ASC LIMIT {ANN_IVF_K}"
-    )
-    methods = {
-        "ivf": f"SELECT id FROM ({_ann_ivf_oracle(RECALL_EVAL_QSEED)}) s",
-        "lsh": f"SELECT id FROM ({_lsh_oracle(RECALL_EVAL_QSEED)}) s",
-        "hamming": (
-            f"SELECT id FROM ({_hamming_rerank_oracle(RECALL_EVAL_QSEED)}) s"
-        ),
-        "int8": (
-            f"SELECT vec_id AS id FROM"
-            f" ({_int8_rerank_oracle(RECALL_EVAL_QSEED, 100, ANN_IVF_K)}) s"
-        ),
-    }
-    ctes = [f"exact_t AS ({exact_sql})"] + [
-        f"{m}_t AS ({sql})" for m, sql in methods.items()
-    ]
-    selects = [
-        f"SELECT '{m}' AS method, ROUND((SELECT COUNT(*) FROM {m}_t"
-        f" JOIN exact_t USING (id)) / {ANN_IVF_K}.0, 6) AS recall"
-        for m in sorted(methods)
-    ]
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
-        + "\nUNION ALL\n".join(selects)
-        + "\nORDER BY method"
-    )
-
-
-@register(
-    "metrics_recall_by_method",
-    _recall_by_method_oracle(),
-    side_effects=True,
-)
-def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's CORE mission — "evaluate competing execution
-    strategies for recall against a brute-force oracle"
-    (src/eval/oracle.py; SURVEY.md §1) — widened to every deterministic
-    ANN/quantized family this engine ships, in one report: recall@10 vs
-    the exact scan at a shared query seed for IVF (probed lists), LSH
-    (multi-probe buckets), binary-Hamming rerank, and int8 rerank. Each
-    method's candidate generation is a pure function of (corpus, seed),
-    so the whole evaluation — four strategies AND the measurement — is
-    value-hash certified, which no recall number over a trained/
-    stochastic index can be.
-
-    SET-AT-A-TIME evaluation (VERDICT r8 next #1): instead of five
-    serial full plans (one per strategy — the reference's per-strategy
-    loop, src/harness/run.py:155-199), ONE union job over the
-    session-cached QUANTIZED corpus (_quantized_corpus — int8 codes,
-    sign-pack word, LSH bucket, and IVF list are ingest-time
-    materializations, computed once per session like the persisted
-    index layouts) collects every strategy's bounded candidate slice —
-    top-K for the filtered families, top-candidate-budget WITH exact
-    scores for the rerank families. Per scanned row the only per-query
-    arithmetic left is the float64 dot, one XOR+bit_count, and a
-    64-long integer dot over the cached codes. Every slice is derived
-    by the SAME expressions and tie-breaks the registered per-strategy
-    queries run, so the report still cannot drift from the engine; the
-    five bounded TakeOrdered jobs are submitted CONCURRENTLY (Spark's
-    scheduler runs independent actions in parallel — the documented
-    pattern for fan-out evaluation), so wall time is one job over
-    in-memory data instead of five serial scans; stacking them in one
-    union plan was measured SLOWER (each limit branch plans its own
-    exchange — stage-scheduling floor dominates a 5-branch union).
-    ``side_effects``: the collected slices are driver-side set
-    intersections (≤ 2·100 + 3·K rows)."""
-    import numpy as np
-
-    from hybrid_vector_search_spark.functions.vector import (
-        dot_score_sql,
-        sign_pack_value,
-    )
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    q = query_vector(RECALL_EVAL_QSEED)
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    probed = index.probe(q, ANN_IVF_NPROBE)
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    lsh_probes = LSH.probe_set(q, planes, probe_hamming=1)
-    qbits = sign_pack_value(q)
-    q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
-    iscore = F.aggregate(
-        F.zip_with(
-            F.col("i8"),
-            F.array(*[F.lit(v).cast("long") for v in q8]),
-            lambda x, y: x * y,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    ham = F.bit_count(F.col("pk").bitwiseXOR(F.lit(qbits)))
-    base = _quantized_corpus(spark, sf_dir)
-    score = dot_score_sql("embedding", q).alias("score")
-
-    plans = {
-        "exact": topk(base.select("id", score), ANN_IVF_K),
-        "ivf": topk(
-            base.filter(F.col("list_id").isin(probed)).select("id", score),
-            ANN_IVF_K,
-        ),
-        "lsh": topk(
-            base.filter(F.col("bucket").isin(lsh_probes)).select(
-                "id", score
-            ),
-            ANN_IVF_K,
-        ),
-        # rerank shape = _hamming_rerank_plan's: the float64 dot runs
-        # on the C survivors only, never the full corpus
-        "hamming": base.select("id", "embedding", ham.alias("ham"))
-        .orderBy(F.col("ham").asc(), F.col("id").asc())
-        .limit(100)
-        .select("id", score),
-        "int8": base.select("id", "embedding", iscore.alias("iscore"))
-        .orderBy(F.col("iscore").desc(), F.col("id").asc())
-        .limit(100)
-        .select("id", score),
-    }
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(len(plans)) as ex:
-        slices = dict(
-            zip(plans, ex.map(lambda p: p.collect(), plans.values()))
-        )
-
-    def rerank_top(tag):
-        cand = sorted(slices[tag], key=lambda r: (-r["score"], r["id"]))
-        return {int(r["id"]) for r in cand[:ANN_IVF_K]}
-
-    exact_set = {int(r["id"]) for r in slices["exact"]}
-    rows = [
-        (m, round(len(rerank_top(m) & exact_set) / float(ANN_IVF_K), 6))
-        for m in ("hamming", "int8", "ivf", "lsh")
-    ]
-    return spark.createDataFrame(rows, "method STRING, recall DOUBLE")
-
-
-NPROBE_SWEEP = (1, 2, 4, 8, 16)
-NPROBE_SWEEP_QSEED = 73
-
-
-def _nprobe_sweep_oracle() -> str:
-    """Replays the recall-vs-nprobe trade-off curve: for each nprobe the
-    probed list set is a compile-time constant (seeded centroids ×
-    seeded query), so each sweep point's candidate set, top-10, and
-    exact-intersection recall are all SQL-derivable."""
-    import numpy as np
-
-    q = query_vector(NPROBE_SWEEP_QSEED)
-    qlit = sql_array_literal(q)
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    scores = _ann_ivf_centroids() @ np.asarray(q, dtype=np.float64)
-    order = np.argsort(-scores, kind="stable")
-    head = f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings)),
-exact_t AS (
-  SELECT id FROM assigned
-  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
-    parts = []
-    for nprobe in NPROBE_SWEEP:
-        probed = ", ".join(
-            str(int(i)) for i in sorted(order[:nprobe])
-        )
-        parts.append(
-            f"""(SELECT {nprobe} AS nprobe, ROUND((
-  SELECT COUNT(*) FROM (
-    SELECT id FROM assigned WHERE list_id IN ({probed})
-    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
-  ) / {ANN_IVF_K}.0, 6) AS recall)"""
-        )
-    return (
-        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY nprobe"
-    )
-
-
-@register(
-    "metrics_ivf_nprobe_sweep", _nprobe_sweep_oracle(), side_effects=True
-)
-def metrics_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The recall-vs-work TRADE-OFF CURVE — the relationship the
-    reference's whole evaluation harness exists to plot (recall against
-    nprobe/latency per strategy, src/eval/*): recall@10 vs the exact
-    scan at every rung of an nprobe sweep over the fixed-quantizer IVF
-    index. Monotone non-decreasing by construction (a superset of
-    probed lists can only add candidates) and ending at the full-probe
-    rung's exact-equality when every list is probed; each sweep point's
-    probe set is a pure function of (centroids, seed), so the oracle
-    replays the ENTIRE curve. This is the artifact an operator reads to
-    pick nprobe for a recall SLO — the engine's answer to "how much
-    work buys how much recall".
-
-    ONE-SCAN derivation (VERDICT r8 next #1): a probe set is a PREFIX
-    of the stable centroid ranking, so nprobe N's candidates ⊆ nprobe
-    N′>N's — rank the corpus ONCE per list (row_number over a
-    list_id-partitioned window, same (score DESC, id ASC) tie-break as
-    topk) and every rung's top-K is derivable from the per-list top-K
-    union: a row in the top-K of any probed-prefix union is necessarily
-    in its own list's top-K. One Spark job (≤ nlist·K rows collected)
-    replaces |sweep|+1 serial plans; the exact anchor falls out of the
-    same rows because the window runs over ALL lists."""
-    import numpy as np
-
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-    from pyspark.sql import Window
-
-    q = query_vector(NPROBE_SWEEP_QSEED)
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    order = np.argsort(
-        -(index.centroids @ np.asarray(q, dtype=np.float64)),
-        kind="stable",
-    )
-    rank_of = {int(li): r for r, li in enumerate(order)}
-    w = Window.partitionBy("list_id").orderBy(
-        F.col("score").desc(), F.col("id").asc()
-    )
-    top = (
-        index.assigned.select(
-            "id", "list_id", dot_score_column(q).alias("score")
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= ANN_IVF_K)
-        .select("id", "list_id", "score")
-        .collect()
-    )
-
-    def top_of(rows_):
-        rows_ = sorted(rows_, key=lambda r: (-r["score"], r["id"]))
-        return {int(r["id"]) for r in rows_[:ANN_IVF_K]}
-
-    exact = top_of(top)  # all lists = the full corpus
-    rows = []
-    for nprobe in NPROBE_SWEEP:
-        got = top_of(
-            r for r in top if rank_of[int(r["list_id"])] < nprobe
-        )
-        rows.append(
-            (nprobe, round(len(got & exact) / float(ANN_IVF_K), 6))
-        )
-    return spark.createDataFrame(rows, "nprobe LONG, recall DOUBLE")
-
-
-HAMMING_SWEEP_C = (10, 25, 50, 100, 200)
-HAMMING_SWEEP_QSEED = 83
-
-
-def _hamming_c_sweep_oracle() -> str:
-    """Replays the Hamming rerank's candidate-budget curve: per C, the
-    prefilter keeps the C nearest sign-codes (bit_count ties broken by
-    id), the exact rerank keeps top-10, and recall vs the exact scan is
-    derived — all from the same deterministic pack."""
-    from hybrid_vector_search_spark.functions.vector import (
-        sign_pack_sql,
-        sign_pack_value,
-    )
-
-    q = query_vector(HAMMING_SWEEP_QSEED)
-    qbits = sign_pack_value(q)
-    qlit = sql_array_literal(q)
-    head = f"""WITH packed AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e,
-         {sign_pack_sql('embedding')} AS pk
-  FROM embeddings),
-exact_t AS (
-  SELECT id FROM packed
-  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
-    parts = []
-    for c in HAMMING_SWEEP_C:
-        parts.append(
-            f"""(SELECT {c} AS cand_k, ROUND((SELECT COUNT(*) FROM (
-    SELECT id FROM (
-      SELECT id, e FROM packed
-      ORDER BY bit_count(xor(pk, {qbits}::BIGINT)) ASC, id ASC
-      LIMIT {c}) cand
-    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
-  ) / {ANN_IVF_K}.0, 6) AS recall)"""
-        )
-    return (
-        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY cand_k"
-    )
-
-
-@register(
-    "metrics_hamming_c_sweep", _hamming_c_sweep_oracle(), side_effects=True
-)
-def metrics_hamming_c_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The third trade-off curve, completing the triptych across every
-    prefilter family (IVF: nprobe, LSH: probe radius, binary: candidate
-    budget C): recall@10 of the sign-pack Hamming rerank per candidate
-    budget. C is the knob that prices the exact-rerank stage — recall
-    is monotone in C by construction (a larger candidate superset can
-    only improve the reranked top-K) — and every point replays in SQL
-    because the pack is a pure function of the embedding.
-
-    PREFIX derivation (VERDICT r8 next #1): budget C's candidate set is
-    by definition the first C rows of the total (hamming ASC, id ASC)
-    order — a PREFIX of budget max(C)'s set — so ONE bounded
-    TakeOrdered at C = max collects every budget's candidates WITH
-    their exact scores, and each rung's reranked top-K is a driver-side
-    sort of a prefix. A single union job (max-C candidate branch +
-    exact-anchor branch, both bounded TakeOrdered stages running in
-    parallel over the session-cached quantized corpus — the sign-pack
-    word is an ingest-time column, _quantized_corpus) replaces
-    |budgets|+1 serial full plans; expressions and tie-breaks are
-    exactly _hamming_rerank_plan's, so the sets cannot drift from the
-    registered query's."""
-    from hybrid_vector_search_spark.functions.vector import (
-        dot_score_sql,
-        sign_pack_value,
-    )
-
-    q = query_vector(HAMMING_SWEEP_QSEED)
-    qbits = sign_pack_value(q)
-    narrow = _quantized_corpus(spark, sf_dir).select(
-        F.col("id").alias("vec_id"),
-        F.bit_count(F.col("pk").bitwiseXOR(F.lit(qbits))).alias("ham"),
-        dot_score_sql("embedding", q).alias("score"),
-    )
-    collected = (
-        narrow.orderBy(F.col("ham").asc(), F.col("vec_id").asc())
-        .limit(max(HAMMING_SWEEP_C))
-        .select(F.lit("cand").alias("tag"), "vec_id", "ham", "score")
-        .unionAll(
-            topk(
-                narrow.select("vec_id", "score"),
-                ANN_IVF_K,
-                id_col="vec_id",
-            ).select(
-                F.lit("exact").alias("tag"),
-                "vec_id",
-                F.lit(None).cast("int").alias("ham"),
-                "score",
-            )
-        )
-        .collect()
-    )
-    cand = sorted(
-        (r for r in collected if r["tag"] == "cand"),
-        key=lambda r: (r["ham"], r["vec_id"]),
-    )
-    exact = {
-        int(r["vec_id"]) for r in collected if r["tag"] == "exact"
-    }
-    rows = []
-    for c in HAMMING_SWEEP_C:
-        got = {
-            int(r["vec_id"])
-            for r in sorted(
-                cand[:c], key=lambda r: (-r["score"], r["vec_id"])
-            )[:ANN_IVF_K]
-        }
-        rows.append((c, round(len(got & exact) / float(ANN_IVF_K), 6)))
-    return spark.createDataFrame(rows, "cand_k LONG, recall DOUBLE")
-
-
-LSH_SWEEP_RADII = (0, 1, 2, 3)
-LSH_SWEEP_QSEED = 79
-
-
-def _lsh_radius_sweep_oracle() -> str:
-    """Replays the LSH recall-vs-work curve: per probe radius, the
-    probe-bucket set is a compile-time constant, so both measures —
-    recall@10 against the exact scan AND the candidate count the probe
-    actually scans (the work axis) — derive in SQL."""
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    q = query_vector(LSH_SWEEP_QSEED)
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    qlit = sql_array_literal(q)
-    bucket = LSH.bucket_sql_expr(planes)
-    head = f"""WITH bucketed AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e, {bucket} AS bucket
-  FROM embeddings),
-exact_t AS (
-  SELECT id FROM bucketed
-  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
-    parts = []
-    for r in LSH_SWEEP_RADII:
-        probes = ", ".join(
-            str(b) for b in LSH.probe_set(q, planes, probe_hamming=r)
-        )
-        parts.append(
-            f"""(SELECT {r} AS radius,
-  (SELECT COUNT(*) FROM bucketed WHERE bucket IN ({probes}))
-    AS candidates,
-  ROUND((SELECT COUNT(*) FROM (
-    SELECT id FROM bucketed WHERE bucket IN ({probes})
-    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
-  ) / {ANN_IVF_K}.0, 6) AS recall)"""
-        )
-    return (
-        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY radius"
-    )
-
-
-@register(
-    "metrics_lsh_radius_sweep",
-    _lsh_radius_sweep_oracle(),
-    side_effects=True,
-)
-def metrics_lsh_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH trade-off curve with BOTH axes measured: per multi-probe
-    Hamming radius, recall@10 against the exact scan AND the candidate
-    count the probe scans — recall is what you buy, candidates are what
-    you pay (bytes read ∝ probed buckets), and the radius is the knob.
-    At radius = nbits every bucket is probed, so the curve ends at
-    recall 1.0 with candidates = N — the built-in sanity anchor. Each
-    radius's probe set is a pure function of (hyperplanes, seed), so
-    the oracle replays the whole curve, work column included —
-    the companion of metrics_ivf_nprobe_sweep on the stateless-index
-    family.
-
-    ONE-SCAN derivation (VERDICT r8 next #1): probe sets are NESTED in
-    the radius (radius r's buckets ⊆ radius r+1's), so each bucket has
-    a MINIMUM radius at which it is first probed — a tiny driver-side
-    map over the 2^nbits bucket ids. One window job partitioned by that
-    min-radius group yields, per group, the member count (the work
-    axis: candidates at radius r = Σ counts of groups ≤ r) and the
-    per-group top-K (a row in any radius-prefix union's top-K is in its
-    own group's top-K); rows outside every probe set form a sentinel
-    group so the exact anchor derives from the same collected rows.
-    One job (≤ (|radii|+1)·K rows) replaces 1 + 2·|radii| serial
-    plans."""
-    from pyspark.sql import Window
-
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    q = query_vector(LSH_SWEEP_QSEED)
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    UNPROBED = 99  # sentinel: outside even the widest probe set
-    mr = None
-    for radius in LSH_SWEEP_RADII:  # ascending → first hit = min radius
-        cond = F.col("bucket").isin(
-            LSH.probe_set(q, planes, probe_hamming=radius)
-        )
-        mr = F.when(cond, F.lit(radius)) if mr is None else mr.when(
-            cond, F.lit(radius)
-        )
-    mr = mr.otherwise(F.lit(UNPROBED))
-    w = Window.partitionBy("mr")
-    ranked = (
-        # bucket is an ingest-time column (_quantized_corpus), same
-        # bucket_udf expression the registered LSH queries assign
-        _quantized_corpus(spark, sf_dir)
-        .select(
-            "id", dot_score_sql("embedding", q).alias("score"), mr.alias("mr")
-        )
-        .withColumn("cnt", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                w.orderBy(F.col("score").desc(), F.col("id").asc())
-            ),
-        )
-        .filter(F.col("rk") <= ANN_IVF_K)
-        .select("id", "score", "mr", "cnt")
-        .collect()
-    )
-    group_n = {int(r["mr"]): int(r["cnt"]) for r in ranked}
-
-    def top_of(rows_):
-        rows_ = sorted(rows_, key=lambda r: (-r["score"], r["id"]))
-        return {int(r["id"]) for r in rows_[:ANN_IVF_K]}
-
-    exact = top_of(ranked)  # sentinel group included = full corpus
-    rows = []
-    for radius in LSH_SWEEP_RADII:
-        n_cand = sum(n for g, n in group_n.items() if g <= radius)
-        got = top_of(r for r in ranked if r["mr"] <= radius)
-        rows.append(
-            (
-                radius,
-                n_cand,
-                round(len(got & exact) / float(ANN_IVF_K), 6),
-            )
-        )
-    return spark.createDataFrame(
-        rows, "radius LONG, candidates LONG, recall DOUBLE"
-    )
-
-
-MATRYOSHKA_SWEEP_DIMS = (8, 16, 32, 64)
-MATRYOSHKA_SWEEP_QSEED = 101
-
-
-def _matryoshka_dim_sweep_oracle() -> str:
-    """Replays the recall-vs-prefix-length curve: per prefix d, the
-    candidate set is the top-C by the d-dim prefix inner product (pure
-    function of the embedding), the exact rerank keeps top-10, and
-    recall vs the exact scan derives — the d = 64 rung's prefix IS the
-    full product, so the curve ends at recall 1.0 by construction."""
-    q = query_vector(MATRYOSHKA_SWEEP_QSEED)
-    qlit = sql_array_literal(q)
-    head = f"""WITH pref AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-exact_t AS (
-  SELECT id FROM pref
-  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K})"""
-    parts = []
-    for d in MATRYOSHKA_SWEEP_DIMS:
-        qplit = sql_array_literal(q[:d])
-        parts.append(
-            f"""(SELECT {d} AS prefix_d, ROUND((SELECT COUNT(*) FROM (
-    SELECT id FROM (
-      SELECT id, e FROM pref
-      ORDER BY list_dot_product(e[1:{d}], {qplit}) DESC, id ASC
-      LIMIT {MATRYOSHKA_C}) cand
-    ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-    LIMIT {ANN_IVF_K}) t JOIN exact_t USING (id)
-  ) / {ANN_IVF_K}.0, 6) AS recall)"""
-        )
-    return (
-        head + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY prefix_d"
-    )
-
-
-@register(
-    "metrics_matryoshka_dim_sweep",
-    _matryoshka_dim_sweep_oracle(),
-    side_effects=True,
-)
-def metrics_matryoshka_dim_sweep(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The FOURTH recall-vs-work trade-off curve, completing the knob
-    set across every cheap-first-stage family the engine ships (IVF:
-    nprobe, LSH: probe radius, binary: candidate budget C, and here
-    DIMENSIONS): recall@10 of the prefix-dimension rerank
-    (ann_matryoshka_rerank_topk) per prefix length d ∈ {MATRYOSHKA_
-    SWEEP_DIMS} at fixed C. The work axis is bytes/flops per scanned
-    row — d/64 of the full scan — and the d = 64 rung is the full
-    product, so the curve ends at recall 1.0, the built-in sanity
-    anchor. Set-at-a-time like its three siblings (VERDICT r8 next
-    #1): prefix candidate sets are NOT nested across d (different
-    orderings), so each d gets its own bounded TakeOrdered branch with
-    exact scores, all submitted concurrently over the session-cached
-    corpus, and every rung's reranked top-K plus the exact anchor
-    derive driver-side. ``side_effects``: bounded collects + driver
-    set intersections."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
-
-    q = query_vector(MATRYOSHKA_SWEEP_QSEED)
-    base = _quantized_corpus(spark, sf_dir)
-    score = dot_score_sql("embedding", q).alias("score")
-
-    def pscore(d):
-        qp = F.array(*[F.lit(float(x)) for x in q[:d]])
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("embedding"), 1, d),
-                qp,
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    plans = {
-        d: base.select("id", "embedding", pscore(d).alias("ps"))
-        .orderBy(F.col("ps").desc(), F.col("id").asc())
-        .limit(MATRYOSHKA_C)
-        .select("id", score)
-        for d in MATRYOSHKA_SWEEP_DIMS
-    }
-    plans["exact"] = topk(base.select("id", score), ANN_IVF_K)
-    keys = list(plans)
-    with ThreadPoolExecutor(len(keys)) as ex:
-        slices = dict(
-            zip(keys, ex.map(lambda k: plans[k].collect(), keys))
-        )
-    exact = {int(r["id"]) for r in slices["exact"]}
-    rows = []
-    for d in MATRYOSHKA_SWEEP_DIMS:
-        cand = sorted(slices[d], key=lambda r: (-r["score"], r["id"]))
-        got = {int(r["id"]) for r in cand[:ANN_IVF_K]}
-        rows.append((d, round(len(got & exact) / float(ANN_IVF_K), 6)))
-    return spark.createDataFrame(rows, "prefix_d LONG, recall DOUBLE")
-
-
-def _rrf_oracle(qseed: int = RRF_QSEED, terms_t: tuple = RRF_TERMS) -> str:
-    qlit = sql_array_literal(query_vector(qseed))
-    terms = ", ".join(f"'{t}'" for t in terms_t)
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, d.text
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-tok AS (SELECT id,
-  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM corpus),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
-stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
-                 (SELECT COUNT(*) FROM tok2) AS t),
-qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
-        WHERE term IN ({terms}) GROUP BY id, term),
-qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
-        WHERE term IN ({terms}) GROUP BY term),
-lex AS (SELECT q.id, ROUND(SUM(
-    ln(1.0 + (n - df + 0.5) / (df + 0.5))
-    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
-  ), 6) AS score
-  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
-  CROSS JOIN stats GROUP BY q.id),
-lexr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
-  FROM (SELECT id, score FROM lex
-        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
-vec AS (SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
-  FROM corpus),
-vecr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
-  FROM (SELECT id, score FROM vec
-        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
-fused AS (SELECT COALESCE(l.id, v.id) AS id,
-  ROUND(COALESCE(1.0 / ({RRF_K} + l.r), 0)
-        + COALESCE(1.0 / ({RRF_K} + v.r), 0), 6) AS rrf_score
-  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
-SELECT id, rrf_score FROM fused
-ORDER BY rrf_score DESC, id ASC LIMIT {RRF_FINAL_K}"""
-
-
-@register("retrieval_rrf_fusion", _rrf_oracle())
-def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical + vector HYBRID RETRIEVAL via reciprocal-rank fusion — the
-    standard two-tower serving pattern (BM25 leg + dense leg, fused as
-    Σ 1/(60 + rank)) the reference has no analogue for, expressed as two
-    independent top-K branches joined by id:
-
-    * lexical leg: full BM25 (k1=1.2, b=0.75, document-length
-      normalization against the corpus average) over the fixed query
-      terms — term stats are two narrow aggregations, the per-term df
-      table broadcasts, and only docs containing a query term ever reach
-      the scorer;
-    * dense leg: exact inner product with the JVM codegen kernel;
-    * fusion: both legs rank on 6-decimal-ROUNDED scores (an ULP of
-      ln()/summation can never flip a rank across engines — the
-      text_tfidf_top_terms rule), are cut to top-20 by
-      TakeOrderedAndProject, and full-outer join on id so a doc missing
-      from one leg simply contributes nothing from it.
-
-    At 100 TB each leg is the engine's existing scale path (partial-agg
-    term stats + bounded top-K heaps; pruned/exact vector scan); the
-    fusion join touches ≤ 2·leg_K rows. The oracle replays BM25, both
-    rankings, and the fused top-10."""
-    from pyspark.sql import Window
-
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-
-    corpus = load_corpus(spark, sf_dir)
-    tok = (
-        corpus.select(
-            "id",
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
-                "term"
-            ),
-        )
-        .filter(F.col("term") != "")
-    )
-    n = corpus.count()
-    t = tok.count()
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    qtok = tok.filter(F.col("term").isin(list(RRF_TERMS)))
-    tf = qtok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = qtok.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    # expression shapes mirror the oracle EXACTLY (same literals, same
-    # association) so float64 evaluation matches to the last ULP before
-    # the rank-stabilizing round
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(1.2) * (
-        F.lit(0.25) + (F.lit(0.75) * F.col("dl") * F.lit(n)) / F.lit(t)
-    )
-    per_term = idf * ((F.col("tf") * F.lit(2.2)) / denom)
-    lex = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, "id")
-        .groupBy("id")
-        .agg(F.round(F.sum(per_term), 6).alias("score"))
-    )
-
-    def leg_ranks(scored: DataFrame, rank_name: str) -> DataFrame:
-        top = topk(scored, RRF_LEG_K)
-        w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-        return top.withColumn(rank_name, F.row_number().over(w)).select(
-            "id", rank_name
-        )
-
-    lexr = leg_ranks(lex, "lr")
-    vec = corpus.select(
-        "id",
-        F.round(dot_score_column(query_vector(RRF_QSEED)), 6).alias("score"),
-    )
-    vecr = leg_ranks(vec, "vr")
-    fused = lexr.join(vecr, "id", "full_outer").select(
-        "id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0))
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
-            ),
-            6,
-        ).alias("rrf_score"),
-    )
-    return topk(fused, RRF_FINAL_K, score_col="rrf_score")
-
-
-_BM25_LAYOUT_CACHE: dict[str, tuple[SparkSession, str]] = {}
-BM25_K = 20
-
-
-def _bm25_layout_path(spark: SparkSession, sf_dir: str) -> str:
-    """Session-cached persisted BM25 inverted-index layout (ingest-time
-    artifact, like the IVF/LSH/HNSW layouts)."""
-    from hybrid_vector_search_spark.operators.bm25 import (
-        build_postings_layout,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cached = _BM25_LAYOUT_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    corpus = load_corpus(spark, sf_dir).select("id", "text")
-    path = scratch_path(
-        "bm25_postings_" + sf_dir.strip("/").replace("/", "_")
-    )
-    build_postings_layout(corpus, path)
-    _BM25_LAYOUT_CACHE[sf_dir] = (spark, path)
-    return path
-
-
-def _bm25_oracle(terms_t: tuple = RRF_TERMS) -> str:
-    terms = ", ".join(f"'{t}'" for t in terms_t)
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, d.text
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-tok AS (SELECT id,
-  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM corpus),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
-stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
-                 (SELECT COUNT(*) FROM tok2) AS t),
-qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
-        WHERE term IN ({terms}) GROUP BY id, term),
-qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
-        WHERE term IN ({terms}) GROUP BY term),
-lex AS (SELECT q.id, ROUND(SUM(
-    ln(1.0 + (n - df + 0.5) / (df + 0.5))
-    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
-  ), 6) AS score
-  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
-  CROSS JOIN stats GROUP BY q.id)
-SELECT id, score FROM lex ORDER BY score DESC, id ASC LIMIT {BM25_K}"""
-
-
-@register("retrieval_bm25_persisted_topk", _bm25_oracle())
-def retrieval_bm25_persisted_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Lexical top-K over the PERSISTED BM25 inverted-index layout
-    (operators/bm25.py) — the lexical twin of the IVF/LSH layout story:
-    postings ``(term, id, tf, dl)`` hash-bucketed by term into partition
-    directories (one file per bucket), per-term df broadcast from a tiny
-    stats table, corpus constants from a JSON sidecar. The query scan
-    partition-prunes to the query terms' buckets, so I/O is ∝ |query
-    term buckets| — corpus size never enters the bound; the RRF fusion
-    queries recompute these statistics per session, this is the shape
-    that amortizes them into an ingest artifact. BM25 expression is
-    identical to the RRF lexical leg; the oracle replays tokenization,
-    stats, and the scored top-{BM25_K}."""
-    from hybrid_vector_search_spark.operators.bm25 import bm25_topk_plan
-
-    path = _bm25_layout_path(spark, sf_dir)
-    return bm25_topk_plan(
-        spark, path, list(RRF_TERMS), k=BM25_K
-    ).select("id", "score")
-
-
-BM25_INCR_TERMS = ("stream", "window", "merge")
-_BM25_INCR_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "retrieval_bm25_incremental_topk", _bm25_oracle(BM25_INCR_TERMS)
-)
-def retrieval_bm25_incremental_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """INCREMENTAL lexical-index maintenance, hash-certified against a
-    full rebuild: the layout is built over 80% of the corpus (ids with
-    ``id % 5 != 0``), the remaining 20% arrives as an append-only batch
-    (operators/bm25.py append_postings_batch — new postings append into
-    their term buckets, the additive df stats swap atomically, corpus
-    constants accumulate), and the standard pruned top-K runs over the
-    result. The oracle computes BM25 over the WHOLE corpus from
-    scratch, so a hash match proves append ≡ rebuild — the same
-    evidence style as ann_ivf_upsert_topk, completing the maintenance
-    story for the lexical index family. Note BM25's global coupling:
-    the append moves N, avgdl, and df, so OLD docs' scores legitimately
-    change — the stats tables make that automatic."""
-    import os as _os
-
-    from hybrid_vector_search_spark.operators.bm25 import (
-        append_postings_batch,
-        bm25_topk_plan,
-        build_postings_layout,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cached = _BM25_INCR_CACHE.get(sf_dir)
-    path = cached[1] if cached is not None and cached[0] is spark else None
-    if path is None:
-        corpus = load_corpus(spark, sf_dir).select("id", "text")
-        path = scratch_path(
-            "bm25_incr_" + sf_dir.strip("/").replace("/", "_")
-        )
-        build_postings_layout(corpus.filter(F.col("id") % 5 != 0), path)
-        append_postings_batch(
-            spark, path, corpus.filter(F.col("id") % 5 == 0)
-        )
-        _BM25_INCR_CACHE[sf_dir] = (spark, path)
-    return bm25_topk_plan(
-        spark, path, list(BM25_INCR_TERMS), k=BM25_K
-    ).select("id", "score")
-
-
-_BM25_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-def _bm25_snapshot_oracle() -> str:
-    """Two full BM25 replays — v1 over the base 80% of the corpus, v2
-    over everything — each with ITS OWN (n, t, df) statistics, unioned
-    under version literals: the SQL mirror of scoring every pinned
-    snapshot against the constants committed with it."""
-    terms = ", ".join(f"'{t}'" for t in BM25_INCR_TERMS)
-    blocks = []
-    for version, where in ((1, "id % 5 <> 0"), (2, "TRUE")):
-        v = f"v{version}"
-        blocks.append(f"""{v}tok AS (SELECT * FROM tok2 WHERE {where}),
-{v}dl AS (SELECT id, COUNT(*) AS dl FROM {v}tok GROUP BY id),
-{v}stats AS (
-  SELECT (SELECT COUNT(*) FROM corpus WHERE {where}) AS n,
-         (SELECT COUNT(*) FROM {v}tok) AS t),
-{v}qtf AS (SELECT id, term, COUNT(*) AS tf FROM {v}tok
-  WHERE term IN ({terms}) GROUP BY id, term),
-{v}qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM {v}tok
-  WHERE term IN ({terms}) GROUP BY term),
-{v}top AS (SELECT {version} AS version, q.id, ROUND(SUM(
-    ln(1.0 + (n - df + 0.5) / (df + 0.5))
-    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
-  ), 6) AS score
-  FROM {v}qtf q JOIN {v}qdf USING (term) JOIN {v}dl dl ON q.id = dl.id
-  CROSS JOIN {v}stats GROUP BY q.id
-  ORDER BY score DESC, q.id ASC LIMIT {BM25_K})""")
-    body = ",\n".join(blocks)
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, d.text
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-tok AS (SELECT id,
-  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM corpus),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-{body}
-SELECT * FROM v1top UNION ALL SELECT * FROM v2top
-ORDER BY version, score DESC, id"""
-
-
-@register("retrieval_bm25_snapshot_topk", _bm25_snapshot_oracle())
-def retrieval_bm25_snapshot_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """BM25 POSTINGS ROUTED THROUGH THE VERSIONED-MANIFEST LAYOUT —
-    the lexical leg of the maintenance-unification story (the r9
-    verdict's direction, already walked for IVF by
-    ann_ivf_upsert_snapshot): instead of the bespoke begin/commit
-    marker protocol (operators/bm25.py append_postings_batch), the
-    postings land via ``commit_append_clustered`` (one immutable file
-    per term bucket — footer stats give exact bucket pruning through
-    ``read_snapshot_pruned_in``) and the corpus constants (N, total
-    tokens) RIDE IN THE MANIFEST COMMIT, atomic with the postings.
-    What the manifest buys the lexical index over the marker protocol:
-    (1) snapshot isolation — a reader mid-append sees v1 or v2, never
-    base postings with batch stats; (2) PINNED RANKINGS — v1 scores
-    with v1's (n, t, df) even after the append moved every global
-    statistic, so yesterday's search ranking is reproducible forever
-    (BM25's global coupling makes this impossible under in-place
-    maintenance); (3) per-term df needs NO stats table — a term's
-    postings live wholly in its bucket files, so df aggregates from
-    the same pruned scan that serves tf (bucket-bounded, corpus-size
-    independent). The oracle replays both versions' statistics and
-    top-{BM25_K} from raw text. Reference scope: beyond-reference
-    (no lexical leg, SURVEY.md §2.5)."""
-    from hybrid_vector_search_spark.operators.bm25 import (
-        DEFAULT_BUCKETS,
-        _bucket_col,
-        bm25_score_expr,
-        term_bucket,
-        tokenize,
-    )
-    from hybrid_vector_search_spark.operators.topk import topk
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _BM25_SNAP_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        corpus = load_corpus(spark, sf_dir).select("id", "text")
-        root = scratch_path(
-            "bm25_snap_" + sf_dir.strip("/").replace("/", "_")
-        )
-        run_n = run_t = 0
-        for part in (
-            corpus.filter(F.col("id") % 5 != 0),
-            corpus.filter(F.col("id") % 5 == 0),
-        ):
-            tok = tokenize(part).cache()
-            try:
-                run_n += part.count()
-                run_t += tok.count()
-                dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-                postings = (
-                    tok.groupBy("id", "term")
-                    .agg(F.count(F.lit(1)).alias("tf"))
-                    .join(dl, "id")
-                    .withColumn("bucket", _bucket_col(DEFAULT_BUCKETS))
-                )
-                M.commit_append_clustered(
-                    root,
-                    postings,
-                    "bucket",
-                    meta={"bm25_n": run_n, "bm25_t": run_t},
-                )
-            finally:
-                tok.unpersist()
-        _BM25_SNAP_CACHE[sf_dir] = (spark, root)
-    buckets = sorted(
-        {term_bucket(t, DEFAULT_BUCKETS) for t in BM25_INCR_TERMS}
-    )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    out = None
-    for v in (1, 2):
-        n = int(M.committed_meta(root, "bm25_n", version=v))
-        t = int(M.committed_meta(root, "bm25_t", version=v))
-        hits = M.read_snapshot_pruned_in(
-            spark, root, "bucket", buckets, version=v
-        ).filter(F.col("term").isin(list(BM25_INCR_TERMS)))
-        dfs = hits.groupBy("term").agg(
-            F.countDistinct("id").alias("df")
-        )
-        scored = (
-            hits.join(F.broadcast(dfs), "term")
-            # same AQE pin as bm25_topk_plan: byte-light CPU-heavy agg
-            .repartition(n_part, "id")
-            .groupBy("id")
-            .agg(F.round(F.sum(bm25_score_expr(n, t)), 6).alias("score"))
-        )
-        part = topk(scored, BM25_K).select(
-            F.lit(v).alias("version"), "id", "score"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out.orderBy("version", F.col("score").desc(), "id")
-
-
-def _bm25_batch_oracle() -> str:
-    all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
-    terms_all = ", ".join(f"'{t}'" for t in all_terms)
-    head = f"""WITH corpus AS (
-  SELECT e.vec_id AS id, d.text
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-tok AS (SELECT id,
-  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM corpus),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
-stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
-                 (SELECT COUNT(*) FROM tok2) AS t),
-qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
-        WHERE term IN ({terms_all}) GROUP BY id, term),
-qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
-        WHERE term IN ({terms_all}) GROUP BY term)"""
-    parts = []
-    for qid, terms in RRF_BATCH:
-        tl = ", ".join(f"'{t}'" for t in terms)
-        parts.append(
-            f"""(SELECT {qid} AS qid, id, score FROM (
-  SELECT q.id, ROUND(SUM(
-    ln(1.0 + (n - df + 0.5) / (df + 0.5))
-    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
-  ), 6) AS score
-  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
-  CROSS JOIN stats WHERE q.term IN ({tl}) GROUP BY q.id)
- ORDER BY score DESC, id ASC LIMIT {BM25_K})"""
-        )
-    return head + "\n" + "\nUNION ALL\n".join(parts)
-
-
-@register("retrieval_bm25_batch_topk", _bm25_batch_oracle())
-def retrieval_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH lexical serving over the persisted BM25 layout — N term-set
-    queries answered in ONE job: the postings scan partition-prunes to
-    the UNION of all queries' term buckets, the tiny (qid, term) map and
-    per-term df table broadcast, per-(qid, id) BM25 sums in one
-    aggregation, and one qid-window cuts every top-{BM25_K} — the
-    lexical mirror of ann_ivf_batch_topk (bytes read ∝ |∪ term
-    buckets|, never corpus × queries). Corpus statistics are shared
-    across queries, exactly as the per-query oracle replay."""
-    import json as _json
-    import os as _os
-
-    from hybrid_vector_search_spark.operators.bm25 import (
-        bm25_score_expr,
-        term_bucket,
-    )
-
-    path = _bm25_layout_path(spark, sf_dir)
-    with open(_os.path.join(path, "meta.json"), encoding="utf-8") as f:
-        meta = _json.load(f)
-    all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
-    buckets = sorted(
-        {term_bucket(tm, meta["n_buckets"]) for tm in all_terms}
-    )
-    postings = spark.read.parquet(_os.path.join(path, "postings"))
-    stats = spark.read.parquet(_os.path.join(path, "termstats")).filter(
-        F.col("term").isin(all_terms)
-    )
-    qterm = spark.createDataFrame(
-        [(int(qid), tm) for qid, terms in RRF_BATCH for tm in terms],
-        "qid long, term string",
-    )
-    hits = (
-        postings.filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(all_terms))
-        .join(F.broadcast(stats), "term")
-        .join(F.broadcast(qterm), "term")
-    )
-    scored = hits.groupBy("qid", "id").agg(
-        F.round(
-            F.sum(bm25_score_expr(meta["n"], meta["t"])), 6
-        ).alias("score")
-    )
-    return (
-        grouped_topk(scored, ["qid"], BM25_K)
-        .select("qid", "id", "score")
-        .orderBy("qid", F.col("score").desc(), "id")
-    )
-
-
-def _rrf_persisted_oracle() -> str:
-    """Both legs from ingest artifacts, replayed: the BM25 lexical
-    top-20 (same CTEs as _bm25_oracle) and the IVF-probed dense top-20
-    (same assignment/probe replay as _ann_ivf_oracle), RRF-fused."""
-    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
-    qlit = sql_array_literal(query_vector(RRF_QSEED))
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(RRF_QSEED))
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, d.text
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-tok AS (SELECT id,
-  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM corpus),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id),
-stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
-                 (SELECT COUNT(*) FROM tok2) AS t),
-qtf AS (SELECT id, term, COUNT(*) AS tf FROM tok2
-        WHERE term IN ({terms}) GROUP BY id, term),
-qdf AS (SELECT term, COUNT(DISTINCT id) AS df FROM tok2
-        WHERE term IN ({terms}) GROUP BY term),
-lex AS (SELECT q.id, ROUND(SUM(
-    ln(1.0 + (n - df + 0.5) / (df + 0.5))
-    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.dl * n) / t)))
-  ), 6) AS score
-  FROM qtf q JOIN qdf USING (term) JOIN dl ON q.id = dl.id
-  CROSS JOIN stats GROUP BY q.id),
-lexr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
-  FROM (SELECT id, score FROM lex
-        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
-assigned AS (
-  SELECT id, emb, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, [{dots}] AS d FROM corpus)),
-vec AS (SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
-  FROM assigned WHERE list_id IN ({probed})),
-vecr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS r
-  FROM (SELECT id, score FROM vec
-        ORDER BY score DESC, id ASC LIMIT {RRF_LEG_K})),
-fused AS (SELECT COALESCE(l.id, v.id) AS id,
-  ROUND(COALESCE(1.0 / ({RRF_K} + l.r), 0)
-        + COALESCE(1.0 / ({RRF_K} + v.r), 0), 6) AS rrf_score
-  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
-SELECT id, rrf_score FROM fused
-ORDER BY rrf_score DESC, id ASC LIMIT {RRF_FINAL_K}"""
-
-
-@register("retrieval_rrf_fusion_persisted", _rrf_persisted_oracle())
-def retrieval_rrf_fusion_persisted(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Hybrid retrieval with BOTH legs served from ingest artifacts —
-    the fully-amortized production stack: the lexical top-20 reads the
-    persisted BM25 inverted index (partition-pruned to the query
-    terms' buckets, operators/bm25.py), the dense top-20 reads the
-    persisted IVF layout (partition-pruned to the probed lists), and
-    reciprocal-rank fusion joins the two 20-row sets. NOTHING in this
-    plan scans the corpus or recomputes statistics: per-query I/O is
-    |term buckets| + |probed lists| directories — the composition that
-    holds at 100 TB. Dense semantics are ANN (probed lists), so the
-    oracle replays assignment + probe for that leg and the BM25 CTEs
-    for the other."""
-    from pyspark.sql import Window
-
-    from hybrid_vector_search_spark.operators.bm25 import bm25_topk_plan
-
-    lex_top = bm25_topk_plan(
-        spark, _bm25_layout_path(spark, sf_dir), list(RRF_TERMS),
-        k=RRF_LEG_K,
-    )
-    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    # round BEFORE the leg's top-20 cut (the retrieval_rrf_fusion rule):
-    # selecting on raw scores could admit a different row than the
-    # oracle's rounded-score ordering at the boundary, where rounded
-    # ties break by id
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-
-    probed = index.probe(query_vector(RRF_QSEED), ANN_IVF_NPROBE)
-    dense_top = topk(
-        index.assigned.filter(F.col("list_id").isin(probed)).select(
-            "id",
-            F.round(
-                dot_score_column(query_vector(RRF_QSEED)), 6
-            ).alias("score"),
-        ),
-        RRF_LEG_K,
-    )
-
-    def leg_ranks(top: DataFrame, rank_name: str) -> DataFrame:
-        w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-        return top.withColumn(rank_name, F.row_number().over(w)).select(
-            "id", rank_name
-        )
-
-    lexr = leg_ranks(lex_top, "lr")
-    vecr = leg_ranks(dense_top, "vr")
-    fused = lexr.join(vecr, "id", "full_outer").select(
-        "id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0))
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
-            ),
-            6,
-        ).alias("rrf_score"),
-    )
-    return topk(fused, RRF_FINAL_K, score_col="rrf_score")
-
-
-def _rrf_batch_oracle() -> str:
-    parts = [
-        f"SELECT {qid} AS qid, id, rrf_score FROM (\n"
-        + _rrf_oracle(qid, terms)
-        + f"\n) rrf_{qid}"
-        for qid, terms in RRF_BATCH
-    ]
-    return "\nUNION ALL\n".join(parts)
-
-
-@register("retrieval_rrf_fusion_batch", _rrf_batch_oracle())
-def retrieval_rrf_fusion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH hybrid retrieval — N (lexical terms, query vector) profiles
-    fused per qid in ONE job, the training-data serving shape (VERDICT
-    r7 next #7). Per-query latency becomes throughput exactly as in
-    hybrid_batch_canonical / ann_ivf_batch_topk:
-
-    * ONE tokenization pass feeds every query's lexical leg: tf is
-      computed once over the UNION of all query terms, per-term df and
-      the tiny (qid, term) map broadcast, and a doc reaches qid's BM25
-      scorer only through the qterm join — so scans don't multiply with
-      query count, output rows do;
-    * ONE Arrow GEMM pass (multi_dot_scores) scores every dense leg —
-      the multi-query regime where the one embedding transfer amortizes
-      across the query set (functions/vector.py regime rule);
-    * per-qid leg ranks, full-outer fusion on (qid, id), and the final
-      per-qid top-K are row_number windows partitioned by qid — one
-      shuffle each, all queries simultaneously.
-
-    BM25 statistics (N, total tokens, per-doc length, per-term df) are
-    corpus-wide and SHARED across queries, matching the per-query oracle
-    replay exactly. At 100 TB this is the reference-free shape that
-    matters: query count scales the broadcast maps and the windowed
-    row counts (≤ Σ leg hits), never the number of corpus scans."""
-    from pyspark.sql import Window
-
-    from hybrid_vector_search_spark.functions.vector import multi_dot_scores
-
-    corpus = load_corpus(spark, sf_dir)
-    tok = (
-        corpus.select(
-            "id",
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
-                "term"
-            ),
-        )
-        .filter(F.col("term") != "")
-    )
-    n = corpus.count()
-    t = tok.count()
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
-    qterm = spark.createDataFrame(
-        [(int(qid), tm) for qid, terms in RRF_BATCH for tm in terms],
-        "qid long, term string",
-    )
-    qtok = tok.filter(F.col("term").isin(all_terms))
-    tf = qtok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = qtok.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(1.2) * (
-        F.lit(0.25) + (F.lit(0.75) * F.col("dl") * F.lit(n)) / F.lit(t)
-    )
-    per_term = idf * ((F.col("tf") * F.lit(2.2)) / denom)
-    lex = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(F.broadcast(qterm), "term")
-        .join(dl, "id")
-        .groupBy("qid", "id")
-        .agg(F.round(F.sum(per_term), 6).alias("score"))
-    )
-
-    def leg_ranks(scored: DataFrame, rank_name: str) -> DataFrame:
-        top = grouped_topk(scored, ["qid"], RRF_LEG_K)
-        w = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("id").asc()
-        )
-        return top.withColumn(rank_name, F.row_number().over(w)).select(
-            "qid", "id", rank_name
-        )
-
-    lexr = leg_ranks(lex, "lr")
-    qvecs = {int(qid): query_vector(qid) for qid, _ in RRF_BATCH}
-    dense = multi_dot_scores(corpus, qvecs).select(
-        "qid", "id", F.round("score", 6).alias("score")
-    )
-    vecr = leg_ranks(dense, "vr")
-    fused = lexr.join(vecr, ["qid", "id"], "full_outer").select(
-        "qid",
-        "id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0))
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
-            ),
-            6,
-        ).alias("rrf_score"),
-    )
-    return grouped_topk(
-        fused, ["qid"], RRF_FINAL_K, score_col="rrf_score"
-    ).select("qid", "id", "rrf_score")
-
-
-# ----------------------------------------- relational breadth, batch 2
-# More distinct plan shapes over the reduced TPC-H testdata: outer-join
-# count distribution (Q13), max-over-aggregated-CTE (Q15), having-subquery
-# semi-join (Q18), disjunctive multi-attribute pushdown (Q19), conditional
-# market-share ratio (Q8), scalar-subquery + anti-join (Q22 shape), lag
-# windows, and running totals. The reference has none of these (SURVEY.md
-# §2.5-2.7 "absent"); they are the relational surface a 100 TB pipeline
-# leans on daily.
-
-_REV_GRID_SQL = round_portable_sql(
-    round_portable_sql("SUM(l_extendedprice * (1 - l_discount))", 4), 2
-)
-
-
-def _rev_grid():
-    """Order-stable 2-decimal revenue sum: summands live on a 4-decimal
-    grid (2-dec price × 2-dec discount), so snapping the float sum to that
-    grid collapses ULP noise before the display rounding."""
-    expr = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return round_portable(round_portable(expr, 4), 2)
-
-
-@register(
-    "tpch_q13_customer_distribution",
-    """SELECT c_count, COUNT(*) AS custdist
-FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_custkey) t
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC""",
-)
-def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: how many customers placed how many orders — left
-    outer join (order-less customers count as 0) into a double aggregation.
-    The outer join shuffles on custkey; the second group-by re-aggregates
-    the tiny (c_count, n) table, so the heavy shuffle happens exactly
-    once."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy(cust.c_custkey)
-        .agg(F.count(orders.o_orderkey).alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
-
-
-@register(
-    "tpch_q15_top_supplier",
-    f"""WITH rev AS (
-  SELECT l_suppkey AS supplier_no, {_REV_GRID_SQL} AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
-FROM supplier JOIN rev ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-ORDER BY s_suppkey""",
-)
-def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: top supplier(s) by quarter revenue — an aggregated
-    CTE compared against its own MAX (ties kept). The scalar subquery
-    decorrelates to a single-row broadcast joined back to the per-supplier
-    revenue table; the revenue grid-snap makes the equality comparison
-    safe across engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1996-04-01").cast("timestamp")
-    rev = (
-        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .groupBy("l_suppkey")
-        .agg(_rev_grid().alias("total_revenue"))
-    )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
-    return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
-        .join(supp, rev.l_suppkey == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
-    )
-
-
-@register(
-    "tpch_q18_large_orders",
-    """SELECT c_custkey, c_name, o_orderkey,
-  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  o_totalprice, total_qty
-FROM orders
-JOIN customer ON c_custkey = o_custkey
-JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(l_quantity) > 200) big
-  ON big.l_orderkey = o_orderkey
-ORDER BY total_qty DESC, o_orderkey ASC
-LIMIT 50""",
-)
-def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
-    the IN-subquery over a grouped HAVING decorrelated into an
-    aggregate-then-join. The lineitem aggregate shuffles on orderkey and
-    shrinks the fact ~4000× before it ever meets orders; quantities are
-    integral doubles so the sum is exact in any order."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    li = load_table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .filter(F.col("total_qty") > 200)
-    )
-    return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_totalprice",
-            "total_qty",
-        )
-        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
-        .limit(50)
-    )
-
-
-@register(
-    "tpch_q19_disjunctive_revenue",
-    f"""SELECT {_REV_GRID_SQL} AS revenue, COUNT(*) AS n_items
-FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 25
-       AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
-       AND l_quantity BETWEEN 20 AND 30)""",
-)
-def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
-    extracts the common single-side conjuncts (brand IN the three values,
-    quantity within the hull) and pushes them below the join as scan
-    filters, leaving only the residual disjunction on the joined rows —
-    the classic disjunctive-pushdown test."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    qty = F.col("l_quantity")
-    sz = F.col("p_size")
-    br = F.col("p_brand")
-    disj = (
-        ((br == "Brand#12") & sz.between(1, 15) & qty.between(1, 11))
-        | ((br == "Brand#18") & sz.between(1, 25) & qty.between(10, 20))
-        | ((br == "Brand#23") & sz.between(1, 35) & qty.between(20, 30))
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(disj)
-        .agg(_rev_grid().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
-    )
-
-
-_Q8_NUM_SQL = round_portable_sql(
-    "SUM(CASE WHEN n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)",
-    4,
-)
-_Q8_DEN_SQL = round_portable_sql("SUM(l_extendedprice * (1 - l_discount))", 4)
-
-
-@register(
-    "tpch_q8_market_share",
-    f"""SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
-  {round_portable_sql(f"{_Q8_NUM_SQL} / {_Q8_DEN_SQL}", 6)} AS mkt_share
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-JOIN part ON l_partkey = p_partkey
-WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
-GROUP BY 1 ORDER BY o_year""",
-)
-def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue among
-    ASIA suppliers, per order year — a six-table star join (all dims
-    broadcast around the lineitem fact) feeding a conditional-aggregate
-    ratio. Numerator and denominator are grid-snapped before the divide so
-    the share is the same double in both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    part = load_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    num = round_portable(
-        F.sum(F.when(F.col("n_name") == "NATION_2", vol).otherwise(0.0)), 4
-    )
-    den = round_portable(F.sum(vol), 4)
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(
-            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
-            nation.n_regionkey == region.r_regionkey,
-        )
-        .join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
-            li.l_partkey == part.p_partkey,
-        )
-        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(round_portable(num / den, 6).alias("mkt_share"))
-        .orderBy("o_year")
-    )
-
-
-@register(
-    "idle_rich_customers",
-    f"""WITH thresh AS (
-  SELECT {grid_avg_sql('SUM(c_acctbal)', 'COUNT(*)', 2, 6)} AS avg_bal
-  FROM customer WHERE c_acctbal > 0.0)
-SELECT c_mktsegment, COUNT(*) AS n_cust,
-  {round_portable_sql('SUM(c_acctbal)', 2)} AS total_bal
-FROM customer, thresh
-WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-)
-def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape on the reduced schema: above-average-balance
-    customers with no recent orders, profiled per market segment. A
-    scalar-subquery threshold (single-row broadcast cross join) feeds an
-    anti-join against the date-filtered orders scan; acctbal sums are
-    2-decimal-grid values snapped portably."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    thresh = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(grid_avg(F.sum("c_acctbal"), F.count(F.lit(1)), 2, 6).alias("avg_bal"))
-    )
-    recent = orders.filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    )
-    return (
-        cust.crossJoin(F.broadcast(thresh))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_cust"),
-            round_portable(F.sum("c_acctbal"), 2).alias("total_bal"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "events_user_interarrival",
-    f"""WITH seq AS (
-  SELECT event_type,
-         epoch_us(ts) - LAG(epoch_us(ts))
-           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-  FROM events)
-SELECT event_type, COUNT(gap_us) AS n_gaps,
-  {grid_avg_sql('SUM(gap_us)', 'COUNT(gap_us)', 0, 2)} AS avg_gap_us
-FROM seq WHERE gap_us IS NOT NULL
-GROUP BY event_type ORDER BY event_type""",
-)
-def events_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-arrival gaps (lag window over the event stream,
-    microsecond-exact integers), averaged per event type — the cadence
-    statistic behind bot/burst detection. One shuffle on user_id for the
-    window, one tiny re-aggregation; the integer sum makes the average
-    portable via the 0-digit grid snap."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    seq = ev.select(
-        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
-    )
-    return (
-        seq.filter(F.col("gap_us").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count("gap_us").alias("n_gaps"),
-            grid_avg(F.sum("gap_us"), F.count("gap_us"), 0, 2).alias(
-                "avg_gap_us"
-            ),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "events_daily_cumulative",
-    f"""WITH d AS (
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         COUNT(*) AS n_events,
-         {round_portable_sql('SUM(value)', 2)} AS day_value
-  FROM events GROUP BY 1, 2)
-SELECT event_type, day, n_events,
-  (SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
-                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_events,
-  {round_portable_sql("SUM(day_value) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)", 2)} AS cum_value
-FROM d ORDER BY event_type, day""",
-)
-def events_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running totals per event type: daily aggregate then a cumulative
-    window (ROWS UNBOUNDED PRECEDING) — the standard dashboard 'to-date'
-    query. The window runs over the already-tiny per-day table and reuses
-    the group-by's hash partitioning; daily sums are grid-snapped so the
-    sequential running sum is bit-identical across engines."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    d = ev.select("event_type", day, "value").groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        round_portable(F.sum("value"), 2).alias("day_value"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return d.select(
-        "event_type",
-        "day",
-        "n_events",
-        F.sum("n_events").over(w).alias("cum_events"),
-        round_portable(F.sum("day_value").over(w), 2).alias("cum_value"),
-    ).orderBy("event_type", "day")
-
-
-# ----------------------------------------- relational breadth, batch 3
-# The remaining classic TPC-H plan shapes expressible on the reduced
-# testdata schema (no partsupp / shipmode / receiptdate columns exist, so
-# Q2/Q11/Q12/Q20 are out of reach and Q9/Q16/Q17/Q21 are adapted shapes):
-# two-sided nation disjunction (Q7), multi-dim profit rollup (Q9), distinct
-# aggregation with a NOT-IN blacklist (Q16), correlated per-group average
-# threshold (Q17), and double-correlated EXISTS/NOT-EXISTS decorrelated to
-# one per-order aggregate (Q21).
-
-
-@register(
-    "tpch_q7_volume_shipping",
-    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-  EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
-  {_REV_GRID_SQL} AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation n1 ON s_nationkey = n1.n_nationkey
-JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
-)
-def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: trade volume between two nations by year, with the
-    nation dimension joined twice under different roles (supplier vs
-    customer) and a cross-side disjunction. Both nation copies broadcast;
-    the disjunction can only be evaluated after both joins, but the
-    shipdate range prunes the fact scan first — the one big shuffle is
-    lineitem⋈orders on orderkey."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    )
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-12-31").cast("timestamp")
-    sn = F.col("supp_nation")
-    cn = F.col("cust_nation")
-    return (
-        li.filter(F.col("l_shipdate").between(lo, hi))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
-        .filter(
-            ((sn == "NATION_1") & (cn == "NATION_2"))
-            | ((sn == "NATION_2") & (cn == "NATION_1"))
-        )
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(_rev_grid().alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-@register(
-    "tpch_q9_profit_by_nation_year",
-    f"""SELECT n_name AS nation,
-  EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
-  {_REV_GRID_SQL} AS profit
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-JOIN supplier ON s_suppkey = l_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN orders ON o_orderkey = l_orderkey
-WHERE p_name LIKE '%red%'
-GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
-)
-def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (adapted — no partsupp table, so profit is gross
-    discounted revenue rather than revenue minus supplycost): per
-    supplier-nation, per order-year profit on parts whose name matches a
-    substring. The part filter broadcasts as a pre-filtered dimension so
-    the fact scan shrinks before the orderkey shuffle; nation/supplier
-    broadcast around it."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    orders = load_table(spark, sf_dir, "orders")
-    red = part.filter(F.col("p_name").contains("red")).select("p_partkey")
-    return (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
-        .agg(_rev_grid().alias("profit"))
-        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
-    )
-
-
-@register(
-    "tpch_q16_supplier_counts_by_part",
-    """SELECT p_brand, p_type, p_size,
-  COUNT(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand <> 'Brand#12'
-  AND p_type <> 'PROMO'
-  AND p_size IN (1, 5, 9, 13, 17, 21)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
-GROUP BY 1, 2, 3
-ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
-)
-def tpch_q16_supplier_counts_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (adapted — supplier blacklist keyed on negative
-    account balance instead of the comment-text complaint scan, and part
-    attributes reached through lineitem since partsupp doesn't exist):
-    distinct-supplier counts per (brand, type, size) bucket. The NOT IN
-    becomes a broadcast anti-join (safe: s_suppkey is non-null), the part
-    predicate prunes the broadcast dimension before the fact join, and
-    COUNT(DISTINCT) shuffles once on the group keys with partial
-    de-duplication map-side."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    supp = load_table(spark, sf_dir, "supplier")
-    keep_part = part.filter(
-        (F.col("p_brand") != "Brand#12")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    blacklist = supp.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
-    return (
-        li.join(F.broadcast(keep_part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            F.broadcast(blacklist),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
-        )
-    )
-
-
-_Q17_SQL = round_portable_sql(
-    f"{round_portable_sql('SUM(l_extendedprice)', 2)} / 7.0", 6
-)
-
-
-@register(
-    "tpch_q17_small_quantity_revenue",
-    f"""SELECT {_Q17_SQL} AS avg_yearly, COUNT(*) AS n_items
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand = 'Brand#12'
-  AND l_quantity < (SELECT 0.2 * (SUM(l_quantity) / COUNT(*))
-                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
-)
-def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (adapted — brand filter only, no container column):
-    revenue from lineitems whose quantity is under 20% of their part's
-    average. The correlated scalar subquery decorrelates to a per-part
-    aggregate joined back to the fact; quantities are small integral
-    doubles so SUM/COUNT is exact in any accumulation order and the 0.2×
-    threshold is the same double in both engines — a strict `<` against it
-    is portable. The per-part average is computed only over the brand's
-    parts (lineitem is pre-joined to the brand-filtered part list before
-    aggregating) — equivalent to the unfiltered correlated subquery since
-    the correlation keys on p_partkey, and far cheaper: the aggregate runs
-    on the ~1/25th of lineitem that survives the broadcast semi-join."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    brand = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
-    per_part = (
-        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg(
-            (
-                F.lit(0.2)
-                * (F.sum("l_quantity") / F.count(F.lit(1)).cast("double"))
-            ).alias("qty_threshold")
-        )
-        .select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
-    )
-    small = (
-        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
-    )
-    return small.agg(
-        round_portable(
-            round_portable(F.sum("l_extendedprice"), 2) / 7.0, 6
-        ).alias("avg_yearly"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@register(
-    "tpch_q21_sole_returned_supplier",
-    """WITH per_order AS (
-  SELECT l_orderkey,
-         COUNT(DISTINCT l_suppkey) AS n_supp,
-         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
-           AS n_ret_supp
-  FROM lineitem GROUP BY 1)
-SELECT s_name, COUNT(*) AS numwait
-FROM lineitem l1
-JOIN orders ON o_orderkey = l1.l_orderkey
-JOIN supplier ON s_suppkey = l1.l_suppkey
-JOIN per_order ON per_order.l_orderkey = l1.l_orderkey
-WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-  AND n_supp > 1 AND n_ret_supp = 1
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
-LIMIT 20""",
-)
-def tpch_q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (adapted — l_returnflag='R' stands in for the
-    missing receipt-after-commit date comparison): suppliers who were the
-    ONLY supplier with a returned line on a multi-supplier finalized
-    order. The classic EXISTS + NOT-EXISTS self-join pair is decorrelated
-    into ONE per-order aggregate (distinct suppliers, distinct returning
-    suppliers) reused for both conditions — a single orderkey shuffle
-    instead of two fact-to-fact semi/anti joins, the plan that survives a
-    100× fact table."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    supp = load_table(spark, sf_dir, "supplier")
-    # min/max stand in for COUNT(DISTINCT): >1 distinct ⇔ min≠max, and
-    # exactly-1 distinct (non-null) ⇔ min=max non-null — same semantics
-    # without the Expand duplication two distinct-aggregates would cost
-    # (the oracle SQL keeps COUNT(DISTINCT) for readability; results are
-    # identical)
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi_supp"),
-        (
-            F.min(ret_supp).isNotNull()
-            & (F.min(ret_supp) == F.max(ret_supp))
-        ).alias("sole_ret"),
-    )
-    return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter(F.col("multi_supp") & F.col("sole_ret"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
-        .limit(20)
-    )
-
-
-# ------------------------------------------------- streaming (oracle-checked)
-# Structured Streaming entries, drained with trigger(availableNow) into a
-# memory sink so they return a plain DataFrame the driver can compare.
-# Complete-mode windowed aggregation and set-semantics dedup are
-# DETERMINISTIC under replay, so — unusually for streaming — both carry a
-# full DuckDB oracle rather than a rows-only check. At production scale
-# the same plans run in append mode with the watermark bounding state;
-# complete mode here keeps every window so the one-shot drain equals the
-# batch answer exactly (streaming/pipeline.py docstrings).
-
-# Fixed memory-sink table names: restarting a query with the same
-# queryName REPLACES the temp view (verified: same row count across
-# re-runs), so repeated bench/selfcheck invocations in one session reuse
-# 4 bounded views instead of accumulating stream_*_<seq> tables in driver
-# memory (ADVICE r1 #3).
-
-# Landing-zone cache: the single-file testdata tables serialize the
-# stream's first stateful exchange (every source task reads one split);
-# materialize a defaultParallelism-file split once per (session, sf_dir)
-# and point every streaming reader at it — the streaming twin of the
-# batch spread() (VERDICT r2 #4).
-_LANDING_CACHE: dict[tuple[str, str], tuple[SparkSession, str]] = {}
-
-# State partitioning for the availableNow drains: the bench/driver
-# micro-batches hold ~1e5 rows, where the session's batch-sized shuffle
-# partitioning (32) pays 32 state dirs + commit files + tasks per
-# micro-batch for a few thousand groups. 4 keeps core overlap on the
-# state stage while cutting the per-batch constant (r5 sweep at sf0.1,
-# warm best-of-3: 16→1.13s, 8→0.81s, 4→0.69s, 2→0.61s — 4 is the knee
-# before the ×8 probe's bigger micro-batches would serialize). A
-# production deployment with a durable checkpoint sizes this ONCE at
-# provisioning (state partitioning is immutable for a checkpoint's
-# lifetime).
-_STREAM_PARTS = 4
-
-_STREAM_ROWS_CACHE: dict[str, tuple[SparkSession, int]] = {}
-
-
-def _stream_parts(spark: SparkSession, sf_dir: str, factor: int = 1) -> int:
-    """VOLUME-ADAPTIVE state partitioning for the availableNow drains:
-    one state partition per ~25k landed event rows, clamped to
-    [``_STREAM_PARTS``·factor, defaultParallelism]. At sf0.1 (100k
-    events) this lands exactly on the r5-swept knee (4); the ×16 scale
-    probe's 1.6M-row micro-batch fans its state stage across all cores
-    instead of serializing on 4 partitions. ``factor`` preserves the
-    queries tuned at 2× the base (stateful totals, the stream-stream
-    join — bigger per-group state rows). A durable-checkpoint
-    deployment runs this arithmetic ONCE at provisioning on expected
-    micro-batch volume — state partitioning is immutable for the
-    checkpoint's lifetime (run_available_now docstring)."""
-    cached = _STREAM_ROWS_CACHE.get(sf_dir)
-    n = cached[1] if cached is not None and cached[0] is spark else None
-    if n is None:
-        n = load_table(spark, sf_dir, "events").count()
-        _STREAM_ROWS_CACHE[sf_dir] = (spark, n)
-    try:
-        cap = spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect: no SparkContext handle
-        cap = 32
-    return max(_STREAM_PARTS * factor, min(cap, -(-n // 25_000)))
-
-
-def _sink_sorted(spark: SparkSession, table: str, *cols: str) -> DataFrame:
-    """Read an in-memory sink table in total order. A memory-sink table
-    is DRIVER-RESIDENT by construction — if it didn't fit one task, the
-    drain design (buffering the full result on the driver) would be the
-    bug, not the sort — so ``orderBy``'s range-partitioning sampling job
-    + shuffle buys nothing over coalesce(1) + local sort (r6 A/B on the
-    95k-row session sink: 0.89→0.30 s end-to-end with Arrow delivery).
-    The r5 row-count gate that picked between the two is gone with its
-    ~0.3 s ``count()`` job: the ×8 probe's largest sink (~760k session
-    rows) still single-task-sorts in well under the shuffle's cost.
-    Result-delivery only; the distributed work happened in the drain."""
-    return spark.table(table).coalesce(1).sortWithinPartitions(*cols)
-
-
-def _landing(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        materialize_landing,
-    )
-
-    cached = _LANDING_CACHE.get((sf_dir, table))
-    path = cached[1] if cached is not None and cached[0] is spark else None
-    if path is None:
-        path = materialize_landing(spark, sf_dir, table)
-        _LANDING_CACHE[(sf_dir, table)] = (spark, path)
-    return path
-
-
-@register(
-    "streaming_hourly_counts",
-    f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-    AS window_start,
-  event_type, COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS sum_value
-FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
-side_effects=True,
-)
-def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window streaming aggregation over the events landing zone,
-    drained via availableNow — the incremental-batch pattern ("run the
-    stream until caught up"). Epoch-aligned 1h windows make window.start
-    ≡ date_trunc('hour'), so the complete-mode result is exactly the
-    batch GROUP BY: the batch/stream duality the engine promises
-    (streaming/pipeline.py windowed_agg_stream is the watermarked
-    production twin)."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        TS_FMT,
-        read_events_stream,
-        run_available_now,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            round_portable(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-    table = "stream_hourly"
-    run_available_now(
-        agg,
-        table,
-        output_mode="complete",
-        shuffle_partitions=_stream_parts(spark, sf_dir),
-    )
-    return _sink_sorted(spark, table, "window_start", "event_type")
-
-
-@register(
-    "streaming_dedup_fingerprints",
-    f"""SELECT DISTINCT {TX.fingerprint_md5_sql('text')} AS fingerprint
-FROM documents ORDER BY fingerprint""",
-side_effects=True,
-)
-def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup drained to the surviving fingerprint set:
-    every distinct content fingerprint survives exactly once, so the
-    append-mode output has set-equality with batch SELECT DISTINCT — the
-    parity that makes online ingest dedup trustworthy. Documents carry no
-    event time, so arrival order is synthesized (doc_id minutes) and the
-    watermark is set beyond the synthetic span: duplicates can never
-    outlive the fingerprint state, the condition for exact parity
-    (dedup_stream docstring covers the bounded-watermark trade at
-    production scale)."""
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        dedup_stream,
-        run_available_now,
-    )
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    docs = (
-        spark.readStream.schema(schema)
-        .parquet(_landing(spark, sf_dir, "documents"))
-        .withColumn(
-            # +1: a synthetic ts of exactly epoch 0 (doc_id 0) equals the
-            # stream's INITIAL watermark and is discarded as late data
-            "ts",
-            F.timestamp_micros((F.col("doc_id") + 1) * 60_000_000),
-        )
-    )
-    deduped = dedup_stream(docs, watermark="36500 days").select("fingerprint")
-    table = "stream_dedup"
-    run_available_now(
-        deduped,
-        table,
-        output_mode="append",
-        shuffle_partitions=_stream_parts(spark, sf_dir),
-    )
-    return _sink_sorted(spark, table, "fingerprint")
-
-
-# --------------------------------------------- benchmark decontamination
-
-_DECON_N = 4  # word n-gram size; _DECON_MOD picks the pseudo-benchmark split
-_DECON_MOD = 11
-
-
-@register(
-    "docs_decontaminate",
-    f"""WITH toks AS (SELECT doc_id,
-    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-      AS t FROM documents),
-sh AS (SELECT doc_id, list_distinct(list_transform(
-    range(0, greatest(len(t) - {_DECON_N}, 0) + 1),
-    i -> array_to_string(t[i + 1 : i + {_DECON_N}], ' '))) AS s FROM toks),
-bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
-          WHERE doc_id % {_DECON_MOD} = 0),
-corpus AS (SELECT doc_id, unnest(s) AS g FROM sh
-           WHERE doc_id % {_DECON_MOD} <> 0),
-hits AS (SELECT doc_id, COUNT(*) AS n_hits
-         FROM corpus JOIN bench USING (g) GROUP BY 1),
-sz AS (SELECT doc_id, len(s) AS n_sh FROM sh)
-SELECT h.doc_id, n_hits,
-  {round_portable_sql('n_hits::DOUBLE / n_sh', 6)} AS containment
-FROM hits h JOIN sz USING (doc_id) ORDER BY doc_id""",
-)
-def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag corpus documents sharing any word
-    {n}-gram with a held-out benchmark set (here the doc_id % MOD == 0
-    slice stands in for the benchmark), reporting hit count and
-    containment |doc∩bench|/|doc| per contaminated document. The
-    benchmark shingle vocabulary is tiny relative to the corpus (real
-    benchmarks are MBs against TBs), so it BROADCASTS: the corpus-side
-    explode never shuffles — map-side semi-join, then one aggregation by
-    doc_id. No stop-shingle df cap is needed here (unlike the Jaccard
-    self-join): the vocab side is DISTINCT, so each corpus shingle row
-    matches at most one vocab row — fan-out is linear in corpus shingles
-    even if a vocab gram is ubiquitous. The same shingle UDF as the
-    dedup family keeps one n-gram semantics engine-wide."""
-    docs = load_table(spark, sf_dir, "documents")
-    is_bench = F.col("doc_id") % _DECON_MOD == 0
-    # shingle_rows = one mapInPandas pass per branch emitting the exploded
-    # inverted index with |shingles| carried inline — no UDF→Generate dead
-    # duplicate eval, no separate sizes⋈hits join.
-    bench_g = (
-        TX.shingle_rows(docs.filter(is_bench), _DECON_N)
-        .select("g")
-        .distinct()
-    )
-    corpus_ex = TX.shingle_rows(docs.filter(~is_bench), _DECON_N)
-    return (
-        corpus_ex.join(F.broadcast(bench_g), "g")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            "doc_id",
-            "n_hits",
-            round_portable(
-                F.col("n_hits").cast("double") / F.col("n_sh"), 6
-            ).alias("containment"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# ------------------------------------- vector aggregation + pivot shapes
-
-
-@register(
-    "embedding_centroids_per_label",
-    """SELECT label, d - 1 AS dim, COUNT(*) AS n_vecs,
-  ROUND(AVG(v::DOUBLE), 6) AS centroid_v
-FROM (SELECT label, unnest(embedding) AS v,
-             generate_subscripts(embedding, 1) AS d FROM embeddings)
-GROUP BY 1, 2 ORDER BY label, dim""",
-)
-def embedding_centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids, emitted as (label, dim, avg) rows —
-    element-wise vector aggregation via posexplode + one partial-agg
-    shuffle on (label, dim). The unpivoted form keeps the comparator on
-    scalars and is also the shape you feed back into a KMeans-style
-    update step; at scale the exploded stream is map-combined 64× before
-    the exchange, so the shuffle carries one row per (label, dim), not
-    per vector."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
-        )
-        .orderBy("label", "dim")
-    )
-
-
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@register(
-    "events_pivot_daily",
-    f"""SELECT strftime(ts, '%Y-%m-%d') AS day,
-  {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
-FROM events GROUP BY 1 ORDER BY day""",
-)
-def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily event-type matrix: groupBy(day).pivot(event_type) with the
-    value list pinned — pinning keeps the pivot one-pass (no extra
-    distinct-values job) and the output schema static, which is what a
-    downstream dashboard (and the oracle compare) needs. Equivalent to
-    conditional aggregation; the pivot carries the per-type counts in one
-    shuffle on day."""
-    ev = load_table(spark, sf_dir, "events")
-    piv = (
-        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
-        .groupBy("day")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    # null → 0 for days missing a type, matching COUNT FILTER semantics
-    return piv.select(
-        "day",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
-            for t in _EVENT_TYPES
-        ],
-    ).orderBy("day")
-
-
-_MIX_BUDGET = 0.8  # fraction of the corpus the resampled mixture keeps
-# per-source weight 1..4 from the numeric suffix — a deliberately skewed
-# target mixture so high-weight sources hit the rate=1.0 clamp
-# weight from the trailing digits of the source name; regexp + TRY_CAST +
-# COALESCE so an unexpected source name degrades identically in BOTH
-# engines (weight 1) instead of Spark NULL-dropping vs DuckDB erroring
-# (ADVICE r1 #2)
-_MIX_W_SQL = (
-    "(1 + (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT),"
-    " 0) % 4))"
-)
-
-
-@register(
-    "docs_resample_mixture",
-    f"""WITH per_src AS (
-  SELECT source, COUNT(*) AS n_docs, {_MIX_W_SQL} AS w
-  FROM documents GROUP BY 1),
-tot AS (SELECT SUM(n_docs)::DOUBLE AS total, SUM(w)::DOUBLE AS sum_w
-        FROM per_src),
-rates AS (SELECT source, n_docs,
-  LEAST(1.0, ({_MIX_BUDGET} * total * w / sum_w) / n_docs) AS rate
-  FROM per_src, tot),
-kept AS (SELECT d.source, COUNT(*) AS n_kept
-  FROM documents d JOIN rates r USING (source)
-  WHERE {SP.hash_key_lt_threshold_sql('d.doc_id', 'r.rate')}
-  GROUP BY 1)
-SELECT r.source, r.n_docs, ROUND(r.rate, 6) AS rate,
-  COALESCE(k.n_kept, 0) AS n_kept
-FROM rates r LEFT JOIN kept k USING (source) ORDER BY source""",
-)
-def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixture resampling: reweight sources toward a target mix
-    under a global document budget — per-source acceptance rate =
-    min(1, budget·wₛ/Σw / nₛ), applied as a deterministic hash threshold
-    (operators/sampling.py): the same document is kept on every run, on
-    any partitioning, at any cluster size. The rate table is a tiny
-    two-stage aggregate broadcast back onto the corpus scan, so the keep
-    decision is map-side; reported per source as (population, rate,
-    kept). Rates derive from integer counts, so both engines compute the
-    identical double and the floor-threshold compare is exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    ).withColumn(
-        "w",
-        F.coalesce(
-            F.regexp_extract("source", "([0-9]+)$", 1).cast("int"), F.lit(0)
-        )
-        % 4
-        + 1,
-    )
-    tot = per_src.agg(
-        F.sum("n_docs").cast("double").alias("total"),
-        F.sum("w").cast("double").alias("sum_w"),
-    )
-    rates = per_src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        F.least(
-            F.lit(1.0),
-            (F.lit(_MIX_BUDGET) * F.col("total") * F.col("w") / F.col("sum_w"))
-            / F.col("n_docs"),
-        ).alias("rate"),
-    )
-    # One corpus pass computes kept-vs-population together: every doc
-    # joins its (broadcast, 20-row) rate row, the keep decision is a
-    # map-side flag, and a single per-source aggregation carries the
-    # population and rate through first() — no second rate evaluation, no
-    # outer join back, zero-kept sources still appear.
-    keep = (
-        SP.portable_hash_key(F.col("doc_id"))
-        < F.floor(F.col("rate") * F.lit(float(SP.HASH_SPACE))).cast("long")
-    ).cast("long")
-    return (
-        docs.join(F.broadcast(rates), "source")
-        .groupBy("source")
-        .agg(
-            F.first("n_docs").alias("n_docs"),
-            F.round(F.first("rate"), 6).alias("rate"),
-            F.sum(keep).alias("n_kept"),
-        )
-        .select("source", "n_docs", "rate", "n_kept")
-        .orderBy("source")
-    )
-
-
-def _lsh_postfilter_oracle(seed: int, filters: dict, k: int, radius: int) -> str:
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    q = query_vector(seed)
-    probes = LSH.probe_set(q, planes, probe_hamming=radius)
-    qlit = sql_array_literal(q)
-    bucket = LSH.bucket_sql_expr(planes)
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    where = filters_to_sql(schema, filters)
-    return f"""{CORPUS_CTE}
-SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
-FROM corpus
-WHERE {bucket} IN ({', '.join(str(b) for b in probes)}) AND ({where})
-ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
-LIMIT {k}"""
-
-
-_LSH_PF_CASE = {
-    "seed": 23,
-    "filters": {"label": {"in": [2, 5, 8]}, "lang": {"in": ["en", "fr"]}},
-    "k": 10,
-    "radius": 1,
-}
-
-
-@register(
-    "hybrid_topk_post_filter_lsh",
-    _lsh_postfilter_oracle(**_LSH_PF_CASE),
-)
-def hybrid_topk_post_filter_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 post-filter strategy end-to-end on the LSH scale path: probed
-    buckets are scored, then semi-joined against the predicate-compiled
-    allowed set — ANN candidate generation UNDER a metadata filter, the
-    reference's post_filter plan (src/baselines/post_filter.py:17-109)
-    re-expressed as bucket pruning + broadcast left-semi. The probe
-    radius is pinned at Hamming 1 so the plan is deterministic and fully
-    oracle-checkable; the production ladder (radius 0→1→2 until ≥K
-    survivors) lives in LSHPostFilterBackend.search and is exercised by
-    the harness tests."""
-    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
-
-    corpus = load_corpus(spark, sf_dir)
-    backend = LSHPostFilterBackend(corpus)
-    plan, _probes = backend.plan(
-        query_vector(_LSH_PF_CASE["seed"]),
-        _LSH_PF_CASE["filters"],
-        _LSH_PF_CASE["k"],
-        probe_hamming=_LSH_PF_CASE["radius"],
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-@register(
-    "docs_chunk_passages",
-    """WITH toks AS (SELECT doc_id,
-  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents),
-ch AS (SELECT doc_id, i AS chunk_idx, t[i * 24 + 1 : i * 24 + 32] AS c
-       FROM toks, UNNEST(range(0, ((len(t) - 1) // 24) + 1)) AS u(i))
-SELECT doc_id, chunk_idx, len(c) AS n_tokens,
-  md5(array_to_string(c, ' ')) AS chunk_fp
-FROM ch ORDER BY doc_id, chunk_idx""",
-)
-def docs_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Passage chunking for embedding pipelines: sliding 32-word windows
-    at stride 24 (8-word overlap keeps context across boundaries), one
-    output row per chunk with its token count and content fingerprint.
-    Entirely JVM expressions — split, sequence, explode, slice — so the
-    fan-out stays inside whole-stage codegen with zero Python and zero
-    shuffle before the final ordering: pure map-side work at any corpus
-    size, the step that typically feeds the embedding UDF
-    (sources/etl.py embed_text_udf) downstream."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(TX.normalized_text("text"), " ").alias("t")
-    )
-    return (
-        toks.select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    ((F.size("t") - F.lit(1)) / F.lit(24)).cast("int"),
-                )
-            ).alias("chunk_idx"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.slice("t", F.col("chunk_idx") * 24 + 1, 32).alias("c"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.size("c").alias("n_tokens"),
-            F.md5(F.array_join("c", " ")).alias("chunk_fp"),
-        )
-        .orderBy("doc_id", "chunk_idx")
-    )
-
-
-@register(
-    "events_trailing_7d",
-    f"""WITH d AS (
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         (epoch(date_trunc('day', ts)) // 86400)::BIGINT AS day_num,
-         COUNT(*) AS n_events,
-         {round_portable_sql('SUM(value)', 2)} AS day_value
-  FROM events GROUP BY 1, 2, 3)
-SELECT event_type, day, n_events,
-  (SUM(n_events) OVER w)::BIGINT AS trailing_7d_events,
-  {round_portable_sql('SUM(day_value) OVER w', 2)} AS trailing_7d_value
-FROM d
-WINDOW w AS (PARTITION BY event_type ORDER BY day_num
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-ORDER BY event_type, day""",
-)
-def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 7-day totals per event type — a RANGE-frame window over
-    the integer day number, so GAPS in the calendar shrink the frame
-    (unlike the ROWS frame in events_daily_cumulative, which would
-    silently span missing days). The window runs over the tiny per-day
-    aggregate and reuses its hash partitioning; day values are
-    grid-snapped so the short frame sums are bit-identical across
-    engines."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    d = (
-        ev.select(
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
-                "day_num"
-            ),
-            "value",
-        )
-        .groupBy("event_type", "day", "day_num")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            round_portable(F.sum("value"), 2).alias("day_value"),
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day_num")
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return d.select(
-        "event_type",
-        "day",
-        "n_events",
-        F.sum("n_events").over(w).alias("trailing_7d_events"),
-        round_portable(F.sum("day_value").over(w), 2).alias(
-            "trailing_7d_value"
-        ),
-    ).orderBy("event_type", "day")
-
-
-@register(
-    "docs_sources_covering_all_langs",
-    """SELECT source, COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n_docs
-FROM documents GROUP BY 1
-HAVING COUNT(DISTINCT lang) = (SELECT COUNT(DISTINCT lang) FROM documents)
-ORDER BY source""",
-)
-def docs_sources_covering_all_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational division: sources with documents in EVERY language —
-    the for-all quantifier decorrelated to per-source distinct counts
-    checked against a single-row global distinct count (broadcast cross
-    join). Classic division plans via double NOT EXISTS cost two
-    fact-fact anti-joins; the count-matching form is one aggregation and
-    a broadcast compare, the shape that survives at scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.countDistinct("lang").alias("n_langs"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    total = docs.agg(F.countDistinct("lang").alias("all_langs"))
-    return (
-        per_src.crossJoin(F.broadcast(total))
-        .filter(F.col("n_langs") == F.col("all_langs"))
-        .select("source", "n_langs", "n_docs")
-        .orderBy("source")
-    )
-
-
-_GEO_LAT_SQL = (
-    "(('0x' || substr(md5(id::VARCHAR || ':lat'), 1, 8))::BIGINT"
-    " / 4294967296.0) * 180.0 - 90.0"
-)
-_GEO_LON_SQL = (
-    "(('0x' || substr(md5(id::VARCHAR || ':lon'), 1, 8))::BIGINT"
-    " / 4294967296.0) * 360.0 - 180.0"
-)
-_GEO_CASE = {"seed": 37, "box": (0.0, 60.0, -90.0, 90.0), "k": 10}
-
-
-@register(
-    "hybrid_topk_geo",
-    f"""{CORPUS_CTE},
-geo AS (SELECT id, embedding, {_GEO_LAT_SQL} AS latitude,
-               {_GEO_LON_SQL} AS longitude FROM corpus)
-SELECT id, ROUND(list_dot_product(embedding::DOUBLE[],
-  {{qlit}}), 6) AS score
-FROM geo
-WHERE latitude IS NOT NULL AND longitude IS NOT NULL
-  AND latitude BETWEEN {_GEO_CASE['box'][0]} AND {_GEO_CASE['box'][1]}
-  AND longitude BETWEEN {_GEO_CASE['box'][2]} AND {_GEO_CASE['box'][3]}
-ORDER BY list_dot_product(embedding::DOUBLE[], {{qlit}}) DESC, id ASC
-LIMIT {_GEO_CASE['k']}""".replace(
-        "{qlit}", sql_array_literal(query_vector(_GEO_CASE["seed"]))
-    ),
-)
-def hybrid_topk_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geo bounding-box hybrid search (reference F7,
-    src/dataio/validators.py:305-329): the paired lat/lon `between`
-    predicate — accepted top-level in the filter DSL, NULL-failing both
-    columns — under vector scoring. Testdata carries no coordinates, so
-    the query derives deterministic uniform lat/lon from the portable id
-    hash (exact integer/2^32 arithmetic, identical doubles in both
-    engines); the predicate compiler then treats them like any stored
-    column."""
-    from hybrid_vector_search_spark.operators import sampling as SP2
-
-    corpus = load_corpus(spark, sf_dir)
-    lat_key = SP2.portable_hash_key(
-        F.concat(F.col("id").cast("string"), F.lit(":lat"))
-    )
-    lon_key = SP2.portable_hash_key(
-        F.concat(F.col("id").cast("string"), F.lit(":lon"))
-    )
-    geo = corpus.withColumns(
-        {
-            "latitude": (lat_key / F.lit(4294967296.0)) * 180.0 - 90.0,
-            "longitude": (lon_key / F.lit(4294967296.0)) * 360.0 - 180.0,
-        }
-    )
-    lo_lat, hi_lat, lo_lon, hi_lon = _GEO_CASE["box"]
-    pred = compile_filters(
-        geo.schema,
-        {"lat_between": [lo_lat, hi_lat], "lon_between": [lo_lon, hi_lon]},
-    )
-    scored = geo.filter(pred).select(
-        "id",
-        dot_score_pandas_udf(query_vector(_GEO_CASE["seed"]))(
-            F.col("embedding")
-        ).alias("score"),
-    )
-    return topk(scored, _GEO_CASE["k"]).select(
-        "id", F.round("score", 6).alias("score")
-    )
-
-
-@register(
-    "streaming_sliding_2h_counts",
-    """WITH assigned AS (
-  SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
-  UNION ALL
-  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
-SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
-  event_type, COUNT(*) AS n_events
-FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""",
-side_effects=True,
-)
-def streaming_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window streaming aggregation (2h windows sliding 1h):
-    every event contributes to exactly two overlapping windows — the
-    hopping-window shape behind trailing-rate monitors. Complete-mode
-    availableNow drain equals the batch union-of-two-buckets oracle;
-    state is two window rows per (hour, type), and in production the
-    watermarked append-mode twin evicts each window one slide after it
-    closes."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        TS_FMT,
-        read_events_stream,
-        run_available_now,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    agg = (
-        ev.groupBy(
-            F.window("ts", "2 hours", "1 hour").alias("w"),
-            F.col("event_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
-            "event_type",
-            "n_events",
-        )
-    )
-    table = "stream_sliding"
-    run_available_now(
-        agg,
-        table,
-        output_mode="complete",
-        shuffle_partitions=_stream_parts(spark, sf_dir),
-    )
-    return _sink_sorted(spark, table, "window_start", "event_type")
-
-
-@register(
-    "customers_churned_since_1995",
-    """WITH a95 AS (SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'),
-a01 AS (SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
-churn AS (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a01)
-SELECT c_mktsegment, COUNT(*) AS n_churned
-FROM churn JOIN customer ON c_custkey = o_custkey
-GROUP BY 1 ORDER BY c_mktsegment""",
-)
-def customers_churned_since_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-difference shape: customers active in 1995 with no orders in
-    2001+, profiled per market segment. DataFrame ``subtract`` (EXCEPT
-    DISTINCT) — Catalyst plans it as distinct + left-anti join, so both
-    order scans keep their date pushdown and the subtraction shuffles
-    only distinct custkeys (reference has no set ops; SURVEY §2.7)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    a95 = orders.filter(
-        F.col("o_orderdate").between(
-            F.lit("1995-01-01").cast("timestamp"),
-            F.lit("1995-12-31").cast("timestamp"),
-        )
-    ).select("o_custkey")
-    a01 = orders.filter(
-        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
-    ).select("o_custkey")
-    churn = a95.subtract(a01)
-    return (
-        churn.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_churned"))
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "docs_quality_deciles",
-    f"""WITH q AS (SELECT doc_id, lang,
-  {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
-  FROM documents),
-t AS (SELECT lang, quality,
-  NTILE(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS decile
-  FROM q)
-SELECT lang, decile, COUNT(*) AS n_docs,
-  {grid_avg_sql('SUM(quality)', 'COUNT(*)', 6, 6)} AS avg_quality
-FROM t GROUP BY 1, 2 ORDER BY lang, decile""",
-)
-def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score deciles per language — the distribution view behind
-    'drop the bottom N%' corpus filtering. NTILE ranks over the ROUNDED
-    score with doc_id as tiebreaker so bucket boundaries are identical in
-    both engines; one shuffle for the per-language window, a tiny
-    re-aggregation for the decile profile. Quality values live on the
-    1e-6 grid, so decile averages snap portably."""
-    from pyspark.sql import Window
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    q = docs.select(
-        "doc_id",
-        "lang",
-        round_portable(TX.quality_score("text"), 6).alias("quality"),
-    )
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    t = q.select("lang", "quality", F.ntile(10).over(w).alias("decile"))
-    return (
-        t.groupBy("lang", "decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            grid_avg(F.sum("quality"), F.count(F.lit(1)), 6, 6).alias(
-                "avg_quality"
-            ),
-        )
-        .orderBy("lang", "decile")
-    )
-
-
-@register(
-    "streaming_enriched_by_user_segment",
-    """WITH seg AS (SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
-                    FROM events)
-SELECT segment, event_type, COUNT(*) AS n_events
-FROM events JOIN seg USING (user_id)
-GROUP BY 1, 2 ORDER BY segment, event_type""",
-side_effects=True,
-)
-def streaming_enriched_by_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join: the event stream enriched against a static
-    dimension (user → segment) before a complete-mode aggregation — the
-    canonical lookup-table pattern (Kafka stream ⋈ broadcast dim). The
-    static side is loaded once per micro-batch planning cycle and
-    broadcast; no stream-stream state is involved, so the join adds no
-    watermark requirement. Segments derive deterministically from
-    user_id so the oracle can rebuild the same dimension."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        read_events_stream,
-        run_available_now,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    static_dim = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
-    )
-    agg = (
-        ev.join(F.broadcast(static_dim), "user_id")
-        .groupBy("segment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    table = "stream_seg"
-    run_available_now(
-        agg,
-        table,
-        output_mode="complete",
-        shuffle_partitions=_stream_parts(spark, sf_dir),
-    )
-    return _sink_sorted(spark, table, "segment", "event_type")
-
-
-# ------------------------------------------- results-log analytics (A3/A4)
-
-# Committed harness-output fixture (fixtures/results_log.jsonl): 4 backends
-# × the 10 canonical queries at sf0.001, plus one deliberately corrupt line
-# exercising the tolerant S8 scan in BOTH engines. Absolute path so the
-# oracle runs regardless of the driver's cwd.
-RESULTS_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "fixtures",
-    "results_log.jsonl",
-)
-
-# DuckDB's ignore_errors surfaces the corrupt line as an all-NULL row
-# (Spark's PERMISSIVE + corrupt-record drop removes it); `method IS NOT
-# NULL` aligns the two tolerances.
-_RESULTS_CTE = (
-    f"WITH results AS (SELECT * FROM read_json_auto('{RESULTS_FIXTURE}', "
-    "ignore_errors=true) WHERE method IS NOT NULL)"
-)
-
-_RESULT_METHODS = ("exact", "post_filter_lsh", "pre_filter", "random")
-
-
-@register(
-    "results_mean_scored_by_method",
-    f"""{_RESULTS_CTE}
-SELECT method, COUNT(*) AS n_queries,
-  {grid_avg_sql('SUM(scored_vectors)', 'COUNT(*)', 0, 6)} AS mean_scored,
-  {grid_avg_sql('SUM(recall_at_k)', 'COUNT(*)', 6, 6)} AS mean_recall
-FROM results GROUP BY method ORDER BY method""",
-)
-def results_mean_scored_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 (reference plots/latency_recall.py:48 plot_scored_vectors_bar):
-    mean scored_vectors per method over the results log — the work-vs-
-    method comparison the reference renders as a bar chart, as an
-    oracle-checked aggregation over the committed harness-output fixture.
-    Averages use grid_avg: scored_vectors sums are integers and recall
-    sums live on a small decimal grid, so both engines round the
-    identical double."""
-    from hybrid_vector_search_spark.plans.harness import load_results
-
-    res = load_results(spark, RESULTS_FIXTURE)
-    return (
-        res.groupBy("method")
-        .agg(
-            F.count(F.lit(1)).alias("n_queries"),
-            grid_avg(
-                F.sum("scored_vectors"), F.count(F.lit(1)), 0, 6
-            ).alias("mean_scored"),
-            grid_avg(
-                F.sum("recall_at_k"), F.count(F.lit(1)), 6, 6
-            ).alias("mean_recall"),
-        )
-        .orderBy("method")
-    )
-
-
-@register(
-    "results_scored_pivot_by_qid",
-    f"""{_RESULTS_CTE}
-SELECT qid,
-  {', '.join(f"MAX(scored_vectors) FILTER (method = '{m}') AS {m}" for m in _RESULT_METHODS)}
-FROM results GROUP BY qid ORDER BY qid""",
-)
-def results_scored_pivot_by_qid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (reference plots/latency_recall.py:65
-    plot_scored_vectors_per_query): the qid × method scored_vectors
-    matrix — ``groupBy(qid).pivot(method)`` with the method list pinned
-    so the pivot stays one-pass and the output schema static."""
-    from hybrid_vector_search_spark.plans.harness import load_results
-
-    res = load_results(spark, RESULTS_FIXTURE)
-    return (
-        res.groupBy("qid")
-        .pivot("method", list(_RESULT_METHODS))
-        .agg(F.max("scored_vectors"))
-        .orderBy("qid")
-    )
-
-
-# -------------------------------------- TPC-H shapes: q2/q11/q12/q20/q22
-# (adapted to the testdata star schema — no partsupp/phone/shipmode
-# columns exist, so lineitem serves as the part↔supplier catalog and
-# nationkey as the country code; each docstring names the delta)
-
-_Q2_COST_SQL = grid_avg_sql("SUM(l_extendedprice)", "COUNT(*)", 2, 6)
-
-
-@register(
-    "tpch_q2_min_cost_supplier",
-    f"""WITH cost AS (
-  SELECT l_partkey, l_suppkey, {_Q2_COST_SQL} AS supply_cost
-  FROM lineitem
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN nation ON n_nationkey = s_nationkey
-  JOIN region ON r_regionkey = n_regionkey
-  WHERE r_name = 'EUROPE'
-  GROUP BY l_partkey, l_suppkey),
-best AS (SELECT l_partkey, MIN(supply_cost) AS min_cost
-         FROM cost GROUP BY l_partkey)
-SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
-FROM cost
-JOIN best ON best.l_partkey = cost.l_partkey AND supply_cost = min_cost
-JOIN part ON p_partkey = cost.l_partkey
-JOIN supplier ON s_suppkey = cost.l_suppkey
-JOIN nation ON n_nationkey = s_nationkey
-WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-LIMIT 20""",
-)
-def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (adapted: lineitem stands in for partsupp, average
-    sale price per (part, supplier) for supply cost): the minimum-cost
-    supplier per part within a region — a correlated MIN subquery
-    decorrelated into an aggregate joined back on (part, cost) equality.
-    The equality is safe because both cost sides snap to the same grid
-    (grid_avg). Dimension joins (supplier/nation/region/filtered part)
-    all broadcast; the only big shuffles are the two partkey
-    aggregations."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    part = load_table(spark, sf_dir, "part")
-
-    region_supp = (
-        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(
-            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    wanted = part.filter(
-        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
-    ).select("p_partkey", "p_name")
-    cost = (
-        li
-        # push the selective part predicate INTO the lineitem scan: the
-        # per-part MIN is independent across parts, so aggregating only
-        # the wanted parts' rows is answer-equivalent to the oracle's
-        # aggregate-everything-filter-last — and it shrinks the partkey
-        # shuffle by the part filter's selectivity (the dominant cost at
-        # 100 TB)
-        .join(
-            F.broadcast(wanted.select("p_partkey")),
-            li.l_partkey == F.col("p_partkey"),
-            "left_semi",
-        )
-        .join(
-            F.broadcast(region_supp.select("s_suppkey")),
-            li.l_suppkey == F.col("s_suppkey"),
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            grid_avg(
-                F.sum("l_extendedprice"), F.count(F.lit(1)), 2, 6
-            ).alias("supply_cost")
-        )
-        # two consumers (min-per-part + the equality join back) — persist
-        # the SMALL aggregated output so lineitem is scanned once, not
-        # twice (ContextCleaner unpersists when the plan is GC'd)
-        .persist()
-    )
-    best = (
-        cost.groupBy("l_partkey")
-        .agg(F.min("supply_cost").alias("min_cost"))
-        .withColumnRenamed("l_partkey", "_bpk")
-    )
-    return (
-        # best is one row per part (≤ |part|) — broadcast it; the
-        # post-aggregation side carries no size stats, so Catalyst would
-        # otherwise fall back to a sort-merge join
-        cost.join(
-            F.broadcast(best),
-            (cost.l_partkey == F.col("_bpk"))
-            & (cost.supply_cost == F.col("min_cost")),
-        )
-        .drop("_bpk")
-        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
-        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
-        .limit(20)
-    )
-
-
-_Q11_FRACTION = 0.002
-
-
-@register(
-    "tpch_q11_important_parts",
-    f"""WITH val AS (
-  SELECT l_partkey, {_REV_GRID_SQL} AS part_value
-  FROM lineitem
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN nation ON n_nationkey = s_nationkey
-  WHERE n_name = 'NATION_7'
-  GROUP BY l_partkey)
-SELECT l_partkey AS p_partkey, part_value
-FROM val
-WHERE part_value >
-  (SELECT {round_portable_sql(f'SUM(part_value) * {_Q11_FRACTION}', 6)}
-   FROM val)
-ORDER BY part_value DESC, p_partkey""",
-)
-def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (adapted: lineitem revenue stands in for partsupp
-    stock value): parts whose value through one nation's suppliers
-    exceeds a fraction of the nation's total — a HAVING against a scalar
-    subquery, decorrelated into a single-row broadcast cross-join. The
-    per-part value reuses the revenue grid snap, so the threshold
-    compare is the same double in both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-
-    nation_supp = (
-        supp.join(
-            F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
-            supp.s_nationkey == nat.n_nationkey,
-        ).select("s_suppkey")
-    )
-    val = (
-        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(_rev_grid().alias("part_value"))
-        .persist()  # feeds both the threshold scalar and the filter scan
-    )
-    # snap the threshold to the 6-dec grid: the part_value sum is
-    # order-dependent at ULP level (grid_avg docstring), and a strict >
-    # against an unsnapped sum can flip between engines
-    thresh = val.agg(
-        round_portable(F.sum("part_value") * F.lit(_Q11_FRACTION), 6).alias(
-            "_thresh"
-        )
-    )
-    return (
-        val.join(F.broadcast(thresh))
-        .filter(F.col("part_value") > F.col("_thresh"))
-        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
-        .orderBy(F.col("part_value").desc(), "p_partkey")
-    )
-
-
-@register(
-    "tpch_q12_late_shipments",
-    """SELECT l_returnflag,
-  COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
-    AS high_line_count,
-  COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
-    AS low_line_count
-FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-WHERE date_diff('day', o_orderdate, l_shipdate) > 60
-  AND l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
-GROUP BY l_returnflag ORDER BY l_returnflag""",
-)
-def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (adapted: no shipmode/commitdate/receiptdate
-    columns — "late" is shipped >60 days after the order date, and
-    l_returnflag stands in for the shipmode grouping): per-group counts
-    of high- vs low-priority late lineitems. The date filter pushes to
-    the lineitem scan; the orders join carries only (orderkey, priority);
-    conditional counts are one pass (no Expand — two count-ifs, not
-    COUNT DISTINCT)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-01-01").cast("timestamp")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(
-            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.when(high, 1)).alias("high_line_count"),
-            F.count(F.when(~high, 1)).alias("low_line_count"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-_Q20_SHARE = 0.2
-
-
-@register(
-    "tpch_q20_dominant_suppliers",
-    f"""WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
-shipped AS (
-  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
-  FROM lineitem JOIN red ON p_partkey = l_partkey
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l_shipdate < TIMESTAMP '1998-01-01'
-  GROUP BY l_partkey, l_suppkey),
-tot AS (SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY l_partkey)
-SELECT DISTINCT s_suppkey, s_name, n_name
-FROM shipped
-JOIN tot ON tot.l_partkey = shipped.l_partkey
-JOIN supplier ON s_suppkey = l_suppkey
-JOIN nation ON n_nationkey = s_nationkey
-WHERE qty > {_Q20_SHARE} * part_qty
-ORDER BY s_suppkey""",
-)
-def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (adapted: no partsupp.availqty — a supplier is
-    "dominant" when it shipped more than a share of a red part's total
-    quantity in the year): nested semi-join pyramid (filtered parts →
-    per-(part,supplier) quantities → per-part totals → threshold join →
-    supplier names). Quantities are small integral doubles — exact in
-    any order, so the share compare is portable; the red-part list
-    broadcasts ahead of the lineitem scan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-
-    red = part.filter(F.col("p_name").like("red %")).select("p_partkey")
-    lo = F.lit("1997-01-01").cast("timestamp")
-    hi = F.lit("1998-01-01").cast("timestamp")
-    shipped = (
-        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .persist()  # feeds both the per-part totals and the share join
-    )
-    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
-    return (
-        shipped.join(tot.withColumnRenamed("l_partkey", "_pk"),
-                     shipped.l_partkey == F.col("_pk"))
-        .filter(F.col("qty") > F.lit(_Q20_SHARE) * F.col("part_qty"))
-        .join(F.broadcast(supp), shipped.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .select("s_suppkey", "s_name", "n_name")
-        .distinct()
-        .orderBy("s_suppkey")
-    )
-
-
-_Q22_CODES = (3, 8, 13, 18, 23)
-
-
-@register(
-    "tpch_q22_sales_opportunity",
-    f"""WITH pos AS (
-  SELECT {grid_avg_sql(
-      "SUM(c_acctbal)",
-      "COUNT(*)", 2, 6)} AS avg_bal
-  FROM customer
-  WHERE c_acctbal > 0.0 AND c_nationkey IN {_Q22_CODES!r}),
-eligible AS (
-  SELECT c_custkey, c_nationkey, c_acctbal
-  FROM customer, pos
-  WHERE c_nationkey IN {_Q22_CODES!r} AND c_acctbal > avg_bal
-    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '1999-01-01'))
-SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-  {round_portable_sql(round_portable_sql("SUM(c_acctbal)", 2), 2)} AS totacctbal
-FROM eligible GROUP BY c_nationkey ORDER BY cntrycode""",
-)
-def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (adapted: c_nationkey stands in for the phone
-    country code, and "inactive" means no order since 1999 — the dense
-    synthetic history gives every customer SOME order, which would make
-    the original never-ordered predicate vacuous): wealthy-but-inactive
-    customers per country — a scalar average over positive balances
-    (broadcast single row), an anti-join against recent orders, then
-    per-code counts. The anti-join is the plan's one big shuffle;
-    everything else is broadcast, and the date filter shrinks the
-    anti-join's build side before the shuffle."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    recent = F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
-
-    in_codes = F.col("c_nationkey").isin(*_Q22_CODES)
-    avg_bal = (
-        cust.filter(in_codes & (F.col("c_acctbal") > 0.0))
-        .agg(grid_avg(F.sum("c_acctbal"), F.count(F.lit(1)), 2, 6).alias("avg_bal"))
-    )
-    return (
-        cust.filter(in_codes)
-        .join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(
-            orders.filter(recent).select("o_custkey"),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left_anti",
-        )
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            round_portable(
-                round_portable(F.sum("c_acctbal"), 2), 2
-            ).alias("totacctbal"),
-        )
-        .orderBy("cntrycode")
-    )
-
-
-# ----------------------------------- hybrid search over the IVF index
-
-_HYBRID_IVF_SEED = 31
-_HYBRID_IVF_FILTERS = {"lang": {"in": ["en", "de"]}, "n_chars": {"ge": 50}}
-
-
-def _hybrid_ivf_oracle() -> str:
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("lang", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    where = filters_to_sql(schema, _HYBRID_IVF_FILTERS)
-    qlit = sql_array_literal(query_vector(_HYBRID_IVF_SEED))
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(_HYBRID_IVF_SEED))
-    return f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings)),
-pruned AS (
-  SELECT a.id, a.e, doc.lang, doc.n_chars
-  FROM assigned a LEFT JOIN documents doc ON a.id = doc.doc_id
-  WHERE a.list_id IN ({probed}))
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM pruned
-WHERE {where}
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {ANN_IVF_K}"""
-
-
-@register("hybrid_topk_ivf_prefilter", _hybrid_ivf_oracle())
-def hybrid_topk_ivf_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered ANN: metadata predicates INSIDE the IVF probe (the
-    combination the reference runs as post_filter P3, here in its
-    pre-filter form): prune to the probed lists first — at scale that is
-    partition pruning, nprobe/nlist of the bytes — then join the pruned
-    slice to its metadata, apply the compiled predicate, exact-score only
-    the survivors. One filter semantics engine-wide: the same dict
-    compiles to the Spark Column and the oracle WHERE."""
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    qvec = query_vector(_HYBRID_IVF_SEED)
-    probed = _ann_ivf_probed(_HYBRID_IVF_SEED)
-    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
-        "doc_id", "id"
-    )
-    pruned = (
-        index.assigned.filter(F.col("list_id").isin(probed))
-        .select("id", "embedding")
-        .join(docs.select("id", "lang", "n_chars"), "id", "left")
-    )
-    pred = compile_filters(pruned.schema, _HYBRID_IVF_FILTERS)
-    scored = pruned.filter(pred).select(
-        "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
-    )
-    return topk(scored, ANN_IVF_K).select(
-        "id", F.round("score", 6).alias("score")
-    )
-
-
-# ------------------------------------------------ cost-based ladder entry (P3)
-
-# Pinned strict-filter case: selectivity ~1.5-2% at every SF, so the
-# costed entry rung lands on the FINAL ladder rung (ceil(K·N·2/|allowed|)
-# clamps to 1000) — the regime where the reference's fixed ladder burns
-# two doomed plans (its qids 1/5 exhaust the ladder in results.jsonl).
-_PF_COSTED_CASE = {
-    "seed": 37,
-    "filters": {"label": {"eq": 7}, "lang": {"eq": "zh"}},
-    "k": 10,
-}
-_PF_COSTED_SAFETY = 2
-
-
-def _post_filter_costed_oracle() -> str:
-    """The oracle RE-DERIVES the costed ladder, not just the answer: the
-    selectivity count, the integer-ceil entry formula with its clamp, the
-    entry→rung mapping, the survivor-count stop rule per rung, and the
-    rung arithmetic — so a hash match certifies the cost model itself
-    (same style as strategy_dispatch_params' √N-clamp recomputation)."""
-    from pyspark.sql import types as T
-
-    k = _PF_COSTED_CASE["k"]
-    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(
-        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
-    )
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
-cand AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM assigned WHERE list_id IN ({probed})),
-allowed AS (SELECT id FROM corpus WHERE {where}),
-counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
-                  (SELECT count(*) FROM allowed) AS na),
-entry AS (
-  SELECT LEAST(1000, GREATEST(200,
-    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec FROM counts),
-erung AS (SELECT CASE WHEN ec <= 200 THEN 200
-                      WHEN ec <= 500 THEN 500
-                      ELSE 1000 END AS r FROM entry),
-surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
-stop AS (SELECT r, CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
-    ELSE 1000 END AS s FROM erung)
-SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
-  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
-  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
-  s AS ladder_stop
-FROM surv, stop WHERE rk <= s
-ORDER BY score DESC, id ASC LIMIT {k}"""
-
-
-@register("post_filter_costed", _post_filter_costed_oracle(), side_effects=True)
-def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 with COST-BASED ladder entry (SURVEY §4's better-than-reference
-    opportunity): the harness's A2 selectivity estimate prices the first
-    rung as clamp(ceil(K·N·safety / |allowed|), 200, 1000), so a strict
-    filter enters the ladder at the rung the fixed (200, 500, 1000)
-    escalation would only reach after two doomed plans (the reference's
-    qids 1/5 exhaust the ladder — src/baselines/post_filter.py:66-87;
-    final-rung semantics are preserved, so exhaust-regime answers are
-    bit-identical to the fixed ladder's). Emits the ladder economics —
-    entry rung, rungs actually run, stopping rung — alongside the top-K,
-    all recomputed independently by the SQL oracle; the fixed-vs-costed
-    A/B lives in tests/test_ivf.py. ``side_effects=True``: search() is a
-    driver-side escalation loop, not a single lazy plan."""
-    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
-
-    corpus = load_corpus(spark, sf_dir)
-    backend = PostFilterBackend(
-        corpus,
-        index=_ann_ivf_fixed_index(spark, sf_dir),
-        nprobe=ANN_IVF_NPROBE,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-    )
-    ids, stats = backend.search(
-        query_vector(_PF_COSTED_CASE["seed"]),
-        _PF_COSTED_CASE["filters"],
-        _PF_COSTED_CASE["k"],
-    )
-    rows = [
-        (
-            int(i),
-            round(float(s), 6),
-            int(stats["ladder_entry"]),
-            int(stats["rungs_run"]),
-            int(stats["scored_vectors"]),
-        )
-        for i, s in zip(ids, stats["scores"])
-    ]
-    return spark.createDataFrame(
-        rows,
-        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
-        "ladder_stop LONG",
-    )
-
-
-def _pf_costed_stats_oracle() -> str:
-    """Certifies the STATS-FED cost model end-to-end: the oracle
-    recomputes the column statistics (row count, per-column not-null
-    count, exact distinct count — the ``exact_ndv`` mode of
-    functions/colstats.py, chosen precisely because ANSI SQL can replay
-    it), applies the System-R estimator with the same multiplication
-    order and half-up rounding, derives the entry rung from the ESTIMATE
-    (the true |allowed| count never enters the entry decision), and then
-    replays survivors and the stop rule over the TRUE allowed set — the
-    same split the backend runs: estimated entry, actual filtering."""
-    from pyspark.sql import types as T
-
-    k = _PF_COSTED_CASE["k"]
-    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(
-        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
-    )
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
-    # estimator replay — mirrors functions/colstats.py estimate_allowed
-    # for {label: eq, lang: eq}: per conjunct sel *= (1/ndv) * notnull,
-    # iterated in the filter dict's insertion order (label, then lang);
-    # notnull = 1.0 - nulls/count; est = clamp(FLOOR(n*sel + 0.5), 1, n)
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
-cand AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM assigned WHERE list_id IN ({probed})),
-allowed AS (SELECT id FROM corpus WHERE {where}),
-stats AS (SELECT
-  (SELECT count(*) FROM corpus) AS n,
-  (SELECT count(label) FROM corpus) AS nn_label,
-  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
-  (SELECT count(lang) FROM corpus) AS nn_lang,
-  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang),
-est AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
-    n * ((1.0 * ((1.0 / GREATEST(ndv_label, 1))
-                 * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))
-       * ((1.0 / GREATEST(ndv_lang, 1))
-          * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))
-    + 0.5) AS BIGINT))) AS na FROM stats),
-entry AS (
-  SELECT LEAST(1000, GREATEST(200,
-    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec, na FROM est),
-erung AS (SELECT CASE WHEN ec <= 200 THEN 200
-                      WHEN ec <= 500 THEN 500
-                      ELSE 1000 END AS r, na FROM entry),
-surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
-stop AS (SELECT r, na, CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
-    ELSE 1000 END AS s FROM erung)
-SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
-  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
-  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
-  s AS ladder_stop, na AS est_allowed
-FROM surv, stop WHERE rk <= s
-ORDER BY score DESC, id ASC LIMIT {k}"""
-
-
-@register(
-    "post_filter_costed_stats", _pf_costed_stats_oracle(), side_effects=True
-)
-def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The costed ladder fed by COLUMN STATISTICS instead of a count
-    scan — the 100-TB entry decision as a first-class, hash-checked
-    query (VERDICT r7 next #5 made end-to-end): one ingest-time
-    aggregation collects (count, nulls, exact ndv) for the filterable
-    columns, the System-R estimator maps the query's filter dict onto
-    them, and the ESTIMATE drives the entry rung via selectivity_hint —
-    the search itself runs zero count jobs (pinned in tests/test_ivf.py
-    with a poisoned DataFrame.count). Survivor filtering still uses the
-    TRUE predicate, so a wrong estimate can cost rungs, never rows. The
-    oracle replays the statistics, the estimator arithmetic (same
-    multiplication order, half-up rounding), the entry clamp, and the
-    stop rule — a hash match certifies the whole stats→estimate→rung
-    pipeline, not just the answer."""
-    from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
-        estimate_allowed,
-    )
-    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
-
-    corpus = load_corpus(spark, sf_dir)
-    stats = collect_column_stats(
-        corpus, ["label", "lang"], exact_ndv=True
-    )
-    est = estimate_allowed(stats, _PF_COSTED_CASE["filters"])
-    backend = PostFilterBackend(
-        corpus,
-        index=_ann_ivf_fixed_index(spark, sf_dir),
-        nprobe=ANN_IVF_NPROBE,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-        selectivity_hint=est,
-    )
-    ids, st = backend.search(
-        query_vector(_PF_COSTED_CASE["seed"]),
-        _PF_COSTED_CASE["filters"],
-        _PF_COSTED_CASE["k"],
-    )
-    rows = [
-        (
-            int(i),
-            round(float(s), 6),
-            int(st["ladder_entry"]),
-            int(st["rungs_run"]),
-            int(st["scored_vectors"]),
-            int(est),
-        )
-        for i, s in zip(ids, st["scores"])
-    ]
-    return spark.createDataFrame(
-        rows,
-        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
-        "ladder_stop LONG, est_allowed LONG",
-    )
-
-
-_SNAPSHOT_CACHE: dict[str, tuple] = {}
-
-
-@register(
-    "corpus_snapshot_reads",
-    """SELECT 1 AS version, label, COUNT(*) AS n
-FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label
-UNION ALL
-SELECT 2 AS version, label, COUNT(*) AS n
-FROM embeddings GROUP BY label
-UNION ALL
-SELECT 3 AS version, label, COUNT(*) AS n
-FROM embeddings GROUP BY label
-ORDER BY version, label""",
-    side_effects=True,
-)
-def corpus_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SNAPSHOT ISOLATION + TIME TRAVEL on plain parquet
-    (sources/manifest.py — the single-writer core of a table format):
-    the corpus is committed as snapshot v1 (80% of rows), an append
-    commits v2 (the remaining 20%, O(batch) — no existing bytes move),
-    and a compaction REWRITE commits v3 (same rows, one file). The
-    query then reads all three snapshots THROUGH the manifest layer
-    after every commit has landed and reports per-label counts: v1
-    must still show the pre-append corpus (time travel — the
-    reproducible-read a training run pins), v2 the appended one, and
-    v3 must equal v2 row-for-row (compaction changes layout, never
-    content, and does not break older snapshots — what the rename-swap
-    layouts cannot offer). The oracle recomputes each version's counts
-    from the raw table, so a stale manifest, a leaking append, or a
-    lossy rewrite all hash-mismatch. Readers racing a commit see
-    either v or v+1, never a mix: a version IS one atomically-renamed
-    manifest (crash/isolation mechanics pinned in
-    tests/test_manifest.py). ``side_effects``: commits build a
-    persisted layout once per session."""
-    from hybrid_vector_search_spark.sources import manifest as M
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cached = _SNAPSHOT_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label"
-        )
-        root = scratch_path(
-            "snapshots_" + sf_dir.strip("/").replace("/", "_")
-        )
-        v1 = M.commit_append(root, emb.filter(F.col("vec_id") % 5 != 0))
-        v2 = M.commit_append(root, emb.filter(F.col("vec_id") % 5 == 0))
-        v3 = M.commit_rewrite(
-            root, M.read_snapshot(spark, root, v2), n_files=1
-        )
-        assert (v1, v2, v3) == (1, 2, 3)
-        _SNAPSHOT_CACHE[sf_dir] = (spark, root)
-
-    def counts(version):
-        return (
-            M.read_snapshot(spark, root, version)
-            .groupBy("label")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(version).alias("version"), "label", "n")
-        )
-
-    return (
-        counts(1)
-        .unionByName(counts(2))
-        .unionByName(counts(3))
-        .orderBy("version", "label")
-    )
-
-
-@register(
-    "corpus_snapshot_diff",
-    """SELECT vec_id AS id, label FROM embeddings
-WHERE vec_id % 5 = 0 ORDER BY id""",
-    side_effects=True,
-)
-def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SNAPSHOT DIFF — the incremental-consumer read ("give me what
-    changed since the version I last processed", CDC-lite) the manifest
-    layout makes exact: rows in v2 but not v1 of the corpus_snapshot_
-    reads table, computed as a LEFT-ANTI join of two pinned snapshot
-    scans. Because versions are immutable manifests, the diff is
-    REPRODUCIBLE forever (re-running it next week returns the identical
-    batch — what a downstream embedding/indexing job keys its own
-    exactly-once processing on), and append-only commits make it exactly
-    the appended batch, which is what the oracle (the 20% batch by
-    construction) certifies. At scale the anti-join shuffles only ids;
-    a manifest carrying per-commit file lists could serve the same diff
-    as a pure file-set difference with ZERO shuffle — noted as the
-    table-format upgrade path."""
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    corpus_snapshot_reads(spark, sf_dir)  # ensure versions committed
-    root = _SNAPSHOT_CACHE[sf_dir][1]
-    v2 = M.read_snapshot(spark, root, 2)
-    v1 = M.read_snapshot(spark, root, 1)
-    return (
-        v2.join(v1.select("vec_id"), "vec_id", "left_anti")
-        .select(F.col("vec_id").alias("id"), "label")
-        .orderBy("id")
-    )
-
-
-_PRUNED_SCAN_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_pruned_scan",
-    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
-w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m)
-SELECT 2 AS files_scanned, 4 AS files_total, label,
-  COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
-FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi
-GROUP BY label ORDER BY label""",
-    side_effects=True,
-)
-def corpus_snapshot_pruned_scan(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """MANIFEST COLUMN-STATS FILE SKIPPING (sources/manifest.py — the
-    Iceberg data-skipping story without hive dirs): the corpus is
-    committed as four id-range appends (one file each, so manifest
-    footer stats give disjoint per-file vec_id [min,max]), and a
-    BETWEEN scan over the middle [3n/8, 5n/8) window is planned by
-    pruning files against those stats BEFORE Spark lists anything —
-    exactly 2 of 4 files survive, by construction of the window. The
-    proof is IN the hash-checked contract: the Spark side emits the
-    MEASURED kept/total file counts as columns and the oracle pins the
-    literals 2 and 4, so a pruning regression (reading every file, or
-    wrongly dropping one) mismatches either those counts or the
-    aggregate values over the missing/extra rows. At 100 TB this is
-    the difference between listing+opening every corpus file and
-    opening the fraction the predicate can touch — and it composes
-    with time travel (each version prunes against its own manifest's
-    stats)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _PRUNED_SCAN_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
-    if root is None:
-        root = scratch_path(
-            "snap_pruned_" + sf_dir.strip("/").replace("/", "_")
-        )
-        bounds = [0, n // 4, n // 2, (3 * n) // 4, n]
-        for lo, hi in zip(bounds, bounds[1:]):
-            M.commit_append(
-                root,
-                emb.filter(
-                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-                ),
-                n_files=1,
-            )
-        _PRUNED_SCAN_CACHE[sf_dir] = (spark, root)
-    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
-    _v, kept, total = M.snapshot_files_pruned(root, "vec_id", w_lo, w_hi)
-    return (
-        M.read_snapshot_pruned(spark, root, "vec_id", w_lo, w_hi)
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("vec_id").alias("sum_id"),
-        )
-        .select(
-            F.lit(len(kept)).alias("files_scanned"),
-            F.lit(total).alias("files_total"),
-            "label",
-            "n_rows",
-            "sum_id",
-        )
-        .orderBy("label")
-    )
-
-
-_TAG_READ_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_tag_read",
-    """SELECT 2 AS tagged_version, 2 AS retained_versions,
-  vec_id AS id, label FROM embeddings ORDER BY id""",
-    side_effects=True,
-)
-def corpus_snapshot_tag_read(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """NAMED REFS WITH RETENTION (sources/manifest.py create_tag /
-    vacuum): v1 commits the even ids, v2 the odd ids (the full
-    corpus), v3 a shifted extra batch; v2 is TAGGED ``train`` — 'the
-    corpus this run trained on' — and vacuum(keep_last=1) then runs.
-    Retention must keep exactly TWO versions: v3 (the keep-last
-    window) and the tagged v2, dropping v1 — a tag pins its snapshot
-    against any retention policy, which is what makes 'reproduce last
-    month's training set' survive routine cleanup. The query reads
-    the corpus BY TAG NAME (resolve_tag, no version number) and emits
-    the measured tagged version + retained-version count with the
-    oracle pinning both; the row payload proves the tagged read
-    serves exactly v2's content (the full original corpus, not v3's
-    extra batch — a reader that fell through to latest mismatches).
-    Beyond-reference (SURVEY.md §2.9)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _TAG_READ_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        base = load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("id"), "label"
-        )
-        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
-        root = scratch_path(
-            "snap_tag_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append(root, base.filter(F.col("id") % 2 == 0))
-        M.commit_append(root, base.filter(F.col("id") % 2 == 1))
-        M.create_tag(root, "train")  # pins v2 = the full corpus
-        M.commit_append(
-            root,
-            base.filter(F.col("id") % 9 == 0).select(
-                (F.col("id") + n).alias("id"), "label"
-            ),
-        )
-        M.vacuum(root, keep_last=1)
-        _TAG_READ_CACHE[sf_dir] = (spark, root)
-    v = M.resolve_tag(root, "train")
-    retained = len(M.list_versions(root))
-    return (
-        M.read_snapshot(spark, root, v)
-        .select(
-            F.lit(v).alias("tagged_version"),
-            F.lit(retained).alias("retained_versions"),
-            "id",
-            "label",
-        )
-        .orderBy("id")
-    )
-
-
-_UPSERT_ROWS_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_upsert_rows",
-    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
-m AS (SELECT MAX(id) + 1 AS n FROM b),
-v2 AS (
-  SELECT id, CASE WHEN id % 6 = 0 THEN label + 100 ELSE label END AS label
-  FROM b
-  UNION ALL
-  SELECT id + n AS id, 777 AS label FROM b, m WHERE id % 11 = 0)
-SELECT 1 AS version, 2 AS data_files, 0 AS delete_files,
-  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
-  CAST(SUM(label) AS BIGINT) AS sum_label FROM b
-UNION ALL
-SELECT 2 AS version, 3 AS data_files, 1 AS delete_files,
-  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
-  CAST(SUM(label) AS BIGINT) AS sum_label FROM v2
-ORDER BY version""",
-    side_effects=True,
-)
-def corpus_snapshot_upsert_rows(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """ROW-LEVEL MERGE INTO AS ONE ATOMIC COMMIT (sources/manifest.py
-    commit_upsert_rows — the Hudi/Iceberg merge-on-read upsert): one
-    batch UPDATES every 6th id (label + 100) and INSERTS fresh ids in
-    the same publish — the batch's keys land as an equality-delete
-    file and its rows as one new data file, referenced by the SAME
-    manifest, so there is no torn state between the delete and the
-    insert (the two-commit shape has a crash window; this has none).
-    Old copies of updated keys die because the delete reaches only
-    files added BEFORE the commit; the new copies survive because
-    their file is added AT it — the same add-version sequencing that
-    protects re-inserts. Cost is O(batch): no read of the table, no
-    data-file rewrite — copy-on-write MERGE rewrites every touched
-    file instead, which at 100 TB is the difference between a
-    point-update and a compaction job. Structural literals in the
-    hash contract: v2 carries v1's 2 data files untouched + 1 new
-    data file + 1 delete file, and the per-version aggregates catch a
-    resurrected old copy (sum_label too low is impossible — a double
-    copy inflates n_rows, a lost update deflates sum_label).
-    Beyond-reference (SURVEY.md §2.9)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _UPSERT_ROWS_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        base = load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("id"), "label"
-        )
-        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
-        root = scratch_path(
-            "snap_upsert_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append(root, base, n_files=2)
-        batch = base.filter(F.col("id") % 6 == 0).select(
-            "id", (F.col("label") + 100).alias("label")
-        ).unionByName(
-            base.filter(F.col("id") % 11 == 0).select(
-                (F.col("id") + n).alias("id"),
-                F.lit(777).alias("label"),
-            )
-        )
-        M.commit_upsert_rows(root, batch, "id", n_files=1)
-        _UPSERT_ROWS_CACHE[sf_dir] = (spark, root)
-    parts = []
-    for v in (1, 2):
-        n_data = len(M.snapshot_files(root, v)[1])
-        n_del = len(M.snapshot_delete_files(root, v))
-        parts.append(
-            M.read_snapshot(spark, root, v)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("id").alias("sum_id"),
-                F.sum("label").alias("sum_label"),
-            )
-            .select(
-                F.lit(v).alias("version"),
-                F.lit(n_data).alias("data_files"),
-                F.lit(n_del).alias("delete_files"),
-                "n_rows",
-                "sum_id",
-                "sum_label",
-            )
-        )
-    return parts[0].unionByName(parts[1]).orderBy("version")
-
-
-_ZORDER_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_zorder_scan",
-    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
-w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m)
-SELECT 16 AS files_total, 8 AS files_vec_prune, 4 AS files_label_prune,
-  2 AS files_conj_prune, COUNT(*) AS n_rows,
-  CAST(SUM(vec_id) AS BIGINT) AS sum_id
-FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi AND label = 3""",
-    side_effects=True,
-)
-def corpus_snapshot_zorder_scan(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """MULTI-COLUMN DATA SKIPPING VIA Z-ORDER (sources/manifest.py
-    zorder_bucket — Delta's OPTIMIZE ZORDER BY / Iceberg's sort-order
-    rewrite, on the manifest layout): the corpus commits clustered by
-    the fixed-boundary Morton bucket over (vec_id, label) — 16 grid
-    cells, one immutable file each, every file a COMPACT BOX in the
-    combined key space — so footer stats prune usefully on EITHER
-    column: the vec_id window alone keeps 8/16 files, label = 3 alone
-    keeps 4/16, and their CONJUNCTION keeps 2/16 (multiplicative — the
-    single-column clustered layout of corpus_snapshot_pruned_scan
-    prunes this conjunction no better than its one sorted column).
-    All four MEASURED file counts ride in the hash-checked contract as
-    columns with the oracle pinning the literals, and the aggregate is
-    computed over the conjunctively-pruned scan, so a box that leaks
-    (rows lost to over-pruning) or a grid that degenerates (stats not
-    tight → under-pruning) mismatches. At 100 TB this is the layout
-    decision that makes two-dimensional dashboards (time × tenant,
-    list × label) open the file fraction their predicate box covers
-    instead of a full stripe. Beyond-reference (SURVEY.md §2.9)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _ZORDER_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label"
-    )
-    bounds = emb.agg(
-        F.max("vec_id"), F.min("label"), F.max("label")
-    ).first()  # bounded: one row
-    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
-    zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
-    if root is None:
-        root = scratch_path(
-            "snap_zorder_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append_clustered(
-            root,
-            emb.withColumn("zb", M.zorder_bucket(zcols, 4)),
-            "zb",
-        )
-        _ZORDER_CACHE[sf_dir] = (spark, root)
-    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
-    _v, kept_vec, total = M.snapshot_files_pruned(
-        root, "vec_id", w_lo, w_hi
-    )
-    _v, kept_lab, _t = M.snapshot_files_pruned(root, "label", 3, 3)
-    preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
-    _v, kept_both, _t = M.snapshot_files_pruned_multi(root, preds)
-    return (
-        M.read_snapshot_pruned_multi(spark, root, preds)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("vec_id").alias("sum_id"),
-        )
-        .select(
-            F.lit(total).alias("files_total"),
-            F.lit(len(kept_vec)).alias("files_vec_prune"),
-            F.lit(len(kept_lab)).alias("files_label_prune"),
-            F.lit(len(kept_both)).alias("files_conj_prune"),
-            "n_rows",
-            "sum_id",
-        )
-    )
-
-
-_OPTIMIZE_Z_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_optimize_zorder",
-    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
-w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m),
-agg AS (SELECT COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
-        FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi
-          AND label = 3)
-SELECT 'post' AS phase, 16 AS files_total, 2 AS files_scanned,
-  n_rows, sum_id FROM agg
-UNION ALL
-SELECT 'pre' AS phase, 6 AS files_total, 6 AS files_scanned,
-  n_rows, sum_id FROM agg
-ORDER BY phase""",
-    side_effects=True,
-)
-def corpus_snapshot_optimize_zorder(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """THE OPTIMIZE COMMAND — ingest-order appends, then one
-    re-clustering rewrite that makes file skipping start working
-    (Delta ``OPTIMIZE ZORDER BY`` end-to-end, sources/manifest.py
-    commit_rewrite_clustered): v1–v3 append three id-interleaved
-    slices (id % 3 — the arrival-order shape every ingest produces),
-    so all 6 files span the FULL (vec_id, label) range and the
-    conjunctive predicate prunes NOTHING (6 of 6 scanned — stats are
-    only as good as the layout); v4 rewrites the table clustered by
-    the fixed-boundary Morton bucket, after which the same predicate
-    opens 2 of 16 files. Both phases' MEASURED (total, scanned) file
-    counts ride in the hash contract with the oracle pinning the
-    literals, and both phases compute the SAME aggregate over their
-    pruned scan — so an optimize that loses rows, a prune that leaks,
-    or stats that fail to tighten all mismatch. History survives the
-    rewrite: v3 still reads the pre-optimize files (checked by the
-    pre-phase scan running against version 3 AFTER v4 committed). At
-    100 TB this is the nightly job that turns append-order data into
-    a queryable layout without blocking readers. Beyond-reference
-    (SURVEY.md §2.9)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _OPTIMIZE_Z_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label"
-    )
-    bounds = emb.agg(
-        F.max("vec_id"), F.min("label"), F.max("label")
-    ).first()  # bounded: one row
-    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
-    if root is None:
-        root = scratch_path(
-            "snap_optz_" + sf_dir.strip("/").replace("/", "_")
-        )
-        for r in range(3):  # arrival-order slices, full-range stats
-            M.commit_append(
-                root, emb.filter(F.col("vec_id") % 3 == r), n_files=2
-            )
-        zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
-        M.commit_rewrite_clustered(
-            root,
-            M.read_snapshot(spark, root).withColumn(
-                "zb", M.zorder_bucket(zcols, 4)
-            ),
-            "zb",
-        )
-        _OPTIMIZE_Z_CACHE[sf_dir] = (spark, root)
-    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
-    preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
-    parts = []
-    for phase, version in (("pre", 3), ("post", 4)):
-        _v, kept, total = M.snapshot_files_pruned_multi(
-            root, preds, version=version
-        )
-        parts.append(
-            M.read_snapshot_pruned_multi(
-                spark, root, preds, version=version
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("vec_id").alias("sum_id"),
-            )
-            .select(
-                F.lit(phase).alias("phase"),
-                F.lit(total).alias("files_total"),
-                F.lit(len(kept)).alias("files_scanned"),
-                "n_rows",
-                "sum_id",
-            )
-        )
-    return parts[0].unionByName(parts[1]).orderBy("phase")
-
-
-_SCHEMA_EVO_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_schema_evolution",
-    """SELECT 1 AS version, vec_id AS id, label AS cls,
-  CAST(NULL AS DOUBLE) AS weight
-FROM embeddings WHERE vec_id % 3 = 0
-UNION ALL
-SELECT 4 AS version, vec_id AS id, label AS cls,
-  CASE WHEN vec_id % 3 = 1 THEN CAST(vec_id AS DOUBLE) / 2 END AS weight
-FROM embeddings WHERE vec_id % 3 IN (0, 1)
-ORDER BY version, id""",
-    side_effects=True,
-)
-def corpus_snapshot_schema_evolution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """SCHEMA EVOLUTION ACROSS SNAPSHOT VERSIONS (sources/manifest.py
-    commit_add_column / commit_rename_column — both METADATA-ONLY
-    commits, zero data bytes move): v1 commits (vec_id, label), v2
-    adds a ``weight`` double, v3 appends rows that carry it
-    physically, v4 renames ``label`` → ``cls``. The query reads the
-    PINNED v1 (whose schema still says ``label`` — the plan aliases it
-    to prove the old name is what that snapshot serves) and the
-    current v4 (old files serve ``cls`` through the manifest's
-    per-file column mapping and ``weight`` as typed NULLs; v3's files
-    serve their physical values). The oracle reconstructs both reads
-    from the raw table, so a mapping that loses the rename, NULL-fill
-    that hides real values, or a reader that leaks the new schema into
-    the pinned version all hash-mismatch."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _SCHEMA_EVO_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label"
-        )
-        root = scratch_path(
-            "snap_schema_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append(root, emb.filter(F.col("vec_id") % 3 == 0))
-        M.commit_add_column(root, "weight", "double")
-        M.commit_append(
-            root,
-            emb.filter(F.col("vec_id") % 3 == 1).select(
-                "vec_id",
-                "label",
-                (F.col("vec_id").cast("double") / 2).alias("weight"),
-            ),
-        )
-        M.commit_rename_column(root, "label", "cls")
-        _SCHEMA_EVO_CACHE[sf_dir] = (spark, root)
-
-    v1 = M.read_snapshot(spark, root, 1).select(
-        F.lit(1).alias("version"),
-        F.col("vec_id").alias("id"),
-        F.col("label").alias("cls"),  # v1's schema still says 'label'
-        F.lit(None).cast("double").alias("weight"),
-    )
-    v4 = M.read_snapshot(spark, root).select(
-        F.lit(4).alias("version"),
-        F.col("vec_id").alias("id"),
-        "cls",
-        "weight",
-    )
-    return v1.unionByName(v4).orderBy("version", "id")
-
-
-_ROW_DELETE_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_row_deletes",
-    """WITH b AS (SELECT vec_id AS id FROM embeddings)
-SELECT 1 AS version, 2 AS data_files, 0 AS delete_files,
-  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM b
-UNION ALL SELECT 2, 2, 1, COUNT(*), CAST(SUM(id) AS BIGINT)
-  FROM b WHERE id % 7 <> 0
-UNION ALL SELECT 3, 3, 1, COUNT(*), CAST(SUM(id) AS BIGINT)
-  FROM b WHERE id % 7 <> 0 OR id % 3 = 0
-UNION ALL SELECT 4, 2, 0, COUNT(*), CAST(SUM(id) AS BIGINT)
-  FROM b WHERE id % 7 <> 0 OR id % 3 = 0
-ORDER BY version""",
-    side_effects=True,
-)
-def corpus_snapshot_row_deletes(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """MERGE-ON-READ ROW-LEVEL DELETES (sources/manifest.py
-    commit_delete_where — the Iceberg equality-delete shape): v1
-    commits the corpus as two data files; v2 DELETES every id % 7 == 0
-    row as a tiny equality-delete file — ZERO data files move, which
-    at 100 TB is the difference between an O(deleted-keys) commit and
-    an O(table) rewrite; v3 RE-INSERTS the multiple-of-21 ids, which
-    survive the older delete because deletes reach only files added
-    before them (per-file add-version sequencing — Iceberg's
-    sequence-number rule); v4 compacts with
-    ``commit_rewrite(read_snapshot(...))``, after which the delete
-    entry prunes out of the manifest and the read is unchanged. The
-    structural proof rides IN the hash-checked contract: per-version
-    MEASURED (data_files, delete_files) counts are emitted as columns
-    and the oracle pins the literals — a delete that rewrote data
-    (2→3 files at v2), a reader that resurrected deleted rows or
-    dropped re-inserted ones, or a compaction that failed to retire
-    the delete file all hash-mismatch. Reads subtract deletes with a
-    broadcast anti-join (keys are the tiny side), so the merge-on-read
-    cost is one hash probe per scanned row, corpus-size independent.
-    Reference scope: beyond the reference (its corpus is immutable;
-    SURVEY.md §2.9 row-maintenance family)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _ROW_DELETE_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        ids = load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("id")
-        )
-        root = scratch_path(
-            "snap_rowdel_" + sf_dir.strip("/").replace("/", "_")
-        )
-        M.commit_append(root, ids, n_files=2)
-        M.commit_delete_where(
-            root, ids.filter(F.col("id") % 7 == 0), "id"
-        )
-        M.commit_append(
-            root, ids.filter((F.col("id") % 21) == 0), n_files=1
-        )
-        M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
-        _ROW_DELETE_CACHE[sf_dir] = (spark, root)
-    parts = []
-    for v in (1, 2, 3, 4):
-        n_data = len(M.snapshot_files(root, v)[1])
-        n_del = len(M.snapshot_delete_files(root, v))
-        parts.append(
-            M.read_snapshot(spark, root, v)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("id").alias("sum_id"),
-            )
-            .select(
-                F.lit(v).alias("version"),
-                F.lit(n_data).alias("data_files"),
-                F.lit(n_del).alias("delete_files"),
-                "n_rows",
-                "sum_id",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("version")
-
-
-_CHANGELOG_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "corpus_snapshot_changelog",
-    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
-m AS (SELECT MAX(id) + 1 AS n FROM b)
-SELECT 2 AS version, 'insert' AS change, id + n AS id, label
-  FROM b, m WHERE id % 4 = 0
-UNION ALL
-SELECT 3 AS version, 'delete' AS change, id, label
-  FROM b WHERE id % 5 = 0
-ORDER BY version, change, id""",
-    side_effects=True,
-)
-def corpus_snapshot_changelog(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CDC FEED OVER SNAPSHOT VERSIONS (sources/manifest.py
-    snapshot_changelog): the scripted history commits v1 = the corpus,
-    v2 = an append (every 4th id, shifted by n), v3 = a merge-on-read
-    equality DELETE of every 5th original id, v4 = a compaction
-    rewrite — and the feed for (v1, v4] must contain EXACTLY v2's rows
-    as inserts and v3's victims as deletes, with v4 contributing
-    NOTHING (a row-preserving rewrite is invisible to consumers). The
-    feed is op-aware, not O(table): append steps read only the step's
-    new files, delete steps broadcast-semi-join the tiny key file
-    against the prior snapshot, and only rewrites pay a row-level
-    symmetric diff. Emitting the full changed ROWS (not counts) makes
-    the hash check total: a feed that leaks carried-over rows from the
-    rewrite, misses a delete victim, or resurrects the wrong label
-    values mismatches. Because versions are immutable, the feed for a
-    closed range is reproducible forever — the property that lets a
-    downstream consumer (index, replica, feature store) re-tail after
-    a crash. Beyond-reference (SURVEY.md §2.9 maintenance family)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    root = _changelog_root(spark, sf_dir)
-    return (
-        M.snapshot_changelog(spark, root, 1, 4)
-        .select("version", "change", "id", "label")
-        .orderBy("version", "change", "id")
-    )
-
-
-def _changelog_root(spark: SparkSession, sf_dir: str) -> str:
-    """The scripted 4-version history behind the CDC queries: v1 = the
-    corpus, v2 = append (every 4th id, shifted by n), v3 = equality
-    delete of every 5th ORIGINAL id, v4 = compaction rewrite."""
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    cached = _CHANGELOG_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    base = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), "label"
-    )
-    n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
-    root = scratch_path(
-        "snap_cdc_" + sf_dir.strip("/").replace("/", "_")
-    )
-    M.commit_append(root, base, n_files=2)
-    M.commit_append(
-        root,
-        base.filter(F.col("id") % 4 == 0).select(
-            (F.col("id") + n).alias("id"), "label"
-        ),
-        n_files=1,
-    )
-    M.commit_delete_where(
-        root, base.filter(F.col("id") % 5 == 0), "id"
-    )
-    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
-    _CHANGELOG_CACHE[sf_dir] = (spark, root)
-    return root
-
-
-@register(
-    "corpus_snapshot_cdc_apply",
-    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
-m AS (SELECT MAX(id) + 1 AS n FROM b),
-final AS (
-  SELECT id, label FROM b WHERE id % 5 <> 0
-  UNION ALL
-  SELECT id + n AS id, label FROM b, m WHERE id % 4 = 0)
-SELECT 0 AS diff_vs_snapshot, id, label FROM final ORDER BY id""",
-    side_effects=True,
-)
-def corpus_snapshot_cdc_apply(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """THE FEED IS SUFFICIENT — the downstream half of the CDC story:
-    a REPLICA pinned at v1 consumes the changelog for (v1, v4] (same
-    scripted history as corpus_snapshot_changelog) with the GENERAL
-    version-by-version fold (sources/manifest.py apply_changelog: per
-    version ascending, broadcast anti-join that version's deletes,
-    union its inserts) — never re-reading the source table — and the
-    result must equal the v4 snapshot read row-for-row. The fold is
-    correct for arbitrary histories (insert-then-delete of the same key
-    inside the range, re-inserts, upsert steps — pytest-pinned in
-    tests/test_manifest.py), not just this script's disjoint key sets;
-    r10's collapsed one-anti-join form rode a documented no-reinsert
-    assumption this entry no longer needs. The proof is double-sided:
-    the emitted rows hash against the oracle's expected final state,
-    and the ``diff_vs_snapshot`` column carries the MEASURED symmetric
-    difference vs the actual v4 read (two exceptAll counts — an
-    O(table) PROOF pass only, the consume path itself is O(changed
-    rows)), which the oracle pins at 0. This is the consumer contract a
-    downstream index/replica/feature store relies on at 100 TB, and
-    because versions are immutable the same feed replays to the same
-    replica after a crash. Beyond-reference (SURVEY.md §2.9)."""
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    root = _changelog_root(spark, sf_dir)
-    feed = M.snapshot_changelog(spark, root, 1, 4)
-    replica = M.apply_changelog(
-        M.read_snapshot(spark, root, 1), feed, "id"
-    )
-    v4 = M.read_snapshot(spark, root, 4)
-    diff = int(replica.exceptAll(v4).count()) + int(
-        v4.exceptAll(replica).count()
-    )
-    return replica.select(
-        F.lit(diff).alias("diff_vs_snapshot"), "id", "label"
-    ).orderBy("id")
-
-
-_CHOICE_CASES = (
-    # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
-    # nlist = N/4 → pre_filter (score the few allowed rows exactly)
-    ("strict", 53, {"label": {"eq": 7}, "lang": {"eq": "zh"}}),
-    # broad ne: est ≈ N·(1 − 1/ndv_lang) = 0.8N » N/4 → post_filter
-    # (probing nprobe/nlist of the corpus beats scoring 80% of it)
-    ("broad", 59, {"lang": {"ne": "zh"}}),
-)
-_CHOICE_K = 10
-
-
-def _strategy_costed_choice_oracle() -> str:
-    """Replays the WHOLE planner decision per case: the column
-    statistics (exact ndv mode — ANSI-replayable), the System-R
-    estimate with the engine's multiplication order and half-up
-    rounding, the integer decision rule est·nlist < n·nprobe, and THEN
-    the chosen strategy's answer — the pre_filter branch as the exact
-    scan over the allowed set, the post_filter branch as the costed
-    ladder replay (entry clamp from the ESTIMATE, survivor stop rule
-    over the true predicate). Both branches are computed for each case
-    and the decision column selects which branch emits rows, so a wrong
-    Spark-side choice hash-mismatches even when both strategies would
-    return the same ids."""
-    from pyspark.sql import types as T
-
-    k = _CHOICE_K
-    safety = _PF_COSTED_SAFETY
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    head = f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
-stats AS (SELECT
-  (SELECT count(*) FROM corpus) AS n,
-  (SELECT count(label) FROM corpus) AS nn_label,
-  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
-  (SELECT count(lang) FROM corpus) AS nn_lang,
-  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang)"""
-    # per-case estimator replay — mirrors functions/colstats.py
-    # estimate_allowed's multiplication order ((1.0 * A) * B, half-up)
-    sel_sql = {
-        "strict": (
-            "((1.0 * ((1.0 / GREATEST(ndv_label, 1))"
-            " * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))"
-            " * ((1.0 / GREATEST(ndv_lang, 1))"
-            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
-        ),
-        "broad": (
-            "(1.0 * ((1.0 - 1.0 / GREATEST(ndv_lang, 1))"
-            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
-        ),
-    }
-    ctes, selects = [head], []
-    for qcase, seed, filters in _CHOICE_CASES:
-        qlit = sql_array_literal(query_vector(seed))
-        where = filters_to_sql(schema, filters)
-        probed = ", ".join(str(i) for i in _ann_ivf_probed(seed))
-        ctes.append(
-            f"""est_{qcase} AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
-    n * {sel_sql[qcase]} + 0.5) AS BIGINT))) AS est FROM stats),
-ch_{qcase} AS (SELECT est,
-  CASE WHEN est * {ANN_IVF_NLIST} < n * {ANN_IVF_NPROBE}
-       THEN 'pre_filter' ELSE 'post_filter' END AS choice
-  FROM est_{qcase}),
-pre_{qcase} AS (
-  SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
-  FROM corpus WHERE {where}
-  ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC LIMIT {k}),
-cand_{qcase} AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM assigned WHERE list_id IN ({probed})),
-surv_{qcase} AS (
-  SELECT c.id, c.score, c.rk FROM cand_{qcase} c
-  JOIN (SELECT id FROM corpus WHERE {where}) a USING (id)),
-erung_{qcase} AS (SELECT CASE
-    WHEN ec <= 200 THEN 200 WHEN ec <= 500 THEN 500 ELSE 1000 END AS r
-  FROM (SELECT LEAST(1000, GREATEST(200,
-    ({k} * {safety} * n + est - 1) // est)) AS ec FROM est_{qcase})),
-stop_{qcase} AS (SELECT CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 200) >= {k}
-     THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 500) >= {k}
-     THEN 500
-    ELSE 1000 END AS s FROM erung_{qcase}),
-post_{qcase} AS (
-  SELECT id, ROUND(score, 6) AS score
-  FROM surv_{qcase}, stop_{qcase} WHERE rk <= s
-  ORDER BY score DESC, id ASC LIMIT {k})"""
-        )
-        selects.append(
-            f"""SELECT '{qcase}' AS qcase, id, score, choice,
-  est AS est_allowed FROM pre_{qcase}, ch_{qcase}
-WHERE choice = 'pre_filter'
-UNION ALL
-SELECT '{qcase}', id, score, choice, est FROM post_{qcase}, ch_{qcase}
-WHERE choice = 'post_filter'"""
-        )
-    return (
-        ",\n".join(ctes)
-        + "\n"
-        + "\nUNION ALL\n".join(selects)
-        + "\nORDER BY qcase, score DESC, id ASC"
-    )
-
-
-@register(
-    "strategy_costed_choice",
-    _strategy_costed_choice_oracle(),
-    side_effects=True,
-)
-def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COST-BASED STRATEGY CHOICE (VERDICT r8 next #7): the reference
-    asks its operator to pick a backend by hand (``--backend`` flag,
-    src/harness/run.py:71-87); here the same column statistics that
-    feed the costed ladder entry decide pre_filter vs post_filter per
-    query — strict filters score their few allowed rows exactly,
-    broad filters probe the IVF lists and post-filter (operators/
-    strategies.py choose_backend_costed has the cost model). The
-    decision runs ZERO count jobs (one ingest-time stats pass, shared
-    across cases), the chosen backend actually executes — the
-    post_filter arm costed with the SAME estimate as its
-    selectivity_hint — and the oracle re-derives statistics, estimate,
-    decision rule, and the chosen strategy's answer per case, so a
-    drifted estimator, a flipped decision, or a wrong answer all
-    hash-mismatch. ``side_effects``: backend.search() is a driver-side
-    escalation loop."""
-    from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
-    )
-    from hybrid_vector_search_spark.operators.strategies import (
-        choose_backend_costed,
-        get_backend,
-    )
-
-    corpus = load_corpus(spark, sf_dir)
-    stats = collect_column_stats(corpus, ["label", "lang"], exact_ndv=True)
-    n = int(stats["__table__"]["count"])
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-
-    def run_case(case):
-        qcase, seed, filters = case
-        choice, est = choose_backend_costed(
-            stats, filters, ANN_IVF_NPROBE, ANN_IVF_NLIST
-        )
-        if choice == "pre_filter":
-            backend = get_backend("pre_filter", corpus, n=n)
-        else:
-            backend = get_backend(
-                "post_filter",
-                corpus,
-                n=n,
-                index=index,
-                nprobe=ANN_IVF_NPROBE,
-                costed=True,
-                safety=_PF_COSTED_SAFETY,
-                selectivity_hint=est,
-            )
-        ids, st = backend.search(query_vector(seed), filters, _CHOICE_K)
-        return [
-            (qcase, int(i), round(float(s), 6), choice, int(est))
-            for i, s in zip(ids, st["scores"])
-        ]
-
-    # the per-case plans are independent job chains: run them
-    # concurrently (the post_filter_costed_backends pattern)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(len(_CHOICE_CASES)) as ex:
-        case_rows = list(ex.map(run_case, _CHOICE_CASES))
-    out = [r for rows in case_rows for r in rows]
-    return spark.createDataFrame(
-        out,
-        "qcase STRING, id LONG, score DOUBLE, choice STRING, "
-        "est_allowed LONG",
-    )
-
-
-def _auto_sel_sql(filters: dict) -> str | None:
-    """SQL replay of functions/colstats.py estimate_allowed's float
-    arithmetic for one filter dict: same conjunct order (dict order),
-    same per-op selectivities, same (s * notnull)-on-first-op
-    association and multiplication order, so FLOOR(n·sel + 0.5) lands
-    on the identical integer. Expects a ``stats`` CTE carrying n,
-    nn_<col>, ndv_<col> and (numerics) mn_<col>/mx_<col> DOUBLEs."""
-    if not filters:
-        return None
-
-    def range_sql(col: str, lo, hi) -> str:
-        mn, mx = f"mn_{col}", f"mx_{col}"
-        lo_e = mn if lo is None else f"GREATEST({float(lo)!r}, {mn})"
-        hi_e = mx if hi is None else f"LEAST({float(hi)!r}, {mx})"
-        inside_lo = "TRUE" if lo is None else f"{float(lo)!r} <= {mn}"
-        inside_hi = "TRUE" if hi is None else f"{float(hi)!r} >= {mn}"
-        return (
-            f"(CASE WHEN {mx} <= {mn} THEN "
-            f"(CASE WHEN {inside_lo} AND {inside_hi} THEN 1.0 ELSE 0.0 END) "
-            f"WHEN {hi_e} <= {lo_e} THEN 0.0 "
-            f"ELSE ({hi_e} - {lo_e}) / ({mx} - {mn}) END)"
-        )
-
-    sel = "1.0"
-    for col, ops in filters.items():
-        notnull = f"(1.0 - CAST(n - nn_{col} AS DOUBLE) / GREATEST(n, 1))"
-        first = True
-        for op, val in ops.items():
-            if op == "eq":
-                s = f"(1.0 / GREATEST(ndv_{col}, 1))"
-            elif op == "ne":
-                s = f"(1.0 - 1.0 / GREATEST(ndv_{col}, 1))"
-            elif op == "in":
-                vals = val if isinstance(val, (list, tuple, set)) else [val]
-                s = (
-                    f"LEAST(CAST({len(vals)} AS DOUBLE) / "
-                    f"GREATEST(ndv_{col}, 1), 1.0)"
-                )
-            elif op in ("ge", "gt"):
-                s = range_sql(col, val, None)
-            elif op in ("le", "lt"):
-                s = range_sql(col, None, val)
-            elif op == "between":
-                s = range_sql(col, val[0], val[1])
-            else:  # like and anything stats can't see through
-                s = "0.1"
-            term = f"({s} * {notnull})" if first else s
-            sel = f"({sel} * {term})"
-            first = False
-    return sel
-
-
-def _harness_auto_oracle() -> str:
-    """Replays the AUTO planner's per-query decision for the whole
-    canonical batch: exact-ndv column statistics, the estimator
-    arithmetic (:func:`_auto_sel_sql`), the default nlist/nprobe the
-    harness derives (operators/ivf.py default_nlist clamp, nprobe
-    capped at it), the integer rule est·nlist < n·nprobe, and the true
-    selectivity — so a drifted estimator, changed defaults, or a
-    flipped per-query choice all hash-mismatch."""
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
-
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    stat_cols = sorted(
-        {c for cq in CANONICAL_QUERIES for c in (cq.filters or {})}
-    )
-    pieces = ["(SELECT count(*) FROM corpus) AS n"]
-    for c in stat_cols:
-        pieces.append(f"(SELECT count({c}) FROM corpus) AS nn_{c}")
-        pieces.append(f"(SELECT count(DISTINCT {c}) FROM corpus) AS ndv_{c}")
-        if c in ("label", "n_chars"):
-            pieces.append(
-                f"(SELECT CAST(min({c}) AS DOUBLE) FROM corpus) AS mn_{c}"
-            )
-            pieces.append(
-                f"(SELECT CAST(max({c}) AS DOUBLE) FROM corpus) AS mx_{c}"
-            )
-    head = (
-        f"{CORPUS_CTE},\nstats AS (SELECT {', '.join(pieces)}),\n"
-        # default_nlist(n) = max(1, min(max(int(sqrt(n)), 64), 4096, n));
-        # the harness probes min(DEFAULT_NPROBE=32, nlist) of it
-        "knobs AS (SELECT GREATEST(1, LEAST(LEAST(GREATEST("
-        "CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), 64), 4096), n))"
-        " AS nlist FROM stats)"
-    )
-    selects = []
-    for cq in CANONICAL_QUERIES:
-        sel = _auto_sel_sql(cq.filters)
-        est = (
-            "GREATEST(n, 1)"
-            if sel is None
-            else (
-                f"GREATEST(1, LEAST(n, CAST(FLOOR(n * {sel} + 0.5)"
-                " AS BIGINT)))"
-            )
-        )
-        where = filters_to_sql(schema, cq.filters) if cq.filters else "TRUE"
-        selects.append(
-            f"""SELECT {cq.qid} AS qid,
-  CASE WHEN est * nlist < n * LEAST(32, nlist)
-       THEN 'pre_filter' ELSE 'post_filter' END AS method,
-  est AS est_allowed,
-  ROUND((SELECT count(*) FROM corpus WHERE {where}) / CAST(n AS DOUBLE),
-        6) AS selectivity
-FROM (SELECT n, nlist, {est} AS est FROM stats, knobs)"""
-        )
-    return (
-        head + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY qid"
-    )
-
-
-_HARNESS_AUTO_CACHE: dict[str, tuple[SparkSession, list]] = {}
-
-
-@register(
-    "harness_auto_costed_batch",
-    _harness_auto_oracle(),
-    side_effects=True,
-)
-def harness_auto_costed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE COSTED PLANNER AS THE HARNESS DEFAULT (r10 verdict task 6):
-    the full selectivity-stratified canonical batch (plans/canonical.py
-    — strict, medium, broad) runs through ``run_queries(backend=
-    "auto")``, where plans/harness.py makes the per-query pre_filter vs
-    post_filter decision from one shared exact-ndv statistics pass
-    (choose_backend_costed) instead of a hand-picked ``--backend`` flag
-    (reference src/harness/run.py:71-87). Emitted per qid: the CHOICE
-    the harness actually executed, the System-R estimate it decided on
-    (parsed back from the §2.10 ``notes`` field — proving the
-    observable harness output, not a parallel code path), and the true
-    selectivity. The oracle re-derives statistics, estimator
-    arithmetic, the harness's default nlist/nprobe knobs, every
-    decision, and every selectivity. Strategy ANSWER parity under the
-    costed choice is certified separately by strategy_costed_choice;
-    this entry certifies the planner wiring end-to-end through the
-    harness. ``side_effects``: backend.search() is driver-side; the
-    batch is session-cached (the decision set is deterministic) and
-    runs its independent per-query job chains pooled."""
-    from hybrid_vector_search_spark.plans.harness import run_queries
-
-    got = _HARNESS_AUTO_CACHE.get(sf_dir)
-    if got is not None and got[0] is spark:
-        rows = got[1]
-    else:
-        corpus = load_corpus(spark, sf_dir)
-        rows = run_queries(corpus, "auto", concurrency=4)
-        _HARNESS_AUTO_CACHE[sf_dir] = (spark, rows)
-    out = []
-    for r in rows:
-        note = r["notes"] or ""
-        assert note.startswith("auto:"), note
-        est = int(note.split("est=")[1].split(";")[0])
-        out.append(
-            (
-                int(r["qid"]),
-                r["method"],
-                est,
-                round(float(r["filter_selectivity"]), 6),
-            )
-        )
-    return spark.createDataFrame(
-        out, "qid LONG, method STRING, est_allowed LONG, selectivity DOUBLE"
-    )
-
-
-def _pf_costed_backends_oracle() -> str:
-    """Re-derives the costed ladder entry for BOTH non-IVF post-filter
-    backends (same certify-the-cost-model style as
-    _post_filter_costed_oracle): the HNSW arm replays the K′ rung clamp
-    over the exact candidate ranking (the registered backend runs
-    degenerate-exact, ef ≥ partition rows — same argument as
-    ann_hnsw_topk), the LSH arm replays the probe-radius entry via the
-    P(r) = Σ C(nbits, i) coverage formula and the per-radius survivor
-    stop rule, with the probe sets at every radius as literals."""
-    from math import comb
-
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    k = _PF_COSTED_CASE["k"]
-    safety = _PF_COSTED_SAFETY
-    q = query_vector(_PF_COSTED_CASE["seed"])
-    qlit = sql_array_literal(q)
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
-
-    nbits = LSH.DEFAULT_NBITS
-    planes = LSH.hyperplanes(nbits, dim=64)
-    bucket = LSH.bucket_sql_expr(planes, emb="emb")
-    probes = {
-        r: ", ".join(str(b) for b in LSH.probe_set(q, planes, r))
-        for r in (0, 1, 2)
-    }
-    p = {r: sum(comb(nbits, i) for i in range(r + 1)) for r in (0, 1, 2)}
-
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-allowed AS (SELECT id FROM corpus WHERE {where}),
-counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
-                  (SELECT count(*) FROM allowed) AS na),
-hcand AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM corpus),
-hentry AS (
-  SELECT LEAST(1000, GREATEST(200,
-    ({k} * {safety} * n + na - 1) // na)) AS ec FROM counts),
-herung AS (SELECT CASE WHEN ec <= 200 THEN 200
-                      WHEN ec <= 500 THEN 500
-                      ELSE 1000 END AS r FROM hentry),
-hsurv AS (SELECT c.id, c.score, c.rk FROM hcand c JOIN allowed a USING (id)),
-hstop AS (SELECT r, CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM hsurv WHERE rk <= 200) >= {k} THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM hsurv WHERE rk <= 500) >= {k} THEN 500
-    ELSE 1000 END AS s FROM herung),
-hrows AS (
-  SELECT 'post_filter_hnsw' AS method, id, ROUND(score, 6) AS score,
-    r AS ladder_entry,
-    (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
-    - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run
-  FROM hsurv, hstop WHERE rk <= s
-  ORDER BY score DESC, id ASC LIMIT {k}),
-lneed AS (SELECT CASE WHEN na <= 0 THEN {p[2] + 1}
-                      ELSE ({k} * {safety} * {1 << nbits} + na - 1) // na
-                 END AS np FROM counts),
-lentry AS (SELECT CASE WHEN np <= {p[0]} THEN 0
-                       WHEN np <= {p[1]} THEN 1
-                       ELSE 2 END AS r FROM lneed),
-lsurv AS (
-  SELECT c.id, list_dot_product(c.emb, {qlit}) AS score,
-         {bucket} AS bucket
-  FROM corpus c JOIN allowed a USING (id)),
-lstop AS (SELECT r, CASE
-    WHEN r <= 0 AND (SELECT count(*) FROM lsurv
-                     WHERE bucket IN ({probes[0]})) >= {k} THEN 0
-    WHEN r <= 1 AND (SELECT count(*) FROM lsurv
-                     WHERE bucket IN ({probes[1]})) >= {k} THEN 1
-    ELSE 2 END AS s FROM lentry),
-lrows AS (
-  SELECT 'post_filter_lsh' AS method, id, ROUND(score, 6) AS score,
-    r AS ladder_entry, s - r + 1 AS rungs_run
-  FROM lsurv, lstop
-  WHERE (s = 0 AND bucket IN ({probes[0]}))
-     OR (s = 1 AND bucket IN ({probes[1]}))
-     OR (s = 2 AND bucket IN ({probes[2]}))
-  ORDER BY score DESC, id ASC LIMIT {k})
-SELECT * FROM hrows UNION ALL SELECT * FROM lrows"""
-
-
-@register(
-    "post_filter_costed_backends",
-    _pf_costed_backends_oracle(),
-    side_effects=True,
-)
-def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cost-based ladder entry GENERALIZED to the other two
-    post-filter backends (r6 VERDICT task #7): the HNSW backend shares
-    the IVF clamp arithmetic verbatim (K′ rungs 200→500→1000), the LSH
-    backend translates it to probe radius via bucket coverage
-    P(r) = Σ_{i≤r} C(nbits, i) — expected survivors P(r)·|allowed|/2^nbits
-    must reach K·safety. Both run the same strict-filter case as
-    post_filter_costed; on it each backend enters at its FINAL rung
-    (rungs_run = 1 where the reference's fixed escalation runs all
-    three — src/baselines/post_filter.py:66-87). The oracle re-derives
-    entry, stop, and survivors per backend; the fixed-vs-costed A/Bs
-    live in tests/test_hnsw.py and tests/test_lsh.py.
-    ``side_effects=True``: search() is a driver-side escalation loop."""
-    from hybrid_vector_search_spark.operators.hnsw import (
-        EXHAUSTIVE_EF,
-        HNSWBackend,
-    )
-    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
-
-    corpus = load_corpus(spark, sf_dir)
-    hb = HNSWBackend(
-        corpus,
-        index=_hnsw_persisted_index(spark, sf_dir),
-        ef_search=EXHAUSTIVE_EF,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-    )
-    lb = LSHPostFilterBackend(
-        corpus, costed=True, safety=_PF_COSTED_SAFETY
-    )
-
-    def run(backend):
-        return backend.search(
-            query_vector(_PF_COSTED_CASE["seed"]),
-            _PF_COSTED_CASE["filters"],
-            _PF_COSTED_CASE["k"],
-        )
-
-    # the two escalation loops are independent driver-side job chains:
-    # submit them concurrently (Spark schedules independent actions in
-    # parallel) — wall is max(arm), not sum, with identical results
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(2) as ex:
-        results = list(ex.map(run, (hb, lb)))
-    out_rows = []
-    for backend, (ids, stats) in zip((hb, lb), results):
-        out_rows += [
-            (
-                backend.name,
-                int(i),
-                round(float(s), 6),
-                int(stats["ladder_entry"]),
-                int(stats["rungs_run"]),
-            )
-            for i, s in zip(ids, stats["scores"])
-        ]
-    return spark.createDataFrame(
-        out_rows,
-        "method STRING, id LONG, score DOUBLE, ladder_entry LONG, "
-        "rungs_run LONG",
-    )
-
-
-# --------------------------------- streaming: session windows + custom state
-
-_SESS_GAP_MIN = 30
-_SESS_WM = "1 hour"
-
-
-@register(
-    "streaming_session_windows",
-    f"""WITH wm AS (
-  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
-  FROM events),
-lagged AS (
-  SELECT user_id, event_id, ts, value,
-    CASE WHEN LAG(ts) OVER win IS NULL
-           OR ts - LAG(ts) OVER win >= INTERVAL {_SESS_GAP_MIN * 60} SECOND
-         THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
-sess AS (
-  SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS sid
-  FROM lagged)
-SELECT user_id,
-  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-  COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS sum_value
-FROM sess
-GROUP BY user_id, sid
-HAVING MAX(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE < (SELECT w FROM wm)
-ORDER BY user_id, session_start""",
-side_effects=True,
-)
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native streaming SESSION windows (``F.session_window`` + watermark,
-    streaming/pipeline.py session_window_stream): gap-merged per-user
-    sessions whose state is evicted by the watermark; append mode emits a
-    session once the watermark passes its end (last event + gap).
-
-    The oracle replays the identical semantics as batch gaps-and-islands
-    at full microsecond precision — new session iff the inter-event gap
-    is ≥ the session gap (session_window merges only strictly-overlapping
-    [ts, ts+gap) windows) — and keeps exactly the sessions the stream
-    can have closed: end + gap < max(ts)@millis − watermark delay."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        read_events_stream,
-        run_available_now,
-        session_window_stream,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    agg = session_window_stream(ev, f"{_SESS_GAP_MIN} minutes", _SESS_WM)
-    table = "stream_sessions"
-    # heavier state than the windowed aggs (~95k session-window rows at
-    # sf0.1 vs ~2k groups): r5 sweep 4/8/16/32 -> 1.38/1.14/1.49/2.47s,
-    # 8 is this operator's knee
-    run_available_now(
-        agg,
-        table,
-        output_mode="append",
-        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
-    )
-    return _sink_sorted(spark, table, "user_id", "session_start")
-
-
-@register(
-    "streaming_stateful_user_totals",
-    f"""SELECT user_id, COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS sum_value
-FROM events GROUP BY user_id ORDER BY user_id""",
-side_effects=True,
-)
-def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (``applyInPandasWithState``,
-    streaming/pipeline.py stateful_user_totals_stream): per-user running
-    totals in explicit GroupState — the API surface for stateful logic
-    beyond built-in windows (counters, custom eviction, online models).
-    An availableNow drain without maxFilesPerTrigger consumes the whole
-    landing directory in one micro-batch (regardless of file count), so
-    each user's one update-mode emission IS its final total; the oracle
-    is the batch GROUP BY, and the drain asserts the single-data-batch
-    assumption so a future source rate limit fails loudly instead of
-    emitting intermediate totals."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        read_events_stream,
-        run_available_now,
-        stateful_user_totals_stream,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    tot = stateful_user_totals_stream(ev)
-    table = "stream_user_totals"
-    # the per-group Python kernel parallelizes across state partitions
-    # (Arrow transfer + GroupState updates for 100k rows): r5 isolated
-    # sweep 4/8/16 -> 1.87/1.35/1.26s, but 16 regressed to 5.4s inside
-    # the full 112-query bench (16 stateful Python workers × a loaded
-    # executor) — 8 is the setting that wins in both contexts
-    run_available_now(
-        tot,
-        table,
-        output_mode="update",
-        expect_single_data_batch=True,
-        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
-    )
-    return (
-        _sink_sorted(spark, table, "user_id")
-        .select(
-            "user_id",
-            "n_events",
-            round_portable(F.col("sum_value"), 2).alias("sum_value"),
-        )
-    )
-
-
-# --------------------------------------------- product quantization (PQ)
-
-from hybrid_vector_search_spark.operators import pq as PQ  # noqa: E402
-
-_PQ_DIM = 64  # testdata embedding dim (TESTDATA.md); oracle literals match
-_PQ_QSEED = 37
-
-
-@register(
-    "vector_pq_codes",
-    "SELECT vec_id AS id, "
-    + ", ".join(
-        f"{e} AS c{i}" for i, e in enumerate(PQ.pq_code_exprs(dim=_PQ_DIM))
-    )
-    + "\nFROM embeddings ORDER BY id",
-)
-def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding (operators/pq.py): 64-d float32 → 4 × 4-bit codes
-    (64× storage cut). One Arrow pass, one GEMM per subspace; the seeded
-    codebooks make assignment a pure function of (embedding, literals),
-    so the oracle replays it and the codes are value-hash checked
-    (exposed as scalar columns c0..c3 for the driver's comparer)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    codes = PQ.pq_encode(emb, PQ.pq_codebooks(_PQ_DIM))
-    return codes.select(
-        "id", *[codes.codes[i].alias(f"c{i}") for i in range(PQ.PQ_M)]
-    ).orderBy("id")
-
-
-def _pq_adc_oracle() -> str:
-    q = query_vector(_PQ_QSEED)
-    adc = PQ.adc_score_sql(q, dim=_PQ_DIM)
-    return f"""WITH codes AS (
-  SELECT vec_id AS id, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
-  FROM embeddings)
-SELECT id, ROUND({adc}, 6) AS score
-FROM codes
-ORDER BY {adc} DESC, id ASC
-LIMIT 10"""
-
-
-@register("ann_pq_adc_topk", _pq_adc_oracle())
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-K over PQ codes (operators/pq.py adc_score_col): the query
-    is tabulated against every centroid once (m × ks lookup tables as
-    array literals) and each row's approximate score is m ``element_at``
-    lookups summed — a whole-stage-codegen scan that reads ONLY the 4-int
-    code column (the float embedding column is pruned away entirely: at
-    100 TB this scan touches 1/64th of the bytes). Same tie discipline as
-    every top-K: score DESC, id ASC."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    books = PQ.pq_codebooks(_PQ_DIM)
-    codes = PQ.pq_encode(emb, books)
-    scored = codes.select(
-        "id", PQ.adc_score_col(books, query_vector(_PQ_QSEED)).alias("score")
-    )
-    return topk(scored, 10).select("id", F.round("score", 6).alias("score"))
-
-
-_IVFPQ_QSEED = 103
-_IVFPQ_C = 100
-
-
-def _ivfpq_oracle() -> str:
-    q = query_vector(_IVFPQ_QSEED)
-    qlit = sql_array_literal(q)
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(_IVFPQ_QSEED))
-    adc = PQ.adc_score_sql(q, codes="codes", dim=_PQ_DIM)
-    return f"""WITH assigned AS (
-  SELECT id, embedding, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding, embedding::DOUBLE[] AS e,
-               [{dots}] AS d
-        FROM embeddings)),
-coded AS (
-  SELECT id, e, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
-  FROM assigned WHERE list_id IN ({probed})),
-cand AS (
-  SELECT id, e FROM coded
-  ORDER BY {adc} DESC, id ASC LIMIT {_IVFPQ_C})
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM cand
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {ANN_IVF_K}"""
-
-
-@register("ann_ivfpq_rerank_topk", _ivfpq_oracle())
-def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ COMPOSED — the canonical large-scale serving shape
-    (FAISS ``IndexIVFPQ``: coarse lists prune I/O, PQ codes shrink what
-    remains, exact rerank restores precision on the survivors), built
-    from the engine's existing pieces exactly the way the layouts
-    compose at 100 TB:
-
-    * the probe prunes to nprobe/nlist of the lists (bytes ∝ probed
-      fraction on the persisted layout);
-    * within the probed lists the ADC stage reads ONLY the 4-int PQ
-      code column (1/64th of the vector bytes) — m ``element_at``
-      lookups per row, whole-stage codegen;
-    * the top-{_IVFPQ_C} ADC candidates (bounded, broadcastable)
-      semi-join back to the float vectors for the exact float64 rerank
-      of the final top-K.
-
-    Every stage is a pure function of (embedding, seeded centroids ×
-    codebooks), so the oracle replays assignment, probe, encoding, ADC
-    ranking, and rerank end-to-end — the composed pipeline gets the
-    same value-hash certificate its three ingredients each have."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
-
-    q = query_vector(_IVFPQ_QSEED)
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    probed = index.probe(q, ANN_IVF_NPROBE)
-    pruned = index.assigned.filter(F.col("list_id").isin(probed))
-    books = PQ.pq_codebooks(_PQ_DIM)
-    codes = PQ.pq_encode(pruned, books)
-    cand = (
-        codes.select(
-            "id", PQ.adc_score_col(books, q).alias("adc")
-        )
-        .orderBy(F.col("adc").desc(), F.col("id").asc())
-        .limit(_IVFPQ_C)
-    )
-    rerank = index.assigned.select("id", "embedding").join(
-        F.broadcast(cand.select("id")), "id"
-    )
-    scored = rerank.select(
-        "id", dot_score_sql("embedding", q).alias("score")
-    )
-    return topk(scored, ANN_IVF_K).select(
-        "id", F.round("score", 6).alias("score")
-    )
-
-
-# ----------------------------------------------------- HNSW ANN (K5 close)
-
-_HNSW_QSEED = 53
-_HNSW_CACHE: dict = {}
-
-
-def _hnsw_persisted_index(spark: SparkSession, sf_dir: str):
-    """Session-cached persisted HNSW artifact (offline build stage, like
-    the reference's prebuilt FAISS HNSW — src/dataio/loaders.py:154-163):
-    one mapInPandas pass writes every partition's graph (ids, vectors,
-    adjacency, entry point) to scratch parquet; searches reconstruct the
-    graphs with zero insert work. Same cache discipline as the IVF
-    artifact (_ann_ivf_fixed_index)."""
-    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    cached = _HNSW_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    corpus = load_corpus(spark, sf_dir, with_documents=False)
-    index = HNSWIndex.build(
-        corpus, scratch_path("hnsw_" + sf_dir.strip("/").replace("/", "_"))
-    )
-    _HNSW_CACHE[sf_dir] = (spark, index)
-    return index
-
-
-def _hnsw_oracle() -> str:
-    qlit = sql_array_literal(query_vector(_HNSW_QSEED))
-    return f"""SELECT vec_id AS id,
-  ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
-FROM embeddings
-ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
-LIMIT 10"""
-
-
-@register("ann_hnsw_topk", _hnsw_oracle())
-def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HNSW top-K over the PERSISTED graph artifact (operators/hnsw.py —
-    K5, reference src/dataio/loaders.py:123-139,154-163): graphs are
-    built offline once (HNSWIndex.build, session-cached like the IVF
-    layout), search reconstructs each partition's graph from its stored
-    adjacency (zero inserts), emits its local top-K, and the engine-wide
-    TakeOrderedAndProject merges.
-
-    Registered in the DEGENERATE-EXACT form — ``ef_search ≥ partition
-    rows`` makes the beam retain every node, so per-partition search is
-    exhaustive by definition and the global merge equals the exact
-    top-K, giving the whole distributed pipeline (build → persist →
-    reconstruct → search → merge) a value-hash DuckDB oracle (closing
-    r3's one no_oracle row). Approximate-recall properties of the beam
-    search itself live in tests/test_hnsw.py."""
-    from hybrid_vector_search_spark.operators.hnsw import EXHAUSTIVE_EF
-
-    index = _hnsw_persisted_index(spark, sf_dir)
-    out = index.search_plan(query_vector(_HNSW_QSEED), 10, ef_search=EXHAUSTIVE_EF)
-    return out.select("id", F.round("score", 6).alias("score"))
-
-
-_HNSW_SWEEP_RUNGS = (10, 16, 32, 64, 128)
-_HNSW_SWEEP_K = 10
-_HNSW_SWEEP_M = 8  # operators/hnsw.py DEFAULT_M
-
-
-def _hnsw_sweep_oracle() -> str:
-    """Independent SQL replay of the APPROXIMATE beam walk itself — not
-    just its recall arithmetic. The graph is the deterministic exact-KNN
-    digraph (each node → its top-M neighbors by inner product, ties by
-    id ASC, self excluded): unlike the insert-order HNSW adjacency (a
-    function of the whole insertion history, only re-derivable by the
-    code under test), this adjacency is a closed form the oracle
-    re-derives from the base table with a window over the pairwise-dot
-    self-join. The walk is operators/hnsw.py _search_layer's batch-
-    admission beam, replayed per ef rung as a recursive CTE whose state
-    row carries (candidate beam, result beam, visited set) — elements
-    stored as {ns: -score, id} structs so DuckDB's lexicographic
-    list_sort IS the engine's (score DESC, id ASC) order. Emits the
-    same (ef, n_visited, recall@K) rows the Spark query computes."""
-    q = query_vector(_HNSW_QSEED)
-    qlit = sql_array_literal(q)
-    K, M = _HNSW_SWEEP_K, _HNSW_SWEEP_M
-
-    def walk(ef: int) -> str:
-        return f"""walk_{ef} AS (
-  SELECT 0 AS it,
-         [{{'ns': -(SELECT sc FROM s WHERE id = (SELECT eid FROM entry)),
-            'id': (SELECT eid FROM entry)}}] AS cand,
-         [{{'ns': -(SELECT sc FROM s WHERE id = (SELECT eid FROM entry)),
-            'id': (SELECT eid FROM entry)}}] AS res,
-         [(SELECT eid FROM entry)] AS visited
-  UNION ALL
-  SELECT it + 1,
-         list_sort(rest || list_filter(scored, e -> list_contains(new_res, e))) AS cand,
-         new_res AS res,
-         visited || fresh AS visited
-  FROM (
-    SELECT x2.*, list_sort(res || scored)[1:{ef}] AS new_res
-    FROM (
-      SELECT x1.*,
-             list_transform(fresh, n -> {{'ns': -map_extract(sm, n)[1], 'id': n}}) AS scored
-      FROM (
-        SELECT x0.*,
-               list_filter(coalesce(map_extract(am, best.id)[1], []),
-                           n -> NOT list_contains(visited, n)) AS fresh
-        FROM (
-          SELECT w.it, w.cand[1] AS best, w.cand[2:] AS rest, w.res, w.visited,
-                 sm.m AS sm, am.m AS am
-          FROM walk_{ef} w, smap sm, adjmap am
-          WHERE len(w.cand) > 0
-            AND NOT (len(w.res) >= {ef} AND w.cand[1].ns > w.res[-1].ns)
-        ) x0
-      ) x1
-    ) x2
-  ) x3
-),
-final_{ef} AS (SELECT res, visited FROM walk_{ef} ORDER BY it DESC LIMIT 1),
-rung_{ef} AS (
-  SELECT {ef}::BIGINT AS ef, len(visited)::BIGINT AS n_visited,
-         ROUND(len(list_intersect(list_transform(res[1:{K}], e -> e.id),
-                                  ex.l)) / {K}.0, 6) AS recall
-  FROM final_{ef}, exact_ids ex)"""
-
-    walks = ",\n".join(walk(ef) for ef in _HNSW_SWEEP_RUNGS)
-    unions = " UNION ALL ".join(
-        f"SELECT * FROM rung_{ef}" for ef in _HNSW_SWEEP_RUNGS
-    )
-    return f"""WITH RECURSIVE
-emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-s AS (SELECT id, list_dot_product(e, {qlit}) AS sc FROM emb),
-smap AS (SELECT map(list(id ORDER BY id), list(sc ORDER BY id)) AS m FROM s),
-pairs AS (
-  SELECT a.id AS src, b.id AS dst, list_dot_product(a.e, b.e) AS w
-  FROM emb a JOIN emb b ON a.id <> b.id),
-ranked AS (
-  SELECT src, dst,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
-  FROM pairs),
-adj AS (SELECT src, list(dst ORDER BY rk) AS ns FROM ranked
-        WHERE rk <= {M} GROUP BY src),
-adjmap AS (SELECT map(list(src ORDER BY src), list(ns ORDER BY src)) AS m FROM adj),
-entry AS (SELECT min(id) AS eid FROM emb),
-exact_ids AS (SELECT list(id ORDER BY sc DESC, id ASC) AS l
-              FROM (SELECT id, sc FROM s ORDER BY sc DESC, id ASC LIMIT {K})),
-{walks}
-SELECT * FROM ({unions}) ORDER BY ef"""
-
-
-@register("metrics_hnsw_recall_sweep", _hnsw_sweep_oracle())
-def metrics_hnsw_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The APPROXIMATE HNSW beam, oracle-checked (r10 verdict task 2:
-    ``ann_hnsw_topk`` pins the degenerate-exact form; this entry runs
-    the ACTUAL graph walk — reference src/dataio/loaders.py:123-139's
-    ``ef_search`` knob — at rungs far below the node count and
-    value-hash checks the whole recall/work curve). Per ef rung the
-    REAL ``_search_layer`` beam (batch neighbor admission — a pure
-    function of (graph, query, ef), see its docstring) runs executor-
-    side over a single-layer NSW graph whose adjacency is the exact
-    top-M KNN digraph (ties id ASC): that graph is a closed form of the
-    vectors, so the DuckDB oracle independently re-derives the
-    adjacency AND replays the beam iteration-by-iteration as a
-    recursive CTE — walk, visited-set size (the work axis), exact
-    top-K, and the recall arithmetic are all verified, not trusted.
-    The insert-order HNSW construction stays pytest-pinned
-    (tests/test_hnsw.py); the walk code verified here is byte-identical
-    to the one that searches those graphs. O(n²) adjacency build —
-    bounded-sample calibration semantics, like every metrics_* sweep."""
-    from hybrid_vector_search_spark.operators.hnsw import (
-        HNSWGraph,
-        knn_adjacency,
-    )
-
-    q = [float(x) for x in query_vector(_HNSW_QSEED)]
-    rungs, k, m = _HNSW_SWEEP_RUNGS, _HNSW_SWEEP_K, _HNSW_SWEEP_M
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), "embedding"
-    )
-
-    def part(batches):
-        import numpy as np
-        import pandas as pd
-
-        ids_parts, vec_parts = [], []
-        for p in batches:
-            if len(p):
-                ids_parts.append(p["id"].to_numpy(dtype=np.int64))
-                vec_parts.append(np.vstack(p["embedding"].to_numpy()))
-        if not ids_parts:
-            return
-        ids = np.concatenate(ids_parts)
-        mat = np.vstack(vec_parts).astype(np.float64)
-        order = np.argsort(ids)  # canonical node order = id ASC
-        ids, mat = ids[order], mat[order]
-        adj = {i: ns for i, ns in enumerate(knn_adjacency(mat, M=m))}
-        g = HNSWGraph.from_parts(
-            ids, mat, [adj], entry=0, entry_level=0, M=m
-        )
-        qv = np.asarray(q, dtype=np.float64)
-        scores = mat @ qv
-        exact = set(ids[np.lexsort((ids, -scores))[:k]].tolist())
-        rows = []
-        for ef in rungs:
-            got_ids, _sc = g.search(qv, k, ef_search=ef)
-            rows.append(
-                (
-                    ef,
-                    int(g._last_visited),
-                    round(len(set(got_ids.tolist()) & exact) / float(k), 6),
-                )
-            )
-        yield pd.DataFrame(rows, columns=["ef", "n_visited", "recall"])
-
-    return (
-        emb.coalesce(1)
-        .mapInPandas(part, "ef LONG, n_visited LONG, recall DOUBLE")
-        .orderBy("ef")
-    )
-
-
-# ------------------------------------- P4 / A1 / A2 driver-checked evidence
-
-
-@register(
-    "baseline_random_topk",
-    """SELECT vec_id AS id, CAST(0.0 AS DOUBLE) AS score
-FROM embeddings
-ORDER BY ('0x' || substr(md5('rnd0:' || vec_id::VARCHAR), 1, 8))::BIGINT ASC,
-         vec_id ASC
-LIMIT 10""",
-)
-def baseline_random_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 random baseline through the strategy registry (P5 dispatch —
-    operators/strategies.py RandomBackend; reference src/backends/
-    random.py:9-31): seeded uniform draw of K ids, filters ignored,
-    score 0.0 — the recall floor. The draw orders by ``md5(seed ∥ id)``,
-    a pure function of (seed, id): uniform like the reference's
-    ``default_rng(0).choice`` but reproducible on any cluster shape and
-    replayable by the SQL oracle (value-hash checked)."""
-    from hybrid_vector_search_spark.operators.strategies import get_backend
-
-    corpus = load_corpus(spark, sf_dir, with_documents=False)
-    backend = get_backend("random", corpus, seed=0)
-    df, _obs = backend.plan(None, None, 10)
-    return df
-
-
-def _recall_ivf_oracle() -> str:
-    qlit = sql_array_literal(query_vector(ANN_IVF_QSEED))
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed())
-    return f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings)),
-approx AS (
-  SELECT id FROM assigned WHERE list_id IN ({probed})
-  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K}),
-exact AS (
-  SELECT vec_id AS id FROM embeddings
-  ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
-  LIMIT {ANN_IVF_K})
-SELECT 'post_filter' AS method,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / {ANN_IVF_K}, 6) AS recall_at_k
-FROM exact JOIN approx USING (id)"""
-
-
-@register("metrics_recall_ivf_at_10", _recall_ivf_oracle())
-def metrics_recall_ivf_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 recall@K as a driver-checked row (plans/metrics.py recall_at_k
-    semantics — |approx ∩ exact| / K, reference src/eval/metrics.py
-    quirk Q6): the IVF ANN top-K (the deterministic fixed-quantizer
-    index, same artifact as ann_ivf_topk) intersected with the exact
-    top-K as one left-semi join + count plan — no collect; the harness's
-    J3 recall-intersection join, value-hash checked end to end."""
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    approx, _probed = index.search_plan(
-        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-    )
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    scored = emb.select(
-        "id",
-        dot_score_pandas_udf(query_vector(ANN_IVF_QSEED))(
-            F.col("embedding")
-        ).alias("score"),
-    )
-    exact = topk(scored, ANN_IVF_K).select("id")
-    inter = exact.join(approx.select("id"), "id", "left_semi")
-    return inter.agg(
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.lit(float(ANN_IVF_K)), 6
-        ).alias("recall_at_k")
-    ).select(F.lit("post_filter").alias("method"), "recall_at_k")
-
-
-def _selectivity_oracle() -> str:
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    arms = ",\n".join(
-        f"  SUM(CASE WHEN {filters_to_sql(schema, case['filters'])} "
-        f"THEN 1 ELSE 0 END) AS s_{i}"
-        for i, case in enumerate(HYBRID_CASES.values())
-    )
-    rows = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS filter_case, "
-        f"ROUND(CAST(s_{i} AS DOUBLE) / n, 6) AS selectivity FROM sums"
-        for i, name in enumerate(HYBRID_CASES)
-    )
-    return (
-        f"{CORPUS_CTE},\nsums AS (SELECT COUNT(*) AS n,\n{arms}\n"
-        f"FROM corpus)\n{rows}"
-    )
-
-
-@register("metrics_selectivity_by_filter", _selectivity_oracle())
-def metrics_selectivity_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 selectivity as driver-checked rows (reference src/harness/
-    run.py:169-170: |allowed| / N per canonical filter set): ONE
-    conditional-aggregation scan computes every canonical case's allowed
-    fraction simultaneously (no per-case pass — the set-at-a-time form),
-    then ``stack`` unpivots to (filter_case, selectivity) rows."""
-    corpus = load_corpus(spark, sf_dir)
-    arms = [
-        F.sum(
-            F.when(compile_filters(corpus.schema, case["filters"]), 1)
-            .otherwise(0)
-        ).alias(f"s_{i}")
-        for i, case in enumerate(HYBRID_CASES.values())
-    ]
-    sums = corpus.agg(F.count(F.lit(1)).alias("n"), *arms)
-    stack_args = ", ".join(
-        f"'{name}', ROUND(CAST(s_{i} AS DOUBLE) / n, 6)"
-        for i, name in enumerate(HYBRID_CASES)
-    )
-    return sums.selectExpr(
-        f"stack({len(HYBRID_CASES)}, {stack_args}) "
-        "AS (filter_case, selectivity)"
-    )
-
-
-# ------------------- round-4 evidence: ETL price, JSONL roundtrip, surprisal
-
-
-def _price_attr_spark(doc_id_col: str = "doc_id") -> F.Column:
-    """Deterministic messy ``attributes`` cell derived from the doc id,
-    covering every branch the reference's price extraction must survive
-    (U4, artifacts.py:23-38): plain int, quoted int, Python ``None``
-    (invalid JSON once quotes are normalized), the string ``'None'``,
-    and a missing key."""
-    v = F.col(doc_id_col) % 5
-    num = (F.col(doc_id_col) % 4 + 1).cast("string")
-    return (
-        F.when(v == 0, F.concat(F.lit("{'RestaurantsPriceRange2': "), num, F.lit("}")))
-        .when(v == 1, F.concat(F.lit("{'RestaurantsPriceRange2': '"), num, F.lit("'}")))
-        .when(v == 2, F.lit("{'RestaurantsPriceRange2': None}"))
-        .when(v == 3, F.lit("{'RestaurantsPriceRange2': 'None'}"))
-        .otherwise(F.lit("{'is_open': 1}"))
-    )
-
-
-def _price_attr_sql(doc_id: str = "doc_id") -> str:
-    """The identical attributes derivation as a DuckDB expression."""
-    return f"""CASE {doc_id} % 5
-      WHEN 0 THEN '{{''RestaurantsPriceRange2'': ' || ({doc_id} % 4 + 1)::VARCHAR || '}}'
-      WHEN 1 THEN '{{''RestaurantsPriceRange2'': ''' || ({doc_id} % 4 + 1)::VARCHAR || '''}}'
-      WHEN 2 THEN '{{''RestaurantsPriceRange2'': None}}'
-      WHEN 3 THEN '{{''RestaurantsPriceRange2'': ''None''}}'
-      ELSE '{{''is_open'': 1}}'
-    END"""
-
-
-def _price_extract_sql(attr_expr: str) -> str:
-    """DuckDB twin of sources.etl.extract_price_col: normalize single
-    quotes, JSON-extract (NULL when the normalized cell is not valid
-    JSON, matching get_json_object on malformed input), map ``'None'`` /
-    ``''`` to NULL, cast tinyint."""
-    j = f"replace({attr_expr}, chr(39), chr(34))"
-    raw = (
-        f"CASE WHEN json_valid({j}) "
-        f"THEN json_extract_string({j}, '$.RestaurantsPriceRange2') END"
-    )
-    return f"CAST(NULLIF(NULLIF({raw}, 'None'), '') AS TINYINT)"
-
-
-@register(
-    "meta_price_extraction",
-    f"""WITH attr AS (
-  SELECT doc_id, {_price_attr_sql()} AS attributes FROM documents),
-extracted AS (
-  SELECT doc_id, {_price_extract_sql('attributes')} AS price FROM attr)
-SELECT price, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-FROM extracted GROUP BY price ORDER BY price""",
-)
-def meta_price_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U4 price-range extraction through the driver gate (pytest-only
-    before r4). The messy attribute cell — JSON-ish with single quotes,
-    ints, quoted ints, Python None, 'None' strings, missing keys — is
-    derived deterministically from doc_id so both engines see the exact
-    same inputs; extraction itself is sources.etl.extract_price_col
-    (reference U4, artifacts.py:23-38): quote-normalize →
-    get_json_object → None-scrub → tinyint. Pure JVM expressions, one
-    scan + one small groupBy."""
-    from hybrid_vector_search_spark.sources.etl import extract_price_col
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", _price_attr_spark().alias("attributes"))
-        .withColumn("price", extract_price_col())
-        .groupBy("price")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        .orderBy("price")
-    )
-
-
-_JSONL_RT_CACHE: dict = {}
-
-
-def _jsonl_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
-    """Session-cached JSONL landing artifact for the roundtrip query:
-    documents re-shaped into business-metadata records, written as
-    distributed JSON-lines (S6/S7 sink side), plus a hand-written file
-    of corrupt + required-null lines so the tolerant read path has
-    something to drop. Built once per (session, sf_dir) — ingest
-    infrastructure, like the streaming landing zone."""
-    cached = _JSONL_RT_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    path = scratch_path("jsonlrt_" + sf_dir.strip("/").replace("/", "_"))
-    docs = load_table(spark, sf_dir, "documents")
-    biz = docs.select(
-        F.format_string("b%06d", F.col("doc_id")).alias("business_id"),
-        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
-        .otherwise(F.upper("lang"))
-        .alias("state"),
-        F.col("source").alias("city"),
-        ((F.col("doc_id") % 45) / F.lit(10.0) + F.lit(1.0)).alias("stars"),
-        F.col("n_chars").cast("int").alias("review_count"),
-        _price_attr_spark().alias("attributes"),
-    )
-    biz.write.mode("overwrite").json(path)
-    with open(os.path.join(path, "zz-corrupt-extra.json"), "w") as f:
-        f.write('{"business_id": "zzz", "state": truncated\n')
-        f.write("not json at all\n")
-        f.write('{"business_id": "b999998", "city": "no-required-fields"}\n')
-    _JSONL_RT_CACHE[sf_dir] = (spark, path)
-    return path
-
-
-@register(
-    "etl_jsonl_roundtrip",
-    f"""WITH base AS (
-  SELECT doc_id,
-         printf('b%06d', doc_id) AS business_id,
-         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE upper(lang) END AS state,
-         n_chars AS review_count,
-         {_price_extract_sql(_price_attr_sql())} AS price
-  FROM documents),
-kept AS (SELECT * FROM base WHERE state IS NOT NULL),
-ids AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY business_id) - 1 AS id FROM kept)
-SELECT state, COUNT(*) AS n,
-       CAST(SUM(review_count) AS BIGINT) AS sum_reviews,
-       COUNT(price) AS n_priced,
-       MIN(id) AS min_id, MAX(id) AS max_id
-FROM ids GROUP BY state ORDER BY state""",
-)
-def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 JSON-lines ingest + V-validators + contiguous-id assignment as
-    one driver-checked row set (all pytest-only before r4): documents →
-    distributed JSONL landing (with corrupt lines planted) →
-    sources.etl.ingest_business_json (schema casts, U4 price extraction,
-    required-non-null drop — which also swallows the corrupt lines, whose
-    parsed columns are all NULL — and range-partitioned contiguous ids
-    ordered by business_id, never a single-partition window) → per-state
-    aggregate. The oracle replays the same derivation from the parquet
-    documents table, so a value mismatch anywhere in the JSON write →
-    tolerant read → cast → drop → id-assign pipeline fails the hash."""
-    from hybrid_vector_search_spark.sources.etl import ingest_business_json
-
-    from pyspark.sql import types as T
-
-    path = _jsonl_roundtrip_path(spark, sf_dir)
-    # explicit landing schema: at scale, inference would be a second full
-    # pass over the landing zone (sources/etl.py docstring)
-    landing_schema = T.StructType(
-        [
-            T.StructField("business_id", T.StringType()),
-            T.StructField("state", T.StringType()),
-            T.StructField("city", T.StringType()),
-            T.StructField("stars", T.DoubleType()),
-            T.StructField("review_count", T.LongType()),
-            T.StructField("attributes", T.StringType()),
-        ]
-    )
-    meta = ingest_business_json(spark, path, schema=landing_schema)
-    return (
-        meta.groupBy("state")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("review_count").alias("sum_reviews"),
-            F.count("RestaurantsPriceRange2").alias("n_priced"),
-            F.min("id").alias("min_id"),
-            F.max("id").alias("max_id"),
-        )
-        .orderBy("state")
-    )
-
-
-@register(
-    "text_unigram_surprisal",
-    f"""WITH tok AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-  FROM documents),
-tok2 AS (SELECT * FROM tok WHERE term <> ''),
-tc AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
-tot AS (SELECT COUNT(*) AS total FROM tok2),
-perdoc AS (
-  SELECT doc_id, COUNT(*) AS n_toks,
-         SUM(log2(total::DOUBLE / cnt)) AS sum_bits
-  FROM tok2 JOIN tc USING (term) CROSS JOIN tot
-  GROUP BY doc_id)
-SELECT doc_id, n_toks,
-       {grid_avg_sql('sum_bits', 'n_toks', 2, 6)} AS bits_per_token
-FROM perdoc ORDER BY doc_id""",
-)
-def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document unigram surprisal (mean bits/token under the
-    corpus's own unigram LM) — the classic cheap quality/outlier signal
-    for training-data curation: boilerplate and duplicated text score
-    low, garbled or off-distribution text scores high.
-
-    Plan: one tokenize-explode scan → term-count aggregate (vocab) →
-    join counts back onto tokens (AQE broadcasts the vocab when small;
-    term-keyed shuffle join at scale — both sides already hash on term)
-    → per-doc sum. The only driver scalar is the corpus token total
-    (same discipline as text_tfidf's docs.count()). Float policy:
-    per-term log2 is a pure function of (total, cnt) — identical doubles
-    in both engines; the per-doc SUM is order-dependent, so it goes
-    through grid_avg (snap to 2-decimal grid, then divide, then round)
-    exactly like the TPC-H avg columns."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
-    ).filter(F.col("term") != "")
-    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.count()
-    perdoc = (
-        tok.join(tc, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum(F.log2(F.lit(float(total)) / F.col("cnt"))).alias(
-                "sum_bits"
-            ),
-        )
-    )
-    return perdoc.select(
-        "doc_id",
-        "n_toks",
-        grid_avg(F.col("sum_bits"), F.col("n_toks"), 2, 6).alias(
-            "bits_per_token"
-        ),
-    ).orderBy("doc_id")
-
-
-from hybrid_vector_search_spark.functions.text import (  # noqa: E402
-    bigram_repetition,
-    bigram_repetition_sql,
-)
-
-
-@register(
-    "text_repetition_scores",
-    f"""SELECT doc_id,
-  ROUND({bigram_repetition_sql('text')}, 6) AS rep_bigram
-FROM documents
-ORDER BY doc_id""",
-)
-def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition ratio (duplicate adjacent bigrams /
-    total bigrams) — the Gopher/C4 curation rule that catches looping
-    boilerplate and template spam that cross-document dedup never sees.
-    One scan, pure JVM higher-order functions, no shuffle at all: the
-    cheapest possible quality gate to run in front of a 100-TB corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.round(bigram_repetition("text"), 6).alias("rep_bigram"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "dedup_duplicate_passages",
-    """WITH toks AS (SELECT doc_id,
-  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-  FROM documents),
-ch AS (SELECT doc_id, t[i * 32 + 1 : i * 32 + 32] AS c
-       FROM toks, UNNEST(range(0, ((len(t) - 1) // 32) + 1)) AS u(i)),
-fp AS (SELECT doc_id, md5(array_to_string(c, ' ')) AS chunk_fp
-       FROM ch WHERE len(c) = 32)
-SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs,
-       COUNT(*) AS n_occurrences, MIN(doc_id) AS min_doc
-FROM fp GROUP BY chunk_fp
-HAVING COUNT(DISTINCT doc_id) >= 2
-ORDER BY chunk_fp""",
-)
-def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-document dedup: EXACT duplicated 32-word spans shared across
-    documents (the passage-granularity approximation of suffix-array
-    substring dedup, Lee et al. 2022) — catches boilerplate and quoted
-    blocks that whole-document fingerprints miss because the surrounding
-    text differs.
-
-    Disjoint 32-word windows (stride == size — overlap would make a
-    document's own adjacent windows collide), full windows only, then
-    ONE shuffle on the window fingerprint: group → keep fingerprints
-    seen in ≥ 2 distinct docs. Map-side codegen fan-out (split /
-    sequence / explode / slice / md5, zero Python) feeding a single
-    hash aggregation — the plan shape that holds at corpus scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(TX.normalized_text("text"), " ").alias("t")
-    )
-    ch = (
-        toks.select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    ((F.size("t") - F.lit(1)) / F.lit(32)).cast("int"),
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id", F.slice("t", F.col("i") * 32 + 1, 32).alias("c")
-        )
-        .filter(F.size("c") == 32)
-    )
-    return (
-        ch.select("doc_id", F.md5(F.array_join("c", " ")).alias("chunk_fp"))
-        .groupBy("chunk_fp")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.min("doc_id").alias("min_doc"),
-        )
-        .filter(F.col("n_docs") >= 2)
-        .orderBy("chunk_fp")
-    )
-
-
-@register(
-    "events_salted_segment_join",
-    """WITH seg AS (SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
-                    FROM events)
-SELECT segment, event_type, COUNT(*) AS n_events
-FROM events JOIN seg USING (user_id)
-GROUP BY 1, 2 ORDER BY segment, event_type""",
-)
-def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The enrichment join through :func:`operators.skew.salted_join` —
-    the explicit hot-key defense for the shuffled-join regime where the
-    dim is too big to broadcast and AQE's skew split (sort-merge only)
-    does not apply. Salt is deterministic (xxhash64 of the fact row), so
-    the result is layout-invariant and value-hash EQUAL to the plain
-    join the oracle runs: salting changes the exchange topology, never
-    the answer. PLANS.md shows the (key, salt) exchange."""
-    from hybrid_vector_search_spark.operators.skew import salted_join
-
-    ev = spread(load_table(spark, sf_dir, "events"))
-    dim = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
-    )
-    joined = salted_join(ev, dim, "user_id", n_salt=8)
-    return (
-        joined.groupBy("segment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("segment", "event_type")
-    )
-
-
-def _pii_injected_sql() -> str:
-    """The deterministic PII injection as a DuckDB expression (doc_id
-    decides which docs carry an email / a phone, mirroring the Spark
-    derivation exactly)."""
-    return (
-        "text || "
-        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR"
-        " || '@mail' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END || "
-        "CASE WHEN doc_id % 4 = 0 THEN ' call 555-01' ||"
-        " printf('%02d', doc_id % 100) ELSE '' END"
-    )
-
-
-_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE_SQL = r"\b555-[0-9]{4}\b"
-
-@register(
-    "text_pii_scrub",
-    """WITH injected AS (
-  SELECT doc_id, """
-    + _pii_injected_sql()
-    + """ AS t FROM documents)
-SELECT doc_id,
-  len(regexp_extract_all(t, '"""
-    + _PII_EMAIL_SQL
-    + """')) AS n_emails,
-  len(regexp_extract_all(t, '"""
-    + _PII_PHONE_SQL
-    + """')) AS n_phones,
-  md5(regexp_replace(regexp_replace(t, '"""
-    + _PII_EMAIL_SQL
-    + """', '<EMAIL>', 'g'), '"""
-    + _PII_PHONE_SQL
-    + """', '<PHONE>', 'g')) AS fp_redacted
-FROM injected ORDER BY doc_id""",
-)
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction (the Dolma/CCNet-style tagger stage):
-    count emails/phones per document and fingerprint the scrubbed text.
-    Synthetic identifiers are injected deterministically from doc_id —
-    the same derivation trick as meta_price_extraction — so both engines
-    see identical inputs and the whole detect→redact→fingerprint chain
-    is value-hash checked. Patterns live in functions/text.py
-    (EMAIL_RE/PHONE_RE, chosen for Java-regex/RE2 parity); one scan,
-    pure JVM regexp_count/regexp_replace, no shuffle."""
-    from hybrid_vector_search_spark.functions.text import (
-        pii_counts,
-        redact_pii,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    injected = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@mail"),
-                    (F.col("doc_id") % 7).cast("string"),
-                    F.lit(".com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 4 == 0,
-                F.concat(
-                    F.lit(" call 555-01"),
-                    F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("t"),
-    )
-    ne, np_ = pii_counts("t")
-    return injected.select(
-        "doc_id",
-        ne.alias("n_emails"),
-        np_.alias("n_phones"),
-        F.md5(redact_pii("t")).alias("fp_redacted"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "multimodal_frame_sample",
-    f"""SELECT doc_id AS media_id, u.i AS frame_idx,
-  doc_id::VARCHAR || '#' || u.i::VARCHAR AS frame_ref
-FROM documents, UNNEST(range(0, 8 + (doc_id % 5) * 4, 8)) AS u(i)
-WHERE doc_id < {MULTIMODAL_N} AND doc_id % 2 = 1
-  AND text IS NOT NULL AND length(text) > 0
-ORDER BY media_id, frame_idx""",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling through the driver gate (pytest-only before
-    r4): every-Nth-frame index fan-out over opaque video payloads
-    (operators/multimodal.py sample_frames — sequence + explode, no
-    Python, no shuffle; only KEPT frames would hit a decode kernel
-    downstream). Odd-id media become videos with a deterministic frame
-    count so the DuckDB oracle can replay the fan-out; frame_ref
-    addresses the frame within the untouched payload."""
-    from hybrid_vector_search_spark.operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
-    vids = (
-        media.filter((F.col("media_id") % 2) == 1)
-        .withColumn("kind", F.lit("video"))
-        .withColumn(
-            "meta",
-            F.struct(
-                F.col("meta.format").alias("format"),
-                F.col("meta.width").alias("width"),
-                F.col("meta.height").alias("height"),
-                F.col("meta.channels").alias("channels"),
-                F.col("meta.sample_rate").alias("sample_rate"),
-                (F.lit(8) + (F.col("media_id") % 5) * 4)
-                .cast("int")
-                .alias("n_frames"),
-            ),
-        )
-    )
-    return (
-        MM.sample_frames(vids, every_n=8)
-        .select("media_id", "frame_idx", "frame_ref")
-        .orderBy("media_id", "frame_idx")
-    )
-
-
-@register(
-    "embeddings_norm_profile",
-    """WITH n AS (
-  SELECT label,
-         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
-           AS norm
-  FROM embeddings)
-SELECT label, COUNT(*) AS n,
-  ROUND(quantile_cont(norm, 0.25), 6) AS p25,
-  ROUND(quantile_cont(norm, 0.50), 6) AS p50,
-  ROUND(quantile_cont(norm, 0.75), 6) AS p75,
-  CAST(SUM(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_unnormalized
-FROM n GROUP BY label ORDER BY label""",
-)
-def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-quality profiling: per-label L2-norm percentiles and an
-    unnormalized-row count — the cheap sanity gate that catches a bad
-    encoder batch (wrong normalization, fp16 underflow, zero vectors)
-    before it poisons ANN indexes downstream. Per-row norms are
-    ROW-SEQUENTIAL array folds (deterministic, no cross-row float order
-    dependence); EXACT percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``, probed to bit-equality) rather than
-    approx_percentile, whose sketch merge has no SQL twin. One scan, one
-    per-label aggregation."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    sq = F.transform(
-        "embedding", lambda x: x.cast("double") * x.cast("double")
-    )
-    norm = F.sqrt(
-        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
-    )
-    n = emb.select("label", norm.alias("norm"))
-    return (
-        n.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.percentile("norm", F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile("norm", F.lit(0.50)), 6).alias("p50"),
-            F.round(F.percentile("norm", F.lit(0.75)), 6).alias("p75"),
-            F.sum(
-                F.when(F.abs(F.col("norm") - 1.0) > 0.01, 1).otherwise(0)
-            ).alias("n_unnormalized"),
-        )
-        .orderBy("label")
-    )
-
-
-_CURATION_KEEP_SQL = (
-    f"({round_portable_sql(TX.quality_score_sql('text'), 6)} >= 0.5"
-    f" AND COALESCE({TX.bigram_repetition_sql('text')}, 1.0) <= 0.2"
-    " AND lang IN ('en', 'de', 'es', 'fr')"
-    " AND n_chars >= 100)"
-)
-
-
-@register(
-    "docs_curation_pipeline",
-    f"""SELECT source,
-  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
-  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
-FROM (SELECT source, n_chars, {_CURATION_KEEP_SQL} AS keep
-      FROM documents) t
-GROUP BY source ORDER BY source""",
-)
-def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed curation pass a training-data pipeline actually
-    runs: quality score ≥ 0.5 AND duplicate-bigram ratio ≤ 0.2 AND
-    allow-listed language AND minimum length, evaluated as ONE
-    conditional-aggregation scan (no per-filter pass, no shuffle before
-    the per-source rollup). Gates compare the ROUNDED quality score in
-    both engines so a threshold tie cannot break differently; the
-    repetition ratio is an exact integer ratio (COALESCE(…, 1.0) drops
-    sub-2-token docs). Reports kept/dropped docs and kept chars per
-    source — the numbers a curation run is judged by."""
-    from hybrid_vector_search_spark.functions.text import bigram_repetition
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    keep = (
-        (round_portable(TX.quality_score("text"), 6) >= 0.5)
-        & (F.coalesce(bigram_repetition("text"), F.lit(1.0)) <= 0.2)
-        & F.col("lang").isin("en", "de", "es", "fr")
-        & (F.col("n_chars") >= 100)
-    )
-    return (
-        docs.select("source", "n_chars", keep.alias("keep"))
-        .groupBy("source")
-        .agg(
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
-            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
-                "chars_kept"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-_INCR_THRESHOLD = 0.8  # near-dup Jaccard threshold for the incremental pass
-# broadcast the batch postings below this row count (~120 MB of (id, g,
-# ns) rows); above it the near join falls back to a shuffle join
-_INCR_BCAST_MAX_ROWS = 2_000_000
-# df cap fraction of the shared shingle-index artifact — read from the
-# operator's own default so an edit there cannot diverge engine vs oracle
-_INCR_DF_CAP = DD.DEFAULT_MAX_DF_FRAC
-
-
-@register(
-    "dedup_incremental_batch",
-    f"""WITH norm AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents),
-newb AS (SELECT * FROM norm WHERE doc_id % 10 >= 8),
-oldc AS (SELECT * FROM norm WHERE doc_id % 10 < 8),
-old_fp AS (SELECT fp, MIN(doc_id) AS old_id FROM oldc GROUP BY fp),
-exact AS (
-  SELECT n.doc_id AS new_id, o.old_id, 'exact' AS kind,
-         CAST(1.0 AS DOUBLE) AS jaccard
-  FROM newb n JOIN old_fp o USING (fp)),
-{DD.SHINGLES_SQL},
-ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
-stop AS (SELECT g FROM ex0 GROUP BY g
-         HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {_INCR_DF_CAP}),
-kept AS (SELECT ex0.* FROM ex0 ANTI JOIN stop USING (g)),
-sz AS (SELECT doc_id, COUNT(*) AS ns FROM kept GROUP BY doc_id),
-exn AS (SELECT k.doc_id, k.g, sz.ns FROM kept k JOIN sz USING (doc_id)
-        WHERE k.doc_id % 10 >= 8),
-exo AS (SELECT k.doc_id, k.g, sz.ns FROM kept k JOIN sz USING (doc_id)
-        WHERE k.doc_id % 10 < 8),
-cand AS (
-  SELECT exn.doc_id AS new_id, exo.doc_id AS old_id,
-         exn.ns AS na, exo.ns AS nb, COUNT(*) AS inter
-  FROM exn JOIN exo USING (g)
-  GROUP BY 1, 2, 3, 4),
-near AS (
-  SELECT new_id, old_id, 'near' AS kind,
-         ROUND(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
-  FROM cand
-  WHERE inter::DOUBLE / (na + nb - inter) >= {_INCR_THRESHOLD}
-    AND NOT EXISTS (SELECT 1 FROM exact e
-                    WHERE e.new_id = cand.new_id
-                      AND e.old_id = cand.old_id))
-SELECT * FROM exact
-UNION ALL SELECT * FROM near
-ORDER BY new_id, old_id, kind""",
-)
-def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup — the continuous-ingest shape: a NEW batch
-    (here the deterministic 20% slice ``doc_id % 10 >= 8``) deduped
-    AGAINST the existing corpus, never corpus×corpus. Two layers:
-
-    * exact — fingerprint hash-join of the batch against the corpus's
-      per-fingerprint canonical keeper (``kind='exact'``, jaccard 1.0);
-    * near — ASYMMETRIC inverted-index join: batch shingles probe the
-      corpus shingle index (batch-side × corpus-side, never
-      corpus-side²), true Jaccard ≥ {τ}, exact matches anti-joined out.
-
-    At 100 TB the corpus-side index is the persisted artifact
-    (``ngram_shingle_index(materialize=True)``) and each arriving batch
-    probes it: per-batch cost scales with batch size, not corpus size.
-    Both probe sides route through that DF-CAPPED artifact (the
-    registry's session-cached ``_ngram_index_table``), so a hot shingle
-    ("the quick brown") can never make the band join quadratic in its
-    posting length — the r3 df-cap hazard, closed for the incremental
-    path in r5; the oracle mirrors the cap CTE-for-CTE. Corpus docs
-    identical to an exact match also appear as ``near`` with jaccard
-    1.0 — they are true near-dups of the batch doc under the set
-    semantics; the anti-join removes only the canonical exact pair."""
-    from hybrid_vector_search_spark.functions.text import fingerprint_md5
-
-    docs = load_table(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 10 >= 8
-    newb = docs.filter(is_new)
-    oldc = docs.filter(~is_new)
-
-    old_fp = (
-        oldc.select(fingerprint_md5("text").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("old_id"))
-    )
-    exact = (
-        newb.select("doc_id", fingerprint_md5("text").alias("fp"))
-        .join(old_fp, "fp")
-        .select(
-            F.col("doc_id").alias("new_id"),
-            "old_id",
-            F.lit("exact").alias("kind"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-
-    ix = _ngram_index_table(spark, sf_dir)
-    exn = ix.filter(is_new)
-    exo = ix.filter(~is_new)
-    # Asymmetric probe TOPOLOGY, not just asymmetric sizes: the arriving
-    # batch's postings are the small side — broadcast them so the corpus
-    # index is ONE map-side scan and never shuffles (the same direction
-    # the SCALING.md fixed-batch probe runs; r5 ×4 A/B: 1.9s shuffle
-    # join → 1.0s broadcast). Row-gated like the embedding near-dup's
-    # byte gate, with the plain shuffle join as the over-gate fallback.
-    if exn.count() <= _INCR_BCAST_MAX_ROWS:
-        joined = exo.alias("b").join(
-            F.broadcast(exn.alias("a")), F.col("a.g") == F.col("b.g")
-        )
-    else:  # batch postings too big to broadcast: shuffle both sides
-        joined = exn.alias("a").join(
-            exo.alias("b"), F.col("a.g") == F.col("b.g")
-        )
-    cand = (
-        joined
-        .groupBy(
-            F.col("a.doc_id").alias("new_id"),
-            F.col("b.doc_id").alias("old_id"),
-            F.col("a.ns").alias("na"),
-            F.col("b.ns").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
-    near = (
-        cand.filter(jac >= _INCR_THRESHOLD)
-        .join(
-            exact.select("new_id", "old_id"),
-            ["new_id", "old_id"],
-            "left_anti",
-        )
-        .select(
-            "new_id",
-            "old_id",
-            F.lit("near").alias("kind"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-    )
-    return exact.unionByName(near).orderBy("new_id", "old_id", "kind")
-
-
-@register(
-    "dedup_cluster_keepers",
-    f"""WITH comp AS (
-  SELECT * FROM ({DD.connected_components_sql(JACCARD_THRESHOLD)}) t),
-q AS (SELECT doc_id,
-        {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
-      FROM documents),
-m AS (SELECT c.component_id, c.doc_id, q.quality
-      FROM comp c JOIN q USING (doc_id)),
-sized AS (SELECT component_id, COUNT(*) AS n_members
-          FROM m GROUP BY 1 HAVING COUNT(*) >= 2),
-ranked AS (
-  SELECT m.component_id, m.doc_id, m.quality,
-         ROW_NUMBER() OVER (PARTITION BY m.component_id
-                            ORDER BY m.quality DESC, m.doc_id ASC) AS rn
-  FROM m JOIN sized USING (component_id))
-SELECT r.component_id, r.doc_id AS keeper_id, s.n_members,
-       r.quality AS keeper_quality
-FROM ranked r JOIN sized s USING (component_id)
-WHERE rn = 1 ORDER BY component_id""",
-)
-def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware keeper selection — the LAST step of the dedup loop
-    (pairs → transitive groups → ONE survivor per group): within every
-    near-dup cluster of ≥ 2 documents, keep the HIGHEST-quality member
-    (rounded score, doc_id tiebreak) rather than the naive min-id. This
-    is how production pipelines pick survivors — dropping the boilerplate
-    copy and keeping the clean one. One window over the clustered sliver
-    of the corpus (components only materialize labels for docs that
-    collided); ranking compares the ROUNDED quality in both engines so a
-    tie cannot break differently."""
-    docs = load_table(spark, sf_dir, "documents")
-    comp = DD.dedup_components(
-        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
-    )
-    q = docs.select(
-        "doc_id", round_portable(TX.quality_score("text"), 6).alias("quality")
-    )
-    m = comp.join(q, "doc_id")
-    from pyspark.sql import Window
-
-    sized = (
-        m.groupBy("component_id")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-    )
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    ranked = (
-        m.join(sized, "component_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    return ranked.select(
-        "component_id",
-        F.col("doc_id").alias("keeper_id"),
-        "n_members",
-        F.col("quality").alias("keeper_quality"),
-    ).orderBy("component_id")
-
-
-@register(
-    "text_bigram_surprisal",
-    f"""WITH toks AS (
-  SELECT doc_id,
-    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-      AS t
-  FROM documents),
-bg AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                                       i -> t[i] || ' ' || t[i+1])) AS b
-  FROM toks WHERE len(t) >= 2),
-c12 AS (SELECT b, COUNT(*) AS n12 FROM bg GROUP BY b),
-c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(n12) AS BIGINT) AS n1
-       FROM c12 GROUP BY 1),
-scored AS (
-  SELECT bg.doc_id, log2(n1::DOUBLE / n12) AS bits
-  FROM bg JOIN c12 USING (b)
-  JOIN c1 ON string_split(bg.b, ' ')[1] = c1.w1),
-perdoc AS (
-  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS sum_bits
-  FROM scored GROUP BY doc_id)
-SELECT doc_id, n_bigrams,
-       {grid_avg_sql('sum_bits', 'n_bigrams', 2, 6)} AS bits_per_bigram
-FROM perdoc ORDER BY doc_id""",
-)
-def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document BIGRAM surprisal — mean bits per token transition
-    under the corpus's own bigram LM, P(w₂|w₁) = c(w₁w₂)/c(w₁·): the
-    sharper curation signal (unigram surprisal scores topic rarity;
-    bigram surprisal scores broken SEQUENCES — shuffled words, OCR
-    damage, keyword stuffing score high even when every word is
-    common).
-
-    Plan: the per-doc bigram array is built JVM-side (same bound-lambda
-    HOF as bigram_repetition — no Python, no re-tokenize-per-element),
-    exploded once; two count aggregates (bigram, first-word) derived
-    from ONE exploded pass (c1 = Σ c12 over the first word — an
-    aggregate of the aggregate, not a second corpus scan); two keyed
-    joins back; per-doc sum through grid_avg. Per-transition bits are
-    pure functions of two ints — identical doubles in both engines."""
-    from hybrid_vector_search_spark.functions.text import normalized_text
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.split(normalized_text(F.col("text")), " ")
-    mk_bg = F.transform(
-        F.array(t),
-        lambda tt: F.transform(
-            F.sequence(F.lit(0), F.size(tt) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tt, i + 1), F.element_at(tt, i + 2)
-            ),
-        ),
-    )
-    bg = (
-        docs.filter(F.size(t) >= 2)
-        .select("doc_id", F.explode(F.element_at(mk_bg, 1)).alias("b"))
-    )
-    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = (
-        c12.groupBy(F.split("b", " ")[0].alias("w1"))
-        .agg(F.sum("n12").alias("n1"))
-    )
-    scored = (
-        bg.join(c12, "b")
-        .join(c1, F.split(bg["b"], " ")[0] == c1["w1"])
-        .select(
-            "doc_id",
-            F.log2(F.col("n1").cast("double") / F.col("n12")).alias("bits"),
-        )
-    )
-    perdoc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("bits").alias("sum_bits"),
-    )
-    return perdoc.select(
-        "doc_id",
-        "n_bigrams",
-        grid_avg(F.col("sum_bits"), F.col("n_bigrams"), 2, 6).alias(
-            "bits_per_bigram"
-        ),
-    ).orderBy("doc_id")
-
-
-_SIMHASH_N_BANDS = 4  # must equal simhash_hamming_pairs' n_bands default
-_SIMHASH_HAM_MAX = _SIMHASH_N_BANDS - 1  # pigeonhole: perfect recall bound
-
-
-@register(
-    "dedup_simhash_pairs",
-    # band constants DERIVED from the Spark side's defaults (width =
-    # bits // n_bands, mask = 2^width − 1) so a change to either cannot
-    # silently diverge the two engines (ADVICE r4 #3)
-    f"""WITH sim AS (
-  SELECT doc_id, {DD.simhash_sql('text', bits=DD.SIMHASH_WIDE_BITS)} AS sh
-  FROM documents),
-bands AS (
-  SELECT doc_id, sh,
-         bi::VARCHAR || ':' ||
-           ((sh >> (bi * {DD.SIMHASH_WIDE_BITS // _SIMHASH_N_BANDS})) &
-            {(1 << (DD.SIMHASH_WIDE_BITS // _SIMHASH_N_BANDS)) - 1})::VARCHAR
-           AS bk
-  FROM sim, UNNEST(range(0, {_SIMHASH_N_BANDS})) AS u(bi)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sa,
-                  b.doc_id AS doc_b, b.sh AS sb
-  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_HAM_MAX}
-ORDER BY doc_a, doc_b""",
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance ≤ 3 via the pigeonhole
-    band index (Manku et al., WWW'07) — the third candidate-generation
-    mechanism (next to the shingle inverted index and MinHash banding),
-    with a property the other two lack: 4 bands GUARANTEE any pair
-    within distance 3 agrees on a whole band, so the band equi-join has
-    perfect recall — deterministic, no probabilistic miss. Uses the
-    60-bit wide fingerprint (2^15 buckets per band), NOT the 16-bit
-    reference fingerprint, whose 16-value band space would make
-    candidate generation quadratic in the corpus; the xor+popcount
-    verify is one codegen expression."""
-    docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_hamming_pairs(
-        docs, _SIMHASH_HAM_MAX, n_bands=_SIMHASH_N_BANDS
-    ).orderBy("doc_a", "doc_b")
-
-
-_CSV_RT_CACHE: dict = {}
-
-
-def _csv_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
-    """Session-cached CSV landing artifact: documents-derived payloads
-    covering the four classic CSV hazards — embedded quotes+commas,
-    embedded newlines, NULL, and the empty string (distinct from NULL).
-    Written with an explicit null sentinel (``\\N``) because the default
-    empty-string nullValue makes NULL and '' indistinguishable on
-    read-back — the canonical CSV data-loss bug."""
-    cached = _CSV_RT_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    path = scratch_path("csvrt_" + sf_dir.strip("/").replace("/", "_"))
-    docs = load_table(spark, sf_dir, "documents")
-    v = F.col("doc_id") % 4
-    payload = (
-        F.when(
-            v == 0,
-            F.concat(
-                F.lit('q:"'),
-                F.substring("text", 1, 10),
-                F.lit('",c:,'),
-            ),
-        )
-        .when(
-            v == 1,
-            F.concat(
-                F.lit("l1\n"), F.lit("l2:"), F.substring("text", 1, 5)
-            ),
-        )
-        .when(v == 2, F.lit(None).cast("string"))
-        .otherwise(F.lit(""))
-    )
-    (
-        docs.select("doc_id", payload.alias("payload"))
-        .write.mode("overwrite")
-        .option("header", True)
-        .option("nullValue", "\\N")
-        # whitespace trimming defaults to TRUE on both write and read —
-        # silently eats trailing spaces (one more classic CSV data-loss)
-        .option("ignoreLeadingWhiteSpace", False)
-        .option("ignoreTrailingWhiteSpace", False)
-        .csv(path)
-    )
-    _CSV_RT_CACHE[sf_dir] = (spark, path)
-    return path
-
-
-@register(
-    "etl_csv_roundtrip",
-    """WITH p AS (
-  SELECT doc_id, CASE doc_id % 4
-    WHEN 0 THEN 'q:"' || substr(text, 1, 10) || '",c:,'
-    WHEN 1 THEN 'l1' || chr(10) || 'l2:' || substr(text, 1, 5)
-    WHEN 2 THEN NULL
-    ELSE '' END AS payload
-  FROM documents)
-SELECT doc_id, CAST(payload IS NULL AS INT) AS is_null,
-       length(payload) AS n_chars_rt,
-       md5(coalesce(payload, '<NULL>')) AS fp
-FROM p ORDER BY doc_id""",
-)
-def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source/sink round-trip through the four hazards every CSV
-    pipeline hits — embedded quotes+commas, embedded newlines, NULL vs
-    EMPTY STRING (kept distinct via an explicit ``\\N`` null sentinel on
-    write AND read; the default empty-string nullValue silently merges
-    them) — value-hashed against a pure replay of the derivation, so
-    any quoting/escaping/null defect in the write→read path fails the
-    hash. Read uses an explicit schema (no inference pass) and
-    ``multiLine`` for the newline payloads; NOTE the scale tradeoff:
-    multiLine CSV is not splittable, so production keeps multiline
-    content in quoted landing files only and converts to parquet at
-    ingest (sources/etl.py write_corpus)."""
-    from pyspark.sql import types as T
-
-    path = _csv_roundtrip_path(spark, sf_dir)
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.StringType()),
-        ]
-    )
-    back = (
-        spark.read.schema(schema)
-        .option("header", True)
-        .option("multiLine", True)
-        .option("nullValue", "\\N")
-        .option("ignoreLeadingWhiteSpace", False)
-        .option("ignoreTrailingWhiteSpace", False)
-        .csv(path)
-    )
-    return back.select(
-        "doc_id",
-        F.col("payload").isNull().cast("int").alias("is_null"),
-        F.length("payload").alias("n_chars_rt"),
-        F.md5(F.coalesce("payload", F.lit("<NULL>"))).alias("fp"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "multimodal_resize_plan",
-    f"""SELECT doc_id AS media_id, 'png' AS format,
-  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-  CAST(3 AS INT) AS channels, CAST(1 AS INT) AS n_frames,
-  CAST(octet_length(encode(text)) AS INT) AS n_bytes
-FROM documents
-WHERE doc_id < {MULTIMODAL_N} AND text IS NOT NULL AND length(text) > 0
-ORDER BY media_id""",
-)
-def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The resize stage's SCHEMA-LEVEL contract through the driver gate
-    (the pixel kernel is honestly stubbed — operators/multimodal.py
-    resize_plan rewrites the typed metadata struct JVM-side and marks
-    the payload for re-encode; a real deployment drops one more
-    mapInPandas on the data column). What the hash check proves: the
-    metadata rewrite targets every row, preserves format/channels/
-    n_frames, sets the new dimensions, and leaves the opaque payload
-    byte-identical (n_bytes re-measured from the data column AFTER the
-    rewrite)."""
-    from hybrid_vector_search_spark.operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
-    resized = MM.resize_plan(media, 64, 64)
-    return resized.select(
-        "media_id",
-        F.col("meta.format").alias("format"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.channels").alias("channels"),
-        F.col("meta.n_frames").alias("n_frames"),
-        F.length("data").cast("int").alias("n_bytes"),
-    ).orderBy("media_id")
-
-
-# --------------------------- S2 / P5 / K6 driver-checked evidence (r5) --
-
-
-@register(
-    "corpus_meta_sidecar",
-    """SELECT COUNT(*) AS n, MIN(len(embedding)) AS d,
-  (MAX(ABS(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) - 1.0))
-     < 0.002) AS normalized
-FROM embeddings""",
-side_effects=True,
-)
-def corpus_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 end-to-end through the driver gate: write the vector-corpus
-    JSON sidecar (one aggregation pass over the corpus — N, D, and the
-    unit-L2 check at the reference's tolerance; sources/loaders.py
-    write_corpus_meta, reference vectors.meta.json src/dataio/
-    loaders.py:60-70), then LOAD it back through the validating reader
-    (required-keys hard error, :66-69) and return what the sidecar
-    says. The oracle recomputes N/D/normalized straight from the
-    parquet, so a wrong count, a ragged dim, or a broken norm check
-    hash-mismatches."""
-    import os as _os
-
-    from hybrid_vector_search_spark.scratch import scratch_root
-    from hybrid_vector_search_spark.sources.loaders import (
-        load_corpus_meta,
-        write_corpus_meta,
-    )
-
-    corpus = load_corpus(spark, sf_dir, with_documents=False)
-    path = _os.path.join(
-        scratch_root(),
-        "hvs_meta_" + sf_dir.strip("/").replace("/", "_") + ".json",
-    )
-    write_corpus_meta(corpus, path)
-    back = load_corpus_meta(path)
-    return spark.createDataFrame(
-        [(int(back["N"]), int(back["D"]), bool(back["normalized"]))],
-        "n LONG, d LONG, normalized BOOLEAN",
-    )
-
-
-@register(
-    "strategy_dispatch_params",
-    """SELECT * FROM (VALUES
-  ('exact', 'exact', CAST(NULL AS BIGINT)),
-  ('post_filter', 'ivfflat',
-   (SELECT GREATEST(1, LEAST(GREATEST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT),
-                                      64), 4096, COUNT(*)))
-    FROM embeddings)),
-  ('post_filter_lsh', 'lsh', CAST(4 AS BIGINT)),
-  ('pre_filter', 'exact', CAST(NULL AS BIGINT)),
-  ('random', 'exact', CAST(NULL AS BIGINT))
-) AS t(backend, index_type, param)
-ORDER BY backend""",
-side_effects=True,
-)
-def strategy_dispatch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 dispatch × K7 introspection through the driver gate: every
-    name in the strategy registry (reference src/harness/run.py:71-87)
-    is dispatched through ``get_backend`` and introspected with
-    ``get_index_params`` (reference src/dataio/loaders.py:220-232).
-    The oracle's expectations are DATA-DEPENDENT where the contract is:
-    the IVF row's nlist must equal the auto-size formula √N clamped to
-    [64, 4096] (never null before the first build — ADVICE r3 #2)
-    recomputed by SQL from the corpus count, so dispatching the wrong
-    class, a lazy-build regression, or a formula drift all
-    hash-mismatch. param carries the backend's primary knob (nlist /
-    nbits), NULL for the exact-scan strategies."""
-    from hybrid_vector_search_spark.operators.strategies import (
-        get_backend,
-        get_index_params,
-    )
-
-    corpus = load_corpus(spark, sf_dir, with_documents=False)
-    n = corpus.count()
-    rows = []
-    for name in ("exact", "post_filter", "post_filter_lsh", "pre_filter", "random"):
-        params = get_index_params(get_backend(name, corpus, n=n))
-        param = params.get("nlist", params.get("nbits"))
-        rows.append(
-            (name, params["type"], int(param) if param is not None else None)
-        )
-    return spark.createDataFrame(
-        rows, "backend STRING, index_type STRING, param LONG"
-    ).orderBy("backend")
-
-
-_FALLBACK_CASE = {"seed": 31, "filters": {"lang": {"in": ["en", "de"]}}, "k": 10}
-
-
-def _fallback_oracle() -> str:
-    from pyspark.sql import types as T
-
-    qlit = sql_array_literal(query_vector(_FALLBACK_CASE["seed"]))
-    schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("lang", T.StringType())]
-    )
-    where = filters_to_sql(schema, _FALLBACK_CASE["filters"])
-    return f"""{CORPUS_CTE}
-SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score,
-       'ivf skipped (prefer_ivf=False) to hnsw' AS fallback_note
-FROM corpus WHERE {where}
-ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
-LIMIT {_FALLBACK_CASE["k"]}"""
-
-
-@register("strategy_fallback_topk", _fallback_oracle())
-def strategy_fallback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K6 fallback chain through the driver gate (reference
-    ``load_vectors_index``, src/dataio/loaders.py:176-218): with the
-    preferred IVF rung declined (``prefer_ivf=False``), the chain must
-    land on the HNSW rung and record how it got there — the
-    ``fallback_note`` the §2.10 stats surface carries is returned as a
-    column and hash-checked against the literal the chain promises. The
-    landed backend then answers a filtered top-K; at driver scales
-    (N ≤ max(k_ladder) = 1000) the HNSW candidate stage is degenerate-
-    exact (same argument as ann_hnsw_topk), so the oracle is the exact
-    filtered top-K — a wrong rung, a broken note, or a broken search
-    all hash-mismatch."""
-    from hybrid_vector_search_spark.operators.strategies import (
-        load_corpus_index,
-    )
-
-    corpus = load_corpus(spark, sf_dir, with_documents=True)
-    backend = load_corpus_index(corpus, prefer_ivf=False)
-    plan, _obs = backend.plan(
-        query_vector(_FALLBACK_CASE["seed"]),
-        _FALLBACK_CASE["filters"],
-        _FALLBACK_CASE["k"],
-    )
-    return plan.select(
-        "id",
-        F.round("score", 6).alias("score"),
-        F.lit(backend.fallback_note).alias("fallback_note"),
-    )
-
-
-_EMBED_N = 200
-
-
-@register(
-    "etl_embed_stub_profile",
-    f"""SELECT doc_id, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2
-FROM documents WHERE doc_id < {_EMBED_N} ORDER BY doc_id""",
-)
-def etl_embed_stub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1's UDF surface through the driver gate: the batched text-
-    embedding pandas UDF (sources/etl.py embed_text_udf — reference
-    src/harness/run.py:131-141 runtime SentenceTransformer encode),
-    exercised end-to-end on the documents table via the explicitly
-    opted-in deterministic stub (no model weights in this container;
-    the real path loads the model once per executor in the same
-    iterator shape). What the hash check proves about the UDF contract:
-    one vector per row with the declared 384-dim shape, unit-L2 within
-    float32 tolerance (norm rounds to 1.0 at 6 dp), for every row —
-    shape or normalization regressions hash-mismatch. The vector
-    VALUES are intentionally not oracle-replayable (numpy RNG); their
-    determinism is pinned by tests/test_etl.py."""
-    from hybrid_vector_search_spark.sources.etl import embed_text_udf
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _EMBED_N
-    )
-    emb = docs.select(
-        "doc_id", embed_text_udf(allow_stub=True)(F.col("text")).alias("e")
-    )
-    sq = F.aggregate(
-        F.transform("e", lambda x: x.cast("double") * x),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    return emb.select(
-        "doc_id",
-        F.size("e").cast("long").alias("dim"),
-        F.round(F.sqrt(sq), 6).alias("l2"),
-    ).orderBy("doc_id")
-
-
-_STATS_CASE = {"seed": 43, "filters": {"label": {"in": [0, 4, 9]}}, "k": 10}
-
-
-def _stats_oracle() -> str:
-    from pyspark.sql import types as T
-
-    qlit = sql_array_literal(query_vector(_STATS_CASE["seed"]))
-    schema = T.StructType([T.StructField("label", T.IntegerType())])
-    where = filters_to_sql(schema, _STATS_CASE["filters"])
-    k = _STATS_CASE["k"]
-    return f"""{CORPUS_CTE},
-allowed AS (SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS s
-            FROM corpus WHERE {where}),
-top AS (SELECT id, s, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rn
-        FROM allowed)
-SELECT 'exact' AS method, CAST({k} AS BIGINT) AS k,
-       (SELECT COUNT(*) FROM allowed) AS scored_vectors,
-       (SELECT id FROM top WHERE rn = 1) AS top_id,
-       (SELECT s FROM top WHERE rn = {k}) AS kth_score"""
-
-
-@register("harness_stats_exact", _stats_oracle(), side_effects=True)
-def harness_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10's stats-row assembly through the driver gate: a REAL
-    ``backend.search()`` call (driver-side collect, the harness path —
-    reference src/backend_interface.py:7-31 + the 14-field results row
-    of src/harness/run.py) whose deterministic stats fields come back
-    as a 1-row DataFrame. scored_vectors flows through the plan's
-    ``Observation`` (the row count of the filtered corpus measured by
-    the SAME job that scored it — U7's instrumentation shape, minus the
-    wall-clock fields the oracle cannot replay); the k-th score and top
-    id pin the ids/scores arrays. A broken Observation, a dropped
-    filter, or a tie-break regression all hash-mismatch."""
-    from hybrid_vector_search_spark.operators.strategies import get_backend
-
-    corpus = load_corpus(spark, sf_dir)
-    backend = get_backend("exact", corpus)
-    ids, stats = backend.search(
-        query_vector(_STATS_CASE["seed"]),
-        _STATS_CASE["filters"],
-        _STATS_CASE["k"],
-    )
-    return spark.createDataFrame(
-        [
-            (
-                stats["method"],
-                int(stats["K"]),
-                int(stats["scored_vectors"]),
-                int(ids[0]),
-                round(float(stats["scores"][_STATS_CASE["k"] - 1]), 6),
-            )
-        ],
-        "method STRING, k LONG, scored_vectors LONG, top_id LONG, kth_score DOUBLE",
-    )
-
-
-@register(
-    "streaming_view_purchase_join",
-    f"""SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
-  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec,
-  {round_portable_sql('p.value', 2)} AS purchase_value
-FROM events v JOIN events p
-  ON v.user_id = p.user_id
- AND v.event_type = 'view' AND p.event_type = 'purchase'
- AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-ORDER BY view_id, purchase_id""",
-    side_effects=True,
-)
-def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAM-STREAM event-time-bounded inner join (the attribution
-    join): two live streams over the same landing zone — views and
-    purchases — paired per user within a 30-minute conversion window,
-    with watermarks on BOTH sides bounding the join state (a buffered
-    row is evicted once the other side's watermark passes its reach).
-    The seventh streaming operator family: windows, sessions, dedup,
-    stream-static enrich, custom state, and now the two-stream join.
-    Inner matches emit as soon as both sides arrive, so the availableNow
-    drain emits exactly the batch join's pairs — the oracle is the plain
-    SQL time-bounded join, value-hash checked."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        read_events_stream,
-        run_available_now,
-        view_purchase_join_stream,
-    )
-
-    land = _landing(spark, sf_dir, "events")
-    views = read_events_stream(spark, land).filter(
-        F.col("event_type") == "view"
-    )
-    buys = read_events_stream(spark, land).filter(
-        F.col("event_type") == "purchase"
-    )
-    joined = view_purchase_join_stream(views, buys)
-    table = "stream_view_purchase"
-    run_available_now(
-        joined,
-        table,
-        output_mode="append",
-        # the batch-join oracle equality assumes ONE data micro-batch: a
-        # split drain advances both watermarks at batch 0 and silently
-        # drops later-batch rows as late input (same hazard class as the
-        # stateful-totals query; ADVICE r2 #5)
-        expect_single_data_batch=True,
-        # FIXED sizing, deliberately exempt from the volume-adaptive
-        # _stream_parts: a stream-stream join keeps TWO state stores per
-        # partition and its per-row work is a hash probe, so the
-        # per-partition constant dominates — the r7 ×8 probe A/B measured
-        # 2.5 s at 4 partitions vs 4.8 s at 32 on the same data. The
-        # stateful AGGREGATIONS scale the opposite way (heavy per-group
-        # state work) and stay adaptive.
-        shuffle_partitions=_STREAM_PARTS,
-        # inner matches emit eagerly in their arrival batch; the trailing
-        # zero-row flush batch only evicts expired join-state buffers and
-        # re-runs the whole plan to do it (r6 A/B: 2.05→1.22 s, output
-        # identical — see run_available_now docstring for the safety rule)
-        flush_no_data_batch=False,
-    )
-    return _sink_sorted(
-        spark, table, "view_id", "purchase_id"
-    ).select(
-        "view_id",
-        "purchase_id",
-        "user_id",
-        "gap_sec",
-        round_portable("value", 2).alias("purchase_value"),
-    )
-
-
-# ----------------------------------------- streaming ANN-index ingest
-
-STREAM_IVF_QSEED = 31
-_STREAM_IVF_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "streaming_ivf_ingest",
-    _ann_ivf_oracle(STREAM_IVF_QSEED),
-    side_effects=True,
-)
-def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTINUOUS ANN-index ingest — the streaming twin of the persisted
-    IVF layout (ann_ivf_persisted_topk): embeddings land as a file
-    stream, each micro-batch assigns ``list_id`` with the fixed coarse
-    quantizer (operators/ivf.py assign_list_udf — a STATELESS map, no
-    state store, no watermark), and the exactly-once file sink writes
-    ``partitionBy("list_id")`` parquet through its write-ahead commit
-    log. The index never needs a rebuild because the index IS the
-    partitioned layout: FAISS keeps a mutable in-memory structure the
-    reference must re-add into (src/dataio/loaders.py:106-120); here
-    append-only ingest keeps the layout fresh and a restarted drain
-    re-ingests nothing (the sink's exactly-once contract, pinned in
-    tests/test_streaming.py). The returned plan is the standard probe
-    over the freshly-ingested layout — partition-pruned to the probed
-    lists — and the oracle replays assignment, probe, and top-K over the
-    same rows, so the hash certifies the whole ingest→probe loop."""
-    import os
-
-    from hybrid_vector_search_spark.operators.ivf import IVFIndex
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.streaming.pipeline import sink_to_parquet
-
-    land = _landing(spark, sf_dir, "embeddings")
-    cached = _STREAM_IVF_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        root = scratch_path(
-            "stream_ivf_" + sf_dir.strip("/").replace("/", "_")
-        )
-        _STREAM_IVF_CACHE[sf_dir] = (spark, root)
-    out = os.path.join(root, "index")
-    ckpt = os.path.join(root, "ckpt")
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
-    cents = _ann_ivf_centroids()
-    from hybrid_vector_search_spark.operators.ivf import assign_list_udf
-
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(land)
-        .withColumn("list_id", assign_list_udf(cents)(F.col("embedding")))
-        .withColumnRenamed("vec_id", "id")
-    )
-    sink_to_parquet(stream, out, ckpt, partition_by="list_id")
-
-    index = IVFIndex(
-        spark.read.parquet(out), cents, partitioned_path=out
-    )
-    plan, _probed = index.search_plan(
-        query_vector(STREAM_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-STREAM_TOPK_QSEED = 61
-_STREAM_TOPK_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "streaming_topk_view",
-    f"""SELECT vec_id AS id,
-  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_TOPK_QSEED))}), 6) AS score
-FROM embeddings
-ORDER BY list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_TOPK_QSEED))}) DESC, vec_id ASC
-LIMIT {ANN_IVF_K}""",
-    side_effects=True,
-)
-def streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTINUOUS top-K materialized view — incremental view maintenance
-    for the query every dashboard wants ("current best K matches for X,
-    live"): each micro-batch computes its own bounded top-K candidates
-    (TakeOrderedAndProject inside ``foreachBatch``), merges them with
-    the ≤K-row persisted view state, and swaps the refreshed view in by
-    rename — so per-batch cost is O(batch + K·log K) and the view is
-    always a K-row parquet any reader can scan without touching the
-    stream. Top-K is an algebraic aggregate (merge of two top-Ks is the
-    top-K of their union), which is what makes the incremental
-    maintenance EXACT, not approximate: the oracle computes the batch
-    top-K over everything landed, and the hash certifies the
-    incrementally-maintained view equals it."""
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    land = _landing(spark, sf_dir, "embeddings")
-    cached = _STREAM_TOPK_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        root = scratch_path(
-            "stream_topk_" + sf_dir.strip("/").replace("/", "_")
-        )
-        _STREAM_TOPK_CACHE[sf_dir] = (spark, root)
-    state = _os.path.join(root, "view")
-    ckpt = _os.path.join(root, "ckpt")
-
-    qvec = query_vector(STREAM_TOPK_QSEED)
-
-    def merge_batch(batch_df, _batch_id):
-        cand = topk(
-            batch_df.select(
-                F.col("vec_id").alias("id"),
-                dot_score_column(qvec).alias("score"),
-            ),
-            ANN_IVF_K,
-        )
-        if _os.path.isdir(state):
-            # dedup by id BEFORE the cut: the foreachBatch contract is
-            # at-least-once — a replayed micro-batch (crash between the
-            # state swap and the checkpoint commit) re-merges rows the
-            # view already holds, and without this a duplicate id would
-            # occupy two of the K slots and evict a legitimate row.
-            # max(score) == the score (deterministic per id), so the
-            # dedup is exact, and the merge becomes idempotent.
-            cand = topk(
-                batch_df.sparkSession.read.parquet(state)
-                .unionByName(cand)
-                .groupBy("id")
-                .agg(F.max("score").alias("score")),
-                ANN_IVF_K,
-            )
-        stage = f"{state}.stage-{_uuid.uuid4().hex[:12]}"
-        cand.coalesce(1).write.mode("overwrite").parquet(stage)
-        old = f"{state}.old-{_uuid.uuid4().hex[:12]}"
-        if _os.path.isdir(state):
-            _os.rename(state, old)
-        _os.rename(stage, state)
-        _shutil.rmtree(old, ignore_errors=True)
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(land)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:  # pragma: no cover - defensive stop on timeout
-            q.stop()
-    return (
-        spark.read.parquet(state)
-        .select("id", F.round("score", 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-    )
-
-
-_STREAM_ROLLUP_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "streaming_incremental_rollup",
-    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-  COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS total_value
-FROM events GROUP BY day, event_type
-ORDER BY day, event_type""",
-    side_effects=True,
-)
-def streaming_incremental_rollup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CONTINUOUSLY-MAINTAINED rollup table — the streaming face of
-    events_incremental_rollup (operators/rollup.py): each micro-batch
-    of the events landing stream merges its algebraic partials into
-    the day-partitioned table inside ``foreachBatch``, rewriting only
-    the batch's touched days, so the table is always serving-fresh
-    without any full recompute. EXACTLY-ONCE under foreachBatch's
-    at-least-once replay contract: the micro-batch id is committed to
-    ``rollup_meta.json`` INSIDE the merge's marker window (the same
-    staged commit that moves the partitions), so a replayed batch sees
-    ``batch_id <= last_batch_id`` and skips — a crash on either side
-    of the commit resolves to exactly one application, the recipe
-    Structured Streaming documents for idempotent foreachBatch sinks.
-    The oracle aggregates everything landed from scratch: a hash match
-    proves stream-maintained ≡ recomputed, double-count-free."""
-    import os as _os
-
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.operators.rollup import (
-        open_rollup,
-        streaming_merge_batch,
-    )
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    land = _landing(spark, sf_dir, "events")
-    cached = _STREAM_ROLLUP_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        root = scratch_path(
-            "stream_rollup_" + sf_dir.strip("/").replace("/", "_")
-        )
-        _STREAM_ROLLUP_CACHE[sf_dir] = (spark, root)
-    table = _os.path.join(root, "table")
-    ckpt = _os.path.join(root, "ckpt")
-
-    def merge_batch(batch_df, batch_id):
-        # exactly-once body lives in operators/rollup.py (meta-gated
-        # bootstrap + batch-id watermark), unit-tested in
-        # tests/test_rollup.py
-        streaming_merge_batch(table, batch_df, batch_id)
-
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    q = (
-        spark.readStream.schema(schema)
-        # several files per micro-batch: the drain exercises bootstrap
-        # AND repeated partition-local merges, not one bulk build
-        .option("maxFilesPerTrigger", 2)
-        .parquet(land)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:  # pragma: no cover - defensive stop on timeout
-            q.stop()
-    return (
-        open_rollup(spark, table)
-        .select(
-            F.col("day").cast("string").alias("day"),
-            "event_type",
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("sum_value").alias("total_value"),
-        )
-        .orderBy("day", "event_type")
-    )
-
-
-_STREAM_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "streaming_snapshot_ingest",
-    "SELECT vec_id AS id, label FROM embeddings ORDER BY id",
-    side_effects=True,
-)
-def streaming_snapshot_ingest(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The versioned-manifest layout as an EXACTLY-ONCE STREAMING SINK
-    (sources/manifest.py meets foreachBatch): each micro-batch of the
-    embeddings landing commits one snapshot version — O(batch), no
-    existing bytes move — with the micro-batch id riding IN the
-    manifest, so the watermark and the data are one atomic rename and
-    an at-least-once replay (batch_id ≤ last committed) skips instead
-    of double-appending. What this buys over the plain parquet
-    streaming sink's _spark_metadata log: ordinary BATCH readers get
-    both isolation and time travel for free — any mid-stream version
-    is a pinned, reproducible corpus snapshot (the \"train on the
-    corpus as of batch N\" read), no commit-log-aware reader required.
-    The oracle compares the LATEST snapshot against the full raw
-    table: a hash match proves the stream of commits lost and
-    duplicated nothing."""
-    import os as _os
-
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.sources import manifest as M
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    land = _landing(spark, sf_dir, "embeddings")
-    cached = _STREAM_SNAP_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        root = scratch_path(
-            "stream_snap_" + sf_dir.strip("/").replace("/", "_")
-        )
-        _STREAM_SNAP_CACHE[sf_dir] = (spark, root)
-    table = _os.path.join(root, "table")
-    ckpt = _os.path.join(root, "ckpt")
-
-    def commit_batch(batch_df, batch_id):
-        last = M.last_committed_meta(table, "batch_id", -1)
-        if batch_id <= last:
-            return  # at-least-once replay of a committed batch
-        M.commit_append(
-            table,
-            batch_df.select("vec_id", "label"),
-            meta={"batch_id": int(batch_id)},
-        )
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)  # several commits, not one bulk
-        .parquet(land)
-        .writeStream.foreachBatch(commit_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:  # pragma: no cover - defensive stop on timeout
-            q.stop()
-    return (
-        M.read_snapshot(spark, table)
-        .select(F.col("vec_id").alias("id"), "label")
-        .orderBy("id")
-    )
-
-
-_STREAM_CDC_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
-@register(
-    "streaming_cdc_replica",
-    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
-m AS (SELECT MAX(id) + 1 AS n FROM b),
-final AS (
-  SELECT id, label FROM b WHERE id % 5 <> 0
-  UNION ALL
-  SELECT id + n AS id, label FROM b, m WHERE id % 4 = 0)
-SELECT 3 AS applied_version, 2 AS replica_data_files,
-  1 AS replica_delete_files, id, label
-FROM final ORDER BY id""",
-    side_effects=True,
-)
-def streaming_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TAIL THE COMMIT LOG AS A STREAM — Delta's change-data-feed shape
-    on the versioned-manifest layout: the source table's
-    ``manifest-*.json`` files ARE a streaming source (each commit is
-    one new immutable file — the exact contract Spark's file stream
-    wants), so a continuously-running replica subscribes to the table
-    itself, no side-channel queue. Per micro-batch the replica pulls
-    every not-yet-applied version's op-aware delta
-    (sources/manifest.py snapshot_changelog) and applies it
-    MERGE-ON-READ: insert-only deltas land as an O(batch) append,
-    delete-only deltas as an O(keys) equality-delete commit — the
-    replica never rewrites itself — with the applied source version
-    riding IN the replica's own manifest commit, so an at-least-once
-    replay skips atomically (the same marker-in-commit trick as
-    streaming_snapshot_ingest, but per source VERSION, finer than per
-    micro-batch). Row-preserving rewrites on the source emit an empty
-    delta and are skipped without a commit. The structural proof rides
-    in the hash contract: after v1-bootstrap + v2-append + v3-delete +
-    v4-compaction the replica must hold exactly 2 data files and 1
-    LIVE delete file (a replica that rewrote itself, double-applied a
-    replay, or resurrected deleted rows mismatches the literals or
-    the rows). Mixed insert+delete deltas are out of this replica's
-    scope (two commits cannot be atomic) and raise. Beyond-reference
-    (SURVEY.md §2.9 + streaming family)."""
-    import os as _os
-
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.errors import ValidationError
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources import manifest as M
-
-    src = _changelog_root(spark, sf_dir)
-    cached = _STREAM_CDC_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    if root is None:
-        root = scratch_path(
-            "stream_cdc_" + sf_dir.strip("/").replace("/", "_")
-        )
-        _STREAM_CDC_CACHE[sf_dir] = (spark, root)
-    replica = _os.path.join(root, "replica")
-    ckpt = _os.path.join(root, "ckpt")
-
-    def apply_versions(batch_df, batch_id):
-        # the batch's rows only SIGNAL that new commits exist; the
-        # replica pulls pending versions from the source root itself,
-        # so delivery order and batching cannot misapply a delta
-        seen = max(
-            (int(r["version"]) for r in batch_df.collect()), default=-1
-        )  # bounded: one row per source commit
-        if seen < 0:
-            return
-        last = int(M.last_committed_meta(replica, "applied_version", 0))
-        for v in range(max(last + 1, 1), seen + 1):
-            if v == 1:  # bootstrap: the pinned v1 snapshot, one commit
-                M.commit_append(
-                    replica,
-                    M.read_snapshot(spark, src, 1),
-                    n_files=1,
-                    meta={"applied_version": 1},
-                )
-                continue
-            delta = M.snapshot_changelog(spark, src, v - 1, v)
-            ins = delta.filter(F.col("change") == "insert").select(
-                "id", "label"
-            )
-            dels = delta.filter(F.col("change") == "delete").select("id")
-            n_ins, n_del = ins.count(), dels.count()
-            if n_ins and n_del:
-                raise ValidationError(
-                    "streaming_cdc_replica: mixed insert+delete delta "
-                    f"at source version {v} — two commits cannot be "
-                    "atomic; out of this replica's scope"
-                )
-            if n_ins:
-                M.commit_append(
-                    replica, ins, n_files=1, meta={"applied_version": v}
-                )
-            elif n_del:
-                M.commit_delete_where(
-                    replica, dels, "id", meta={"applied_version": v}
-                )
-            # empty delta (row-preserving rewrite): no commit, no
-            # marker advance — re-deriving it on replay is a no-op
-
-    q = (
-        spark.readStream.schema(
-            T.StructType([T.StructField("version", T.LongType())])
-        )
-        .option("maxFilesPerTrigger", 1)  # one commit per micro-batch
-        .json(_os.path.join(src, "manifest-*.json"))
-        .writeStream.foreachBatch(apply_versions)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:  # pragma: no cover - defensive stop on timeout
-            q.stop()
-    applied = int(M.last_committed_meta(replica, "applied_version", -1))
-    n_data = len(M.snapshot_files(replica)[1])
-    n_del_files = len(M.snapshot_delete_files(replica))
-    return M.read_snapshot(spark, replica).select(
-        F.lit(applied).alias("applied_version"),
-        F.lit(n_data).alias("replica_data_files"),
-        F.lit(n_del_files).alias("replica_delete_files"),
-        "id",
-        "label",
-    ).orderBy("id")
-
-
-ANN_RANGE_QSEED = 53
-ANN_RANGE_TAU = 0.2
-
-
-def _ann_ivf_range_oracle() -> str:
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    qlit = sql_array_literal(query_vector(ANN_RANGE_QSEED))
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_RANGE_QSEED))
-    return f"""WITH assigned AS (
-  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
-        FROM embeddings))
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM assigned
-WHERE list_id IN ({probed})
-  AND list_dot_product(e, {qlit}) >= {ANN_RANGE_TAU}
-ORDER BY score DESC, id ASC"""
-
-
-@register("ann_ivf_range_search", _ann_ivf_range_oracle())
-def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE search through the IVF index — vector_range_search's scale
-    path: partition-prune to the probed lists, then the K-free
-    threshold scan within them (FAISS ``range_search`` on an IVF index
-    has exactly this shape). Still heap-free and merge-free — every
-    pruned partition emits its qualifying rows independently — and
-    bytes read stay ∝ nprobe/nlist. ANN semantics: rows above τ in
-    unprobed lists are (deliberately) not visited; the oracle replays
-    assignment, probe, and threshold, so the hash certifies the pruned
-    semantics exactly."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-
-    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    probed = index.probe(query_vector(ANN_RANGE_QSEED), ANN_IVF_NPROBE)
-    pruned = index.assigned.filter(F.col("list_id").isin(probed))
-    scored = pruned.select(
-        "id",
-        dot_score_column(query_vector(ANN_RANGE_QSEED)).alias("score"),
-    ).filter(F.col("score") >= ANN_RANGE_TAU)
-    return scored.select(
-        "id", F.round("score", 6).alias("score")
-    ).orderBy(F.col("score").desc(), F.col("id").asc())
-
-
-STREAM_RANGE_QSEED = 59
-STREAM_RANGE_TAU = 0.2
-
-
-@register(
-    "streaming_range_alerts",
-    f"""SELECT vec_id AS id,
-  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_RANGE_QSEED))}), 6) AS score
-FROM embeddings
-WHERE list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_RANGE_QSEED))}) >= {STREAM_RANGE_TAU}
-ORDER BY score DESC, id ASC""",
-    side_effects=True,
-)
-def streaming_range_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTINUOUS similarity alerting — range search as a stream: each
-    arriving embedding is scored against the standing query with the
-    JVM kernel and emitted iff it clears τ. Completely STATELESS (a
-    map + filter per micro-batch: no state store, no watermark, no
-    shuffle), which is why the streaming form is exactly the batch
-    range scan run incrementally — and the oracle IS the batch range
-    search over the same landed rows, so the hash certifies
-    batch/stream parity. The production shape for "page me when
-    something too close to X lands" (dedup guards, contamination
-    tripwires, abuse fingerprints) at any ingest rate: per-batch cost
-    is the batch's rows × one fused projection."""
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.functions.vector import dot_score_column
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        run_available_now,
-    )
-
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
-    alerts = (
-        spark.readStream.schema(schema)
-        .parquet(_landing(spark, sf_dir, "embeddings"))
-        .select(
-            F.col("vec_id").alias("id"),
-            dot_score_column(
-                query_vector(STREAM_RANGE_QSEED)
-            ).alias("score"),
-        )
-        .filter(F.col("score") >= STREAM_RANGE_TAU)
-    )
-    table = "stream_range_alerts"
-    run_available_now(
-        alerts,
-        table,
-        output_mode="append",
-        shuffle_partitions=4,
-        flush_no_data_batch=False,  # stateless map: nothing emits late
-    )
-    return (
-        spark.table(table)
-        .select("id", F.round("score", 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-    )
-
-
-STREAM_COMPACT_QSEED = 47
-
-
-@register(
-    "streaming_ivf_compacted_topk",
-    _ann_ivf_oracle(STREAM_COMPACT_QSEED),
-    side_effects=True,
-)
-def streaming_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming ingest's MAINTENANCE path, hash-checked end-to-end
-    (VERDICT r7 next #3): drain the ``streaming_ivf_ingest`` sink
-    through its exactly-once commit log into a compacted ONE-file-per-
-    list probe root (operators/ivf.py compact_streaming_layout — the
-    sink keeps accumulating a file per touched list per micro-batch;
-    the probe root pays file-opens ∝ probed lists, however long the
-    stream has run), then answer the standard partition-pruned probe
-    over the swapped-in root. The oracle replays assignment, probe, and
-    top-K over the raw embeddings — a hash match certifies that
-    ingest → drain → swap → probe lost and duplicated nothing. The
-    file-count bound and repeat-swap behavior are pinned in
-    tests/test_ivf_upsert.py::test_streaming_layout_drain_and_swap."""
-    import os
-
-    from hybrid_vector_search_spark.operators.ivf import (
-        IVFIndex,
-        compact_streaming_layout,
-        open_streaming_probe_root,
-    )
-
-    # ensure the streaming sink exists and is drained (idempotent:
-    # re-draining unchanged input is a commit-log no-op)
-    streaming_ivf_ingest(spark, sf_dir)
-    root = _STREAM_IVF_CACHE[sf_dir][1]
-    sink = os.path.join(root, "index")
-    probe_root = os.path.join(root, "probe")
-    compact_streaming_layout(spark, sink, probe_root)
-    cents = _ann_ivf_centroids()
-    # recovery-aware open: a swap crashed by a previous process replays
-    # here instead of surfacing as a missing probe root
-    index = IVFIndex(
-        open_streaming_probe_root(spark, probe_root),
-        cents,
-        partitioned_path=probe_root,
-    )
-    plan, _probed = index.search_plan(
-        query_vector(STREAM_COMPACT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
-    )
-    return plan.select("id", F.round("score", 6).alias("score"))
-
-
-# ------------------------------------------------------------ bucketed layout
-
-# Bucketed orders/lineitem layout on orderkey, keyed by sf_dir with the
-# session-identity check every artifact cache uses. Paying the shuffle
-# ONCE at write time (bucketBy + sortBy through the session catalog) is
-# the 100 TB answer to the fact⋈fact join: after it, every equi-join and
-# groupBy on the bucket key plans with ZERO shuffle Exchange — task i
-# zips bucket i of one table with bucket i of the other.
-_BUCKETED_TPCH: dict[str, tuple[SparkSession, tuple[str, str]]] = {}
-
-
-def _bucketed_tpch_tables(
-    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
-) -> tuple[str, str]:
-    """Write (once per session × sf_dir) orders and lineitem bucketed on
-    their orderkey and return the catalog table names. The bucket count
-    is VOLUME-DERIVED over both sides (sources/bucketing.py:
-    derive_bucket_count) — one shared count, since shuffle elision
-    requires matching specs; a pinned count capped the ×16 probe at 8
-    tasks (r10 verdict's scale-killer)."""
-    got = _BUCKETED_TPCH.get(sf_dir)
-    if got is not None and got[0] is spark:
-        return got[1]
-    import re as _re
-
-    from hybrid_vector_search_spark.scratch import scratch_path
-    from hybrid_vector_search_spark.sources.bucketing import (
-        derive_bucket_count,
-        write_bucketed,
-    )
-
-    slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
-    names = (f"hvs_bkt_orders_{slug}", f"hvs_bkt_lineitem_{slug}")
-    sides = {
-        table: load_table(spark, sf_dir, table)
-        for table in ("orders", "lineitem")
-    }
-    if n_buckets is None:
-        n_buckets = derive_bucket_count(spark, *sides.values())
-    for table, key, tbl_name in (
-        ("orders", "o_orderkey", names[0]),
-        ("lineitem", "l_orderkey", names[1]),
-    ):
-        write_bucketed(
-            sides[table],
-            tbl_name,
-            key,
-            n_buckets,
-            path=scratch_path(tbl_name),
-        )
-    _BUCKETED_TPCH[sf_dir] = (spark, names)
-    return names
-
-
-@register("tpch_q18_bucketed", ORACLES["tpch_q18_large_orders"])
-def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 over the BUCKETED layout — identical results to
-    ``tpch_q18_large_orders`` (same oracle SQL), different storage plan:
-    both fact tables are pre-bucketed on orderkey, so the lineitem
-    groupBy AND the orders⋈big sort-merge join (forced with a merge hint
-    — at test scale broadcast would otherwise hide the point) run with
-    zero shuffle Exchange; the only Exchange in the plan is the
-    broadcast of the customer dim. This is the storage-layout variant of
-    the persisted-index pattern (ann_ivf_persisted_topk): pay the
-    partitioning once at ingest, never per query."""
-    ord_tbl, li_tbl = _bucketed_tpch_tables(spark, sf_dir)
-    orders = spark.table(ord_tbl)
-    li = spark.table(li_tbl)
-    cust = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .filter(F.col("total_qty") > 200)
-    )
-    return (
-        orders.hint("merge")
-        .join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_totalprice",
-            "total_qty",
-        )
-        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
-        .limit(50)
-    )
-
-
-# Day-partitioned events layout (the hypertable pattern), keyed by sf_dir
-# with the session-identity check every artifact cache uses. Bucketing
-# (above) buys shuffle-free JOINS; hive partitioning buys PRUNED SCANS —
-# at 100 TB an event log is written partitioned by arrival day, and a
-# bounded time-range query must read only the matching partition dirs,
-# never the rest of the history.
-_EVENTS_BY_DAY: dict[str, tuple[SparkSession, str]] = {}
-
-
-def _events_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per session × sf_dir) events hive-partitioned by event
-    day and return the path. The pre-write ``repartition(day)`` gives
-    each write task whole days, so every partition dir is a single file
-    instead of one shard per upstream task."""
-    got = _EVENTS_BY_DAY.get(sf_dir)
-    if got is not None and got[0] is spark:
-        return got[1]
-    from hybrid_vector_search_spark.scratch import scratch_path
-
-    ev = load_table(spark, sf_dir, "events")
-    path = scratch_path("events_by_day")
-    (
-        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .repartition(F.col("day"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(path)
-    )
-    _EVENTS_BY_DAY[sf_dir] = (spark, path)
-    return path
-
-
-@register(
-    "events_hypertable_day_range",
-    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-FROM events
-WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-10'
-GROUP BY 1, 2 ORDER BY 1, 2""",
-)
-def events_hypertable_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded time-range rollup over the DAY-PARTITIONED events layout —
-    the hypertable scan path. The ``day`` predicate is a partition
-    filter: Spark plans the scan with ``PartitionFilters`` and lists
-    only the 3 matching partition dirs of 30 (10% of files touched, and
-    the fraction is constant as history grows — the pruning, not the
-    filter, is what survives 100× more days). Oracle recomputes from the
-    unpartitioned table. The layout is written once per session like
-    the bucketed tables; on a cluster it is the ingest format itself."""
-    path = _events_day_partitioned(spark, sf_dir)
-    ev = spark.read.parquet(path)
-    return (
-        ev.filter(F.col("day").between("2024-01-08", "2024-01-10"))
-        # partition-column type inference reads `day` back as DATE; the
-        # filter above prunes on that native type, the cast only renders
-        # the output as the oracle's string
-        .groupBy(F.col("day").cast("string").alias("day"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("day", "event_type")
-    )
-
-
-_BUCKETED_CORPUS: dict[str, tuple[SparkSession, DataFrame]] = {}
-
-
-@register(
-    "corpus_bucketed_profile",
-    f"""{CORPUS_CTE}
-SELECT label, lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
-FROM corpus GROUP BY label, lang ORDER BY label, lang""",
-)
-def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's OWN corpus join (S1/J1: embeddings⋈metadata,
-    src/dataio/loaders.py join) through the BUCKETED layout
-    (sources/bucketing.py): both sides pre-hashed on id, so the wide
-    join plans with zero shuffle Exchange — only the final tiny
-    (label, lang) aggregation shuffles. Driver-hash evidence for the
-    corpus-layout claim the bucketing tests make; the oracle recomputes
-    the same profile from the raw tables. SUM over int n_chars keeps
-    the aggregate exact in any order."""
-    got = _BUCKETED_CORPUS.get(sf_dir)
-    joined = got[1] if got is not None and got[0] is spark else None
-    if joined is None:
-        import re as _re
-
-        from hybrid_vector_search_spark.scratch import scratch_path
-        from hybrid_vector_search_spark.sources.bucketing import (
-            bucketed_corpus_tables,
-        )
-
-        slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
-        joined = bucketed_corpus_tables(
-            spark,
-            load_table(spark, sf_dir, "embeddings"),
-            load_table(spark, sf_dir, "documents"),
-            n_buckets=None,  # volume-derived (sources/bucketing.py)
-            prefix=f"hvs_corpus_{slug}",
-            # external location in tracked scratch: a managed table would
-            # leave its warehouse dir behind on process death and the
-            # NEXT process's overwrite hits LOCATION_ALREADY_EXISTS
-            base_path=scratch_path(f"hvs_corpus_{slug}"),
-        )
-        _BUCKETED_CORPUS[sf_dir] = (spark, joined)
-    return (
-        joined.groupBy("label", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .orderBy("label", "lang")
-    )
+# ---------------------------------------------------------------------------
+# Query families (r11 split, verdict task 7): contiguous slices of the
+# former single-file registry, imported IN ORDER so registration order,
+# query names, and oracle strings stay byte-identical. The hub then
+# re-exports every family name (including private helpers and caches) so
+# `registry.<name>` keeps working for tests and tools; the cache dicts are
+# shared objects, so invalidate_caches() above still reaches all of them.
+from hybrid_vector_search_spark.plans import registry_hybrid_ann as _f1  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_corpus as _f2  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_retrieval as _f3  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_relational as _f4  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_lakehouse as _f5  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_ann_metrics as _f6  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_streaming_layouts as _f7  # noqa: E402
+
+for _m in (_f1, _f2, _f3, _f4, _f5, _f6, _f7):
+    for _k, _v in vars(_m).items():
+        if not _k.startswith("__") and _k not in globals():
+            globals()[_k] = _v
+del _m, _k, _v

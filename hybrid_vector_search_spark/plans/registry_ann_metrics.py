@@ -1,0 +1,1461 @@
+"""HNSW ANN + beam recall sweep, baseline/recall metrics evidence, ETL roundtrips.
+
+r11 mechanical split of plans/registry.py (r10 verdict task 7): this is a
+contiguous slice of the original file, imported by the registry hub in
+original order, so registration order, query names, and oracle SQL are
+byte-identical to the single-file registry. Shared infra (register,
+QUERIES/ORACLES, load_corpus, caches) stays in the hub; cross-family
+helpers are imported explicitly below.
+"""
+
+from __future__ import annotations
+
+from hybrid_vector_search_spark.operators import dedup as DD
+from hybrid_vector_search_spark.functions import text as TX
+
+import os
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hybrid_vector_search_spark.functions.portable import (
+    grid_avg,
+    grid_avg_sql,
+    round_portable,
+    round_portable_sql,
+)
+from hybrid_vector_search_spark.functions.predicates import (
+    compile_filters,
+    filters_to_sql,
+)
+from hybrid_vector_search_spark.functions.vector import dot_score_pandas_udf
+from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
+from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
+from hybrid_vector_search_spark.sources.loaders import (
+    load_table,
+    spread,
+)
+
+from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    CORPUS_CTE,
+    load_corpus,
+    register,
+)
+from hybrid_vector_search_spark.plans.registry_hybrid_ann import (  # noqa: E402
+    ANN_IVF_K,
+    ANN_IVF_NPROBE,
+    ANN_IVF_QSEED,
+    HYBRID_CASES,
+    _ann_ivf_centroids,
+    _ann_ivf_fixed_index,
+    _ann_ivf_probed,
+    ann_ivf_topk,
+)
+from hybrid_vector_search_spark.plans.registry_corpus import (  # noqa: E402
+    JACCARD_THRESHOLD,
+    MULTIMODAL_N,
+    _ngram_index_table,
+    _sig_table,
+)
+
+# ----------------------------------------------------- HNSW ANN (K5 close)
+
+_HNSW_QSEED = 53
+_HNSW_CACHE: dict = {}
+
+
+def _hnsw_persisted_index(spark: SparkSession, sf_dir: str):
+    """Session-cached persisted HNSW artifact (offline build stage, like
+    the reference's prebuilt FAISS HNSW — src/dataio/loaders.py:154-163):
+    one mapInPandas pass writes every partition's graph (ids, vectors,
+    adjacency, entry point) to scratch parquet; searches reconstruct the
+    graphs with zero insert work. Same cache discipline as the IVF
+    artifact (_ann_ivf_fixed_index)."""
+    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _HNSW_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    index = HNSWIndex.build(
+        corpus, scratch_path("hnsw_" + sf_dir.strip("/").replace("/", "_"))
+    )
+    _HNSW_CACHE[sf_dir] = (spark, index)
+    return index
+
+
+def _hnsw_oracle() -> str:
+    qlit = sql_array_literal(query_vector(_HNSW_QSEED))
+    return f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM embeddings
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
+LIMIT 10"""
+
+
+@register("ann_hnsw_topk", _hnsw_oracle())
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW top-K over the PERSISTED graph artifact (operators/hnsw.py —
+    K5, reference src/dataio/loaders.py:123-139,154-163): graphs are
+    built offline once (HNSWIndex.build, session-cached like the IVF
+    layout), search reconstructs each partition's graph from its stored
+    adjacency (zero inserts), emits its local top-K, and the engine-wide
+    TakeOrderedAndProject merges.
+
+    Registered in the DEGENERATE-EXACT form — ``ef_search ≥ partition
+    rows`` makes the beam retain every node, so per-partition search is
+    exhaustive by definition and the global merge equals the exact
+    top-K, giving the whole distributed pipeline (build → persist →
+    reconstruct → search → merge) a value-hash DuckDB oracle (closing
+    r3's one no_oracle row). Approximate-recall properties of the beam
+    search itself live in tests/test_hnsw.py."""
+    from hybrid_vector_search_spark.operators.hnsw import EXHAUSTIVE_EF
+
+    index = _hnsw_persisted_index(spark, sf_dir)
+    out = index.search_plan(query_vector(_HNSW_QSEED), 10, ef_search=EXHAUSTIVE_EF)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+_HNSW_SWEEP_RUNGS = (10, 16, 32, 64, 128)
+_HNSW_SWEEP_K = 10
+_HNSW_SWEEP_M = 8  # operators/hnsw.py DEFAULT_M
+
+
+def _hnsw_sweep_oracle() -> str:
+    """Independent SQL replay of the APPROXIMATE beam walk itself — not
+    just its recall arithmetic. The graph is the deterministic exact-KNN
+    digraph (each node → its top-M neighbors by inner product, ties by
+    id ASC, self excluded): unlike the insert-order HNSW adjacency (a
+    function of the whole insertion history, only re-derivable by the
+    code under test), this adjacency is a closed form the oracle
+    re-derives from the base table with a window over the pairwise-dot
+    self-join. The walk is operators/hnsw.py _search_layer's batch-
+    admission beam, replayed per ef rung as a recursive CTE whose state
+    row carries (candidate beam, result beam, visited set) — elements
+    stored as {ns: -score, id} structs so DuckDB's lexicographic
+    list_sort IS the engine's (score DESC, id ASC) order. Emits the
+    same (ef, n_visited, recall@K) rows the Spark query computes."""
+    q = query_vector(_HNSW_QSEED)
+    qlit = sql_array_literal(q)
+    K, M = _HNSW_SWEEP_K, _HNSW_SWEEP_M
+
+    def walk(ef: int) -> str:
+        return f"""walk_{ef} AS (
+  SELECT 0 AS it,
+         [{{'ns': -(SELECT sc FROM s WHERE id = (SELECT eid FROM entry)),
+            'id': (SELECT eid FROM entry)}}] AS cand,
+         [{{'ns': -(SELECT sc FROM s WHERE id = (SELECT eid FROM entry)),
+            'id': (SELECT eid FROM entry)}}] AS res,
+         [(SELECT eid FROM entry)] AS visited
+  UNION ALL
+  SELECT it + 1,
+         list_sort(rest || list_filter(scored, e -> list_contains(new_res, e))) AS cand,
+         new_res AS res,
+         visited || fresh AS visited
+  FROM (
+    SELECT x2.*, list_sort(res || scored)[1:{ef}] AS new_res
+    FROM (
+      SELECT x1.*,
+             list_transform(fresh, n -> {{'ns': -map_extract(sm, n)[1], 'id': n}}) AS scored
+      FROM (
+        SELECT x0.*,
+               list_filter(coalesce(map_extract(am, best.id)[1], []),
+                           n -> NOT list_contains(visited, n)) AS fresh
+        FROM (
+          SELECT w.it, w.cand[1] AS best, w.cand[2:] AS rest, w.res, w.visited,
+                 sm.m AS sm, am.m AS am
+          FROM walk_{ef} w, smap sm, adjmap am
+          WHERE len(w.cand) > 0
+            AND NOT (len(w.res) >= {ef} AND w.cand[1].ns > w.res[-1].ns)
+        ) x0
+      ) x1
+    ) x2
+  ) x3
+),
+final_{ef} AS (SELECT res, visited FROM walk_{ef} ORDER BY it DESC LIMIT 1),
+rung_{ef} AS (
+  SELECT {ef}::BIGINT AS ef, len(visited)::BIGINT AS n_visited,
+         ROUND(len(list_intersect(list_transform(res[1:{K}], e -> e.id),
+                                  ex.l)) / {K}.0, 6) AS recall
+  FROM final_{ef}, exact_ids ex)"""
+
+    walks = ",\n".join(walk(ef) for ef in _HNSW_SWEEP_RUNGS)
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM rung_{ef}" for ef in _HNSW_SWEEP_RUNGS
+    )
+    return f"""WITH RECURSIVE
+emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT id, list_dot_product(e, {qlit}) AS sc FROM emb),
+smap AS (SELECT map(list(id ORDER BY id), list(sc ORDER BY id)) AS m FROM s),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst, list_dot_product(a.e, b.e) AS w
+  FROM emb a JOIN emb b ON a.id <> b.id),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+  FROM pairs),
+adj AS (SELECT src, list(dst ORDER BY rk) AS ns FROM ranked
+        WHERE rk <= {M} GROUP BY src),
+adjmap AS (SELECT map(list(src ORDER BY src), list(ns ORDER BY src)) AS m FROM adj),
+entry AS (SELECT min(id) AS eid FROM emb),
+exact_ids AS (SELECT list(id ORDER BY sc DESC, id ASC) AS l
+              FROM (SELECT id, sc FROM s ORDER BY sc DESC, id ASC LIMIT {K})),
+{walks}
+SELECT * FROM ({unions}) ORDER BY ef"""
+
+
+@register("metrics_hnsw_recall_sweep", _hnsw_sweep_oracle())
+def metrics_hnsw_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE HNSW beam, oracle-checked (r10 verdict task 2:
+    ``ann_hnsw_topk`` pins the degenerate-exact form; this entry runs
+    the ACTUAL graph walk — reference src/dataio/loaders.py:123-139's
+    ``ef_search`` knob — at rungs far below the node count and
+    value-hash checks the whole recall/work curve). Per ef rung the
+    REAL ``_search_layer`` beam (batch neighbor admission — a pure
+    function of (graph, query, ef), see its docstring) runs executor-
+    side over a single-layer NSW graph whose adjacency is the exact
+    top-M KNN digraph (ties id ASC): that graph is a closed form of the
+    vectors, so the DuckDB oracle independently re-derives the
+    adjacency AND replays the beam iteration-by-iteration as a
+    recursive CTE — walk, visited-set size (the work axis), exact
+    top-K, and the recall arithmetic are all verified, not trusted.
+    The insert-order HNSW construction stays pytest-pinned
+    (tests/test_hnsw.py); the walk code verified here is byte-identical
+    to the one that searches those graphs. O(n²) adjacency build —
+    bounded-sample calibration semantics, like every metrics_* sweep."""
+    from hybrid_vector_search_spark.operators.hnsw import (
+        HNSWGraph,
+        knn_adjacency,
+    )
+
+    q = [float(x) for x in query_vector(_HNSW_QSEED)]
+    rungs, k, m = _HNSW_SWEEP_RUNGS, _HNSW_SWEEP_K, _HNSW_SWEEP_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_parts, vec_parts = [], []
+        for p in batches:
+            if len(p):
+                ids_parts.append(p["id"].to_numpy(dtype=np.int64))
+                vec_parts.append(np.vstack(p["embedding"].to_numpy()))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(vec_parts).astype(np.float64)
+        order = np.argsort(ids)  # canonical node order = id ASC
+        ids, mat = ids[order], mat[order]
+        adj = {i: ns for i, ns in enumerate(knn_adjacency(mat, M=m))}
+        g = HNSWGraph.from_parts(
+            ids, mat, [adj], entry=0, entry_level=0, M=m
+        )
+        qv = np.asarray(q, dtype=np.float64)
+        scores = mat @ qv
+        exact = set(ids[np.lexsort((ids, -scores))[:k]].tolist())
+        rows = []
+        for ef in rungs:
+            got_ids, _sc = g.search(qv, k, ef_search=ef)
+            rows.append(
+                (
+                    ef,
+                    int(g._last_visited),
+                    round(len(set(got_ids.tolist()) & exact) / float(k), 6),
+                )
+            )
+        yield pd.DataFrame(rows, columns=["ef", "n_visited", "recall"])
+
+    return (
+        emb.coalesce(1)
+        .mapInPandas(part, "ef LONG, n_visited LONG, recall DOUBLE")
+        .orderBy("ef")
+    )
+
+
+# ------------------------------------- P4 / A1 / A2 driver-checked evidence
+
+
+@register(
+    "baseline_random_topk",
+    """SELECT vec_id AS id, CAST(0.0 AS DOUBLE) AS score
+FROM embeddings
+ORDER BY ('0x' || substr(md5('rnd0:' || vec_id::VARCHAR), 1, 8))::BIGINT ASC,
+         vec_id ASC
+LIMIT 10""",
+)
+def baseline_random_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 random baseline through the strategy registry (P5 dispatch —
+    operators/strategies.py RandomBackend; reference src/backends/
+    random.py:9-31): seeded uniform draw of K ids, filters ignored,
+    score 0.0 — the recall floor. The draw orders by ``md5(seed ∥ id)``,
+    a pure function of (seed, id): uniform like the reference's
+    ``default_rng(0).choice`` but reproducible on any cluster shape and
+    replayable by the SQL oracle (value-hash checked)."""
+    from hybrid_vector_search_spark.operators.strategies import get_backend
+
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    backend = get_backend("random", corpus, seed=0)
+    df, _obs = backend.plan(None, None, 10)
+    return df
+
+
+def _recall_ivf_oracle() -> str:
+    qlit = sql_array_literal(query_vector(ANN_IVF_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed())
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings)),
+approx AS (
+  SELECT id FROM assigned WHERE list_id IN ({probed})
+  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC LIMIT {ANN_IVF_K}),
+exact AS (
+  SELECT vec_id AS id FROM embeddings
+  ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, vec_id ASC
+  LIMIT {ANN_IVF_K})
+SELECT 'post_filter' AS method,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / {ANN_IVF_K}, 6) AS recall_at_k
+FROM exact JOIN approx USING (id)"""
+
+
+@register("metrics_recall_ivf_at_10", _recall_ivf_oracle())
+def metrics_recall_ivf_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 recall@K as a driver-checked row (plans/metrics.py recall_at_k
+    semantics — |approx ∩ exact| / K, reference src/eval/metrics.py
+    quirk Q6): the IVF ANN top-K (the deterministic fixed-quantizer
+    index, same artifact as ann_ivf_topk) intersected with the exact
+    top-K as one left-semi join + count plan — no collect; the harness's
+    J3 recall-intersection join, value-hash checked end to end."""
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    approx, _probed = index.search_plan(
+        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    scored = emb.select(
+        "id",
+        dot_score_pandas_udf(query_vector(ANN_IVF_QSEED))(
+            F.col("embedding")
+        ).alias("score"),
+    )
+    exact = topk(scored, ANN_IVF_K).select("id")
+    inter = exact.join(approx.select("id"), "id", "left_semi")
+    return inter.agg(
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(float(ANN_IVF_K)), 6
+        ).alias("recall_at_k")
+    ).select(F.lit("post_filter").alias("method"), "recall_at_k")
+
+
+def _selectivity_oracle() -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    arms = ",\n".join(
+        f"  SUM(CASE WHEN {filters_to_sql(schema, case['filters'])} "
+        f"THEN 1 ELSE 0 END) AS s_{i}"
+        for i, case in enumerate(HYBRID_CASES.values())
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS filter_case, "
+        f"ROUND(CAST(s_{i} AS DOUBLE) / n, 6) AS selectivity FROM sums"
+        for i, name in enumerate(HYBRID_CASES)
+    )
+    return (
+        f"{CORPUS_CTE},\nsums AS (SELECT COUNT(*) AS n,\n{arms}\n"
+        f"FROM corpus)\n{rows}"
+    )
+
+
+@register("metrics_selectivity_by_filter", _selectivity_oracle())
+def metrics_selectivity_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 selectivity as driver-checked rows (reference src/harness/
+    run.py:169-170: |allowed| / N per canonical filter set): ONE
+    conditional-aggregation scan computes every canonical case's allowed
+    fraction simultaneously (no per-case pass — the set-at-a-time form),
+    then ``stack`` unpivots to (filter_case, selectivity) rows."""
+    corpus = load_corpus(spark, sf_dir)
+    arms = [
+        F.sum(
+            F.when(compile_filters(corpus.schema, case["filters"]), 1)
+            .otherwise(0)
+        ).alias(f"s_{i}")
+        for i, case in enumerate(HYBRID_CASES.values())
+    ]
+    sums = corpus.agg(F.count(F.lit(1)).alias("n"), *arms)
+    stack_args = ", ".join(
+        f"'{name}', ROUND(CAST(s_{i} AS DOUBLE) / n, 6)"
+        for i, name in enumerate(HYBRID_CASES)
+    )
+    return sums.selectExpr(
+        f"stack({len(HYBRID_CASES)}, {stack_args}) "
+        "AS (filter_case, selectivity)"
+    )
+
+
+# ------------------- round-4 evidence: ETL price, JSONL roundtrip, surprisal
+
+
+def _price_attr_spark(doc_id_col: str = "doc_id") -> F.Column:
+    """Deterministic messy ``attributes`` cell derived from the doc id,
+    covering every branch the reference's price extraction must survive
+    (U4, artifacts.py:23-38): plain int, quoted int, Python ``None``
+    (invalid JSON once quotes are normalized), the string ``'None'``,
+    and a missing key."""
+    v = F.col(doc_id_col) % 5
+    num = (F.col(doc_id_col) % 4 + 1).cast("string")
+    return (
+        F.when(v == 0, F.concat(F.lit("{'RestaurantsPriceRange2': "), num, F.lit("}")))
+        .when(v == 1, F.concat(F.lit("{'RestaurantsPriceRange2': '"), num, F.lit("'}")))
+        .when(v == 2, F.lit("{'RestaurantsPriceRange2': None}"))
+        .when(v == 3, F.lit("{'RestaurantsPriceRange2': 'None'}"))
+        .otherwise(F.lit("{'is_open': 1}"))
+    )
+
+
+def _price_attr_sql(doc_id: str = "doc_id") -> str:
+    """The identical attributes derivation as a DuckDB expression."""
+    return f"""CASE {doc_id} % 5
+      WHEN 0 THEN '{{''RestaurantsPriceRange2'': ' || ({doc_id} % 4 + 1)::VARCHAR || '}}'
+      WHEN 1 THEN '{{''RestaurantsPriceRange2'': ''' || ({doc_id} % 4 + 1)::VARCHAR || '''}}'
+      WHEN 2 THEN '{{''RestaurantsPriceRange2'': None}}'
+      WHEN 3 THEN '{{''RestaurantsPriceRange2'': ''None''}}'
+      ELSE '{{''is_open'': 1}}'
+    END"""
+
+
+def _price_extract_sql(attr_expr: str) -> str:
+    """DuckDB twin of sources.etl.extract_price_col: normalize single
+    quotes, JSON-extract (NULL when the normalized cell is not valid
+    JSON, matching get_json_object on malformed input), map ``'None'`` /
+    ``''`` to NULL, cast tinyint."""
+    j = f"replace({attr_expr}, chr(39), chr(34))"
+    raw = (
+        f"CASE WHEN json_valid({j}) "
+        f"THEN json_extract_string({j}, '$.RestaurantsPriceRange2') END"
+    )
+    return f"CAST(NULLIF(NULLIF({raw}, 'None'), '') AS TINYINT)"
+
+
+@register(
+    "meta_price_extraction",
+    f"""WITH attr AS (
+  SELECT doc_id, {_price_attr_sql()} AS attributes FROM documents),
+extracted AS (
+  SELECT doc_id, {_price_extract_sql('attributes')} AS price FROM attr)
+SELECT price, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM extracted GROUP BY price ORDER BY price""",
+)
+def meta_price_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 price-range extraction through the driver gate (pytest-only
+    before r4). The messy attribute cell — JSON-ish with single quotes,
+    ints, quoted ints, Python None, 'None' strings, missing keys — is
+    derived deterministically from doc_id so both engines see the exact
+    same inputs; extraction itself is sources.etl.extract_price_col
+    (reference U4, artifacts.py:23-38): quote-normalize →
+    get_json_object → None-scrub → tinyint. Pure JVM expressions, one
+    scan + one small groupBy."""
+    from hybrid_vector_search_spark.sources.etl import extract_price_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _price_attr_spark().alias("attributes"))
+        .withColumn("price", extract_price_col())
+        .groupBy("price")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("price")
+    )
+
+
+_JSONL_RT_CACHE: dict = {}
+
+
+def _jsonl_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached JSONL landing artifact for the roundtrip query:
+    documents re-shaped into business-metadata records, written as
+    distributed JSON-lines (S6/S7 sink side), plus a hand-written file
+    of corrupt + required-null lines so the tolerant read path has
+    something to drop. Built once per (session, sf_dir) — ingest
+    infrastructure, like the streaming landing zone."""
+    cached = _JSONL_RT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    path = scratch_path("jsonlrt_" + sf_dir.strip("/").replace("/", "_"))
+    docs = load_table(spark, sf_dir, "documents")
+    biz = docs.select(
+        F.format_string("b%06d", F.col("doc_id")).alias("business_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.upper("lang"))
+        .alias("state"),
+        F.col("source").alias("city"),
+        ((F.col("doc_id") % 45) / F.lit(10.0) + F.lit(1.0)).alias("stars"),
+        F.col("n_chars").cast("int").alias("review_count"),
+        _price_attr_spark().alias("attributes"),
+    )
+    biz.write.mode("overwrite").json(path)
+    with open(os.path.join(path, "zz-corrupt-extra.json"), "w") as f:
+        f.write('{"business_id": "zzz", "state": truncated\n')
+        f.write("not json at all\n")
+        f.write('{"business_id": "b999998", "city": "no-required-fields"}\n')
+    _JSONL_RT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "etl_jsonl_roundtrip",
+    f"""WITH base AS (
+  SELECT doc_id,
+         printf('b%06d', doc_id) AS business_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE upper(lang) END AS state,
+         n_chars AS review_count,
+         {_price_extract_sql(_price_attr_sql())} AS price
+  FROM documents),
+kept AS (SELECT * FROM base WHERE state IS NOT NULL),
+ids AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY business_id) - 1 AS id FROM kept)
+SELECT state, COUNT(*) AS n,
+       CAST(SUM(review_count) AS BIGINT) AS sum_reviews,
+       COUNT(price) AS n_priced,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM ids GROUP BY state ORDER BY state""",
+)
+def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 JSON-lines ingest + V-validators + contiguous-id assignment as
+    one driver-checked row set (all pytest-only before r4): documents →
+    distributed JSONL landing (with corrupt lines planted) →
+    sources.etl.ingest_business_json (schema casts, U4 price extraction,
+    required-non-null drop — which also swallows the corrupt lines, whose
+    parsed columns are all NULL — and range-partitioned contiguous ids
+    ordered by business_id, never a single-partition window) → per-state
+    aggregate. The oracle replays the same derivation from the parquet
+    documents table, so a value mismatch anywhere in the JSON write →
+    tolerant read → cast → drop → id-assign pipeline fails the hash."""
+    from hybrid_vector_search_spark.sources.etl import ingest_business_json
+
+    from pyspark.sql import types as T
+
+    path = _jsonl_roundtrip_path(spark, sf_dir)
+    # explicit landing schema: at scale, inference would be a second full
+    # pass over the landing zone (sources/etl.py docstring)
+    landing_schema = T.StructType(
+        [
+            T.StructField("business_id", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("stars", T.DoubleType()),
+            T.StructField("review_count", T.LongType()),
+            T.StructField("attributes", T.StringType()),
+        ]
+    )
+    meta = ingest_business_json(spark, path, schema=landing_schema)
+    return (
+        meta.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("review_count").alias("sum_reviews"),
+            F.count("RestaurantsPriceRange2").alias("n_priced"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("state")
+    )
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+tc AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+tot AS (SELECT COUNT(*) AS total FROM tok2),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         SUM(log2(total::DOUBLE / cnt)) AS sum_bits
+  FROM tok2 JOIN tc USING (term) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT doc_id, n_toks,
+       {grid_avg_sql('sum_bits', 'n_toks', 2, 6)} AS bits_per_token
+FROM perdoc ORDER BY doc_id""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram surprisal (mean bits/token under the
+    corpus's own unigram LM) — the classic cheap quality/outlier signal
+    for training-data curation: boilerplate and duplicated text score
+    low, garbled or off-distribution text scores high.
+
+    Plan: one tokenize-explode scan → term-count aggregate (vocab) →
+    join counts back onto tokens (AQE broadcasts the vocab when small;
+    term-keyed shuffle join at scale — both sides already hash on term)
+    → per-doc sum. The only driver scalar is the corpus token total
+    (same discipline as text_tfidf's docs.count()). Float policy:
+    per-term log2 is a pure function of (total, cnt) — identical doubles
+    in both engines; the per-doc SUM is order-dependent, so it goes
+    through grid_avg (snap to 2-decimal grid, then divide, then round)
+    exactly like the TPC-H avg columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()
+    perdoc = (
+        tok.join(tc, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.log2(F.lit(float(total)) / F.col("cnt"))).alias(
+                "sum_bits"
+            ),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_toks",
+        grid_avg(F.col("sum_bits"), F.col("n_toks"), 2, 6).alias(
+            "bits_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+from hybrid_vector_search_spark.functions.text import (  # noqa: E402
+    bigram_repetition,
+    bigram_repetition_sql,
+)
+
+
+@register(
+    "text_repetition_scores",
+    f"""SELECT doc_id,
+  ROUND({bigram_repetition_sql('text')}, 6) AS rep_bigram
+FROM documents
+ORDER BY doc_id""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (duplicate adjacent bigrams /
+    total bigrams) — the Gopher/C4 curation rule that catches looping
+    boilerplate and template spam that cross-document dedup never sees.
+    One scan, pure JVM higher-order functions, no shuffle at all: the
+    cheapest possible quality gate to run in front of a 100-TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(bigram_repetition("text"), 6).alias("rep_bigram"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_duplicate_passages",
+    """WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+ch AS (SELECT doc_id, t[i * 32 + 1 : i * 32 + 32] AS c
+       FROM toks, UNNEST(range(0, ((len(t) - 1) // 32) + 1)) AS u(i)),
+fp AS (SELECT doc_id, md5(array_to_string(c, ' ')) AS chunk_fp
+       FROM ch WHERE len(c) = 32)
+SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences, MIN(doc_id) AS min_doc
+FROM fp GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_fp""",
+)
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: EXACT duplicated 32-word spans shared across
+    documents (the passage-granularity approximation of suffix-array
+    substring dedup, Lee et al. 2022) — catches boilerplate and quoted
+    blocks that whole-document fingerprints miss because the surrounding
+    text differs.
+
+    Disjoint 32-word windows (stride == size — overlap would make a
+    document's own adjacent windows collide), full windows only, then
+    ONE shuffle on the window fingerprint: group → keep fingerprints
+    seen in ≥ 2 distinct docs. Map-side codegen fan-out (split /
+    sequence / explode / slice / md5, zero Python) feeding a single
+    hash aggregation — the plan shape that holds at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(TX.normalized_text("text"), " ").alias("t")
+    )
+    ch = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("t") - F.lit(1)) / F.lit(32)).cast("int"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id", F.slice("t", F.col("i") * 32 + 1, 32).alias("c")
+        )
+        .filter(F.size("c") == 32)
+    )
+    return (
+        ch.select("doc_id", F.md5(F.array_join("c", " ")).alias("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_fp")
+    )
+
+
+@register(
+    "events_salted_segment_join",
+    """WITH seg AS (SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
+                    FROM events)
+SELECT segment, event_type, COUNT(*) AS n_events
+FROM events JOIN seg USING (user_id)
+GROUP BY 1, 2 ORDER BY segment, event_type""",
+)
+def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrichment join through :func:`operators.skew.salted_join` —
+    the explicit hot-key defense for the shuffled-join regime where the
+    dim is too big to broadcast and AQE's skew split (sort-merge only)
+    does not apply. Salt is deterministic (xxhash64 of the fact row), so
+    the result is layout-invariant and value-hash EQUAL to the plain
+    join the oracle runs: salting changes the exchange topology, never
+    the answer. PLANS.md shows the (key, salt) exchange."""
+    from hybrid_vector_search_spark.operators.skew import salted_join
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    joined = salted_join(ev, dim, "user_id", n_salt=8)
+    return (
+        joined.groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("segment", "event_type")
+    )
+
+
+def _pii_injected_sql() -> str:
+    """The deterministic PII injection as a DuckDB expression (doc_id
+    decides which docs carry an email / a phone, mirroring the Spark
+    derivation exactly)."""
+    return (
+        "text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR"
+        " || '@mail' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' call 555-01' ||"
+        " printf('%02d', doc_id % 100) ELSE '' END"
+    )
+
+
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = r"\b555-[0-9]{4}\b"
+
+@register(
+    "text_pii_scrub",
+    """WITH injected AS (
+  SELECT doc_id, """
+    + _pii_injected_sql()
+    + """ AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '"""
+    + _PII_EMAIL_SQL
+    + """')) AS n_emails,
+  len(regexp_extract_all(t, '"""
+    + _PII_PHONE_SQL
+    + """')) AS n_phones,
+  md5(regexp_replace(regexp_replace(t, '"""
+    + _PII_EMAIL_SQL
+    + """', '<EMAIL>', 'g'), '"""
+    + _PII_PHONE_SQL
+    + """', '<PHONE>', 'g')) AS fp_redacted
+FROM injected ORDER BY doc_id""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the Dolma/CCNet-style tagger stage):
+    count emails/phones per document and fingerprint the scrubbed text.
+    Synthetic identifiers are injected deterministically from doc_id —
+    the same derivation trick as meta_price_extraction — so both engines
+    see identical inputs and the whole detect→redact→fingerprint chain
+    is value-hash checked. Patterns live in functions/text.py
+    (EMAIL_RE/PHONE_RE, chosen for Java-regex/RE2 parity); one scan,
+    pure JVM regexp_count/regexp_replace, no shuffle."""
+    from hybrid_vector_search_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    ne, np_ = pii_counts("t")
+    return injected.select(
+        "doc_id",
+        ne.alias("n_emails"),
+        np_.alias("n_phones"),
+        F.md5(redact_pii("t")).alias("fp_redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""SELECT doc_id AS media_id, u.i AS frame_idx,
+  doc_id::VARCHAR || '#' || u.i::VARCHAR AS frame_ref
+FROM documents, UNNEST(range(0, 8 + (doc_id % 5) * 4, 8)) AS u(i)
+WHERE doc_id < {MULTIMODAL_N} AND doc_id % 2 = 1
+  AND text IS NOT NULL AND length(text) > 0
+ORDER BY media_id, frame_idx""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the driver gate (pytest-only before
+    r4): every-Nth-frame index fan-out over opaque video payloads
+    (operators/multimodal.py sample_frames — sequence + explode, no
+    Python, no shuffle; only KEPT frames would hit a decode kernel
+    downstream). Odd-id media become videos with a deterministic frame
+    count so the DuckDB oracle can replay the fan-out; frame_ref
+    addresses the frame within the untouched payload."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    vids = (
+        media.filter((F.col("media_id") % 2) == 1)
+        .withColumn("kind", F.lit("video"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.format").alias("format"),
+                F.col("meta.width").alias("width"),
+                F.col("meta.height").alias("height"),
+                F.col("meta.channels").alias("channels"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                (F.lit(8) + (F.col("media_id") % 5) * 4)
+                .cast("int")
+                .alias("n_frames"),
+            ),
+        )
+    )
+    return (
+        MM.sample_frames(vids, every_n=8)
+        .select("media_id", "frame_idx", "frame_ref")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
+    "embeddings_norm_profile",
+    """WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS norm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n,
+  ROUND(quantile_cont(norm, 0.25), 6) AS p25,
+  ROUND(quantile_cont(norm, 0.50), 6) AS p50,
+  ROUND(quantile_cont(norm, 0.75), 6) AS p75,
+  CAST(SUM(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unnormalized
+FROM n GROUP BY label ORDER BY label""",
+)
+def embeddings_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality profiling: per-label L2-norm percentiles and an
+    unnormalized-row count — the cheap sanity gate that catches a bad
+    encoder batch (wrong normalization, fp16 underflow, zero vectors)
+    before it poisons ANN indexes downstream. Per-row norms are
+    ROW-SEQUENTIAL array folds (deterministic, no cross-row float order
+    dependence); EXACT percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, probed to bit-equality) rather than
+    approx_percentile, whose sketch merge has no SQL twin. One scan, one
+    per-label aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(
+        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+    )
+    n = emb.select("label", norm.alias("norm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("norm", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("norm", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("norm", F.lit(0.75)), 6).alias("p75"),
+            F.sum(
+                F.when(F.abs(F.col("norm") - 1.0) > 0.01, 1).otherwise(0)
+            ).alias("n_unnormalized"),
+        )
+        .orderBy("label")
+    )
+
+
+_CURATION_KEEP_SQL = (
+    f"({round_portable_sql(TX.quality_score_sql('text'), 6)} >= 0.5"
+    f" AND COALESCE({TX.bigram_repetition_sql('text')}, 1.0) <= 0.2"
+    " AND lang IN ('en', 'de', 'es', 'fr')"
+    " AND n_chars >= 100)"
+)
+
+
+@register(
+    "docs_curation_pipeline",
+    f"""SELECT source,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM (SELECT source, n_chars, {_CURATION_KEEP_SQL} AS keep
+      FROM documents) t
+GROUP BY source ORDER BY source""",
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline actually
+    runs: quality score ≥ 0.5 AND duplicate-bigram ratio ≤ 0.2 AND
+    allow-listed language AND minimum length, evaluated as ONE
+    conditional-aggregation scan (no per-filter pass, no shuffle before
+    the per-source rollup). Gates compare the ROUNDED quality score in
+    both engines so a threshold tie cannot break differently; the
+    repetition ratio is an exact integer ratio (COALESCE(…, 1.0) drops
+    sub-2-token docs). Reports kept/dropped docs and kept chars per
+    source — the numbers a curation run is judged by."""
+    from hybrid_vector_search_spark.functions.text import bigram_repetition
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keep = (
+        (round_portable(TX.quality_score("text"), 6) >= 0.5)
+        & (F.coalesce(bigram_repetition("text"), F.lit(1.0)) <= 0.2)
+        & F.col("lang").isin("en", "de", "es", "fr")
+        & (F.col("n_chars") >= 100)
+    )
+    return (
+        docs.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_INCR_THRESHOLD = 0.8  # near-dup Jaccard threshold for the incremental pass
+# broadcast the batch postings below this row count (~120 MB of (id, g,
+# ns) rows); above it the near join falls back to a shuffle join
+_INCR_BCAST_MAX_ROWS = 2_000_000
+# df cap fraction of the shared shingle-index artifact — read from the
+# operator's own default so an edit there cannot diverge engine vs oracle
+_INCR_DF_CAP = DD.DEFAULT_MAX_DF_FRAC
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+newb AS (SELECT * FROM norm WHERE doc_id % 10 >= 8),
+oldc AS (SELECT * FROM norm WHERE doc_id % 10 < 8),
+old_fp AS (SELECT fp, MIN(doc_id) AS old_id FROM oldc GROUP BY fp),
+exact AS (
+  SELECT n.doc_id AS new_id, o.old_id, 'exact' AS kind,
+         CAST(1.0 AS DOUBLE) AS jaccard
+  FROM newb n JOIN old_fp o USING (fp)),
+{DD.SHINGLES_SQL},
+ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+stop AS (SELECT g FROM ex0 GROUP BY g
+         HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {_INCR_DF_CAP}),
+kept AS (SELECT ex0.* FROM ex0 ANTI JOIN stop USING (g)),
+sz AS (SELECT doc_id, COUNT(*) AS ns FROM kept GROUP BY doc_id),
+exn AS (SELECT k.doc_id, k.g, sz.ns FROM kept k JOIN sz USING (doc_id)
+        WHERE k.doc_id % 10 >= 8),
+exo AS (SELECT k.doc_id, k.g, sz.ns FROM kept k JOIN sz USING (doc_id)
+        WHERE k.doc_id % 10 < 8),
+cand AS (
+  SELECT exn.doc_id AS new_id, exo.doc_id AS old_id,
+         exn.ns AS na, exo.ns AS nb, COUNT(*) AS inter
+  FROM exn JOIN exo USING (g)
+  GROUP BY 1, 2, 3, 4),
+near AS (
+  SELECT new_id, old_id, 'near' AS kind,
+         ROUND(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+  FROM cand
+  WHERE inter::DOUBLE / (na + nb - inter) >= {_INCR_THRESHOLD}
+    AND NOT EXISTS (SELECT 1 FROM exact e
+                    WHERE e.new_id = cand.new_id
+                      AND e.old_id = cand.old_id))
+SELECT * FROM exact
+UNION ALL SELECT * FROM near
+ORDER BY new_id, old_id, kind""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the continuous-ingest shape: a NEW batch
+    (here the deterministic 20% slice ``doc_id % 10 >= 8``) deduped
+    AGAINST the existing corpus, never corpus×corpus. Two layers:
+
+    * exact — fingerprint hash-join of the batch against the corpus's
+      per-fingerprint canonical keeper (``kind='exact'``, jaccard 1.0);
+    * near — ASYMMETRIC inverted-index join: batch shingles probe the
+      corpus shingle index (batch-side × corpus-side, never
+      corpus-side²), true Jaccard ≥ {τ}, exact matches anti-joined out.
+
+    At 100 TB the corpus-side index is the persisted artifact
+    (``ngram_shingle_index(materialize=True)``) and each arriving batch
+    probes it: per-batch cost scales with batch size, not corpus size.
+    Both probe sides route through that DF-CAPPED artifact (the
+    registry's session-cached ``_ngram_index_table``), so a hot shingle
+    ("the quick brown") can never make the band join quadratic in its
+    posting length — the r3 df-cap hazard, closed for the incremental
+    path in r5; the oracle mirrors the cap CTE-for-CTE. Corpus docs
+    identical to an exact match also appear as ``near`` with jaccard
+    1.0 — they are true near-dups of the batch doc under the set
+    semantics; the anti-join removes only the canonical exact pair."""
+    from hybrid_vector_search_spark.functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    newb = docs.filter(is_new)
+    oldc = docs.filter(~is_new)
+
+    old_fp = (
+        oldc.select(fingerprint_md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("old_id"))
+    )
+    exact = (
+        newb.select("doc_id", fingerprint_md5("text").alias("fp"))
+        .join(old_fp, "fp")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "old_id",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    ix = _ngram_index_table(spark, sf_dir)
+    exn = ix.filter(is_new)
+    exo = ix.filter(~is_new)
+    # Asymmetric probe TOPOLOGY, not just asymmetric sizes: the arriving
+    # batch's postings are the small side — broadcast them so the corpus
+    # index is ONE map-side scan and never shuffles (the same direction
+    # the SCALING.md fixed-batch probe runs; r5 ×4 A/B: 1.9s shuffle
+    # join → 1.0s broadcast). Row-gated like the embedding near-dup's
+    # byte gate, with the plain shuffle join as the over-gate fallback.
+    if exn.count() <= _INCR_BCAST_MAX_ROWS:
+        joined = exo.alias("b").join(
+            F.broadcast(exn.alias("a")), F.col("a.g") == F.col("b.g")
+        )
+    else:  # batch postings too big to broadcast: shuffle both sides
+        joined = exn.alias("a").join(
+            exo.alias("b"), F.col("a.g") == F.col("b.g")
+        )
+    cand = (
+        joined
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("old_id"),
+            F.col("a.ns").alias("na"),
+            F.col("b.ns").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    near = (
+        cand.filter(jac >= _INCR_THRESHOLD)
+        .join(
+            exact.select("new_id", "old_id"),
+            ["new_id", "old_id"],
+            "left_anti",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.lit("near").alias("kind"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near).orderBy("new_id", "old_id", "kind")
+
+
+@register(
+    "dedup_cluster_keepers",
+    f"""WITH comp AS (
+  SELECT * FROM ({DD.connected_components_sql(JACCARD_THRESHOLD)}) t),
+q AS (SELECT doc_id,
+        {round_portable_sql(TX.quality_score_sql('text'), 6)} AS quality
+      FROM documents),
+m AS (SELECT c.component_id, c.doc_id, q.quality
+      FROM comp c JOIN q USING (doc_id)),
+sized AS (SELECT component_id, COUNT(*) AS n_members
+          FROM m GROUP BY 1 HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT m.component_id, m.doc_id, m.quality,
+         ROW_NUMBER() OVER (PARTITION BY m.component_id
+                            ORDER BY m.quality DESC, m.doc_id ASC) AS rn
+  FROM m JOIN sized USING (component_id))
+SELECT r.component_id, r.doc_id AS keeper_id, s.n_members,
+       r.quality AS keeper_quality
+FROM ranked r JOIN sized s USING (component_id)
+WHERE rn = 1 ORDER BY component_id""",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection — the LAST step of the dedup loop
+    (pairs → transitive groups → ONE survivor per group): within every
+    near-dup cluster of ≥ 2 documents, keep the HIGHEST-quality member
+    (rounded score, doc_id tiebreak) rather than the naive min-id. This
+    is how production pipelines pick survivors — dropping the boilerplate
+    copy and keeping the clean one. One window over the clustered sliver
+    of the corpus (components only materialize labels for docs that
+    collided); ranking compares the ROUNDED quality in both engines so a
+    tie cannot break differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = DD.dedup_components(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    q = docs.select(
+        "doc_id", round_portable(TX.quality_score("text"), 6).alias("quality")
+    )
+    m = comp.join(q, "doc_id")
+    from pyspark.sql import Window
+
+    sized = (
+        m.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        m.join(sized, "component_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return ranked.select(
+        "component_id",
+        F.col("doc_id").alias("keeper_id"),
+        "n_members",
+        F.col("quality").alias("keeper_quality"),
+    ).orderBy("component_id")
+
+
+@register(
+    "text_bigram_surprisal",
+    f"""WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+      AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks WHERE len(t) >= 2),
+c12 AS (SELECT b, COUNT(*) AS n12 FROM bg GROUP BY b),
+c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(n12) AS BIGINT) AS n1
+       FROM c12 GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id, log2(n1::DOUBLE / n12) AS bits
+  FROM bg JOIN c12 USING (b)
+  JOIN c1 ON string_split(bg.b, ' ')[1] = c1.w1),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS sum_bits
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       {grid_avg_sql('sum_bits', 'n_bigrams', 2, 6)} AS bits_per_bigram
+FROM perdoc ORDER BY doc_id""",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM surprisal — mean bits per token transition
+    under the corpus's own bigram LM, P(w₂|w₁) = c(w₁w₂)/c(w₁·): the
+    sharper curation signal (unigram surprisal scores topic rarity;
+    bigram surprisal scores broken SEQUENCES — shuffled words, OCR
+    damage, keyword stuffing score high even when every word is
+    common).
+
+    Plan: the per-doc bigram array is built JVM-side (same bound-lambda
+    HOF as bigram_repetition — no Python, no re-tokenize-per-element),
+    exploded once; two count aggregates (bigram, first-word) derived
+    from ONE exploded pass (c1 = Σ c12 over the first word — an
+    aggregate of the aggregate, not a second corpus scan); two keyed
+    joins back; per-doc sum through grid_avg. Per-transition bits are
+    pure functions of two ints — identical doubles in both engines."""
+    from hybrid_vector_search_spark.functions.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(normalized_text(F.col("text")), " ")
+    mk_bg = F.transform(
+        F.array(t),
+        lambda tt: F.transform(
+            F.sequence(F.lit(0), F.size(tt) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tt, i + 1), F.element_at(tt, i + 2)
+            ),
+        ),
+    )
+    bg = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(F.element_at(mk_bg, 1)).alias("b"))
+    )
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = (
+        c12.groupBy(F.split("b", " ")[0].alias("w1"))
+        .agg(F.sum("n12").alias("n1"))
+    )
+    scored = (
+        bg.join(c12, "b")
+        .join(c1, F.split(bg["b"], " ")[0] == c1["w1"])
+        .select(
+            "doc_id",
+            F.log2(F.col("n1").cast("double") / F.col("n12")).alias("bits"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        grid_avg(F.col("sum_bits"), F.col("n_bigrams"), 2, 6).alias(
+            "bits_per_bigram"
+        ),
+    ).orderBy("doc_id")
+
+
+_SIMHASH_N_BANDS = 4  # must equal simhash_hamming_pairs' n_bands default
+_SIMHASH_HAM_MAX = _SIMHASH_N_BANDS - 1  # pigeonhole: perfect recall bound
+
+
+@register(
+    "dedup_simhash_pairs",
+    # band constants DERIVED from the Spark side's defaults (width =
+    # bits // n_bands, mask = 2^width − 1) so a change to either cannot
+    # silently diverge the two engines (ADVICE r4 #3)
+    f"""WITH sim AS (
+  SELECT doc_id, {DD.simhash_sql('text', bits=DD.SIMHASH_WIDE_BITS)} AS sh
+  FROM documents),
+bands AS (
+  SELECT doc_id, sh,
+         bi::VARCHAR || ':' ||
+           ((sh >> (bi * {DD.SIMHASH_WIDE_BITS // _SIMHASH_N_BANDS})) &
+            {(1 << (DD.SIMHASH_WIDE_BITS // _SIMHASH_N_BANDS)) - 1})::VARCHAR
+           AS bk
+  FROM sim, UNNEST(range(0, {_SIMHASH_N_BANDS})) AS u(bi)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sa,
+                  b.doc_id AS doc_b, b.sh AS sb
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_HAM_MAX}
+ORDER BY doc_a, doc_b""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via the pigeonhole
+    band index (Manku et al., WWW'07) — the third candidate-generation
+    mechanism (next to the shingle inverted index and MinHash banding),
+    with a property the other two lack: 4 bands GUARANTEE any pair
+    within distance 3 agrees on a whole band, so the band equi-join has
+    perfect recall — deterministic, no probabilistic miss. Uses the
+    60-bit wide fingerprint (2^15 buckets per band), NOT the 16-bit
+    reference fingerprint, whose 16-value band space would make
+    candidate generation quadratic in the corpus; the xor+popcount
+    verify is one codegen expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_hamming_pairs(
+        docs, _SIMHASH_HAM_MAX, n_bands=_SIMHASH_N_BANDS
+    ).orderBy("doc_a", "doc_b")
+
+
+_CSV_RT_CACHE: dict = {}
+
+
+def _csv_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached CSV landing artifact: documents-derived payloads
+    covering the four classic CSV hazards — embedded quotes+commas,
+    embedded newlines, NULL, and the empty string (distinct from NULL).
+    Written with an explicit null sentinel (``\\N``) because the default
+    empty-string nullValue makes NULL and '' indistinguishable on
+    read-back — the canonical CSV data-loss bug."""
+    cached = _CSV_RT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    path = scratch_path("csvrt_" + sf_dir.strip("/").replace("/", "_"))
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    payload = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit('q:"'),
+                F.substring("text", 1, 10),
+                F.lit('",c:,'),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("l1\n"), F.lit("l2:"), F.substring("text", 1, 5)
+            ),
+        )
+        .when(v == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit(""))
+    )
+    (
+        docs.select("doc_id", payload.alias("payload"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        # whitespace trimming defaults to TRUE on both write and read —
+        # silently eats trailing spaces (one more classic CSV data-loss)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    _CSV_RT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "etl_csv_roundtrip",
+    """WITH p AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN 'q:"' || substr(text, 1, 10) || '",c:,'
+    WHEN 1 THEN 'l1' || chr(10) || 'l2:' || substr(text, 1, 5)
+    WHEN 2 THEN NULL
+    ELSE '' END AS payload
+  FROM documents)
+SELECT doc_id, CAST(payload IS NULL AS INT) AS is_null,
+       length(payload) AS n_chars_rt,
+       md5(coalesce(payload, '<NULL>')) AS fp
+FROM p ORDER BY doc_id""",
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip through the four hazards every CSV
+    pipeline hits — embedded quotes+commas, embedded newlines, NULL vs
+    EMPTY STRING (kept distinct via an explicit ``\\N`` null sentinel on
+    write AND read; the default empty-string nullValue silently merges
+    them) — value-hashed against a pure replay of the derivation, so
+    any quoting/escaping/null defect in the write→read path fails the
+    hash. Read uses an explicit schema (no inference pass) and
+    ``multiLine`` for the newline payloads; NOTE the scale tradeoff:
+    multiLine CSV is not splittable, so production keeps multiline
+    content in quoted landing files only and converts to parquet at
+    ingest (sources/etl.py write_corpus)."""
+    from pyspark.sql import types as T
+
+    path = _csv_roundtrip_path(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.col("payload").isNull().cast("int").alias("is_null"),
+        F.length("payload").alias("n_chars_rt"),
+        F.md5(F.coalesce("payload", F.lit("<NULL>"))).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_plan",
+    f"""SELECT doc_id AS media_id, 'png' AS format,
+  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+  CAST(3 AS INT) AS channels, CAST(1 AS INT) AS n_frames,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+WHERE doc_id < {MULTIMODAL_N} AND text IS NOT NULL AND length(text) > 0
+ORDER BY media_id""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage's SCHEMA-LEVEL contract through the driver gate
+    (the pixel kernel is honestly stubbed — operators/multimodal.py
+    resize_plan rewrites the typed metadata struct JVM-side and marks
+    the payload for re-encode; a real deployment drops one more
+    mapInPandas on the data column). What the hash check proves: the
+    metadata rewrite targets every row, preserves format/channels/
+    n_frames, sets the new dimensions, and leaves the opaque payload
+    byte-identical (n_bytes re-measured from the data column AFTER the
+    rewrite)."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    resized = MM.resize_plan(media, 64, 64)
+    return resized.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("data").cast("int").alias("n_bytes"),
+    ).orderBy("media_id")
+
+

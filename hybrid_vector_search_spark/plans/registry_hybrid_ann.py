@@ -1,0 +1,1178 @@
+"""Hybrid filtered search, canonical batches, batch similarity search + IVF ANN.
+
+r11 mechanical split of plans/registry.py (r10 verdict task 7): this is a
+contiguous slice of the original file, imported by the registry hub in
+original order, so registration order, query names, and oracle SQL are
+byte-identical to the single-file registry. Shared infra (register,
+QUERIES/ORACLES, load_corpus, caches) stays in the hub; cross-family
+helpers are imported explicitly below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hybrid_vector_search_spark.functions.predicates import (
+    compile_filters,
+    filters_to_sql,
+)
+from hybrid_vector_search_spark.functions.vector import dot_score_pandas_udf
+from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
+from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
+from hybrid_vector_search_spark.sources.loaders import (
+    load_table,
+    spread,
+)
+
+from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    CORPUS_CTE,
+    ORACLES,
+    load_corpus,
+    register,
+)
+
+# ---------------------------------------------------------------- hybrid search
+
+# Canonical query-vector/filters pairs (selectivity-stratified like the
+# reference's 10 canonical queries, artifacts/artifacts.py:197-208, but
+# over the driver's synthetic corpus — FIXTURES.md §4).
+HYBRID_CASES: dict[str, dict] = {
+    "hybrid_topk_exact": {
+        "seed": 7,
+        "filters": {"label": {"in": [1, 2, 3]}, "lang": {"eq": "en"}},
+        "k": 10,
+    },
+    "hybrid_topk_unfiltered": {"seed": 11, "filters": {}, "k": 10},
+    "hybrid_topk_strict": {
+        "seed": 13,
+        "filters": {
+            "label": {"eq": 4},
+            "n_chars": {"between": [0, 400]},
+            "lang": {"in": ["en", "de"]},
+        },
+        "k": 10,
+    },
+    "hybrid_topk_like": {
+        "seed": 17,
+        "filters": {"text": {"like": "the"}, "n_chars": {"ge": 100}},
+        "k": 10,
+    },
+    # F2 (ne NULL-fail) and F3's gt through the driver gate — both were
+    # pytest-only before r4. ne on a LEFT-JOIN-nullable column (text/lang
+    # are NULL for embeddings without a document row) exercises the
+    # NULL-fail branch: a NULL lang must NOT satisfy lang != 'en'.
+    "hybrid_topk_ne": {
+        "seed": 19,
+        "filters": {"lang": {"ne": "en"}, "n_chars": {"gt": 50}},
+        "k": 10,
+    },
+}
+
+
+def _hybrid_spark(case: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hybrid_vector_search_spark.functions.vector import (
+            dot_score_column,
+        )
+
+        corpus = load_corpus(spark, sf_dir)
+        qvec = query_vector(case["seed"])
+        pred = compile_filters(corpus.schema, case["filters"])
+        # single-query scoring: JVM codegen dot product — the pandas-UDF
+        # kernel's Arrow transfer of the embedding column dominates at
+        # one query per scanned row (dot_score_column regime rule)
+        scored = corpus.filter(pred).select(
+            "id", dot_score_column(qvec).alias("score")
+        )
+        return topk(scored, case["k"]).select(
+            "id", F.round("score", 6).alias("score")
+        )
+
+    return q
+
+
+def _hybrid_oracle(case: dict) -> str:
+    # Build the WHERE fragment from the same filter dict via the engine's
+    # own SQL renderer — one semantics, two engines.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    where = filters_to_sql(schema, case["filters"])
+    qlit = sql_array_literal(query_vector(case["seed"]))
+    return f"""{CORPUS_CTE}
+SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM corpus
+WHERE {where}
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
+LIMIT {case['k']}"""
+
+
+for _name, _case in HYBRID_CASES.items():
+    register(_name, _hybrid_oracle(_case))(_hybrid_spark(_case))
+
+
+@register(
+    "vector_topk_per_label",
+    f"""SELECT label, id, score FROM (
+  SELECT label, vec_id AS id,
+         ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(23))}), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(23))}) DESC, vec_id ASC
+         ) AS rn
+  FROM embeddings) t
+WHERE rn <= 3""",
+)
+def vector_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-at-a-time grouped top-K: best 3 matches within every label group
+    in one windowed job (SURVEY.md §2.7 — our idiomatic batch form)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    qvec = query_vector(23)
+    scored = emb.select(
+        "label", "id", dot_score_pandas_udf(qvec)(F.col("embedding")).alias("score")
+    )
+    return grouped_topk(scored, ["label"], 3).select(
+        "label", "id", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "corpus_column_stats",
+    """SELECT c AS col, n, nulls, ndv, min_v, max_v FROM (
+  SELECT 'label' AS c, COUNT(*) AS n, COUNT(*) - COUNT(label) AS nulls,
+         COUNT(DISTINCT label) AS ndv,
+         CAST(MIN(label) AS DOUBLE) AS min_v,
+         CAST(MAX(label) AS DOUBLE) AS max_v
+  FROM corpus
+  UNION ALL
+  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+         COUNT(DISTINCT lang), NULL, NULL FROM corpus
+  UNION ALL
+  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+         COUNT(DISTINCT source), NULL, NULL FROM corpus
+  UNION ALL
+  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+         COUNT(DISTINCT n_chars),
+         CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE)
+  FROM corpus) t
+ORDER BY col""".replace("FROM corpus", "FROM (SELECT e.vec_id AS id, e.label, d.lang, d.source, d.n_chars FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id)"),
+    side_effects=True,  # the aggregation collect runs driver-side in the builder
+)
+def corpus_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE surface as a user query: per-column (count, nulls,
+    exact ndv, numeric min/max) for the corpus's filterable columns in
+    ONE aggregation pass (functions/colstats.py collect_column_stats —
+    the same artifact that feeds the costed ladder's stats-fed entry,
+    post_filter_costed_stats). One scan, partial aggs, a 4-row result:
+    the profile every CBO substitutes for a count at 100 TB."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    cols = ["label", "lang", "source", "n_chars"]
+    stats = collect_column_stats(corpus, cols, exact_ndv=True)
+    rows = [
+        (
+            c,
+            int(stats[c]["count"]),
+            int(stats[c]["nulls"]),
+            int(stats[c]["ndv"]),
+            float(stats[c]["min"]) if stats[c]["min"] is not None else None,
+            float(stats[c]["max"]) if stats[c]["max"] is not None else None,
+        )
+        for c in sorted(cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col STRING, n LONG, nulls LONG, ndv LONG, "
+        "min_v DOUBLE, max_v DOUBLE",
+    )
+
+
+RANGE_QSEED = 53
+RANGE_TAU = 0.3
+
+
+@register(
+    "vector_range_search",
+    f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(RANGE_QSEED))}), 6) AS score
+FROM embeddings
+WHERE list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(RANGE_QSEED))}) >= {RANGE_TAU}
+ORDER BY score DESC, id ASC""",
+)
+def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search: every vector whose inner product with the query
+    clears a threshold — the other half of the vector-search API (FAISS
+    ``range_search``; the reference exposes only top-K). The K-free
+    shape matters operationally: duplicate sweeps and recall audits ask
+    "everything above τ", not "the best 10". As a plan this is BETTER
+    than top-K at scale — a pure scan + JVM predicate with no heap, no
+    driver merge, no shuffle: every partition emits its qualifying rows
+    independently, so it parallelizes perfectly and composes with
+    partition pruning (run it over probed lists for the ANN variant).
+    Result size is data-dependent by design; the oracle replays the
+    same threshold over the same scan."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    scored = emb.select(
+        "id", dot_score_column(query_vector(RANGE_QSEED)).alias("score")
+    ).filter(F.col("score") >= RANGE_TAU)
+    return scored.select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy(F.col("score").desc(), F.col("id").asc())
+
+
+# ---------------------------------------- set-at-a-time canonical batch run
+
+
+def _canonical_batch_oracle() -> str:
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parts = []
+    for cq in CANONICAL_QUERIES:
+        where = filters_to_sql(schema, cq.filters)
+        qlit = sql_array_literal(query_vector(cq.seed))
+        dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
+        parts.append(
+            f"(SELECT {cq.qid} AS qid, id, ROUND({dot}, 6) AS score\n"
+            f" FROM corpus WHERE {where}\n"
+            f" ORDER BY {dot} DESC, id ASC LIMIT {cq.k})"
+        )
+    return CORPUS_CTE + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("hybrid_batch_canonical", _canonical_batch_oracle())
+def hybrid_batch_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL 10 canonical hybrid queries in ONE job — the set-at-a-time plan
+    the reference's per-query loop cannot express (SURVEY.md §7):
+
+    1. one corpus scan evaluates every query's predicate per row and fans
+       the row out to the qids it matches (explode of the non-null whens —
+       output is Σ selectivity·N rows, filters applied BEFORE fanout);
+    2. one Arrow pass scores each (row, qid) against that qid's vector;
+    3. one window shuffle on qid computes every query's top-K.
+
+    Per-query latency becomes throughput: query count no longer multiplies
+    scan cost."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    corpus = load_corpus(spark, sf_dir)
+    qvecs = {cq.qid: query_vector(cq.seed) for cq in CANONICAL_QUERIES}
+    match = F.array(
+        *[
+            F.when(
+                compile_filters(corpus.schema, cq.filters), F.lit(cq.qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for cq in CANONICAL_QUERIES
+        ]
+    )
+    fanned = corpus.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], 10)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
+# ----------------------------------- canonical batch at the PARITY shape
+
+_PARITY_COPIES = 76
+_PARITY_TILE = 6
+_PARITY_ID_SHIFT = 10_000_000
+_PARITY_CACHE: dict[str, tuple] = {}
+
+
+def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shape corpus derived from the testdata (the
+    tools/parity_probe.py derivation, session-cached as scratch parquet):
+    embeddings copy-shifted ×76 (id + c·10⁷) and dimension-tiled ×6 with
+    a 1/√6 rescale so vectors stay unit-norm, documents metadata tiled
+    with the same shift. At sf0.1 this is 152,000×384 — the shape
+    BASELINE.md's numbers were measured on (reference N=150,346×384).
+    Tiled components stay DOUBLE (no float32 re-quantization), so the
+    tiled inner product equals the base inner product up to summation
+    order and the DuckDB oracle can score the base vectors directly.
+    Materialized once per (session, sf_dir); queries over it time the
+    query, not the corpus build — the reference's own measurement rule
+    (corpus resident before timing)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    key = sf_dir
+    cached = _PARITY_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    base = load_corpus(spark, sf_dir)
+    scale = 1.0 / (_PARITY_TILE ** 0.5)
+    copies = F.broadcast(
+        spark.range(_PARITY_COPIES).select(F.col("id").alias("__c"))
+    )
+    tiled = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("id") + F.col("__c") * _PARITY_ID_SHIFT).alias("id"),
+            F.flatten(
+                F.array_repeat(
+                    F.transform(
+                        "embedding",
+                        lambda x: x.cast("double") * F.lit(scale),
+                    ),
+                    _PARITY_TILE,
+                )
+            ).alias("embedding"),
+            "label",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    path = scratch_path(
+        "parity_corpus_" + sf_dir.strip("/").replace("/", "_")
+    )
+    tiled.repartition(32).write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    _PARITY_CACHE[key] = (spark, out)
+    return out
+
+
+def _parity_qvec(seed: int) -> list[float]:
+    scale = 1.0 / (_PARITY_TILE ** 0.5)
+    return [x * scale for x in list(query_vector(seed)) * _PARITY_TILE]
+
+
+def _parity_batch_oracle() -> str:
+    """Same per-qid SQL as _canonical_batch_oracle over the REPLICATED
+    corpus CTE. The oracle scores the BASE 64-d vectors: the ×6 tile with
+    1/√6 rescale preserves the inner product exactly (Σ over 6 copies of
+    (1/6)·e·q), so scores are copy-invariant and ties across the 76
+    copies resolve by id ASC identically in both engines."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    cte = f"""WITH copies AS (SELECT c FROM range({_PARITY_COPIES}) t(c)),
+corpus AS (
+  SELECT e.vec_id + {_PARITY_ID_SHIFT} * c AS id, e.embedding, e.label,
+         d.text, d.lang, d.source, d.n_chars
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+  CROSS JOIN copies)"""
+    parts = []
+    for cq in CANONICAL_QUERIES:
+        where = filters_to_sql(schema, cq.filters)
+        qlit = sql_array_literal(query_vector(cq.seed))
+        dot = f"list_dot_product(embedding::DOUBLE[], {qlit})"
+        parts.append(
+            f"(SELECT {cq.qid} AS qid, id, ROUND({dot}, 6) AS score\n"
+            f" FROM corpus WHERE {where}\n"
+            f" ORDER BY {dot} DESC, id ASC LIMIT {cq.k})"
+        )
+    return cte + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("hybrid_batch_parity", _parity_batch_oracle())
+def hybrid_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10-query canonical batch AT THE REFERENCE'S CORPUS SHAPE
+    (r6 VERDICT task #5): the same one-scan fanout plan as
+    hybrid_batch_canonical, over the ×76/×384 parity corpus
+    (_parity_corpus — the BASELINE_PARITY.md derivation as a registered,
+    hash-checked query). This makes the probe's headline
+    batch-throughput claim (~11× the reference's per-query pre_filter
+    rate at N≈150k×384) driver-reproducible: the BENCH line times this
+    exact plan, the DuckDB oracle re-derives the replicated corpus and
+    all 10 top-Ks. Scale shape: filters prune BEFORE the fanout, one
+    Arrow scoring pass, one qid-window shuffle — query count multiplies
+    output rows, never corpus scans."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    corpus = _parity_corpus(spark, sf_dir)
+    qvecs = {cq.qid: _parity_qvec(cq.seed) for cq in CANONICAL_QUERIES}
+    match = F.array(
+        *[
+            F.when(
+                compile_filters(corpus.schema, cq.filters), F.lit(cq.qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for cq in CANONICAL_QUERIES
+        ]
+    )
+    fanned = corpus.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], 10)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
+# ------------------------------------------------- batch similarity search
+
+# Set-at-a-time multi-query KNN: ALL queries answered in ONE job — broadcast
+# the tiny query table across the corpus, score JVM-side, window top-K per
+# qid (SURVEY.md §7 "run the whole query table in one job"). At scale this
+# is one corpus scan regardless of query count.
+KNN_BATCH_SEEDS = (101, 103, 107)
+KNN_BATCH_K = 5
+
+
+@register("knn_batch_topk", None)  # oracle attached below (needs literals)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join: ONE corpus scan scores every query per Arrow batch
+    (GEMM against the stacked query matrix), then one window shuffle on
+    qid runs all top-Ks."""
+    from hybrid_vector_search_spark.functions.vector import multi_dot_scores
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    qvecs = {int(s): query_vector(s) for s in KNN_BATCH_SEEDS}
+    scored = multi_dot_scores(emb, qvecs, normalize=True)
+    return grouped_topk(scored, ["qid"], KNN_BATCH_K).select(
+        F.col("qid").cast("int").alias("qid"),
+        "id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _knn_batch_oracle() -> str:
+    vals = ", ".join(
+        f"({s}, {sql_array_literal(query_vector(s))})" for s in KNN_BATCH_SEEDS
+    )
+    return f"""WITH q(qid, qvec) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+    list_dot_product(e.embedding::DOUBLE[], q.qvec)
+      / GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-12) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT qid, id, ROUND(score, 6) AS score FROM (
+  SELECT qid, id, score,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+  FROM scored) t
+WHERE rn <= {KNN_BATCH_K}"""
+
+
+ORACLES["knn_batch_topk"] = _knn_batch_oracle()
+
+
+# Built IVF indexes, keyed by (sf_dir, quantizer, persisted). Index
+# construction is an OFFLINE step (the reference builds FAISS artifacts
+# ahead of time and loads them at query time — src/dataio/loaders.py:
+# 176-216); queries measure probe + pruned scan, not quantizer training.
+# (The KMeans build path stays exercised by tests/test_ivf.py and the
+# load_corpus_index fallback chain; the registry's ANN queries use the
+# fixed seeded quantizer below for oracle determinism.)
+_IVF_CACHE: dict[tuple, "object"] = {}
+
+
+ANN_IVF_K = 10
+ANN_IVF_NLIST = 16
+ANN_IVF_NPROBE = 4
+ANN_IVF_CENTROID_SEEDS = tuple(range(210, 210 + ANN_IVF_NLIST))
+ANN_IVF_QSEED = 29
+
+
+def _ann_ivf_centroids():
+    import numpy as np
+
+    return np.vstack([query_vector(s) for s in ANN_IVF_CENTROID_SEEDS])
+
+
+def _ann_ivf_probed(qseed: int = ANN_IVF_QSEED) -> list[int]:
+    """Probed list ids — a compile-time constant: centroids and the query
+    vector are both seed-derived, so the probe plan is known at import."""
+    import numpy as np
+
+    scores = _ann_ivf_centroids() @ query_vector(qseed)
+    order = np.argsort(-scores, kind="stable")[:ANN_IVF_NPROBE]
+    return sorted(int(i) for i in order)
+
+
+def _ann_ivf_oracle(qseed: int = ANN_IVF_QSEED) -> str:
+    qlit = sql_array_literal(query_vector(qseed))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(qseed))
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM assigned
+WHERE list_id IN ({probed})
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+def _ann_ivf_fixed_index(spark: SparkSession, sf_dir: str, persist: bool = False):
+    """Session-cached fixed-quantizer IVF index (offline build stage, like
+    the reference's prebuilt FAISS artifacts — src/dataio/loaders.py:
+    176-216). ``persist=True`` builds the partitionBy("list_id") parquet
+    layout whose probe step is native partition pruning."""
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+
+    key = (sf_dir, "fixed", persist)
+    cached = _IVF_CACHE.get(key)
+    # cache entries carry the owning session: a cached DataFrame bound to
+    # a stopped/replaced SparkSession would raise on first use, so a
+    # different session object triggers a rebuild
+    index = cached[1] if cached is not None and cached[0] is spark else None
+    if index is None:
+        emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+            "vec_id", "id"
+        )
+        path = None
+        if persist:
+            from hybrid_vector_search_spark.scratch import scratch_path
+
+            # unique per process (and tracked for exit cleanup): a shared
+            # deterministic name would be rebuilt with mode(overwrite) by
+            # every process anyway (the cache is per-process), and a
+            # concurrent process's overwrite would delete part files out
+            # from under this session's live plan. A production deployment
+            # publishes the index ONCE to a versioned shared path instead.
+            path = scratch_path(
+                "ivf_fixed_" + sf_dir.strip("/").replace("/", "_")
+            )
+        index = IVFIndex.build_fixed(
+            emb, _ann_ivf_centroids(), persist_path=path
+        )
+        _IVF_CACHE[key] = (spark, index)
+    return index
+
+
+_QUANT_CACHE: dict[str, tuple] = {}
+
+
+def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached QUANTIZED corpus — the ingest-time materialization
+    a serving layout keeps next to the raw vectors (FAISS stores codes,
+    not floats; reference src/dataio/loaders.py builds its IVF artifacts
+    offline for the same reason): per row, the int8 codes, the sign-pack
+    word, the LSH bucket, and the IVF list assignment — each a pure
+    function of the embedding, so computing them per evaluation query
+    would re-run ingest work. The cross-strategy evaluation queries
+    (metrics_recall_by_method, metrics_hamming_c_sweep) read this cache;
+    expressions are byte-for-byte the ones the registered per-strategy
+    queries use (quantize_int8_col / sign_pack_column / bucket_udf /
+    the fixed-quantizer assignment), so derived candidate sets cannot
+    drift from the strategies they evaluate."""
+    got = _QUANT_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    from hybrid_vector_search_spark.functions.vector import (
+        quantize_int8_col,
+        sign_pack_column,
+    )
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+    df = index.assigned.select(
+        "id",
+        "embedding",
+        "list_id",
+        quantize_int8_col("embedding").cast("array<long>").alias("i8"),
+        sign_pack_column("embedding").alias("pk"),
+        LSH.bucket_udf(planes)(F.col("embedding")).alias("bucket"),
+    ).persist()
+    df.count()  # materialize once (ingest stage)
+    _QUANT_CACHE[sf_dir] = (spark, df)
+    return df
+
+
+@register("ann_ivf_topk", _ann_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-K (reference K4/P3: src/dataio/loaders.py:106-151):
+    coarse-quantizer list assignment, driver-side centroid probe, exact
+    scoring restricted to the probed lists.
+
+    Registered with a FIXED seeded coarse quantizer (IVFIndex.build_fixed)
+    instead of the KMeans default: the assignment is then a pure function
+    of (embedding, centroid literals), so the DuckDB oracle replays the
+    identical argmax assignment + probe + top-K in SQL and the ANN result
+    itself is value-hash checked — closing r1's no_oracle gap with a
+    stronger check than a recall property row (which the isotropic
+    synthetic testdata cannot meaningfully support: measured KMeans-IVF
+    recall at 50% lists probed is ~chance). The KMeans quantizer remains
+    the default build path, recall-property-tested in tests/test_ivf.py."""
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    plan, _probed = index.search_plan(
+        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+@register("ann_ivf_persisted_topk", _ann_ivf_oracle())
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVF probe over the PERSISTED index layout: lists written
+    as ``partitionBy("list_id")`` parquet (IVFIndex.build with
+    persist_path — reference loaders.py:142-151), probe = ``list_id IN
+    (...)`` over the partition column. At scale the probed fraction
+    (nprobe/nlist) is exactly the fraction of bytes read: Catalyst's
+    PartitionFilters prune unprobed list directories before I/O (plan
+    evidence committed in PLANS.md §partition-pruning)."""
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    plan, _probed = index.search_plan(
+        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+ANN_UPSERT_QSEED = 43
+_UPSERT_LAYOUT_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _ann_ivf_upsert_oracle() -> str:
+    """Replays the WHOLE upsert: the modified corpus (deletes by id mod
+    17, in-place updates — reversed embeddings, permutation keeps unit
+    norm — by id mod 13, inserts at id+5·10⁷ by id mod 19), then
+    assignment, probe, and top-K over it. A hash match certifies that
+    partition-local rewrites produced exactly the state a full rebuild
+    over the modified corpus would."""
+    qlit = sql_array_literal(query_vector(ANN_UPSERT_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_UPSERT_QSEED))
+    return f"""WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+kept AS (SELECT id, e FROM base WHERE id % 17 <> 0 AND id % 13 <> 0),
+updated AS (SELECT id, list_reverse(e) AS e FROM base
+            WHERE id % 13 = 0 AND id % 17 <> 0),
+inserts AS (SELECT id + 50000000 AS id, e FROM base WHERE id % 19 = 0),
+corpus2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
+            UNION ALL SELECT * FROM inserts),
+assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, e, [{dots}] AS d FROM corpus2))
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM assigned WHERE list_id IN ({probed})
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+@register(
+    "ann_ivf_upsert_topk", _ann_ivf_upsert_oracle(), side_effects=True
+)
+def ann_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local UPSERT/DELETE on the persisted IVF index
+    (operators/ivf.py upsert_partitioned) — the maintenance operation
+    FAISS answers with a full rebuild: a deterministic batch deletes ids
+    ≡0 (mod 17), replaces ids ≡0 (mod 13) with reversed embeddings (a
+    norm-preserving permutation that MOVES rows across lists), and
+    inserts shifted copies of ids ≡0 (mod 19); only the touched list
+    partitions are rewritten (dynamic partition overwrite), untouched
+    lists are untouched bytes. The probe then runs over the mutated
+    layout, and the oracle rebuilds the modified corpus from scratch in
+    SQL — a hash match proves partition-local maintenance ≡ full
+    rebuild. ``side_effects=True``: the builder mutates (once per
+    session) a scratch layout."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        upsert_partitioned,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cents = _ann_ivf_centroids()
+    cached = _UPSERT_LAYOUT_CACHE.get(sf_dir)
+    path = cached[1] if cached is not None and cached[0] is spark else None
+    if path is None:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .withColumnRenamed("vec_id", "id")
+            .select("id", "embedding")
+        )
+        path = scratch_path(
+            "ivf_upsert_" + sf_dir.strip("/").replace("/", "_")
+        )
+        IVFIndex.build_fixed(emb, cents, persist_path=path)
+        deletes = emb.filter(F.col("id") % 17 == 0).select("id")
+        updates = emb.filter(
+            (F.col("id") % 13 == 0) & (F.col("id") % 17 != 0)
+        ).select("id", F.reverse("embedding").alias("embedding"))
+        inserts = emb.filter(F.col("id") % 19 == 0).select(
+            (F.col("id") + 50_000_000).alias("id"), "embedding"
+        )
+        upsert_partitioned(
+            spark, path, cents, updates.unionByName(inserts), deletes
+        )
+        _UPSERT_LAYOUT_CACHE[sf_dir] = (spark, path)
+    index = IVFIndex(
+        spark.read.parquet(path), cents, partitioned_path=path
+    )
+    plan, _probed = index.search_plan(
+        query_vector(ANN_UPSERT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+ANN_SNAP_QSEED = 47
+_IVF_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _ann_ivf_upsert_snapshot_oracle() -> str:
+    """Both sides of the versioned upsert, replayed from scratch: the
+    version-1 probe over the BASE corpus and the version-2 probe over
+    the modified corpus (same mutation rules as ann_ivf_upsert_topk),
+    each assignment + probe + top-K in SQL."""
+    qlit = sql_array_literal(query_vector(ANN_SNAP_QSEED))
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_SNAP_QSEED))
+    return f"""WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+assigned1 AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, e, [{dots}] AS d FROM base)),
+kept AS (SELECT id, e FROM base WHERE id % 17 <> 0 AND id % 13 <> 0),
+updated AS (SELECT id, list_reverse(e) AS e FROM base
+            WHERE id % 13 = 0 AND id % 17 <> 0),
+inserts AS (SELECT id + 50000000 AS id, e FROM base WHERE id % 19 = 0),
+corpus2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
+            UNION ALL SELECT * FROM inserts),
+assigned2 AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, e, [{dots}] AS d FROM corpus2))
+SELECT * FROM (
+  (SELECT 1 AS version, id,
+          ROUND(list_dot_product(e, {qlit}), 6) AS score
+   FROM assigned1 WHERE list_id IN ({probed})
+   ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+   LIMIT {ANN_IVF_K})
+  UNION ALL
+  (SELECT 2 AS version, id,
+          ROUND(list_dot_product(e, {qlit}), 6) AS score
+   FROM assigned2 WHERE list_id IN ({probed})
+   ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+   LIMIT {ANN_IVF_K}))
+ORDER BY version, score DESC, id"""
+
+
+@register(
+    "ann_ivf_upsert_snapshot",
+    _ann_ivf_upsert_snapshot_oracle(),
+    side_effects=True,
+)
+def ann_ivf_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF upsert routed through the VERSIONED-MANIFEST layout
+    (sources/manifest.py commit_append_clustered / commit_replace_values
+    — the r9 verdict's #1 ask): the index build commits one immutable
+    file per list as snapshot v1, and the SAME deterministic mutation
+    batch as ann_ivf_upsert_topk (deletes %17, reversed-embedding
+    updates %13 that MOVE rows across lists, shifted inserts %19)
+    commits as v2 — touched lists rewritten into new files, untouched
+    lists carried as untouched BYTES. What the manifest buys over the
+    hive-partitioned upsert (operators/ivf.py): readers keep serving v1
+    with full isolation WHILE the upsert commits (no half-applied
+    dynamic-overwrite window), and v1 stays pinned afterwards — a
+    serving fleet drains to the new version at its own pace, a training
+    run keeps its reproducible corpus. The query probes BOTH versions
+    through stats-pruned snapshot reads (probe = manifest file skipping
+    on the per-file list_id min==max stats; a runtime guard asserts
+    files were actually skipped) and the oracle rebuilds each version's
+    corpus from scratch in SQL: a hash match proves pinned-v1 ≡
+    pre-upsert rebuild AND v2 ≡ post-upsert rebuild."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        assign_list_udf,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cents = _ann_ivf_centroids()
+    cached = _IVF_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .withColumnRenamed("vec_id", "id")
+            .select("id", "embedding")
+        )
+        assign = assign_list_udf(cents)
+        assigned = emb.withColumn("list_id", assign(F.col("embedding")))
+        root = scratch_path(
+            "ivf_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(root, assigned, "list_id")  # v1
+
+        removed = assigned.filter(
+            (F.col("id") % 17 == 0) | (F.col("id") % 13 == 0)
+        ).select("id", "list_id")
+        updates = (
+            emb.filter((F.col("id") % 13 == 0) & (F.col("id") % 17 != 0))
+            .select("id", F.reverse("embedding").alias("embedding"))
+            .withColumn("list_id", assign(F.col("embedding")))
+        )
+        inserts = assigned.filter(F.col("id") % 19 == 0).select(
+            (F.col("id") + 50_000_000).alias("id"),
+            "embedding",
+            "list_id",  # unchanged embedding keeps its assignment
+        )
+        incoming = updates.unionByName(inserts)
+        # touched = lists losing rows (deletes + update sources) ∪
+        # lists gaining rows — bounded by nlist, tiny driver state
+        touched = sorted(
+            {
+                int(r["list_id"])
+                for r in removed.select("list_id")
+                .distinct()
+                .unionByName(incoming.select("list_id").distinct())
+                .distinct()
+                .collect()
+            }
+        )
+        survivors = M.read_snapshot_pruned_in(
+            spark, root, "list_id", touched, version=1
+        ).join(removed.select("id"), "id", "left_anti")
+        M.commit_replace_values(
+            root,
+            survivors.unionByName(incoming),
+            "list_id",
+            touched,
+        )  # v2
+        _IVF_SNAP_CACHE[sf_dir] = (spark, root)
+
+    qvec = query_vector(ANN_SNAP_QSEED)
+    probed = _ann_ivf_probed(ANN_SNAP_QSEED)
+
+    def probe_version(version: int) -> DataFrame:
+        _v, kept, total = M.snapshot_files_pruned_in(
+            root, "list_id", probed, version=version
+        )
+        from hybrid_vector_search_spark.errors import ValidationError
+
+        if not len(kept) < total:  # pragma: no cover - guard
+            raise ValidationError(
+                f"snapshot probe of v{version} read every file "
+                f"({len(kept)}/{total}) — manifest stats pruning broke"
+            )
+        pruned = M.read_snapshot_pruned_in(
+            spark, root, "list_id", probed, version=version
+        )
+        index = IVFIndex(pruned, cents)
+        plan, _p = index.search_plan(
+            qvec, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+        )
+        return plan.select(
+            F.lit(version).alias("version"),
+            "id",
+            F.round("score", 6).alias("score"),
+        )
+
+    return (
+        probe_version(1)
+        .unionByName(probe_version(2))
+        .orderBy("version", F.col("score").desc(), "id")
+    )
+
+
+ANN_BATCH_SEEDS = tuple(range(201, 211))
+
+
+def _ann_ivf_batch_oracle() -> str:
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    parts = []
+    for i, seed in enumerate(ANN_BATCH_SEEDS):
+        qlit = sql_array_literal(query_vector(seed))
+        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
+        parts.append(
+            f"(SELECT {i + 1} AS qid, id,"
+            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
+            f" FROM assigned WHERE list_id IN ({probed})\n"
+            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
+            f" LIMIT {ANN_IVF_K})"
+        )
+    return (
+        f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ann_ivf_batch_topk", _ann_ivf_batch_oracle())
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN through the IVF layout — the 100 TB serving shape that
+    amortizes the per-query job floor away: all queries answered in ONE
+    job over one partition-pruned scan of the UNION of their probed
+    lists. Each scanned row fans out only to the qids that probed its
+    list (explode of the non-null whens, the hybrid_batch_canonical
+    pattern), then ONE Arrow pass scores every (row, qid) pair with the
+    einsum GEMM (per_qid_dot_scores — the multi-query regime where the
+    Arrow transfer amortizes across the query set, the documented
+    complement of the single-query JVM kernel), and one qid-window
+    computes every top-K. Bytes read = |∪ probed lists| regardless of
+    query count; FAISS's loop pays its per-probe cost per query forever.
+    The oracle replays assignment, each query's probe set, and each
+    top-K."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed) for i, seed in enumerate(ANN_BATCH_SEEDS)
+    }
+    probes = {
+        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
+    }
+    union = sorted({li for p in probes.values() for li in p})
+    pruned = index.assigned.filter(F.col("list_id").isin(union))
+    match = F.array(
+        *[
+            F.when(
+                F.col("list_id").isin(probes[qid]), F.lit(qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for qid in sorted(qvecs)
+        ]
+    )
+    fanned = pruned.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], ANN_IVF_K)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
+ANN_MICROBATCH_SEEDS = (231, 233)
+
+
+def _ann_ivf_microbatch_oracle() -> str:
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    parts = []
+    for i, seed in enumerate(ANN_MICROBATCH_SEEDS):
+        qlit = sql_array_literal(query_vector(seed))
+        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
+        parts.append(
+            f"(SELECT {i + 1} AS qid, id,"
+            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
+            f" FROM assigned WHERE list_id IN ({probed})\n"
+            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
+            f" LIMIT {ANN_IVF_K})"
+        )
+    return (
+        f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ann_ivf_microbatch_topk", _ann_ivf_microbatch_oracle())
+def ann_ivf_microbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICRO-BATCHED ANN SERVING — the regime between the floor-bound
+    per-query probe (ann_ivf_persisted_topk: one Spark job per query,
+    ~job-launch-floor latency) and the q=10 batch (ann_ivf_batch_topk):
+    a serving tier that coalesces whatever arrived in its dispatch
+    window — here q=2, the smallest batch that already amortizes the
+    job floor below 2× the FAISS per-query rate at the parity shape
+    (BASELINE_PARITY.md micro-batch table) — into ONE job over the
+    union of the probed lists. Same fan-out/GEMM/window shape as the
+    batch query; the only serving-policy knob is q. The oracle replays
+    both queries' probe sets and top-Ks."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed)
+        for i, seed in enumerate(ANN_MICROBATCH_SEEDS)
+    }
+    probes = {
+        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
+    }
+    union = sorted({li for p in probes.values() for li in p})
+    pruned = index.assigned.filter(F.col("list_id").isin(union))
+    match = F.array(
+        *[
+            F.when(
+                F.col("list_id").isin(probes[qid]), F.lit(qid)
+            ).otherwise(F.lit(None).cast("int"))
+            for qid in sorted(qvecs)
+        ]
+    )
+    fanned = pruned.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], ANN_IVF_K)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+
+#: (seed, filter dict) per batch query — post-filter semantics: each
+#: query's predicate prunes ITS candidates from the probed lists
+ANN_BATCH_FILTERED = (
+    (201, {"lang": {"eq": "en"}}),
+    (203, {"label": {"in": [1, 2, 3]}}),
+    (205, {"n_chars": {"ge": 200}}),
+    (207, {}),
+    (209, {"source": {"in": ["src1", "src3"]}, "n_chars": {"le": 800}}),
+)
+
+
+def _ann_ivf_batch_filtered_oracle() -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    parts = []
+    for i, (seed, filters) in enumerate(ANN_BATCH_FILTERED):
+        qlit = sql_array_literal(query_vector(seed))
+        probed = ", ".join(str(p) for p in _ann_ivf_probed(seed))
+        where = filters_to_sql(schema, filters) if filters else "TRUE"
+        parts.append(
+            f"(SELECT {i + 1} AS qid, id,"
+            f" ROUND(list_dot_product(e, {qlit}), 6) AS score\n"
+            f" FROM assigned WHERE list_id IN ({probed}) AND ({where})\n"
+            f" ORDER BY list_dot_product(e, {qlit}) DESC, id ASC"
+            f" LIMIT {ANN_IVF_K})"
+        )
+    return (
+        f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label,
+         d.lang, d.source, d.n_chars
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb AS e, label, lang, source, n_chars,
+         list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT *, [{dots}] AS d FROM corpus))
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("ann_ivf_batch_filtered_topk", _ann_ivf_batch_filtered_oracle())
+def ann_ivf_batch_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED batch ANN — the full hybrid serving shape at the batch
+    regime: every query carries its own metadata predicate, and all of
+    them are answered in ONE job over one partition-pruned scan of the
+    union of probed lists. The per-row fanout condition is (list ∈
+    qid's probe set) AND (row passes qid's predicate), so a row reaches
+    a qid's Arrow GEMM lane only when it is a live candidate for that
+    query — post-filter semantics per query, identical to the ladder
+    backends' final rung, without a per-query job. Metadata joins the
+    pruned candidates (|∪ probed lists| rows), never the full corpus,
+    so join traffic is bounded by the probe union regardless of query
+    count. The oracle replays assignment, each probe set, each
+    predicate, and each top-K."""
+    from hybrid_vector_search_spark.functions.vector import per_qid_dot_scores
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed)
+        for i, (seed, _) in enumerate(ANN_BATCH_FILTERED)
+    }
+    probes = {
+        qid: index.probe(v, ANN_IVF_NPROBE) for qid, v in qvecs.items()
+    }
+    union = sorted({li for p in probes.values() for li in p})
+    pruned = index.assigned.filter(F.col("list_id").isin(union))
+    docs = load_table(spark, sf_dir, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    wide = pruned.join(docs, "id", "left")
+    match = F.array(
+        *[
+            F.when(
+                F.col("list_id").isin(probes[i + 1])
+                & compile_filters(wide.schema, filters),
+                F.lit(i + 1),
+            ).otherwise(F.lit(None).cast("int"))
+            for i, (_, filters) in enumerate(ANN_BATCH_FILTERED)
+        ]
+    )
+    fanned = wide.select(
+        "id",
+        "embedding",
+        F.explode(F.filter(match, lambda x: x.isNotNull())).alias("qid"),
+    )
+    scored = per_qid_dot_scores(fanned, qvecs)
+    return (
+        grouped_topk(scored, ["qid"], ANN_IVF_K)
+        .select("qid", "id", F.round("score", 6).alias("score"))
+        .orderBy("qid", F.col("score").desc(), "id")
+    )
+
+

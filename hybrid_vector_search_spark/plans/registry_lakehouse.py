@@ -1,0 +1,1890 @@
+"""Cost-based ladder entry, costed planner batches, snapshot/CDC lakehouse queries, stateful streaming, product quantization.
+
+r11 mechanical split of plans/registry.py (r10 verdict task 7): this is a
+contiguous slice of the original file, imported by the registry hub in
+original order, so registration order, query names, and oracle SQL are
+byte-identical to the single-file registry. Shared infra (register,
+QUERIES/ORACLES, load_corpus, caches) stays in the hub; cross-family
+helpers are imported explicitly below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hybrid_vector_search_spark.functions.portable import (
+    grid_avg,
+    grid_avg_sql,
+    round_portable,
+    round_portable_sql,
+)
+from hybrid_vector_search_spark.functions.predicates import (
+    compile_filters,
+    filters_to_sql,
+)
+from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
+from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
+from hybrid_vector_search_spark.sources.loaders import (
+    load_table,
+    spread,
+)
+
+from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    CORPUS_CTE,
+    load_corpus,
+    register,
+)
+from hybrid_vector_search_spark.plans.registry_hybrid_ann import (  # noqa: E402
+    ANN_IVF_K,
+    ANN_IVF_NLIST,
+    ANN_IVF_NPROBE,
+    _ann_ivf_centroids,
+    _ann_ivf_fixed_index,
+    _ann_ivf_probed,
+)
+from hybrid_vector_search_spark.plans.registry_relational import (  # noqa: E402
+    _landing,
+    _sink_sorted,
+    _stream_parts,
+)
+
+# ------------------------------------------------ cost-based ladder entry (P3)
+
+# Pinned strict-filter case: selectivity ~1.5-2% at every SF, so the
+# costed entry rung lands on the FINAL ladder rung (ceil(K·N·2/|allowed|)
+# clamps to 1000) — the regime where the reference's fixed ladder burns
+# two doomed plans (its qids 1/5 exhaust the ladder in results.jsonl).
+_PF_COSTED_CASE = {
+    "seed": 37,
+    "filters": {"label": {"eq": 7}, "lang": {"eq": "zh"}},
+    "k": 10,
+}
+_PF_COSTED_SAFETY = 2
+
+
+def _post_filter_costed_oracle() -> str:
+    """The oracle RE-DERIVES the costed ladder, not just the answer: the
+    selectivity count, the integer-ceil entry formula with its clamp, the
+    entry→rung mapping, the survivor-count stop rule per rung, and the
+    rung arithmetic — so a hash match certifies the cost model itself
+    (same style as strategy_dispatch_params' √N-clamp recomputation)."""
+    from pyspark.sql import types as T
+
+    k = _PF_COSTED_CASE["k"]
+    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(
+        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
+    )
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
+cand AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM assigned WHERE list_id IN ({probed})),
+allowed AS (SELECT id FROM corpus WHERE {where}),
+counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
+                  (SELECT count(*) FROM allowed) AS na),
+entry AS (
+  SELECT LEAST(1000, GREATEST(200,
+    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec FROM counts),
+erung AS (SELECT CASE WHEN ec <= 200 THEN 200
+                      WHEN ec <= 500 THEN 500
+                      ELSE 1000 END AS r FROM entry),
+surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
+stop AS (SELECT r, CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
+    ELSE 1000 END AS s FROM erung)
+SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
+  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
+  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
+  s AS ladder_stop
+FROM surv, stop WHERE rk <= s
+ORDER BY score DESC, id ASC LIMIT {k}"""
+
+
+@register("post_filter_costed", _post_filter_costed_oracle(), side_effects=True)
+def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 with COST-BASED ladder entry (SURVEY §4's better-than-reference
+    opportunity): the harness's A2 selectivity estimate prices the first
+    rung as clamp(ceil(K·N·safety / |allowed|), 200, 1000), so a strict
+    filter enters the ladder at the rung the fixed (200, 500, 1000)
+    escalation would only reach after two doomed plans (the reference's
+    qids 1/5 exhaust the ladder — src/baselines/post_filter.py:66-87;
+    final-rung semantics are preserved, so exhaust-regime answers are
+    bit-identical to the fixed ladder's). Emits the ladder economics —
+    entry rung, rungs actually run, stopping rung — alongside the top-K,
+    all recomputed independently by the SQL oracle; the fixed-vs-costed
+    A/B lives in tests/test_ivf.py. ``side_effects=True``: search() is a
+    driver-side escalation loop, not a single lazy plan."""
+    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
+
+    corpus = load_corpus(spark, sf_dir)
+    backend = PostFilterBackend(
+        corpus,
+        index=_ann_ivf_fixed_index(spark, sf_dir),
+        nprobe=ANN_IVF_NPROBE,
+        costed=True,
+        safety=_PF_COSTED_SAFETY,
+    )
+    ids, stats = backend.search(
+        query_vector(_PF_COSTED_CASE["seed"]),
+        _PF_COSTED_CASE["filters"],
+        _PF_COSTED_CASE["k"],
+    )
+    rows = [
+        (
+            int(i),
+            round(float(s), 6),
+            int(stats["ladder_entry"]),
+            int(stats["rungs_run"]),
+            int(stats["scored_vectors"]),
+        )
+        for i, s in zip(ids, stats["scores"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
+        "ladder_stop LONG",
+    )
+
+
+def _pf_costed_stats_oracle() -> str:
+    """Certifies the STATS-FED cost model end-to-end: the oracle
+    recomputes the column statistics (row count, per-column not-null
+    count, exact distinct count — the ``exact_ndv`` mode of
+    functions/colstats.py, chosen precisely because ANSI SQL can replay
+    it), applies the System-R estimator with the same multiplication
+    order and half-up rounding, derives the entry rung from the ESTIMATE
+    (the true |allowed| count never enters the entry decision), and then
+    replays survivors and the stop rule over the TRUE allowed set — the
+    same split the backend runs: estimated entry, actual filtering."""
+    from pyspark.sql import types as T
+
+    k = _PF_COSTED_CASE["k"]
+    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(
+        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
+    )
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
+    # estimator replay — mirrors functions/colstats.py estimate_allowed
+    # for {label: eq, lang: eq}: per conjunct sel *= (1/ndv) * notnull,
+    # iterated in the filter dict's insertion order (label, then lang);
+    # notnull = 1.0 - nulls/count; est = clamp(FLOOR(n*sel + 0.5), 1, n)
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
+cand AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM assigned WHERE list_id IN ({probed})),
+allowed AS (SELECT id FROM corpus WHERE {where}),
+stats AS (SELECT
+  (SELECT count(*) FROM corpus) AS n,
+  (SELECT count(label) FROM corpus) AS nn_label,
+  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
+  (SELECT count(lang) FROM corpus) AS nn_lang,
+  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang),
+est AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
+    n * ((1.0 * ((1.0 / GREATEST(ndv_label, 1))
+                 * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))
+       * ((1.0 / GREATEST(ndv_lang, 1))
+          * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))
+    + 0.5) AS BIGINT))) AS na FROM stats),
+entry AS (
+  SELECT LEAST(1000, GREATEST(200,
+    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec, na FROM est),
+erung AS (SELECT CASE WHEN ec <= 200 THEN 200
+                      WHEN ec <= 500 THEN 500
+                      ELSE 1000 END AS r, na FROM entry),
+surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
+stop AS (SELECT r, na, CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
+    ELSE 1000 END AS s FROM erung)
+SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
+  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
+  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
+  s AS ladder_stop, na AS est_allowed
+FROM surv, stop WHERE rk <= s
+ORDER BY score DESC, id ASC LIMIT {k}"""
+
+
+@register(
+    "post_filter_costed_stats", _pf_costed_stats_oracle(), side_effects=True
+)
+def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The costed ladder fed by COLUMN STATISTICS instead of a count
+    scan — the 100-TB entry decision as a first-class, hash-checked
+    query (VERDICT r7 next #5 made end-to-end): one ingest-time
+    aggregation collects (count, nulls, exact ndv) for the filterable
+    columns, the System-R estimator maps the query's filter dict onto
+    them, and the ESTIMATE drives the entry rung via selectivity_hint —
+    the search itself runs zero count jobs (pinned in tests/test_ivf.py
+    with a poisoned DataFrame.count). Survivor filtering still uses the
+    TRUE predicate, so a wrong estimate can cost rungs, never rows. The
+    oracle replays the statistics, the estimator arithmetic (same
+    multiplication order, half-up rounding), the entry clamp, and the
+    stop rule — a hash match certifies the whole stats→estimate→rung
+    pipeline, not just the answer."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+        estimate_allowed,
+    )
+    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
+
+    corpus = load_corpus(spark, sf_dir)
+    stats = collect_column_stats(
+        corpus, ["label", "lang"], exact_ndv=True
+    )
+    est = estimate_allowed(stats, _PF_COSTED_CASE["filters"])
+    backend = PostFilterBackend(
+        corpus,
+        index=_ann_ivf_fixed_index(spark, sf_dir),
+        nprobe=ANN_IVF_NPROBE,
+        costed=True,
+        safety=_PF_COSTED_SAFETY,
+        selectivity_hint=est,
+    )
+    ids, st = backend.search(
+        query_vector(_PF_COSTED_CASE["seed"]),
+        _PF_COSTED_CASE["filters"],
+        _PF_COSTED_CASE["k"],
+    )
+    rows = [
+        (
+            int(i),
+            round(float(s), 6),
+            int(st["ladder_entry"]),
+            int(st["rungs_run"]),
+            int(st["scored_vectors"]),
+            int(est),
+        )
+        for i, s in zip(ids, st["scores"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
+        "ladder_stop LONG, est_allowed LONG",
+    )
+
+
+_SNAPSHOT_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "corpus_snapshot_reads",
+    """SELECT 1 AS version, label, COUNT(*) AS n
+FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label
+UNION ALL
+SELECT 2 AS version, label, COUNT(*) AS n
+FROM embeddings GROUP BY label
+UNION ALL
+SELECT 3 AS version, label, COUNT(*) AS n
+FROM embeddings GROUP BY label
+ORDER BY version, label""",
+    side_effects=True,
+)
+def corpus_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ISOLATION + TIME TRAVEL on plain parquet
+    (sources/manifest.py — the single-writer core of a table format):
+    the corpus is committed as snapshot v1 (80% of rows), an append
+    commits v2 (the remaining 20%, O(batch) — no existing bytes move),
+    and a compaction REWRITE commits v3 (same rows, one file). The
+    query then reads all three snapshots THROUGH the manifest layer
+    after every commit has landed and reports per-label counts: v1
+    must still show the pre-append corpus (time travel — the
+    reproducible-read a training run pins), v2 the appended one, and
+    v3 must equal v2 row-for-row (compaction changes layout, never
+    content, and does not break older snapshots — what the rename-swap
+    layouts cannot offer). The oracle recomputes each version's counts
+    from the raw table, so a stale manifest, a leaking append, or a
+    lossy rewrite all hash-mismatch. Readers racing a commit see
+    either v or v+1, never a mix: a version IS one atomically-renamed
+    manifest (crash/isolation mechanics pinned in
+    tests/test_manifest.py). ``side_effects``: commits build a
+    persisted layout once per session."""
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    cached = _SNAPSHOT_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        root = scratch_path(
+            "snapshots_" + sf_dir.strip("/").replace("/", "_")
+        )
+        v1 = M.commit_append(root, emb.filter(F.col("vec_id") % 5 != 0))
+        v2 = M.commit_append(root, emb.filter(F.col("vec_id") % 5 == 0))
+        v3 = M.commit_rewrite(
+            root, M.read_snapshot(spark, root, v2), n_files=1
+        )
+        assert (v1, v2, v3) == (1, 2, 3)
+        _SNAPSHOT_CACHE[sf_dir] = (spark, root)
+
+    def counts(version):
+        return (
+            M.read_snapshot(spark, root, version)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(version).alias("version"), "label", "n")
+        )
+
+    return (
+        counts(1)
+        .unionByName(counts(2))
+        .unionByName(counts(3))
+        .orderBy("version", "label")
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """SELECT vec_id AS id, label FROM embeddings
+WHERE vec_id % 5 = 0 ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the incremental-consumer read ("give me what
+    changed since the version I last processed", CDC-lite) the manifest
+    layout makes exact: rows in v2 but not v1 of the corpus_snapshot_
+    reads table, computed as a LEFT-ANTI join of two pinned snapshot
+    scans. Because versions are immutable manifests, the diff is
+    REPRODUCIBLE forever (re-running it next week returns the identical
+    batch — what a downstream embedding/indexing job keys its own
+    exactly-once processing on), and append-only commits make it exactly
+    the appended batch, which is what the oracle (the 20% batch by
+    construction) certifies. At scale the anti-join shuffles only ids;
+    a manifest carrying per-commit file lists could serve the same diff
+    as a pure file-set difference with ZERO shuffle — noted as the
+    table-format upgrade path."""
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    corpus_snapshot_reads(spark, sf_dir)  # ensure versions committed
+    root = _SNAPSHOT_CACHE[sf_dir][1]
+    v2 = M.read_snapshot(spark, root, 2)
+    v1 = M.read_snapshot(spark, root, 1)
+    return (
+        v2.join(v1.select("vec_id"), "vec_id", "left_anti")
+        .select(F.col("vec_id").alias("id"), "label")
+        .orderBy("id")
+    )
+
+
+_PRUNED_SCAN_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_pruned_scan",
+    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m)
+SELECT 2 AS files_scanned, 4 AS files_total, label,
+  COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi
+GROUP BY label ORDER BY label""",
+    side_effects=True,
+)
+def corpus_snapshot_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST COLUMN-STATS FILE SKIPPING (sources/manifest.py — the
+    Iceberg data-skipping story without hive dirs): the corpus is
+    committed as four id-range appends (one file each, so manifest
+    footer stats give disjoint per-file vec_id [min,max]), and a
+    BETWEEN scan over the middle [3n/8, 5n/8) window is planned by
+    pruning files against those stats BEFORE Spark lists anything —
+    exactly 2 of 4 files survive, by construction of the window. The
+    proof is IN the hash-checked contract: the Spark side emits the
+    MEASURED kept/total file counts as columns and the oracle pins the
+    literals 2 and 4, so a pruning regression (reading every file, or
+    wrongly dropping one) mismatches either those counts or the
+    aggregate values over the missing/extra rows. At 100 TB this is
+    the difference between listing+opening every corpus file and
+    opening the fraction the predicate can touch — and it composes
+    with time travel (each version prunes against its own manifest's
+    stats)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _PRUNED_SCAN_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+    if root is None:
+        root = scratch_path(
+            "snap_pruned_" + sf_dir.strip("/").replace("/", "_")
+        )
+        bounds = [0, n // 4, n // 2, (3 * n) // 4, n]
+        for lo, hi in zip(bounds, bounds[1:]):
+            M.commit_append(
+                root,
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                n_files=1,
+            )
+        _PRUNED_SCAN_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
+    _v, kept, total = M.snapshot_files_pruned(root, "vec_id", w_lo, w_hi)
+    return (
+        M.read_snapshot_pruned(spark, root, "vec_id", w_lo, w_hi)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_id"),
+        )
+        .select(
+            F.lit(len(kept)).alias("files_scanned"),
+            F.lit(total).alias("files_total"),
+            "label",
+            "n_rows",
+            "sum_id",
+        )
+        .orderBy("label")
+    )
+
+
+_TAG_READ_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_tag_read",
+    """SELECT 2 AS tagged_version, 2 AS retained_versions,
+  vec_id AS id, label FROM embeddings ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_tag_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NAMED REFS WITH RETENTION (sources/manifest.py create_tag /
+    vacuum): v1 commits the even ids, v2 the odd ids (the full
+    corpus), v3 a shifted extra batch; v2 is TAGGED ``train`` — 'the
+    corpus this run trained on' — and vacuum(keep_last=1) then runs.
+    Retention must keep exactly TWO versions: v3 (the keep-last
+    window) and the tagged v2, dropping v1 — a tag pins its snapshot
+    against any retention policy, which is what makes 'reproduce last
+    month's training set' survive routine cleanup. The query reads
+    the corpus BY TAG NAME (resolve_tag, no version number) and emits
+    the measured tagged version + retained-version count with the
+    oracle pinning both; the row payload proves the tagged read
+    serves exactly v2's content (the full original corpus, not v3's
+    extra batch — a reader that fell through to latest mismatches).
+    Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _TAG_READ_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+        root = scratch_path(
+            "snap_tag_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, base.filter(F.col("id") % 2 == 0))
+        M.commit_append(root, base.filter(F.col("id") % 2 == 1))
+        M.create_tag(root, "train")  # pins v2 = the full corpus
+        M.commit_append(
+            root,
+            base.filter(F.col("id") % 9 == 0).select(
+                (F.col("id") + n).alias("id"), "label"
+            ),
+        )
+        M.vacuum(root, keep_last=1)
+        _TAG_READ_CACHE[sf_dir] = (spark, root)
+    v = M.resolve_tag(root, "train")
+    retained = len(M.list_versions(root))
+    return (
+        M.read_snapshot(spark, root, v)
+        .select(
+            F.lit(v).alias("tagged_version"),
+            F.lit(retained).alias("retained_versions"),
+            "id",
+            "label",
+        )
+        .orderBy("id")
+    )
+
+
+_UPSERT_ROWS_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_upsert_rows",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b),
+v2 AS (
+  SELECT id, CASE WHEN id % 6 = 0 THEN label + 100 ELSE label END AS label
+  FROM b
+  UNION ALL
+  SELECT id + n AS id, 777 AS label FROM b, m WHERE id % 11 = 0)
+SELECT 1 AS version, 2 AS data_files, 0 AS delete_files,
+  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+  CAST(SUM(label) AS BIGINT) AS sum_label FROM b
+UNION ALL
+SELECT 2 AS version, 3 AS data_files, 1 AS delete_files,
+  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+  CAST(SUM(label) AS BIGINT) AS sum_label FROM v2
+ORDER BY version""",
+    side_effects=True,
+)
+def corpus_snapshot_upsert_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-LEVEL MERGE INTO AS ONE ATOMIC COMMIT (sources/manifest.py
+    commit_upsert_rows — the Hudi/Iceberg merge-on-read upsert): one
+    batch UPDATES every 6th id (label + 100) and INSERTS fresh ids in
+    the same publish — the batch's keys land as an equality-delete
+    file and its rows as one new data file, referenced by the SAME
+    manifest, so there is no torn state between the delete and the
+    insert (the two-commit shape has a crash window; this has none).
+    Old copies of updated keys die because the delete reaches only
+    files added BEFORE the commit; the new copies survive because
+    their file is added AT it — the same add-version sequencing that
+    protects re-inserts. Cost is O(batch): no read of the table, no
+    data-file rewrite — copy-on-write MERGE rewrites every touched
+    file instead, which at 100 TB is the difference between a
+    point-update and a compaction job. Structural literals in the
+    hash contract: v2 carries v1's 2 data files untouched + 1 new
+    data file + 1 delete file, and the per-version aggregates catch a
+    resurrected old copy (sum_label too low is impossible — a double
+    copy inflates n_rows, a lost update deflates sum_label).
+    Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _UPSERT_ROWS_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+        root = scratch_path(
+            "snap_upsert_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, base, n_files=2)
+        batch = base.filter(F.col("id") % 6 == 0).select(
+            "id", (F.col("label") + 100).alias("label")
+        ).unionByName(
+            base.filter(F.col("id") % 11 == 0).select(
+                (F.col("id") + n).alias("id"),
+                F.lit(777).alias("label"),
+            )
+        )
+        M.commit_upsert_rows(root, batch, "id", n_files=1)
+        _UPSERT_ROWS_CACHE[sf_dir] = (spark, root)
+    parts = []
+    for v in (1, 2):
+        n_data = len(M.snapshot_files(root, v)[1])
+        n_del = len(M.snapshot_delete_files(root, v))
+        parts.append(
+            M.read_snapshot(spark, root, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id").alias("sum_id"),
+                F.sum("label").alias("sum_label"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(n_data).alias("data_files"),
+                F.lit(n_del).alias("delete_files"),
+                "n_rows",
+                "sum_id",
+                "sum_label",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+_ZORDER_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_zorder_scan",
+    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m)
+SELECT 16 AS files_total, 8 AS files_vec_prune, 4 AS files_label_prune,
+  2 AS files_conj_prune, COUNT(*) AS n_rows,
+  CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi AND label = 3""",
+    side_effects=True,
+)
+def corpus_snapshot_zorder_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-COLUMN DATA SKIPPING VIA Z-ORDER (sources/manifest.py
+    zorder_bucket — Delta's OPTIMIZE ZORDER BY / Iceberg's sort-order
+    rewrite, on the manifest layout): the corpus commits clustered by
+    the fixed-boundary Morton bucket over (vec_id, label) — 16 grid
+    cells, one immutable file each, every file a COMPACT BOX in the
+    combined key space — so footer stats prune usefully on EITHER
+    column: the vec_id window alone keeps 8/16 files, label = 3 alone
+    keeps 4/16, and their CONJUNCTION keeps 2/16 (multiplicative — the
+    single-column clustered layout of corpus_snapshot_pruned_scan
+    prunes this conjunction no better than its one sorted column).
+    All four MEASURED file counts ride in the hash-checked contract as
+    columns with the oracle pinning the literals, and the aggregate is
+    computed over the conjunctively-pruned scan, so a box that leaks
+    (rows lost to over-pruning) or a grid that degenerates (stats not
+    tight → under-pruning) mismatches. At 100 TB this is the layout
+    decision that makes two-dimensional dashboards (time × tenant,
+    list × label) open the file fraction their predicate box covers
+    instead of a full stripe. Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _ZORDER_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    bounds = emb.agg(
+        F.max("vec_id"), F.min("label"), F.max("label")
+    ).first()  # bounded: one row
+    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
+    zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
+    if root is None:
+        root = scratch_path(
+            "snap_zorder_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(
+            root,
+            emb.withColumn("zb", M.zorder_bucket(zcols, 4)),
+            "zb",
+        )
+        _ZORDER_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
+    _v, kept_vec, total = M.snapshot_files_pruned(
+        root, "vec_id", w_lo, w_hi
+    )
+    _v, kept_lab, _t = M.snapshot_files_pruned(root, "label", 3, 3)
+    preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
+    _v, kept_both, _t = M.snapshot_files_pruned_multi(root, preds)
+    return (
+        M.read_snapshot_pruned_multi(spark, root, preds)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_id"),
+        )
+        .select(
+            F.lit(total).alias("files_total"),
+            F.lit(len(kept_vec)).alias("files_vec_prune"),
+            F.lit(len(kept_lab)).alias("files_label_prune"),
+            F.lit(len(kept_both)).alias("files_conj_prune"),
+            "n_rows",
+            "sum_id",
+        )
+    )
+
+
+_OPTIMIZE_Z_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_optimize_zorder",
+    """WITH m AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT (3 * n) // 8 AS lo, (5 * n) // 8 - 1 AS hi FROM m),
+agg AS (SELECT COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
+        FROM embeddings, w WHERE vec_id BETWEEN w.lo AND w.hi
+          AND label = 3)
+SELECT 'post' AS phase, 16 AS files_total, 2 AS files_scanned,
+  n_rows, sum_id FROM agg
+UNION ALL
+SELECT 'pre' AS phase, 6 AS files_total, 6 AS files_scanned,
+  n_rows, sum_id FROM agg
+ORDER BY phase""",
+    side_effects=True,
+)
+def corpus_snapshot_optimize_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE OPTIMIZE COMMAND — ingest-order appends, then one
+    re-clustering rewrite that makes file skipping start working
+    (Delta ``OPTIMIZE ZORDER BY`` end-to-end, sources/manifest.py
+    commit_rewrite_clustered): v1–v3 append three id-interleaved
+    slices (id % 3 — the arrival-order shape every ingest produces),
+    so all 6 files span the FULL (vec_id, label) range and the
+    conjunctive predicate prunes NOTHING (6 of 6 scanned — stats are
+    only as good as the layout); v4 rewrites the table clustered by
+    the fixed-boundary Morton bucket, after which the same predicate
+    opens 2 of 16 files. Both phases' MEASURED (total, scanned) file
+    counts ride in the hash contract with the oracle pinning the
+    literals, and both phases compute the SAME aggregate over their
+    pruned scan — so an optimize that loses rows, a prune that leaks,
+    or stats that fail to tighten all mismatch. History survives the
+    rewrite: v3 still reads the pre-optimize files (checked by the
+    pre-phase scan running against version 3 AFTER v4 committed). At
+    100 TB this is the nightly job that turns append-order data into
+    a queryable layout without blocking readers. Beyond-reference
+    (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _OPTIMIZE_Z_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    bounds = emb.agg(
+        F.max("vec_id"), F.min("label"), F.max("label")
+    ).first()  # bounded: one row
+    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
+    if root is None:
+        root = scratch_path(
+            "snap_optz_" + sf_dir.strip("/").replace("/", "_")
+        )
+        for r in range(3):  # arrival-order slices, full-range stats
+            M.commit_append(
+                root, emb.filter(F.col("vec_id") % 3 == r), n_files=2
+            )
+        zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
+        M.commit_rewrite_clustered(
+            root,
+            M.read_snapshot(spark, root).withColumn(
+                "zb", M.zorder_bucket(zcols, 4)
+            ),
+            "zb",
+        )
+        _OPTIMIZE_Z_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
+    preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
+    parts = []
+    for phase, version in (("pre", 3), ("post", 4)):
+        _v, kept, total = M.snapshot_files_pruned_multi(
+            root, preds, version=version
+        )
+        parts.append(
+            M.read_snapshot_pruned_multi(
+                spark, root, preds, version=version
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("vec_id").alias("sum_id"),
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                F.lit(total).alias("files_total"),
+                F.lit(len(kept)).alias("files_scanned"),
+                "n_rows",
+                "sum_id",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("phase")
+
+
+_SCHEMA_EVO_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_schema_evolution",
+    """SELECT 1 AS version, vec_id AS id, label AS cls,
+  CAST(NULL AS DOUBLE) AS weight
+FROM embeddings WHERE vec_id % 3 = 0
+UNION ALL
+SELECT 4 AS version, vec_id AS id, label AS cls,
+  CASE WHEN vec_id % 3 = 1 THEN CAST(vec_id AS DOUBLE) / 2 END AS weight
+FROM embeddings WHERE vec_id % 3 IN (0, 1)
+ORDER BY version, id""",
+    side_effects=True,
+)
+def corpus_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION ACROSS SNAPSHOT VERSIONS (sources/manifest.py
+    commit_add_column / commit_rename_column — both METADATA-ONLY
+    commits, zero data bytes move): v1 commits (vec_id, label), v2
+    adds a ``weight`` double, v3 appends rows that carry it
+    physically, v4 renames ``label`` → ``cls``. The query reads the
+    PINNED v1 (whose schema still says ``label`` — the plan aliases it
+    to prove the old name is what that snapshot serves) and the
+    current v4 (old files serve ``cls`` through the manifest's
+    per-file column mapping and ``weight`` as typed NULLs; v3's files
+    serve their physical values). The oracle reconstructs both reads
+    from the raw table, so a mapping that loses the rename, NULL-fill
+    that hides real values, or a reader that leaks the new schema into
+    the pinned version all hash-mismatch."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _SCHEMA_EVO_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        root = scratch_path(
+            "snap_schema_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, emb.filter(F.col("vec_id") % 3 == 0))
+        M.commit_add_column(root, "weight", "double")
+        M.commit_append(
+            root,
+            emb.filter(F.col("vec_id") % 3 == 1).select(
+                "vec_id",
+                "label",
+                (F.col("vec_id").cast("double") / 2).alias("weight"),
+            ),
+        )
+        M.commit_rename_column(root, "label", "cls")
+        _SCHEMA_EVO_CACHE[sf_dir] = (spark, root)
+
+    v1 = M.read_snapshot(spark, root, 1).select(
+        F.lit(1).alias("version"),
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("cls"),  # v1's schema still says 'label'
+        F.lit(None).cast("double").alias("weight"),
+    )
+    v4 = M.read_snapshot(spark, root).select(
+        F.lit(4).alias("version"),
+        F.col("vec_id").alias("id"),
+        "cls",
+        "weight",
+    )
+    return v1.unionByName(v4).orderBy("version", "id")
+
+
+_ROW_DELETE_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_row_deletes",
+    """WITH b AS (SELECT vec_id AS id FROM embeddings)
+SELECT 1 AS version, 2 AS data_files, 0 AS delete_files,
+  COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM b
+UNION ALL SELECT 2, 2, 1, COUNT(*), CAST(SUM(id) AS BIGINT)
+  FROM b WHERE id % 7 <> 0
+UNION ALL SELECT 3, 3, 1, COUNT(*), CAST(SUM(id) AS BIGINT)
+  FROM b WHERE id % 7 <> 0 OR id % 3 = 0
+UNION ALL SELECT 4, 2, 0, COUNT(*), CAST(SUM(id) AS BIGINT)
+  FROM b WHERE id % 7 <> 0 OR id % 3 = 0
+ORDER BY version""",
+    side_effects=True,
+)
+def corpus_snapshot_row_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ ROW-LEVEL DELETES (sources/manifest.py
+    commit_delete_where — the Iceberg equality-delete shape): v1
+    commits the corpus as two data files; v2 DELETES every id % 7 == 0
+    row as a tiny equality-delete file — ZERO data files move, which
+    at 100 TB is the difference between an O(deleted-keys) commit and
+    an O(table) rewrite; v3 RE-INSERTS the multiple-of-21 ids, which
+    survive the older delete because deletes reach only files added
+    before them (per-file add-version sequencing — Iceberg's
+    sequence-number rule); v4 compacts with
+    ``commit_rewrite(read_snapshot(...))``, after which the delete
+    entry prunes out of the manifest and the read is unchanged. The
+    structural proof rides IN the hash-checked contract: per-version
+    MEASURED (data_files, delete_files) counts are emitted as columns
+    and the oracle pins the literals — a delete that rewrote data
+    (2→3 files at v2), a reader that resurrected deleted rows or
+    dropped re-inserted ones, or a compaction that failed to retire
+    the delete file all hash-mismatch. Reads subtract deletes with a
+    broadcast anti-join (keys are the tiny side), so the merge-on-read
+    cost is one hash probe per scanned row, corpus-size independent.
+    Reference scope: beyond the reference (its corpus is immutable;
+    SURVEY.md §2.9 row-maintenance family)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _ROW_DELETE_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        ids = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id")
+        )
+        root = scratch_path(
+            "snap_rowdel_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, ids, n_files=2)
+        M.commit_delete_where(
+            root, ids.filter(F.col("id") % 7 == 0), "id"
+        )
+        M.commit_append(
+            root, ids.filter((F.col("id") % 21) == 0), n_files=1
+        )
+        M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
+        _ROW_DELETE_CACHE[sf_dir] = (spark, root)
+    parts = []
+    for v in (1, 2, 3, 4):
+        n_data = len(M.snapshot_files(root, v)[1])
+        n_del = len(M.snapshot_delete_files(root, v))
+        parts.append(
+            M.read_snapshot(spark, root, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id").alias("sum_id"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(n_data).alias("data_files"),
+                F.lit(n_del).alias("delete_files"),
+                "n_rows",
+                "sum_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+_CHANGELOG_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_changelog",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b)
+SELECT 2 AS version, 'insert' AS change, id + n AS id, label
+  FROM b, m WHERE id % 4 = 0
+UNION ALL
+SELECT 3 AS version, 'delete' AS change, id, label
+  FROM b WHERE id % 5 = 0
+ORDER BY version, change, id""",
+    side_effects=True,
+)
+def corpus_snapshot_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC FEED OVER SNAPSHOT VERSIONS (sources/manifest.py
+    snapshot_changelog): the scripted history commits v1 = the corpus,
+    v2 = an append (every 4th id, shifted by n), v3 = a merge-on-read
+    equality DELETE of every 5th original id, v4 = a compaction
+    rewrite — and the feed for (v1, v4] must contain EXACTLY v2's rows
+    as inserts and v3's victims as deletes, with v4 contributing
+    NOTHING (a row-preserving rewrite is invisible to consumers). The
+    feed is op-aware, not O(table): append steps read only the step's
+    new files, delete steps broadcast-semi-join the tiny key file
+    against the prior snapshot, and only rewrites pay a row-level
+    symmetric diff. Emitting the full changed ROWS (not counts) makes
+    the hash check total: a feed that leaks carried-over rows from the
+    rewrite, misses a delete victim, or resurrects the wrong label
+    values mismatches. Because versions are immutable, the feed for a
+    closed range is reproducible forever — the property that lets a
+    downstream consumer (index, replica, feature store) re-tail after
+    a crash. Beyond-reference (SURVEY.md §2.9 maintenance family)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    root = _changelog_root(spark, sf_dir)
+    return (
+        M.snapshot_changelog(spark, root, 1, 4)
+        .select("version", "change", "id", "label")
+        .orderBy("version", "change", "id")
+    )
+
+
+def _changelog_root(spark: SparkSession, sf_dir: str) -> str:
+    """The scripted 4-version history behind the CDC queries: v1 = the
+    corpus, v2 = append (every 4th id, shifted by n), v3 = equality
+    delete of every 5th ORIGINAL id, v4 = compaction rewrite."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _CHANGELOG_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+    root = scratch_path(
+        "snap_cdc_" + sf_dir.strip("/").replace("/", "_")
+    )
+    M.commit_append(root, base, n_files=2)
+    M.commit_append(
+        root,
+        base.filter(F.col("id") % 4 == 0).select(
+            (F.col("id") + n).alias("id"), "label"
+        ),
+        n_files=1,
+    )
+    M.commit_delete_where(
+        root, base.filter(F.col("id") % 5 == 0), "id"
+    )
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=2)
+    _CHANGELOG_CACHE[sf_dir] = (spark, root)
+    return root
+
+
+@register(
+    "corpus_snapshot_cdc_apply",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b),
+final AS (
+  SELECT id, label FROM b WHERE id % 5 <> 0
+  UNION ALL
+  SELECT id + n AS id, label FROM b, m WHERE id % 4 = 0)
+SELECT 0 AS diff_vs_snapshot, id, label FROM final ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_cdc_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FEED IS SUFFICIENT — the downstream half of the CDC story:
+    a REPLICA pinned at v1 consumes the changelog for (v1, v4] (same
+    scripted history as corpus_snapshot_changelog) with the GENERAL
+    version-by-version fold (sources/manifest.py apply_changelog: per
+    version ascending, broadcast anti-join that version's deletes,
+    union its inserts) — never re-reading the source table — and the
+    result must equal the v4 snapshot read row-for-row. The fold is
+    correct for arbitrary histories (insert-then-delete of the same key
+    inside the range, re-inserts, upsert steps — pytest-pinned in
+    tests/test_manifest.py), not just this script's disjoint key sets;
+    r10's collapsed one-anti-join form rode a documented no-reinsert
+    assumption this entry no longer needs. The proof is double-sided:
+    the emitted rows hash against the oracle's expected final state,
+    and the ``diff_vs_snapshot`` column carries the MEASURED symmetric
+    difference vs the actual v4 read (two exceptAll counts — an
+    O(table) PROOF pass only, the consume path itself is O(changed
+    rows)), which the oracle pins at 0. This is the consumer contract a
+    downstream index/replica/feature store relies on at 100 TB, and
+    because versions are immutable the same feed replays to the same
+    replica after a crash. Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    root = _changelog_root(spark, sf_dir)
+    feed = M.snapshot_changelog(spark, root, 1, 4)
+    replica = M.apply_changelog(
+        M.read_snapshot(spark, root, 1), feed, "id"
+    )
+    v4 = M.read_snapshot(spark, root, 4)
+    diff = int(replica.exceptAll(v4).count()) + int(
+        v4.exceptAll(replica).count()
+    )
+    return replica.select(
+        F.lit(diff).alias("diff_vs_snapshot"), "id", "label"
+    ).orderBy("id")
+
+
+_CHOICE_CASES = (
+    # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
+    # nlist = N/4 → pre_filter (score the few allowed rows exactly)
+    ("strict", 53, {"label": {"eq": 7}, "lang": {"eq": "zh"}}),
+    # broad ne: est ≈ N·(1 − 1/ndv_lang) = 0.8N » N/4 → post_filter
+    # (probing nprobe/nlist of the corpus beats scoring 80% of it)
+    ("broad", 59, {"lang": {"ne": "zh"}}),
+)
+_CHOICE_K = 10
+
+
+def _strategy_costed_choice_oracle() -> str:
+    """Replays the WHOLE planner decision per case: the column
+    statistics (exact ndv mode — ANSI-replayable), the System-R
+    estimate with the engine's multiplication order and half-up
+    rounding, the integer decision rule est·nlist < n·nprobe, and THEN
+    the chosen strategy's answer — the pre_filter branch as the exact
+    scan over the allowed set, the post_filter branch as the costed
+    ladder replay (entry clamp from the ESTIMATE, survivor stop rule
+    over the true predicate). Both branches are computed for each case
+    and the decision column selects which branch emits rows, so a wrong
+    Spark-side choice hash-mismatches even when both strategies would
+    return the same ids."""
+    from pyspark.sql import types as T
+
+    k = _CHOICE_K
+    safety = _PF_COSTED_SAFETY
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    dots = ", ".join(
+        f"list_dot_product(emb, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    head = f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+assigned AS (
+  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
+stats AS (SELECT
+  (SELECT count(*) FROM corpus) AS n,
+  (SELECT count(label) FROM corpus) AS nn_label,
+  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
+  (SELECT count(lang) FROM corpus) AS nn_lang,
+  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang)"""
+    # per-case estimator replay — mirrors functions/colstats.py
+    # estimate_allowed's multiplication order ((1.0 * A) * B, half-up)
+    sel_sql = {
+        "strict": (
+            "((1.0 * ((1.0 / GREATEST(ndv_label, 1))"
+            " * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))"
+            " * ((1.0 / GREATEST(ndv_lang, 1))"
+            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
+        ),
+        "broad": (
+            "(1.0 * ((1.0 - 1.0 / GREATEST(ndv_lang, 1))"
+            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
+        ),
+    }
+    ctes, selects = [head], []
+    for qcase, seed, filters in _CHOICE_CASES:
+        qlit = sql_array_literal(query_vector(seed))
+        where = filters_to_sql(schema, filters)
+        probed = ", ".join(str(i) for i in _ann_ivf_probed(seed))
+        ctes.append(
+            f"""est_{qcase} AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
+    n * {sel_sql[qcase]} + 0.5) AS BIGINT))) AS est FROM stats),
+ch_{qcase} AS (SELECT est,
+  CASE WHEN est * {ANN_IVF_NLIST} < n * {ANN_IVF_NPROBE}
+       THEN 'pre_filter' ELSE 'post_filter' END AS choice
+  FROM est_{qcase}),
+pre_{qcase} AS (
+  SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
+  FROM corpus WHERE {where}
+  ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC LIMIT {k}),
+cand_{qcase} AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM assigned WHERE list_id IN ({probed})),
+surv_{qcase} AS (
+  SELECT c.id, c.score, c.rk FROM cand_{qcase} c
+  JOIN (SELECT id FROM corpus WHERE {where}) a USING (id)),
+erung_{qcase} AS (SELECT CASE
+    WHEN ec <= 200 THEN 200 WHEN ec <= 500 THEN 500 ELSE 1000 END AS r
+  FROM (SELECT LEAST(1000, GREATEST(200,
+    ({k} * {safety} * n + est - 1) // est)) AS ec FROM est_{qcase})),
+stop_{qcase} AS (SELECT CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 200) >= {k}
+     THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 500) >= {k}
+     THEN 500
+    ELSE 1000 END AS s FROM erung_{qcase}),
+post_{qcase} AS (
+  SELECT id, ROUND(score, 6) AS score
+  FROM surv_{qcase}, stop_{qcase} WHERE rk <= s
+  ORDER BY score DESC, id ASC LIMIT {k})"""
+        )
+        selects.append(
+            f"""SELECT '{qcase}' AS qcase, id, score, choice,
+  est AS est_allowed FROM pre_{qcase}, ch_{qcase}
+WHERE choice = 'pre_filter'
+UNION ALL
+SELECT '{qcase}', id, score, choice, est FROM post_{qcase}, ch_{qcase}
+WHERE choice = 'post_filter'"""
+        )
+    return (
+        ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY qcase, score DESC, id ASC"
+    )
+
+
+@register(
+    "strategy_costed_choice",
+    _strategy_costed_choice_oracle(),
+    side_effects=True,
+)
+def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED STRATEGY CHOICE (VERDICT r8 next #7): the reference
+    asks its operator to pick a backend by hand (``--backend`` flag,
+    src/harness/run.py:71-87); here the same column statistics that
+    feed the costed ladder entry decide pre_filter vs post_filter per
+    query — strict filters score their few allowed rows exactly,
+    broad filters probe the IVF lists and post-filter (operators/
+    strategies.py choose_backend_costed has the cost model). The
+    decision runs ZERO count jobs (one ingest-time stats pass, shared
+    across cases), the chosen backend actually executes — the
+    post_filter arm costed with the SAME estimate as its
+    selectivity_hint — and the oracle re-derives statistics, estimate,
+    decision rule, and the chosen strategy's answer per case, so a
+    drifted estimator, a flipped decision, or a wrong answer all
+    hash-mismatch. ``side_effects``: backend.search() is a driver-side
+    escalation loop."""
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+    from hybrid_vector_search_spark.operators.strategies import (
+        choose_backend_costed,
+        get_backend,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    stats = collect_column_stats(corpus, ["label", "lang"], exact_ndv=True)
+    n = int(stats["__table__"]["count"])
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+
+    def run_case(case):
+        qcase, seed, filters = case
+        choice, est = choose_backend_costed(
+            stats, filters, ANN_IVF_NPROBE, ANN_IVF_NLIST
+        )
+        if choice == "pre_filter":
+            backend = get_backend("pre_filter", corpus, n=n)
+        else:
+            backend = get_backend(
+                "post_filter",
+                corpus,
+                n=n,
+                index=index,
+                nprobe=ANN_IVF_NPROBE,
+                costed=True,
+                safety=_PF_COSTED_SAFETY,
+                selectivity_hint=est,
+            )
+        ids, st = backend.search(query_vector(seed), filters, _CHOICE_K)
+        return [
+            (qcase, int(i), round(float(s), 6), choice, int(est))
+            for i, s in zip(ids, st["scores"])
+        ]
+
+    # the per-case plans are independent job chains: run them
+    # concurrently (the post_filter_costed_backends pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(_CHOICE_CASES)) as ex:
+        case_rows = list(ex.map(run_case, _CHOICE_CASES))
+    out = [r for rows in case_rows for r in rows]
+    return spark.createDataFrame(
+        out,
+        "qcase STRING, id LONG, score DOUBLE, choice STRING, "
+        "est_allowed LONG",
+    )
+
+
+def _auto_sel_sql(filters: dict) -> str | None:
+    """SQL replay of functions/colstats.py estimate_allowed's float
+    arithmetic for one filter dict: same conjunct order (dict order),
+    same per-op selectivities, same (s * notnull)-on-first-op
+    association and multiplication order, so FLOOR(n·sel + 0.5) lands
+    on the identical integer. Expects a ``stats`` CTE carrying n,
+    nn_<col>, ndv_<col> and (numerics) mn_<col>/mx_<col> DOUBLEs."""
+    if not filters:
+        return None
+
+    def range_sql(col: str, lo, hi) -> str:
+        mn, mx = f"mn_{col}", f"mx_{col}"
+        lo_e = mn if lo is None else f"GREATEST({float(lo)!r}, {mn})"
+        hi_e = mx if hi is None else f"LEAST({float(hi)!r}, {mx})"
+        inside_lo = "TRUE" if lo is None else f"{float(lo)!r} <= {mn}"
+        inside_hi = "TRUE" if hi is None else f"{float(hi)!r} >= {mn}"
+        return (
+            f"(CASE WHEN {mx} <= {mn} THEN "
+            f"(CASE WHEN {inside_lo} AND {inside_hi} THEN 1.0 ELSE 0.0 END) "
+            f"WHEN {hi_e} <= {lo_e} THEN 0.0 "
+            f"ELSE ({hi_e} - {lo_e}) / ({mx} - {mn}) END)"
+        )
+
+    sel = "1.0"
+    for col, ops in filters.items():
+        notnull = f"(1.0 - CAST(n - nn_{col} AS DOUBLE) / GREATEST(n, 1))"
+        first = True
+        for op, val in ops.items():
+            if op == "eq":
+                s = f"(1.0 / GREATEST(ndv_{col}, 1))"
+            elif op == "ne":
+                s = f"(1.0 - 1.0 / GREATEST(ndv_{col}, 1))"
+            elif op == "in":
+                vals = val if isinstance(val, (list, tuple, set)) else [val]
+                s = (
+                    f"LEAST(CAST({len(vals)} AS DOUBLE) / "
+                    f"GREATEST(ndv_{col}, 1), 1.0)"
+                )
+            elif op in ("ge", "gt"):
+                s = range_sql(col, val, None)
+            elif op in ("le", "lt"):
+                s = range_sql(col, None, val)
+            elif op == "between":
+                s = range_sql(col, val[0], val[1])
+            else:  # like and anything stats can't see through
+                s = "0.1"
+            term = f"({s} * {notnull})" if first else s
+            sel = f"({sel} * {term})"
+            first = False
+    return sel
+
+
+def _harness_auto_oracle() -> str:
+    """Replays the AUTO planner's per-query decision for the whole
+    canonical batch: exact-ndv column statistics, the estimator
+    arithmetic (:func:`_auto_sel_sql`), the default nlist/nprobe the
+    harness derives (operators/ivf.py default_nlist clamp, nprobe
+    capped at it), the integer rule est·nlist < n·nprobe, and the true
+    selectivity — so a drifted estimator, changed defaults, or a
+    flipped per-query choice all hash-mismatch."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stat_cols = sorted(
+        {c for cq in CANONICAL_QUERIES for c in (cq.filters or {})}
+    )
+    pieces = ["(SELECT count(*) FROM corpus) AS n"]
+    for c in stat_cols:
+        pieces.append(f"(SELECT count({c}) FROM corpus) AS nn_{c}")
+        pieces.append(f"(SELECT count(DISTINCT {c}) FROM corpus) AS ndv_{c}")
+        if c in ("label", "n_chars"):
+            pieces.append(
+                f"(SELECT CAST(min({c}) AS DOUBLE) FROM corpus) AS mn_{c}"
+            )
+            pieces.append(
+                f"(SELECT CAST(max({c}) AS DOUBLE) FROM corpus) AS mx_{c}"
+            )
+    head = (
+        f"{CORPUS_CTE},\nstats AS (SELECT {', '.join(pieces)}),\n"
+        # default_nlist(n) = max(1, min(max(int(sqrt(n)), 64), 4096, n));
+        # the harness probes min(DEFAULT_NPROBE=32, nlist) of it
+        "knobs AS (SELECT GREATEST(1, LEAST(LEAST(GREATEST("
+        "CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), 64), 4096), n))"
+        " AS nlist FROM stats)"
+    )
+    selects = []
+    for cq in CANONICAL_QUERIES:
+        sel = _auto_sel_sql(cq.filters)
+        est = (
+            "GREATEST(n, 1)"
+            if sel is None
+            else (
+                f"GREATEST(1, LEAST(n, CAST(FLOOR(n * {sel} + 0.5)"
+                " AS BIGINT)))"
+            )
+        )
+        where = filters_to_sql(schema, cq.filters) if cq.filters else "TRUE"
+        selects.append(
+            f"""SELECT {cq.qid} AS qid,
+  CASE WHEN est * nlist < n * LEAST(32, nlist)
+       THEN 'pre_filter' ELSE 'post_filter' END AS method,
+  est AS est_allowed,
+  ROUND((SELECT count(*) FROM corpus WHERE {where}) / CAST(n AS DOUBLE),
+        6) AS selectivity
+FROM (SELECT n, nlist, {est} AS est FROM stats, knobs)"""
+        )
+    return (
+        head + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY qid"
+    )
+
+
+_HARNESS_AUTO_CACHE: dict[str, tuple[SparkSession, list]] = {}
+
+
+@register(
+    "harness_auto_costed_batch",
+    _harness_auto_oracle(),
+    side_effects=True,
+)
+def harness_auto_costed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COSTED PLANNER AS THE HARNESS DEFAULT (r10 verdict task 6):
+    the full selectivity-stratified canonical batch (plans/canonical.py
+    — strict, medium, broad) runs through ``run_queries(backend=
+    "auto")``, where plans/harness.py makes the per-query pre_filter vs
+    post_filter decision from one shared exact-ndv statistics pass
+    (choose_backend_costed) instead of a hand-picked ``--backend`` flag
+    (reference src/harness/run.py:71-87). Emitted per qid: the CHOICE
+    the harness actually executed, the System-R estimate it decided on
+    (parsed back from the §2.10 ``notes`` field — proving the
+    observable harness output, not a parallel code path), and the true
+    selectivity. The oracle re-derives statistics, estimator
+    arithmetic, the harness's default nlist/nprobe knobs, every
+    decision, and every selectivity. Strategy ANSWER parity under the
+    costed choice is certified separately by strategy_costed_choice;
+    this entry certifies the planner wiring end-to-end through the
+    harness. ``side_effects``: backend.search() is driver-side; the
+    batch is session-cached (the decision set is deterministic) and
+    runs its independent per-query job chains pooled."""
+    from hybrid_vector_search_spark.plans.harness import run_queries
+
+    got = _HARNESS_AUTO_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        rows = got[1]
+    else:
+        corpus = load_corpus(spark, sf_dir)
+        rows = run_queries(corpus, "auto", concurrency=4)
+        _HARNESS_AUTO_CACHE[sf_dir] = (spark, rows)
+    out = []
+    for r in rows:
+        note = r["notes"] or ""
+        assert note.startswith("auto:"), note
+        est = int(note.split("est=")[1].split(";")[0])
+        out.append(
+            (
+                int(r["qid"]),
+                r["method"],
+                est,
+                round(float(r["filter_selectivity"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out, "qid LONG, method STRING, est_allowed LONG, selectivity DOUBLE"
+    )
+
+
+def _pf_costed_backends_oracle() -> str:
+    """Re-derives the costed ladder entry for BOTH non-IVF post-filter
+    backends (same certify-the-cost-model style as
+    _post_filter_costed_oracle): the HNSW arm replays the K′ rung clamp
+    over the exact candidate ranking (the registered backend runs
+    degenerate-exact, ef ≥ partition rows — same argument as
+    ann_hnsw_topk), the LSH arm replays the probe-radius entry via the
+    P(r) = Σ C(nbits, i) coverage formula and the per-radius survivor
+    stop rule, with the probe sets at every radius as literals."""
+    from math import comb
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.operators import lsh as LSH
+
+    k = _PF_COSTED_CASE["k"]
+    safety = _PF_COSTED_SAFETY
+    q = query_vector(_PF_COSTED_CASE["seed"])
+    qlit = sql_array_literal(q)
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
+
+    nbits = LSH.DEFAULT_NBITS
+    planes = LSH.hyperplanes(nbits, dim=64)
+    bucket = LSH.bucket_sql_expr(planes, emb="emb")
+    probes = {
+        r: ", ".join(str(b) for b in LSH.probe_set(q, planes, r))
+        for r in (0, 1, 2)
+    }
+    p = {r: sum(comb(nbits, i) for i in range(r + 1)) for r in (0, 1, 2)}
+
+    return f"""WITH corpus AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
+allowed AS (SELECT id FROM corpus WHERE {where}),
+counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
+                  (SELECT count(*) FROM allowed) AS na),
+hcand AS (
+  SELECT id, list_dot_product(emb, {qlit}) AS score,
+    ROW_NUMBER() OVER (
+      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
+  FROM corpus),
+hentry AS (
+  SELECT LEAST(1000, GREATEST(200,
+    ({k} * {safety} * n + na - 1) // na)) AS ec FROM counts),
+herung AS (SELECT CASE WHEN ec <= 200 THEN 200
+                      WHEN ec <= 500 THEN 500
+                      ELSE 1000 END AS r FROM hentry),
+hsurv AS (SELECT c.id, c.score, c.rk FROM hcand c JOIN allowed a USING (id)),
+hstop AS (SELECT r, CASE
+    WHEN r <= 200
+     AND (SELECT count(*) FROM hsurv WHERE rk <= 200) >= {k} THEN 200
+    WHEN r <= 500
+     AND (SELECT count(*) FROM hsurv WHERE rk <= 500) >= {k} THEN 500
+    ELSE 1000 END AS s FROM herung),
+hrows AS (
+  SELECT 'post_filter_hnsw' AS method, id, ROUND(score, 6) AS score,
+    r AS ladder_entry,
+    (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
+    - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run
+  FROM hsurv, hstop WHERE rk <= s
+  ORDER BY score DESC, id ASC LIMIT {k}),
+lneed AS (SELECT CASE WHEN na <= 0 THEN {p[2] + 1}
+                      ELSE ({k} * {safety} * {1 << nbits} + na - 1) // na
+                 END AS np FROM counts),
+lentry AS (SELECT CASE WHEN np <= {p[0]} THEN 0
+                       WHEN np <= {p[1]} THEN 1
+                       ELSE 2 END AS r FROM lneed),
+lsurv AS (
+  SELECT c.id, list_dot_product(c.emb, {qlit}) AS score,
+         {bucket} AS bucket
+  FROM corpus c JOIN allowed a USING (id)),
+lstop AS (SELECT r, CASE
+    WHEN r <= 0 AND (SELECT count(*) FROM lsurv
+                     WHERE bucket IN ({probes[0]})) >= {k} THEN 0
+    WHEN r <= 1 AND (SELECT count(*) FROM lsurv
+                     WHERE bucket IN ({probes[1]})) >= {k} THEN 1
+    ELSE 2 END AS s FROM lentry),
+lrows AS (
+  SELECT 'post_filter_lsh' AS method, id, ROUND(score, 6) AS score,
+    r AS ladder_entry, s - r + 1 AS rungs_run
+  FROM lsurv, lstop
+  WHERE (s = 0 AND bucket IN ({probes[0]}))
+     OR (s = 1 AND bucket IN ({probes[1]}))
+     OR (s = 2 AND bucket IN ({probes[2]}))
+  ORDER BY score DESC, id ASC LIMIT {k})
+SELECT * FROM hrows UNION ALL SELECT * FROM lrows"""
+
+
+@register(
+    "post_filter_costed_backends",
+    _pf_costed_backends_oracle(),
+    side_effects=True,
+)
+def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based ladder entry GENERALIZED to the other two
+    post-filter backends (r6 VERDICT task #7): the HNSW backend shares
+    the IVF clamp arithmetic verbatim (K′ rungs 200→500→1000), the LSH
+    backend translates it to probe radius via bucket coverage
+    P(r) = Σ_{i≤r} C(nbits, i) — expected survivors P(r)·|allowed|/2^nbits
+    must reach K·safety. Both run the same strict-filter case as
+    post_filter_costed; on it each backend enters at its FINAL rung
+    (rungs_run = 1 where the reference's fixed escalation runs all
+    three — src/baselines/post_filter.py:66-87). The oracle re-derives
+    entry, stop, and survivors per backend; the fixed-vs-costed A/Bs
+    live in tests/test_hnsw.py and tests/test_lsh.py.
+    ``side_effects=True``: search() is a driver-side escalation loop."""
+    from hybrid_vector_search_spark.operators.hnsw import (
+        EXHAUSTIVE_EF,
+        HNSWBackend,
+    )
+    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
+
+    # lazy: the HNSW artifact builder lives in a LATER family module
+    # (registry_ann_metrics); importing at call time keeps the hub's
+    # in-order family imports acyclic
+    from hybrid_vector_search_spark.plans.registry_ann_metrics import (
+        _hnsw_persisted_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    hb = HNSWBackend(
+        corpus,
+        index=_hnsw_persisted_index(spark, sf_dir),
+        ef_search=EXHAUSTIVE_EF,
+        costed=True,
+        safety=_PF_COSTED_SAFETY,
+    )
+    lb = LSHPostFilterBackend(
+        corpus, costed=True, safety=_PF_COSTED_SAFETY
+    )
+
+    def run(backend):
+        return backend.search(
+            query_vector(_PF_COSTED_CASE["seed"]),
+            _PF_COSTED_CASE["filters"],
+            _PF_COSTED_CASE["k"],
+        )
+
+    # the two escalation loops are independent driver-side job chains:
+    # submit them concurrently (Spark schedules independent actions in
+    # parallel) — wall is max(arm), not sum, with identical results
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        results = list(ex.map(run, (hb, lb)))
+    out_rows = []
+    for backend, (ids, stats) in zip((hb, lb), results):
+        out_rows += [
+            (
+                backend.name,
+                int(i),
+                round(float(s), 6),
+                int(stats["ladder_entry"]),
+                int(stats["rungs_run"]),
+            )
+            for i, s in zip(ids, stats["scores"])
+        ]
+    return spark.createDataFrame(
+        out_rows,
+        "method STRING, id LONG, score DOUBLE, ladder_entry LONG, "
+        "rungs_run LONG",
+    )
+
+
+# --------------------------------- streaming: session windows + custom state
+
+_SESS_GAP_MIN = 30
+_SESS_WM = "1 hour"
+
+
+@register(
+    "streaming_session_windows",
+    f"""WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER win IS NULL
+           OR ts - LAG(ts) OVER win >= INTERVAL {_SESS_GAP_MIN * 60} SECOND
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE < (SELECT w FROM wm)
+ORDER BY user_id, session_start""",
+side_effects=True,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION windows (``F.session_window`` + watermark,
+    streaming/pipeline.py session_window_stream): gap-merged per-user
+    sessions whose state is evicted by the watermark; append mode emits a
+    session once the watermark passes its end (last event + gap).
+
+    The oracle replays the identical semantics as batch gaps-and-islands
+    at full microsecond precision — new session iff the inter-event gap
+    is ≥ the session gap (session_window merges only strictly-overlapping
+    [ts, ts+gap) windows) — and keeps exactly the sessions the stream
+    can have closed: end + gap < max(ts)@millis − watermark delay."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        session_window_stream,
+    )
+
+    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
+    agg = session_window_stream(ev, f"{_SESS_GAP_MIN} minutes", _SESS_WM)
+    table = "stream_sessions"
+    # heavier state than the windowed aggs (~95k session-window rows at
+    # sf0.1 vs ~2k groups): r5 sweep 4/8/16/32 -> 1.38/1.14/1.49/2.47s,
+    # 8 is this operator's knee
+    run_available_now(
+        agg,
+        table,
+        output_mode="append",
+        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
+    )
+    return _sink_sorted(spark, table, "user_id", "session_start")
+
+
+@register(
+    "streaming_stateful_user_totals",
+    f"""SELECT user_id, COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id""",
+side_effects=True,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    streaming/pipeline.py stateful_user_totals_stream): per-user running
+    totals in explicit GroupState — the API surface for stateful logic
+    beyond built-in windows (counters, custom eviction, online models).
+    An availableNow drain without maxFilesPerTrigger consumes the whole
+    landing directory in one micro-batch (regardless of file count), so
+    each user's one update-mode emission IS its final total; the oracle
+    is the batch GROUP BY, and the drain asserts the single-data-batch
+    assumption so a future source rate limit fails loudly instead of
+    emitting intermediate totals."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_totals_stream,
+    )
+
+    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
+    tot = stateful_user_totals_stream(ev)
+    table = "stream_user_totals"
+    # the per-group Python kernel parallelizes across state partitions
+    # (Arrow transfer + GroupState updates for 100k rows): r5 isolated
+    # sweep 4/8/16 -> 1.87/1.35/1.26s, but 16 regressed to 5.4s inside
+    # the full 112-query bench (16 stateful Python workers × a loaded
+    # executor) — 8 is the setting that wins in both contexts
+    run_available_now(
+        tot,
+        table,
+        output_mode="update",
+        expect_single_data_batch=True,
+        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
+    )
+    return (
+        _sink_sorted(spark, table, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            round_portable(F.col("sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------- product quantization (PQ)
+
+from hybrid_vector_search_spark.operators import pq as PQ  # noqa: E402
+
+_PQ_DIM = 64  # testdata embedding dim (TESTDATA.md); oracle literals match
+_PQ_QSEED = 37
+
+
+@register(
+    "vector_pq_codes",
+    "SELECT vec_id AS id, "
+    + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(PQ.pq_code_exprs(dim=_PQ_DIM))
+    )
+    + "\nFROM embeddings ORDER BY id",
+)
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators/pq.py): 64-d float32 → 4 × 4-bit codes
+    (64× storage cut). One Arrow pass, one GEMM per subspace; the seeded
+    codebooks make assignment a pure function of (embedding, literals),
+    so the oracle replays it and the codes are value-hash checked
+    (exposed as scalar columns c0..c3 for the driver's comparer)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    codes = PQ.pq_encode(emb, PQ.pq_codebooks(_PQ_DIM))
+    return codes.select(
+        "id", *[codes.codes[i].alias(f"c{i}") for i in range(PQ.PQ_M)]
+    ).orderBy("id")
+
+
+def _pq_adc_oracle() -> str:
+    q = query_vector(_PQ_QSEED)
+    adc = PQ.adc_score_sql(q, dim=_PQ_DIM)
+    return f"""WITH codes AS (
+  SELECT vec_id AS id, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
+  FROM embeddings)
+SELECT id, ROUND({adc}, 6) AS score
+FROM codes
+ORDER BY {adc} DESC, id ASC
+LIMIT 10"""
+
+
+@register("ann_pq_adc_topk", _pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-K over PQ codes (operators/pq.py adc_score_col): the query
+    is tabulated against every centroid once (m × ks lookup tables as
+    array literals) and each row's approximate score is m ``element_at``
+    lookups summed — a whole-stage-codegen scan that reads ONLY the 4-int
+    code column (the float embedding column is pruned away entirely: at
+    100 TB this scan touches 1/64th of the bytes). Same tie discipline as
+    every top-K: score DESC, id ASC."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    books = PQ.pq_codebooks(_PQ_DIM)
+    codes = PQ.pq_encode(emb, books)
+    scored = codes.select(
+        "id", PQ.adc_score_col(books, query_vector(_PQ_QSEED)).alias("score")
+    )
+    return topk(scored, 10).select("id", F.round("score", 6).alias("score"))
+
+
+_IVFPQ_QSEED = 103
+_IVFPQ_C = 100
+
+
+def _ivfpq_oracle() -> str:
+    q = query_vector(_IVFPQ_QSEED)
+    qlit = sql_array_literal(q)
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(_IVFPQ_QSEED))
+    adc = PQ.adc_score_sql(q, codes="codes", dim=_PQ_DIM)
+    return f"""WITH assigned AS (
+  SELECT id, embedding, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding, embedding::DOUBLE[] AS e,
+               [{dots}] AS d
+        FROM embeddings)),
+coded AS (
+  SELECT id, e, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
+  FROM assigned WHERE list_id IN ({probed})),
+cand AS (
+  SELECT id, e FROM coded
+  ORDER BY {adc} DESC, id ASC LIMIT {_IVFPQ_C})
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM cand
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+@register("ann_ivfpq_rerank_topk", _ivfpq_oracle())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ COMPOSED — the canonical large-scale serving shape
+    (FAISS ``IndexIVFPQ``: coarse lists prune I/O, PQ codes shrink what
+    remains, exact rerank restores precision on the survivors), built
+    from the engine's existing pieces exactly the way the layouts
+    compose at 100 TB:
+
+    * the probe prunes to nprobe/nlist of the lists (bytes ∝ probed
+      fraction on the persisted layout);
+    * within the probed lists the ADC stage reads ONLY the 4-int PQ
+      code column (1/64th of the vector bytes) — m ``element_at``
+      lookups per row, whole-stage codegen;
+    * the top-{_IVFPQ_C} ADC candidates (bounded, broadcastable)
+      semi-join back to the float vectors for the exact float64 rerank
+      of the final top-K.
+
+    Every stage is a pure function of (embedding, seeded centroids ×
+    codebooks), so the oracle replays assignment, probe, encoding, ADC
+    ranking, and rerank end-to-end — the composed pipeline gets the
+    same value-hash certificate its three ingredients each have."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+
+    q = query_vector(_IVFPQ_QSEED)
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    probed = index.probe(q, ANN_IVF_NPROBE)
+    pruned = index.assigned.filter(F.col("list_id").isin(probed))
+    books = PQ.pq_codebooks(_PQ_DIM)
+    codes = PQ.pq_encode(pruned, books)
+    cand = (
+        codes.select(
+            "id", PQ.adc_score_col(books, q).alias("adc")
+        )
+        .orderBy(F.col("adc").desc(), F.col("id").asc())
+        .limit(_IVFPQ_C)
+    )
+    rerank = index.assigned.select("id", "embedding").join(
+        F.broadcast(cand.select("id")), "id"
+    )
+    scored = rerank.select(
+        "id", dot_score_sql("embedding", q).alias("score")
+    )
+    return topk(scored, ANN_IVF_K).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+

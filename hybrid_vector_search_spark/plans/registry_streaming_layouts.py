@@ -1,0 +1,1222 @@
+"""Strategy dispatch evidence, streaming ANN-index ingest, bucketed/day-partitioned storage layouts.
+
+r11 mechanical split of plans/registry.py (r10 verdict task 7): this is a
+contiguous slice of the original file, imported by the registry hub in
+original order, so registration order, query names, and oracle SQL are
+byte-identical to the single-file registry. Shared infra (register,
+QUERIES/ORACLES, load_corpus, caches) stays in the hub; cross-family
+helpers are imported explicitly below.
+"""
+
+from __future__ import annotations
+
+import os
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from hybrid_vector_search_spark.functions.portable import (
+    grid_avg,
+    grid_avg_sql,
+    round_portable,
+    round_portable_sql,
+)
+from hybrid_vector_search_spark.functions.predicates import (
+    compile_filters,
+    filters_to_sql,
+)
+from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
+from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
+from hybrid_vector_search_spark.sources.loaders import (
+    load_table,
+    spread,
+)
+
+from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    CORPUS_CTE,
+    ORACLES,
+    load_corpus,
+    register,
+)
+from hybrid_vector_search_spark.plans.registry_hybrid_ann import (  # noqa: E402
+    ANN_IVF_K,
+    ANN_IVF_NPROBE,
+    _ann_ivf_centroids,
+    _ann_ivf_fixed_index,
+    _ann_ivf_oracle,
+    _ann_ivf_probed,
+    ann_ivf_persisted_topk,
+    vector_range_search,
+)
+from hybrid_vector_search_spark.plans.registry_corpus import (  # noqa: E402
+    events_incremental_rollup,
+)
+from hybrid_vector_search_spark.plans.registry_relational import (  # noqa: E402
+    _STREAM_PARTS,
+    _landing,
+    _sink_sorted,
+    _stream_parts,
+    tpch_q18_large_orders,
+)
+from hybrid_vector_search_spark.plans.registry_lakehouse import (  # noqa: E402
+    _changelog_root,
+)
+from hybrid_vector_search_spark.plans.registry_ann_metrics import (  # noqa: E402
+    ann_hnsw_topk,
+)
+
+# --------------------------- S2 / P5 / K6 driver-checked evidence (r5) --
+
+
+@register(
+    "corpus_meta_sidecar",
+    """SELECT COUNT(*) AS n, MIN(len(embedding)) AS d,
+  (MAX(ABS(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) - 1.0))
+     < 0.002) AS normalized
+FROM embeddings""",
+side_effects=True,
+)
+def corpus_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end through the driver gate: write the vector-corpus
+    JSON sidecar (one aggregation pass over the corpus — N, D, and the
+    unit-L2 check at the reference's tolerance; sources/loaders.py
+    write_corpus_meta, reference vectors.meta.json src/dataio/
+    loaders.py:60-70), then LOAD it back through the validating reader
+    (required-keys hard error, :66-69) and return what the sidecar
+    says. The oracle recomputes N/D/normalized straight from the
+    parquet, so a wrong count, a ragged dim, or a broken norm check
+    hash-mismatches."""
+    import os as _os
+
+    from hybrid_vector_search_spark.scratch import scratch_root
+    from hybrid_vector_search_spark.sources.loaders import (
+        load_corpus_meta,
+        write_corpus_meta,
+    )
+
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    path = _os.path.join(
+        scratch_root(),
+        "hvs_meta_" + sf_dir.strip("/").replace("/", "_") + ".json",
+    )
+    write_corpus_meta(corpus, path)
+    back = load_corpus_meta(path)
+    return spark.createDataFrame(
+        [(int(back["N"]), int(back["D"]), bool(back["normalized"]))],
+        "n LONG, d LONG, normalized BOOLEAN",
+    )
+
+
+@register(
+    "strategy_dispatch_params",
+    """SELECT * FROM (VALUES
+  ('exact', 'exact', CAST(NULL AS BIGINT)),
+  ('post_filter', 'ivfflat',
+   (SELECT GREATEST(1, LEAST(GREATEST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT),
+                                      64), 4096, COUNT(*)))
+    FROM embeddings)),
+  ('post_filter_lsh', 'lsh', CAST(4 AS BIGINT)),
+  ('pre_filter', 'exact', CAST(NULL AS BIGINT)),
+  ('random', 'exact', CAST(NULL AS BIGINT))
+) AS t(backend, index_type, param)
+ORDER BY backend""",
+side_effects=True,
+)
+def strategy_dispatch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 dispatch × K7 introspection through the driver gate: every
+    name in the strategy registry (reference src/harness/run.py:71-87)
+    is dispatched through ``get_backend`` and introspected with
+    ``get_index_params`` (reference src/dataio/loaders.py:220-232).
+    The oracle's expectations are DATA-DEPENDENT where the contract is:
+    the IVF row's nlist must equal the auto-size formula √N clamped to
+    [64, 4096] (never null before the first build — ADVICE r3 #2)
+    recomputed by SQL from the corpus count, so dispatching the wrong
+    class, a lazy-build regression, or a formula drift all
+    hash-mismatch. param carries the backend's primary knob (nlist /
+    nbits), NULL for the exact-scan strategies."""
+    from hybrid_vector_search_spark.operators.strategies import (
+        get_backend,
+        get_index_params,
+    )
+
+    corpus = load_corpus(spark, sf_dir, with_documents=False)
+    n = corpus.count()
+    rows = []
+    for name in ("exact", "post_filter", "post_filter_lsh", "pre_filter", "random"):
+        params = get_index_params(get_backend(name, corpus, n=n))
+        param = params.get("nlist", params.get("nbits"))
+        rows.append(
+            (name, params["type"], int(param) if param is not None else None)
+        )
+    return spark.createDataFrame(
+        rows, "backend STRING, index_type STRING, param LONG"
+    ).orderBy("backend")
+
+
+_FALLBACK_CASE = {"seed": 31, "filters": {"lang": {"in": ["en", "de"]}}, "k": 10}
+
+
+def _fallback_oracle() -> str:
+    from pyspark.sql import types as T
+
+    qlit = sql_array_literal(query_vector(_FALLBACK_CASE["seed"]))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    where = filters_to_sql(schema, _FALLBACK_CASE["filters"])
+    return f"""{CORPUS_CTE}
+SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score,
+       'ivf skipped (prefer_ivf=False) to hnsw' AS fallback_note
+FROM corpus WHERE {where}
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
+LIMIT {_FALLBACK_CASE["k"]}"""
+
+
+@register("strategy_fallback_topk", _fallback_oracle())
+def strategy_fallback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 fallback chain through the driver gate (reference
+    ``load_vectors_index``, src/dataio/loaders.py:176-218): with the
+    preferred IVF rung declined (``prefer_ivf=False``), the chain must
+    land on the HNSW rung and record how it got there — the
+    ``fallback_note`` the §2.10 stats surface carries is returned as a
+    column and hash-checked against the literal the chain promises. The
+    landed backend then answers a filtered top-K; at driver scales
+    (N ≤ max(k_ladder) = 1000) the HNSW candidate stage is degenerate-
+    exact (same argument as ann_hnsw_topk), so the oracle is the exact
+    filtered top-K — a wrong rung, a broken note, or a broken search
+    all hash-mismatch."""
+    from hybrid_vector_search_spark.operators.strategies import (
+        load_corpus_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir, with_documents=True)
+    backend = load_corpus_index(corpus, prefer_ivf=False)
+    plan, _obs = backend.plan(
+        query_vector(_FALLBACK_CASE["seed"]),
+        _FALLBACK_CASE["filters"],
+        _FALLBACK_CASE["k"],
+    )
+    return plan.select(
+        "id",
+        F.round("score", 6).alias("score"),
+        F.lit(backend.fallback_note).alias("fallback_note"),
+    )
+
+
+_EMBED_N = 200
+
+
+@register(
+    "etl_embed_stub_profile",
+    f"""SELECT doc_id, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2
+FROM documents WHERE doc_id < {_EMBED_N} ORDER BY doc_id""",
+)
+def etl_embed_stub_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1's UDF surface through the driver gate: the batched text-
+    embedding pandas UDF (sources/etl.py embed_text_udf — reference
+    src/harness/run.py:131-141 runtime SentenceTransformer encode),
+    exercised end-to-end on the documents table via the explicitly
+    opted-in deterministic stub (no model weights in this container;
+    the real path loads the model once per executor in the same
+    iterator shape). What the hash check proves about the UDF contract:
+    one vector per row with the declared 384-dim shape, unit-L2 within
+    float32 tolerance (norm rounds to 1.0 at 6 dp), for every row —
+    shape or normalization regressions hash-mismatch. The vector
+    VALUES are intentionally not oracle-replayable (numpy RNG); their
+    determinism is pinned by tests/test_etl.py."""
+    from hybrid_vector_search_spark.sources.etl import embed_text_udf
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _EMBED_N
+    )
+    emb = docs.select(
+        "doc_id", embed_text_udf(allow_stub=True)(F.col("text")).alias("e")
+    )
+    sq = F.aggregate(
+        F.transform("e", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "doc_id",
+        F.size("e").cast("long").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2"),
+    ).orderBy("doc_id")
+
+
+_STATS_CASE = {"seed": 43, "filters": {"label": {"in": [0, 4, 9]}}, "k": 10}
+
+
+def _stats_oracle() -> str:
+    from pyspark.sql import types as T
+
+    qlit = sql_array_literal(query_vector(_STATS_CASE["seed"]))
+    schema = T.StructType([T.StructField("label", T.IntegerType())])
+    where = filters_to_sql(schema, _STATS_CASE["filters"])
+    k = _STATS_CASE["k"]
+    return f"""{CORPUS_CTE},
+allowed AS (SELECT id, ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS s
+            FROM corpus WHERE {where}),
+top AS (SELECT id, s, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rn
+        FROM allowed)
+SELECT 'exact' AS method, CAST({k} AS BIGINT) AS k,
+       (SELECT COUNT(*) FROM allowed) AS scored_vectors,
+       (SELECT id FROM top WHERE rn = 1) AS top_id,
+       (SELECT s FROM top WHERE rn = {k}) AS kth_score"""
+
+
+@register("harness_stats_exact", _stats_oracle(), side_effects=True)
+def harness_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10's stats-row assembly through the driver gate: a REAL
+    ``backend.search()`` call (driver-side collect, the harness path —
+    reference src/backend_interface.py:7-31 + the 14-field results row
+    of src/harness/run.py) whose deterministic stats fields come back
+    as a 1-row DataFrame. scored_vectors flows through the plan's
+    ``Observation`` (the row count of the filtered corpus measured by
+    the SAME job that scored it — U7's instrumentation shape, minus the
+    wall-clock fields the oracle cannot replay); the k-th score and top
+    id pin the ids/scores arrays. A broken Observation, a dropped
+    filter, or a tie-break regression all hash-mismatch."""
+    from hybrid_vector_search_spark.operators.strategies import get_backend
+
+    corpus = load_corpus(spark, sf_dir)
+    backend = get_backend("exact", corpus)
+    ids, stats = backend.search(
+        query_vector(_STATS_CASE["seed"]),
+        _STATS_CASE["filters"],
+        _STATS_CASE["k"],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["method"],
+                int(stats["K"]),
+                int(stats["scored_vectors"]),
+                int(ids[0]),
+                round(float(stats["scores"][_STATS_CASE["k"] - 1]), 6),
+            )
+        ],
+        "method STRING, k LONG, scored_vectors LONG, top_id LONG, kth_score DOUBLE",
+    )
+
+
+@register(
+    "streaming_view_purchase_join",
+    f"""SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec,
+  {round_portable_sql('p.value', 2)} AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, purchase_id""",
+    side_effects=True,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time-bounded inner join (the attribution
+    join): two live streams over the same landing zone — views and
+    purchases — paired per user within a 30-minute conversion window,
+    with watermarks on BOTH sides bounding the join state (a buffered
+    row is evicted once the other side's watermark passes its reach).
+    The seventh streaming operator family: windows, sessions, dedup,
+    stream-static enrich, custom state, and now the two-stream join.
+    Inner matches emit as soon as both sides arrive, so the availableNow
+    drain emits exactly the batch join's pairs — the oracle is the plain
+    SQL time-bounded join, value-hash checked."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_join_stream,
+    )
+
+    land = _landing(spark, sf_dir, "events")
+    views = read_events_stream(spark, land).filter(
+        F.col("event_type") == "view"
+    )
+    buys = read_events_stream(spark, land).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = view_purchase_join_stream(views, buys)
+    table = "stream_view_purchase"
+    run_available_now(
+        joined,
+        table,
+        output_mode="append",
+        # the batch-join oracle equality assumes ONE data micro-batch: a
+        # split drain advances both watermarks at batch 0 and silently
+        # drops later-batch rows as late input (same hazard class as the
+        # stateful-totals query; ADVICE r2 #5)
+        expect_single_data_batch=True,
+        # FIXED sizing, deliberately exempt from the volume-adaptive
+        # _stream_parts: a stream-stream join keeps TWO state stores per
+        # partition and its per-row work is a hash probe, so the
+        # per-partition constant dominates — the r7 ×8 probe A/B measured
+        # 2.5 s at 4 partitions vs 4.8 s at 32 on the same data. The
+        # stateful AGGREGATIONS scale the opposite way (heavy per-group
+        # state work) and stay adaptive.
+        shuffle_partitions=_STREAM_PARTS,
+        # inner matches emit eagerly in their arrival batch; the trailing
+        # zero-row flush batch only evicts expired join-state buffers and
+        # re-runs the whole plan to do it (r6 A/B: 2.05→1.22 s, output
+        # identical — see run_available_now docstring for the safety rule)
+        flush_no_data_batch=False,
+    )
+    return _sink_sorted(
+        spark, table, "view_id", "purchase_id"
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "gap_sec",
+        round_portable("value", 2).alias("purchase_value"),
+    )
+
+
+# ----------------------------------------- streaming ANN-index ingest
+
+STREAM_IVF_QSEED = 31
+_STREAM_IVF_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_ivf_ingest",
+    _ann_ivf_oracle(STREAM_IVF_QSEED),
+    side_effects=True,
+)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ANN-index ingest — the streaming twin of the persisted
+    IVF layout (ann_ivf_persisted_topk): embeddings land as a file
+    stream, each micro-batch assigns ``list_id`` with the fixed coarse
+    quantizer (operators/ivf.py assign_list_udf — a STATELESS map, no
+    state store, no watermark), and the exactly-once file sink writes
+    ``partitionBy("list_id")`` parquet through its write-ahead commit
+    log. The index never needs a rebuild because the index IS the
+    partitioned layout: FAISS keeps a mutable in-memory structure the
+    reference must re-add into (src/dataio/loaders.py:106-120); here
+    append-only ingest keeps the layout fresh and a restarted drain
+    re-ingests nothing (the sink's exactly-once contract, pinned in
+    tests/test_streaming.py). The returned plan is the standard probe
+    over the freshly-ingested layout — partition-pruned to the probed
+    lists — and the oracle replays assignment, probe, and top-K over the
+    same rows, so the hash certifies the whole ingest→probe loop."""
+    import os
+
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.streaming.pipeline import sink_to_parquet
+
+    land = _landing(spark, sf_dir, "embeddings")
+    cached = _STREAM_IVF_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_ivf_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_IVF_CACHE[sf_dir] = (spark, root)
+    out = os.path.join(root, "index")
+    ckpt = os.path.join(root, "ckpt")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    cents = _ann_ivf_centroids()
+    from hybrid_vector_search_spark.operators.ivf import assign_list_udf
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .withColumn("list_id", assign_list_udf(cents)(F.col("embedding")))
+        .withColumnRenamed("vec_id", "id")
+    )
+    sink_to_parquet(stream, out, ckpt, partition_by="list_id")
+
+    index = IVFIndex(
+        spark.read.parquet(out), cents, partitioned_path=out
+    )
+    plan, _probed = index.search_plan(
+        query_vector(STREAM_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+STREAM_TOPK_QSEED = 61
+_STREAM_TOPK_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_topk_view",
+    f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_TOPK_QSEED))}), 6) AS score
+FROM embeddings
+ORDER BY list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_TOPK_QSEED))}) DESC, vec_id ASC
+LIMIT {ANN_IVF_K}""",
+    side_effects=True,
+)
+def streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS top-K materialized view — incremental view maintenance
+    for the query every dashboard wants ("current best K matches for X,
+    live"): each micro-batch computes its own bounded top-K candidates
+    (TakeOrderedAndProject inside ``foreachBatch``), merges them with
+    the ≤K-row persisted view state, and swaps the refreshed view in by
+    rename — so per-batch cost is O(batch + K·log K) and the view is
+    always a K-row parquet any reader can scan without touching the
+    stream. Top-K is an algebraic aggregate (merge of two top-Ks is the
+    top-K of their union), which is what makes the incremental
+    maintenance EXACT, not approximate: the oracle computes the batch
+    top-K over everything landed, and the hash certifies the
+    incrementally-maintained view equals it."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    land = _landing(spark, sf_dir, "embeddings")
+    cached = _STREAM_TOPK_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_topk_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_TOPK_CACHE[sf_dir] = (spark, root)
+    state = _os.path.join(root, "view")
+    ckpt = _os.path.join(root, "ckpt")
+
+    qvec = query_vector(STREAM_TOPK_QSEED)
+
+    def merge_batch(batch_df, _batch_id):
+        cand = topk(
+            batch_df.select(
+                F.col("vec_id").alias("id"),
+                dot_score_column(qvec).alias("score"),
+            ),
+            ANN_IVF_K,
+        )
+        if _os.path.isdir(state):
+            # dedup by id BEFORE the cut: the foreachBatch contract is
+            # at-least-once — a replayed micro-batch (crash between the
+            # state swap and the checkpoint commit) re-merges rows the
+            # view already holds, and without this a duplicate id would
+            # occupy two of the K slots and evict a legitimate row.
+            # max(score) == the score (deterministic per id), so the
+            # dedup is exact, and the merge becomes idempotent.
+            cand = topk(
+                batch_df.sparkSession.read.parquet(state)
+                .unionByName(cand)
+                .groupBy("id")
+                .agg(F.max("score").alias("score")),
+                ANN_IVF_K,
+            )
+        stage = f"{state}.stage-{_uuid.uuid4().hex[:12]}"
+        cand.coalesce(1).write.mode("overwrite").parquet(stage)
+        old = f"{state}.old-{_uuid.uuid4().hex[:12]}"
+        if _os.path.isdir(state):
+            _os.rename(state, old)
+        _os.rename(stage, state)
+        _shutil.rmtree(old, ignore_errors=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    return (
+        spark.read.parquet(state)
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+    )
+
+
+_STREAM_ROLLUP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_incremental_rollup",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS total_value
+FROM events GROUP BY day, event_type
+ORDER BY day, event_type""",
+    side_effects=True,
+)
+def streaming_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUSLY-MAINTAINED rollup table — the streaming face of
+    events_incremental_rollup (operators/rollup.py): each micro-batch
+    of the events landing stream merges its algebraic partials into
+    the day-partitioned table inside ``foreachBatch``, rewriting only
+    the batch's touched days, so the table is always serving-fresh
+    without any full recompute. EXACTLY-ONCE under foreachBatch's
+    at-least-once replay contract: the micro-batch id is committed to
+    ``rollup_meta.json`` INSIDE the merge's marker window (the same
+    staged commit that moves the partitions), so a replayed batch sees
+    ``batch_id <= last_batch_id`` and skips — a crash on either side
+    of the commit resolves to exactly one application, the recipe
+    Structured Streaming documents for idempotent foreachBatch sinks.
+    The oracle aggregates everything landed from scratch: a hash match
+    proves stream-maintained ≡ recomputed, double-count-free."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.operators.rollup import (
+        open_rollup,
+        streaming_merge_batch,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    land = _landing(spark, sf_dir, "events")
+    cached = _STREAM_ROLLUP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_rollup_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_ROLLUP_CACHE[sf_dir] = (spark, root)
+    table = _os.path.join(root, "table")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def merge_batch(batch_df, batch_id):
+        # exactly-once body lives in operators/rollup.py (meta-gated
+        # bootstrap + batch-id watermark), unit-tested in
+        # tests/test_rollup.py
+        streaming_merge_batch(table, batch_df, batch_id)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        # several files per micro-batch: the drain exercises bootstrap
+        # AND repeated partition-local merges, not one bulk build
+        .option("maxFilesPerTrigger", 2)
+        .parquet(land)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    return (
+        open_rollup(spark, table)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_STREAM_SNAP_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_snapshot_ingest",
+    "SELECT vec_id AS id, label FROM embeddings ORDER BY id",
+    side_effects=True,
+)
+def streaming_snapshot_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The versioned-manifest layout as an EXACTLY-ONCE STREAMING SINK
+    (sources/manifest.py meets foreachBatch): each micro-batch of the
+    embeddings landing commits one snapshot version — O(batch), no
+    existing bytes move — with the micro-batch id riding IN the
+    manifest, so the watermark and the data are one atomic rename and
+    an at-least-once replay (batch_id ≤ last committed) skips instead
+    of double-appending. What this buys over the plain parquet
+    streaming sink's _spark_metadata log: ordinary BATCH readers get
+    both isolation and time travel for free — any mid-stream version
+    is a pinned, reproducible corpus snapshot (the \"train on the
+    corpus as of batch N\" read), no commit-log-aware reader required.
+    The oracle compares the LATEST snapshot against the full raw
+    table: a hash match proves the stream of commits lost and
+    duplicated nothing."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    land = _landing(spark, sf_dir, "embeddings")
+    cached = _STREAM_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_SNAP_CACHE[sf_dir] = (spark, root)
+    table = _os.path.join(root, "table")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def commit_batch(batch_df, batch_id):
+        last = M.last_committed_meta(table, "batch_id", -1)
+        if batch_id <= last:
+            return  # at-least-once replay of a committed batch
+        M.commit_append(
+            table,
+            batch_df.select("vec_id", "label"),
+            meta={"batch_id": int(batch_id)},
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # several commits, not one bulk
+        .parquet(land)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    return (
+        M.read_snapshot(spark, table)
+        .select(F.col("vec_id").alias("id"), "label")
+        .orderBy("id")
+    )
+
+
+_STREAM_CDC_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "streaming_cdc_replica",
+    """WITH b AS (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT MAX(id) + 1 AS n FROM b),
+final AS (
+  SELECT id, label FROM b WHERE id % 5 <> 0
+  UNION ALL
+  SELECT id + n AS id, label FROM b, m WHERE id % 4 = 0)
+SELECT 3 AS applied_version, 2 AS replica_data_files,
+  1 AS replica_delete_files, id, label
+FROM final ORDER BY id""",
+    side_effects=True,
+)
+def streaming_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL THE COMMIT LOG AS A STREAM — Delta's change-data-feed shape
+    on the versioned-manifest layout: the source table's
+    ``manifest-*.json`` files ARE a streaming source (each commit is
+    one new immutable file — the exact contract Spark's file stream
+    wants), so a continuously-running replica subscribes to the table
+    itself, no side-channel queue. Per micro-batch the replica pulls
+    every not-yet-applied version's op-aware delta
+    (sources/manifest.py snapshot_changelog) and applies it
+    MERGE-ON-READ: insert-only deltas land as an O(batch) append,
+    delete-only deltas as an O(keys) equality-delete commit — the
+    replica never rewrites itself — with the applied source version
+    riding IN the replica's own manifest commit, so an at-least-once
+    replay skips atomically (the same marker-in-commit trick as
+    streaming_snapshot_ingest, but per source VERSION, finer than per
+    micro-batch). Row-preserving rewrites on the source emit an empty
+    delta and are skipped without a commit. The structural proof rides
+    in the hash contract: after v1-bootstrap + v2-append + v3-delete +
+    v4-compaction the replica must hold exactly 2 data files and 1
+    LIVE delete file (a replica that rewrote itself, double-applied a
+    replay, or resurrected deleted rows mismatches the literals or
+    the rows). Mixed insert+delete deltas are out of this replica's
+    scope (two commits cannot be atomic) and raise. Beyond-reference
+    (SURVEY.md §2.9 + streaming family)."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    src = _changelog_root(spark, sf_dir)
+    cached = _STREAM_CDC_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_cdc_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _STREAM_CDC_CACHE[sf_dir] = (spark, root)
+    replica = _os.path.join(root, "replica")
+    ckpt = _os.path.join(root, "ckpt")
+
+    def apply_versions(batch_df, batch_id):
+        # the batch's rows only SIGNAL that new commits exist; the
+        # replica pulls pending versions from the source root itself,
+        # so delivery order and batching cannot misapply a delta
+        seen = max(
+            (int(r["version"]) for r in batch_df.collect()), default=-1
+        )  # bounded: one row per source commit
+        if seen < 0:
+            return
+        last = int(M.last_committed_meta(replica, "applied_version", 0))
+        for v in range(max(last + 1, 1), seen + 1):
+            if v == 1:  # bootstrap: the pinned v1 snapshot, one commit
+                M.commit_append(
+                    replica,
+                    M.read_snapshot(spark, src, 1),
+                    n_files=1,
+                    meta={"applied_version": 1},
+                )
+                continue
+            delta = M.snapshot_changelog(spark, src, v - 1, v)
+            ins = delta.filter(F.col("change") == "insert").select(
+                "id", "label"
+            )
+            dels = delta.filter(F.col("change") == "delete").select("id")
+            n_ins, n_del = ins.count(), dels.count()
+            if n_ins and n_del:
+                raise ValidationError(
+                    "streaming_cdc_replica: mixed insert+delete delta "
+                    f"at source version {v} — two commits cannot be "
+                    "atomic; out of this replica's scope"
+                )
+            if n_ins:
+                M.commit_append(
+                    replica, ins, n_files=1, meta={"applied_version": v}
+                )
+            elif n_del:
+                M.commit_delete_where(
+                    replica, dels, "id", meta={"applied_version": v}
+                )
+            # empty delta (row-preserving rewrite): no commit, no
+            # marker advance — re-deriving it on replay is a no-op
+
+    q = (
+        spark.readStream.schema(
+            T.StructType([T.StructField("version", T.LongType())])
+        )
+        .option("maxFilesPerTrigger", 1)  # one commit per micro-batch
+        .json(_os.path.join(src, "manifest-*.json"))
+        .writeStream.foreachBatch(apply_versions)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    applied = int(M.last_committed_meta(replica, "applied_version", -1))
+    n_data = len(M.snapshot_files(replica)[1])
+    n_del_files = len(M.snapshot_delete_files(replica))
+    return M.read_snapshot(spark, replica).select(
+        F.lit(applied).alias("applied_version"),
+        F.lit(n_data).alias("replica_data_files"),
+        F.lit(n_del_files).alias("replica_delete_files"),
+        "id",
+        "label",
+    ).orderBy("id")
+
+
+ANN_RANGE_QSEED = 53
+ANN_RANGE_TAU = 0.2
+
+
+def _ann_ivf_range_oracle() -> str:
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    qlit = sql_array_literal(query_vector(ANN_RANGE_QSEED))
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(ANN_RANGE_QSEED))
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM assigned
+WHERE list_id IN ({probed})
+  AND list_dot_product(e, {qlit}) >= {ANN_RANGE_TAU}
+ORDER BY score DESC, id ASC"""
+
+
+@register("ann_ivf_range_search", _ann_ivf_range_oracle())
+def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search through the IVF index — vector_range_search's scale
+    path: partition-prune to the probed lists, then the K-free
+    threshold scan within them (FAISS ``range_search`` on an IVF index
+    has exactly this shape). Still heap-free and merge-free — every
+    pruned partition emits its qualifying rows independently — and
+    bytes read stay ∝ nprobe/nlist. ANN semantics: rows above τ in
+    unprobed lists are (deliberately) not visited; the oracle replays
+    assignment, probe, and threshold, so the hash certifies the pruned
+    semantics exactly."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    probed = index.probe(query_vector(ANN_RANGE_QSEED), ANN_IVF_NPROBE)
+    pruned = index.assigned.filter(F.col("list_id").isin(probed))
+    scored = pruned.select(
+        "id",
+        dot_score_column(query_vector(ANN_RANGE_QSEED)).alias("score"),
+    ).filter(F.col("score") >= ANN_RANGE_TAU)
+    return scored.select(
+        "id", F.round("score", 6).alias("score")
+    ).orderBy(F.col("score").desc(), F.col("id").asc())
+
+
+STREAM_RANGE_QSEED = 59
+STREAM_RANGE_TAU = 0.2
+
+
+@register(
+    "streaming_range_alerts",
+    f"""SELECT vec_id AS id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_RANGE_QSEED))}), 6) AS score
+FROM embeddings
+WHERE list_dot_product(embedding::DOUBLE[], {sql_array_literal(query_vector(STREAM_RANGE_QSEED))}) >= {STREAM_RANGE_TAU}
+ORDER BY score DESC, id ASC""",
+    side_effects=True,
+)
+def streaming_range_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS similarity alerting — range search as a stream: each
+    arriving embedding is scored against the standing query with the
+    JVM kernel and emitted iff it clears τ. Completely STATELESS (a
+    map + filter per micro-batch: no state store, no watermark, no
+    shuffle), which is why the streaming form is exactly the batch
+    range scan run incrementally — and the oracle IS the batch range
+    search over the same landed rows, so the hash certifies
+    batch/stream parity. The production shape for "page me when
+    something too close to X lands" (dedup guards, contamination
+    tripwires, abuse fingerprints) at any ingest rate: per-batch cost
+    is the batch's rows × one fused projection."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.functions.vector import dot_score_column
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        run_available_now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    alerts = (
+        spark.readStream.schema(schema)
+        .parquet(_landing(spark, sf_dir, "embeddings"))
+        .select(
+            F.col("vec_id").alias("id"),
+            dot_score_column(
+                query_vector(STREAM_RANGE_QSEED)
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= STREAM_RANGE_TAU)
+    )
+    table = "stream_range_alerts"
+    run_available_now(
+        alerts,
+        table,
+        output_mode="append",
+        shuffle_partitions=4,
+        flush_no_data_batch=False,  # stateless map: nothing emits late
+    )
+    return (
+        spark.table(table)
+        .select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+    )
+
+
+STREAM_COMPACT_QSEED = 47
+
+
+@register(
+    "streaming_ivf_compacted_topk",
+    _ann_ivf_oracle(STREAM_COMPACT_QSEED),
+    side_effects=True,
+)
+def streaming_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest's MAINTENANCE path, hash-checked end-to-end
+    (VERDICT r7 next #3): drain the ``streaming_ivf_ingest`` sink
+    through its exactly-once commit log into a compacted ONE-file-per-
+    list probe root (operators/ivf.py compact_streaming_layout — the
+    sink keeps accumulating a file per touched list per micro-batch;
+    the probe root pays file-opens ∝ probed lists, however long the
+    stream has run), then answer the standard partition-pruned probe
+    over the swapped-in root. The oracle replays assignment, probe, and
+    top-K over the raw embeddings — a hash match certifies that
+    ingest → drain → swap → probe lost and duplicated nothing. The
+    file-count bound and repeat-swap behavior are pinned in
+    tests/test_ivf_upsert.py::test_streaming_layout_drain_and_swap."""
+    import os
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        compact_streaming_layout,
+        open_streaming_probe_root,
+    )
+
+    # ensure the streaming sink exists and is drained (idempotent:
+    # re-draining unchanged input is a commit-log no-op)
+    streaming_ivf_ingest(spark, sf_dir)
+    root = _STREAM_IVF_CACHE[sf_dir][1]
+    sink = os.path.join(root, "index")
+    probe_root = os.path.join(root, "probe")
+    compact_streaming_layout(spark, sink, probe_root)
+    cents = _ann_ivf_centroids()
+    # recovery-aware open: a swap crashed by a previous process replays
+    # here instead of surfacing as a missing probe root
+    index = IVFIndex(
+        open_streaming_probe_root(spark, probe_root),
+        cents,
+        partitioned_path=probe_root,
+    )
+    plan, _probed = index.search_plan(
+        query_vector(STREAM_COMPACT_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    return plan.select("id", F.round("score", 6).alias("score"))
+
+
+# ------------------------------------------------------------ bucketed layout
+
+# Bucketed orders/lineitem layout on orderkey, keyed by sf_dir with the
+# session-identity check every artifact cache uses. Paying the shuffle
+# ONCE at write time (bucketBy + sortBy through the session catalog) is
+# the 100 TB answer to the fact⋈fact join: after it, every equi-join and
+# groupBy on the bucket key plans with ZERO shuffle Exchange — task i
+# zips bucket i of one table with bucket i of the other.
+_BUCKETED_TPCH: dict[str, tuple[SparkSession, tuple[str, str]]] = {}
+
+
+def _bucketed_tpch_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
+) -> tuple[str, str]:
+    """Write (once per session × sf_dir) orders and lineitem bucketed on
+    their orderkey and return the catalog table names. The bucket count
+    is VOLUME-DERIVED over both sides (sources/bucketing.py:
+    derive_bucket_count) — one shared count, since shuffle elision
+    requires matching specs; a pinned count capped the ×16 probe at 8
+    tasks (r10 verdict's scale-killer)."""
+    got = _BUCKETED_TPCH.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    import re as _re
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources.bucketing import (
+        derive_bucket_count,
+        write_bucketed,
+    )
+
+    slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    names = (f"hvs_bkt_orders_{slug}", f"hvs_bkt_lineitem_{slug}")
+    sides = {
+        table: load_table(spark, sf_dir, table)
+        for table in ("orders", "lineitem")
+    }
+    if n_buckets is None:
+        n_buckets = derive_bucket_count(spark, *sides.values())
+    for table, key, tbl_name in (
+        ("orders", "o_orderkey", names[0]),
+        ("lineitem", "l_orderkey", names[1]),
+    ):
+        write_bucketed(
+            sides[table],
+            tbl_name,
+            key,
+            n_buckets,
+            path=scratch_path(tbl_name),
+        )
+    _BUCKETED_TPCH[sf_dir] = (spark, names)
+    return names
+
+
+@register("tpch_q18_bucketed", ORACLES["tpch_q18_large_orders"])
+def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 over the BUCKETED layout — identical results to
+    ``tpch_q18_large_orders`` (same oracle SQL), different storage plan:
+    both fact tables are pre-bucketed on orderkey, so the lineitem
+    groupBy AND the orders⋈big sort-merge join (forced with a merge hint
+    — at test scale broadcast would otherwise hide the point) run with
+    zero shuffle Exchange; the only Exchange in the plan is the
+    broadcast of the customer dim. This is the storage-layout variant of
+    the persisted-index pattern (ann_ivf_persisted_topk): pay the
+    partitioning once at ingest, never per query."""
+    ord_tbl, li_tbl = _bucketed_tpch_tables(spark, sf_dir)
+    orders = spark.table(ord_tbl)
+    li = spark.table(li_tbl)
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        orders.hint("merge")
+        .join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+# Day-partitioned events layout (the hypertable pattern), keyed by sf_dir
+# with the session-identity check every artifact cache uses. Bucketing
+# (above) buys shuffle-free JOINS; hive partitioning buys PRUNED SCANS —
+# at 100 TB an event log is written partitioned by arrival day, and a
+# bounded time-range query must read only the matching partition dirs,
+# never the rest of the history.
+_EVENTS_BY_DAY: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _events_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session × sf_dir) events hive-partitioned by event
+    day and return the path. The pre-write ``repartition(day)`` gives
+    each write task whole days, so every partition dir is a single file
+    instead of one shard per upstream task."""
+    got = _EVENTS_BY_DAY.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    ev = load_table(spark, sf_dir, "events")
+    path = scratch_path("events_by_day")
+    (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    _EVENTS_BY_DAY[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "events_hypertable_day_range",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-10'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_hypertable_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range rollup over the DAY-PARTITIONED events layout —
+    the hypertable scan path. The ``day`` predicate is a partition
+    filter: Spark plans the scan with ``PartitionFilters`` and lists
+    only the 3 matching partition dirs of 30 (10% of files touched, and
+    the fraction is constant as history grows — the pruning, not the
+    filter, is what survives 100× more days). Oracle recomputes from the
+    unpartitioned table. The layout is written once per session like
+    the bucketed tables; on a cluster it is the ingest format itself."""
+    path = _events_day_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(F.col("day").between("2024-01-08", "2024-01-10"))
+        # partition-column type inference reads `day` back as DATE; the
+        # filter above prunes on that native type, the cast only renders
+        # the output as the oracle's string
+        .groupBy(F.col("day").cast("string").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_BUCKETED_CORPUS: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+@register(
+    "corpus_bucketed_profile",
+    f"""{CORPUS_CTE}
+SELECT label, lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM corpus GROUP BY label, lang ORDER BY label, lang""",
+)
+def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN corpus join (S1/J1: embeddings⋈metadata,
+    src/dataio/loaders.py join) through the BUCKETED layout
+    (sources/bucketing.py): both sides pre-hashed on id, so the wide
+    join plans with zero shuffle Exchange — only the final tiny
+    (label, lang) aggregation shuffles. Driver-hash evidence for the
+    corpus-layout claim the bucketing tests make; the oracle recomputes
+    the same profile from the raw tables. SUM over int n_chars keeps
+    the aggregate exact in any order."""
+    got = _BUCKETED_CORPUS.get(sf_dir)
+    joined = got[1] if got is not None and got[0] is spark else None
+    if joined is None:
+        import re as _re
+
+        from hybrid_vector_search_spark.scratch import scratch_path
+        from hybrid_vector_search_spark.sources.bucketing import (
+            bucketed_corpus_tables,
+        )
+
+        slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
+        joined = bucketed_corpus_tables(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "documents"),
+            n_buckets=None,  # volume-derived (sources/bucketing.py)
+            prefix=f"hvs_corpus_{slug}",
+            # external location in tracked scratch: a managed table would
+            # leave its warehouse dir behind on process death and the
+            # NEXT process's overwrite hits LOCATION_ALREADY_EXISTS
+            base_path=scratch_path(f"hvs_corpus_{slug}"),
+        )
+        _BUCKETED_CORPUS[sf_dir] = (spark, joined)
+    return (
+        joined.groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("label", "lang")
+    )

@@ -464,8 +464,116 @@ def main() -> None:
         f" {costed[k][3]} |"
         for k in factors
     ] + [""]
+
+    # -- Appendix (r10 verdict task 5): push the load-bearing rows past
+    # the main grid — the superlinear-TRENDING dedup rows at ×32, and
+    # the manifest's O(versions) driver term at a 200-commit history
+    # (×16 data volume never exercises it: every r10 manifest row read
+    # flat because its history was ~5 versions deep).
+    deep_k = 2 * factors[-1]
+    d32 = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{deep_k}")
+    done32 = os.path.join(d32, f"_INFLATED_OK_{INFLATE_SCHEME}")
+    if not os.path.exists(done32):
+        inflate(spark, deep_k, d32)
+        Path(done32).touch()
+    deep_rows = []
+    for q in ("docs_split_leakage", "dedup_minhash_estimate_quality"):
+        fn = R.QUERIES[q]
+        fn(spark, d32).write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))):
+            t0 = time.perf_counter()
+            fn(spark, d32).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        base = results[q][factors[-1]]
+        deep_rows.append(
+            f"| {q} | {results[q][factors[0]]:.2f}s | {base:.2f}s |"
+            f" {best:.2f}s | {best / max(base, 1e-9):.1f}× for 2× data |"
+        )
+        print(json.dumps({"factor": deep_k, "query": q, "sec": round(best, 3)}))
+    lines += [
+        f"## Appendix: ×{deep_k} probe of the superlinear-trending rows",
+        "",
+        f"| query | ×{factors[0]} | ×{factors[-1]} | ×{deep_k} |"
+        f" ×{factors[-1]}→×{deep_k} |",
+        "|---|---|---|---|---|",
+        *deep_rows,
+        "",
+    ]
+    lines += _deep_history_lines(spark)
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print(f"wrote {REPO / 'SCALING.md'}")
+
+
+def _deep_history_lines(spark) -> list[str]:
+    """Measure the manifest layout's per-read O(versions) driver term
+    against a 200-commit history: every snapshot read re-lists the
+    commit log (os.listdir) and parses ONE manifest JSON — listing is
+    linear in retained versions, parsing is linear in the snapshot's
+    file count, so a deep history should cost microseconds more, not
+    milliseconds. Evidence for the claim; vacuum + tags bound the
+    retained count in production."""
+    import shutil
+
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    base = os.path.join(tempfile.gettempdir(), "hvs_deep_history")
+    marker = os.path.join(base, "_OK_v1")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        for nv, name in ((10, "shallow"), (200, "deep")):
+            root = os.path.join(base, name)
+            df = spark.range(100).selectExpr("id", "id % 7 AS label")
+            for _ in range(nv):
+                M.commit_append(root, df, n_files=1)
+        Path(marker).touch()
+
+    out = []
+    for name in ("shallow", "deep"):
+        root = os.path.join(base, name)
+        nv = len(M.list_versions(root))
+        # driver-side resolution cost: list versions + parse manifest
+        best_meta = float("inf")
+        for _ in range(20):
+            t0 = time.perf_counter()
+            v = M.current_version(root)
+            M.snapshot_files(root, v)
+            best_meta = min(best_meta, time.perf_counter() - t0)
+        # end-to-end read (plan + count) at the latest and a pinned mid
+        # version — the full reader path a consumer pays
+        best_read = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            M.read_snapshot(spark, root).count()
+            best_read = min(best_read, time.perf_counter() - t0)
+        out.append((name, nv, best_meta * 1000.0, best_read))
+    lines = [
+        "## Appendix: manifest read cost vs history depth (200 commits)",
+        "",
+        "Per-read driver term = one directory listing (O(retained "
+        "versions)) + one manifest JSON parse (O(snapshot files), not "
+        "O(history)). Measured on a 100-row table so the scan term is "
+        "negligible:",
+        "",
+        "| history | versions | resolve ms (list+parse, min-of-20) | "
+        "full read s (min-of-3) |",
+        "|---|---|---|---|",
+    ]
+    for name, nv, meta_ms, read_s in out:
+        lines.append(
+            f"| {name} | {nv} | {meta_ms:.2f} | {read_s:.2f} |"
+        )
+    shallow_ms, deep_ms = out[0][2], out[1][2]
+    lines += [
+        "",
+        f"20× the versions costs {deep_ms - shallow_ms:+.2f} ms of "
+        "driver resolution per read — the commit-log listing is not a "
+        "scaling term at realistic retention (vacuum keeps the list "
+        "bounded; tag-pinned versions persist without lengthening the "
+        "hot path, since resolution reads only the target manifest).",
+        "",
+    ]
+    return lines
 
 
 if __name__ == "__main__":
