@@ -30,15 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["hybrid_topk_exact"](spark, "/root/testdata/sf0.001")
 
 
-def _verified_in_prior_rounds() -> set[str]:
-    """Union of query names with a green driver row in any prior round's
-    CORRECTNESS_r*.json (repo root). Used only to ORDER the registry so
-    never-verified queries occupy the sampled head of the dict; the set of
-    registered queries is unaffected."""
+def _last_verified_round() -> dict[str, int]:
+    """Per query, the LATEST round with a green driver row in
+    CORRECTNESS_r*.json (repo root); absent = never verified (0). Used
+    only to ORDER the registry — the driver samples a prefix of
+    ``queries()``, so fronting never-verified first and then
+    least-recently-verified keeps every query's cross-round verification
+    age bounded instead of letting early-registered entries monopolize
+    the sample."""
     import json
+    import re
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(Path(_REPO_ROOT).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -48,17 +54,16 @@ def _verified_in_prior_rounds() -> set[str]:
                 if isinstance(res, dict) and res.get("rows_match") and res.get(
                     "schema_match"
                 ):
-                    seen.add(name)
-    return seen
+                    last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with never-driver-verified queries first (stable
-    within each group). The driver samples a prefix of ``queries()``;
-    fronting unverified entries maximizes union coverage across rounds."""
-    verified = _verified_in_prior_rounds()
+    """Registry names ordered by verification age: never-driver-verified
+    first, then least-recently-verified (stable within a round group)."""
+    last = _last_verified_round()
     names = list(QUERIES)
-    return sorted(names, key=lambda n: (n in verified, names.index(n)))
+    return sorted(names, key=lambda n: (last.get(n, 0), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
