@@ -365,11 +365,23 @@ def read_snapshot_pruned(
 # writing — immutable data files + CAS manifest publish
 
 
-def _write_data_files(df: DataFrame, root: str, n_files: int) -> list[str]:
+def _write_data_files(
+    df: DataFrame, root: str, n_files: int | None
+) -> list[str]:
     """Write a batch as immutable data files under ``data/<uuid>/`` and
     return their root-relative paths. The fresh uuid dir is why
     concurrent writers never collide on data paths — only the manifest
-    name is contended."""
+    name is contended. ``n_files=None`` derives the count from the
+    batch's plan-estimated bytes (the bucketing module's 128 MB/file
+    target, floored at the cluster parallelism) — the OPTIMIZE-scale
+    default, since a pinned file count becomes a parallelism cap as
+    tables grow (same failure the r10 bucketed layout had)."""
+    if n_files is None:
+        from hybrid_vector_search_spark.sources.bucketing import (
+            derive_bucket_count,
+        )
+
+        n_files = derive_bucket_count(df.sparkSession, df)
     sub = os.path.join("data", uuid.uuid4().hex[:12])
     out_dir = os.path.join(root, sub)
     df.repartition(max(int(n_files), 1)).write.mode("errorifexists").parquet(
@@ -838,7 +850,7 @@ def _schema_payload(df: DataFrame) -> dict:
 def commit_append(
     root: str,
     df: DataFrame,
-    n_files: int = 1,
+    n_files: int | None = 1,
     meta: dict | None = None,
     stats_columns: bool = True,
 ) -> int:
@@ -1093,7 +1105,10 @@ def last_committed_meta(root: str, key: str, default=None):
 
 
 def commit_rewrite(
-    root: str, df: DataFrame, n_files: int = 1, stats_columns: bool = True
+    root: str,
+    df: DataFrame,
+    n_files: int | None = 1,
+    stats_columns: bool = True,
 ) -> int:
     """Publish a full REWRITE (compaction / overwrite) as v+1: the new
     snapshot references only the rewritten files, while every retained

@@ -1092,3 +1092,19 @@ def test_apply_changelog_folds_version_by_version(spark, tmp_path):
         )
     )
     assert collapsed.filter(collapsed.id == 50).count() > 0
+
+
+def test_rewrite_with_derived_file_count(spark, tmp_path):
+    """n_files=None derives the rewrite's file count from batch volume
+    (pow2, never below cluster parallelism) — a compaction whose output
+    file count scales with the table instead of pinning a parallelism
+    cap."""
+    root = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):
+        M.commit_append(root, _df(spark, lo, lo + 10))
+    v = M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=None)
+    _, files = M.snapshot_files(root, v)
+    p = spark.sparkContext.defaultParallelism
+    floor = 1 << (p - 1).bit_length()
+    assert len(files) == floor  # tiny table: the parallelism floor
+    assert _ids(M.read_snapshot(spark, root, v)) == set(range(40))
