@@ -501,6 +501,43 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_candidate_count(
+    docs: DataFrame, id_col: str = "doc_id", cache_tag: str = "cc"
+) -> int:
+    """Distinct LSH band-candidate pair count — the noise-proof WORK
+    invariant the scaling probe records: wall-clock on a shared host
+    can smear any cell, a pair COUNT cannot. Same banded equi-join as
+    :func:`minhash_lsh_pairs`, stopped at the distinct-candidate
+    stage."""
+    rows = NUM_HASHES // NUM_BANDS
+    sig = materialize_parquet(
+        minhash_signatures(docs, id_col).select(id_col, "sig"),
+        f"lsh_cc_{cache_tag}",
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(bi),
+                *[F.col("sig")[bi * rows + r] for r in range(rows)],
+            )
+            for bi in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+        .distinct()
+        .count()
+    )
+
+
 def minhash_estimate_vs_true(
     docs: DataFrame,
     id_col: str = "doc_id",
