@@ -566,9 +566,9 @@ def main() -> None:
     )
     batch_plan = grouped_topk(per_qid_dot_scores(fanned, qvecs), ["qid"], 10)
 
-    def best_ms(plan, action="collect") -> float:
+    def best_ms(plan, action="collect", runs: int | None = None) -> float:
         best = float("inf")
-        for _ in range(RUNS):
+        for _ in range(runs or RUNS):
             t0 = time.perf_counter()
             plan.count() if action == "count" else plan.collect()
             best = min(best, time.perf_counter() - t0)
@@ -639,8 +639,10 @@ def main() -> None:
     mean_rrf = sum(rrf_ms.values()) / len(rrf_ms)
     # the number every per-query row is bounded by: Spark's job-launch
     # floor in this very session (scheduler + DAG + task round trip for
-    # a trivial 1M-row count)
-    floor_ms = best_ms(spark.range(1_000_000), action="count")
+    # a trivial 1M-row count). min-of-20: the floor anchors the whole
+    # per-query argument, and a single contended min-of-5 block once
+    # recorded a "floor" ABOVE the measured ANN rows it bounds
+    floor_ms = best_ms(spark.range(1_000_000), action="count", runs=20)
 
     mean_exact = sum(exact_ms.values()) / len(exact_ms)
     mean_pre = sum(pre_ms.values()) / len(pre_ms)
