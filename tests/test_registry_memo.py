@@ -63,6 +63,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "events_rollup_snapshot",
         "corpus_snapshot_schema_evolution",
         "strategy_costed_choice",
+        "harness_auto_costed_batch",
         "ann_mmr_rerank_topk",
         "events_incremental_rollup",
         "corpus_snapshot_reads",
