@@ -480,6 +480,105 @@ def corpus_snapshot_pruned_scan(
     )
 
 
+_BLOOM_SCAN_CACHE: dict[str, tuple[SparkSession, str]] = {}
+_BLOOM_PROBE_ID = 137  # present at every sf (ids are 0..N-1, N ≥ 500)
+_BLOOM_CLUSTERS = 4
+
+
+def _bloom_scan_oracle() -> str:
+    """Replays the WHOLE bloom-skipping decision from the base table:
+    the cluster assignment (id % 4), each cluster's id [min,max], each
+    cluster's bloom BIT-POSITION SET (same portable-md5 family the
+    engine writes into the manifest — sources/manifest.py
+    bloom_positions), the probe's positions, range-admit and
+    bloom-admit counts, and the looked-up row itself."""
+    from hybrid_vector_search_spark.sources.manifest import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_positions,
+    )
+
+    probe = _BLOOM_PROBE_ID
+    tpos = sorted(set(bloom_positions(probe)))
+    tlist = ", ".join(str(p) for p in tpos)
+    pos_union = "\nUNION ALL\n".join(
+        f"SELECT b, ('0x' || substr(md5('bloom{i}:' || id::VARCHAR), 1, 8))"
+        f"::BIGINT % {BLOOM_BITS} AS p FROM c"
+        for i in range(BLOOM_HASHES)
+    )
+    return f"""WITH c AS (
+  SELECT vec_id AS id, label, CAST(vec_id % {_BLOOM_CLUSTERS} AS INT) AS b
+  FROM embeddings),
+mm AS (SELECT b, MIN(id) AS mn, MAX(id) AS mx FROM c GROUP BY b),
+range_ok AS (SELECT b FROM mm WHERE mn <= {probe} AND mx >= {probe}),
+pos AS (SELECT DISTINCT b, p FROM ({pos_union})),
+bloom_ok AS (
+  SELECT b FROM pos WHERE p IN ({tlist})
+  GROUP BY b HAVING COUNT(DISTINCT p) = {len(tpos)})
+SELECT CAST({_BLOOM_CLUSTERS} AS BIGINT) AS files_total,
+  (SELECT COUNT(*) FROM range_ok) AS kept_range,
+  (SELECT COUNT(*) FROM range_ok r JOIN bloom_ok k USING (b)) AS kept_bloom,
+  id, label
+FROM c WHERE id = {probe}"""
+
+
+@register(
+    "corpus_snapshot_bloom_scan",
+    _bloom_scan_oracle(),
+    side_effects=True,
+)
+def corpus_snapshot_bloom_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-FILE BLOOM-FILTER FILE SKIPPING (sources/manifest.py r11 —
+    the Iceberg/Delta bloom-index story): the corpus is committed with
+    an INTERLEAVED cluster layout (one file per ``id % 4`` residue), so
+    every file's [min,max] spans nearly the whole id range — range
+    stats admit ALL files for an interior point lookup, the exact case
+    z-order/clustering can't fix. The commit records a per-file Bloom
+    filter over ``id`` (portable-md5 hash family, 4096 bits × 3
+    hashes, stored inline in the manifest's per-file stats), and the
+    point lookup keeps only files whose bloom might contain the probe
+    — its own residue file plus deterministic false positives, which
+    the oracle REPLAYS exactly (cluster assignment, per-cluster bit
+    sets, the probe's positions, both admit counts, and the row).
+    Emitting the measured kept counts as columns makes a skipping
+    regression (reading everything, or wrongly dropping the true file)
+    a hash mismatch, not a silent slowdown. At 100 TB: a needle lookup
+    opens O(1 + fp) files instead of every file whose range straddles
+    the key."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _BLOOM_SCAN_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        ).withColumn(
+            "b", (F.col("id") % _BLOOM_CLUSTERS).cast("int")
+        )
+        root = scratch_path(
+            "snap_bloom_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(root, emb, "b", bloom_columns=["id"])
+        _BLOOM_SCAN_CACHE[sf_dir] = (spark, root)
+    _v, kept, total, kept_range = M.snapshot_files_pruned_eq(
+        root, "id", _BLOOM_PROBE_ID
+    )
+    return (
+        spark.read.parquet(*kept)
+        .filter(F.col("id") == _BLOOM_PROBE_ID)
+        .select(
+            F.lit(total).cast("long").alias("files_total"),
+            F.lit(kept_range).cast("long").alias("kept_range"),
+            F.lit(len(kept)).cast("long").alias("kept_bloom"),
+            "id",
+            "label",
+        )
+    )
+
+
 _TAG_READ_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

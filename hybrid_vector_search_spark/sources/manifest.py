@@ -427,18 +427,191 @@ def _write_data_files_clustered(
     return sorted(rels)
 
 
+# --------------------------------------------------------------------------
+# per-file Bloom filters (r11): point-lookup file skipping where min/max
+# can't — a clustered/z-ordered layout gives every file a tight RANGE box,
+# but a file whose range spans the probe value still has to be read; a
+# bloom answers "is this exact value possibly in this file" in O(k) bit
+# tests. Stored inline in the manifest's per-file stats dict under a
+# reserved "__bloom__:<col>" key, so every commit that already carries
+# stats carries blooms with zero new plumbing, and vacuum/time-travel see
+# nothing new. The hash family is the engine-wide portable md5 (same form
+# as operators/sampling.py portable_hash_key), so a DuckDB oracle replays
+# bloom CONSTRUCTION and the membership test bit-for-bit.
+
+BLOOM_BITS = 4096  # m — 512 bytes/file/column; fp ≈ (1-e^{-kn/m})^k
+BLOOM_HASHES = 3  # k
+
+
+def bloom_key(column: str) -> str:
+    return f"__bloom__:{column}"
+
+
+def bloom_positions(value, m: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """The k bit positions of ``value`` — md5('bloom<i>:' || str(value))
+    first 8 hex chars, mod m. Identical arithmetic in Spark
+    (:func:`_bloom_positions_rows`) and ANSI SQL (portable_hash_key_sql
+    form), which is what makes the skipping oracle-checkable. int and
+    string values only (float string renderings diverge across
+    engines)."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(
+            hashlib.md5(f"bloom{i}:{s}".encode("utf-8")).hexdigest()[:8], 16
+        )
+        % m
+        for i in range(k)
+    ]
+
+
+def _compute_file_blooms(
+    root: str, rels: list[str], column: str, m: int, k: int
+) -> dict[str, dict]:
+    """Per new data file, the bloom bitset of ``column``'s values — ONE
+    distributed pass over the just-written files (O(batch), never
+    O(table)): explode each value to its k positions, distinct
+    (file, position) — bounded by m per file — and assemble the bitset
+    driver-side (≤ m/8 bytes per file)."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession()
+    paths = [os.path.join(root, r) for r in rels]
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bloom{i}:"), F.col(column).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        ).cast("int")
+        for i in range(k)
+    ]
+    rows = (
+        spark.read.parquet(*paths)
+        .select(
+            F.input_file_name().alias("__f"),
+            F.explode(F.array(*pos_cols)).alias("__p"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_file: dict[str, set[int]] = {}
+    for r in rows:
+        by_file.setdefault(r["__f"], set()).add(int(r["__p"]))
+    out: dict[str, dict] = {}
+    for rel in rels:
+        # input_file_name returns a URI; match on the path suffix
+        positions = next(
+            (ps for f, ps in by_file.items() if f.endswith(rel)), set()
+        )
+        bits = bytearray(m // 8)
+        for p in positions:
+            bits[p // 8] |= 1 << (p % 8)
+        out[rel] = {
+            "m": m,
+            "k": k,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _merge_bloom_stats(
+    new_stats: dict, blooms_by_col: dict[str, dict[str, dict]]
+) -> dict:
+    for column, per_file in blooms_by_col.items():
+        for rel, bloom in per_file.items():
+            new_stats.setdefault(rel, {})[bloom_key(column)] = bloom
+    return new_stats
+
+
+def _bloom_admits(stats_entry: dict | None, column: str, value) -> bool:
+    """False only when the file's bloom PROVES the value absent; files
+    without a bloom for the column are conservatively admitted."""
+    import base64
+
+    bloom = (stats_entry or {}).get(bloom_key(column))
+    if not bloom:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[p // 8] & (1 << (p % 8))
+        for p in bloom_positions(value, int(bloom["m"]), int(bloom["k"]))
+    )
+
+
+def snapshot_files_pruned_eq(
+    root: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> tuple[int, list[str], int, int]:
+    """(version, kept absolute paths, total files, kept by min/max
+    alone): point-lookup pruning that layers the per-file bloom on top
+    of the range stats — the case blooms exist for is a file whose
+    [min,max] spans the probe value (interleaved keys, z-order
+    residue) but which provably does not contain it."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    me = _read_manifest(root, v)
+    stats = me.get("stats", {})
+    kept, kept_minmax = [], 0
+    for rel in me["files"]:
+        entry = stats.get(rel, {})
+        mm = entry.get(column)
+        if mm is not None and not (mm[0] <= value <= mm[1]):
+            continue
+        kept_minmax += 1
+        if not _bloom_admits(entry, column, value):
+            continue
+        kept.append(rel)
+    return (
+        v,
+        [os.path.join(root, r) for r in kept],
+        len(me["files"]),
+        kept_minmax,
+    )
+
+
 def commit_append_clustered(
     root: str,
     df: DataFrame,
     column: str,
     meta: dict | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """:func:`commit_append` with the one-file-per-``column``-value
     layout — the build commit of a manifest-backed index (each cluster
-    file prunes exactly by its value)."""
+    file prunes exactly by its value). ``bloom_columns`` additionally
+    records a per-file Bloom filter for each named column (point-lookup
+    skipping where range stats can't prune — see the bloom section
+    above)."""
     os.makedirs(root, exist_ok=True)
     new = _write_data_files_clustered(df, root, column)
     new_stats = _footer_stats(root, new)
+    if bloom_columns:
+        new_stats = _merge_bloom_stats(
+            new_stats,
+            {
+                c: _compute_file_blooms(
+                    root, new, c, BLOOM_BITS, BLOOM_HASHES
+                )
+                for c in bloom_columns
+            },
+        )
     schema = _schema_payload(df.drop("_cluster"))
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
@@ -853,6 +1026,7 @@ def commit_append(
     n_files: int | None = 1,
     meta: dict | None = None,
     stats_columns: bool = True,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Append a batch as snapshot v+1 = v's files + the batch's new
     files. Returns the committed version. Cost is O(batch) — no
@@ -873,6 +1047,16 @@ def commit_append(
     os.makedirs(root, exist_ok=True)
     new = _write_data_files(df, root, n_files)
     new_stats = _footer_stats(root, new) if stats_columns else {}
+    if bloom_columns:
+        new_stats = _merge_bloom_stats(
+            new_stats,
+            {
+                c: _compute_file_blooms(
+                    root, new, c, BLOOM_BITS, BLOOM_HASHES
+                )
+                for c in bloom_columns
+            },
+        )
     schema = _schema_payload(df)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)

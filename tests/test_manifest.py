@@ -1108,3 +1108,58 @@ def test_rewrite_with_derived_file_count(spark, tmp_path):
     floor = 1 << (p - 1).bit_length()
     assert len(files) == floor  # tiny table: the parallelism floor
     assert _ids(M.read_snapshot(spark, root, v)) == set(range(40))
+
+
+def test_bloom_file_skipping_point_lookup(spark, tmp_path):
+    """Per-file blooms prune point lookups where min/max can't: an
+    interleaved layout (cluster = id % 4) gives every file a near-full
+    [min, max] range, so range stats keep everything — the bloom keeps
+    only files that might contain the probed id, with NO false negative
+    (the file truly holding the id always survives)."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(200)], "id long, bucket int"
+    )
+    M.commit_append_clustered(root, df, "bucket", bloom_columns=["id"])
+
+    # interior probes: every cluster's [min, max] admits them (edge
+    # values like 198 ARE range-pruned — that path belongs to min/max)
+    for probe in (17, 52, 103, 150):
+        v, kept, total, kept_minmax = M.snapshot_files_pruned_eq(
+            root, "id", probe
+        )
+        assert total == 4 and kept_minmax == 4  # ranges prune NOTHING
+        assert len(kept) < total  # blooms do
+        got = {r["id"] for r in spark.read.parquet(*kept).collect()}
+        assert probe in got  # no false negative
+    # absent value: every file may be bloom-eliminated (or fp-kept)
+    v, kept, total, _ = M.snapshot_files_pruned_eq(root, "id", 10**9)
+    assert len(kept) <= 1  # at 4096 bits / 50 values, fp ≈ 0
+
+    # files without a bloom are conservatively admitted when their
+    # range admits the probe (range [10, 180] spans 17, no bloom)
+    M.commit_append(
+        root,
+        spark.createDataFrame([(10, 9), (180, 9)], "id long, bucket int"),
+    )
+    v, kept, total, _ = M.snapshot_files_pruned_eq(root, "id", 17)
+    assert total == 5
+    assert len(kept) == 2  # bloom-kept cluster + bloom-less append file
+
+
+def test_bloom_positions_portable(spark):
+    """The bloom hash family matches across Python and the SQL form the
+    oracles replay (portable md5, first 8 hex chars)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for v in (17, "abc", 0):
+        py = M.bloom_positions(v)
+        sql = [
+            con.execute(
+                f"SELECT ('0x' || substr(md5('bloom{i}:' || ?::VARCHAR), 1, 8))::BIGINT % {M.BLOOM_BITS}",
+                [str(v)],
+            ).fetchone()[0]
+            for i in range(M.BLOOM_HASHES)
+        ]
+        assert py == sql, (v, py, sql)
