@@ -579,6 +579,144 @@ def corpus_snapshot_bloom_scan(
     )
 
 
+_STATS_PLANNER_CACHE: dict[str, tuple[SparkSession, str]] = {}
+_SP_FILTERS = {"label": {"eq": 7}, "lang": {"eq": "zh"}}
+
+
+def _stats_planner_oracle() -> str:
+    """Replays the ANALYZE-free decision end-to-end: footer-equivalent
+    count/nulls from the base table, the bloom-UNION linear-counting
+    ndv (the union of per-file bitsets equals the bloom of the global
+    distinct value set, so the replay needs no file split), the
+    System-R estimate with the engine's multiplication order, and the
+    integer decision rule."""
+    from hybrid_vector_search_spark.sources.manifest import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+    )
+
+    m, k = BLOOM_BITS, BLOOM_HASHES
+
+    def ndv_est(col: str) -> str:
+        pos = "\nUNION ALL\n".join(
+            f"SELECT ('0x' || substr(md5('bloom{i}:' || {col}::VARCHAR),"
+            f" 1, 8))::BIGINT % {m} AS p FROM corpus"
+            f" WHERE {col} IS NOT NULL"
+            for i in range(k)
+        )
+        s = f"(SELECT COUNT(DISTINCT p) FROM ({pos}))"
+        return (
+            f"GREATEST(CAST(FLOOR(-({m}.0 / {k}) * "
+            f"ln(1.0 - {s} / {m}.0) + 0.5) AS BIGINT), 1)"
+        )
+
+    # estimate_allowed's float arithmetic for the two-eq conjunction,
+    # with the ndv terms coming from the bloom estimate
+    sel = (
+        "((1.0 * ((1.0 / GREATEST(ndv_label_est, 1))"
+        " * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))"
+        " * ((1.0 / GREATEST(ndv_lang_est, 1))"
+        " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
+    )
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        ANN_IVF_NLIST as NL,
+    )
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        ANN_IVF_NPROBE as NP,
+    )
+
+    return f"""{CORPUS_CTE},
+s AS (SELECT
+  (SELECT COUNT(*) FROM corpus) AS n,
+  (SELECT COUNT(label) FROM corpus) AS nn_label,
+  (SELECT COUNT(lang) FROM corpus) AS nn_lang,
+  (SELECT COUNT(DISTINCT label) FROM corpus) AS ndv_label_exact,
+  (SELECT COUNT(DISTINCT lang) FROM corpus) AS ndv_lang_exact,
+  {ndv_est('label')} AS ndv_label_est,
+  {ndv_est('lang')} AS ndv_lang_est),
+e AS (SELECT s.*, GREATEST(1, LEAST(n, CAST(FLOOR(n * {sel} + 0.5)
+  AS BIGINT))) AS est_allowed FROM s)
+SELECT n, ndv_label_exact, ndv_label_est, ndv_lang_exact, ndv_lang_est,
+  est_allowed,
+  CASE WHEN est_allowed * {NL} < n * {NP}
+       THEN 'pre_filter' ELSE 'post_filter' END AS choice
+FROM e"""
+
+
+@register(
+    "corpus_snapshot_stats_planner",
+    _stats_planner_oracle(),
+    side_effects=True,
+)
+def corpus_snapshot_stats_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANALYZE-FREE PLANNER STATISTICS FROM THE MANIFEST (r11): the
+    costed planner's 100 TB premise — "the statistics come from
+    metadata, not a scan" — wired end-to-end through the lakehouse
+    layer. The corpus commit records, per file, footer row/null counts
+    and per-column blooms; ``manifest_column_stats`` folds them into
+    the exact colstats dict shape with ZERO table scans: count/nulls
+    summed from footers, min/max folded, and ndv estimated by LINEAR
+    COUNTING over the union of the per-file bloom bitsets (a value
+    sets the same bits in every file, so the union IS the global
+    distinct-set bloom — mergeable where per-file COUNT(DISTINCT) is
+    not). ``choose_backend_costed`` then makes the strict-conjunction
+    decision from those metadata stats alone. The oracle replays
+    everything — footer-equivalent counts, the bloom-union ndv bit
+    arithmetic, the estimator's float multiplication order, and the
+    decision — and the emitted exact-vs-estimated ndv columns pin the
+    sketch's accuracy in the hash contract."""
+    from hybrid_vector_search_spark.operators.strategies import (
+        choose_backend_costed,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _STATS_PLANNER_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        corpus = load_corpus(spark, sf_dir).select(
+            "id", "label", "lang"
+        ).withColumn("b", (F.col("id") % 4).cast("int"))
+        root = scratch_path(
+            "snap_stats_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(
+            root, corpus, "b", bloom_columns=["label", "lang"]
+        )
+        _STATS_PLANNER_CACHE[sf_dir] = (spark, root)
+    stats = M.manifest_column_stats(root, ["label", "lang"])
+    n = int(stats["__table__"]["count"])
+    choice, est = choose_backend_costed(
+        stats, _SP_FILTERS, ANN_IVF_NPROBE, ANN_IVF_NLIST
+    )
+    exact = (
+        load_corpus(spark, sf_dir)
+        .agg(
+            F.countDistinct("label").alias("dl"),
+            F.countDistinct("lang").alias("dg"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                int(exact["dl"]),
+                int(stats["label"]["ndv"]),
+                int(exact["dg"]),
+                int(stats["lang"]["ndv"]),
+                int(est),
+                choice,
+            )
+        ],
+        "n LONG, ndv_label_exact LONG, ndv_label_est LONG, "
+        "ndv_lang_exact LONG, ndv_lang_est LONG, est_allowed LONG, "
+        "choice STRING",
+    )
+
+
 _TAG_READ_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

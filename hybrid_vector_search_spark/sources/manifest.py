@@ -501,6 +501,7 @@ def _compute_file_blooms(
     ]
     rows = (
         spark.read.parquet(*paths)
+        .where(F.col(column).isNotNull())  # blooms answer point lookups
         .select(
             F.input_file_name().alias("__f"),
             F.explode(F.array(*pos_cols)).alias("__p"),
@@ -936,10 +937,17 @@ def _footer_stats(root: str, rels: list[str]) -> dict:
     out: dict[str, dict] = {}
     for rel in rels:
         md = pq.ParquetFile(os.path.join(root, rel)).metadata
-        per_col: dict[str, list] = {}
+        # reserved keys (never valid plain column names for pruning):
+        # per-file row count + per-column null counts — the footer
+        # metadata ANALYZE-free planner statistics are summed from
+        # (manifest_column_stats); readers looking up stats[rel][col]
+        # for pruning never see them
+        per_col: dict[str, object] = {"__rows__": int(md.num_rows)}
         # a column missing stats in ANY row group must never surface
         # partial min/max (pruning with a partial range drops rows)
         bad: set[str] = set()
+        null_bad: set[str] = set()
+        nulls: dict[str, int] = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -947,9 +955,16 @@ def _footer_stats(root: str, rels: list[str]) -> dict:
                 name = col.path_in_schema
                 if "." in name:
                     continue  # nested — not prunable here
+                st = col.statistics
+                if name not in null_bad:
+                    nc = st.null_count if st is not None else None
+                    if nc is None:
+                        null_bad.add(name)
+                        nulls.pop(name, None)
+                    else:
+                        nulls[name] = nulls.get(name, 0) + int(nc)
                 if name in bad:
                     continue
-                st = col.statistics
                 mn = mx = None
                 if st is not None and st.has_min_max:
                     mn, mx = st.min, st.max
@@ -969,8 +984,106 @@ def _footer_stats(root: str, rels: list[str]) -> dict:
                     per_col[name][1] = max(per_col[name][1], mx)
                 else:
                     per_col[name] = [mn, mx]
-        if per_col:
-            out[rel] = per_col
+        for name, nc in nulls.items():
+            per_col[f"__nulls__:{name}"] = nc
+        out[rel] = per_col
+    return out
+
+
+def ndv_from_blooms(blooms: list[dict]) -> int:
+    """Distinct-count estimate from the UNION of per-file bloom
+    bitsets — linear counting generalized to k hashes: a value sets the
+    same k positions in every file it appears in, so the union bitset
+    equals the bloom of the table's global distinct value set, and
+    n ≈ -(m/k)·ln(1 − s/m) for s set bits (half-up, matching the SQL
+    replay's FLOOR(x + 0.5)). Mergeable by construction — the property
+    plain COUNT(DISTINCT) per file lacks."""
+    import base64
+    import math
+
+    if not blooms:
+        raise ValidationError("ndv_from_blooms: no bloom entries")
+    m = int(blooms[0]["m"])
+    k = int(blooms[0]["k"])
+    union = bytearray(m // 8)
+    for b in blooms:
+        if int(b["m"]) != m or int(b["k"]) != k:
+            raise ValidationError(
+                "ndv_from_blooms: mixed bloom parameters"
+            )
+        for i, byte in enumerate(base64.b64decode(b["b64"])):
+            union[i] |= byte
+    s = sum(bin(x).count("1") for x in union)
+    if s >= m:  # saturated: every slot set — no estimate possible
+        raise ValidationError(
+            "ndv_from_blooms: bloom saturated; increase BLOOM_BITS"
+        )
+    return max(int(-(m / k) * math.log(1.0 - s / m) + 0.5), 1)
+
+
+def manifest_column_stats(
+    root: str, columns: list[str], version: int | None = None
+) -> dict:
+    """ANALYZE-free planner statistics from manifest METADATA alone —
+    zero table scans, the 100 TB substitution the costed planner's
+    docstrings promise (operators/ivf.py PostFilterBackend): row count
+    = Σ per-file footer row counts, per-column nulls = Σ footer null
+    counts, min/max = fold of per-file ranges, ndv = linear-counting
+    over the union of the per-file bloom bitsets
+    (:func:`ndv_from_blooms` — requires the column in the commit's
+    ``bloom_columns``). Returns the exact dict shape
+    functions/colstats.py produces, so ``estimate_allowed`` /
+    ``choose_backend_costed`` consume it unchanged. Raises when a file
+    lacks the needed footer/bloom coverage — a wrong estimate only
+    costs performance, but a silently PARTIAL one would be unbounded-
+    wrong, so absence is loud."""
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    me = _read_manifest(root, v)
+    stats = me.get("stats", {})
+    total = 0
+    for rel in me["files"]:
+        entry = stats.get(rel, {})
+        if "__rows__" not in entry:
+            raise ValidationError(
+                f"manifest_column_stats at '{root}': file '{rel}' "
+                f"predates footer row counts — recommit or OPTIMIZE"
+            )
+        total += int(entry["__rows__"])
+    out: dict = {"__table__": {"count": total}}
+    for col in columns:
+        nulls = 0
+        mn = mx = None
+        blooms = []
+        for rel in me["files"]:
+            entry = stats.get(rel, {})
+            nk = f"__nulls__:{col}"
+            if nk not in entry:
+                raise ValidationError(
+                    f"manifest_column_stats at '{root}': file '{rel}' "
+                    f"has no null count for '{col}'"
+                )
+            nulls += int(entry[nk])
+            mm = entry.get(col)
+            if mm is not None:
+                mn = mm[0] if mn is None else min(mn, mm[0])
+                mx = mm[1] if mx is None else max(mx, mm[1])
+            bl = entry.get(bloom_key(col))
+            if bl is None:
+                raise ValidationError(
+                    f"manifest_column_stats at '{root}': file '{rel}' "
+                    f"has no bloom for '{col}' — commit with "
+                    f"bloom_columns=['{col}'] to enable ndv estimation"
+                )
+            blooms.append(bl)
+        out[col] = {
+            "count": total,
+            "nulls": nulls,
+            "ndv": ndv_from_blooms(blooms),
+            "min": mn,
+            "max": mx,
+        }
     return out
 
 

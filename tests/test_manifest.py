@@ -1163,3 +1163,41 @@ def test_bloom_positions_portable(spark):
             for i in range(M.BLOOM_HASHES)
         ]
         assert py == sql, (v, py, sql)
+
+
+def test_manifest_column_stats_analyze_free(spark, tmp_path):
+    """Planner statistics folded from manifest metadata alone: row and
+    null counts from footers, ndv from the bloom-bitset union — and the
+    dict shape feeds estimate_allowed unchanged."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.functions.colstats import (
+        estimate_allowed,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, i % 7 if i % 10 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, label int").withColumn(
+        "b", (F.col("id") % 3).cast("int")
+    )
+    M.commit_append_clustered(root, df, "b", bloom_columns=["label"])
+    # a second append merges: counts sum, blooms union
+    df2 = spark.createDataFrame(
+        [(1000 + i, 7 + i % 3) for i in range(60)], "id long, label int"
+    ).withColumn("b", (F.col("id") % 3).cast("int"))
+    M.commit_append_clustered(root, df2, "b", bloom_columns=["label"])
+
+    stats = M.manifest_column_stats(root, ["label"])
+    assert stats["__table__"]["count"] == 360
+    st = stats["label"]
+    assert st["count"] == 360
+    assert st["nulls"] == 30  # every 10th of the first 300
+    assert st["min"] == 0 and st["max"] == 9
+    true_ndv = 10  # labels 0..6 from batch 1, 7..9 added by batch 2
+    assert abs(st["ndv"] - true_ndv) <= 1  # linear counting, tiny n
+    est = estimate_allowed(stats, {"label": {"eq": 3}})
+    assert 1 <= est <= 360
+
+    # absence is loud: a column committed without blooms raises
+    with pytest.raises(ValidationError, match="no bloom"):
+        M.manifest_column_stats(root, ["id"])

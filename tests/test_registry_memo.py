@@ -54,6 +54,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "ann_ivf_upsert_snapshot",
         "corpus_snapshot_pruned_scan",
         "corpus_snapshot_bloom_scan",
+        "corpus_snapshot_stats_planner",
         "corpus_snapshot_row_deletes",
         "corpus_snapshot_changelog",
         "corpus_snapshot_cdc_apply",
