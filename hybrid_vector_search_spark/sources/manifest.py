@@ -833,6 +833,7 @@ def commit_replace_values(
     column: str,
     values,
     meta: dict | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Publish v+1 where all rows with ``column ∈ values`` are replaced
     by ``df`` (the caller-computed new content for those clusters) and
@@ -849,8 +850,12 @@ def commit_replace_values(
     rather than risking row loss. Concurrency: base-pinned like
     :func:`commit_rewrite`; concurrent APPENDS whose files are
     disjoint from ``values`` are folded in, anything touching the
-    replaced values conflicts."""
-    base_v = current_version(root)
+    replaced values conflicts. Pass ``base_version`` = the version the
+    replacement content was derived from when a writer may land
+    between that read and this call (commit_rewrite's rule)."""
+    base_v = (
+        current_version(root) if base_version is None else int(base_version)
+    )
     if base_v < 0:
         raise ValidationError(
             f"nothing to replace at '{root}': no committed snapshot"
@@ -1406,6 +1411,7 @@ def commit_rewrite(
     df: DataFrame,
     n_files: int | None = 1,
     stats_columns: bool = True,
+    base_version: int | None = None,
 ) -> int:
     """Publish a full REWRITE (compaction / overwrite) as v+1: the new
     snapshot references only the rewritten files, while every retained
@@ -1419,8 +1425,18 @@ def commit_rewrite(
     replaces base files). If a concurrent writer REMOVED any base file
     (another rewrite won), the snapshots genuinely conflict and
     :class:`CommitConflictError` is raised — the caller must re-read
-    and redo the rewrite, exactly Iceberg's serializable validation."""
-    base_v = current_version(root)
+    and redo the rewrite, exactly Iceberg's serializable validation.
+
+    ``base_version`` MUST be the version ``df`` was read at when the
+    two can differ: the conflict base defaults to the CURRENT version
+    at entry, and an append landing between the caller's
+    ``read_snapshot`` and this call would otherwise be classified as
+    part of the base — its files replaced by rewrite output that never
+    read them (a lost update the r11 threaded OPTIMIZE∥append test
+    caught live). :func:`optimize` pins the pair atomically."""
+    base_v = (
+        current_version(root) if base_version is None else int(base_version)
+    )
     if base_v < 0:
         raise ValidationError(
             f"nothing to rewrite at '{root}': no committed snapshot"
@@ -1467,7 +1483,34 @@ def commit_rewrite(
     )
 
 
-def commit_rewrite_clustered(root: str, df: DataFrame, column: str) -> int:
+def optimize(
+    spark: SparkSession, root: str, n_files: int | None = None
+) -> int:
+    """The safe OPTIMIZE loop: pin (version, snapshot read) atomically,
+    compact, and on a conflict re-read and retry — the compaction
+    command a maintenance job runs against live writers. ``n_files``
+    defaults to the volume-derived count (:func:`_write_data_files`).
+    Retries are bounded by the CAS budget per attempt and
+    ``_MAX_COMMIT_RETRIES`` attempts overall."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        try:
+            return commit_rewrite(
+                root,
+                read_snapshot(spark, root, v),
+                n_files=n_files,
+                base_version=v,
+            )
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"optimize at '{root}': retry budget exhausted under contention"
+    )
+
+
+def commit_rewrite_clustered(
+    root: str, df: DataFrame, column: str, base_version: int | None = None
+) -> int:
     """:func:`commit_rewrite` with the one-file-per-``column``-value
     layout — the OPTIMIZE command: re-cluster accumulated appends
     (whose files have useless full-range stats) into files that are
@@ -1475,8 +1518,12 @@ def commit_rewrite_clustered(root: str, df: DataFrame, column: str) -> int:
     version still reads the pre-optimize files (time travel across a
     compaction). Pair with :func:`zorder_bucket` as the cluster column
     for the multi-column ``OPTIMIZE ZORDER BY`` shape. Concurrency:
-    base-pinned exactly like :func:`commit_rewrite`."""
-    base_v = current_version(root)
+    base-pinned exactly like :func:`commit_rewrite` — pass
+    ``base_version`` = the version ``df`` was read at when a writer may
+    land between the read and this call."""
+    base_v = (
+        current_version(root) if base_version is None else int(base_version)
+    )
     if base_v < 0:
         raise ValidationError(
             f"nothing to rewrite at '{root}': no committed snapshot"

@@ -1201,3 +1201,51 @@ def test_manifest_column_stats_analyze_free(spark, tmp_path):
     # absence is loud: a column committed without blooms raises
     with pytest.raises(ValidationError, match="no bloom"):
         M.manifest_column_stats(root, ["id"])
+
+
+def test_threaded_optimize_races_appenders(spark, tmp_path):
+    """A live two-writer race (no monkeypatch determinism): one thread
+    runs OPTIMIZE (compaction rewrites, retrying on conflict) while
+    appenders keep landing batches. Every append must survive into the
+    final snapshot exactly once, in SOME serial order — the rewrite
+    either folds concurrent appends in (rebase) or loses and retries."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    n_appends = 8
+    errs: list = []
+    done = threading.Event()
+
+    def appender():
+        try:
+            for i in range(1, n_appends + 1):
+                M.commit_append(root, _df(spark, 100 * i, 100 * i + 5))
+        except Exception as e:  # pragma: no cover
+            errs.append(("append", e))
+        finally:
+            done.set()
+
+    def optimizer():
+        # M.optimize pins (version, snapshot read) atomically — the raw
+        # commit_rewrite(read_snapshot(root)) pair has a window where an
+        # append lands between the read and the commit's base resolution
+        # and gets replaced away (the lost update this test caught live
+        # in r11; commit_rewrite now takes base_version to close it)
+        try:
+            while not done.is_set():
+                M.optimize(spark, root, n_files=1)
+        except Exception as e:  # pragma: no cover
+            errs.append(("rewrite", e))
+
+    ta = threading.Thread(target=appender)
+    tb = threading.Thread(target=optimizer)
+    ta.start(); tb.start()
+    ta.join(300); tb.join(300)
+    assert errs == []
+    want = set(range(10)) | {
+        100 * i + j for i in range(1, n_appends + 1) for j in range(5)
+    }
+    got = M.read_snapshot(spark, root)
+    assert _ids(got) == want
+    assert got.count() == len(want)  # exactly once: no duplicates either
