@@ -478,7 +478,10 @@ def _compute_file_blooms(
 
     from pyspark.sql import functions as F
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is thread-local: a writer thread (the threaded
+    # multi-writer tests, a maintenance pool) may see None — fall back
+    # to the default session, which commit paths always run under
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     paths = [os.path.join(root, r) for r in rels]
     pos_cols = [
         (
@@ -1412,6 +1415,7 @@ def commit_rewrite(
     n_files: int | None = 1,
     stats_columns: bool = True,
     base_version: int | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Publish a full REWRITE (compaction / overwrite) as v+1: the new
     snapshot references only the rewritten files, while every retained
@@ -1445,6 +1449,19 @@ def commit_rewrite(
     base_files = set(base["files"])
     new = _write_data_files(df, root, n_files)
     new_stats = _footer_stats(root, new) if stats_columns else {}
+    if bloom_columns:
+        # re-record blooms for the rewritten files: without this an
+        # OPTIMIZE would drop the replaced files' blooms and the
+        # ANALYZE-free stats (manifest_column_stats) would go loud
+        new_stats = _merge_bloom_stats(
+            new_stats,
+            {
+                c: _compute_file_blooms(
+                    root, new, c, BLOOM_BITS, BLOOM_HASHES
+                )
+                for c in bloom_columns
+            },
+        )
     schema = _schema_payload(df)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)

@@ -1249,3 +1249,28 @@ def test_threaded_optimize_races_appenders(spark, tmp_path):
     got = M.read_snapshot(spark, root)
     assert _ids(got) == want
     assert got.count() == len(want)  # exactly once: no duplicates either
+
+
+def test_rewrite_rerecords_blooms_for_stats(spark, tmp_path):
+    """OPTIMIZE with bloom_columns keeps the ANALYZE-free stats path
+    alive across a compaction; without it the loud-absence contract
+    fires rather than estimating from partial metadata."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id long, label int"
+    ).withColumn("b", (F.col("id") % 2).cast("int"))
+    M.commit_append_clustered(root, df, "b", bloom_columns=["label"])
+    before = M.manifest_column_stats(root, ["label"])
+    M.commit_rewrite(
+        root, M.read_snapshot(spark, root), n_files=1,
+        bloom_columns=["label"],
+    )
+    after = M.manifest_column_stats(root, ["label"])
+    assert after["__table__"]["count"] == 100
+    assert after["label"]["ndv"] == before["label"]["ndv"]
+    # and a bloom-less rewrite goes loud, never silently partial
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
+    with pytest.raises(ValidationError, match="no bloom"):
+        M.manifest_column_stats(root, ["label"])
