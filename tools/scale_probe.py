@@ -106,6 +106,10 @@ PROBE_QUERIES = (
     "corpus_snapshot_upsert_rows",
     "corpus_snapshot_optimize_zorder",
     "corpus_snapshot_tag_read",
+    # r11: bloom point-lookup skipping + ANALYZE-free planner stats
+    # (builders commit per factor dir on first call; reads after)
+    "corpus_snapshot_bloom_scan",
+    "corpus_snapshot_stats_planner",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
