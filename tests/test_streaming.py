@@ -633,3 +633,32 @@ def test_streaming_topk_view_incremental_across_batches(spark, tmp_path):
     assert replayed == want
     ids_only = [i for i, _ in replayed]
     assert len(ids_only) == len(set(ids_only)) == K
+
+
+def test_streaming_dedup_ingest_replay_exactly_once(spark):
+    """The near-dup ingest's per-root batch-id guards: a full REPLAY
+    (checkpoint wiped, every micro-batch re-delivered from batch 0)
+    appends nothing — survivor rows and index versions are unchanged,
+    so at-least-once delivery never double-counts postings (which would
+    corrupt the verify join's intersection counts)."""
+    import os
+    import shutil
+
+    from hybrid_vector_search_spark.plans import registry as R
+    from hybrid_vector_search_spark.plans.registry_streaming_layouts import (
+        _STREAM_DEDUP_CACHE,
+    )
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    sf = "/root/testdata/sf0.001"
+    rows1 = R.QUERIES["streaming_dedup_ingest"](spark, sf).collect()
+    root = _STREAM_DEDUP_CACHE[sf][1]
+    v_idx = M.current_version(os.path.join(root, "index"))
+    v_sur = M.current_version(os.path.join(root, "survivors"))
+    assert v_idx == 3 and v_sur == 3  # one commit per micro-batch
+
+    shutil.rmtree(os.path.join(root, "ckpt"))  # force full re-delivery
+    rows2 = R.QUERIES["streaming_dedup_ingest"](spark, sf).collect()
+    assert rows2 == rows1
+    assert M.current_version(os.path.join(root, "index")) == 3
+    assert M.current_version(os.path.join(root, "survivors")) == 3
