@@ -1274,3 +1274,34 @@ def test_rewrite_rerecords_blooms_for_stats(spark, tmp_path):
     M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)
     with pytest.raises(ValidationError, match="no bloom"):
         M.manifest_column_stats(root, ["label"])
+
+
+def test_ndv_from_blooms_accuracy_across_cardinalities(spark, tmp_path):
+    """Linear counting over the bloom union: estimate within ~10% of
+    the true distinct count across two orders of magnitude, and exact
+    guards — mixed parameters and saturation raise."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    for true_n in (10, 100, 1000):
+        root = str(tmp_path / f"t{true_n}")
+        df = spark.createDataFrame(
+            [(i, i % true_n) for i in range(2 * true_n)],
+            "id long, v long",
+        ).withColumn("b", (F.col("id") % 2).cast("int"))
+        M.commit_append_clustered(root, df, "b", bloom_columns=["v"])
+        est = M.manifest_column_stats(root, ["v"])["v"]["ndv"]
+        assert abs(est - true_n) <= max(2, 0.1 * true_n), (true_n, est)
+
+    with pytest.raises(ValidationError, match="mixed"):
+        M.ndv_from_blooms(
+            [
+                {"m": 4096, "k": 3, "b64": base64.b64encode(b"\0" * 512).decode()},
+                {"m": 2048, "k": 3, "b64": base64.b64encode(b"\0" * 256).decode()},
+            ]
+        )
+    with pytest.raises(ValidationError, match="saturated"):
+        M.ndv_from_blooms(
+            [{"m": 64, "k": 1, "b64": base64.b64encode(b"\xff" * 8).decode()}]
+        )
