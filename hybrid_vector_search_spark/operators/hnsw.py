@@ -106,6 +106,11 @@ class HNSWGraph:
         self.adjacency: list[dict[int, list[int]]] = []
         self.entry: int | None = None
         self.entry_level = -1
+        #: nodes visited by the MOST RECENT ``_search_layer`` call only
+        #: (on multi-layer graphs the final layer-0 call, not the sum
+        #: across layers) — initialized so reading it before any search
+        #: is 0, never an AttributeError
+        self._last_visited = 0
         for i in range(len(self.ids)):
             self._insert(i)
 

@@ -222,11 +222,19 @@ def run_queries(
 
         with ThreadPoolExecutor(int(concurrency)) as ex:
             rows = list(ex.map(one, plan))
+        if out_path:  # pooled: rows land when the batch completes
+            for row in rows:
+                append_jsonl(row, out_path)
     else:
-        rows = [one(item) for item in plan]
-    if out_path:
-        for row in rows:
-            append_jsonl(row, out_path)
+        # serial: append each row AS IT FINISHES — the append-only
+        # stats-log contract survives a crash or interrupt mid-run
+        # (batching the writes would lose every completed row)
+        rows = []
+        for item in plan:
+            row = one(item)
+            rows.append(row)
+            if out_path:
+                append_jsonl(row, out_path)
     return rows
 
 

@@ -105,10 +105,48 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def _view_backing(spark: SparkSession, table: str) -> str | None:
+    """The physical table behind a bucketed-layout VIEW (the indirection
+    :func:`rebucket_if_outgrown` maintains), None for a plain table."""
+    try:
+        t = spark.catalog.getTable(table)
+    except Exception:
+        return None
+    if (t.tableType or "").upper() != "VIEW":
+        return None
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "View Text":
+            # written as 'SELECT * FROM <phys>' by the rebucket swap
+            return row["data_type"].rsplit(None, 1)[-1].strip("`")
+    return None
+
+
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """The catalog-recorded storage location of ``table`` (None when the
+    catalog records none)."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "Location":
+            return row["data_type"]
+    return None
+
+
+def _same_location(a: str, b: str) -> bool:
+    import os
+
+    strip = lambda p: os.path.normpath(  # noqa: E731
+        p[len("file:"):] if p.startswith("file:") else p
+    )
+    return strip(a) == strip(b)
+
+
 def current_bucket_count(spark: SparkSession, table: str) -> int:
     """The bucket count recorded in the catalog for ``table`` (0 when the
-    table is not bucketed)."""
-    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+    table is not bucketed). Resolves the view indirection a re-bucketed
+    layout maintains."""
+    backing = _view_backing(spark, table)
+    for row in spark.sql(
+        f"DESCRIBE TABLE EXTENDED {backing or table}"
+    ).collect():
         if row["col_name"] == "Num Buckets":
             return int(row["data_type"])
     return 0
@@ -120,27 +158,67 @@ def rebucket_if_outgrown(
     key: str,
     target_bytes: int = TARGET_BUCKET_BYTES,
     path: str | None = None,
+    drop_old: bool = True,
 ) -> int:
     """OPTIMIZE for bucketed layouts: re-derive the bucket count from the
     table's CURRENT volume and rewrite only when it grew. Growth-only —
     shrinking a layout saves nothing (small buckets cost only file count)
     and would churn co-bucketed peers. Returns the (possibly new) count.
 
+    READER-SAFE SWAP: the new layout is staged under a versioned
+    physical name (``<table>__b<count>``) and published by re-pointing a
+    VIEW named ``table`` at it — a single catalog update, so a
+    concurrent reader resolves either the old or the new layout, never
+    a missing table (the r11 DROP→RENAME pair had a no-table window
+    between the statements). The first rebucket of a PLAIN table
+    upgrades it to the view indirection (rename-away + create-view —
+    the one remaining brief window; run that first swap inside a
+    maintenance window, every later one is atomic). Readers that
+    resolved the OLD layout before the swap keep scanning its files:
+    with an external ``path`` those outlive ``drop_old``; for managed
+    tables pass ``drop_old=False`` and reclaim the superseded physical
+    table from a later maintenance run instead.
+
+    ``path`` MUST be a NEW location for the staged layout — never the
+    table's current one (write_bucketed would overwrite the very files
+    the rewrite is scanning); a matching location raises.
+
     Callers re-bucketing one table of a co-bucketed group must re-bucket
     every side to the returned count, or the group's joins fall back to
     shuffling (Spark requires matching specs)."""
+    from hybrid_vector_search_spark.errors import ValidationError
+
+    backing = _view_backing(spark, table)
+    phys_old = backing or table
     df = spark.table(table)
     have = current_bucket_count(spark, table)
     want = derive_bucket_count(spark, df, target_bytes=target_bytes)
     if want <= have:
         return have
-    # stage the new layout under a side name, then swap — overwriting the
-    # table in place would drop the files the rewrite is still scanning,
-    # and readers between the drop and the rewrite would see no table
-    staged = f"{table}__rebucket"
+    if path is not None:
+        loc = table_location(spark, phys_old)
+        if loc is not None and _same_location(loc, path):
+            raise ValidationError(
+                f"rebucket_if_outgrown('{table}'): staging path "
+                f"'{path}' is the table's CURRENT location — writing "
+                f"there would overwrite the files the rewrite is "
+                f"scanning; stage under a fresh location"
+            )
+    staged = f"{table}__b{want}"
     write_bucketed(df, staged, key, want, path=path)
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    if backing is None:
+        # one-time upgrade to view indirection: free the name, bind the
+        # view (the brief window documented above)
+        phys_old = f"{table}__b{have}"
+        spark.sql(f"ALTER TABLE {table} RENAME TO {phys_old}")
+        spark.sql(f"CREATE VIEW {table} AS SELECT * FROM {staged}")
+    else:
+        # atomic publish: one catalog update, no no-table window
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {staged}"
+        )
+    if drop_old:
+        spark.sql(f"DROP TABLE {phys_old}")
     return want
 
 

@@ -14,13 +14,29 @@ lands). The manifest layout closes both:
 1. **data files are immutable** — writers only ADD files under
    ``data/<uuid>/``, never modify or delete live ones (vacuum removes
    only files referenced by NO retained version);
-2. **a version is a manifest** — ``manifest-<v>.json`` lists the data
-   files of snapshot ``v`` in full, plus (r10) per-file column min/max
-   stats and the snapshot's logical schema. Publishing a manifest is
-   an atomic filesystem primitive, so a reader ALWAYS sees a complete
-   committed snapshot: a crash mid-commit leaves data files without a
-   manifest (invisible, re-written by the retried commit), and a
-   reader racing a commit sees either v or v+1, never a mix.
+2. **a version is a manifest** — ``manifest-<v>.json`` describes the
+   data files of snapshot ``v`` in full, plus the snapshot's logical
+   schema. Publishing a manifest is an atomic filesystem primitive, so
+   a reader ALWAYS sees a complete committed snapshot: a crash
+   mid-commit leaves data files without a manifest (invisible,
+   re-written by the retried commit), and a reader racing a commit
+   sees either v or v+1, never a mix.
+
+**Sharded metadata (r12 — the Iceberg manifest-list shape)**: the
+per-file entries (paths, min/max stats, Bloom bitsets, add versions)
+live in IMMUTABLE parquet sidecars under ``groups/``, one per commit
+batch; the version manifest is a THIN DESCRIPTOR holding schema, op,
+delete files, and per-group references with summary rollups (count,
+added version, column mapping, folded min/max, summed null/row
+counts, unioned blooms). Consequences at 100 TB (~800 k files):
+appends serialize O(batch) metadata instead of rewriting an O(table)
+document; snapshot resolution parses O(groups) descriptor bytes plus
+only the sidecars a predicate's group-level [min,max] cannot rule
+out; ANALYZE-free planner statistics fold descriptor summaries alone
+(zero sidecar reads); renames edit O(groups) mapping entries while
+sidecars stay untouched. Sidecars are reference-counted by vacuum
+exactly like data files. Format-1 (inline) manifests remain readable;
+the first commit over one migrates its entries into sidecars.
 
 **Multi-writer (r10)**: the commit arbiter is ``os.link(tmp, final)``
 — creating a hard link fails with ``FileExistsError`` when ``final``
@@ -79,7 +95,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -132,13 +150,337 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+# ---------------------------------------------------------------------------
+# sharded manifests (format 2, r12) — the Iceberg manifest-list shape.
+#
+# A format-1 manifest inlined every per-file entry (path, min/max stats,
+# 512 B/column base64 blooms) in ONE json: O(table files) parsed on the
+# driver per snapshot resolution and REWRITTEN per commit — at 100 TB
+# (~800 k × 128 MB files) that is a ~GB document per read and O(table)
+# write amplification per append. Format 2 splits it:
+#
+# - **group sidecars** (``groups/group-<uuid>.parquet``, written driver-
+#   side with pyarrow — metadata, no Spark job): one IMMUTABLE file per
+#   commit batch holding that batch's per-file entries (rel path + the
+#   stats/bloom dict). A commit writes O(batch) sidecar bytes, never
+#   rewrites prior entries.
+# - **thin version descriptor** (``manifest-<v>.json``): schema, op,
+#   meta, delete files, and a ``groups`` list of sidecar REFERENCES,
+#   each carrying the group's file count, added version, column mapping
+#   (one schema generation per commit batch) and a SUMMARY rollup —
+#   fold of per-file [min,max], summed null/row counts, and the UNION
+#   of the per-file bloom bitsets (blooms are mergeable by
+#   construction). The descriptor is O(commits), not O(files).
+#
+# Readers prune at TWO levels: a predicate disjoint from a group's
+# summary [min,max] skips the whole sidecar unopened (file skipping
+# over the metadata itself), and only surviving groups are parsed —
+# through a process-wide LRU keyed by path, safe because sidecars are
+# immutable. ANALYZE-free planner statistics (manifest_column_stats)
+# fold the descriptor summaries alone: zero sidecar reads. Format-1
+# manifests (and tests' hand-built inline payloads) stay readable via
+# passthrough; the first commit over one migrates its files into
+# sidecars bucketed by (added_version, column mapping).
+
+_GROUP_DIR = "groups"
+
+#: parsed-sidecar LRU: path -> (rels, {rel: stats}); sidecars are
+#: immutable, so entries never go stale (vacuum only deletes files no
+#: retained descriptor references — nothing re-requests those paths)
+_GROUP_CACHE: OrderedDict = OrderedDict()
+_GROUP_CACHE_MAX = 1024
+_GROUP_CACHE_LOCK = threading.Lock()
+
+
+def _write_group_file(
+    root: str, rels: list[str], stats_by_rel: dict
+) -> str:
+    """Persist one immutable group sidecar (driver-side pyarrow write —
+    footer-scale bytes, no Spark job) and return its root-relative
+    path. Row order is the file order the snapshot presents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, _GROUP_DIR), exist_ok=True)
+    sub = os.path.join(_GROUP_DIR, f"group-{uuid.uuid4().hex[:12]}.parquet")
+    tbl = pa.table(
+        {
+            "rel": pa.array(rels, type=pa.string()),
+            "stats": pa.array(
+                [json.dumps(stats_by_rel.get(r, {})) for r in rels],
+                type=pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(root, sub))
+    return sub
+
+
+def _load_group(root: str, sub: str) -> tuple[list[str], dict]:
+    """(rels, {rel: stats}) of a group sidecar, through the LRU."""
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(os.path.join(root, sub))
+    with _GROUP_CACHE_LOCK:
+        hit = _GROUP_CACHE.get(key)
+        if hit is not None:
+            _GROUP_CACHE.move_to_end(key)
+            return hit
+    tbl = pq.read_table(key)
+    rels = tbl.column("rel").to_pylist()
+    stats = dict(
+        zip(rels, (json.loads(s) for s in tbl.column("stats").to_pylist()))
+    )
+    with _GROUP_CACHE_LOCK:
+        _GROUP_CACHE[key] = (rels, stats)
+        while len(_GROUP_CACHE) > _GROUP_CACHE_MAX:
+            _GROUP_CACHE.popitem(last=False)
+    return rels, stats
+
+
+def _group_summary(rels: list[str], stats_by_rel: dict) -> dict:
+    """The descriptor-level rollup of a group's per-file stats:
+    ``rows`` (sum, None when any file predates footer counts),
+    ``minmax`` (fold — a column appears only when EVERY file records
+    it, so group-level pruning stays conservative), ``nulls`` (sum,
+    same all-files rule) and ``bloom`` (bitwise UNION of the per-file
+    bitsets — equal to the bloom of the group's distinct value set, so
+    ndv estimation needs descriptors only)."""
+    import base64
+
+    rows: int | None = 0
+    minmax: dict = {}
+    nulls: dict = {}
+    blooms: dict = {}
+    first = True
+    for rel in rels:
+        st = stats_by_rel.get(rel, {})
+        if rows is not None:
+            rows = rows + int(st["__rows__"]) if "__rows__" in st else None
+        cols = {
+            k
+            for k in st
+            if not k.startswith("__") and isinstance(st[k], list)
+        }
+        ncols = {
+            k[len("__nulls__:"):] for k in st if k.startswith("__nulls__:")
+        }
+        bcols = {
+            k[len("__bloom__:"):] for k in st if k.startswith("__bloom__:")
+        }
+        if first:
+            minmax = {c: list(st[c]) for c in cols}
+            nulls = {c: int(st[f"__nulls__:{c}"]) for c in ncols}
+            blooms = {c: dict(st[f"__bloom__:{c}"]) for c in bcols}
+            first = False
+            continue
+        for c in list(minmax):
+            if c not in cols:
+                minmax.pop(c)
+            else:
+                minmax[c] = [
+                    min(minmax[c][0], st[c][0]),
+                    max(minmax[c][1], st[c][1]),
+                ]
+        for c in list(nulls):
+            if c not in ncols:
+                nulls.pop(c)
+            else:
+                nulls[c] += int(st[f"__nulls__:{c}"])
+        for c in list(blooms):
+            b = st.get(f"__bloom__:{c}")
+            if (
+                b is None
+                or int(b["m"]) != int(blooms[c]["m"])
+                or int(b["k"]) != int(blooms[c]["k"])
+            ):
+                blooms.pop(c)
+            else:
+                u = bytearray(base64.b64decode(blooms[c]["b64"]))
+                for i, byte in enumerate(base64.b64decode(b["b64"])):
+                    u[i] |= byte
+                blooms[c] = {
+                    "m": blooms[c]["m"],
+                    "k": blooms[c]["k"],
+                    "b64": base64.b64encode(bytes(u)).decode("ascii"),
+                }
+    return {"rows": rows, "minmax": minmax, "nulls": nulls, "bloom": blooms}
+
+
+def _new_group_entry(
+    root: str, rels: list[str], stats_by_rel: dict, mapping: dict | None = None
+) -> dict:
+    """Write a fresh sidecar for a commit batch and return its
+    descriptor entry (``added_version`` is stamped by the CAS loop —
+    the sidecar itself is version-free, so a rebase retry reuses it)."""
+    return {
+        "path": _write_group_file(root, rels, stats_by_rel),
+        "count": len(rels),
+        "mapping": dict(mapping or {}),
+        "summary": _group_summary(rels, stats_by_rel),
+    }
+
+
+def _physical_stats(st: dict, mapping: dict) -> dict:
+    """Re-key a legacy LOGICALLY-keyed per-file stats dict back to the
+    file's physical column names (sidecar entries are stored physical;
+    resolution translates through the group mapping — the inverse)."""
+    if not mapping:
+        return st
+    out = dict(st)
+    for logical, phys in mapping.items():
+        if logical == phys:
+            continue
+        for fmt in ("{}", "__nulls__:{}", "__bloom__:{}"):
+            lk, pk = fmt.format(logical), fmt.format(phys)
+            if lk in out:
+                out[pk] = out.pop(lk)
+    return out
+
+
+def _legacy_group_entries(root: str, cur: dict) -> list[dict]:
+    """Migrate a format-1 manifest's inline file list into sidecar
+    groups, bucketed by (added_version, column mapping) so every group
+    keeps the uniform per-group metadata format 2 relies on. One-time
+    per table (the descriptor this feeds is format 2; orphaned
+    sidecars from a lost CAS race are vacuumed like data orphans)."""
+    added = cur.get("added_versions", {})
+    stats = cur.get("stats", {})
+    mappings = cur.get("column_mapping", {})
+    buckets: dict = OrderedDict()
+    for rel in cur["files"]:
+        mp = mappings.get(rel, {})
+        key = (int(added.get(rel, 0)), json.dumps(mp, sort_keys=True))
+        buckets.setdefault(key, []).append(rel)
+    entries = []
+    for (av, mp_json), rels in buckets.items():
+        mp = json.loads(mp_json)
+        by_rel = {r: _physical_stats(stats.get(r, {}), mp) for r in rels}
+        entry = _new_group_entry(root, rels, by_rel, mapping=mp)
+        entry["added_version"] = av
+        entries.append(entry)
+    return entries
+
+
+def _groups_of(root: str, cur: dict) -> list[dict]:
+    """The current snapshot's group entries — native for format 2,
+    migrated on the fly for a legacy inline manifest."""
+    if "groups" in cur:
+        return list(cur["groups"])
+    return _legacy_group_entries(root, cur)
+
+
+def _logical_stats(st: dict, mapping: dict) -> dict:
+    """Translate a sidecar's PHYSICALLY-keyed per-file stats to the
+    snapshot's logical column names through the group mapping — what
+    makes renames metadata-only: the immutable sidecar keeps physical
+    keys forever, each descriptor's mapping re-labels them."""
+    if not mapping:
+        return st
+    out = {k: v for k, v in st.items()}
+    for logical, phys in mapping.items():
+        if logical == phys:
+            continue
+        for fmt in ("{}", "__nulls__:{}", "__bloom__:{}"):
+            lk, pk = fmt.format(logical), fmt.format(phys)
+            if pk in out:
+                out[lk] = out.pop(pk)
+    return out
+
+
+def _resolve_manifest(root: str, version: int) -> dict:
+    """A snapshot in the format-1 LOGICAL shape (``files`` / ``stats``
+    / ``column_mapping`` / ``added_versions`` materialized) whichever
+    physical format stores it — every reader and rebase path consumes
+    this. For format 2 the per-group sidecars come through the LRU, so
+    repeated resolutions re-parse nothing."""
+    m = _read_manifest(root, version)
+    if "groups" not in m:
+        return m
+    files: list[str] = []
+    stats: dict = {}
+    mapping: dict = {}
+    added: dict = {}
+    for entry in m["groups"]:
+        rels, by_rel = _load_group(root, entry["path"])
+        files.extend(rels)
+        mp = entry.get("mapping", {})
+        av = int(entry.get("added_version", 0))
+        for rel in rels:
+            st = by_rel.get(rel, {})
+            stats[rel] = _logical_stats(st, mp) if mp else st
+            added[rel] = av
+            if mp:
+                mapping[rel] = mp
+    out = {k: v for k, v in m.items() if k != "groups"}
+    out["files"] = files
+    out["stats"] = stats
+    out["column_mapping"] = mapping
+    out["added_versions"] = added
+    return out
+
+
+def _subset_group_entry(
+    root: str, entry: dict, keep: set
+) -> dict | None:
+    """Shrink a group to the files in ``keep``: unchanged entry when
+    all survive, None when none do, else a REWRITTEN sidecar holding
+    the surviving subset (the original stays immutable for older
+    versions; vacuum reclaims it when no retained descriptor points
+    at it)."""
+    rels, by_rel = _load_group(root, entry["path"])
+    kept = [r for r in rels if r in keep]
+    if len(kept) == len(rels):
+        return entry
+    if not kept:
+        return None
+    sub = _new_group_entry(
+        root, kept, {r: by_rel.get(r, {}) for r in kept},
+        mapping=entry.get("mapping", {}),
+    )
+    sub["added_version"] = int(entry.get("added_version", 0))
+    return sub
+
+
+def _live_delete_files_grouped(
+    groups: list[dict], delete_files: list[dict]
+) -> list[dict]:
+    """Group-level form of :func:`_live_delete_files`: a delete at
+    version d stays live while ANY group added before d still has
+    files — decided from descriptor counts alone."""
+    return [
+        d
+        for d in delete_files
+        if any(
+            int(g.get("added_version", 0)) < int(d["version"])
+            and int(g.get("count", 0)) > 0
+            for g in groups
+        )
+    ]
+
+
+def _descriptor_payload(
+    groups: list[dict], schema, op: str, added: int,
+    delete_files: list[dict], meta: dict | None = None,
+) -> dict:
+    return {
+        "format": 2,
+        "groups": groups,
+        "schema": schema,
+        "op": op,
+        "added": added,
+        "delete_files": delete_files,
+        **(meta or {}),
+    }
+
+
 def snapshot_files(root: str, version: int | None = None) -> tuple[int, list[str]]:
     """(version, absolute data-file paths) of a snapshot — latest when
     ``version`` is None."""
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _read_manifest(root, v)
+    m = _resolve_manifest(root, v)
     return v, [os.path.join(root, rel) for rel in m["files"]]
 
 
@@ -308,7 +650,7 @@ def read_snapshot(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    return _apply_logical_schema(spark, root, _read_manifest(root, v))
+    return _apply_logical_schema(spark, root, _resolve_manifest(root, v))
 
 
 def snapshot_files_pruned(
@@ -323,19 +665,37 @@ def snapshot_files_pruned(
     [lo, hi] — data skipping decided from manifest metadata alone,
     BEFORE Spark lists or opens anything. Files without recorded stats
     for the column are conservatively KEPT (pruning must never change
-    results, only bytes read)."""
+    results, only bytes read). Format-2 snapshots prune at the GROUP
+    level first: a sidecar whose summary [min,max] is disjoint from
+    [lo, hi] is skipped without being opened — the metadata read is
+    O(surviving groups), not O(table files)."""
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
     m = _read_manifest(root, v)
-    stats = m.get("stats", {})
-    kept = []
-    for rel in m["files"]:
-        mm = stats.get(rel, {}).get(column)
-        if mm is not None and (mm[0] > hi or mm[1] < lo):
-            continue  # provably disjoint from [lo, hi]
-        kept.append(rel)
-    return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    if "groups" not in m:
+        stats = m.get("stats", {})
+        kept = []
+        for rel in m["files"]:
+            mm = stats.get(rel, {}).get(column)
+            if mm is not None and (mm[0] > hi or mm[1] < lo):
+                continue  # provably disjoint from [lo, hi]
+            kept.append(rel)
+        return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    kept, total = [], 0
+    for entry in m["groups"]:
+        total += int(entry["count"])
+        phys = entry.get("mapping", {}).get(column, column)
+        gmm = entry.get("summary", {}).get("minmax", {}).get(phys)
+        if gmm is not None and (gmm[0] > hi or gmm[1] < lo):
+            continue  # whole sidecar provably disjoint — never opened
+        rels, by_rel = _load_group(root, entry["path"])
+        for rel in rels:
+            mm = by_rel.get(rel, {}).get(phys)
+            if mm is not None and (mm[0] > hi or mm[1] < lo):
+                continue
+            kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], total
 
 
 def read_snapshot_pruned(
@@ -355,7 +715,7 @@ def read_snapshot_pruned(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _read_manifest(root, v)
+    m = _resolve_manifest(root, v)
     _v, files, _total = snapshot_files_pruned(root, column, lo, hi, v)
     df = _apply_logical_schema(spark, root, m, files=files)
     return df.filter(F.col(column).between(lo, hi))
@@ -519,8 +879,45 @@ def _compute_file_blooms(
     for rel in rels:
         # input_file_name returns a URI; match on the path suffix
         positions = next(
-            (ps for f, ps in by_file.items() if f.endswith(rel)), set()
+            (ps for f, ps in by_file.items() if f.endswith(rel)), None
         )
+        if positions is None:
+            # an EMPTY bloom proves absence for every probe value, so a
+            # URI/path mismatch here would silently drop this file from
+            # pruned-eq scans (row loss). Only a file whose column is
+            # all-NULL (or row-free) legitimately has no positions —
+            # verify that from its footer and fail loudly otherwise.
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+            non_null = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema != column:
+                        continue
+                    st = c.statistics
+                    if st is None or st.null_count is None:
+                        raise ValidationError(
+                            f"_compute_file_blooms at '{root}': no "
+                            f"bloom rows matched file '{rel}' and its "
+                            f"footer cannot prove '{column}' all-NULL "
+                            f"— refusing to record an empty bloom "
+                            f"(it would prune the file for every "
+                            f"probe value)"
+                        )
+                    non_null += g.num_rows - int(st.null_count)
+            if non_null > 0:
+                raise ValidationError(
+                    f"_compute_file_blooms at '{root}': file '{rel}' "
+                    f"has {non_null} non-null '{column}' rows but no "
+                    f"bloom positions were collected for it — the "
+                    f"input_file_name URI did not suffix-match the "
+                    f"rel; recording an empty bloom would silently "
+                    f"drop the file from point-lookup scans"
+                )
+            positions = set()
         bits = bytearray(m // 8)
         for p in positions:
             bits[p // 8] |= 1 << (p % 8)
@@ -571,23 +968,42 @@ def snapshot_files_pruned_eq(
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
     me = _read_manifest(root, v)
-    stats = me.get("stats", {})
-    kept, kept_minmax = [], 0
-    for rel in me["files"]:
-        entry = stats.get(rel, {})
-        mm = entry.get(column)
-        if mm is not None and not (mm[0] <= value <= mm[1]):
-            continue
-        kept_minmax += 1
-        if not _bloom_admits(entry, column, value):
-            continue
-        kept.append(rel)
-    return (
-        v,
-        [os.path.join(root, r) for r in kept],
-        len(me["files"]),
-        kept_minmax,
-    )
+    if "groups" not in me:
+        stats = me.get("stats", {})
+        kept, kept_minmax = [], 0
+        for rel in me["files"]:
+            entry = stats.get(rel, {})
+            mm = entry.get(column)
+            if mm is not None and not (mm[0] <= value <= mm[1]):
+                continue
+            kept_minmax += 1
+            if not _bloom_admits(entry, column, value):
+                continue
+            kept.append(rel)
+        return (
+            v,
+            [os.path.join(root, r) for r in kept],
+            len(me["files"]),
+            kept_minmax,
+        )
+    kept, kept_minmax, total = [], 0, 0
+    for ge in me["groups"]:
+        total += int(ge["count"])
+        phys = ge.get("mapping", {}).get(column, column)
+        gmm = ge.get("summary", {}).get("minmax", {}).get(phys)
+        if gmm is not None and not (gmm[0] <= value <= gmm[1]):
+            continue  # whole sidecar outside the point — never opened
+        rels, by_rel = _load_group(root, ge["path"])
+        for rel in rels:
+            entry = by_rel.get(rel, {})
+            mm = entry.get(phys)
+            if mm is not None and not (mm[0] <= value <= mm[1]):
+                continue
+            kept_minmax += 1
+            if not _bloom_admits(entry, phys, value):
+                continue
+            kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], total, kept_minmax
 
 
 def commit_append_clustered(
@@ -617,29 +1033,27 @@ def commit_append_clustered(
             },
         )
     schema = _schema_payload(df.drop("_cluster"))
+    new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
         nxt = v + 1 if v >= 0 else 1
         if v >= 0:
             cur = _read_manifest(root, v)
-            prior_files, prior_stats = cur["files"], cur.get("stats", {})
-            prior_map = cur.get("column_mapping", {})
+            groups = _groups_of(root, cur)
+            dels = cur.get("delete_files", [])
             schema_out = cur.get("schema", schema)
         else:
-            prior_files, prior_stats, prior_map = [], {}, {}
+            groups, dels = [], []
             schema_out = schema
-        payload = {
-            "files": prior_files + new,
-            "stats": {**prior_stats, **new_stats},
-            "column_mapping": prior_map,
-            "schema": schema_out,
-            "op": "append",
-            "added": len(new),
-            **_carry_versioning(
-                cur if v >= 0 else None, prior_files + new, new, nxt
-            ),
-            **(meta or {}),
-        }
+        all_groups = groups + [{**new_entry, "added_version": nxt}]
+        payload = _descriptor_payload(
+            all_groups,
+            schema_out,
+            "append",
+            len(new),
+            _live_delete_files_grouped(all_groups, dels),
+            meta,
+        )
         if _try_commit_manifest(root, nxt, payload):
             return nxt
     raise CommitConflictError(
@@ -726,15 +1140,36 @@ def snapshot_files_pruned_in(
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
     m = _read_manifest(root, v)
-    stats = m.get("stats", {})
     vals = set(values)
-    kept = []
-    for rel in m["files"]:
-        mm = stats.get(rel, {}).get(column)
-        if mm is not None and not any(mm[0] <= x <= mm[1] for x in vals):
-            continue
-        kept.append(rel)
-    return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    if "groups" not in m:
+        stats = m.get("stats", {})
+        kept = []
+        for rel in m["files"]:
+            mm = stats.get(rel, {}).get(column)
+            if mm is not None and not any(
+                mm[0] <= x <= mm[1] for x in vals
+            ):
+                continue
+            kept.append(rel)
+        return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    kept, total = [], 0
+    for ge in m["groups"]:
+        total += int(ge["count"])
+        phys = ge.get("mapping", {}).get(column, column)
+        gmm = ge.get("summary", {}).get("minmax", {}).get(phys)
+        if gmm is not None and not any(
+            gmm[0] <= x <= gmm[1] for x in vals
+        ):
+            continue  # no probed value can live in this sidecar
+        rels, by_rel = _load_group(root, ge["path"])
+        for rel in rels:
+            mm = by_rel.get(rel, {}).get(phys)
+            if mm is not None and not any(
+                mm[0] <= x <= mm[1] for x in vals
+            ):
+                continue
+            kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], total
 
 
 def read_snapshot_pruned_in(
@@ -752,7 +1187,7 @@ def read_snapshot_pruned_in(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _read_manifest(root, v)
+    m = _resolve_manifest(root, v)
     _v, files, _total = snapshot_files_pruned_in(root, column, values, v)
     df = _apply_logical_schema(spark, root, m, files=files)
     return df.filter(F.col(column).isin(list(values)))
@@ -771,19 +1206,43 @@ def snapshot_files_pruned_multi(
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
     m = _read_manifest(root, v)
-    stats = m.get("stats", {})
-    kept = []
-    for rel in m["files"]:
-        st = stats.get(rel, {})
-        drop = False
-        for column, lo, hi in preds:
-            mm = st.get(column)
-            if mm is not None and (mm[0] > hi or mm[1] < lo):
-                drop = True
-                break
-        if not drop:
-            kept.append(rel)
-    return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    if "groups" not in m:
+        stats = m.get("stats", {})
+        kept = []
+        for rel in m["files"]:
+            st = stats.get(rel, {})
+            drop = False
+            for column, lo, hi in preds:
+                mm = st.get(column)
+                if mm is not None and (mm[0] > hi or mm[1] < lo):
+                    drop = True
+                    break
+            if not drop:
+                kept.append(rel)
+        return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    kept, total = [], 0
+    for ge in m["groups"]:
+        total += int(ge["count"])
+        mp = ge.get("mapping", {})
+        smm = ge.get("summary", {}).get("minmax", {})
+        if any(
+            smm.get(mp.get(c, c)) is not None
+            and (smm[mp.get(c, c)][0] > hi or smm[mp.get(c, c)][1] < lo)
+            for c, lo, hi in preds
+        ):
+            continue  # sidecar disjoint from some conjunct — skipped
+        rels, by_rel = _load_group(root, ge["path"])
+        for rel in rels:
+            st = by_rel.get(rel, {})
+            drop = False
+            for column, lo, hi in preds:
+                mm = st.get(mp.get(column, column))
+                if mm is not None and (mm[0] > hi or mm[1] < lo):
+                    drop = True
+                    break
+            if not drop:
+                kept.append(rel)
+    return v, [os.path.join(root, r) for r in kept], total
 
 
 def read_snapshot_pruned_multi(
@@ -800,7 +1259,7 @@ def read_snapshot_pruned_multi(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _read_manifest(root, v)
+    m = _resolve_manifest(root, v)
     _v, files, _total = snapshot_files_pruned_multi(root, preds, v)
     df = _apply_logical_schema(spark, root, m, files=files)
     for column, lo, hi in preds:
@@ -864,13 +1323,14 @@ def commit_replace_values(
             f"nothing to replace at '{root}': no committed snapshot"
         )
     vals = set(values)
-    base = _read_manifest(root, base_v)
-    base_files = set(base["files"])
+    base_files = set(_resolve_manifest(root, base_v)["files"])
     new = _write_data_files_clustered(df, root, column)
     new_stats = _footer_stats(root, new)
+    new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
-        cur = _read_manifest(root, v)
+        curd = _read_manifest(root, v)
+        cur = _resolve_manifest(root, v)
         cur_files = set(cur["files"])
         if not base_files <= cur_files:
             raise CommitConflictError(
@@ -908,23 +1368,29 @@ def commit_replace_values(
                     f"commit_replace_values at '{root}': concurrent "
                     f"commit touched replaced cluster(s) in '{rel}'"
                 )
-        payload = {
-            "files": carried + new,
-            "stats": {
-                **{f: cur_stats[f] for f in carried if f in cur_stats},
-                **new_stats,
-            },
-            "column_mapping": {
-                f: m
-                for f, m in cur.get("column_mapping", {}).items()
-                if f in carried
-            },
-            "schema": cur.get("schema"),
-            "op": "replace",
-            "added": len(new),
-            **_carry_versioning(cur, carried + new, new, v + 1),
-            **(meta or {}),
-        }
+        # carried files stay in their (possibly shrunken) sidecars —
+        # only groups that LOST files get a rewritten subset sidecar,
+        # untouched groups are carried by reference
+        carried_set = set(carried)
+        kept_groups = [
+            g
+            for g in (
+                _subset_group_entry(root, e, carried_set)
+                for e in _groups_of(root, curd)
+            )
+            if g is not None
+        ]
+        all_groups = kept_groups + [{**new_entry, "added_version": v + 1}]
+        payload = _descriptor_payload(
+            all_groups,
+            cur.get("schema"),
+            "replace",
+            len(new),
+            _live_delete_files_grouped(
+                all_groups, cur.get("delete_files", [])
+            ),
+            meta,
+        )
         if _try_commit_manifest(root, v + 1, payload):
             return v + 1
     raise CommitConflictError(
@@ -1049,6 +1515,56 @@ def manifest_column_stats(
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
     me = _read_manifest(root, v)
+    if "groups" in me:
+        # format 2: fold the DESCRIPTOR summaries alone — row/null
+        # counts sum, min/max fold, ndv from the per-group bloom
+        # UNIONS (union of unions == union of per-file bitsets), so
+        # planner statistics cost O(groups) with zero sidecar reads
+        total = 0
+        for g in me["groups"]:
+            rows = g.get("summary", {}).get("rows")
+            if rows is None:
+                raise ValidationError(
+                    f"manifest_column_stats at '{root}': sidecar "
+                    f"'{g['path']}' predates footer row counts — "
+                    f"recommit or OPTIMIZE"
+                )
+            total += int(rows)
+        out = {"__table__": {"count": total}}
+        for col in columns:
+            nulls = 0
+            mn = mx = None
+            blooms = []
+            for g in me["groups"]:
+                s = g.get("summary", {})
+                phys = g.get("mapping", {}).get(col, col)
+                if phys not in s.get("nulls", {}):
+                    raise ValidationError(
+                        f"manifest_column_stats at '{root}': sidecar "
+                        f"'{g['path']}' has no null count for '{col}'"
+                    )
+                nulls += int(s["nulls"][phys])
+                mm = s.get("minmax", {}).get(phys)
+                if mm is not None:
+                    mn = mm[0] if mn is None else min(mn, mm[0])
+                    mx = mm[1] if mx is None else max(mx, mm[1])
+                bl = s.get("bloom", {}).get(phys)
+                if bl is None:
+                    raise ValidationError(
+                        f"manifest_column_stats at '{root}': sidecar "
+                        f"'{g['path']}' has no bloom for '{col}' — "
+                        f"commit with bloom_columns=['{col}'] to "
+                        f"enable ndv estimation"
+                    )
+                blooms.append(bl)
+            out[col] = {
+                "count": total,
+                "nulls": nulls,
+                "ndv": ndv_from_blooms(blooms),
+                "min": mn,
+                "max": mx,
+            }
+        return out
     stats = me.get("stats", {})
     total = 0
     for rel in me["files"]:
@@ -1179,14 +1695,19 @@ def commit_append(
             },
         )
     schema = _schema_payload(df)
+    # O(batch) metadata: one immutable sidecar for the batch, written
+    # ONCE before the CAS loop (a rebase retry reuses it) — the
+    # descriptor carries prior commits' sidecars by reference, so
+    # nothing existing is re-serialized however many files the table
+    # holds
+    new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
         nxt = v + 1 if v >= 0 else 1  # versions are 1-based
         if v >= 0:
             cur = _read_manifest(root, v)
-            prior_files = cur["files"]
-            prior_stats = cur.get("stats", {})
-            prior_map = cur.get("column_mapping", {})
+            groups = _groups_of(root, cur)
+            dels = cur.get("delete_files", [])
             # appends adopt the table's current logical schema when one
             # is recorded; new files carry NO column mapping, so every
             # logical field must resolve to a physical column of the
@@ -1210,20 +1731,17 @@ def commit_append(
                         f"columns) so its files read back correctly"
                     )
         else:
-            prior_files, prior_stats, prior_map = [], {}, {}
+            groups, dels = [], []
             schema_out = schema
-        payload = {
-            "files": prior_files + new,
-            "stats": {**prior_stats, **new_stats},
-            "column_mapping": prior_map,
-            "schema": schema_out,
-            "op": "append",
-            "added": len(new),
-            **_carry_versioning(
-                cur if v >= 0 else None, prior_files + new, new, nxt
-            ),
-            **(meta or {}),
-        }
+        all_groups = groups + [{**new_entry, "added_version": nxt}]
+        payload = _descriptor_payload(
+            all_groups,
+            schema_out,
+            "append",
+            len(new),
+            _live_delete_files_grouped(all_groups, dels),
+            meta,
+        )
         if _try_commit_manifest(root, nxt, payload):
             return nxt
     raise CommitConflictError(
@@ -1282,24 +1800,19 @@ def commit_delete_where(
         v = current_version(root)
         cur = _read_manifest(root, v)
         nxt = v + 1
-        added = dict(cur.get("added_versions", {}))
-        payload = {
-            "files": cur["files"],
-            "stats": cur.get("stats", {}),
-            "column_mapping": cur.get("column_mapping", {}),
-            "schema": cur.get("schema"),
-            "op": "delete",
-            "added": 0,
-            "added_versions": added,
-            "delete_files": _live_delete_files(
-                cur["files"], added, cur.get("delete_files", [])
-            )
+        groups = _groups_of(root, cur)
+        payload = _descriptor_payload(
+            groups,
+            cur.get("schema"),
+            "delete",
+            0,
+            _live_delete_files_grouped(groups, cur.get("delete_files", []))
             + [
                 {"path": p, "column": column, "version": nxt}
                 for p in new_rels
             ],
-            **(meta or {}),
-        }
+            meta,
+        )
         if _try_commit_manifest(root, nxt, payload):
             return nxt
     raise CommitConflictError(
@@ -1369,27 +1882,28 @@ def commit_upsert_rows(
     )
     new = _write_data_files(rows_df, root, n_files)
     new_stats = _footer_stats(root, new)
+    new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
         cur = _read_manifest(root, v)
         nxt = v + 1
-        files = cur["files"] + new
-        carry = _carry_versioning(cur, files, new, nxt)
-        payload = {
-            "files": files,
-            "stats": {**cur.get("stats", {}), **new_stats},
-            "column_mapping": cur.get("column_mapping", {}),
-            "schema": cur.get("schema"),
-            "op": "upsert",
-            "added": len(new),
-            **carry,
-            "delete_files": carry["delete_files"]
+        all_groups = _groups_of(root, cur) + [
+            {**new_entry, "added_version": nxt}
+        ]
+        payload = _descriptor_payload(
+            all_groups,
+            cur.get("schema"),
+            "upsert",
+            len(new),
+            _live_delete_files_grouped(
+                all_groups, cur.get("delete_files", [])
+            )
             + [
                 {"path": p, "column": key_col, "version": nxt}
                 for p in del_rels
             ],
-            **(meta or {}),
-        }
+            meta,
+        )
         if _try_commit_manifest(root, nxt, payload):
             return nxt
     raise CommitConflictError(
@@ -1445,8 +1959,7 @@ def commit_rewrite(
         raise ValidationError(
             f"nothing to rewrite at '{root}': no committed snapshot"
         )
-    base = _read_manifest(root, base_v)
-    base_files = set(base["files"])
+    base_files = set(_resolve_manifest(root, base_v)["files"])
     new = _write_data_files(df, root, n_files)
     new_stats = _footer_stats(root, new) if stats_columns else {}
     if bloom_columns:
@@ -1463,10 +1976,14 @@ def commit_rewrite(
             },
         )
     schema = _schema_payload(df)
+    new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
         cur = _read_manifest(root, v)
-        cur_files = set(cur["files"])
+        cur_groups = _groups_of(root, cur)
+        cur_files = {
+            r for e in cur_groups for r in _load_group(root, e["path"])[0]
+        }
         if not base_files <= cur_files:
             raise CommitConflictError(
                 f"commit_rewrite at '{root}': base version {base_v} "
@@ -1474,24 +1991,28 @@ def commit_rewrite(
                 f"vs rewrite does not commute; re-read and retry"
             )
         _check_no_deletes_since_base(cur, base_v, "commit_rewrite", root)
-        carried = [f for f in cur["files"] if f not in base_files]
-        cur_stats = cur.get("stats", {})
-        payload = {
-            "files": new + carried,
-            "stats": {
-                **{f: cur_stats[f] for f in carried if f in cur_stats},
-                **new_stats,
-            },
-            "column_mapping": {
-                f: m
-                for f, m in cur.get("column_mapping", {}).items()
-                if f in carried
-            },
-            "schema": cur.get("schema", schema),
-            "op": "rewrite",
-            "added": len(new),
-            **_carry_versioning(cur, new + carried, new, v + 1),
-        }
+        # carried = concurrent appends since base: their whole sidecars
+        # survive by reference; base-era sidecars drop (or shrink to
+        # the files the base didn't cover)
+        carried_set = cur_files - base_files
+        kept_groups = [
+            g
+            for g in (
+                _subset_group_entry(root, e, carried_set)
+                for e in cur_groups
+            )
+            if g is not None
+        ]
+        all_groups = [{**new_entry, "added_version": v + 1}] + kept_groups
+        payload = _descriptor_payload(
+            all_groups,
+            cur.get("schema", schema),
+            "rewrite",
+            len(new),
+            _live_delete_files_grouped(
+                all_groups, cur.get("delete_files", [])
+            ),
+        )
         if _try_commit_manifest(root, v + 1, payload):
             return v + 1
     raise CommitConflictError(
@@ -1545,15 +2066,18 @@ def commit_rewrite_clustered(
         raise ValidationError(
             f"nothing to rewrite at '{root}': no committed snapshot"
         )
-    base = _read_manifest(root, base_v)
-    base_files = set(base["files"])
+    base_files = set(_resolve_manifest(root, base_v)["files"])
     new = _write_data_files_clustered(df, root, column)
     new_stats = _footer_stats(root, new)
     schema = _schema_payload(df.drop("_cluster"))
+    new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
         v = current_version(root)
         cur = _read_manifest(root, v)
-        cur_files = set(cur["files"])
+        cur_groups = _groups_of(root, cur)
+        cur_files = {
+            r for e in cur_groups for r in _load_group(root, e["path"])[0]
+        }
         if not base_files <= cur_files:
             raise CommitConflictError(
                 f"commit_rewrite_clustered at '{root}': base version "
@@ -1562,24 +2086,25 @@ def commit_rewrite_clustered(
         _check_no_deletes_since_base(
             cur, base_v, "commit_rewrite_clustered", root
         )
-        carried = [f for f in cur["files"] if f not in base_files]
-        cur_stats = cur.get("stats", {})
-        payload = {
-            "files": new + carried,
-            "stats": {
-                **{f: cur_stats[f] for f in carried if f in cur_stats},
-                **new_stats,
-            },
-            "column_mapping": {
-                f: m
-                for f, m in cur.get("column_mapping", {}).items()
-                if f in carried
-            },
-            "schema": cur.get("schema", schema),
-            "op": "rewrite",
-            "added": len(new),
-            **_carry_versioning(cur, new + carried, new, v + 1),
-        }
+        carried_set = cur_files - base_files
+        kept_groups = [
+            g
+            for g in (
+                _subset_group_entry(root, e, carried_set)
+                for e in cur_groups
+            )
+            if g is not None
+        ]
+        all_groups = [{**new_entry, "added_version": v + 1}] + kept_groups
+        payload = _descriptor_payload(
+            all_groups,
+            cur.get("schema", schema),
+            "rewrite",
+            len(new),
+            _live_delete_files_grouped(
+                all_groups, cur.get("delete_files", [])
+            ),
+        )
         if _try_commit_manifest(root, v + 1, payload):
             return v + 1
     raise CommitConflictError(
@@ -1605,13 +2130,16 @@ def _metadata_only_commit(root: str, mutate, op: str) -> int:
             )
         cur = _read_manifest(root, v)
         payload = {
-            "files": cur["files"],
-            "stats": cur.get("stats", {}),
-            "column_mapping": dict(cur.get("column_mapping", {})),
+            "format": 2,
+            # deep-copy group entries: mutate() edits mappings in place
+            # and the source descriptor dict may be shared
+            "groups": [
+                {**g, "mapping": dict(g.get("mapping", {}))}
+                for g in _groups_of(root, cur)
+            ],
             "schema": cur.get("schema"),
             "op": op,
             "added": 0,
-            "added_versions": dict(cur.get("added_versions", {})),
             "delete_files": [
                 dict(d) for d in cur.get("delete_files", [])
             ],
@@ -1689,27 +2217,15 @@ def commit_rename_column(root: str, old: str, new: str) -> int:
                 for f in schema.fields
             ]
         ).jsonValue()
-        mapping = payload["column_mapping"]
-        stats = payload["stats"]
-        for rel in payload["files"]:
-            per_file = dict(mapping.get(rel, {}))
-            phys = per_file.pop(old, old)  # compose through prior renames
-            per_file[new] = phys
-            mapping[rel] = per_file
-            st = stats.get(rel)
-            if st is not None:
-                # manifest stats are keyed by the LOGICAL name (footer
-                # harvest keys them physically, which equals logical
-                # until the first rename; later renames compose from
-                # the previous logical key) — re-key so pruning by the
-                # new name keeps working
-                st = dict(st)
-                val = st.pop(old, None)
-                if val is None and phys != old:
-                    val = st.pop(phys, None)
-                if val is not None:
-                    st[new] = val
-                stats[rel] = st
+        # sidecars stay IMMUTABLE across a rename: each group's
+        # descriptor mapping gains new -> <its physical name for old>
+        # (composing through prior renames), and resolution translates
+        # stats/blooms through it — the rename touches O(groups)
+        # descriptor bytes, never the per-file entries
+        for g in payload["groups"]:
+            mp = g["mapping"]
+            phys = mp.pop(old, old)
+            mp[new] = phys
         # equality-delete entries are keyed by LOGICAL column name —
         # re-key so later reads anti-join on the renamed column (the
         # delete FILE keeps its physical name; the reader re-labels it)
@@ -1846,7 +2362,7 @@ def snapshot_changelog(
         out = part if out is None else out.unionByName(part)
 
     for v in range(v_from + 1, v_to + 1):
-        m = _read_manifest(root, v)
+        m = _resolve_manifest(root, v)
         prev = _read_manifest(root, v - 1)
         op = m.get("op")
         if op == "append":
@@ -1950,19 +2466,32 @@ def vacuum(
 
     vs = list_versions(root)
     if not vs:
-        return {"dropped_versions": 0, "deleted_files": 0}
+        return {
+            "dropped_versions": 0,
+            "deleted_files": 0,
+            "deleted_sidecars": 0,
+        }
     keep = set(vs[-max(int(keep_last), 1):])
     # tagged versions are pinned: retention never drops a named ref's
     # snapshot (delete_tag first — an explicit act, not a side effect)
     keep.update(v for v in list_tags(root).values() if v in set(vs))
     referenced: set[str] = set()
     dropped_refs: set[str] = set()
+    referenced_groups: set[str] = set()
+    dropped_groups: set[str] = set()
     for v in vs:
-        m = _read_manifest(root, v)
+        md = _read_manifest(root, v)
+        m = _resolve_manifest(root, v)
         refs = set(m["files"]) | {
             d["path"] for d in m.get("delete_files", [])
         }
-        (referenced if v in keep else dropped_refs).update(refs)
+        grefs = {g["path"] for g in md.get("groups", [])}
+        if v in keep:
+            referenced.update(refs)
+            referenced_groups.update(grefs)
+        else:
+            dropped_refs.update(refs)
+            dropped_groups.update(grefs)
     dropped = 0
     for v in vs:
         if v not in keep:
@@ -2000,4 +2529,29 @@ def vacuum(
             )
             if not live:
                 shutil.rmtree(sub_dir, ignore_errors=True)
-    return {"dropped_versions": dropped, "deleted_files": deleted}
+    # group sidecars reference-count exactly like data files: dropped-
+    # version sidecars reclaim immediately, NEVER-referenced ones (an
+    # in-flight writer's sidecar awaiting its CAS, or a lost rebase's
+    # orphan) only past the grace window
+    deleted_sidecars = 0
+    groups_root = os.path.join(root, _GROUP_DIR)
+    if os.path.isdir(groups_root):
+        for f in os.listdir(groups_root):
+            rel = os.path.join(_GROUP_DIR, f)
+            full = os.path.join(groups_root, f)
+            if not f.endswith(".parquet") or rel in referenced_groups:
+                continue
+            if rel not in dropped_groups:
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_grace_sec:
+                    continue
+            os.remove(full)
+            deleted_sidecars += 1
+    return {
+        "dropped_versions": dropped,
+        "deleted_files": deleted,
+        "deleted_sidecars": deleted_sidecars,
+    }

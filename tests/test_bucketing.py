@@ -176,5 +176,87 @@ def test_rebucket_if_outgrown(spark, no_broadcast, tmp_path):
     j = spark.table("rb_emb").join(spark.table("rb_docs2"), "id", "left")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    for t in ("rb_emb", "rb_docs", "rb_docs2"):
+    # the swap left a VIEW over the versioned physical layout
+    assert spark.catalog.getTable("rb_emb").tableType.upper() == "VIEW"
+    spark.sql("DROP VIEW IF EXISTS rb_emb")
+    for t in ("rb_docs", "rb_docs2", f"rb_emb__b{n1}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebucket_swap_is_reader_safe(spark, tmp_path):
+    """A reader racing the rebucket swap never sees a missing table:
+    once the layout is view-backed, publishing a bigger layout is ONE
+    catalog update (CREATE OR REPLACE VIEW), and old files outlive the
+    swap for in-flight scans (external location). A continuous reader
+    thread counts the table across repeated forced rebuckets — every
+    read must succeed and see the full row count."""
+    import threading
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.sources.bucketing import (
+        plan_size_bytes,
+        rebucket_if_outgrown,
+        write_bucketed,
+    )
+
+    df = load_table(spark, SF_DIR, "documents").withColumnRenamed(
+        "doc_id", "id"
+    )
+    n_rows = df.count()
+    p = spark.sparkContext.defaultParallelism
+    n0 = 1 << (p - 1).bit_length()
+    write_bucketed(df, "rs_docs", "id", n0, path=str(tmp_path / "v0"))
+
+    # ADVICE guard: staging into the table's CURRENT location raises
+    # instead of overwriting the files the rewrite is scanning
+    with pytest.raises(ValidationError, match="CURRENT location"):
+        rebucket_if_outgrown(
+            spark, "rs_docs", "id", target_bytes=1,
+            path=str(tmp_path / "v0"),
+        )
+
+    # upgrade to view indirection once (documented maintenance window)
+    tiny = max(plan_size_bytes(spark.table("rs_docs")) // (4 * n0), 1)
+    n1 = rebucket_if_outgrown(
+        spark, "rs_docs", "id", target_bytes=tiny,
+        path=str(tmp_path / "v1"), drop_old=False,
+    )
+    assert n1 > n0
+    assert spark.catalog.getTable("rs_docs").tableType.upper() == "VIEW"
+
+    errs: list = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                assert spark.table("rs_docs").count() == n_rows
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        n_prev = n1
+        for gen in (2, 3):
+            tiny = max(
+                plan_size_bytes(spark.table("rs_docs")) // (4 * n_prev), 1
+            )
+            n_next = rebucket_if_outgrown(
+                spark, "rs_docs", "id", target_bytes=tiny,
+                path=str(tmp_path / f"v{gen}"), drop_old=False,
+            )
+            assert n_next > n_prev
+            n_prev = n_next
+    finally:
+        stop.set()
+        t.join(120)
+    assert errs == []
+    assert spark.table("rs_docs").count() == n_rows
+    spark.sql("DROP VIEW IF EXISTS rs_docs")
+    for n in {n0, n1, n_prev} | {n_prev}:
+        spark.sql(f"DROP TABLE IF EXISTS rs_docs__b{n}")
+    # intermediate generations too
+    for row in spark.sql("SHOW TABLES").collect():
+        if row["tableName"].startswith("rs_docs__b"):
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")

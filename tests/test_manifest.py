@@ -155,7 +155,7 @@ def test_append_rebases_after_losing_cas_race(spark, tmp_path, monkeypatch):
     M.commit_append(root, _df(spark, 0, 10))  # v1
 
     b_files = M._write_data_files(_df(spark, 50, 60), root, 1)
-    base = M._read_manifest(root, 1)
+    base = M._resolve_manifest(root, 1)
     real = M._try_commit_manifest
     hits = {"n": 0}
 
@@ -198,7 +198,7 @@ def test_rewrite_rebase_folds_concurrent_append(spark, tmp_path, monkeypatch):
     M.commit_append(root, _df(spark, 0, 10))
     M.commit_append(root, _df(spark, 10, 20))
 
-    base = M._read_manifest(root, 2)
+    base = M._resolve_manifest(root, 2)
     b_files = M._write_data_files(_df(spark, 70, 75), root, 1)
     real = M._try_commit_manifest
     hits = {"n": 0}
@@ -335,9 +335,9 @@ def test_schema_add_rename_time_travel(spark, tmp_path):
     assert v3.columns == ["id", "label", "score"]
 
     # metadata-only commits moved zero data bytes
-    m2, m4 = M._read_manifest(root, 2), M._read_manifest(root, 4)
-    assert m2["files"] == M._read_manifest(root, 1)["files"]
-    assert m4["files"] == M._read_manifest(root, 3)["files"]
+    m2, m4 = M._resolve_manifest(root, 2), M._resolve_manifest(root, 4)
+    assert m2["files"] == M._resolve_manifest(root, 1)["files"]
+    assert m4["files"] == M._resolve_manifest(root, 3)["files"]
 
     # stats were re-keyed: pruning by the RENAMED column still works
     _v, kept, total = M.snapshot_files_pruned(root, "id", 6, 7)
@@ -395,7 +395,7 @@ def test_clustered_commit_prunes_by_value_set(spark, tmp_path):
     M.commit_append_clustered(
         root, _clustered(spark, [0, 1, 2, 3]), "list_id"
     )
-    m = M._read_manifest(root, 1)
+    m = M._resolve_manifest(root, 1)
     assert len(m["files"]) == 4  # one file per list
     # every file's stats pin a single list value
     for rel in m["files"]:
@@ -416,12 +416,12 @@ def test_replace_values_is_an_upsert_with_time_travel(spark, tmp_path):
     M.commit_append_clustered(
         root, _clustered(spark, [0, 1, 2, 3]), "list_id"
     )
-    before = M._read_manifest(root, 1)
+    before = M._resolve_manifest(root, 1)
     # new content for lists 1 and 2: drop one row, add two, keep rest
     new_content = _clustered(spark, [1, 2], rows_per=5, tag=7)
     v2 = M.commit_replace_values(root, new_content, "list_id", [1, 2])
     assert v2 == 2
-    after = M._read_manifest(root, 2)
+    after = M._resolve_manifest(root, 2)
     # untouched lists are untouched BYTES: files for 0 and 3 carried
     carried = set(before["files"]) & set(after["files"])
     assert len(carried) == 2
@@ -457,7 +457,7 @@ def test_replace_values_vs_concurrent_append(spark, tmp_path, monkeypatch):
     b_files = M._write_data_files_clustered(
         _clustered(spark, [5], tag=3), root, "list_id"
     )
-    base = M._read_manifest(root, 1)
+    base = M._resolve_manifest(root, 1)
     real = M._try_commit_manifest
     hits = {"n": 0}
 
@@ -495,7 +495,7 @@ def test_replace_values_vs_concurrent_append(spark, tmp_path, monkeypatch):
     c_files = M._write_data_files_clustered(
         _clustered(spark, [2], tag=4), root, "list_id"
     )
-    base2 = M._read_manifest(root, 3)
+    base2 = M._resolve_manifest(root, 3)
     hits["n"] = 0
 
     def racing2(r, version, payload):
@@ -550,7 +550,7 @@ def test_delete_where_is_merge_on_read(spark, tmp_path):
     keys = spark.createDataFrame([(i,) for i in (0, 3, 6, 9)], "id long")
     v2 = M.commit_delete_where(root, keys, "id")
     assert v2 == 2
-    m1, m2 = M._read_manifest(root, 1), M._read_manifest(root, 2)
+    m1, m2 = M._resolve_manifest(root, 1), M._resolve_manifest(root, 2)
     assert m1["files"] == m2["files"]  # no data rewrite
     assert len(m2["delete_files"]) == 1
     assert _ids(M.read_snapshot(spark, root)) == set(range(12)) - {0, 3, 6, 9}
@@ -806,7 +806,7 @@ def test_upsert_rows_updates_and_inserts_atomically(spark, tmp_path):
     # time travel: v1 untouched
     assert _ids(M.read_snapshot(spark, root, 1)) == set(range(10))
     # structural: no data rewrite — old files carried
-    m1, m2 = M._read_manifest(root, 1), M._read_manifest(root, v2)
+    m1, m2 = M._resolve_manifest(root, 1), M._resolve_manifest(root, v2)
     assert set(m1["files"]) <= set(m2["files"])
     assert len(M.snapshot_delete_files(root, v2)) == 1
 
@@ -969,7 +969,7 @@ def test_vacuum_protects_inflight_writer_files(spark, tmp_path):
     for rel in w_files:
         assert os.path.exists(os.path.join(root, rel))
     # W now publishes; its snapshot reads back complete
-    cur = M._read_manifest(root, M.current_version(root))
+    cur = M._resolve_manifest(root, M.current_version(root))
     carry = M._carry_versioning(cur, cur["files"] + w_files, w_files, 4)
     assert M._try_commit_manifest(
         root,
