@@ -1070,3 +1070,138 @@ def simhash_hamming_pairs(
         cand.filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
+
+
+# ------------------------------------------------------------------
+# streaming near-dup ingest kernel (r12: extracted from the registry's
+# streaming_dedup_ingest so the scale probe and any batch caller share
+# the exact code path the streaming query commits with)
+
+
+def dedup_ingest_band_keys():
+    """The per-doc band-key array the ingest index posts under —
+    NUM_BANDS keys of ``<band>:<sig rows>`` per document."""
+    from pyspark.sql import functions as F
+
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(bi),
+                *[
+                    F.col("sig")[bi * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+            for bi in range(NUM_BANDS)
+        ]
+    )
+
+
+def dedup_ingest_commit_batch(
+    spark,
+    batch_df,
+    batch_id: int,
+    index_root: str,
+    surv_root: str,
+    threshold: float,
+    return_stats: bool = False,
+):
+    """ONE micro-batch of keep-first near-dup ingest against a
+    persisted, manifest-committed band+shingle posting index — the
+    foreachBatch body of the registry's ``streaming_dedup_ingest``
+    (see that entry's docstring for the full semantics and the
+    exactly-once per-root replay guard).
+
+    Cost shape per batch: the Arrow shingle+minhash kernel runs once
+    over the batch (localCheckpoint pins it); the candidate join
+    equi-joins the batch's ≤ NUM_BANDS×|batch| band keys against the
+    index's band postings; the verify join touches only candidate
+    pairs' gram postings. Work downstream of the posting scans is
+    O(batch × matching postings), never O(corpus).
+
+    ``return_stats`` additionally counts candidates/rejects/survivors
+    (extra actions — probe/diagnostic use only)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    band_keys = dedup_ingest_band_keys()
+    # ONE materialization point: everything below (band/gram postings,
+    # in-batch pairs, the survivors anti-join) derives from the
+    # signature table — without the checkpoint the Arrow
+    # shingle+minhash kernel would re-run per consumer
+    sig = minhash_signatures(batch_df).localCheckpoint(eager=True)
+    bands_b = sig.select("doc_id", F.explode(band_keys).alias("k"))
+    grams_b = sig.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("k")
+    )
+    postings_b = bands_b.withColumn(
+        "n_sh", F.lit(None).cast("int")
+    ).withColumn("kind", F.lit("b")).unionByName(
+        grams_b.withColumn("kind", F.lit("g"))
+    ).select("kind", "k", "doc_id", "n_sh")
+
+    stats = {"candidates": 0}
+    # (1) in-batch keep-first: verified pair rejects the larger id
+    in_rej = minhash_lsh_pairs(
+        batch_df, threshold, sig=sig, materialize=False
+    ).select(F.col("doc_b").alias("doc_id"))
+    # (2) vs every previously-seen doc through the persisted index
+    if M.current_version(index_root) >= 0:
+        idx = M.read_snapshot(spark, index_root)
+        cand = (
+            bands_b.alias("n")
+            .join(idx.filter(F.col("kind") == "b").alias("o"), "k")
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"),
+            )
+            .distinct()
+        )
+        if return_stats:
+            cand = cand.localCheckpoint(eager=True)
+            stats["candidates"] = cand.count()
+        inter = (
+            grams_b.alias("gn")
+            .join(idx.filter(F.col("kind") == "g").alias("go"), "k")
+            .select(
+                F.col("gn.doc_id").alias("new_id"),
+                F.col("go.doc_id").alias("old_id"),
+                F.col("gn.n_sh").alias("na"),
+                F.col("go.n_sh").alias("nb"),
+            )
+            .join(cand, ["new_id", "old_id"])
+            .groupBy("new_id", "old_id", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        )
+        idx_rej = (
+            inter.filter(jac >= threshold)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        rejects = in_rej.unionByName(idx_rej).distinct()
+    else:
+        rejects = in_rej.distinct()
+    survivors = (
+        sig.select("doc_id")
+        .join(rejects, "doc_id", "left_anti")
+        .withColumn("batch", F.lit(int(batch_id)).cast("long"))
+    )
+    if return_stats:
+        survivors = survivors.localCheckpoint(eager=True)
+        stats["survivors"] = survivors.count()
+    # two roots, each guarded by ITS OWN committed batch id, so a
+    # replay after a crash between commits skips exactly the roots
+    # that already landed (no double postings, no double survivors)
+    for tbl, df in (
+        (index_root, postings_b),
+        (surv_root, survivors),
+    ):
+        if batch_id > M.last_committed_meta(tbl, "batch_id", -1):
+            M.commit_append(tbl, df, meta={"batch_id": int(batch_id)})
+    return stats if return_stats else None

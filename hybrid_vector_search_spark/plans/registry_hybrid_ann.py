@@ -1176,3 +1176,141 @@ def ann_ivf_batch_filtered_topk(
     )
 
 
+# ---- product quantization (PQ) — moved from registry_lakehouse (r12 trim)
+
+from hybrid_vector_search_spark.operators import pq as PQ  # noqa: E402
+
+_PQ_DIM = 64  # testdata embedding dim (TESTDATA.md); oracle literals match
+_PQ_QSEED = 37
+
+
+@register(
+    "vector_pq_codes",
+    "SELECT vec_id AS id, "
+    + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(PQ.pq_code_exprs(dim=_PQ_DIM))
+    )
+    + "\nFROM embeddings ORDER BY id",
+)
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators/pq.py): 64-d float32 → 4 × 4-bit codes
+    (64× storage cut). One Arrow pass, one GEMM per subspace; the seeded
+    codebooks make assignment a pure function of (embedding, literals),
+    so the oracle replays it and the codes are value-hash checked
+    (exposed as scalar columns c0..c3 for the driver's comparer)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    codes = PQ.pq_encode(emb, PQ.pq_codebooks(_PQ_DIM))
+    return codes.select(
+        "id", *[codes.codes[i].alias(f"c{i}") for i in range(PQ.PQ_M)]
+    ).orderBy("id")
+
+
+def _pq_adc_oracle() -> str:
+    q = query_vector(_PQ_QSEED)
+    adc = PQ.adc_score_sql(q, dim=_PQ_DIM)
+    return f"""WITH codes AS (
+  SELECT vec_id AS id, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
+  FROM embeddings)
+SELECT id, ROUND({adc}, 6) AS score
+FROM codes
+ORDER BY {adc} DESC, id ASC
+LIMIT 10"""
+
+
+@register("ann_pq_adc_topk", _pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-K over PQ codes (operators/pq.py adc_score_col): the query
+    is tabulated against every centroid once (m × ks lookup tables as
+    array literals) and each row's approximate score is m ``element_at``
+    lookups summed — a whole-stage-codegen scan that reads ONLY the 4-int
+    code column (the float embedding column is pruned away entirely: at
+    100 TB this scan touches 1/64th of the bytes). Same tie discipline as
+    every top-K: score DESC, id ASC."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    books = PQ.pq_codebooks(_PQ_DIM)
+    codes = PQ.pq_encode(emb, books)
+    scored = codes.select(
+        "id", PQ.adc_score_col(books, query_vector(_PQ_QSEED)).alias("score")
+    )
+    return topk(scored, 10).select("id", F.round("score", 6).alias("score"))
+
+
+_IVFPQ_QSEED = 103
+_IVFPQ_C = 100
+
+
+def _ivfpq_oracle() -> str:
+    q = query_vector(_IVFPQ_QSEED)
+    qlit = sql_array_literal(q)
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    probed = ", ".join(str(i) for i in _ann_ivf_probed(_IVFPQ_QSEED))
+    adc = PQ.adc_score_sql(q, codes="codes", dim=_PQ_DIM)
+    return f"""WITH assigned AS (
+  SELECT id, embedding, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding, embedding::DOUBLE[] AS e,
+               [{dots}] AS d
+        FROM embeddings)),
+coded AS (
+  SELECT id, e, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
+  FROM assigned WHERE list_id IN ({probed})),
+cand AS (
+  SELECT id, e FROM coded
+  ORDER BY {adc} DESC, id ASC LIMIT {_IVFPQ_C})
+SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+FROM cand
+ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+LIMIT {ANN_IVF_K}"""
+
+
+@register("ann_ivfpq_rerank_topk", _ivfpq_oracle())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ COMPOSED — the canonical large-scale serving shape
+    (FAISS ``IndexIVFPQ``: coarse lists prune I/O, PQ codes shrink what
+    remains, exact rerank restores precision on the survivors), built
+    from the engine's existing pieces exactly the way the layouts
+    compose at 100 TB:
+
+    * the probe prunes to nprobe/nlist of the lists (bytes ∝ probed
+      fraction on the persisted layout);
+    * within the probed lists the ADC stage reads ONLY the 4-int PQ
+      code column (1/64th of the vector bytes) — m ``element_at``
+      lookups per row, whole-stage codegen;
+    * the top-{_IVFPQ_C} ADC candidates (bounded, broadcastable)
+      semi-join back to the float vectors for the exact float64 rerank
+      of the final top-K.
+
+    Every stage is a pure function of (embedding, seeded centroids ×
+    codebooks), so the oracle replays assignment, probe, encoding, ADC
+    ranking, and rerank end-to-end — the composed pipeline gets the
+    same value-hash certificate its three ingredients each have."""
+    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+
+    q = query_vector(_IVFPQ_QSEED)
+    index = _ann_ivf_fixed_index(spark, sf_dir)
+    probed = index.probe(q, ANN_IVF_NPROBE)
+    pruned = index.assigned.filter(F.col("list_id").isin(probed))
+    books = PQ.pq_codebooks(_PQ_DIM)
+    codes = PQ.pq_encode(pruned, books)
+    cand = (
+        codes.select(
+            "id", PQ.adc_score_col(books, q).alias("adc")
+        )
+        .orderBy(F.col("adc").desc(), F.col("id").asc())
+        .limit(_IVFPQ_C)
+    )
+    rerank = index.assigned.select("id", "embedding").join(
+        F.broadcast(cand.select("id")), "id"
+    )
+    scored = rerank.select(
+        "id", dot_score_sql("embedding", q).alias("score")
+    )
+    return topk(scored, ANN_IVF_K).select(
+        "id", F.round("score", 6).alias("score")
+    )

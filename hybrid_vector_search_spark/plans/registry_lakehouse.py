@@ -1,4 +1,4 @@
-"""Cost-based ladder entry, costed planner batches, snapshot/CDC lakehouse queries, stateful streaming, product quantization.
+"""Cost-based ladder entry, costed planner batches, snapshot/CDC lakehouse queries.
 
 r11 mechanical split of plans/registry.py (r10 verdict task 7): this is a
 contiguous slice of the original file, imported by the registry hub in
@@ -22,7 +22,7 @@ from hybrid_vector_search_spark.functions.predicates import (
     compile_filters,
     filters_to_sql,
 )
-from hybrid_vector_search_spark.operators.topk import grouped_topk, topk
+from hybrid_vector_search_spark.operators.topk import topk
 from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
 from hybrid_vector_search_spark.sources.loaders import (
     load_table,
@@ -1869,259 +1869,3 @@ def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method STRING, id LONG, score DOUBLE, ladder_entry LONG, "
         "rungs_run LONG",
     )
-
-
-# --------------------------------- streaming: session windows + custom state
-
-_SESS_GAP_MIN = 30
-_SESS_WM = "1 hour"
-
-
-@register(
-    "streaming_session_windows",
-    f"""WITH wm AS (
-  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
-  FROM events),
-lagged AS (
-  SELECT user_id, event_id, ts, value,
-    CASE WHEN LAG(ts) OVER win IS NULL
-           OR ts - LAG(ts) OVER win >= INTERVAL {_SESS_GAP_MIN * 60} SECOND
-         THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
-sess AS (
-  SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS sid
-  FROM lagged)
-SELECT user_id,
-  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-  COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS sum_value
-FROM sess
-GROUP BY user_id, sid
-HAVING MAX(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE < (SELECT w FROM wm)
-ORDER BY user_id, session_start""",
-side_effects=True,
-)
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native streaming SESSION windows (``F.session_window`` + watermark,
-    streaming/pipeline.py session_window_stream): gap-merged per-user
-    sessions whose state is evicted by the watermark; append mode emits a
-    session once the watermark passes its end (last event + gap).
-
-    The oracle replays the identical semantics as batch gaps-and-islands
-    at full microsecond precision — new session iff the inter-event gap
-    is ≥ the session gap (session_window merges only strictly-overlapping
-    [ts, ts+gap) windows) — and keeps exactly the sessions the stream
-    can have closed: end + gap < max(ts)@millis − watermark delay."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        read_events_stream,
-        run_available_now,
-        session_window_stream,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    agg = session_window_stream(ev, f"{_SESS_GAP_MIN} minutes", _SESS_WM)
-    table = "stream_sessions"
-    # heavier state than the windowed aggs (~95k session-window rows at
-    # sf0.1 vs ~2k groups): r5 sweep 4/8/16/32 -> 1.38/1.14/1.49/2.47s,
-    # 8 is this operator's knee
-    run_available_now(
-        agg,
-        table,
-        output_mode="append",
-        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
-    )
-    return _sink_sorted(spark, table, "user_id", "session_start")
-
-
-@register(
-    "streaming_stateful_user_totals",
-    f"""SELECT user_id, COUNT(*) AS n_events,
-  {round_portable_sql('SUM(value)', 2)} AS sum_value
-FROM events GROUP BY user_id ORDER BY user_id""",
-side_effects=True,
-)
-def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (``applyInPandasWithState``,
-    streaming/pipeline.py stateful_user_totals_stream): per-user running
-    totals in explicit GroupState — the API surface for stateful logic
-    beyond built-in windows (counters, custom eviction, online models).
-    An availableNow drain without maxFilesPerTrigger consumes the whole
-    landing directory in one micro-batch (regardless of file count), so
-    each user's one update-mode emission IS its final total; the oracle
-    is the batch GROUP BY, and the drain asserts the single-data-batch
-    assumption so a future source rate limit fails loudly instead of
-    emitting intermediate totals."""
-    from hybrid_vector_search_spark.streaming.pipeline import (
-        read_events_stream,
-        run_available_now,
-        stateful_user_totals_stream,
-    )
-
-    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
-    tot = stateful_user_totals_stream(ev)
-    table = "stream_user_totals"
-    # the per-group Python kernel parallelizes across state partitions
-    # (Arrow transfer + GroupState updates for 100k rows): r5 isolated
-    # sweep 4/8/16 -> 1.87/1.35/1.26s, but 16 regressed to 5.4s inside
-    # the full 112-query bench (16 stateful Python workers × a loaded
-    # executor) — 8 is the setting that wins in both contexts
-    run_available_now(
-        tot,
-        table,
-        output_mode="update",
-        expect_single_data_batch=True,
-        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
-    )
-    return (
-        _sink_sorted(spark, table, "user_id")
-        .select(
-            "user_id",
-            "n_events",
-            round_portable(F.col("sum_value"), 2).alias("sum_value"),
-        )
-    )
-
-
-# --------------------------------------------- product quantization (PQ)
-
-from hybrid_vector_search_spark.operators import pq as PQ  # noqa: E402
-
-_PQ_DIM = 64  # testdata embedding dim (TESTDATA.md); oracle literals match
-_PQ_QSEED = 37
-
-
-@register(
-    "vector_pq_codes",
-    "SELECT vec_id AS id, "
-    + ", ".join(
-        f"{e} AS c{i}" for i, e in enumerate(PQ.pq_code_exprs(dim=_PQ_DIM))
-    )
-    + "\nFROM embeddings ORDER BY id",
-)
-def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding (operators/pq.py): 64-d float32 → 4 × 4-bit codes
-    (64× storage cut). One Arrow pass, one GEMM per subspace; the seeded
-    codebooks make assignment a pure function of (embedding, literals),
-    so the oracle replays it and the codes are value-hash checked
-    (exposed as scalar columns c0..c3 for the driver's comparer)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    codes = PQ.pq_encode(emb, PQ.pq_codebooks(_PQ_DIM))
-    return codes.select(
-        "id", *[codes.codes[i].alias(f"c{i}") for i in range(PQ.PQ_M)]
-    ).orderBy("id")
-
-
-def _pq_adc_oracle() -> str:
-    q = query_vector(_PQ_QSEED)
-    adc = PQ.adc_score_sql(q, dim=_PQ_DIM)
-    return f"""WITH codes AS (
-  SELECT vec_id AS id, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
-  FROM embeddings)
-SELECT id, ROUND({adc}, 6) AS score
-FROM codes
-ORDER BY {adc} DESC, id ASC
-LIMIT 10"""
-
-
-@register("ann_pq_adc_topk", _pq_adc_oracle())
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-K over PQ codes (operators/pq.py adc_score_col): the query
-    is tabulated against every centroid once (m × ks lookup tables as
-    array literals) and each row's approximate score is m ``element_at``
-    lookups summed — a whole-stage-codegen scan that reads ONLY the 4-int
-    code column (the float embedding column is pruned away entirely: at
-    100 TB this scan touches 1/64th of the bytes). Same tie discipline as
-    every top-K: score DESC, id ASC."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "vec_id", "id"
-    )
-    books = PQ.pq_codebooks(_PQ_DIM)
-    codes = PQ.pq_encode(emb, books)
-    scored = codes.select(
-        "id", PQ.adc_score_col(books, query_vector(_PQ_QSEED)).alias("score")
-    )
-    return topk(scored, 10).select("id", F.round("score", 6).alias("score"))
-
-
-_IVFPQ_QSEED = 103
-_IVFPQ_C = 100
-
-
-def _ivfpq_oracle() -> str:
-    q = query_vector(_IVFPQ_QSEED)
-    qlit = sql_array_literal(q)
-    dots = ", ".join(
-        f"list_dot_product(e, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(str(i) for i in _ann_ivf_probed(_IVFPQ_QSEED))
-    adc = PQ.adc_score_sql(q, codes="codes", dim=_PQ_DIM)
-    return f"""WITH assigned AS (
-  SELECT id, embedding, e, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT vec_id AS id, embedding, embedding::DOUBLE[] AS e,
-               [{dots}] AS d
-        FROM embeddings)),
-coded AS (
-  SELECT id, e, {PQ.pq_codes_sql(dim=_PQ_DIM)} AS codes
-  FROM assigned WHERE list_id IN ({probed})),
-cand AS (
-  SELECT id, e FROM coded
-  ORDER BY {adc} DESC, id ASC LIMIT {_IVFPQ_C})
-SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
-FROM cand
-ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
-LIMIT {ANN_IVF_K}"""
-
-
-@register("ann_ivfpq_rerank_topk", _ivfpq_oracle())
-def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ COMPOSED — the canonical large-scale serving shape
-    (FAISS ``IndexIVFPQ``: coarse lists prune I/O, PQ codes shrink what
-    remains, exact rerank restores precision on the survivors), built
-    from the engine's existing pieces exactly the way the layouts
-    compose at 100 TB:
-
-    * the probe prunes to nprobe/nlist of the lists (bytes ∝ probed
-      fraction on the persisted layout);
-    * within the probed lists the ADC stage reads ONLY the 4-int PQ
-      code column (1/64th of the vector bytes) — m ``element_at``
-      lookups per row, whole-stage codegen;
-    * the top-{_IVFPQ_C} ADC candidates (bounded, broadcastable)
-      semi-join back to the float vectors for the exact float64 rerank
-      of the final top-K.
-
-    Every stage is a pure function of (embedding, seeded centroids ×
-    codebooks), so the oracle replays assignment, probe, encoding, ADC
-    ranking, and rerank end-to-end — the composed pipeline gets the
-    same value-hash certificate its three ingredients each have."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
-
-    q = query_vector(_IVFPQ_QSEED)
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    probed = index.probe(q, ANN_IVF_NPROBE)
-    pruned = index.assigned.filter(F.col("list_id").isin(probed))
-    books = PQ.pq_codebooks(_PQ_DIM)
-    codes = PQ.pq_encode(pruned, books)
-    cand = (
-        codes.select(
-            "id", PQ.adc_score_col(books, q).alias("adc")
-        )
-        .orderBy(F.col("adc").desc(), F.col("id").asc())
-        .limit(_IVFPQ_C)
-    )
-    rerank = index.assigned.select("id", "embedding").join(
-        F.broadcast(cand.select("id")), "id"
-    )
-    scored = rerank.select(
-        "id", dot_score_sql("embedding", q).alias("score")
-    )
-    return topk(scored, ANN_IVF_K).select(
-        "id", F.round("score", 6).alias("score")
-    )
-
-

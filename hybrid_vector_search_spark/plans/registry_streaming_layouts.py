@@ -1334,90 +1334,16 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_root = os.path.join(root, "index")  # band + shingle postings
     surv_root = os.path.join(root, "survivors")
 
-    rows_per_band = DD.NUM_HASHES // DD.NUM_BANDS
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(bi),
-                *[
-                    F.col("sig")[bi * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ],
-            )
-            for bi in range(DD.NUM_BANDS)
-        ]
-    )
-
     def commit_batch(batch_df, batch_id):
-        # ONE materialization point: everything below (band/gram
-        # postings, in-batch pairs, the survivors anti-join) derives
-        # from the signature table — without the checkpoint the Arrow
-        # shingle+minhash kernel would re-run per consumer
-        sig = DD.minhash_signatures(batch_df).localCheckpoint(eager=True)
-        bands_b = sig.select("doc_id", F.explode(band_keys).alias("k"))
-        grams_b = sig.select(
-            "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("k")
+        # the shared ingest kernel (operators/dedup.py
+        # dedup_ingest_commit_batch) — extracted r12 so the scale probe
+        # measures EXACTLY the code path this streaming query commits
+        # with (band+gram postings, in-batch + vs-index keep-first,
+        # per-root exactly-once batch-id guard)
+        DD.dedup_ingest_commit_batch(
+            spark, batch_df, batch_id, index_root, surv_root,
+            JACCARD_THRESHOLD,
         )
-        postings_b = bands_b.withColumn("n_sh", F.lit(None).cast("int")
-        ).withColumn("kind", F.lit("b")).unionByName(
-            grams_b.withColumn("kind", F.lit("g"))
-        ).select("kind", "k", "doc_id", "n_sh")
-
-        # (1) in-batch keep-first: verified pair rejects the larger id
-        in_rej = DD.minhash_lsh_pairs(
-            batch_df, JACCARD_THRESHOLD, sig=sig, materialize=False
-        ).select(F.col("doc_b").alias("doc_id"))
-        # (2) vs every previously-seen doc through the persisted index
-        if M.current_version(index_root) >= 0:
-            idx = M.read_snapshot(spark, index_root)
-            cand = (
-                bands_b.alias("n")
-                .join(idx.filter(F.col("kind") == "b").alias("o"), "k")
-                .select(
-                    F.col("n.doc_id").alias("new_id"),
-                    F.col("o.doc_id").alias("old_id"),
-                )
-                .distinct()
-            )
-            inter = (
-                grams_b.alias("gn")
-                .join(idx.filter(F.col("kind") == "g").alias("go"), "k")
-                .select(
-                    F.col("gn.doc_id").alias("new_id"),
-                    F.col("go.doc_id").alias("old_id"),
-                    F.col("gn.n_sh").alias("na"),
-                    F.col("go.n_sh").alias("nb"),
-                )
-                .join(cand, ["new_id", "old_id"])
-                .groupBy("new_id", "old_id", "na", "nb")
-                .agg(F.count(F.lit(1)).alias("inter"))
-            )
-            jac = F.col("inter").cast("double") / (
-                F.col("na") + F.col("nb") - F.col("inter")
-            )
-            idx_rej = (
-                inter.filter(jac >= JACCARD_THRESHOLD)
-                .select(F.col("new_id").alias("doc_id"))
-                .distinct()
-            )
-            rejects = in_rej.unionByName(idx_rej).distinct()
-        else:
-            rejects = in_rej.distinct()
-        survivors = (
-            sig.select("doc_id")
-            .join(rejects, "doc_id", "left_anti")
-            .withColumn("batch", F.lit(int(batch_id)).cast("long"))
-        )
-        # two roots, each guarded by ITS OWN committed batch id, so a
-        # replay after a crash between commits skips exactly the roots
-        # that already landed (no double postings, no double survivors)
-        for tbl, df in (
-            (index_root, postings_b),
-            (surv_root, survivors),
-        ):
-            if batch_id > M.last_committed_meta(tbl, "batch_id", -1):
-                M.commit_append(tbl, df, meta={"batch_id": int(batch_id)})
 
     schema = T.StructType(
         [
@@ -1439,4 +1365,120 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.read_snapshot(spark, surv_root)
         .select("doc_id", "batch")
         .orderBy("doc_id")
+    )
+
+
+# ---- moved from registry_lakehouse (r12 trim): session windows + custom state
+
+# --------------------------------- streaming: session windows + custom state
+
+_SESS_GAP_MIN = 30
+_SESS_WM = "1 hour"
+
+
+@register(
+    "streaming_session_windows",
+    f"""WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER win IS NULL
+           OR ts - LAG(ts) OVER win >= INTERVAL {_SESS_GAP_MIN * 60} SECOND
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL {_SESS_GAP_MIN} MINUTE < (SELECT w FROM wm)
+ORDER BY user_id, session_start""",
+side_effects=True,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION windows (``F.session_window`` + watermark,
+    streaming/pipeline.py session_window_stream): gap-merged per-user
+    sessions whose state is evicted by the watermark; append mode emits a
+    session once the watermark passes its end (last event + gap).
+
+    The oracle replays the identical semantics as batch gaps-and-islands
+    at full microsecond precision — new session iff the inter-event gap
+    is ≥ the session gap (session_window merges only strictly-overlapping
+    [ts, ts+gap) windows) — and keeps exactly the sessions the stream
+    can have closed: end + gap < max(ts)@millis − watermark delay."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        session_window_stream,
+    )
+
+    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
+    agg = session_window_stream(ev, f"{_SESS_GAP_MIN} minutes", _SESS_WM)
+    table = "stream_sessions"
+    # heavier state than the windowed aggs (~95k session-window rows at
+    # sf0.1 vs ~2k groups): r5 sweep 4/8/16/32 -> 1.38/1.14/1.49/2.47s,
+    # 8 is this operator's knee
+    run_available_now(
+        agg,
+        table,
+        output_mode="append",
+        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
+    )
+    return _sink_sorted(spark, table, "user_id", "session_start")
+
+
+@register(
+    "streaming_stateful_user_totals",
+    f"""SELECT user_id, COUNT(*) AS n_events,
+  {round_portable_sql('SUM(value)', 2)} AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id""",
+side_effects=True,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    streaming/pipeline.py stateful_user_totals_stream): per-user running
+    totals in explicit GroupState — the API surface for stateful logic
+    beyond built-in windows (counters, custom eviction, online models).
+    An availableNow drain without maxFilesPerTrigger consumes the whole
+    landing directory in one micro-batch (regardless of file count), so
+    each user's one update-mode emission IS its final total; the oracle
+    is the batch GROUP BY, and the drain asserts the single-data-batch
+    assumption so a future source rate limit fails loudly instead of
+    emitting intermediate totals."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_totals_stream,
+    )
+
+    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
+    tot = stateful_user_totals_stream(ev)
+    table = "stream_user_totals"
+    # the per-group Python kernel parallelizes across state partitions
+    # (Arrow transfer + GroupState updates for 100k rows): r5 isolated
+    # sweep 4/8/16 -> 1.87/1.35/1.26s, but 16 regressed to 5.4s inside
+    # the full 112-query bench (16 stateful Python workers × a loaded
+    # executor) — 8 is the setting that wins in both contexts
+    run_available_now(
+        tot,
+        table,
+        output_mode="update",
+        expect_single_data_batch=True,
+        shuffle_partitions=_stream_parts(spark, sf_dir, factor=2),
+    )
+    return (
+        _sink_sorted(spark, table, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            round_portable(F.col("sum_value"), 2).alias("sum_value"),
+        )
     )

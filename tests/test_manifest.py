@@ -1305,3 +1305,144 @@ def test_ndv_from_blooms_accuracy_across_cardinalities(spark, tmp_path):
         M.ndv_from_blooms(
             [{"m": 64, "k": 1, "b64": base64.b64encode(b"\xff" * 8).decode()}]
         )
+
+
+def test_rewrite_vs_rewrite_conflicts_then_serializes(spark, tmp_path):
+    """Two rewrites sharing a base do NOT commute: the loser's base
+    files were replaced, so its commit raises CommitConflictError; a
+    re-read + redo (what optimize() automates) then lands cleanly on
+    the winner's snapshot."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))
+    M.commit_append(root, _df(spark, 10, 20))
+    base_v = M.current_version(root)
+    base_read = M.read_snapshot(spark, root, base_v)
+
+    # writer B wins a full compaction from the same base
+    vb = M.commit_rewrite(root, base_read, n_files=1, base_version=base_v)
+    assert vb == base_v + 1
+
+    # writer A, still pinned to the old base, must conflict — its
+    # rewrite would replace files B already replaced (lost update)
+    with pytest.raises(M.CommitConflictError, match="replaced by a concurrent"):
+        M.commit_rewrite(root, base_read, n_files=1, base_version=base_v)
+
+    # the redo (re-read current, rewrite THAT) serializes after B
+    va = M.commit_rewrite(
+        root, M.read_snapshot(spark, root), n_files=1, base_version=vb
+    )
+    assert va == vb + 1
+    assert _ids(M.read_snapshot(spark, root)) == set(range(20))
+
+
+def test_threaded_rewrite_races_rewrite(spark, tmp_path):
+    """LIVE rewrite∥rewrite: two optimizer threads compact the same
+    table concurrently. Every attempt either wins its CAS or conflicts
+    and retries (optimize's loop); the final snapshot preserves every
+    row exactly once and the history is a serial chain of rewrites."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 50))
+    errs: list = []
+
+    def optimizer(rounds: int):
+        try:
+            for _ in range(rounds):
+                M.optimize(spark, root, n_files=1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=optimizer, args=(4,)) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert errs == []
+    got = M.read_snapshot(spark, root)
+    assert _ids(got) == set(range(50))
+    assert got.count() == 50  # exactly once — no duplicated rows
+    # 8 rewrites + 1 append landed as SOME serial chain
+    assert M.current_version(root) == 9
+
+
+def test_delete_vs_delete_overlapping_keys(spark, tmp_path):
+    """delete∥delete on OVERLAPPING key sets commutes: both equality-
+    delete files survive the CAS rebase, and the final snapshot
+    subtracts the union — in either serial order."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 30))
+    a_keys = spark.createDataFrame([(i,) for i in range(5, 15)], "id long")
+    b_keys = spark.createDataFrame([(i,) for i in range(10, 20)], "id long")
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def deleter(keys):
+        try:
+            barrier.wait(30)
+            M.commit_delete_where(root, keys, "id")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=deleter, args=(k,))
+        for k in (a_keys, b_keys)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert errs == []
+    assert M.current_version(root) == 3  # both landed, serial order
+    assert _ids(M.read_snapshot(spark, root)) == (
+        set(range(30)) - set(range(5, 20))
+    )
+    # each intermediate version shows exactly one delete applied
+    v2 = _ids(M.read_snapshot(spark, root, 2))
+    assert v2 in (
+        set(range(30)) - set(range(5, 15)),
+        set(range(30)) - set(range(10, 20)),
+    )
+
+
+def test_vacuum_vs_inflight_reader_of_dropped_version(spark, tmp_path):
+    """vacuum racing a reader pinned to a to-be-dropped version: the
+    TAG-pinned reader is unaffected (tagged versions are retention-
+    exempt); an UNTAGGED pinned plan whose version is vacuumed fails
+    LOUDLY at execution (the files are gone and ignoreMissingFiles is
+    off) — never a silently partial result."""
+    from py4j.protocol import Py4JJavaError
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))          # v1
+    M.create_tag(root, "pinned", 1)
+    M.commit_rewrite(root, M.read_snapshot(spark, root), n_files=1)  # v2
+    # v3 rewrites AGAIN (v2's files now referenced by v2 alone, so the
+    # vacuum genuinely reclaims them) and folds in new rows
+    M.commit_rewrite(
+        root,
+        M.read_snapshot(spark, root).unionByName(_df(spark, 10, 20)),
+        n_files=1,
+    )                                                  # v3
+
+    tagged = M.read_snapshot(spark, root, M.resolve_tag(root, "pinned"))
+    untagged = M.read_snapshot(spark, root, 2)  # pins v2's file list
+
+    stats = M.vacuum(root, keep_last=1, orphan_grace_sec=0)
+    assert stats["dropped_versions"] == 1  # v2 (v1 is tag-pinned)
+
+    # tag-pinned read still serves its snapshot byte-for-byte
+    assert _ids(tagged) == set(range(10))
+    assert _ids(M.read_snapshot(spark, root, M.resolve_tag(root, "pinned"))) == set(
+        range(10)
+    )
+    # current read unaffected
+    assert _ids(M.read_snapshot(spark, root)) == set(range(20))
+    # the untagged in-flight plan of the dropped version fails loudly
+    with pytest.raises(Py4JJavaError):
+        untagged.collect()
+    # and re-resolving the dropped version is a clean validation error
+    with pytest.raises(ValidationError, match="does not exist"):
+        M.read_snapshot(spark, root, 2)
