@@ -71,6 +71,21 @@ def main() -> None:
     R._quantized_corpus(spark, sf_dir)
     warmup_s = time.perf_counter() - t_warm
 
+    # self-calibration: the session's bare job-launch floor (min-of-15
+    # count over a 1M-row range). The host's speed drifts by era (r12
+    # attribution: identical code + plans measured 73-92 ms floors in
+    # good windows and 107+ ms in bad ones, moving EVERY floor-bound
+    # query 1.3-1.5× uniformly) — recording the floor next to the
+    # timings makes each bench artifact interpretable on its own:
+    # compare query/floor ratios across rounds, not raw walls.
+    _floor_df = spark.range(1_000_000)
+    _floor_df.count()
+    floor_s = float("inf")
+    for _ in range(15):
+        _t = time.perf_counter()
+        _floor_df.count()
+        floor_s = min(floor_s, time.perf_counter() - _t)
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -196,6 +211,7 @@ def main() -> None:
         "queries": {k: timings[k] for k in headline_keys if k in timings},
         "sf": sf,
         "warmup_sec": round(warmup_s, 4),
+        "job_floor_ms": round(floor_s * 1000.0, 1),
         "n_queries": len(timings),
         "canonical_10_sec": timings.get("hybrid_batch_canonical"),
         "detail_file": "BENCH_DETAIL.json",

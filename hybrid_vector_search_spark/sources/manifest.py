@@ -659,6 +659,7 @@ def snapshot_files_pruned(
     lo,
     hi,
     version: int | None = None,
+    _memo: dict | None = None,
 ) -> tuple[int, list[str], int]:
     """(version, kept absolute file paths, total files in version):
     drop files whose manifest [min,max] for ``column`` cannot overlap
@@ -690,12 +691,35 @@ def snapshot_files_pruned(
         if gmm is not None and (gmm[0] > hi or gmm[1] < lo):
             continue  # whole sidecar provably disjoint — never opened
         rels, by_rel = _load_group(root, entry["path"])
+        mp = entry.get("mapping", {})
+        av = int(entry.get("added_version", 0))
         for rel in rels:
             mm = by_rel.get(rel, {}).get(phys)
             if mm is not None and (mm[0] > hi or mm[1] < lo):
                 continue
             kept.append(rel)
+            if _memo is not None:
+                _memo[rel] = (mp, av)
     return v, [os.path.join(root, r) for r in kept], total
+
+
+def _restricted_view(md: dict, memo: dict, files_abs: list[str], root: str) -> dict:
+    """A manifest view covering ONLY the pruned-in files, assembled from
+    the sidecars the pruning pass already parsed — the pruned READ path
+    never resolves the full snapshot, so its metadata cost is O(touched
+    sidecars) like the pruning itself."""
+    rels = [os.path.relpath(f, root) for f in files_abs]
+    return {
+        "files": rels,
+        "schema": md.get("schema"),
+        "delete_files": md.get("delete_files", []),
+        "column_mapping": {
+            r: memo[r][0] for r in rels if r in memo and memo[r][0]
+        },
+        "added_versions": {
+            r: memo[r][1] for r in rels if r in memo
+        },
+    }
 
 
 def read_snapshot_pruned(
@@ -715,9 +739,19 @@ def read_snapshot_pruned(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _resolve_manifest(root, v)
-    _v, files, _total = snapshot_files_pruned(root, column, lo, hi, v)
-    df = _apply_logical_schema(spark, root, m, files=files)
+    md = _read_manifest(root, v)
+    if "groups" not in md:
+        m = _resolve_manifest(root, v)
+        _v, files, _total = snapshot_files_pruned(root, column, lo, hi, v)
+        df = _apply_logical_schema(spark, root, m, files=files)
+        return df.filter(F.col(column).between(lo, hi))
+    memo: dict = {}
+    _v, files, _total = snapshot_files_pruned(
+        root, column, lo, hi, v, _memo=memo
+    )
+    df = _apply_logical_schema(
+        spark, root, _restricted_view(md, memo, files, root), files=files
+    )
     return df.filter(F.col(column).between(lo, hi))
 
 
@@ -1131,6 +1165,7 @@ def snapshot_files_pruned_in(
     column: str,
     values,
     version: int | None = None,
+    _memo: dict | None = None,
 ) -> tuple[int, list[str], int]:
     """(version, kept absolute paths, total): drop files whose
     [min,max] for ``column`` provably contains NONE of ``values`` —
@@ -1162,6 +1197,8 @@ def snapshot_files_pruned_in(
         ):
             continue  # no probed value can live in this sidecar
         rels, by_rel = _load_group(root, ge["path"])
+        mp = ge.get("mapping", {})
+        av = int(ge.get("added_version", 0))
         for rel in rels:
             mm = by_rel.get(rel, {}).get(phys)
             if mm is not None and not any(
@@ -1169,6 +1206,8 @@ def snapshot_files_pruned_in(
             ):
                 continue
             kept.append(rel)
+            if _memo is not None:
+                _memo[rel] = (mp, av)
     return v, [os.path.join(root, r) for r in kept], total
 
 
@@ -1187,14 +1226,27 @@ def read_snapshot_pruned_in(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _resolve_manifest(root, v)
-    _v, files, _total = snapshot_files_pruned_in(root, column, values, v)
-    df = _apply_logical_schema(spark, root, m, files=files)
+    md = _read_manifest(root, v)
+    if "groups" not in md:
+        m = _resolve_manifest(root, v)
+        _v, files, _total = snapshot_files_pruned_in(
+            root, column, values, v
+        )
+        df = _apply_logical_schema(spark, root, m, files=files)
+        return df.filter(F.col(column).isin(list(values)))
+    memo: dict = {}
+    _v, files, _total = snapshot_files_pruned_in(
+        root, column, values, v, _memo=memo
+    )
+    df = _apply_logical_schema(
+        spark, root, _restricted_view(md, memo, files, root), files=files
+    )
     return df.filter(F.col(column).isin(list(values)))
 
 
 def snapshot_files_pruned_multi(
-    root: str, preds: list, version: int | None = None
+    root: str, preds: list, version: int | None = None,
+    _memo: dict | None = None,
 ) -> tuple[int, list[str], int]:
     """(version, kept absolute paths, total): conjunctive file
     skipping — a file survives only if its [min,max] can overlap EVERY
@@ -1232,6 +1284,7 @@ def snapshot_files_pruned_multi(
         ):
             continue  # sidecar disjoint from some conjunct — skipped
         rels, by_rel = _load_group(root, ge["path"])
+        av = int(ge.get("added_version", 0))
         for rel in rels:
             st = by_rel.get(rel, {})
             drop = False
@@ -1242,6 +1295,8 @@ def snapshot_files_pruned_multi(
                     break
             if not drop:
                 kept.append(rel)
+                if _memo is not None:
+                    _memo[rel] = (mp, av)
     return v, [os.path.join(root, r) for r in kept], total
 
 
@@ -1259,9 +1314,21 @@ def read_snapshot_pruned_multi(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    m = _resolve_manifest(root, v)
-    _v, files, _total = snapshot_files_pruned_multi(root, preds, v)
-    df = _apply_logical_schema(spark, root, m, files=files)
+    md = _read_manifest(root, v)
+    if "groups" not in md:
+        m = _resolve_manifest(root, v)
+        _v, files, _total = snapshot_files_pruned_multi(root, preds, v)
+        df = _apply_logical_schema(spark, root, m, files=files)
+        for column, lo, hi in preds:
+            df = df.filter(F.col(column).between(lo, hi))
+        return df
+    memo: dict = {}
+    _v, files, _total = snapshot_files_pruned_multi(
+        root, preds, v, _memo=memo
+    )
+    df = _apply_logical_schema(
+        spark, root, _restricted_view(md, memo, files, root), files=files
+    )
     for column, lo, hi in preds:
         df = df.filter(F.col(column).between(lo, hi))
     return df
