@@ -10,6 +10,8 @@ helpers are imported explicitly below.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from hybrid_vector_search_spark.functions.portable import (
@@ -472,6 +474,110 @@ def corpus_snapshot_pruned_scan(
         .select(
             F.lit(len(kept)).alias("files_scanned"),
             F.lit(total).alias("files_total"),
+            "label",
+            "n_rows",
+            "sum_id",
+        )
+        .orderBy("label")
+    )
+
+
+_GROUP_PRUNED_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _group_pruned_oracle() -> str:
+    """Replays the group-pruned window scan from the base table; the
+    sidecar/file-count literals are pinned by CONSTRUCTION of the
+    layout (4 commits of 4 clustered files each) and the Spark side
+    emits its MEASURED counts, so a pruning regression — opening a
+    sidecar the summary should skip, or scanning a file the per-file
+    stats exclude — mismatches the hash."""
+    return """WITH nn AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+w AS (SELECT n // 4 AS lo, n // 2 - 1 AS hi FROM nn)
+SELECT CAST(4 AS BIGINT) AS groups_total,
+  CAST(1 AS BIGINT) AS sidecars_parsed,
+  CAST(4 AS BIGINT) AS files_scanned,
+  CAST(16 AS BIGINT) AS files_total,
+  label,
+  COUNT(*) AS n_rows,
+  CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings, w
+WHERE vec_id BETWEEN w.lo AND w.hi
+GROUP BY label
+ORDER BY label"""
+
+
+@register(
+    "corpus_snapshot_group_pruned_scan",
+    _group_pruned_oracle(),
+    side_effects=True,
+)
+def corpus_snapshot_group_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHARDED-MANIFEST GROUP PRUNING (r12, sources/manifest.py format
+    2 — the Iceberg manifest-list shape): the corpus lands as FOUR
+    id-range commits, each clustered into four sub-range files, so the
+    table's metadata is four immutable sidecars whose descriptor
+    summaries carry disjoint vec_id [min,max]. A BETWEEN over the
+    second quarter is then planned in two pruning levels: the
+    descriptor summary rules out three sidecars UNOPENED (the metadata
+    itself is file-skipped — at 800k files this is what keeps snapshot
+    planning off the O(table) path), and the surviving sidecar's
+    per-file stats keep exactly its four files. The hash-checked
+    contract pins all four measured counts — groups in the descriptor,
+    sidecars actually parsed (observed via the immutable-sidecar LRU),
+    files kept, files total — alongside the window aggregate, so
+    opening too much OR wrongly skipping data both mismatch."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _GROUP_PRUNED_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+    if root is None:
+        root = scratch_path(
+            "snap_gpruned_" + sf_dir.strip("/").replace("/", "_")
+        )
+        bounds = [0, n // 4, n // 2, (3 * n) // 4, n]
+        for lo, hi in zip(bounds, bounds[1:]):
+            span = max(hi - lo, 1)
+            quarter = emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).withColumn(
+                "q",
+                F.least(
+                    F.lit(3),
+                    ((F.col("vec_id") - lo) * 4 / span).cast("int"),
+                ),
+            )
+            M.commit_append_clustered(root, quarter, "q")
+        _GROUP_PRUNED_CACHE[sf_dir] = (spark, root)
+    w_lo, w_hi = n // 4, n // 2 - 1
+    v = M.current_version(root)
+    groups_total = len(M._read_manifest(root, v)["groups"])
+    # parsed-sidecar count, observed: drop this root's entries from the
+    # immutable-sidecar LRU, prune, count what came back in
+    prefix = os.path.abspath(root) + os.sep
+    with M._GROUP_CACHE_LOCK:
+        for key in [k for k in M._GROUP_CACHE if k.startswith(prefix)]:
+            del M._GROUP_CACHE[key]
+    _v, kept, total = M.snapshot_files_pruned(root, "vec_id", w_lo, w_hi, v)
+    with M._GROUP_CACHE_LOCK:
+        parsed = sum(1 for k in M._GROUP_CACHE if k.startswith(prefix))
+    return (
+        M.read_snapshot_pruned(spark, root, "vec_id", w_lo, w_hi, v)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_id"),
+        )
+        .select(
+            F.lit(groups_total).cast("long").alias("groups_total"),
+            F.lit(parsed).cast("long").alias("sidecars_parsed"),
+            F.lit(len(kept)).cast("long").alias("files_scanned"),
+            F.lit(total).cast("long").alias("files_total"),
             "label",
             "n_rows",
             "sum_id",
