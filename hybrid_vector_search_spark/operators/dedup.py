@@ -1148,12 +1148,23 @@ def dedup_ingest_commit_batch(
     in_rej = minhash_lsh_pairs(
         batch_df, threshold, sig=sig, materialize=False
     ).select(F.col("doc_b").alias("doc_id"))
-    # (2) vs every previously-seen doc through the persisted index
+    # (2) vs every previously-seen doc through the persisted index.
+    # Postings are committed CLUSTERED BY KIND (one band file + one
+    # gram file per commit, each with footer min==max=='b'/'g'), so the
+    # manifest prunes each stage to its own files: the candidate join
+    # scans ONLY band postings (NUM_BANDS rows/doc — the gram postings,
+    # ~shingles/doc and the bulk of index bytes, are never opened) and
+    # the verify join only gram postings.
     if M.current_version(index_root) >= 0:
-        idx = M.read_snapshot(spark, index_root)
+        bands_o = M.read_snapshot_pruned_in(
+            spark, index_root, "kind", ["b"]
+        )
+        grams_o = M.read_snapshot_pruned_in(
+            spark, index_root, "kind", ["g"]
+        )
         cand = (
             bands_b.alias("n")
-            .join(idx.filter(F.col("kind") == "b").alias("o"), "k")
+            .join(bands_o.alias("o"), "k")
             .select(
                 F.col("n.doc_id").alias("new_id"),
                 F.col("o.doc_id").alias("old_id"),
@@ -1165,7 +1176,7 @@ def dedup_ingest_commit_batch(
             stats["candidates"] = cand.count()
         inter = (
             grams_b.alias("gn")
-            .join(idx.filter(F.col("kind") == "g").alias("go"), "k")
+            .join(grams_o.alias("go"), "k")
             .select(
                 F.col("gn.doc_id").alias("new_id"),
                 F.col("go.doc_id").alias("old_id"),
@@ -1198,10 +1209,11 @@ def dedup_ingest_commit_batch(
     # two roots, each guarded by ITS OWN committed batch id, so a
     # replay after a crash between commits skips exactly the roots
     # that already landed (no double postings, no double survivors)
-    for tbl, df in (
-        (index_root, postings_b),
-        (surv_root, survivors),
-    ):
-        if batch_id > M.last_committed_meta(tbl, "batch_id", -1):
-            M.commit_append(tbl, df, meta={"batch_id": int(batch_id)})
+    if batch_id > M.last_committed_meta(index_root, "batch_id", -1):
+        M.commit_append_clustered(
+            index_root, postings_b, "kind",
+            meta={"batch_id": int(batch_id)},
+        )
+    if batch_id > M.last_committed_meta(surv_root, "batch_id", -1):
+        M.commit_append(surv_root, survivors, meta={"batch_id": int(batch_id)})
     return stats if return_stats else None

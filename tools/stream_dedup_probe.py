@@ -24,7 +24,7 @@ kernel's exactly-once guard skips the writes and the timed work is the
 pure dedup path (signatures + candidate join + verify + anti-join),
 repeatable min-of-N without mutating the cached index.
 
-Indexes are seeded once under /tmp (`hvs_stream_dedup_x{k}_v2`) and
+Indexes are seeded once under /tmp (`hvs_stream_dedup_x{k}_v3`) and
 reused across rounds. Output: JSON lines + a replaced section in
 SCALING.md.
 """
@@ -125,7 +125,7 @@ def main() -> None:
 
     cells = []
     for k in FACTORS:
-        root = os.path.join(tempfile.gettempdir(), f"hvs_stream_dedup_x{k}_v2")
+        root = os.path.join(tempfile.gettempdir(), f"hvs_stream_dedup_x{k}_v3")
         marker = os.path.join(root, "_SEEDED")
         if not os.path.exists(marker):
             import shutil
