@@ -195,11 +195,13 @@ def main() -> None:
         f"survivors {c0['survivors']}→{c1['survivors']} across a "
         f"{c1['index_postings'] / max(c0['index_postings'], 1):.0f}× "
         "index — the pair volume is the graded invariant (wall cells "
-        "carry host noise; see the probe-protocol note). The remaining "
-        "growth term is the posting-table SCAN feeding the candidate "
-        "join — columnar, ~60 postings/doc, broadcast-hash probed by "
-        "the batch side; at true scale it shards by band-key bucket "
-        "exactly like every other posting layout here.",
+        "carry host noise; see the probe-protocol note). The index "
+        "commits CLUSTERED BY KIND (r12), so manifest pruning hands "
+        "each stage only its own files: the candidate join scans "
+        "band postings alone (NUM_BANDS rows/doc — the gram "
+        "postings, the bulk of the index bytes, stay unopened) and "
+        "the verify join only gram postings; the residual per-batch "
+        "scan term is the band slice, ~6% of index bytes.",
         "",
         "Axis 2 — batch-count growth at fixed corpus (×1 in 8 batches; "
         "index grows 8× under the ingest). Candidate pairs GROW with "
