@@ -1,4 +1,4 @@
-"""Cost-based ladder entry, costed planner batches, snapshot/CDC lakehouse queries.
+"""Snapshot / CDC / sharded-manifest lakehouse queries.
 
 r11 mechanical split of plans/registry.py (r10 verdict task 7): this is a
 contiguous slice of the original file, imported by the registry hub in
@@ -14,18 +14,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from hybrid_vector_search_spark.functions.portable import (
-    grid_avg,
-    grid_avg_sql,
-    round_portable,
-    round_portable_sql,
-)
-from hybrid_vector_search_spark.functions.predicates import (
-    compile_filters,
-    filters_to_sql,
-)
-from hybrid_vector_search_spark.operators.topk import topk
-from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
 from hybrid_vector_search_spark.sources.loaders import (
     load_table,
     spread,
@@ -37,272 +25,9 @@ from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
     register,
 )
 from hybrid_vector_search_spark.plans.registry_hybrid_ann import (  # noqa: E402
-    ANN_IVF_K,
     ANN_IVF_NLIST,
     ANN_IVF_NPROBE,
-    _ann_ivf_centroids,
-    _ann_ivf_fixed_index,
-    _ann_ivf_probed,
 )
-from hybrid_vector_search_spark.plans.registry_relational import (  # noqa: E402
-    _landing,
-    _sink_sorted,
-    _stream_parts,
-)
-
-# ------------------------------------------------ cost-based ladder entry (P3)
-
-# Pinned strict-filter case: selectivity ~1.5-2% at every SF, so the
-# costed entry rung lands on the FINAL ladder rung (ceil(K·N·2/|allowed|)
-# clamps to 1000) — the regime where the reference's fixed ladder burns
-# two doomed plans (its qids 1/5 exhaust the ladder in results.jsonl).
-_PF_COSTED_CASE = {
-    "seed": 37,
-    "filters": {"label": {"eq": 7}, "lang": {"eq": "zh"}},
-    "k": 10,
-}
-_PF_COSTED_SAFETY = 2
-
-
-def _post_filter_costed_oracle() -> str:
-    """The oracle RE-DERIVES the costed ladder, not just the answer: the
-    selectivity count, the integer-ceil entry formula with its clamp, the
-    entry→rung mapping, the survivor-count stop rule per rung, and the
-    rung arithmetic — so a hash match certifies the cost model itself
-    (same style as strategy_dispatch_params' √N-clamp recomputation)."""
-    from pyspark.sql import types as T
-
-    k = _PF_COSTED_CASE["k"]
-    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(
-        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
-    )
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
-cand AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM assigned WHERE list_id IN ({probed})),
-allowed AS (SELECT id FROM corpus WHERE {where}),
-counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
-                  (SELECT count(*) FROM allowed) AS na),
-entry AS (
-  SELECT LEAST(1000, GREATEST(200,
-    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec FROM counts),
-erung AS (SELECT CASE WHEN ec <= 200 THEN 200
-                      WHEN ec <= 500 THEN 500
-                      ELSE 1000 END AS r FROM entry),
-surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
-stop AS (SELECT r, CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
-    ELSE 1000 END AS s FROM erung)
-SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
-  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
-  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
-  s AS ladder_stop
-FROM surv, stop WHERE rk <= s
-ORDER BY score DESC, id ASC LIMIT {k}"""
-
-
-@register("post_filter_costed", _post_filter_costed_oracle(), side_effects=True)
-def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 with COST-BASED ladder entry (SURVEY §4's better-than-reference
-    opportunity): the harness's A2 selectivity estimate prices the first
-    rung as clamp(ceil(K·N·safety / |allowed|), 200, 1000), so a strict
-    filter enters the ladder at the rung the fixed (200, 500, 1000)
-    escalation would only reach after two doomed plans (the reference's
-    qids 1/5 exhaust the ladder — src/baselines/post_filter.py:66-87;
-    final-rung semantics are preserved, so exhaust-regime answers are
-    bit-identical to the fixed ladder's). Emits the ladder economics —
-    entry rung, rungs actually run, stopping rung — alongside the top-K,
-    all recomputed independently by the SQL oracle; the fixed-vs-costed
-    A/B lives in tests/test_ivf.py. ``side_effects=True``: search() is a
-    driver-side escalation loop, not a single lazy plan."""
-    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
-
-    corpus = load_corpus(spark, sf_dir)
-    backend = PostFilterBackend(
-        corpus,
-        index=_ann_ivf_fixed_index(spark, sf_dir),
-        nprobe=ANN_IVF_NPROBE,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-    )
-    ids, stats = backend.search(
-        query_vector(_PF_COSTED_CASE["seed"]),
-        _PF_COSTED_CASE["filters"],
-        _PF_COSTED_CASE["k"],
-    )
-    rows = [
-        (
-            int(i),
-            round(float(s), 6),
-            int(stats["ladder_entry"]),
-            int(stats["rungs_run"]),
-            int(stats["scored_vectors"]),
-        )
-        for i, s in zip(ids, stats["scores"])
-    ]
-    return spark.createDataFrame(
-        rows,
-        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
-        "ladder_stop LONG",
-    )
-
-
-def _pf_costed_stats_oracle() -> str:
-    """Certifies the STATS-FED cost model end-to-end: the oracle
-    recomputes the column statistics (row count, per-column not-null
-    count, exact distinct count — the ``exact_ndv`` mode of
-    functions/colstats.py, chosen precisely because ANSI SQL can replay
-    it), applies the System-R estimator with the same multiplication
-    order and half-up rounding, derives the entry rung from the ESTIMATE
-    (the true |allowed| count never enters the entry decision), and then
-    replays survivors and the stop rule over the TRUE allowed set — the
-    same split the backend runs: estimated entry, actual filtering."""
-    from pyspark.sql import types as T
-
-    k = _PF_COSTED_CASE["k"]
-    qlit = sql_array_literal(query_vector(_PF_COSTED_CASE["seed"]))
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    probed = ", ".join(
-        str(i) for i in _ann_ivf_probed(_PF_COSTED_CASE["seed"])
-    )
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
-    # estimator replay — mirrors functions/colstats.py estimate_allowed
-    # for {label: eq, lang: eq}: per conjunct sel *= (1/ndv) * notnull,
-    # iterated in the filter dict's insertion order (label, then lang);
-    # notnull = 1.0 - nulls/count; est = clamp(FLOOR(n*sel + 0.5), 1, n)
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
-cand AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM assigned WHERE list_id IN ({probed})),
-allowed AS (SELECT id FROM corpus WHERE {where}),
-stats AS (SELECT
-  (SELECT count(*) FROM corpus) AS n,
-  (SELECT count(label) FROM corpus) AS nn_label,
-  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
-  (SELECT count(lang) FROM corpus) AS nn_lang,
-  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang),
-est AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
-    n * ((1.0 * ((1.0 / GREATEST(ndv_label, 1))
-                 * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))
-       * ((1.0 / GREATEST(ndv_lang, 1))
-          * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))
-    + 0.5) AS BIGINT))) AS na FROM stats),
-entry AS (
-  SELECT LEAST(1000, GREATEST(200,
-    ({k} * {_PF_COSTED_SAFETY} * n + na - 1) // na)) AS ec, na FROM est),
-erung AS (SELECT CASE WHEN ec <= 200 THEN 200
-                      WHEN ec <= 500 THEN 500
-                      ELSE 1000 END AS r, na FROM entry),
-surv AS (SELECT c.id, c.score, c.rk FROM cand c JOIN allowed a USING (id)),
-stop AS (SELECT r, na, CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM surv WHERE rk <= 200) >= {k} THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM surv WHERE rk <= 500) >= {k} THEN 500
-    ELSE 1000 END AS s FROM erung)
-SELECT id, ROUND(score, 6) AS score, r AS ladder_entry,
-  (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
-  - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run,
-  s AS ladder_stop, na AS est_allowed
-FROM surv, stop WHERE rk <= s
-ORDER BY score DESC, id ASC LIMIT {k}"""
-
-
-@register(
-    "post_filter_costed_stats", _pf_costed_stats_oracle(), side_effects=True
-)
-def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The costed ladder fed by COLUMN STATISTICS instead of a count
-    scan — the 100-TB entry decision as a first-class, hash-checked
-    query (VERDICT r7 next #5 made end-to-end): one ingest-time
-    aggregation collects (count, nulls, exact ndv) for the filterable
-    columns, the System-R estimator maps the query's filter dict onto
-    them, and the ESTIMATE drives the entry rung via selectivity_hint —
-    the search itself runs zero count jobs (pinned in tests/test_ivf.py
-    with a poisoned DataFrame.count). Survivor filtering still uses the
-    TRUE predicate, so a wrong estimate can cost rungs, never rows. The
-    oracle replays the statistics, the estimator arithmetic (same
-    multiplication order, half-up rounding), the entry clamp, and the
-    stop rule — a hash match certifies the whole stats→estimate→rung
-    pipeline, not just the answer."""
-    from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
-        estimate_allowed,
-    )
-    from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
-
-    corpus = load_corpus(spark, sf_dir)
-    stats = collect_column_stats(
-        corpus, ["label", "lang"], exact_ndv=True
-    )
-    est = estimate_allowed(stats, _PF_COSTED_CASE["filters"])
-    backend = PostFilterBackend(
-        corpus,
-        index=_ann_ivf_fixed_index(spark, sf_dir),
-        nprobe=ANN_IVF_NPROBE,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-        selectivity_hint=est,
-    )
-    ids, st = backend.search(
-        query_vector(_PF_COSTED_CASE["seed"]),
-        _PF_COSTED_CASE["filters"],
-        _PF_COSTED_CASE["k"],
-    )
-    rows = [
-        (
-            int(i),
-            round(float(s), 6),
-            int(st["ladder_entry"]),
-            int(st["rungs_run"]),
-            int(st["scored_vectors"]),
-            int(est),
-        )
-        for i, s in zip(ids, st["scores"])
-    ]
-    return spark.createDataFrame(
-        rows,
-        "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
-        "ladder_stop LONG, est_allowed LONG",
-    )
 
 
 _SNAPSHOT_CACHE: dict[str, tuple] = {}
@@ -583,6 +308,88 @@ def corpus_snapshot_group_pruned_scan(
             "sum_id",
         )
         .orderBy("label")
+    )
+
+
+_MANIFEST_COMPACT_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_manifest_compaction",
+    """WITH nn AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings)
+SELECT CAST(8 AS BIGINT) AS groups_before,
+  CAST(2 AS BIGINT) AS groups_after,
+  CAST(8 AS BIGINT) AS files_total,
+  COUNT(*) AS n_rows,
+  CAST(SUM(vec_id) AS BIGINT) AS sum_id,
+  COUNT(DISTINCT label) AS n_labels
+FROM embeddings""",
+    side_effects=True,
+)
+def corpus_snapshot_manifest_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """METADATA-ONLY SIDECAR COMPACTION (r12, sources/manifest.py
+    compact_manifest_sidecars — Iceberg ``rewrite_manifests``): eight
+    single-file appends leave a descriptor with eight sidecar refs;
+    one compaction commit merges them into two, moving ZERO data bytes
+    (the file set is asserted identical before/after inside this
+    query). The hash contract pins the descriptor widths and the full
+    table aggregate read THROUGH the compacted metadata, so a merge
+    that dropped or duplicated a per-file entry mismatches the rows,
+    and one that failed to collapse refs mismatches the counts. This
+    is what bounds descriptor growth for a table taking streaming
+    appends for a year — the metadata twin of data compaction, at
+    O(metadata) instead of O(table bytes)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _MANIFEST_COMPACT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        # idempotent re-entry (bench min-of-N): replay the recorded
+        # before/after widths over the already-compacted table
+        _sp, root, groups_before, v1 = cached
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        root = scratch_path(
+            "snap_mcompact_" + sf_dir.strip("/").replace("/", "_")
+        )
+        n = emb.agg(F.max("vec_id")).first()[0] + 1
+        bounds = [(i * n) // 8 for i in range(8)] + [n]
+        for lo, hi in zip(bounds, bounds[1:]):
+            M.commit_append(
+                root,
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                n_files=1,
+            )
+        v0 = M.current_version(root)
+        groups_before = len(M._read_manifest(root, v0)["groups"])
+        files_before = set(M.snapshot_files(root, v0)[1])
+        v1 = M.compact_manifest_sidecars(root, target_groups=2)
+        files_after = set(M.snapshot_files(root, v1)[1])
+        assert files_after == files_before  # zero data movement
+        _MANIFEST_COMPACT_CACHE[sf_dir] = (spark, root, groups_before, v1)
+    groups_after = len(M._read_manifest(root, v1)["groups"])
+    files_total = len(M.snapshot_files(root, v1)[1])
+    return (
+        M.read_snapshot(spark, root, v1)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_id"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .select(
+            F.lit(groups_before).cast("long").alias("groups_before"),
+            F.lit(groups_after).cast("long").alias("groups_after"),
+            F.lit(files_total).cast("long").alias("files_total"),
+            "n_rows",
+            "sum_id",
+            "n_labels",
+        )
     )
 
 
@@ -1438,540 +1245,3 @@ def corpus_snapshot_cdc_apply(
     return replica.select(
         F.lit(diff).alias("diff_vs_snapshot"), "id", "label"
     ).orderBy("id")
-
-
-_CHOICE_CASES = (
-    # strict conjunction: est ≈ N/(ndv_label·ndv_lang) = N/50 « N·nprobe/
-    # nlist = N/4 → pre_filter (score the few allowed rows exactly)
-    ("strict", 53, {"label": {"eq": 7}, "lang": {"eq": "zh"}}),
-    # broad ne: est ≈ N·(1 − 1/ndv_lang) = 0.8N » N/4 → post_filter
-    # (probing nprobe/nlist of the corpus beats scoring 80% of it)
-    ("broad", 59, {"lang": {"ne": "zh"}}),
-)
-_CHOICE_K = 10
-
-
-def _strategy_costed_choice_oracle() -> str:
-    """Replays the WHOLE planner decision per case: the column
-    statistics (exact ndv mode — ANSI-replayable), the System-R
-    estimate with the engine's multiplication order and half-up
-    rounding, the integer decision rule est·nlist < n·nprobe, and THEN
-    the chosen strategy's answer — the pre_filter branch as the exact
-    scan over the allowed set, the post_filter branch as the costed
-    ladder replay (entry clamp from the ESTIMATE, survivor stop rule
-    over the true predicate). Both branches are computed for each case
-    and the decision column selects which branch emits rows, so a wrong
-    Spark-side choice hash-mismatches even when both strategies would
-    return the same ids."""
-    from pyspark.sql import types as T
-
-    k = _CHOICE_K
-    safety = _PF_COSTED_SAFETY
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    dots = ", ".join(
-        f"list_dot_product(emb, {sql_array_literal(c)})"
-        for c in _ann_ivf_centroids()
-    )
-    head = f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-assigned AS (
-  SELECT id, emb, label, lang, list_position(d, list_max(d)) - 1 AS list_id
-  FROM (SELECT id, emb, label, lang, [{dots}] AS d FROM corpus)),
-stats AS (SELECT
-  (SELECT count(*) FROM corpus) AS n,
-  (SELECT count(label) FROM corpus) AS nn_label,
-  (SELECT count(DISTINCT label) FROM corpus) AS ndv_label,
-  (SELECT count(lang) FROM corpus) AS nn_lang,
-  (SELECT count(DISTINCT lang) FROM corpus) AS ndv_lang)"""
-    # per-case estimator replay — mirrors functions/colstats.py
-    # estimate_allowed's multiplication order ((1.0 * A) * B, half-up)
-    sel_sql = {
-        "strict": (
-            "((1.0 * ((1.0 / GREATEST(ndv_label, 1))"
-            " * (1.0 - CAST(n - nn_label AS DOUBLE) / GREATEST(n, 1))))"
-            " * ((1.0 / GREATEST(ndv_lang, 1))"
-            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
-        ),
-        "broad": (
-            "(1.0 * ((1.0 - 1.0 / GREATEST(ndv_lang, 1))"
-            " * (1.0 - CAST(n - nn_lang AS DOUBLE) / GREATEST(n, 1))))"
-        ),
-    }
-    ctes, selects = [head], []
-    for qcase, seed, filters in _CHOICE_CASES:
-        qlit = sql_array_literal(query_vector(seed))
-        where = filters_to_sql(schema, filters)
-        probed = ", ".join(str(i) for i in _ann_ivf_probed(seed))
-        ctes.append(
-            f"""est_{qcase} AS (SELECT n, GREATEST(1, LEAST(n, CAST(FLOOR(
-    n * {sel_sql[qcase]} + 0.5) AS BIGINT))) AS est FROM stats),
-ch_{qcase} AS (SELECT est,
-  CASE WHEN est * {ANN_IVF_NLIST} < n * {ANN_IVF_NPROBE}
-       THEN 'pre_filter' ELSE 'post_filter' END AS choice
-  FROM est_{qcase}),
-pre_{qcase} AS (
-  SELECT id, ROUND(list_dot_product(emb, {qlit}), 6) AS score
-  FROM corpus WHERE {where}
-  ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC LIMIT {k}),
-cand_{qcase} AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM assigned WHERE list_id IN ({probed})),
-surv_{qcase} AS (
-  SELECT c.id, c.score, c.rk FROM cand_{qcase} c
-  JOIN (SELECT id FROM corpus WHERE {where}) a USING (id)),
-erung_{qcase} AS (SELECT CASE
-    WHEN ec <= 200 THEN 200 WHEN ec <= 500 THEN 500 ELSE 1000 END AS r
-  FROM (SELECT LEAST(1000, GREATEST(200,
-    ({k} * {safety} * n + est - 1) // est)) AS ec FROM est_{qcase})),
-stop_{qcase} AS (SELECT CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 200) >= {k}
-     THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM surv_{qcase} WHERE rk <= 500) >= {k}
-     THEN 500
-    ELSE 1000 END AS s FROM erung_{qcase}),
-post_{qcase} AS (
-  SELECT id, ROUND(score, 6) AS score
-  FROM surv_{qcase}, stop_{qcase} WHERE rk <= s
-  ORDER BY score DESC, id ASC LIMIT {k})"""
-        )
-        selects.append(
-            f"""SELECT '{qcase}' AS qcase, id, score, choice,
-  est AS est_allowed FROM pre_{qcase}, ch_{qcase}
-WHERE choice = 'pre_filter'
-UNION ALL
-SELECT '{qcase}', id, score, choice, est FROM post_{qcase}, ch_{qcase}
-WHERE choice = 'post_filter'"""
-        )
-    return (
-        ",\n".join(ctes)
-        + "\n"
-        + "\nUNION ALL\n".join(selects)
-        + "\nORDER BY qcase, score DESC, id ASC"
-    )
-
-
-@register(
-    "strategy_costed_choice",
-    _strategy_costed_choice_oracle(),
-    side_effects=True,
-)
-def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COST-BASED STRATEGY CHOICE (VERDICT r8 next #7): the reference
-    asks its operator to pick a backend by hand (``--backend`` flag,
-    src/harness/run.py:71-87); here the same column statistics that
-    feed the costed ladder entry decide pre_filter vs post_filter per
-    query — strict filters score their few allowed rows exactly,
-    broad filters probe the IVF lists and post-filter (operators/
-    strategies.py choose_backend_costed has the cost model). The
-    decision runs ZERO count jobs (one ingest-time stats pass, shared
-    across cases), the chosen backend actually executes — the
-    post_filter arm costed with the SAME estimate as its
-    selectivity_hint — and the oracle re-derives statistics, estimate,
-    decision rule, and the chosen strategy's answer per case, so a
-    drifted estimator, a flipped decision, or a wrong answer all
-    hash-mismatch. ``side_effects``: backend.search() is a driver-side
-    escalation loop."""
-    from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
-    )
-    from hybrid_vector_search_spark.operators.strategies import (
-        choose_backend_costed,
-        get_backend,
-    )
-
-    corpus = load_corpus(spark, sf_dir)
-    stats = collect_column_stats(corpus, ["label", "lang"], exact_ndv=True)
-    n = int(stats["__table__"]["count"])
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-
-    def run_case(case):
-        qcase, seed, filters = case
-        choice, est = choose_backend_costed(
-            stats, filters, ANN_IVF_NPROBE, ANN_IVF_NLIST
-        )
-        if choice == "pre_filter":
-            backend = get_backend("pre_filter", corpus, n=n)
-        else:
-            backend = get_backend(
-                "post_filter",
-                corpus,
-                n=n,
-                index=index,
-                nprobe=ANN_IVF_NPROBE,
-                costed=True,
-                safety=_PF_COSTED_SAFETY,
-                selectivity_hint=est,
-            )
-        ids, st = backend.search(query_vector(seed), filters, _CHOICE_K)
-        return [
-            (qcase, int(i), round(float(s), 6), choice, int(est))
-            for i, s in zip(ids, st["scores"])
-        ]
-
-    # the per-case plans are independent job chains: run them
-    # concurrently (the post_filter_costed_backends pattern)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(len(_CHOICE_CASES)) as ex:
-        case_rows = list(ex.map(run_case, _CHOICE_CASES))
-    out = [r for rows in case_rows for r in rows]
-    return spark.createDataFrame(
-        out,
-        "qcase STRING, id LONG, score DOUBLE, choice STRING, "
-        "est_allowed LONG",
-    )
-
-
-def _auto_sel_sql(filters: dict) -> str | None:
-    """SQL replay of functions/colstats.py estimate_allowed's float
-    arithmetic for one filter dict: same conjunct order (dict order),
-    same per-op selectivities, same (s * notnull)-on-first-op
-    association and multiplication order, so FLOOR(n·sel + 0.5) lands
-    on the identical integer. Expects a ``stats`` CTE carrying n,
-    nn_<col>, ndv_<col> and (numerics) mn_<col>/mx_<col> DOUBLEs."""
-    if not filters:
-        return None
-
-    def range_sql(col: str, lo, hi) -> str:
-        mn, mx = f"mn_{col}", f"mx_{col}"
-        lo_e = mn if lo is None else f"GREATEST({float(lo)!r}, {mn})"
-        hi_e = mx if hi is None else f"LEAST({float(hi)!r}, {mx})"
-        inside_lo = "TRUE" if lo is None else f"{float(lo)!r} <= {mn}"
-        inside_hi = "TRUE" if hi is None else f"{float(hi)!r} >= {mn}"
-        return (
-            f"(CASE WHEN {mx} <= {mn} THEN "
-            f"(CASE WHEN {inside_lo} AND {inside_hi} THEN 1.0 ELSE 0.0 END) "
-            f"WHEN {hi_e} <= {lo_e} THEN 0.0 "
-            f"ELSE ({hi_e} - {lo_e}) / ({mx} - {mn}) END)"
-        )
-
-    sel = "1.0"
-    for col, ops in filters.items():
-        notnull = f"(1.0 - CAST(n - nn_{col} AS DOUBLE) / GREATEST(n, 1))"
-        first = True
-        for op, val in ops.items():
-            if op == "eq":
-                s = f"(1.0 / GREATEST(ndv_{col}, 1))"
-            elif op == "ne":
-                s = f"(1.0 - 1.0 / GREATEST(ndv_{col}, 1))"
-            elif op == "in":
-                vals = val if isinstance(val, (list, tuple, set)) else [val]
-                s = (
-                    f"LEAST(CAST({len(vals)} AS DOUBLE) / "
-                    f"GREATEST(ndv_{col}, 1), 1.0)"
-                )
-            elif op in ("ge", "gt"):
-                s = range_sql(col, val, None)
-            elif op in ("le", "lt"):
-                s = range_sql(col, None, val)
-            elif op == "between":
-                s = range_sql(col, val[0], val[1])
-            else:  # like and anything stats can't see through
-                s = "0.1"
-            term = f"({s} * {notnull})" if first else s
-            sel = f"({sel} * {term})"
-            first = False
-    return sel
-
-
-def _harness_auto_oracle() -> str:
-    """Replays the AUTO planner's per-query decision for the whole
-    canonical batch: exact-ndv column statistics, the estimator
-    arithmetic (:func:`_auto_sel_sql`), the default nlist/nprobe the
-    harness derives (operators/ivf.py default_nlist clamp, nprobe
-    capped at it), the integer rule est·nlist < n·nprobe, and the true
-    selectivity — so a drifted estimator, changed defaults, or a
-    flipped per-query choice all hash-mismatch."""
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.plans.canonical import CANONICAL_QUERIES
-
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    stat_cols = sorted(
-        {c for cq in CANONICAL_QUERIES for c in (cq.filters or {})}
-    )
-    pieces = ["(SELECT count(*) FROM corpus) AS n"]
-    for c in stat_cols:
-        pieces.append(f"(SELECT count({c}) FROM corpus) AS nn_{c}")
-        pieces.append(f"(SELECT count(DISTINCT {c}) FROM corpus) AS ndv_{c}")
-        if c in ("label", "n_chars"):
-            pieces.append(
-                f"(SELECT CAST(min({c}) AS DOUBLE) FROM corpus) AS mn_{c}"
-            )
-            pieces.append(
-                f"(SELECT CAST(max({c}) AS DOUBLE) FROM corpus) AS mx_{c}"
-            )
-    head = (
-        f"{CORPUS_CTE},\nstats AS (SELECT {', '.join(pieces)}),\n"
-        # default_nlist(n) = max(1, min(max(int(sqrt(n)), 64), 4096, n));
-        # the harness probes min(DEFAULT_NPROBE=32, nlist) of it
-        "knobs AS (SELECT GREATEST(1, LEAST(LEAST(GREATEST("
-        "CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), 64), 4096), n))"
-        " AS nlist FROM stats)"
-    )
-    selects = []
-    for cq in CANONICAL_QUERIES:
-        sel = _auto_sel_sql(cq.filters)
-        est = (
-            "GREATEST(n, 1)"
-            if sel is None
-            else (
-                f"GREATEST(1, LEAST(n, CAST(FLOOR(n * {sel} + 0.5)"
-                " AS BIGINT)))"
-            )
-        )
-        where = filters_to_sql(schema, cq.filters) if cq.filters else "TRUE"
-        selects.append(
-            f"""SELECT {cq.qid} AS qid,
-  CASE WHEN est * nlist < n * LEAST(32, nlist)
-       THEN 'pre_filter' ELSE 'post_filter' END AS method,
-  est AS est_allowed,
-  ROUND((SELECT count(*) FROM corpus WHERE {where}) / CAST(n AS DOUBLE),
-        6) AS selectivity
-FROM (SELECT n, nlist, {est} AS est FROM stats, knobs)"""
-        )
-    return (
-        head + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY qid"
-    )
-
-
-_HARNESS_AUTO_CACHE: dict[str, tuple[SparkSession, list]] = {}
-
-
-@register(
-    "harness_auto_costed_batch",
-    _harness_auto_oracle(),
-    side_effects=True,
-)
-def harness_auto_costed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE COSTED PLANNER AS THE HARNESS DEFAULT (r10 verdict task 6):
-    the full selectivity-stratified canonical batch (plans/canonical.py
-    — strict, medium, broad) runs through ``run_queries(backend=
-    "auto")``, where plans/harness.py makes the per-query pre_filter vs
-    post_filter decision from one shared exact-ndv statistics pass
-    (choose_backend_costed) instead of a hand-picked ``--backend`` flag
-    (reference src/harness/run.py:71-87). Emitted per qid: the CHOICE
-    the harness actually executed, the System-R estimate it decided on
-    (parsed back from the §2.10 ``notes`` field — proving the
-    observable harness output, not a parallel code path), and the true
-    selectivity. The oracle re-derives statistics, estimator
-    arithmetic, the harness's default nlist/nprobe knobs, every
-    decision, and every selectivity. Strategy ANSWER parity under the
-    costed choice is certified separately by strategy_costed_choice;
-    this entry certifies the planner wiring end-to-end through the
-    harness. ``side_effects``: backend.search() is driver-side; the
-    batch is session-cached (the decision set is deterministic) and
-    runs its independent per-query job chains pooled."""
-    from hybrid_vector_search_spark.plans.harness import run_queries
-
-    got = _HARNESS_AUTO_CACHE.get(sf_dir)
-    if got is not None and got[0] is spark:
-        rows = got[1]
-    else:
-        corpus = load_corpus(spark, sf_dir)
-        rows = run_queries(corpus, "auto", concurrency=4)
-        _HARNESS_AUTO_CACHE[sf_dir] = (spark, rows)
-    out = []
-    for r in rows:
-        note = r["notes"] or ""
-        assert note.startswith("auto:"), note
-        est = int(note.split("est=")[1].split(";")[0])
-        out.append(
-            (
-                int(r["qid"]),
-                r["method"],
-                est,
-                round(float(r["filter_selectivity"]), 6),
-            )
-        )
-    return spark.createDataFrame(
-        out, "qid LONG, method STRING, est_allowed LONG, selectivity DOUBLE"
-    )
-
-
-def _pf_costed_backends_oracle() -> str:
-    """Re-derives the costed ladder entry for BOTH non-IVF post-filter
-    backends (same certify-the-cost-model style as
-    _post_filter_costed_oracle): the HNSW arm replays the K′ rung clamp
-    over the exact candidate ranking (the registered backend runs
-    degenerate-exact, ef ≥ partition rows — same argument as
-    ann_hnsw_topk), the LSH arm replays the probe-radius entry via the
-    P(r) = Σ C(nbits, i) coverage formula and the per-radius survivor
-    stop rule, with the probe sets at every radius as literals."""
-    from math import comb
-
-    from pyspark.sql import types as T
-
-    from hybrid_vector_search_spark.operators import lsh as LSH
-
-    k = _PF_COSTED_CASE["k"]
-    safety = _PF_COSTED_SAFETY
-    q = query_vector(_PF_COSTED_CASE["seed"])
-    qlit = sql_array_literal(q)
-    schema = T.StructType(
-        [
-            T.StructField("label", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    where = filters_to_sql(schema, _PF_COSTED_CASE["filters"])
-
-    nbits = LSH.DEFAULT_NBITS
-    planes = LSH.hyperplanes(nbits, dim=64)
-    bucket = LSH.bucket_sql_expr(planes, emb="emb")
-    probes = {
-        r: ", ".join(str(b) for b in LSH.probe_set(q, planes, r))
-        for r in (0, 1, 2)
-    }
-    p = {r: sum(comb(nbits, i) for i in range(r + 1)) for r in (0, 1, 2)}
-
-    return f"""WITH corpus AS (
-  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb, e.label, d.lang
-  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id),
-allowed AS (SELECT id FROM corpus WHERE {where}),
-counts AS (SELECT (SELECT count(*) FROM corpus) AS n,
-                  (SELECT count(*) FROM allowed) AS na),
-hcand AS (
-  SELECT id, list_dot_product(emb, {qlit}) AS score,
-    ROW_NUMBER() OVER (
-      ORDER BY list_dot_product(emb, {qlit}) DESC, id ASC) AS rk
-  FROM corpus),
-hentry AS (
-  SELECT LEAST(1000, GREATEST(200,
-    ({k} * {safety} * n + na - 1) // na)) AS ec FROM counts),
-herung AS (SELECT CASE WHEN ec <= 200 THEN 200
-                      WHEN ec <= 500 THEN 500
-                      ELSE 1000 END AS r FROM hentry),
-hsurv AS (SELECT c.id, c.score, c.rk FROM hcand c JOIN allowed a USING (id)),
-hstop AS (SELECT r, CASE
-    WHEN r <= 200
-     AND (SELECT count(*) FROM hsurv WHERE rk <= 200) >= {k} THEN 200
-    WHEN r <= 500
-     AND (SELECT count(*) FROM hsurv WHERE rk <= 500) >= {k} THEN 500
-    ELSE 1000 END AS s FROM herung),
-hrows AS (
-  SELECT 'post_filter_hnsw' AS method, id, ROUND(score, 6) AS score,
-    r AS ladder_entry,
-    (CASE s WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END)
-    - (CASE r WHEN 200 THEN 1 WHEN 500 THEN 2 ELSE 3 END) + 1 AS rungs_run
-  FROM hsurv, hstop WHERE rk <= s
-  ORDER BY score DESC, id ASC LIMIT {k}),
-lneed AS (SELECT CASE WHEN na <= 0 THEN {p[2] + 1}
-                      ELSE ({k} * {safety} * {1 << nbits} + na - 1) // na
-                 END AS np FROM counts),
-lentry AS (SELECT CASE WHEN np <= {p[0]} THEN 0
-                       WHEN np <= {p[1]} THEN 1
-                       ELSE 2 END AS r FROM lneed),
-lsurv AS (
-  SELECT c.id, list_dot_product(c.emb, {qlit}) AS score,
-         {bucket} AS bucket
-  FROM corpus c JOIN allowed a USING (id)),
-lstop AS (SELECT r, CASE
-    WHEN r <= 0 AND (SELECT count(*) FROM lsurv
-                     WHERE bucket IN ({probes[0]})) >= {k} THEN 0
-    WHEN r <= 1 AND (SELECT count(*) FROM lsurv
-                     WHERE bucket IN ({probes[1]})) >= {k} THEN 1
-    ELSE 2 END AS s FROM lentry),
-lrows AS (
-  SELECT 'post_filter_lsh' AS method, id, ROUND(score, 6) AS score,
-    r AS ladder_entry, s - r + 1 AS rungs_run
-  FROM lsurv, lstop
-  WHERE (s = 0 AND bucket IN ({probes[0]}))
-     OR (s = 1 AND bucket IN ({probes[1]}))
-     OR (s = 2 AND bucket IN ({probes[2]}))
-  ORDER BY score DESC, id ASC LIMIT {k})
-SELECT * FROM hrows UNION ALL SELECT * FROM lrows"""
-
-
-@register(
-    "post_filter_costed_backends",
-    _pf_costed_backends_oracle(),
-    side_effects=True,
-)
-def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cost-based ladder entry GENERALIZED to the other two
-    post-filter backends (r6 VERDICT task #7): the HNSW backend shares
-    the IVF clamp arithmetic verbatim (K′ rungs 200→500→1000), the LSH
-    backend translates it to probe radius via bucket coverage
-    P(r) = Σ_{i≤r} C(nbits, i) — expected survivors P(r)·|allowed|/2^nbits
-    must reach K·safety. Both run the same strict-filter case as
-    post_filter_costed; on it each backend enters at its FINAL rung
-    (rungs_run = 1 where the reference's fixed escalation runs all
-    three — src/baselines/post_filter.py:66-87). The oracle re-derives
-    entry, stop, and survivors per backend; the fixed-vs-costed A/Bs
-    live in tests/test_hnsw.py and tests/test_lsh.py.
-    ``side_effects=True``: search() is a driver-side escalation loop."""
-    from hybrid_vector_search_spark.operators.hnsw import (
-        EXHAUSTIVE_EF,
-        HNSWBackend,
-    )
-    from hybrid_vector_search_spark.operators.lsh import LSHPostFilterBackend
-
-    # lazy: the HNSW artifact builder lives in a LATER family module
-    # (registry_ann_metrics); importing at call time keeps the hub's
-    # in-order family imports acyclic
-    from hybrid_vector_search_spark.plans.registry_ann_metrics import (
-        _hnsw_persisted_index,
-    )
-
-    corpus = load_corpus(spark, sf_dir)
-    hb = HNSWBackend(
-        corpus,
-        index=_hnsw_persisted_index(spark, sf_dir),
-        ef_search=EXHAUSTIVE_EF,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-    )
-    lb = LSHPostFilterBackend(
-        corpus, costed=True, safety=_PF_COSTED_SAFETY
-    )
-
-    def run(backend):
-        return backend.search(
-            query_vector(_PF_COSTED_CASE["seed"]),
-            _PF_COSTED_CASE["filters"],
-            _PF_COSTED_CASE["k"],
-        )
-
-    # the two escalation loops are independent driver-side job chains:
-    # submit them concurrently (Spark schedules independent actions in
-    # parallel) — wall is max(arm), not sum, with identical results
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(2) as ex:
-        results = list(ex.map(run, (hb, lb)))
-    out_rows = []
-    for backend, (ids, stats) in zip((hb, lb), results):
-        out_rows += [
-            (
-                backend.name,
-                int(i),
-                round(float(s), 6),
-                int(stats["ladder_entry"]),
-                int(stats["rungs_run"]),
-            )
-            for i, s in zip(ids, stats["scores"])
-        ]
-    return spark.createDataFrame(
-        out_rows,
-        "method STRING, id LONG, score DOUBLE, ladder_entry LONG, "
-        "rungs_run LONG",
-    )

@@ -193,31 +193,39 @@ _GROUP_CACHE_LOCK = threading.Lock()
 
 
 def _write_group_file(
-    root: str, rels: list[str], stats_by_rel: dict
+    root: str, rels: list[str], stats_by_rel: dict,
+    av_by_rel: dict | None = None,
 ) -> str:
     """Persist one immutable group sidecar (driver-side pyarrow write —
     footer-scale bytes, no Spark job) and return its root-relative
-    path. Row order is the file order the snapshot presents."""
+    path. Row order is the file order the snapshot presents.
+    ``av_by_rel`` adds a per-file added_version column — written only
+    by sidecar COMPACTION, where the merged files span commits and a
+    single descriptor-level version can no longer stand in."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.join(root, _GROUP_DIR), exist_ok=True)
     sub = os.path.join(_GROUP_DIR, f"group-{uuid.uuid4().hex[:12]}.parquet")
-    tbl = pa.table(
-        {
-            "rel": pa.array(rels, type=pa.string()),
-            "stats": pa.array(
-                [json.dumps(stats_by_rel.get(r, {})) for r in rels],
-                type=pa.string(),
-            ),
-        }
-    )
-    pq.write_table(tbl, os.path.join(root, sub))
+    cols = {
+        "rel": pa.array(rels, type=pa.string()),
+        "stats": pa.array(
+            [json.dumps(stats_by_rel.get(r, {})) for r in rels],
+            type=pa.string(),
+        ),
+    }
+    if av_by_rel is not None:
+        cols["added_version"] = pa.array(
+            [int(av_by_rel.get(r, 0)) for r in rels], type=pa.int64()
+        )
+    pq.write_table(pa.table(cols), os.path.join(root, sub))
     return sub
 
 
-def _load_group(root: str, sub: str) -> tuple[list[str], dict]:
-    """(rels, {rel: stats}) of a group sidecar, through the LRU."""
+def _load_group(root: str, sub: str) -> tuple[list[str], dict, dict | None]:
+    """(rels, {rel: stats}, {rel: added_version} | None) of a group
+    sidecar, through the LRU. The third element is non-None only for
+    compaction-written sidecars carrying per-file add versions."""
     import pyarrow.parquet as pq
 
     key = os.path.abspath(os.path.join(root, sub))
@@ -231,11 +239,17 @@ def _load_group(root: str, sub: str) -> tuple[list[str], dict]:
     stats = dict(
         zip(rels, (json.loads(s) for s in tbl.column("stats").to_pylist()))
     )
+    avs = (
+        dict(zip(rels, tbl.column("added_version").to_pylist()))
+        if "added_version" in tbl.schema.names
+        else None
+    )
+    out = (rels, stats, avs)
     with _GROUP_CACHE_LOCK:
-        _GROUP_CACHE[key] = (rels, stats)
+        _GROUP_CACHE[key] = out
         while len(_GROUP_CACHE) > _GROUP_CACHE_MAX:
             _GROUP_CACHE.popitem(last=False)
-    return rels, stats
+    return out
 
 
 def _group_summary(rels: list[str], stats_by_rel: dict) -> dict:
@@ -308,13 +322,16 @@ def _group_summary(rels: list[str], stats_by_rel: dict) -> dict:
 
 
 def _new_group_entry(
-    root: str, rels: list[str], stats_by_rel: dict, mapping: dict | None = None
+    root: str, rels: list[str], stats_by_rel: dict,
+    mapping: dict | None = None, av_by_rel: dict | None = None,
 ) -> dict:
     """Write a fresh sidecar for a commit batch and return its
     descriptor entry (``added_version`` is stamped by the CAS loop —
-    the sidecar itself is version-free, so a rebase retry reuses it)."""
+    the sidecar itself is version-free, so a rebase retry reuses it).
+    ``av_by_rel`` is the compaction path: files spanning commits carry
+    their add versions inside the sidecar instead."""
     return {
-        "path": _write_group_file(root, rels, stats_by_rel),
+        "path": _write_group_file(root, rels, stats_by_rel, av_by_rel),
         "count": len(rels),
         "mapping": dict(mapping or {}),
         "summary": _group_summary(rels, stats_by_rel),
@@ -402,14 +419,14 @@ def _resolve_manifest(root: str, version: int) -> dict:
     mapping: dict = {}
     added: dict = {}
     for entry in m["groups"]:
-        rels, by_rel = _load_group(root, entry["path"])
+        rels, by_rel, avs = _load_group(root, entry["path"])
         files.extend(rels)
         mp = entry.get("mapping", {})
         av = int(entry.get("added_version", 0))
         for rel in rels:
             st = by_rel.get(rel, {})
             stats[rel] = _logical_stats(st, mp) if mp else st
-            added[rel] = av
+            added[rel] = int(avs[rel]) if avs is not None else av
             if mp:
                 mapping[rel] = mp
     out = {k: v for k, v in m.items() if k != "groups"}
@@ -428,7 +445,7 @@ def _subset_group_entry(
     the surviving subset (the original stays immutable for older
     versions; vacuum reclaims it when no retained descriptor points
     at it)."""
-    rels, by_rel = _load_group(root, entry["path"])
+    rels, by_rel, avs = _load_group(root, entry["path"])
     kept = [r for r in rels if r in keep]
     if len(kept) == len(rels):
         return entry
@@ -437,8 +454,13 @@ def _subset_group_entry(
     sub = _new_group_entry(
         root, kept, {r: by_rel.get(r, {}) for r in kept},
         mapping=entry.get("mapping", {}),
+        av_by_rel={r: int(avs[r]) for r in kept} if avs is not None else None,
     )
-    sub["added_version"] = int(entry.get("added_version", 0))
+    sub["added_version"] = (
+        min(int(avs[r]) for r in kept)
+        if avs is not None
+        else int(entry.get("added_version", 0))
+    )
     return sub
 
 
@@ -690,7 +712,7 @@ def snapshot_files_pruned(
         gmm = entry.get("summary", {}).get("minmax", {}).get(phys)
         if gmm is not None and (gmm[0] > hi or gmm[1] < lo):
             continue  # whole sidecar provably disjoint — never opened
-        rels, by_rel = _load_group(root, entry["path"])
+        rels, by_rel, avs = _load_group(root, entry["path"])
         mp = entry.get("mapping", {})
         av = int(entry.get("added_version", 0))
         for rel in rels:
@@ -699,7 +721,9 @@ def snapshot_files_pruned(
                 continue
             kept.append(rel)
             if _memo is not None:
-                _memo[rel] = (mp, av)
+                _memo[rel] = (
+                    mp, int(avs[rel]) if avs is not None else av
+                )
     return v, [os.path.join(root, r) for r in kept], total
 
 
@@ -1027,7 +1051,7 @@ def snapshot_files_pruned_eq(
         gmm = ge.get("summary", {}).get("minmax", {}).get(phys)
         if gmm is not None and not (gmm[0] <= value <= gmm[1]):
             continue  # whole sidecar outside the point — never opened
-        rels, by_rel = _load_group(root, ge["path"])
+        rels, by_rel, _avs = _load_group(root, ge["path"])
         for rel in rels:
             entry = by_rel.get(rel, {})
             mm = entry.get(phys)
@@ -1196,7 +1220,7 @@ def snapshot_files_pruned_in(
             gmm[0] <= x <= gmm[1] for x in vals
         ):
             continue  # no probed value can live in this sidecar
-        rels, by_rel = _load_group(root, ge["path"])
+        rels, by_rel, avs = _load_group(root, ge["path"])
         mp = ge.get("mapping", {})
         av = int(ge.get("added_version", 0))
         for rel in rels:
@@ -1207,7 +1231,9 @@ def snapshot_files_pruned_in(
                 continue
             kept.append(rel)
             if _memo is not None:
-                _memo[rel] = (mp, av)
+                _memo[rel] = (
+                    mp, int(avs[rel]) if avs is not None else av
+                )
     return v, [os.path.join(root, r) for r in kept], total
 
 
@@ -1283,7 +1309,7 @@ def snapshot_files_pruned_multi(
             for c, lo, hi in preds
         ):
             continue  # sidecar disjoint from some conjunct — skipped
-        rels, by_rel = _load_group(root, ge["path"])
+        rels, by_rel, avs = _load_group(root, ge["path"])
         av = int(ge.get("added_version", 0))
         for rel in rels:
             st = by_rel.get(rel, {})
@@ -1296,7 +1322,9 @@ def snapshot_files_pruned_multi(
             if not drop:
                 kept.append(rel)
                 if _memo is not None:
-                    _memo[rel] = (mp, av)
+                    _memo[rel] = (
+                        mp, int(avs[rel]) if avs is not None else av
+                    )
     return v, [os.path.join(root, r) for r in kept], total
 
 
@@ -2303,6 +2331,92 @@ def commit_rename_column(root: str, old: str, new: str) -> int:
     return _metadata_only_commit(root, mutate, "rename_column")
 
 
+def compact_manifest_sidecars(
+    root: str, target_groups: int = 8
+) -> int:
+    """METADATA-ONLY sidecar compaction (Iceberg ``rewrite_manifests``):
+    merge the current snapshot's per-commit sidecars into about
+    ``target_groups`` large ones and publish the result as v+1 — zero
+    data bytes move, every data file keeps its add version (written
+    per-file into the merged sidecars, since one descriptor-level
+    version can no longer stand in for a span of commits).
+
+    Why it exists: descriptors grow O(commits) — a table taking small
+    streaming appends for a year carries tens of thousands of group
+    refs, and every snapshot resolution walks them. Compaction bounds
+    the descriptor the same way data compaction bounds file count,
+    WITHOUT rewriting data (OPTIMIZE also collapses groups, but at
+    O(table bytes); this is O(metadata)). Groups merge only within a
+    column-mapping generation (a merged sidecar must stay uniform for
+    the mapping the descriptor carries per group); file order is
+    preserved, so reads are byte-identical. Older versions keep
+    referencing the original sidecars — time travel is unaffected, and
+    vacuum reclaims the superseded sidecars once no retained version
+    lists them. Delete-file sequencing survives exactly: liveness
+    checks use the merged group's MIN add version (conservative — an
+    entry is pruned only when provably unreachable) while readers
+    sequence against the exact per-file versions."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = current_version(root)
+        if v < 0:
+            raise ValidationError(
+                f"no committed snapshot at '{root}' to compact"
+            )
+        cur = _read_manifest(root, v)
+        groups = _groups_of(root, cur)
+        if len(groups) <= max(int(target_groups), 1):
+            return v  # already compact — publishing a no-op helps nobody
+        # flatten, bucketed by mapping generation, preserving file order
+        buckets: "OrderedDict[str, list]" = OrderedDict()
+        for g in groups:
+            rels, by_rel, avs = _load_group(root, g["path"])
+            g_av = int(g.get("added_version", 0))
+            mp_key = json.dumps(g.get("mapping", {}), sort_keys=True)
+            bucket = buckets.setdefault(mp_key, [])
+            for rel in rels:
+                bucket.append(
+                    (
+                        rel,
+                        by_rel.get(rel, {}),
+                        int(avs[rel]) if avs is not None else g_av,
+                    )
+                )
+        total = sum(len(b) for b in buckets.values())
+        new_groups = []
+        for mp_key, entries in buckets.items():
+            mp = json.loads(mp_key)
+            # proportional share of the target, at least one sidecar
+            k = max(
+                1, round(target_groups * len(entries) / max(total, 1))
+            )
+            size = -(-len(entries) // k)  # ceil
+            for i in range(0, len(entries), size):
+                chunk = entries[i:i + size]
+                rels = [e[0] for e in chunk]
+                stats = {e[0]: e[1] for e in chunk}
+                avs = {e[0]: e[2] for e in chunk}
+                entry = _new_group_entry(
+                    root, rels, stats, mapping=mp, av_by_rel=avs
+                )
+                entry["added_version"] = min(avs.values())
+                new_groups.append(entry)
+        payload = _descriptor_payload(
+            new_groups,
+            cur.get("schema"),
+            "rewrite_manifests",
+            0,
+            _live_delete_files_grouped(
+                new_groups, cur.get("delete_files", [])
+            ),
+        )
+        if _try_commit_manifest(root, v + 1, payload):
+            return v + 1
+    raise CommitConflictError(
+        f"compact_manifest_sidecars at '{root}': CAS retry budget "
+        f"({_MAX_COMMIT_RETRIES}) exhausted under contention"
+    )
+
+
 def create_tag(root: str, name: str, version: int | None = None) -> int:
     """Pin a version under an immutable NAME (``refs/<name>.json``) —
     'the corpus run X trained on', addressable without remembering a
@@ -2467,6 +2581,8 @@ def snapshot_changelog(
                 )
         elif op in ("add_column", "rename_column"):
             continue  # unreachable (schema guard above), kept explicit
+        elif op == "rewrite_manifests":
+            continue  # metadata-only: rows identical by construction
         else:  # rewrite / replace / unknown: row-level symmetric diff
             cur_df = read_snapshot(spark, root, v)
             prev_df = read_snapshot(spark, root, v - 1)

@@ -1446,3 +1446,58 @@ def test_vacuum_vs_inflight_reader_of_dropped_version(spark, tmp_path):
     # and re-resolving the dropped version is a clean validation error
     with pytest.raises(ValidationError, match="does not exist"):
         M.read_snapshot(spark, root, 2)
+
+
+def test_compact_manifest_sidecars_metadata_only(spark, tmp_path):
+    """Sidecar compaction (rewrite_manifests): a 12-commit history's
+    descriptor collapses to ≤4 group refs in ONE metadata-only commit —
+    zero data files move, reads are byte-identical, time travel keeps
+    serving pre-compaction versions, pruning still skips, and
+    delete-file SEQUENCING survives the merge (a key re-inserted after
+    its delete stays present; per-file add versions ride inside the
+    merged sidecars)."""
+    root = str(tmp_path / "tbl")
+    for i in range(12):
+        M.commit_append(root, _df(spark, 10 * i, 10 * i + 10))
+    # a delete then a re-insert of the same key, pre-compaction: the
+    # merged metadata must keep the sequencing exact
+    keys = spark.createDataFrame([(3,)], "id long")
+    M.commit_delete_where(root, keys, "id")          # kills id=3 (v13)
+    M.commit_append(root, _df(spark, 3, 4))          # re-inserts (v14)
+    want = set(range(120)) | {3}
+    pre = _ids(M.read_snapshot(spark, root))
+    assert pre == want
+    n_files_before = len(M.snapshot_files(root)[1])
+    groups_before = len(M._read_manifest(root, M.current_version(root))["groups"])
+    assert groups_before >= 13
+
+    v = M.compact_manifest_sidecars(root, target_groups=4)
+    after = M._read_manifest(root, v)
+    assert after["op"] == "rewrite_manifests"
+    assert len(after["groups"]) <= 4 + 1  # proportional rounding slack
+    # zero data movement: identical file set, identical rows
+    assert len(M.snapshot_files(root, v)[1]) == n_files_before
+    assert set(M.snapshot_files(root, v)[1]) == set(
+        M.snapshot_files(root, v - 1)[1]
+    )
+    assert _ids(M.read_snapshot(spark, root)) == want
+    # exactly once: 120 appended - 1 delete-masked + 1 re-inserted
+    assert M.read_snapshot(spark, root).count() == len(want)
+    # time travel: the pre-compaction version still reads
+    assert _ids(M.read_snapshot(spark, root, v - 1)) == want
+    # pruning still skips: ids 0..9 live in commit 1's files only
+    _v, kept, total = M.snapshot_files_pruned(root, "id", 0, 9)
+    assert total == n_files_before and len(kept) < total
+    # compacting an already-compact table is a no-op (no new version)
+    assert M.compact_manifest_sidecars(root, target_groups=8) == v
+
+    # vacuum reclaims the superseded per-commit sidecars
+    import os as _os
+    n_sidecars_before = len(
+        _os.listdir(_os.path.join(root, "groups"))
+    )
+    stats = M.vacuum(root, keep_last=1, orphan_grace_sec=0)
+    n_sidecars_after = len(_os.listdir(_os.path.join(root, "groups")))
+    assert stats["deleted_sidecars"] > 0
+    assert n_sidecars_after < n_sidecars_before
+    assert _ids(M.read_snapshot(spark, root)) == want
