@@ -146,7 +146,7 @@ def _cell(spark, root: str, n_files: int) -> dict:
     }
 
 
-def _section(cells: list[dict]) -> list[str]:
+def _section(cells: list[dict], cc: dict) -> list[str]:
     lines = [
         MARKER,
         "",
@@ -193,6 +193,17 @@ def _section(cells: list[dict]) -> list[str]:
         f"({c1['pruned_sidecars_parsed']}/{c1['groups']} here for a "
         "64-key slice).",
         "",
+        "**Sidecar compaction** (`compact_manifest_sidecars` — "
+        "rewrite_manifests): one METADATA-ONLY commit on the "
+        f"{cc['files']:,}-file table merged {cc['groups_before']} "
+        f"sidecars into {cc['groups_after']} in {cc['compact_s']}s, "
+        f"shrinking the descriptor "
+        f"{cc['descriptor_kb_before']}→{cc['descriptor_kb_after']} KB "
+        f"and cold resolve "
+        f"{cc['resolve_cold_ms_before']}→{cc['resolve_cold_ms_after']} "
+        "ms with zero data movement — the bound on descriptor growth "
+        "for a table taking streaming appends indefinitely.",
+        "",
     ]
     return lines
 
@@ -220,6 +231,48 @@ def main() -> None:
         print(json.dumps(cell))
         cells.append(cell)
 
+    # sidecar compaction cell: descriptor width + cold resolve on the
+    # 20k-file table, before/after ONE metadata-only rewrite_manifests
+    # commit. Runs once; the measured cell persists in /tmp so SCALING
+    # regenerations keep it after the cached table is already compact.
+    compact_cell_path = os.path.join(base, "compact_cell.json")
+    if os.path.exists(compact_cell_path):
+        compact_cell = json.loads(
+            Path(compact_cell_path).read_text(encoding="utf-8")
+        )
+    else:
+        root = os.path.join(base, f"w{WIDTHS[-1]}")
+        v0 = M.current_version(root)
+        g0 = len(M._read_manifest(root, v0)["groups"])
+        d0 = os.path.getsize(os.path.join(root, M._manifest_name(v0)))
+        _clear_cache()
+        t0 = time.perf_counter()
+        M.snapshot_files(root, v0)
+        r0 = (time.perf_counter() - t0) * 1000.0
+        t0 = time.perf_counter()
+        v1 = M.compact_manifest_sidecars(root, target_groups=8)
+        compact_s = time.perf_counter() - t0
+        g1 = len(M._read_manifest(root, v1)["groups"])
+        d1 = os.path.getsize(os.path.join(root, M._manifest_name(v1)))
+        _clear_cache()
+        t0 = time.perf_counter()
+        M.snapshot_files(root, v1)
+        r1 = (time.perf_counter() - t0) * 1000.0
+        compact_cell = {
+            "files": WIDTHS[-1],
+            "groups_before": g0,
+            "groups_after": g1,
+            "descriptor_kb_before": round(d0 / 1e3, 1),
+            "descriptor_kb_after": round(d1 / 1e3, 1),
+            "resolve_cold_ms_before": round(r0, 1),
+            "resolve_cold_ms_after": round(r1, 1),
+            "compact_s": round(compact_s, 2),
+        }
+        Path(compact_cell_path).write_text(
+            json.dumps(compact_cell), encoding="utf-8"
+        )
+    print(json.dumps(compact_cell))
+
     scaling = REPO / "SCALING.md"
     text = scaling.read_text(encoding="utf-8")
     if MARKER in text:
@@ -230,7 +283,7 @@ def main() -> None:
         text = head + tail
     if not text.endswith("\n"):
         text += "\n"
-    text += "\n".join(_section(cells)) + "\n"
+    text += "\n".join(_section(cells, compact_cell)) + "\n"
     scaling.write_text(text, encoding="utf-8")
     print(f"appended '{MARKER}' section to {scaling}")
 
