@@ -1501,3 +1501,76 @@ def test_compact_manifest_sidecars_metadata_only(spark, tmp_path):
     assert stats["deleted_sidecars"] > 0
     assert n_sidecars_after < n_sidecars_before
     assert _ids(M.read_snapshot(spark, root)) == want
+
+
+def test_legacy_inline_manifest_migrates_with_rename_mapping(spark, tmp_path):
+    """Format-1 → format-2 migration preserves RENAMED-column metadata:
+    a hand-built legacy inline manifest representing a post-rename
+    table (per-file mapping new→old, stats re-keyed logically, the old
+    code's shape) is migrated by the next commit into sidecars — which
+    store stats PHYSICALLY and translate through the group mapping at
+    resolve time. Reads under the new name, pruning by the new name on
+    both old and new files, and the carried mapping must all survive
+    the round trip."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(root, exist_ok=True)
+    # physical files written under the OLD column name 'a'
+    old_df = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "a long, label int"
+    )
+    rels = M._write_data_files(old_df, root, 2)
+    stats = M._footer_stats(root, rels)
+    # the legacy rename a→b re-keyed stats under the LOGICAL name and
+    # recorded per-file mapping {b: a}; replicate that exact shape
+    legacy_stats = {}
+    for rel, st in stats.items():
+        st = dict(st)
+        if "a" in st:
+            st["b"] = st.pop("a")
+        if "__nulls__:a" in st:  # legacy code left nulls keyed physically
+            pass
+        legacy_stats[rel] = st
+    schema = spark.createDataFrame(
+        [], "b long, label int"
+    ).schema.jsonValue()
+    assert M._try_commit_manifest(
+        root,
+        1,
+        {
+            "files": rels,
+            "stats": legacy_stats,
+            "column_mapping": {rel: {"b": "a"} for rel in rels},
+            "schema": schema,
+            "op": "append",
+            "added": len(rels),
+            "added_versions": {rel: 1 for rel in rels},
+            "delete_files": [],
+        },
+    )
+    # legacy passthrough read serves b from physical a
+    got = M.read_snapshot(spark, root)
+    assert set(got.columns) == {"b", "label"}
+    assert {r["b"] for r in got.collect()} == set(range(100))
+
+    # migration: the next commit (new files written physically as b)
+    new_df = spark.createDataFrame(
+        [(i, i % 3) for i in range(100, 120)], "b long, label int"
+    )
+    v2 = M.commit_append(root, new_df, n_files=1)
+    assert "groups" in M._read_manifest(root, v2)
+    got2 = M.read_snapshot(spark, root)
+    assert {r["b"] for r in got2.collect()} == set(range(120))
+    # pruning by the RENAMED name reaches old files (stats stored
+    # physically in the sidecar, translated through the mapping) and
+    # new files (physical == logical)
+    _v, kept, total = M.snapshot_files_pruned(root, "b", 100, 119)
+    assert total == 3 and len(kept) == 1  # only the new file survives
+    _v, kept_old, _t = M.snapshot_files_pruned(root, "b", 0, 10)
+    assert len(kept_old) < 3  # at least one old file pruned away
+    # pruned READ returns exactly the window rows under the new name
+    pr = M.read_snapshot_pruned(spark, root, "b", 100, 119)
+    assert {r["b"] for r in pr.collect()} == set(range(100, 120))
+    # time travel to the legacy version still works post-migration
+    assert {r["b"] for r in M.read_snapshot(spark, root, 1).collect()} == set(
+        range(100)
+    )
