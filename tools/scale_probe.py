@@ -473,8 +473,35 @@ def main() -> None:
     ] + [""]
 
     lines += _appendix_lines(spark, R, results, factors, _lsh_candidates)
+    lines += _preserved_sections()
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print(f"wrote {REPO / 'SCALING.md'}")
+
+
+#: sections owned by OTHER probes (tools/wide_manifest_probe.py,
+#: tools/stream_dedup_probe.py, the r12 bench attribution) — a full
+#: regeneration must carry them forward, not erase them
+_PRESERVED_MARKERS = (
+    "## Appendix: manifest width",
+    "## Appendix: streaming dedup ingest vs corpus",
+    "## Bench drift attribution",
+)
+
+
+def _preserved_sections() -> list[str]:
+    path = REPO / "SCALING.md"
+    if not path.exists():
+        return []
+    text = path.read_text(encoding="utf-8")
+    out: list[str] = []
+    for marker in _PRESERVED_MARKERS:
+        i = text.find(marker)
+        if i < 0:
+            continue
+        j = text.find("\n## ", i)
+        section = text[i:] if j < 0 else text[i:j]
+        out += ["", section.rstrip(), ""]
+    return out
 
 
 def _appendix_lines(spark, R, results, factors, _lsh_candidates) -> list[str]:
@@ -577,6 +604,7 @@ def _appendix_only() -> None:
     lines = existing[:cut] + _appendix_lines(
         spark, R, results, factors, _lsh_candidates
     )
+    lines += _preserved_sections()  # other probes' sections survive
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print(f"rewrote appendix of {REPO / 'SCALING.md'}")
 
