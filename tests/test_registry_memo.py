@@ -70,6 +70,11 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "events_incremental_rollup",
         "corpus_snapshot_reads",
         "corpus_snapshot_diff",
+        # r12: builders that commit manifest layouts / measure the
+        # sidecar LRU driver-side — memoizing them would freeze the
+        # measured pruning counts into one plan
+        "corpus_snapshot_group_pruned_scan",
+        "corpus_snapshot_manifest_compaction",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
