@@ -2400,6 +2400,17 @@ def compact_manifest_sidecars(
                 )
                 entry["added_version"] = min(avs.values())
                 new_groups.append(entry)
+        # carry the previous descriptor's META keys forward: exactly-once
+        # streaming guards (last_committed_meta('batch_id')) and layout
+        # constants (BM25's N / total tokens) live there — a compaction
+        # that dropped them would reset replay protection and break
+        # pinned-constant readers of the new latest version
+        structural = {
+            "format", "groups", "schema", "op", "added",
+            "delete_files", "version", "files", "stats",
+            "column_mapping", "added_versions",
+        }
+        meta = {k: v2 for k, v2 in cur.items() if k not in structural}
         payload = _descriptor_payload(
             new_groups,
             cur.get("schema"),
@@ -2408,6 +2419,7 @@ def compact_manifest_sidecars(
             _live_delete_files_grouped(
                 new_groups, cur.get("delete_files", [])
             ),
+            meta,
         )
         if _try_commit_manifest(root, v + 1, payload):
             return v + 1

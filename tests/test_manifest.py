@@ -1574,3 +1574,24 @@ def test_legacy_inline_manifest_migrates_with_rename_mapping(spark, tmp_path):
     assert {r["b"] for r in M.read_snapshot(spark, root, 1).collect()} == set(
         range(100)
     )
+
+
+def test_compact_sidecars_carries_commit_meta(spark, tmp_path):
+    """Sidecar compaction preserves the latest descriptor's META keys:
+    a streaming writer's exactly-once guard (last_committed_meta
+    'batch_id') and layout constants must survive — a compaction that
+    reset them would let an at-least-once replay double-apply."""
+    root = str(tmp_path / "tbl")
+    for b in range(10):
+        M.commit_append(
+            root, _df(spark, b * 5, b * 5 + 5),
+            meta={"batch_id": b, "bm25_n": 100 + b},
+        )
+    assert M.last_committed_meta(root, "batch_id") == 9
+    v = M.compact_manifest_sidecars(root, target_groups=2)
+    assert M._read_manifest(root, v)["op"] == "rewrite_manifests"
+    # the replay guard still sees the last applied batch
+    assert M.last_committed_meta(root, "batch_id") == 9
+    assert M.committed_meta(root, "bm25_n") == 109
+    # and a replayed batch is still skipped by the guard pattern
+    assert not (3 > M.last_committed_meta(root, "batch_id", -1))
