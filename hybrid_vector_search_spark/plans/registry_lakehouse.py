@@ -393,6 +393,103 @@ def corpus_snapshot_manifest_compaction(
     )
 
 
+_WAP_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "corpus_snapshot_wap_publish",
+    """WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+half AS (SELECT COUNT(*) AS h FROM embeddings
+         WHERE vec_id < (SELECT (MAX(vec_id) + 1) // 2 FROM embeddings))
+SELECT (SELECT h FROM half) AS published_before,
+  CAST(5 AS BIGINT) AS audit_bad_rows,
+  (SELECT n FROM nn) AS published_after,
+  CAST(SUM(vec_id) AS BIGINT) AS sum_id_published
+FROM embeddings""",
+    side_effects=True,
+)
+def corpus_snapshot_wap_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through a MUTABLE BRANCH REF (r12,
+    sources/manifest.py create_branch/update_branch — Iceberg branch
+    semantics): consumers resolve snapshots through the `published`
+    pointer; writers land versions on the table freely; the pointer
+    moves ONLY after an audit passes, in one CAS-serialized step. The
+    story this query replays and hash-pins: v1 (the id lower half) is
+    published; a poisoned batch (negative labels) lands as v2 — the
+    audit catches it, the pointer STAYS, and the consumer row count
+    through the branch is still v1's; remediation rewrites the bad
+    rows away and appends the valid upper half; the audit passes and
+    the publish moves the pointer — the consumer now reads the full
+    corpus, whose total checksum the oracle recomputes from the base
+    table. Unaudited data is never served, and a failed audit costs
+    zero rewrites of published state."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _WAP_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        _sp, root, before_rows, bad_rows = cached
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        n = emb.agg(F.max("vec_id")).first()[0] + 1
+        root = scratch_path(
+            "snap_wap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, emb.filter(F.col("vec_id") < n // 2))  # v1
+        M.create_branch(root, "published")
+        before_rows = M.read_branch(spark, root, "published").count()
+
+        # a poisoned batch lands; the audit (no negative labels) fails
+        bad = spark.range(5).select(
+            (F.col("id") + 10 * n).alias("vec_id"),
+            F.lit(-1).cast("int").alias("label"),
+        )
+        v2 = M.commit_append(root, bad)
+        bad_rows = (
+            M.read_snapshot(spark, root, v2)
+            .filter(F.col("label") < 0)
+            .count()
+        )
+        assert bad_rows > 0  # audit fails -> pointer must not move
+        assert M.resolve_branch(root, "published") == 1
+        # consumer through the branch is untouched by the bad commit
+        assert (
+            M.read_branch(spark, root, "published").count() == before_rows
+        )
+
+        # remediation: rewrite the poison away, append the valid upper
+        # half, re-audit, publish
+        M.commit_rewrite(
+            root,
+            M.read_snapshot(spark, root).filter(F.col("label") >= 0),
+            n_files=1,
+        )
+        v4 = M.commit_append(root, emb.filter(F.col("vec_id") >= n // 2))
+        assert (
+            M.read_snapshot(spark, root, v4)
+            .filter(F.col("label") < 0)
+            .count()
+            == 0
+        )
+        M.update_branch(root, "published", v4)
+        _WAP_CACHE[sf_dir] = (spark, root, before_rows, bad_rows)
+
+    published = M.read_branch(spark, root, "published")
+    return published.agg(
+        F.count(F.lit(1)).alias("published_after"),
+        F.sum("vec_id").alias("sum_id_published"),
+    ).select(
+        F.lit(before_rows).cast("long").alias("published_before"),
+        F.lit(bad_rows).cast("long").alias("audit_bad_rows"),
+        "published_after",
+        "sum_id_published",
+    )
+
+
 _BLOOM_SCAN_CACHE: dict[str, tuple[SparkSession, str]] = {}
 _BLOOM_PROBE_ID = 137  # present at every sf (ids are 0..N-1, N ≥ 500)
 _BLOOM_CLUSTERS = 4

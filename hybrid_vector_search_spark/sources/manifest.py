@@ -2475,7 +2475,11 @@ def list_tags(root: str) -> dict[str, int]:
         return {}
     out = {}
     for f in os.listdir(refs):
-        if f.endswith(".json") and not f.startswith("."):
+        if (
+            f.endswith(".json")
+            and not f.startswith(".")
+            and not f.startswith("branch-")  # mutable refs live apart
+        ):
             with open(os.path.join(refs, f), encoding="utf-8") as fh:
                 t = json.load(fh)
             out[t["name"]] = int(t["version"])
@@ -2489,6 +2493,161 @@ def resolve_tag(root: str, name: str) -> int:
             f"no tag '{name}' at '{root}' (have: {sorted(tags)})"
         )
     return tags[name]
+
+
+# ---------------------------------------------------------------------------
+# branches — MUTABLE named refs (Iceberg branch semantics: a branch is a
+# movable pointer into the shared immutable version history; tags are the
+# create-once cousins above). The production pattern they enable is
+# WRITE-AUDIT-PUBLISH: writers land versions on the table as usual,
+# audits run against the new head, and only then does the `published`
+# branch move — consumers resolving through the branch NEVER see an
+# unaudited snapshot, and a failed audit costs nothing (the pointer
+# simply stays). Pointer moves are lost-update-free: each move CAS-links
+# refs/branch-<name>-<seq>.json at seq+1 (the same create-if-absent
+# arbiter manifests use), so two concurrent publishers serialize and
+# the loser sees CommitConflictError instead of silently overwriting.
+
+
+def _branch_files(root: str, name: str) -> list[tuple[int, str]]:
+    refs = os.path.join(root, "refs")
+    if not os.path.isdir(refs):
+        return []
+    pre = f"branch-{name}-"
+    out = []
+    for f in os.listdir(refs):
+        if f.startswith(pre) and f.endswith(".json"):
+            try:
+                out.append((int(f[len(pre):-5]), os.path.join(refs, f)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def create_branch(root: str, name: str, version: int | None = None) -> int:
+    """Create branch ``name`` pointing at ``version`` (default latest).
+    Raises if the branch already exists."""
+    if "/" in name or name.startswith("."):
+        raise ValidationError(f"invalid branch name '{name}'")
+    v = current_version(root) if version is None else int(version)
+    if v not in list_versions(root):
+        raise ValidationError(
+            f"cannot branch at version {v} of '{root}': not retained "
+            f"(have: {list_versions(root)})"
+        )
+    if _branch_files(root, name):
+        raise ValidationError(
+            f"branch '{name}' already exists at '{root}'"
+        )
+    refs = os.path.join(root, "refs")
+    os.makedirs(refs, exist_ok=True)
+    final = os.path.join(refs, f"branch-{name}-{0:010d}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"name": name, "version": v, "seq": 0}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ValidationError(
+            f"branch '{name}' already exists at '{root}'"
+        )
+    os.remove(tmp)
+    return v
+
+
+def resolve_branch(root: str, name: str) -> int:
+    """The version branch ``name`` currently points at."""
+    files = _branch_files(root, name)
+    if not files:
+        raise ValidationError(
+            f"no branch '{name}' at '{root}' "
+            f"(have: {sorted(list_branches(root))})"
+        )
+    with open(files[-1][1], encoding="utf-8") as f:
+        return int(json.load(f)["version"])
+
+
+def list_branches(root: str) -> dict[str, int]:
+    refs = os.path.join(root, "refs")
+    if not os.path.isdir(refs):
+        return {}
+    out: dict[str, int] = {}
+    seqs: dict[str, int] = {}
+    for f in os.listdir(refs):
+        if not (f.startswith("branch-") and f.endswith(".json")):
+            continue
+        stem = f[len("branch-"):-5]
+        name, _, seq_s = stem.rpartition("-")
+        try:
+            seq = int(seq_s)
+        except ValueError:
+            continue
+        if not name:
+            continue
+        if seq >= seqs.get(name, -1):
+            with open(os.path.join(refs, f), encoding="utf-8") as fh:
+                out[name] = int(json.load(fh)["version"])
+            seqs[name] = seq
+    return out
+
+
+def update_branch(root: str, name: str, version: int) -> int:
+    """Atomically move branch ``name`` to ``version`` — the PUBLISH
+    step of write-audit-publish. Returns the new pointer sequence.
+    Two concurrent movers serialize on the seq CAS: the loser raises
+    :class:`CommitConflictError` (its decision was made against a
+    stale pointer — re-read, re-audit if needed, retry)."""
+    v = int(version)
+    if v not in list_versions(root):
+        raise ValidationError(
+            f"cannot point branch '{name}' at version {v} of "
+            f"'{root}': not retained (have: {list_versions(root)})"
+        )
+    files = _branch_files(root, name)
+    if not files:
+        raise ValidationError(f"no branch '{name}' at '{root}'")
+    nxt = files[-1][0] + 1
+    refs = os.path.join(root, "refs")
+    final = os.path.join(refs, f"branch-{name}-{nxt:010d}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"name": name, "version": v, "seq": nxt}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise CommitConflictError(
+            f"branch '{name}' at '{root}' moved concurrently "
+            f"(lost the seq-{nxt} CAS) — re-read and retry"
+        )
+    os.remove(tmp)
+    # retire superseded pointer files (best-effort; resolution always
+    # takes the max seq, so a leftover older file is harmless)
+    for seq, path in files:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+    return nxt
+
+
+def delete_branch(root: str, name: str) -> None:
+    files = _branch_files(root, name)
+    if not files:
+        raise ValidationError(f"no branch '{name}' at '{root}'")
+    for _seq, path in files:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Scan the snapshot branch ``name`` points at — the consumer side
+    of write-audit-publish (resolution + pinned read; later pointer
+    moves do not affect an already-built plan)."""
+    return read_snapshot(spark, root, resolve_branch(root, name))
 
 
 def snapshot_changelog(
@@ -2667,9 +2826,13 @@ def vacuum(
             "deleted_sidecars": 0,
         }
     keep = set(vs[-max(int(keep_last), 1):])
-    # tagged versions are pinned: retention never drops a named ref's
-    # snapshot (delete_tag first — an explicit act, not a side effect)
+    # tagged and branch-pinned versions are pinned: retention never
+    # drops a named ref's snapshot (delete the ref first — an explicit
+    # act, not a side effect)
     keep.update(v for v in list_tags(root).values() if v in set(vs))
+    keep.update(
+        v for v in list_branches(root).values() if v in set(vs)
+    )
     referenced: set[str] = set()
     dropped_refs: set[str] = set()
     referenced_groups: set[str] = set()

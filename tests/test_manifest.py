@@ -1595,3 +1595,83 @@ def test_compact_sidecars_carries_commit_meta(spark, tmp_path):
     assert M.committed_meta(root, "bm25_n") == 109
     # and a replayed batch is still skipped by the guard pattern
     assert not (3 > M.last_committed_meta(root, "batch_id", -1))
+
+
+def test_branch_refs_and_write_audit_publish(spark, tmp_path):
+    """Mutable branch refs + the WRITE-AUDIT-PUBLISH pattern: consumers
+    resolve through the `published` branch, writers land versions on
+    the table, and the pointer moves only after the audit passes — a
+    failed audit costs nothing and unaudited data is never served.
+    Pointer moves are CAS-serialized (a stale mover conflicts), tags
+    and branches coexist in refs/, and vacuum pins the branch target."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))                       # v1
+    M.create_branch(root, "published")                             # -> v1
+    assert M.resolve_branch(root, "published") == 1
+    assert _ids(M.read_branch(spark, root, "published")) == set(range(10))
+
+    # a writer lands a BAD batch (audit: no ids >= 900 allowed)
+    M.commit_append(root, _df(spark, 900, 905))                    # v2
+    audit_ok = (
+        M.read_snapshot(spark, root, 2)
+        .filter("id >= 900")
+        .count()
+        == 0
+    )
+    assert not audit_ok  # audit fails -> pointer does NOT move
+    assert M.resolve_branch(root, "published") == 1
+    assert _ids(M.read_branch(spark, root, "published")) == set(range(10))
+
+    # remediation: rewrite dropping the bad rows, audit, publish
+    fixed = M.read_snapshot(spark, root).filter("id < 900")
+    v3 = M.commit_rewrite(root, fixed, n_files=1)
+    assert (
+        M.read_snapshot(spark, root, v3).filter("id >= 900").count() == 0
+    )
+    M.update_branch(root, "published", v3)
+    assert _ids(M.read_branch(spark, root, "published")) == set(range(10))
+
+    # another good batch, published
+    v4 = M.commit_append(root, _df(spark, 10, 20))
+    M.update_branch(root, "published", v4)
+    assert _ids(M.read_branch(spark, root, "published")) == set(range(20))
+
+    # concurrent movers serialize: exactly one CAS per seq wins
+    errs, wins = [], []
+    barrier = threading.Barrier(2)
+
+    def mover(tgt):
+        try:
+            barrier.wait(30)
+            M.update_branch(root, "published", tgt)
+            wins.append(tgt)
+        except M.CommitConflictError:
+            errs.append(tgt)
+
+    ts = [threading.Thread(target=mover, args=(v,)) for v in (v3, v4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert len(wins) == 1 and len(errs) == 1
+    assert M.resolve_branch(root, "published") == wins[0]
+    M.update_branch(root, "published", v4)
+
+    # tags and branches coexist; branches never masquerade as tags
+    M.create_tag(root, "training-run", v3)
+    assert set(M.list_tags(root)) == {"training-run"}
+    assert M.list_branches(root) == {"published": v4}
+
+    # vacuum keeps the branch-pinned version (and the tag's)
+    M.update_branch(root, "published", v3)
+    stats = M.vacuum(root, keep_last=1, orphan_grace_sec=0)
+    assert stats["dropped_versions"] >= 1
+    assert _ids(M.read_branch(spark, root, "published")) == set(range(10))
+    assert M.resolve_branch(root, "published") == v3
+
+    # deleting the branch removes the ref, not the data
+    M.delete_branch(root, "published")
+    with pytest.raises(ValidationError, match="no branch"):
+        M.resolve_branch(root, "published")

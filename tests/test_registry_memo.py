@@ -75,6 +75,7 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # measured pruning counts into one plan
         "corpus_snapshot_group_pruned_scan",
         "corpus_snapshot_manifest_compaction",
+        "corpus_snapshot_wap_publish",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
