@@ -2592,12 +2592,21 @@ def list_branches(root: str) -> dict[str, int]:
     return out
 
 
-def update_branch(root: str, name: str, version: int) -> int:
+def update_branch(
+    root: str, name: str, version: int,
+    expected_version: int | None = None,
+) -> int:
     """Atomically move branch ``name`` to ``version`` — the PUBLISH
     step of write-audit-publish. Returns the new pointer sequence.
-    Two concurrent movers serialize on the seq CAS: the loser raises
-    :class:`CommitConflictError` (its decision was made against a
-    stale pointer — re-read, re-audit if needed, retry)."""
+    Concurrent movers serialize on the seq CAS; a mover that lost the
+    exact seq raises :class:`CommitConflictError`. Pass
+    ``expected_version`` = the head your AUDIT read to get strict
+    compare-and-set publishing: if anyone moved the pointer since
+    (even to your own target), the publish conflicts instead of
+    applying a decision made against a stale audit — without it, a
+    mover that re-lists after a winner's cleanup serializes AFTER the
+    winner, which is linearizable but may not be what an auditor
+    wants."""
     v = int(version)
     if v not in list_versions(root):
         raise ValidationError(
@@ -2607,6 +2616,15 @@ def update_branch(root: str, name: str, version: int) -> int:
     files = _branch_files(root, name)
     if not files:
         raise ValidationError(f"no branch '{name}' at '{root}'")
+    if expected_version is not None:
+        with open(files[-1][1], encoding="utf-8") as f:
+            head = int(json.load(f)["version"])
+        if head != int(expected_version):
+            raise CommitConflictError(
+                f"branch '{name}' at '{root}' points at {head}, not "
+                f"the audited version {expected_version} — the "
+                f"pointer moved since the audit; re-read and re-audit"
+            )
     nxt = files[-1][0] + 1
     refs = os.path.join(root, "refs")
     final = os.path.join(refs, f"branch-{name}-{nxt:010d}.json")

@@ -1638,14 +1638,19 @@ def test_branch_refs_and_write_audit_publish(spark, tmp_path):
     M.update_branch(root, "published", v4)
     assert _ids(M.read_branch(spark, root, "published")) == set(range(20))
 
-    # concurrent movers serialize: exactly one CAS per seq wins
+    # concurrent AUDITED movers: both read the same head before the
+    # race, so expected_version makes exactly one publish win — the
+    # loser's audit is stale by definition and must re-run
+    audited_head = M.resolve_branch(root, "published")
     errs, wins = [], []
     barrier = threading.Barrier(2)
 
     def mover(tgt):
         try:
             barrier.wait(30)
-            M.update_branch(root, "published", tgt)
+            M.update_branch(
+                root, "published", tgt, expected_version=audited_head
+            )
             wins.append(tgt)
         except M.CommitConflictError:
             errs.append(tgt)
@@ -1657,6 +1662,11 @@ def test_branch_refs_and_write_audit_publish(spark, tmp_path):
         t.join(60)
     assert len(wins) == 1 and len(errs) == 1
     assert M.resolve_branch(root, "published") == wins[0]
+    # a stale expected_version conflicts deterministically
+    with pytest.raises(M.CommitConflictError, match="moved since"):
+        M.update_branch(
+            root, "published", v4, expected_version=audited_head + 99
+        )
     M.update_branch(root, "published", v4)
 
     # tags and branches coexist; branches never masquerade as tags
