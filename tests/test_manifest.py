@@ -1685,3 +1685,91 @@ def test_branch_refs_and_write_audit_publish(spark, tmp_path):
     M.delete_branch(root, "published")
     with pytest.raises(ValidationError, match="no branch"):
         M.resolve_branch(root, "published")
+
+
+def test_manifest_model_randomized_ops(spark, tmp_path):
+    """Model-based randomized soak over the full commit surface
+    (append / clustered append / delete / upsert / rewrite / sidecar
+    compaction / vacuum / rename), seeded for determinism: after EVERY
+    operation the snapshot read must equal a plain dict model, and a
+    periodic pruned read must equal the model's filtered slice —
+    format-2 resolution, subset sidecars, merged per-file add versions,
+    delete sequencing, and mapping translation all exercised in random
+    interleavings rather than one-shape unit tests."""
+    import random
+
+    rng = random.Random(20260816)
+    root = str(tmp_path / "tbl")
+    model: dict[int, int] = {}
+    next_id = 0
+    id_col = "id"  # current logical name (rename flips it)
+
+    def batch(n):
+        nonlocal next_id
+        rows = [(i, i % 7) for i in range(next_id, next_id + n)]
+        next_id += n
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, f"{id_col} long, label int")
+
+    rows = batch(20)
+    M.commit_append(root, df_of(rows))
+    model.update(dict(rows))
+
+    for step in range(24):
+        op = rng.choice(
+            ["append", "clustered", "delete", "upsert", "rewrite",
+             "compact", "vacuum", "rename"]
+        )
+        if op == "append":
+            rows = batch(rng.randint(1, 12))
+            M.commit_append(root, df_of(rows))
+            model.update(dict(rows))
+        elif op == "clustered":
+            rows = batch(rng.randint(2, 10))
+            M.commit_append_clustered(root, df_of(rows), id_col)
+            model.update(dict(rows))
+        elif op == "delete" and model:
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 6)))
+            M.commit_delete_where(
+                root,
+                spark.createDataFrame([(k,) for k in keys], f"{id_col} long"),
+                id_col,
+            )
+            for k in keys:
+                model.pop(k, None)
+        elif op == "upsert" and model:
+            old = rng.sample(sorted(model), min(len(model), 3))
+            fresh = batch(2)
+            rows = [(k, 99) for k in old] + fresh
+            M.commit_upsert_rows(root, df_of(rows), id_col)
+            model.update(dict(rows))
+        elif op == "rewrite":
+            M.commit_rewrite(
+                root, M.read_snapshot(spark, root),
+                n_files=rng.randint(1, 3),
+            )
+        elif op == "compact":
+            M.compact_manifest_sidecars(root, target_groups=rng.randint(1, 4))
+        elif op == "vacuum":
+            M.vacuum(root, keep_last=2, orphan_grace_sec=0)
+        elif op == "rename":
+            new_name = "ident" if id_col == "id" else "id"
+            M.commit_rename_column(root, id_col, new_name)
+            id_col = new_name
+        got = {
+            r[id_col]: r["label"]
+            for r in M.read_snapshot(spark, root).collect()
+        }
+        assert got == model, (step, op, len(got), len(model))
+        if step % 5 == 0 and model:
+            lo = rng.randint(0, max(next_id - 1, 0))
+            hi = lo + rng.randint(0, 15)
+            pr = {
+                r[id_col]
+                for r in M.read_snapshot_pruned(
+                    spark, root, id_col, lo, hi
+                ).collect()
+            }
+            assert pr == {k for k in model if lo <= k <= hi}, (step, op)
