@@ -312,6 +312,97 @@ def resize_plan(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.withColumn("meta", new_meta)
 
 
+def audio_windows(
+    media: DataFrame, window_s: int = 1, hop_s: int | None = None
+) -> DataFrame:
+    """Audio segmentation plan: one row per (media_id, window) for
+    fixed-duration windows over the sample stream.
+
+    For audio rows ``meta.n_frames`` carries the total SAMPLE count and
+    ``meta.sample_rate`` the rate; the window fan-out is pure Spark
+    (``sequence`` + ``posexplode`` — no Python, no shuffle, payload
+    pruned before the explode). Only the kept windows would then pass
+    through a decode/feature ``mapInPandas`` — at 100 TB the segmenter
+    must never touch payload bytes, and this plan provably doesn't
+    (``data`` is not in the projection).
+
+    Output: ``window_idx`` (0-based), ``start_sample``, ``end_sample``
+    (exclusive, clamped to the stream length), ``duration_ms``.
+    """
+    hop_s = window_s if hop_s is None else hop_s
+    aud = media.filter(F.col("kind") == "audio").select(
+        "media_id",
+        F.col("meta.sample_rate").cast("long").alias("rate"),
+        F.col("meta.n_frames").cast("long").alias("n_samples"),
+    )
+    win = F.col("rate") * window_s
+    hop = F.col("rate") * hop_s
+    starts = aud.select(
+        "media_id",
+        "rate",
+        "n_samples",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_samples") - 1, hop)
+        ).alias("window_idx", "start_sample"),
+    )
+    end = F.least(F.col("start_sample") + win, F.col("n_samples"))
+    return starts.select(
+        "media_id",
+        "window_idx",
+        "start_sample",
+        end.alias("end_sample"),
+        ((end - F.col("start_sample")) * 1000 / F.col("rate"))
+        .cast("double")
+        .alias("duration_ms"),
+    )
+
+
+def phash_stub(media: DataFrame, bits: int = 8) -> DataFrame:
+    """STUB perceptual hash over the payload bytes — the bucketing key
+    for near-duplicate MEDIA dedup (images that re-encode to different
+    bytes but similar pixels land in the same bucket under a real pHash;
+    the banding shape is what matters at scale: group-by on the hash,
+    never all-pairs).
+
+    A real kernel would decode, downscale to ``bits`` blocks, and
+    threshold block luminance against the global mean. The stub keeps
+    the exact same structure one level up: split the PAYLOAD bytes into
+    ``bits`` equal blocks, set bit ``j`` when block-mean > global byte
+    mean. Everything runs JVM-side (hex expansion + higher-order
+    functions, no Python boundary), and every step is integer sums and
+    one exact IEEE division — deterministically recomputable by the
+    DuckDB oracle from the same parquet.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    vals = (
+        "transform(sequence(1, length(data)), i -> "
+        "cast(conv(substring(hex(data), 2*i-1, 2), 16, 10) as int))"
+    )
+    # exact: integer sums, one double division; block bounds via floor div
+    expr = f"""
+      aggregate(
+        sequence(0, {bits - 1}),
+        0L,
+        (acc, j) -> acc + (CASE WHEN
+          aggregate(slice(__v, cast((j * size(__v)) div {bits} as int) + 1,
+              cast(((j + 1) * size(__v)) div {bits} as int)
+              - cast((j * size(__v)) div {bits} as int)), 0L, (a, x) -> a + x)
+            * 1.0
+            / (cast(((j + 1) * size(__v)) div {bits} as int)
+               - cast((j * size(__v)) div {bits} as int))
+          > aggregate(__v, 0L, (a, x) -> a + x) * 1.0 / size(__v)
+        THEN shiftleft(1L, j) ELSE 0L END)
+      )
+    """
+    return (
+        media.withColumn("__v", F.expr(vals))
+        # blocks need >= `bits` bytes for non-empty slices
+        .filter(F.size("__v") >= bits)
+        .select("media_id", F.expr(expr).alias("phash"))
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
     """Video frame sampling: one output row per kept frame index.
 

@@ -39,6 +39,7 @@ from hybrid_vector_search_spark.plans.registry_hybrid_ann import (  # noqa: E402
 
 # ------------------------------------------------------------- multimodal
 
+from hybrid_vector_search_spark.functions import text as _TX  # noqa: E402
 
 MULTIMODAL_N = 32
 
@@ -92,6 +93,159 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes",
             "n_features",
         )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "multimodal_audio_windows",
+    f"""WITH a AS (
+  SELECT doc_id AS media_id,
+    CAST(octet_length(encode(text)) * 200 AS BIGINT) AS n_samples
+  FROM documents
+  WHERE doc_id < {MULTIMODAL_N} AND doc_id % 2 = 0
+    AND text IS NOT NULL AND length(text) > 0)
+SELECT media_id,
+  CAST(u.i // 16000 AS INT) AS window_idx,
+  CAST(u.i AS BIGINT) AS start_sample,
+  CAST(LEAST(u.i + 16000, n_samples) AS BIGINT) AS end_sample,
+  CAST((LEAST(u.i + 16000, n_samples) - u.i) * 1000.0 / 16000 AS DOUBLE)
+    AS duration_ms
+FROM a, UNNEST(range(0, n_samples, 16000)) AS u(i)
+ORDER BY media_id, window_idx""",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation through the driver gate: fixed 1-second window
+    fan-out over opaque audio payloads (operators/multimodal.py
+    audio_windows — sequence + posexplode, no Python, no shuffle; the
+    payload column is pruned before the explode, so at 100 TB the
+    segmenter never moves media bytes). Even-id media become audio with
+    a sample count derived from the payload length (16 kHz, 200 samples
+    per payload byte) so the DuckDB oracle can replay the fan-out,
+    including the clamped final window."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    aud = (
+        media.filter((F.col("media_id") % 2) == 0)
+        .withColumn("kind", F.lit("audio"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("wav").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit(16_000).alias("sample_rate"),
+                (F.length("data") * 200).cast("int").alias("n_frames"),
+            ),
+        )
+    )
+    return MM.audio_windows(aud, window_s=1).orderBy(
+        "media_id", "window_idx"
+    )
+
+
+# DuckDB twin of operators/multimodal.py phash_stub (bits=8): payload
+# bytes as an INT list, block-mean > global-mean bits, LSB-first weights.
+_PHASH_ORACLE_CTE = f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    [('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT
+     for i in range(1, octet_length(encode(text)) + 1)] AS v
+  FROM documents
+  WHERE doc_id < {MULTIMODAL_N}
+    AND text IS NOT NULL AND length(text) > 0),
+h AS (
+  SELECT media_id,
+    list_sum([
+      CASE WHEN
+        list_sum(v[((j * len(v)) // 8)::INT + 1
+                   : (((j + 1) * len(v)) // 8)::INT])
+          * 1.0 / ((((j + 1) * len(v)) // 8)::INT
+                   - ((j * len(v)) // 8)::INT)
+        > list_sum(v) * 1.0 / len(v)
+      THEN 1 << j ELSE 0 END
+      for j in range(0, 8)])::BIGINT AS phash
+  FROM m WHERE len(v) >= 8)"""
+
+
+@register(
+    "multimodal_phash_buckets",
+    _PHASH_ORACLE_CTE
+    + """
+SELECT phash, media_id,
+  COUNT(*) OVER (PARTITION BY phash) AS n_bucket
+FROM h ORDER BY phash, media_id""",
+)
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA bucketing by (stub) perceptual hash: the
+    banding shape of image dedup — hash each payload JVM-side
+    (operators/multimodal.py phash_stub: hex expansion + higher-order
+    aggregates, no Python boundary), then a single hash-partitioned
+    window assigns bucket sizes. Candidate pairs at scale are the
+    within-bucket pairs (same group-by, never all-pairs — the same
+    volume argument as dedup_minhash_lsh). The hash check proves the
+    block-mean bit derivation byte-for-byte against the DuckDB replay."""
+    from pyspark.sql import Window
+
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    ph = MM.phash_stub(media, bits=8)
+    return ph.select(
+        "phash",
+        "media_id",
+        F.count(F.lit(1)).over(Window.partitionBy("phash")).alias("n_bucket"),
+    ).orderBy("phash", "media_id")
+
+
+@register(
+    "multimodal_caption_pairs",
+    f"""SELECT doc_id AS media_id, md5(text) AS image_fp,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT)
+    AS n_tokens,
+  {round_portable_sql(_TX.quality_score_sql("text"), 6)} AS quality
+FROM documents
+WHERE doc_id < {MULTIMODAL_N} AND text IS NOT NULL AND length(text) > 0
+  AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 4
+ORDER BY media_id""",
+)
+def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text training-pair assembly: media rows broadcast-joined to
+    their caption documents, then quality-gated (token floor + the
+    composite quality score) — the last mile of a multimodal pretraining
+    pipeline, where pairs with degenerate captions are dropped BEFORE
+    the expensive decode/encode stages. Payload bytes never cross the
+    join (only the md5 fingerprint and length do); the caption side
+    carries the text features. All JVM-side."""
+    from hybrid_vector_search_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    caps = docs.filter(F.col("doc_id") < MULTIMODAL_N).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("caption")
+    )
+    pairs = media.select(
+        "media_id",
+        F.md5("data").alias("image_fp"),
+        F.length("data").cast("int").alias("n_bytes"),
+    ).join(F.broadcast(caps), "media_id")
+    return (
+        pairs.select(
+            "media_id",
+            "image_fp",
+            "n_bytes",
+            ws_token_count("caption").alias("n_tokens"),
+            round_portable(quality_score("caption"), 6).alias("quality"),
+        )
+        .filter(F.col("n_tokens") >= 4)
         .orderBy("media_id")
     )
 

@@ -143,3 +143,71 @@ def test_pil_decode_schema_parity(spark):
     assert row.mean_pixel == float(arr.mean())
     assert row.checksum == hashlib.md5(payload).hexdigest()
     assert row.n_bytes == len(payload)
+
+
+def test_audio_windows_fanout_and_clamp(spark):
+    import pyspark.sql.functions as F
+
+    # 16 kHz, 40_000 samples -> windows [0,16k) [16k,32k) [32k,40k)
+    aud = MM.synth_media_table(spark, n=2, kind="audio").withColumn(
+        "meta",
+        F.struct(
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(16_000).alias("sample_rate"),
+            F.lit(40_000).alias("n_frames"),
+        ),
+    )
+    out = MM.audio_windows(aud, window_s=1).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(r)
+    assert set(per) == {0, 1}
+    for rows in per.values():
+        rows.sort(key=lambda r: r.window_idx)
+        assert [r.start_sample for r in rows] == [0, 16_000, 32_000]
+        assert rows[-1].end_sample == 40_000  # clamped
+        assert abs(rows[-1].duration_ms - 500.0) < 1e-9
+        assert all(r.end_sample - r.start_sample == 16_000 for r in rows[:-1])
+
+
+def test_audio_windows_skips_payload_and_other_kinds(media):
+    # images/videos don't fan out; the plan never projects `data`
+    out = MM.audio_windows(media, window_s=1)
+    assert out.count() == 0
+    assert "data" not in out.columns
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "data" not in plan.lower().split("relation")[0]
+
+
+def test_phash_stub_known_value(spark):
+    import pyspark.sql.functions as F
+
+    # 8 bytes: [0,0,0,0, 255,255,255,255] -> global mean 127.5, block
+    # means per byte -> bits 4..7 set (LSB-first) = 0b11110000 = 240
+    payload = bytes([0, 0, 0, 0, 255, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(1, "image", payload)], "media_id LONG, kind STRING, data BINARY"
+    )
+    rows = MM.phash_stub(df, bits=8).collect()
+    assert rows[0].phash == 240
+
+
+def test_phash_stub_deterministic_and_filters_short(spark, media):
+    a = sorted((r.media_id, r.phash) for r in MM.phash_stub(media).collect())
+    b = sorted((r.media_id, r.phash) for r in MM.phash_stub(media).collect())
+    assert a == b and len(a) == 12  # all fixture payloads are 256 bytes
+    short = spark.createDataFrame(
+        [(1, "image", bytes([1, 2, 3]))],
+        "media_id LONG, kind STRING, data BINARY",
+    )
+    assert MM.phash_stub(short, bits=8).count() == 0  # < bits bytes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        MM.phash_stub(media, bits=0)
+    with _pytest.raises(ValueError, match="bits"):
+        MM.phash_stub(media, bits=63)
