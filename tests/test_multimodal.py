@@ -211,3 +211,76 @@ def test_phash_stub_deterministic_and_filters_short(spark, media):
         MM.phash_stub(media, bits=0)
     with _pytest.raises(ValueError, match="bits"):
         MM.phash_stub(media, bits=63)
+
+
+def test_phash_and_windows_match_python_reference(spark):
+    """Randomized cross-check: one Spark job over ~60 payloads (plus
+    hand-picked edges) vs a pure-Python re-implementation of the same
+    math — catches block-boundary and strict-comparison drift."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    def ref_phash(b: bytes, bits: int = 8) -> int:
+        v, n = list(b), len(b)
+        gm = sum(v) / n
+        h = 0
+        for j in range(bits):
+            lo, hi = (j * n) // bits, ((j + 1) * n) // bits
+            if sum(v[lo:hi]) / (hi - lo) > gm:
+                h |= 1 << j
+        return h
+
+    rng = random.Random(42)
+    payloads = [
+        bytes([7] * 8),              # all-equal: no strict > anywhere -> 0
+        bytes(range(8)),             # exactly one byte per block
+        bytes(range(9)),             # uneven block boundaries
+        bytes([255] * 4 + [0] * 5),  # skewed halves, odd length
+        bytes([0, 255] * 128),       # alternating, 256 bytes
+    ] + [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(8, 300)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p) for i, p in enumerate(payloads)],
+        "media_id LONG, kind STRING, data BINARY",
+    ).repartition(4)
+    got = {r.media_id: r.phash for r in MM.phash_stub(df, bits=8).collect()}
+    assert got == {i: ref_phash(p) for i, p in enumerate(payloads)}
+    assert got[0] == 0
+
+    def ref_windows(n: int, rate: int = 16_000) -> list[tuple]:
+        return [
+            (i, s, min(s + rate, n), (min(s + rate, n) - s) * 1000.0 / rate)
+            for i, s in enumerate(range(0, n, rate))
+        ]
+
+    samples = [1, 15_999, 16_000, 16_001, 160_000] + [
+        rng.randrange(1, 400_000) for _ in range(40)
+    ]
+    aud = spark.createDataFrame(
+        [(i, "audio", None) for i in range(len(samples))],
+        "media_id LONG, kind STRING, data BINARY",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(16_000).alias("sample_rate"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in samples]),
+                (F.col("media_id") + 1).cast("int"),
+            ).cast("int").alias("n_frames"),
+        ),
+    )
+    out = MM.audio_windows(aud, window_s=1).collect()
+    per: dict[int, list] = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(
+            (r.window_idx, r.start_sample, r.end_sample, r.duration_ms)
+        )
+    for i, n in enumerate(samples):
+        assert sorted(per[i]) == ref_windows(n), (i, n)
