@@ -910,6 +910,129 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_QUALITY = 0.75  # rounded-to-6 quality floor for stage 2
+# word tokens + distinct word n-grams (the docs_decontaminate shapes)
+_FUNNEL_TOKS = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+_FUNNEL_SH = (
+    f"list_distinct(list_transform(range(0, greatest(len(t) - {_DECON_N},"
+    f" 0) + 1), i -> array_to_string(t[i + 1 : i + {_DECON_N}], ' ')))"
+)
+
+
+@register(
+    "docs_curation_funnel",
+    f"""WITH base AS (
+  SELECT * FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+s1 AS (SELECT * FROM base WHERE ({TX.lang_id_sql('text')}) = 'en'),
+s2 AS (SELECT * FROM s1
+  WHERE {round_portable_sql(TX.quality_score_sql('text'), 6)}
+        >= {_FUNNEL_QUALITY}),
+s3 AS (SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {TX.fingerprint_md5_sql('text')} ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1),
+bsh AS (SELECT DISTINCT unnest({_FUNNEL_SH}) AS g
+  FROM (SELECT {_FUNNEL_TOKS} AS t FROM base WHERE doc_id % {_DECON_MOD} = 0)),
+csh AS (SELECT doc_id, unnest({_FUNNEL_SH}) AS g
+  FROM (SELECT doc_id, {_FUNNEL_TOKS} AS t FROM s3
+        WHERE doc_id % {_DECON_MOD} <> 0)),
+s4 AS (SELECT * FROM s3 WHERE doc_id % {_DECON_MOD} <> 0
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (g))),
+s5 AS (SELECT * FROM s4
+  WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 < 9),
+counts AS (
+  SELECT '0_total' AS stage, COUNT(*) AS n_docs FROM base UNION ALL
+  SELECT '1_lang_en', COUNT(*) FROM s1 UNION ALL
+  SELECT '2_quality', COUNT(*) FROM s2 UNION ALL
+  SELECT '3_exact_dedup', COUNT(*) FROM s3 UNION ALL
+  SELECT '4_decontaminated', COUNT(*) FROM s4 UNION ALL
+  SELECT '5_train_split', COUNT(*) FROM s5)
+SELECT stage, n_docs,
+  {round_portable_sql(
+      'n_docs * 1.0 / (SELECT COUNT(*) FROM base)', 6)} AS pct_of_total
+FROM counts ORDER BY stage""",
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE composed plan —
+    the integration query a user of this engine actually runs: language
+    gate → quality floor → exact dedup (keep-first per normalized
+    fingerprint) → benchmark decontamination (drop the benchmark slice
+    and every doc sharing a word 4-gram with it) → hash-based train
+    split. Emits the retention funnel (stage, surviving docs, fraction
+    of corpus).
+
+    Every stage reuses the engine's single implementation of its
+    semantics (functions/text.py lang_id / quality_score /
+    fingerprint_md5 / shingle_rows), so the funnel is an end-to-end
+    consistency check across the family, not new logic. Scale shape:
+    the gates are stateless scans; dedup is one hash shuffle on the
+    fingerprint; decontamination broadcasts the (tiny) benchmark gram
+    vocabulary so the corpus side never shuffles; the split is a
+    stateless hash. The stage counts union into one job — Spark shares
+    the scan via the staged plan tree."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    s1 = base.filter(TX.lang_id("text") == "en")
+    s2 = s1.filter(
+        round_portable(TX.quality_score("text"), 6) >= _FUNNEL_QUALITY
+    )
+    w = Window.partitionBy(TX.fingerprint_md5("text")).orderBy("doc_id")
+    s3 = (
+        s2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench_g = (
+        TX.shingle_rows(
+            base.filter(F.col("doc_id") % _DECON_MOD == 0), _DECON_N
+        )
+        .select("g")
+        .distinct()
+    )
+    corpus = s3.filter(F.col("doc_id") % _DECON_MOD != 0)
+    contaminated = (
+        TX.shingle_rows(corpus, _DECON_N)
+        .join(F.broadcast(bench_g), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = corpus.join(contaminated, "doc_id", "left_anti")
+    s5 = s4.filter(
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("bigint") % 10
+        < 9
+    )
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        ).select(F.lit(stage).alias("stage"), "n_docs")
+
+    funnel = (
+        cnt(base, "0_total")
+        .unionByName(cnt(s1, "1_lang_en"))
+        .unionByName(cnt(s2, "2_quality"))
+        .unionByName(cnt(s3, "3_exact_dedup"))
+        .unionByName(cnt(s4, "4_decontaminated"))
+        .unionByName(cnt(s5, "5_train_split"))
+    )
+    total = base.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        funnel.crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            round_portable(F.col("n_docs") / F.col("__t"), 6).alias(
+                "pct_of_total"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
 # ------------------------------------- vector aggregation + pivot shapes
 
 
