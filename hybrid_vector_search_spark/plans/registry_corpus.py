@@ -147,14 +147,17 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB twin of operators/multimodal.py phash_stub (bits=8): payload
-# bytes as an INT list, block-mean > global-mean bits, LSB-first weights.
-_PHASH_ORACLE_CTE = f"""WITH m AS (
+def phash_oracle_cte(limit: int) -> str:
+    """DuckDB twin of operators/multimodal.py phash_stub (bits=8) over
+    the documents-derived media table (payload = UTF-8 text bytes):
+    CTEs ``m`` (payload bytes as an INT list) and ``h`` (media_id,
+    phash) with block-mean > global-mean bits, LSB-first weights."""
+    return f"""WITH m AS (
   SELECT doc_id AS media_id,
     [('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT
      for i in range(1, octet_length(encode(text)) + 1)] AS v
   FROM documents
-  WHERE doc_id < {MULTIMODAL_N}
+  WHERE doc_id < {limit}
     AND text IS NOT NULL AND length(text) > 0),
 h AS (
   SELECT media_id,
@@ -168,6 +171,9 @@ h AS (
       THEN 1 << j ELSE 0 END
       for j in range(0, 8)])::BIGINT AS phash
   FROM m WHERE len(v) >= 8)"""
+
+
+_PHASH_ORACLE_CTE = phash_oracle_cte(MULTIMODAL_N)
 
 
 @register(

@@ -1368,6 +1368,119 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- streaming media (phash) ingest
+
+_STREAM_MEDIA_CACHE: dict[str, tuple[SparkSession, str]] = {}
+_SM_BATCHES = 3
+_SM_LIMIT = 256  # 8-bit phash over <=256 media: collisions guaranteed
+
+
+def _stream_media_oracle() -> str:
+    """Replays keep-first media dedup by exact phash match: a media row
+    survives iff no same-phash row precedes it in arrival order
+    (batch = media_id % P by construction of the landing, media_id
+    within a batch)."""
+    from hybrid_vector_search_spark.plans.registry_corpus import (
+        phash_oracle_cte,
+    )
+
+    P = _SM_BATCHES
+    return f"""{phash_oracle_cte(_SM_LIMIT)},
+k AS (
+  SELECT media_id, phash, media_id % {P} AS batch,
+    row_number() OVER (PARTITION BY phash
+                       ORDER BY media_id % {P}, media_id) AS rn
+  FROM h)
+SELECT media_id, phash, batch FROM k WHERE rn = 1 ORDER BY media_id"""
+
+
+@register(
+    "streaming_media_ingest",
+    _stream_media_oracle(),
+    side_effects=True,
+)
+def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS MEDIA DEDUP INGEST — the multimodal twin of
+    streaming_dedup_ingest: media rows (opaque binary payloads) arrive
+    in micro-batches; each batch is perceptual-hashed (stub kernel,
+    operators/multimodal.py phash_stub) and kept-first against (1) a
+    persisted manifest-committed phash index holding EVERY prior
+    arrival and (2) itself (smaller media_id wins). Survivors and index
+    appends land as manifest commits with the micro-batch id riding in
+    each root's manifest — exactly-once under at-least-once replay,
+    per root (the streaming_snapshot_ingest guard). Per-batch cost is
+    O(batch + matching postings): one Arrow phash pass over the batch,
+    one equi-join on the hash; payload bytes never enter the index.
+    The oracle replays the fold order-faithfully (batch = media_id % P
+    by construction, arrival order pinned by per-file mtimes)."""
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.operators import multimodal as MM
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    P = _SM_BATCHES
+    cached = _STREAM_MEDIA_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "stream_media_" + sf_dir.strip("/").replace("/", "_")
+        )
+        os.makedirs(root, exist_ok=True)
+        land = os.path.join(root, "landing")
+        os.makedirs(land, exist_ok=True)
+        media = MM.media_from_documents(
+            load_table(spark, sf_dir, "documents"), limit=_SM_LIMIT
+        ).select("media_id", "data")
+        t0 = _time.time() - 1000
+        for b in range(P):
+            tmp = os.path.join(root, f"stage_{b}")
+            media.filter(F.col("media_id") % P == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(land, f"batch-{b}.parquet")
+            _sh.move(os.path.join(tmp, part), dst)
+            _sh.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+        _STREAM_MEDIA_CACHE[sf_dir] = (spark, root)
+    land = os.path.join(root, "landing")
+    index_root = os.path.join(root, "index")
+    surv_root = os.path.join(root, "survivors")
+
+    def commit_batch(batch_df, batch_id):
+        MM.media_ingest_commit_batch(
+            spark, batch_df, batch_id, index_root, surv_root
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        M.read_snapshot(spark, surv_root)
+        .select("media_id", "phash", "batch")
+        .orderBy("media_id")
+    )
+
+
 # ---- moved from registry_lakehouse (r12 trim): session windows + custom state
 
 # --------------------------------- streaming: session windows + custom state

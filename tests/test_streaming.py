@@ -662,3 +662,33 @@ def test_streaming_dedup_ingest_replay_exactly_once(spark):
     assert rows2 == rows1
     assert M.current_version(os.path.join(root, "index")) == 3
     assert M.current_version(os.path.join(root, "survivors")) == 3
+
+
+def test_streaming_media_ingest_replay_exactly_once(spark):
+    """The media-ingest twin of the near-dup replay guard: wiping the
+    checkpoint re-delivers every micro-batch; per-root batch-id guards
+    must skip all of them — survivor rows and both manifest versions
+    unchanged (a double posting would flip later keep-first decisions)."""
+    import os
+    import shutil
+
+    from hybrid_vector_search_spark.plans import registry as R
+    from hybrid_vector_search_spark.plans.registry_streaming_layouts import (
+        _STREAM_MEDIA_CACHE,
+    )
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    sf = "/root/testdata/sf0.001"
+    rows1 = R.QUERIES["streaming_media_ingest"](spark, sf).collect()
+    root = _STREAM_MEDIA_CACHE[sf][1]
+    assert M.current_version(os.path.join(root, "index")) == 3
+    assert M.current_version(os.path.join(root, "survivors")) == 3
+    # keep-first actually rejected something (collisions exist), and
+    # every survivor's phash is unique
+    assert 0 < len(rows1) and len({r.phash for r in rows1}) == len(rows1)
+
+    shutil.rmtree(os.path.join(root, "ckpt"))
+    rows2 = R.QUERIES["streaming_media_ingest"](spark, sf).collect()
+    assert rows2 == rows1
+    assert M.current_version(os.path.join(root, "index")) == 3
+    assert M.current_version(os.path.join(root, "survivors")) == 3
