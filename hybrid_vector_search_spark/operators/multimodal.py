@@ -409,30 +409,33 @@ def media_ingest_commit_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     batch_id: int,
-    index_root: str,
     surv_root: str,
     bits: int = 8,
-) -> None:
+    return_stats: bool = False,
+):
     """ONE micro-batch of keep-first MEDIA dedup by (stub) perceptual
-    hash against a persisted, manifest-committed phash index — the
-    ``foreachBatch`` body of the registry's ``streaming_media_ingest``.
+    hash — the ``foreachBatch`` body of the registry's
+    ``streaming_media_ingest``.
 
     Semantics: a media row survives iff its phash has never been seen —
-    not in any earlier batch (the index holds EVERY arrival, so a
-    duplicate of a rejected duplicate is still rejected) and not earlier
-    within its own batch (smaller media_id wins). Per-batch cost is
-    O(batch + matching index postings): the phash kernel runs once over
-    the batch (Arrow-vectorized, localCheckpoint pins it), the
-    seen-check is one equi-join on the hash. Exactly-once under
-    at-least-once replay: each root's manifest carries the micro-batch
-    id, committed atomically with the version, so a replayed batch
-    skips exactly the roots that already landed.
+    not in any earlier batch and not earlier within its own batch
+    (smaller media_id wins). For EXACT-hash keep-first the survivors
+    table is itself the seen-hash index: it holds exactly the first
+    holder of every hash ever seen, so a duplicate of a rejected
+    duplicate still rejects (the rejected row's hash has a first holder
+    in the table). One root, therefore one commit and one replay guard.
 
-    With a real 64-bit pHash the index join stays an equi-join on the
-    hash (near-dup within Hamming ≤ r adds banded sub-hash keys — the
-    same posting shape dedup_ingest_commit_batch commits); the stub's
-    8-bit space just makes collisions frequent enough to exercise the
-    keep-first fold on test data."""
+    Per-batch cost is O(batch + |distinct hashes seen|): the phash
+    kernel runs once over the batch (Arrow-vectorized, localCheckpoint
+    pins it) and the seen-check anti-joins against ≤ 2^bits survivor
+    rows — FLAT in corpus size, not O(arrivals). Exactly-once under
+    at-least-once replay: the manifest carries the micro-batch id,
+    committed atomically with the version. With a real 64-bit pHash the
+    seen-check stays an equi-join on the hash (near-dup within
+    Hamming ≤ r adds banded sub-hash posting keys — the posting shape
+    dedup_ingest_commit_batch commits); the stub's 8-bit space just
+    makes collisions frequent enough to exercise the fold on test
+    data."""
     from pyspark.sql import Window
 
     from hybrid_vector_search_spark.sources import manifest as M
@@ -444,26 +447,24 @@ def media_ingest_commit_batch(
         .filter(F.col("media_id") == F.col("__m"))
         .drop("__m")
     )
-    if M.current_version(index_root) >= 0:
-        seen = (
-            M.read_snapshot(spark, index_root).select("phash").distinct()
-        )
+    if M.current_version(surv_root) >= 0:
+        # unique per row by construction — no distinct needed
+        seen = M.read_snapshot(spark, surv_root).select("phash")
         survivors = in_keep.join(seen, "phash", "left_anti")
     else:
         survivors = in_keep
     survivors = survivors.select(
         "media_id", "phash", F.lit(int(batch_id)).cast("long").alias("batch")
     )
-    if batch_id > M.last_committed_meta(index_root, "batch_id", -1):
-        M.commit_append(
-            index_root,
-            ph.select("phash", "media_id"),
-            meta={"batch_id": int(batch_id)},
-        )
+    stats = None
+    if return_stats:
+        survivors = survivors.localCheckpoint(eager=True)
+        stats = {"survivors": survivors.count()}
     if batch_id > M.last_committed_meta(surv_root, "batch_id", -1):
         M.commit_append(
             surv_root, survivors, meta={"batch_id": int(batch_id)}
         )
+    return stats
 
 
 def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:

@@ -1403,16 +1403,19 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS MEDIA DEDUP INGEST — the multimodal twin of
     streaming_dedup_ingest: media rows (opaque binary payloads) arrive
     in micro-batches; each batch is perceptual-hashed (stub kernel,
-    operators/multimodal.py phash_stub) and kept-first against (1) a
-    persisted manifest-committed phash index holding EVERY prior
-    arrival and (2) itself (smaller media_id wins). Survivors and index
-    appends land as manifest commits with the micro-batch id riding in
-    each root's manifest — exactly-once under at-least-once replay,
-    per root (the streaming_snapshot_ingest guard). Per-batch cost is
-    O(batch + matching postings): one Arrow phash pass over the batch,
-    one equi-join on the hash; payload bytes never enter the index.
-    The oracle replays the fold order-faithfully (batch = media_id % P
-    by construction, arrival order pinned by per-file mtimes)."""
+    operators/multimodal.py phash_stub) and kept-first against the
+    persisted survivors table — which for exact-hash semantics IS the
+    seen-hash index (first holder per hash; a dup of a rejected dup
+    still rejects via that first holder) — and against itself (smaller
+    media_id wins). Survivors land as manifest commits with the
+    micro-batch id riding in the manifest — exactly-once under
+    at-least-once replay (the streaming_snapshot_ingest guard).
+    Per-batch cost is O(batch + |distinct hashes seen|): one Arrow
+    phash pass over the batch, then an anti-join against ≤ 2^bits
+    survivor rows — FLAT in corpus size; payload bytes never enter the
+    index. The oracle replays the fold order-faithfully (batch =
+    media_id % P by construction, arrival order pinned by per-file
+    mtimes)."""
     import shutil as _sh
     import time as _time
 
@@ -1450,13 +1453,10 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
         _STREAM_MEDIA_CACHE[sf_dir] = (spark, root)
     land = os.path.join(root, "landing")
-    index_root = os.path.join(root, "index")
     surv_root = os.path.join(root, "survivors")
 
     def commit_batch(batch_df, batch_id):
-        MM.media_ingest_commit_batch(
-            spark, batch_df, batch_id, index_root, surv_root
-        )
+        MM.media_ingest_commit_batch(spark, batch_df, batch_id, surv_root)
 
     schema = T.StructType(
         [

@@ -128,6 +128,57 @@ def main() -> None:
         )
         print(cells[-1], flush=True)
 
+    # ---- ingest axes: keep-first media dedup vs corpus and batch count
+    import shutil
+
+    def _media(docs_df):
+        return docs_df.filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        ).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("data"),
+        )
+
+    probe = (
+        _media(_docs(spark, 1))
+        .filter(F.col("media_id") % 2 == 1)
+        .localCheckpoint(eager=True)
+    )
+    n_probe = probe.count()
+    ingest_cells = []
+    for k in factors:
+        root = os.path.join(tempfile.gettempdir(), f"hvs_media_ingest_x{k}")
+        marker = os.path.join(root, "_SEEDED")
+        surv = os.path.join(root, "survivors")
+        if not os.path.exists(marker):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            evens = _media(_docs(spark, k)).filter(F.col("media_id") % 2 == 0)
+            for b in range(3):
+                MM.media_ingest_commit_batch(
+                    spark, evens.filter(F.col("media_id") % 3 == b), b, surv
+                )
+            Path(marker).touch()
+        from hybrid_vector_search_spark.sources import manifest as M
+
+        best = float("inf")
+        st = None
+        for _ in range(RUNS + 1):  # first is warm; batch_id=0 < committed
+            t0 = time.perf_counter()
+            st = MM.media_ingest_commit_batch(
+                spark, probe, 0, surv, return_stats=True
+            )
+            best = min(best, time.perf_counter() - t0)
+        ingest_cells.append(
+            dict(
+                k=k,
+                drain_s=round(best, 3),
+                survivors=st["survivors"],
+                index_rows=M.read_snapshot(spark, surv).count(),
+            )
+        )
+        print(ingest_cells[-1], flush=True)
+
     r0 = cells[0]
     lines = [
         MARKER,
@@ -159,7 +210,22 @@ def main() -> None:
         "≤256 at every factor — the dedup banding join downstream is "
         "bounded by bucket population, never corpus².",
         "",
+        "Streaming media ingest (streaming_media_ingest's kernel): the",
+        "survivors table doubles as the seen-hash index — first holder",
+        "per hash, ≤2^bits rows NO MATTER how many media were ingested —",
+        f"so a fixed {n_probe}-row probe batch drains against a ×K-seeded",
+        f"corpus in flat time (min-of-{RUNS}, replayed batch id ⇒ commit",
+        "skipped, pure dedup compute):",
+        "",
+        "| seeded corpus | drain s | probe survivors | index rows |",
+        "|---|---|---|---|",
     ]
+    for c in ingest_cells:
+        lines.append(
+            f"| ×{c['k']} | {c['drain_s']}s | {c['survivors']} |"
+            f" {c['index_rows']} |"
+        )
+    lines += [""]
 
     scaling = REPO / "SCALING.md"
     text = scaling.read_text(encoding="utf-8")
