@@ -185,9 +185,10 @@ def main() -> None:
         "",
         "Operators behind the fixed-N multimodal registry queries, run on",
         "the FULL inflated documents corpus (payload = UTF-8 text bytes).",
-        "phash: one payload scan -> JVM byte expansion -> 8-bit block-mean",
-        "hash -> group-by on <=256 keys (shuffle bytes are O(buckets), not",
-        "O(corpus)); rows == docs proves no fan-out. audio windows: the",
+        "phash: one payload scan -> Arrow-batched numpy block sums ->",
+        "8-bit block-mean hash -> group-by on <=256 keys (shuffle bytes",
+        "are O(buckets), not O(corpus)); rows == docs proves no fan-out.",
+        "audio windows: the",
         "segmenter reads ONLY metadata (sample count from n_chars; the",
         "plan projects no payload column) and fans out ~1 row/second of",
         f"audio. Best-of-{RUNS}, noop sink.",
