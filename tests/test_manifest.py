@@ -1687,7 +1687,8 @@ def test_branch_refs_and_write_audit_publish(spark, tmp_path):
         M.resolve_branch(root, "published")
 
 
-def test_manifest_model_randomized_ops(spark, tmp_path):
+@pytest.mark.parametrize("seed", [20260816, 987654321])
+def test_manifest_model_randomized_ops(spark, tmp_path, seed):
     """Model-based randomized soak over the full commit surface
     (append / clustered append / delete / upsert / rewrite / sidecar
     compaction / vacuum / rename), seeded for determinism: after EVERY
@@ -1695,10 +1696,14 @@ def test_manifest_model_randomized_ops(spark, tmp_path):
     periodic pruned read must equal the model's filtered slice —
     format-2 resolution, subset sidecars, merged per-file add versions,
     delete sequencing, and mapping translation all exercised in random
-    interleavings rather than one-shape unit tests."""
+    interleavings rather than one-shape unit tests. Two seeds = two
+    independent interleavings; SPARK_GRAFT_SOAK_STEPS extends the walk
+    for ad-hoc long soaks."""
+    import os
     import random
 
-    rng = random.Random(20260816)
+    steps = int(os.environ.get("SPARK_GRAFT_SOAK_STEPS", "24"))
+    rng = random.Random(seed)
     root = str(tmp_path / "tbl")
     model: dict[int, int] = {}
     next_id = 0
@@ -1717,7 +1722,7 @@ def test_manifest_model_randomized_ops(spark, tmp_path):
     M.commit_append(root, df_of(rows))
     model.update(dict(rows))
 
-    for step in range(24):
+    for step in range(steps):
         op = rng.choice(
             ["append", "clustered", "delete", "upsert", "rewrite",
              "compact", "vacuum", "rename"]
