@@ -110,6 +110,10 @@ PROBE_QUERIES = (
     # (builders commit per factor dir on first call; reads after)
     "corpus_snapshot_bloom_scan",
     "corpus_snapshot_stats_planner",
+    # r12: the composed curation pipeline — stateless gates + one
+    # fingerprint shuffle + broadcast decontamination; should track the
+    # corpus scan ~linearly
+    "docs_curation_funnel",
 )
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
