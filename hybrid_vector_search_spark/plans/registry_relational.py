@@ -967,24 +967,35 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (functions/text.py lang_id / quality_score /
     fingerprint_md5 / shingle_rows), so the funnel is an end-to-end
     consistency check across the family, not new logic. Scale shape:
-    the gates are stateless scans; dedup is one hash shuffle on the
-    fingerprint; decontamination broadcasts the (tiny) benchmark gram
-    vocabulary so the corpus side never shuffles; the split is a
-    stateless hash. The stage counts union into one job — Spark shares
-    the scan via the staged plan tree."""
+    per-document STAGE FLAGS computed in one pass (Spark does no
+    common-subplan reuse across union legs, so the naive
+    one-aggregate-per-stage form re-ran the gates per leg — review
+    finding, r12), keep-first as one window over (fingerprint,
+    eligible), decontamination as a broadcast of the (tiny) benchmark
+    gram vocabulary against ONLY the surviving rows' shingles, the
+    split a stateless hash — then a single conditional aggregation
+    emits every stage count from one row, unpivoted JVM-side with
+    ``stack``."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
-    s1 = base.filter(TX.lang_id("text") == "en")
-    s2 = s1.filter(
-        round_portable(TX.quality_score("text"), 6) >= _FUNNEL_QUALITY
-    )
-    w = Window.partitionBy(TX.fingerprint_md5("text")).orderBy("doc_id")
-    s3 = (
-        s2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id", "text")
+    flags = base.select(
+        "doc_id",
+        "text",
+        (TX.lang_id("text") == "en").alias("f_lang"),
+        (
+            round_portable(TX.quality_score("text"), 6) >= _FUNNEL_QUALITY
+        ).alias("f_qual"),
+        TX.fingerprint_md5("text").alias("__fp"),
+    ).withColumn("f_lq", F.col("f_lang") & F.col("f_qual"))
+    # keep-first among ELIGIBLE rows only: ineligible rows sit in their
+    # own (fp, false) partitions and are masked out by the f_lq conjunct
+    w = Window.partitionBy("__fp", "f_lq").orderBy("doc_id")
+    flags = flags.withColumn(
+        "f_keep", F.col("f_lq") & (F.row_number().over(w) == 1)
     )
     bench_g = (
         TX.shingle_rows(
@@ -993,44 +1004,58 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
     )
-    corpus = s3.filter(F.col("doc_id") % _DECON_MOD != 0)
+    non_bench = F.col("doc_id") % _DECON_MOD != 0
     contaminated = (
-        TX.shingle_rows(corpus, _DECON_N)
+        TX.shingle_rows(
+            flags.filter(F.col("f_keep") & non_bench).select(
+                "doc_id", "text"
+            ),
+            _DECON_N,
+        )
         .join(F.broadcast(bench_g), "g")
         .select("doc_id")
         .distinct()
+        .withColumn("__cont", F.lit(True))
     )
-    s4 = corpus.join(contaminated, "doc_id", "left_anti")
-    s5 = s4.filter(
+    f_dec = F.col("f_keep") & non_bench & F.col("__cont").isNull()
+    f_train = f_dec & (
         F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("bigint") % 10
         < 9
     )
-
-    def cnt(df: DataFrame, stage: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs")
-        ).select(F.lit(stage).alias("stage"), "n_docs")
-
-    funnel = (
-        cnt(base, "0_total")
-        .unionByName(cnt(s1, "1_lang_en"))
-        .unionByName(cnt(s2, "2_quality"))
-        .unionByName(cnt(s3, "3_exact_dedup"))
-        .unionByName(cnt(s4, "4_decontaminated"))
-        .unionByName(cnt(s5, "5_train_split"))
-    )
-    total = base.agg(F.count(F.lit(1)).cast("double").alias("__t"))
-    return (
-        funnel.crossJoin(F.broadcast(total))
+    one = (
+        flags.join(F.broadcast(contaminated), "doc_id", "left")
         .select(
-            "stage",
-            "n_docs",
-            round_portable(F.col("n_docs") / F.col("__t"), 6).alias(
-                "pct_of_total"
-            ),
+            F.lit(1).alias("__one"),
+            F.col("f_lang").cast("long").alias("__l"),
+            F.col("f_lq").cast("long").alias("__q"),
+            F.col("f_keep").cast("long").alias("__k"),
+            f_dec.cast("long").alias("__d"),
+            f_train.cast("long").alias("__t"),
         )
-        .orderBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.coalesce(F.sum("__l"), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum("__q"), F.lit(0)).alias("n2"),
+            F.coalesce(F.sum("__k"), F.lit(0)).alias("n3"),
+            F.coalesce(F.sum("__d"), F.lit(0)).alias("n4"),
+            F.coalesce(F.sum("__t"), F.lit(0)).alias("n5"),
+        )
     )
+    stacked = one.select(
+        F.expr(
+            "stack(6, '0_total', n0, '1_lang_en', n1, '2_quality', n2,"
+            " '3_exact_dedup', n3, '4_decontaminated', n4,"
+            " '5_train_split', n5) AS (stage, n_docs)"
+        ),
+        F.col("n0").cast("double").alias("__total"),
+    )
+    return stacked.select(
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        round_portable(F.col("n_docs") / F.col("__total"), 6).alias(
+            "pct_of_total"
+        ),
+    ).orderBy("stage")
 
 
 # ------------------------------------- vector aggregation + pivot shapes

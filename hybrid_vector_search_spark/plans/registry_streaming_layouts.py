@@ -1228,6 +1228,49 @@ _STREAM_DEDUP_CACHE: dict[str, tuple[SparkSession, str]] = {}
 _SD_BATCHES = 3
 
 
+def _seed_landing(root: str, df: DataFrame, key_col: str, n_batches: int):
+    """Land ``df`` under ``root/landing`` as ``n_batches`` single-file
+    parquet micro-batches (batch b = rows with ``key_col % n_batches ==
+    b``), arrival order pinned by strictly-increasing file mtimes —
+    ``maxFilesPerTrigger=1`` delivers files in mtime order, so stream
+    batch ids equal the landing batch numbers. Shared by every
+    file-stream ingest entry (dedup, media) so replay/ordering semantics
+    can only be fixed in one place."""
+    import shutil as _sh
+    import time as _time
+
+    land = os.path.join(root, "landing")
+    os.makedirs(land, exist_ok=True)
+    t0 = _time.time() - 1000
+    for b in range(n_batches):
+        tmp = os.path.join(root, f"stage_{b}")
+        df.filter(F.col(key_col) % n_batches == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(land, f"batch-{b}.parquet")
+        _sh.move(os.path.join(tmp, part), dst)
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+
+
+def _drain_file_stream(spark: SparkSession, root: str, schema, commit_fn):
+    """One ``availableNow`` drain of ``root/landing`` through
+    ``foreachBatch(commit_fn)``, checkpointed under ``root/ckpt`` (the
+    at-least-once half of the ingest entries' exactly-once story; the
+    other half is each commit body's batch-id guard)."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "landing"))
+        .writeStream.foreachBatch(commit_fn)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _stream_dedup_oracle() -> str:
     """Replays keep-first near-dup ingest: the banded+verified pair set
     (the exact minhash_lsh_pairs machinery — shingles, affine MinHash,
@@ -1290,9 +1333,6 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by per-file mtimes): shingles → MinHash → band candidates →
     true-Jaccard verification → the keep-first fold. Beyond-reference
     (SURVEY.md §2.9 + dedup family)."""
-    import shutil as _sh
-    import time as _time
-
     from pyspark.sql import types as T
 
     from hybrid_vector_search_spark.operators import dedup as DD
@@ -1310,27 +1350,11 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_dedup_" + sf_dir.strip("/").replace("/", "_")
         )
         os.makedirs(root, exist_ok=True)
-        land = os.path.join(root, "landing")
-        os.makedirs(land, exist_ok=True)
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         ).filter(F.col("doc_id") % 2 == 0)  # bounded ingest slice
-        t0 = _time.time() - 1000
-        for b in range(P):
-            tmp = os.path.join(root, f"stage_{b}")
-            docs.filter(F.col("doc_id") % P == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(land, f"batch-{b}.parquet")
-            _sh.move(os.path.join(tmp, part), dst)
-            _sh.rmtree(tmp, ignore_errors=True)
-            # arrival order = mtime order: batch b lands strictly later
-            os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+        _seed_landing(root, docs, "doc_id", P)
         _STREAM_DEDUP_CACHE[sf_dir] = (spark, root)
-    land = os.path.join(root, "landing")
     index_root = os.path.join(root, "index")  # band + shingle postings
     surv_root = os.path.join(root, "survivors")
 
@@ -1351,16 +1375,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)  # one landing file per batch
-        .parquet(land)
-        .writeStream.foreachBatch(commit_batch)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_file_stream(spark, root, schema, commit_batch)
     return (
         M.read_snapshot(spark, surv_root)
         .select("doc_id", "batch")
@@ -1416,9 +1431,6 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index. The oracle replays the fold order-faithfully (batch =
     media_id % P by construction, arrival order pinned by per-file
     mtimes)."""
-    import shutil as _sh
-    import time as _time
-
     from pyspark.sql import types as T
 
     from hybrid_vector_search_spark.operators import multimodal as MM
@@ -1433,26 +1445,11 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_media_" + sf_dir.strip("/").replace("/", "_")
         )
         os.makedirs(root, exist_ok=True)
-        land = os.path.join(root, "landing")
-        os.makedirs(land, exist_ok=True)
         media = MM.media_from_documents(
             load_table(spark, sf_dir, "documents"), limit=_SM_LIMIT
         ).select("media_id", "data")
-        t0 = _time.time() - 1000
-        for b in range(P):
-            tmp = os.path.join(root, f"stage_{b}")
-            media.filter(F.col("media_id") % P == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(land, f"batch-{b}.parquet")
-            _sh.move(os.path.join(tmp, part), dst)
-            _sh.rmtree(tmp, ignore_errors=True)
-            os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+        _seed_landing(root, media, "media_id", P)
         _STREAM_MEDIA_CACHE[sf_dir] = (spark, root)
-    land = os.path.join(root, "landing")
     surv_root = os.path.join(root, "survivors")
 
     def commit_batch(batch_df, batch_id):
@@ -1464,16 +1461,7 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("data", T.BinaryType()),
         ]
     )
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(land)
-        .writeStream.foreachBatch(commit_batch)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_file_stream(spark, root, schema, commit_batch)
     return (
         M.read_snapshot(spark, surv_root)
         .select("media_id", "phash", "batch")

@@ -682,9 +682,22 @@ def test_streaming_media_ingest_replay_exactly_once(spark):
     rows1 = R.QUERIES["streaming_media_ingest"](spark, sf).collect()
     root = _STREAM_MEDIA_CACHE[sf][1]
     assert M.current_version(os.path.join(root, "survivors")) == 3
-    # keep-first actually rejected something (collisions exist), and
-    # the survivors table is a valid seen-hash index: one row per hash
-    assert 0 < len(rows1) and len({r.phash for r in rows1}) == len(rows1)
+    # keep-first actually rejected something: strictly fewer survivors
+    # than hashed input media — and the survivors table is a valid
+    # seen-hash index: one row per hash
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.operators import multimodal as MM
+    from hybrid_vector_search_spark.plans.registry_streaming_layouts import (
+        _SM_LIMIT,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_in = MM.phash_stub(
+        MM.media_from_documents(docs, limit=_SM_LIMIT)
+    ).count()
+    assert 0 < len(rows1) < n_in
+    assert len({r.phash for r in rows1}) == len(rows1)
 
     shutil.rmtree(os.path.join(root, "ckpt"))
     rows2 = R.QUERIES["streaming_media_ingest"](spark, sf).collect()

@@ -7,7 +7,7 @@ inflated documents table (payload = UTF-8 text bytes, the same derivation
 media_from_documents uses) at factors ×1..×16 and measures:
 
 * ``phash_stub`` + bucket-count aggregation — the banding shape of image
-  near-dup dedup. One payload scan, JVM-side byte expansion, then a
+  near-dup dedup. One payload scan, Arrow-batched numpy block sums, then a
   group-by on an 8-bit key (≤256 groups → the shuffle is a few KB no
   matter the corpus size). Expect ~linear sec in K, rows == docs.
 * ``audio_windows`` — fixed 1 s window fan-out. The probe derives the
