@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -498,4 +498,77 @@ def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
         F.concat_ws(
             "#", F.col("media_id").cast("string"), F.col("frame_idx")
         ).alias("frame_ref"),
+    )
+
+
+def scene_cuts(media: DataFrame, threshold: int = 96) -> DataFrame:
+    """Shot/scene segmentation over video frames — the curation stage
+    that turns raw video into training clips (sample one keyframe per
+    scene instead of every Nth frame; PySceneDetect's content detector
+    is the single-node reference shape).
+
+    Structure: fan out EVERY frame index (``sequence`` + ``explode``,
+    JVM-side), compute a per-frame luminance, mark a CUT where the
+    absolute luminance delta to the previous frame exceeds
+    ``threshold`` (the first frame always starts scene 1), assign scene
+    ids by a running cut count, then aggregate one row per scene
+    (start/end frame, length, mean luminance). Two window passes plus
+    one groupBy, all partitioned by ``media_id`` — each video's frames
+    colocate once and never shuffle again; no Python in the plan.
+
+    The frame-luminance KERNEL is a STUB (the container has no video
+    codec): luma = first byte of md5(frame_ref ':' md5(payload)) —
+    a deterministic pure function of (payload bytes, frame index) that
+    a SQL engine can replay, standing in for the decoded frame's mean
+    luminance. A real deployment swaps ONE expression for a
+    decode-batch ``mapInPandas`` over the kept frames; every window /
+    scene-assignment stage downstream is unchanged.
+    """
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.md5("data").alias("content_fp"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1)
+        ).alias("frame_idx"),
+    )
+    luma = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.concat_ws(
+                        "#",
+                        F.col("media_id").cast("string"),
+                        F.col("frame_idx"),
+                    ),
+                    F.col("content_fp"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lit_frames = frames.select("media_id", "frame_idx", luma.alias("luma"))
+    cuts = lit_frames.select(
+        "media_id",
+        "frame_idx",
+        "luma",
+        F.when(
+            F.lag("luma").over(w).isNull()
+            | (F.abs(F.col("luma") - F.lag("luma").over(w)) > threshold),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_cut"),
+    )
+    scenes = cuts.withColumn("scene_id", F.sum("is_cut").over(run))
+    return scenes.groupBy("media_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("luma"), 6).alias("mean_luma"),
     )

@@ -1550,6 +1550,90 @@ def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_ORC_RT_CACHE: dict = {}
+
+
+def _orc_roundtrip_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached ORC landing artifact: a typed events derivation —
+    TIMESTAMP, injected NULL doubles (the columns where a columnar
+    sink's encoding bugs live), and a non-ASCII string tag — written
+    once per session with Spark's built-in ORC sink."""
+    cached = _ORC_RT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    from hybrid_vector_search_spark.scratch import scratch_path
+
+    path = scratch_path("orcrt_" + sf_dir.strip("/").replace("/", "_"))
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.concat(
+                F.col("event_type"),
+                F.lit(" §"),
+                (F.col("event_id") % 3).cast("string"),
+            ).alias("tag"),
+        )
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    _ORC_RT_CACHE[sf_dir] = (spark, path)
+    return path
+
+
+@register(
+    "etl_orc_roundtrip",
+    f"""WITH p AS (
+  SELECT event_id, ts, event_type,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+    event_type || ' §' || (event_id % 3)::VARCHAR AS tag
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_value,
+  {round_portable_sql("SUM(value)", 2)} AS sum_value,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+  CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_tags
+FROM p GROUP BY event_type ORDER BY event_type""",
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the second columnar format next to
+    parquet — Spark's built-in ORC reader/writer, splittable and
+    predicate-pushdown-capable, so the 100 TB story is identical to
+    parquet's). The hazards probed are the ones that differ BETWEEN
+    columnar formats: TIMESTAMP encoding (ORC writes UTC-adjusted
+    epochs — a session-TZ bug shifts every min/max), NULL doubles
+    (present/value streams), and non-ASCII strings. The oracle replays
+    the derivation straight from the parquet views, so any value drift
+    introduced by the ORC write→read path fails the hash."""
+    path = _orc_roundtrip_path(spark, sf_dir)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("int"))
+            .cast("long")
+            .alias("n_null_value"),
+            round_portable(F.sum("value"), 2).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_ts"
+            ),
+            F.countDistinct("tag").alias("n_tags"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "multimodal_resize_plan",
     f"""SELECT doc_id AS media_id, 'png' AS format,

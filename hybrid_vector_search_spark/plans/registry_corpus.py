@@ -257,6 +257,78 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCENE_THRESHOLD = 96
+
+
+@register(
+    "multimodal_scene_cuts",
+    f"""WITH vids AS (
+  SELECT doc_id AS media_id, md5(text) AS content_fp,
+         8 + (doc_id % 5) * 4 AS nf
+  FROM documents
+  WHERE doc_id < {MULTIMODAL_N} AND doc_id % 2 = 1
+    AND text IS NOT NULL AND length(text) > 0),
+frames AS (
+  SELECT media_id, u.i AS frame_idx,
+    ('0x' || substr(md5(media_id::VARCHAR || '#' || u.i::VARCHAR
+                        || ':' || content_fp), 1, 2))::INT AS luma
+  FROM vids, UNNEST(range(0, nf)) AS u(i)),
+cuts AS (
+  SELECT media_id, frame_idx, luma,
+    CASE WHEN lag(luma) OVER w IS NULL
+           OR abs(luma - lag(luma) OVER w) > {_SCENE_THRESHOLD}
+         THEN 1 ELSE 0 END AS is_cut
+  FROM frames WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+scenes AS (
+  SELECT media_id, frame_idx, luma,
+    (SUM(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS scene_id
+  FROM cuts)
+SELECT media_id, scene_id,
+  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  ROUND(AVG(luma), 6) AS mean_luma
+FROM scenes GROUP BY media_id, scene_id
+ORDER BY media_id, scene_id""",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot/scene segmentation (operators/multimodal.py
+    scene_cuts): full frame fan-out, per-frame stub luminance, cut
+    where the luminance delta to the previous frame exceeds the
+    threshold, scene ids by running cut count, one row per scene —
+    the curation stage that picks one keyframe per SCENE instead of
+    every Nth frame before the expensive encode. Same deterministic
+    video derivation as multimodal_frame_sample (odd ids become videos
+    with 8 + 4·(id%5) frames) so the DuckDB oracle replays the whole
+    fan-out → luma → lag → running-sum → per-scene aggregate chain
+    value-for-value. All JVM window/groupBy work partitioned by
+    media_id — one colocation shuffle per video, no Python."""
+    from hybrid_vector_search_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, limit=MULTIMODAL_N)
+    vids = (
+        media.filter((F.col("media_id") % 2) == 1)
+        .withColumn("kind", F.lit("video"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.format").alias("format"),
+                F.col("meta.width").alias("width"),
+                F.col("meta.height").alias("height"),
+                F.col("meta.channels").alias("channels"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                (F.lit(8) + (F.col("media_id") % 5) * 4)
+                .cast("int")
+                .alias("n_frames"),
+            ),
+        )
+    )
+    return MM.scene_cuts(vids, threshold=_SCENE_THRESHOLD).orderBy(
+        "media_id", "scene_id"
+    )
+
+
 # ---------------------------------------------------------------- events
 
 from hybrid_vector_search_spark.operators import events as EV  # noqa: E402
@@ -1339,6 +1411,93 @@ def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(20)
+    )
+
+
+_VOCAB_V = 256  # vocabulary size (dense ids 0..V-1)
+_VOCAB_ENC_N = 50  # docs encoded (bounds the output)
+
+
+@register(
+    "docs_encode_vocab_ids",
+    f"""WITH tok AS (
+  SELECT doc_id, ts[i + 1] AS term, i AS pos
+  FROM (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\\s+') AS ts
+        FROM documents),
+       UNNEST(range(0, len(ts))) AS u(i)),
+v AS (SELECT term, COUNT(*) AS n FROM tok WHERE term <> ''
+      GROUP BY term ORDER BY n DESC, term ASC LIMIT {_VOCAB_V}),
+vid AS (SELECT term,
+          ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) - 1 AS tid
+        FROM v),
+enc AS (SELECT t.doc_id, t.pos, COALESCE(vid.tid, -1) AS tid
+        FROM tok t LEFT JOIN vid USING (term)
+        WHERE t.doc_id < {_VOCAB_ENC_N} AND t.term <> '')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  md5(array_to_string(list(tid::VARCHAR ORDER BY pos), ',')) AS ids_fp
+FROM enc GROUP BY doc_id ORDER BY doc_id""",
+)
+def docs_encode_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZER-APPLY stage of a training pipeline: build a
+    frequency vocabulary with DENSE integer ids (0..V−1 by count desc,
+    term asc — the deterministic tie-break makes the id table
+    reproducible), then encode each document as its ordered token-id
+    SEQUENCE with OOV rows mapped to −1 and counted. The per-doc id
+    string is md5-fingerprinted so the hash check pins the exact id of
+    every position of every encoded doc — any drift in vocab ranking,
+    OOV handling, or sequence ORDER mismatches.
+
+    Scale shape: the vocab is a TakeOrdered top-V (bounded, no global
+    sort); the dense-id row_number window runs over exactly V rows
+    (single tiny partition — safe because V is a constant, never
+    corpus-sized); the encode side broadcast-joins the V-row id table;
+    per-doc sequence assembly is collect_list + array_sort bounded by
+    document length. Nothing corpus-sized crosses a driver or a single
+    partition. Token positions come from posexplode BEFORE the
+    empty-token filter in both engines, so ids align even around
+    whitespace runs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from hybrid_vector_search_spark.functions.text import ws_tokens
+
+    tok = docs.select(
+        "doc_id", F.posexplode(ws_tokens("text")).alias("pos", "term")
+    )
+    nonempty = tok.filter(F.col("term") != "")
+    vocab = (
+        nonempty.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_VOCAB_V)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    vid = vocab.select(
+        "term", (F.row_number().over(w) - 1).cast("long").alias("tid")
+    )
+    enc = (
+        nonempty.filter(F.col("doc_id") < _VOCAB_ENC_N)
+        .join(F.broadcast(vid), "term", "left")
+        .select(
+            "doc_id", "pos", F.coalesce("tid", F.lit(-1)).alias("tid")
+        )
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda x: x["tid"].cast("string"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tid") == -1).cast("int"))
+            .cast("long")
+            .alias("n_oov"),
+            F.md5(F.concat_ws(",", seq)).alias("ids_fp"),
+        )
+        .orderBy("doc_id")
     )
 
 

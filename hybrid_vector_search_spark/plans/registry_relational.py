@@ -1122,6 +1122,55 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+@register(
+    "events_type_transitions",
+    f"""WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+  {round_portable_sql(
+      "n * 1.0 / SUM(n) OVER (PARTITION BY prev_type)", 6
+  )} AS p
+FROM t ORDER BY prev_type, next_type""",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-path TRANSITION MATRIX (first-order Markov): lag
+    the event type within each user's timeline (total order pinned by
+    ``ts, event_id`` — timestamp ties would otherwise make the lag
+    nondeterministic), count (prev → next) pairs, and normalize each
+    row of the matrix into transition probabilities with a second
+    window over the tiny |types|² table. The product-analytics path
+    query (what do users do AFTER an error?) — one user-partitioned
+    Exchange for the lag, then the aggregate reuses nothing corpus-
+    sized; the probability window runs over ≤ 25 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        round_portable(
+            F.col("n") * 1.0 / F.sum("n").over(wp), 6
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
 _MIX_BUDGET = 0.8  # fraction of the corpus the resampled mixture keeps
 # per-source weight 1..4 from the numeric suffix — a deliberately skewed
 # target mixture so high-weight sources hit the rate=1.0 clamp

@@ -284,3 +284,59 @@ def test_phash_and_windows_match_python_reference(spark):
         )
     for i, n in enumerate(samples):
         assert sorted(per[i]) == ref_windows(n), (i, n)
+
+
+def test_scene_cuts_matches_python_reference(media):
+    """scene_cuts vs a pure-Python replay of luma → cut → scene
+    assignment, plus the partition invariants every segmentation must
+    hold (scenes tile the frame range exactly, no gaps or overlaps)."""
+    import hashlib
+
+    vids = media.filter("kind = 'video'")
+    rows = vids.select("media_id", "data", "meta.n_frames").collect()
+    thresh = 96
+
+    def luma(mid: int, idx: int, payload: bytes) -> int:
+        fp = hashlib.md5(payload).hexdigest()
+        h = hashlib.md5(f"{mid}#{idx}:{fp}".encode()).hexdigest()
+        return int(h[:2], 16)
+
+    expected = []
+    for r in rows:
+        lumas = [luma(r.media_id, i, bytes(r.data)) for i in range(r.n_frames)]
+        scene, start, vals = 0, 0, []
+        for i, v in enumerate(lumas):
+            cut = i == 0 or abs(v - lumas[i - 1]) > thresh
+            if cut and i > 0:
+                expected.append(
+                    (r.media_id, scene, start, i - 1, i - start,
+                     round(sum(vals) / len(vals), 6))
+                )
+                start, vals = i, []
+            if cut:
+                scene += 1
+            vals.append(v)
+        expected.append(
+            (r.media_id, scene, start, r.n_frames - 1,
+             r.n_frames - start, round(sum(vals) / len(vals), 6))
+        )
+
+    got = sorted(
+        (x.media_id, x.scene_id, x.start_frame, x.end_frame,
+         x.n_frames, x.mean_luma)
+        for x in MM.scene_cuts(vids, threshold=thresh).collect()
+    )
+    assert got == sorted(expected)
+
+    # tiling invariants: scene k+1 starts where scene k ended + 1
+    per: dict[int, list] = {}
+    for g in got:
+        per.setdefault(g[0], []).append(g)
+    nf = {r.media_id: r.n_frames for r in rows}
+    for mid, scenes in per.items():
+        scenes.sort(key=lambda s: s[1])
+        assert scenes[0][1] == 1 and scenes[0][2] == 0
+        for a, b in zip(scenes, scenes[1:]):
+            assert b[2] == a[3] + 1 and b[1] == a[1] + 1
+        assert scenes[-1][3] == nf[mid] - 1
+        assert sum(s[4] for s in scenes) == nf[mid]
