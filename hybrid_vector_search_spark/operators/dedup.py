@@ -864,6 +864,78 @@ walk(id, lbl) AS (
 SELECT id AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY id"""
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Breadth-first hop distance from a SEED set over an undirected pair
+    graph: every node within ``max_hops`` gets ``hop`` = its minimum
+    distance to any seed. The graph-traversal primitive behind
+    contamination-radius audits ("everything within 2 near-dup hops of a
+    benchmark document") and seed-expansion curation ("grow the
+    high-quality seed corpus by similarity neighbors").
+
+    Level-synchronous frontier expansion: each round joins the CURRENT
+    FRONTIER (not the whole visited set) against the materialized
+    symmetric edge list, anti-joins already-visited nodes, and stops
+    early when a frontier comes back empty — per-round shuffle work is
+    O(frontier ⋈ edges), the distributed-BFS shape (Pregel's). BFS
+    layering IS min-distance, so no per-node min bookkeeping is needed.
+    Lineage is truncated per round (``localCheckpoint``), same contract
+    as :func:`connected_components`."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(F.col("id").alias(id_col), "hop")
+
+
+def bfs_hops_sql(
+    threshold: float, seed_mod: int, max_hops: int = 6
+) -> str:
+    """DuckDB oracle: the identical reachability as a recursive CTE —
+    enumerate (node, hop) walks from the seeds, bounded at ``max_hops``;
+    MIN(hop) per node equals the BFS layer."""
+    pairs = minhash_lsh_pairs_sql(threshold)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(id, hop) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {seed_mod} = 0
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.hop < {max_hops})
+SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
+FROM walk GROUP BY id ORDER BY doc_id"""
+
+
 # ------------------------------------------------- embedding-cosine dedup
 MAX_BROADCAST_BYTES = 1 << 30  # 1 GiB of float64 matrix per executor
 

@@ -816,6 +816,37 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_SEED_MOD = 7  # dense enough that seeds reach near-dup neighbors
+_BFS_MAX_HOPS = 6  # multi-hop chains pytest-pinned on a synthetic graph
+# (near-dup components in this corpus are near-cliques, diameter ~1)
+
+
+@register(
+    "dedup_graph_bfs_hops",
+    DD.bfs_hops_sql(JACCARD_THRESHOLD, _BFS_SEED_MOD, _BFS_MAX_HOPS),
+)
+def dedup_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph TRAVERSAL over the near-dup pair graph (distinct from the
+    closure: connected_components answers "which group", this answers
+    "how FAR"): min hop distance from a seed set (doc_id % 7 == 0) out
+    to 6 hops — the contamination-radius audit shape ("flag everything
+    within k near-dup hops of a benchmark doc") and the seed-expansion
+    curation shape. Level-synchronous frontier BFS in Spark (per-round
+    work O(frontier ⋈ edges), early exit on an empty frontier); the
+    oracle replays the identical bounded walk as a DuckDB recursive CTE
+    and takes MIN(hop) per node (operators/dedup.py bfs_hops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    seeds = docs.filter(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        "doc_id"
+    )
+    return DD.bfs_hops(pairs, seeds, max_hops=_BFS_MAX_HOPS).orderBy(
+        "doc_id"
+    )
+
+
 def _split_case_sql(col: str) -> str:
     """The docs_train_split assignment as SQL over any id expression —
     shared by the per-document split, the leakage audit, and the

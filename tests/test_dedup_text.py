@@ -371,3 +371,35 @@ def test_chunk_passages_tiling(spark):
             assert r.n_tokens == len(t[r.chunk_idx * 24 : r.chunk_idx * 24 + 32])
     # full registry output covers every document
     assert set(out.doc_id) == set(docs.doc_id)
+
+
+def test_bfs_hops_chain_min_distance_and_cap(spark):
+    # chain 0-1-2-...-9 plus a shortcut 0-4: hop(4) must be 1 (min
+    # distance via the shortcut, not 4 via the chain); max_hops=6 from
+    # seed 0 reaches 4's chain neighbors early, so the frontier cap
+    # cuts the far tail of the PURE chain only where no shortcut helps
+    chain = [(i, i + 1) for i in range(9)] + [(0, 4)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    got = {
+        r.doc_id: r.hop
+        for r in DD.bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    # layers: 0:{0} 1:{1,4} 2:{2,3,5} 3:{6} — 3 also via 4 (1+2 < 3)
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2, 5: 2, 6: 3}
+
+
+def test_bfs_hops_two_seeds_and_early_exit(spark):
+    # two components: seed 100 floods its triangle in 1 round then the
+    # frontier empties (early exit before max_hops); seed 0 sits in the
+    # chain; min distance to ANY seed wins
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (100, 101), (101, 102), (100, 102)],
+        "doc_a long, doc_b long",
+    )
+    seeds = spark.createDataFrame([(0,), (100,)], "doc_id long")
+    got = {
+        r.doc_id: r.hop
+        for r in DD.bfs_hops(edges, seeds, max_hops=6).collect()
+    }
+    assert got == {0: 0, 100: 0, 1: 1, 101: 1, 102: 1, 2: 2}

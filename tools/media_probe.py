@@ -104,6 +104,25 @@ def main() -> None:
         def windows():
             return MM.audio_windows(audio, window_s=1)
 
+        # scene cuts: every doc becomes a video; the frame fan-out carries
+        # a 32-char content fingerprint, never the payload bytes
+        vids = media.withColumn("kind", F.lit("video")).withColumn(
+            "meta",
+            F.struct(
+                F.lit("mp4").alias("format"),
+                F.lit(64).alias("width"),
+                F.lit(64).alias("height"),
+                F.lit(3).alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                (F.lit(8) + (F.col("media_id") % 5) * 4)
+                .cast("int")
+                .alias("n_frames"),
+            ),
+        )
+
+        def scenes():
+            return MM.scene_cuts(vids, threshold=96)
+
         ph_s = _best(
             lambda: phash_buckets()
             .write.mode("overwrite")
@@ -116,6 +135,10 @@ def main() -> None:
             lambda: windows().write.mode("overwrite").format("noop").save()
         )
         au_rows = windows().count()
+        sc_s = _best(
+            lambda: scenes().write.mode("overwrite").format("noop").save()
+        )
+        sc_rows = scenes().count()
         cells.append(
             dict(
                 k=k,
@@ -124,6 +147,8 @@ def main() -> None:
                 ph_buckets=ph_buckets,
                 au_s=au_s,
                 au_rows=au_rows,
+                sc_s=sc_s,
+                sc_rows=sc_rows,
             )
         )
         print(cells[-1], flush=True)
@@ -191,15 +216,20 @@ def main() -> None:
         "audio windows: the",
         "segmenter reads ONLY metadata (sample count from n_chars; the",
         "plan projects no payload column) and fans out ~1 row/second of",
-        f"audio. Best-of-{RUNS}, noop sink.",
+        "audio. scene cuts: every doc as a video — ONE payload scan for",
+        "the content fingerprint, then the per-frame fan-out carries the",
+        "32-char fp (never the payload) through lag-delta cuts +",
+        f"running-sum scene ids, all windowed by media_id. Best-of-{RUNS},",
+        "noop sink.",
         "",
-        "| factor | phash s | phash rows | buckets | windows s | window rows |",
-        "|---|---|---|---|---|---|",
+        "| factor | phash s | phash rows | buckets | windows s | window rows | scenes s | scene rows |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for c in cells:
         lines.append(
             f"| ×{c['k']} | {c['ph_s']}s | {c['ph_rows']} | "
-            f"{c['ph_buckets']} | {c['au_s']}s | {c['au_rows']} |"
+            f"{c['ph_buckets']} | {c['au_s']}s | {c['au_rows']} | "
+            f"{c['sc_s']}s | {c['sc_rows']} |"
         )
     kmax = cells[-1]
     lines += [
@@ -207,7 +237,10 @@ def main() -> None:
         f"×{kmax['k']}/×1: phash {round(kmax['ph_s'] / r0['ph_s'], 1)}× "
         f"sec for {round(kmax['ph_rows'] / r0['ph_rows'], 1)}× rows; "
         f"windows {round(kmax['au_s'] / r0['au_s'], 1)}× sec for "
-        f"{round(kmax['au_rows'] / r0['au_rows'], 1)}× rows. Buckets stay "
+        f"{round(kmax['au_rows'] / r0['au_rows'], 1)}× rows; "
+        f"scenes {round(kmax['sc_s'] / r0['sc_s'], 1)}× sec for "
+        f"{round(kmax['sc_rows'] / r0['sc_rows'], 1)}× scene rows. "
+        "Buckets stay "
         "≤256 at every factor — the dedup banding join downstream is "
         "bounded by bucket population, never corpus².",
         "",
