@@ -791,6 +791,81 @@ def corpus_snapshot_tag_read(
     )
 
 
+_ASOF_READ_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_asof_read",
+    """SELECT 1 AS v_at_100, 2 AS v_at_250, 1 AS wall_is_latest,
+  vec_id AS id, label FROM embeddings ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_asof_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP TIME TRAVEL (sources/manifest.py resolve_asof —
+    Iceberg's ``TIMESTAMP AS OF``): v1 commits the even ids with a
+    LOGICAL clock ``event_ts=100`` riding in the manifest meta, v2 the
+    odd ids (the full corpus) at ``event_ts=200``, v3 a shifted extra
+    batch at ``event_ts=300``. ``resolve_asof(..., meta_key)`` against
+    the logical clock must land 100→v1 and 250→v2 (greatest version at
+    or before the mark — the deterministic clock reproducible pipelines
+    commit atomically with each version); the default WALL clock
+    (``committed_at``, stamped by every manifest CAS) resolved at 'now'
+    must land the latest version. The row payload is the asof-250 read:
+    exactly v2's content (the full corpus, no v3 batch — a reader that
+    fell through to latest mismatches the hash). Resolution cost is
+    O(versions) THIN descriptor reads — file lists stay in parquet
+    sidecars. Beyond-reference (SURVEY.md §2.9)."""
+    import time as _t
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _ASOF_READ_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        n = base.agg(F.max("id")).first()[0] + 1  # bounded: one row
+        root = scratch_path(
+            "snap_asof_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(
+            root, base.filter(F.col("id") % 2 == 0),
+            meta={"event_ts": 100},
+        )
+        M.commit_append(
+            root, base.filter(F.col("id") % 2 == 1),
+            meta={"event_ts": 200},
+        )
+        M.commit_append(
+            root,
+            base.filter(F.col("id") % 9 == 0).select(
+                (F.col("id") + n).alias("id"), "label"
+            ),
+            meta={"event_ts": 300},
+        )
+        _ASOF_READ_CACHE[sf_dir] = (spark, root)
+    v100 = M.resolve_asof(root, 100, meta_key="event_ts")
+    v250 = M.resolve_asof(root, 250, meta_key="event_ts")
+    wall_latest = int(
+        M.resolve_asof(root, _t.time() + 60) == M.current_version(root)
+    )
+    return (
+        M.read_snapshot(spark, root, v250)
+        .select(
+            F.lit(v100).alias("v_at_100"),
+            F.lit(v250).alias("v_at_250"),
+            F.lit(wall_latest).alias("wall_is_latest"),
+            "id",
+            "label",
+        )
+        .orderBy("id")
+    )
+
+
 _UPSERT_ROWS_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

@@ -1737,8 +1737,18 @@ def _try_commit_manifest(root: str, version: int, payload: dict) -> bool:
     Returns False when another writer won version ``version``."""
     final = os.path.join(root, _manifest_name(version))
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    import time as _time
+
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({**payload, "version": version}, f)
+        # committed_at: wall-clock commit stamp (resolve_asof's default
+        # clock — Iceberg's snapshot timestamp). Re-stamped on every CAS
+        # retry, so the recorded time is the attempt that actually won;
+        # resolve_asof takes the GREATEST qualifying version, which
+        # degrades gracefully if clocks ever step backward.
+        json.dump(
+            {"committed_at": _time.time(), **payload, "version": version},
+            f,
+        )
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -2493,6 +2503,41 @@ def resolve_tag(root: str, name: str) -> int:
             f"no tag '{name}' at '{root}' (have: {sorted(tags)})"
         )
     return tags[name]
+
+
+def resolve_asof(
+    root: str, ts: float, meta_key: str | None = None
+) -> int:
+    """TIMESTAMP time travel (Iceberg's ``TIMESTAMP AS OF``): the
+    greatest retained version committed at or before ``ts``.
+
+    Default clock is the ``committed_at`` wall stamp every manifest CAS
+    writes. ``meta_key`` switches to a CALLER-COMMITTED logical clock
+    riding in that version's commit ``meta`` (stored flat in the
+    descriptor, same field :func:`last_committed_meta` reads — e.g. an
+    event-time watermark or batch sequence a pipeline commits atomically
+    with each version) — the deterministic variant reproducible
+    pipelines and the oracle use; versions lacking the key are skipped,
+    so a logical clock only ever resolves versions that explicitly
+    declared one.
+
+    Cost: O(retained versions) THIN descriptor reads — the sharded
+    (format-2) layout keeps per-file entries in parquet sidecars, so
+    asof resolution never parses a file list. Vacuumed versions are not
+    candidates (same contract as every pinned read: retention wins)."""
+    best = -1
+    for v in list_versions(root):
+        m = _read_manifest(root, v)
+        t = m.get(meta_key if meta_key is not None else "committed_at")
+        if t is not None and float(t) <= ts and v > best:
+            best = v
+    if best < 0:
+        clock = meta_key or "committed_at"
+        raise ValidationError(
+            f"no version at '{root}' with {clock} <= {ts} "
+            f"(retained: {list_versions(root)})"
+        )
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -1778,3 +1778,41 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
                 ).collect()
             }
             assert pr == {k for k in model if lo <= k <= hi}, (step, op)
+
+
+def test_resolve_asof_wall_and_logical_clocks(spark, tmp_path):
+    import time
+
+    root = str(tmp_path / "tbl")
+    t_before = time.time()
+    v1 = M.commit_append(root, _df(spark, 0, 5), meta={"event_ts": 100})
+    v2 = M.commit_append(root, _df(spark, 5, 8), meta={"event_ts": 200})
+    v3 = M.commit_append(root, _df(spark, 8, 9))  # no logical clock
+    # wall clock: every commit is stamped; 'now' resolves the latest,
+    # a time before the first commit resolves nothing
+    assert M.resolve_asof(root, time.time() + 60) == v3
+    with pytest.raises(ValidationError, match="committed_at"):
+        M.resolve_asof(root, t_before - 1)
+    # logical clock: greatest version at-or-before the mark; versions
+    # without the key (v3) are never candidates
+    assert M.resolve_asof(root, 100, meta_key="event_ts") == v1
+    assert M.resolve_asof(root, 150, meta_key="event_ts") == v1
+    assert M.resolve_asof(root, 10_000, meta_key="event_ts") == v2
+    with pytest.raises(ValidationError, match="event_ts"):
+        M.resolve_asof(root, 50, meta_key="event_ts")
+    # the resolved version reads that snapshot's content exactly
+    assert _ids(
+        M.read_snapshot(spark, root, M.resolve_asof(root, 250, meta_key="event_ts"))
+    ) == set(range(8))
+
+
+def test_resolve_asof_skips_vacuumed_versions(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 5), meta={"event_ts": 100})
+    M.commit_append(root, _df(spark, 5, 8), meta={"event_ts": 200})
+    M.vacuum(root, keep_last=1)
+    # v1 is gone: the logical mark that used to land it now has no
+    # candidate (retention wins over time travel, same as pinned reads)
+    with pytest.raises(ValidationError, match="event_ts"):
+        M.resolve_asof(root, 150, meta_key="event_ts")
+    assert M.resolve_asof(root, 250, meta_key="event_ts") == 2
