@@ -936,6 +936,106 @@ SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
 FROM walk GROUP BY id ORDER BY doc_id"""
 
 
+PAGERANK_SCALE = 1_000_000  # fixed-point micro-units (see pagerank_micro)
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iters: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """PageRank centrality over an undirected pair graph in FIXED-POINT
+    integer arithmetic — the graph-quality signal web-scale curation
+    pipelines weight documents by (a page's rank among its near-dup /
+    link neighbors picks the canonical copy and downweights content
+    farms). Runs over the edge-induced subgraph only: isolated documents
+    have no centrality evidence and stay out, so state is O(|nodes with
+    an edge|), never O(corpus).
+
+    ``iters`` SYNCHRONOUS rounds of r′(v) = (1−d)/N + d·Σ r(u)/deg(u),
+    d = 0.85, each round ONE edge⋈rank join + ONE aggregation (the
+    Pregel shape; lineage truncated per round). All values live in
+    integer micro-units (``PAGERANK_SCALE``) with floor division per
+    edge: integer sums are ORDER-INDEPENDENT, so the result is
+    bit-identical in any engine — float PageRank accumulates in
+    shuffle-dependent order and can never be value-hash compared. A
+    production deployment flips the three integer expressions to
+    doubles and gains nothing but nondeterminism; rank ORDER is
+    unaffected at this scale (pinned in tests against a float replay).
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sym_deg = sym.join(deg, "src").localCheckpoint()
+    nodes = deg.select(F.col("src").alias("id"))
+    n = nodes.count()  # bounded: |touched nodes|, a scalar
+    r0 = int(PAGERANK_SCALE // n)
+    tele = int((15 * PAGERANK_SCALE) // (100 * n))
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long")).localCheckpoint()
+    for _ in range(iters):
+        ranks = (
+            sym_deg.join(ranks, sym_deg.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(85 * r) DIV (100 * deg)").alias("c"),
+            )
+            .groupBy("id")
+            .agg((F.lit(tele) + F.sum("c")).cast("long").alias("r"))
+            .localCheckpoint()
+        )
+    return ranks.join(
+        deg.withColumnRenamed("src", "id"), "id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("r").alias("pagerank_micro"),
+        F.col("deg").cast("long").alias("deg"),
+    )
+
+
+def pagerank_micro_sql(threshold: float, iters: int = 3) -> str:
+    """DuckDB oracle: the identical fixed-point iteration unrolled as
+    one CTE per round — integer floor division per edge, integer sums,
+    so a hash match certifies every micro-unit of every round."""
+    pairs = minhash_lsh_pairs_sql(threshold)
+    ctes = [
+        f"pairs AS ({pairs})",
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"""r0 AS (SELECT id, ({PAGERANK_SCALE} // n)::BIGINT AS r
+          FROM nodes, nn)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT e.dst AS id,
+    ((15 * {PAGERANK_SCALE}) // (100 * nn.n)
+     + SUM((85 * p.r) // (100 * d.deg)))::BIGINT AS r
+  FROM edges e
+  JOIN r{t - 1} p ON p.id = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r{iters}.id AS doc_id, r AS pagerank_micro,
+  deg::BIGINT AS deg
+FROM r{iters} JOIN deg ON deg.src = r{iters}.id
+ORDER BY doc_id"""
+    )
+
+
 # ------------------------------------------------- embedding-cosine dedup
 MAX_BROADCAST_BYTES = 1 << 30  # 1 GiB of float64 matrix per executor
 

@@ -847,6 +847,29 @@ def dedup_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_pagerank_centrality",
+    DD.pagerank_micro_sql(JACCARD_THRESHOLD, iters=3),
+)
+def dedup_pagerank_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ITERATIVE NUMERIC graph algorithm (the third graph shape beside
+    the closure and the traversal): PageRank centrality over the
+    near-dup pair graph — the web-curation quality signal (rank among
+    neighbors picks the canonical copy, downweights content farms).
+    Three synchronous rounds, each one edge⋈rank join + one aggregation
+    (Pregel shape), in FIXED-POINT micro-units so integer sums make the
+    result bit-identical across engines (operators/dedup.py
+    pagerank_micro); the oracle unrolls the identical iteration as one
+    CTE per round and hashes every micro-unit of the final ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    return DD.pagerank_micro(pairs, iters=3).orderBy("doc_id")
+
+
 def _split_case_sql(col: str) -> str:
     """The docs_train_split assignment as SQL over any id expression —
     shared by the per-document split, the leakage audit, and the

@@ -403,3 +403,46 @@ def test_bfs_hops_two_seeds_and_early_exit(spark):
         for r in DD.bfs_hops(edges, seeds, max_hops=6).collect()
     }
     assert got == {0: 0, 100: 0, 1: 1, 101: 1, 102: 1, 2: 2}
+
+
+def test_pagerank_micro_matches_float_replay(spark):
+    # star 0-{1,2,3} plus chain 3-4-5: hub 0 must outrank leaves, and
+    # the integer fixed-point ranks must order identically to (and sit
+    # within floor-loss of) a float replay of the same 3 iterations
+    edges_py = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: (r.pagerank_micro, r.deg)
+        for r in DD.pagerank_micro(edges, iters=3).collect()
+    }
+
+    # float reference (same synchronous update, same teleport)
+    import collections
+
+    deg = collections.Counter()
+    nbrs = collections.defaultdict(list)
+    for a, b in edges_py:
+        deg[a] += 1
+        deg[b] += 1
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    n = len(deg)
+    r = {v: 1.0 / n for v in deg}
+    for _ in range(3):
+        r = {
+            v: 0.15 / n + 0.85 * sum(r[u] / deg[u] for u in nbrs[v])
+            for v in deg
+        }
+
+    assert set(got) == set(deg)
+    for v in deg:
+        assert got[v][1] == deg[v]
+        # floor loss: <= 1 micro-unit per edge per iteration + init
+        assert abs(got[v][0] - r[v] * DD.PAGERANK_SCALE) <= 3 * (deg[v] + 1)
+    # identical ranking (hub 0 first, tail 5 last)
+    float_order = sorted(r, key=lambda v: (-r[v], v))
+    int_order = sorted(got, key=lambda v: (-got[v][0], v))
+    assert int_order == float_order and int_order[0] == 0
+    # total mass conserved up to floor loss
+    total = sum(v[0] for v in got.values())
+    assert DD.PAGERANK_SCALE * 0.98 <= total <= DD.PAGERANK_SCALE
