@@ -1036,6 +1036,99 @@ ORDER BY doc_id"""
     )
 
 
+def triangle_stats(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Per-node TRIANGLE count + local clustering coefficient over an
+    undirected pair graph — the cohesion metric that separates a tight
+    duplicate CLIQUE (cc→1: safe to collapse to one keeper) from a
+    hub-and-spoke chain of borderline matches (cc→0: collapsing loses
+    distinct documents). Nodes with deg ≥ 2 only (cc is undefined
+    below).
+
+    Enumeration uses the ORIENTED wedge join: edges canonicalized to
+    a < b, wedges (a<b<c) built by joining on the middle node, closed
+    by one semi-join back to the edge list — each triangle counted
+    exactly once, and the orientation caps wedge fan-out by FORWARD
+    degree (the standard distributed-triangle optimization; without it
+    a hub's wedge count is deg², with it roughly deg²/4 split across
+    the join). cc = 2·tri/(deg·(deg−1)) rounded portably."""
+    from hybrid_vector_search_spark.functions.portable import (
+        round_portable,
+    )
+
+    e = (
+        edges.select(
+            F.least(a_col, b_col).alias("a"),
+            F.greatest(a_col, b_col).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = deg.filter(F.col("deg") >= 2).join(per_node, "id", "left")
+    t = F.coalesce("n_triangles", F.lit(0)).cast("long")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        t.alias("n_triangles"),
+        round_portable(
+            2.0 * t / (F.col("deg") * (F.col("deg") - 1)), 6
+        ).alias("clustering"),
+    )
+
+
+def triangle_stats_sql(threshold: float) -> str:
+    """DuckDB oracle: the identical oriented wedge join + closure."""
+    from hybrid_vector_search_spark.functions.portable import (
+        round_portable_sql,
+    )
+
+    pairs = minhash_lsh_pairs_sql(threshold)
+    cc = round_portable_sql(
+        "2.0 * COALESCE(n_triangles, 0) / (deg.deg * (deg.deg - 1))", 6
+    )
+    return f"""WITH pairs AS ({pairs}),
+e AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS a,
+        GREATEST(doc_a, doc_b) AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+per AS (
+  SELECT id, COUNT(*) AS n_triangles FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY id),
+deg AS (SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+SELECT deg.id AS doc_id, deg::BIGINT AS deg,
+  COALESCE(n_triangles, 0)::BIGINT AS n_triangles,
+  {cc} AS clustering
+FROM deg LEFT JOIN per ON per.id = deg.id
+WHERE deg.deg >= 2 ORDER BY doc_id"""
+
+
 # ------------------------------------------------- embedding-cosine dedup
 MAX_BROADCAST_BYTES = 1 << 30  # 1 GiB of float64 matrix per executor
 

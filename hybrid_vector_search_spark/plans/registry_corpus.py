@@ -870,6 +870,26 @@ def dedup_pagerank_centrality(
     return DD.pagerank_micro(pairs, iters=3).orderBy("doc_id")
 
 
+@register(
+    "dedup_graph_triangles",
+    DD.triangle_stats_sql(JACCARD_THRESHOLD),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph COHESION over the near-dup pair graph: per-node triangle
+    count + local clustering coefficient — cc→1 marks a tight duplicate
+    clique (safe to collapse to one keeper), cc→0 a hub-and-spoke chain
+    of borderline matches (collapsing would merge distinct documents).
+    Triangles via the ORIENTED wedge join (a<b<c: join on the middle
+    node, one closure semi-join — each triangle once, fan-out capped by
+    forward degree); oracle replays the identical joins
+    (operators/dedup.py triangle_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, JACCARD_THRESHOLD, sig=_sig_table(spark, sf_dir)
+    )
+    return DD.triangle_stats(pairs).orderBy("doc_id")
+
+
 def _split_case_sql(col: str) -> str:
     """The docs_train_split assignment as SQL over any id expression —
     shared by the per-document split, the leakage audit, and the

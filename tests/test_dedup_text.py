@@ -446,3 +446,23 @@ def test_pagerank_micro_matches_float_replay(spark):
     # total mass conserved up to floor loss
     total = sum(v[0] for v in got.values())
     assert DD.PAGERANK_SCALE * 0.98 <= total <= DD.PAGERANK_SCALE
+
+
+def test_triangle_stats_hand_counted(spark):
+    # K4 clique {0,1,2,3} (4 triangles, each node in 3, cc=1) glued by
+    # edge 3-4 to path 4-5 (deg(4)=2, no triangle, cc=0); node 5 deg 1
+    # -> excluded; duplicate + reversed edges must not double-count
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 4), (4, 5), (5, 4), (1, 0)]  # reversed dupes
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: (r.deg, r.n_triangles, r.clustering)
+        for r in DD.triangle_stats(df).collect()
+    }
+    assert got == {
+        0: (3, 3, 1.0),
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (4, 3, 0.5),
+        4: (2, 0, 0.0),
+    }
