@@ -975,6 +975,10 @@ def pagerank_micro(
     sym_deg = sym.join(deg, "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("id"))
     n = nodes.count()  # bounded: |touched nodes|, a scalar
+    if n == 0:  # no edges → no centrality evidence, not a crash
+        return edges.sparkSession.createDataFrame(
+            [], "doc_id LONG, pagerank_micro LONG, deg LONG"
+        )
     r0 = int(PAGERANK_SCALE // n)
     tele = int((15 * PAGERANK_SCALE) // (100 * n))
     ranks = nodes.withColumn("r", F.lit(r0).cast("long")).localCheckpoint()

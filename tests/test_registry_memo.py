@@ -76,6 +76,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "corpus_snapshot_group_pruned_scan",
         "corpus_snapshot_manifest_compaction",
         "corpus_snapshot_wap_publish",
+        # r12 late: commits the scripted asof history + resolves the
+        # wall clock driver-side per call
+        "corpus_snapshot_asof_read",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
