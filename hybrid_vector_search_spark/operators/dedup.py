@@ -764,6 +764,26 @@ def simhash_sql(col: str = "text", bits: int = SIMHASH_BITS) -> str:
 
 
 # ---------------------------------------------- connected components (CC)
+def _symmetrize(
+    edges: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Materialized symmetric (src, dst) edge list — shared by every
+    iterative graph operator (closure, traversal, centrality): each
+    round joins against it, and the upstream pair pipeline (LSH banding
+    + verification) is far too expensive to re-run per round."""
+    return (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+
+
+_SYM_EDGES_SQL = """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs)"""
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -785,14 +805,7 @@ def connected_components(
     O(log n)-round large-star/small-star variant (Kiveris et al., "CC in
     MapReduce") is the upgrade path if components ever get long and thin.
     """
-    # Materialize the symmetric edge list ONCE: every round joins against
-    # it, and the upstream pair pipeline (LSH banding + verification) is
-    # far too expensive to re-run per round.
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint()
-    )
+    sym = _symmetrize(edges, a_col, b_col)
     # Iterate ONLY over the edge-induced subgraph: nodes in no pair keep
     # their own label by definition, so the propagation state is
     # O(|nodes with a duplicate|), not O(corpus) — at 100 TB the corpus is
@@ -854,8 +867,7 @@ def connected_components_sql(threshold: float) -> str:
     (node, reachable-label) pairs until fixpoint, keep the min."""
     pairs = minhash_lsh_pairs_sql(threshold)
     return f"""WITH RECURSIVE pairs AS ({pairs}),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_SYM_EDGES_SQL},
 walk(id, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
@@ -885,36 +897,38 @@ def bfs_hops(
     early when a frontier comes back empty — per-round shuffle work is
     O(frontier ⋈ edges), the distributed-BFS shape (Pregel's). BFS
     layering IS min-distance, so no per-node min bookkeeping is needed.
-    Lineage is truncated per round (``localCheckpoint``), same contract
-    as :func:`connected_components`."""
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .localCheckpoint()
-    )
-    visited = (
+    Only each round's NEW frontier is materialized (``localCheckpoint``,
+    same contract as :func:`connected_components`); the visited set the
+    anti-join probes is the lazy union of those checkpointed layers, so
+    per-round writes are O(|frontier|), not O(|visited so far|)."""
+    sym = _symmetrize(edges, a_col, b_col)
+    layers = [
         seeds.select(F.col(id_col).alias("id"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .localCheckpoint()
-    )
-    frontier = visited
+    ]
+    frontier = layers[0]
     for h in range(1, max_hops + 1):
+        visited_ids = layers[0].select("id")
+        for lay in layers[1:]:
+            visited_ids = visited_ids.union(lay.select("id"))
         nxt = (
             sym.join(frontier, sym.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(visited_ids, "id", "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint()
+        layers.append(nxt)
         frontier = nxt
-    return visited.select(F.col("id").alias(id_col), "hop")
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.union(lay)
+    return out.select(F.col("id").alias(id_col), "hop")
 
 
 def bfs_hops_sql(
@@ -925,8 +939,7 @@ def bfs_hops_sql(
     MIN(hop) per node equals the BFS layer."""
     pairs = minhash_lsh_pairs_sql(threshold)
     return f"""WITH RECURSIVE pairs AS ({pairs}),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_SYM_EDGES_SQL},
 walk(id, hop) AS (
   SELECT doc_id, 0 FROM documents WHERE doc_id % {seed_mod} = 0
   UNION
@@ -964,13 +977,7 @@ def pagerank_micro(
     doubles and gains nothing but nondeterminism; rank ORDER is
     unaffected at this scale (pinned in tests against a float replay).
     """
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    sym = _symmetrize(edges, a_col, b_col)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     sym_deg = sym.join(deg, "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("id"))
@@ -1009,8 +1016,7 @@ def pagerank_micro_sql(threshold: float, iters: int = 3) -> str:
     pairs = minhash_lsh_pairs_sql(threshold)
     ctes = [
         f"pairs AS ({pairs})",
-        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs)""",
+        _SYM_EDGES_SQL,
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
         "nodes AS (SELECT DISTINCT src AS id FROM edges)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",

@@ -483,7 +483,11 @@ def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
     decode ``mapInPandas``. Payload stays opaque; ``frame_ref`` addresses
     a frame within it.
     """
-    frames = media.filter(F.col("kind") == "video").select(
+    frames = media.filter(
+        # n_frames <= 0 must yield NO frames (sequence with a positive
+        # step and start > stop is illegal, same guard as scene_cuts)
+        (F.col("kind") == "video") & (F.col("meta.n_frames") > 0)
+    ).select(
         "media_id",
         "data",
         F.explode(
@@ -524,7 +528,11 @@ def scene_cuts(media: DataFrame, threshold: int = 96) -> DataFrame:
     decode-batch ``mapInPandas`` over the kept frames; every window /
     scene-assignment stage downstream is unchanged.
     """
-    frames = media.filter(F.col("kind") == "video").select(
+    frames = media.filter(
+        # n_frames <= 0 must yield NO frames: an unguarded
+        # sequence(0, -1) would DESCEND and fabricate [0, -1]
+        (F.col("kind") == "video") & (F.col("meta.n_frames") > 0)
+    ).select(
         "media_id",
         F.md5("data").alias("content_fp"),
         F.explode(

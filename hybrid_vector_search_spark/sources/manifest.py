@@ -2529,7 +2529,14 @@ def resolve_asof(
     for v in list_versions(root):
         m = _read_manifest(root, v)
         t = m.get(meta_key if meta_key is not None else "committed_at")
-        if t is not None and float(t) <= ts and v > best:
+        try:
+            tf = float(t) if t is not None else None
+        except (TypeError, ValueError):
+            # non-numeric clock value (e.g. an ISO string committed under
+            # the same meta key): not a candidate, same as a missing key —
+            # one odd commit must not poison every asof resolution
+            tf = None
+        if tf is not None and tf <= ts and v > best:
             best = v
     if best < 0:
         clock = meta_key or "committed_at"

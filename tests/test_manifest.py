@@ -1816,3 +1816,15 @@ def test_resolve_asof_skips_vacuumed_versions(spark, tmp_path):
     with pytest.raises(ValidationError, match="event_ts"):
         M.resolve_asof(root, 150, meta_key="event_ts")
     assert M.resolve_asof(root, 250, meta_key="event_ts") == 2
+
+
+def test_resolve_asof_skips_non_numeric_clock_values(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 3), meta={"event_ts": 100})
+    # one odd commit with an ISO-string clock must not poison resolution
+    M.commit_append(
+        root, _df(spark, 3, 5), meta={"event_ts": "2026-08-16T10:00:00"}
+    )
+    M.commit_append(root, _df(spark, 5, 6), meta={"event_ts": 300})
+    assert M.resolve_asof(root, 150, meta_key="event_ts") == 1
+    assert M.resolve_asof(root, 1000, meta_key="event_ts") == 3

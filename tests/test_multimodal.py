@@ -340,3 +340,32 @@ def test_scene_cuts_matches_python_reference(media):
             assert b[2] == a[3] + 1 and b[1] == a[1] + 1
         assert scenes[-1][3] == nf[mid] - 1
         assert sum(s[4] for s in scenes) == nf[mid]
+
+
+def test_zero_frame_videos_yield_no_frames(spark):
+    # n_frames=0 (corrupt/empty video) must fan out to NOTHING — an
+    # unguarded sequence(0, -1) descends and fabricates frames 0 and -1
+    import pyspark.sql.functions as F
+
+    vids = spark.createDataFrame(
+        [(1, "video", b"x"), (2, "video", b"y")],
+        "media_id LONG, kind STRING, data BINARY",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("mp4").alias("format"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.when(F.col("media_id") == 1, 0)
+            .otherwise(3)
+            .cast("int")
+            .alias("n_frames"),
+        ),
+    )
+    sampled = MM.sample_frames(vids, every_n=1).collect()
+    assert {r.media_id for r in sampled} == {2}
+    scenes = MM.scene_cuts(vids).collect()
+    assert {r.media_id for r in scenes} == {2}
+    assert all(r.start_frame >= 0 for r in scenes)

@@ -127,18 +127,9 @@ def main() -> None:
         "",
     ]
 
-    scaling = REPO / "SCALING.md"
-    text = scaling.read_text(encoding="utf-8")
-    if MARKER in text:
-        head, _, rest = text.partition(MARKER)
-        nxt = rest.find("\n## ")
-        tail = rest[nxt + 1 :] if nxt >= 0 else ""
-        text = head + tail
-    if not text.endswith("\n"):
-        text += "\n"
-    text += "\n".join(lines) + "\n"
-    scaling.write_text(text, encoding="utf-8")
-    print(f"appended '{MARKER}' section to {scaling}")
+    from tools._scaling import replace_section
+
+    replace_section(MARKER, lines)
 
 
 if __name__ == "__main__":

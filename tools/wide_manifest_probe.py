@@ -273,19 +273,9 @@ def main() -> None:
         )
     print(json.dumps(compact_cell))
 
-    scaling = REPO / "SCALING.md"
-    text = scaling.read_text(encoding="utf-8")
-    if MARKER in text:
-        head, _, rest = text.partition(MARKER)
-        # drop the old section up to the next '## ' heading (or EOF)
-        nxt = rest.find("\n## ")
-        tail = rest[nxt + 1:] if nxt >= 0 else ""
-        text = head + tail
-    if not text.endswith("\n"):
-        text += "\n"
-    text += "\n".join(_section(cells, compact_cell)) + "\n"
-    scaling.write_text(text, encoding="utf-8")
-    print(f"appended '{MARKER}' section to {scaling}")
+    from tools._scaling import replace_section
+
+    replace_section(MARKER, _section(cells, compact_cell))
 
 
 if __name__ == "__main__":
