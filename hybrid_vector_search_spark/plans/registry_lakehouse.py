@@ -311,6 +311,106 @@ def corpus_snapshot_group_pruned_scan(
     )
 
 
+_SPEC_EVOLUTION_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_partition_evolution",
+    """SELECT CAST(1 AS BIGINT) AS old_kept_by_old_key,
+  CAST(4 AS BIGINT) AS old_files,
+  CAST(4 AS BIGINT) AS new_kept_by_old_key,
+  CAST(4 AS BIGINT) AS new_files,
+  CAST(0 AS BIGINT) AS old_kept_by_new_key,
+  CAST(1 AS BIGINT) AS new_kept_by_new_key,
+  COUNT(*) AS n_rows, CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings WHERE label % 4 = 2""",
+    side_effects=True,
+)
+def corpus_snapshot_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg's signature maintenance story):
+    v1 lands the first half of the corpus clustered by ``lb = label%4``
+    (the OLD spec), v2 lands the second half clustered by the GLOBAL id
+    quartile ``q`` (the NEW spec) — the layout changed between commits
+    and, like Iceberg, OLD FILES ARE NEVER REWRITTEN: each file group
+    prunes by whatever its own layout made tight, because skipping is
+    driven by per-file column stats, not by a table-level partition
+    spec. The hash pins both directions with constants that hold BY
+    CONSTRUCTION: an old-key probe (lb=2) keeps exactly 1 of v1's 4
+    files and all 4 of v2's (the new layout can't prune lb); a new-key
+    probe (q=3, the quartile WITHIN the new half — clamped to 0 for
+    old ids, so every old file's q-stats exclude 3) keeps 0 of v1's
+    files and exactly 1 of v2's. The row
+    payload is the old-key probe's aggregate over the MIXED layout —
+    wrong rows from either spec mismatch. Beyond-reference (SURVEY.md
+    §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+    both = emb.select(
+        "vec_id",
+        "label",
+        (F.col("label") % 4).cast("int").alias("lb"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(3),
+                ((F.col("vec_id") - n // 2) * 4 / F.lit(n - n // 2)).cast(
+                    "int"
+                ),
+            ),
+        ).alias("q"),
+    )
+    cached = _SPEC_EVOLUTION_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "snap_specevo_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append_clustered(
+            root, both.filter(F.col("vec_id") < n // 2), "lb"
+        )
+        M.commit_append_clustered(
+            root, both.filter(F.col("vec_id") >= n // 2), "q"
+        )
+        _SPEC_EVOLUTION_CACHE[sf_dir] = (spark, root)
+    files_v1 = set(M._resolve_manifest(root, 1)["files"])
+
+    def split(kept):
+        # pruning returns absolute paths; manifests store root-relative
+        old = sum(
+            1
+            for f in kept
+            if os.path.relpath(f, root) in files_v1
+        )
+        return old, len(kept) - old
+
+    _v, kept_lb, total = M.snapshot_files_pruned(root, "lb", 2, 2)
+    old_lb, new_lb = split(kept_lb)
+    _v, kept_q, _t = M.snapshot_files_pruned(root, "q", 3, 3)
+    old_q, new_q = split(kept_q)
+    return (
+        M.read_snapshot_pruned(spark, root, "lb", 2, 2)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").cast("long").alias("sum_id"),
+        )
+        .select(
+            F.lit(old_lb).cast("long").alias("old_kept_by_old_key"),
+            F.lit(len(files_v1)).cast("long").alias("old_files"),
+            F.lit(new_lb).cast("long").alias("new_kept_by_old_key"),
+            F.lit(total - len(files_v1)).cast("long").alias("new_files"),
+            F.lit(old_q).cast("long").alias("old_kept_by_new_key"),
+            F.lit(new_q).cast("long").alias("new_kept_by_new_key"),
+            "n_rows",
+            "sum_id",
+        )
+    )
+
+
 _MANIFEST_COMPACT_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

@@ -79,6 +79,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r12 late: commits the scripted asof history + resolves the
         # wall clock driver-side per call
         "corpus_snapshot_asof_read",
+        # r12 late: commits the two-spec layout + measures pruned file
+        # counts driver-side per call
+        "corpus_snapshot_partition_evolution",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
