@@ -411,6 +411,51 @@ def corpus_snapshot_partition_evolution(
     )
 
 
+@register(
+    "corpus_snapshot_history",
+    """SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT), CAST(0 AS BIGINT), 1),
+  (CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT), CAST(0 AS BIGINT), 1),
+  (CAST(3 AS BIGINT), 'delete', CAST(0 AS BIGINT), CAST(1 AS BIGINT), 1),
+  (CAST(4 AS BIGINT), 'rewrite', CAST(2 AS BIGINT), CAST(0 AS BIGINT), 1)
+) AS t(version, op, added, n_delete_files, has_wall_ts)
+ORDER BY version""",
+    side_effects=True,
+)
+def corpus_snapshot_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TABLE HISTORY introspection (Delta's ``DESCRIBE HISTORY`` /
+    Iceberg's ``$snapshots`` metadata table — sources/manifest.py
+    snapshot_history): the audit surface operators check before acting
+    (what changed, when, by which operation, did retention touch it).
+    Runs over the same scripted 4-version history the CDC queries pin
+    (append 2 files → append 1 → merge-on-read delete → compaction
+    rewrite), so every row is a BY-CONSTRUCTION constant the hash
+    checks: version, operation, data files added, delete-file count,
+    and that every commit carries the wall-clock stamp resolve_asof
+    reads. Thin descriptor reads only — the history of an 800 k-file
+    table costs O(versions), never O(files)."""
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    root = _changelog_root(spark, sf_dir)  # defined below in this module
+    rows = [
+        (
+            int(h["version"]),
+            str(h["op"]),
+            int(h["added"]),
+            int(h["n_delete_files"]),
+            int(h["committed_at"] is not None),
+        )
+        for h in M.snapshot_history(root)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version LONG, op STRING, added LONG, n_delete_files LONG, "
+        "has_wall_ts INT",
+    ).orderBy("version")
+
+
 _MANIFEST_COMPACT_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

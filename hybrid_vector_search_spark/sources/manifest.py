@@ -2505,6 +2505,28 @@ def resolve_tag(root: str, name: str) -> int:
     return tags[name]
 
 
+def snapshot_history(root: str) -> list[dict]:
+    """Table HISTORY introspection (Delta's ``DESCRIBE HISTORY`` /
+    Iceberg's ``$snapshots`` metadata table): one dict per retained
+    version — version, operation, data files added, delete-file count,
+    and the wall-clock commit stamp. THIN descriptor reads only
+    (O(retained versions), file lists stay in sidecars), so the audit
+    surface never pays the O(table-files) price."""
+    out = []
+    for v in list_versions(root):
+        m = _read_manifest(root, v)
+        out.append(
+            {
+                "version": v,
+                "op": m.get("op"),
+                "added": m.get("added"),
+                "n_delete_files": len(m.get("delete_files", [])),
+                "committed_at": m.get("committed_at"),
+            }
+        )
+    return out
+
+
 def resolve_asof(
     root: str, ts: float, meta_key: str | None = None
 ) -> int:

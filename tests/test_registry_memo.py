@@ -82,6 +82,8 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r12 late: commits the two-spec layout + measures pruned file
         # counts driver-side per call
         "corpus_snapshot_partition_evolution",
+        # r12 late: reads the scripted history's descriptors driver-side
+        "corpus_snapshot_history",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
