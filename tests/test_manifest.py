@@ -1639,9 +1639,16 @@ def test_branch_refs_and_write_audit_publish(spark, tmp_path):
     assert _ids(M.read_branch(spark, root, "published")) == set(range(20))
 
     # concurrent AUDITED movers: both read the same head before the
-    # race, so expected_version makes exactly one publish win — the
-    # loser's audit is stale by definition and must re-run
+    # race and both target a DIFFERENT value than that head, so the
+    # value compare-and-set makes exactly one publish win — the loser
+    # either loses the seq link or re-reads a head that no longer
+    # matches its audit. (Targets must differ from the head: a mover
+    # whose target EQUALS the audited head is a value-level no-op, and
+    # a second mover that lists after it still sees the audited value —
+    # value CAS legitimately admits both, which an earlier version of
+    # this test mis-asserted as a violation.)
     audited_head = M.resolve_branch(root, "published")
+    assert audited_head == v4
     errs, wins = [], []
     barrier = threading.Barrier(2)
 
@@ -1655,13 +1662,13 @@ def test_branch_refs_and_write_audit_publish(spark, tmp_path):
         except M.CommitConflictError:
             errs.append(tgt)
 
-    ts = [threading.Thread(target=mover, args=(v,)) for v in (v3, v4)]
+    ts = [threading.Thread(target=mover, args=(v,)) for v in (v3, v3)]
     for t in ts:
         t.start()
     for t in ts:
         t.join(60)
     assert len(wins) == 1 and len(errs) == 1
-    assert M.resolve_branch(root, "published") == wins[0]
+    assert M.resolve_branch(root, "published") == wins[0] == v3
     # a stale expected_version conflicts deterministically
     with pytest.raises(M.CommitConflictError, match="moved since"):
         M.update_branch(
