@@ -456,6 +456,62 @@ def corpus_snapshot_history(
     ).orderBy("version")
 
 
+_RESTORE_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register(
+    "corpus_snapshot_restore",
+    """SELECT 3 AS head_version, 1 AS restored_from, 'restore' AS op,
+  vec_id AS id, label FROM embeddings
+WHERE vec_id % 2 = 0 ORDER BY id""",
+    side_effects=True,
+)
+def corpus_snapshot_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLBACK as a first-class operation (Delta's ``RESTORE`` —
+    sources/manifest.py restore_snapshot): v1 commits the even ids, v2
+    appends the odd ids (the bad write), v3 RESTORES v1 — a
+    metadata-only commit that copies v1's file references forward, so
+    rolling back a 100 TB table moves zero data bytes. The hash pins
+    that the new head serves EXACTLY v1's content (only even ids — odd
+    rows leaking from the superseded v2 mismatch), that the head is a
+    NEW version 3 (history preserved, v2 stays auditable), and that
+    the descriptor records op='restore' with restored_from=1.
+    Beyond-reference (SURVEY.md §2.9)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _RESTORE_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        base = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        )
+        root = scratch_path(
+            "snap_restore_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, base.filter(F.col("id") % 2 == 0))
+        M.commit_append(root, base.filter(F.col("id") % 2 == 1))
+        M.restore_snapshot(root, 1)
+        _RESTORE_CACHE[sf_dir] = (spark, root)
+    head = M.current_version(root)
+    desc = M.snapshot_history(root)[-1]
+    return (
+        M.read_snapshot(spark, root)
+        .select(
+            F.lit(head).cast("long").alias("head_version"),
+            F.lit(int(M._read_manifest(root, head)["restored_from"]))
+            .cast("long")
+            .alias("restored_from"),
+            F.lit(str(desc["op"])).alias("op"),
+            "id",
+            "label",
+        )
+        .orderBy("id")
+    )
+
+
 _MANIFEST_COMPACT_CACHE: dict[str, tuple[SparkSession, str]] = {}
 
 

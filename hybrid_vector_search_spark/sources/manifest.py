@@ -2505,6 +2505,50 @@ def resolve_tag(root: str, name: str) -> int:
     return tags[name]
 
 
+def restore_snapshot(root: str, version: int) -> int:
+    """Delta's ``RESTORE``: publish the state of retained ``version``
+    as a NEW head version — a METADATA-ONLY commit (the restored
+    version's file references are copied forward; no data bytes move),
+    so rolling a 100 TB table back after a bad write is O(descriptor).
+    History is preserved: the bad versions stay readable and auditable
+    until retention drops them, and the restore itself appears in
+    :func:`snapshot_history` as ``op='restore'`` with
+    ``restored_from`` naming the source.
+
+    The restored version's commit ``meta`` rides along (it DESCRIBES
+    the restored state — e.g. a streaming writer's batch_id guard
+    resets with the rollback, so post-restore batches re-apply, which
+    is exactly what rolling back means). Concurrent writers serialize
+    on the manifest CAS like every commit; racing vacuum is the
+    caller's coordination problem, same as any pinned read."""
+    v = int(version)
+    if v not in list_versions(root):
+        raise ValidationError(
+            f"cannot restore '{root}' to version {v}: not retained "
+            f"(have: {list_versions(root)})"
+        )
+    src = _read_manifest(root, v)
+    content = {
+        k: val
+        for k, val in src.items()
+        if k not in ("version", "committed_at")
+    }
+    for _ in range(_MAX_COMMIT_RETRIES):
+        nxt = current_version(root) + 1
+        payload = {
+            **content,
+            "op": "restore",
+            "added": 0,
+            "restored_from": v,
+        }
+        if _try_commit_manifest(root, nxt, payload):
+            return nxt
+    raise CommitConflictError(
+        f"restore at '{root}': CAS retry budget exhausted under "
+        f"contention"
+    )
+
+
 def snapshot_history(root: str) -> list[dict]:
     """Table HISTORY introspection (Delta's ``DESCRIBE HISTORY`` /
     Iceberg's ``$snapshots`` metadata table): one dict per retained
@@ -2889,13 +2933,23 @@ def apply_changelog(
 
 
 def vacuum(
-    root: str, keep_last: int = 1, orphan_grace_sec: float = 86400.0
+    root: str,
+    keep_last: int = 1,
+    orphan_grace_sec: float = 86400.0,
+    keep_since_ts: float | None = None,
 ) -> dict:
     """Drop all but the last ``keep_last`` versions and delete data
     files referenced by NO retained manifest (plus any orphans from
     crashed commits). The only destructive operation in the layout —
     and the reason readers of retained versions are never affected:
     retention is decided FIRST, reference counting second.
+
+    ``keep_since_ts`` ADDS an age-based floor (Iceberg's
+    ``expire_snapshots(older_than)``): every version whose
+    ``committed_at`` wall stamp is at or after the mark is retained in
+    addition to the ``keep_last`` window and every tag/branch-pinned
+    version. Retention policies only ever widen the keep set — the
+    latest version and named refs survive any combination.
 
     NEVER-COMMITTED files (present under data/ or deletes/ but in no
     manifest, retained or dropped) are removed only once older than
@@ -2918,6 +2972,15 @@ def vacuum(
             "deleted_sidecars": 0,
         }
     keep = set(vs[-max(int(keep_last), 1):])
+    if keep_since_ts is not None:
+        for v in vs:
+            t = _read_manifest(root, v).get("committed_at")
+            try:
+                recent = t is not None and float(t) >= keep_since_ts
+            except (TypeError, ValueError):
+                recent = True  # unparseable stamp: keep, never destroy
+            if recent:
+                keep.add(v)
     # tagged and branch-pinned versions are pinned: retention never
     # drops a named ref's snapshot (delete the ref first — an explicit
     # act, not a side effect)

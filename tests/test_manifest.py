@@ -1835,3 +1835,58 @@ def test_resolve_asof_skips_non_numeric_clock_values(spark, tmp_path):
     M.commit_append(root, _df(spark, 5, 6), meta={"event_ts": 300})
     assert M.resolve_asof(root, 150, meta_key="event_ts") == 1
     assert M.resolve_asof(root, 1000, meta_key="event_ts") == 3
+
+
+def test_restore_snapshot_metadata_only_rollback(spark, tmp_path):
+    import glob
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))                    # v1
+    M.commit_append(root, _df(spark, 10, 15))                   # v2 (bad)
+    n_data_files = len(glob.glob(f"{root}/data/**/*.parquet", recursive=True))
+    v3 = M.restore_snapshot(root, 1)
+    assert v3 == 3 and M.current_version(root) == 3
+    # head serves exactly v1's content; v2 stays readable (history kept)
+    assert _ids(M.read_snapshot(spark, root)) == set(range(10))
+    assert _ids(M.read_snapshot(spark, root, 2)) == set(range(15))
+    # metadata-only: no data file was written or removed by the restore
+    assert (
+        len(glob.glob(f"{root}/data/**/*.parquet", recursive=True))
+        == n_data_files
+    )
+    h = M.snapshot_history(root)[-1]
+    assert h["op"] == "restore" and h["added"] == 0
+    assert M._read_manifest(root, 3)["restored_from"] == 1
+    # writes continue on top of the restored state
+    M.commit_append(root, _df(spark, 20, 22))
+    assert _ids(M.read_snapshot(spark, root)) == set(range(10)) | {20, 21}
+    # restoring an unretained version refuses
+    with pytest.raises(ValidationError, match="not retained"):
+        M.restore_snapshot(root, 99)
+    # vacuum after restore keeps the head readable (refcount correct:
+    # v1's files are referenced by the restored head too)
+    M.vacuum(root, keep_last=1, orphan_grace_sec=0)
+    assert _ids(M.read_snapshot(spark, root)) == set(range(10)) | {20, 21}
+
+
+def test_vacuum_age_based_retention(spark, tmp_path):
+    import time
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 3))     # v1
+    M.commit_append(root, _df(spark, 3, 6))     # v2
+    cut = time.time()                           # v1, v2 are "old"
+    M.commit_append(root, _df(spark, 6, 9))     # v3 (recent)
+    M.commit_append(root, _df(spark, 9, 12))    # v4 (recent)
+    st = M.vacuum(root, keep_last=1, orphan_grace_sec=0, keep_since_ts=cut)
+    # the age floor keeps v3 in addition to keep_last's v4; v1/v2 drop
+    assert st["dropped_versions"] == 2
+    assert M.list_versions(root) == [3, 4]
+    assert _ids(M.read_snapshot(spark, root, 3)) == set(range(9))
+    # a future mark degenerates to plain keep_last (latest always kept)
+    st2 = M.vacuum(
+        root, keep_last=1, orphan_grace_sec=0,
+        keep_since_ts=time.time() + 3600,
+    )
+    assert M.list_versions(root) == [4]
+    assert st2["dropped_versions"] == 1

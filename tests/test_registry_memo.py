@@ -84,6 +84,8 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "corpus_snapshot_partition_evolution",
         # r12 late: reads the scripted history's descriptors driver-side
         "corpus_snapshot_history",
+        # r12 late: commits the scripted rollback history per session
+        "corpus_snapshot_restore",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
