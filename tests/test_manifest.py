@@ -1890,3 +1890,24 @@ def test_vacuum_age_based_retention(spark, tmp_path):
     )
     assert M.list_versions(root) == [4]
     assert st2["dropped_versions"] == 1
+
+
+def test_changelog_and_apply_across_restore(spark, tmp_path):
+    """A restore is a rewrite to CDC consumers: the feed for a range
+    crossing it must emit the undone rows as deletes, and the fold
+    must land a pinned replica exactly on the restored state."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 10))                    # v1
+    M.commit_append(root, _df(spark, 10, 15))                   # v2
+    M.restore_snapshot(root, 1)                                 # v3
+    feed = M.snapshot_changelog(spark, root, 1, 3)
+    rows = [(r["version"], r["change"], r["id"]) for r in feed.collect()]
+    ins = {i for v, c, i in rows if c == "insert"}
+    dels = {i for v, c, i in rows if c == "delete"}
+    assert ins == set(range(10, 15))  # v2's batch enters...
+    assert dels == set(range(10, 15))  # ...and the restore removes it
+    replica = M.apply_changelog(
+        M.read_snapshot(spark, root, 1), feed, "id"
+    )
+    assert _ids(replica) == set(range(10))
+    assert replica.exceptAll(M.read_snapshot(spark, root, 3)).count() == 0
