@@ -1715,6 +1715,9 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
     model: dict[int, int] = {}
     next_id = 0
     id_col = "id"  # current logical name (rename flips it)
+    # per-version model snapshots so a RESTORE can assert the rolled-
+    # back state (and the logical column name that version used)
+    hist: dict[int, tuple[dict[int, int], str]] = {}
 
     def batch(n):
         nonlocal next_id
@@ -1725,14 +1728,18 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
     def df_of(rows):
         return spark.createDataFrame(rows, f"{id_col} long, label int")
 
+    def snap():
+        hist[M.current_version(root)] = (dict(model), id_col)
+
     rows = batch(20)
     M.commit_append(root, df_of(rows))
     model.update(dict(rows))
+    snap()
 
     for step in range(steps):
         op = rng.choice(
             ["append", "clustered", "delete", "upsert", "rewrite",
-             "compact", "vacuum", "rename"]
+             "compact", "vacuum", "rename", "restore"]
         )
         if op == "append":
             rows = batch(rng.randint(1, 12))
@@ -1770,6 +1777,19 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
             new_name = "ident" if id_col == "id" else "id"
             M.commit_rename_column(root, id_col, new_name)
             id_col = new_name
+        elif op == "restore":
+            # roll back to any RETAINED version the model remembers
+            # (vacuum may have dropped some); the restored state — and
+            # the logical column name that version used — must replay
+            cands = [
+                v for v in M.list_versions(root)
+                if v in hist and v != M.current_version(root)
+            ]
+            if cands:
+                v = rng.choice(cands)
+                M.restore_snapshot(root, v)
+                model, id_col = dict(hist[v][0]), hist[v][1]
+        snap()
         got = {
             r[id_col]: r["label"]
             for r in M.read_snapshot(spark, root).collect()
