@@ -976,8 +976,18 @@ def pagerank_micro(
     production deployment flips the three integer expressions to
     doubles and gains nothing but nondeterminism; rank ORDER is
     unaffected at this scale (pinned in tests against a float replay).
+
+    Edges are canonicalized (a < b, distinct) before symmetrization,
+    same as ``triangle_stats``: duplicate or reversed-duplicate pairs
+    from an arbitrary caller must not inflate deg or per-edge
+    contributions (the LSH registry path happens to emit distinct
+    pairs, but the operator cannot depend on that).
     """
-    sym = _symmetrize(edges, a_col, b_col)
+    canon = edges.select(
+        F.least(a_col, b_col).alias(a_col),
+        F.greatest(a_col, b_col).alias(b_col),
+    ).distinct()
+    sym = _symmetrize(canon, a_col, b_col)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     sym_deg = sym.join(deg, "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("id"))
@@ -1015,7 +1025,9 @@ def pagerank_micro_sql(threshold: float, iters: int = 3) -> str:
     so a hash match certifies every micro-unit of every round."""
     pairs = minhash_lsh_pairs_sql(threshold)
     ctes = [
-        f"pairs AS ({pairs})",
+        f"rawpairs AS ({pairs})",
+        """pairs AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS doc_a,
+          GREATEST(doc_a, doc_b) AS doc_b FROM rawpairs)""",
         _SYM_EDGES_SQL,
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
         "nodes AS (SELECT DISTINCT src AS id FROM edges)",
@@ -1491,4 +1503,9 @@ def dedup_ingest_commit_batch(
         )
     if batch_id > M.last_committed_meta(surv_root, "batch_id", -1):
         M.commit_append(surv_root, survivors, meta={"batch_id": int(batch_id)})
+    # bounded descriptors under indefinite ingest: advisory metadata-only
+    # compaction AFTER the guarded commits (replay-safe — batch_id meta
+    # is carried forward; a lost CAS race just retries next batch)
+    M.maybe_compact_sidecars(index_root)
+    M.maybe_compact_sidecars(surv_root)
     return stats if return_stats else None

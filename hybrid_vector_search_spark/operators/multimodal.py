@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hybrid_vector_search_spark.functions.portable import grid_avg
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("format", T.StringType()),
@@ -472,6 +474,9 @@ def media_ingest_commit_batch(
         M.commit_append(
             surv_root, survivors, meta={"batch_id": int(batch_id)}
         )
+    # indefinite ingest ⇒ bounded descriptor: advisory metadata-only
+    # compaction after the guarded commit (replay- and race-safe)
+    M.maybe_compact_sidecars(surv_root)
     return stats
 
 
@@ -578,5 +583,11 @@ def scene_cuts(media: DataFrame, threshold: int = 96) -> DataFrame:
         F.min("frame_idx").alias("start_frame"),
         F.max("frame_idx").alias("end_frame"),
         F.count(F.lit(1)).alias("n_frames"),
-        F.round(F.avg("luma"), 6).alias("mean_luma"),
+        # luma is integer: grid_digits=0 snaps the sum exactly, then
+        # the repo-wide grid_avg convention (snap, divide, portable
+        # round) keeps this hash-compared double off engine-native
+        # ROUND(AVG(...)) tie-flips
+        grid_avg(F.sum("luma"), F.count(F.lit(1)), 0, 6).alias(
+            "mean_luma"
+        ),
     )

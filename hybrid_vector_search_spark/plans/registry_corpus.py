@@ -287,7 +287,7 @@ scenes AS (
 SELECT media_id, scene_id,
   MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
   CAST(COUNT(*) AS BIGINT) AS n_frames,
-  ROUND(AVG(luma), 6) AS mean_luma
+  (floor(((floor((SUM(luma))::DOUBLE * 1.0 + 0.5) / 1.0) / (COUNT(*))::DOUBLE)::DOUBLE * 1000000.0 + 0.5) / 1000000.0) AS mean_luma
 FROM scenes GROUP BY media_id, scene_id
 ORDER BY media_id, scene_id""",
 )

@@ -695,6 +695,8 @@ def streaming_snapshot_ingest(
             batch_df.select("vec_id", "label"),
             meta={"batch_id": int(batch_id)},
         )
+        # every micro-batch is one commit: keep the descriptor bounded
+        M.maybe_compact_sidecars(table)
 
     schema = T.StructType(
         [
@@ -822,6 +824,8 @@ def streaming_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
                 M.commit_delete_where(
                     replica, dels, "id", meta={"applied_version": v}
                 )
+            # replica follows the source forever: bound its descriptor
+            M.maybe_compact_sidecars(replica)
             # empty delta (row-preserving rewrite): no commit, no
             # marker advance — re-deriving it on replay is a no-op
 

@@ -79,17 +79,17 @@ def derive_bucket_count(
     return min(1 << (floor - 1).bit_length(), max_buckets)
 
 
-def write_bucketed(
+def _write_bucketed_phys(
     df: DataFrame,
-    table: str,
+    phys_table: str,
     key: str,
     n_buckets: int,
     sort: bool = True,
     mode: str = "overwrite",
     path: str | None = None,
 ) -> None:
-    """Persist ``df`` hash-bucketed (and per-bucket sorted) on ``key``.
-    The pre-write ``repartition(n, key)`` hash-aligns write tasks with
+    """The raw bucketed write, to a PHYSICAL catalog table name. The
+    pre-write ``repartition(n, key)`` hash-aligns write tasks with
     buckets (same Murmur3 hash, same modulus) so each bucket lands as ONE
     sorted file — the layout Spark's sorted bucketed scan requires to
     elide both the Exchange and the Sort under a sort-merge join. With
@@ -102,7 +102,46 @@ def write_bucketed(
         w = w.sortBy(key)
     if path is not None:
         w = w.option("path", path)
-    w.format("parquet").saveAsTable(table)
+    w.format("parquet").saveAsTable(phys_table)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-bucket sorted) on ``key``,
+    published as VIEW ``table`` over the versioned physical table
+    ``<table>__b<n_buckets>``.
+
+    The view indirection exists FROM THE FIRST WRITE (r13): every later
+    layout change in the table's life — including the very first
+    :func:`rebucket_if_outgrown` — publishes with one atomic
+    CREATE OR REPLACE VIEW, so a concurrent reader always resolves some
+    complete layout. (The r12 design upgraded plain tables to views on
+    first rebucket via RENAME+CREATE — two statements with a no-table
+    window between them; binding the name as a view at birth erases
+    that window entirely.) Plan cost of the indirection is nil: the view
+    body is ``SELECT * FROM <phys>``, which the analyzer inlines, so
+    bucket metadata still reaches the join planner and shuffle elision
+    is unaffected (pinned by tests/test_bucketing.py plan asserts)."""
+    spark = df.sparkSession
+    phys = f"{table}__b{n_buckets}"
+    _write_bucketed_phys(df, phys, key, n_buckets, sort, mode, path)
+    try:
+        t = spark.catalog.getTable(table)
+        is_view = (t.tableType or "").upper() == "VIEW"
+    except Exception:
+        is_view = None  # name unbound
+    if is_view is False:
+        # legacy upgrade: a pre-r13 PLAIN table holds the public name;
+        # free it (brief window, only ever paid once per legacy table)
+        spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM {phys}")
 
 
 def _view_backing(spark: SparkSession, table: str) -> str | None:
@@ -170,14 +209,16 @@ def rebucket_if_outgrown(
     VIEW named ``table`` at it — a single catalog update, so a
     concurrent reader resolves either the old or the new layout, never
     a missing table (the r11 DROP→RENAME pair had a no-table window
-    between the statements). The first rebucket of a PLAIN table
-    upgrades it to the view indirection (rename-away + create-view —
-    the one remaining brief window; run that first swap inside a
-    maintenance window, every later one is atomic). Readers that
-    resolved the OLD layout before the swap keep scanning its files:
-    with an external ``path`` those outlive ``drop_old``; for managed
-    tables pass ``drop_old=False`` and reclaim the superseded physical
-    table from a later maintenance run instead.
+    between the statements). Since r13 :func:`write_bucketed` binds the
+    public name as a view from the FIRST write, so every swap in a
+    table's life — including the first — is the atomic CREATE OR
+    REPLACE VIEW; only a legacy PLAIN table (created outside
+    write_bucketed) still pays the one-time rename-away + create-view
+    upgrade. Readers that resolved the OLD layout before the swap keep
+    scanning its files: with an external ``path`` those outlive
+    ``drop_old``; for managed tables pass ``drop_old=False`` and
+    reclaim the superseded physical table from a later maintenance run
+    instead.
 
     ``path`` MUST be a NEW location for the staged layout — never the
     table's current one (write_bucketed would overwrite the very files
@@ -205,10 +246,10 @@ def rebucket_if_outgrown(
                 f"scanning; stage under a fresh location"
             )
     staged = f"{table}__b{want}"
-    write_bucketed(df, staged, key, want, path=path)
+    _write_bucketed_phys(df, staged, key, want, path=path)
     if backing is None:
-        # one-time upgrade to view indirection: free the name, bind the
-        # view (the brief window documented above)
+        # legacy-only upgrade (pre-view plain table): free the name,
+        # bind the view (the brief window documented above)
         phys_old = f"{table}__b{have}"
         spark.sql(f"ALTER TABLE {table} RENAME TO {phys_old}")
         spark.sql(f"CREATE VIEW {table} AS SELECT * FROM {staged}")

@@ -1746,7 +1746,12 @@ def _try_commit_manifest(root: str, version: int, payload: dict) -> bool:
         # resolve_asof takes the GREATEST qualifying version, which
         # degrades gracefully if clocks ever step backward.
         json.dump(
-            {"committed_at": _time.time(), **payload, "version": version},
+            # stamp AFTER payload: caller meta is stored flat in the
+            # descriptor, so a payload carrying a 'committed_at' key
+            # must not silently override the wall stamp (it would
+            # corrupt resolve_asof's default clock and age-based
+            # retention).
+            {**payload, "committed_at": _time.time(), "version": version},
             f,
         )
     try:
@@ -2439,6 +2444,58 @@ def compact_manifest_sidecars(
     )
 
 
+# Auto-compaction trigger policy for continuously-appending tables
+# (streaming foreachBatch sinks commit every micro-batch): compact when
+# the live descriptor references more than AUTO_COMPACT_GROUPS sidecar
+# groups, back down to AUTO_COMPACT_TARGET. 32→8 keeps cold snapshot
+# resolution O(8) forever at a metadata-only compaction every ~24
+# commits — amortized cost per commit is one small sidecar rewrite,
+# while without it the descriptor grows O(commits) and cold resolve
+# O(groups) (measured 364 ms at 166 groups, SCALING.md).
+AUTO_COMPACT_GROUPS = 32
+AUTO_COMPACT_TARGET = 8
+
+
+def maybe_compact_sidecars(
+    root: str,
+    max_groups: int = AUTO_COMPACT_GROUPS,
+    target_groups: int = AUTO_COMPACT_TARGET,
+) -> int | None:
+    """ADVISORY sidecar compaction — the call every streaming ingest
+    path makes after its guarded micro-batch commit, so no table that
+    appends forever grows an unbounded descriptor.
+
+    Safe in exactly the ways a foreachBatch sink needs:
+
+    - **Replay-safe**: compaction is metadata-only and publishes a
+      byte-identical table state; the exactly-once guard
+      (:func:`last_committed_meta` on ``batch_id``) reads descriptor
+      META keys, which compaction carries forward verbatim — a crash
+      before/after the compaction commit changes nothing a replayed
+      batch can observe.
+    - **Concurrency-tolerant**: the underlying compaction loops on the
+      manifest CAS like any commit; if concurrent appends keep winning,
+      this gives up silently (returns None) instead of failing the
+      micro-batch — the NEXT batch's call re-triggers, so the bound
+      still holds (descriptor never exceeds max_groups + in-flight
+      batches for long).
+    - **Cheap when idle**: below the threshold it reads ONE descriptor
+      and returns; no Spark job, no sidecar I/O.
+
+    Returns the compacted version, or None when below threshold / lost
+    to contention / table uninitialized."""
+    v = current_version(root)
+    if v < 0:
+        return None
+    cur = _read_manifest(root, v)
+    if len(cur.get("groups", [])) <= max(int(max_groups), 1):
+        return None
+    try:
+        return compact_manifest_sidecars(root, target_groups)
+    except CommitConflictError:
+        return None  # advisory: the next micro-batch re-triggers
+
+
 def create_tag(root: str, name: str, version: int | None = None) -> int:
     """Pin a version under an immutable NAME (``refs/<name>.json``) —
     'the corpus run X trained on', addressable without remembering a
@@ -2976,7 +3033,10 @@ def vacuum(
         for v in vs:
             t = _read_manifest(root, v).get("committed_at")
             try:
-                recent = t is not None and float(t) >= keep_since_ts
+                # missing stamp == unparseable stamp: an unknown-age
+                # snapshot (committed before stamping existed) must be
+                # kept, never destroyed, under an age-based request
+                recent = True if t is None else float(t) >= keep_since_ts
             except (TypeError, ValueError):
                 recent = True  # unparseable stamp: keep, never destroy
             if recent:

@@ -43,7 +43,8 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast, tmp_path):
     assert "Exchange" not in agg_plan
 
     for t in ("corpus_embeddings", "corpus_documents"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP VIEW IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__b4")
 
 
 def test_q18_bucketed_matches_plain_and_elides_shuffle(spark):
@@ -176,20 +177,26 @@ def test_rebucket_if_outgrown(spark, no_broadcast, tmp_path):
     j = spark.table("rb_emb").join(spark.table("rb_docs2"), "id", "left")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    # the swap left a VIEW over the versioned physical layout
-    assert spark.catalog.getTable("rb_emb").tableType.upper() == "VIEW"
-    spark.sql("DROP VIEW IF EXISTS rb_emb")
-    for t in ("rb_docs", "rb_docs2", f"rb_emb__b{n1}"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # view-from-birth (r13): EVERY name is a view over a versioned
+    # physical layout, from the very first write
+    for name in ("rb_emb", "rb_docs", "rb_docs2"):
+        assert spark.catalog.getTable(name).tableType.upper() == "VIEW"
+    for name in ("rb_emb", "rb_docs", "rb_docs2"):
+        spark.sql(f"DROP VIEW IF EXISTS {name}")
+    for row in spark.sql("SHOW TABLES").collect():
+        if row["tableName"].startswith(("rb_emb__b", "rb_docs")):
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
 
 
 def test_rebucket_swap_is_reader_safe(spark, tmp_path):
     """A reader racing the rebucket swap never sees a missing table:
-    once the layout is view-backed, publishing a bigger layout is ONE
-    catalog update (CREATE OR REPLACE VIEW), and old files outlive the
-    swap for in-flight scans (external location). A continuous reader
-    thread counts the table across repeated forced rebuckets — every
-    read must succeed and see the full row count."""
+    the name is view-backed FROM THE FIRST WRITE (r13), so publishing a
+    bigger layout — including the very first rebucket of the table's
+    life — is ONE catalog update (CREATE OR REPLACE VIEW), and old
+    files outlive the swap for in-flight scans (external location). A
+    continuous reader thread counts the table across the first and
+    every subsequent forced rebucket — every read must succeed and see
+    the full row count."""
     import threading
 
     from hybrid_vector_search_spark.errors import ValidationError
@@ -206,6 +213,8 @@ def test_rebucket_swap_is_reader_safe(spark, tmp_path):
     p = spark.sparkContext.defaultParallelism
     n0 = 1 << (p - 1).bit_length()
     write_bucketed(df, "rs_docs", "id", n0, path=str(tmp_path / "v0"))
+    # view-from-birth: no plain-table era, no upgrade window to race
+    assert spark.catalog.getTable("rs_docs").tableType.upper() == "VIEW"
 
     # ADVICE guard: staging into the table's CURRENT location raises
     # instead of overwriting the files the rewrite is scanning
@@ -214,15 +223,6 @@ def test_rebucket_swap_is_reader_safe(spark, tmp_path):
             spark, "rs_docs", "id", target_bytes=1,
             path=str(tmp_path / "v0"),
         )
-
-    # upgrade to view indirection once (documented maintenance window)
-    tiny = max(plan_size_bytes(spark.table("rs_docs")) // (4 * n0), 1)
-    n1 = rebucket_if_outgrown(
-        spark, "rs_docs", "id", target_bytes=tiny,
-        path=str(tmp_path / "v1"), drop_old=False,
-    )
-    assert n1 > n0
-    assert spark.catalog.getTable("rs_docs").tableType.upper() == "VIEW"
 
     errs: list = []
     stop = threading.Event()
@@ -237,8 +237,10 @@ def test_rebucket_swap_is_reader_safe(spark, tmp_path):
     t = threading.Thread(target=reader)
     t.start()
     try:
-        n_prev = n1
-        for gen in (2, 3):
+        # the FIRST rebucket runs under the racing reader too (r13:
+        # the r12 design documented it as a maintenance-window step)
+        n_prev = n0
+        for gen in (1, 2, 3):
             tiny = max(
                 plan_size_bytes(spark.table("rs_docs")) // (4 * n_prev), 1
             )
@@ -254,9 +256,6 @@ def test_rebucket_swap_is_reader_safe(spark, tmp_path):
     assert errs == []
     assert spark.table("rs_docs").count() == n_rows
     spark.sql("DROP VIEW IF EXISTS rs_docs")
-    for n in {n0, n1, n_prev} | {n_prev}:
-        spark.sql(f"DROP TABLE IF EXISTS rs_docs__b{n}")
-    # intermediate generations too
     for row in spark.sql("SHOW TABLES").collect():
         if row["tableName"].startswith("rs_docs__b"):
             spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")

@@ -443,6 +443,29 @@ def test_pagerank_micro_matches_float_replay(spark):
     float_order = sorted(r, key=lambda v: (-r[v], v))
     int_order = sorted(got, key=lambda v: (-got[v][0], v))
     assert int_order == float_order and int_order[0] == 0
+
+
+def test_pagerank_micro_canonicalizes_duplicate_edges(spark):
+    """Duplicate and reversed-duplicate pairs from an arbitrary caller
+    must not inflate deg or per-edge rank contributions (r13 advice):
+    the operator canonicalizes to a<b + distinct, like triangle_stats."""
+    clean = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "doc_a long, doc_b long"
+    )
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 2), (1, 2), (2, 1), (2, 1)],
+        "doc_a long, doc_b long",
+    )
+    want = {
+        r.doc_id: (r.pagerank_micro, r.deg)
+        for r in DD.pagerank_micro(clean, iters=3).collect()
+    }
+    got = {
+        r.doc_id: (r.pagerank_micro, r.deg)
+        for r in DD.pagerank_micro(noisy, iters=3).collect()
+    }
+    assert got == want
+    assert all(d == 2 for _, d in got.values())
     # total mass conserved up to floor loss
     total = sum(v[0] for v in got.values())
     assert DD.PAGERANK_SCALE * 0.98 <= total <= DD.PAGERANK_SCALE

@@ -1739,7 +1739,7 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
     for step in range(steps):
         op = rng.choice(
             ["append", "clustered", "delete", "upsert", "rewrite",
-             "compact", "vacuum", "rename", "restore"]
+             "compact", "vacuum", "rename", "restore", "autocompact"]
         )
         if op == "append":
             rows = batch(rng.randint(1, 12))
@@ -1771,6 +1771,14 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
             )
         elif op == "compact":
             M.compact_manifest_sidecars(root, target_groups=rng.randint(1, 4))
+        elif op == "autocompact":
+            # the streaming-ingest actor: advisory, threshold-gated,
+            # must be a silent no-op or a byte-identical rewrite at any
+            # point in any interleaving (r13 auto-compaction)
+            M.maybe_compact_sidecars(
+                root, max_groups=rng.randint(1, 6),
+                target_groups=rng.randint(1, 3),
+            )
         elif op == "vacuum":
             M.vacuum(root, keep_last=2, orphan_grace_sec=0)
         elif op == "rename":
@@ -1931,3 +1939,122 @@ def test_changelog_and_apply_across_restore(spark, tmp_path):
     )
     assert _ids(replica) == set(range(10))
     assert replica.exceptAll(M.read_snapshot(spark, root, 3)).count() == 0
+
+
+# r13 advice fixes: retention of unknown-age snapshots; the wall stamp
+# is never caller-overridable.
+
+
+def test_vacuum_age_floor_keeps_unstamped_versions(spark, tmp_path):
+    """A manifest with NO committed_at (committed before stamping
+    existed) is unknown-age: an age-based retention request must keep
+    it, same as an unparseable stamp — never destroy on missing
+    evidence."""
+    import time
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 3))   # v1 — will be unstamped
+    M.commit_append(root, _df(spark, 3, 6))   # v2
+    M.commit_append(root, _df(spark, 6, 9))   # v3
+    p = os.path.join(root, M._manifest_name(1))
+    with open(p) as f:
+        d = json.load(f)
+    d.pop("committed_at", None)
+    with open(p, "w") as f:
+        json.dump(d, f)
+    # age floor at "now": every stamped version is old EXCEPT the floor
+    # keeps nothing by age — yet unstamped v1 must survive
+    st = M.vacuum(
+        root, keep_last=1, orphan_grace_sec=0,
+        keep_since_ts=time.time() + 3600,
+    )
+    assert 1 in M.list_versions(root)
+    assert 2 not in M.list_versions(root)  # stamped + old: dropped
+    assert st["dropped_versions"] == 1
+    assert _ids(M.read_snapshot(spark, root, 1)) == set(range(3))
+
+
+def test_commit_meta_cannot_override_committed_at(spark, tmp_path):
+    """meta rides flat in the descriptor, so a caller key named
+    'committed_at' must not displace the wall stamp (it would corrupt
+    resolve_asof's default clock and age-based retention)."""
+    import time
+
+    root = str(tmp_path / "tbl")
+    before = time.time()
+    M.commit_append(root, _df(spark, 0, 3), meta={"committed_at": 1.0})
+    after = time.time()
+    t = M._read_manifest(root, 1).get("committed_at")
+    assert before <= float(t) <= after
+
+
+# r13: advisory auto-compaction for continuously-appending (streaming)
+# tables — the trigger policy, exactly-once meta carry, and race safety.
+
+
+def test_maybe_compact_triggers_and_carries_meta(spark, tmp_path):
+    """Below threshold: pure read, no new version. Above: one
+    metadata-only commit back to target_groups, rows byte-identical,
+    and the exactly-once guard key (batch_id) survives verbatim."""
+    root = str(tmp_path / "tbl")
+    for b in range(6):
+        M.commit_append(root, _df(spark, b * 2, b * 2 + 2), meta={"batch_id": b})
+        assert M.maybe_compact_sidecars(root, max_groups=10) is None
+    v = M.current_version(root)
+    assert v == 6  # no surprise versions below threshold
+    got = M.maybe_compact_sidecars(root, max_groups=4, target_groups=2)
+    assert got == 7
+    assert len(M._read_manifest(root, 7).get("groups", [])) <= 2
+    # replay guard unaffected: last batch id rides through compaction
+    assert M.last_committed_meta(root, "batch_id", -1) == 5
+    assert _ids(M.read_snapshot(spark, root)) == set(range(12))
+    # uninitialized table: no-op, no crash
+    assert M.maybe_compact_sidecars(str(tmp_path / "nope")) is None
+
+
+def test_maybe_compact_races_concurrent_appends(spark, tmp_path):
+    """A compacting actor hammering maybe_compact while appenders
+    commit: every batch must survive exactly once, the final descriptor
+    must be bounded, and the advisory call must never raise (lost CAS
+    races return None)."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _df(spark, 0, 2), meta={"batch_id": -1})
+    errs = []
+
+    def appender(lo):
+        try:
+            for b in range(8):
+                M.commit_append(
+                    root, _df(spark, lo + b * 2, lo + b * 2 + 2)
+                )
+        except Exception as e:  # pragma: no cover - fail loudly
+            errs.append(e)
+
+    def compactor():
+        try:
+            for _ in range(30):
+                M.maybe_compact_sidecars(root, max_groups=3, target_groups=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(100,)),
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=compactor),
+        threading.Thread(target=compactor),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    want = set(range(0, 2))
+    want |= {100 + i for i in range(16)}
+    want |= {1000 + i for i in range(16)}
+    assert _ids(M.read_snapshot(spark, root)) == want
+    # one final advisory pass bounds the descriptor
+    M.maybe_compact_sidecars(root, max_groups=3, target_groups=2)
+    cur = M._read_manifest(root, M.current_version(root))
+    assert len(cur.get("groups", [])) <= 3
