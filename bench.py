@@ -80,11 +80,39 @@ def main() -> None:
     # compare query/floor ratios across rounds, not raw walls.
     _floor_df = spark.range(1_000_000)
     _floor_df.count()
-    floor_s = float("inf")
-    for _ in range(15):
-        _t = time.perf_counter()
-        _floor_df.count()
-        floor_s = min(floor_s, time.perf_counter() - _t)
+
+    def measure_floor() -> float:
+        best = float("inf")
+        for _ in range(15):
+            _t = time.perf_counter()
+            _floor_df.count()
+            best = min(best, time.perf_counter() - _t)
+        return best
+
+    # HOST-HEALTH GATE (r12 verdict task 2): the committed r12 artifact
+    # carried a 4-5%-CPU-steal-era number (39.5 s) while the identical
+    # code measured 33.2 s in a healthy window. Healthy floors here run
+    # 59-76 ms; >80 ms means a noisy neighbor is inflating every
+    # floor-bound query ~uniformly. Strategy: wait for a healthy window
+    # (a few short sleeps — steal bursts are transient), and if none
+    # arrives, finalize anyway but ANNOTATE the artifact with an
+    # explicit floor-normalized headline so the recorded number is
+    # interpretable without a re-run.
+    floor_gate_s = float(os.environ.get("SPARK_GRAFT_FLOOR_GATE_MS", "80")) / 1e3
+    healthy_floor_s = 0.070  # median of measured healthy windows (59-76 ms)
+    floor_s = measure_floor()
+    waits = int(os.environ.get("SPARK_GRAFT_FLOOR_WAITS", "4"))
+    for i in range(waits):
+        if floor_s <= floor_gate_s:
+            break
+        print(
+            f"bench: job floor {floor_s * 1e3:.1f} ms > gate "
+            f"{floor_gate_s * 1e3:.0f} ms — host degraded, waiting for a "
+            f"healthy window ({i + 1}/{waits})",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+        floor_s = min(floor_s, measure_floor())
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
@@ -199,6 +227,10 @@ def main() -> None:
             time_query(name, QUERIES[name])
             timings[name] = min(prev, timings.get(name, prev))
 
+    # end-of-run floor re-probe: the suite takes minutes, so health can
+    # change mid-run; the recorded floor is the session's best estimate
+    floor_s = min(floor_s, measure_floor())
+
     total = round(sum(timings.values()), 4)
     headline = {
         "metric": "headline_queries_total_wall",
@@ -217,6 +249,22 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
         **({"n_errors": len(errors)} if errors else {}),
     }
+    if floor_s > floor_gate_s:
+        # no healthy window arrived: annotate rather than refuse (the
+        # driver must still get its one JSON line). The normalization is
+        # the r12 attribution's measured model — steal inflates
+        # floor-bound queries uniformly with the floor — applied as an
+        # explicit, labeled estimate next to the raw number, never
+        # replacing it.
+        factor = healthy_floor_s / floor_s
+        headline["host_degraded"] = True
+        headline["floor_normalized_value"] = round(total * factor, 4)
+        headline["floor_normalized_note"] = (
+            f"job floor {floor_s * 1e3:.1f} ms exceeded the "
+            f"{floor_gate_s * 1e3:.0f} ms health gate; value x "
+            f"{factor:.3f} estimates the healthy-window "
+            f"({healthy_floor_s * 1e3:.0f} ms floor) wall"
+        )
     detail = dict(headline)
     detail["queries"] = timings
     if errors:
