@@ -1068,23 +1068,56 @@ def triangle_stats(
     distinct documents). Nodes with deg ≥ 2 only (cc is undefined
     below).
 
-    Enumeration uses the ORIENTED wedge join: edges canonicalized to
-    a < b, wedges (a<b<c) built by joining on the middle node, closed
-    by one semi-join back to the edge list — each triangle counted
-    exactly once, and the orientation caps wedge fan-out by FORWARD
-    degree (the standard distributed-triangle optimization; without it
-    a hub's wedge count is deg², with it roughly deg²/4 split across
-    the join). cc = 2·tri/(deg·(deg−1)) rounded portably."""
+    Enumeration uses the ORIENTED wedge join with DEGREE ordering
+    (Chiba–Nishizeki / the standard distributed-triangle skew guard,
+    r12 verdict task 6): edges are oriented from the (deg, id)-smaller
+    endpoint to the larger, wedges built by joining on the middle
+    node, closed by one join back to the oriented edge list — each
+    triangle counted exactly once under ANY total order, so the answer
+    is identical to the id-ordered form (the DuckDB oracle keeps
+    LEAST/GREATEST and hashes match). Why degree order: under id
+    order a hub of degree d carries ~d²/4 wedges — quadratic on the
+    content-farm cluster a 100× corpus will contain — while under
+    degree order the hub sorts LAST, has zero out-edges, and builds
+    zero wedges; per-node wedge work is in×out ≤ deg·√(2m), giving
+    the O(m^1.5) worst-case bound with no sampling, salting, or
+    correction terms. cc = 2·tri/(deg·(deg−1)) rounded portably."""
     from hybrid_vector_search_spark.functions.portable import (
         round_portable,
     )
 
+    canon = edges.select(
+        F.least(a_col, b_col).alias("a"),
+        F.greatest(a_col, b_col).alias("b"),
+    ).distinct()
+    deg0 = (
+        canon.select(F.col("a").alias("id"))
+        .union(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # re-orient each edge by (deg, id): u→v iff (d_u, u) < (d_v, v)
     e = (
-        edges.select(
-            F.least(a_col, b_col).alias("a"),
-            F.greatest(a_col, b_col).alias("b"),
+        canon.join(
+            deg0.select(F.col("id").alias("a"), F.col("d").alias("da")),
+            "a",
         )
-        .distinct()
+        .join(
+            deg0.select(F.col("id").alias("b"), F.col("d").alias("db")),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("a"), F.col("e.v").alias("b"))
         .localCheckpoint()
     )
     wedges = (
@@ -1386,6 +1419,78 @@ def dedup_ingest_band_keys():
     )
 
 
+# Band postings cluster into per-commit hash slices of the band-key
+# space sized so each file holds ~BAND_KEYS_PER_FILE keys (cluster
+# value 'b0000'..'b4095'; gram postings stay one 'g' file per commit).
+# NARROW band files are what make the per-file Bloom on ``k``
+# selective under a probe SET: false-positive admission compounds per
+# probe value, so a dense 2,000-key bloom admits almost any probe
+# while a ~64-key bloom admits essentially only true matches — and
+# narrowness is preserved at ANY corpus size because the modulus is
+# derived per commit from the batch's own posting count, not pinned.
+# The pair (narrow bucket files, per-file bloom) is how per-batch
+# scanned bytes track MATCHING postings instead of index size (r12
+# verdict task 5).
+BAND_KEYS_PER_FILE = 64
+MAX_BAND_BUCKETS = 4096
+# driver-side probe-set cap: the batch's distinct band keys are
+# collected to bloom-prune index files (bounded by NUM_BANDS × |batch|
+# strings); beyond this a bulk backfill batch falls back to scanning
+# the full band slice (kind-pruned), which a bulk batch would mostly
+# touch anyway
+MAX_PROBE_KEYS = 4096
+
+
+def _band_key_hash(k: str) -> int:
+    """Python twin of the Spark-side bucket hash (md5 head, the
+    manifest's portable-hash convention) — the probe side of the
+    bucket-grouped bloom pruning."""
+    import hashlib as _hl
+
+    return int(_hl.md5(k.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _band_file_bucket(entry: dict):
+    """A band file's bucket int from its ck stats (min==max 'bNNNN' by
+    clustered construction); None for anything else — the file is then
+    conservatively tested against every probe."""
+    mm = (entry or {}).get("ck")
+    if not mm or mm[0] != mm[1]:
+        return None
+    v = str(mm[0])
+    if not v.startswith("b"):
+        return None
+    try:
+        return int(v[1:])
+    except ValueError:
+        return None
+
+
+def _band_cluster_col(n_buckets: int):
+    """'b%04d' hash-slice label for band postings: md5-bucketed so any
+    engine recomputes it bit-for-bit; ``n_buckets`` is the per-commit
+    modulus (bucket ids are file-narrowing labels only — reads never
+    interpret them, so the modulus is free to differ per commit)."""
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(F.col("k"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+        % int(n_buckets)
+    )
+    return F.format_string("b%04d", bucket.cast("int"))
+
+
+def _band_bucket_count(n_docs: int) -> int:
+    """Per-commit band bucket modulus: next power of two that keeps
+    ~BAND_KEYS_PER_FILE band keys per file, floored at 16 (a tiny
+    batch still separates kinds), capped at MAX_BAND_BUCKETS (a bulk
+    backfill batch should not write 100k files)."""
+    keys = max(int(n_docs), 1) * NUM_BANDS
+    want = max(16, -(-keys // BAND_KEYS_PER_FILE))
+    return min(1 << (want - 1).bit_length(), MAX_BAND_BUCKETS)
+
+
 def dedup_ingest_commit_batch(
     spark,
     batch_df,
@@ -1420,15 +1525,20 @@ def dedup_ingest_commit_batch(
     # signature table — without the checkpoint the Arrow
     # shingle+minhash kernel would re-run per consumer
     sig = minhash_signatures(batch_df).localCheckpoint(eager=True)
+    n_docs = sig.count()  # cheap: checkpointed; sizes the bucket modulus
     bands_b = sig.select("doc_id", F.explode(band_keys).alias("k"))
     grams_b = sig.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("k")
     )
     postings_b = bands_b.withColumn(
         "n_sh", F.lit(None).cast("int")
-    ).withColumn("kind", F.lit("b")).unionByName(
-        grams_b.withColumn("kind", F.lit("g"))
-    ).select("kind", "k", "doc_id", "n_sh")
+    ).withColumn("kind", F.lit("b")).withColumn(
+        "ck", _band_cluster_col(_band_bucket_count(n_docs))
+    ).unionByName(
+        grams_b.withColumn("kind", F.lit("g")).withColumn(
+            "ck", F.lit("g")
+        )
+    ).select("ck", "kind", "k", "doc_id", "n_sh")
 
     stats = {"candidates": 0}
     # (1) in-batch keep-first: verified pair rejects the larger id
@@ -1436,16 +1546,45 @@ def dedup_ingest_commit_batch(
         batch_df, threshold, sig=sig, materialize=False
     ).select(F.col("doc_b").alias("doc_id"))
     # (2) vs every previously-seen doc through the persisted index.
-    # Postings are committed CLUSTERED BY KIND (one band file + one
-    # gram file per commit, each with footer min==max=='b'/'g'), so the
-    # manifest prunes each stage to its own files: the candidate join
-    # scans ONLY band postings (NUM_BANDS rows/doc — the gram postings,
-    # ~shingles/doc and the bulk of index bytes, are never opened) and
-    # the verify join only gram postings.
+    # Postings are committed CLUSTERED BY ``ck`` — band postings in 64
+    # hash slices of the band-key space ('b00'..'b63'), gram postings
+    # one 'g' file per commit — each file min==max on ck, plus a
+    # per-file Bloom on ``k``. The candidate join then scans ONLY the
+    # band files that (a) sit in a bucket the batch actually probes
+    # AND (b) bloom-admit one of the batch's band keys: bytes per
+    # batch track matching postings, not index size (r12 verdict
+    # task 5 — the old by-kind clustering still scanned the FULL band
+    # slice, ~6% of index bytes and growing with corpus). The verify
+    # join still opens only gram postings, and only for candidate
+    # pairs.
     if M.current_version(index_root) >= 0:
-        bands_o = M.read_snapshot_pruned_in(
-            spark, index_root, "kind", ["b"]
-        )
+        probe_keys = [
+            r["k"] for r in bands_b.select("k").distinct().collect()
+        ]  # bounded: <= NUM_BANDS x |batch| strings
+        if len(probe_keys) <= MAX_PROBE_KEYS:
+            # kind slice (band files only — each file min==max) layered
+            # with the per-file blooms probed by the batch's own keys;
+            # no row filter: the candidate equi-join ON k discards
+            # non-probed rows anyway
+            _files: list[str] = []
+            bands_o = M.read_snapshot_probe_pruned(
+                spark, index_root, "kind", ["b"], "k", probe_keys,
+                row_filter=False, files_out=_files,
+                # bucket-grouped admission: each band file is tested
+                # only against the probes of its own pow2-nested hash
+                # bucket — driver mask work O(commits × probes), not
+                # O(files × probes)
+                probe_hash=_band_key_hash, file_bucket=_band_file_bucket,
+            )
+            if return_stats:
+                stats["band_files_scanned"] = len(_files)
+                stats["band_bytes_scanned"] = sum(
+                    os.path.getsize(f) for f in _files
+                )
+        else:  # bulk backfill: full band slice without the bloom layer
+            bands_o = M.read_snapshot_pruned_in(
+                spark, index_root, "kind", ["b"]
+            )
         grams_o = M.read_snapshot_pruned_in(
             spark, index_root, "kind", ["g"]
         )
@@ -1498,8 +1637,16 @@ def dedup_ingest_commit_batch(
     # that already landed (no double postings, no double survivors)
     if batch_id > M.last_committed_meta(index_root, "batch_id", -1):
         M.commit_append_clustered(
-            index_root, postings_b, "kind",
+            index_root, postings_b, "ck",
             meta={"batch_id": int(batch_id)},
+            bloom_columns=["k"],
+            bloom_cluster_prefix="b",  # gram files are never
+            # probe-pruned: skip re-reading their bytes per commit
+            # k=6 (vs the default 3): a probe SET compounds per-value
+            # fp, so the ~2k-key probe of a bulk batch needs per-key
+            # fp ~1e-6 for file admission to track true matches; the
+            # ~64-key files keep the k=6 bloom at ~9% bits set
+            bloom_hashes=6,
         )
     if batch_id > M.last_committed_meta(surv_root, "batch_id", -1):
         M.commit_append(surv_root, survivors, meta={"batch_id": int(batch_id)})

@@ -779,6 +779,294 @@ def read_snapshot_pruned(
     return df.filter(F.col(column).between(lo, hi))
 
 
+def snapshot_files_probe_pruned(
+    root: str,
+    cluster_col: str | None,
+    cluster_values,
+    bloom_col: str,
+    probe_values,
+    version: int | None = None,
+    _memo: dict | None = None,
+    probe_hash=None,
+    file_bucket=None,
+) -> tuple[int, list[str], int]:
+    """(version, kept absolute paths, total): PROBE-SET pruning for
+    point-lookup joins — a file survives only if
+
+    1. its ``cluster_col`` [min,max] can hold one of ``cluster_values``
+       (skip with ``cluster_col=None``) — the coarse slice (a clustered
+       layout writes min==max files, so this is exact), and
+    2. its per-file bloom on ``bloom_col`` admits AT LEAST ONE of
+       ``probe_values`` (files without a bloom are conservatively
+       kept; bloom false negatives are impossible, so the kept set is
+       always a superset of files holding probe matches).
+
+    This is the read shape of the streaming dedup ingest (r13): the
+    batch's band keys are the probe set, so the candidate join scans
+    only the files that can actually contain a probed posting — bytes
+    per batch track MATCHING postings, not index size. Blooms make
+    that selective only when files are narrow (few keys per file);
+    pair this with a bucketed cluster column so each file holds a thin
+    hash slice of the key space.
+
+    ``probe_hash``/``file_bucket`` (given together) bound the DRIVER
+    cost: without them every file's bloom is tested against every
+    probe — O(files × P) mask ops, linear in index size. When the
+    layout buckets each file by ``hash(value) % n`` with a POWER-OF-
+    TWO per-commit modulus (pow2 moduli NEST: h % n₁ & (n₂−1) = h %
+    n₂ for n₂ ≤ n₁), each file only needs the probes of ITS bucket:
+    per commit sidecar the modulus is inferred as next_pow2(max
+    bucket + 1) (≤ the true modulus, so nesting still holds), probes
+    are grouped by hash & (n−1), and total mask work drops to
+    O(commits × P) — independent of file count. ``probe_hash`` maps a
+    probe value to the layout's hash int; ``file_bucket`` maps a
+    file's stats entry to its bucket int (None = no bucket: tested
+    against all probes)."""
+    import base64
+
+    import numpy as _np
+
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    m = _read_manifest(root, v)
+    cvals = None if cluster_col is None else set(cluster_values)
+    pvals = list(probe_values)
+    # probe positions are a pure function of (value, m, k): hash each
+    # probe ONCE per bloom geometry into a byte MASK, then test whole
+    # file batches vectorized — the naive per-(file, value) loop
+    # re-hashes every probe for every file (P×files×k md5 calls) and
+    # even integer masks in a Python loop measured ~1.5 s of driver
+    # time at 2k probes × 500 files; the numpy form is ~50 ms.
+    mask_cache: dict[tuple[int, int], "_np.ndarray"] = {}
+
+    def probe_masks(m_bits: int, k_hashes: int) -> "_np.ndarray":
+        got = mask_cache.get((m_bits, k_hashes))
+        if got is None:
+            out = _np.zeros((len(pvals), m_bits // 8), dtype=_np.uint8)
+            for i, x in enumerate(pvals):
+                for pos in bloom_positions(x, m_bits, k_hashes):
+                    out[i, pos // 8] |= 1 << (pos % 8)
+            mask_cache[(m_bits, k_hashes)] = got = out
+        return got
+
+    def cluster_ok(entry: dict, c_phys: str | None) -> bool:
+        if cvals is None:
+            return True
+        mm = (entry or {}).get(c_phys)
+        return mm is None or any(mm[0] <= x <= mm[1] for x in cvals)
+
+    probe_hashes = (
+        None
+        if probe_hash is None
+        else _np.array([int(probe_hash(x)) for x in pvals], dtype=_np.int64)
+    )
+
+    def _test(bits_w, masks_w, admitted) -> None:
+        """OR into ``admitted``: per file, any mask fully present.
+        Chunk the probe axis — the full (F, P, words) broadcast is
+        hundreds of MB, per-probe Python looping is thousands of numpy
+        dispatches; 64-probe chunks keep temporaries ~MB."""
+        for c0 in range(0, len(masks_w), 64):
+            if admitted.all():
+                break
+            chunk = masks_w[c0:c0 + 64]  # (C, words)
+            hit = (
+                (bits_w[:, None, :] & chunk[None, :, :])
+                == chunk[None, :, :]
+            ).all(axis=2)  # (F, C)
+            admitted |= hit.any(axis=1)
+
+    def bloom_batch_admits(
+        entries: list[dict], b_phys: str
+    ) -> list[bool]:
+        """One vectorized pass: per file, does its bloom admit ANY
+        probe value (all of that value's k bits set)? Files without a
+        bloom (or with an unexpected geometry) are conservatively
+        kept. With ``probe_hash``/``file_bucket``, bucketed files are
+        tested only against their own bucket's probes (see the
+        function docstring)."""
+        out = [True] * len(entries)
+        by_geom: dict[tuple[int, int], list[int]] = {}
+        blobs: dict[int, bytes] = {}
+        fbs: list[int | None] = [None] * len(entries)
+        for i, entry in enumerate(entries):
+            bloom = (entry or {}).get(bloom_key(b_phys))
+            if not bloom:
+                continue
+            try:
+                blob = base64.b64decode(bloom["b64"])
+                geom = (int(bloom["m"]), int(bloom["k"]))
+            except (KeyError, TypeError, ValueError):
+                continue
+            if len(blob) * 8 != geom[0]:
+                continue
+            blobs[i] = blob
+            by_geom.setdefault(geom, []).append(i)
+            if probe_hashes is not None and file_bucket is not None:
+                try:
+                    fb = file_bucket(entry)
+                    fbs[i] = None if fb is None else int(fb)
+                except (TypeError, ValueError, KeyError, IndexError):
+                    fbs[i] = None
+        for geom, idxs in by_geom.items():
+            masks = probe_masks(*geom)  # (P, m/8) uint8
+            bits = _np.frombuffer(
+                b"".join(blobs[i] for i in idxs), dtype=_np.uint8
+            ).reshape(len(idxs), -1)  # (F, m/8)
+            if bits.shape[1] % 8 == 0:  # 8× fewer ops as uint64 words
+                bits_w = _np.ascontiguousarray(bits).view(_np.uint64)
+                masks_w = _np.ascontiguousarray(masks).view(_np.uint64)
+            else:  # odd geometry: per-byte works everywhere
+                bits_w, masks_w = bits, masks
+            admitted = _np.zeros(len(idxs), dtype=bool)
+            bucketed = [
+                j for j, i in enumerate(idxs) if fbs[i] is not None
+            ]
+            if not bucketed:
+                _test(bits_w, masks_w, admitted)
+            else:
+                # infer this sidecar's pow2 modulus from its max
+                # bucket (≤ true modulus ⇒ nesting holds), group files
+                # and probes by bucket (argsort + searchsorted — per-
+                # bucket list scans would be O(buckets × files)), test
+                # group-against-group
+                f_idx = _np.array(bucketed, dtype=_np.int64)
+                mx = int(max(fbs[idxs[j]] for j in bucketed))
+                n_g = (1 << mx.bit_length()) if mx > 0 else 1
+                fb_arr = _np.array(
+                    [fbs[idxs[j]] for j in bucketed], dtype=_np.int64
+                ) & (n_g - 1)
+                p_bucket = probe_hashes & (n_g - 1)
+                p_order = _np.argsort(p_bucket, kind="stable")
+                p_sorted = p_bucket[p_order]
+                f_order = _np.argsort(fb_arr, kind="stable")
+                fb_sorted = fb_arr[f_order]
+                starts = _np.searchsorted(
+                    fb_sorted, _np.arange(0, n_g + 1)
+                )
+                for fb in _np.unique(fb_sorted):
+                    lo, hi = starts[fb], starts[fb + 1]
+                    p_lo = _np.searchsorted(p_sorted, fb, side="left")
+                    p_hi = _np.searchsorted(p_sorted, fb, side="right")
+                    if p_lo == p_hi:
+                        continue  # no probe lands in this bucket
+                    f_sel = f_idx[f_order[lo:hi]]
+                    m_sel = p_order[p_lo:p_hi]
+                    sub = _np.zeros(len(f_sel), dtype=bool)
+                    _test(bits_w[f_sel], masks_w[m_sel], sub)
+                    admitted[f_sel] |= sub
+                rest = [
+                    j for j, i in enumerate(idxs) if fbs[i] is None
+                ]
+                if rest:
+                    sub = _np.zeros(len(rest), dtype=bool)
+                    _test(bits_w[rest], masks_w, sub)
+                    admitted[rest] |= sub
+            for j, i in enumerate(idxs):
+                out[i] = bool(admitted[j])
+        return out
+
+    if "groups" not in m:
+        stats = m.get("stats", {})
+        cands = [
+            rel
+            for rel in m["files"]
+            if cluster_ok(stats.get(rel, {}), cluster_col)
+        ]
+        admits = bloom_batch_admits(
+            [stats.get(r, {}) for r in cands], bloom_col
+        )
+        kept = [r for r, a in zip(cands, admits) if a]
+        return v, [os.path.join(root, r) for r in kept], len(m["files"])
+    kept, total = [], 0
+    for ge in m["groups"]:
+        total += int(ge["count"])
+        mp = ge.get("mapping", {})
+        c_phys = (
+            None if cluster_col is None else mp.get(cluster_col, cluster_col)
+        )
+        b_phys = mp.get(bloom_col, bloom_col)
+        if cvals is not None:
+            gmm = ge.get("summary", {}).get("minmax", {}).get(c_phys)
+            if gmm is not None and not any(
+                gmm[0] <= x <= gmm[1] for x in cvals
+            ):
+                continue  # whole sidecar outside the probed slice
+        rels, by_rel, avs = _load_group(root, ge["path"])
+        av = int(ge.get("added_version", 0))
+        cands = [
+            rel
+            for rel in rels
+            if cluster_ok(by_rel.get(rel, {}), c_phys)
+        ]
+        admits = bloom_batch_admits(
+            [by_rel.get(r, {}) for r in cands], b_phys
+        )
+        for rel, admit in zip(cands, admits):
+            if not admit:
+                continue
+            kept.append(rel)
+            if _memo is not None:
+                _memo[rel] = (
+                    mp, int(avs[rel]) if avs is not None else av
+                )
+    return v, [os.path.join(root, r) for r in kept], total
+
+
+def read_snapshot_probe_pruned(
+    spark: SparkSession,
+    root: str,
+    cluster_col: str | None,
+    cluster_values,
+    bloom_col: str,
+    probe_values,
+    version: int | None = None,
+    row_filter: bool = True,
+    files_out: list | None = None,
+    probe_hash=None,
+    file_bucket=None,
+) -> DataFrame:
+    """:func:`snapshot_files_probe_pruned` as a scan, plus (by
+    default) the row-level ``isin`` on the probed column —
+    result-identical to the unpruned filtered read (pruning keeps a
+    superset of files holding probe matches; the isin discards the
+    rest). Callers that feed the scan straight into an equi-join ON
+    the probed column pass ``row_filter=False``: the join discards
+    non-probed rows anyway, and an IN over thousands of literals is
+    pure Catalyst overhead. ``files_out`` (a list) receives the kept
+    absolute paths — scan-bytes accounting without re-running the
+    pruning."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) if version is None else int(version)
+    if v < 0:
+        raise ValidationError(f"no committed snapshot at '{root}'")
+    md = _read_manifest(root, v)
+    if "groups" not in md:
+        m = _resolve_manifest(root, v)
+        _v, files, _total = snapshot_files_probe_pruned(
+            root, cluster_col, cluster_values, bloom_col, probe_values, v,
+            probe_hash=probe_hash, file_bucket=file_bucket,
+        )
+        df = _apply_logical_schema(spark, root, m, files=files)
+    else:
+        memo: dict = {}
+        _v, files, _total = snapshot_files_probe_pruned(
+            root, cluster_col, cluster_values, bloom_col, probe_values, v,
+            _memo=memo, probe_hash=probe_hash, file_bucket=file_bucket,
+        )
+        df = _apply_logical_schema(
+            spark, root, _restricted_view(md, memo, files, root),
+            files=files,
+        )
+    if files_out is not None:
+        files_out.extend(files)
+    if row_filter:
+        df = df.filter(F.col(bloom_col).isin(list(probe_values)))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # writing — immutable data files + CAS manifest publish
 
@@ -896,6 +1184,8 @@ def _compute_file_blooms(
 
     from pyspark.sql import functions as F
 
+    if not rels:  # empty batch: no files, no blooms (a zero-path
+        return {}  # parquet read cannot even infer a schema)
     # getActiveSession is thread-local: a writer thread (the threaded
     # multi-writer tests, a maintenance pool) may see None — fall back
     # to the default session, which commit paths always run under
@@ -1070,22 +1360,39 @@ def commit_append_clustered(
     column: str,
     meta: dict | None = None,
     bloom_columns: list[str] | None = None,
+    bloom_cluster_prefix: str | None = None,
+    bloom_bits: int = BLOOM_BITS,
+    bloom_hashes: int = BLOOM_HASHES,
 ) -> int:
     """:func:`commit_append` with the one-file-per-``column``-value
     layout — the build commit of a manifest-backed index (each cluster
     file prunes exactly by its value). ``bloom_columns`` additionally
     records a per-file Bloom filter for each named column (point-lookup
     skipping where range stats can't prune — see the bloom section
-    above)."""
+    above). ``bloom_cluster_prefix`` restricts the bloom pass to files
+    whose cluster value starts with the prefix (e.g. only the 'b…'
+    band-posting files of a dedup index — blooming files nobody
+    probe-prunes re-reads their bytes per commit for nothing)."""
     os.makedirs(root, exist_ok=True)
     new = _write_data_files_clustered(df, root, column)
     new_stats = _footer_stats(root, new)
     if bloom_columns:
+        rels_bloom = new
+        if bloom_cluster_prefix is not None:
+            # a clustered file's value IS its [min,max] on the cluster
+            # column (min==max by construction)
+            rels_bloom = [
+                r
+                for r in new
+                if str(
+                    (new_stats.get(r, {}).get(column) or [""])[0]
+                ).startswith(bloom_cluster_prefix)
+            ]
         new_stats = _merge_bloom_stats(
             new_stats,
             {
                 c: _compute_file_blooms(
-                    root, new, c, BLOOM_BITS, BLOOM_HASHES
+                    root, rels_bloom, c, int(bloom_bits), int(bloom_hashes)
                 )
                 for c in bloom_columns
             },

@@ -2058,3 +2058,57 @@ def test_maybe_compact_races_concurrent_appends(spark, tmp_path):
     M.maybe_compact_sidecars(root, max_groups=3, target_groups=2)
     cur = M._read_manifest(root, M.current_version(root))
     assert len(cur.get("groups", [])) <= 3
+
+
+def test_probe_pruned_read_bloom_and_cluster(spark, tmp_path):
+    """Probe-set pruning (r13, the dedup-ingest read shape): files are
+    kept only when their cluster value is probed AND their bloom on the
+    probe column admits one of the probe values; the scan is
+    result-identical to the unpruned filtered read."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "idx")
+    # 4 commits, each clustered into 2 bucket files with blooms on k
+    for c in range(4):
+        df = spark.createDataFrame(
+            [(f"b{i % 2}", f"key-{c}-{i}", i) for i in range(8)],
+            "ck string, k string, payload int",
+        )
+        M.commit_append_clustered(root, df, "ck", bloom_columns=["k"])
+    probes = ["key-2-3", "key-2-5", "nope"]
+    v, files, total = M.snapshot_files_probe_pruned(
+        root, "ck", ["b1"], "k", probes
+    )
+    assert total == 8  # 4 commits x 2 cluster files
+    # bucket pruning alone keeps 4 (the b1 file of each commit); the
+    # bloom layer drops the three commits holding none of the probes
+    assert len(files) == 1
+    got = M.read_snapshot_probe_pruned(
+        spark, root, "ck", ["b1"], "k", probes
+    )
+    want = (
+        M.read_snapshot(spark, root)
+        .filter(F.col("k").isin(probes))
+        .filter(F.col("ck") == "b1")
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    ) == ["key-2-3", "key-2-5"]
+    # files without blooms are conservatively kept: a commit without
+    # bloom_columns must still be admitted
+    M.commit_append_clustered(
+        root,
+        spark.createDataFrame(
+            [("b1", "other", 1)], "ck string, k string, payload int"
+        ),
+        "ck",
+    )
+    _v2, files2, _t2 = M.snapshot_files_probe_pruned(
+        root, "ck", ["b1"], "k", probes
+    )
+    assert len(files2) == 2  # the bloomed match + the bloomless file
+    # no cluster column: bloom-only pruning over every file
+    _v3, files3, _t3 = M.snapshot_files_probe_pruned(
+        root, None, None, "k", probes
+    )
+    assert set(files) <= set(files3)

@@ -127,6 +127,94 @@ def main() -> None:
         "",
     ]
 
+    # --- adversarial skew row (r12 verdict task 6): a content-farm hub.
+    # Star hub ⋈ H spokes plus a spoke chain (every chain edge closes a
+    # triangle with the hub), hub id placed mid-range so the OLD id
+    # ordering would split its edges ~half in / half out — in×out ≈
+    # H²/4 wedges, quadratic. Degree ordering sorts the hub LAST (zero
+    # out-edges ⇒ zero wedges at the hub); the wedge volumes below are
+    # computed exactly from the two orientations, the wall is the real
+    # triangle_stats run under the degree-ordered join.
+    from hybrid_vector_search_spark.operators import dedup as DD2
+
+    skew_lines = [
+        "Hub-skew guard (degree-ordered wedge join): |",
+        "",
+        "| hub degree | edges | wedges (id order) | wedges (deg order) |"
+        " triangle_stats s | hub cc |",
+        "|---|---|---|---|---|---|",
+    ]
+    for H in (2_000, 8_000, 32_000):
+        hub = H // 2  # mid-range id: the id-order worst case
+        spokes = [i if i < hub else i + 1 for i in range(H)]
+        rows = [(hub, i) for i in spokes]
+        rows += [(spokes[j], spokes[j + 1]) for j in range(H - 1)]
+        edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        t0 = time.perf_counter()
+        out = DD.triangle_stats(edges)
+        hub_row = out.filter(F.col("doc_id") == hub).collect()[0]
+        wall = time.perf_counter() - t0
+        # exact wedge volumes under each orientation: sum over nodes of
+        # in×out for the oriented edge list
+        canon = edges.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        ).distinct()
+        def wedge_volume(e):
+            din = e.groupBy(F.col("b").alias("id")).agg(
+                F.count(F.lit(1)).alias("i")
+            )
+            dout = e.groupBy(F.col("a").alias("id")).agg(
+                F.count(F.lit(1)).alias("o")
+            )
+            return (
+                din.join(dout, "id")
+                .agg(F.sum(F.col("i") * F.col("o")))
+                .collect()[0][0]
+                or 0
+            )
+        w_id = wedge_volume(canon)
+        dd = (
+            canon.select(F.col("a").alias("id"))
+            .union(canon.select(F.col("b").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+        )
+        ordered = (
+            canon.join(dd.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+            .join(dd.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct("a", "b"),
+                ).otherwise(
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b"))
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+        )
+        w_deg = wedge_volume(ordered)
+        n_tri = int(hub_row["n_triangles"])
+        assert n_tri == H - 1, (n_tri, H)  # every chain edge closes one
+        skew_lines.append(
+            f"| {H:,} | {canon.count():,} | {w_id:,} | {w_deg:,} |"
+            f" {wall:.2f} | {hub_row['clustering']} |"
+        )
+        print({"hub_degree": H, "wedges_id": w_id, "wedges_deg": w_deg,
+               "wall_s": round(wall, 2)}, flush=True)
+    lines += [
+        "",
+        *skew_lines,
+        "",
+        "Wedge volume under degree ordering stays LINEAR in hub degree",
+        "(the hub sorts last and contributes zero wedges) while the old",
+        "id ordering is quadratic — at 32k hub degree, ~256M wedges vs",
+        "~96k. The wall column is the full operator on the skewed graph;",
+        "answers are orientation-invariant (dedup_graph_triangles stays",
+        "hash-green against the LEAST/GREATEST DuckDB oracle).",
+        "",
+    ]
+
     from tools._scaling import replace_section
 
     replace_section(MARKER, lines)

@@ -24,7 +24,7 @@ kernel's exactly-once guard skips the writes and the timed work is the
 pure dedup path (signatures + candidate join + verify + anti-join),
 repeatable min-of-N without mutating the cached index.
 
-Indexes are seeded once under /tmp (`hvs_stream_dedup_x{k}_v3`) and
+Indexes are seeded once under /tmp (`hvs_stream_dedup_x{k}_v5`) and
 reused across rounds. Output: JSON lines + a replaced section in
 SCALING.md.
 """
@@ -95,11 +95,20 @@ def _measure(spark, root: str, probe, threshold: float) -> dict:
         )
         best = min(best, time.perf_counter() - t0)
     idx_rows = M.read_snapshot(spark, index_root).count()
+    # sublinearity evidence (r13): bytes the candidate join actually
+    # opened (bucket + bloom pruned) vs the index's TOTAL band bytes
+    _v, band_all, _t = M.snapshot_files_pruned_in(
+        index_root, "kind", ["b"]
+    )
+    band_total = sum(os.path.getsize(f) for f in band_all)
     return {
         "drain_s": round(best, 3),
         "candidates": stats["candidates"],
         "survivors": stats["survivors"],
         "index_postings": idx_rows,
+        "band_files_scanned": stats.get("band_files_scanned"),
+        "band_kb_scanned": round(stats.get("band_bytes_scanned", 0) / 1e3, 1),
+        "band_kb_total": round(band_total / 1e3, 1),
     }
 
 
@@ -125,7 +134,7 @@ def main() -> None:
 
     cells = []
     for k in FACTORS:
-        root = os.path.join(tempfile.gettempdir(), f"hvs_stream_dedup_x{k}_v3")
+        root = os.path.join(tempfile.gettempdir(), f"hvs_stream_dedup_x{k}_v5")
         marker = os.path.join(root, "_SEEDED")
         if not os.path.exists(marker):
             import shutil
@@ -180,13 +189,15 @@ def main() -> None:
         "production claim that per-batch work tracks MATCHING postings, "
         "not corpus size:",
         "",
-        "| corpus | index postings | drain s | candidate pairs | survivors |",
-        "|---|---|---|---|---|",
+        "| corpus | index postings | drain s | candidate pairs |"
+        " survivors | band KB scanned / total |",
+        "|---|---|---|---|---|---|",
     ]
     for c in cells:
         lines.append(
             f"| ×{c['factor']} | {c['index_postings']:,} | {c['drain_s']} |"
             f" {c['candidates']} | {c['survivors']} |"
+            f" {c['band_kb_scanned']} / {c['band_kb_total']} |"
         )
     c0, c1 = cells[0], cells[-1]
     lines += [
@@ -196,12 +207,16 @@ def main() -> None:
         f"{c1['index_postings'] / max(c0['index_postings'], 1):.0f}× "
         "index — the pair volume is the graded invariant (wall cells "
         "carry host noise; see the probe-protocol note). The index "
-        "commits CLUSTERED BY KIND (r12), so manifest pruning hands "
-        "each stage only its own files: the candidate join scans "
-        "band postings alone (NUM_BANDS rows/doc — the gram "
-        "postings, the bulk of the index bytes, stay unopened) and "
-        "the verify join only gram postings; the residual per-batch "
-        "scan term is the band slice, ~6% of index bytes.",
+        "commits CLUSTERED BY ck (r13): band postings in per-commit "
+        "hash slices sized to ~64 keys per file, each file carrying a "
+        "Bloom on k, gram postings one file per commit. The candidate "
+        "join opens only band files whose bloom admits one of the "
+        "batch's keys (narrow files keep the compound false-positive "
+        "rate low at any corpus size) — the 'band KB scanned' column, "
+        "which tracks matching postings while the total band bytes "
+        "grow with the corpus (r12's by-kind layout re-scanned the "
+        "FULL band slice each batch). The verify join still opens "
+        "only gram postings, only for candidate pairs.",
         "",
         "Axis 2 — batch-count growth at fixed corpus (×1 in 8 batches; "
         "index grows 8× under the ingest). Candidate pairs GROW with "
