@@ -858,6 +858,114 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_strip_duplicate_passages",
+    """WITH toks AS (SELECT doc_id,
+  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+ch AS (SELECT doc_id, u.i AS i, t[i * 32 + 1 : i * 32 + 32] AS c,
+       len(t) AS nt
+       FROM toks, UNNEST(range(0, ((len(t) - 1) // 32) + 1)) AS u(i)),
+fp AS (SELECT doc_id, i, nt, c,
+       CASE WHEN len(c) = 32 THEN md5(array_to_string(c, ' ')) END AS f
+       FROM ch),
+dups AS (SELECT f, MIN(doc_id) AS keeper FROM fp WHERE f IS NOT NULL
+         GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT fp.doc_id, fp.i, fp.nt, fp.c
+         FROM fp LEFT JOIN dups ON dups.f = fp.f
+         WHERE dups.f IS NULL OR fp.doc_id = dups.keeper)
+SELECT doc_id, MAX(nt)::BIGINT AS n_tokens,
+  (MAX(nt) - SUM(len(c)))::BIGINT AS n_removed,
+  md5(string_agg(array_to_string(c, ' '), ' ' ORDER BY i)) AS cleaned_fp
+FROM kept GROUP BY doc_id ORDER BY doc_id""",
+)
+def docs_strip_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL stage of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    ``dedup_duplicate_passages`` finds 32-word spans shared across
+    documents; this query excises every duplicated span from every
+    document EXCEPT the lowest-doc_id holder (keep-first, the same
+    policy the whole-document dedup family uses) and re-assembles the
+    cleaned text, reporting tokens kept/removed and a fingerprint of
+    the cleaned content an external engine recomputes exactly.
+
+    Plan shape at 100 TB: the window fan-out is map-side codegen
+    (split/sequence/explode/slice/md5, zero Python); duplicated-span
+    detection is ONE hash aggregation on the span fingerprint; the
+    keeper join is fingerprint-equi (broadcast-able while boilerplate
+    volume is small, AQE otherwise); re-assembly is one groupBy
+    doc_id with an order-pinned sort_array(collect_list(struct(i,…)))
+    — no window over the whole corpus, no Python in the hot path.
+    Partial tail windows are never fingerprinted (stride == size,
+    full windows only) and are always kept, so a document shorter
+    than one window passes through verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(TX.normalized_text("text"), " ").alias("t")
+    )
+    ch = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.size("t").alias("nt"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("t") - F.lit(1)) / F.lit(32)).cast("int"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            "nt",
+            F.slice("t", F.col("i") * 32 + 1, 32).alias("c"),
+        )
+        .withColumn(
+            "f",
+            F.when(
+                F.size("c") == 32, F.md5(F.array_join("c", " "))
+            ),
+        )
+    )
+    dups = (
+        ch.filter(F.col("f").isNotNull())
+        .groupBy("f")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("f", "keeper")
+    )
+    kept = ch.join(dups, "f", "left").filter(
+        F.col("keeper").isNull() | (F.col("doc_id") == F.col("keeper"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.max("nt").cast("long").alias("n_tokens"),
+            (F.max("nt") - F.sum(F.size("c")))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("i", "c"))
+                            ),
+                            lambda x: x["c"],
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "events_salted_segment_join",
     """WITH seg AS (SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
                     FROM events)

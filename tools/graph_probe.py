@@ -138,7 +138,7 @@ def main() -> None:
     from hybrid_vector_search_spark.operators import dedup as DD2
 
     skew_lines = [
-        "Hub-skew guard (degree-ordered wedge join): |",
+        "Hub-skew guard (degree-ordered wedge join):",
         "",
         "| hub degree | edges | wedges (id order) | wedges (deg order) |"
         " triangle_stats s | hub cc |",
@@ -208,8 +208,8 @@ def main() -> None:
         "",
         "Wedge volume under degree ordering stays LINEAR in hub degree",
         "(the hub sorts last and contributes zero wedges) while the old",
-        "id ordering is quadratic — at 32k hub degree, ~256M wedges vs",
-        "~96k. The wall column is the full operator on the skewed graph;",
+        "id ordering is quadratic — at 32k hub degree, 256M wedges vs",
+        "64k (4,000× less). The wall column is the full operator on the skewed graph;",
         "answers are orientation-invariant (dedup_graph_triangles stays",
         "hash-green against the LEAST/GREATEST DuckDB oracle).",
         "",
