@@ -133,10 +133,56 @@ def list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+_LATEST_HINT = "latest.hint"
+
+
+def _write_latest_hint(root: str, version: int) -> None:
+    """Best-effort atomic hint after a successful commit — never
+    authoritative (current_version probes FORWARD from it), so a crash
+    before the replace, a lost write race, or a deleted hint file can
+    only make discovery marginally slower, never wrong."""
+    tmp = os.path.join(root, f".{_LATEST_HINT}.{uuid.uuid4().hex[:8]}")
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(int(version)))
+        os.replace(tmp, os.path.join(root, _LATEST_HINT))
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
 def current_version(root: str) -> int:
-    """Latest committed version, -1 when the table has none."""
-    vs = list_versions(root)
-    return vs[-1] if vs else -1
+    """Latest committed version, -1 when the table has none.
+
+    O(1)+O(gap), not O(retained versions): every commit/read resolves
+    the current version, and a streaming table accumulates thousands
+    of manifests — a listdir per resolution was the last O(commits)
+    driver-side term (the descriptor itself is bounded by
+    auto-compaction). The commit path drops an atomic ``latest.hint``;
+    discovery reads it and probes FORWARD (versions are dense at the
+    top: commits allocate v+1 contiguously and vacuum never drops the
+    latest), so a stale or lost hint costs extra existence checks,
+    never a wrong answer. Tables without a hint (legacy, or hint
+    deleted) fall back to the listdir."""
+    try:
+        with open(
+            os.path.join(root, _LATEST_HINT), encoding="utf-8"
+        ) as f:
+            v = int(f.read().strip())
+    except (OSError, ValueError):
+        vs = list_versions(root)
+        return vs[-1] if vs else -1
+    if v < 1 or not os.path.exists(
+        os.path.join(root, _manifest_name(v))
+    ):
+        # corrupt or ahead-of-commit hint: authoritative fallback
+        vs = list_versions(root)
+        return vs[-1] if vs else -1
+    while os.path.exists(os.path.join(root, _manifest_name(v + 1))):
+        v += 1
+    return v
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -2067,6 +2113,7 @@ def _try_commit_manifest(root: str, version: int, payload: dict) -> bool:
         os.remove(tmp)
         return False
     os.remove(tmp)
+    _write_latest_hint(root, version)  # best-effort discovery hint
     return True
 
 

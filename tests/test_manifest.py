@@ -2112,3 +2112,37 @@ def test_probe_pruned_read_bloom_and_cluster(spark, tmp_path):
         root, None, None, "k", probes
     )
     assert set(files) <= set(files3)
+
+
+def test_current_version_hint_probe_and_fallbacks(spark, tmp_path):
+    """O(1) version discovery (r13): the commit path drops an atomic
+    latest.hint; discovery probes forward from it, so a stale, missing,
+    or corrupt hint degrades to correct answers, never wrong ones."""
+    root = str(tmp_path / "tbl")
+    for b in range(3):
+        M.commit_append(root, _df(spark, b, b + 1))
+    hint = os.path.join(root, M._LATEST_HINT)
+    assert os.path.exists(hint)
+    assert M.current_version(root) == 3
+    # stale hint (crash before replace, lost race): forward probe
+    with open(hint, "w") as f:
+        f.write("1")
+    assert M.current_version(root) == 3
+    # corrupt hint: listdir fallback
+    with open(hint, "w") as f:
+        f.write("not-a-number")
+    assert M.current_version(root) == 3
+    # ahead-of-commit hint: fallback, not a phantom version
+    with open(hint, "w") as f:
+        f.write("99")
+    assert M.current_version(root) == 3
+    # missing hint (legacy table): fallback
+    os.remove(hint)
+    assert M.current_version(root) == 3
+    # next commit restores the hint
+    M.commit_append(root, _df(spark, 10, 11))
+    with open(hint) as f:
+        assert int(f.read()) == 4
+    # vacuum keeps the latest; hint target survives retention
+    M.vacuum(root, keep_last=1, orphan_grace_sec=0)
+    assert M.current_version(root) == 4
