@@ -241,6 +241,98 @@ class IVFIndex:
         idx = np.argsort(-scores, kind="stable")[:nprobe]
         return [int(i) for i in idx]
 
+    def serve_local_topk(
+        self,
+        qvec: Sequence[float],
+        k: int,
+        nprobe: int = DEFAULT_NPROBE,
+    ) -> list[tuple[int, float]]:
+        """DRIVER-LOCAL point-query serving over the persisted layout:
+        read ONLY the probed ``list_id=`` directories via Arrow — no
+        Spark job, no task dispatch — and score float64 in numpy.
+
+        Why it exists: a single-point ANN probe is bounded below by
+        Spark's per-job launch floor (~60-100 ms on this host;
+        BASELINE_PARITY.md), which an in-process FAISS probe (15.7 ms)
+        never pays. But the probe's I/O is nprobe/nlist of the corpus —
+        a few small parquet files — and the layout Spark wrote is plain
+        parquet, so a serving tier can answer the q=1 shape the same
+        way FAISS does: open the probed lists in-process and GEMM. Same
+        artifacts, same probe planner, same float64 scoring and
+        (score DESC, id ASC) tiebreak as :meth:`search_plan` — the
+        registry pins it to the same DuckDB oracle as the Spark plan.
+        Falls back loudly when the index has no persisted layout; the
+        micro-batch Spark path stays the answer for q ≥ 2 and the only
+        answer when the serving node cannot see the storage directly."""
+        import os
+
+        if self.partitioned_path is None:
+            raise ValidationError(
+                "serve_local_topk requires a persisted partitioned "
+                "layout (IVFIndex.build*(persist_path=...))"
+            )
+        q = np.asarray(qvec, dtype=np.float64).reshape(-1)
+        ids_parts: list[np.ndarray] = []
+        emb_parts: list[np.ndarray] = []
+        for li in self.probe(qvec, nprobe):
+            blk = self._serve_block(li)
+            if blk is None:
+                continue  # empty list: the writer emitted no directory
+            ids_parts.append(blk[0])
+            emb_parts.append(blk[1])
+        if not ids_parts:
+            return []
+        ids = np.concatenate(ids_parts)
+        scores = np.concatenate([e @ q for e in emb_parts])
+        k = min(int(k), len(ids))
+        # exact (score DESC, id ASC) order — lexsort keys are least
+        # significant first
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
+
+    # serving-tier block cache: hot probed lists stay RAM-resident as
+    # (ids, float64 matrix) — the in-process residency the reference's
+    # 15.7 ms/query assumes (its FAISS index holds the WHOLE corpus in
+    # memory; this holds at most SERVE_CACHE_BYTES of hot lists, LRU).
+    # First touch of a list pays the Arrow decode; steady-state serving
+    # is pure GEMM + merge.
+    SERVE_CACHE_BYTES = 1 << 30
+
+    def _serve_block(self, list_id: int):
+        import os
+        from collections import OrderedDict
+
+        import pyarrow.parquet as pq
+
+        cache = getattr(self, "_serve_cache", None)
+        if cache is None:
+            cache = self._serve_cache = OrderedDict()
+            self._serve_cache_bytes = 0
+        got = cache.get(list_id)
+        if got is not None:
+            cache.move_to_end(list_id)
+            return got[0]
+        d = os.path.join(self.partitioned_path, f"list_id={list_id}")
+        if not os.path.isdir(d):
+            cache[list_id] = (None, 0)
+            return None
+        t = pq.read_table(d, columns=[self.id_col, "embedding"])
+        ids = t.column(self.id_col).to_numpy()
+        flat = t.column("embedding").combine_chunks()
+        emb = np.asarray(flat.flatten(), dtype=np.float64).reshape(
+            len(t), -1
+        )
+        nbytes = int(ids.nbytes + emb.nbytes)
+        while (
+            cache
+            and self._serve_cache_bytes + nbytes > self.SERVE_CACHE_BYTES
+        ):
+            _, (_, old_b) = cache.popitem(last=False)
+            self._serve_cache_bytes -= old_b
+        cache[list_id] = ((ids, emb), nbytes)
+        self._serve_cache_bytes += nbytes
+        return ids, emb
+
     def search_plan(
         self,
         qvec: Sequence[float],

@@ -668,6 +668,32 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("id", F.round("score", 6).alias("score"))
 
 
+@register("ann_ivf_local_serve_topk", _ann_ivf_oracle())
+def ann_ivf_local_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q=1 SERVING FAST PATH (r13): the single standing weak row in
+    BASELINE_PARITY is the point-query ANN probe, bounded below by
+    Spark's per-job launch floor — an in-process FAISS probe pays no
+    such floor. This query answers the same probe the way FAISS does:
+    the driver reads ONLY the probed ``list_id=`` parquet directories
+    via Arrow (nprobe/nlist of the corpus — a few small files) and
+    GEMMs in numpy float64, no Spark job at all. Same persisted
+    artifacts, same probe planner, same scoring and tiebreak — pinned
+    by sharing ann_ivf_topk's DuckDB oracle verbatim. The result is a
+    driver-materialized K-row table (createDataFrame), which is the
+    honest shape: a serving answer IS driver-resident. Spark remains
+    the build path (the layout is written by a distributed job) and
+    the serving path for q ≥ 2 (micro-batch amortization) or when the
+    serving node cannot mount the storage."""
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    rows = index.serve_local_topk(
+        query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    out = spark.createDataFrame(
+        [(i, s) for i, s in rows], "id long, score double"
+    )
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
 ANN_UPSERT_QSEED = 43
 _UPSERT_LAYOUT_CACHE: dict[str, tuple[SparkSession, str]] = {}
 

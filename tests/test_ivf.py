@@ -290,3 +290,39 @@ def test_sink_latest_batch_id_missing_metadata_dir(tmp_path):
     (meta / "0").write_text("{}")
     (meta / "3").write_text("{}")
     assert sink_latest_batch_id(str(fresh)) == 3
+
+
+def test_serve_local_topk_matches_spark_plan(spark, tmp_path):
+    """The driver-local Arrow serving fast path (r13) returns the same
+    ids, scores, and order as the Spark search_plan over the same
+    persisted layout — and refuses to run without one."""
+    import pytest as _pytest
+
+    from hybrid_vector_search_spark.errors import ValidationError
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.withColumnRenamed("vec_id", "id")
+    import numpy as np
+
+    sample = corpus.select("embedding").limit(16).collect()
+    cents = np.vstack([r["embedding"] for r in sample]).astype(np.float64)
+    cents /= np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    mem_index = IVFIndex.build_fixed(corpus, cents)
+    with _pytest.raises(ValidationError, match="persisted"):
+        mem_index.serve_local_topk(query_vector(7), 5)
+
+    index = IVFIndex.build_fixed(
+        corpus, cents, persist_path=str(tmp_path / "ivf")
+    )
+    q = query_vector(7)
+    plan, _ = index.search_plan(q, k=10, nprobe=4)
+    want = [(r["id"], r["score"]) for r in plan.collect()]
+    got = index.serve_local_topk(q, k=10, nprobe=4)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9

@@ -615,6 +615,25 @@ def main() -> None:
     for pl in micro_plans.values():
         pl.collect()  # warm
     micro_ms = {q: best_ms(pl) for q, pl in micro_plans.items()}
+    # driver-local q=1 serving fast path (r13): Arrow-read ONLY the
+    # probed list dirs, numpy GEMM, no Spark job — the FAISS execution
+    # shape over the Spark-written layout (operators/ivf.py
+    # serve_local_topk; same probe planner/scoring/tiebreak, pinned to
+    # ann_ivf_topk's oracle in the registry). min-of-RUNS per qid, the
+    # same rule as every per-query row.
+    import time as _time
+
+    local_ms = {}
+    for cq in CANONICAL_QUERIES:
+        qv1 = qvec384(cq.seed)
+        index.serve_local_topk(qv1, 1000, nprobe=32)  # warm page cache
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = _time.perf_counter()
+            index.serve_local_topk(qv1, 1000, nprobe=32)
+            best = min(best, _time.perf_counter() - t0)
+        local_ms[cq.qid] = best * 1000.0
+    mean_local = sum(local_ms.values()) / len(local_ms)
     for pl in list(bm25_plans.values()) + list(rrf_plans.values()):
         pl.collect()  # warm
     rrf_batch_plan.collect()
@@ -695,6 +714,9 @@ def main() -> None:
             f" {micro_ms[q] / q / 15.7:.2f}× |"
             for q in MICRO_QS
         ],
+        f"| driver-local q=1 serve (Arrow read of probed lists, no "
+        f"Spark job — ann_ivf_local_serve_topk), ms/query | 15.7 |"
+        f" {mean_local:.1f} | {mean_local / 15.7:.2f}× |",
         f"| BM25 top-{RRF_LEG_K} (pruned postings probe), mean ms/query |"
         f" n/a (no lexical leg) | {mean_bm25:.1f} | — |",
         f"| hybrid RRF fusion (BM25 + IVF legs, persisted artifacts), "
@@ -756,8 +778,13 @@ def main() -> None:
         "  divides it while bytes read stay sub-additive (probe sets",
         "  overlap). At cluster scale the same dispatch loop is how",
         "  any Spark-serving tier would run; the q=1 row is the only",
-        "  shape with no amortization and it is floor-bound by",
-        "  construction.",
+        "  shape with no amortization and the SPARK-JOB form of it is",
+        "  floor-bound by construction. r13 removes even that: the",
+        "  driver-local serve row answers the identical probe by",
+        f"  Arrow-reading only the probed list files ({mean_local:.1f}",
+        "  ms/query, no job launch — the FAISS execution shape over",
+        "  the Spark-written layout, same oracle), so the floor now",
+        "  bounds only serving nodes that cannot mount the storage.",
         "* **Throughput is where the Spark shape wins** — the batch row",
         "  answers all 10 canonical queries in ONE job at",
         f"  {batch_total_ms / 10:.1f} ms/query amortized, {544 / batch_total_ms:.0f}×",
