@@ -1491,6 +1491,59 @@ def _band_bucket_count(n_docs: int) -> int:
     return min(1 << (want - 1).bit_length(), MAX_BAND_BUCKETS)
 
 
+def compact_dedup_index(spark, index_root: str) -> int:
+    """MAINTENANCE for the streaming dedup posting index (the data-file
+    sibling of the automatic sidecar compaction): re-cluster every
+    accumulated per-commit band slice into ONE rewrite commit whose
+    bucket modulus is re-derived from the WHOLE index — files stay
+    ~BAND_KEYS_PER_FILE keys narrow (so per-file blooms stay
+    selective), while the candidate join's driver-side admission drops
+    back to O(one commit × probes) and its scan granularity to one
+    fresh file set. Gram postings re-consolidate alongside (one 'g'
+    file per rewrite). Answer-preserving by construction — a rewrite
+    publishes the same rows under a new layout, older versions still
+    read the old files (time travel across maintenance) — and the
+    exactly-once replay guard survives: the highest committed batch_id
+    is carried into the rewrite's own meta. Run it from the same
+    maintenance cadence as IVF compaction (operators/ivf.py
+    compact_streaming_layout); the registry pins answer preservation
+    by re-running a replay batch against the compacted index under the
+    ingest query's own oracle."""
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    base_v = M.current_version(index_root)
+    if base_v < 0:
+        raise ValidationError(
+            f"no committed dedup index at '{index_root}' to compact"
+        )
+    full = M.read_snapshot(spark, index_root, base_v)
+    n_band = full.filter(F.col("kind") == "b").count()
+    want = max(16, -(-int(n_band) // BAND_KEYS_PER_FILE))
+    n_buckets = min(1 << (want - 1).bit_length(), 65536)
+    relaid = full.select(
+        F.when(F.col("kind") == "b", _band_cluster_col(n_buckets))
+        .otherwise(F.lit("g"))
+        .alias("ck"),
+        "kind",
+        "k",
+        "doc_id",
+        "n_sh",
+    )
+    last = M.last_committed_meta(index_root, "batch_id", -1)
+    return M.commit_rewrite_clustered(
+        index_root,
+        relaid,
+        "ck",
+        base_version=base_v,
+        meta={"batch_id": int(last)},
+        bloom_columns=["k"],
+        bloom_cluster_prefix="b",
+        bloom_hashes=6,
+    )
+
+
 def dedup_ingest_commit_batch(
     spark,
     batch_df,

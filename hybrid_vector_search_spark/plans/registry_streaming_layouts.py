@@ -1387,6 +1387,107 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_COMPACT_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+def _stream_dedup_compacted_oracle() -> str:
+    """Replays the probe batch's keep-first dedup against the FULL seen
+    corpus: pairs over (even ingest slice ∪ odd probe slice); a probe
+    document survives iff no verified partner is an already-seen even
+    doc, nor a smaller-id member of its own batch."""
+    from hybrid_vector_search_spark.operators.dedup import (
+        minhash_lsh_pairs_sql,
+    )
+    from hybrid_vector_search_spark.plans.registry_corpus import (
+        JACCARD_THRESHOLD,
+    )
+
+    slice_sql = (
+        "doc_id % 2 = 0 OR (doc_id % 2 = 1 AND doc_id % 5 = 1)"
+    )
+    body = minhash_lsh_pairs_sql(JACCARD_THRESHOLD).replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {slice_sql}) documents",
+        1,
+    )
+    return f"""WITH pairs AS ({body}),
+sym AS (SELECT doc_a AS d, doc_b AS p FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs)
+SELECT d.doc_id, 0 AS batch
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id % 5 = 1 AND NOT EXISTS (
+  SELECT 1 FROM sym
+  WHERE sym.d = d.doc_id
+    AND (sym.p % 2 = 0 OR sym.p < d.doc_id))
+ORDER BY doc_id"""
+
+
+@register(
+    "streaming_dedup_compacted",
+    _stream_dedup_compacted_oracle(),
+    side_effects=True,
+)
+def streaming_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE IS ANSWER-PRESERVING (r13): clone the dedup
+    ingest's posting index, run `compact_dedup_index` — the data-file
+    rewrite that re-clusters every accumulated per-commit band slice at
+    a whole-index-derived bucket modulus (files stay ~64 keys narrow so
+    blooms stay selective; driver admission resets to O(one commit ×
+    probes)) — then dedup a NEVER-SEEN probe batch against the
+    compacted index through the exact streaming kernel. The oracle
+    replays the probe's keep-first outcome against the full seen
+    corpus from first principles, so a hash match certifies the
+    rewrite changed LAYOUT and nothing else (candidates, verification,
+    survivors all flow through the compacted files). The replay guard
+    also rides through: the rewrite carries the highest committed
+    batch_id into its own meta, so the cloned index refuses the
+    probe's postings (batch 0 ≤ 2) while the fresh survivors root
+    accepts them — exactly-once across maintenance."""
+    import shutil
+
+    from hybrid_vector_search_spark.operators import dedup as DD
+    from hybrid_vector_search_spark.plans.registry_corpus import (
+        JACCARD_THRESHOLD,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _STREAM_DEDUP_COMPACT_CACHE.get(sf_dir)
+    root2 = cached[1] if cached is not None and cached[0] is spark else None
+    if root2 is None:
+        streaming_dedup_ingest(spark, sf_dir)  # ensure the seeded index
+        src_root = _STREAM_DEDUP_CACHE[sf_dir][1]
+        root2 = scratch_path(
+            "stream_dedup_cmp_" + sf_dir.strip("/").replace("/", "_")
+        )
+        shutil.rmtree(root2, ignore_errors=True)
+        os.makedirs(root2, exist_ok=True)
+        shutil.copytree(
+            os.path.join(src_root, "index"),
+            os.path.join(root2, "index"),
+        )
+        DD.compact_dedup_index(spark, os.path.join(root2, "index"))
+        probe = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 1))
+        )
+        DD.dedup_ingest_commit_batch(
+            spark,
+            probe,
+            0,
+            os.path.join(root2, "index"),
+            os.path.join(root2, "survivors"),
+            JACCARD_THRESHOLD,
+        )
+        _STREAM_DEDUP_COMPACT_CACHE[sf_dir] = (spark, root2)
+    return (
+        M.read_snapshot(spark, os.path.join(root2, "survivors"))
+        .select("doc_id", "batch")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------- streaming media (phash) ingest
 
 _STREAM_MEDIA_CACHE: dict[str, tuple[SparkSession, str]] = {}

@@ -2511,7 +2511,14 @@ def optimize(
 
 
 def commit_rewrite_clustered(
-    root: str, df: DataFrame, column: str, base_version: int | None = None
+    root: str,
+    df: DataFrame,
+    column: str,
+    base_version: int | None = None,
+    meta: dict | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_cluster_prefix: str | None = None,
+    bloom_hashes: int = BLOOM_HASHES,
 ) -> int:
     """:func:`commit_rewrite` with the one-file-per-``column``-value
     layout — the OPTIMIZE command: re-cluster accumulated appends
@@ -2533,6 +2540,25 @@ def commit_rewrite_clustered(
     base_files = set(_resolve_manifest(root, base_v)["files"])
     new = _write_data_files_clustered(df, root, column)
     new_stats = _footer_stats(root, new)
+    if bloom_columns:
+        rels_bloom = new
+        if bloom_cluster_prefix is not None:
+            rels_bloom = [
+                r
+                for r in new
+                if str(
+                    (new_stats.get(r, {}).get(column) or [""])[0]
+                ).startswith(bloom_cluster_prefix)
+            ]
+        new_stats = _merge_bloom_stats(
+            new_stats,
+            {
+                c: _compute_file_blooms(
+                    root, rels_bloom, c, BLOOM_BITS, int(bloom_hashes)
+                )
+                for c in bloom_columns
+            },
+        )
     schema = _schema_payload(df.drop("_cluster"))
     new_entry = _new_group_entry(root, new, new_stats)
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -2568,6 +2594,7 @@ def commit_rewrite_clustered(
             _live_delete_files_grouped(
                 all_groups, cur.get("delete_files", [])
             ),
+            meta,
         )
         if _try_commit_manifest(root, v + 1, payload):
             return v + 1

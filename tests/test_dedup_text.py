@@ -489,3 +489,55 @@ def test_triangle_stats_hand_counted(spark):
         3: (4, 3, 0.5),
         4: (2, 0, 0.0),
     }
+
+
+def test_compact_dedup_index_mechanics(spark, tmp_path):
+    """compact_dedup_index (r13): one rewrite commit re-clusters every
+    band slice at a whole-index modulus, rows are preserved exactly,
+    the pre-compaction version still time-travels, and the exactly-once
+    batch_id guard survives the rewrite."""
+    import os
+
+    from hybrid_vector_search_spark.operators import dedup as DD
+    from hybrid_vector_search_spark.sources import manifest as M
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for b in range(3):
+        DD.dedup_ingest_commit_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == b), b,
+            root, str(tmp_path / "surv"), 0.8,
+        )
+    v0 = M.current_version(root)
+    before = sorted(
+        (r["kind"], r["k"], r["doc_id"])
+        for r in M.read_snapshot(spark, root).select(
+            "kind", "k", "doc_id"
+        ).collect()
+    )
+    v1 = DD.compact_dedup_index(spark, root)
+    assert v1 == v0 + 1
+    after = sorted(
+        (r["kind"], r["k"], r["doc_id"])
+        for r in M.read_snapshot(spark, root).select(
+            "kind", "k", "doc_id"
+        ).collect()
+    )
+    assert after == before  # rows preserved exactly
+    # pre-compaction snapshot still readable (time travel across it)
+    assert M.read_snapshot(spark, root, v0).count() == len(before)
+    # replay guard carried: highest committed batch id rides the rewrite
+    assert M.last_committed_meta(root, "batch_id", -1) == 2
+    # the rewrite is ONE sidecar group, band files narrow, blooms on
+    m = M._read_manifest(root, v1)
+    live_groups = [g for g in m["groups"] if g["count"] > 0]
+    assert len(live_groups) == 1
+    rels, by_rel, _ = M._load_group(root, live_groups[0]["path"])
+    band = [r for r in rels if DD._band_file_bucket(by_rel[r]) is not None]
+    assert band and all(
+        M.bloom_key("k") in by_rel[r] for r in band
+    )
