@@ -69,6 +69,12 @@ def main() -> None:
     # quantized corpus (int8 codes / sign-pack / bucket / list): the
     # ingest-time columns the cross-strategy evaluation queries read
     R._quantized_corpus(spark, sf_dir)
+    # dedup-index maintenance artifact (r13): streaming_dedup_compacted
+    # clones the ingest's posting index and rewrites it once (the
+    # OPTIMIZE analog — ~40 s of one-time maintenance at sf0.1); its
+    # timed passes measure serving reads after maintenance, so the
+    # build runs here like every other ingest-time layout
+    QUERIES["streaming_dedup_compacted"](spark, sf_dir)
     warmup_s = time.perf_counter() - t_warm
 
     # self-calibration: the session's bare job-launch floor (min-of-15
@@ -129,6 +135,7 @@ def main() -> None:
         "hybrid_topk_unfiltered",
         "knn_batch_topk",
         "ann_lsh_topk",
+        "ann_ivf_local_serve_topk",
         "tpch_q1_pricing_summary",
         "dedup_minhash_lsh_pairs",
     ]
