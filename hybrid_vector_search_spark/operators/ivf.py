@@ -290,6 +290,45 @@ class IVFIndex:
         order = np.lexsort((ids, -scores))[:k]
         return [(int(ids[i]), float(scores[i])) for i in order]
 
+    def serve_local_batch(
+        self,
+        qvecs: dict,
+        k: int,
+        nprobe: int = DEFAULT_NPROBE,
+    ) -> list[tuple[int, int, float]]:
+        """Multi-query form of :meth:`serve_local_topk`: one GEMM per
+        hot block against the stacked query matrix, per-query merge —
+        (qid, id, score) rows. Same probe planner/scoring/tiebreak as
+        the Spark micro-batch plan (registry ann_ivf_microbatch_topk),
+        so the serving tier can run EITHER execution depending on
+        where it sits relative to the storage."""
+        qids = sorted(qvecs)
+        qmat = np.vstack(
+            [np.asarray(qvecs[qid], dtype=np.float64) for qid in qids]
+        )  # (Q, D)
+        probes = {qid: self.probe(qvecs[qid], nprobe) for qid in qids}
+        union = sorted({li for p in probes.values() for li in p})
+        blocks = [
+            (li, blk) for li in union
+            if (blk := self._serve_block(li)) is not None
+        ]
+        out: list[tuple[int, int, float]] = []
+        for qi, qid in enumerate(qids):
+            mine = set(probes[qid])
+            ids_parts = [b[0] for li, b in blocks if li in mine]
+            if not ids_parts:
+                continue
+            ids = np.concatenate(ids_parts)
+            scores = np.concatenate(
+                [b[1] @ qmat[qi] for li, b in blocks if li in mine]
+            )
+            kq = min(int(k), len(ids))
+            order = np.lexsort((ids, -scores))[:kq]
+            out.extend(
+                (qid, int(ids[i]), float(scores[i])) for i in order
+            )
+        return out
+
     # serving-tier block cache: hot probed lists stay RAM-resident as
     # (ids, float64 matrix) — the in-process residency the reference's
     # 15.7 ms/query assumes (its FAISS index holds the WHOLE corpus in

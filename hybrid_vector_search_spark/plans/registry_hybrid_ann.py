@@ -1095,6 +1095,33 @@ def ann_ivf_microbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_local_serve_batch", _ann_ivf_microbatch_oracle())
+def ann_ivf_local_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-local serving tier's MULTI-QUERY form (r13): the same
+    two coalesced queries as ann_ivf_microbatch_topk, answered without
+    a Spark job — Arrow-read hot list blocks (LRU-cached in-process),
+    one GEMM per block, per-query merge. Shares the micro-batch
+    query's oracle VERBATIM, so a hash match certifies both executions
+    of the serving tier return identical answers; the dispatcher picks
+    by locality (can this node mount the storage?) and load, never by
+    semantics."""
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    qvecs = {
+        i + 1: query_vector(seed)
+        for i, seed in enumerate(ANN_MICROBATCH_SEEDS)
+    }
+    rows = index.serve_local_batch(
+        qvecs, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+    out = spark.createDataFrame(
+        [(q, i, sc) for q, i, sc in rows],
+        "qid int, id long, score double",
+    )
+    return out.select(
+        "qid", "id", F.round("score", 6).alias("score")
+    ).orderBy("qid", F.col("score").desc(), "id")
+
+
 #: (seed, filter dict) per batch query — post-filter semantics: each
 #: query's predicate prunes ITS candidates from the probed lists
 ANN_BATCH_FILTERED = (

@@ -326,3 +326,33 @@ def test_serve_local_topk_matches_spark_plan(spark, tmp_path):
     assert [i for i, _ in got] == [i for i, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-9
+
+
+def test_serve_local_batch_matches_single(spark, tmp_path):
+    """Multi-query local serving returns exactly each query's
+    serve_local_topk rows, tagged by qid."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivf import IVFIndex
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.sources.loaders import load_table
+
+    corpus = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).withColumnRenamed("vec_id", "id")
+    sample = corpus.select("embedding").limit(16).collect()
+    cents = np.vstack([r["embedding"] for r in sample]).astype(np.float64)
+    cents /= np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    index = IVFIndex.build_fixed(
+        corpus, cents, persist_path=str(tmp_path / "ivf")
+    )
+    qvecs = {1: query_vector(7), 2: query_vector(11)}
+    got = index.serve_local_batch(qvecs, k=8, nprobe=4)
+    want = [
+        (qid, i, s)
+        for qid in sorted(qvecs)
+        for i, s in index.serve_local_topk(qvecs[qid], k=8, nprobe=4)
+    ]
+    assert got == want
