@@ -178,8 +178,9 @@ from hybrid_vector_search_spark.plans import registry_lakehouse as _f5  # noqa: 
 from hybrid_vector_search_spark.plans import registry_ann_metrics as _f6  # noqa: E402
 from hybrid_vector_search_spark.plans import registry_streaming_layouts as _f7  # noqa: E402
 from hybrid_vector_search_spark.plans import registry_costed as _f8  # noqa: E402
+from hybrid_vector_search_spark.plans import registry_sketches as _f9  # noqa: E402
 
-for _m in (_f1, _f2, _f3, _f4, _f5, _f6, _f7, _f8):
+for _m in (_f1, _f2, _f3, _f4, _f5, _f6, _f7, _f8, _f9):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__") and _k not in globals():
             globals()[_k] = _v

@@ -1,0 +1,291 @@
+"""Sketch-family queries: HyperLogLog distinct, Count-Min heavy hitters,
+bloom-prefiltered decontamination, streaming mergeable-sketch state.
+
+The 100 TB story shared by all four: the answer state is FIXED-SIZE
+(256 HLL registers / 4×1024 CMS counters / a 64 Ki-bit bloom) no matter
+how many input rows flow through — each executor partial-aggregates its
+partitions into sketch cells map-side and the one shuffle moves O(sketch)
+rows per partition, never O(data). Exactness of the CHECK is preserved by
+the portable-hash construction (functions/sketches.py): DuckDB recomputes
+every register/counter bit-for-bit, so these approximate operators are
+value-hash-gated like every exact query in the registry.
+
+Beyond-reference family (the reference engine has no sketch surface);
+SURVEY.md §2 addendum records it alongside dedup/curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.functions import sketches as SK
+from hybrid_vector_search_spark.functions.portable import (
+    round_portable,
+    round_portable_sql,
+)
+from hybrid_vector_search_spark.plans.registry import register
+from hybrid_vector_search_spark.plans.registry_relational import (
+    _DECON_MOD,
+    _DECON_N,
+    _landing,
+    _sink_sorted,
+    _stream_parts,
+)
+from hybrid_vector_search_spark.plans.registry_relational import (
+    docs_decontaminate as _docs_decontaminate,
+)
+from hybrid_vector_search_spark.plans.registry import ORACLES
+from hybrid_vector_search_spark.sources.loaders import load_table
+from hybrid_vector_search_spark.functions import text as TX
+
+
+# ----------------------------------------------------------- HLL distinct
+
+
+def _hll_output(
+    registers: DataFrame, n_exact_df: DataFrame
+) -> DataFrame:
+    """Join the one-row estimate with the one-row exact count (both
+    single-row aggregates — the crossJoin is 1×1, never data-sized)."""
+    est = SK.hll_estimate_row(registers)
+    return est.crossJoin(n_exact_df).select(
+        "n_exact",
+        round_portable("hll_estimate", 4).alias("hll_estimate"),
+        round_portable(
+            (F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+        "empty_registers",
+        "registers_fp",
+    )
+
+
+def _hll_oracle(key_expr: str, table: str) -> str:
+    est = SK.hll_estimate_row_sql(
+        SK.hll_registers_sql(key_expr, table)
+    )
+    return f"""SELECT x.n_exact,
+  {round_portable_sql('h.hll_estimate', 4)} AS hll_estimate,
+  {round_portable_sql(
+      '(h.hll_estimate - x.n_exact) / x.n_exact::DOUBLE', 6)} AS rel_err,
+  h.empty_registers, h.registers_fp
+FROM ({est}) h CROSS JOIN
+  (SELECT COUNT(DISTINCT {key_expr}) AS n_exact FROM {table}) x"""
+
+
+@register("events_distinct_users_hll", _hll_oracle("user_id", "events"))
+def events_distinct_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cardinality-sketch COUNT(DISTINCT user_id): 256 HLL registers
+    instead of shuffling the distinct key set. At 100 TB the exact
+    distinct is a full shuffle of every key occurrence; the sketch is a
+    256-row map-side-combined aggregate whatever the input size — and
+    register tables from different days/tables MERGE by per-bucket max,
+    which no exact-distinct artifact can do without re-scanning.
+
+    The scale ladder exercises both estimator branches: sf0.01 (150
+    users) lands in linear counting (E_raw ≤ 2.5m with empty registers),
+    sf0.1 (1,500) in the raw harmonic branch — the oracle recomputes the
+    branch decision, every register byte (registers_fp), and the exact
+    count side-by-side, so the ±6.5%-error estimator is still
+    value-hash-gated. n_exact is emitted for the check/report; a
+    production run drops that column (it IS the cost being avoided)."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "user_id")
+    return _hll_output(
+        regs, ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+
+
+# ------------------------------------------------------ CMS heavy hitters
+
+_CMS_TOP = 20
+
+
+@register(
+    "events_heavy_users_cms",
+    f"""WITH sketch AS ({SK.cms_sketch_sql('user_id', 'events')}),
+exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+          GROUP BY user_id
+          ORDER BY n_exact DESC, user_id ASC LIMIT {_CMS_TOP}),
+probes AS (SELECT user_id, n_exact, r,
+    CASE {' '.join(
+        f"WHEN r = {r} THEN {SK.cms_bucket_sql('user_id', r)}"
+        for r in range(SK.CMS_D))} END AS bucket
+  FROM exact, UNNEST(range(0, {SK.CMS_D})) AS u(r)),
+est AS (SELECT user_id, MIN(c) AS n_cms
+  FROM probes JOIN sketch USING (r, bucket) GROUP BY user_id)
+SELECT e.user_id, e.n_exact, s.n_cms, s.n_cms - e.n_exact AS overcount
+FROM exact e JOIN est s USING (user_id)
+ORDER BY n_exact DESC, user_id ASC""",
+)
+def events_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter counts from a Count-Min sketch: per-user event counts
+    estimated from a 4×1024 counter table instead of a corpus-wide
+    groupBy(user). The sketch build explodes each row into CMS_D cells
+    and partial-aggregates map-side, so the shuffle is ≤ d·w rows per
+    partition regardless of input volume; counter tables from separate
+    scans/days merge by cell-wise ADD. Estimates carry the one-sided CMS
+    guarantee n_cms ≥ n_exact (reported as ``overcount``, exercised for
+    real at sf0.1 where 1,500 users share 1,024 counters per row); both
+    engines recompute the identical counters, so the approximate answer
+    is hash-gated exactly. The probe set is the exact top-20 (with the
+    deterministic (count desc, user asc) boundary), pinning sketch
+    accuracy against ground truth in one query."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = SK.cms_sketch(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+        .limit(_CMS_TOP)
+    )
+    probes = exact.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        SK.cms_bucket("user_id", r).alias("bucket"),
+                    )
+                    for r in range(SK.CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "n_exact", "cell.r", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+    ).orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+
+
+# ------------------------------------------- bloom-gated decontamination
+
+
+@register("docs_decontaminate_bloom", None)
+def docs_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``docs_decontaminate`` with a bloom prefilter on the corpus side —
+    ANSWER-IDENTICAL by construction (bloom passes a superset of the
+    truly-contaminated grams; the exact confirm join removes the false
+    positives), so the oracle is the exact query's oracle, registered
+    verbatim below. What changes is the 100 TB shape: the exact path
+    broadcasts the full benchmark gram STRINGS to every corpus task; the
+    bloom path broadcasts a 64 Ki-bit position set (the K=3 bit positions
+    of every bench gram — here in relational form, see
+    functions/sketches.bloom_positions) and only grams passing all K
+    membership probes reach the string join. With MB-scale benchmark
+    vocabularies against TB-scale corpora, the broadcast shrinks ~100×
+    and the string equi-join sees only the tiny candidate slice. The
+    false-positive rate at these parameters (k=3, m=65536, n≈|bench|)
+    keeps the confirm join's input within ~1e-3 of the true hit set."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    bench_g = (
+        TX.shingle_rows(docs.filter(is_bench), _DECON_N)
+        .select("g")
+        .distinct()
+    )
+    # The bloom bitset, relationally: the distinct set bit positions.
+    bloom = (
+        bench_g.select(
+            F.explode(SK.bloom_positions("g", "decon")).alias("pos")
+        )
+        .distinct()
+    )
+    corpus_ex = TX.shingle_rows(docs.filter(~is_bench), _DECON_N)
+    cand_g = (
+        corpus_ex.select("g")
+        .distinct()
+        .select(
+            "g",
+            F.posexplode(SK.bloom_positions("g", "decon")).alias(
+                "i", "pos"
+            ),
+        )
+        .join(F.broadcast(bloom), "pos")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == SK.BLOOM_K)  # all K bits set
+        .select("g")
+    )
+    confirmed = cand_g.join(F.broadcast(bench_g), "g")  # exact confirm
+    return (
+        corpus_ex.join(F.broadcast(confirmed), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            round_portable(
+                F.col("n_hits").cast("double") / F.col("n_sh"), 6
+            ).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# answer-preserving prefilter ⇒ the exact query's oracle applies verbatim
+ORACLES["docs_decontaminate_bloom"] = ORACLES["docs_decontaminate"]
+
+
+# --------------------------------------------------- streaming HLL state
+
+
+@register(
+    "streaming_hll_users",
+    _hll_oracle("user_id", "events"),
+    side_effects=True,
+)
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table AS STREAMING STATE: the events landing zone
+    drains through ``groupBy(bucket).agg(max(rho))`` in complete mode —
+    the sketch's merge operator IS a built-in streaming aggregation, so
+    Spark's state store holds exactly ≤256 rows forever (contrast a
+    streaming COUNT(DISTINCT), whose state is the key set itself and
+    grows without bound — the reason exact streaming distinct is
+    impossible at 100 TB without a watermark lie). The drained registers
+    produce the same one-row estimate as the batch query
+    (``events_distinct_users_hll``) against the same oracle: the
+    batch/stream duality the engine promises, this time for sketch
+    state. Restarting the stream tomorrow merges new days into the same
+    bounded registers — the sketch is the checkpoint."""
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
+    regs_stream = (
+        ev.select(
+            (SK.md5_long("user_id", "hllb") % SK.HLL_M).alias("bucket"),
+            SK.hll_rho(SK.md5_long("user_id", "hllw")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    table = "stream_hll_regs"
+    run_available_now(
+        regs_stream,
+        table,
+        output_mode="complete",
+        shuffle_partitions=_stream_parts(spark, sf_dir),
+    )
+    regs = _sink_sorted(spark, table, "bucket")
+    ev_batch = load_table(spark, sf_dir, "events")
+    return _hll_output(
+        regs, ev_batch.agg(F.countDistinct("user_id").alias("n_exact"))
+    )
