@@ -79,8 +79,14 @@ def hll_rho_sql(w: str) -> str:
     return f"(CASE WHEN ({w}) = 0 THEN {b} ELSE {b} - length(to_base({w}, 2)) END)"
 
 
-def hll_registers(df: DataFrame, key: Column | str, salt: str = "hll") -> DataFrame:
-    """(bucket, m_j) register table — the WHOLE sketch state, ≤ HLL_M rows.
+def hll_registers(
+    df: DataFrame,
+    key: Column | str,
+    salt: str = "hll",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group_cols…, bucket, m_j) register table — the WHOLE sketch
+    state, ≤ HLL_M rows per group.
 
     bucket and rho come from two INDEPENDENTLY salted hashes (textbook
     HLL splits one hash's bits; independent hashes are equivalent and
@@ -90,27 +96,39 @@ def hll_registers(df: DataFrame, key: Column | str, salt: str = "hll") -> DataFr
     c = F.col(key) if isinstance(key, str) else key
     return (
         df.select(
+            *group_cols,
             (md5_long(c, salt + "b") % HLL_M).alias("bucket"),
             hll_rho(md5_long(c, salt + "w")).alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
 
 
-def hll_registers_sql(key_expr: str, from_sql: str, salt: str = "hll") -> str:
+def hll_registers_sql(
+    key_expr: str,
+    from_sql: str,
+    salt: str = "hll",
+    group_cols: tuple[str, ...] = (),
+) -> str:
     """DuckDB mirror of :func:`hll_registers` (a CTE body)."""
+    keys = "".join(f"{c}, " for c in group_cols)
+    by = ", ".join([*group_cols, "bucket"])
     return (
-        f"SELECT bucket, MAX(rho) AS m_j FROM ("
-        f"SELECT ({md5_long_sql(key_expr, salt + 'b')}) % {HLL_M} AS bucket, "
+        f"SELECT {keys}bucket, MAX(rho) AS m_j FROM ("
+        f"SELECT {keys}({md5_long_sql(key_expr, salt + 'b')}) % {HLL_M} AS bucket, "
         f"{hll_rho_sql(md5_long_sql(key_expr, salt + 'w'))} AS rho "
-        f"FROM {from_sql}) GROUP BY bucket"
+        f"FROM {from_sql}) GROUP BY {by}"
     )
 
 
-def hll_estimate_row(registers: DataFrame) -> DataFrame:
-    """One-row (hll_estimate DOUBLE unrounded, empty_registers BIGINT,
-    registers_fp VARCHAR) from a register table.
+def hll_estimate_rows(
+    registers: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(group_cols…, hll_estimate DOUBLE unrounded, empty_registers
+    BIGINT, registers_fp VARCHAR) — one row per group (one row total
+    when ``group_cols`` is empty) from a register table that carries the
+    group columns alongside (bucket, m_j).
 
     The harmonic sum stays EXACT: each term 2^(-M_j) is scaled by 2^61
     to the integer 2^(61-M_j) and summed in DECIMAL(38,0) (≤ 2^69 total
@@ -120,7 +138,7 @@ def hll_estimate_row(registers: DataFrame) -> DataFrame:
     correction is omitted: the rho hash is 60-bit, collisions are
     negligible below ~2^30 distinct. registers_fp pins every register
     byte, so the hash check catches any drift the estimate would mask."""
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nonempty"),
         F.coalesce(
             F.sum(
@@ -147,34 +165,52 @@ def hll_estimate_row(registers: DataFrame) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
     return agg.select(
+        *group_cols,
         est.alias("hll_estimate"),
         v.cast("long").alias("empty_registers"),
         "registers_fp",
     )
 
 
-def hll_estimate_row_sql(registers_cte: str) -> str:
-    """DuckDB mirror of :func:`hll_estimate_row`: SELECT over a CTE named
-    ``regs(bucket, m_j)`` defined by the caller as ``registers_cte``."""
+def hll_estimate_row(registers: DataFrame) -> DataFrame:
+    """Ungrouped (one-row) form of :func:`hll_estimate_rows`."""
+    return hll_estimate_rows(registers)
+
+
+def hll_estimate_select_sql(
+    regs: str, group_cols: tuple[str, ...] = ()
+) -> str:
+    """DuckDB mirror of :func:`hll_estimate_rows`: a composable SELECT
+    over an existing relation/CTE name ``regs`` with columns
+    (bucket, m_j [, group_cols…])."""
     m = HLL_M
     b = WIDE_BITS + 1
-    return f"""WITH regs AS ({registers_cte}),
-hagg AS (SELECT COUNT(*) AS nonempty,
-  COALESCE(SUM((1::HUGEINT << ({b} - m_j))), 0::HUGEINT) AS s_scaled,
-  md5(COALESCE(array_to_string(
-    list(bucket::VARCHAR || ':' || m_j::VARCHAR ORDER BY bucket), ','),
-    '')) AS registers_fp FROM regs),
-hest AS (SELECT
-  CAST(s_scaled + ({m} - nonempty)::HUGEINT * (1::HUGEINT << {b})
-       AS DOUBLE) / {float(1 << b)!r}::DOUBLE AS s,
-  {m} - nonempty AS v, registers_fp FROM hagg)
-SELECT CASE WHEN ({HLL_ALPHA}::DOUBLE * {float(m * m)!r}::DOUBLE / s)
+    keys = "".join(f"{c}, " for c in group_cols)
+    group_by = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    return f"""SELECT {keys}
+  CASE WHEN ({HLL_ALPHA}::DOUBLE * {float(m * m)!r}::DOUBLE / s)
             <= {2.5 * m!r}::DOUBLE AND v > 0
        THEN {float(m)!r}::DOUBLE * ln({float(m)!r}::DOUBLE / v::DOUBLE)
        ELSE {HLL_ALPHA}::DOUBLE * {float(m * m)!r}::DOUBLE / s
        END AS hll_estimate,
   v::BIGINT AS empty_registers, registers_fp
-FROM hest"""
+FROM (SELECT {keys}
+    CAST(s_scaled + ({m} - nonempty)::HUGEINT * (1::HUGEINT << {b})
+         AS DOUBLE) / {float(1 << b)!r}::DOUBLE AS s,
+    {m} - nonempty AS v, registers_fp
+  FROM (SELECT {keys}COUNT(*) AS nonempty,
+      COALESCE(SUM((1::HUGEINT << ({b} - m_j))), 0::HUGEINT) AS s_scaled,
+      md5(COALESCE(array_to_string(
+        list(bucket::VARCHAR || ':' || m_j::VARCHAR ORDER BY bucket), ','),
+        '')) AS registers_fp
+    FROM {regs} {group_by}))"""
+
+
+def hll_estimate_row_sql(registers_cte: str) -> str:
+    """Ungrouped convenience wrapper: WITH regs AS (…) + the SELECT."""
+    return f"WITH regs AS ({registers_cte})\n" + hll_estimate_select_sql(
+        "regs"
+    )
 
 
 # ------------------------------------------------------------- Count-Min

@@ -289,3 +289,262 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_output(
         regs, ev_batch.agg(F.countDistinct("user_id").alias("n_exact"))
     )
+
+
+# ------------------------------------------------------------ grouped HLL
+
+
+_TYPE_HLL_ORACLE = f"""WITH regs AS ({SK.hll_registers_sql(
+    'user_id', 'events', group_cols=('event_type',))}),
+e AS ({SK.hll_estimate_select_sql('regs', ('event_type',))}),
+x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type)
+SELECT event_type, x.n_exact,
+  {round_portable_sql('e.hll_estimate', 4)} AS hll_estimate,
+  {round_portable_sql(
+      '(e.hll_estimate - x.n_exact) / x.n_exact::DOUBLE', 6)} AS rel_err,
+  e.empty_registers, e.registers_fp
+FROM e JOIN x USING (event_type) ORDER BY event_type"""
+
+
+@register("events_type_distinct_users_hll", _TYPE_HLL_ORACLE)
+def events_type_distinct_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLL as a GROUPED aggregate: per-event-type distinct-user estimates
+    from per-group register tables — ≤ m rows per group, one partial-
+    aggregated shuffle keyed (event_type, bucket). This is the shape a
+    100 TB 'daily distinct per dimension' report takes: the exact
+    equivalent shuffles every (dim, user) pair; the sketch moves ≤ d·m
+    rows per partition and yesterday's per-dim registers merge into
+    today's by per-bucket max (no re-scan), which is why HLL columns —
+    not exact distinct counts — are what lakehouse rollup tables store.
+    The per-group registers_fp pins each group's full register state."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "user_id", group_cols=("event_type",))
+    est = SK.hll_estimate_rows(regs, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            round_portable("hll_estimate", 4).alias("hll_estimate"),
+            round_portable(
+                (F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+            "empty_registers",
+            "registers_fp",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------- HLL set algebra
+
+_OVL_VALUE_FLOOR = 450.0  # sparse audiences: high-value slice per type
+_OVL_A = f"event_type = 'purchase' AND value > {_OVL_VALUE_FLOOR!r}"
+_OVL_B = f"event_type = 'view' AND value > {_OVL_VALUE_FLOOR!r}"
+
+_OVERLAP_ORACLE = f"""WITH ra AS ({SK.hll_registers_sql(
+    'user_id', f'(SELECT user_id FROM events WHERE {_OVL_A})')}),
+rb AS ({SK.hll_registers_sql(
+    'user_id', f'(SELECT user_id FROM events WHERE {_OVL_B})')}),
+ru AS (SELECT bucket, MAX(m_j) AS m_j
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+ea AS ({SK.hll_estimate_select_sql('ra')}),
+eb AS ({SK.hll_estimate_select_sql('rb')}),
+eu AS ({SK.hll_estimate_select_sql('ru')}),
+x AS (SELECT
+  (SELECT COUNT(DISTINCT user_id) FROM events WHERE {_OVL_A}) AS n_a_exact,
+  (SELECT COUNT(DISTINCT user_id) FROM events WHERE {_OVL_B}) AS n_b_exact,
+  (SELECT COUNT(*) FROM (
+     SELECT DISTINCT user_id FROM events WHERE {_OVL_A}
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE {_OVL_B})) AS n_intersect_exact)
+SELECT x.n_a_exact, x.n_b_exact, x.n_intersect_exact,
+  {round_portable_sql('ea.hll_estimate', 4)} AS a_est,
+  {round_portable_sql('eb.hll_estimate', 4)} AS b_est,
+  {round_portable_sql('eu.hll_estimate', 4)} AS union_est,
+  {round_portable_sql(
+      'ea.hll_estimate + eb.hll_estimate - eu.hll_estimate', 4)}
+    AS intersect_est
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN x"""
+
+
+@register("events_user_overlap_hll", _OVERLAP_ORACLE)
+def events_user_overlap_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap WITHOUT shuffling user ids — HLL set algebra:
+    union cardinality comes from merging the two slices' registers
+    (per-bucket max — exact union semantics of the sketch), intersection
+    by inclusion–exclusion |A|+|B|−|A∪B|. At 100 TB this is the 'how
+    many high-value purchasers also browse' question across tables/days
+    answered from two 256-row artifacts; the exact counts (computed here
+    alongside, as the gate) need a distinct-set shuffle + set intersect
+    each time asked. Slices take the value > 450 tail so the
+    audiences are genuinely partial at every SF."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > _OVL_VALUE_FLOOR)
+    )
+    b = ev.filter(
+        (F.col("event_type") == "view")
+        & (F.col("value") > _OVL_VALUE_FLOOR)
+    )
+    ra, rb = SK.hll_registers(a, "user_id"), SK.hll_registers(b, "user_id")
+    ru = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    )
+    ea = SK.hll_estimate_row(ra).select(
+        F.col("hll_estimate").alias("_a")
+    )
+    eb = SK.hll_estimate_row(rb).select(
+        F.col("hll_estimate").alias("_b")
+    )
+    eu = SK.hll_estimate_row(ru).select(
+        F.col("hll_estimate").alias("_u")
+    )
+    au, bu = a.select("user_id").distinct(), b.select("user_id").distinct()
+    x = (
+        au.agg(F.count(F.lit(1)).alias("n_a_exact"))
+        .crossJoin(bu.agg(F.count(F.lit(1)).alias("n_b_exact")))
+        .crossJoin(
+            au.join(bu, "user_id").agg(
+                F.count(F.lit(1)).alias("n_intersect_exact")
+            )
+        )
+    )
+    # every side is a one-row aggregate — the crossJoins are 1×1×1×1
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(x)
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_intersect_exact",
+            round_portable("_a", 4).alias("a_est"),
+            round_portable("_b", 4).alias("b_est"),
+            round_portable("_u", 4).alias("union_est"),
+            round_portable(
+                F.col("_a") + F.col("_b") - F.col("_u"), 4
+            ).alias("intersect_est"),
+        )
+    )
+
+
+# ------------------------------------- mergeable histogram quantiles
+
+_HIST_SCALE = 10  # bin width 0.1 on the value column
+_HIST_QS = (0.5, 0.9, 0.99)
+
+_HIST_ORACLE = f"""WITH hist AS (
+  SELECT CAST(floor(value::DOUBLE * {float(_HIST_SCALE)!r}::DOUBLE)
+         AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events GROUP BY bin),
+cum AS (SELECT bin, c,
+  SUM(c) OVER (ORDER BY bin) AS cum FROM hist),
+n AS (SELECT COUNT(*) AS n_rows FROM events),
+qs AS (SELECT unnest([{', '.join(repr(q) for q in _HIST_QS)}]) AS q),
+ks AS (SELECT q, CAST(ceil(q::DOUBLE * n_rows) AS BIGINT) AS k
+       FROM qs CROSS JOIN n),
+tgt AS (SELECT q, k, MIN(bin) AS bin
+        FROM ks JOIN cum ON cum.cum >= ks.k GROUP BY q, k),
+ranked AS (SELECT value, row_number() OVER (ORDER BY value) AS rn
+           FROM events),
+exact AS (SELECT q, value AS exact_value
+          FROM ks JOIN ranked ON ranked.rn = ks.k)
+SELECT t.q,
+  {round_portable_sql(
+      f'(t.bin + 1) / {float(_HIST_SCALE)!r}::DOUBLE', 4)} AS hist_estimate,
+  e.exact_value,
+  {round_portable_sql(
+      f'(t.bin + 1) / {float(_HIST_SCALE)!r}::DOUBLE - e.exact_value',
+      4)} AS abs_err
+FROM tgt t JOIN exact e USING (q) ORDER BY q"""
+
+
+@register("events_value_histogram_quantiles", _HIST_ORACLE)
+def events_value_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantiles from a MERGEABLE fixed-grid histogram — the sketch that
+    replaces a global sort: bin = floor(value·10) (pure IEEE multiply +
+    floor, identical in every engine — no libm, unlike log-grid
+    DDSketch), per-bin counts partial-aggregate map-side and merge by
+    add across days/shards. The estimate (upper edge of the bin holding
+    rank ⌈q·n⌉) is within one bin width above truth by construction.
+    The exact check value uses the histogram itself as a two-pass exact
+    quantile: the cumulative table locates the target bin, then ONLY
+    that bin's rows (a pushed bin-range filter, ~1/5000th of the data)
+    are ranked — the scalable exact algorithm, shown beside its o(1)
+    approximation. The cumulative window runs over ≤ 5 k bin rows
+    (bounded by the value domain, never by data volume)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.floor(F.col("value").cast("double") * float(_HIST_SCALE))
+        .cast("long")
+        .alias("bin"),
+        "value",
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n_rows"))
+    qs = spark.createDataFrame([(q,) for q in _HIST_QS], ["q"])
+    ks = qs.crossJoin(n).select(
+        "q",
+        F.ceil(F.col("q").cast("double") * F.col("n_rows"))
+        .cast("long")
+        .alias("k"),
+    )
+    tgt = (
+        ks.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.min("bin").alias("bin"))
+    )
+    # exact two-pass order statistic: rank only the target bin's rows
+    tgt_with_prior = tgt.join(
+        F.broadcast(cum.select("bin", (F.col("cum") - F.col("c")).alias("prior"))),
+        "bin",
+    )
+    in_bin = binned.join(F.broadcast(tgt_with_prior), "bin")
+    ranked = in_bin.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q").orderBy("value")
+        ),
+    )
+    exact = ranked.filter(
+        F.col("rn") == F.col("k") - F.col("prior")
+    ).select("q", F.col("value").alias("exact_value"), "bin")
+    return (
+        exact.select(
+            "q",
+            round_portable(
+                (F.col("bin") + 1) / float(_HIST_SCALE), 4
+            ).alias("hist_estimate"),
+            "exact_value",
+            round_portable(
+                (F.col("bin") + 1) / float(_HIST_SCALE)
+                - F.col("exact_value"),
+                4,
+            ).alias("abs_err"),
+        )
+        .orderBy("q")
+    )
