@@ -262,11 +262,28 @@ def cms_sketch_sql(key_expr: str, from_sql: str, salt: str = "cms") -> str:
 
 # ----------------------------------------------------------------- Bloom
 
-BLOOM_M = 1 << 16  # bits
+BLOOM_M = 1 << 16  # default bits (size with bloom_m_for at build time)
 BLOOM_K = 3  # hash functions
+BLOOM_M_MAX = 1 << 26  # 8 MiB as a real bitset — broadcast-safe cap
 
 
-def bloom_positions(key: Column | str, salt: str = "bloom") -> Column:
+def bloom_m_for(n_keys: int, bits_per_key: int = 16) -> int:
+    """Power-of-two bloom width ≥ bits_per_key·n_keys (clamped to
+    [BLOOM_M, BLOOM_M_MAX]). At k=3 and 16 bits/key the false-positive
+    rate is ≈(1−e^(−3/16))³ ≈ 0.5%; an UNDER-sized filter stays
+    answer-preserving (the exact confirm join removes false positives)
+    but silently degrades to pass-everything — the ×16 probe measured
+    FP→1 at the fixed 2^16 width, which is why sizing happens at build
+    time from the inserted-key count."""
+    m = BLOOM_M
+    while m < bits_per_key * n_keys and m < BLOOM_M_MAX:
+        m <<= 1
+    return m
+
+
+def bloom_positions(
+    key: Column | str, salt: str = "bloom", m: int = BLOOM_M
+) -> Column:
     """ARRAY of the BLOOM_K bit positions of a key — the relational form
     of the bitset (a position-set table IS the bloom filter: membership
     test = all K positions present). The array form keeps the filter
@@ -275,12 +292,14 @@ def bloom_positions(key: Column | str, salt: str = "bloom") -> Column:
     the same positions into a broadcast bitset without changing
     semantics."""
     return F.array(
-        *[md5_long(key, f"{salt}{i}") % BLOOM_M for i in range(BLOOM_K)]
+        *[md5_long(key, f"{salt}{i}") % m for i in range(BLOOM_K)]
     )
 
 
-def bloom_positions_sql(key_expr: str, salt: str = "bloom") -> list[str]:
+def bloom_positions_sql(
+    key_expr: str, salt: str = "bloom", m: int = BLOOM_M
+) -> list[str]:
     return [
-        f"({md5_long_sql(key_expr, f'{salt}{i}')}) % {BLOOM_M}"
+        f"({md5_long_sql(key_expr, f'{salt}{i}')}) % {m}"
         for i in range(BLOOM_K)
     ]

@@ -2,7 +2,8 @@
 bloom-prefiltered decontamination, streaming mergeable-sketch state.
 
 The 100 TB story shared by all four: the answer state is FIXED-SIZE
-(256 HLL registers / 4×1024 CMS counters / a 64 Ki-bit bloom) no matter
+(256 HLL registers / 4×1024 CMS counters / a bits-per-key-sized bloom)
+no matter
 how many input rows flow through — each executor partial-aggregates its
 partitions into sketch cells map-side and the one shuffle moves O(sketch)
 rows per partition, never O(data). Exactness of the CHECK is preserved by
@@ -184,14 +185,17 @@ def docs_decontaminate_bloom(
     positives), so the oracle is the exact query's oracle, registered
     verbatim below. What changes is the 100 TB shape: the exact path
     broadcasts the full benchmark gram STRINGS to every corpus task; the
-    bloom path broadcasts a 64 Ki-bit position set (the K=3 bit positions
+    bloom path broadcasts a bit-position set (the K=3 bit positions
     of every bench gram — here in relational form, see
     functions/sketches.bloom_positions) and only grams passing all K
     membership probes reach the string join. With MB-scale benchmark
     vocabularies against TB-scale corpora, the broadcast shrinks ~100×
     and the string equi-join sees only the tiny candidate slice. The
-    false-positive rate at these parameters (k=3, m=65536, n≈|bench|)
-    keeps the confirm join's input within ~1e-3 of the true hit set."""
+    filter WIDTH is sized at build time from the inserted-key count
+    (bloom_m_for: 16 bits/key → FP ≈ 0.5% at k=3): the ×16 scale probe
+    caught a fixed 2^16 width saturating to FP→1 — still
+    answer-preserving, but a useless prefilter — and the sizing costs
+    one bounded count over the (tiny) benchmark side."""
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % _DECON_MOD == 0
     bench_g = (
@@ -199,10 +203,11 @@ def docs_decontaminate_bloom(
         .select("g")
         .distinct()
     )
+    m = SK.bloom_m_for(bench_g.count())
     # The bloom bitset, relationally: the distinct set bit positions.
     bloom = (
         bench_g.select(
-            F.explode(SK.bloom_positions("g", "decon")).alias("pos")
+            F.explode(SK.bloom_positions("g", "decon", m)).alias("pos")
         )
         .distinct()
     )
@@ -212,7 +217,7 @@ def docs_decontaminate_bloom(
         .distinct()
         .select(
             "g",
-            F.posexplode(SK.bloom_positions("g", "decon")).alias(
+            F.posexplode(SK.bloom_positions("g", "decon", m)).alias(
                 "i", "pos"
             ),
         )
@@ -436,6 +441,95 @@ def events_user_overlap_hll(
             round_portable(
                 F.col("_a") + F.col("_b") - F.col("_u"), 4
             ).alias("intersect_est"),
+        )
+    )
+
+
+# ------------------------------- sketch-backed metadata-only rollup
+
+_ROLLUP_LO, _ROLLUP_HI = "2024-01-08", "2024-01-17"
+_HLL_ROLLUP_CACHE: dict[str, tuple] = {}
+
+_ROLLUP_ORACLE = f"""WITH sliced AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+  WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{_ROLLUP_LO}' AND '{_ROLLUP_HI}'),
+regs AS ({SK.hll_registers_sql('user_id', 'sliced')}),
+e AS ({SK.hll_estimate_select_sql('regs')}),
+x AS (SELECT COUNT(DISTINCT day) AS n_days,
+             COUNT(DISTINCT user_id) AS n_exact FROM sliced)
+SELECT x.n_days, x.n_exact,
+  {round_portable_sql('e.hll_estimate', 4)} AS hll_estimate,
+  {round_portable_sql(
+      '(e.hll_estimate - x.n_exact) / x.n_exact::DOUBLE', 6)} AS rel_err,
+  e.empty_registers, e.registers_fp
+FROM e CROSS JOIN x"""
+
+
+@register("events_hll_rollup_range", _ROLLUP_ORACLE)
+def events_hll_rollup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY distinct-over-range: per-day HLL registers are
+    committed to a manifest sketch table AT INGEST (three 10-day commit
+    batches here — the shape of a daily ingest job appending its day's
+    registers), and 'distinct users over any day range' is then answered
+    by scanning ONLY the sketch table — ≤ 256 rows/day versus the events
+    scan, with the manifest's min/max file stats pruning the sketch
+    files to the commits overlapping the range (read_snapshot_pruned;
+    the day range here touches 2 of the 3 files). Register merge is
+    per-bucket max, so day-sliced registers compose to exactly the
+    registers of the union slice — the associativity the oracle verifies
+    by recomputing straight from the events table. This is the lakehouse
+    pattern of storing sketch columns in rollup tables: the 100 TB fact
+    table is never re-scanned for a cardinality question.
+
+    The exact count computed alongside (the correctness gate) is the
+    cost being avoided; production reads drop it."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _HLL_ROLLUP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    if root is None:
+        root = scratch_path(
+            "hll_rollup_" + sf_dir.strip("/").replace("/", "_")
+        )
+        for lo, hi in (
+            ("2024-01-01", "2024-01-10"),
+            ("2024-01-11", "2024-01-20"),
+            ("2024-01-21", "2024-01-31"),
+        ):
+            regs = SK.hll_registers(
+                ev.filter(F.col("day").between(lo, hi)),
+                "user_id",
+                group_cols=("day",),
+            )
+            M.commit_append(root, regs, n_files=1)
+        _HLL_ROLLUP_CACHE[sf_dir] = (spark, root)
+    sk = M.read_snapshot_pruned(
+        spark, root, "day", _ROLLUP_LO, _ROLLUP_HI
+    )
+    merged = sk.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    sliced = ev.filter(F.col("day").between(_ROLLUP_LO, _ROLLUP_HI))
+    x = sliced.agg(
+        F.countDistinct("day").alias("n_days"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return (
+        SK.hll_estimate_row(merged)
+        .crossJoin(x)
+        .select(
+            "n_days",
+            "n_exact",
+            round_portable("hll_estimate", 4).alias("hll_estimate"),
+            round_portable(
+                (F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+            "empty_registers",
+            "registers_fp",
         )
     )
 

@@ -136,6 +136,14 @@ def test_cms_never_undercounts_and_merges(spark):
     assert {(r["r"], r["bucket"]): r["c"] for r in merged} == cells
 
 
+def test_bloom_m_for_sizing():
+    assert SK.bloom_m_for(0) == SK.BLOOM_M
+    assert SK.bloom_m_for(4096) == SK.BLOOM_M  # 16·4096 = BLOOM_M
+    assert SK.bloom_m_for(4097) == SK.BLOOM_M * 2
+    assert SK.bloom_m_for(400_000) == 1 << 23  # next pow2 ≥ 6.4M bits
+    assert SK.bloom_m_for(10**9) == SK.BLOOM_M_MAX  # clamped
+
+
 def test_bloom_membership_superset(spark):
     """Every inserted key passes the all-K-positions test (no false
     negatives — the property the decontamination prefilter relies on for
