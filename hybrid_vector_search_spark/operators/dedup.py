@@ -1291,14 +1291,24 @@ def embedding_near_dup_ivf(
     nlist: int | None = None,
     id_col: str = "vec_id",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """Scale path: KMeans-bucket the vectors, compare only within a bucket
     (join key = list_id). Trades recall across cell boundaries for a
-    shuffle-bounded plan — the IVF analogue of an LSH blocked join."""
+    shuffle-bounded plan — the IVF analogue of an LSH blocked join.
+
+    ``centroids`` swaps the trained quantizer for a FIXED one
+    (IVFIndex.build_fixed): assignment becomes a pure function of
+    (embedding, centroid literals), which is what lets the registry give
+    this path a full value-hash DuckDB oracle — the same determinism
+    trade the ANN family makes (registry_hybrid_ann._ann_ivf_oracle)."""
     from hybrid_vector_search_spark.operators.ivf import IVFIndex
 
     corpus = emb.withColumnRenamed(id_col, "id")
-    index = IVFIndex.build(corpus, nlist=nlist, seed=seed)
+    if centroids is not None:
+        index = IVFIndex.build_fixed(corpus, centroids)
+    else:
+        index = IVFIndex.build(corpus, nlist=nlist, seed=seed)
     assigned = index.assigned.select("id", "embedding", "list_id")
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("embedding").alias("ea"), "list_id"

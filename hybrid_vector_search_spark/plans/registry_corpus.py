@@ -2088,3 +2088,67 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ------------------------------------- clustered semantic dedup (r13)
+
+
+def _clustered_cosine_oracle() -> str:
+    """Replays the fixed-quantizer cell assignment (the ANN family's
+    argmax-dot literals) and the within-cell thresholded cosine join."""
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        _ann_ivf_centroids,
+    )
+
+    dots = ", ".join(
+        f"list_dot_product(e, {sql_array_literal(c)})"
+        for c in _ann_ivf_centroids()
+    )
+    cos = (
+        "list_dot_product(a.e, b.e) / GREATEST("
+        "sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))"
+        ", 1e-12)"
+    )
+    return f"""WITH assigned AS (
+  SELECT id, e, list_position(d, list_max(d)) - 1 AS list_id
+  FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS e, [{dots}] AS d
+        FROM embeddings))
+SELECT a.id AS id_a, b.id AS id_b, ROUND({cos}, 6) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.list_id = b.list_id AND a.id < b.id
+WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b"""
+
+
+@register("dedup_embedding_clustered_pairs", _clustered_cosine_oracle())
+def dedup_embedding_clustered_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE PATH of embedding near-dup with its own value-hash gate:
+    ``embedding_near_dup_ivf`` compares vectors only within their coarse
+    cell (equi-join on list_id — never the all-pairs GEMM broadcast that
+    ``dedup_embedding_cosine_pairs`` dispatches to at test N), here over
+    the FIXED seeded quantizer so the DuckDB oracle replays the argmax
+    assignment + within-cell join exactly (the same determinism trade
+    the ANN family makes — build_fixed docstring). Cell-bounded pairs
+    are a recall-trading subset of the exact pair set: what's certified
+    is that the subset is EXACTLY the within-cell one. At 100 TB the
+    cell join shuffles each vector once on list_id and the per-cell
+    fan-out is |cell|², bounded by the quantizer's balance — the IVF
+    analogue of the LSH banded join, for the modality n-gram shingles
+    can't see (paraphrase/semantic duplicates)."""
+    from hybrid_vector_search_spark.operators.dedup import (
+        embedding_near_dup_ivf,
+    )
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        _ann_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_ivf(
+            emb, COSINE_DUP_THRESHOLD, centroids=_ann_ivf_centroids()
+        )
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -541,3 +541,23 @@ def test_compact_dedup_index_mechanics(spark, tmp_path):
     assert band and all(
         M.bloom_key("k") in by_rel[r] for r in band
     )
+
+
+def test_clustered_pairs_subset_of_exact(spark):
+    """The cell-bounded semantic pair set is a SUBSET of the exact
+    GEMM pair set (recall is what the cell join trades; precision must
+    be perfect — every emitted pair really clears the threshold)."""
+    from hybrid_vector_search_spark.plans import registry as R
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in R.QUERIES["dedup_embedding_cosine_pairs"](spark, sf).collect()
+    }
+    clustered = {
+        (r["id_a"], r["id_b"])
+        for r in R.QUERIES["dedup_embedding_clustered_pairs"](
+            spark, sf
+        ).collect()
+    }
+    assert clustered <= exact

@@ -115,6 +115,10 @@ PROBE_QUERIES = (
     # corpus scan ~linearly
     "docs_curation_funnel",
 )
+# dedup_embedding_clustered_pairs is probed by tools/semantic_probe.py
+# instead: at the FIXED oracle quantizer its fan-out is quadratic by
+# design (Σ|cell|² with |cell| ∝ N at constant nlist); the production
+# dispatch scales nlist with N, and the dedicated probe shows both.
 # tables the probe queries touch (copied/inflated; others are omitted and
 # any accidental dependence would fail loudly)
 TABLES = ("embeddings", "documents", "events", "lineitem", "orders", "customer")
