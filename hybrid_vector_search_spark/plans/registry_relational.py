@@ -2163,3 +2163,125 @@ def hybrid_topk_ivf_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------- data-quality expectations (r13)
+
+_DQ_DATE_LO, _DQ_DATE_HI = "1995-01-01", "2000-12-31"
+
+
+@register(
+    "orders_quality_expectations",
+    f"""WITH m AS (SELECT
+  COUNT(*) AS n,
+  COUNT(DISTINCT o_orderkey) AS ndv_key,
+  COUNT(o_custkey) AS nn_cust,
+  SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS nonneg,
+  SUM(CASE WHEN strftime(o_orderdate, '%Y-%m-%d')
+           BETWEEN '{_DQ_DATE_LO}' AND '{_DQ_DATE_HI}'
+           THEN 1 ELSE 0 END) AS in_range,
+  SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+    AS in_domain
+FROM orders),
+orphans AS (SELECT COUNT(*) AS n_orphan FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL),
+rows_out AS (
+  SELECT 'custkey_not_null' AS constraint, nn_cust * 1.0 / n AS metric,
+         1.0 AS threshold FROM m UNION ALL
+  SELECT 'custkey_referential', 1.0 - n_orphan * 1.0 / n, 1.0
+    FROM m CROSS JOIN orphans UNION ALL
+  SELECT 'orderdate_in_range', in_range * 1.0 / n, 1.0 FROM m UNION ALL
+  SELECT 'orderkey_unique', ndv_key * 1.0 / n, 1.0 FROM m UNION ALL
+  SELECT 'status_in_domain', in_domain * 1.0 / n, 1.0 FROM m UNION ALL
+  SELECT 'totalprice_nonnegative', nonneg * 1.0 / n, 1.0 FROM m)
+SELECT "constraint",
+  {round_portable_sql('metric', 6)} AS metric, threshold,
+  {round_portable_sql('metric', 6)} >= threshold AS passed
+FROM rows_out ORDER BY "constraint" """,
+)
+def orders_quality_expectations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-quality EXPECTATIONS over a fact table (the Deequ/Great-
+    Expectations shape a 100 TB ingest gate runs before publishing a
+    snapshot): completeness (not-null rate), uniqueness (exact ndv/count
+    — the one constraint paying a key shuffle; a monitoring deployment
+    swaps in the HLL register estimate from the sketch family),
+    domain membership, range conformance, and referential containment
+    (orphan o_custkey rate via a broadcast left-anti count against the
+    dimension). Every metric lands in ONE aggregation pass over the
+    fact table + one bounded anti-join; the output is the per-constraint
+    (metric, threshold, passed) audit row set — with orderdate_in_range
+    deliberately FAILING on this corpus (orders run to 2001-08), so both
+    verdict polarities are pinned by the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n_orphan = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        ).count()
+    )
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("ndv_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.sum(
+            F.when(F.col("o_totalprice") >= 0, 1).otherwise(0)
+        ).alias("nonneg"),
+        F.sum(
+            F.when(
+                F.date_format("o_orderdate", "yyyy-MM-dd").between(
+                    _DQ_DATE_LO, _DQ_DATE_HI
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("in_range"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("in_domain"),
+    ).withColumn("n_orphan", F.lit(n_orphan))
+    n = F.col("n").cast("double")
+    rows = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("custkey_not_null").alias("constraint"),
+                    (F.col("nn_cust") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("custkey_referential").alias("constraint"),
+                    (F.lit(1.0) - F.col("n_orphan") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("orderdate_in_range").alias("constraint"),
+                    (F.col("in_range") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("orderkey_unique").alias("constraint"),
+                    (F.col("ndv_key") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("status_in_domain").alias("constraint"),
+                    (F.col("in_domain") / n).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("totalprice_nonnegative").alias("constraint"),
+                    (F.col("nonneg") / n).alias("metric"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.constraint", "r.metric")
+    return (
+        rows.select(
+            "constraint",
+            round_portable("metric", 6).alias("metric"),
+            F.lit(1.0).alias("threshold"),
+            (round_portable("metric", 6) >= F.lit(1.0)).alias("passed"),
+        )
+        .orderBy("constraint")
+    )

@@ -141,10 +141,14 @@ def main() -> None:
     sgrow = kx["scaled_fanout"] / max(r0["scaled_fanout"], 1)
     lines += [
         "",
-        f"×{kx['k']}/×{r0['k']}: fixed fan-out {fgrow:.0f}× (≈K², as"
-        f" designed), scaled fan-out {sgrow:.0f}× (≈K^1.5) for"
-        f" {kx['k']}× vectors; walls {r0['fixed_s']}→{kx['fixed_s']}s"
-        f" vs {r0['scaled_s']}→{kx['scaled_s']}s.",
+        f"×{kx['k']}/×{r0['k']}: fixed fan-out {fgrow:.0f}× (=K², as"
+        f" designed), scaled fan-out {sgrow:.0f}× for {kx['k']}×"
+        f" vectors (ideal balanced-cell K^1.5 is"
+        f" {kx['k'] ** 1.5:.0f}×; the excess is KMeans cell skew —"
+        " production holds it with a cell-size cap / re-split, the"
+        " same guard as the LSH stop-shingle cap); walls"
+        f" {r0['fixed_s']}→{kx['fixed_s']}s vs"
+        f" {r0['scaled_s']}→{kx['scaled_s']}s.",
         "",
     ]
 
