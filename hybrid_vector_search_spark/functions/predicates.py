@@ -375,3 +375,127 @@ def filters_to_sql(
         )
 
     return " AND ".join(parts) if parts else "TRUE"
+
+
+# ------------------------------------------------- pandas (serving tier)
+
+
+def filters_mask_pandas(
+    schema: T.StructType, filters: Mapping[str, Any] | None, pdf
+):
+    """The SAME filter semantics evaluated over an in-RAM pandas frame —
+    the serving tier's predicate engine (serving.LocalCorpusServe), and
+    the reference's own execution model (its validators.py runs every
+    op in pandas/NumPy over the resident metadata table).
+
+    One semantics, three engines: this mirrors :func:`compile_filters`
+    op-for-op — identical literal casting (_cast_scalar), NULL-fail on
+    every conjunct, lowercase-contains ``like`` with pipe-joined arrays,
+    paired inclusive geo — and the parity is pinned by
+    tests/test_predicates.py::test_pandas_mask_matches_spark over every
+    registry filter shape. Returns a boolean numpy array."""
+    import numpy as np
+
+    n = len(pdf)
+    if not filters:
+        return np.ones(n, dtype=bool)
+
+    validate_filters_schema(schema, filters)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+
+    mask = np.ones(n, dtype=bool)
+    geo_lat: tuple | None = None
+    geo_lon: tuple | None = None
+    if "lat_between" in filters:
+        geo_lat = tuple(filters["lat_between"])
+    if "lon_between" in filters:
+        geo_lon = tuple(filters["lon_between"])
+
+    def _notna(s: "pd.Series") -> "np.ndarray":
+        return s.notna().to_numpy()
+
+    for col_name, ops in filters.items():
+        if col_name in {"lat_between", "lon_between"}:
+            continue
+        s = pdf[col_name]
+        dtype = dtypes[col_name]
+
+        for op, val in ops.items():
+            if op in _COMPARE_OPS:
+                ok, v = _cast_scalar(val, dtype)
+                if not ok:
+                    m = np.zeros(n, dtype=bool)
+                elif op == "eq":
+                    m = (s == v).to_numpy()
+                elif op == "ne":
+                    m = (s != v).to_numpy()
+                elif op == "ge":
+                    m = (s >= v).to_numpy()
+                elif op == "le":
+                    m = (s <= v).to_numpy()
+                elif op == "gt":
+                    m = (s > v).to_numpy()
+                else:  # lt
+                    m = (s < v).to_numpy()
+            elif op == "between":
+                ok_lo, lo = _cast_scalar(val[0], dtype)
+                ok_hi, hi = _cast_scalar(val[1], dtype)
+                if ok_lo and ok_hi:
+                    m = ((s >= lo) & (s <= hi)).to_numpy()
+                else:
+                    m = np.zeros(n, dtype=bool)
+            elif op == "in":
+                ok, vals_cast = _cast_iterable(val, dtype)
+                m = s.isin(vals_cast).to_numpy() if ok else np.zeros(
+                    n, dtype=bool
+                )
+            elif op == "like":
+                needle = str(val).lower()
+                if isinstance(dtype, T.ArrayType):
+                    joined = s.map(
+                        lambda a: None
+                        if a is None
+                        else "|".join(str(x) for x in a)
+                    )
+                else:
+                    joined = s.astype("string")
+                m = (
+                    joined.str.lower()
+                    .str.contains(needle, regex=False)
+                    .fillna(False)
+                    .to_numpy(dtype=bool)
+                )
+            else:  # pragma: no cover — whitelisted by the validator
+                raise FilterSpecError(
+                    f"Unknown operator '{op}' for '{col_name}'"
+                )
+
+            mask &= m & _notna(s)
+
+    if (geo_lat is not None) or (geo_lon is not None):
+        if geo_lat is None or geo_lon is None:
+            raise FilterSpecError(
+                "Geo filters require both 'lat_between' and 'lon_between'"
+            )
+        if "latitude" not in dtypes or "longitude" not in dtypes:
+            raise FilterSpecError(
+                "Geo filters require 'latitude' and 'longitude' columns"
+            )
+        lat, lon = pdf["latitude"], pdf["longitude"]
+        casts = [
+            _cast_scalar(geo_lat[0], dtypes["latitude"]),
+            _cast_scalar(geo_lat[1], dtypes["latitude"]),
+            _cast_scalar(geo_lon[0], dtypes["longitude"]),
+            _cast_scalar(geo_lon[1], dtypes["longitude"]),
+        ]
+        if not all(ok for ok, _ in casts):
+            geo_mask = np.zeros(n, dtype=bool)
+        else:
+            lat_lo, lat_hi, lon_lo, lon_hi = [v for _, v in casts]
+            geo_mask = (
+                ((lat >= lat_lo) & (lat <= lat_hi)).to_numpy()
+                & ((lon >= lon_lo) & (lon <= lon_hi)).to_numpy()
+            )
+        mask &= geo_mask & _notna(lat) & _notna(lon)
+
+    return mask

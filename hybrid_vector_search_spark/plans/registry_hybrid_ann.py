@@ -1367,3 +1367,75 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(scored, ANN_IVF_K).select(
         "id", F.round("score", 6).alias("score")
     )
+
+
+# --------------------------------------- local serving tier (r13)
+
+_LOCAL_SERVE_CACHE: dict[str, tuple] = {}
+
+
+def _local_serve(spark: SparkSession, sf_dir: str):
+    """Session-cached LocalCorpusServe over the wide corpus — built once
+    (one Arrow collect behind the distributed size gate), then every
+    local query is in-process. The residency twin of the reference's
+    startup load (artifacts/artifacts.py:165-194)."""
+    from hybrid_vector_search_spark.serving import LocalCorpusServe
+
+    cached = _LOCAL_SERVE_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    serve = LocalCorpusServe.from_corpus(load_corpus(spark, sf_dir))
+    _LOCAL_SERVE_CACHE[sf_dir] = (spark, serve)
+    return serve
+
+
+def _local_rows_df(spark: SparkSession, rows) -> DataFrame:
+    out = spark.createDataFrame(
+        [(int(i), float(s)) for i, s in rows], "id long, score double"
+    )
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "hybrid_topk_local_exact", ORACLES["hybrid_topk_unfiltered"]
+)
+def hybrid_topk_local_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXACT strategy's q=1 serving fast path (serving.py): the
+    resident float64 matrix GEMMs against the query with no Spark job —
+    the execution shape the reference's ~136 ms/query exact row assumes
+    (whole corpus in one process's RAM). Shares
+    ``hybrid_topk_unfiltered``'s DuckDB oracle verbatim: same scoring,
+    same (score DESC, id ASC) tiebreak, so the fast path is value-hash
+    pinned to the distributed plan's answer. The distributed exact scan
+    remains the only path beyond the RAM gate; this tier exists because
+    per-query Spark latency is floor-bound (BASELINE_PARITY.md), not
+    because the plan is wrong."""
+    serve = _local_serve(spark, sf_dir)
+    case = HYBRID_CASES["hybrid_topk_unfiltered"]
+    rows = serve.exact_topk(query_vector(case["seed"]), case["k"])
+    return _local_rows_df(spark, rows)
+
+
+@register(
+    "hybrid_topk_local_prefilter", ORACLES["hybrid_topk_strict"]
+)
+def hybrid_topk_local_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRE_FILTER strategy in-process: the engine's filter DSL
+    evaluated by ``predicates.filters_mask_pandas`` over the resident
+    metadata (one semantics with the Spark compiler and the SQL
+    renderer — parity pytest-pinned), then a GEMM over only the
+    surviving rows: cost ∝ selectivity, the reference's headline
+    pre_filter property, now without the per-query job floor. Shares
+    ``hybrid_topk_strict``'s oracle verbatim (strict three-conjunct
+    filters), so the serving answer is hash-pinned to the distributed
+    strategy's."""
+    serve = _local_serve(spark, sf_dir)
+    case = HYBRID_CASES["hybrid_topk_strict"]
+    rows = serve.prefilter_topk(
+        query_vector(case["seed"]), case["filters"], case["k"]
+    )
+    return _local_rows_df(spark, rows)

@@ -182,3 +182,67 @@ def test_validate_schema_ok(tiny_corpus):
     validate_filters_schema(
         tiny_corpus.schema, {"state": {"eq": "FL"}, "stars": {"ge": 2}}
     )
+
+
+def test_pandas_mask_matches_spark(spark):
+    """filters_mask_pandas ≡ compile_filters on the real corpus for every
+    registry filter shape + the NULL-fail and geo cases — the one-
+    semantics guarantee the serving tier rests on."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.functions.predicates import (
+        compile_filters,
+        filters_mask_pandas,
+    )
+    from hybrid_vector_search_spark.plans import registry as R
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        HYBRID_CASES,
+    )
+
+    corpus = R.load_corpus(spark, "/root/testdata/sf0.001")
+    pdf = corpus.drop("embedding").toPandas()
+    shapes = [c["filters"] for c in HYBRID_CASES.values()]
+    shapes += [
+        {},
+        {"lang": {"ne": "en"}},  # NULL-fail on the left-join-null column
+        {"n_chars": {"between": [10, 200]}, "label": {"in": [0, 1]}},
+        {"label": {"eq": "not-an-int"}},  # cast failure → all-false
+    ]
+    for filters in shapes:
+        want = sorted(
+            r["id"]
+            for r in corpus.filter(
+                compile_filters(corpus.schema, filters)
+            )
+            .select("id")
+            .collect()
+        )
+        mask = filters_mask_pandas(corpus.schema, filters, pdf)
+        got = sorted(pdf["id"].to_numpy()[np.asarray(mask)].tolist())
+        assert got == want, filters
+
+
+def test_pandas_mask_geo(spark, tiny_corpus):
+    import numpy as np
+
+    from hybrid_vector_search_spark.functions.predicates import (
+        compile_filters,
+        filters_mask_pandas,
+    )
+
+    filters = {
+        "lat_between": [25.0, 30.0],
+        "lon_between": [-85.0, -80.0],
+    }
+    want = sorted(
+        r["id"]
+        for r in tiny_corpus.filter(
+            compile_filters(tiny_corpus.schema, filters)
+        )
+        .select("id")
+        .collect()
+    )
+    pdf = tiny_corpus.drop("embedding").toPandas()
+    mask = filters_mask_pandas(tiny_corpus.schema, filters, pdf)
+    got = sorted(pdf["id"].to_numpy()[np.asarray(mask)].tolist())
+    assert got == want

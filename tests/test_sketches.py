@@ -200,3 +200,77 @@ def test_hll_sql_mirror_matches_spark(spark, n):
     assert float(drow["hll_estimate"][0]) == pytest.approx(
         srow["hll_estimate"], abs=1e-9
     )
+
+
+def test_streaming_hll_registers_merge_across_restarts(spark, tmp_path):
+    """'The sketch IS the checkpoint': a second availableNow drain over
+    newly-landed files MERGES new users into the persisted register
+    state (per-bucket max continues, old files are not reprocessed),
+    and the merged registers equal a batch HLL over the union input."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    d = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt_hll")
+    ddl = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    rows1 = [
+        (i, datetime(2024, 1, 1, 0, i), i % 7, "view", 1.0, "{}")
+        for i in range(20)
+    ]
+    rows2 = [
+        (100 + i, datetime(2024, 1, 1, 1, i), 50 + i, "view", 1.0, "{}")
+        for i in range(15)
+    ]
+    regs: dict[int, int] = {}
+
+    def drain():
+        ev = read_events_stream(spark, d)
+        stream = (
+            ev.select(
+                (SK.md5_long("user_id", "hllb") % SK.HLL_M).alias("bucket"),
+                SK.hll_rho(SK.md5_long("user_id", "hllw")).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _id: regs.update(
+                    {int(r.bucket): int(r.m_j) for r in bdf.collect()}
+                )
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    drain()
+    first = dict(regs)
+
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    drain()
+
+    # merge is monotone: no register went down
+    assert all(regs[b] >= m for b, m in first.items())
+    # merged streaming state == batch registers over the union input
+    union = spark.createDataFrame(rows1 + rows2, ddl)
+    want = {
+        int(r["bucket"]): int(r["m_j"])
+        for r in SK.hll_registers(union, "user_id").collect()
+    }
+    assert regs == want

@@ -634,6 +634,34 @@ def main() -> None:
             best = min(best, _time.perf_counter() - t0)
         local_ms[cq.qid] = best * 1000.0
     mean_local = sum(local_ms.values()) / len(local_ms)
+    # driver-local EXACT / PRE_FILTER serving tier (r13 serving.py):
+    # the resident float64 matrix + metadata frame — the reference's own
+    # residency model (its ~136/54.4 ms rows are in-process NumPy over a
+    # RAM corpus) — behind the distributed size gate. Same DSL via
+    # filters_mask_pandas (parity pytest-pinned), same tiebreak; the
+    # registry pins both to the hybrid_topk_* oracles verbatim.
+    from hybrid_vector_search_spark.serving import LocalCorpusServe
+
+    serve = LocalCorpusServe.from_corpus(corpus)
+    exact_local_ms, pre_local_ms = {}, {}
+    for cq in CANONICAL_QUERIES:
+        qv1 = qvec384(cq.seed)
+        serve.exact_topk(qv1, cq.k)  # warm (BLAS threads, cache)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = _time.perf_counter()
+            serve.exact_topk(qv1, cq.k)
+            best = min(best, _time.perf_counter() - t0)
+        exact_local_ms[cq.qid] = best * 1000.0
+        serve.prefilter_topk(qv1, cq.filters, cq.k)  # warm
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = _time.perf_counter()
+            serve.prefilter_topk(qv1, cq.filters, cq.k)
+            best = min(best, _time.perf_counter() - t0)
+        pre_local_ms[cq.qid] = best * 1000.0
+    mean_exact_local = sum(exact_local_ms.values()) / len(exact_local_ms)
+    mean_pre_local = sum(pre_local_ms.values()) / len(pre_local_ms)
     for pl in list(bm25_plans.values()) + list(rrf_plans.values()):
         pl.collect()  # warm
     rrf_batch_plan.collect()
@@ -694,8 +722,12 @@ def main() -> None:
         "|---|---|---|---|",
         f"| exact, mean ms/query | ~136 | {mean_exact:.1f} |"
         f" {mean_exact / 136:.2f}× |",
+        f"| exact, LOCAL SERVE tier ms/query (serving.py) | ~136 |"
+        f" {mean_exact_local:.1f} | {mean_exact_local / 136:.2f}× |",
         f"| pre_filter, mean ms/query | 54.4 | {mean_pre:.1f} |"
         f" {mean_pre / 54.4:.2f}× |",
+        f"| pre_filter, LOCAL SERVE tier ms/query | 54.4 |"
+        f" {mean_pre_local:.1f} | {mean_pre_local / 54.4:.2f}× |",
         f"| pre_filter, 10-query total ms | ≈544 | {total_pre:.0f} |"
         f" {total_pre / 544:.2f}× |",
         f"| ANN (ref: FAISS IVF post_filter; here: IVF nlist={nlist} "
@@ -785,6 +817,21 @@ def main() -> None:
         "  ms/query, no job launch — the FAISS execution shape over",
         "  the Spark-written layout, same oracle), so the floor now",
         "  bounds only serving nodes that cannot mount the storage.",
+        "* **The exact/pre_filter rows get the same serving twin**",
+        "  (r13 serving.py LocalCorpusServe): the reference's own",
+        "  residency model — resident float64 matrix + metadata,",
+        "  RAM-gated on the real N×D×8 footprint — answers the exact",
+        f"  scan at {mean_exact_local:.1f} ms/query",
+        f"  ({mean_exact_local / 136:.2f}× ref) and the strict/broad",
+        f"  pre_filter set at {mean_pre_local:.1f} ms/query",
+        f"  ({mean_pre_local / 54.4:.2f}× ref), with the filter DSL",
+        "  evaluated by the pandas twin of compile_filters (one",
+        "  semantics, pytest-pinned) and both paths value-hash pinned",
+        "  to the distributed strategies' oracles in the registry",
+        "  (hybrid_topk_local_exact / hybrid_topk_local_prefilter).",
+        "  Beyond the RAM gate the distributed plans are the only",
+        "  exact path — this tier serves the single-machine regime",
+        "  the reference's numbers were measured in.",
         "* **Throughput is where the Spark shape wins** — the batch row",
         "  answers all 10 canonical queries in ONE job at",
         f"  {batch_total_ms / 10:.1f} ms/query amortized, {544 / batch_total_ms:.0f}×",
