@@ -2285,3 +2285,84 @@ def orders_quality_expectations(
         )
         .orderBy("constraint")
     )
+
+
+# ------------------------------------------- cohort retention (r13)
+
+
+@register(
+    "events_retention_cohorts",
+    """WITH firsts AS (
+  SELECT user_id, MIN(strftime(date_trunc('week', ts), '%Y-%m-%d'))
+    AS cohort_week FROM events GROUP BY user_id),
+activity AS (SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(datediff('week', strptime(f.cohort_week, '%Y-%m-%d'),
+         date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f USING (user_id)),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts
+          GROUP BY cohort_week)
+SELECT a.cohort_week, a.week_offset,
+  COUNT(DISTINCT a.user_id) AS n_active, s.cohort_users,
+  (floor((COUNT(DISTINCT a.user_id) * 1.0 / s.cohort_users)::DOUBLE
+         * 1000000.0 + 0.5) / 1000000.0) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, s.cohort_users
+ORDER BY cohort_week, week_offset""",
+)
+def events_retention_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHORT RETENTION — the canonical product-analytics matrix: users
+    cohorted by first-activity week, each cohort's active-user fraction
+    tracked by week offset. Two shuffles total at any scale: the
+    first-touch aggregate (groupBy user, min week), then a broadcast of
+    the per-user cohort label back onto the events scan — the label
+    table is |users| rows, which is broadcastable far beyond test SF
+    (and at true 100 TB user counts becomes the classic shuffle join on
+    user_id with AQE handling skew); the final (cohort, offset) grid is
+    bounded by weeks², never by events. Week arithmetic is epoch-aligned
+    date_trunc in both engines; retention rounds portable."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    firsts = (
+        ev.select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    activity = (
+        ev.select("user_id", wk.alias("w"))
+        .distinct()
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date("w"), F.to_date("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_users",
+            round_portable(
+                F.col("n_active").cast("double") / F.col("cohort_users"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
