@@ -2366,3 +2366,92 @@ def events_retention_cohorts(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------- value anomaly audit (r13)
+
+_OUTLIER_Z = 3.0
+
+
+@register(
+    "events_value_outliers",
+    f"""WITH cents AS (SELECT event_type,
+    CAST(floor(value::DOUBLE * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+m AS (SELECT event_type, COUNT(*) AS n,
+    SUM(c) AS s1, SUM(c * c) AS s2 FROM cents GROUP BY event_type),
+stats AS (SELECT event_type, n,
+    s1 / 100.0 / n AS mean,
+    sqrt(GREATEST((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n)
+                  / (n - 1), 0.0)) AS sd
+  FROM m)
+SELECT e.event_type, s.n AS n_events,
+  {round_portable_sql('s.mean', 6)} AS mean_value,
+  {round_portable_sql('s.sd', 6)} AS sd_value,
+  CAST(SUM(CASE WHEN abs(e.value - s.mean) > {_OUTLIER_Z!r} * s.sd
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  {round_portable_sql(
+      'MAX(abs(e.value - s.mean)) / s.sd', 4)} AS max_z
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type, s.n, s.mean, s.sd
+ORDER BY event_type""",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension ANOMALY AUDIT: z-score outlier counts per event
+    type — the monitoring pass a pipeline runs on every ingested batch.
+    The moments are computed on EXACT INTEGER CENTS (value is a 2-dp
+    grid; Σc and Σc² stay under 2^53, so both engines sum bit-exactly
+    regardless of row order — the float-summation-order hazard that
+    grid_avg documents is removed at the source, and only the final
+    mean/σ division is floating point). Two passes over the scan (one
+    for moments, one joined back for the z test) with the per-type
+    stats BROADCAST — at 100 TB the moment pass is a map-side-combined
+    8-row aggregate and the audit pass streams. Sample σ (n−1), the
+    same estimator both engines name stddev."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    m = ev.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / 100.0 / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("s2") / 10000.0
+                    - (F.col("s1") / 100.0)
+                    * (F.col("s1") / 100.0)
+                    / F.col("n")
+                )
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    z = F.abs(F.col("value") - F.col("mean"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "sd")
+        .agg(
+            F.sum(
+                F.when(z > F.lit(_OUTLIER_Z) * F.col("sd"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max(z).alias("max_abs_dev"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            round_portable("mean", 6).alias("mean_value"),
+            round_portable("sd", 6).alias("sd_value"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            round_portable(
+                F.col("max_abs_dev") / F.col("sd"), 4
+            ).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
