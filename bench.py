@@ -136,6 +136,8 @@ def main() -> None:
         "knn_batch_topk",
         "ann_lsh_topk",
         "ann_ivf_local_serve_topk",
+        "hybrid_topk_local_exact",
+        "hybrid_topk_local_prefilter",
         "tpch_q1_pricing_summary",
         "dedup_minhash_lsh_pairs",
     ]

@@ -1618,3 +1618,103 @@ def corpus_snapshot_cdc_apply(
     return replica.select(
         F.lit(diff).alias("diff_vs_snapshot"), "id", "label"
     ).orderBy("id")
+
+
+# ----------------------------------------- GDPR physical purge (r13)
+
+_PURGE_USER = 13
+_PURGE_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "corpus_snapshot_purge_user",
+    f"""WITH n AS (SELECT COUNT(*) AS rows_before,
+  CAST(SUM(CASE WHEN user_id = {_PURGE_USER} THEN 1 ELSE 0 END)
+       AS BIGINT) AS purged_rows
+  FROM events)
+SELECT rows_before, purged_rows,
+  rows_before - purged_rows AS rows_after,
+  CAST(0 AS BIGINT) AS residual_rows_any_file,
+  CAST(1 AS BIGINT) AS retained_versions
+FROM n""",
+    side_effects=True,
+)
+def corpus_snapshot_purge_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN as a checked operator: merge-on-read
+    deletes (corpus_snapshot_row_deletes) only MASK rows — the bytes
+    stay in earlier data files, which compliance erasure does not
+    allow. Physical purge = commit_rewrite of everything except the
+    subject's rows, then vacuum(keep_last=1) so every superseded file
+    (and with it every copy of the subject's bytes) is DELETED from
+    storage. The query emits the audit row a DPO wants: row counts
+    before/after, and ``residual_rows_any_file`` measured by scanning
+    EVERY parquet file remaining under the table root DIRECTLY —
+    bypassing the manifest, the way a forensic audit would — which the
+    oracle pins at 0; retained_versions pins that no time-travel path
+    back to the purged bytes survives (the deliberate trade: purge
+    truncates history, which is exactly its contract). Cost shape at
+    100 TB: the rewrite is one full-table pass (unavoidable for
+    physical erasure without per-file row groups indexes); batching
+    many purge requests into one rewrite amortizes it, and the
+    clustered layouts (z-order / bucket by user) bound the rewrite to
+    the files whose stats overlap the subject."""
+    import glob as _glob
+    import os as _os
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _PURGE_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        _sp, rows_before, purged_rows, residual, retained = cached
+    else:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        root = scratch_path(
+            "snap_purge_" + sf_dir.strip("/").replace("/", "_")
+        )
+        M.commit_append(root, ev.filter(F.col("user_id") % 2 == 0), n_files=2)
+        M.commit_append(root, ev.filter(F.col("user_id") % 2 == 1), n_files=2)
+        snap = M.read_snapshot(spark, root)
+        rows_before = snap.count()
+        purged_rows = snap.filter(F.col("user_id") == _PURGE_USER).count()
+        M.commit_rewrite(
+            root,
+            M.read_snapshot(spark, root).filter(
+                F.col("user_id") != _PURGE_USER
+            ),
+            n_files=2,
+        )
+        # destroy every superseded file; grace 0 is safe — this builder
+        # holds exclusive access to its scratch root
+        M.vacuum(root, keep_last=1, orphan_grace_sec=0)
+        # forensic proof: read the raw files left on disk, not the
+        # manifest — the subject's bytes must be gone from STORAGE
+        leftover = _glob.glob(
+            _os.path.join(root, "data", "*", "*.parquet")
+        )
+        residual = (
+            spark.read.parquet(*leftover)
+            .filter(F.col("user_id") == _PURGE_USER)
+            .count()
+            if leftover
+            else 0
+        )
+        retained = len(M.list_versions(root))
+        _PURGE_CACHE[sf_dir] = (
+            spark, rows_before, purged_rows, residual, retained,
+        )
+    return spark.createDataFrame(
+        [(
+            int(rows_before),
+            int(purged_rows),
+            int(rows_before - purged_rows),
+            int(residual),
+            int(retained),
+        )],
+        "rows_before long, purged_rows long, rows_after long,"
+        " residual_rows_any_file long, retained_versions long",
+    )

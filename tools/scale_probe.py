@@ -114,6 +114,10 @@ PROBE_QUERIES = (
     # fingerprint shuffle + broadcast decontamination; should track the
     # corpus scan ~linearly
     "docs_curation_funnel",
+    # r13 analytics/audit additions — both scan-bound shapes: the
+    # cohort grid is bounded by weeks², the outlier audit by |types|
+    "events_retention_cohorts",
+    "events_value_outliers",
 )
 # dedup_embedding_clustered_pairs is probed by tools/semantic_probe.py
 # instead: at the FIXED oracle quantizer its fan-out is quadratic by

@@ -36,6 +36,9 @@ QUERY_NAMES = (
     "events_value_histogram_quantiles",
     "docs_decontaminate_bloom",
     "streaming_hll_users",
+    # metadata-only rollup: the builder commits per factor dir once
+    # (memoized); the timed read scans ONLY the sketch sidecar table
+    "events_hll_rollup_range",
 )
 
 
@@ -150,6 +153,7 @@ def main() -> None:
         "events_value_histogram_quantiles": "hist_q",
         "docs_decontaminate_bloom": "bloom_decon",
         "streaming_hll_users": "stream_hll",
+        "events_hll_rollup_range": "hll_rollup",
     }
     lines = [
         MARKER,
