@@ -1688,3 +1688,92 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             round_portable(F.col("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+# ------------------------------------ ingest dead-letter routing (r13)
+
+_DLQ_VALUE_MAX = 450.0
+_DLQ_LATE_DAY = "2024-01-28"
+
+
+@register(
+    "streaming_ingest_quarantine",
+    f"""WITH routed AS (SELECT
+  CASE WHEN value > {_DLQ_VALUE_MAX!r} THEN 'quarantine'
+       WHEN strftime(ts, '%Y-%m-%d') > '{_DLQ_LATE_DAY}' THEN 'quarantine'
+       ELSE 'main' END AS route,
+  CASE WHEN value > {_DLQ_VALUE_MAX!r} THEN 'value_out_of_range'
+       WHEN strftime(ts, '%Y-%m-%d') > '{_DLQ_LATE_DAY}' THEN 'late_arrival'
+       ELSE 'ok' END AS reason
+  FROM events)
+SELECT route, reason, COUNT(*) AS n FROM routed
+GROUP BY route, reason ORDER BY route, reason""",
+    side_effects=True,
+)
+def streaming_ingest_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEAD-LETTER ROUTING at ingest: every arriving event is routed
+    row-level to the main table or a quarantine table carrying a
+    machine-readable reason (value out of range / late arrival, checked
+    in priority order) — the two-sink foreachBatch shape every
+    production landing zone runs so bad rows never poison the main
+    table yet are never dropped (they stay queryable for triage and
+    replay after a fix). Row-level predicates make the routing
+    independent of micro-batch boundaries, so the drained counts equal
+    the batch GROUP BY the oracle computes — batch/stream parity for
+    the gate itself. Both sinks are real parquet writes per micro-batch
+    (append mode, the idempotent-by-path pattern of the ingest family);
+    the returned audit is read back from the SINKS, not the stream, so
+    the hash also certifies nothing was lost or double-routed in the
+    fan-out."""
+    import uuid as _uuid
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, _landing(spark, sf_dir, "events"))
+    reason = F.when(
+        F.col("value") > _DLQ_VALUE_MAX, F.lit("value_out_of_range")
+    ).when(
+        F.date_format("ts", "yyyy-MM-dd") > _DLQ_LATE_DAY,
+        F.lit("late_arrival"),
+    )
+    routed = ev.withColumn("reason", reason)
+    base = scratch_path("dlq_" + _uuid.uuid4().hex[:8])
+    main_dir, quar_dir = base + "/main", base + "/quarantine"
+
+    def _route(bdf, _bid):
+        bdf = bdf.persist()
+        bdf.filter(F.col("reason").isNull()).drop("reason").write.mode(
+            "append"
+        ).parquet(main_dir)
+        bdf.filter(F.col("reason").isNotNull()).write.mode(
+            "append"
+        ).parquet(quar_dir)
+        bdf.unpersist()
+
+    q = (
+        routed.writeStream.foreachBatch(_route)
+        .option(
+            "checkpointLocation", base + "/ckpt"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    main = (
+        spark.read.parquet(main_dir)
+        .select(F.lit("main").alias("route"), F.lit("ok").alias("reason"))
+    )
+    quar = spark.read.parquet(quar_dir).select(
+        F.lit("quarantine").alias("route"), "reason"
+    )
+    return (
+        main.unionByName(quar)
+        .groupBy("route", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("route", "reason")
+    )
