@@ -3113,15 +3113,29 @@ def create_branch(root: str, name: str, version: int | None = None) -> int:
 
 
 def resolve_branch(root: str, name: str) -> int:
-    """The version branch ``name`` currently points at."""
-    files = _branch_files(root, name)
-    if not files:
-        raise ValidationError(
-            f"no branch '{name}' at '{root}' "
-            f"(have: {sorted(list_branches(root))})"
-        )
-    with open(files[-1][1], encoding="utf-8") as f:
-        return int(json.load(f)["version"])
+    """The version branch ``name`` currently points at.
+
+    A concurrent mover retires superseded pointer files AFTER linking
+    the new seq (update_branch), so the head file a reader just listed
+    can vanish before the open — that means a NEWER seq exists, and the
+    honest answer is to re-list, not to crash (the r13 flake: a WAP
+    race surfaced as FileNotFoundError out of the read path)."""
+    for _ in range(16):
+        files = _branch_files(root, name)
+        if not files:
+            raise ValidationError(
+                f"no branch '{name}' at '{root}' "
+                f"(have: {sorted(list_branches(root))})"
+            )
+        try:
+            with open(files[-1][1], encoding="utf-8") as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            continue  # retired mid-read by a mover; newer seq exists
+    raise CommitConflictError(
+        f"branch '{name}' at '{root}' kept moving across 16 read "
+        "attempts — retry under less pointer churn"
+    )
 
 
 def list_branches(root: str) -> dict[str, int]:
@@ -3142,8 +3156,12 @@ def list_branches(root: str) -> dict[str, int]:
         if not name:
             continue
         if seq >= seqs.get(name, -1):
-            with open(os.path.join(refs, f), encoding="utf-8") as fh:
-                out[name] = int(json.load(fh)["version"])
+            try:
+                with open(os.path.join(refs, f), encoding="utf-8") as fh:
+                    out[name] = int(json.load(fh)["version"])
+            except FileNotFoundError:
+                continue  # retired mid-listing by a mover; a newer
+                # seq for this name is (or will be) in the listing
             seqs[name] = seq
     return out
 
@@ -3173,8 +3191,18 @@ def update_branch(
     if not files:
         raise ValidationError(f"no branch '{name}' at '{root}'")
     if expected_version is not None:
-        with open(files[-1][1], encoding="utf-8") as f:
-            head = int(json.load(f)["version"])
+        try:
+            with open(files[-1][1], encoding="utf-8") as f:
+                head = int(json.load(f)["version"])
+        except FileNotFoundError:
+            # the head file we listed was retired by a concurrent
+            # winner between the listing and this read — by definition
+            # the pointer moved since the audit (the r13 WAP-race flake
+            # surfaced this as a raw FileNotFoundError)
+            raise CommitConflictError(
+                f"branch '{name}' at '{root}' moved while the audited "
+                f"head was being read — re-read and re-audit"
+            ) from None
         if head != int(expected_version):
             raise CommitConflictError(
                 f"branch '{name}' at '{root}' points at {head}, not "

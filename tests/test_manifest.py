@@ -2146,3 +2146,65 @@ def test_current_version_hint_probe_and_fallbacks(spark, tmp_path):
     # vacuum keeps the latest; hint target survives retention
     M.vacuum(root, keep_last=1, orphan_grace_sec=0)
     assert M.current_version(root) == 4
+
+
+def test_branch_pointer_race_never_leaks_raw_errors(spark, tmp_path):
+    """r13 flake regression: update_branch retires superseded pointer
+    files AFTER linking the new seq, so concurrent movers/readers could
+    list a head file and find it deleted at open — which surfaced as a
+    raw FileNotFoundError instead of the documented CommitConflictError
+    (or a clean re-read). Hammer the pointer from several movers while
+    a reader spins: the ONLY exception any participant may see is
+    CommitConflictError, every resolve returns a real version, and the
+    final head equals some winner's target."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    versions = []
+    for i in range(4):
+        M.commit_append(root, _df(spark, 10 * i, 10 * i + 5))
+        versions.append(i + 1)
+    M.create_branch(root, "published", versions[0])
+
+    stop = threading.Event()
+    bad: list = []
+    resolved: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                v = M.resolve_branch(root, "published")
+                resolved.append(v)
+            except M.CommitConflictError:
+                continue
+            except Exception as e:  # noqa: BLE001 — the assertion
+                bad.append(repr(e))
+                return
+
+    def mover(seed: int):
+        for j in range(40):
+            tgt = versions[(seed + j) % len(versions)]
+            head = M.resolve_branch(root, "published")
+            try:
+                M.update_branch(
+                    root, "published", tgt,
+                    expected_version=head if j % 2 else None,
+                )
+            except M.CommitConflictError:
+                continue
+            except Exception as e:  # noqa: BLE001
+                bad.append(repr(e))
+                return
+
+    rt = threading.Thread(target=reader)
+    ms = [threading.Thread(target=mover, args=(s,)) for s in range(4)]
+    rt.start()
+    for t in ms:
+        t.start()
+    for t in ms:
+        t.join(120)
+    stop.set()
+    rt.join(30)
+    assert bad == [], bad
+    assert resolved and set(resolved) <= set(versions)
+    assert M.resolve_branch(root, "published") in versions

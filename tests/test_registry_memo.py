@@ -86,6 +86,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "corpus_snapshot_history",
         # r12 late: commits the scripted rollback history per session
         "corpus_snapshot_restore",
+        # r13: builds + purges + vacuums the scratch table and runs the
+        # forensic raw-file scan driver-side (internally session-cached)
+        "corpus_snapshot_purge_user",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
