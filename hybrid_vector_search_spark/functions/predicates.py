@@ -452,10 +452,15 @@ def filters_mask_pandas(
             elif op == "like":
                 needle = str(val).lower()
                 if isinstance(dtype, T.ArrayType):
+                    # Spark's array_join skips NULL elements (no
+                    # nullReplacement given) — mirror that, never join
+                    # a None as the literal string 'None'
                     joined = s.map(
                         lambda a: None
                         if a is None
-                        else "|".join(str(x) for x in a)
+                        else "|".join(
+                            str(x) for x in a if x is not None
+                        )
                     )
                 else:
                     joined = s.astype("string")

@@ -2339,6 +2339,8 @@ def events_retention_cohorts(
         .select(
             "user_id",
             "cohort_week",
+            # distinct (user, w) maps 1:1 to (user, offset) — w is
+            # exactly cohort_week + 7·offset — so no second distinct
             (
                 F.datediff(
                     F.to_date("w"), F.to_date("cohort_week")
@@ -2348,7 +2350,6 @@ def events_retention_cohorts(
             .cast("long")
             .alias("week_offset"),
         )
-        .distinct()
     )
     return (
         activity.groupBy("cohort_week", "week_offset")

@@ -33,9 +33,6 @@ from hybrid_vector_search_spark.plans.registry_relational import (
     _sink_sorted,
     _stream_parts,
 )
-from hybrid_vector_search_spark.plans.registry_relational import (
-    docs_decontaminate as _docs_decontaminate,
-)
 from hybrid_vector_search_spark.plans.registry import ORACLES
 from hybrid_vector_search_spark.sources.loaders import load_table
 from hybrid_vector_search_spark.functions import text as TX

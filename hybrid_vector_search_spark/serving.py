@@ -59,21 +59,42 @@ class LocalCorpusServe:
     ) -> "LocalCorpusServe":
         """One Arrow collect of the wide corpus. The size gate runs as a
         distributed aggregate BEFORE any driver materialization (the
-        embedding_near_dup rule: check, then collect)."""
+        embedding_near_dup rule: check, then collect) — and it counts
+        the WHOLE collected footprint, not just the matrix: the
+        metadata frame includes string columns (text) whose bytes can
+        dwarf N×D×8, and a gate that ignores them OOM-kills the driver
+        instead of raising (r13 review finding)."""
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        n, d = (
-            corpus.agg(
-                F.count(F.lit(1)),
-                F.first(F.size(F.col(embedding_col))),
-            ).first()
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.first(F.size(F.col(embedding_col))).alias("__d"),
+        ]
+        str_cols = [
+            f.name
+            for f in corpus.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        ]
+        for c in str_cols:
+            aggs.append(
+                F.coalesce(F.sum(F.length(c)), F.lit(0)).alias(f"__s_{c}")
+            )
+        row = corpus.agg(*aggs).first().asDict()
+        n, d = int(row["__n"] or 0), int(row["__d"] or 0)
+        # matrix float64 + ~8 bytes/row/numeric col + measured string
+        # bytes (×2: pandas object-string overhead is at least that)
+        meta_bytes = 8 * n * max(len(corpus.columns) - 1, 0) + 2 * sum(
+            int(row[f"__s_{c}"]) for c in str_cols
         )
-        need = int(n or 0) * int(d or 0) * 8
+        need = n * d * 8 + meta_bytes
         if need > max_bytes:
             raise ValidationError(
-                f"LocalCorpusServe: corpus matrix is {need/2**30:.1f} GiB"
-                f" (> {max_bytes/2**30:.1f} GiB budget) — serve this"
-                " corpus with the distributed plans or shard the tier"
+                f"LocalCorpusServe: resident corpus is {need/2**30:.1f}"
+                f" GiB (matrix {n * d * 8 / 2**30:.1f} + metadata"
+                f" {meta_bytes/2**30:.1f}; > {max_bytes/2**30:.1f} GiB"
+                " budget) — serve this corpus with the distributed"
+                " plans or shard the tier"
             )
         pdf = corpus.toPandas()
         mat = np.ascontiguousarray(
@@ -117,7 +138,22 @@ class LocalCorpusServe:
         survivors — a submatrix GEMM when the filter is selective
         (cost ∝ selectivity, the reference's headline property), an
         in-place full GEMM + score mask when it is broad (gather cost
-        would exceed the scan). Same answer either way."""
+        would exceed the scan). Same answer either way.
+
+        Filters naming the embedding column (legal in the DSL — ``like``
+        stringifies arrays) are REFUSED loudly: the metadata frame does
+        not hold the embedding column (it lives as the float64 matrix),
+        and a silent KeyError is worse than a documented divergence —
+        route such filters through the distributed plan."""
+        for col in filters or {}:
+            if col not in {"lat_between", "lon_between"} and (
+                col not in self.meta.columns
+            ):
+                raise ValidationError(
+                    f"LocalCorpusServe: column '{col}' is not resident"
+                    " in the serving metadata (embedding-column filters"
+                    " run on the distributed plan)"
+                )
         mask = filters_mask_pandas(self.schema, filters, self.meta)
         idx = np.flatnonzero(mask)
         if idx.size == 0:

@@ -3139,31 +3139,49 @@ def resolve_branch(root: str, name: str) -> int:
 
 
 def list_branches(root: str) -> dict[str, int]:
+    """All branches → the version each points at.
+
+    A head file can vanish between the listdir and the open when a
+    concurrent ``update_branch`` retires it — but the newer seq that
+    replaced it may ALSO postdate our listdir snapshot, so skipping the
+    vanished file could silently OMIT a live branch. ``vacuum`` pins
+    branch-referenced versions through this function: an omission there
+    deletes a published snapshot (fail-unsafe), so a vanished head
+    restarts the whole listing instead (r13 review finding on the
+    pointer-race fix)."""
     refs = os.path.join(root, "refs")
-    if not os.path.isdir(refs):
-        return {}
-    out: dict[str, int] = {}
-    seqs: dict[str, int] = {}
-    for f in os.listdir(refs):
-        if not (f.startswith("branch-") and f.endswith(".json")):
-            continue
-        stem = f[len("branch-"):-5]
-        name, _, seq_s = stem.rpartition("-")
+    for _ in range(16):
+        if not os.path.isdir(refs):
+            return {}
+        out: dict[str, int] = {}
+        seqs: dict[str, int] = {}
         try:
-            seq = int(seq_s)
-        except ValueError:
-            continue
-        if not name:
-            continue
-        if seq >= seqs.get(name, -1):
-            try:
-                with open(os.path.join(refs, f), encoding="utf-8") as fh:
-                    out[name] = int(json.load(fh)["version"])
-            except FileNotFoundError:
-                continue  # retired mid-listing by a mover; a newer
-                # seq for this name is (or will be) in the listing
-            seqs[name] = seq
-    return out
+            for f in os.listdir(refs):
+                if not (f.startswith("branch-") and f.endswith(".json")):
+                    continue
+                stem = f[len("branch-"):-5]
+                name, _, seq_s = stem.rpartition("-")
+                try:
+                    seq = int(seq_s)
+                except ValueError:
+                    continue
+                if not name:
+                    continue
+                if seq >= seqs.get(name, -1):
+                    with open(
+                        os.path.join(refs, f), encoding="utf-8"
+                    ) as fh:
+                        out[name] = int(json.load(fh)["version"])
+                    seqs[name] = seq
+        except FileNotFoundError:
+            continue  # a mover retired a head mid-listing: re-list so
+            # the branch's NEWER seq (possibly after our listdir
+            # snapshot) is seen — never silently drop a live branch
+        return out
+    raise CommitConflictError(
+        f"branch refs at '{root}' kept moving across 16 listing "
+        "attempts — retry under less pointer churn"
+    )
 
 
 def update_branch(

@@ -2184,8 +2184,8 @@ def test_branch_pointer_race_never_leaks_raw_errors(spark, tmp_path):
     def mover(seed: int):
         for j in range(40):
             tgt = versions[(seed + j) % len(versions)]
-            head = M.resolve_branch(root, "published")
             try:
+                head = M.resolve_branch(root, "published")
                 M.update_branch(
                     root, "published", tgt,
                     expected_version=head if j % 2 else None,

@@ -89,6 +89,13 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r13: builds + purges + vacuums the scratch table and runs the
         # forensic raw-file scan driver-side (internally session-cached)
         "corpus_snapshot_purge_user",
+        # r13: serving-tier fast paths — the work (GEMM + pandas filter)
+        # happens at build time and returns a literal, so the memo would
+        # freeze it into a cached 10-row createDataFrame
+        "hybrid_topk_local_exact",
+        "hybrid_topk_local_prefilter",
+        "ann_ivf_local_serve_topk",
+        "ann_ivf_local_serve_batch",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:

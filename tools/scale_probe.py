@@ -746,3 +746,19 @@ def _deep_history_lines(spark) -> list[str]:
 
 if __name__ == "__main__":
     main()
+
+
+def ensure_inflated(spark, factor: int) -> str:
+    """Shared inflation memo for every probe tool: the hvs_scale_x<K>
+    scratch dir with the scheme-versioned sentinel (a crashed partial
+    inflate or an older scheme's data is re-done, never silently
+    reused). sketch_probe/semantic_probe import THIS instead of
+    re-implementing the convention (r13 review: three drifting copies)."""
+    import tempfile as _tempfile
+
+    root = os.path.join(_tempfile.gettempdir(), f"hvs_scale_x{factor}")
+    done = os.path.join(root, f"_INFLATED_OK_{INFLATE_SCHEME}")
+    if not os.path.exists(done):
+        inflate(spark, factor, root)
+        Path(done).touch()
+    return root

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
 import time
 from pathlib import Path
 
@@ -34,14 +33,9 @@ RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
 
 
 def _sf_dir(spark, k: int) -> str:
-    root = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{k}")
-    from tools.scale_probe import INFLATE_SCHEME, inflate
+    from tools.scale_probe import ensure_inflated
 
-    done = os.path.join(root, f"_INFLATED_OK_{INFLATE_SCHEME}")
-    if not os.path.exists(done):
-        inflate(spark, k, root)
-        Path(done).touch()
-    return root
+    return ensure_inflated(spark, k)
 
 
 def main() -> None:

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
 import time
 from pathlib import Path
 
@@ -43,14 +42,9 @@ QUERY_NAMES = (
 
 
 def _sf_dir(spark, k: int) -> str:
-    root = os.path.join(tempfile.gettempdir(), f"hvs_scale_x{k}")
-    from tools.scale_probe import INFLATE_SCHEME, inflate
+    from tools.scale_probe import ensure_inflated
 
-    done = os.path.join(root, f"_INFLATED_OK_{INFLATE_SCHEME}")
-    if not os.path.exists(done):
-        inflate(spark, k, root)
-        Path(done).touch()
-    return root
+    return ensure_inflated(spark, k)
 
 
 def main() -> None:
