@@ -859,7 +859,7 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_strip_duplicate_passages",
-    """WITH toks AS (SELECT doc_id,
+    r"""WITH toks AS (SELECT doc_id,
   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
   FROM documents),
 ch AS (SELECT doc_id, u.i AS i, t[i * 32 + 1 : i * 32 + 32] AS c,

@@ -1763,14 +1763,40 @@ def streaming_ingest_quarantine(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    main = (
-        spark.read.parquet(main_dir)
-        .select(F.lit("main").alias("route"), F.lit("ok").alias("reason"))
-    )
-    quar = spark.read.parquet(quar_dir).select(
-        F.lit("quarantine").alias("route"), "reason"
-    )
+    try:
+        drained = q.awaitTermination(120)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive stop on timeout
+            q.stop()
+    if not drained:
+        # a still-running query would keep appending to the sinks while
+        # we read them back — nondeterministic counts (r13 advice);
+        # mirror run_available_now: stop (above) and refuse the audit
+        raise RuntimeError(
+            "streaming_ingest_quarantine: drain did not finish within "
+            "120 s — refusing to audit partially-written sinks"
+        )
+
+    from pyspark.errors import AnalysisException
+
+    def _read_route(path: str, route: str) -> DataFrame:
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            # zero rows took this route on this corpus, so the sink dir
+            # was never created (data-dependent): an honest zero-count
+            # frame, not an AnalysisException out of the audit
+            return spark.createDataFrame(
+                [], "route string, reason string"
+            )
+        if route == "main":
+            return df.select(
+                F.lit("main").alias("route"), F.lit("ok").alias("reason")
+            )
+        return df.select(F.lit("quarantine").alias("route"), "reason")
+
+    main = _read_route(main_dir, "main")
+    quar = _read_route(quar_dir, "quarantine")
     return (
         main.unionByName(quar)
         .groupBy("route", "reason")

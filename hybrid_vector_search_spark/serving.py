@@ -82,6 +82,16 @@ class LocalCorpusServe:
             )
         row = corpus.agg(*aggs).first().asDict()
         n, d = int(row["__n"] or 0), int(row["__d"] or 0)
+        if n == 0 or d == 0:
+            # n=0 sails through the RAM gate (need=0) and then dies in
+            # np.vstack with an opaque numpy error — refuse loudly in
+            # the module's own vocabulary instead (r13 advice)
+            raise ValidationError(
+                "LocalCorpusServe: nothing to serve — corpus is empty"
+                if n == 0
+                else "LocalCorpusServe: embedding dimension is null/zero"
+                f" on '{embedding_col}' — cannot build a resident matrix"
+            )
         # matrix float64 + ~8 bytes/row/numeric col + measured string
         # bytes (×2: pandas object-string overhead is at least that)
         meta_bytes = 8 * n * max(len(corpus.columns) - 1, 0) + 2 * sum(

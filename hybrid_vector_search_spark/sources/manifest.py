@@ -3112,21 +3112,17 @@ def create_branch(root: str, name: str, version: int | None = None) -> int:
     return v
 
 
-def resolve_branch(root: str, name: str) -> int:
-    """The version branch ``name`` currently points at.
-
-    A concurrent mover retires superseded pointer files AFTER linking
-    the new seq (update_branch), so the head file a reader just listed
-    can vanish before the open — that means a NEWER seq exists, and the
-    honest answer is to re-list, not to crash (the r13 flake: a WAP
-    race surfaced as FileNotFoundError out of the read path)."""
+def _read_branch_head(root: str, name: str) -> int | None:
+    """Current version for ONE branch, or None when the branch has no
+    head files (deleted / never created). Bounded per-branch retry: a
+    concurrent mover retires superseded pointer files AFTER linking the
+    new seq (update_branch), so a head a reader just listed can vanish
+    before the open — that means a NEWER seq exists and the honest
+    answer is to re-list this branch's files, not to crash."""
     for _ in range(16):
         files = _branch_files(root, name)
         if not files:
-            raise ValidationError(
-                f"no branch '{name}' at '{root}' "
-                f"(have: {sorted(list_branches(root))})"
-            )
+            return None
         try:
             with open(files[-1][1], encoding="utf-8") as f:
                 return int(json.load(f)["version"])
@@ -3138,6 +3134,19 @@ def resolve_branch(root: str, name: str) -> int:
     )
 
 
+def resolve_branch(root: str, name: str) -> int:
+    """The version branch ``name`` currently points at (the r13 flake:
+    a WAP race surfaced as FileNotFoundError out of the read path —
+    the bounded re-list lives in ``_read_branch_head``)."""
+    v = _read_branch_head(root, name)
+    if v is None:
+        raise ValidationError(
+            f"no branch '{name}' at '{root}' "
+            f"(have: {sorted(list_branches(root))})"
+        )
+    return v
+
+
 def list_branches(root: str) -> dict[str, int]:
     """All branches → the version each points at.
 
@@ -3146,42 +3155,49 @@ def list_branches(root: str) -> dict[str, int]:
     replaced it may ALSO postdate our listdir snapshot, so skipping the
     vanished file could silently OMIT a live branch. ``vacuum`` pins
     branch-referenced versions through this function: an omission there
-    deletes a published snapshot (fail-unsafe), so a vanished head
-    restarts the whole listing instead (r13 review finding on the
-    pointer-race fix)."""
+    deletes a published snapshot (fail-unsafe). A vanished head
+    therefore re-resolves JUST that branch via its own bounded re-list
+    (``_read_branch_head``) — already-read branches keep their answers,
+    so one hot branch's pointer churn can no longer abort progress on
+    every other branch and drive the whole listing toward its 16-attempt
+    conflict error (r13 advice on the restart-the-world fix)."""
     refs = os.path.join(root, "refs")
-    for _ in range(16):
-        if not os.path.isdir(refs):
-            return {}
-        out: dict[str, int] = {}
-        seqs: dict[str, int] = {}
+    if not os.path.isdir(refs):
+        return {}
+    out: dict[str, int] = {}
+    seqs: dict[str, int] = {}
+    _FRESH = 1 << 62  # re-resolved outside the snapshot: beats any seq
+    try:
+        snapshot = os.listdir(refs)
+    except FileNotFoundError:
+        return {}
+    for f in snapshot:
+        if not (f.startswith("branch-") and f.endswith(".json")):
+            continue
+        stem = f[len("branch-"):-5]
+        name, _, seq_s = stem.rpartition("-")
         try:
-            for f in os.listdir(refs):
-                if not (f.startswith("branch-") and f.endswith(".json")):
-                    continue
-                stem = f[len("branch-"):-5]
-                name, _, seq_s = stem.rpartition("-")
-                try:
-                    seq = int(seq_s)
-                except ValueError:
-                    continue
-                if not name:
-                    continue
-                if seq >= seqs.get(name, -1):
-                    with open(
-                        os.path.join(refs, f), encoding="utf-8"
-                    ) as fh:
-                        out[name] = int(json.load(fh)["version"])
-                    seqs[name] = seq
+            seq = int(seq_s)
+        except ValueError:
+            continue
+        if not name:
+            continue
+        if seq < seqs.get(name, -1):
+            continue
+        try:
+            with open(os.path.join(refs, f), encoding="utf-8") as fh:
+                out[name] = int(json.load(fh)["version"])
+            seqs[name] = seq
         except FileNotFoundError:
-            continue  # a mover retired a head mid-listing: re-list so
-            # the branch's NEWER seq (possibly after our listdir
-            # snapshot) is seen — never silently drop a live branch
-        return out
-    raise CommitConflictError(
-        f"branch refs at '{root}' kept moving across 16 listing "
-        "attempts — retry under less pointer churn"
-    )
+            # this branch moved (newer seq, possibly after our listdir
+            # snapshot) or was deleted: re-resolve only THIS branch
+            v = _read_branch_head(root, name)
+            if v is None:
+                out.pop(name, None)  # deleted mid-scan
+            else:
+                out[name] = v
+            seqs[name] = _FRESH  # stale snapshot entries can't regress it
+    return out
 
 
 def update_branch(

@@ -25,6 +25,15 @@ def test_ram_gate_refuses_before_collect(spark):
         LocalCorpusServe.from_corpus(corpus, max_bytes=1024)
 
 
+def test_empty_corpus_refused_loudly(spark):
+    # n=0 passes the RAM gate (need=0); without the explicit guard the
+    # build dies inside np.vstack with an opaque numpy error (r13 advice)
+    corpus = R.load_corpus(spark, "/root/testdata/sf0.001")
+    empty = corpus.filter(F.col("id") < 0)
+    with pytest.raises(ValidationError, match="empty"):
+        LocalCorpusServe.from_corpus(empty)
+
+
 def test_exact_matches_distributed_plan(spark, serve):
     from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
         HYBRID_CASES,
