@@ -1718,3 +1718,224 @@ def corpus_snapshot_purge_user(
         "rows_before long, purged_rows long, rows_after long,"
         " residual_rows_any_file long, retained_versions long",
     )
+
+
+# ------------------------------------- GDPR purge CASCADE (r14)
+
+_CASCADE_SUBJECT = 13   # the erased user; docs/vectors owned via % mod
+_CASCADE_MOD = 50       # owner(doc) = doc_id % 50, owner(vec) = vec_id % 50
+_CASCADE_NLIST = 64
+_CASCADE_CACHE: dict[str, tuple] = {}
+
+
+def _cascade_oracle() -> str:
+    """Predicts every audit field of the cascade from the BASE tables
+    alone: rows_before/purged per artifact are deterministic functions
+    of events/documents/embeddings (the derived-artifact builds are
+    engine-portable by construction — tokenize, shingle, MinHash all
+    replay in DuckDB), residual is pinned 0 (the forensic contract) and
+    retained_versions 1 (history truncation)."""
+    from hybrid_vector_search_spark.operators.dedup import (
+        NUM_BANDS,
+        SHINGLES_SQL,
+        minhash_lsh_pairs_sql,
+    )
+    from hybrid_vector_search_spark.plans.registry_corpus import (
+        JACCARD_THRESHOLD,
+    )
+
+    s, m = _CASCADE_SUBJECT, _CASCADE_MOD
+    pairs = minhash_lsh_pairs_sql(JACCARD_THRESHOLD)
+    return rf"""WITH ev AS (
+  SELECT COUNT(*) AS nb,
+         CAST(SUM(CASE WHEN user_id = {s} THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM events),
+ivf AS (
+  SELECT COUNT(*) AS nb,
+         CAST(SUM(CASE WHEN vec_id % {m} = {s} THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM embeddings),
+tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents)
+  WHERE term <> ''),
+bm AS (
+  SELECT COUNT(*) AS nb,
+         CAST(SUM(CASE WHEN doc_id % {m} = {s} THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM (SELECT DISTINCT doc_id, term FROM tok)),
+{SHINGLES_SQL},
+dp AS (
+  SELECT CAST(SUM({NUM_BANDS} + len(s)) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN doc_id % {m} = {s}
+                  THEN {NUM_BANDS} + len(s) ELSE 0 END) AS BIGINT) AS p
+  FROM sh),
+lshpairs AS ({pairs}),
+surv AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM lshpairs)),
+ds AS (
+  SELECT COUNT(*) AS nb,
+         CAST(SUM(CASE WHEN doc_id % {m} = {s} THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM surv)
+SELECT artifact, rows_before, purged_rows,
+  rows_before - purged_rows AS rows_after,
+  CAST(0 AS BIGINT) AS residual_rows_any_file,
+  CAST(1 AS BIGINT) AS retained_versions
+FROM (
+  SELECT 'events_snapshot' AS artifact, nb AS rows_before, p AS purged_rows
+  FROM ev
+  UNION ALL SELECT 'ivf_lists', nb, p FROM ivf
+  UNION ALL SELECT 'bm25_postings', nb, p FROM bm
+  UNION ALL SELECT 'dedup_postings', nb, p FROM dp
+  UNION ALL SELECT 'dedup_survivors', nb, p FROM ds
+) ORDER BY artifact"""
+
+
+@register("corpus_purge_cascade", _cascade_oracle(), side_effects=True)
+def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN, CASCADED (r13 verdict task 1):
+    ``corpus_snapshot_purge_user`` proves physical erasure from ONE
+    snapshot table — but a persisted lakehouse carries the subject in
+    every DERIVED root, and an erasure that stops at the base table is
+    cosmetic for anything indexed. This query builds five artifact
+    kinds the engine actually persists, all manifest-committed —
+
+    * ``events_snapshot`` — base table (2 appends, subject=user_id);
+    * ``ivf_lists`` — per-row (vec_id, embedding, list_id) clustered by
+      list, the persisted ANN layout; purged with the TARGETED
+      ``commit_replace_values`` maintenance commit: only lists that
+      provably contain the subject are rewritten, disjoint list files
+      are carried as untouched bytes (at sf0.001: ≤10 of 64 lists);
+    * ``bm25_postings`` — (doc_id, term, tf, dl) clustered by term
+      bucket; a document's terms hash across EVERY bucket, so no file
+      is provably disjoint and the honest cost is one clustered
+      rewrite — same bound as the base-table purge;
+    * ``dedup_postings`` — the band+gram posting index, built by the
+      PRODUCTION ingest kernel (operators/dedup.py
+      dedup_ingest_commit_batch, the same code path the streaming
+      dedup commits with); clustered rewrite on ``ck``;
+    * ``dedup_survivors`` — the keep-first survivor table from the same
+      kernel; plain rewrite.
+
+    — then runs :func:`sources.purge.purge_subject_cascade`: per root,
+    the cheapest erasing commit the layout allows, ``vacuum(keep_last=1)``
+    so no time-travel path back to the purged bytes survives, and a
+    FORENSIC raw-parquet scan (manifest bypassed) pinning
+    ``residual_rows_any_file = 0``. The oracle predicts every count from
+    the base tables (tokenize/shingle/MinHash replay in DuckDB), so the
+    hash gate covers the audit numbers, the forensic zeros, and the
+    history truncation at once. Subject linkage in the derived roots is
+    an expression over their own keys (owner = id % {mod}) — the stand-in
+    for the owner column a production pipeline must carry for erasure to
+    be resolvable at all. Beyond-reference (the reference persists no
+    derived state; SURVEY.md §2.9 + governance family)."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators import dedup as DD
+    from hybrid_vector_search_spark.operators.bm25 import tokenize
+    from hybrid_vector_search_spark.operators.ivf import assign_list_udf
+    from hybrid_vector_search_spark.operators.sampling import (
+        portable_hash_key,
+    )
+    from hybrid_vector_search_spark.plans.registry_corpus import (
+        JACCARD_THRESHOLD,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.sources.purge import (
+        PurgeTarget,
+        purge_subject_cascade,
+    )
+
+    schema = (
+        "artifact string, rows_before long, purged_rows long,"
+        " rows_after long, residual_rows_any_file long,"
+        " retained_versions long"
+    )
+    cached = _CASCADE_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return spark.createDataFrame(cached[1], schema).orderBy("artifact")
+
+    s, m = _CASCADE_SUBJECT, _CASCADE_MOD
+    base = scratch_path(
+        "purge_cascade_" + sf_dir.strip("/").replace("/", "_")
+    )
+    # -- 1. base snapshot: two appends so the purge has history to kill
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev_root = os.path.join(base, "events_snapshot")
+    M.commit_append(ev_root, ev.filter(F.col("user_id") % 2 == 0), n_files=2)
+    M.commit_append(ev_root, ev.filter(F.col("user_id") % 2 == 1), n_files=2)
+    # -- 2. persisted IVF lists: fixed seeded quantizer (the lowest
+    # nlist vec_ids — deterministic, no KMeans iterations; the layout
+    # and the maintenance-commit path are the production ones)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(_CASCADE_NLIST).collect()
+        ]
+    )
+    ivf_root = os.path.join(base, "ivf_lists")
+    M.commit_append_clustered(
+        ivf_root,
+        emb.withColumn(
+            "list_id", assign_list_udf(cents)(F.col("embedding"))
+        ),
+        "list_id",
+    )
+    # -- 3. BM25 postings clustered by term bucket
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokenize(docs, "doc_id", "text")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+        .withColumn(
+            "ck", (portable_hash_key(F.col("term")) % 32).cast("int")
+        )
+    )
+    bm_root = os.path.join(base, "bm25_postings")
+    M.commit_append_clustered(bm_root, postings, "ck")
+    # -- 4 + 5. dedup posting index + survivors via the production
+    # ingest kernel (one batch = the whole corpus)
+    idx_root = os.path.join(base, "dedup_postings")
+    surv_root = os.path.join(base, "dedup_survivors")
+    DD.dedup_ingest_commit_batch(
+        spark, docs, 0, idx_root, surv_root, JACCARD_THRESHOLD
+    )
+
+    doc_owner = F.col("doc_id") % m == s
+    audit = purge_subject_cascade(
+        spark,
+        [
+            PurgeTarget(
+                "events_snapshot", ev_root,
+                subject_col="user_id", subject_values=(s,),
+            ),
+            PurgeTarget(
+                "ivf_lists", ivf_root,
+                subject_pred=F.col("vec_id") % m == s,
+                cluster_column="list_id", targeted=True,
+            ),
+            PurgeTarget(
+                "bm25_postings", bm_root,
+                subject_pred=doc_owner, cluster_column="ck",
+            ),
+            PurgeTarget(
+                "dedup_postings", idx_root,
+                subject_pred=doc_owner, cluster_column="ck",
+            ),
+            PurgeTarget(
+                "dedup_survivors", surv_root, subject_pred=doc_owner,
+            ),
+        ],
+    )
+    rows = [tuple(r) for r in audit.collect()]
+    _CASCADE_CACHE[sf_dir] = (spark, rows)
+    return spark.createDataFrame(rows, schema).orderBy("artifact")

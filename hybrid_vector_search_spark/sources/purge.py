@@ -1,0 +1,181 @@
+"""GDPR erasure CASCADE across manifest-committed derived artifacts.
+
+``corpus_snapshot_purge_user`` (plans/registry_lakehouse.py) physically
+erases a subject from ONE snapshot table. At 100 TB that is cosmetic:
+the subject's rows, vectors, tokens and fingerprints survive in every
+DERIVED root — persisted IVF lists, BM25 postings, the dedup band/gram
+posting index, survivor tables, streaming sinks. A right-to-be-forgotten
+request must fan out through all of them or the erasure is a lie the
+first index scan exposes (r13 verdict task 1).
+
+This module is the fan-out: :func:`purge_subject` erases one subject
+from one manifest root with the cheapest commit that layout allows —
+
+* ``targeted=True`` + ``cluster_column`` → ``commit_replace_values``:
+  only the cluster files that provably CONTAIN the subject are
+  rewritten, every disjoint file is carried as untouched bytes (the
+  IVF-list shape: a subject's vectors live in a handful of lists, so
+  the maintenance commit touches a handful of files — the
+  index-maintenance pattern of the IVF upsert, pointed at erasure);
+* ``cluster_column`` alone → ``commit_rewrite_clustered``: full rewrite
+  preserving the one-file-per-value layout (the BM25/dedup-posting
+  shape: a document's terms hash across EVERY bucket, so no file is
+  provably disjoint and the honest cost is one full pass — same bound
+  as the base-table purge);
+* neither → plain ``commit_rewrite``.
+
+then ``vacuum(keep_last=1)`` destroys every superseded file (no
+time-travel path back to the purged bytes — purge truncates history,
+deliberately), and a FORENSIC scan reads the raw parquet files left
+under the root — bypassing the manifest, the way an auditor would — to
+pin ``residual_rows_any_file = 0``.
+
+Cost shape at 100 TB: per root, the rewrite is bounded by the files
+whose stats overlap the subject (targeted) or one clustered table pass
+(scatter layouts); batching many subjects into one cascade amortizes
+both, and nothing here is driver-resident beyond the touched-cluster
+value list (≤ nlist / n_buckets values).
+
+No reference analogue (the reference keeps no persisted derived state
+beyond the FAISS index it rebuilds from scratch per run —
+src/harness/run.py); this is the lakehouse-side obligation that
+appears the moment indexes are PERSISTED.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.sources import manifest as M
+
+__all__ = ["PurgeTarget", "purge_subject", "purge_subject_cascade"]
+
+
+@dataclass(frozen=True)
+class PurgeTarget:
+    """One manifest root the cascade must erase a subject from.
+
+    Subject linkage: either ``subject_col`` + ``subject_values`` (rows
+    where the column takes any of the values) or an explicit
+    ``subject_pred`` Column for derived artifacts whose linkage is an
+    expression over their own key (a posting row's ``doc_id``, a
+    vector row's ``vec_id``). ``cluster_column`` preserves the root's
+    clustered layout across the rewrite; ``targeted`` additionally
+    restricts the rewrite to the cluster values that actually contain
+    the subject (requires the root's files to carry min/max stats on
+    ``cluster_column``, i.e. a ``commit_*_clustered`` build)."""
+
+    name: str
+    root: str
+    subject_col: str | None = None
+    subject_values: tuple = ()
+    subject_pred: object | None = None  # pyspark Column
+    cluster_column: str | None = None
+    targeted: bool = False
+
+
+def _subject_pred(t: PurgeTarget):
+    # NULL subject linkage is NOT the subject: coalesce, or the keep
+    # filter would silently drop NULL-keyed rows (erasure must never
+    # erase a bystander)
+    if t.subject_pred is not None:
+        raw = t.subject_pred
+    else:
+        raw = F.col(t.subject_col).isin(list(t.subject_values))
+    return F.coalesce(raw, F.lit(False))
+
+
+def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
+    """Erase the subject from one root; return its audit row dict.
+
+    Audit fields: rows before/purged/after from the pre-purge snapshot;
+    ``residual_rows_any_file`` from a raw-file scan AFTER the vacuum
+    (manifest bypassed — storage-level proof); ``retained_versions``
+    pinning that no retained version can time-travel to the purged
+    bytes."""
+    pred = _subject_pred(t)
+    base_v = M.current_version(t.root)
+    snap = M.read_snapshot(spark, t.root, base_v)
+    counts = snap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pred.cast("long")).alias("p"),
+    ).first()
+    rows_before = int(counts["n"] or 0)
+    purged = int(counts["p"] or 0)
+    if purged:
+        keep = snap.filter(~pred)
+        if t.targeted and t.cluster_column:
+            touched = [
+                r[0]
+                for r in snap.filter(pred)
+                .select(t.cluster_column)
+                .distinct()
+                .collect()
+            ]  # bounded: ≤ distinct cluster values (nlist / n_buckets)
+            repl = keep.filter(F.col(t.cluster_column).isin(touched))
+            M.commit_replace_values(
+                t.root, repl, t.cluster_column, touched,
+                base_version=base_v,
+            )
+        elif t.cluster_column:
+            M.commit_rewrite_clustered(
+                t.root, keep, t.cluster_column, base_version=base_v
+            )
+        else:
+            M.commit_rewrite(t.root, keep, n_files=2, base_version=base_v)
+    # destroy every superseded file; grace 0 is safe only because a
+    # purge holds exclusive access to the root while it runs (the
+    # cascade's documented operating condition — concurrent writers
+    # must drain first, exactly like any table-rewrite maintenance).
+    # Runs even when purged == 0: a purge request CLOSES HISTORY for
+    # every registered root uniformly (retained_versions = 1 is part of
+    # the audit contract), and without the rewrite that is metadata-only.
+    M.vacuum(t.root, keep_last=1, orphan_grace_sec=0)
+    leftover = _glob.glob(
+        os.path.join(t.root, "data", "**", "*.parquet"), recursive=True
+    )
+    residual = (
+        spark.read.parquet(*leftover).filter(pred).count()
+        if leftover
+        else 0
+    )
+    return {
+        "artifact": t.name,
+        "rows_before": rows_before,
+        "purged_rows": purged,
+        "rows_after": rows_before - purged,
+        "residual_rows_any_file": int(residual),
+        "retained_versions": len(M.list_versions(t.root)),
+    }
+
+
+def purge_subject_cascade(
+    spark: SparkSession, targets: list[PurgeTarget]
+) -> DataFrame:
+    """Run :func:`purge_subject` over every registered derived root and
+    return the combined audit table (one row per artifact, ordered by
+    name) — the single answer a DPO files: which artifacts held the
+    subject, how many rows were destroyed in each, and the forensic
+    zero per root."""
+    rows = [purge_subject(spark, t) for t in targets]
+    return spark.createDataFrame(
+        [
+            (
+                r["artifact"],
+                r["rows_before"],
+                r["purged_rows"],
+                r["rows_after"],
+                r["residual_rows_any_file"],
+                r["retained_versions"],
+            )
+            for r in rows
+        ],
+        "artifact string, rows_before long, purged_rows long,"
+        " rows_after long, residual_rows_any_file long,"
+        " retained_versions long",
+    ).orderBy("artifact")

@@ -1739,7 +1739,8 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
     for step in range(steps):
         op = rng.choice(
             ["append", "clustered", "delete", "upsert", "rewrite",
-             "compact", "vacuum", "rename", "restore", "autocompact"]
+             "compact", "vacuum", "rename", "restore", "autocompact",
+             "purge"]
         )
         if op == "append":
             rows = batch(rng.randint(1, 12))
@@ -1785,6 +1786,29 @@ def test_manifest_model_randomized_ops(spark, tmp_path, seed):
             new_name = "ident" if id_col == "id" else "id"
             M.commit_rename_column(root, id_col, new_name)
             id_col = new_name
+        elif op == "purge" and model:
+            # GDPR purge interleaved with everything else (r13 verdict
+            # task 6): erase a random subject set, history truncates to
+            # the new head — a later RESTORE must never resurrect the
+            # purged rows (its candidates filter on retained versions)
+            from hybrid_vector_search_spark.sources import purge as PU
+
+            keys = rng.sample(
+                sorted(model), min(len(model), rng.randint(1, 5))
+            )
+            audit = PU.purge_subject(
+                spark,
+                PU.PurgeTarget(
+                    "tbl", root,
+                    subject_col=id_col, subject_values=tuple(keys),
+                ),
+            )
+            assert audit["rows_before"] == len(model), (step, audit)
+            assert audit["purged_rows"] == len(keys), (step, audit)
+            assert audit["residual_rows_any_file"] == 0, (step, audit)
+            assert audit["retained_versions"] == 1, (step, audit)
+            for k in keys:
+                model.pop(k, None)
         elif op == "restore":
             # roll back to any RETAINED version the model remembers
             # (vacuum may have dropped some); the restored state — and
@@ -2058,6 +2082,98 @@ def test_maybe_compact_races_concurrent_appends(spark, tmp_path):
     M.maybe_compact_sidecars(root, max_groups=3, target_groups=2)
     cur = M._read_manifest(root, M.current_version(root))
     assert len(cur.get("groups", [])) <= 3
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_quarantine_purge_model_soak(spark, tmp_path, seed):
+    """Quarantine fan-out (routed two-root ingest) interleaved with the
+    GDPR purge cascade, sidecar compaction, and vacuum — the seeded
+    model soak over the two r13 commit surfaces the randomized walk
+    didn't cover (r13 verdict task 6). After EVERY op each root must
+    equal its model slice; a purge's audit rows must pin the model's
+    counts, residual=0, and retained_versions=1 on BOTH roots."""
+    import random
+
+    from hybrid_vector_search_spark.sources import purge as PU
+
+    rng = random.Random(seed)
+    main, quar = str(tmp_path / "main"), str(tmp_path / "quar")
+    m_model: dict[int, tuple] = {}
+    q_model: dict[int, tuple] = {}
+    next_id = 0
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "id long, user long, value long, reason string"
+        )
+
+    def ingest():
+        nonlocal next_id
+        rows = [
+            (i, rng.randint(0, 7), rng.randint(0, 99))
+            for i in range(next_id, next_id + rng.randint(2, 10))
+        ]
+        next_id += len(rows)
+        good = [(i, u, v, None) for i, u, v in rows if v <= 89]
+        bad = [
+            (i, u, v, "value_out_of_range") for i, u, v in rows if v > 89
+        ]
+        if good:
+            M.commit_append(main, df_of(good))
+            m_model.update({r[0]: r for r in good})
+        if bad:
+            M.commit_append(quar, df_of(bad))
+            q_model.update({r[0]: r for r in bad})
+
+    ingest()
+    for step in range(20):
+        op = rng.choice(["ingest", "ingest", "purge", "compact", "vacuum"])
+        if op == "ingest":
+            ingest()
+        elif op == "purge":
+            subject = rng.randint(0, 7)
+            targets = [
+                PU.PurgeTarget(
+                    name, root, subject_col="user",
+                    subject_values=(subject,),
+                )
+                for name, root in (("main", main), ("quarantine", quar))
+                if M.current_version(root) >= 0
+            ]
+            audit = {
+                r["artifact"]: r.asDict()
+                for r in PU.purge_subject_cascade(spark, targets).collect()
+            }
+            for name, model in (("main", m_model), ("quarantine", q_model)):
+                if name not in audit:
+                    continue
+                a = audit[name]
+                gone = [k for k, r in model.items() if r[1] == subject]
+                assert a["rows_before"] == len(model), (step, name, a)
+                assert a["purged_rows"] == len(gone), (step, name, a)
+                assert a["residual_rows_any_file"] == 0, (step, name, a)
+                assert a["retained_versions"] == 1, (step, name, a)
+                for k in gone:
+                    model.pop(k)
+        elif op == "compact":
+            for root in (main, quar):
+                if M.current_version(root) >= 0:
+                    M.maybe_compact_sidecars(
+                        root, max_groups=rng.randint(1, 4), target_groups=1
+                    )
+        elif op == "vacuum":
+            for root in (main, quar):
+                if M.current_version(root) >= 0:
+                    M.vacuum(root, keep_last=2, orphan_grace_sec=0)
+        for root, model in ((main, m_model), (quar, q_model)):
+            if M.current_version(root) >= 0:
+                got = {
+                    r["id"]: (r["id"], r["user"], r["value"], r["reason"])
+                    for r in M.read_snapshot(spark, root).collect()
+                }
+                assert got == model, (step, op, root)
+            else:
+                assert model == {}, (step, op, root)
 
 
 def test_probe_pruned_read_bloom_and_cluster(spark, tmp_path):
