@@ -1458,3 +1458,72 @@ def hybrid_topk_local_prefilter(
         query_vector(case["seed"]), case["filters"], case["k"]
     )
     return _local_rows_df(spark, rows)
+
+
+_SHARDED_SERVE_CACHE: dict[str, tuple] = {}
+
+
+def _local_serve_sharded(spark: SparkSession, sf_dir: str):
+    """Session-cached 4-way ShardedCorpusServe — the serving tier past
+    the single-collect RAM gate (r14): same residency model as
+    _local_serve, with the corpus hash-split so no single Arrow collect
+    exceeds the per-shard budget and queries merge per-shard top-K.
+    Four shards here EXERCISES the fan-out/merge on the test corpora
+    (which fit one shard); past the 4 GiB gate the byte-derived shard
+    count takes over (tools/shard_serve_probe.py measures that shape)."""
+    from hybrid_vector_search_spark.serving import ShardedCorpusServe
+
+    cached = _SHARDED_SERVE_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    serve = ShardedCorpusServe.from_corpus(
+        load_corpus(spark, sf_dir), n_shards=4
+    )
+    _SHARDED_SERVE_CACHE[sf_dir] = (spark, serve)
+    return serve
+
+
+@register(
+    "hybrid_topk_sharded_exact",
+    ORACLES["hybrid_topk_unfiltered"],
+    side_effects=True,  # same literal-result rule as local_exact
+)
+def hybrid_topk_sharded_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT serving through the SHARDED tier (serving.py
+    ShardedCorpusServe): per-shard GEMM + global (score DESC, id ASC)
+    merge, hash-pinned to the same ``hybrid_topk_unfiltered`` oracle as
+    the monolithic fast path and the distributed plan — three execution
+    shapes, one answer. This is the r13 verdict's missing piece: the
+    q=1 point-query serving path no longer dead-ends at the
+    single-collect RAM gate; a corpus past 4 GiB shards instead of
+    refusing (refusal now lives at the total-RAM budget, where the
+    distributed plans genuinely are the only exact path)."""
+    serve = _local_serve_sharded(spark, sf_dir)
+    case = HYBRID_CASES["hybrid_topk_unfiltered"]
+    rows = serve.exact_topk(query_vector(case["seed"]), case["k"])
+    return _local_rows_df(spark, rows)
+
+
+@register(
+    "hybrid_topk_sharded_prefilter",
+    ORACLES["hybrid_topk_strict"],
+    side_effects=True,  # same literal-result rule as local_exact
+)
+def hybrid_topk_sharded_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRE_FILTER through the sharded tier: the DSL mask evaluates per
+    shard over that shard's resident metadata (same pandas evaluator as
+    the monolithic path), each shard GEMMs only its survivors, and the
+    merge is the same dominated-candidates argument as exact (every
+    shard returned its best k SURVIVORS, and the global filter is the
+    union of per-shard filters). Shares ``hybrid_topk_strict``'s oracle
+    verbatim with hybrid_topk_local_prefilter."""
+    serve = _local_serve_sharded(spark, sf_dir)
+    case = HYBRID_CASES["hybrid_topk_strict"]
+    rows = serve.prefilter_topk(
+        query_vector(case["seed"]), case["filters"], case["k"]
+    )
+    return _local_rows_df(spark, rows)

@@ -35,8 +35,48 @@ from hybrid_vector_search_spark.functions.predicates import (
     filters_mask_pandas,
 )
 
-#: matrix-footprint budget for the resident corpus (N×D×8 bytes).
+#: matrix-footprint budget for ONE resident shard (N×D×8 bytes + the
+#: measured metadata footprint) — the peak a single Arrow collect +
+#: np.vstack conversion is allowed to materialize at once.
 MAX_SERVE_BYTES = 4 << 30
+
+#: total driver-RAM budget across ALL shards of a sharded tier. The
+#: per-shard gate bounds conversion peaks; this bounds steady-state
+#: residency — past it the distributed plans are the only exact path.
+MAX_TOTAL_SERVE_BYTES = 24 << 30
+
+
+def _resident_footprint(
+    corpus, embedding_col: str
+) -> tuple[int, int, int]:
+    """(n, d, estimated resident bytes) via ONE distributed aggregate —
+    the gate runs BEFORE any driver materialization (the
+    embedding_near_dup rule: check, then collect), and counts the WHOLE
+    collected footprint: matrix float64 + ~8 bytes/row/numeric col +
+    measured string bytes ×2 (pandas object-string overhead is at least
+    that — r13 review finding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.first(F.size(F.col(embedding_col))).alias("__d"),
+    ]
+    str_cols = [
+        f.name
+        for f in corpus.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    for c in str_cols:
+        aggs.append(
+            F.coalesce(F.sum(F.length(c)), F.lit(0)).alias(f"__s_{c}")
+        )
+    row = corpus.agg(*aggs).first().asDict()
+    n, d = int(row["__n"] or 0), int(row["__d"] or 0)
+    meta_bytes = 8 * n * max(len(corpus.columns) - 1, 0) + 2 * sum(
+        int(row[f"__s_{c}"]) for c in str_cols
+    )
+    return n, d, n * d * 8 + meta_bytes
 
 
 class LocalCorpusServe:
@@ -64,24 +104,7 @@ class LocalCorpusServe:
         metadata frame includes string columns (text) whose bytes can
         dwarf N×D×8, and a gate that ignores them OOM-kills the driver
         instead of raising (r13 review finding)."""
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        aggs = [
-            F.count(F.lit(1)).alias("__n"),
-            F.first(F.size(F.col(embedding_col))).alias("__d"),
-        ]
-        str_cols = [
-            f.name
-            for f in corpus.schema.fields
-            if isinstance(f.dataType, T.StringType)
-        ]
-        for c in str_cols:
-            aggs.append(
-                F.coalesce(F.sum(F.length(c)), F.lit(0)).alias(f"__s_{c}")
-            )
-        row = corpus.agg(*aggs).first().asDict()
-        n, d = int(row["__n"] or 0), int(row["__d"] or 0)
+        n, d, need = _resident_footprint(corpus, embedding_col)
         if n == 0 or d == 0:
             # n=0 sails through the RAM gate (need=0) and then dies in
             # np.vstack with an opaque numpy error — refuse loudly in
@@ -92,19 +115,13 @@ class LocalCorpusServe:
                 else "LocalCorpusServe: embedding dimension is null/zero"
                 f" on '{embedding_col}' — cannot build a resident matrix"
             )
-        # matrix float64 + ~8 bytes/row/numeric col + measured string
-        # bytes (×2: pandas object-string overhead is at least that)
-        meta_bytes = 8 * n * max(len(corpus.columns) - 1, 0) + 2 * sum(
-            int(row[f"__s_{c}"]) for c in str_cols
-        )
-        need = n * d * 8 + meta_bytes
         if need > max_bytes:
             raise ValidationError(
                 f"LocalCorpusServe: resident corpus is {need/2**30:.1f}"
-                f" GiB (matrix {n * d * 8 / 2**30:.1f} + metadata"
-                f" {meta_bytes/2**30:.1f}; > {max_bytes/2**30:.1f} GiB"
+                f" GiB (matrix {n * d * 8 / 2**30:.1f} GiB + metadata;"
+                f" > {max_bytes/2**30:.1f} GiB"
                 " budget) — serve this corpus with the distributed"
-                " plans or shard the tier"
+                " plans or ShardedCorpusServe"
             )
         pdf = corpus.toPandas()
         mat = np.ascontiguousarray(
@@ -173,3 +190,142 @@ class LocalCorpusServe:
             scores = self.mat @ q
             return self._topk(self.ids[idx], scores[idx], k)
         return self._topk(self.ids[idx], self.mat[idx] @ q, k)
+
+
+def _merge_topk(
+    per_shard: list[list[tuple[int, float]]], k: int
+) -> list[tuple[int, float]]:
+    """Global top-K from per-shard top-K lists — correct because each
+    shard returned ITS best k, so any row outside every shard's top-k
+    is dominated by ≥k rows globally. Same (score DESC, id ASC)
+    tiebreak as the single-shard path."""
+    cand = [t for rows in per_shard for t in rows]
+    if not cand:
+        return []
+    ids = np.fromiter((c[0] for c in cand), dtype=np.int64, count=len(cand))
+    scores = np.fromiter(
+        (c[1] for c in cand), dtype=np.float64, count=len(cand)
+    )
+    order = np.lexsort((ids, -scores))[: min(int(k), len(cand))]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+class ShardedCorpusServe:
+    """The serving tier past the single-collect RAM gate (r13 verdict
+    task 2, option 'N driver-side shards with a merge'): the corpus is
+    hash-split into shards, each built as its own
+    :class:`LocalCorpusServe` under the per-shard gate — bounding the
+    PEAK a single Arrow collect + np.vstack conversion materializes —
+    and queries fan out over the shards in-process with a top-K merge.
+
+    Two budgets, two failure modes, both loud: ``shard_bytes`` caps one
+    shard's conversion peak (the OOM the r13 gate existed for);
+    ``max_total_bytes`` caps steady-state residency across all shards —
+    past machine RAM the distributed plans are the only exact path,
+    same refusal contract as before, just at the honest limit (total
+    RAM) instead of the single-collect artifact (one 4 GiB blob).
+
+    Per-query cost is the SAME total GEMM bytes as the monolithic tier
+    (the matrix is merely split), so throughput tracks the reference's
+    in-RAM brute-force rate — BLAS sees S smaller row-blocks instead of
+    one; the merge handles ≤ S×k tuples (tools/shard_serve_probe.py
+    pins the measured ratio on a corpus past the single-shard gate).
+    Answers are value-identical to the monolithic path: shard
+    membership only partitions the scan, and ``_merge_topk`` applies
+    the engine-wide (score DESC, id ASC) tiebreak."""
+
+    def __init__(self, shards: list[LocalCorpusServe]):
+        if not shards:
+            raise ValidationError(
+                "ShardedCorpusServe: no shards — nothing to serve"
+            )
+        self.shards = shards
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(len(s.ids) for s in self.shards)
+
+    @classmethod
+    def from_corpus(
+        cls,
+        corpus,
+        shard_bytes: int = MAX_SERVE_BYTES,
+        max_total_bytes: int = MAX_TOTAL_SERVE_BYTES,
+        embedding_col: str = "embedding",
+        id_col: str = "id",
+        n_shards: int | None = None,
+    ) -> "ShardedCorpusServe":
+        """One footprint aggregate sizes the shard count
+        (estimate / (0.75 × shard_bytes), so shards land comfortably
+        under the per-shard gate even with hash imbalance; or an
+        explicit ``n_shards`` — the per-shard gate still applies), then
+        one collect per shard. Shard assignment is a JVM-side hash of
+        the id — build-time only; it never affects answers. The corpus
+        is persisted across the per-shard collects so the source scan
+        runs once, not once per shard."""
+        from pyspark.sql import functions as F
+
+        n, d, need = _resident_footprint(corpus, embedding_col)
+        if n == 0 or d == 0:
+            raise ValidationError(
+                "ShardedCorpusServe: nothing to serve — corpus is empty"
+                if n == 0
+                else "ShardedCorpusServe: embedding dimension is"
+                f" null/zero on '{embedding_col}'"
+            )
+        if need > max_total_bytes:
+            raise ValidationError(
+                f"ShardedCorpusServe: resident corpus is"
+                f" {need/2**30:.1f} GiB >"
+                f" {max_total_bytes/2**30:.1f} GiB total budget —"
+                " serve this corpus with the distributed plans"
+            )
+        if n_shards is None:
+            n_shards = max(
+                1, -(-need // max(int(0.75 * shard_bytes), 1))
+            )
+        n_shards = int(n_shards)
+        if n_shards < 1:
+            raise ValidationError(
+                f"ShardedCorpusServe: n_shards={n_shards} — need ≥ 1"
+            )
+        shard = F.pmod(F.hash(F.col(id_col)), F.lit(n_shards))
+        tagged = corpus.withColumn("__shard", shard).persist()
+        try:
+            present = sorted(
+                r["__shard"]
+                for r in tagged.select("__shard").distinct().collect()
+            )  # bounded: ≤ n_shards values
+            shards = [
+                LocalCorpusServe.from_corpus(
+                    tagged.filter(F.col("__shard") == s).drop("__shard"),
+                    max_bytes=shard_bytes,
+                    embedding_col=embedding_col,
+                    id_col=id_col,
+                )
+                for s in present
+            ]
+        finally:
+            tagged.unpersist()
+        return cls(shards)
+
+    def exact_topk(
+        self, qvec: Sequence[float], k: int
+    ) -> list[tuple[int, float]]:
+        return _merge_topk(
+            [s.exact_topk(qvec, k) for s in self.shards], k
+        )
+
+    def prefilter_topk(
+        self,
+        qvec: Sequence[float],
+        filters: Mapping[str, Any] | None,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        return _merge_topk(
+            [s.prefilter_topk(qvec, filters, k) for s in self.shards], k
+        )

@@ -78,3 +78,66 @@ def test_tiebreak_score_desc_id_asc(serve):
     scores = np.array([0.5, 0.5, 0.9, 0.5])
     out = serve._topk(ids, scores, 4)
     assert out == [(9, 0.9), (1, 0.5), (3, 0.5), (7, 0.5)]
+
+
+# ---------------------------------------------- sharded tier (r14)
+
+
+@pytest.fixture(scope="module")
+def sharded(spark):
+    from hybrid_vector_search_spark.serving import ShardedCorpusServe
+
+    return ShardedCorpusServe.from_corpus(
+        R.load_corpus(spark, "/root/testdata/sf0.001"), n_shards=4
+    )
+
+
+def _assert_rows_match(got, want, ctx):
+    # ids and order exact; scores to 1e-9 — a shard-shaped BLAS GEMM
+    # can differ from the monolithic one in the last ULP (different
+    # blocking), which the engine's 6-decimal rounding grid absorbs
+    assert [i for i, _ in got] == [i for i, _ in want], (ctx, got, want)
+    for (_, sa), (_, sb) in zip(got, want):
+        assert abs(sa - sb) < 1e-9, (ctx, got, want)
+
+
+def test_sharded_matches_monolithic(serve, sharded):
+    """Shard membership only partitions the scan: exact and pre_filter
+    answers through the 4-way tier must match the monolithic path,
+    including the (score DESC, id ASC) tiebreak."""
+    from hybrid_vector_search_spark.queryvecs import query_vector
+
+    assert sharded.n_shards > 1  # the merge path is actually exercised
+    assert sharded.total_rows == len(serve.ids)
+    for seed in (3, 7, 11):
+        q = query_vector(seed)
+        _assert_rows_match(
+            sharded.exact_topk(q, 10), serve.exact_topk(q, 10), seed
+        )
+        for filters in (
+            {},
+            {"label": {"in": [1, 2]}},
+            {"label": {"eq": 4}, "n_chars": {"between": [0, 400]}},
+            {"label": {"eq": -999}},  # empty result, not an error
+        ):
+            _assert_rows_match(
+                sharded.prefilter_topk(q, filters, 10),
+                serve.prefilter_topk(q, filters, 10),
+                (seed, filters),
+            )
+
+
+def test_sharded_budgets_refuse_loudly(spark):
+    from hybrid_vector_search_spark.serving import ShardedCorpusServe
+
+    corpus = R.load_corpus(spark, "/root/testdata/sf0.001")
+    # total-RAM budget: the honest refusal boundary of the tier
+    with pytest.raises(ValidationError, match="total budget"):
+        ShardedCorpusServe.from_corpus(corpus, max_total_bytes=1024)
+    # the per-shard gate still applies inside an explicit shard count
+    with pytest.raises(ValidationError, match="GiB budget"):
+        ShardedCorpusServe.from_corpus(
+            corpus, shard_bytes=1024, n_shards=2
+        )
+    with pytest.raises(ValidationError, match="empty"):
+        ShardedCorpusServe.from_corpus(corpus.filter(F.col("id") < 0))
