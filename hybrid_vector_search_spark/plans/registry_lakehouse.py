@@ -1826,7 +1826,7 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base tables (tokenize/shingle/MinHash replay in DuckDB), so the
     hash gate covers the audit numbers, the forensic zeros, and the
     history truncation at once. Subject linkage in the derived roots is
-    an expression over their own keys (owner = id % {mod}) — the stand-in
+    an expression over their own keys (owner = id % 50) — the stand-in
     for the owner column a production pipeline must carry for erasure to
     be resolvable at all. Beyond-reference (the reference persists no
     derived state; SURVEY.md §2.9 + governance family)."""

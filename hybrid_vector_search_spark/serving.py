@@ -192,6 +192,29 @@ class LocalCorpusServe:
         return self._topk(self.ids[idx], self.mat[idx] @ q, k)
 
 
+def _jvm_size_bytes(s: str) -> int:
+    """Parse a JVM size string ('1g', '512m', '0') to bytes."""
+    s = s.strip().lower()
+    mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _driver_max_result_bytes(corpus) -> int | None:
+    """spark.driver.maxResultSize in bytes (None = unlimited). A shard
+    collect bigger than this is KILLED by the scheduler mid-job — the
+    shard sizing must respect it, not discover it."""
+    raw = corpus.sparkSession.sparkContext.getConf().get(
+        "spark.driver.maxResultSize", "1g"
+    )
+    try:
+        b = _jvm_size_bytes(raw)
+    except ValueError:
+        return None
+    return b if b > 0 else None
+
+
 def _merge_topk(
     per_shard: list[list[tuple[int, float]]], k: int
 ) -> list[tuple[int, float]]:
@@ -260,16 +283,25 @@ class ShardedCorpusServe:
         n_shards: int | None = None,
     ) -> "ShardedCorpusServe":
         """One footprint aggregate sizes the shard count
-        (estimate / (0.75 × shard_bytes), so shards land comfortably
-        under the per-shard gate even with hash imbalance; or an
-        explicit ``n_shards`` — the per-shard gate still applies), then
-        one collect per shard. Shard assignment is a JVM-side hash of
-        the id — build-time only; it never affects answers. The corpus
-        is persisted across the per-shard collects so the source scan
-        runs once, not once per shard."""
+        (estimate / (0.75 × effective shard budget), so shards land
+        comfortably under the per-shard gate even with hash imbalance;
+        or an explicit ``n_shards`` — the per-shard gate still
+        applies), then one collect per shard. The effective budget is
+        ``min(shard_bytes, spark.driver.maxResultSize)``: a collect
+        past maxResultSize is KILLED by the scheduler mid-job (measured
+        live by tools/shard_serve_probe.py before this clamp — 1.2 GiB
+        of task results against the 1 GiB default), and the resident
+        float64 estimate upper-bounds the Arrow result bytes, so a
+        shard sized under it collects cleanly. Shard assignment is a
+        JVM-side hash of the id — build-time only; it never affects
+        answers. The corpus is persisted across the per-shard collects
+        so the source scan runs once, not once per shard."""
         from pyspark.sql import functions as F
 
         n, d, need = _resident_footprint(corpus, embedding_col)
+        cap = _driver_max_result_bytes(corpus)
+        if cap is not None:
+            shard_bytes = min(int(shard_bytes), cap)
         if n == 0 or d == 0:
             raise ValidationError(
                 "ShardedCorpusServe: nothing to serve — corpus is empty"
