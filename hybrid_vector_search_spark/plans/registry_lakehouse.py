@@ -1818,11 +1818,14 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``dedup_survivors`` — the keep-first survivor table from the same
       kernel; plain rewrite.
 
-    — then runs :func:`sources.purge.purge_subject_cascade`: per root,
-    the cheapest erasing commit the layout allows, ``vacuum(keep_last=1)``
-    so no time-travel path back to the purged bytes survives, and a
-    FORENSIC raw-parquet scan (manifest bypassed) pinning
-    ``residual_rows_any_file = 0``. The oracle predicts every count from
+    — each build REGISTERS its root in the derived-root registry
+    (sources/purge.py register_derived_root: location + the owner
+    expression over the root's own columns + layout hints), and the
+    purge is :func:`sources.purge.purge_user_cascade`: ENUMERATE the
+    registry, then per root the cheapest erasing commit the layout
+    allows, ``vacuum(keep_last=1)`` so no time-travel path back to the
+    purged bytes survives, and a FORENSIC raw-parquet scan (manifest
+    bypassed) pinning ``residual_rows_any_file = 0``. The oracle predicts every count from
     the base tables (tokenize/shingle/MinHash replay in DuckDB), so the
     hash gate covers the audit numbers, the forensic zeros, and the
     history truncation at once. Subject linkage in the derived roots is
@@ -1844,8 +1847,8 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources import manifest as M
     from hybrid_vector_search_spark.sources.purge import (
-        PurgeTarget,
-        purge_subject_cascade,
+        purge_user_cascade,
+        register_derived_root,
     )
 
     schema = (
@@ -1910,32 +1913,26 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, 0, idx_root, surv_root, JACCARD_THRESHOLD
     )
 
-    doc_owner = F.col("doc_id") % m == s
-    audit = purge_subject_cascade(
-        spark,
-        [
-            PurgeTarget(
-                "events_snapshot", ev_root,
-                subject_col="user_id", subject_values=(s,),
-            ),
-            PurgeTarget(
-                "ivf_lists", ivf_root,
-                subject_pred=F.col("vec_id") % m == s,
-                cluster_column="list_id", targeted=True,
-            ),
-            PurgeTarget(
-                "bm25_postings", bm_root,
-                subject_pred=doc_owner, cluster_column="ck",
-            ),
-            PurgeTarget(
-                "dedup_postings", idx_root,
-                subject_pred=doc_owner, cluster_column="ck",
-            ),
-            PurgeTarget(
-                "dedup_survivors", surv_root, subject_pred=doc_owner,
-            ),
-        ],
+    # each builder REGISTERS its root (owner = a SQL expression over
+    # the root's own columns); the purge then ENUMERATES the registry —
+    # erasure must not depend on the caller remembering every index
+    register_derived_root(base, "events_snapshot", ev_root, "user_id")
+    register_derived_root(
+        base, "ivf_lists", ivf_root, f"vec_id % {m}",
+        cluster_column="list_id", targeted=True,
     )
+    register_derived_root(
+        base, "bm25_postings", bm_root, f"doc_id % {m}",
+        cluster_column="ck",
+    )
+    register_derived_root(
+        base, "dedup_postings", idx_root, f"doc_id % {m}",
+        cluster_column="ck",
+    )
+    register_derived_root(
+        base, "dedup_survivors", surv_root, f"doc_id % {m}"
+    )
+    audit = purge_user_cascade(spark, base, s)
     rows = [tuple(r) for r in audit.collect()]
     _CASCADE_CACHE[sf_dir] = (spark, rows)
     return spark.createDataFrame(rows, schema).orderBy("artifact")

@@ -53,7 +53,14 @@ from pyspark.sql import functions as F
 
 from hybrid_vector_search_spark.sources import manifest as M
 
-__all__ = ["PurgeTarget", "purge_subject", "purge_subject_cascade"]
+__all__ = [
+    "PurgeTarget",
+    "purge_subject",
+    "purge_subject_cascade",
+    "register_derived_root",
+    "registered_targets",
+    "purge_user_cascade",
+]
 
 
 @dataclass(frozen=True)
@@ -152,6 +159,98 @@ def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
         "residual_rows_any_file": int(residual),
         "retained_versions": len(M.list_versions(t.root)),
     }
+
+
+# --------------------------------------------- derived-root registry
+#
+# Erasure is only resolvable if the system KNOWS every root that
+# derives from subject-linked data. Builders register each derived
+# root once — its location, the SQL expression that computes the
+# OWNER key from the root's own columns, and the layout hints the
+# purge uses to pick the cheapest erasing commit. A purge request then
+# ENUMERATES the registry instead of trusting the caller to remember
+# every index (the failure mode that makes erasure cosmetic).
+
+_REGISTRY_FILE = "derived_roots.json"
+
+
+def _registry_path(base_dir: str) -> str:
+    return os.path.join(base_dir, _REGISTRY_FILE)
+
+
+def register_derived_root(
+    base_dir: str,
+    name: str,
+    root: str,
+    owner_sql: str,
+    cluster_column: str | None = None,
+    targeted: bool = False,
+) -> None:
+    """Record (idempotently, keyed by ``name``) that ``root`` holds
+    rows whose owner is ``owner_sql`` (a SQL expression over the root's
+    OWN columns — ``user_id``, ``doc_id % 50``, …). Atomic
+    write-tmp-then-rename, same single-writer discipline as a build
+    commit: registration happens at build time, by the builder."""
+    import json
+    import uuid as _uuid
+
+    os.makedirs(base_dir, exist_ok=True)
+    path = _registry_path(base_dir)
+    entries: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            entries = json.load(f)
+    entries[name] = {
+        "root": root,
+        "owner_sql": owner_sql,
+        "cluster_column": cluster_column,
+        "targeted": bool(targeted),
+    }
+    tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(entries, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def registered_targets(base_dir: str, subject) -> list[PurgeTarget]:
+    """The registry's entries as concrete :class:`PurgeTarget`\\ s for
+    one subject: predicate = ``owner_sql == subject``."""
+    import json
+
+    from hybrid_vector_search_spark.errors import ValidationError
+
+    path = _registry_path(base_dir)
+    if not os.path.exists(path):
+        raise ValidationError(
+            f"no derived-root registry at '{base_dir}' — nothing is "
+            "registered, so a purge would be cosmetic; register every "
+            "derived root at build time (register_derived_root)"
+        )
+    with open(path, encoding="utf-8") as f:
+        entries = json.load(f)
+    return [
+        PurgeTarget(
+            name=name,
+            root=e["root"],
+            subject_pred=F.expr(e["owner_sql"]) == F.lit(subject),
+            cluster_column=e.get("cluster_column"),
+            targeted=bool(e.get("targeted")),
+        )
+        for name, e in sorted(entries.items())
+    ]
+
+
+def purge_user_cascade(
+    spark: SparkSession, base_dir: str, subject
+) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN for one subject across EVERY registered
+    derived root (the r13 verdict's ask by name): enumerate the
+    registry, erase per root with the cheapest commit its layout
+    allows, truncate history, and return the per-artifact audit table
+    with the forensic residual=0 column."""
+    return purge_subject_cascade(
+        spark, registered_targets(base_dir, subject)
+    )
 
 
 def purge_subject_cascade(

@@ -1,0 +1,104 @@
+"""GDPR erasure cascade (sources/purge.py): derived-root registry,
+per-root purge commits, forensic residual scan, history truncation.
+The randomized interleavings live in test_manifest.py (model soak's
+purge actor + the quarantine/purge soak); the end-to-end five-artifact
+cascade is oracle-gated by the corpus_purge_cascade registry query."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_vector_search_spark.errors import ValidationError
+from hybrid_vector_search_spark.sources import manifest as M
+from hybrid_vector_search_spark.sources import purge as PU
+
+
+def _events(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, i % 5, i * 10) for i in range(lo, hi)],
+        "id long, user long, value long",
+    )
+
+
+def test_registry_enumeration_cascade(spark, tmp_path):
+    base = str(tmp_path)
+    main = os.path.join(base, "main")
+    idx = os.path.join(base, "idx")
+    M.commit_append(main, _events(spark, 0, 40))
+    M.commit_append(main, _events(spark, 40, 60))
+    # a derived root whose owner is an EXPRESSION over its own key
+    M.commit_append_clustered(
+        idx,
+        _events(spark, 0, 60).select(
+            (F.col("id") % 4).cast("int").alias("ck"), "id", "user"
+        ),
+        "ck",
+    )
+    PU.register_derived_root(base, "main", main, "user")
+    PU.register_derived_root(
+        base, "idx", idx, "user", cluster_column="ck"
+    )
+    # idempotent by name: re-registration updates, never duplicates
+    PU.register_derived_root(
+        base, "idx", idx, "user", cluster_column="ck"
+    )
+    with open(os.path.join(base, "derived_roots.json")) as f:
+        assert sorted(json.load(f)) == ["idx", "main"]
+
+    audit = {
+        r["artifact"]: r.asDict()
+        for r in PU.purge_user_cascade(spark, base, 3).collect()
+    }
+    subject_rows = len([i for i in range(60) if i % 5 == 3])
+    for name, total in (("main", 60), ("idx", 60)):
+        a = audit[name]
+        assert a["rows_before"] == total
+        assert a["purged_rows"] == subject_rows
+        assert a["rows_after"] == total - subject_rows
+        assert a["residual_rows_any_file"] == 0
+        assert a["retained_versions"] == 1
+    # forensic double-check outside the cascade's own scan: no raw file
+    # under either root holds a subject row, and no superseded manifest
+    # can reach one (history truncated)
+    for root in (main, idx):
+        files = glob.glob(
+            os.path.join(root, "data", "**", "*.parquet"), recursive=True
+        )
+        assert files
+        raw = spark.read.parquet(*files)
+        assert raw.filter(F.col("user") == 3).count() == 0
+        assert len(M.list_versions(root)) == 1
+    # the clustered root kept its layout: every file min==max on ck
+    cur = M._resolve_manifest(idx, M.current_version(idx))
+    for rel in cur["files"]:
+        mm = cur["stats"][rel]["ck"]
+        assert mm[0] == mm[1], (rel, mm)
+
+
+def test_unregistered_base_refuses(spark, tmp_path):
+    with pytest.raises(ValidationError, match="registry"):
+        PU.purge_user_cascade(spark, str(tmp_path / "nowhere"), 1)
+
+
+def test_null_owner_rows_are_bystanders(spark, tmp_path):
+    """NULL subject linkage must be KEPT: erasure never removes rows it
+    cannot attribute (the coalesce in _subject_pred)."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(
+        root,
+        spark.createDataFrame(
+            [(1, 3), (2, None), (3, 4)], "id long, user long"
+        ),
+    )
+    a = PU.purge_subject(
+        spark,
+        PU.PurgeTarget(
+            "tbl", root, subject_col="user", subject_values=(3,)
+        ),
+    )
+    assert a["purged_rows"] == 1
+    got = {r["id"] for r in M.read_snapshot(spark, root).collect()}
+    assert got == {2, 3}
