@@ -96,6 +96,13 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "hybrid_topk_local_prefilter",
         "ann_ivf_local_serve_topk",
         "ann_ivf_local_serve_batch",
+        # r14: sharded-tier fast paths (same literal-result rule)
+        "hybrid_topk_sharded_exact",
+        "hybrid_topk_sharded_prefilter",
+        # r14: builds five derived roots, registers them, purges +
+        # vacuums + forensically scans each — all driver-side work
+        # (internally session-cached)
+        "corpus_purge_cascade",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
