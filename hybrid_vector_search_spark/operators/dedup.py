@@ -1562,6 +1562,7 @@ def dedup_ingest_commit_batch(
     surv_root: str,
     threshold: float,
     return_stats: bool = False,
+    erasure_registry_dir: str | None = None,
 ):
     """ONE micro-batch of keep-first near-dup ingest against a
     persisted, manifest-committed band+shingle posting index — the
@@ -1713,6 +1714,23 @@ def dedup_ingest_commit_batch(
         )
     if batch_id > M.last_committed_meta(surv_root, "batch_id", -1):
         M.commit_append(surv_root, survivors, meta={"batch_id": int(batch_id)})
+    if erasure_registry_dir is not None:
+        # make the ingest's derived state GDPR-resolvable by default:
+        # both roots carry the subject under their own doc_id column,
+        # and registration at build time is what lets a later
+        # purge_user_cascade enumerate them (sources/purge.py) instead
+        # of trusting an operator runbook to remember the index exists
+        from hybrid_vector_search_spark.sources.purge import (
+            register_derived_root,
+        )
+
+        register_derived_root(
+            erasure_registry_dir, "dedup_postings", index_root,
+            "doc_id", cluster_column="ck",
+        )
+        register_derived_root(
+            erasure_registry_dir, "dedup_survivors", surv_root, "doc_id"
+        )
     # bounded descriptors under indefinite ingest: advisory metadata-only
     # compaction AFTER the guarded commits (replay-safe — batch_id meta
     # is carried forward; a lost CAS race just retries next batch)

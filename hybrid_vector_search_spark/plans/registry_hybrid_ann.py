@@ -1397,6 +1397,13 @@ def _local_serve(spark: SparkSession, sf_dir: str):
         return cached[1]
     serve = LocalCorpusServe.from_corpus(load_corpus(spark, sf_dir))
     _LOCAL_SERVE_CACHE[sf_dir] = (spark, serve)
+    # a purge of the corpus root must reach RAM too: drop the resident
+    # tier so the next query rebuilds from post-purge storage (r14)
+    from hybrid_vector_search_spark.sources.purge import (
+        register_resident_invalidator,
+    )
+
+    register_resident_invalidator(sf_dir, _LOCAL_SERVE_CACHE.clear)
     return serve
 
 
@@ -1480,6 +1487,11 @@ def _local_serve_sharded(spark: SparkSession, sf_dir: str):
         load_corpus(spark, sf_dir), n_shards=4
     )
     _SHARDED_SERVE_CACHE[sf_dir] = (spark, serve)
+    from hybrid_vector_search_spark.sources.purge import (
+        register_resident_invalidator,
+    )
+
+    register_resident_invalidator(sf_dir, _SHARDED_SERVE_CACHE.clear)
     return serve
 
 

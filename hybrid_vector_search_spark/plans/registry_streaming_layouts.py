@@ -1371,6 +1371,11 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.dedup_ingest_commit_batch(
             spark, batch_df, batch_id, index_root, surv_root,
             JACCARD_THRESHOLD,
+            # r14: the ingest registers its derived roots for the GDPR
+            # cascade at build time (sources/purge.py derived-root
+            # registry) — erasure over the streaming index is
+            # enumerable, not runbook-remembered
+            erasure_registry_dir=root,
         )
 
     schema = T.StructType(

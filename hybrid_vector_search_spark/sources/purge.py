@@ -26,9 +26,11 @@ from one manifest root with the cheapest commit that layout allows —
 
 then ``vacuum(keep_last=1)`` destroys every superseded file (no
 time-travel path back to the purged bytes — purge truncates history,
-deliberately), and a FORENSIC scan reads the raw parquet files left
-under the root — bypassing the manifest, the way an auditor would — to
-pin ``residual_rows_any_file = 0``.
+deliberately), a FORENSIC scan reads the raw parquet files left under
+the root — bypassing the manifest, the way an auditor would — to pin
+``residual_rows_any_file = 0``, and root-scoped RESIDENT-TIER
+invalidators fire so a serving tier holding the subject in RAM drops
+its residents and rebuilds from post-purge storage.
 
 Cost shape at 100 TB: per root, the rewrite is bounded by the files
 whose stats overlap the subject (targeted) or one clustered table pass
@@ -151,6 +153,10 @@ def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
         if leftover
         else 0
     )
+    # RAM is a storage tier too: any resident serve tier built over
+    # this root still holds the subject — fire its invalidator so the
+    # purge reaches memory, not just disk
+    _invalidate_residents(t.root)
     return {
         "artifact": t.name,
         "rows_before": rows_before,
@@ -159,6 +165,36 @@ def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
         "residual_rows_any_file": int(residual),
         "retained_versions": len(M.list_versions(t.root)),
     }
+
+
+# --------------------------------------- resident-tier invalidation
+#
+# The last place purged bytes survive is driver/executor RAM: a
+# serving tier (LocalCorpusServe / ShardedCorpusServe / IVF local
+# serve) built over a root BEFORE its purge still holds the subject's
+# vectors and metadata resident. Tiers register an invalidator scoped
+# to the root they were built from; every purge of that root (or a
+# path under it) fires the callback after physical erasure, so the
+# tier drops its residents and rebuilds from post-purge storage on
+# next use.
+
+_RESIDENT_INVALIDATORS: list[tuple[str, object]] = []
+
+
+def register_resident_invalidator(root: str, fn) -> None:
+    """Call ``fn()`` whenever ``root`` (or a descendant path) is
+    purged. Idempotent callbacks; entries persist so a rebuilt tier
+    stays covered without re-registering."""
+    _RESIDENT_INVALIDATORS.append((os.path.normpath(root), fn))
+
+
+def _invalidate_residents(root: str) -> None:
+    root = os.path.normpath(root)
+    for scope, fn in list(_RESIDENT_INVALIDATORS):
+        if root == scope or root.startswith(scope + os.sep) or (
+            scope.startswith(root + os.sep)
+        ):
+            fn()
 
 
 # --------------------------------------------- derived-root registry

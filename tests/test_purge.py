@@ -102,3 +102,61 @@ def test_null_owner_rows_are_bystanders(spark, tmp_path):
     assert a["purged_rows"] == 1
     got = {r["id"] for r in M.read_snapshot(spark, root).collect()}
     assert got == {2, 3}
+
+
+def test_resident_tier_invalidated_on_purge(spark, tmp_path):
+    """RAM is a storage tier: a serving tier built over a root before
+    its purge still holds the subject's rows resident — the purge must
+    fire the tier's registered invalidator (scoped to the root), and
+    must NOT fire invalidators scoped elsewhere."""
+    root = str(tmp_path / "tbl")
+    other = str(tmp_path / "other")
+    M.commit_append(root, _events(spark, 0, 20))
+    fired: list[str] = []
+    PU.register_resident_invalidator(root, lambda: fired.append("hit"))
+    PU.register_resident_invalidator(other, lambda: fired.append("miss"))
+    PU.purge_subject(
+        spark,
+        PU.PurgeTarget(
+            "tbl", root, subject_col="user", subject_values=(2,)
+        ),
+    )
+    assert fired == ["hit"]
+
+
+def test_dedup_ingest_registers_for_erasure(spark, tmp_path):
+    """The production dedup-ingest kernel registers its posting +
+    survivor roots at build time, so a later purge_user_cascade can
+    enumerate and erase a document from the streaming index without a
+    runbook remembering it exists."""
+    from hybrid_vector_search_spark.operators.dedup import (
+        dedup_ingest_commit_batch,
+    )
+
+    base = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(i, f"unique document text number {i} with words {i * 7}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    dedup_ingest_commit_batch(
+        spark, docs, 0,
+        os.path.join(base, "index"), os.path.join(base, "survivors"),
+        0.2, erasure_registry_dir=base,
+    )
+    audit = {
+        r["artifact"]: r.asDict()
+        for r in PU.purge_user_cascade(spark, base, 3).collect()
+    }
+    assert set(audit) == {"dedup_postings", "dedup_survivors"}
+    assert audit["dedup_survivors"]["purged_rows"] == 1
+    assert audit["dedup_postings"]["purged_rows"] > 0  # bands + grams
+    for a in audit.values():
+        assert a["residual_rows_any_file"] == 0
+        assert a["retained_versions"] == 1
+    # the postings index kept its probe layout: files still min==max ck
+    idx = os.path.join(base, "index")
+    cur = M._resolve_manifest(idx, M.current_version(idx))
+    for rel in cur["files"]:
+        mm = cur["stats"][rel]["ck"]
+        assert mm[0] == mm[1], (rel, mm)
