@@ -248,9 +248,18 @@ def register_derived_root(
     os.replace(tmp, path)
 
 
+def _subjects_tuple(subject) -> tuple:
+    if isinstance(subject, (list, tuple, set, frozenset)):
+        return tuple(sorted(subject))
+    return (subject,)
+
+
 def registered_targets(base_dir: str, subject) -> list[PurgeTarget]:
-    """The registry's entries as concrete :class:`PurgeTarget`\\ s for
-    one subject: predicate = ``owner_sql == subject``."""
+    """The registry's entries as concrete :class:`PurgeTarget`\\ s.
+    ``subject`` may be one value or a COLLECTION — erasure requests
+    batch into one pass per root (predicate = ``owner_sql ∈ subjects``),
+    which is the amortization that keeps per-request cost sane at
+    scale: N requests cost one rewrite, not N."""
     import json
 
     from hybrid_vector_search_spark.errors import ValidationError
@@ -264,11 +273,12 @@ def registered_targets(base_dir: str, subject) -> list[PurgeTarget]:
         )
     with open(path, encoding="utf-8") as f:
         entries = json.load(f)
+    subjects = [F.lit(s) for s in _subjects_tuple(subject)]
     return [
         PurgeTarget(
             name=name,
             root=e["root"],
-            subject_pred=F.expr(e["owner_sql"]) == F.lit(subject),
+            subject_pred=F.expr(e["owner_sql"]).isin(*subjects),
             cluster_column=e.get("cluster_column"),
             targeted=bool(e.get("targeted")),
         )
@@ -279,11 +289,11 @@ def registered_targets(base_dir: str, subject) -> list[PurgeTarget]:
 def purge_user_cascade(
     spark: SparkSession, base_dir: str, subject
 ) -> DataFrame:
-    """RIGHT-TO-BE-FORGOTTEN for one subject across EVERY registered
-    derived root (the r13 verdict's ask by name): enumerate the
-    registry, erase per root with the cheapest commit its layout
-    allows, truncate history, and return the per-artifact audit table
-    with the forensic residual=0 column."""
+    """RIGHT-TO-BE-FORGOTTEN for one subject — or a BATCH of erasure
+    requests — across EVERY registered derived root (the r13 verdict's
+    ask by name): enumerate the registry, erase per root with the
+    cheapest commit its layout allows, truncate history, and return the
+    per-artifact audit table with the forensic residual=0 column."""
     return purge_subject_cascade(
         spark, registered_targets(base_dir, subject)
     )

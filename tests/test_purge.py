@@ -160,3 +160,21 @@ def test_dedup_ingest_registers_for_erasure(spark, tmp_path):
     for rel in cur["files"]:
         mm = cur["stats"][rel]["ck"]
         assert mm[0] == mm[1], (rel, mm)
+
+
+def test_batched_erasure_requests(spark, tmp_path):
+    """N erasure requests batch into ONE pass per root — the
+    amortization the 100 TB cost argument depends on."""
+    base = str(tmp_path)
+    root = os.path.join(base, "tbl")
+    M.commit_append(root, _events(spark, 0, 50))
+    PU.register_derived_root(base, "tbl", root, "user")
+    a = {
+        r["artifact"]: r.asDict()
+        for r in PU.purge_user_cascade(spark, base, [1, 3]).collect()
+    }["tbl"]
+    gone = len([i for i in range(50) if i % 5 in (1, 3)])
+    assert a["purged_rows"] == gone
+    assert a["retained_versions"] == 1  # ONE commit for the whole batch
+    left = {r["user"] for r in M.read_snapshot(spark, root).collect()}
+    assert left == {0, 2, 4}
