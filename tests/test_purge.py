@@ -178,3 +178,32 @@ def test_batched_erasure_requests(spark, tmp_path):
     assert a["retained_versions"] == 1  # ONE commit for the whole batch
     left = {r["user"] for r in M.read_snapshot(spark, root).collect()}
     assert left == {0, 2, 4}
+
+
+def test_targeted_purge_drops_wholly_owned_cluster(spark, tmp_path):
+    """A cluster file containing ONLY the subject's rows has no
+    replacement content: the targeted commit must drop it outright
+    (provably covered), never write an empty file or straddle-error."""
+    root = str(tmp_path / "tbl")
+    rows = [(i, i % 4, 7 if i % 4 == 2 else i % 3) for i in range(40)]
+    # cluster 2 is wholly owned by user 7; user 7 appears nowhere else
+    M.commit_append_clustered(
+        root,
+        spark.createDataFrame(rows, "id long, ck long, user long"),
+        "ck",
+    )
+    pre = set(M._resolve_manifest(root, M.current_version(root))["files"])
+    a = PU.purge_subject(
+        spark,
+        PU.PurgeTarget(
+            "tbl", root, subject_col="user", subject_values=(7,),
+            cluster_column="ck", targeted=True,
+        ),
+    )
+    assert a["purged_rows"] == 10
+    assert a["residual_rows_any_file"] == 0
+    post = set(M._resolve_manifest(root, M.current_version(root))["files"])
+    assert len(post) == 3  # the wholly-owned cluster file is GONE
+    assert len(pre & post) == 3  # and the other three carried untouched
+    got = {r["ck"] for r in M.read_snapshot(spark, root).collect()}
+    assert got == {0, 1, 3}
