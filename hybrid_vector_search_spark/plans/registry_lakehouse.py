@@ -1936,3 +1936,113 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [tuple(r) for r in audit.collect()]
     _CASCADE_CACHE[sf_dir] = (spark, rows)
     return spark.createDataFrame(rows, schema).orderBy("artifact")
+
+
+# ------------------------------- snapshot drift monitoring (r14)
+
+_DRIFT_CACHE: dict[str, tuple] = {}
+
+
+def _drift_oracle() -> str:
+    from hybrid_vector_search_spark.functions.portable import (
+        grid_avg_sql,
+        round_portable_sql,
+    )
+
+    g = round_portable_sql("(embedding[1])::DOUBLE", 6)
+    m = grid_avg_sql(f"SUM({g})", "COUNT(*)", 6, 6)
+    p1 = "((COALESCE(c1.n1, 0) + 1)::DOUBLE / (t.t1 + t.k))"
+    p2 = "((c2.n2 + 1)::DOUBLE / (t.t2 + t.k))"
+    psi = round_portable_sql(f"({p2} - {p1}) * ln({p2} / {p1})", 6)
+    shift = round_portable_sql("c2.m2 - c1.m1", 6)
+    return f"""WITH v1 AS (
+  SELECT label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+v2 AS (SELECT label, embedding FROM embeddings),
+t AS (SELECT (SELECT COUNT(*) FROM v1) AS t1,
+             (SELECT COUNT(*) FROM v2) AS t2,
+             (SELECT COUNT(DISTINCT label) FROM v2) AS k),
+c1 AS (SELECT label, COUNT(*) AS n1, {m} AS m1 FROM v1 GROUP BY label),
+c2 AS (SELECT label, COUNT(*) AS n2, {m} AS m2 FROM v2 GROUP BY label)
+SELECT c2.label, COALESCE(c1.n1, 0) AS n_v1, c2.n2 AS n_v2,
+  {psi} AS psi_term, {shift} AS dim0_mean_shift
+FROM c2 LEFT JOIN c1 USING (label) CROSS JOIN t
+ORDER BY c2.label"""
+
+
+@register("corpus_snapshot_drift_psi", _drift_oracle(), side_effects=True)
+def corpus_snapshot_drift_psi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATA-DRIFT MONITORING between two PINNED snapshot versions —
+    the model-ops check only a versioned lakehouse can make
+    reproducible: v1 (the corpus a model trained on) and v2 (the corpus
+    after the next ingest) are immutable manifest versions, so the
+    drift report can be recomputed bit-for-bit forever, long after the
+    underlying table moved on. Per label bucket: population stability
+    (the per-bucket PSI term with +1 smoothing, (p2−p1)·ln(p2/p1) —
+    Σ terms is the classic PSI; the per-bucket rows localize WHICH
+    stratum moved) and a feature-mean shift on the first embedding
+    component (per-row values snapped to the 1e-6 grid, grid_avg so the
+    cross-engine sum-order ULP can't flip the rounding — the
+    functions/portable.py rule). Both versions are read through the
+    manifest with the file lists pinned at plan time; counts, PSI, and
+    shifts are value-hash gated against the DuckDB replay. Cost shape
+    at 100 TB: two grouped aggregates over pinned scans + a |labels|
+    join — one pass per version, no shuffle wider than the label
+    cardinality. Beyond-reference (monitoring family; SURVEY.md §2.9
+    adjacent)."""
+    from hybrid_vector_search_spark.functions.portable import (
+        grid_avg,
+        round_portable,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _DRIFT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        root = cached[1]
+    else:
+        root = scratch_path(
+            "snap_drift_" + sf_dir.strip("/").replace("/", "_")
+        )
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        M.commit_append(root, emb.filter(F.col("vec_id") % 5 != 0), n_files=2)
+        M.commit_append(root, emb.filter(F.col("vec_id") % 5 == 0), n_files=2)
+        _DRIFT_CACHE[sf_dir] = (spark, root)
+    s1 = M.read_snapshot(spark, root, 1)
+    s2 = M.read_snapshot(spark, root, 2)
+    t1, t2 = s1.count(), s2.count()
+    k = s2.select("label").distinct().count()
+    g = round_portable(
+        F.element_at("embedding", 1).cast("double"), 6
+    )
+
+    def _grouped(s, n_name, m_name):
+        return s.groupBy("label").agg(
+            F.count(F.lit(1)).alias(n_name),
+            grid_avg(F.sum(g), F.count(F.lit(1)), 6, 6).alias(m_name),
+        )
+
+    c1 = _grouped(s1, "n1", "m1")
+    c2 = _grouped(s2, "n2", "m2")
+    p1 = (F.coalesce(F.col("n1"), F.lit(0)) + 1).cast("double") / F.lit(
+        float(t1 + k)
+    )
+    p2 = (F.col("n2") + 1).cast("double") / F.lit(float(t2 + k))
+    return (
+        c2.join(c1, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n_v1"),
+            F.col("n2").alias("n_v2"),
+            round_portable((p2 - p1) * F.log(p2 / p1), 6).alias(
+                "psi_term"
+            ),
+            round_portable(F.col("m2") - F.col("m1"), 6).alias(
+                "dim0_mean_shift"
+            ),
+        )
+        .orderBy("label")
+    )

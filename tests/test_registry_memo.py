@@ -103,6 +103,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # vacuums + forensically scans each — all driver-side work
         # (internally session-cached)
         "corpus_purge_cascade",
+        # r14: commits the two-version drift history + scalar counts
+        # driver-side per call (internally session-cached)
+        "corpus_snapshot_drift_psi",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
