@@ -1808,3 +1808,142 @@ def streaming_ingest_quarantine(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("route", "reason")
     )
+
+
+_DLQ_SNAP_BATCHES = 3
+_DLQ_SNAP_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "streaming_ingest_quarantine_snapshot",
+    f"""WITH routed AS (SELECT event_id % {_DLQ_SNAP_BATCHES} AS b,
+  CASE WHEN value > {_DLQ_VALUE_MAX!r} THEN 'quarantine'
+       WHEN strftime(ts, '%Y-%m-%d') > '{_DLQ_LATE_DAY}' THEN 'quarantine'
+       ELSE 'main' END AS route,
+  CASE WHEN value > {_DLQ_VALUE_MAX!r} THEN 'value_out_of_range'
+       WHEN strftime(ts, '%Y-%m-%d') > '{_DLQ_LATE_DAY}' THEN 'late_arrival'
+       ELSE 'ok' END AS reason
+  FROM events),
+commits AS (SELECT route, COUNT(DISTINCT b) AS route_commits
+            FROM routed GROUP BY route)
+SELECT route, reason, COUNT(*) AS n, MIN(route_commits) AS route_commits
+FROM routed JOIN commits USING (route)
+GROUP BY route, reason ORDER BY route, reason""",
+    side_effects=True,
+)
+def streaming_ingest_quarantine_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEAD-LETTER ROUTING INTO THE TABLE FORMAT: the two-sink fan-out
+    of ``streaming_ingest_quarantine``, landed as MANIFEST COMMITS
+    instead of bare parquet appends — each micro-batch routes row-level
+    (machine-readable reasons, priority order) and commits each route
+    to its own snapshot root guarded by THAT root's own batch-id meta,
+    so an at-least-once replay after a crash between the two commits
+    re-lands exactly the missing route (the dedup-ingest exactly-once
+    pattern, applied to the quarantine shape). What the plain-parquet
+    variant cannot offer, this one gets for free: readers see batch
+    boundaries atomically (no half-routed batch), time travel pins any
+    triage state, and BOTH roots are registered in the derived-root
+    registry at build time (owner = user_id), so a GDPR cascade reaches
+    quarantined rows too — the bad-rows table is exactly where a
+    subject's malformed events hide. ``route_commits`` rides in the
+    hash contract: number of versions per route root = micro-batches
+    that carried ≥1 row for that route (batch = event_id % 3, pinned by
+    the landing's mtime order). Beyond-reference (SURVEY.md §2.9 +
+    governance/streaming families)."""
+    from pyspark.sql import types as T
+
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.sources.purge import (
+        register_derived_root,
+    )
+
+    P = _DLQ_SNAP_BATCHES
+    cached = _DLQ_SNAP_CACHE.get(sf_dir)
+    root = cached[1] if cached is not None and cached[0] is spark else None
+    if root is None:
+        root = scratch_path(
+            "dlq_snap_" + sf_dir.strip("/").replace("/", "_")
+        )
+        os.makedirs(root, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        _seed_landing(root, ev, "event_id", P)
+        _DLQ_SNAP_CACHE[sf_dir] = (spark, root)
+    main_root = os.path.join(root, "main")
+    quar_root = os.path.join(root, "quarantine")
+
+    reason = F.when(
+        F.col("value") > _DLQ_VALUE_MAX, F.lit("value_out_of_range")
+    ).when(
+        F.date_format("ts", "yyyy-MM-dd") > _DLQ_LATE_DAY,
+        F.lit("late_arrival"),
+    )
+
+    def commit_batch(bdf, batch_id):
+        bdf = bdf.persist()
+        try:
+            routed = bdf.withColumn("reason", reason)
+            for route_root, rows in (
+                (main_root, routed.filter(F.col("reason").isNull()).drop(
+                    "reason"
+                )),
+                (quar_root, routed.filter(F.col("reason").isNotNull())),
+            ):
+                if batch_id > M.last_committed_meta(
+                    route_root, "batch_id", -1
+                ) and rows.limit(1).count():
+                    M.commit_append(
+                        route_root, rows, meta={"batch_id": int(batch_id)}
+                    )
+                    M.maybe_compact_sidecars(route_root)
+        finally:
+            bdf.unpersist()
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    _drain_file_stream(spark, root, schema, commit_batch)
+    register_derived_root(root, "dlq_main", main_root, "user_id")
+    register_derived_root(root, "dlq_quarantine", quar_root, "user_id")
+
+    def _route_df(route_root, route):
+        if M.current_version(route_root) < 0:
+            return spark.createDataFrame(
+                [], "route string, reason string"
+            )
+        snap = M.read_snapshot(spark, route_root)
+        if route == "main":
+            return snap.select(
+                F.lit("main").alias("route"), F.lit("ok").alias("reason")
+            )
+        return snap.select(
+            F.lit("quarantine").alias("route"), "reason"
+        )
+
+    out = (
+        _route_df(main_root, "main")
+        .unionByName(_route_df(quar_root, "quarantine"))
+        .groupBy("route", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    commits = spark.createDataFrame(
+        [
+            ("main", len(M.list_versions(main_root))),
+            ("quarantine", len(M.list_versions(quar_root))),
+        ],
+        "route string, route_commits long",
+    )
+    return (
+        out.join(commits, "route")
+        .select("route", "reason", "n", "route_commits")
+        .orderBy("route", "reason")
+    )
