@@ -1572,6 +1572,13 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     _drain_file_stream(spark, root, schema, commit_batch)
+    # media payloads are subject data too: the survivors root joins the
+    # erasure registry so a GDPR cascade reaches stored binaries (r14)
+    from hybrid_vector_search_spark.sources.purge import (
+        register_derived_root,
+    )
+
+    register_derived_root(root, "media_survivors", surv_root, "media_id")
     return (
         M.read_snapshot(spark, surv_root)
         .select("media_id", "phash", "batch")
