@@ -880,6 +880,17 @@ def ann_ivf_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_snap_" + sf_dir.strip("/").replace("/", "_")
         )
         M.commit_append_clustered(root, assigned, "list_id")  # v1
+        # the persisted index is a derived root holding subject vectors:
+        # register it for the GDPR cascade at build, targeted (a
+        # subject's vectors live in a bounded set of lists) — r14
+        from hybrid_vector_search_spark.sources.purge import (
+            register_derived_root,
+        )
+
+        register_derived_root(
+            root, "ivf_lists", root, "id",
+            cluster_column="list_id", targeted=True,
+        )
 
         removed = assigned.filter(
             (F.col("id") % 17 == 0) | (F.col("id") % 13 == 0)
