@@ -489,6 +489,147 @@ class HNSWIndex:
         )
         return topk(cand, kk, id_col=idc)
 
+    def purge_nodes(self, subject_ids: Sequence[int]) -> dict:
+        """GDPR erasure for the persisted graph artifact (r14) — the
+        derived root the manifest-based cascade can't cover: adjacency
+        lists reference neighbors BY ``node_idx`` within the partition
+        and the entry point is one of them, so dropping a subject's
+        rows would leave DANGLING edges (and possibly a dangling entry)
+        in every surviving node of its partition. The honest erasing
+        commit is a PARTITION-LOCAL REBUILD: partitions that contain a
+        subject node re-run the graph construction over their remaining
+        vectors; untouched partitions' rows are carried through
+        unchanged — cost tracks the subject's partitions, not the
+        index (the same bounded-touch shape as the IVF targeted
+        purge). The swap is staged write → rename (this layout is plain
+        parquet, not manifest-committed; the cascade's roots get the
+        atomic version instead). Returns the audit dict the forensic
+        scan + integrity validation fill: residual_nodes /
+        bad_adjacency_refs / bad_entry_refs must all be 0."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        spark = self.spark
+        subj = sorted({int(i) for i in subject_ids})
+        idx = spark.read.parquet(self.path)
+        is_subj = F.col("id").isin(subj)
+        agg = idx.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_subj.cast("long")).alias("p"),
+        ).first()
+        rows_before, purged = int(agg["n"] or 0), int(agg["p"] or 0)
+        affected: list[int] = []
+        if purged:
+            affected = [
+                r[0]
+                for r in idx.filter(is_subj)
+                .select("part")
+                .distinct()
+                .collect()
+            ]  # bounded: ≤ number of partitions
+            m, efc = self.M, DEFAULT_EF_CONSTRUCTION
+
+            def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("node_idx")  # original insert order
+                keep = ~pdf["id"].isin(subj)
+                ids = pdf.loc[keep, "id"].to_numpy(dtype=np.int64)
+                if len(ids) == 0:  # partition wholly subject-owned
+                    return pd.DataFrame(
+                        {
+                            "part": pd.Series([], dtype="int32"),
+                            "node_idx": pd.Series([], dtype="int32"),
+                            "id": pd.Series([], dtype="int64"),
+                            "vec": pd.Series([], dtype="object"),
+                            "adj": pd.Series([], dtype="object"),
+                            "entry_idx": pd.Series([], dtype="int32"),
+                            "entry_level": pd.Series([], dtype="int32"),
+                        }
+                    )
+                mat = np.vstack(pdf.loc[keep, "vec"].to_numpy()).astype(
+                    np.float64
+                )
+                g = HNSWGraph(ids, mat, M=m, ef_construction=efc)
+                n = len(ids)
+                return pd.DataFrame(
+                    {
+                        "part": np.full(
+                            n, int(pdf["part"].iloc[0]), dtype=np.int32
+                        ),
+                        "node_idx": np.arange(n, dtype=np.int32),
+                        "id": ids,
+                        "vec": list(mat),
+                        "adj": g.node_adjacency(),
+                        "entry_idx": np.full(n, g.entry, dtype=np.int32),
+                        "entry_level": np.full(
+                            n, g.entry_level, dtype=np.int32
+                        ),
+                    }
+                )
+
+            rebuilt = (
+                idx.filter(F.col("part").isin(affected))
+                .groupBy("part")
+                .applyInPandas(rebuild, _INDEX_SCHEMA)
+            )
+            new = idx.filter(~F.col("part").isin(affected)).unionByName(
+                rebuilt
+            )
+            stage = self.path + ".purge-stage"
+            new.write.mode("overwrite").parquet(stage)
+            trash = self.path + ".purge-old"
+            os.rename(self.path, trash)
+            os.rename(stage, self.path)
+            shutil.rmtree(trash, ignore_errors=True)
+        # forensic + integrity pass over the artifact as it now exists
+        # on disk: no subject node, no adjacency index outside the
+        # partition's node range, no dangling entry point
+        post = spark.read.parquet(self.path)
+
+        def check(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("node_idx")
+            n = len(pdf)
+            bad_adj = 0
+            for layers in pdf["adj"].tolist():
+                for neigh in layers:
+                    bad_adj += sum(
+                        1 for x in neigh if int(x) < 0 or int(x) >= n
+                    )
+            bad_entry = int(
+                (pdf["entry_idx"] < 0).sum()
+                + (pdf["entry_idx"] >= n).sum()
+            )
+            structural = int(
+                (pdf["node_idx"].to_numpy() != np.arange(n)).sum()
+            )
+            return pd.DataFrame(
+                {
+                    "bad_adj": [bad_adj],
+                    "bad_entry": [bad_entry + structural],
+                }
+            )
+
+        viol = (
+            post.groupBy("part")
+            .applyInPandas(check, "bad_adj LONG, bad_entry LONG")
+            .agg(
+                F.coalesce(F.sum("bad_adj"), F.lit(0)).alias("a"),
+                F.coalesce(F.sum("bad_entry"), F.lit(0)).alias("e"),
+            )
+            .first()
+        )
+        residual = post.filter(F.col("id").isin(subj)).count() if subj else 0
+        return {
+            "rows_before": rows_before,
+            "purged_rows": purged,
+            "rows_after": rows_before - purged,
+            "residual_nodes": int(residual),
+            "bad_adjacency_refs": int(viol["a"]),
+            "bad_entry_refs": int(viol["e"]),
+            "parts_rebuilt": len(affected),
+        }
+
 
 from hybrid_vector_search_spark.operators.strategies import (  # noqa: E402
     SearchBackend,

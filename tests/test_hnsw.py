@@ -237,3 +237,57 @@ def test_recall_sweep_monotone_work_axis(spark):
     assert all(0.0 <= r <= 1.0 for r in recs)
     assert recs[-1] >= recs[0]
     assert len(set(recs)) > 1  # genuinely approximate: the curve moves
+
+
+def test_purge_nodes_rebuilds_affected_partitions(spark, unit_vecs, tmp_path):
+    """Erasure on the persisted graph (r14): subject nodes gone from
+    storage, NO dangling adjacency/entry references anywhere (dropping
+    rows without the partition-local rebuild would leave both), search
+    still answers and never returns a purged id, and partitions without
+    a subject node are carried through with their row content
+    untouched."""
+    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(unit_vecs)],
+        "id long, embedding array<float>",
+    )
+    path = str(tmp_path / "hnsw_idx.parquet")
+    index = HNSWIndex.build(emb, path)
+    before = spark.read.parquet(path)
+    subjects = [i for i in range(len(unit_vecs)) if i % 50 == 13]
+    touched_parts = {
+        r["part"]
+        for r in before.filter(before.id.isin(subjects))
+        .select("part")
+        .distinct()
+        .collect()
+    }
+    untouched_before = {
+        (r["part"], r["node_idx"], r["id"], tuple(r["adj"][0]))
+        for r in before.collect()
+        if r["part"] not in touched_parts
+    }
+    audit = index.purge_nodes(subjects)
+    assert audit["purged_rows"] == len(subjects)
+    assert audit["rows_after"] == len(unit_vecs) - len(subjects)
+    assert audit["residual_nodes"] == 0
+    assert audit["bad_adjacency_refs"] == 0
+    assert audit["bad_entry_refs"] == 0
+    assert audit["parts_rebuilt"] == len(touched_parts) > 0
+    after = spark.read.parquet(path)
+    untouched_after = {
+        (r["part"], r["node_idx"], r["id"], tuple(r["adj"][0]))
+        for r in after.collect()
+        if r["part"] not in touched_parts
+    }
+    assert untouched_after == untouched_before
+    # the index still SERVES, and never a purged id
+    got = [r["id"] for r in index.search_plan(unit_vecs[42], 7).collect()]
+    assert len(got) == 7
+    assert not set(got) & set(subjects)
+    # idempotent: purging the same subjects again is a no-op audit
+    again = index.purge_nodes(subjects)
+    assert again["purged_rows"] == 0
+    assert again["parts_rebuilt"] == 0
+    assert again["rows_before"] == audit["rows_after"]

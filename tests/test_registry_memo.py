@@ -106,6 +106,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r14: commits the two-version drift history + scalar counts
         # driver-side per call (internally session-cached)
         "corpus_snapshot_drift_psi",
+        # r14: builds + purges the graph artifact driver-side
+        # (internally session-cached)
+        "ann_hnsw_purge_rebuild",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
