@@ -1335,6 +1335,16 @@ def retrieval_bm25_snapshot_topk(
                 )
             finally:
                 tok.unpersist()
+        # postings hold subject tokens: register for the GDPR cascade
+        # at build (scatter layout — a doc's terms hash across every
+        # bucket, so erasure is a clustered rewrite) — r14
+        from hybrid_vector_search_spark.sources.purge import (
+            register_derived_root,
+        )
+
+        register_derived_root(
+            root, "bm25_postings", root, "id", cluster_column="bucket"
+        )
         _BM25_SNAP_CACHE[sf_dir] = (spark, root)
     buckets = sorted(
         {term_bucket(t, DEFAULT_BUCKETS) for t in BM25_INCR_TERMS}
