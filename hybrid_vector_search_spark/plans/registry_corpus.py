@@ -2152,3 +2152,140 @@ def dedup_embedding_clustered_pairs(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------- BPE merge training (r14)
+
+_BPE_ROUNDS = 4
+_BPE_VOCAB = 200
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-round replay. Both engines share the two primitives
+    bit-for-bit: positional pair counts (every adjacent symbol pair,
+    overlaps included — the classic get_stats), and literal
+    ``replace(' l r ', ' lr ')`` over the space-padded symbol string,
+    whose leftmost non-overlapping resume-after-match rule is identical
+    in java.lang.String.replace and DuckDB replace (probed live:
+    ' a b a b ' → ' ab a b ' in both)."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+p{k} AS (SELECT t[i] AS lhs, t[i + 1] AS rhs, SUM(freq) AS cnt FROM (
+    SELECT freq, string_split(trim(s), ' ') AS t FROM {prev}) x,
+  UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY lhs, rhs),
+m{k} AS (SELECT lhs, rhs, cnt FROM p{k}
+         ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+w{k} AS (SELECT word, freq,
+  replace(s, ' ' || m{k}.lhs || ' ' || m{k}.rhs || ' ',
+             ' ' || m{k}.lhs || m{k}.rhs || ' ') AS s
+  FROM {prev} CROSS JOIN m{k})""")
+        prev = f"w{k}"
+    selects = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT)"
+        f" AS pair_count FROM m{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""WITH tok AS (
+  SELECT term AS word FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents) x
+  WHERE regexp_matches(term, '^[a-z]{{2,12}}$')),
+vocab AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word
+          ORDER BY freq DESC, word LIMIT {_BPE_VOCAB}),
+w0 AS (SELECT word, freq,
+       ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM vocab),{','.join(rounds)}
+{selects}
+ORDER BY merge_rank"""
+
+
+@register("text_bpe_merges", _bpe_oracle(), side_effects=True)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER TRAINING as a distributed iterative operator — the
+    first K BPE merge rounds (Sennrich et al. 2016) over the corpus
+    vocabulary: count every adjacent symbol pair weighted by word
+    frequency, merge the max-count pair (ties broken lexicographically
+    — the determinism the paper leaves unspecified), rewrite the symbol
+    strings, repeat. Each round is one grouped aggregation over the
+    top-{vocab} (freq DESC, word ASC) vocabulary plus a literal
+    string-replace applied lazily — the driver holds exactly K argmax
+    rows, never the vocabulary. Merge application is the documented
+    single-pass variant: symbols live in a space-padded string and the
+    merge is literal ``replace(' l r ', ' lr ')``, whose leftmost
+    non-overlapping resume-after-match semantics are bit-identical in
+    the JVM and DuckDB (probed: ' a b a b ' → ' ab a b ' in both), so
+    the oracle replays every round exactly. ASCII-word filter
+    (^[a-z]{{2,12}}$) keeps the per-char seeding engine-portable. At
+    100 TB the per-round cost is the pair aggregation (shuffle keyed on
+    ~|alphabet|² pairs, map-side combined); K rounds = K passes, the
+    standard distributed-BPE shape. Beyond-reference (text/tokenizer
+    family)."""
+    cached = _BPE_CACHE.get(sf_dir)
+    schema = "merge_rank int, lhs string, rhs string, pair_count long"
+    if cached is not None and cached[0] is spark:
+        return spark.createDataFrame(cached[1], schema)
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    w = vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)  # pin the vocab; rounds chain on it
+    merges = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            w.select(
+                "freq", F.split(F.trim("s"), " ").alias("t")
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(t, 1, size(t) - 1)").alias("lhs"),
+                        F.expr("slice(t, 2, size(t) - 1)").alias("rhs"),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                F.col("p.lhs").alias("lhs"),
+                F.col("p.rhs").alias("rhs"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .first()
+        )
+        merges.append(
+            (k, best["lhs"], best["rhs"], int(best["cnt"]))
+        )
+        w = w.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best['lhs']} {best['rhs']} "),
+                F.lit(f" {best['lhs']}{best['rhs']} "),
+            ),
+        )
+    _BPE_CACHE[sf_dir] = (spark, merges)
+    return spark.createDataFrame(merges, schema)

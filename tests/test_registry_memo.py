@@ -109,6 +109,8 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r14: builds + purges the graph artifact driver-side
         # (internally session-cached)
         "ann_hnsw_purge_rebuild",
+        # r14: K driver-side argmax rounds (internally session-cached)
+        "text_bpe_merges",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
