@@ -489,6 +489,38 @@ class HNSWIndex:
         )
         return topk(cand, kk, id_col=idc)
 
+    @staticmethod
+    def recover_pending_purge(path: str) -> bool:
+        """Finish or roll back a purge swap interrupted by a crash.
+        The swap is stage-write → rename(path→old) → rename(stage→path)
+        → rm old; every interruption point is recoverable: a complete
+        stage with the index dir missing is FINISHED (the purge had
+        committed its content), an unpublished stage next to an intact
+        index is DISCARDED (the purge never happened — retry it), and a
+        leftover old dir is swept. Returns True if anything was done.
+        Call before opening an index whose writer may have crashed —
+        the non-manifest layout's analog of manifest crash-invisible
+        commits."""
+        import os
+        import shutil
+
+        stage, trash = path + ".purge-stage", path + ".purge-old"
+        did = False
+        if not os.path.isdir(path):
+            if os.path.isdir(stage):
+                os.rename(stage, path)  # crash between the two renames
+                did = True
+            elif os.path.isdir(trash):
+                os.rename(trash, path)  # defensive: stage lost — undo
+                did = True
+        elif os.path.isdir(stage):
+            shutil.rmtree(stage, ignore_errors=True)  # never published
+            did = True
+        if os.path.isdir(trash):
+            shutil.rmtree(trash, ignore_errors=True)
+            did = True
+        return did
+
     def purge_nodes(self, subject_ids: Sequence[int]) -> dict:
         """GDPR erasure for the persisted graph artifact (r14) — the
         derived root the manifest-based cascade can't cover: adjacency

@@ -291,3 +291,41 @@ def test_purge_nodes_rebuilds_affected_partitions(spark, unit_vecs, tmp_path):
     assert again["purged_rows"] == 0
     assert again["parts_rebuilt"] == 0
     assert again["rows_before"] == audit["rows_after"]
+
+
+def test_purge_swap_crash_recovery(spark, unit_vecs, tmp_path):
+    """Every interruption point of the purge's staged swap recovers to
+    a consistent index: a committed-but-unpublished swap finishes, an
+    unpublished stage discards, leftovers sweep."""
+    import os
+    import shutil
+
+    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(unit_vecs[:100])],
+        "id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx.parquet")
+    HNSWIndex.build(emb, path)
+    stage, trash = path + ".purge-stage", path + ".purge-old"
+
+    # crash point A: stage written, index untouched → discard stage
+    shutil.copytree(path, stage)
+    assert HNSWIndex.recover_pending_purge(path)
+    assert os.path.isdir(path) and not os.path.isdir(stage)
+
+    # crash point B: old moved away, stage not yet published → finish
+    shutil.copytree(path, stage)
+    os.rename(path, trash)
+    assert HNSWIndex.recover_pending_purge(path)
+    assert os.path.isdir(path)
+    assert not os.path.isdir(stage) and not os.path.isdir(trash)
+    assert spark.read.parquet(path).count() == 100
+
+    # crash point C: published, trash left behind → sweep
+    shutil.copytree(path, trash)
+    assert HNSWIndex.recover_pending_purge(path)
+    assert not os.path.isdir(trash)
+    # quiescent: nothing to do
+    assert not HNSWIndex.recover_pending_purge(path)
