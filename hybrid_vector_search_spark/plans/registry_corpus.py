@@ -2289,3 +2289,101 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     _BPE_CACHE[sf_dir] = (spark, merges)
     return spark.createDataFrame(merges, schema)
+
+
+def _bpe_encode_oracle() -> str:
+    """Re-derives the K merges (same unrolled rounds as text_bpe_merges)
+    and applies them to EVERY qualifying word — the vocabulary cap
+    bounds training, never encoding."""
+    base = _bpe_oracle()
+    # reuse the training CTEs up to the last merge; strip the final
+    # SELECT-UNION block (everything after the w{K} CTE definition)
+    cut = base.rindex("SELECT 1 AS merge_rank")
+    ctes = base[:cut].rstrip().rstrip(",")
+    applies = "s0"
+    for k in range(1, _BPE_ROUNDS + 1):
+        applies = (
+            f"replace({applies}, ' ' || m{k}.lhs || ' ' || m{k}.rhs || ' ',"
+            f" ' ' || m{k}.lhs || m{k}.rhs || ' ')"
+        )
+    joins = " CROSS JOIN ".join(f"m{k}" for k in range(1, _BPE_ROUNDS + 1))
+    return f"""{ctes},
+allwords AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+enc AS (SELECT word, freq,
+  len(string_split(trim({applies}), ' ')) AS n_tok
+  FROM (SELECT word, freq,
+        ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s0
+        FROM allwords) x CROSS JOIN {joins})
+SELECT len(word) AS word_len,
+  COUNT(*) AS n_words,
+  CAST(SUM(freq) AS BIGINT) AS occurrences,
+  CAST(SUM(freq * len(word)) AS BIGINT) AS symbols_before,
+  CAST(SUM(freq * n_tok) AS BIGINT) AS tokens_after,
+  (1000 * (CAST(SUM(freq * len(word)) AS BIGINT)
+           - CAST(SUM(freq * n_tok) AS BIGINT)))
+    // CAST(SUM(freq * len(word)) AS BIGINT) AS saved_per_mille
+FROM enc GROUP BY word_len ORDER BY word_len"""
+
+
+@register("text_bpe_encode", _bpe_encode_oracle(), side_effects=True)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE APPLICATION at corpus scale — the encode half of the
+    tokenizer family: the K learned merges (text_bpe_merges, re-served
+    from its session cache) are applied to EVERY qualifying word as K
+    chained literal replaces (lazy, JVM-side, whole-stage codegen — the
+    classic reason BPE encoding distributes trivially while training
+    needs the iterative argmax), and the audit reports the compression
+    the tokenizer actually buys, stratified by word length: symbol
+    counts before (characters) and after (merged tokens), with an
+    integer per-mille savings column (integer division — engine-exact,
+    no float grid needed). The oracle re-derives the merges and replays
+    the encoding on the full word set, so the hash pins training AND
+    application end-to-end. Beyond-reference (tokenizer family)."""
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in text_bpe_merges(spark, sf_dir).collect()
+    ]  # bounded: K rows, session-cached by the training query
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    for lhs, rhs in merges:
+        s = F.replace(
+            s, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+        )
+    enc = words.select(
+        "word",
+        "freq",
+        F.size(F.split(F.trim(s), " ")).alias("n_tok"),
+    )
+    return (
+        enc.groupBy(F.length("word").alias("word_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("occurrences"),
+            F.sum(F.col("freq") * F.length("word")).alias(
+                "symbols_before"
+            ),
+            F.sum(F.col("freq") * F.col("n_tok")).alias("tokens_after"),
+        )
+        .select(
+            "word_len",
+            "n_words",
+            "occurrences",
+            "symbols_before",
+            "tokens_after",
+            F.expr(
+                "(1000 * (symbols_before - tokens_after))"
+                " div symbols_before"
+            ).alias("saved_per_mille"),
+        )
+        .orderBy("word_len")
+    )

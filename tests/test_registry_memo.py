@@ -111,6 +111,8 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "ann_hnsw_purge_rebuild",
         # r14: K driver-side argmax rounds (internally session-cached)
         "text_bpe_merges",
+        # r14: collects the K learned merges driver-side before encoding
+        "text_bpe_encode",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
