@@ -639,3 +639,118 @@ def events_value_histogram_quantiles(
         )
         .orderBy("q")
     )
+
+
+# ------------------------- drift from committed sketches only (r14)
+
+_VDRIFT_BIN = 50.0
+_VDRIFT_SPLIT = "2024-01-15"
+_VDRIFT_CACHE: dict[str, tuple] = {}
+
+
+def _vdrift_oracle() -> str:
+    pr = "((COALESCE(r.n, 0) + 1)::DOUBLE / (t.tr + t.k))"
+    pc = "((COALESCE(c.n, 0) + 1)::DOUBLE / (t.tc + t.k))"
+    psi = round_portable_sql(f"({pc} - {pr}) * ln({pc} / {pr})", 6)
+    return f"""WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value::DOUBLE / {_VDRIFT_BIN!r}::DOUBLE) AS BIGINT)
+           AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY day, bin),
+ref AS (SELECT bin, SUM(c) AS n FROM h
+        WHERE day < '{_VDRIFT_SPLIT}' GROUP BY bin),
+cur AS (SELECT bin, SUM(c) AS n FROM h
+        WHERE day >= '{_VDRIFT_SPLIT}' GROUP BY bin),
+bins AS (SELECT bin FROM ref UNION SELECT bin FROM cur),
+t AS (SELECT (SELECT COALESCE(SUM(n), 0) FROM ref) AS tr,
+             (SELECT COALESCE(SUM(n), 0) FROM cur) AS tc,
+             (SELECT COUNT(*) FROM bins) AS k)
+SELECT b.bin, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur,
+  {psi} AS psi_term
+FROM bins b LEFT JOIN ref r USING (bin) LEFT JOIN cur c USING (bin)
+CROSS JOIN t ORDER BY b.bin"""
+
+
+@register("events_value_drift_sketches", _vdrift_oracle(), side_effects=True)
+def events_value_drift_sketches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DRIFT WITHOUT A RESCAN — the monitoring path that actually works
+    at 100 TB: per-day fixed-grid value histograms are committed at
+    ingest (the mergeable sketch store — merge across any day range is
+    SUM over bins, the same additivity events_hll_rollup_range exploits
+    for distincts), and the drift report between a reference window and
+    the current one is computed ENTIRELY from the committed sketch
+    table: the query plan never touches the events table. Per bin:
+    reference/current counts and the smoothed PSI term
+    ((p_cur−p_ref)·ln(p_cur/p_ref)) — Σ terms is the population
+    stability index; the per-bin rows localize WHERE the value
+    distribution moved. The oracle replays from the raw events (sketch
+    build + windowed merge + PSI), so the hash pins that the
+    sketch-only path equals the full-rescan answer — the mergeability
+    guarantee stated as a value-hash. Sketch-store cost: O(days × bins)
+    rows, independent of event volume. Beyond-reference (monitoring +
+    sketch families; complements corpus_snapshot_drift_psi, which
+    drifts pinned snapshot VERSIONS of the corpus instead of ingest
+    windows)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    cached = _VDRIFT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        root = cached[1]
+    else:
+        root = scratch_path(
+            "vdrift_" + sf_dir.strip("/").replace("/", "_")
+        )
+        # ingest-time sketch build: ONE scan of events, per-day per-bin
+        # counts committed to the manifest store
+        h = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.floor(F.col("value").cast("double") / _VDRIFT_BIN)
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy("day", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        M.commit_append(root, h)
+        _VDRIFT_CACHE[sf_dir] = (spark, root)
+    sk = M.read_snapshot(spark, root)  # the ONLY input below
+    ref = (
+        sk.filter(F.col("day") < _VDRIFT_SPLIT)
+        .groupBy("bin")
+        .agg(F.sum("c").alias("n_ref"))
+    )
+    cur = (
+        sk.filter(F.col("day") >= _VDRIFT_SPLIT)
+        .groupBy("bin")
+        .agg(F.sum("c").alias("n_cur"))
+    )
+    joined = ref.join(cur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("k"),
+    ).first()
+    tr, tc, k = int(tot["tr"]), int(tot["tc"]), int(tot["k"])
+    pr = (F.col("n_ref") + 1).cast("double") / F.lit(float(tr + k))
+    pc = (F.col("n_cur") + 1).cast("double") / F.lit(float(tc + k))
+    from hybrid_vector_search_spark.functions.portable import (
+        round_portable,
+    )
+
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        round_portable((pc - pr) * F.log(pc / pr), 6).alias("psi_term"),
+    ).orderBy("bin")

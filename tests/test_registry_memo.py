@@ -113,6 +113,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         "text_bpe_merges",
         # r14: collects the K learned merges driver-side before encoding
         "text_bpe_encode",
+        # r14: commits the sketch store + scalar totals driver-side
+        # (internally session-cached)
+        "events_value_drift_sketches",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
