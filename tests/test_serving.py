@@ -141,3 +141,22 @@ def test_sharded_budgets_refuse_loudly(spark):
         )
     with pytest.raises(ValidationError, match="empty"):
         ShardedCorpusServe.from_corpus(corpus.filter(F.col("id") < 0))
+
+
+def test_sharded_byte_derived_count(spark, serve):
+    """The default sizing path: shard count derives from the footprint
+    estimate over the effective per-shard budget (clamped to
+    spark.driver.maxResultSize), and the answers still match."""
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.serving import ShardedCorpusServe
+
+    tier = ShardedCorpusServe.from_corpus(
+        R.load_corpus(spark, "/root/testdata/sf0.001"),
+        shard_bytes=1 << 18,  # ~0.5 MB footprint / (0.75 × 256 KB) → >1
+    )
+    assert tier.n_shards > 1
+    assert tier.total_rows == len(serve.ids)
+    q = query_vector(7)
+    _assert_rows_match(
+        tier.exact_topk(q, 10), serve.exact_topk(q, 10), "derived"
+    )
