@@ -460,6 +460,10 @@ class HNSWIndex:
             top_ids, top_scores = g.search(q, kk, ef)
             return pd.DataFrame({idc: top_ids, "score": top_scores})
 
+        # a crashed purge swap must self-heal on the next READ, not wait
+        # for a manual recovery call (r14 advice): between the two swap
+        # renames the index dir is missing and every read would fail
+        self.recover_pending_purge(self.path)
         idx = self.spark.read.parquet(self.path)
         if ef >= EXHAUSTIVE_EF:
             # known-exhaustive plan: every node scores, so graph (and
@@ -544,6 +548,10 @@ class HNSWIndex:
         from pyspark.sql import functions as F
 
         spark = self.spark
+        # self-heal a crashed prior swap before touching self.path — a
+        # purge retried after a crash must find the committed (or
+        # rolled-back) artifact, never the mid-swap gap (r14 advice)
+        self.recover_pending_purge(self.path)
         subj = sorted({int(i) for i in subject_ids})
         idx = spark.read.parquet(self.path)
         is_subj = F.col("id").isin(subj)

@@ -1916,21 +1916,24 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each builder REGISTERS its root (owner = a SQL expression over
     # the root's own columns); the purge then ENUMERATES the registry —
     # erasure must not depend on the caller remembering every index
-    register_derived_root(base, "events_snapshot", ev_root, "user_id")
+    register_derived_root(
+        base, "events_snapshot", ev_root, "user_id", source=sf_dir
+    )
     register_derived_root(
         base, "ivf_lists", ivf_root, f"vec_id % {m}",
-        cluster_column="list_id", targeted=True,
+        cluster_column="list_id", targeted=True, source=sf_dir,
     )
     register_derived_root(
         base, "bm25_postings", bm_root, f"doc_id % {m}",
-        cluster_column="ck",
+        cluster_column="ck", source=sf_dir,
     )
     register_derived_root(
         base, "dedup_postings", idx_root, f"doc_id % {m}",
-        cluster_column="ck",
+        cluster_column="ck", source=sf_dir,
     )
     register_derived_root(
-        base, "dedup_survivors", surv_root, f"doc_id % {m}"
+        base, "dedup_survivors", surv_root, f"doc_id % {m}",
+        source=sf_dir,
     )
     audit = purge_user_cascade(spark, base, s)
     rows = [tuple(r) for r in audit.collect()]

@@ -1942,10 +1942,29 @@ def streaming_ingest_quarantine_snapshot(
         .groupBy("route", "reason")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    def _batch_commits(route_root) -> int:
+        # count DISTINCT committed batch ids, not raw versions: a
+        # sidecar compaction publishes a version too
+        # (maybe_compact_sidecars) and CARRIES the last batch_id meta
+        # forward, so both "len(list_versions)" and "versions with a
+        # batch_id" would inflate route_commits past the micro-batch
+        # count once groups exceed the compaction threshold (r14
+        # advice — latent at the pinned 3 batches)
+        return len(
+            {
+                b
+                for v in M.list_versions(route_root)
+                for b in (
+                    M.committed_meta(route_root, "batch_id", v, None),
+                )
+                if b is not None
+            }
+        )
+
     commits = spark.createDataFrame(
         [
-            ("main", len(M.list_versions(main_root))),
-            ("quarantine", len(M.list_versions(quar_root))),
+            ("main", _batch_commits(main_root)),
+            ("quarantine", _batch_commits(quar_root)),
         ],
         "route string, route_commits long",
     )

@@ -53,15 +53,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hybrid_vector_search_spark.errors import ValidationError
 from hybrid_vector_search_spark.sources import manifest as M
 
 __all__ = [
     "PurgeTarget",
+    "PurgeContractError",
     "purge_subject",
     "purge_subject_cascade",
     "register_derived_root",
     "registered_targets",
     "purge_user_cascade",
+    "audit_purge_registry",
 ]
 
 
@@ -99,14 +102,50 @@ def _subject_pred(t: PurgeTarget):
     return F.coalesce(raw, F.lit(False))
 
 
-def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
+class PurgeContractError(ValidationError):
+    """The erasure contract was VIOLATED after the purge ran: the
+    forensic raw-file scan still finds subject rows, or more than the
+    single post-purge version survives (a time-travel path back to the
+    purged bytes). Raised — not merely reported — because a cascade
+    caller that doesn't re-check every audit column must never be told
+    erasure succeeded when it didn't (r14 advice, medium)."""
+
+
+def purge_subject(
+    spark: SparkSession,
+    t: PurgeTarget,
+    drop_pinned_refs: bool = True,
+    strict: bool = True,
+) -> dict:
     """Erase the subject from one root; return its audit row dict.
 
     Audit fields: rows before/purged/after from the pre-purge snapshot;
     ``residual_rows_any_file`` from a raw-file scan AFTER the vacuum
     (manifest bypassed — storage-level proof); ``retained_versions``
     pinning that no retained version can time-travel to the purged
-    bytes."""
+    bytes.
+
+    Two storage paths that would silently keep purged bytes are closed
+    here, not just reported (r14 advice, medium):
+
+    * **live equality-delete files** — a subject logically removed by
+      ``commit_delete_where`` has ``purged == 0`` in the deletes-applied
+      snapshot, yet its PHYSICAL rows still sit in data files the
+      delete entries mask; worse, the targeted path carries untouched
+      cluster files byte-for-byte. Whenever the base manifest holds
+      live delete entries, the purge therefore forces a FULL rewriting
+      commit (clustered when the layout asks for it) — the rewrite
+      reads the deletes-applied snapshot and stamps new files past
+      every delete version, so the masked bytes are gone and the
+      entries prune;
+    * **pinned refs** — a tag or branch pinning an older version makes
+      ``vacuum(keep_last=1)`` retain that version and its files. Purge
+      truncates history BY CONTRACT (module docstring), so pinning
+      refs to superseded versions are dropped first
+      (``drop_pinned_refs=True``, the default); pass ``False`` to
+      REFUSE instead — the ``strict`` contract check then raises on
+      the surviving versions rather than returning a normal audit row.
+    """
     pred = _subject_pred(t)
     base_v = M.current_version(t.root)
     snap = M.read_snapshot(spark, t.root, base_v)
@@ -116,9 +155,10 @@ def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
     ).first()
     rows_before = int(counts["n"] or 0)
     purged = int(counts["p"] or 0)
-    if purged:
+    live_deletes = bool(M.snapshot_delete_files(t.root, base_v))
+    if purged or live_deletes:
         keep = snap.filter(~pred)
-        if t.targeted and t.cluster_column:
+        if t.targeted and t.cluster_column and not live_deletes:
             touched = [
                 r[0]
                 for r in snap.filter(pred)
@@ -137,6 +177,14 @@ def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
             )
         else:
             M.commit_rewrite(t.root, keep, n_files=2, base_version=base_v)
+    if drop_pinned_refs:
+        cur = M.current_version(t.root)
+        for name, v in M.list_tags(t.root).items():
+            if v != cur:
+                M.delete_tag(t.root, name)
+        for name, v in M.list_branches(t.root).items():
+            if v != cur:
+                M.delete_branch(t.root, name)
     # destroy every superseded file; grace 0 is safe only because a
     # purge holds exclusive access to the root while it runs (the
     # cascade's documented operating condition — concurrent writers
@@ -157,13 +205,27 @@ def purge_subject(spark: SparkSession, t: PurgeTarget) -> dict:
     # this root still holds the subject — fire its invalidator so the
     # purge reaches memory, not just disk
     _invalidate_residents(t.root)
+    retained = len(M.list_versions(t.root))
+    if strict and (residual or retained != 1):
+        raise PurgeContractError(
+            f"purge of '{t.name}' ({t.root}) violated the erasure"
+            f" contract: residual_rows_any_file={int(residual)},"
+            f" retained_versions={retained} (expected 0 / 1)"
+            + (
+                " — refs pinning older versions survive"
+                " (drop_pinned_refs=False); delete the refs first or"
+                " let the purge drop them (drop_pinned_refs=True)"
+                if not drop_pinned_refs and retained != 1
+                else ""
+            )
+        )
     return {
         "artifact": t.name,
         "rows_before": rows_before,
         "purged_rows": purged,
         "rows_after": rows_before - purged,
         "residual_rows_any_file": int(residual),
-        "retained_versions": len(M.list_versions(t.root)),
+        "retained_versions": retained,
     }
 
 
@@ -209,6 +271,11 @@ def _invalidate_residents(root: str) -> None:
 
 _REGISTRY_FILE = "derived_roots.json"
 
+#: lock-acquisition timeout AND stale-lock age — registration holds the
+#: lock for one small JSON rewrite, so seconds of contention means a
+#: crashed holder, not a slow one
+_LOCK_STALE_SEC = 10.0
+
 
 def _registry_path(base_dir: str) -> str:
     return os.path.join(base_dir, _REGISTRY_FILE)
@@ -221,31 +288,74 @@ def register_derived_root(
     owner_sql: str,
     cluster_column: str | None = None,
     targeted: bool = False,
+    source: str | None = None,
 ) -> None:
     """Record (idempotently, keyed by ``name``) that ``root`` holds
     rows whose owner is ``owner_sql`` (a SQL expression over the root's
-    OWN columns — ``user_id``, ``doc_id % 50``, …). Atomic
-    write-tmp-then-rename, same single-writer discipline as a build
-    commit: registration happens at build time, by the builder."""
+    OWN columns — ``user_id``, ``doc_id % 50``, …).
+
+    Concurrency: the read-modify-write is serialized by an ``O_EXCL``
+    lock file — two CONCURRENT builders (parallel streaming ingests)
+    must not lose a registration, because a silently-missing root is
+    exactly the cosmetic-erasure failure this registry exists to
+    prevent (r14 advice). Lock holders are expected to be millisecond
+    scale (one small JSON rewrite); a stale lock older than
+    ``_LOCK_STALE_SEC`` is broken — a crashed builder must not brick
+    every later registration. The write itself stays
+    write-tmp-then-rename so readers never observe a torn file."""
     import json
+    import time as _time
     import uuid as _uuid
 
     os.makedirs(base_dir, exist_ok=True)
     path = _registry_path(base_dir)
-    entries: dict[str, dict] = {}
-    if os.path.exists(path):
-        with open(path, encoding="utf-8") as f:
-            entries = json.load(f)
-    entries[name] = {
-        "root": root,
-        "owner_sql": owner_sql,
-        "cluster_column": cluster_column,
-        "targeted": bool(targeted),
-    }
-    tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(entries, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    lock = path + ".lock"
+    deadline = _time.monotonic() + _LOCK_STALE_SEC
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
+                    os.unlink(lock)  # crashed holder: break the lock
+                    continue
+            except OSError:
+                continue  # raced the holder's own release
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"register_derived_root: lock '{lock}' held past"
+                    f" {_LOCK_STALE_SEC}s — a registration writer is"
+                    " stuck; erasure registrations must not be dropped"
+                )
+            _time.sleep(0.01)
+    try:
+        entries: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                entries = json.load(f)
+        entries[name] = {
+            "root": root,
+            "owner_sql": owner_sql,
+            "cluster_column": cluster_column,
+            "targeted": bool(targeted),
+            # the UPSTREAM data path this root derives from: a cascade
+            # purge fires resident-tier invalidators scoped to it, so a
+            # serve tier built straight over the source corpus drops
+            # its RAM copy too (r14 advice — sf_dir-scoped invalidators
+            # were inert because purges only ever touch derived roots)
+            "source": source,
+        }
+        tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(entries, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:  # pragma: no cover — lock broken by a peer
+            pass
 
 
 def _subjects_tuple(subject) -> tuple:
@@ -286,6 +396,20 @@ def registered_targets(base_dir: str, subject) -> list[PurgeTarget]:
     ]
 
 
+def _registered_sources(base_dir: str) -> list[str]:
+    """Distinct upstream ``source`` paths recorded in the registry."""
+    import json
+
+    path = _registry_path(base_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path, encoding="utf-8") as f:
+        entries = json.load(f)
+    return sorted(
+        {e["source"] for e in entries.values() if e.get("source")}
+    )
+
+
 def purge_user_cascade(
     spark: SparkSession, base_dir: str, subject
 ) -> DataFrame:
@@ -293,10 +417,23 @@ def purge_user_cascade(
     requests — across EVERY registered derived root (the r13 verdict's
     ask by name): enumerate the registry, erase per root with the
     cheapest commit its layout allows, truncate history, and return the
-    per-artifact audit table with the forensic residual=0 column."""
-    return purge_subject_cascade(
+    per-artifact audit table with the forensic residual=0 column.
+
+    After the per-root erasures, resident-tier invalidators fire for
+    the registry base and for every recorded upstream ``source`` path:
+    a serve tier holding the SOURCE corpus in RAM (LocalCorpusServe /
+    ShardedCorpusServe register their invalidator against the corpus
+    directory they loaded) must drop its residents when the subject is
+    cascaded out of that corpus's derived namespace — per-root
+    invalidation alone never reaches them because the tiers are built
+    from the source, not from any derived root (r14 advice)."""
+    out = purge_subject_cascade(
         spark, registered_targets(base_dir, subject)
     )
+    _invalidate_residents(base_dir)
+    for src in _registered_sources(base_dir):
+        _invalidate_residents(src)
+    return out
 
 
 def purge_subject_cascade(

@@ -329,3 +329,31 @@ def test_purge_swap_crash_recovery(spark, unit_vecs, tmp_path):
     assert not os.path.isdir(trash)
     # quiescent: nothing to do
     assert not HNSWIndex.recover_pending_purge(path)
+
+
+def test_purge_crash_self_heals_on_next_use(spark, unit_vecs, tmp_path):
+    """Reads and retried purges must not require a MANUAL recovery
+    call: search_plan and purge_nodes invoke recover_pending_purge
+    themselves, so a crash between the two swap renames (index dir
+    missing, stage complete) heals on the next use (r14 advice)."""
+    import os
+    import shutil
+
+    from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(unit_vecs[:100])],
+        "id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx.parquet")
+    index = HNSWIndex.build(emb, path)
+    # simulate the mid-swap crash: stage committed, index dir gone
+    os.rename(path, path + ".purge-stage")
+    got = [r["id"] for r in index.search_plan(unit_vecs[3], 5).collect()]
+    assert len(got) == 5  # healed, no manual recovery call
+    assert os.path.isdir(path)
+    # same for a retried purge after the crash
+    os.rename(path, path + ".purge-stage")
+    audit = index.purge_nodes([0])
+    assert audit["purged_rows"] == 1
+    assert audit["residual_nodes"] == 0

@@ -207,3 +207,164 @@ def test_targeted_purge_drops_wholly_owned_cluster(spark, tmp_path):
     assert len(pre & post) == 3  # and the other three carried untouched
     got = {r["ck"] for r in M.read_snapshot(spark, root).collect()}
     assert got == {0, 1, 3}
+
+
+def test_delete_masked_subject_rows_physically_erased(spark, tmp_path):
+    """A subject already LOGICALLY removed by an equality-delete file
+    has purged_rows == 0 in the deletes-applied snapshot — but its
+    physical bytes still sit in the data files the delete entry masks,
+    and vacuum alone never destroys them. The purge must detect the
+    live delete entries and force a rewriting commit anyway (r14
+    advice, medium)."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _events(spark, 0, 30))
+    # logical removal of the subject (user 2): zero data files move
+    M.commit_delete_where(
+        root,
+        spark.createDataFrame(
+            [(i,) for i in range(30) if i % 5 == 2], "id long"
+        ),
+        "id",
+    )
+    assert M.snapshot_delete_files(root)  # live delete entries
+    a = PU.purge_subject(
+        spark,
+        PU.PurgeTarget(
+            "tbl", root, subject_col="user", subject_values=(2,)
+        ),
+    )
+    assert a["purged_rows"] == 0  # logical snapshot had none left
+    assert a["residual_rows_any_file"] == 0  # but the BYTES are gone
+    assert a["retained_versions"] == 1
+    files = glob.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    )
+    assert files
+    raw = spark.read.parquet(*files)
+    assert raw.filter(F.col("user") == 2).count() == 0
+    assert not M.snapshot_delete_files(root)  # entries pruned too
+
+
+def test_targeted_purge_full_rewrite_under_live_deletes(spark, tmp_path):
+    """The targeted carry-files path is UNSAFE while live delete
+    entries exist: a carried cluster file can hold delete-masked
+    subject rows outside the touched set. The purge must fall back to
+    the full clustered rewrite (r14 advice, medium)."""
+    root = str(tmp_path / "tbl")
+    rows = [(i, i % 4, i % 5) for i in range(40)]
+    M.commit_append_clustered(
+        root,
+        spark.createDataFrame(rows, "id long, ck long, user long"),
+        "ck",
+    )
+    # delete ONE subject row that lives in cluster 1 (id 6: ck 2? no —
+    # pick id with ck != the clusters the remaining subject rows touch)
+    # subject = user 3 → ids 3,8,13,... ; logically delete id 3 (ck 3)
+    M.commit_delete_where(
+        root, spark.createDataFrame([(3,)], "id long"), "id"
+    )
+    pre = set(M._resolve_manifest(root, M.current_version(root))["files"])
+    a = PU.purge_subject(
+        spark,
+        PU.PurgeTarget(
+            "tbl", root, subject_col="user", subject_values=(3,),
+            cluster_column="ck", targeted=True,
+        ),
+    )
+    assert a["residual_rows_any_file"] == 0
+    post = set(M._resolve_manifest(root, M.current_version(root))["files"])
+    assert not (pre & post)  # full rewrite: NO file carried
+    files = glob.glob(
+        os.path.join(root, "data", "**", "*.parquet"), recursive=True
+    )
+    raw = spark.read.parquet(*files)
+    assert raw.filter(F.col("user") == 3).count() == 0
+    # layout preserved: still one-cluster-per-file
+    cur = M._resolve_manifest(root, M.current_version(root))
+    for rel in cur["files"]:
+        mm = cur["stats"][rel]["ck"]
+        assert mm[0] == mm[1], (rel, mm)
+
+
+def test_pinned_refs_dropped_on_purge(spark, tmp_path):
+    """A tag or branch pinning an older version preserves a time-travel
+    path to the purged bytes through vacuum(keep_last=1). Purge
+    truncates history by contract, so pinning refs are dropped first
+    (default) — and the audit pins retained_versions == 1."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _events(spark, 0, 20))
+    M.create_tag(root, "model-v1")
+    M.create_branch(root, "wip")
+    M.commit_append(root, _events(spark, 20, 40))
+    a = PU.purge_subject(
+        spark,
+        PU.PurgeTarget(
+            "tbl", root, subject_col="user", subject_values=(1,)
+        ),
+    )
+    assert a["retained_versions"] == 1
+    assert a["residual_rows_any_file"] == 0
+    assert M.list_tags(root) == {}
+    assert M.list_branches(root) == {}
+
+
+def test_purge_refuses_on_pinned_refs_when_not_dropping(spark, tmp_path):
+    """drop_pinned_refs=False is the REFUSE mode: with strict on
+    (default), a purge that would leave a time-travel path raises
+    PurgeContractError instead of returning a normal audit row."""
+    root = str(tmp_path / "tbl")
+    M.commit_append(root, _events(spark, 0, 20))
+    M.create_tag(root, "pinned")
+    M.commit_append(root, _events(spark, 20, 40))
+    with pytest.raises(PU.PurgeContractError, match="retained_versions"):
+        PU.purge_subject(
+            spark,
+            PU.PurgeTarget(
+                "tbl", root, subject_col="user", subject_values=(1,)
+            ),
+            drop_pinned_refs=False,
+        )
+
+
+def test_cascade_invalidates_source_scoped_residents(spark, tmp_path):
+    """A serve tier built over the SOURCE corpus registers its
+    invalidator against the corpus directory — which no per-root purge
+    ever matches. The cascade must fire invalidators for every
+    registered root's recorded ``source`` so the purge reaches that RAM
+    too (r14 advice: the sf_dir-scoped invalidators were inert)."""
+    base = str(tmp_path / "base")
+    src = str(tmp_path / "corpus_dir")
+    os.makedirs(src)
+    root = os.path.join(base, "idx")
+    M.commit_append(root, _events(spark, 0, 20))
+    PU.register_derived_root(base, "idx", root, "user", source=src)
+    fired: list[str] = []
+    PU.register_resident_invalidator(src, lambda: fired.append("src"))
+    PU.purge_user_cascade(spark, base, 2)
+    assert "src" in fired
+
+
+def test_register_derived_root_concurrent_writers(spark, tmp_path):
+    """Two concurrent builders must not lose a registration — the
+    read-modify-write is lock-serialized (r14 advice)."""
+    import threading
+
+    base = str(tmp_path)
+
+    def reg(i: int) -> None:
+        PU.register_derived_root(
+            base, f"root{i}", os.path.join(base, f"r{i}"), "user"
+        )
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with open(os.path.join(base, "derived_roots.json")) as f:
+        assert sorted(json.load(f)) == sorted(
+            f"root{i}" for i in range(16)
+        )
+    assert not os.path.exists(
+        os.path.join(base, "derived_roots.json.lock")
+    )
