@@ -1550,3 +1550,144 @@ def hybrid_topk_sharded_prefilter(
         query_vector(case["seed"]), case["filters"], case["k"]
     )
     return _local_rows_df(spark, rows)
+
+
+# --------------------------------------- costed serve dispatch (r15)
+
+_COSTED_SERVE_CACHE: dict[str, tuple] = {}
+
+#: (route label, budget overrides as fractions of the measured
+#: footprint, canonical case) — three synthetic footprint regimes over
+#: the SAME corpus: the routing decision is footprint-vs-budget, so
+#: shrinking the budgets below the measured bytes exercises exactly the
+#: decision a growing corpus would against the fixed production budgets
+_COSTED_SERVE_ROUTES = (
+    ("resident", None, None, "hybrid_topk_unfiltered"),
+    ("sharded", 2, None, "hybrid_topk_strict"),
+    ("distributed", 4, 2, "hybrid_topk_exact"),
+)
+
+
+def _costed_serve_oracle() -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parts = []
+    for route, _sb, _tb, case_name in _COSTED_SERVE_ROUTES:
+        case = HYBRID_CASES[case_name]
+        where = filters_to_sql(schema, case["filters"])
+        qlit = sql_array_literal(query_vector(case["seed"]))
+        method = "pre_filter" if case["filters"] else "exact"
+        multi = "TRUE" if route == "sharded" else "FALSE"
+        parts.append(
+            f"""SELECT '{route}' AS route, '{method}' AS method,
+  {multi} AS multi_shard,
+  (SELECT COUNT(*) FROM corpus WHERE {where}) AS scored_vectors,
+  id,
+  ROUND(list_dot_product(embedding::DOUBLE[], {qlit}), 6) AS score
+FROM corpus
+WHERE {where}
+ORDER BY list_dot_product(embedding::DOUBLE[], {qlit}) DESC, id ASC
+LIMIT {case['k']}"""
+        )
+    sel = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    return (
+        f"{CORPUS_CTE}\nSELECT * FROM ({sel})"
+        " ORDER BY route, score DESC, id ASC"
+    )
+
+
+@register(
+    "strategy_costed_serve",
+    _costed_serve_oracle(),
+    side_effects=True,  # serving work happens at build time (literal rows)
+)
+def strategy_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COSTED SERVE DISPATCH end-to-end (r14 verdict, next #1):
+    ``serving.serve_or_plan`` measures the corpus footprint once and
+    routes to the cheapest exact tier — resident under the
+    single-collect budget, sharded under the total-RAM budget (shard
+    count byte-derived), distributed Spark plans beyond — replacing the
+    manually-chosen LocalCorpusServe / ShardedCorpusServe objects with
+    the engine analog of the reference's ``get_backend``
+    (src/harness/run.py:71-87): one name, the right physical plan.
+
+    Three dispatches over the SAME corpus with budgets pinned at
+    fractions of the measured footprint force each route in turn (the
+    decision is footprint÷budget, so a shrunken budget is
+    indistinguishable from a grown corpus), and each answers its
+    canonical hybrid case through ``CostedServe.search``. The emitted
+    ``route``/``method`` columns are parsed FROM the returned stats
+    notes — not re-stated literals — so the hash gate pins the actual
+    routing decision, the §2.10 ``scored_vectors`` number per route
+    (N for exact, |allowed| for pre_filter — the oracle recomputes both
+    in SQL), the multi-shard flag from the real tier object, and the
+    value-identity of all three execution shapes against one DuckDB
+    replay."""
+    from hybrid_vector_search_spark.serving import (
+        _resident_footprint,
+        serve_or_plan,
+    )
+
+    schema = (
+        "route string, method string, multi_shard boolean,"
+        " scored_vectors long, id long, score double"
+    )
+    cached = _COSTED_SERVE_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        dispatches = cached[1]
+    else:
+        corpus = load_corpus(spark, sf_dir)
+        _n, _d, need = _resident_footprint(corpus, "embedding")
+        dispatches = {}
+        for route, sb_div, tb_div, _case in _COSTED_SERVE_ROUTES:
+            kwargs = {}
+            if sb_div:
+                kwargs["shard_bytes"] = max(need // sb_div, 1)
+            if tb_div:
+                kwargs["max_total_bytes"] = max(need // tb_div, 1)
+            dispatches[route] = serve_or_plan(corpus, **kwargs)
+        _COSTED_SERVE_CACHE[sf_dir] = (spark, dispatches)
+        from hybrid_vector_search_spark.sources.purge import (
+            register_resident_invalidator,
+        )
+
+        register_resident_invalidator(
+            sf_dir, _COSTED_SERVE_CACHE.clear
+        )
+    out = []
+    for expect, _sb, _tb, case_name in _COSTED_SERVE_ROUTES:
+        cs = dispatches[expect]
+        case = HYBRID_CASES[case_name]
+        ids, stats = cs.search(
+            query_vector(case["seed"]), case["filters"], case["k"]
+        )
+        # provenance from the STATS, not from this loop's labels: the
+        # hash gate must pin what the dispatch actually did
+        note = stats["notes"].split(";", 1)[0].strip()
+        route = note.removeprefix("route=").split("(", 1)[0]
+        for i, s in zip(ids, stats["scores"]):
+            out.append(
+                (
+                    route,
+                    stats["method"],
+                    cs.n_shards > 1,
+                    int(stats["scored_vectors"]),
+                    int(i),
+                    round(float(s), 6),
+                )
+            )
+    return (
+        spark.createDataFrame(out, schema)
+        .orderBy("route", F.desc("score"), "id")
+    )

@@ -96,6 +96,7 @@ class LocalCorpusServe:
         max_bytes: int = MAX_SERVE_BYTES,
         embedding_col: str = "embedding",
         id_col: str = "id",
+        _footprint: tuple[int, int, int] | None = None,
     ) -> "LocalCorpusServe":
         """One Arrow collect of the wide corpus. The size gate runs as a
         distributed aggregate BEFORE any driver materialization (the
@@ -103,8 +104,14 @@ class LocalCorpusServe:
         the WHOLE collected footprint, not just the matrix: the
         metadata frame includes string columns (text) whose bytes can
         dwarf N×D×8, and a gate that ignores them OOM-kills the driver
-        instead of raising (r13 review finding)."""
-        n, d, need = _resident_footprint(corpus, embedding_col)
+        instead of raising (r13 review finding). ``_footprint`` lets
+        :func:`serve_or_plan` pass its already-measured (n, d, bytes)
+        through so the dispatch measures the corpus exactly ONCE."""
+        n, d, need = (
+            _footprint
+            if _footprint is not None
+            else _resident_footprint(corpus, embedding_col)
+        )
         if n == 0 or d == 0:
             # n=0 sails through the RAM gate (need=0) and then dies in
             # np.vstack with an opaque numpy error — refuse loudly in
@@ -190,6 +197,16 @@ class LocalCorpusServe:
             scores = self.mat @ q
             return self._topk(self.ids[idx], scores[idx], k)
         return self._topk(self.ids[idx], self.mat[idx] @ q, k)
+
+    def count_allowed(self, filters: Mapping[str, Any] | None) -> int:
+        """|rows passing the filters| over the resident metadata — the
+        §2.10 ``scored_vectors`` number for the pre_filter serving
+        path (one extra pandas mask pass; stats are per-request
+        bookkeeping, not the hot loop)."""
+        if not filters:
+            return len(self.ids)
+        mask = filters_mask_pandas(self.schema, filters, self.meta)
+        return int(np.count_nonzero(np.asarray(mask)))
 
 
 def _jvm_size_bytes(s: str) -> int:
@@ -303,6 +320,7 @@ class ShardedCorpusServe:
         embedding_col: str = "embedding",
         id_col: str = "id",
         n_shards: int | None = None,
+        _footprint: tuple[int, int, int] | None = None,
     ) -> "ShardedCorpusServe":
         """One footprint aggregate sizes the shard count
         (estimate / (0.75 × effective shard budget), so shards land
@@ -320,7 +338,11 @@ class ShardedCorpusServe:
         so the source scan runs once, not once per shard."""
         from pyspark.sql import functions as F
 
-        n, d, need = _resident_footprint(corpus, embedding_col)
+        n, d, need = (
+            _footprint
+            if _footprint is not None
+            else _resident_footprint(corpus, embedding_col)
+        )
         cap = _driver_max_result_bytes(corpus)
         if cap is not None:
             shard_bytes = min(int(shard_bytes), cap)
@@ -381,3 +403,157 @@ class ShardedCorpusServe:
         return self._fanout(
             lambda s: s.prefilter_topk(qvec, filters, k), k
         )
+
+    def count_allowed(self, filters: Mapping[str, Any] | None) -> int:
+        """Global |allowed| — the sum of per-shard mask counts (shard
+        membership partitions the rows, so the counts are disjoint)."""
+        return sum(s.count_allowed(filters) for s in self.shards)
+
+
+class CostedServe:
+    """ONE entry point for the exact / pre_filter strategies across
+    every execution tier (r14 verdict, next #1) — the serve-side analog
+    of the reference's ``get_backend`` (src/harness/run.py:71-87): the
+    caller names the workload, the dispatch picks the physical shape.
+
+    :func:`serve_or_plan` measures the corpus's resident footprint ONCE
+    (one distributed aggregate) and routes:
+
+    * ``resident`` — footprint under the single-collect budget
+      (``min(shard_bytes, spark.driver.maxResultSize)``): one
+      :class:`LocalCorpusServe`, the reference's own residency model;
+    * ``sharded`` — past the single-collect gate but under the total
+      driver-RAM budget: a :class:`ShardedCorpusServe` whose shard
+      count is DERIVED from the measured bytes (the same sizing the
+      r14 probe validated past the 4 GiB gate);
+    * ``distributed`` — past total RAM: the Spark plans
+      (operators/strategies ExactBackend / PreFilterBackend) are the
+      only exact path, exactly the 100 TB regime.
+
+    ``search`` keeps the §2.10 stats contract of
+    ``SearchBackend.search`` (method/K/latency_ms/scored_vectors/
+    scores) and records the routing decision in ``notes`` —
+    ``route=resident|sharded(n)|distributed`` — so every answer
+    carries its execution-shape provenance. Answers are value-identical
+    across the three routes (the registered ``strategy_costed_serve``
+    query hash-pins all three against one DuckDB oracle)."""
+
+    def __init__(self, corpus, route, tier, n, id_col, embedding_col):
+        self.corpus = corpus
+        self.route = route
+        self.tier = tier
+        self.n = int(n)
+        self.id_col = id_col
+        self.embedding_col = embedding_col
+        self._backends: dict[str, Any] = {}
+
+    @property
+    def n_shards(self) -> int:
+        return self.tier.n_shards if self.route == "sharded" else (
+            1 if self.route == "resident" else 0
+        )
+
+    def _note(self) -> str:
+        if self.route == "sharded":
+            return f"route=sharded({self.tier.n_shards})"
+        return f"route={self.route}"
+
+    def _backend(self, method: str):
+        got = self._backends.get(method)
+        if got is None:
+            from hybrid_vector_search_spark.operators.strategies import (
+                get_backend,
+            )
+
+            got = get_backend(
+                method, self.corpus, self.n, id_col=self.id_col
+            )
+            self._backends[method] = got
+        return got
+
+    def search(
+        self,
+        qvec: Sequence[float],
+        filters: Mapping[str, Any] | None,
+        k: int,
+    ) -> tuple[list[int], dict[str, Any]]:
+        import time
+
+        from hybrid_vector_search_spark.functions.vector import (
+            ensure_unit_l2,
+        )
+        from hybrid_vector_search_spark.sources.loaders import validate_K
+
+        validate_K(k, self.n)
+        q = ensure_unit_l2(qvec)
+        method = "pre_filter" if filters else "exact"
+        if self.route == "distributed":
+            ids, stats = self._backend(method).search(q, filters, k)
+            base = stats.get("notes")
+            stats["notes"] = (
+                f"{self._note()}; {base}" if base else self._note()
+            )
+            return ids, stats
+        t0 = time.perf_counter()
+        rows = (
+            self.tier.prefilter_topk(q, filters, k)
+            if filters
+            else self.tier.exact_topk(q, k)
+        )
+        latency_ms = (time.perf_counter() - t0) * 1000.0
+        stats: dict[str, Any] = {
+            "method": method,
+            "K": int(k),
+            "latency_ms": latency_ms,
+            "scored_vectors": self.tier.count_allowed(filters),
+            "scores": [s for _, s in rows],
+            "notes": self._note(),
+        }
+        return [i for i, _ in rows], stats
+
+
+def serve_or_plan(
+    corpus,
+    shard_bytes: int = MAX_SERVE_BYTES,
+    max_total_bytes: int = MAX_TOTAL_SERVE_BYTES,
+    embedding_col: str = "embedding",
+    id_col: str = "id",
+) -> CostedServe:
+    """Measure the corpus footprint ONCE and return the
+    :class:`CostedServe` routed to the cheapest exact tier it fits:
+    resident under the single-collect budget, sharded under the total
+    driver-RAM budget (shard count derived from the measured bytes),
+    distributed Spark plans beyond. See :class:`CostedServe`."""
+    n, d, need = _resident_footprint(corpus, embedding_col)
+    if n == 0 or d == 0:
+        raise ValidationError(
+            "serve_or_plan: nothing to serve — corpus is empty"
+            if n == 0
+            else "serve_or_plan: embedding dimension is null/zero on"
+            f" '{embedding_col}'"
+        )
+    cap = _driver_max_result_bytes(corpus)
+    eff = min(int(shard_bytes), cap) if cap is not None else int(shard_bytes)
+    if need <= eff:
+        tier = LocalCorpusServe.from_corpus(
+            corpus,
+            max_bytes=eff,
+            embedding_col=embedding_col,
+            id_col=id_col,
+            _footprint=(n, d, need),
+        )
+        route = "resident"
+    elif need <= int(max_total_bytes):
+        tier = ShardedCorpusServe.from_corpus(
+            corpus,
+            shard_bytes=shard_bytes,
+            max_total_bytes=max_total_bytes,
+            embedding_col=embedding_col,
+            id_col=id_col,
+            _footprint=(n, d, need),
+        )
+        route = "sharded"
+    else:
+        tier = None
+        route = "distributed"
+    return CostedServe(corpus, route, tier, n, id_col, embedding_col)

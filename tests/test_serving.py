@@ -160,3 +160,105 @@ def test_sharded_byte_derived_count(spark, serve):
     _assert_rows_match(
         tier.exact_topk(q, 10), serve.exact_topk(q, 10), "derived"
     )
+
+
+# ------------------------------------- costed serve dispatch (r15)
+
+
+def test_serve_or_plan_routes_by_footprint(spark, serve):
+    """One entry point, three physical shapes: the dispatch measures
+    the footprint once and routes resident / sharded / distributed by
+    budget, records the route in stats notes, and returns the SAME
+    answer on every route (the hash-gated twin lives in the
+    strategy_costed_serve registry query)."""
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.serving import (
+        _resident_footprint,
+        serve_or_plan,
+    )
+
+    corpus = R.load_corpus(spark, "/root/testdata/sf0.001")
+    _n, _d, need = _resident_footprint(corpus, "embedding")
+    q = query_vector(7)
+    filt = {"label": {"in": [1, 2]}}
+
+    res = serve_or_plan(corpus)
+    assert res.route == "resident" and res.n_shards == 1
+    shd = serve_or_plan(corpus, shard_bytes=max(need // 2, 1))
+    assert shd.route == "sharded" and shd.n_shards > 1
+    dst = serve_or_plan(
+        corpus,
+        shard_bytes=max(need // 4, 1),
+        max_total_bytes=max(need // 2, 1),
+    )
+    assert dst.route == "distributed" and dst.tier is None
+
+    want_ids = [i for i, _ in serve.prefilter_topk(q, filt, 10)]
+    for cs, note in (
+        (res, "route=resident"),
+        (shd, f"route=sharded({shd.n_shards})"),
+        (dst, "route=distributed"),
+    ):
+        ids, stats = cs.search(q, filt, 10)
+        assert ids == want_ids, (cs.route, ids, want_ids)
+        assert stats["method"] == "pre_filter"
+        assert stats["notes"].startswith(note), stats["notes"]
+        assert stats["scored_vectors"] == serve.count_allowed(filt)
+        assert len(stats["scores"]) == 10
+    # exact (no filters): method + scored_vectors flip to the full scan
+    ids, stats = res.search(q, {}, 5)
+    assert stats["method"] == "exact"
+    assert stats["scored_vectors"] == len(serve.ids)
+    assert ids == [i for i, _ in serve.exact_topk(q, 5)]
+
+
+def test_serve_or_plan_validates_like_backends(spark):
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.serving import serve_or_plan
+
+    corpus = R.load_corpus(spark, "/root/testdata/sf0.001")
+    cs = serve_or_plan(corpus)
+    with pytest.raises(ValidationError):
+        cs.search(query_vector(7), {}, cs.n + 1)  # K > N
+    with pytest.raises(ValidationError, match="empty"):
+        serve_or_plan(corpus.filter(F.col("id") < 0))
+
+
+def test_sharded_failure_drill_growth_and_invalidation(spark, serve):
+    """The r14 verdict's failure drill: (a) a corpus grown past the
+    per-shard budget at a PINNED shard count must refuse loudly at
+    build time — never serve a half-built tier — while the byte-derived
+    sizing simply picks a higher shard count for the same corpus;
+    (b) a purge invalidator registered for the sharded tier's source
+    drops the WHOLE tier (every shard), not a subset."""
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.serving import (
+        ShardedCorpusServe,
+        _resident_footprint,
+    )
+    from hybrid_vector_search_spark.sources import purge as PU
+
+    corpus = R.load_corpus(spark, "/root/testdata/sf0.001")
+    _n, _d, need = _resident_footprint(corpus, "embedding")
+    # per-shard budget that 2 pinned shards cannot satisfy (each shard
+    # holds ~need/2 > need/8): loud refusal, no partial tier escapes
+    with pytest.raises(ValidationError, match="GiB budget"):
+        ShardedCorpusServe.from_corpus(
+            corpus, shard_bytes=max(need // 8, 1), n_shards=2
+        )
+    # the derived path handles the same budget by raising shard count
+    grown = ShardedCorpusServe.from_corpus(
+        corpus, shard_bytes=max(need // 8, 1)
+    )
+    assert grown.n_shards >= 4
+    assert grown.total_rows == len(serve.ids)
+    q = query_vector(11)
+    _assert_rows_match(
+        grown.exact_topk(q, 10), serve.exact_topk(q, 10), "grown"
+    )
+    # invalidation drops every shard at once: the tier cache holds ONE
+    # entry whose clear() releases all shard references
+    cache = {"sf": grown}
+    PU.register_resident_invalidator("/root/testdata/sf0.001", cache.clear)
+    PU._invalidate_residents("/root/testdata/sf0.001")
+    assert cache == {}
