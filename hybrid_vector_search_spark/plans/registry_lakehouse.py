@@ -2049,3 +2049,102 @@ def corpus_snapshot_drift_psi(
         )
         .orderBy("label")
     )
+
+
+# --------------------------- purge-registry completeness audit (r15)
+
+_REG_AUDIT_SUBJECT = 13
+_REG_AUDIT_CACHE: dict[str, tuple] = {}
+
+
+def _reg_audit_oracle() -> str:
+    s = _REG_AUDIT_SUBJECT
+    return f"""SELECT * FROM (
+  SELECT 'anon_counts' AS artifact, FALSE AS registered,
+         CAST(-1 AS BIGINT) AS subject_rows
+  UNION ALL
+  SELECT 'doc_lengths', TRUE, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'events_snapshot', TRUE, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'tmp_export', FALSE,
+         (SELECT COUNT(*) FROM events WHERE user_id = {s})
+) ORDER BY artifact"""
+
+
+@register(
+    "corpus_purge_registry_audit", _reg_audit_oracle(), side_effects=True
+)
+def corpus_purge_registry_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PURGE-COMPLETENESS AUDIT (r14 verdict, next #4): the cascade
+    erases every REGISTERED root, so the remaining failure mode at
+    100 TB is a builder that persisted a derived artifact and FORGOT to
+    register it — erasure then silently misses that root. The audit
+    closes the loop from the STORAGE side:
+    ``sources.purge.audit_purge_registry`` walks every manifest root
+    actually persisted under the namespace (ground truth = the
+    filesystem, not the registry), joins each against the registry, and
+    counts subject-owned rows in its current snapshot (recorded
+    ``owner_sql`` for registered roots; ordered owner PROBES resolved
+    against the root's schema for unregistered ones).
+
+    The fixture exercises every polarity the detector must separate:
+    two registered roots (events by ``user_id``, per-document lengths
+    by ``doc_id % 50``) cascade-purged to zero; a DELIBERATELY
+    unregistered ``tmp_export`` copy of events still holding the
+    subject — the detector fires with the exact surviving row count
+    (the oracle recomputes it from the base table); and an
+    ``anon_counts`` aggregate no probe can attribute, reported as
+    ``subject_rows = -1`` (unattributable is itself a finding: erasure
+    cannot even be verified there). Mirrors the two-polarity pattern of
+    ``orders_quality_expectations``. Beyond-reference (governance
+    family)."""
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+    from hybrid_vector_search_spark.sources.purge import (
+        audit_purge_registry,
+        purge_user_cascade,
+        register_derived_root,
+    )
+
+    schema = "artifact string, registered boolean, subject_rows long"
+    cached = _REG_AUDIT_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return spark.createDataFrame(cached[1], schema).orderBy("artifact")
+    s = _REG_AUDIT_SUBJECT
+    base = scratch_path(
+        "purge_registry_audit_" + sf_dir.strip("/").replace("/", "_")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars_doc")
+    )
+    ev_root = os.path.join(base, "events_snapshot")
+    dl_root = os.path.join(base, "doc_lengths")
+    M.commit_append(ev_root, ev, n_files=2)
+    M.commit_append(dl_root, docs, n_files=2)
+    register_derived_root(
+        base, "events_snapshot", ev_root, "user_id", source=sf_dir
+    )
+    register_derived_root(
+        base, "doc_lengths", dl_root, "doc_id % 50", source=sf_dir
+    )
+    # the forgotten builder: a persisted export NOBODY registered
+    M.commit_append(os.path.join(base, "tmp_export"), ev, n_files=1)
+    # and an aggregate no owner probe can attribute
+    M.commit_append(
+        os.path.join(base, "anon_counts"),
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        n_files=1,
+    )
+    purge_user_cascade(spark, base, s)
+    audit = audit_purge_registry(
+        spark, base, s, ["user_id", "doc_id % 50"]
+    )
+    rows = [tuple(r) for r in audit.collect()]
+    _REG_AUDIT_CACHE[sf_dir] = (spark, rows)
+    return spark.createDataFrame(rows, schema).orderBy("artifact")

@@ -436,6 +436,118 @@ def purge_user_cascade(
     return out
 
 
+def discover_manifest_roots(base_dir: str) -> list[str]:
+    """Every manifest-committed table root persisted under ``base_dir``
+    (a directory holding at least one ``manifest-*.json``), relative
+    paths sorted. This is a METADATA walk — no data file is opened —
+    so its cost tracks the number of artifacts, not their bytes."""
+    roots = []
+    for dirpath, _dirs, files in os.walk(base_dir):
+        if any(
+            f.startswith("manifest-") and f.endswith(".json")
+            for f in files
+        ):
+            roots.append(os.path.relpath(dirpath, base_dir))
+    return sorted(roots)
+
+
+def _probe_refs(spark: SparkSession, probe: str) -> set[str] | None:
+    """Column names a SQL expression references, via Spark's own parser
+    (parse only — no analysis, so an inapplicable probe never emits the
+    analyzer's ERROR log). None when the internal parser surface is
+    unavailable (caller falls back to attempting analysis)."""
+    try:
+        e = (
+            spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parseExpression(probe)
+        )
+        it = e.references().iterator()
+        out: set[str] = set()
+        while it.hasNext():
+            out.add(it.next().name())
+        return out
+    except Exception:
+        return None
+
+
+def audit_purge_registry(
+    spark: SparkSession,
+    base_dir: str,
+    subject,
+    owner_probes: list[str],
+) -> DataFrame:
+    """COMPLETENESS audit for the erasure registry (r14 verdict, next
+    #4): the cascade erases every REGISTERED root, so the failure mode
+    that matters at 100 TB is a builder that persisted a derived
+    artifact and FORGOT to register it — the cascade then reports
+    success while the subject survives in the unregistered root.
+
+    This audit closes that gap from the storage side: it walks every
+    manifest root actually persisted under ``base_dir``
+    (:func:`discover_manifest_roots` — the namespace is ground truth,
+    not the registry), joins each against the registry, and counts
+    subject-owned rows in the root's CURRENT snapshot. Ownership on a
+    registered root uses its recorded ``owner_sql``; on an
+    UNREGISTERED root the ``owner_probes`` (ordered SQL expressions
+    over candidate owner columns — ``"user_id"``, ``"doc_id % 50"``,
+    …) are tried in order and the first whose referenced columns all
+    exist in the root's schema attributes the rows; a root no probe
+    matches reports ``subject_rows = -1`` (UNATTRIBUTABLE — a finding
+    in itself: erasure cannot even be checked there).
+
+    Returns one row per discovered root: ``(artifact, registered,
+    subject_rows)``. The invariant a post-cascade audit pins:
+    registered ⇒ ``subject_rows = 0``; any unregistered root with
+    ``subject_rows != 0`` is a purge-completeness violation."""
+    import json
+
+    reg_path = _registry_path(base_dir)
+    registered_roots: dict[str, str] = {}
+    if os.path.exists(reg_path):
+        with open(reg_path, encoding="utf-8") as f:
+            for e in json.load(f).values():
+                registered_roots[os.path.normpath(e["root"])] = e[
+                    "owner_sql"
+                ]
+    subjects = [F.lit(s) for s in _subjects_tuple(subject)]
+    rows = []
+    for rel in discover_manifest_roots(base_dir):
+        root = os.path.normpath(os.path.join(base_dir, rel))
+        snap = M.read_snapshot(spark, root)
+        owner_sql = registered_roots.get(root)
+        is_reg = owner_sql is not None
+        if owner_sql is None:
+            cols = set(snap.columns)
+            for probe in owner_probes:
+                # a probe applies iff every column it references exists
+                # in the root's schema. The references come from Spark's
+                # OWN SQL parser (no hand-rolled identifier grammar);
+                # when that internal surface is unavailable, fall back
+                # to attempting analysis — same judgment, noisier logs.
+                refs = _probe_refs(spark, probe)
+                if refs is None:
+                    try:
+                        snap.select(F.expr(probe))
+                    except Exception:
+                        continue
+                elif not refs <= cols:
+                    continue
+                owner_sql = probe
+                break
+        if owner_sql is None:
+            rows.append((rel, is_reg, -1))  # unattributable
+            continue
+        pred = F.coalesce(
+            F.expr(owner_sql).isin(*subjects), F.lit(False)
+        )
+        cnt = snap.agg(F.sum(pred.cast("long")).alias("p")).first()
+        rows.append((rel, is_reg, int(cnt["p"] or 0)))
+    return spark.createDataFrame(
+        rows, "artifact string, registered boolean, subject_rows long"
+    ).orderBy("artifact")
+
+
 def purge_subject_cascade(
     spark: SparkSession, targets: list[PurgeTarget]
 ) -> DataFrame:

@@ -368,3 +368,37 @@ def test_register_derived_root_concurrent_writers(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(base, "derived_roots.json.lock")
     )
+
+
+def test_audit_purge_registry_detects_unregistered_roots(spark, tmp_path):
+    """The completeness audit walks the NAMESPACE (ground truth), not
+    the registry: a purged registered root reports 0, a forgotten
+    unregistered root still holding the subject fires with the exact
+    count, and a root no owner probe can attribute reports -1."""
+    base = str(tmp_path)
+    reg_root = os.path.join(base, "registered")
+    forgot = os.path.join(base, "forgotten")
+    anon = os.path.join(base, "anon")
+    M.commit_append(reg_root, _events(spark, 0, 40))
+    M.commit_append(forgot, _events(spark, 0, 40))
+    M.commit_append(
+        anon,
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long"),
+    )
+    PU.register_derived_root(base, "registered", reg_root, "user")
+    PU.purge_user_cascade(spark, base, 3)
+    audit = {
+        r["artifact"]: r.asDict()
+        for r in PU.audit_purge_registry(
+            spark, base, 3, ["user", "doc_id % 50"]
+        ).collect()
+    }
+    assert set(audit) == {"registered", "forgotten", "anon"}
+    assert audit["registered"]["registered"] is True
+    assert audit["registered"]["subject_rows"] == 0
+    assert audit["forgotten"]["registered"] is False
+    assert audit["forgotten"]["subject_rows"] == len(
+        [i for i in range(40) if i % 5 == 3]
+    )
+    assert audit["anon"]["registered"] is False
+    assert audit["anon"]["subject_rows"] == -1  # unattributable
