@@ -374,3 +374,103 @@ def quality_score_sql(col: str = "text") -> str:
 
 def fingerprint_md5_sql(col: str = "text") -> str:
     return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+
+
+# --------------------------------------------- BPE merge application (r15)
+#
+# The ENGINE-EXACT merge-application semantics is "chained literal
+# replace": merge k rewrites every leftmost-non-overlapping occurrence
+# of ' lhs rhs ' in the space-padded symbol string to ' lhs_rhs ',
+# merges applied in rank order, each exactly once (the semantics
+# text_bpe_merges trains under, bit-identical in the JVM, DuckDB, and
+# Python str.replace — the r14 replace-parity probe). The unrolled
+# expression form costs plan depth LINEAR in K; this kernel is the
+# scale path: identical answers (pytest-pinned against brute
+# str.replace, hash-pinned in text_bpe_encode_vocab), cost flat in
+# TABLE SIZE because inapplicable merges are never touched — a
+# min-heap holds only ranks whose pair is currently adjacent, and
+# applying one merge is one left-to-right pass.
+#
+# The one subtlety replicated from the padded-string form: a match
+# consumes its TRAILING delimiter space, so the pair starting at the
+# symbol immediately after a merged occurrence cannot match in the
+# same pass (' a b a b ' --(a,b)--> ' ab a b ', NOT ' ab ab ') — the
+# pass below copies that blocked symbol verbatim.
+
+
+def bpe_chained_encode(
+    symbols: list[str],
+    rank_of: dict[tuple[str, str], int],
+    pair_at: list[tuple[str, str]],
+    joiner: str = "_",
+) -> list[str]:
+    """Apply a ranked merge table to one symbol sequence under chained
+    leftmost-non-overlapping-replace semantics; returns the merged
+    symbol list. ``rank_of`` maps (lhs, rhs) → rank (0-based, first
+    occurrence wins); ``pair_at[rank]`` is the inverse."""
+    import heapq
+
+    cur = -1
+    heap = [
+        rank_of[p] for p in zip(symbols, symbols[1:]) if p in rank_of
+    ]
+    heapq.heapify(heap)
+    while heap:
+        r = heapq.heappop(heap)
+        if r <= cur:
+            continue  # stale duplicate of an already-passed rank
+        lhs, rhs = pair_at[r]
+        out: list[str] = []
+        i, n, applied = 0, len(symbols), False
+        while i < n:
+            if (
+                i + 1 < n
+                and symbols[i] == lhs
+                and symbols[i + 1] == rhs
+            ):
+                out.append(lhs + joiner + rhs)
+                applied = True
+                if i + 2 < n:
+                    # the blocked pair: its leading delimiter was
+                    # consumed as this match's trailing space
+                    out.append(symbols[i + 2])
+                i += 3
+            else:
+                out.append(symbols[i])
+                i += 1
+        cur = r
+        if applied:
+            symbols = out
+            for p in zip(symbols, symbols[1:]):
+                rr = rank_of.get(p)
+                if rr is not None and rr > r:
+                    heapq.heappush(heap, rr)
+    return symbols
+
+
+def bpe_encode_token_counts(
+    merges: list[tuple[str, str]], text_col: str = "s", id_col: str = "doc_id"
+):
+    """``mapInPandas`` factory: (id, normalized text) batches → (id,
+    n_tok) under the broadcast merge table. The merge table rides the
+    task closure (bounded: K rows of short strings — the same
+    broadcast-small-side rule as every candidate join); each Arrow
+    batch pays one dict build, then per-row cost is independent of K."""
+    rank_of: dict[tuple[str, str], int] = {}
+    for lhs, rhs in merges:
+        rank_of.setdefault((lhs, rhs), len(rank_of))
+    pair_at = [p for p, _ in sorted(rank_of.items(), key=lambda kv: kv[1])]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            n_tok = [
+                len(bpe_chained_encode(s.split(), rank_of, pair_at))
+                for s in pdf[text_col].tolist()
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "n_tok": n_tok}
+            )
+
+    return run
