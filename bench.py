@@ -291,6 +291,23 @@ def main() -> None:
     detail = dict(headline)
     detail["queries"] = timings
     detail["warmup_breakdown"] = warmup_breakdown
+    # floor history across rounds (r14 verdict task 6): keep-best
+    # comparisons can mask a slowly climbing job floor; one number per
+    # recorded round makes the drift visible inside the bench artifact
+    floor_hist = {}
+    for p in sorted(REPO.glob("BENCH_r*.json")):
+        try:
+            j = json.loads(p.read_text())
+            # driver wrapper nests the parsed bench line under "parsed"
+            if isinstance(j.get("parsed"), dict):
+                j = j["parsed"]
+            f = j.get("job_floor_ms")
+            if f is not None:
+                floor_hist[p.stem.replace("BENCH_", "")] = f
+        except (ValueError, OSError):
+            continue
+    floor_hist["current"] = round(floor_s * 1000.0, 1)
+    detail["floor_history"] = floor_hist
     if errors:
         detail["errors"] = errors
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))

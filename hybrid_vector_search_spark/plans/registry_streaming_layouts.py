@@ -1349,15 +1349,33 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     P = _SD_BATCHES
     cached = _STREAM_DEDUP_CACHE.get(sf_dir)
     root = cached[1] if cached is not None and cached[0] is spark else None
+    fresh_build = False
     if root is None:
-        root = scratch_path(
-            "stream_dedup_" + sf_dir.strip("/").replace("/", "_")
+        # content-addressed PERSISTENT root (r14 verdict, next #3): the
+        # seeded landing + 3-batch drain is a pure function of (corpus,
+        # ingest-kernel code, params) — 27 s of every bench warmup when
+        # rebuilt per process. Same fingerprint → reuse across
+        # processes/rounds; any dedup-kernel or param change → new
+        # fingerprint, fresh build, stale generation swept.
+        import shutil as _sh
+
+        from hybrid_vector_search_spark.scratch import (
+            cache_complete,
+            persistent_cache_path,
         )
-        os.makedirs(root, exist_ok=True)
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        ).filter(F.col("doc_id") % 2 == 0)  # bounded ingest slice
-        _seed_landing(root, docs, "doc_id", P)
+
+        root = persistent_cache_path(
+            "sdingest_" + sf_dir.strip("/").replace("/", "_"),
+            _sd_fingerprint(),
+        )
+        if not cache_complete(root):
+            _sh.rmtree(root, ignore_errors=True)  # torn prior build
+            os.makedirs(root, exist_ok=True)
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            ).filter(F.col("doc_id") % 2 == 0)  # bounded ingest slice
+            _seed_landing(root, docs, "doc_id", P)
+            fresh_build = True
         _STREAM_DEDUP_CACHE[sf_dir] = (spark, root)
     index_root = os.path.join(root, "index")  # band + shingle postings
     surv_root = os.path.join(root, "survivors")
@@ -1385,11 +1403,40 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     _drain_file_stream(spark, root, schema, commit_batch)
+    if fresh_build:
+        # marker LAST: only a fully drained build presents as reusable
+        from hybrid_vector_search_spark.scratch import mark_cache_complete
+
+        mark_cache_complete(root)
     return (
         M.read_snapshot(spark, surv_root)
         .select("doc_id", "batch")
         .orderBy("doc_id")
     )
+
+
+def _sd_fingerprint() -> str:
+    """Content fingerprint for the persisted streaming-dedup artifacts:
+    the full dedup-kernel module source plus every parameter the build
+    depends on. Any change rotates the cache key."""
+    import hashlib
+    import inspect
+
+    from hybrid_vector_search_spark.operators import dedup as DD
+    from hybrid_vector_search_spark.plans.registry_corpus import (
+        JACCARD_THRESHOLD,
+    )
+
+    h = hashlib.md5(inspect.getsource(DD).encode())
+    for fn in (
+        _seed_landing,
+        _drain_file_stream,
+        streaming_dedup_ingest,
+        streaming_dedup_compacted,
+    ):
+        h.update(inspect.getsource(fn).encode())
+    h.update(f"|P={_SD_BATCHES}|J={JACCARD_THRESHOLD}|v1".encode())
+    return h.hexdigest()
 
 
 _STREAM_DEDUP_COMPACT_CACHE: dict[str, tuple[SparkSession, str]] = {}
@@ -1460,31 +1507,45 @@ def streaming_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _STREAM_DEDUP_COMPACT_CACHE.get(sf_dir)
     root2 = cached[1] if cached is not None and cached[0] is spark else None
     if root2 is None:
-        streaming_dedup_ingest(spark, sf_dir)  # ensure the seeded index
-        src_root = _STREAM_DEDUP_CACHE[sf_dir][1]
-        root2 = scratch_path(
-            "stream_dedup_cmp_" + sf_dir.strip("/").replace("/", "_")
+        # persistent content-addressed clone (same fingerprint family
+        # as the ingest root — see _sd_fingerprint): reuse across
+        # processes unless the dedup kernel or params changed
+        from hybrid_vector_search_spark.scratch import (
+            cache_complete,
+            mark_cache_complete,
+            persistent_cache_path,
         )
-        shutil.rmtree(root2, ignore_errors=True)
-        os.makedirs(root2, exist_ok=True)
-        shutil.copytree(
-            os.path.join(src_root, "index"),
-            os.path.join(root2, "index"),
+
+        root2 = persistent_cache_path(
+            "sdcmp_" + sf_dir.strip("/").replace("/", "_"),
+            _sd_fingerprint(),
         )
-        DD.compact_dedup_index(spark, os.path.join(root2, "index"))
-        probe = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 1))
-        )
-        DD.dedup_ingest_commit_batch(
-            spark,
-            probe,
-            0,
-            os.path.join(root2, "index"),
-            os.path.join(root2, "survivors"),
-            JACCARD_THRESHOLD,
-        )
+        if not cache_complete(root2):
+            streaming_dedup_ingest(spark, sf_dir)  # ensure the seeded index
+            src_root = _STREAM_DEDUP_CACHE[sf_dir][1]
+            shutil.rmtree(root2, ignore_errors=True)
+            os.makedirs(root2, exist_ok=True)
+            shutil.copytree(
+                os.path.join(src_root, "index"),
+                os.path.join(root2, "index"),
+            )
+            DD.compact_dedup_index(spark, os.path.join(root2, "index"))
+            probe = (
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(
+                    (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 1)
+                )
+            )
+            DD.dedup_ingest_commit_batch(
+                spark,
+                probe,
+                0,
+                os.path.join(root2, "index"),
+                os.path.join(root2, "survivors"),
+                JACCARD_THRESHOLD,
+            )
+            mark_cache_complete(root2)
         _STREAM_DEDUP_COMPACT_CACHE[sf_dir] = (spark, root2)
     return (
         M.read_snapshot(spark, os.path.join(root2, "survivors"))

@@ -54,3 +54,44 @@ def _cleanup() -> None:  # pragma: no cover - exercised at interpreter exit
         if "://" in p:  # remote FS: leave retention to the store's policy
             continue
         shutil.rmtree(p, ignore_errors=True)
+
+
+# ------------------------------ cross-process persistent cache (r15)
+#
+# Expensive PREBUILD artifacts (the streaming-dedup index: landing +
+# 3-batch drain + compaction — 27 s of every bench warmup at sf0.1)
+# are pure functions of (source data, builder code, parameters). Keying
+# a STABLE path by a content fingerprint makes them reusable across
+# processes and rounds: same inputs → reuse; any code/param change →
+# new fingerprint → fresh build (and the stale sibling is swept). These
+# paths are deliberately NOT atexit-tracked — persistence is the point;
+# the sibling sweep bounds disk to one generation per artifact.
+
+_COMPLETE_MARKER = "_HVS_CACHE_COMPLETE"
+
+
+def persistent_cache_path(name: str, fingerprint: str) -> str:
+    """Stable path ``<root>/hvs_pcache_<name>_<fp16>`` for a rebuildable
+    artifact; sweeps stale siblings of the same ``name`` with a
+    DIFFERENT fingerprint (superseded by a code/param change)."""
+    stem = f"hvs_pcache_{name}_"
+    final = os.path.join(scratch_root(), stem + fingerprint[:16])
+    root = scratch_root()
+    if "://" not in root and os.path.isdir(root):
+        for f in os.listdir(root):
+            if f.startswith(stem) and os.path.join(root, f) != final:
+                shutil.rmtree(os.path.join(root, f), ignore_errors=True)
+    return final
+
+
+def cache_complete(path: str) -> bool:
+    """True iff a prior build of ``path`` ran to completion (marker
+    written LAST — a torn build never presents as reusable)."""
+    return os.path.exists(os.path.join(path, _COMPLETE_MARKER))
+
+
+def mark_cache_complete(path: str) -> None:
+    with open(
+        os.path.join(path, _COMPLETE_MARKER), "w", encoding="utf-8"
+    ) as f:
+        f.write("ok\n")

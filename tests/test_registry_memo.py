@@ -116,6 +116,15 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r14: commits the sketch store + scalar totals driver-side
         # (internally session-cached)
         "events_value_drift_sketches",
+        # r15: serving work (tier builds + in-process GEMMs) happens at
+        # build time and returns literal rows (session-cached tiers)
+        "strategy_costed_serve",
+        # r15: collects the merge table + per-K aggregates driver-side
+        # (internally session-cached)
+        "text_bpe_encode_vocab",
+        # r15: builds four roots, cascades a purge, audits the
+        # namespace — all driver-side (internally session-cached)
+        "corpus_purge_registry_audit",
     }
     for name, fn in registry.QUERIES.items():
         if name.startswith("streaming_") or name in exempt_extra:
