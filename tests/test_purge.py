@@ -257,9 +257,8 @@ def test_targeted_purge_full_rewrite_under_live_deletes(spark, tmp_path):
         spark.createDataFrame(rows, "id long, ck long, user long"),
         "ck",
     )
-    # delete ONE subject row that lives in cluster 1 (id 6: ck 2? no —
-    # pick id with ck != the clusters the remaining subject rows touch)
-    # subject = user 3 → ids 3,8,13,... ; logically delete id 3 (ck 3)
+    # logically delete ONE subject row (subject = user 3 → ids 3,8,13…;
+    # id 3 lives in cluster 3) so its bytes are delete-masked, not gone
     M.commit_delete_where(
         root, spark.createDataFrame([(3,)], "id long"), "id"
     )
