@@ -38,7 +38,7 @@ from hybrid_vector_search_spark.scratch import scratch_root  # noqa: E402
 from hybrid_vector_search_spark.serving import (  # noqa: E402
     MAX_SERVE_BYTES,
     LocalCorpusServe,
-    ShardedCorpusServe,
+    serve_or_plan,
 )
 from hybrid_vector_search_spark.session import get_spark  # noqa: E402
 
@@ -110,9 +110,14 @@ def main() -> None:
         refused = True
     assert refused, "probe corpus must exceed the single-shard gate"
 
+    # r15: the COSTED DISPATCH must route this footprint to the sharded
+    # tier on its own — the probe now exercises serve_or_plan end to
+    # end rather than constructing the tier by hand
     t0 = time.perf_counter()
-    sharded = ShardedCorpusServe.from_corpus(corpus)
+    cs = serve_or_plan(corpus)
     build_sec = time.perf_counter() - t0
+    assert cs.route == "sharded", cs.route
+    sharded = cs.tier
 
     # FAISS-rate proxy: the reference's residency model — ONE matrix,
     # same kernel. Built from the shards (no second collect).
@@ -148,6 +153,7 @@ def main() -> None:
         "sharded_q1_ms": round(shard_med * 1000, 1),
         "ratio_sharded_vs_mono": round(shard_med / mono_med, 3),
         "queries": QUERIES,
+        "dispatch_route": cs.search(queries[0], None, 10)[1]["notes"],
     }
     print(json.dumps(out))
 
