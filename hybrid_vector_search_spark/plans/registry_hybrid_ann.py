@@ -1691,3 +1691,58 @@ def strategy_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(out, schema)
         .orderBy("route", F.desc("score"), "id")
     )
+
+
+def _ann_costed_oracle() -> str:
+    base = _ann_ivf_oracle()
+    parts = [
+        f"SELECT '{route}' AS route, t.* FROM ({base}) t"
+        for route in ("distributed", "local_probe")
+    ]
+    sel = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    return (
+        f"SELECT * FROM ({sel}) ORDER BY route, score DESC, id ASC"
+    )
+
+
+@register(
+    "ann_costed_serve",
+    _ann_costed_oracle(),
+    side_effects=True,  # serving work at build time, literal rows
+)
+def ann_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COSTED DISPATCH, ANN SIDE (r15 — completes the get_backend
+    analogy for the post_filter family): ``serving.ann_serve_or_plan``
+    measures the expected probed-block footprint once (rows/nlist ×
+    nprobe × row bytes) and routes the q=1 point probe — driver-local
+    Arrow read of only the probed ``list_id=`` directories under the
+    probe budget (no Spark job; the only shape that beats the per-job
+    launch floor), the partition-pruned distributed plan beyond it (the
+    100 TB regime where even one probe's lists dwarf a node).
+
+    Two dispatches over the SAME persisted fixed-quantizer index force
+    both routes (budget 0 is indistinguishable from lists grown past
+    the node), answer the same probe, and share ``ann_ivf_topk``'s
+    DuckDB oracle — the ``route`` column is parsed from the returned
+    stats notes, so the hash gate pins the actual routing decision and
+    the value-identity of both execution shapes at once."""
+    from hybrid_vector_search_spark.serving import ann_serve_or_plan
+
+    index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
+    out = []
+    for max_bytes in (None, 0):  # default budget → local; 0 → distributed
+        cs = ann_serve_or_plan(
+            index, nprobe=ANN_IVF_NPROBE, max_probe_bytes=max_bytes
+        )
+        ids, stats = cs.search(query_vector(ANN_IVF_QSEED), ANN_IVF_K)
+        route = (
+            stats["notes"].split(";", 1)[0].strip()
+            .removeprefix("route=")
+            .split("(", 1)[0]
+        )
+        for i, s in zip(ids, stats["scores"]):
+            out.append((route, int(i), round(float(s), 6)))
+    return (
+        spark.createDataFrame(out, "route string, id long, score double")
+        .orderBy("route", F.desc("score"), "id")
+    )

@@ -512,6 +512,110 @@ class CostedServe:
         return [i for i, _ in rows], stats
 
 
+class CostedAnnServe:
+    """The post_filter family's q=1 point probe through the SAME costed
+    dispatch discipline as :class:`CostedServe` (r15 — completes the
+    get_backend analogy for the ANN strategy): the route is decided
+    once from measured numbers, recorded in the stats notes, and both
+    shapes return the identical answer (the registered
+    ``ann_costed_serve`` query pins them to one DuckDB oracle).
+
+    Routes:
+
+    * ``local_probe`` — the index has a persisted partitioned layout
+      and the expected probed-block bytes (rows/nlist × nprobe ×
+      (D×8 + 8)) fit the probe budget: the driver Arrow-reads ONLY the
+      probed list directories and GEMMs in-process
+      (``IVFIndex.serve_local_topk`` — no Spark job, the only shape
+      that beats the per-job launch floor at q=1);
+    * ``distributed`` — no layout, or probed bytes past the budget
+      (the 100 TB regime where even one probe's lists dwarf a node):
+      the partition-pruned Spark plan (``IVFIndex.search_plan``).
+
+    Unfiltered point probes only — that is what the serving tier is
+    for; filtered post_filter queries keep the candidate-ladder
+    strategies (operators/ivf.py PostFilterBackend)."""
+
+    def __init__(self, index, route: str, nprobe: int):
+        self.index = index
+        self.route = route
+        self.nprobe = int(nprobe)
+
+    def search(
+        self, qvec: Sequence[float], k: int
+    ) -> tuple[list[int], dict[str, Any]]:
+        import time
+
+        t0 = time.perf_counter()
+        if self.route == "local_probe":
+            rows = self.index.serve_local_topk(
+                qvec, k, nprobe=self.nprobe
+            )
+            # blocks are LRU-cached by serve_local_topk's read, so the
+            # scored-rows count is a cheap cache walk
+            scored = 0
+            for li in self.index.probe(qvec, self.nprobe):
+                blk = self.index._serve_block(li)
+                if blk is not None:
+                    scored += len(blk[0])
+            notes = f"route=local_probe(nprobe={self.nprobe})"
+        else:
+            plan, _probed = self.index.search_plan(
+                qvec, k=k, nprobe=self.nprobe
+            )
+            idc = self.index.id_col
+            rows = [
+                (int(r[idc]), float(r["score"])) for r in plan.collect()
+            ]
+            scored = None  # the distributed plan's scan-side count is
+            #                the strategies' Observation job, not ours
+            notes = f"route=distributed(nprobe={self.nprobe})"
+        stats: dict[str, Any] = {
+            "method": "post_filter",
+            "K": int(k),
+            "latency_ms": (time.perf_counter() - t0) * 1000.0,
+            "scores": [s for _, s in rows],
+            "notes": notes,
+        }
+        if scored is not None:
+            stats["scored_vectors"] = scored
+        return [i for i, _ in rows], stats
+
+
+def ann_serve_or_plan(
+    index,
+    nprobe: int | None = None,
+    max_probe_bytes: int | None = None,
+    n: int | None = None,
+) -> CostedAnnServe:
+    """Measure the expected probed-block footprint once and return the
+    :class:`CostedAnnServe` routed to the cheapest shape: driver-local
+    Arrow probe under the budget, the partition-pruned distributed plan
+    beyond (or when the index has no persisted layout). Budget defaults
+    to the index's own serve-cache bound so the local route never
+    admits blocks its LRU would immediately evict."""
+    from hybrid_vector_search_spark.operators.ivf import (
+        DEFAULT_NPROBE,
+        IVFIndex,
+    )
+
+    if nprobe is None:
+        nprobe = DEFAULT_NPROBE
+    if max_probe_bytes is None:
+        max_probe_bytes = IVFIndex.SERVE_CACHE_BYTES
+    if n is None:
+        n = index.assigned.count()
+    d = int(index.centroids.shape[1])
+    est = int(n / max(index.nlist, 1) * int(nprobe)) * (d * 8 + 8)
+    route = (
+        "local_probe"
+        if index.partitioned_path is not None
+        and est <= int(max_probe_bytes)
+        else "distributed"
+    )
+    return CostedAnnServe(index, route, int(nprobe))
+
+
 def serve_or_plan(
     corpus,
     shard_bytes: int = MAX_SERVE_BYTES,

@@ -119,6 +119,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r15: serving work (tier builds + in-process GEMMs) happens at
         # build time and returns literal rows (session-cached tiers)
         "strategy_costed_serve",
+        # r15: ANN dispatch — local Arrow probe / distributed plan both
+        # executed at build time, literal rows returned
+        "ann_costed_serve",
         # r15: collects the merge table + per-K aggregates driver-side
         # (internally session-cached)
         "text_bpe_encode_vocab",

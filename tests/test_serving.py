@@ -262,3 +262,44 @@ def test_sharded_failure_drill_growth_and_invalidation(spark, serve):
     PU.register_resident_invalidator("/root/testdata/sf0.001", cache.clear)
     PU._invalidate_residents("/root/testdata/sf0.001")
     assert cache == {}
+
+
+def test_ann_serve_or_plan_routes_and_parity(spark):
+    """The ANN side of the costed dispatch: default budget routes the
+    q=1 probe to the driver-local Arrow read, budget 0 (≡ probed lists
+    grown past the node) to the partition-pruned plan; both answers
+    identical; an unpersisted index can never route local."""
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        ANN_IVF_K,
+        ANN_IVF_NPROBE,
+        ANN_IVF_QSEED,
+        _ann_ivf_fixed_index,
+    )
+    from hybrid_vector_search_spark.queryvecs import query_vector
+    from hybrid_vector_search_spark.serving import ann_serve_or_plan
+
+    sf = "/root/testdata/sf0.001"
+    index = _ann_ivf_fixed_index(spark, sf, persist=True)
+    q = query_vector(ANN_IVF_QSEED)
+
+    local = ann_serve_or_plan(index, nprobe=ANN_IVF_NPROBE)
+    assert local.route == "local_probe"
+    ids_l, st_l = local.search(q, ANN_IVF_K)
+    assert st_l["notes"].startswith("route=local_probe")
+    assert st_l["scored_vectors"] > ANN_IVF_K  # probed rows, not top-K
+
+    dist = ann_serve_or_plan(
+        index, nprobe=ANN_IVF_NPROBE, max_probe_bytes=0
+    )
+    assert dist.route == "distributed"
+    ids_d, st_d = dist.search(q, ANN_IVF_K)
+    assert st_d["notes"].startswith("route=distributed")
+    assert ids_l == ids_d
+    for a, b in zip(st_l["scores"], st_d["scores"]):
+        assert abs(a - b) < 1e-9
+
+    unpersisted = _ann_ivf_fixed_index(spark, sf, persist=False)
+    assert (
+        ann_serve_or_plan(unpersisted, nprobe=ANN_IVF_NPROBE).route
+        == "distributed"
+    )
