@@ -616,6 +616,53 @@ def ann_serve_or_plan(
     return CostedAnnServe(index, route, int(nprobe))
 
 
+def get_serving_backend(
+    name: str,
+    corpus=None,
+    index=None,
+    **budgets: Any,
+):
+    """ONE name-indexed entry across every strategy — the full serving
+    analog of the reference's ``get_backend`` (src/harness/run.py:71-87)
+    with the physical tier chosen by the costed dispatches instead of a
+    flag: ``exact`` / ``pre_filter`` → :func:`serve_or_plan` (resident /
+    sharded / distributed by corpus footprint), ``post_filter`` →
+    :func:`ann_serve_or_plan` over ``index`` (local Arrow probe /
+    distributed plan by probed-block footprint), ``random`` → the
+    distributed strategy unchanged (a seeded id draw has no residency
+    to optimize). Extra kwargs pass through to the underlying dispatch
+    (budget overrides). Raises ``ValidationError`` for unknown names or
+    a missing required input — same refusal contract as the strategy
+    registry."""
+    if name in ("exact", "pre_filter"):
+        if corpus is None:
+            raise ValidationError(
+                f"get_serving_backend('{name}') requires corpus="
+            )
+        return serve_or_plan(corpus, **budgets)
+    if name == "post_filter":
+        if index is None:
+            raise ValidationError(
+                "get_serving_backend('post_filter') requires index="
+                " (a built IVFIndex)"
+            )
+        return ann_serve_or_plan(index, **budgets)
+    if name == "random":
+        if corpus is None:
+            raise ValidationError(
+                "get_serving_backend('random') requires corpus="
+            )
+        from hybrid_vector_search_spark.operators.strategies import (
+            get_backend,
+        )
+
+        return get_backend("random", corpus)
+    raise ValidationError(
+        f"unknown serving backend '{name}' (choose from ['exact',"
+        " 'pre_filter', 'post_filter', 'random'])"
+    )
+
+
 def serve_or_plan(
     corpus,
     shard_bytes: int = MAX_SERVE_BYTES,

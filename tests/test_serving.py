@@ -303,3 +303,41 @@ def test_ann_serve_or_plan_routes_and_parity(spark):
         ann_serve_or_plan(unpersisted, nprobe=ANN_IVF_NPROBE).route
         == "distributed"
     )
+
+
+def test_get_serving_backend_name_dispatch(spark):
+    """The full get_backend analog: every strategy name lands on its
+    costed dispatch (or the distributed strategy where residency is
+    moot), unknown names and missing inputs refuse loudly."""
+    from hybrid_vector_search_spark.plans.registry_hybrid_ann import (
+        _ann_ivf_fixed_index,
+    )
+    from hybrid_vector_search_spark.serving import (
+        CostedAnnServe,
+        CostedServe,
+        get_serving_backend,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = R.load_corpus(spark, sf)
+    index = _ann_ivf_fixed_index(spark, sf, persist=True)
+    assert isinstance(
+        get_serving_backend("exact", corpus=corpus), CostedServe
+    )
+    assert isinstance(
+        get_serving_backend("pre_filter", corpus=corpus), CostedServe
+    )
+    assert isinstance(
+        get_serving_backend("post_filter", index=index), CostedAnnServe
+    )
+    from hybrid_vector_search_spark.queryvecs import query_vector
+
+    rnd = get_serving_backend("random", corpus=corpus)
+    ids, stats = rnd.search(query_vector(3), None, 5)
+    assert len(ids) == 5 and stats["method"] == "random"
+    with pytest.raises(ValidationError, match="unknown"):
+        get_serving_backend("hnsw")
+    with pytest.raises(ValidationError, match="requires corpus"):
+        get_serving_backend("exact")
+    with pytest.raises(ValidationError, match="requires index"):
+        get_serving_backend("post_filter")
