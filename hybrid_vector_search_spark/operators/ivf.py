@@ -1044,3 +1044,40 @@ def open_streaming_probe_root(spark: SparkSession, probe_root: str) -> DataFrame
     :func:`open_partitioned` contract, streaming-maintenance edition."""
     recover_pending_compaction(probe_root)
     return spark.read.parquet(probe_root)
+
+
+def assignment_drift_psi(emb1, emb2, centroids, id_col: str = "id") -> float:
+    """PSI between the list-assignment histograms of two corpus
+    versions under ONE fixed centroid set — the distribution-shift half
+    of INDEX-STALENESS monitoring (the coverage half is the unindexed
+    fraction, computed from plain counts). +1-smoothed over nlist bins,
+    same formula as the snapshot/sketch drift family
+    (plans/registry_lakehouse.py corpus_snapshot_drift_psi). Driver
+    state is 2 × nlist count rows; each histogram is one grouped
+    aggregate over an assignment scan — the shape that survives 100 TB
+    because the histogram, not the corpus, crosses to the driver."""
+    import math
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    L = int(cents.shape[0])
+
+    def hist(df) -> tuple[dict[int, int], int]:
+        rows = (
+            df.select(
+                assign_list_udf(cents)(F.col("embedding")).alias("l")
+            )
+            .groupBy("l")
+            .count()
+            .collect()
+        )  # bounded: ≤ nlist rows
+        h = {int(r["l"]): int(r["count"]) for r in rows}
+        return h, sum(h.values())
+
+    h1, t1 = hist(emb1)
+    h2, t2 = hist(emb2)
+    psi = 0.0
+    for li in range(L):
+        p1 = (h1.get(li, 0) + 1.0) / (t1 + L)
+        p2 = (h2.get(li, 0) + 1.0) / (t2 + L)
+        psi += (p2 - p1) * math.log(p2 / p1)
+    return psi

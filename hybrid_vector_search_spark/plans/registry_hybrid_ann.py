@@ -1746,3 +1746,168 @@ def ann_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(out, "route string, id long, score double")
         .orderBy("route", F.desc("score"), "id")
     )
+
+
+# ----------------------------- index maintenance on staleness (r15)
+
+_RECL_NLIST = 8
+_RECL_NPROBE = 2
+_RECL_STALE_THRESHOLD = 0.1  # unindexed fraction that triggers rebuild
+_RECL_QSEED = 31
+_RECL_CACHE: dict[str, tuple] = {}
+
+
+def _recl_oracle() -> str:
+    L, qlit = _RECL_NLIST, sql_array_literal(query_vector(_RECL_QSEED))
+    return f"""WITH v1 AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % 5 <> 0),
+v2 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+c1 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, e
+       FROM (SELECT id, e FROM v1 ORDER BY id LIMIT {L})),
+c2 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, e
+       FROM (SELECT id, e FROM v2 ORDER BY id LIMIT {L})),
+a1 AS (SELECT id, cid FROM (
+  SELECT v.id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.id
+    ORDER BY list_dot_product(v.e, c.e) DESC, c.cid ASC) AS rn
+  FROM v1 v CROSS JOIN c1 c) WHERE rn = 1),
+a2 AS (SELECT id, cid FROM (
+  SELECT v.id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.id
+    ORDER BY list_dot_product(v.e, c.e) DESC, c.cid ASC) AS rn
+  FROM v2 v CROSS JOIN c1 c) WHERE rn = 1),
+t AS (SELECT (SELECT COUNT(*) FROM v1) AS t1,
+             (SELECT COUNT(*) FROM v2) AS t2),
+h1 AS (SELECT cid, COUNT(*) AS n1 FROM a1 GROUP BY cid),
+h2 AS (SELECT cid, COUNT(*) AS n2 FROM a2 GROUP BY cid),
+audit AS (
+  SELECT ROUND((t.t2 - t.t1)::DOUBLE / t.t2, 6) AS stale_frac,
+    ROUND(SUM(((COALESCE(n2, 0) + 1.0) / (t.t2 + {L})
+             - (COALESCE(n1, 0) + 1.0) / (t.t1 + {L}))
+      * ln(((COALESCE(n2, 0) + 1.0) / (t.t2 + {L}))
+         / ((COALESCE(n1, 0) + 1.0) / (t.t1 + {L})))), 6) AS assign_psi,
+    (t.t2 - t.t1)::DOUBLE / t.t2 > {_RECL_STALE_THRESHOLD} AS triggered
+  FROM h2 FULL JOIN h1 USING (cid) CROSS JOIN t GROUP BY t.t1, t.t2),
+probe2 AS (
+  SELECT cid FROM c2
+  ORDER BY list_dot_product(e, {qlit}) DESC, cid ASC
+  LIMIT {_RECL_NPROBE}),
+anew AS (SELECT id, e, cid FROM (
+  SELECT v.id, v.e, c.cid, ROW_NUMBER() OVER (PARTITION BY v.id
+    ORDER BY list_dot_product(v.e, c.e) DESC, c.cid ASC) AS rn
+  FROM v2 v CROSS JOIN c2 c) WHERE rn = 1),
+topk AS (
+  SELECT id, ROUND(list_dot_product(e, {qlit}), 6) AS score
+  FROM anew WHERE cid IN (SELECT cid FROM probe2)
+  ORDER BY list_dot_product(e, {qlit}) DESC, id ASC
+  LIMIT {ANN_IVF_K})
+SELECT audit.stale_frac, audit.assign_psi, audit.triggered,
+       topk.id, topk.score
+FROM topk CROSS JOIN audit
+ORDER BY score DESC, id ASC"""
+
+
+@register("ann_ivf_recluster_on_drift", _recl_oracle(), side_effects=True)
+def ann_ivf_recluster_on_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INDEX STALENESS → MAINTENANCE, closed-loop (r15 — ties the
+    monitoring, lakehouse, and ANN families together): an IVF index
+    built at corpus version v1 keeps serving while the corpus grows to
+    v2; at 100 TB nobody re-clusters on a timer — maintenance must
+    TRIGGER from measured staleness. Two measured signals, both
+    driver-bounded: the COVERAGE gap (fraction of v2 rows the v1 index
+    never assigned — plain counts) and the assignment-distribution
+    PSI under the v1 centroids (``operators.ivf.assignment_drift_psi``
+    — 2 × nlist histogram rows, the index twin of the sketch-drift
+    family). When the coverage gap passes the pinned threshold, the
+    rebuild runs: fresh deterministic centroids from v2 (lowest-id
+    rows — the engine's fixed-quantizer construction, so the oracle
+    replays the whole loop), re-assignment, and ONE clustered rewrite
+    commit into the index's manifest root — versioned maintenance; the
+    pre-rebuild index still time-travels. The answer rows are the q=1
+    probe THROUGH the rebuilt index (nprobe of nlist lists read), with
+    the audit columns riding every row, so the hash gate pins the
+    trigger arithmetic, the rebuild, and the serving answer at once."""
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        assign_list_udf,
+        assignment_drift_psi,
+    )
+    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.sources import manifest as M
+
+    schema = (
+        "stale_frac double, assign_psi double, triggered boolean,"
+        " id long, score double"
+    )
+    cached = _RECL_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return spark.createDataFrame(cached[1], schema).orderBy(
+            F.desc("score"), "id"
+        )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    v1 = emb.filter(F.col("id") % 5 != 0)
+    v2 = emb
+
+    def lowest_cents(df) -> np.ndarray:
+        rows = df.orderBy("id").limit(_RECL_NLIST).collect()
+        return np.vstack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+
+    cents1 = lowest_cents(v1)
+    t1, t2 = v1.count(), v2.count()
+    stale = (t2 - t1) / t2
+    psi = assignment_drift_psi(v1, v2, cents1)
+    triggered = stale > _RECL_STALE_THRESHOLD
+
+    root = scratch_path(
+        "ivf_recluster_" + sf_dir.strip("/").replace("/", "_")
+    )
+    M.commit_append_clustered(
+        root,
+        v1.withColumn(
+            "list_id", assign_list_udf(cents1)(F.col("embedding"))
+        ),
+        "list_id",
+    )
+    # the maintenance commit: versioned clustered rewrite under fresh
+    # centroids — the pre-rebuild index remains readable at version 1
+    cents2 = lowest_cents(v2) if triggered else cents1
+    M.commit_rewrite_clustered(
+        root,
+        v2.withColumn(
+            "list_id", assign_list_udf(cents2)(F.col("embedding"))
+        ),
+        "list_id",
+    )
+    q = query_vector(_RECL_QSEED)
+    order = np.argsort(-(cents2 @ np.asarray(q, dtype=np.float64)),
+                       kind="stable")
+    probed = sorted(int(i) for i in order[:_RECL_NPROBE])
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_column,
+    )
+
+    scored = (
+        M.read_snapshot(spark, root)
+        .filter(F.col("list_id").isin(probed))
+        .select("id", dot_score_column(q).alias("score"))
+    )
+    rows = [
+        (
+            round(stale, 6),
+            round(psi, 6),
+            bool(triggered),
+            int(r["id"]),
+            round(float(r["score"]), 6),
+        )
+        for r in topk(scored, ANN_IVF_K).collect()
+    ]
+    _RECL_CACHE[sf_dir] = (spark, rows)
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.desc("score"), "id"
+    )

