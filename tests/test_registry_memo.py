@@ -125,6 +125,9 @@ def test_side_effect_queries_exempt_from_memo(registry):
         # r15: staleness measurement + maintenance commits driver-side
         # (internally session-cached)
         "ann_ivf_recluster_on_drift",
+        # r15: collects the merge table driver-side before the Arrow
+        # encode pass (internally session-cached)
+        "docs_compression_filter",
         # r15: collects the merge table + per-K aggregates driver-side
         # (internally session-cached)
         "text_bpe_encode_vocab",
