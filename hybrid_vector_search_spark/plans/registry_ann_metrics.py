@@ -67,18 +67,50 @@ def _hnsw_persisted_index(spark: SparkSession, sf_dir: str):
     the reference's prebuilt FAISS HNSW — src/dataio/loaders.py:154-163):
     one mapInPandas pass writes every partition's graph (ids, vectors,
     adjacency, entry point) to scratch parquet; searches reconstruct the
-    graphs with zero insert work. Same cache discipline as the IVF
-    artifact (_ann_ivf_fixed_index)."""
+    graphs with zero insert work.
+
+    r15: the parquet artifact is CONTENT-ADDRESSED and persistent across
+    processes (scratch.persistent_cache_path — the streaming-dedup
+    prebuild pattern, r14 verdict next #3): the graph is a pure function
+    of (corpus rows, hnsw module source, build params, and the partition
+    split ``spread`` produces), so the fingerprint includes
+    ``defaultParallelism`` — a bench at a different core count gets its
+    own build, never a foreign partition layout. Was 9.2 s of every
+    bench warmup; a warm process now reconstructs from the existing
+    parquet."""
+    import hashlib
+    import inspect
+    import shutil as _sh
+
+    from hybrid_vector_search_spark.operators import hnsw as _hnsw_mod
     from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
-    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.scratch import (
+        cache_complete,
+        mark_cache_complete,
+        persistent_cache_path,
+    )
+    from hybrid_vector_search_spark.sources import loaders as _loaders
 
     cached = _HNSW_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
         return cached[1]
-    corpus = load_corpus(spark, sf_dir, with_documents=False)
-    index = HNSWIndex.build(
-        corpus, scratch_path("hnsw_" + sf_dir.strip("/").replace("/", "_"))
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        parallelism = 0
+    h = hashlib.md5(inspect.getsource(_hnsw_mod).encode())
+    h.update(inspect.getsource(_loaders.spread).encode())
+    h.update(f"|par={parallelism}|v1".encode())
+    path = persistent_cache_path(
+        "hnsw_" + sf_dir.strip("/").replace("/", "_"), h.hexdigest()
     )
+    if cache_complete(path):
+        index = HNSWIndex(spark, path)
+    else:
+        _sh.rmtree(path, ignore_errors=True)  # torn prior build
+        corpus = load_corpus(spark, sf_dir, with_documents=False)
+        index = HNSWIndex.build(corpus, path)
+        mark_cache_complete(path)
     _HNSW_CACHE[sf_dir] = (spark, index)
     return index
 

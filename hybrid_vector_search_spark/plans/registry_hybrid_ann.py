@@ -329,42 +329,63 @@ def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     order and the DuckDB oracle can score the base vectors directly.
     Materialized once per (session, sf_dir); queries over it time the
     query, not the corpus build — the reference's own measurement rule
-    (corpus resident before timing)."""
-    from hybrid_vector_search_spark.scratch import scratch_path
+    (corpus resident before timing).
+
+    r15: the parquet artifact is CONTENT-ADDRESSED and persistent across
+    processes (scratch.persistent_cache_path, the streaming-dedup
+    prebuild pattern — r14 verdict next #3): rows are a pure function of
+    (testdata, this builder's source — which embeds every tile/shift
+    constant — and the fixed 32-way split), so a warm process reuses the
+    existing files and the 4.6 s build drops out of bench warmup."""
+    import hashlib
+    import inspect
+    import shutil as _sh
+
+    from hybrid_vector_search_spark.scratch import (
+        cache_complete,
+        mark_cache_complete,
+        persistent_cache_path,
+    )
 
     key = sf_dir
     cached = _PARITY_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
-    base = load_corpus(spark, sf_dir)
-    scale = 1.0 / (_PARITY_TILE ** 0.5)
-    copies = F.broadcast(
-        spark.range(_PARITY_COPIES).select(F.col("id").alias("__c"))
+    fp = hashlib.md5(
+        inspect.getsource(_parity_corpus).encode()
+    ).hexdigest()
+    path = persistent_cache_path(
+        "parity_corpus_" + sf_dir.strip("/").replace("/", "_"), fp
     )
-    tiled = (
-        base.crossJoin(copies)
-        .select(
-            (F.col("id") + F.col("__c") * _PARITY_ID_SHIFT).alias("id"),
-            F.flatten(
-                F.array_repeat(
-                    F.transform(
-                        "embedding",
-                        lambda x: x.cast("double") * F.lit(scale),
-                    ),
-                    _PARITY_TILE,
-                )
-            ).alias("embedding"),
-            "label",
-            "text",
-            "lang",
-            "source",
-            "n_chars",
+    if not cache_complete(path):
+        _sh.rmtree(path, ignore_errors=True)  # torn prior build
+        base = load_corpus(spark, sf_dir)
+        scale = 1.0 / (_PARITY_TILE ** 0.5)
+        copies = F.broadcast(
+            spark.range(_PARITY_COPIES).select(F.col("id").alias("__c"))
         )
-    )
-    path = scratch_path(
-        "parity_corpus_" + sf_dir.strip("/").replace("/", "_")
-    )
-    tiled.repartition(32).write.mode("overwrite").parquet(path)
+        tiled = (
+            base.crossJoin(copies)
+            .select(
+                (F.col("id") + F.col("__c") * _PARITY_ID_SHIFT).alias("id"),
+                F.flatten(
+                    F.array_repeat(
+                        F.transform(
+                            "embedding",
+                            lambda x: x.cast("double") * F.lit(scale),
+                        ),
+                        _PARITY_TILE,
+                    )
+                ).alias("embedding"),
+                "label",
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        tiled.repartition(32).write.mode("overwrite").parquet(path)
+        mark_cache_complete(path)
     out = spark.read.parquet(path)
     _PARITY_CACHE[key] = (spark, out)
     return out
@@ -609,22 +630,54 @@ def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _QUANT_CACHE.get(sf_dir)
     if got is not None and got[0] is spark:
         return got[1]
+    import hashlib
+    import inspect
+    import shutil as _sh
+
+    from hybrid_vector_search_spark.functions import vector as _vec_mod
     from hybrid_vector_search_spark.functions.vector import (
         quantize_int8_col,
         sign_pack_column,
     )
     from hybrid_vector_search_spark.operators import lsh as LSH
+    from hybrid_vector_search_spark.scratch import (
+        cache_complete,
+        mark_cache_complete,
+        persistent_cache_path,
+    )
 
-    index = _ann_ivf_fixed_index(spark, sf_dir)
-    planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
-    df = index.assigned.select(
-        "id",
-        "embedding",
-        "list_id",
-        quantize_int8_col("embedding").cast("array<long>").alias("i8"),
-        sign_pack_column("embedding").alias("pk"),
-        LSH.bucket_udf(planes)(F.col("embedding")).alias("bucket"),
-    ).persist()
+    # r15: the codes are pure functions of (embedding, quantizer/LSH
+    # code, fixed centroids) — content-address the parquet so a warm
+    # process skips the 2.9 s recompute (streaming-dedup prebuild
+    # pattern); the session still serves it RAM-resident via persist().
+    h = hashlib.md5(inspect.getsource(_vec_mod).encode())
+    h.update(inspect.getsource(LSH).encode())
+    h.update(inspect.getsource(_quantized_corpus).encode())
+    h.update(inspect.getsource(_ann_ivf_centroids).encode())
+    path = persistent_cache_path(
+        "quant_corpus_" + sf_dir.strip("/").replace("/", "_"),
+        h.hexdigest(),
+    )
+    if not cache_complete(path):
+        _sh.rmtree(path, ignore_errors=True)  # torn prior build
+        index = _ann_ivf_fixed_index(spark, sf_dir)
+        planes = LSH.hyperplanes(LSH.DEFAULT_NBITS, dim=64)
+        (
+            index.assigned.select(
+                "id",
+                "embedding",
+                "list_id",
+                quantize_int8_col("embedding")
+                .cast("array<long>")
+                .alias("i8"),
+                sign_pack_column("embedding").alias("pk"),
+                LSH.bucket_udf(planes)(F.col("embedding")).alias("bucket"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        mark_cache_complete(path)
+    df = spark.read.parquet(path).persist()
     df.count()  # materialize once (ingest stage)
     _QUANT_CACHE[sf_dir] = (spark, df)
     return df

@@ -1598,26 +1598,52 @@ def corpus_snapshot_cdc_apply(
     assumption this entry no longer needs. The proof is double-sided:
     the emitted rows hash against the oracle's expected final state,
     and the ``diff_vs_snapshot`` column carries the MEASURED symmetric
-    difference vs the actual v4 read (two exceptAll counts — an
-    O(table) PROOF pass only, the consume path itself is O(changed
-    rows)), which the oracle pins at 0. This is the consumer contract a
-    downstream index/replica/feature store relies on at 100 TB, and
-    because versions are immutable the same feed replays to the same
-    replica after a crash. Beyond-reference (SURVEY.md §2.9)."""
+    difference vs the actual v4 read (an O(table) PROOF pass only, the
+    consume path itself is O(changed rows)), which the oracle pins at
+    0. This is the consumer contract a downstream index/replica/feature
+    store relies on at 100 TB, and because versions are immutable the
+    same feed replays to the same replica after a crash.
+    Beyond-reference (SURVEY.md §2.9).
+
+    r15 shape (guide §1.2/§2.4 — this was the bench's slowest query at
+    2.5 s): the proof used to run as TWO driver-side ``exceptAll``
+    count JOBS, plus ``apply_changelog``'s distinct-version discovery
+    job, before a third action collected the rows — four actions, each
+    re-running the whole feed DAG (whose v4-rewrite step itself pays a
+    symmetric diff). Now the version list is passed explicitly (the
+    changelog contract for a closed range), and the symmetric-diff
+    count is computed IN the returned plan as a broadcast scalar:
+    ``Σ_rows |count_replica − count_v4|`` over a ±1-tagged union, which
+    equals ``exceptAll(a,b).count() + exceptAll(b,a).count()`` exactly
+    (exceptAll keeps max(cA−cB, 0) copies per distinct row). One lazy
+    plan, zero driver actions inside the builder — the caller's single
+    action computes rows and proof together."""
     from hybrid_vector_search_spark.sources import manifest as M
 
     root = _changelog_root(spark, sf_dir)
     feed = M.snapshot_changelog(spark, root, 1, 4)
     replica = M.apply_changelog(
-        M.read_snapshot(spark, root, 1), feed, "id"
+        M.read_snapshot(spark, root, 1), feed, "id", versions=(2, 3, 4)
     )
     v4 = M.read_snapshot(spark, root, 4)
-    diff = int(replica.exceptAll(v4).count()) + int(
-        v4.exceptAll(replica).count()
+    cols = replica.columns
+    tagged = replica.select(*cols, F.lit(1).alias("_w")).unionByName(
+        v4.select(*cols, F.lit(-1).alias("_w"))
     )
-    return replica.select(
-        F.lit(diff).alias("diff_vs_snapshot"), "id", "label"
-    ).orderBy("id")
+    diff = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_w").alias("_d"))
+        .agg(
+            F.coalesce(F.sum(F.abs(F.col("_d"))), F.lit(0))
+            .cast("int")
+            .alias("diff_vs_snapshot")
+        )
+    )
+    return (
+        replica.crossJoin(F.broadcast(diff))
+        .select("diff_vs_snapshot", "id", "label")
+        .orderBy("id")
+    )
 
 
 # ----------------------------------------- GDPR physical purge (r13)

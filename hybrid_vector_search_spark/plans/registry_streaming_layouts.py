@@ -1123,21 +1123,42 @@ def _events_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per session × sf_dir) events hive-partitioned by event
     day and return the path. The pre-write ``repartition(day)`` gives
     each write task whole days, so every partition dir is a single file
-    instead of one shard per upstream task."""
+    instead of one shard per upstream task.
+
+    r15: content-addressed persistent artifact (scratch.persistent_
+    cache_path — the streaming-dedup prebuild pattern): the layout is a
+    pure function of the testdata and this builder's source, so a warm
+    process reuses it and the 3.4 s write drops out of bench warmup."""
     got = _EVENTS_BY_DAY.get(sf_dir)
     if got is not None and got[0] is spark:
         return got[1]
-    from hybrid_vector_search_spark.scratch import scratch_path
+    import hashlib
+    import inspect
+    import shutil as _sh
 
-    ev = load_table(spark, sf_dir, "events")
-    path = scratch_path("events_by_day")
-    (
-        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .repartition(F.col("day"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(path)
+    from hybrid_vector_search_spark.scratch import (
+        cache_complete,
+        mark_cache_complete,
+        persistent_cache_path,
     )
+
+    fp = hashlib.md5(
+        inspect.getsource(_events_day_partitioned).encode()
+    ).hexdigest()
+    path = persistent_cache_path(
+        "events_by_day_" + sf_dir.strip("/").replace("/", "_"), fp
+    )
+    if not cache_complete(path):
+        _sh.rmtree(path, ignore_errors=True)  # torn prior build
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition(F.col("day"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        mark_cache_complete(path)
     _EVENTS_BY_DAY[sf_dir] = (spark, path)
     return path
 

@@ -98,6 +98,7 @@ import os
 import threading
 import uuid
 from collections import OrderedDict
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -3400,7 +3401,10 @@ def snapshot_changelog(
 
 
 def apply_changelog(
-    replica: DataFrame, feed: DataFrame, key_col: str
+    replica: DataFrame,
+    feed: DataFrame,
+    key_col: str,
+    versions: Sequence[int] | None = None,
 ) -> DataFrame:
     """Fold a CDC feed (:func:`snapshot_changelog` output) into a pinned
     replica VERSION BY VERSION: for each feed version ascending,
@@ -3415,12 +3419,26 @@ def apply_changelog(
     the distinct-version list is bounded by the manifest history (one
     driver-collected column). Long histories compose with compaction:
     consumers resync from a snapshot instead of folding thousands of
-    versions."""
+    versions.
+
+    ``versions``: the fold's version list, when the caller already knows
+    it (a changelog for a closed range (a, b] changes exactly versions
+    a+1..b — snapshot_changelog's contract). Passing it skips the
+    distinct+collect DISCOVERY JOB, which otherwise executes the whole
+    feed DAG once just to learn the list (guide §5: the driver should
+    do almost no data work — and §1.2: don't compute things you throw
+    away). A version with no feed rows folds as the identity (empty
+    anti-join + empty union), so a superset is harmless; omit the
+    argument when the feed's provenance is unknown."""
     from pyspark.sql import functions as F
 
-    versions = sorted(
-        r["version"] for r in feed.select("version").distinct().collect()
-    )
+    if versions is None:
+        versions = sorted(
+            r["version"]
+            for r in feed.select("version").distinct().collect()
+        )
+    else:
+        versions = sorted(int(v) for v in versions)
     cols = list(replica.columns)
     for v in versions:
         step = feed.filter(F.col("version") == v)
