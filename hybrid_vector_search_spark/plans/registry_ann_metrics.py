@@ -35,6 +35,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     CORPUS_CTE,
     load_corpus,
     register,
@@ -1857,7 +1858,7 @@ def ann_hnsw_purge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _HNSW_PURGE_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame([cached[1]], schema)
+        return local_df(spark, [cached[1]], schema)
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), "embedding"
     )
@@ -1875,4 +1876,4 @@ def ann_hnsw_purge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         a["residual_nodes"], a["bad_adjacency_refs"], a["bad_entry_refs"],
     )
     _HNSW_PURGE_CACHE[sf_dir] = (spark, row)
-    return spark.createDataFrame([row], schema)
+    return local_df(spark, [row], schema)

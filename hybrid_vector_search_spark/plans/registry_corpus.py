@@ -28,6 +28,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     register,
 )
 from hybrid_vector_search_spark.plans.registry_hybrid_ann import (  # noqa: E402
@@ -1998,7 +1999,7 @@ def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append((cid, e, mmr))
         del remaining[cid]
         rows.append((rank, cid, round(mmr, 6)))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "rank LONG, id LONG, mmr_score DOUBLE"
     )
 
@@ -2226,7 +2227,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _BPE_CACHE.get(sf_dir)
     schema = "merge_rank int, lhs string, rhs string, pair_count long"
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame(cached[1], schema)
+        return local_df(spark, cached[1], schema)
     tok = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -2288,7 +2289,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     _BPE_CACHE[sf_dir] = (spark, merges)
-    return spark.createDataFrame(merges, schema)
+    return local_df(spark, merges, schema)
 
 
 def _bpe_encode_oracle() -> str:
@@ -2552,7 +2553,7 @@ def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _BPEV_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame(cached[1], schema).orderBy(
+        return local_df(spark, cached[1], schema).orderBy(
             "n_merges"
         )
     merges = _bpev_merges(spark, sf_dir)
@@ -2619,7 +2620,7 @@ def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (k, int(before["n"]), int(before["t"]), int(a), None, None)
             )
     _BPEV_CACHE[sf_dir] = (spark, rows)
-    return spark.createDataFrame(rows, schema).orderBy("n_merges")
+    return local_df(spark, rows, schema).orderBy("n_merges")
 
 
 # ----------------------- compression-based boilerplate filter (r15)
@@ -2711,7 +2712,7 @@ def docs_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _COMPF_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame(cached[1], schema).orderBy(
+        return local_df(spark, cached[1], schema).orderBy(
             "saved_bucket"
         )
     merges = _bpev_merges_cached(spark, sf_dir)[:_COMPF_K]
@@ -2746,4 +2747,4 @@ def docs_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [tuple(r) for r in out.collect()]
     _COMPF_CACHE[sf_dir] = (spark, rows)
-    return spark.createDataFrame(rows, schema).orderBy("saved_bucket")
+    return local_df(spark, rows, schema).orderBy("saved_bucket")

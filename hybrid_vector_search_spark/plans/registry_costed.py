@@ -18,6 +18,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     CORPUS_CTE,
     register,
 )
@@ -41,6 +42,31 @@ _PF_COSTED_CASE = {
     "k": 10,
 }
 _PF_COSTED_SAFETY = 2
+
+# Session cache for the ingest-time column statistics the costed entry
+# decisions read (count / per-column not-null / exact ndv over the
+# filterable columns). The queries' own contract calls this "one
+# ingest-time aggregation" — it is catalog state like the fixed
+# centroids, so recomputing it on every bench pass was pure overhead
+# (guide §1.2): one agg job per pass in post_filter_costed_stats AND
+# strategy_costed_choice. Keyed like every artifact cache (session
+# identity + sf_dir); a new session recomputes from the parquet.
+_COSTED_STATS_CACHE: dict[str, tuple] = {}
+
+
+def _costed_column_stats(spark: SparkSession, sf_dir: str) -> dict:
+    got = _COSTED_STATS_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    from hybrid_vector_search_spark.functions.colstats import (
+        collect_column_stats,
+    )
+
+    stats = collect_column_stats(
+        load_corpus(spark, sf_dir), ["label", "lang"], exact_ndv=True
+    )
+    _COSTED_STATS_CACHE[sf_dir] = (spark, stats)
+    return stats
 
 
 def _post_filter_costed_oracle() -> str:
@@ -141,7 +167,7 @@ def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, s in zip(ids, stats["scores"])
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
         "ladder_stop LONG",
@@ -243,15 +269,12 @@ def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop rule — a hash match certifies the whole stats→estimate→rung
     pipeline, not just the answer."""
     from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
         estimate_allowed,
     )
     from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
 
     corpus = load_corpus(spark, sf_dir)
-    stats = collect_column_stats(
-        corpus, ["label", "lang"], exact_ndv=True
-    )
+    stats = _costed_column_stats(spark, sf_dir)
     est = estimate_allowed(stats, _PF_COSTED_CASE["filters"])
     backend = PostFilterBackend(
         corpus,
@@ -277,7 +300,7 @@ def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, s in zip(ids, st["scores"])
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "id LONG, score DOUBLE, ladder_entry LONG, rungs_run LONG, "
         "ladder_stop LONG, est_allowed LONG",
@@ -425,16 +448,13 @@ def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifted estimator, a flipped decision, or a wrong answer all
     hash-mismatch. ``side_effects``: backend.search() is a driver-side
     escalation loop."""
-    from hybrid_vector_search_spark.functions.colstats import (
-        collect_column_stats,
-    )
     from hybrid_vector_search_spark.operators.strategies import (
         choose_backend_costed,
         get_backend,
     )
 
     corpus = load_corpus(spark, sf_dir)
-    stats = collect_column_stats(corpus, ["label", "lang"], exact_ndv=True)
+    stats = _costed_column_stats(spark, sf_dir)
     n = int(stats["__table__"]["count"])
     index = _ann_ivf_fixed_index(spark, sf_dir)
 
@@ -469,7 +489,7 @@ def strategy_costed_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(len(_CHOICE_CASES)) as ex:
         case_rows = list(ex.map(run_case, _CHOICE_CASES))
     out = [r for rows in case_rows for r in rows]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "qcase STRING, id LONG, score DOUBLE, choice STRING, "
         "est_allowed LONG",
@@ -646,7 +666,7 @@ def harness_auto_costed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(float(r["filter_selectivity"]), 6),
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "qid LONG, method STRING, est_allowed LONG, selectivity DOUBLE"
     )
 
@@ -814,7 +834,7 @@ def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i, s in zip(ids, stats["scores"])
         ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out_rows,
         "method STRING, id LONG, score DOUBLE, ladder_entry LONG, "
         "rungs_run LONG",

@@ -26,6 +26,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     CORPUS_CTE,
     ORACLES,
     load_corpus,
@@ -194,7 +195,7 @@ def corpus_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in sorted(cols)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "col STRING, n LONG, nulls LONG, ndv LONG, "
         "min_v DOUBLE, max_v DOUBLE",
@@ -748,7 +749,7 @@ def ann_ivf_local_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = index.serve_local_topk(
         query_vector(ANN_IVF_QSEED), k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
     )
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(i, s) for i, s in rows], "id long, score double"
     )
     return out.select("id", F.round("score", 6).alias("score"))
@@ -1188,7 +1189,7 @@ def ann_ivf_local_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = index.serve_local_batch(
         qvecs, k=ANN_IVF_K, nprobe=ANN_IVF_NPROBE
     )
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(q, i, sc) for q, i, sc in rows],
         "qid int, id long, score double",
     )
@@ -1472,7 +1473,7 @@ def _local_serve(spark: SparkSession, sf_dir: str):
 
 
 def _local_rows_df(spark: SparkSession, rows) -> DataFrame:
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(int(i), float(s)) for i, s in rows], "id long, score double"
     )
     return out.select("id", F.round("score", 6).alias("score"))
@@ -1718,8 +1719,8 @@ def strategy_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_resident_invalidator(
             sf_dir, _COSTED_SERVE_CACHE.clear
         )
-    out = []
-    for expect, _sb, _tb, case_name in _COSTED_SERVE_ROUTES:
+    def run_route(route_spec):
+        expect, _sb, _tb, case_name = route_spec
         cs = dispatches[expect]
         case = HYBRID_CASES[case_name]
         ids, stats = cs.search(
@@ -1729,19 +1730,29 @@ def strategy_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash gate must pin what the dispatch actually did
         note = stats["notes"].split(";", 1)[0].strip()
         route = note.removeprefix("route=").split("(", 1)[0]
-        for i, s in zip(ids, stats["scores"]):
-            out.append(
-                (
-                    route,
-                    stats["method"],
-                    cs.n_shards > 1,
-                    int(stats["scored_vectors"]),
-                    int(i),
-                    round(float(s), 6),
-                )
+        return [
+            (
+                route,
+                stats["method"],
+                cs.n_shards > 1,
+                int(stats["scored_vectors"]),
+                int(i),
+                round(float(s), 6),
             )
+            for i, s in zip(ids, stats["scores"])
+        ]
+
+    # the three routes are independent answer paths over read-only tiers
+    # (driver GEMM / threaded shard fan-out / one Spark job): run them
+    # concurrently so the Spark route's tail overlaps the local ones
+    # (guide §2.6) — map() preserves route order, results identical
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(_COSTED_SERVE_ROUTES)) as ex:
+        route_rows = list(ex.map(run_route, _COSTED_SERVE_ROUTES))
+    out = [r for rows in route_rows for r in rows]
     return (
-        spark.createDataFrame(out, schema)
+        local_df(spark, out, schema)
         .orderBy("route", F.desc("score"), "id")
     )
 
@@ -1779,11 +1790,13 @@ def ann_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle — the ``route`` column is parsed from the returned
     stats notes, so the hash gate pins the actual routing decision and
     the value-identity of both execution shapes at once."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from hybrid_vector_search_spark.serving import ann_serve_or_plan
 
     index = _ann_ivf_fixed_index(spark, sf_dir, persist=True)
-    out = []
-    for max_bytes in (None, 0):  # default budget → local; 0 → distributed
+
+    def run_budget(max_bytes):
         cs = ann_serve_or_plan(
             index, nprobe=ANN_IVF_NPROBE, max_probe_bytes=max_bytes
         )
@@ -1793,10 +1806,20 @@ def ann_costed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .removeprefix("route=")
             .split("(", 1)[0]
         )
-        for i, s in zip(ids, stats["scores"]):
-            out.append((route, int(i), round(float(s), 6)))
+        return [
+            (route, int(i), round(float(s), 6))
+            for i, s in zip(ids, stats["scores"])
+        ]
+
+    # the two dispatches are independent (driver Arrow read vs one Spark
+    # job over the same immutable layout): overlap them (guide §2.6);
+    # map() preserves budget order, results identical
+    with ThreadPoolExecutor(2) as ex:
+        # default budget → local; 0 → distributed
+        budget_rows = list(ex.map(run_budget, (None, 0)))
+    out = [r for rows in budget_rows for r in rows]
     return (
-        spark.createDataFrame(out, "route string, id long, score double")
+        local_df(spark, out, "route string, id long, score double")
         .orderBy("route", F.desc("score"), "id")
     )
 
@@ -1896,7 +1919,7 @@ def ann_ivf_recluster_on_drift(
     )
     cached = _RECL_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame(cached[1], schema).orderBy(
+        return local_df(spark, cached[1], schema).orderBy(
             F.desc("score"), "id"
         )
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1961,6 +1984,6 @@ def ann_ivf_recluster_on_drift(
         for r in topk(scored, ANN_IVF_K).collect()
     ]
     _RECL_CACHE[sf_dir] = (spark, rows)
-    return spark.createDataFrame(rows, schema).orderBy(
+    return local_df(spark, rows, schema).orderBy(
         F.desc("score"), "id"
     )

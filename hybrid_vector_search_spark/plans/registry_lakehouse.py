@@ -20,6 +20,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     CORPUS_CTE,
     load_corpus,
     register,
@@ -169,11 +170,19 @@ def corpus_snapshot_pruned_scan(
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources import manifest as M
 
+    # n rides in the cache next to the root: re-deriving it per call is
+    # one whole Spark job on every bench pass (guide §1.2 — don't
+    # re-compute what the builder already knows)
     cached = _PRUNED_SCAN_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+    root, n = (
+        cached[1:] if cached is not None and cached[0] is spark
+        else (None, None)
+    )
     if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
         root = scratch_path(
             "snap_pruned_" + sf_dir.strip("/").replace("/", "_")
         )
@@ -186,7 +195,7 @@ def corpus_snapshot_pruned_scan(
                 ),
                 n_files=1,
             )
-        _PRUNED_SCAN_CACHE[sf_dir] = (spark, root)
+        _PRUNED_SCAN_CACHE[sf_dir] = (spark, root, n)
     w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
     _v, kept, total = M.snapshot_files_pruned(root, "vec_id", w_lo, w_hi)
     return (
@@ -257,11 +266,18 @@ def corpus_snapshot_group_pruned_scan(
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources import manifest as M
 
+    # n rides in the cache next to the root (guide §1.2: the per-call
+    # max job was one whole Spark job per bench pass)
     cached = _GROUP_PRUNED_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+    root, n = (
+        cached[1:] if cached is not None and cached[0] is spark
+        else (None, None)
+    )
     if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
         root = scratch_path(
             "snap_gpruned_" + sf_dir.strip("/").replace("/", "_")
         )
@@ -278,7 +294,7 @@ def corpus_snapshot_group_pruned_scan(
                 ),
             )
             M.commit_append_clustered(root, quarter, "q")
-        _GROUP_PRUNED_CACHE[sf_dir] = (spark, root)
+        _GROUP_PRUNED_CACHE[sf_dir] = (spark, root, n)
     w_lo, w_hi = n // 4, n // 2 - 1
     v = M.current_version(root)
     groups_total = len(M._read_manifest(root, v)["groups"])
@@ -348,25 +364,30 @@ def corpus_snapshot_partition_evolution(
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources import manifest as M
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
-    both = emb.select(
-        "vec_id",
-        "label",
-        (F.col("label") % 4).cast("int").alias("lb"),
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(3),
-                ((F.col("vec_id") - n // 2) * 4 / F.lit(n - n // 2)).cast(
-                    "int"
-                ),
-            ),
-        ).alias("q"),
-    )
+    # the max-id job and the `both` projection are builder-only: on a
+    # warm call the query reads the committed layout, so neither should
+    # run per pass (guide §1.2 — was one Spark job per bench pass)
     cached = _SPEC_EVOLUTION_CACHE.get(sf_dir)
     root = cached[1] if cached is not None and cached[0] is spark else None
     if root is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        n = emb.agg(F.max("vec_id")).first()[0] + 1  # bounded: one row
+        both = emb.select(
+            "vec_id",
+            "label",
+            (F.col("label") % 4).cast("int").alias("lb"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(3),
+                    (
+                        (F.col("vec_id") - n // 2) * 4 / F.lit(n - n // 2)
+                    ).cast("int"),
+                ),
+            ).alias("q"),
+        )
         root = scratch_path(
             "snap_specevo_" + sf_dir.strip("/").replace("/", "_")
         )
@@ -449,7 +470,7 @@ def corpus_snapshot_history(
         )
         for h in M.snapshot_history(root)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "version LONG, op STRING, added LONG, n_delete_files LONG, "
         "has_wall_ts INT",
@@ -910,7 +931,7 @@ def corpus_snapshot_stats_planner(
         )
         .first()
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n,
@@ -1733,7 +1754,7 @@ def corpus_snapshot_purge_user(
         _PURGE_CACHE[sf_dir] = (
             spark, rows_before, purged_rows, residual, retained,
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(
             int(rows_before),
             int(purged_rows),
@@ -1884,7 +1905,7 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _CASCADE_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame(cached[1], schema).orderBy("artifact")
+        return local_df(spark, cached[1], schema).orderBy("artifact")
 
     s, m = _CASCADE_SUBJECT, _CASCADE_MOD
     base = scratch_path(
@@ -1964,7 +1985,7 @@ def corpus_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = purge_user_cascade(spark, base, s)
     rows = [tuple(r) for r in audit.collect()]
     _CASCADE_CACHE[sf_dir] = (spark, rows)
-    return spark.createDataFrame(rows, schema).orderBy("artifact")
+    return local_df(spark, rows, schema).orderBy("artifact")
 
 
 # ------------------------------- snapshot drift monitoring (r14)
@@ -2138,7 +2159,7 @@ def corpus_purge_registry_audit(
     schema = "artifact string, registered boolean, subject_rows long"
     cached = _REG_AUDIT_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        return spark.createDataFrame(cached[1], schema).orderBy("artifact")
+        return local_df(spark, cached[1], schema).orderBy("artifact")
     s = _REG_AUDIT_SUBJECT
     base = scratch_path(
         "purge_registry_audit_" + sf_dir.strip("/").replace("/", "_")
@@ -2173,4 +2194,4 @@ def corpus_purge_registry_audit(
     )
     rows = [tuple(r) for r in audit.collect()]
     _REG_AUDIT_CACHE[sf_dir] = (spark, rows)
-    return spark.createDataFrame(rows, schema).orderBy("artifact")
+    return local_df(spark, rows, schema).orderBy("artifact")

@@ -29,6 +29,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     load_corpus,
     register,
 )
@@ -526,7 +527,7 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m, round(len(rerank_top(m) & exact_set) / float(ANN_IVF_K), 6))
         for m in ("hamming", "int8", "ivf", "lsh")
     ]
-    return spark.createDataFrame(rows, "method STRING, recall DOUBLE")
+    return local_df(spark, rows, "method STRING, recall DOUBLE")
 
 
 NPROBE_SWEEP = (1, 2, 4, 8, 16)
@@ -636,7 +637,7 @@ def metrics_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (nprobe, round(len(got & exact) / float(ANN_IVF_K), 6))
         )
-    return spark.createDataFrame(rows, "nprobe LONG, recall DOUBLE")
+    return local_df(spark, rows, "nprobe LONG, recall DOUBLE")
 
 
 HAMMING_SWEEP_C = (10, 25, 50, 100, 200)
@@ -750,7 +751,7 @@ def metrics_hamming_c_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )[:ANN_IVF_K]
         }
         rows.append((c, round(len(got & exact) / float(ANN_IVF_K), 6)))
-    return spark.createDataFrame(rows, "cand_k LONG, recall DOUBLE")
+    return local_df(spark, rows, "cand_k LONG, recall DOUBLE")
 
 
 LSH_SWEEP_RADII = (0, 1, 2, 3)
@@ -876,7 +877,7 @@ def metrics_lsh_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(len(got & exact) / float(ANN_IVF_K), 6),
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "radius LONG, candidates LONG, recall DOUBLE"
     )
 
@@ -978,7 +979,7 @@ def metrics_matryoshka_dim_sweep(
         cand = sorted(slices[d], key=lambda r: (-r["score"], r["id"]))
         got = {int(r["id"]) for r in cand[:ANN_IVF_K]}
         rows.append((d, round(len(got & exact) / float(ANN_IVF_K), 6)))
-    return spark.createDataFrame(rows, "prefix_d LONG, recall DOUBLE")
+    return local_df(spark, rows, "prefix_d LONG, recall DOUBLE")
 
 
 def _rrf_oracle(qseed: int = RRF_QSEED, terms_t: tuple = RRF_TERMS) -> str:
@@ -1436,7 +1437,7 @@ def retrieval_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = spark.read.parquet(_os.path.join(path, "termstats")).filter(
         F.col("term").isin(all_terms)
     )
-    qterm = spark.createDataFrame(
+    qterm = local_df(spark, 
         [(int(qid), tm) for qid, terms in RRF_BATCH for tm in terms],
         "qid long, term string",
     )
@@ -1622,7 +1623,7 @@ def retrieval_rrf_fusion_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tok.count()
     dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     all_terms = sorted({tm for _, terms in RRF_BATCH for tm in terms})
-    qterm = spark.createDataFrame(
+    qterm = local_df(spark, 
         [(int(qid), tm) for qid, terms in RRF_BATCH for tm in terms],
         "qid long, term string",
     )

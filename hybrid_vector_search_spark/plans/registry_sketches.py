@@ -25,7 +25,7 @@ from hybrid_vector_search_spark.functions.portable import (
     round_portable,
     round_portable_sql,
 )
-from hybrid_vector_search_spark.plans.registry import register
+from hybrid_vector_search_spark.plans.registry import local_df, register
 from hybrid_vector_search_spark.plans.registry_relational import (
     _DECON_MOD,
     _DECON_N,
@@ -597,7 +597,7 @@ def events_value_histogram_quantiles(
         ),
     )
     n = ev.agg(F.count(F.lit(1)).alias("n_rows"))
-    qs = spark.createDataFrame([(q,) for q in _HIST_QS], ["q"])
+    qs = local_df(spark, [(q,) for q in _HIST_QS], ["q"])
     ks = qs.crossJoin(n).select(
         "q",
         F.ceil(F.col("q").cast("double") * F.col("n_rows"))

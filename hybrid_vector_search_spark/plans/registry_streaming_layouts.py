@@ -31,6 +31,7 @@ from hybrid_vector_search_spark.sources.loaders import (
 )
 
 from hybrid_vector_search_spark.plans.registry import (  # noqa: E402
+    local_df,
     CORPUS_CTE,
     ORACLES,
     load_corpus,
@@ -99,7 +100,7 @@ def corpus_meta_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_corpus_meta(corpus, path)
     back = load_corpus_meta(path)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(back["N"]), int(back["D"]), bool(back["normalized"]))],
         "n LONG, d LONG, normalized BOOLEAN",
     )
@@ -146,7 +147,7 @@ def strategy_dispatch_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (name, params["type"], int(param) if param is not None else None)
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "backend STRING, index_type STRING, param LONG"
     ).orderBy("backend")
 
@@ -284,7 +285,7 @@ def harness_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STATS_CASE["filters"],
         _STATS_CASE["k"],
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 stats["method"],
@@ -1042,9 +1043,18 @@ def _bucketed_tpch_tables(
     got = _BUCKETED_TPCH.get(sf_dir)
     if got is not None and got[0] is spark:
         return got[1]
+    import hashlib
+    import inspect
+    import json as _json
     import re as _re
+    import shutil as _sh
 
-    from hybrid_vector_search_spark.scratch import scratch_path
+    from hybrid_vector_search_spark.scratch import (
+        cache_complete,
+        mark_cache_complete,
+        persistent_cache_path,
+    )
+    from hybrid_vector_search_spark.sources import bucketing as _bkt_mod
     from hybrid_vector_search_spark.sources.bucketing import (
         derive_bucket_count,
         write_bucketed,
@@ -1052,23 +1062,68 @@ def _bucketed_tpch_tables(
 
     slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
     names = (f"hvs_bkt_orders_{slug}", f"hvs_bkt_lineitem_{slug}")
+    spec = (
+        ("orders", "o_orderkey", names[0]),
+        ("lineitem", "l_orderkey", names[1]),
+    )
+    # r15: the bucketed FILES persist content-addressed across processes
+    # (streaming-dedup prebuild pattern — was 8.8 s of every bench
+    # warmup); only the catalog entries are per-session, so a warm
+    # process re-registers the same layout with two DDL statements per
+    # table (external CLUSTERED BY table over the existing location +
+    # the view). derive_bucket_count depends on defaultParallelism, so
+    # the fingerprint includes it — a different core count builds its
+    # own layout rather than inheriting a mismatched bucket count.
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        parallelism = 0
+    h = hashlib.md5(inspect.getsource(_bkt_mod).encode())
+    h.update(inspect.getsource(_bucketed_tpch_tables).encode())
+    h.update(f"|par={parallelism}|nb={n_buckets}|v1".encode())
+    base = persistent_cache_path(f"bkt_tpch_{slug}", h.hexdigest())
+    meta_path = os.path.join(base, "meta.json")
+    if cache_complete(base):
+        meta = _json.loads(open(meta_path, encoding="utf-8").read())
+        nb = int(meta["n_buckets"])
+        for table, key, tbl_name in spec:
+            phys = f"{tbl_name}__b{nb}"
+            loc = os.path.join(base, tbl_name)
+            spark.sql(f"DROP TABLE IF EXISTS {phys}")
+            spark.sql(
+                f"CREATE TABLE {phys} ({meta['ddl'][table]}) "
+                f"USING parquet CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {nb} BUCKETS LOCATION '{loc}'"
+            )
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {tbl_name} AS SELECT * FROM {phys}"
+            )
+        _BUCKETED_TPCH[sf_dir] = (spark, names)
+        return names
+    _sh.rmtree(base, ignore_errors=True)  # torn prior build
+    os.makedirs(base, exist_ok=True)
     sides = {
         table: load_table(spark, sf_dir, table)
         for table in ("orders", "lineitem")
     }
     if n_buckets is None:
         n_buckets = derive_bucket_count(spark, *sides.values())
-    for table, key, tbl_name in (
-        ("orders", "o_orderkey", names[0]),
-        ("lineitem", "l_orderkey", names[1]),
-    ):
+    ddl = {}
+    for table, key, tbl_name in spec:
         write_bucketed(
             sides[table],
             tbl_name,
             key,
             n_buckets,
-            path=scratch_path(tbl_name),
+            path=os.path.join(base, tbl_name),
         )
+        ddl[table] = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in sides[table].schema.fields
+        )
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        _json.dump({"n_buckets": int(n_buckets), "ddl": ddl}, fh)
+    mark_cache_complete(base)
     _BUCKETED_TPCH[sf_dir] = (spark, names)
     return names
 
@@ -1880,7 +1935,7 @@ def streaming_ingest_quarantine(
             # zero rows took this route on this corpus, so the sink dir
             # was never created (data-dependent): an honest zero-count
             # frame, not an AnalysisException out of the audit
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], "route string, reason string"
             )
         if route == "main":
@@ -2006,7 +2061,7 @@ def streaming_ingest_quarantine_snapshot(
 
     def _route_df(route_root, route):
         if M.current_version(route_root) < 0:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], "route string, reason string"
             )
         snap = M.read_snapshot(spark, route_root)
@@ -2043,7 +2098,7 @@ def streaming_ingest_quarantine_snapshot(
             }
         )
 
-    commits = spark.createDataFrame(
+    commits = local_df(spark, 
         [
             ("main", _batch_commits(main_root)),
             ("quarantine", _batch_commits(quar_root)),

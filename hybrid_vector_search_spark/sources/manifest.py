@@ -665,25 +665,35 @@ def _apply_logical_schema(
     out = None
     for key, grp in sorted(groups.items()):
         mapping, applicable = json.loads(key)
-        # mergeSchema: one mapping group can span schema generations
-        # (files written before/after an add-column) — without it the
-        # scan adopts a single file's physical schema and silently
-        # drops the added column from the newer files
-        df = spark.read.option("mergeSchema", "true").parquet(
+        # Explicit READ schema derived from the manifest (r15, guide
+        # §1.2/§6): the logical schema plus this group's logical→physical
+        # mapping IS the group's physical schema — commits record the
+        # writing DataFrame's schema, renames only change names, and
+        # add-column commits are metadata-only, so a file missing a
+        # declared column is exactly the "added after this file was
+        # written" case, which the parquet reader fills with typed NULLs
+        # under an explicit schema. Declaring it replaces the previous
+        # ``mergeSchema=true`` inference, which launched a DISTRIBUTED
+        # footer-merge Spark job per file group at plan-BUILD time —
+        # measured 8 jobs / ~3 s of every corpus_snapshot_cdc_apply pass
+        # before any row was computed.
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, True
+                )
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(
             *(os.path.join(root, r) for r in grp)
         )
         cols = []
         for field in schema.fields:
             phys = mapping.get(field.name, field.name)
-            if phys in df.columns:
-                cols.append(
-                    F.col(phys).cast(field.dataType).alias(field.name)
-                )
-            else:
-                # column added after these files were written
-                cols.append(
-                    F.lit(None).cast(field.dataType).alias(field.name)
-                )
+            cols.append(
+                F.col(phys).cast(field.dataType).alias(field.name)
+            )
         part = df.select(*cols)
         # subtract this group's applicable equality deletes: the key
         # sets are tiny committed parquet files (distinct deleted
@@ -3392,11 +3402,45 @@ def snapshot_changelog(
         elif op == "rewrite_manifests":
             continue  # metadata-only: rows identical by construction
         else:  # rewrite / replace / unknown: row-level symmetric diff
+            # Both diff directions from ONE ±1-tagged union + count
+            # aggregate (guide §2.3/§2.4): per distinct row, Δ = c_cur −
+            # c_prev; Δ>0 emits Δ insert copies, Δ<0 emits |Δ| delete
+            # copies — exactly exceptAll's multiset semantics (Spark's
+            # own RewriteExceptAll rule lowers exceptAll to this same
+            # tagged-union shape, but two exceptAll calls pay the scans
+            # and the count shuffle TWICE; here the insert and delete
+            # branches share one Exchange subtree, which ReuseExchange
+            # dedups at execution).
             cur_df = read_snapshot(spark, root, v)
             prev_df = read_snapshot(spark, root, v - 1)
             cols = cur_df.columns
-            emit(cur_df.exceptAll(prev_df.select(*cols)), v, "insert")
-            emit(prev_df.select(*cols).exceptAll(cur_df), v, "delete")
+            tagged = cur_df.select(
+                *cols, F.lit(1).alias("_w")
+            ).unionByName(
+                prev_df.select(*cols).select(
+                    *cols, F.lit(-1).alias("_w")
+                )
+            )
+            delta = tagged.groupBy(*cols).agg(F.sum("_w").alias("_d"))
+
+            def replicate(df: DataFrame, n_col) -> DataFrame:
+                return df.select(
+                    *cols,
+                    F.explode(
+                        F.sequence(F.lit(1), n_col.cast("int"))
+                    ).alias("_i"),
+                ).drop("_i")
+
+            emit(
+                replicate(delta.filter(F.col("_d") > 0), F.col("_d")),
+                v,
+                "insert",
+            )
+            emit(
+                replicate(delta.filter(F.col("_d") < 0), -F.col("_d")),
+                v,
+                "delete",
+            )
     return out
 
 
