@@ -97,10 +97,20 @@ class IVFIndex:
         self.centroids = centroids.astype(np.float64)
         self.id_col = id_col
         self.partitioned_path = partitioned_path
+        self._row_count: int | None = None
 
     @property
     def nlist(self) -> int:
         return int(self.centroids.shape[0])
+
+    def row_count(self) -> int:
+        """Indexed-row count, computed once per index object. The
+        assigned rows are immutable for this object's lifetime (upserts
+        build a NEW index / version), so re-running the count job per
+        costed-dispatch call was pure overhead (guide §1.2)."""
+        if self._row_count is None:
+            self._row_count = int(self.assigned.count())
+        return self._row_count
 
     @classmethod
     def build(

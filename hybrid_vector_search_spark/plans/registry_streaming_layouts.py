@@ -1272,25 +1272,96 @@ def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _BUCKETED_CORPUS.get(sf_dir)
     joined = got[1] if got is not None and got[0] is spark else None
     if joined is None:
+        # r15: bucketed corpus FILES persist content-addressed across
+        # processes (same pattern + rationale as _bucketed_tpch_tables
+        # above — this build was 9.8 s of every bench warmup); a warm
+        # process re-registers the layout with per-table DDL over the
+        # existing location, preserving the zero-shuffle join plan.
+        import hashlib
+        import inspect
+        import json as _json
         import re as _re
+        import shutil as _sh
 
-        from hybrid_vector_search_spark.scratch import scratch_path
+        from hybrid_vector_search_spark.scratch import (
+            cache_complete,
+            mark_cache_complete,
+            persistent_cache_path,
+        )
+        from hybrid_vector_search_spark.sources import (
+            bucketing as _bkt_mod,
+        )
         from hybrid_vector_search_spark.sources.bucketing import (
             bucketed_corpus_tables,
         )
 
         slug = _re.sub(r"\W+", "_", sf_dir).strip("_")
-        joined = bucketed_corpus_tables(
-            spark,
-            load_table(spark, sf_dir, "embeddings"),
-            load_table(spark, sf_dir, "documents"),
-            n_buckets=None,  # volume-derived (sources/bucketing.py)
-            prefix=f"hvs_corpus_{slug}",
-            # external location in tracked scratch: a managed table would
-            # leave its warehouse dir behind on process death and the
-            # NEXT process's overwrite hits LOCATION_ALREADY_EXISTS
-            base_path=scratch_path(f"hvs_corpus_{slug}"),
-        )
+        prefix = f"hvs_corpus_{slug}"
+        try:
+            parallelism = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no SparkContext handle
+            parallelism = 0
+        h = hashlib.md5(inspect.getsource(_bkt_mod).encode())
+        h.update(inspect.getsource(corpus_bucketed_profile).encode())
+        h.update(f"|par={parallelism}|v1".encode())
+        base = persistent_cache_path(f"bktcorpus_{slug}", h.hexdigest())
+        meta_path = os.path.join(base, "meta.json")
+        if cache_complete(base):
+            meta = _json.loads(open(meta_path, encoding="utf-8").read())
+            nb = int(meta["n_buckets"])
+            for side in ("embeddings", "documents"):
+                tbl = f"{prefix}_{side}"
+                phys = f"{tbl}__b{nb}"
+                loc = os.path.join(base, tbl)
+                spark.sql(f"DROP TABLE IF EXISTS {phys}")
+                spark.sql(
+                    f"CREATE TABLE {phys} ({meta['ddl'][side]}) "
+                    f"USING parquet CLUSTERED BY (id) SORTED BY (id) "
+                    f"INTO {nb} BUCKETS LOCATION '{loc}'"
+                )
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {tbl} "
+                    f"AS SELECT * FROM {phys}"
+                )
+            joined = spark.table(f"{prefix}_embeddings").join(
+                spark.table(f"{prefix}_documents"), "id", "left"
+            )
+        else:
+            _sh.rmtree(base, ignore_errors=True)  # torn prior build
+            os.makedirs(base, exist_ok=True)
+            emb = load_table(spark, sf_dir, "embeddings")
+            docs = load_table(spark, sf_dir, "documents")
+            joined = bucketed_corpus_tables(
+                spark,
+                emb,
+                docs,
+                n_buckets=None,  # volume-derived (sources/bucketing.py)
+                prefix=prefix,
+                base_path=base,
+            )
+            ddl = {
+                "embeddings": ", ".join(
+                    f"{'id' if f.name == 'vec_id' else f.name} "
+                    f"{f.dataType.simpleString()}"
+                    for f in emb.schema.fields
+                ),
+                "documents": ", ".join(
+                    f"{'id' if f.name == 'doc_id' else f.name} "
+                    f"{f.dataType.simpleString()}"
+                    for f in docs.schema.fields
+                ),
+            }
+            # recover the derived bucket count from the physical table
+            # name the view points at (…__b<n>)
+            from hybrid_vector_search_spark.sources.bucketing import (
+                _view_backing,
+            )
+
+            phys = _view_backing(spark, f"{prefix}_embeddings")
+            nb = int(phys.rsplit("__b", 1)[1])
+            with open(meta_path, "w", encoding="utf-8") as fh:
+                _json.dump({"n_buckets": nb, "ddl": ddl}, fh)
+            mark_cache_complete(base)
         _BUCKETED_CORPUS[sf_dir] = (spark, joined)
     return (
         joined.groupBy("label", "lang")

@@ -604,7 +604,7 @@ def ann_serve_or_plan(
     if max_probe_bytes is None:
         max_probe_bytes = IVFIndex.SERVE_CACHE_BYTES
     if n is None:
-        n = index.assigned.count()
+        n = index.row_count()
     d = int(index.centroids.shape[1])
     est = int(n / max(index.nlist, 1) * int(nprobe)) * (d * 8 + 8)
     route = (
