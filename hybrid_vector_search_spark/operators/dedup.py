@@ -75,34 +75,56 @@ def rolling_hash(col: Column | str) -> Column:
     modular arithmetic, bit-identical in any engine.
 
     Implemented as a vectorized Arrow UDF: ``h = Σ code_i · 31^(n-1-i)
-    mod P`` with a cached power table, one NumPy pass per document. (The
-    pure-SQL fold — :func:`rolling_hash_hof` — evaluates an interpreted
-    lambda with a substring per character, ~20× slower; UDF wins here
-    because modular folds can't stay in codegen.)
+    mod P`` with a cached power table, one segmented NumPy pass per
+    BATCH (r15, guide §4.2): the whole batch is joined into one code
+    array (utf-32 is one unit per code point, so concatenation is
+    exact) and per-document sums come from ``np.add.reduceat`` over
+    document start offsets — no per-row Python loop. (The pure-SQL
+    fold — :func:`rolling_hash_hof` — evaluates an interpreted lambda
+    with a substring per character, ~20× slower; UDF wins here because
+    modular folds can't stay in codegen.)
     """
     c = normalized_text(col)
 
     @F.pandas_udf(T.LongType())
     def _rhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         pows = [1]  # 31^k mod P, grown to the longest doc seen
+        pow_arr = np.asarray(pows, dtype=np.int64)
 
-        def ensure(n: int):
-            while len(pows) < n:
-                pows.append((pows[-1] * ROLLING_MULT) % ROLLING_P)
+        def ensure(n: int) -> np.ndarray:
+            nonlocal pow_arr
+            if len(pows) < n:
+                while len(pows) < n:
+                    pows.append((pows[-1] * ROLLING_MULT) % ROLLING_P)
+                pow_arr = np.asarray(pows, dtype=np.int64)
+            return pow_arr
 
         for batch in it:
-            out = np.zeros(len(batch), dtype=np.int64)
-            for i, s in enumerate(batch):
-                if s is None or len(s) == 0:
-                    continue
+            m = len(batch)
+            out = np.zeros(m, dtype=np.int64)
+            strs = ["" if s is None else s for s in batch]
+            lens = np.fromiter(
+                (len(s) for s in strs), dtype=np.int64, count=m
+            )
+            total = int(lens.sum())
+            if total:
                 codes = np.frombuffer(
-                    s.encode("utf-32-le"), dtype=np.uint32
+                    "".join(strs).encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
-                n = len(codes)
-                ensure(n)
-                p = np.asarray(pows[:n], dtype=np.int64)[::-1]
-                # each term < P (~1e9); int64 sum safe to ~9e9 terms
-                out[i] = int(((codes % ROLLING_P) * p % ROLLING_P).sum()) % ROLLING_P
+                p = ensure(int(lens.max()))
+                starts = np.zeros(m, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                # weight of position j in a doc of length n: 31^(n-1-j)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    starts, lens
+                )
+                widx = np.repeat(lens - 1, lens) - within
+                # each term < P (~1e9); int64 sums safe to ~9e9 terms
+                terms = (codes % ROLLING_P) * p[widx] % ROLLING_P
+                nz = lens > 0
+                out[nz] = (
+                    np.add.reduceat(terms, starts[nz]) % ROLLING_P
+                )
             yield pd.Series(out)
 
     return _rhash(c)
@@ -732,17 +754,58 @@ def simhash(
                 memo[t] = v
             return v
 
+        # r15 (guide §4.2): votes for a whole slab of documents in one
+        # (tokens × bits) matrix + np.add.reduceat over doc offsets —
+        # no per-row numpy calls. Slabs are bounded by token count so
+        # the vote matrix stays ~100 MB even at the 60-bit width.
+        max_slab_tokens = 1 << 18
+
         for batch in it:
-            out = np.zeros(len(batch), dtype=np.int64)
-            for i, s in enumerate(batch):
-                if s is None:
-                    continue
-                toks = ws.sub(" ", s.lower()).strip().split(" ")
-                hs = np.fromiter(
-                    (h(t) for t in toks), dtype=np.int64, count=len(toks)
-                )
-                votes = (((hs[:, None] >> bit_idx) & 1) * 2 - 1).sum(0)
-                out[i] = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+            m = len(batch)
+            out = np.zeros(m, dtype=np.int64)
+            toks_per_doc = [
+                None
+                if s is None
+                else ws.sub(" ", s.lower()).strip().split(" ")
+                for s in batch
+            ]
+            counts = np.fromiter(
+                (0 if t is None else len(t) for t in toks_per_doc),
+                dtype=np.int64,
+                count=m,
+            )
+            i = 0
+            while i < m:
+                j, tot = i, 0
+                while j < m and (
+                    tot == 0 or tot + counts[j] <= max_slab_tokens
+                ):
+                    tot += int(counts[j])
+                    j += 1
+                if tot:
+                    hs = np.fromiter(
+                        (
+                            h(t)
+                            for doc in toks_per_doc[i:j]
+                            if doc is not None
+                            for t in doc
+                        ),
+                        dtype=np.int64,
+                        count=tot,
+                    )
+                    slab_counts = counts[i:j]
+                    starts = np.zeros(j - i, dtype=np.int64)
+                    np.cumsum(slab_counts[:-1], out=starts[1:])
+                    terms = ((hs[:, None] >> bit_idx) & 1) * 2 - 1
+                    nz = slab_counts > 0
+                    votes = np.add.reduceat(terms, starts[nz], axis=0)
+                    out_nz = (
+                        (votes > 0).astype(np.int64) << bit_idx
+                    ).sum(1)
+                    sel = np.flatnonzero(nz) + i
+                    out[sel] = out_nz
+                i = j
+            # None docs keep fingerprint 0 (the pre-r15 behavior)
             yield pd.Series(out)
 
     return _spread(docs).select(

@@ -1156,27 +1156,86 @@ def corpus_snapshot_upsert_rows(
         )
         M.commit_upsert_rows(root, batch, "id", n_files=1)
         _UPSERT_ROWS_CACHE[sf_dir] = (spark, root)
-    parts = []
-    for v in (1, 2):
-        n_data = len(M.snapshot_files(root, v)[1])
-        n_del = len(M.snapshot_delete_files(root, v))
-        parts.append(
-            M.read_snapshot(spark, root, v)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("id").alias("sum_id"),
-                F.sum("label").alias("sum_label"),
-            )
-            .select(
-                F.lit(v).alias("version"),
-                F.lit(n_data).alias("data_files"),
-                F.lit(n_del).alias("delete_files"),
-                "n_rows",
-                "sum_id",
-                "sum_label",
-            )
+    # r15 fused proof pass (guide §1.2/§2.4): the old shape unioned
+    # agg(read_snapshot(1)) with agg(read_snapshot(2)), scanning v1's
+    # files TWICE (once alone, once inside v2's merge-on-read). This
+    # root's history is scripted by the builder above — v2 is exactly
+    # (v1 minus the delete keys) ∪ the one new data file — so ONE
+    # tagged union scan (v1 files tagged 0, the new file tagged 1)
+    # left-joined against the broadcast delete keys computes both
+    # versions' aggregates as conditional sums of a single
+    # aggregation, and the two result rows come off that scalar row
+    # via an explode — no second execution of any subtree, no join
+    # for the fan-out. The delete-keys read declares its schema from
+    # the snapshot's logical schema (no footer-inference job at
+    # per-pass plan build). Equivalence to the read_snapshot-based
+    # form is pinned by tests/test_r15_vectorized_kernels.py and the
+    # value-hash oracle.
+    import pyspark.sql.types as T
+
+    v1_files = M.snapshot_files(root, 1)[1]
+    v2_files = M.snapshot_files(root, 2)[1]
+    new_files = [f for f in v2_files if f not in set(v1_files)]
+    del_entries = M.snapshot_delete_files(root, 2)
+    n_del_v1 = len(M.snapshot_delete_files(root, 1))
+    scan12 = M.read_snapshot(spark, root, 1)
+    field_of = {f.name: f for f in scan12.schema.fields}
+    keys = None
+    for d in del_entries:
+        k = spark.read.schema(
+            T.StructType([field_of[d["column"]]])
+        ).parquet(os.path.join(root, d["path"]))
+        keys = k if keys is None else keys.unionByName(k)
+    tagged = scan12.withColumn("_new", F.lit(0)).unionByName(
+        spark.read.schema(scan12.schema)
+        .parquet(*new_files)
+        .withColumn("_new", F.lit(1))
+    )
+    flagged = (
+        tagged.join(
+            F.broadcast(keys.distinct().withColumn("_del", F.lit(1))),
+            on="id",
+            how="left",
         )
-    return parts[0].unionByName(parts[1]).orderBy("version")
+        if keys is not None
+        else tagged.withColumn("_del", F.lit(None).cast("int"))
+    )
+    in_v1 = F.col("_new") == 0
+    in_v2 = (F.col("_new") == 1) | F.col("_del").isNull()
+    agg = flagged.agg(
+        F.count(F.when(in_v1, F.lit(1))).alias("v1_rows"),
+        F.sum(F.when(in_v1, F.col("id"))).alias("v1_sum_id"),
+        F.sum(F.when(in_v1, F.col("label"))).alias("v1_sum_label"),
+        F.count(F.when(in_v2, F.lit(1))).alias("v2_rows"),
+        F.sum(F.when(in_v2, F.col("id"))).alias("v2_sum_id"),
+        F.sum(F.when(in_v2, F.col("label"))).alias("v2_sum_label"),
+    )
+    is_v1 = F.col("version") == 1
+    return (
+        agg.select(
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("version"),
+            "*",
+        )
+        .select(
+            "version",
+            F.when(is_v1, F.lit(len(v1_files)))
+            .otherwise(F.lit(len(v2_files)))
+            .alias("data_files"),
+            F.when(is_v1, F.lit(n_del_v1))
+            .otherwise(F.lit(len(del_entries)))
+            .alias("delete_files"),
+            F.when(is_v1, F.col("v1_rows"))
+            .otherwise(F.col("v2_rows"))
+            .alias("n_rows"),
+            F.when(is_v1, F.col("v1_sum_id"))
+            .otherwise(F.col("v2_sum_id"))
+            .alias("sum_id"),
+            F.when(is_v1, F.col("v1_sum_label"))
+            .otherwise(F.col("v2_sum_label"))
+            .alias("sum_label"),
+        )
+        .orderBy("version")
+    )
 
 
 _ZORDER_CACHE: dict[str, tuple[SparkSession, str]] = {}
