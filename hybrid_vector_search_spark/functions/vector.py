@@ -61,11 +61,26 @@ def dot_score_column(
     Arrow transfer across the query set). Sums run sequentially in
     float64, bit-matching DuckDB's ``list_dot_product`` summation order
     even more closely than numpy's pairwise reduction."""
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     # elementwise cast INSIDE the zip_with lambda, not an array-level
     # cast: `.cast("array<double>")` materializes an intermediate array
     # per row before the product array — dropping it is a measured 25%
-    # on the reference-shape full scan (318→240 ms, identical results)
+    # on the reference-shape full scan (318→240 ms, identical results).
+    # r15 (guide §1.2): the whole expression is parsed from ONE SQL
+    # string — the previous Column-API construction paid one py4j
+    # round-trip per element (64 lit() calls + array + two lambdas,
+    # measured 85 ms per plan BUILD vs 0.4 ms for the parse; identical
+    # analyzed expression, strict-equality-checked on random vectors).
+    # Literal doubles round-trip exactly: repr() emits the shortest
+    # decimal that parses back to the same float64 in both engines.
+    vals = [float(x) for x in qvec]
+    if all(math.isfinite(v) for v in vals):
+        lits = ", ".join(repr(v) + "D" for v in vals)
+        return F.expr(
+            f"aggregate(zip_with(`{embedding_col}`, array({lits}), "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+    qlit = F.array(*[F.lit(v) for v in vals])
     return F.aggregate(
         F.zip_with(
             F.col(embedding_col),

@@ -1171,20 +1171,15 @@ def corpus_snapshot_upsert_rows(
     # per-pass plan build). Equivalence to the read_snapshot-based
     # form is pinned by tests/test_r15_vectorized_kernels.py and the
     # value-hash oracle.
-    import pyspark.sql.types as T
-
     v1_files = M.snapshot_files(root, 1)[1]
     v2_files = M.snapshot_files(root, 2)[1]
     new_files = [f for f in v2_files if f not in set(v1_files)]
     del_entries = M.snapshot_delete_files(root, 2)
     n_del_v1 = len(M.snapshot_delete_files(root, 1))
     scan12 = M.read_snapshot(spark, root, 1)
-    field_of = {f.name: f for f in scan12.schema.fields}
     keys = None
     for d in del_entries:
-        k = spark.read.schema(
-            T.StructType([field_of[d["column"]]])
-        ).parquet(os.path.join(root, d["path"]))
+        k = M._read_delete_keys(spark, root, d["path"], d["column"])
         keys = k if keys is None else keys.unionByName(k)
     tagged = scan12.withColumn("_new", F.lit(0)).unionByName(
         spark.read.schema(scan12.schema)
@@ -1276,16 +1271,20 @@ def corpus_snapshot_zorder_scan(
     from hybrid_vector_search_spark.sources import manifest as M
 
     cached = _ZORDER_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label"
-    )
-    bounds = emb.agg(
-        F.max("vec_id"), F.min("label"), F.max("label")
-    ).first()  # bounded: one row
-    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
-    zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
-    if root is None:
+    if cached is not None and cached[0] is spark:
+        _sp, root, n = cached
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        # bounds are builder-only inputs to the committed layout —
+        # derived once with the root (r15, guide §1.2), not re-run as
+        # a per-pass driver job
+        bounds = emb.agg(
+            F.max("vec_id"), F.min("label"), F.max("label")
+        ).first()  # bounded: one row
+        n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
+        zcols = [("vec_id", 0, n - 1), ("label", lab_lo, lab_hi)]
         root = scratch_path(
             "snap_zorder_" + sf_dir.strip("/").replace("/", "_")
         )
@@ -1294,7 +1293,7 @@ def corpus_snapshot_zorder_scan(
             emb.withColumn("zb", M.zorder_bucket(zcols, 4)),
             "zb",
         )
-        _ZORDER_CACHE[sf_dir] = (spark, root)
+        _ZORDER_CACHE[sf_dir] = (spark, root, n)
     w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
     _v, kept_vec, total = M.snapshot_files_pruned(
         root, "vec_id", w_lo, w_hi
@@ -1363,15 +1362,18 @@ def corpus_snapshot_optimize_zorder(
     from hybrid_vector_search_spark.sources import manifest as M
 
     cached = _OPTIMIZE_Z_CACHE.get(sf_dir)
-    root = cached[1] if cached is not None and cached[0] is spark else None
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label"
-    )
-    bounds = emb.agg(
-        F.max("vec_id"), F.min("label"), F.max("label")
-    ).first()  # bounded: one row
-    n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
-    if root is None:
+    if cached is not None and cached[0] is spark:
+        _sp, root, n = cached
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        # builder-only bounds, derived once with the root (r15,
+        # guide §1.2) instead of a per-pass driver job
+        bounds = emb.agg(
+            F.max("vec_id"), F.min("label"), F.max("label")
+        ).first()  # bounded: one row
+        n, lab_lo, lab_hi = bounds[0] + 1, bounds[1], bounds[2]
         root = scratch_path(
             "snap_optz_" + sf_dir.strip("/").replace("/", "_")
         )
@@ -1387,7 +1389,7 @@ def corpus_snapshot_optimize_zorder(
             ),
             "zb",
         )
-        _OPTIMIZE_Z_CACHE[sf_dir] = (spark, root)
+        _OPTIMIZE_Z_CACHE[sf_dir] = (spark, root, n)
     w_lo, w_hi = (3 * n) // 8, (5 * n) // 8 - 1
     preds = [("vec_id", w_lo, w_hi), ("label", 3, 3)]
     parts = []
@@ -2109,7 +2111,7 @@ def corpus_snapshot_drift_psi(
 
     cached = _DRIFT_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        root = cached[1]
+        _sp, root, t1, t2, k = cached
     else:
         root = scratch_path(
             "snap_drift_" + sf_dir.strip("/").replace("/", "_")
@@ -2119,11 +2121,25 @@ def corpus_snapshot_drift_psi(
         )
         M.commit_append(root, emb.filter(F.col("vec_id") % 5 != 0), n_files=2)
         M.commit_append(root, emb.filter(F.col("vec_id") % 5 == 0), n_files=2)
-        _DRIFT_CACHE[sf_dir] = (spark, root)
+        # snapshot totals and label cardinality are properties of the
+        # two PINNED versions just committed — immutable for the life
+        # of the root, so they are derived once here (one aggregate
+        # per version) instead of re-running three count jobs on every
+        # pass (r15, guide §1.2 — the same builder-only-value rule as
+        # the pruned-scan family's cached max id)
+        t1 = M.read_snapshot(spark, root, 1).count()
+        row = (
+            M.read_snapshot(spark, root, 2)
+            .agg(
+                F.count(F.lit(1)).alias("t2"),
+                F.countDistinct("label").alias("k"),
+            )
+            .first()
+        )
+        t2, k = row["t2"], row["k"]
+        _DRIFT_CACHE[sf_dir] = (spark, root, t1, t2, k)
     s1 = M.read_snapshot(spark, root, 1)
     s2 = M.read_snapshot(spark, root, 2)
-    t1, t2 = s1.count(), s2.count()
-    k = s2.select("label").distinct().count()
     g = round_portable(
         F.element_at("embedding", 1).cast("double"), 6
     )

@@ -698,9 +698,26 @@ def events_value_drift_sketches(
     from hybrid_vector_search_spark.scratch import scratch_path
     from hybrid_vector_search_spark.sources import manifest as M
 
+    def _binned(sk):
+        ref = (
+            sk.filter(F.col("day") < _VDRIFT_SPLIT)
+            .groupBy("bin")
+            .agg(F.sum("c").alias("n_ref"))
+        )
+        cur = (
+            sk.filter(F.col("day") >= _VDRIFT_SPLIT)
+            .groupBy("bin")
+            .agg(F.sum("c").alias("n_cur"))
+        )
+        return ref.join(cur, "bin", "full_outer").select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+
     cached = _VDRIFT_CACHE.get(sf_dir)
     if cached is not None and cached[0] is spark:
-        root = cached[1]
+        _sp, root, tr, tc, k = cached
     else:
         root = scratch_path(
             "vdrift_" + sf_dir.strip("/").replace("/", "_")
@@ -719,29 +736,18 @@ def events_value_drift_sketches(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         M.commit_append(root, h)
-        _VDRIFT_CACHE[sf_dir] = (spark, root)
-    sk = M.read_snapshot(spark, root)  # the ONLY input below
-    ref = (
-        sk.filter(F.col("day") < _VDRIFT_SPLIT)
-        .groupBy("bin")
-        .agg(F.sum("c").alias("n_ref"))
-    )
-    cur = (
-        sk.filter(F.col("day") >= _VDRIFT_SPLIT)
-        .groupBy("bin")
-        .agg(F.sum("c").alias("n_cur"))
-    )
-    joined = ref.join(cur, "bin", "full_outer").select(
-        "bin",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-    )
-    tot = joined.agg(
-        F.sum("n_ref").alias("tr"),
-        F.sum("n_cur").alias("tc"),
-        F.count(F.lit(1)).alias("k"),
-    ).first()
-    tr, tc, k = int(tot["tr"]), int(tot["tc"]), int(tot["k"])
+        # window totals and bin cardinality are properties of the
+        # committed sketch store — derived once with the root (r15,
+        # guide §1.2) instead of re-running a scalar-aggregate job on
+        # every pass
+        tot = _binned(M.read_snapshot(spark, root)).agg(
+            F.sum("n_ref").alias("tr"),
+            F.sum("n_cur").alias("tc"),
+            F.count(F.lit(1)).alias("k"),
+        ).first()
+        tr, tc, k = int(tot["tr"]), int(tot["tc"]), int(tot["k"])
+        _VDRIFT_CACHE[sf_dir] = (spark, root, tr, tc, k)
+    joined = _binned(M.read_snapshot(spark, root))
     pr = (F.col("n_ref") + 1).cast("double") / F.lit(float(tr + k))
     pc = (F.col("n_cur") + 1).cast("double") / F.lit(float(tc + k))
     from hybrid_vector_search_spark.functions.portable import (

@@ -563,6 +563,28 @@ def snapshot_delete_files(root: str, version: int | None = None) -> list[dict]:
     return list(_read_manifest(root, v).get("delete_files", []))
 
 
+_DELETE_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def _read_delete_keys(spark, root: str, rel: str, col_name: str):
+    """Read one committed delete-key file, presenting its single column
+    as ``col_name``. Delete files are immutable once committed (written
+    under a fresh ``deletes/<uuid>/`` dir with ``errorifexists``), so
+    the FILE SCHEMA is memoized per absolute path: without this, every
+    plan build over a snapshot with live deletes ran a distributed
+    parquet footer-inference job per delete file before any row was
+    computed (guide §1.2 — measured 2 build-time jobs of every
+    corpus_snapshot_cdc_apply pass). First read per process still
+    infers; the memo only skips re-inference of an immutable footer,
+    never any data."""
+    path = os.path.join(root, rel)
+    st = _DELETE_SCHEMA_MEMO.get(path)
+    if st is None:
+        st = spark.read.parquet(path).schema
+        _DELETE_SCHEMA_MEMO[path] = st
+    return spark.read.schema(st).parquet(path).toDF(col_name)
+
+
 def _live_delete_files(
     files: list[str], added_versions: dict, delete_files: list[dict]
 ) -> list[dict]:
@@ -707,7 +729,7 @@ def _apply_logical_schema(
             keys = None
             for p in paths:  # per-file read: physical key-column names
                 # can differ across delete epochs (renames compose)
-                k = spark.read.parquet(os.path.join(root, p)).toDF(col_name)
+                k = _read_delete_keys(spark, root, p, col_name)
                 keys = k if keys is None else keys.unionByName(k)
             part = part.join(
                 F.broadcast(keys.distinct()), on=col_name, how="left_anti"
@@ -3387,9 +3409,9 @@ def snapshot_changelog(
             ]
             base = read_snapshot(spark, root, v - 1)
             for d in new_dels:
-                keys = spark.read.parquet(
-                    os.path.join(root, d["path"])
-                ).toDF(d["column"])
+                keys = _read_delete_keys(
+                    spark, root, d["path"], d["column"]
+                )
                 emit(
                     base.join(
                         F.broadcast(keys), on=d["column"], how="left_semi"
