@@ -39,6 +39,32 @@ def ensure_unit_l2(qvec: Sequence[float], tol: float = 1e-3) -> np.ndarray:
     return v
 
 
+def double_array_lit(vals: Sequence[float]) -> Column:
+    """A double-array literal Column built from ONE SQL parse instead
+    of one ``F.lit`` py4j round-trip per element (r15, guide §1.2 —
+    ~1 ms of driver chatter per element adds up in per-pass plan
+    builds). ``repr`` emits the shortest decimal that parses back to
+    the same float64, so values are bit-identical to the lit() path;
+    non-finite values fall back to the Column API."""
+    fv = [float(v) for v in vals]
+    if fv and all(math.isfinite(v) for v in fv):
+        return F.expr(
+            "array(" + ", ".join(repr(v) + "D" for v in fv) + ")"
+        )
+    return F.array(*[F.lit(v) for v in fv])
+
+
+def long_array_lit(vals: Sequence[int]) -> Column:
+    """Long-array literal Column from one SQL parse (see
+    :func:`double_array_lit`)."""
+    iv = [int(v) for v in vals]
+    if iv:
+        return F.expr(
+            "array(" + ", ".join(f"{v}L" for v in iv) + ")"
+        )
+    return F.array(*[F.lit(v).cast("long") for v in iv])
+
+
 def dot_score_column(
     qvec: Sequence[float], embedding_col: str = "embedding"
 ):
@@ -197,7 +223,7 @@ def dot_score_sql(embedding: Column | str, qvec: Sequence[float]) -> Column:
     """Pure-SQL inner product against a literal query vector via
     ``zip_with`` + ``aggregate`` (stays in whole-stage codegen)."""
     emb = F.col(embedding) if isinstance(embedding, str) else embedding
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qlit = double_array_lit(qvec)  # one parse, not |q| lit() calls
     prods = F.zip_with(
         emb.cast(T.ArrayType(T.DoubleType())), qlit, lambda x, y: x * y
     )

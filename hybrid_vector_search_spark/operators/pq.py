@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hybrid_vector_search_spark.functions.vector import double_array_lit
 from hybrid_vector_search_spark.queryvecs import query_vector, sql_array_literal
 
 PQ_M = 4          # subspaces
@@ -104,7 +105,9 @@ def adc_score_col(
     luts = [codebooks[mi].astype(np.float64) @ q[mi] for mi in range(m)]
     terms = [
         F.element_at(
-            F.array(*[F.lit(float(v)) for v in luts[mi]]),
+            # one SQL parse per LUT instead of ks lit() round trips
+            # (m×ks literals per plan build otherwise — guide §1.2)
+            double_array_lit(luts[mi]),
             F.col(codes_col)[mi] + 1,
         )
         for mi in range(m)

@@ -1702,12 +1702,13 @@ def _int8_rerank_plan(
 
     from hybrid_vector_search_spark.functions.vector import (
         dot_score_sql,
+        long_array_lit,
         quantize_int8_col,
     )
 
     q = query_vector(seed)
     q8 = [int(np.floor(x * 127.0 + 0.5)) for x in q]
-    q8lit = F.array(*[F.lit(v).cast("long") for v in q8])
+    q8lit = long_array_lit(q8)  # one parse, not 64 lit() round trips
     iscore = F.aggregate(
         F.zip_with(
             quantize_int8_col("embedding").cast("array<long>"),
@@ -1858,11 +1859,14 @@ def ann_matryoshka_rerank_topk(
     reranks but cutting DIMENSIONS instead of precision; the prefix dot
     is a pure function of the embedding, so the oracle replays slice,
     ranking, and rerank exactly (ties by id at both stages)."""
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        double_array_lit,
+    )
 
     q = query_vector(MATRYOSHKA_QSEED)
     emb = load_table(spark, sf_dir, "embeddings")
-    qp = F.array(*[F.lit(float(x)) for x in q[: MATRYOSHKA_D]])
+    qp = double_array_lit(q[: MATRYOSHKA_D])
     pscore = F.aggregate(
         F.zip_with(
             F.slice(F.col("embedding"), 1, MATRYOSHKA_D),

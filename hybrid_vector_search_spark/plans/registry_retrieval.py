@@ -464,6 +464,7 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hybrid_vector_search_spark.functions.vector import (
         dot_score_sql,
+        long_array_lit,
         sign_pack_value,
     )
     from hybrid_vector_search_spark.operators import lsh as LSH
@@ -478,7 +479,7 @@ def metrics_recall_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     iscore = F.aggregate(
         F.zip_with(
             F.col("i8"),
-            F.array(*[F.lit(v).cast("long") for v in q8]),
+            long_array_lit(q8),  # one parse, not 64 lit() round trips
             lambda x, y: x * y,
         ),
         F.lit(0).cast("long"),
@@ -942,14 +943,17 @@ def metrics_matryoshka_dim_sweep(
     set intersections."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from hybrid_vector_search_spark.functions.vector import dot_score_sql
+    from hybrid_vector_search_spark.functions.vector import (
+        dot_score_sql,
+        double_array_lit,
+    )
 
     q = query_vector(MATRYOSHKA_SWEEP_QSEED)
     base = _quantized_corpus(spark, sf_dir)
     score = dot_score_sql("embedding", q).alias("score")
 
     def pscore(d):
-        qp = F.array(*[F.lit(float(x)) for x in q[:d]])
+        qp = double_array_lit(q[:d])  # one parse per rung
         return F.aggregate(
             F.zip_with(
                 F.slice(F.col("embedding"), 1, d),
