@@ -710,13 +710,17 @@ def _apply_logical_schema(
         df = spark.read.schema(read_schema).parquet(
             *(os.path.join(root, r) for r in grp)
         )
-        cols = []
-        for field in schema.fields:
-            phys = mapping.get(field.name, field.name)
-            cols.append(
-                F.col(phys).cast(field.dataType).alias(field.name)
+        # one selectExpr parse instead of a col/cast/alias py4j chain
+        # per field (r15, guide §1.2 — this select is built on every
+        # per-pass snapshot read); backtick quoting also keeps physical
+        # names with dots from being read as nested access
+        part = df.selectExpr(
+            *(
+                f"CAST(`{mapping.get(f.name, f.name)}` AS "
+                f"{f.dataType.simpleString()}) AS `{f.name}`"
+                for f in schema.fields
             )
-        part = df.select(*cols)
+        )
         # subtract this group's applicable equality deletes: the key
         # sets are tiny committed parquet files (distinct deleted
         # values), so each anti-join broadcasts the delete side —
