@@ -45,6 +45,13 @@ from hybrid_vector_search_spark.sources.loaders import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Names registered with side_effects=True (streaming drains, roundtrip
+# landings, driver-side escalation loops): exempt from the prepared-plan
+# memo, so their bench numbers time a fresh side-effecting pass — the
+# bench tags them in BENCH_DETAIL.json so per-query figures are
+# self-describing (r15 VERDICT "what's wrong" #2 / next #7).
+SIDE_EFFECT_QUERIES: set[str] = set()
+
 # Session-resident hybrid corpus, keyed like every artifact cache.
 # Reference parity: its harness loads the vector matrix + metadata into
 # RAM once at startup (artifacts/artifacts.py:180-181) and every query
@@ -118,6 +125,13 @@ def invalidate_caches() -> None:
                         except Exception:  # session already stopped
                             pass
         cache.clear()
+    # the manifest layer's snapshot-plan memo (r16) is part of the same
+    # refresh contract: built plans pin file listings at build time
+    from hybrid_vector_search_spark.sources.manifest import (
+        invalidate_snapshot_plans,
+    )
+
+    invalidate_snapshot_plans()
 
 
 def register(
@@ -130,6 +144,7 @@ def register(
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if side_effects:
+            SIDE_EFFECT_QUERIES.add(name)
             QUERIES[name] = fn
         else:
 

@@ -87,6 +87,7 @@ def _hnsw_persisted_index(spark: SparkSession, sf_dir: str):
     from hybrid_vector_search_spark.operators.hnsw import HNSWIndex
     from hybrid_vector_search_spark.scratch import (
         cache_complete,
+        data_fingerprint,
         mark_cache_complete,
         persistent_cache_path,
     )
@@ -102,6 +103,7 @@ def _hnsw_persisted_index(spark: SparkSession, sf_dir: str):
     h = hashlib.md5(inspect.getsource(_hnsw_mod).encode())
     h.update(inspect.getsource(_loaders.spread).encode())
     h.update(f"|par={parallelism}|v1".encode())
+    h.update(("|data=" + data_fingerprint(sf_dir)).encode())
     path = persistent_cache_path(
         "hnsw_" + sf_dir.strip("/").replace("/", "_"), h.hexdigest()
     )

@@ -344,6 +344,7 @@ def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hybrid_vector_search_spark.scratch import (
         cache_complete,
+        data_fingerprint,
         mark_cache_complete,
         persistent_cache_path,
     )
@@ -352,9 +353,9 @@ def _parity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PARITY_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
-    fp = hashlib.md5(
-        inspect.getsource(_parity_corpus).encode()
-    ).hexdigest()
+    _h = hashlib.md5(inspect.getsource(_parity_corpus).encode())
+    _h.update(("|data=" + data_fingerprint(sf_dir)).encode())
+    fp = _h.hexdigest()
     path = persistent_cache_path(
         "parity_corpus_" + sf_dir.strip("/").replace("/", "_"), fp
     )
@@ -643,6 +644,7 @@ def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hybrid_vector_search_spark.operators import lsh as LSH
     from hybrid_vector_search_spark.scratch import (
         cache_complete,
+        data_fingerprint,
         mark_cache_complete,
         persistent_cache_path,
     )
@@ -655,6 +657,7 @@ def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     h.update(inspect.getsource(LSH).encode())
     h.update(inspect.getsource(_quantized_corpus).encode())
     h.update(inspect.getsource(_ann_ivf_centroids).encode())
+    h.update(("|data=" + data_fingerprint(sf_dir)).encode())
     path = persistent_cache_path(
         "quant_corpus_" + sf_dir.strip("/").replace("/", "_"),
         h.hexdigest(),

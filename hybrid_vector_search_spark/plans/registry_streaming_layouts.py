@@ -1051,6 +1051,7 @@ def _bucketed_tpch_tables(
 
     from hybrid_vector_search_spark.scratch import (
         cache_complete,
+        data_fingerprint,
         mark_cache_complete,
         persistent_cache_path,
     )
@@ -1081,6 +1082,7 @@ def _bucketed_tpch_tables(
     h = hashlib.md5(inspect.getsource(_bkt_mod).encode())
     h.update(inspect.getsource(_bucketed_tpch_tables).encode())
     h.update(f"|par={parallelism}|nb={n_buckets}|v1".encode())
+    h.update(("|data=" + data_fingerprint(sf_dir)).encode())
     base = persistent_cache_path(f"bkt_tpch_{slug}", h.hexdigest())
     meta_path = os.path.join(base, "meta.json")
     if cache_complete(base):
@@ -1193,13 +1195,14 @@ def _events_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
 
     from hybrid_vector_search_spark.scratch import (
         cache_complete,
+        data_fingerprint,
         mark_cache_complete,
         persistent_cache_path,
     )
 
-    fp = hashlib.md5(
-        inspect.getsource(_events_day_partitioned).encode()
-    ).hexdigest()
+    _h = hashlib.md5(inspect.getsource(_events_day_partitioned).encode())
+    _h.update(("|data=" + data_fingerprint(sf_dir)).encode())
+    fp = _h.hexdigest()
     path = persistent_cache_path(
         "events_by_day_" + sf_dir.strip("/").replace("/", "_"), fp
     )
@@ -1285,6 +1288,7 @@ def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from hybrid_vector_search_spark.scratch import (
             cache_complete,
+            data_fingerprint,
             mark_cache_complete,
             persistent_cache_path,
         )
@@ -1304,6 +1308,7 @@ def corpus_bucketed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = hashlib.md5(inspect.getsource(_bkt_mod).encode())
         h.update(inspect.getsource(corpus_bucketed_profile).encode())
         h.update(f"|par={parallelism}|v1".encode())
+        h.update(("|data=" + data_fingerprint(sf_dir)).encode())
         base = persistent_cache_path(f"bktcorpus_{slug}", h.hexdigest())
         meta_path = os.path.join(base, "meta.json")
         if cache_complete(base):
@@ -1513,7 +1518,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         root = persistent_cache_path(
             "sdingest_" + sf_dir.strip("/").replace("/", "_"),
-            _sd_fingerprint(),
+            _sd_fingerprint(sf_dir),
         )
         if not cache_complete(root):
             _sh.rmtree(root, ignore_errors=True)  # torn prior build
@@ -1562,10 +1567,11 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sd_fingerprint() -> str:
+def _sd_fingerprint(sf_dir: str) -> str:
     """Content fingerprint for the persisted streaming-dedup artifacts:
-    the full dedup-kernel module source plus every parameter the build
-    depends on. Any change rotates the cache key."""
+    the full dedup-kernel module source, every parameter the build
+    depends on, and the input-data identity under ``sf_dir``. Any code,
+    param, or testdata change rotates the cache key."""
     import hashlib
     import inspect
 
@@ -1573,6 +1579,7 @@ def _sd_fingerprint() -> str:
     from hybrid_vector_search_spark.plans.registry_corpus import (
         JACCARD_THRESHOLD,
     )
+    from hybrid_vector_search_spark.scratch import data_fingerprint
 
     h = hashlib.md5(inspect.getsource(DD).encode())
     for fn in (
@@ -1583,6 +1590,7 @@ def _sd_fingerprint() -> str:
     ):
         h.update(inspect.getsource(fn).encode())
     h.update(f"|P={_SD_BATCHES}|J={JACCARD_THRESHOLD}|v1".encode())
+    h.update(("|data=" + data_fingerprint(sf_dir)).encode())
     return h.hexdigest()
 
 
@@ -1665,7 +1673,7 @@ def streaming_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         root2 = persistent_cache_path(
             "sdcmp_" + sf_dir.strip("/").replace("/", "_"),
-            _sd_fingerprint(),
+            _sd_fingerprint(sf_dir),
         )
         if not cache_complete(root2):
             streaming_dedup_ingest(spark, sf_dir)  # ensure the seeded index

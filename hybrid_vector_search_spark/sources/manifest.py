@@ -742,6 +742,45 @@ def _apply_logical_schema(
     return out
 
 
+# Per-(root, version) analyzed-plan memo (r16, guide §1.2). Building a
+# snapshot read is pure driver-side plan construction — ~100 py4j round
+# trips (reader, selectExpr parse, delete-key anti-joins) per call,
+# measured ~60 ms each, and the CDC/changelog family builds SIX per
+# pass. A committed snapshot is immutable: its descriptor is written
+# once (atomic create, never rewritten except by sidecar compaction,
+# which replaces the file and hence its mtime), its data files are
+# never rewritten in place, and vacuum only deletes versions whose
+# descriptors it also deletes. The memo therefore keys on (root,
+# version) and revalidates against the descriptor file's (mtime_ns,
+# size) on every hit — compaction, restore-with-rewrite, or an
+# out-of-band regeneration rotates the token and rebuilds. Purge paths
+# additionally invalidate by root (sources/purge.py fires
+# invalidate_snapshot_plans from _invalidate_residents), and
+# registry.invalidate_caches() clears the memo wholesale; both are the
+# refresh contract the README documents for in-place mutation. The
+# memo holds the LAZY DataFrame: every action re-executes the physical
+# plan — nothing about results is cached.
+_SNAPSHOT_DF_MEMO: dict[tuple[str, int], tuple] = {}
+_SNAPSHOT_DF_MEMO_MAX = 256
+
+
+def invalidate_snapshot_plans(root: str | None = None) -> None:
+    """Drop memoized snapshot read plans — all of them, or only those
+    under ``root`` (a purge/vacuum target or a descendant table)."""
+    if root is None:
+        _SNAPSHOT_DF_MEMO.clear()
+        return
+    r = os.path.normpath(root)
+    for k in [
+        k
+        for k in list(_SNAPSHOT_DF_MEMO)
+        if k[0] == r
+        or k[0].startswith(r + os.sep)
+        or r.startswith(k[0] + os.sep)
+    ]:
+        _SNAPSHOT_DF_MEMO.pop(k, None)
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -755,7 +794,26 @@ def read_snapshot(
     v = current_version(root) if version is None else int(version)
     if v < 0:
         raise ValidationError(f"no committed snapshot at '{root}'")
-    return _apply_logical_schema(spark, root, _resolve_manifest(root, v))
+    key = (os.path.normpath(root), v)
+    try:
+        st = os.stat(os.path.join(root, _manifest_name(v)))
+        token = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        token = None  # descriptor gone/unstatable: never memoize
+    got = _SNAPSHOT_DF_MEMO.get(key)
+    if (
+        got is not None
+        and got[0] is spark
+        and token is not None
+        and got[1] == token
+    ):
+        return got[2]
+    df = _apply_logical_schema(spark, root, _resolve_manifest(root, v))
+    if token is not None:
+        _SNAPSHOT_DF_MEMO[key] = (spark, token, df)
+        while len(_SNAPSHOT_DF_MEMO) > _SNAPSHOT_DF_MEMO_MAX:
+            _SNAPSHOT_DF_MEMO.pop(next(iter(_SNAPSHOT_DF_MEMO)))
+    return df
 
 
 def snapshot_files_pruned(
@@ -3323,6 +3381,15 @@ def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
     return read_snapshot(spark, root, resolve_branch(root, name))
 
 
+# Changelog feeds for a CLOSED version range are reproducible forever
+# (immutable versions), so the built feed plan is memoized exactly like
+# read_snapshot's — keyed (root, v_from, v_to), revalidated against the
+# (mtime_ns, size) of every descriptor in the range, cleared by the same
+# invalidate paths (the memo shares read_snapshot's dict so
+# invalidate_snapshot_plans covers both). Lazy plan only; every action
+# re-executes it.
+
+
 def snapshot_changelog(
     spark: SparkSession, root: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -3359,6 +3426,26 @@ def snapshot_changelog(
             f"snapshot_changelog: need v_from < v_to, got "
             f"({v_from}, {v_to})"
         )
+    memo_key = (os.path.normpath(root), ("changelog", v_from, v_to))
+    try:
+        token = tuple(
+            (st.st_mtime_ns, st.st_size)
+            for st in (
+                os.stat(os.path.join(root, _manifest_name(v)))
+                for v in range(v_from, v_to + 1)
+            )
+        )
+    except OSError:
+        token = None  # a descriptor is missing: the range check below
+        # raises the proper error; never memoize
+    got = _SNAPSHOT_DF_MEMO.get(memo_key)
+    if (
+        got is not None
+        and got[0] is spark
+        and token is not None
+        and got[1] == token
+    ):
+        return got[2]
     versions = set(list_versions(root))
     for v in range(v_from, v_to + 1):
         if v not in versions:
@@ -3467,6 +3554,10 @@ def snapshot_changelog(
                 v,
                 "delete",
             )
+    if token is not None:
+        _SNAPSHOT_DF_MEMO[memo_key] = (spark, token, out)
+        while len(_SNAPSHOT_DF_MEMO) > _SNAPSHOT_DF_MEMO_MAX:
+            _SNAPSHOT_DF_MEMO.pop(next(iter(_SNAPSHOT_DF_MEMO)))
     return out
 
 

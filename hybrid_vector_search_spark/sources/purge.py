@@ -252,6 +252,12 @@ def register_resident_invalidator(root: str, fn) -> None:
 
 def _invalidate_residents(root: str) -> None:
     root = os.path.normpath(root)
+    # memoized snapshot read plans over this root pin pre-purge file
+    # lists — drop them with the resident tiers (r16; the manifest memo
+    # also self-checks the descriptor mtime, this is the belt half)
+    from hybrid_vector_search_spark.sources import manifest as _M
+
+    _M.invalidate_snapshot_plans(root)
     for scope, fn in list(_RESIDENT_INVALIDATORS):
         if root == scope or root.startswith(scope + os.sep) or (
             scope.startswith(root + os.sep)
