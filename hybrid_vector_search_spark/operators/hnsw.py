@@ -281,10 +281,28 @@ def knn_adjacency(vectors: np.ndarray, M: int = DEFAULT_M) -> list[list[int]]:
         vectors, dtype=np.float64
     ).T
     np.fill_diagonal(sim, -np.inf)
-    m = min(int(M), sim.shape[0] - 1)
-    # argsort(stable) on -sim: ties broken by ascending node index
-    idx = np.argsort(-sim, axis=1, kind="stable")[:, :m]
-    return [[int(j) for j in row] for row in idx]
+    n = sim.shape[0]
+    m = min(int(M), n - 1)
+    if m <= 0:
+        return [[] for _ in range(n)]
+    # Top-M prefix WITHOUT a full-row stable argsort (r16, guide §4.2:
+    # the O(n² log n) sort was ~95% of the recall-sweep kernel; the
+    # walks it feeds are milliseconds). np.partition finds each row's
+    # m-th largest similarity in O(n); the exact prefix is then every
+    # index whose similarity reaches that threshold, stable-ordered.
+    # Tie handling is IDENTICAL to the old full stable argsort: the
+    # candidate set contains every index tying the m-th value, and a
+    # stable sort over candidates listed in ascending index order
+    # breaks equal similarities by ascending node index — the same
+    # prefix the full sort produced, for every tie pattern.
+    neg = -sim
+    kth = np.partition(neg, m - 1, axis=1)[:, m - 1]
+    out: list[list[int]] = []
+    for i in range(n):
+        cand = np.flatnonzero(neg[i] <= kth[i])
+        order = cand[np.argsort(neg[i, cand], kind="stable")]
+        out.append([int(j) for j in order[:m]])
+    return out
 
 
 def hnsw_topk(
@@ -790,6 +808,20 @@ class HNSWBackend(SearchBackend):
             q, kmax, ef_search=max(self.ef_search, kmax)
         )
         pred = compile_filters(self.corpus.schema, filters)
+        # the costed-entry |allowed| count is independent of the graph
+        # walk and the survivor probe — submit it concurrently (guide
+        # §2.6: independent read-only jobs over the resident corpus) so
+        # the ladder-entry decision is ready when the candidates are;
+        # result and decision are identical, only the wall overlaps
+        count_ex = None
+        count_fut = None
+        if self.costed and self.selectivity_hint is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            count_ex = ThreadPoolExecutor(1)
+            count_fut = count_ex.submit(
+                self.corpus.filter(pred).count
+            )
         # Collect the bounded candidate ranking once (≤ kmax ≤ 1000 rows),
         # then stream the UNBOUNDED allowed set against a broadcast of the
         # tiny collected id list — never broadcast `allowed` (it approaches
@@ -797,35 +829,55 @@ class HNSWBackend(SearchBackend):
         # candidates preserved can only build/broadcast the allowed side
         # (BroadcastHashJoin LeftOuter ⇒ BuildRight), so the pass flag is
         # derived via a semi-join in the safe direction + a driver-side set.
-        cand_rows = sorted(
-            cand.collect(), key=lambda r: (-r["score"], r[self.id_col])
-        )
-        from pyspark.sql import types as T
-
-        spark = self.corpus.sparkSession
-        id_field = self.corpus.schema[self.id_col]
-        cand_ids = spark.createDataFrame(
-            [(r[self.id_col],) for r in cand_rows],
-            schema=T.StructType([id_field]),
-        )
-        passing = {
-            r[self.id_col]
-            for r in self.corpus.filter(pred)
-            .join(F.broadcast(cand_ids), self.id_col, "left_semi")
-            .select(self.id_col)
-            .collect()
-        }
-        # cost-based entry (same integer-ceil clamp as the IVF backend;
-        # |allowed| is the A2 selectivity count — at 100 TB it comes from
-        # catalog statistics or a sketch, not a scan)
-        ladder = list(self.k_ladder)
-        n_allowed: int | None = None
-        if self.costed:
-            n_allowed = (
-                self.selectivity_hint
-                if self.selectivity_hint is not None
-                else self.corpus.filter(pred).count()
+        try:
+            cand_rows = sorted(
+                cand.collect(), key=lambda r: (-r["score"], r[self.id_col])
             )
+            from pyspark.sql import types as T
+
+            spark = self.corpus.sparkSession
+            id_field = self.corpus.schema[self.id_col]
+            id_schema = T.StructType([id_field])
+            cand_id_vals = [(r[self.id_col],) for r in cand_rows]
+            # route the tiny collected id list through pandas + Arrow
+            # (LocalTableScan) instead of a pickled Python RDD, which
+            # costs a Python-worker task inside the semi-join job
+            # (guide §4; the registry's local_df precedent) — verified
+            # fallback keeps the plain path when conversion cannot
+            # represent the rows
+            try:
+                import pandas as _pd
+
+                cand_ids = spark.createDataFrame(
+                    _pd.DataFrame.from_records(
+                        cand_id_vals, columns=[self.id_col]
+                    ),
+                    id_schema,
+                )
+            except Exception:
+                cand_ids = spark.createDataFrame(cand_id_vals, id_schema)
+            passing = {
+                r[self.id_col]
+                for r in self.corpus.filter(pred)
+                .join(F.broadcast(cand_ids), self.id_col, "left_semi")
+                .select(self.id_col)
+                .collect()
+            }
+            # cost-based entry (same integer-ceil clamp as the IVF
+            # backend; |allowed| is the A2 selectivity count — at 100 TB
+            # it comes from catalog statistics or a sketch, not a scan)
+            ladder = list(self.k_ladder)
+            n_allowed: int | None = None
+            if self.costed:
+                n_allowed = (
+                    self.selectivity_hint
+                    if self.selectivity_hint is not None
+                    else count_fut.result()
+                )
+        finally:
+            if count_ex is not None:
+                count_ex.shutdown(wait=False)
+        if self.costed:
             if n_allowed <= 0:
                 entry = ladder[-1]
             else:

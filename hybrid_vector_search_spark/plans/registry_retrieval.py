@@ -886,6 +886,10 @@ def metrics_lsh_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 MATRYOSHKA_SWEEP_DIMS = (8, 16, 32, 64)
 MATRYOSHKA_SWEEP_QSEED = 101
 
+# prepared rung plans per (session, sf_dir) — cleared with every other
+# *_CACHE by registry.invalidate_caches()
+_MATRYOSHKA_SWEEP_PLAN_CACHE: dict[str, tuple] = {}
+
 
 def _matryoshka_dim_sweep_oracle() -> str:
     """Replays the recall-vs-prefix-length curve: per prefix d, the
@@ -949,29 +953,37 @@ def metrics_matryoshka_dim_sweep(
     )
 
     q = query_vector(MATRYOSHKA_SWEEP_QSEED)
-    base = _quantized_corpus(spark, sf_dir)
-    score = dot_score_sql("embedding", q).alias("score")
+    # the five rung plans are deterministic lazy plans over the
+    # session-cached quantized corpus — build them once per (session,
+    # sf_dir) like every prepared artifact (r16, guide §1.2); each pass
+    # still collects every rung (the sweep's real work)
+    got = _MATRYOSHKA_SWEEP_PLAN_CACHE.get(sf_dir)
+    plans = got[1] if got is not None and got[0] is spark else None
+    if plans is None:
+        base = _quantized_corpus(spark, sf_dir)
+        score = dot_score_sql("embedding", q).alias("score")
 
-    def pscore(d):
-        qp = double_array_lit(q[:d])  # one parse per rung
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("embedding"), 1, d),
-                qp,
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        def pscore(d):
+            qp = double_array_lit(q[:d])  # one parse per rung
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("embedding"), 1, d),
+                    qp,
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
 
-    plans = {
-        d: base.select("id", "embedding", pscore(d).alias("ps"))
-        .orderBy(F.col("ps").desc(), F.col("id").asc())
-        .limit(MATRYOSHKA_C)
-        .select("id", score)
-        for d in MATRYOSHKA_SWEEP_DIMS
-    }
-    plans["exact"] = topk(base.select("id", score), ANN_IVF_K)
+        plans = {
+            d: base.select("id", "embedding", pscore(d).alias("ps"))
+            .orderBy(F.col("ps").desc(), F.col("id").asc())
+            .limit(MATRYOSHKA_C)
+            .select("id", score)
+            for d in MATRYOSHKA_SWEEP_DIMS
+        }
+        plans["exact"] = topk(base.select("id", score), ANN_IVF_K)
+        _MATRYOSHKA_SWEEP_PLAN_CACHE[sf_dir] = (spark, plans)
     keys = list(plans)
     with ThreadPoolExecutor(len(keys)) as ex:
         slices = dict(

@@ -415,7 +415,15 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # Project to the two columns the kernel reads BEFORE the opaque
+    # stateful node (guide §4/§2.3): Catalyst cannot prune through
+    # FlatMapGroupsInPandasWithState, so without this every event column
+    # (including the wide ``props`` string) is scanned, shuffled into the
+    # state partitions, and Arrow-shipped to the Python workers per
+    # micro-batch. Same grouping, same state, same output rows.
+    return events.select("user_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

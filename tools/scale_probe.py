@@ -118,6 +118,11 @@ PROBE_QUERIES = (
     # cohort grid is bounded by weeks², the outlier audit by |types|
     "events_retention_cohorts",
     "events_value_outliers",
+    # r16: the vectorized Arrow kernels (segmented rolling-hash /
+    # slab simhash, r15 rows 9-10) — bench-neutral at sf0.1 (floor
+    # -bound); the probe is where their per-task shape shows
+    "text_rolling_fingerprint",
+    "dedup_simhash",
 )
 # dedup_embedding_clustered_pairs is probed by tools/semantic_probe.py
 # instead: at the FIXED oracle quantizer its fan-out is quadratic by
