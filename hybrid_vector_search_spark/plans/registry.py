@@ -196,9 +196,26 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             if isinstance(schema, T.StructType)
             else T._parse_datatype_string(schema)
         )
-        pdf = pd.DataFrame.from_records(
-            list(rows), columns=[f.name for f in st.fields]
-        )
+        rows = list(rows)
+        # Integral/decimal columns are built with OBJECT dtype: pandas
+        # inference coerces an int column containing None to float64
+        # (None→NaN), silently rounding BIGINTs above 2^53 before the
+        # Arrow cast back — no exception, so the verified fallback
+        # below never fired (r15 ADVICE #2). Object columns hand the
+        # exact Python ints to Arrow, which casts losslessly or raises
+        # (and then the fallback path takes over).
+        exact = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.DecimalType)
+        data = {
+            f.name: pd.Series(
+                [r[i] for r in rows],
+                dtype=object if isinstance(f.dataType, exact) else None,
+            )
+            if rows
+            else pd.Series([], dtype=object)
+            for i, f in enumerate(st.fields)
+        }
+        pdf = pd.DataFrame(data, columns=[f.name for f in st.fields])
         return spark.createDataFrame(pdf, st)
     except Exception:
         return spark.createDataFrame(rows, schema)

@@ -56,3 +56,22 @@ def test_knn_adjacency_small_and_degenerate():
     assert knn_adjacency(V, 8) == _reference_adjacency(V, 8)
     Z = np.zeros((5, 4))  # all-tie degenerate corpus
     assert knn_adjacency(Z, 3) == _reference_adjacency(Z, 3)
+
+
+def test_local_df_preserves_exact_bigints_with_nulls(spark):
+    """r15 ADVICE #2: pandas inference coerced an int column containing
+    None to float64, silently rounding BIGINTs above 2^53 before the
+    Arrow cast — local_df now builds integral columns with object
+    dtype, so the exact value survives and the plan stays a
+    LocalTableScan (the fast path, not the pickled-RDD fallback)."""
+    from hybrid_vector_search_spark.plans.registry import local_df
+
+    big = 2**53 + 1  # not representable in float64
+    df = local_df(
+        spark, [(1, big, 0.5), (2, None, 1.5)], "a LONG, b LONG, c DOUBLE"
+    )
+    rows = sorted(df.collect(), key=lambda r: r["a"])
+    assert rows[0]["b"] == big
+    assert rows[1]["b"] is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
