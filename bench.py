@@ -215,30 +215,40 @@ def main() -> None:
     # recorded best gets ONE fresh re-run late in the session (min kept):
     # genuine regressions survive two independent placements, a noise
     # burst does not.
-    prior_detail = REPO / "BENCH_DETAIL.json"
-    if prior_detail.exists():
+    # only comparable runs feed the noise guard: a prior detail recorded
+    # at a different scale factor or core count would flag the whole
+    # suite as "outliers" and pointlessly double the wall time. (r16)
+    # The per-core-count sibling (BENCH_DETAIL_c<N>.json) is preferred —
+    # alternating 32/8-core driver runs each keep their own comparable
+    # prior instead of discarding whichever ran second; a cpus-less
+    # (pre-r16) plain artifact is accepted only at the 32-core default
+    # it was recorded at.
+    try:
+        cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        cur_cpus = 32
+    prior = {}
+    for prior_detail in (
+        REPO / f"BENCH_DETAIL_c{cur_cpus}.json",
+        REPO / "BENCH_DETAIL.json",
+    ):
+        if not prior_detail.exists():
+            continue
         try:
             prior_doc = json.loads(prior_detail.read_text())
-            # only comparable runs feed the noise guard: a prior detail
-            # recorded at a different scale factor would flag the whole
-            # suite as "outliers" and pointlessly double the wall time
-            # (r16) ...and a prior detail recorded at a different core
-            # count is likewise not comparable — the driver's low-core
-            # scaling run writes the same file (cpus absent = pre-r16
-            # artifact, assumed comparable as before)
-            prior_cpus = prior_doc.get("cpus")
-            prior = (
-                prior_doc.get("queries", {})
-                if prior_doc.get("sf") == sf
-                and (
-                    prior_cpus is None
-                    or str(prior_cpus)
-                    == os.environ.get("SPARK_GRAFT_CPUS", "32")
-                )
-                else {}
-            )
         except (ValueError, OSError):
-            prior = {}
+            continue
+        prior_cpus = prior_doc.get("cpus")
+        try:
+            prior_cpus = None if prior_cpus is None else int(prior_cpus)
+        except (TypeError, ValueError):
+            continue
+        if prior_doc.get("sf") == sf and (
+            prior_cpus == cur_cpus
+            or (prior_cpus is None and cur_cpus == 32)
+        ):
+            prior = prior_doc.get("queries", {})
+            break
         for name, prev_s in prior.items():
             cur = timings.get(name)
             if (

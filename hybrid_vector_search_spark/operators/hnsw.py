@@ -813,12 +813,11 @@ class HNSWBackend(SearchBackend):
         # §2.6: independent read-only jobs over the resident corpus) so
         # the ladder-entry decision is ready when the candidates are;
         # result and decision are identical, only the wall overlaps
-        count_ex = None
+        from concurrent.futures import ThreadPoolExecutor
+
+        count_ex = ThreadPoolExecutor(1)
         count_fut = None
         if self.costed and self.selectivity_hint is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            count_ex = ThreadPoolExecutor(1)
             count_fut = count_ex.submit(
                 self.corpus.filter(pred).count
             )
@@ -842,15 +841,22 @@ class HNSWBackend(SearchBackend):
             # route the tiny collected id list through pandas + Arrow
             # (LocalTableScan) instead of a pickled Python RDD, which
             # costs a Python-worker task inside the semi-join job
-            # (guide §4; the registry's local_df precedent) — verified
+            # (guide §4; the registry's local_df precedent) — OBJECT
+            # dtype so pandas never coerces ids through float64 (exact
+            # above 2^53, same hazard local_df guards); verified
             # fallback keeps the plain path when conversion cannot
             # represent the rows
             try:
                 import pandas as _pd
 
                 cand_ids = spark.createDataFrame(
-                    _pd.DataFrame.from_records(
-                        cand_id_vals, columns=[self.id_col]
+                    _pd.DataFrame(
+                        {
+                            self.id_col: _pd.Series(
+                                [v[0] for v in cand_id_vals],
+                                dtype=object,
+                            )
+                        }
                     ),
                     id_schema,
                 )
@@ -875,8 +881,11 @@ class HNSWBackend(SearchBackend):
                     else count_fut.result()
                 )
         finally:
-            if count_ex is not None:
-                count_ex.shutdown(wait=False)
+            # drain before returning/raising: shutdown(wait=True) joins
+            # the worker so an exception here never orphans an in-flight
+            # count job past interpreter teardown (the count itself is
+            # short and read-only)
+            count_ex.shutdown(wait=True)
         if self.costed:
             if n_allowed <= 0:
                 entry = ladder[-1]

@@ -760,7 +760,7 @@ def _apply_logical_schema(
 # refresh contract the README documents for in-place mutation. The
 # memo holds the LAZY DataFrame: every action re-executes the physical
 # plan — nothing about results is cached.
-_SNAPSHOT_DF_MEMO: dict[tuple[str, int], tuple] = {}
+_SNAPSHOT_DF_MEMO: "OrderedDict[tuple, tuple]" = OrderedDict()
 _SNAPSHOT_DF_MEMO_MAX = 256
 
 
@@ -807,12 +807,13 @@ def read_snapshot(
         and token is not None
         and got[1] == token
     ):
+        _SNAPSHOT_DF_MEMO.move_to_end(key)  # LRU: hot entries survive
         return got[2]
     df = _apply_logical_schema(spark, root, _resolve_manifest(root, v))
     if token is not None:
         _SNAPSHOT_DF_MEMO[key] = (spark, token, df)
         while len(_SNAPSHOT_DF_MEMO) > _SNAPSHOT_DF_MEMO_MAX:
-            _SNAPSHOT_DF_MEMO.pop(next(iter(_SNAPSHOT_DF_MEMO)))
+            _SNAPSHOT_DF_MEMO.popitem(last=False)
     return df
 
 
@@ -3445,6 +3446,7 @@ def snapshot_changelog(
         and token is not None
         and got[1] == token
     ):
+        _SNAPSHOT_DF_MEMO.move_to_end(memo_key)  # LRU
         return got[2]
     versions = set(list_versions(root))
     for v in range(v_from, v_to + 1):
@@ -3557,7 +3559,7 @@ def snapshot_changelog(
     if token is not None:
         _SNAPSHOT_DF_MEMO[memo_key] = (spark, token, out)
         while len(_SNAPSHOT_DF_MEMO) > _SNAPSHOT_DF_MEMO_MAX:
-            _SNAPSHOT_DF_MEMO.pop(next(iter(_SNAPSHOT_DF_MEMO)))
+            _SNAPSHOT_DF_MEMO.popitem(last=False)
     return out
 
 
